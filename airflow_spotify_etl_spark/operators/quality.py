@@ -1,0 +1,79 @@
+"""Data-quality constraint suite as ONE fused aggregation pass.
+
+Re-expresses the reference's ``check_if_valid_data`` (spotify_etl2.py:42-86):
+
+- F1 emptiness check        (spotify_etl2.py:56-58)  → ``is_empty``
+- F2 primary-key uniqueness (spotify_etl2.py:61-62)  → ``pk_unique`` + counts
+- F3 any-null scan          (spotify_etl2.py:65-68)  → per-column null counts
+- F4 freshness / late-data  (spotify_etl2.py:71-84)  → ``n_late_rows``
+  (warn-and-KEEP semantics: rows are counted, never dropped — the batch-side
+  answer to SURVEY.md §7 "what's hard #2"; the streaming path uses a
+  watermark side-count instead, see streaming/pipelines.py)
+
+The reference runs these as four separate pandas passes; here they are one
+multi-aggregate scan (SURVEY.md §4 "multi-aggregate fusion"), plus one
+stats-only scan for ``max(ts)`` (answered from Parquet footer min/max at any
+scale — it never reads data pages). At 100 TB this is exactly two metadata-
+cheap scans, no shuffle (single-row global aggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["quality_report", "assert_quality"]
+
+
+def quality_report(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    freshness_days: int = 7,
+    null_cols: list[str] | None = None,
+) -> DataFrame:
+    """Return a 1-row DataFrame with the full constraint report."""
+    cols = null_cols or df.columns
+    # Lateness cutoff is data-relative (max(ts) − N days), mirroring the
+    # reference's now()−7d cutoff (spotify_etl2.py:72) but reproducible on
+    # static data. Broadcast the 1-row max so the main scan stays shuffle-free.
+    max_ts = df.agg(F.max(ts_col).alias("_max_ts"))
+    aggs = [
+        F.count("*").alias("n_rows"),
+        (F.count("*") == 0).alias("is_empty"),
+        F.countDistinct(key_col).alias("n_distinct_keys"),
+        (F.count("*") == F.countDistinct(key_col)).alias("pk_unique"),
+    ]
+    aggs += [
+        F.count_if(F.col(c).isNull()).alias(f"nulls_{c}") for c in cols
+    ]
+    aggs.append(
+        F.count_if(
+            F.col(ts_col)
+            < F.col("_max_ts") - F.expr(f"INTERVAL {freshness_days} DAYS")
+        ).alias("n_late_rows")
+    )
+    return df.crossJoin(F.broadcast(max_ts)).agg(*aggs)
+
+
+def assert_quality(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    freshness_days: int = 7,
+) -> dict:
+    """Imperative wrapper with the reference's exact pass/warn/fail policy:
+    empty → invalid (warn, spotify_etl2.py:56-58); duplicate PK → raise
+    (spotify_etl2.py:61-62); nulls → warn (non-fatal, :65-68); late rows →
+    warn and keep (:71-84). Returns the report row as a dict."""
+    row = quality_report(df, key_col, ts_col, freshness_days).collect()[0].asDict()
+    if row["is_empty"]:
+        row["status"] = "empty"
+        return row
+    if not row["pk_unique"]:
+        raise ValueError(
+            f"Primary key check failed: {row['n_rows']} rows, "
+            f"{row['n_distinct_keys']} distinct {key_col!r}"
+        )
+    row["status"] = "ok"
+    return row

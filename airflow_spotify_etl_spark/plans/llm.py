@@ -1,0 +1,259 @@
+"""LLM-training-data pipeline queries (SURVEY.md §7 Phase 3 / north star).
+
+Text analysis, dedup, and embedding similarity over the ``documents`` and
+``embeddings`` tables. Everything here is built-in Catalyst expressions
+(higher-order array functions, regexp, md5) — no Python UDFs in any
+oracle-checked path; approximate/sketch variants (MinHash-LSH, SimHash) live
+in operators/dedup.py with rows-only checks since their hash seeds are not
+SQL-portable.
+
+Scale notes:
+- Text metrics are narrow per-row projections: no shuffle, fully
+  whole-stage-codegen, linear scan at 100 TB.
+- Exact dedup groups on md5(text): one shuffle on a well-distributed hash
+  key — no skew by construction.
+- Brute-force cosine top-k broadcasts the (small) query set against the
+  corpus: no shuffle of the big side; per-partition top-k then a tiny final
+  merge (row_number over ≤ k·n_queries rows). The LSH/IVF scale path is in
+  operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.files import load_table
+
+__all__ = ["QUERIES", "ORACLES"]
+
+# Tiny deterministic stopword list used by both engines.
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+
+def q18_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text metrics (north star: quality scoring —
+    length / punctuation / stopword ratios). Narrow projection, no UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z0-9]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda x: F.array_contains(stop_arr, x)))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        n_words.alias("n_words"),
+        F.round(n_alpha / n_words, 4).alias("avg_word_len"),
+        F.round(n_stop / n_words, 4).alias("stopword_ratio"),
+        F.round(
+            F.least(n_words / F.lit(100.0), F.lit(1.0)) * (1 - n_stop / n_words), 4
+        ).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+_Q18_SQL = f"""
+WITH base AS (
+  SELECT doc_id, length(text) AS len_chars,
+         len(string_split(text, ' ')) AS n_words,
+         length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_alpha,
+         len(list_filter(string_split(text, ' '),
+             x -> list_contains({_STOPWORDS!r}, x))) AS n_stop
+  FROM documents
+)
+SELECT doc_id, len_chars, n_words,
+       round(n_alpha / n_words, 4)  AS avg_word_len,
+       round(n_stop / n_words, 4)   AS stopword_ratio,
+       round(least(n_words / 100.0, 1.0) * (1 - n_stop / n_words), 4) AS quality_score
+FROM base
+ORDER BY doc_id
+"""
+
+
+def q19_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (north star): whitespace tokens + a BPE-ish regex
+    tokenizer (letter runs / digit runs / single punctuation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe_pattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), "\\s+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(bpe_pattern), 0)).alias(
+            "bpe_tokens"
+        ),
+        F.size(F.array_distinct(F.split(F.lower("text"), "\\s+"))).alias(
+            "distinct_words"
+        ),
+    ).orderBy("doc_id")
+
+
+_Q19_SQL = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(text, '\s+'))    AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens,
+       len(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS distinct_words
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q20_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language/source profile (grouped agg over document metadata);
+    the heuristic n-gram language IDENTIFIER (non-SQL-portable) is in
+    operators/text.py with unit tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            # total as exact integer — dividing an int sum by 1000 then
+            # rounding lands exactly on .xx5 boundaries where Spark
+            # (decimal-string HALF_UP) and DuckDB (binary-double) disagree.
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q20_SQL = """
+SELECT lang,
+       count(*)                       AS n_docs,
+       count(DISTINCT source)         AS n_sources,
+       round(avg(n_chars), 2)         AS avg_chars,
+       sum(n_chars)                   AS total_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def q21_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication by content hash (north star): md5-groupBy, keep
+    the minimum doc_id per group. The hash key is uniformly distributed →
+    shuffle is skew-free at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .orderBy("keeper_doc_id")
+    )
+
+
+_Q21_SQL = """
+SELECT md5(text) AS text_hash,
+       count(*)  AS n_copies,
+       min(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY md5(text)
+ORDER BY keeper_doc_id
+"""
+
+
+def q22_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k neighbors (north star similarity-search
+    baseline): query set = vec_id < 5, corpus = the rest. The query side is
+    broadcast; dot products run via higher-order array functions in the JVM
+    (zip_with + aggregate), entirely shuffle-free for the corpus scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    to_dbl = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), to_dbl("embedding").alias("qv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5).select(
+        "vec_id", "label", to_dbl("embedding").alias("v")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+
+    paired = corpus.join(F.broadcast(queries))
+    scored = paired.withColumn(
+        "cos",
+        dot(F.col("qv"), F.col("v"))
+        / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v")))),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id", "rank", "vec_id", F.round("cos", 4).alias("cosine_sim"), "label"
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+_Q22_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= 5
+), s AS (
+  SELECT query_id, vec_id, label,
+         list_dot_product(qv, v) /
+           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+  FROM c CROSS JOIN q
+)
+SELECT query_id, rank, vec_id, cosine_sim, label FROM (
+  SELECT query_id, vec_id, label,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank,
+         round(cos, 4) AS cosine_sim
+  FROM s
+)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def q23_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (north star): canonicalize whitespace + case,
+    then content-hash. Same normalization in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.lower(F.regexp_replace(F.col("text"), "\\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(canon).alias("fingerprint"),
+        F.sha2(canon, 256).alias("fingerprint_sha256"),
+        F.length(canon).alias("canon_len"),
+    ).orderBy("doc_id")
+
+
+_Q23_SQL = r"""
+SELECT doc_id,
+       md5(lower(regexp_replace(text, '\s+', ' ', 'g')))        AS fingerprint,
+       sha256(lower(regexp_replace(text, '\s+', ' ', 'g')))     AS fingerprint_sha256,
+       length(lower(regexp_replace(text, '\s+', ' ', 'g')))     AS canon_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "q18_text_stats": q18_text_stats,
+    "q19_token_counts": q19_token_counts,
+    "q20_lang_profile": q20_lang_profile,
+    "q21_exact_dedup": q21_exact_dedup,
+    "q22_cosine_topk": q22_cosine_topk,
+    "q23_fingerprint": q23_fingerprint,
+}
+
+ORACLES = {
+    "q18_text_stats": _Q18_SQL,
+    "q19_token_counts": _Q19_SQL,
+    "q20_lang_profile": _Q20_SQL,
+    "q21_exact_dedup": _Q21_SQL,
+    "q22_cosine_topk": _Q22_SQL,
+    "q23_fingerprint": _Q23_SQL,
+}

@@ -1,0 +1,692 @@
+"""Core relational query surface (SURVEY.md §2.2-§2.8).
+
+Every semantic operator the reference implements — flatten-with-defaults
+projection, validation predicates, global/grouped aggregation, top-k, window
+rank, (implied) star joins, anti-join dedup, set ops — re-expressed as
+declarative Spark plans over the test star schema, each paired with an ANSI
+SQL oracle (``ORACLES``) that DuckDB runs on the same Parquet files.
+
+Scale notes (100 TB design):
+- Dimension joins (region/nation/supplier/customer-at-small-SF) are
+  broadcast — no shuffle for the big fact side.
+- Fact-fact joins (lineitem ⋈ orders) shuffle on the join key; AQE handles
+  skew and coalesces post-shuffle partitions.
+- All aggregates are single-pass multi-aggregate (`agg(...)` with many
+  expressions) — the reference re-scans per statistic (spotify_etl.py:265
+  then :279 recomputes the mean; spotify_etl2.py:272-274 three passes);
+  Catalyst computes all partials in one scan here.
+- Floating-point aggregates are rounded to 2 decimals in BOTH engines so the
+  order-insensitive value hash is stable under summation-order differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators.joins import asof_join
+from ..operators.quality import quality_report
+from ..sources.files import load_table
+
+__all__ = ["QUERIES", "ORACLES"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Aggregation suite (A1-A7): TPC-H Q1-style pricing summary.
+# --------------------------------------------------------------------------
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped multi-aggregate in one pass (A1 avg, A2 count, A4 min/max,
+    A6 round — reference computes each stat in a separate pass,
+    spotify_etl.py:264-265, spotify_etl2.py:272-274)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                            AS sum_qty,
+       round(sum(l_extendedprice), 2)                                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
+       round(avg(l_quantity), 2)                                            AS avg_qty,
+       round(avg(l_extendedprice), 2)                                       AS avg_price,
+       round(avg(l_discount), 2)                                            AS avg_disc,
+       count(*)                                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Flagship: scan → filter → join → agg → sort → limit (SURVEY.md §7 Phase 0).
+# --------------------------------------------------------------------------
+def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style top-K revenue orders (T1 top-k semantics —
+    spotify_etl.py:146,153 delegates top-10-by-popularity to the API; here
+    the engine computes it). customer is broadcast (small dim); the
+    lineitem⋈orders join shuffles on the key."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .withColumn("o_orderdate", F.to_date("o_orderdate"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q02_SQL = """
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q03_segment_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top market segments by average order value over the trailing 90 days
+    of the data (F5 time-range filter, spotify_etl2.py:102-117, as a
+    data-relative predicate; A1/A2/A6 aggregates). Scalar subquery for the
+    cutoff — Catalyst evaluates it once and folds it into the scan filter."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*)                   AS n_orders,
+               round(avg(o_totalprice), 2) AS avg_order_value,
+               round(sum(o_totalprice), 2) AS total_value
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate >= (SELECT max(o_orderdate) - INTERVAL 90 DAYS FROM orders)
+        GROUP BY c_mktsegment
+        ORDER BY avg_order_value DESC, c_mktsegment
+        LIMIT 5
+        """
+    )
+
+
+_Q03_SQL = """
+SELECT c_mktsegment,
+       count(*)                    AS n_orders,
+       round(avg(o_totalprice), 2) AS avg_order_value,
+       round(sum(o_totalprice), 2) AS total_value
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate >= (SELECT max(o_orderdate) - INTERVAL 90 DAY FROM orders)
+GROUP BY c_mktsegment
+ORDER BY avg_order_value DESC, c_mktsegment
+LIMIT 5
+"""
+
+
+def q04_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style multi-join (J1-J3 star joins implied by the reference's
+    captured FKs, new.py:124-126). All dims broadcast; only the
+    lineitem⋈orders fact join shuffles."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+_Q04_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)                                          AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN customer ON o_custkey  = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Global + grouped statistics over events (A1-A6, K4 summary record).
+# --------------------------------------------------------------------------
+def q05_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's XCom summary record (spotify_etl.py:275-281,
+    new.py:250-263: count / count-distinct / rounded avg / min-max range /
+    conditional count) as ONE multi-aggregate pass."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.avg("value"), 2).alias("avg_value"),
+        F.unix_micros(F.min("ts")).alias("first_ts_us"),
+        F.unix_micros(F.max("ts")).alias("last_ts_us"),
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+    )
+
+
+_Q05_SQL = """
+SELECT count(*)                                   AS n_rows,
+       count(DISTINCT user_id)                    AS n_users,
+       round(avg(value), 2)                       AS avg_value,
+       epoch_us(min(ts))                          AS first_ts_us,
+       epoch_us(max(ts))                          AS last_ts_us,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
+FROM events
+"""
+
+
+def q06_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped generalization of the reference's global stats (SURVEY.md
+    §2.4: 'grouped versions are the natural generalization')."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.avg("value"), 2).alias("avg_value"),
+            F.to_date(F.min("ts")).alias("first_date"),
+            F.to_date(F.max("ts")).alias("last_date"),
+            F.count_if(F.col("value") > 100.0).alias("n_high_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q06_SQL = """
+SELECT event_type,
+       count(*)                              AS n_events,
+       count(DISTINCT user_id)               AS n_users,
+       round(avg(value), 2)                  AS avg_value,
+       CAST(min(ts) AS DATE)                 AS first_date,
+       CAST(max(ts) AS DATE)                 AS last_date,
+       count(*) FILTER (WHERE value > 100.0) AS n_high_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q07_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling daily window as a batch aggregation (ST6: the reference's
+    daily Airflow batch ≈ 1-day tumbling window, spotify_dag.py:23 +
+    spotify_etl2.py:102-104). Streaming variant lives in
+    streaming/pipelines.py."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("event_date"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_date")
+    )
+
+
+_Q07_SQL = """
+SELECT CAST(ts AS DATE)     AS event_date,
+       count(*)             AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY CAST(ts AS DATE)
+ORDER BY event_date
+"""
+
+
+# --------------------------------------------------------------------------
+# Top-K / windows (T1, T2, W1).
+# --------------------------------------------------------------------------
+def q08_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-K via row_number window (T1 generalized per-group:
+    row_number over partitionBy — SURVEY.md §2.5). Ties broken on the
+    ROUNDED total then user_id so both engines pick identical rows."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.count("*").alias("n_events"),
+    )
+    w = W.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id")
+    )
+    return (
+        per_user.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "rank", "user_id", "total_value", "n_events")
+        .orderBy("event_type", "rank")
+    )
+
+
+_Q08_SQL = """
+SELECT event_type, rank, user_id, total_value, n_events
+FROM (
+  SELECT event_type, user_id, total_value, n_events,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY total_value DESC, user_id) AS rank
+  FROM (
+    SELECT event_type, user_id,
+           round(sum(value), 2) AS total_value,
+           count(*)             AS n_events
+    FROM events GROUP BY event_type, user_id
+  )
+)
+WHERE rank <= 3
+ORDER BY event_type, rank
+"""
+
+
+def q09_recency_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — the reference's only window function: sequential rank over
+    recency order with a limit (new.py:108,114 `rank = idx+1` over
+    most-recent-first items, clamp new.py:97). orderBy+limit prunes to 50
+    rows BEFORE the single-partition window — top-K never globally sorts
+    the full table (Spark uses TakeOrderedAndProject)."""
+    ev = _t(spark, sf_dir, "events")
+    top = ev.orderBy(F.col("ts").desc(), F.col("event_id").desc()).limit(50)
+    w = W.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank",
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+
+_Q09_SQL = """
+SELECT row_number() OVER (ORDER BY ts DESC, event_id DESC) AS rank,
+       event_id, user_id, event_type, epoch_us(ts) AS ts_us
+FROM events
+ORDER BY ts DESC, event_id DESC
+LIMIT 50
+"""
+
+
+# --------------------------------------------------------------------------
+# Joins beyond equi (J4 anti, J5 range/as-of) + set ops (§2.7).
+# --------------------------------------------------------------------------
+def q10_purchases_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (J4 — the incremental-dedup join the reference NEEDS
+    but lacks: its append sink would double-insert on re-run,
+    spotify_etl2.py:220). Purchases by users who never hit an error."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    error_users = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return (
+        purchases.join(error_users, "user_id", "left_anti")
+        .select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value")
+        .orderBy("event_id")
+    )
+
+
+_Q10_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+FROM events p
+WHERE event_type = 'purchase'
+  AND NOT EXISTS (SELECT 1 FROM events e
+                  WHERE e.event_type = 'error' AND e.user_id = p.user_id)
+ORDER BY event_id
+"""
+
+
+def q11_user_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (§2.7, absent in reference, required surface):
+    INTERSECT (purchasers who also signed up), EXCEPT (purchasers with no
+    errors), tagged and unioned."""
+    ev = _t(spark, sf_dir, "events")
+
+    def users(etype: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == etype).select("user_id").distinct()
+
+    loyal = users("purchase").intersect(users("signup")).withColumn(
+        "cohort", F.lit("purchase_and_signup")
+    )
+    clean = users("purchase").exceptAll(users("error")).withColumn(
+        "cohort", F.lit("purchase_no_error")
+    )
+    return loyal.unionByName(clean).select("cohort", "user_id").orderBy(
+        "cohort", "user_id"
+    )
+
+
+_Q11_SQL = """
+SELECT 'purchase_and_signup' AS cohort, user_id FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+)
+UNION ALL
+SELECT 'purchase_no_error' AS cohort, user_id FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+)
+ORDER BY cohort, user_id
+"""
+
+
+def q12_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's validation suite F1-F4 (spotify_etl2.py:42-86) fused
+    into ONE aggregation pass — see operators/quality.py."""
+    ev = _t(spark, sf_dir, "events")
+    return quality_report(
+        ev, key_col="event_id", ts_col="ts", freshness_days=7
+    )
+
+
+_Q12_SQL = """
+SELECT count(*)                                        AS n_rows,
+       CAST(count(*) = 0 AS BOOLEAN)                   AS is_empty,
+       count(DISTINCT event_id)                        AS n_distinct_keys,
+       CAST(count(*) = count(DISTINCT event_id) AS BOOLEAN) AS pk_unique,
+       count(*) FILTER (WHERE event_id IS NULL)        AS nulls_event_id,
+       count(*) FILTER (WHERE ts IS NULL)              AS nulls_ts,
+       count(*) FILTER (WHERE user_id IS NULL)         AS nulls_user_id,
+       count(*) FILTER (WHERE event_type IS NULL)      AS nulls_event_type,
+       count(*) FILTER (WHERE value IS NULL)           AS nulls_value,
+       count(*) FILTER (WHERE props IS NULL)           AS nulls_props,
+       count(*) FILTER (WHERE ts < (SELECT max(ts) - INTERVAL 7 DAY FROM events))
+                                                       AS n_late_rows
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# Projection / scalar-expression layer (P1-P12).
+# --------------------------------------------------------------------------
+def q13_flatten_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flatten-with-defaults projection (P1/P9:
+    `.get(k, default)` on every field, spotify_etl.py:241-250) + JSON field
+    extraction from a raw payload column, date slice (P5:
+    `played_at[:10]`, spotify_etl2.py:170) and epoch-ms (P6,
+    spotify_etl2.py:102-104). All built-in Catalyst expressions — no UDFs."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce("event_type", F.lit("Unknown")).alias("event_type_filled"),
+        F.coalesce(
+            F.get_json_object("props", "$.k").cast("bigint"), F.lit(0)
+        ).alias("prop_k"),
+        F.substring(F.col("ts").cast("string"), 1, 10).alias("event_date_str"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.coalesce("value", F.lit(0.0)).alias("value_filled"),
+    ).orderBy("event_id")
+
+
+_Q13_SQL = """
+SELECT event_id,
+       coalesce(event_type, 'Unknown')                               AS event_type_filled,
+       coalesce(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS prop_k,
+       substr(CAST(ts AS VARCHAR), 1, 10)                            AS event_date_str,
+       epoch_ms(ts)                                                  AS ts_ms,
+       coalesce(value, 0.0)                                          AS value_filled
+FROM events
+ORDER BY event_id
+"""
+
+
+def q14_duration_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 — ms → 'm:ss' display format (new.py:170) via format_string;
+    P10 string concat. round() before the bigint cast because Spark CAST
+    truncates while DuckDB CAST rounds."""
+    ev = _t(spark, sf_dir, "events")
+    ms = F.round(F.col("value") * 1000, 0).cast("bigint")
+    return ev.select(
+        "event_id",
+        ms.alias("duration_ms"),
+        F.format_string(
+            "%d:%02d", (ms / 60000).cast("bigint"), ((ms % 60000) / 1000).cast("bigint")
+        ).alias("duration_str"),
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("user_tag"),
+    ).orderBy("event_id")
+
+
+_Q14_SQL = """
+SELECT event_id,
+       CAST(round(value * 1000, 0) AS BIGINT) AS duration_ms,
+       printf('%d:%02d',
+              CAST(round(value * 1000, 0) AS BIGINT) // 60000,
+              (CAST(round(value * 1000, 0) AS BIGINT) % 60000) // 1000) AS duration_str,
+       'user-' || CAST(user_id AS VARCHAR) AS user_tag
+FROM events
+ORDER BY event_id
+"""
+
+
+def q15_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup grouping sets (§2.4: 'free via df.rollup — include in engine
+    surface for summary reporting')."""
+    ev = _t(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    return (
+        ev.rollup("event_type", "event_date")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        # Rollup NULL keys → '(all)' sentinels so the subtotal rows hash
+        # identically across engines (and read better downstream).
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.date_format("event_date", "yyyy-MM-dd"), F.lit("(all)")).alias(
+                "event_date"
+            ),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("event_type", "event_date")
+    )
+
+
+_Q15_SQL = """
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(strftime(event_date, '%Y-%m-%d'), '(all)') AS event_date,
+       n_events, total_value
+FROM (
+  SELECT event_type, CAST(ts AS DATE) AS event_date,
+         count(*) AS n_events, round(sum(value), 2) AS total_value
+  FROM events
+  GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+)
+ORDER BY event_type, event_date
+"""
+
+
+def q16_shipdate_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 range predicate join: lineitems shipped within 90 days of their
+    order date (the reference's freshness-window compare,
+    spotify_etl2.py:71-84, as a join predicate). Equi-key + range filter →
+    Catalyst runs the equi-join and applies the range as a post-filter, so
+    no nested-loop blowup at scale."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_shipped_90d"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q16_SQL = """
+SELECT o_orderpriority,
+       count(*)                         AS n_shipped_90d,
+       round(sum(l_extendedprice), 2)   AS total_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate
+  AND l_shipdate <  o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q17_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J5): for each purchase, the most recent click at-or-before
+    it by the same user — via operators/joins.asof_join (union + window
+    strategy: one shuffle on user_id, no nested loop; scales as a single
+    sort-within-partition at 100 TB)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_payload=["click_event_id"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        "click_event_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+    ).orderBy("event_id")
+
+
+_Q17_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS purchase_ts_us,
+       click_event_id, epoch_us(click_ts) AS click_ts_us
+FROM (
+  SELECT event_id, user_id, ts, is_left,
+         last_value(CASE WHEN NOT is_left THEN src_event_id END IGNORE NULLS)
+           OVER w AS click_event_id,
+         last_value(CASE WHEN NOT is_left THEN ts END IGNORE NULLS)
+           OVER w AS click_ts
+  FROM (
+    SELECT event_id, user_id, ts, TRUE AS is_left, NULL::BIGINT AS src_event_id
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT NULL AS event_id, user_id, ts, FALSE AS is_left, event_id AS src_event_id
+    FROM events WHERE event_type = 'click'
+  )
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_left
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+WHERE is_left
+ORDER BY event_id
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_top_revenue_orders": q02_top_revenue_orders,
+    "q03_segment_order_value": q03_segment_order_value,
+    "q04_region_nation_revenue": q04_region_nation_revenue,
+    "q05_global_stats": q05_global_stats,
+    "q06_grouped_stats": q06_grouped_stats,
+    "q07_daily_activity": q07_daily_activity,
+    "q08_top_users_per_type": q08_top_users_per_type,
+    "q09_recency_rank": q09_recency_rank,
+    "q10_purchases_without_errors": q10_purchases_without_errors,
+    "q11_user_cohorts": q11_user_cohorts,
+    "q12_quality_report": q12_quality_report,
+    "q13_flatten_defaults": q13_flatten_defaults,
+    "q14_duration_format": q14_duration_format,
+    "q15_rollup_counts": q15_rollup_counts,
+    "q16_shipdate_range_join": q16_shipdate_range_join,
+    "q17_last_click_before_purchase": q17_last_click_before_purchase,
+}
+
+ORACLES = {
+    "q01_pricing_summary": _Q01_SQL,
+    "q02_top_revenue_orders": _Q02_SQL,
+    "q03_segment_order_value": _Q03_SQL,
+    "q04_region_nation_revenue": _Q04_SQL,
+    "q05_global_stats": _Q05_SQL,
+    "q06_grouped_stats": _Q06_SQL,
+    "q07_daily_activity": _Q07_SQL,
+    "q08_top_users_per_type": _Q08_SQL,
+    "q09_recency_rank": _Q09_SQL,
+    "q10_purchases_without_errors": _Q10_SQL,
+    "q11_user_cohorts": _Q11_SQL,
+    "q12_quality_report": _Q12_SQL,
+    "q13_flatten_defaults": _Q13_SQL,
+    "q14_duration_format": _Q14_SQL,
+    "q15_rollup_counts": _Q15_SQL,
+    "q16_shipdate_range_join": _Q16_SQL,
+    "q17_last_click_before_purchase": _Q17_SQL,
+}

@@ -1,0 +1,57 @@
+"""Unit tests for the fused data-quality suite (reference semantics:
+spotify_etl2.py:42-86 — empty→warn, dup PK→raise, nulls→warn, late→warn+keep)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import types as T
+
+from airflow_spotify_etl_spark.operators.quality import assert_quality, quality_report
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.StringType()),
+    ]
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+TS = dt.datetime(2024, 1, 15)
+
+
+def test_clean_batch(spark):
+    df = _df(spark, [(1, TS, "a"), (2, TS, "b")])
+    row = quality_report(df, "k", "ts").collect()[0]
+    assert row.n_rows == 2 and not row.is_empty and row.pk_unique
+    assert row.nulls_v == 0 and row.n_late_rows == 0
+
+
+def test_duplicate_pk_raises(spark):
+    df = _df(spark, [(1, TS, "a"), (1, TS, "b")])
+    with pytest.raises(ValueError, match="Primary key"):
+        assert_quality(df, "k", "ts")
+
+
+def test_empty_is_warn_not_error(spark):
+    df = _df(spark, [])
+    assert assert_quality(df, "k", "ts")["status"] == "empty"
+
+
+def test_nulls_counted_per_column(spark):
+    df = _df(spark, [(1, TS, None), (2, None, "b")])
+    row = quality_report(df, "k", "ts").collect()[0]
+    assert row.nulls_v == 1 and row.nulls_ts == 1 and row.nulls_k == 0
+
+
+def test_late_rows_counted_and_kept(spark):
+    late = TS - dt.timedelta(days=10)
+    df = _df(spark, [(1, TS, "a"), (2, late, "b")])
+    row = quality_report(df, "k", "ts", freshness_days=7).collect()[0]
+    assert row.n_late_rows == 1 and row.n_rows == 2  # warn-and-keep: row stays
