@@ -1,0 +1,249 @@
+"""Document deduplication operators (north star: dedup at 100 TB).
+
+Four tiers, cheapest-first — a production pipeline composes them left to
+right so each stage prunes the candidate space for the next:
+
+1. ``exact_dedup``        — md5-groupBy; uniform hash key, skew-free shuffle.
+2. ``ngram_jaccard_pairs``— EXACT word-n-gram Jaccard via a shingle
+   self-join. Quadratic only within shingle buckets; correct but the most
+   expensive tier (oracle-checkable — plans/llm.py q24).
+3. ``minhash_lsh_pairs``  — MinHash signatures + LSH banding: candidate
+   pairs meet in band buckets (equi-join), then exact-Jaccard verification
+   of candidates only. THE scale path: shuffle volume is O(docs × bands),
+   never O(docs²).
+4. ``simhash_pairs``      — 64-bit SimHash + block blocking + Hamming
+   radius; cheapest signature, coarsest recall.
+
+All hashing uses Spark built-ins (crc32 / xxhash64 / pmod) inside
+whole-stage codegen — no Python UDFs anywhere.
+
+Skew note: a shingle shared by thousands of docs (boilerplate) creates a hot
+bucket in tiers 2-3. ``max_bucket`` drops buckets above the cap — standard
+practice (boilerplate shingles carry no dedup signal) and what keeps the
+self-join bounded at 100 TB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup",
+    "shingle",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_signatures",
+    "simhash_pairs",
+]
+
+# Modulus for the universal-hash family: smallest prime > 2^32. With
+# a < 2^31 and crc32 < 2^32, a*x + b stays under 2^63 (no int64 overflow).
+_MERSENNE = 4294967311
+_SEED = 42
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per identical text; md5 groups so the shuffle key
+    is uniform even when texts are huge (we never shuffle the text itself)."""
+    return (
+        df.groupBy(F.md5(text_col).alias("text_hash"))
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingle(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingle) pairs: distinct word n-grams per document."""
+    words = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(words) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(words, i + j + 1) for j in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array())
+    return df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+
+
+def _doc_sizes(sh: DataFrame) -> DataFrame:
+    return sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
+
+    intersection via shingle self-join (equi-join on the shingle), union by
+    inclusion-exclusion — the textbook exact algorithm, used here both as an
+    operator and as the verification oracle for the MinHash tier."""
+    sh = shingle(df, text_col, id_col, n)
+    if max_bucket:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_bucket)
+        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+    sizes = _doc_sizes(sh)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "na", "nb", "jaccard")
+    )
+
+
+def _hash_params(k: int) -> list[tuple[int, int]]:
+    rng = np.random.RandomState(_SEED)
+    a = rng.randint(1, 2**31 - 1, size=k)
+    b = rng.randint(0, 2**31 - 1, size=k)
+    return list(zip(a.tolist(), b.tolist()))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 64, n: int = 3
+) -> DataFrame:
+    """k-permutation MinHash signature per doc: sig_i = min over shingles of
+    (a_i * crc32(shingle) + b_i) mod p. One explode + one grouped
+    multi-min-aggregate — a single shuffle on doc_id."""
+    sh = shingle(df, text_col, id_col, n).withColumn("c", F.crc32("shingle"))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("c") + F.lit(b), F.lit(_MERSENNE))).alias(f"h{i}")
+        for i, (a, b) in enumerate(_hash_params(k))
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.5,
+    verify: bool = True,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band the signature (bands × k/bands), meet
+    candidates in band buckets (equi-join on (band, band_hash)), then verify
+    candidates with exact Jaccard. With k=64, bands=16 (r=4) the S-curve
+    crosses ~0.5 at s ≈ (1/16)^(1/4) ≈ 0.5."""
+    r = k // bands
+    sig = minhash_signatures(df, text_col, id_col, k, n)
+    band_arr = F.array(
+        *[
+            F.xxhash64(F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)]))
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.posexplode(band_arr).alias("band", "bh"))
+    a, b_ = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    if not verify:
+        return candidates
+    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold=0.0, max_bucket=max_bucket)
+    return candidates.join(exact, ["doc_a", "doc_b"]).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash over word tokens: per bit j, sum ±1 across token
+    hashes; sign(sum) → bit j. Explode + one grouped multi-aggregate."""
+    tokens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    sums = tokens.groupBy("doc_id").agg(*bit_sums)
+    # Assemble bits with shiftleft — a 1<<63 Python literal overflows long.
+    bit_terms = [
+        F.when(
+            F.col(f"s{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(bits)
+    ]
+    acc = bit_terms[0]
+    for t in bit_terms[1:]:
+        acc = acc.bitwiseOR(t)
+    return sums.select("doc_id", acc.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block the 64-bit signature into ``blocks``
+    16-bit pieces — any pair within Hamming ≤ blocks-1 shares at least one
+    block (pigeonhole) — equi-join per block, verify Hamming via bit_count."""
+    sig = simhash_signatures(df, text_col, id_col)
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    block_arr = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+            for i in range(blocks)
+        ]
+    )
+    blocked = sig.select(
+        "doc_id", "simhash", F.posexplode(block_arr).alias("blk", "bv")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,103 @@
+"""Text-analysis operators (north star: language ID, quality scoring,
+token counting, fingerprinting).
+
+The SQL-portable metrics (length/word/punct/stopword ratios, whitespace +
+regex tokenization, canonical-text fingerprints) are oracle-checked in
+plans/llm.py q18/q19/q23. This module holds the operators whose internals
+aren't expressible as one SQL query:
+
+- ``fit_lang_profiles`` / ``predict_lang`` — multinomial naive-Bayes
+  language identifier over token n-grams: learn per-language token
+  log-probabilities from a labeled corpus (one groupBy), then score each doc
+  as Σ log P(token|lang) with a floor penalty for out-of-profile tokens and
+  take the argmax. Both phases are pure DataFrame ops; the model is a small
+  DataFrame (langs × top_m tokens) broadcast at predict time — at 100 TB the
+  predict scan is explode → broadcast-join → one grouped sum, no big-table
+  shuffle beyond the per-doc aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["char_ngrams", "word_tokens", "fit_lang_profiles", "predict_lang"]
+
+# log-probability assigned to tokens absent from a language's profile
+# (Laplace-ish floor; must be below any real profile weight).
+_FLOOR = -18.0
+
+
+def char_ngrams(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, gram) pairs: all character n-grams of the lowercased text."""
+    # Positional substring inside a higher-order function needs SQL expr form.
+    grams = F.expr(
+        f"CASE WHEN length(lower({text_col})) >= {n} THEN "
+        f"transform(sequence(1, length(lower({text_col})) - {n} + 1), "
+        f"i -> substring(lower({text_col}), i, {n})) ELSE array() END"
+    )
+    return df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
+
+
+def word_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, token) pairs: lowercased whitespace tokens, every occurrence."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), "\\s+")).alias("gram"),
+    ).filter(F.col("gram") != "")
+
+
+def fit_lang_profiles(
+    labeled: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    top_m: int = 500,
+) -> DataFrame:
+    """Per-language profile: top_m most frequent tokens with
+    log P(token|lang) weights. Returns a small DF (lang, gram, weight)."""
+    grams = word_tokens(labeled, text_col, id_col=lang_col).withColumnRenamed(
+        "doc_id", "lang"
+    )
+    counts = grams.groupBy("lang", "gram").count()
+    totals = counts.groupBy("lang").agg(F.sum("count").alias("total"))
+    w = W.partitionBy("lang").orderBy(F.col("count").desc(), F.col("gram"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_m)
+        .join(F.broadcast(totals), "lang")
+        .select(
+            "lang", "gram", F.log(F.col("count") / F.col("total")).alias("weight")
+        )
+    )
+
+
+def predict_lang(
+    docs: DataFrame,
+    profiles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial NB scoring: score(doc, lang) = Σ_matched log P(tok|lang)
+    + floor · n_unmatched; argmax lang per doc. The floor term is what makes
+    coverage count — without it, a language matching FEWER tokens would sum
+    fewer negative terms and spuriously win."""
+    grams = word_tokens(docs, text_col, id_col)
+    doc_sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    scored = (
+        grams.join(F.broadcast(profiles), "gram")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("weight").alias("matched_weight"), F.count("*").alias("n_matched"))
+        .join(doc_sizes, "doc_id")
+        .withColumn(
+            "score",
+            F.col("matched_weight")
+            + (F.col("n_tokens") - F.col("n_matched")) * F.lit(_FLOOR),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), "score", "n_matched")
+    )

@@ -240,6 +240,96 @@ ORDER BY doc_id
 """
 
 
+def q24_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (north star dedup tier 2) —
+    shingle self-join; the verification oracle for the MinHash tier."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=None).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+_Q24_SQL = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+         )) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter, sa.n_shingles AS na, sb.n_shingles AS nb,
+       round(inter / (sa.n_shingles + sb.n_shingles - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.n_shingles + sb.n_shingles - inter), 4) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+def q25_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (dedup tier 3, THE 100 TB scale path).
+    Rows-only check: the signature hash family isn't SQL-portable; recall vs
+    the exact tier is asserted in tests/test_dedup.py."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+def q26_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (dedup tier 4). Rows-only check."""
+    from ..operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+def q27_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (similarity-search scale path).
+    Rows-only check; recall vs brute force asserted in
+    tests/test_similarity.py."""
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return ivf_topk(corpus, queries, k=5, nlist=16, nprobe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q28_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH
+    (north star near-dup tier for vectors). Rows-only check."""
+    from ..operators.similarity import cosine_pairs_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # The synthetic corpus's max off-diagonal cosine is ~0.51; threshold 0.45
+    # exercises the candidate+verify path on real pairs.
+    return cosine_pairs_lsh(emb, threshold=0.45).orderBy("vec_a", "vec_b")
+
+
+def q29_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic character-trigram language ID (north star text analysis):
+    fit per-lang profiles on the labeled corpus, predict per doc. Rows-only
+    check; accuracy-vs-labels asserted in tests/test_text.py."""
+    from ..operators.text import fit_lang_profiles, predict_lang
+
+    docs = load_table(spark, sf_dir, "documents")
+    profiles = fit_lang_profiles(docs)
+    return predict_lang(docs, profiles).orderBy("doc_id")
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -247,6 +337,12 @@ QUERIES = {
     "q21_exact_dedup": q21_exact_dedup,
     "q22_cosine_topk": q22_cosine_topk,
     "q23_fingerprint": q23_fingerprint,
+    "q24_ngram_jaccard_pairs": q24_ngram_jaccard_pairs,
+    "q25_minhash_lsh_pairs": q25_minhash_lsh_pairs,
+    "q26_simhash_pairs": q26_simhash_pairs,
+    "q27_ivf_topk": q27_ivf_topk,
+    "q28_embedding_near_dups": q28_embedding_near_dups,
+    "q29_lang_id": q29_lang_id,
 }
 
 ORACLES = {
@@ -256,4 +352,8 @@ ORACLES = {
     "q21_exact_dedup": _Q21_SQL,
     "q22_cosine_topk": _Q22_SQL,
     "q23_fingerprint": _Q23_SQL,
+    "q24_ngram_jaccard_pairs": _Q24_SQL,
+    # q25-q29 are rows-only: hash families / iterative refinement aren't
+    # SQL-portable; their correctness is asserted against exact counterparts
+    # in tests/test_dedup.py, test_similarity.py, test_text.py.
 }

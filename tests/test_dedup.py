@@ -1,0 +1,82 @@
+"""Dedup-suite tests: exact tiers verified on literal data; approximate
+tiers (MinHash-LSH, SimHash) verified for recall against the exact tier on
+the real documents table."""
+
+from __future__ import annotations
+
+import pytest
+
+from airflow_spotify_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingle,
+    simhash_pairs,
+)
+from airflow_spotify_etl_spark.sources.files import load_table
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = _docs(spark, [(1, "a b c"), (2, "a b c"), (3, "x y z")])
+    out = {r.keeper: r.n_copies for r in exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_shingle_semantics(spark):
+    df = _docs(spark, [(1, "a b c d"), (2, "a b")])  # doc 2: too short → none
+    got = sorted((r.doc_id, r.shingle) for r in shingle(df, n=3).collect())
+    assert got == [(1, "a b c"), (1, "b c d")]
+
+
+def test_jaccard_exact_values(spark):
+    # doc1: shingles {a b c, b c d}; doc2: {a b c}; jaccard = 1/2
+    df = _docs(spark, [(1, "a b c d"), (2, "a b c")])
+    row = ngram_jaccard_pairs(df, threshold=0.0).collect()[0]
+    assert (row.doc_a, row.doc_b, row.jaccard) == (1, 2, 0.5)
+
+
+def test_identical_docs_jaccard_one(spark):
+    df = _docs(spark, [(1, "a b c d e"), (2, "a b c d e")])
+    row = ngram_jaccard_pairs(df, threshold=0.9).collect()[0]
+    assert row.jaccard == 1.0
+
+
+@pytest.fixture(scope="module")
+def real_docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def test_minhash_lsh_recall_vs_exact(spark, real_docs):
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(real_docs, threshold=0.6, max_bucket=None).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(real_docs, threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain near-dup pairs"
+    recall = len(exact & approx) / len(exact)
+    # 16 bands × r=4 → P[candidate] ≈ 1-(1-s^4)^16 ≥ 0.94 at s=0.6.
+    assert recall >= 0.8, (recall, exact - approx)
+    # verified pairs carry true jaccard ≥ threshold (no false positives).
+    for r in minhash_lsh_pairs(real_docs, threshold=0.5).collect():
+        assert r.jaccard >= 0.5
+
+
+def test_simhash_finds_exact_duplicates(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely different words entirely unrelated content here now"),
+        ],
+    )
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(df).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs

@@ -1,0 +1,79 @@
+"""Similarity-search tests: brute force is the ground truth; IVF and LSH
+tiers are measured against it for recall on the real embeddings table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_spotify_etl_spark.operators.similarity import (
+    cosine_pairs_lsh,
+    cosine_topk,
+    ivf_topk,
+)
+from airflow_spotify_etl_spark.sources.files import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_bruteforce_self_similarity(spark, emb):
+    # Querying the corpus WITH the query vectors included: rank-1 neighbor of
+    # each query must be itself with cosine 1.0.
+    out = cosine_topk(emb, _queries(emb), k=1).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r.vec_id == r.query_id and r.cosine_sim == pytest.approx(1.0)
+
+
+def test_bruteforce_scores_sorted_and_bounded(spark, emb):
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    rows = cosine_topk(corpus, _queries(emb), k=5).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cosine_sim))
+    for q, lst in by_q.items():
+        lst.sort()
+        sims = [s for _, s in lst]
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.0001 <= s <= 1.0001 for s in sims)
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    q = _queries(emb)
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(corpus, q, k=5).collect()}
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(corpus, q, k=5, nlist=8, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall  # probing half the cells
+
+
+def test_lsh_pairs_verified_above_threshold(spark, emb):
+    pairs = cosine_pairs_lsh(emb, threshold=0.45).collect()
+    for r in pairs:
+        assert r.cosine_sim >= 0.45
+        assert r.vec_a < r.vec_b
+
+
+def test_lsh_pairs_finds_planted_duplicates(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(10, 64)
+    rows = [(i, base[i].astype(float).tolist()) for i in range(10)]
+    # vec 100 = near-copy of vec 0 (tiny perturbation → cosine ≈ 1).
+    rows.append((100, (base[0] + 0.01 * rng.randn(64)).astype(float).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.vec_a, r.vec_b) for r in cosine_pairs_lsh(df, threshold=0.95).collect()}
+    assert (0, 100) in got
