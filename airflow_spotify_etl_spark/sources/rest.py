@@ -1,0 +1,174 @@
+"""REST micro-connector (SURVEY.md §2.1 S1-S6, §4 custom-work #1).
+
+The reference drives the Spotify Web API imperatively (token POST
+spotify_etl.py:46-87; artist search :95-130; top-tracks :133-167;
+recently-played spotify_etl2.py:89-132; spotipy OAuth new.py:51-140). The
+engine wraps the same endpoints as a *source connector* whose scan
+parameters ARE the pushed-down predicates:
+
+- ``after``  → time-range predicate pushed to the source (F5/S5 — the
+  reference ships ``after=`` as a query param instead of post-filtering).
+- ``limit``  → limit pushdown, clamped to the API cap of 50 (F6).
+- ``market`` → partition-pruning-like parameter (S4).
+
+Fetch happens driver-side (payloads are ≤50 docs by API contract — tiny),
+then becomes a distributed DataFrame with the explicit nested payload
+schema; flattening runs as Catalyst expressions. For a hypothetical
+many-partition REST source (thousands of artists), ``fetch_partitioned``
+shows the scale shape: keys distributed via ``mapInPandas`` so each executor
+fetches its own slice — the driver never becomes the bottleneck.
+
+``transport`` is injectable so tests (and air-gapped runs) supply canned
+payloads; the default transport uses urllib from the Python stdlib.
+No credentials live in code: resolution order is Spark conf →
+environment — config layer parity with the reference's Variable.get →
+os.getenv fallback chain (S2, spotify_etl.py:13-43).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import urllib.parse
+import urllib.request
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.flatten import track_payload_schema
+
+__all__ = ["SpotifyRestSource", "resolve_credential", "default_transport"]
+
+_API = "https://api.spotify.com/v1"
+_TOKEN_URL = "https://accounts.spotify.com/api/token"
+_TIMEOUT = 30  # reference uses timeout=30 on every call (spotify_etl.py:69)
+
+
+def resolve_credential(spark: SparkSession, key: str) -> str:
+    """Spark conf → env → error: the reference's Airflow-Variable →
+    env-var → raise chain (S2), with Spark conf standing in for Airflow
+    Variables (Airflow passes them via --conf per SURVEY.md §2.11)."""
+    import os
+
+    v = spark.conf.get(f"spark.spotify.{key}", None) or os.environ.get(
+        f"SPOTIFY_{key.upper()}"
+    )
+    if not v:
+        raise ValueError(
+            f"credential {key!r} not found in spark.spotify.{key} or "
+            f"SPOTIFY_{key.upper()}"
+        )
+    return v
+
+
+def default_transport(url: str, headers: dict, data: bytes | None = None) -> dict:
+    """Minimal stdlib HTTP transport; swapped out by tests."""
+    req = urllib.request.Request(url, data=data, headers=headers)
+    with urllib.request.urlopen(req, timeout=_TIMEOUT) as resp:  # noqa: S310
+        return json.loads(resp.read().decode())
+
+
+class SpotifyRestSource:
+    """Parameterized scans over the Spotify REST endpoints."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        transport: Callable[..., dict] | None = None,
+        token: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.transport = transport or default_transport
+        self._token = token
+
+    # -- auth (S1: client-credentials token, spotify_etl.py:46-87) --------
+    def token(self) -> str:
+        if self._token is None:
+            cid = resolve_credential(self.spark, "client_id")
+            secret = resolve_credential(self.spark, "client_secret")
+            auth = base64.b64encode(f"{cid}:{secret}".encode()).decode()
+            payload = self.transport(
+                _TOKEN_URL,
+                {
+                    "Authorization": f"Basic {auth}",
+                    "Content-Type": "application/x-www-form-urlencoded",
+                },
+                data=b"grant_type=client_credentials",
+            )
+            self._token = payload["access_token"]
+        return self._token
+
+    def _get(self, path: str, **params) -> dict:
+        qs = urllib.parse.urlencode({k: v for k, v in params.items() if v is not None})
+        return self.transport(
+            f"{_API}{path}?{qs}" if qs else f"{_API}{path}",
+            {"Authorization": f"Bearer {self.token()}"},
+        )
+
+    # -- scans ------------------------------------------------------------
+    def search_artist(self, name: str) -> DataFrame:
+        """S3 — point lookup with LIMIT 1 pushed to the source
+        (spotify_etl.py:95-130; URL-encoding parity with :108)."""
+        payload = self._get("/search", q=name, type="artist", limit=1)
+        items = payload.get("artists", {}).get("items", [])[:1]
+        return self.spark.createDataFrame(
+            [(a.get("id", ""), a.get("name", "Unknown")) for a in items],
+            "artist_id string, artist_name string",
+        )
+
+    def top_tracks(self, artist_id: str, market: str = "US") -> DataFrame:
+        """S4 — top-tracks scan; ``market`` prunes at the source
+        (spotify_etl.py:133-167). Returns the nested payload schema."""
+        payload = self._get(f"/artists/{artist_id}/top-tracks", market=market)
+        rows = [{"played_at": None, "track": t} for t in payload.get("tracks", [])]
+        return self._payload_df(rows)
+
+    def recently_played(self, after_ms: int | None = None, limit: int = 50) -> DataFrame:
+        """S5 — incremental cursor scan: ``after`` (time predicate) and
+        ``limit`` (clamped ≤50) pushed down exactly as the reference ships
+        them (spotify_etl2.py:102-117)."""
+        limit = min(max(limit, 1), 50)  # F6 clamp (new.py:97)
+        payload = self._get("/me/player/recently-played", after=after_ms, limit=limit)
+        rows = [
+            {"played_at": it.get("played_at"), "track": it.get("track", {})}
+            for it in payload.get("items", [])
+        ]
+        return self._payload_df(rows)
+
+    def _payload_df(self, rows: list[dict]) -> DataFrame:
+        """Nested payload → DataFrame via the explicit schema. Round-trips
+        through JSON strings + from_json so malformed docs become nulls
+        (PERMISSIVE — F8 per-row error tolerance, spotify_etl.py:239-255)
+        instead of failing the scan."""
+        schema = track_payload_schema()
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        raw = self.spark.createDataFrame(
+            [(json.dumps(r),) for r in rows], "raw string"
+        )
+        return raw.select(
+            F.from_json("raw", schema, {"mode": "PERMISSIVE"}).alias("doc")
+        ).select("doc.*")
+
+
+def fetch_partitioned(
+    spark: SparkSession,
+    keys: DataFrame,
+    fetch_one: Callable[[str], list[dict]],
+    out_schema: str,
+) -> DataFrame:
+    """Scale shape for many-key REST scans: distribute keys, each executor
+    fetches its slice via Arrow-batched ``mapInPandas`` (SURVEY.md §2.10:
+    pandas reserved for the connector). ``fetch_one`` must be picklable and
+    self-contained (no driver session references)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for key in pdf.iloc[:, 0]:
+                out.extend(fetch_one(key))
+            yield pd.DataFrame(out)
+
+    return keys.mapInPandas(run, schema=out_schema)
