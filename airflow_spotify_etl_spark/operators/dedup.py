@@ -172,9 +172,34 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return candidates
-    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold=0.0, max_bucket=max_bucket)
-    return candidates.join(exact, ["doc_a", "doc_b"]).filter(
-        F.col("jaccard") >= threshold
+    # Exact-Jaccard verification over CANDIDATE pairs only — the entire point
+    # of LSH. Route each candidate pair through doc_a's shingles, then meet
+    # doc_b's shingles on (doc_b, shingle): shuffle volume is
+    # O(candidates × shingles/doc), never the full shingle self-join.
+    sh = shingle(df, text_col, id_col, n)
+    if max_bucket:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_bucket)
+        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+    sizes = _doc_sizes(sh)
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "na", "nb", "jaccard")
     )
 
 

@@ -75,18 +75,47 @@ def cosine_topk(
     )
 
 
-def _centroids(corpus: DataFrame, vec_col: str, id_col: str, nlist: int, dim: int) -> DataFrame:
-    """Deterministic centroids: seed with the nlist lowest-id vectors, then
-    one Lloyd refinement (assign-all + per-cell mean). Deterministic, cheap,
-    and good enough to make cells meaningfully tighter than random."""
-    seeds = (
-        corpus.orderBy(id_col)
-        .limit(nlist)
-        .select(
-            (F.row_number().over(W.orderBy(id_col)) - 1).alias("cell"),
-            _as_double(vec_col).alias("cv"),
-        )
+def _centroid_array(centroids: list[tuple[int, list[float]]]):
+    """Literal array<struct<cell,cv>> expression from driver-side centroids.
+    nlist × dim doubles (e.g. 16 × 64 = 1k literals) — tiny by design; ships
+    with the plan to every executor, no join needed."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cell)).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+            )
+            for cell, cv in centroids
+        ]
     )
+
+
+def _seed_centroids(
+    corpus: DataFrame, vec_col: str, id_col: str, nlist: int
+) -> list[tuple[int, list[float]]]:
+    """Deterministic pseudo-random seed vectors: the nlist lowest-xxhash64(id)
+    rows. orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    top-nlist + driver merge) — no full sort, no shuffle — and hash order
+    decorrelates the sample from any id-assignment pattern."""
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("cv"))
+        .orderBy(F.xxhash64("_id"), F.col("_id"))
+        .limit(nlist)
+        .collect()
+    )
+    return [(i, list(r["cv"])) for i, r in enumerate(rows)]
+
+
+def _centroids(
+    corpus: DataFrame, vec_col: str, id_col: str, nlist: int, dim: int
+) -> list[tuple[int, list[float]]]:
+    """Deterministic centroids: pseudo-random seeds + one Lloyd refinement
+    (assign-all + per-cell mean). Returns a driver-side list — the centroid
+    table is nlist rows by construction, so collecting it is the point: it
+    then rides into the assignment projection as a broadcast literal instead
+    of a join side. The refinement's only shuffle is the (cell, dim) partial
+    aggregate — nlist × dim groups, independent of corpus size."""
+    seeds = _seed_centroids(corpus, vec_col, id_col, nlist)
     assigned = _assign_cells(corpus, seeds, vec_col, id_col)
     refined = (
         assigned.select("cell", F.posexplode(_as_double(vec_col)).alias("i", "x"))
@@ -95,23 +124,28 @@ def _centroids(corpus: DataFrame, vec_col: str, id_col: str, nlist: int, dim: in
         .groupBy("cell")
         .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pairs"))
         .select("cell", F.transform("pairs", lambda p: p["m"]).alias("cv"))
+        .collect()
     )
-    return refined
+    return [(r["cell"], list(r["cv"])) for r in refined]
 
 
-def _assign_cells(df: DataFrame, centroids: DataFrame, vec_col: str, id_col: str) -> DataFrame:
-    """Nearest-centroid assignment by cosine (centroids broadcast)."""
-    scored = df.join(F.broadcast(centroids)).withColumn(
-        "_sim",
-        _dot(_as_double(vec_col), F.col("cv"))
-        / (_norm(_as_double(vec_col)) * _norm(F.col("cv"))),
+def _assign_cells(
+    df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: str, id_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment as a per-row ARGMAX PROJECTION over the
+    literal centroid array: transform → struct(sim, -cell) → array_max.
+    Zero joins, zero extra rows, zero shuffle — the narrow-plan replacement
+    for the corpus×nlist join+window (which explodes rows nlist× and
+    shuffles the whole corpus). Ties break to the lowest cell id."""
+    v = _as_double(vec_col)
+    scored = F.transform(
+        _centroid_array(centroids),
+        lambda c: F.struct(
+            (_dot(v, c["cv"]) / (_norm(v) * _norm(c["cv"]))).alias("sim"),
+            (-c["cell"]).alias("neg_cell"),
+        ),
     )
-    w = W.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cell"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_sim", "cv")
-    )
+    return df.withColumn("cell", -F.array_max(scored)["neg_cell"])
 
 
 def ivf_topk(
@@ -128,27 +162,27 @@ def ivf_topk(
     """IVF ANN: search only the nprobe nearest cells per query.
 
     At scale the assignment is precomputed and the corpus is stored
-    partitioned by cell; here assignment runs inline. Recall vs the exact
-    scan is tested in tests/test_similarity.py."""
-    cents = _centroids(corpus, vec_col, id_col, nlist, dim).cache()
+    partitioned by cell; here assignment runs inline as a narrow argmax
+    projection (no join, no row explosion — see _assign_cells). Recall vs
+    the exact scan is tested in tests/test_similarity.py."""
+    cents = _centroids(corpus, vec_col, id_col, nlist, dim)
     assigned = _assign_cells(corpus, cents, vec_col, id_col)
 
-    # nprobe nearest cells per query (tiny: queries × nlist).
-    qcells = (
-        queries.join(F.broadcast(cents))
-        .withColumn(
-            "_sim",
-            _dot(_as_double(vec_col), F.col("cv"))
-            / (_norm(_as_double(vec_col)) * _norm(F.col("cv"))),
-        )
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                W.partitionBy(query_id_col).orderBy(F.col("_sim").desc(), F.col("cell"))
-            ),
-        )
-        .filter(F.col("_rn") <= nprobe)
-        .select(query_id_col, "cell", _as_double(vec_col).alias("_qv"))
+    # nprobe nearest cells per query — same argmax-projection idea, but keep
+    # the top nprobe: sort the per-row (sim, cell) structs, slice the tail.
+    qv = _as_double(vec_col)
+    qscored = F.transform(
+        _centroid_array(cents),
+        lambda c: F.struct(
+            (_dot(qv, c["cv"]) / (_norm(qv) * _norm(c["cv"]))).alias("sim"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    probes = F.slice(F.reverse(F.array_sort(qscored)), 1, nprobe)
+    qcells = queries.select(
+        F.col(query_id_col),
+        qv.alias("_qv"),
+        F.explode(F.transform(probes, lambda s: s["cell"])).alias("cell"),
     )
     scored = assigned.join(F.broadcast(qcells), "cell").withColumn(
         "cosine_sim",

@@ -123,7 +123,7 @@ SELECT lang,
        count(*)                       AS n_docs,
        count(DISTINCT source)         AS n_sources,
        round(avg(n_chars), 2)         AS avg_chars,
-       sum(n_chars)                   AS total_chars
+       CAST(sum(n_chars) AS BIGINT)   AS total_chars
 FROM documents
 GROUP BY lang
 ORDER BY lang
@@ -242,21 +242,29 @@ ORDER BY doc_id
 
 def q24_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs (north star dedup tier 2) —
-    shingle self-join; the verification oracle for the MinHash tier."""
+    shingle self-join with the hot-bucket cap ON (a boilerplate shingle
+    shared by 10^5 docs would otherwise make the self-join quadratic in that
+    bucket at 100 TB); the oracle applies the identical cap."""
     from ..operators.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=None).orderBy(
+    return ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000).orderBy(
         "doc_a", "doc_b"
     )
 
 
 _Q24_SQL = """
-WITH sh AS (
+WITH sh_raw AS (
   SELECT doc_id, unnest(list_distinct(
            [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
          )) AS shingle
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), sh AS (
+  -- hot-bucket cap mirrored from ngram_jaccard_pairs(max_bucket=1000)
+  SELECT doc_id, shingle FROM sh_raw
+  WHERE shingle NOT IN (
+    SELECT shingle FROM sh_raw GROUP BY shingle HAVING count(*) > 1000
+  )
 ), sizes AS (
   SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
 ), inter AS (

@@ -92,8 +92,9 @@ ORDER BY l_returnflag, l_linestatus
 def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style top-K revenue orders (T1 top-k semantics —
     spotify_etl.py:146,153 delegates top-10-by-popularity to the API; here
-    the engine computes it). customer is broadcast (small dim); the
-    lineitem⋈orders join shuffles on the key."""
+    the engine computes it). customer scales WITH the fact tables (TPC-H
+    sf1 = 150k rows; hundreds of GB at 100 TB), so no broadcast hint — AQE
+    picks broadcast at small SF and shuffle-hash/sort-merge at scale."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01")
@@ -103,7 +104,7 @@ def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -168,8 +169,10 @@ LIMIT 5
 
 def q04_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style multi-join (J1-J3 star joins implied by the reference's
-    captured FKs, new.py:124-126). All dims broadcast; only the
-    lineitem⋈orders fact join shuffles."""
+    captured FKs, new.py:124-126). Only TRUE dims (region 5 rows, nation 25
+    rows — fixed size at any SF) carry broadcast hints; customer/supplier
+    scale with the data, so AQE chooses their join strategy from runtime
+    sizes (broadcast at small SF, shuffle join at 100 TB)."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -181,9 +184,9 @@ def q04_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(
-            F.broadcast(cust),
+            cust,
             (orders.o_custkey == cust.c_custkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )

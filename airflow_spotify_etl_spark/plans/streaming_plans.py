@@ -41,7 +41,7 @@ def q30_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q30_SQL = """
-SELECT user_id, count(*) AS n_events, sum(is_new_session) AS n_sessions
+SELECT user_id, count(*) AS n_events, CAST(sum(is_new_session) AS BIGINT) AS n_sessions
 FROM (
   SELECT user_id,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

@@ -4,8 +4,10 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {"q01_...": sec, ...}, "sf": 0.1}
 
-Each query is fully executed (count() action over the final plan) — results
-stay on executors; nothing is collected beyond the row count.
+Each query is fully MATERIALIZED via a noop-format write: every projection
+expression, sort, and window actually executes (a count() action would let
+Catalyst prune projection expressions and final sorts, under-measuring
+expression-heavy queries). Results stay on executors; nothing is collected.
 """
 
 from __future__ import annotations
@@ -44,18 +46,19 @@ def main() -> None:
     spark = get_spark("bench")
     qs = all_queries()
 
-    # Warm the JVM + file-listing caches once with a trivial action so the
-    # first timed query doesn't pay session startup.
+    # Warm the JVM, file-listing, and codegen caches so the first timed query
+    # doesn't pay session startup: trivial action + one untimed headline run.
     spark.range(1).count()
+    qs[HEADLINE[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

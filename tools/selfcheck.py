@@ -48,6 +48,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     if len(s) == len(o):
         for c in s.columns:
             sv, ov = s[c], o[c]
+            # The driver hashes exact value strings — an integer column on one
+            # side fetched as float64 on the other ("150" vs "150.0") diverges
+            # even when numerically identical (DuckDB HUGEINT promotion).
+            if {sv.dtype.kind, ov.dtype.kind} == {"i", "f"}:
+                problems.append(
+                    f"dtype mismatch col {c!r}: spark={sv.dtype} oracle={ov.dtype}"
+                    " (driver value-hash will differ; CAST the oracle)"
+                )
             if sv.dtype.kind == "f" or ov.dtype.kind == "f":
                 import numpy as np
 
