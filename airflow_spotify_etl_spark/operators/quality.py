@@ -13,8 +13,11 @@ Re-expresses the reference's ``check_if_valid_data`` (spotify_etl2.py:42-86):
 The reference runs these as four separate pandas passes; here they are one
 multi-aggregate scan (SURVEY.md §4 "multi-aggregate fusion"), plus one
 stats-only scan for ``max(ts)`` (answered from Parquet footer min/max at any
-scale — it never reads data pages). At 100 TB this is exactly two metadata-
-cheap scans, no shuffle (single-row global aggregate).
+scale — it never reads data pages). At 100 TB that is two scans and one
+shuffle: the exact ``countDistinct`` needs a partial-aggregate exchange on
+the key (swap in ``approx_count_distinct`` to make the pass shuffle-free
+when an estimate suffices); every other aggregate reduces map-side to a
+single row.
 """
 
 from __future__ import annotations

@@ -81,9 +81,18 @@ def predict_lang(
     """Multinomial NB scoring: score(doc, lang) = Σ_matched log P(tok|lang)
     + floor · n_unmatched; argmax lang per doc. The floor term is what makes
     coverage count — without it, a language matching FEWER tokens would sum
-    fewer negative terms and spuriously win."""
+    fewer negative terms and spuriously win.
+
+    Every input doc appears in the output: a doc whose tokens match NO
+    profile (or that has no tokens at all) gets ``pred_lang = null`` with a
+    floor-only score, instead of silently vanishing through the inner join."""
     grams = word_tokens(docs, text_col, id_col)
-    doc_sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    all_docs = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    doc_sizes = all_docs.join(
+        grams.groupBy("doc_id").agg(F.count("*").alias("n_tokens")),
+        "doc_id",
+        "left",
+    ).fillna({"n_tokens": 0})
     scored = (
         grams.join(F.broadcast(profiles), "gram")
         .groupBy("doc_id", "lang")
@@ -96,8 +105,14 @@ def predict_lang(
         )
     )
     w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang"))
-    return (
+    best = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("lang").alias("pred_lang"), "score", "n_matched")
+    )
+    return doc_sizes.join(best, "doc_id", "left").select(
+        "doc_id",
+        "pred_lang",
+        F.coalesce("score", F.col("n_tokens") * F.lit(_FLOOR)).alias("score"),
+        F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
     )

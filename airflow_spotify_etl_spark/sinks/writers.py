@@ -9,7 +9,13 @@
 - ``append_table``    — K2: idempotent relational append. The reference's
   SQLite ``if_exists="append"`` double-inserts on re-run
   (spotify_etl2.py:220); here the anti-join guard (J4) makes the append
-  exactly-once per key. Partitioned by date for pruning at scale.
+  exactly-once per key. Partitioned by date for pruning at scale. Sink
+  existence is probed by attempting the read (AnalysisException → first
+  run), so the same code works on local disk, HDFS, or s3a:// — no
+  driver-local filesystem assumptions.
+- ``append_jdbc``     — K2 RDBMS parity: the reference's ``to_sql(...
+  SQLite...)`` (spotify_etl2.py:220) as ``df.write.jdbc(mode="append")``
+  with the same anti-join idempotency guard reading the remote keys back.
 - ``console_display`` — K3: formatted console output behind a flag
   (new.py:143-175, flag :224).
 - ``summary_record``  — K4: the XCom summary dict (spotify_etl.py:275-281)
@@ -18,12 +24,19 @@
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.joins import incremental_anti_append
 
-__all__ = ["write_csv", "append_table", "console_display", "summary_record"]
+__all__ = [
+    "write_csv",
+    "append_table",
+    "append_jdbc",
+    "console_display",
+    "summary_record",
+]
 
 
 def write_csv(df: DataFrame, path: str, single_file: bool = False) -> str:
@@ -44,24 +57,49 @@ def append_table(
     partition_date_col: str | None = None,
 ) -> int:
     """Idempotent append to a Parquet table; returns rows actually added."""
-    import os
-
-    existing = None
-    if os.path.exists(path) and any(
-        f.startswith("part-") or f.endswith(".parquet")
-        for _, _, fs in os.walk(path)
-        for f in fs
-    ):
+    try:
         existing = new.sparkSession.read.parquet(path)
+    except AnalysisException:
+        # Missing path or no parquet files yet — first run.
+        existing = None
     fresh = incremental_anti_append(new, existing, key) if existing is not None else new
-    fresh = fresh.cache()
+    # localCheckpoint (not cache): the count and the write must see identical
+    # rows even if the source re-fetch would be non-deterministic.
+    fresh = fresh.localCheckpoint(eager=True)
     n = fresh.count()
     if n:
         writer = fresh.write.mode("append")
         if partition_date_col:
             writer = writer.partitionBy(partition_date_col)
         writer.parquet(path)
-    fresh.unpersist()
+    return n
+
+
+def append_jdbc(
+    new: DataFrame,
+    url: str,
+    table: str,
+    key: str,
+    properties: dict | None = None,
+) -> int:
+    """K2 RDBMS parity — the reference's SQLite ``to_sql(if_exists="append")``
+    (spotify_etl2.py:220) as a JDBC append, made idempotent by anti-joining
+    against the remote table's key projection first (the reference
+    double-inserts on re-run). Returns rows actually added.
+
+    Scale: the key read-back is a single-column scan; for very large targets
+    push a predicate (e.g. key > cursor) into the ``table`` query instead."""
+    props = properties or {}
+    spark = new.sparkSession
+    try:
+        existing = spark.read.jdbc(url, table, properties=props).select(key)
+    except Exception:  # table absent on first run (driver-specific error)
+        existing = None
+    fresh = incremental_anti_append(new, existing, key) if existing is not None else new
+    fresh = fresh.localCheckpoint(eager=True)
+    n = fresh.count()
+    if n:
+        fresh.write.jdbc(url, table, mode="append", properties=props)
     return n
 
 

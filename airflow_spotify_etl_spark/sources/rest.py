@@ -38,7 +38,12 @@ from pyspark.sql import functions as F
 
 from ..operators.flatten import track_payload_schema
 
-__all__ = ["SpotifyRestSource", "resolve_credential", "default_transport"]
+__all__ = [
+    "SpotifyRestSource",
+    "OAuthUserAuth",
+    "resolve_credential",
+    "default_transport",
+]
 
 _API = "https://api.spotify.com/v1"
 _TOKEN_URL = "https://accounts.spotify.com/api/token"
@@ -69,21 +74,97 @@ def default_transport(url: str, headers: dict, data: bytes | None = None) -> dic
         return json.loads(resp.read().decode())
 
 
+class OAuthUserAuth:
+    """S6 — user-context OAuth provider (new.py:51-81): refresh-token flow
+    with a durable token cache, the engine twin of spotipy's
+    ``.spotify_cache`` (new.py:68).
+
+    The interactive browser authorization happens once, out of band; the
+    cache file then seeds every run (``{"refresh_token": ..., and after the
+    first refresh "access_token"/"expires_at"}``). ``token()`` serves the
+    cached access token while it is fresh and otherwise exchanges the
+    refresh token (POST grant_type=refresh_token with Basic client auth —
+    the public Spotify OAuth contract), rewriting the cache."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        cache_path: str = ".spotify_cache",
+        transport: Callable[..., dict] | None = None,
+        expiry_slack_s: int = 60,
+    ) -> None:
+        self.spark = spark
+        self.cache_path = cache_path
+        self.transport = transport or default_transport
+        self.expiry_slack_s = expiry_slack_s
+
+    def _read_cache(self) -> dict:
+        import os
+
+        if not os.path.exists(self.cache_path):
+            raise ValueError(
+                f"OAuth cache {self.cache_path!r} not found — run the "
+                "one-time interactive authorization to seed it"
+            )
+        with open(self.cache_path) as f:
+            return json.load(f)
+
+    def token(self) -> str:
+        import time
+
+        cache = self._read_cache()
+        if cache.get("access_token") and time.time() < (
+            cache.get("expires_at", 0) - self.expiry_slack_s
+        ):
+            return cache["access_token"]
+        cid = resolve_credential(self.spark, "client_id")
+        secret = resolve_credential(self.spark, "client_secret")
+        auth = base64.b64encode(f"{cid}:{secret}".encode()).decode()
+        body = urllib.parse.urlencode(
+            {
+                "grant_type": "refresh_token",
+                "refresh_token": cache["refresh_token"],
+            }
+        ).encode()
+        payload = self.transport(
+            _TOKEN_URL,
+            {
+                "Authorization": f"Basic {auth}",
+                "Content-Type": "application/x-www-form-urlencoded",
+            },
+            data=body,
+        )
+        cache["access_token"] = payload["access_token"]
+        cache["expires_at"] = time.time() + payload.get("expires_in", 3600)
+        # Spotify may rotate the refresh token on exchange.
+        if payload.get("refresh_token"):
+            cache["refresh_token"] = payload["refresh_token"]
+        with open(self.cache_path, "w") as f:
+            json.dump(cache, f)
+        return cache["access_token"]
+
+
 class SpotifyRestSource:
-    """Parameterized scans over the Spotify REST endpoints."""
+    """Parameterized scans over the Spotify REST endpoints. ``auth`` is any
+    object with a ``token() -> str`` method (``OAuthUserAuth`` for S6
+    user-context scans); default is the S1 client-credentials flow."""
 
     def __init__(
         self,
         spark: SparkSession,
         transport: Callable[..., dict] | None = None,
         token: str | None = None,
+        auth: object | None = None,
     ) -> None:
         self.spark = spark
         self.transport = transport or default_transport
         self._token = token
+        self._auth = auth
 
     # -- auth (S1: client-credentials token, spotify_etl.py:46-87) --------
     def token(self) -> str:
+        if self._auth is not None:
+            return self._auth.token()
         if self._token is None:
             cid = resolve_credential(self.spark, "client_id")
             secret = resolve_credential(self.spark, "client_secret")
@@ -136,6 +217,17 @@ class SpotifyRestSource:
         ]
         return self._payload_df(rows)
 
+    def recently_played_since_us(
+        self, after_us: int | None = None, limit: int = 50
+    ) -> DataFrame:
+        """Adapter for ``CursorIncrementalIngest``, whose cursor unit is
+        MICROSECONDS (``unix_micros``); the API's ``after`` param is
+        MILLISECONDS. The unit conversion lives here, at the boundary, so
+        the two layers cannot be wired 1000x apart."""
+        return self.recently_played(
+            after_ms=None if after_us is None else after_us // 1000, limit=limit
+        )
+
     def _payload_df(self, rows: list[dict]) -> DataFrame:
         """Nested payload → DataFrame via the explicit schema. Round-trips
         through JSON strings + from_json so malformed docs become nulls
@@ -163,12 +255,20 @@ def fetch_partitioned(
     pandas reserved for the connector). ``fetch_one`` must be picklable and
     self-contained (no driver session references)."""
     import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = (
+        T.StructType.fromDDL(out_schema) if isinstance(out_schema, str) else out_schema
+    )
+    out_cols = [f.name for f in schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for key in pdf.iloc[:, 0]:
                 out.extend(fetch_one(key))
-            yield pd.DataFrame(out)
+            # A keys-partition with zero records must still yield the output
+            # columns — a column-less DataFrame fails schema validation.
+            yield pd.DataFrame(out, columns=out_cols)
 
-    return keys.mapInPandas(run, schema=out_schema)
+    return keys.mapInPandas(run, schema=schema)

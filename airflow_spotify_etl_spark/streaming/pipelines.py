@@ -10,11 +10,10 @@ the same semantics are native Structured Streaming:
   semantics at the engine level).
 - ST3 event time           → ``withWatermark`` on the event-time column.
 - ST4 late-data policy     → watermark DROPS late rows; the reference WARNS
-  and KEEPS (spotify_etl2.py:71-84). Keep-parity is preserved by running the
-  batch-side ``quality_report`` per micro-batch via ``foreachBatch`` — late
-  rows are counted there, not silently lost, when the caller chooses
-  ``late_policy='keep'`` (no watermark on the dedup state in that mode is
-  bounded by the key-retention window instead).
+  and KEEPS (spotify_etl2.py:71-84). ``run_keep_late`` preserves keep-parity:
+  ``foreachBatch`` runs the fused ``quality_report`` on every micro-batch
+  (late rows counted → the WARN) and appends ALL rows to the sink (the KEEP)
+  — no watermark ever filters the data path.
 - ST5 exactly-once dedup   → ``dropDuplicates`` over the key with watermark
   state (cross-batch, unlike the reference's within-batch-only PK check).
 - ST6 windows              → tumbling/sliding via ``F.window``, sessions via
@@ -31,7 +30,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["windowed_stream", "dedup_stream", "sessionized_stream", "run_to_memory"]
+from ..operators.quality import quality_report
+
+__all__ = [
+    "windowed_stream",
+    "dedup_stream",
+    "sessionized_stream",
+    "run_to_memory",
+    "run_keep_late",
+]
 
 
 def windowed_stream(
@@ -68,10 +75,15 @@ def dedup_stream(
     ts_col: str = "ts",
     watermark: str = "7 days",
 ) -> DataFrame:
-    """Cross-batch exactly-once dedup (ST5): state retains each key until the
-    watermark passes it. The reference's PK check (spotify_etl2.py:61-62)
-    only catches dups WITHIN one batch; this catches replays across runs."""
-    return stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+    """Cross-batch exactly-once dedup (ST5). The reference's PK check
+    (spotify_etl2.py:61-62) only catches dups WITHIN one batch; this catches
+    replays across runs. Uses ``dropDuplicatesWithinWatermark`` so state for
+    a key is evicted once the watermark passes its event time — plain
+    ``dropDuplicates(keys)`` ignores the watermark unless the event-time
+    column is itself a dedup key, and its state grows with |keys| forever."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
 
 
 def sessionized_stream(
@@ -94,6 +106,46 @@ def sessionized_stream(
             "n_events",
         )
     )
+
+
+def run_keep_late(
+    stream: DataFrame,
+    sink_path: str,
+    checkpoint_path: str,
+    key_col: str = "event_id",
+    ts_col: str = "ts",
+    freshness_days: int = 7,
+) -> list[dict]:
+    """ST4 warn-and-keep (reference semantics, spotify_etl2.py:71-84): late
+    rows are COUNTED and WARNED but never dropped. A watermark can't express
+    this (it drops), so the data path has none — ``foreachBatch`` appends
+    every row to the sink and runs the fused ``quality_report`` per
+    micro-batch for the late count. Drains available input synchronously and
+    returns one report dict per micro-batch (n_late_rows is the warn signal).
+
+    Scale: the per-batch report is the same two metadata-cheap scans as the
+    batch path (operators/quality.py); the append is a narrow write."""
+    reports: list[dict] = []
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        rep = (
+            quality_report(batch_df, key_col=key_col, ts_col=ts_col,
+                           freshness_days=freshness_days)
+            .collect()[0]
+            .asDict()
+        )
+        rep["batch_id"] = batch_id
+        reports.append(rep)
+        batch_df.write.mode("append").parquet(sink_path)
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return reports
 
 
 def run_to_memory(

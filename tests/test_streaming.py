@@ -12,7 +12,9 @@ from pyspark.sql import functions as F
 from airflow_spotify_etl_spark.streaming.cursor import CursorIncrementalIngest
 from airflow_spotify_etl_spark.streaming.pipelines import (
     dedup_stream,
+    run_keep_late,
     run_to_memory,
+    sessionized_stream,
     windowed_stream,
 )
 
@@ -122,6 +124,53 @@ def test_cursor_ingest_is_incremental_and_idempotent(spark, tmp_path):
     r4 = ing.run_once()
     assert r4["appended"] == 0
     assert spark.read.parquet(sink).count() == 3
+
+
+def test_keep_late_counts_and_keeps_late_rows(spark, tmp_path):
+    """ST4 warn-and-keep (spotify_etl2.py:71-84): a >7-day-late row must land
+    in the sink AND in the late count — never be dropped."""
+    src = str(tmp_path / "src")
+    late_day = dt.datetime(2023, 12, 1)  # 31 days before the fresh rows
+    rows = _rows((1, 0, 1, "click", 1.0), (2, 30, 1, "view", 2.0))
+    rows.append((3, late_day, 2, "click", 3.0))
+    _write_batch(spark, src, rows)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    reports = run_keep_late(
+        stream,
+        sink_path=str(tmp_path / "sink"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        key_col="event_id",
+        ts_col="ts",
+        freshness_days=7,
+    )
+    assert sum(r["n_late_rows"] for r in reports) == 1  # the WARN
+    sunk = spark.read.parquet(str(tmp_path / "sink"))
+    assert sunk.count() == 3  # the KEEP — late row in the sink
+    assert {r.event_id for r in sunk.collect()} == {1, 2, 3}
+
+
+def test_sessionized_stream_gap_semantics(spark, tmp_path):
+    """ST6 session windows: events within the gap merge into one session;
+    a gap larger than the timeout starts a new one."""
+    src = str(tmp_path / "src")
+    rows = _rows(
+        (1, 0, 1, "click", 1.0),
+        (2, 10, 1, "click", 1.0),   # within 30min gap → same session
+        (3, 120, 1, "click", 1.0),  # 110min gap → new session
+        (4, 2000, 9, "click", 1.0),  # far future: advances watermark, closes all
+    )
+    _write_batch(spark, src, rows)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = run_to_memory(
+        spark,
+        sessionized_stream(stream, gap="30 minutes", watermark="1 hour"),
+        _memname(),
+    )
+    sessions = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in out.filter(F.col("user_id") == 1).collect()
+    }
+    assert sessions == {(1, _ts(0), 2), (1, _ts(120), 1)}
 
 
 def test_empty_fetch_is_clean_noop(spark, tmp_path):
