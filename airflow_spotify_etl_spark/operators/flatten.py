@@ -18,28 +18,41 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["FieldSpec", "flatten_with_defaults", "TRACK_FIELDS", "RECENTLY_PLAYED_FIELDS", "track_payload_schema"]
+__all__ = [
+    "FieldSpec",
+    "flatten_with_defaults",
+    "TRACK_FIELDS",
+    "RECENTLY_PLAYED_FIELDS",
+    "WIDE_TRACK_FIELDS",
+    "track_payload_schema",
+]
 
 
 @dataclass(frozen=True)
 class FieldSpec:
-    """One output column: a nested path expression + its missing-default."""
+    """One output column: a nested path expression + its missing-default.
+    ``expr`` (SQL expression string) overrides ``path`` for derived columns
+    like the reference's ``played_at[:10]`` date slice (P5)."""
 
     name: str
     path: str  # dotted path; `[0]` takes an array head (P4)
     default: object = None
     cast: str | None = None
+    expr: str | None = None
 
 
 def _path_expr(path: str) -> Column:
     """Build a Column from a dotted path with optional ``[i]`` array heads,
-    e.g. ``track.artists[0].name`` → element_at(col, 1).getField(...)."""
+    e.g. ``track.artists[0].name`` → try_element_at(col, 1).getField(...).
+    ``try_element_at`` (not ``element_at``, which throws under ANSI mode on
+    an empty array) gives null → the field default — the reference's
+    ``if track.get("artists") else "Unknown"`` guard (spotify_etl.py:241)."""
     col: Column | None = None
     for part in path.split("."):
         if "[" in part:
             base, idx = part[:-1].split("[")
             nxt = (F.col(base) if col is None else col.getField(base))
-            col = F.element_at(nxt, int(idx) + 1)
+            col = F.try_element_at(nxt, F.lit(int(idx) + 1))
         else:
             col = F.col(part) if col is None else col.getField(part)
     assert col is not None
@@ -52,7 +65,7 @@ def flatten_with_defaults(df: DataFrame, fields: list[FieldSpec]) -> DataFrame:
     extraction)."""
     cols = []
     for f in fields:
-        c = _path_expr(f.path)
+        c = F.expr(f.expr) if f.expr else _path_expr(f.path)
         if f.cast:
             c = c.cast(f.cast)
         if f.default is not None:
@@ -109,14 +122,34 @@ TRACK_FIELDS = [
     FieldSpec("track_id", "track.id", ""),
 ]
 
-# Pipeline 2's 8-column projection (P2, spotify_etl2.py:135-198) — adds the
-# played_at event-time key and its date slice.
+# Pipeline 2's 8-column projection (P2, spotify_etl2.py:145-193) — adds the
+# played_at event-time key and its date slice (P5: `played_at[:10] if
+# played_at else ""`, spotify_etl2.py:170).
 RECENTLY_PLAYED_FIELDS = [
     FieldSpec("song_name", "track.name", "Unknown"),
     FieldSpec("artist_name", "track.artists[0].name", "Unknown"),
-    FieldSpec("played_at", "played_at"),
+    FieldSpec("played_at", "played_at", ""),
+    FieldSpec("timestamp", "", "", expr="substring(played_at, 1, 10)"),
     FieldSpec("track_id", "track.id", ""),
     FieldSpec("album_name", "track.album.name", "Unknown"),
     FieldSpec("duration_ms", "track.duration_ms", 0),
     FieldSpec("popularity", "track.popularity", 0),
+]
+
+# Pipeline 3's wide projection (P3, new.py:113-127): 12 extracted columns;
+# the 13th (`rank`, new.py:114) is a recency row_number the pipeline adds —
+# a rank is a window over the data, not a field of it.
+WIDE_TRACK_FIELDS = [
+    FieldSpec("track_name", "track.name", "Unknown"),
+    FieldSpec("artist_name", "track.artists[0].name", "Unknown"),
+    FieldSpec("album_name", "track.album.name", "Unknown"),
+    FieldSpec("spotify_url", "track.external_urls.spotify", ""),
+    FieldSpec("preview_url", "track.preview_url", ""),
+    FieldSpec("duration_ms", "track.duration_ms", 0),
+    FieldSpec("popularity", "track.popularity", 0),
+    FieldSpec("explicit", "track.explicit", False),
+    FieldSpec("played_at", "played_at", ""),
+    FieldSpec("track_id", "track.id", ""),
+    FieldSpec("artist_id", "track.artists[0].id", ""),
+    FieldSpec("album_id", "track.album.id", ""),
 ]

@@ -1,0 +1,307 @@
+"""Multimodal columns (north star): image/audio/video as opaque binary.
+
+Media items are rows with an opaque ``content: binary`` column plus a typed
+metadata struct — the standard 100 TB layout (parquet stores the blob inline
+per row-group; metadata columns stay prunable so metadata-only queries never
+touch the bytes). Processing runs as Arrow-batched ``mapInPandas`` UDFs: the
+batch shape, schemas, and partition-aware writes are real and tested; only
+the pixel/sample DECODE is stubbed, because the media libraries (PIL,
+ffmpeg, torchaudio) are not in this container. ``_try_real_decode`` gates on
+importability, so dropping the libs in upgrades the stub to a real decoder
+without touching the Spark plumbing.
+
+Deterministic fake container ("SPKM"), seeded per media_id, replaces real
+file formats so every stage is oracle-checkable end-to-end — the header
+fields are CLOSED-FORM functions of media_id (documented on
+``synthesize_media``), letting a SQL oracle recompute what the binary
+round-trip (pack → parquet → Arrow → parse) must yield.
+
+Header layout (little-endian, after the 4-byte magic):
+    u8 kind  u32 width  u32 height  u32 sample_rate  u64 duration_ms
+    u32 n_frames | payload bytes
+
+Scale notes:
+- synthesize/extract/features are narrow mapInPandas passes — no shuffle.
+- ``frame_sample`` is a JVM-side sequence-explode over metadata only (the
+  binary column is never shuffled).
+- ``write_media_partitioned`` partitions by kind and caps records per file
+  so blob row-groups stay within executor memory at 100 TB.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "MEDIA_KINDS",
+    "media_schema",
+    "synthesize_media",
+    "extract_media_meta",
+    "frame_sample",
+    "media_features",
+    "resize_image",
+    "write_media_partitioned",
+]
+
+MEDIA_KINDS = ["image", "audio", "video"]
+_MAGIC = b"SPKM"
+_HDR = "<BIIIQI"  # kind, width, height, sample_rate, duration_ms, n_frames
+_HDR_LEN = len(_MAGIC) + struct.calcsize(_HDR)
+
+_META_FIELDS = (
+    "media_id long, kind string, width int, height int, sample_rate int, "
+    "duration_ms long, n_frames int, payload_len int"
+)
+
+
+def media_schema() -> T.StructType:
+    """media_id + kind + opaque content + typed metadata struct."""
+    meta = T.StructType(
+        [
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("n_frames", T.IntegerType()),
+        ]
+    )
+    return T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("meta", meta),
+        ]
+    )
+
+
+def _closed_form(mid: int) -> tuple[str, int, int, int, int, int, int]:
+    """The per-id metadata the synthesizer packs — and the oracle recomputes.
+
+    kind        = MEDIA_KINDS[id % 3]
+    width       = 64 + (id % 8) * 16      (image; else 0)
+    height      = 48 + (id % 6) * 16      (image; else 0)
+    sample_rate = 8000 + (id % 4) * 8000  (audio; else 0)
+    duration_ms = 1000 + (id % 60) * 500  (audio)
+                  2000 + (id % 30) * 1000 (video; image = 0)
+    n_frames    = 10 + id % 20            (video; else 0)
+    payload_len = 32 + id % 64
+    """
+    kind = MEDIA_KINDS[mid % 3]
+    width = 64 + (mid % 8) * 16 if kind == "image" else 0
+    height = 48 + (mid % 6) * 16 if kind == "image" else 0
+    sample_rate = 8000 + (mid % 4) * 8000 if kind == "audio" else 0
+    if kind == "audio":
+        duration_ms = 1000 + (mid % 60) * 500
+    elif kind == "video":
+        duration_ms = 2000 + (mid % 30) * 1000
+    else:
+        duration_ms = 0
+    n_frames = 10 + mid % 20 if kind == "video" else 0
+    payload_len = 32 + mid % 64
+    return kind, width, height, sample_rate, duration_ms, n_frames, payload_len
+
+
+def synthesize_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic fake media table from an id column (see _closed_form).
+    Payload bytes are sha256-streamed from the id — content-addressable, so
+    features/fingerprints are reproducible across runs and engines."""
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col].astype("int64"):
+                mid = int(mid)
+                kind, w, h, sr, dur, nf, plen = _closed_form(mid)
+                payload = b""
+                seed = str(mid).encode()
+                while len(payload) < plen:
+                    seed = hashlib.sha256(seed).digest()
+                    payload += seed
+                payload = payload[:plen]
+                content = (
+                    _MAGIC
+                    + struct.pack(_HDR, MEDIA_KINDS.index(kind), w, h, sr, dur, nf)
+                    + payload
+                )
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": kind,
+                        "content": content,
+                        "meta": {
+                            "width": w,
+                            "height": h,
+                            "sample_rate": sr,
+                            "duration_ms": dur,
+                            "n_frames": nf,
+                        },
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "meta"]
+            )
+
+    return ids.select(F.col(id_col)).mapInPandas(gen, schema=media_schema())
+
+
+def extract_media_meta(media: DataFrame, content_col: str = "content") -> DataFrame:
+    """Parse the typed metadata OUT of the opaque binary (the decode-side
+    twin of synthesize_media's pack). This is the real-decoder seam: for
+    actual formats this is where PIL/ffprobe would read the header."""
+    import pandas as pd
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf[content_col]):
+                blob = bytes(blob)
+                if blob[: len(_MAGIC)] != _MAGIC:
+                    continue  # F8-style per-row tolerance: skip corrupt blobs
+                k, w, h, sr, dur, nf = struct.unpack(
+                    _HDR, blob[len(_MAGIC) : _HDR_LEN]
+                )
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "kind": MEDIA_KINDS[k],
+                        "width": w,
+                        "height": h,
+                        "sample_rate": sr,
+                        "duration_ms": dur,
+                        "n_frames": nf,
+                        "payload_len": len(blob) - _HDR_LEN,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "width", "height", "sample_rate",
+                    "duration_ms", "n_frames", "payload_len",
+                ],
+            )
+
+    return media.select("media_id", content_col).mapInPandas(
+        parse, schema=_META_FIELDS
+    )
+
+
+def frame_sample(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame indices to decode per video: every_n-th frame from the METADATA
+    only — pure JVM sequence-explode; the binary column never moves. The
+    actual frame decode would map each (media_id, frame_idx) through the
+    decoder UDF after a content join."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.col("meta.n_frames").alias("n_frames"),
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n)
+                )
+            ).alias("frame_idx"),
+        )
+    )
+
+
+def _try_real_decode(kind: str):
+    """Importability gate for real decoders. Returns None in this container
+    (PIL/av not installed); a deployment with the libs gets real decode."""
+    try:
+        if kind == "image":
+            from PIL import Image  # noqa: F401
+
+            return Image
+    except ImportError:
+        pass
+    return None
+
+
+def media_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Fixed-dim feature vector per item. REAL pipeline: decode + CNN/fbank
+    via the gated decoder. STUB (this container): sha256 of the payload
+    folded into ``dim`` floats in [0,1) — deterministic, content-addressed,
+    so downstream ANN/dedup plumbing (array<float> column, same as the
+    embeddings table) is exercised for real."""
+    import pandas as pd
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                payload = bytes(blob)[_HDR_LEN:]
+                digest = hashlib.sha256(payload).digest()
+                vec = [
+                    int.from_bytes(digest[4 * i : 4 * i + 4], "little")
+                    / 2**32
+                    for i in range(dim)
+                ]
+                rows.append({"media_id": int(mid), "features": vec})
+            yield pd.DataFrame(rows, columns=["media_id", "features"])
+
+    return media.select("media_id", "content").mapInPandas(
+        feats, schema="media_id long, features array<float>"
+    )
+
+
+def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize over the binary column. REAL pipeline: PIL decode →
+    resize → re-encode (gated on importability). STUB: rewrite the header
+    dims and re-stream the payload to the new nominal size — preserving the
+    exact UDF signature, batch shape, and output schema of the real path."""
+    import pandas as pd
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pil = _try_real_decode("image")
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(blob)
+                k, _w, _h, sr, dur, nf = struct.unpack(
+                    _HDR, blob[len(_MAGIC) : _HDR_LEN]
+                )
+                if MEDIA_KINDS[k] != "image":
+                    continue
+                if pil is not None:  # pragma: no cover - lib not in container
+                    raise NotImplementedError(
+                        "real PIL resize path: decode blob, resize, re-encode"
+                    )
+                payload = blob[_HDR_LEN:]
+                content = (
+                    _MAGIC
+                    + struct.pack(_HDR, k, width, height, sr, dur, nf)
+                    + payload
+                )
+                rows.append(
+                    {"media_id": int(mid), "width": width, "height": height,
+                     "content": content}
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "content"]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        resize, schema="media_id long, width int, height int, content binary"
+    )
+
+
+def write_media_partitioned(
+    media: DataFrame, path: str, max_records_per_file: int = 10_000
+) -> None:
+    """Partition-aware media layout: directory-partition by kind (metadata
+    queries prune whole kinds), cap records per file so blob row-groups stay
+    bounded regardless of blob size distribution."""
+    (
+        media.write.mode("overwrite")
+        .partitionBy("kind")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )

@@ -15,18 +15,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import llm, relational, streaming_plans
+from . import connector_plans, llm, multimodal_plans, relational, streaming_plans
+
+_MODULES = (relational, llm, streaming_plans, connector_plans, multimodal_plans)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, llm, streaming_plans):
+    for mod in _MODULES:
         merged.update(mod.QUERIES)
     return merged
 
 
 def all_oracles() -> dict[str, str]:
     merged: dict[str, str] = {}
-    for mod in (relational, llm, streaming_plans):
+    for mod in _MODULES:
         merged.update(mod.ORACLES)
     return merged

@@ -1,0 +1,103 @@
+"""Oracle-checked queries for the multimodal layer (operators/multimodal.py).
+
+The fake SPKM container's header fields are closed-form functions of
+media_id, so the SQL oracle recomputes what the binary ROUND-TRIP
+(pack → Arrow batch → parse) must produce — a genuine end-to-end check of
+the mapInPandas plumbing, not just of the arithmetic.
+
+media ids come from the ``documents`` table (stable across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import (
+    extract_media_meta,
+    frame_sample,
+    media_features,
+    synthesize_media,
+)
+from ..sources.files import load_table
+
+__all__ = ["QUERIES", "ORACLES"]
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    return synthesize_media(ids)
+
+
+def q34_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary → typed-metadata extraction (decode-side header parse) over
+    the opaque content column; the oracle recomputes the closed forms."""
+    return extract_media_meta(_media(spark, sf_dir)).orderBy("media_id")
+
+
+_Q34_SQL = """
+SELECT doc_id AS media_id,
+       (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS kind,
+       CASE WHEN doc_id % 3 = 0 THEN 64 + (doc_id % 8) * 16 ELSE 0 END AS width,
+       CASE WHEN doc_id % 3 = 0 THEN 48 + (doc_id % 6) * 16 ELSE 0 END AS height,
+       CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 4) * 8000 ELSE 0 END AS sample_rate,
+       CASE WHEN doc_id % 3 = 1 THEN 1000 + (doc_id % 60) * 500
+            WHEN doc_id % 3 = 2 THEN 2000 + (doc_id % 30) * 1000
+            ELSE 0 END AS duration_ms,
+       CASE WHEN doc_id % 3 = 2 THEN 10 + doc_id % 20 ELSE 0 END AS n_frames,
+       32 + doc_id % 64 AS payload_len
+FROM documents
+ORDER BY media_id
+"""
+
+
+def q35_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-4th-frame sampling plan for videos — metadata-only
+    sequence-explode (the blob never moves)."""
+    return frame_sample(_media(spark, sf_dir), every_n=4).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+_Q35_SQL = """
+SELECT doc_id AS media_id,
+       10 + doc_id % 20 AS n_frames,
+       unnest(range(0, 10 + doc_id % 20, 4)) AS frame_idx
+FROM documents
+WHERE doc_id % 3 = 2
+ORDER BY media_id, frame_idx
+"""
+
+
+def q36_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed feature vectors (stubbed sha256 fold — rows-only:
+    the hash fold isn't SQL-portable; determinism and batch shape are
+    asserted in tests/test_multimodal.py). Demonstrates the array<float>
+    feature column feeding the ANN tier (operators/similarity.py)."""
+    feats = media_features(_media(spark, sf_dir), dim=8)
+    return feats.select(
+        "media_id",
+        F.round(
+            F.aggregate(
+                F.transform("features", lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            4,
+        ).alias("feat_sum"),
+    ).orderBy("media_id")
+
+
+QUERIES = {
+    "q34_media_meta": q34_media_meta,
+    "q35_frame_sample": q35_frame_sample,
+    "q36_media_features": q36_media_features,
+}
+
+ORACLES = {
+    "q34_media_meta": _Q34_SQL,
+    "q35_frame_sample": _Q35_SQL,
+    # q36 rows-only: sha256 fold not SQL-portable.
+}

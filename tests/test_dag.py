@@ -1,0 +1,56 @@
+"""DAG-spec unit tests (SURVEY.md §7 item 14): the orchestration seam must
+preserve the reference's scheduling semantics (spotify_dag.py:8-27) and
+import cleanly without Airflow installed."""
+
+from __future__ import annotations
+
+import datetime as dt
+import importlib.util
+import sys
+from pathlib import Path
+
+DAG_PATH = Path(__file__).resolve().parent.parent / "dags" / "spotify_spark_dag.py"
+
+
+def _load():
+    spec = importlib.util.spec_from_file_location("spotify_spark_dag", DAG_PATH)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_dag_module_imports_without_airflow():
+    mod = _load()
+    # In this env Airflow is absent → the module must still import, with the
+    # materialized DAG gated off.
+    assert mod.dag is None or mod.dag is not None  # import itself is the test
+
+
+def test_default_args_match_reference():
+    mod = _load()
+    a = mod.DEFAULT_ARGS
+    assert a["retries"] == 2  # spotify_dag.py:15
+    assert a["retry_delay"] == dt.timedelta(minutes=5)  # :16
+    assert a["depends_on_past"] is False
+    assert a["email_on_failure"] is True
+    assert a["email_on_retry"] is False
+    assert a["owner"] == "airflow"
+
+
+def test_dag_config_matches_reference():
+    mod = _load()
+    c = mod.DAG_CONFIG
+    assert c["schedule"] == dt.timedelta(days=1)  # spotify_dag.py:23
+    assert c["catchup"] is False  # :24
+    assert c["max_active_runs"] == 1  # :25
+    assert "spotify" in c["tags"] and "etl" in c["tags"]
+
+
+def test_job_specs_cover_all_three_pipelines():
+    mod = _load()
+    ids = {s["task_id"] for s in mod.JOB_SPECS}
+    assert ids == {"top_tracks_etl", "recently_played_etl", "recently_played_analysis"}
+    for s in mod.JOB_SPECS:
+        assert s["application"] == "jobs/run_pipeline.py"
+        assert s["application_args"][0] == s["task_id"]

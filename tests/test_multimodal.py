@@ -1,0 +1,84 @@
+"""Multimodal-column tests: binary round-trip, frame sampling, feature
+determinism, resize stub plumbing, partition-aware layout."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_spotify_etl_spark.operators.multimodal import (
+    extract_media_meta,
+    frame_sample,
+    media_features,
+    resize_image,
+    synthesize_media,
+    write_media_partitioned,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    ids = spark.range(0, 60).select(F.col("id").alias("media_id"))
+    return synthesize_media(ids).localCheckpoint(eager=True)
+
+
+def test_binary_roundtrip_matches_typed_meta(media):
+    """pack → binary → parse must reproduce the typed meta struct exactly."""
+    parsed = extract_media_meta(media)
+    joined = media.select("media_id", "kind", "meta").join(parsed, "media_id", "inner")
+    assert joined.count() == 60
+    mismatches = joined.filter(
+        (F.col("meta.width") != F.col("width"))
+        | (F.col("meta.height") != F.col("height"))
+        | (F.col("meta.sample_rate") != F.col("sample_rate"))
+        | (F.col("meta.duration_ms") != F.col("duration_ms"))
+        | (F.col("meta.n_frames") != F.col("n_frames"))
+    )
+    assert mismatches.count() == 0
+
+
+def test_kinds_partition_the_id_space(media):
+    counts = dict(
+        media.groupBy("kind").count().rdd.map(lambda r: (r["kind"], r["count"])).collect()
+    )
+    assert counts == {"image": 20, "audio": 20, "video": 20}
+
+
+def test_frame_sample_is_metadata_only(media):
+    frames = frame_sample(media, every_n=4)
+    rows = frames.filter(F.col("media_id") == 2).collect()  # video, n_frames=12
+    assert [r.frame_idx for r in rows] == [0, 4, 8]
+    # No binary column in the plan's output — the blob never moves.
+    assert "content" not in frames.columns
+
+
+def test_features_are_deterministic_and_fixed_dim(media):
+    f1 = media_features(media, dim=8).collect()
+    f2 = media_features(media, dim=8).collect()
+    m1 = {r.media_id: r.features for r in f1}
+    m2 = {r.media_id: r.features for r in f2}
+    assert m1 == m2
+    assert all(len(v) == 8 for v in m1.values())
+    assert all(0.0 <= x < 1.0 for v in m1.values() for x in v)
+
+
+def test_resize_stub_rewrites_header_only(media):
+    resized = resize_image(media, 32, 32)
+    out = resized.collect()
+    assert len(out) == 20  # images only
+    assert all(r.width == 32 and r.height == 32 for r in out)
+    # Round-trip the resized binary: header now carries the new dims.
+    meta = extract_media_meta(resized.select("media_id", "content"))
+    assert meta.filter((F.col("width") != 32) | (F.col("height") != 32)).count() == 0
+
+
+def test_partitioned_layout_prunes_by_kind(spark, media, tmp_path):
+    path = str(tmp_path / "media")
+    write_media_partitioned(media, path)
+    back = spark.read.parquet(path)
+    assert back.count() == 60
+    # Partition pruning: reading one kind touches only its directory.
+    videos = back.filter(F.col("kind") == "video")
+    assert videos.count() == 20
+    plan = videos._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
