@@ -5,7 +5,15 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["duration_mmss", "url_encode_col"]
+__all__ = ["duration_mmss", "url_encode_col", "parse_bool_flag"]
+
+
+def parse_bool_flag(value: str | None, default: bool = False) -> bool:
+    """P12 — the reference's config-flag parse idiom
+    (``Variable.get(...).lower() == "true"``, new.py:224)."""
+    if value is None:
+        return default
+    return value.strip().lower() == "true"
 
 
 def duration_mmss(ms: Column | str) -> Column:

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -75,6 +76,28 @@ def _doc_sizes(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
 
 
+def _capped_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int, max_bucket: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """(sizes, joinable) shingle views sharing ONE shuffle.
+
+    A windowed per-shingle doc count serves two pruning rules at once:
+    - hot-bucket cap (> max_bucket): boilerplate shingles carry no dedup
+      signal and would make the self-join quadratic in the bucket;
+    - singleton drop (< 2 docs): a shingle held by one doc can never
+      produce a pair, so it leaves the JOIN input (typically the large
+      majority of shingles) — but stays in the doc-size denominator.
+    """
+    sh = shingle(df, text_col, id_col, n).withColumn(
+        "_n_docs", F.count("*").over(W.partitionBy("shingle"))
+    )
+    if max_bucket:
+        sh = sh.filter(F.col("_n_docs") <= max_bucket)
+    sizes = _doc_sizes(sh.drop("_n_docs"))
+    joinable = sh.filter(F.col("_n_docs") >= 2).drop("_n_docs")
+    return sizes, joinable
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -87,13 +110,12 @@ def ngram_jaccard_pairs(
 
     intersection via shingle self-join (equi-join on the shingle), union by
     inclusion-exclusion — the textbook exact algorithm, used here both as an
-    operator and as the verification oracle for the MinHash tier."""
-    sh = shingle(df, text_col, id_col, n)
-    if max_bucket:
-        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_bucket)
-        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
-    sizes = _doc_sizes(sh)
-    a, b = sh.alias("a"), sh.alias("b")
+    operator and as the verification oracle for the MinHash tier. Singleton
+    shingles (most of any real corpus) are pruned from the join input —
+    they cannot co-occur — which shrinks the self-join by orders of
+    magnitude without changing the result."""
+    sizes, joinable = _capped_shingles(df, text_col, id_col, n, max_bucket)
+    a, b = joinable.alias("a"), joinable.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -176,13 +198,11 @@ def minhash_lsh_pairs(
     # of LSH. Route each candidate pair through doc_a's shingles, then meet
     # doc_b's shingles on (doc_b, shingle): shuffle volume is
     # O(candidates × shingles/doc), never the full shingle self-join.
-    sh = shingle(df, text_col, id_col, n)
-    if max_bucket:
-        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_bucket)
-        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
-    sizes = _doc_sizes(sh)
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # Singletons can't intersect two docs, so only co-occurring shingles
+    # enter the intersection join; sizes keep every capped shingle.
+    sizes, joinable = _capped_shingles(df, text_col, id_col, n, max_bucket)
+    sh_a = joinable.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = joinable.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         candidates.join(sh_a, "doc_a")
         .join(sh_b, ["doc_b", "shingle"])

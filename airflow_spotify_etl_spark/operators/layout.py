@@ -1,0 +1,97 @@
+"""Physical-layout & skew operators — the 100 TB toolbox (SURVEY.md §4).
+
+The reference never meets these problems (≤50 rows); at cluster scale they
+decide whether a plan finishes:
+
+- ``write_bucketed``        — hash-bucket (and optionally sort) a table at
+  WRITE time. Equi-joins / aggregations on the bucket key then read
+  co-located buckets and skip the shuffle entirely — the biggest single
+  lever for repeated fact⋈fact joins (pay one shuffle at ingest, none per
+  query).
+- ``salted_count_distinct`` — exact COUNT(DISTINCT x) without a hot
+  reducer: dedup within (key, hash(x) % salt) buckets, then sum partial
+  distinct counts per key. Each distinct value lands in exactly one bucket,
+  so the sum is exact.
+- ``salted_join``           — skewed equi-join: spread each hot left key
+  over ``salt`` sub-keys and replicate the right side ``salt``×. AQE's
+  skew-join split handles moderate skew automatically; explicit salting is
+  for the pathological single-key case (one user = 10% of events).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["write_bucketed", "salted_count_distinct", "salted_join"]
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` hash-bucketed by ``bucket_cols`` (sorted within
+    buckets when ``sort_cols`` is given, enabling shuffle-free AND
+    sort-free sort-merge joins). ``path`` makes it an external table.
+
+    Size ``n_buckets`` so one bucket ≈ one task's memory at target scale
+    (e.g. 100 TB / 256 MB ≈ 400k → thousands of buckets, not 32)."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    distinct_col: str,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Exact per-group count-distinct in two balanced hash aggregations.
+
+    Plain ``countDistinct`` shuffles every (group, value) pair to the
+    group's single reducer — a hot group melts it. Salting by
+    ``hash(value) % n_salts`` splits each group's dedup across ``n_salts``
+    reducers; each distinct value maps to exactly one salt bucket, so
+    summing the per-bucket distinct counts is exact, not an estimate."""
+    out_col = f"n_distinct_{distinct_col}"
+    partial = (
+        df.select(*group_cols, distinct_col)
+        .withColumn("_salt", F.pmod(F.xxhash64(distinct_col), F.lit(n_salts)))
+        .groupBy(*group_cols, "_salt")
+        .agg(F.countDistinct(distinct_col).alias("_partial"))
+    )
+    return partial.groupBy(*group_cols).agg(F.sum("_partial").alias(out_col))
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to a pathologically hot ``key``.
+
+    Left rows scatter across ``n_salts`` sub-keys (derived from the input
+    partition, so co-partitioned rows of a hot key spread apart); the right
+    side replicates ``n_salts``× via a sequence-explode. Join runs on
+    (key, salt) — the hot key's rows now occupy ``n_salts`` reducers.
+    Right replication cost: |right| × n_salts rows, so use this when the
+    right side is the smaller relation (dimension against a skewed fact)."""
+    salted_left = left.withColumn(
+        "_salt", F.pmod(F.spark_partition_id(), F.lit(n_salts))
+    )
+    salted_right = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_left.join(salted_right, [key, "_salt"], how).drop("_salt")

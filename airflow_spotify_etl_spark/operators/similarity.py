@@ -136,12 +136,15 @@ def _assign_cells(
     literal centroid array: transform → struct(sim, -cell) → array_max.
     Zero joins, zero extra rows, zero shuffle — the narrow-plan replacement
     for the corpus×nlist join+window (which explodes rows nlist× and
-    shuffles the whole corpus). Ties break to the lowest cell id."""
+    shuffles the whole corpus). Ties break to the lowest cell id.
+
+    Ranking is by dot(v,c)/|c|: |v| is constant across cells, so the argmax
+    equals the cosine argmax at half the arithmetic."""
     v = _as_double(vec_col)
     scored = F.transform(
         _centroid_array(centroids),
         lambda c: F.struct(
-            (_dot(v, c["cv"]) / (_norm(v) * _norm(c["cv"]))).alias("sim"),
+            (_dot(v, c["cv"]) / _norm(c["cv"])).alias("sim"),
             (-c["cell"]).alias("neg_cell"),
         ),
     )
@@ -170,11 +173,12 @@ def ivf_topk(
 
     # nprobe nearest cells per query — same argmax-projection idea, but keep
     # the top nprobe: sort the per-row (sim, cell) structs, slice the tail.
+    # (|q| constant per row → dot/|c| ranks identically to cosine.)
     qv = _as_double(vec_col)
     qscored = F.transform(
         _centroid_array(cents),
         lambda c: F.struct(
-            (_dot(qv, c["cv"]) / (_norm(qv) * _norm(c["cv"]))).alias("sim"),
+            (_dot(qv, c["cv"]) / _norm(c["cv"])).alias("sim"),
             c["cell"].alias("cell"),
         ),
     )

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from ..operators.joins import incremental_anti_append
 
 __all__ = [
+    "normalize_object_store_path",
     "write_csv",
     "append_table",
     "append_jdbc",
@@ -39,12 +40,20 @@ __all__ = [
 ]
 
 
+def normalize_object_store_path(path: str) -> str:
+    """``s3://`` → ``s3a://`` (the reference special-cases s3 with boto3,
+    spotify_etl.py:182-184; Spark reaches S3 through the s3a Hadoop
+    connector instead — same writer code for local and object-store)."""
+    if path.startswith("s3://"):
+        return "s3a://" + path[len("s3://"):]
+    return path
+
+
 def write_csv(df: DataFrame, path: str, single_file: bool = False) -> str:
     """CSV with header; ``s3://`` → ``s3a://``. ``single_file`` coalesces to
     one part (only for small exports — the reference's outputs are ≤50 rows;
     large tables keep one file per partition)."""
-    if path.startswith("s3://"):
-        path = "s3a://" + path[len("s3://"):]
+    path = normalize_object_store_path(path)
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").option("header", True).csv(path)
     return path

@@ -28,8 +28,12 @@ HEADLINE = [
     "q17_last_click_before_purchase",
     "q21_exact_dedup",
     "q22_cosine_topk",
+    "q24_ngram_jaccard_pairs",
+    "q25_minhash_lsh_pairs",
+    "q27_ivf_topk",
     "q30_sessionization",
     "q31_hourly_windows",
+    "q33_flatten_track_payload",
 ]
 
 

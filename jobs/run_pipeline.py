@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import sys
 
+from airflow_spotify_etl_spark.functions.strings import parse_bool_flag
 from airflow_spotify_etl_spark.pipelines import (
     run_recently_played_analysis,
     run_recently_played_etl,
@@ -50,7 +51,9 @@ def main() -> None:
             source,
             output_path=_conf(spark, "output_path", "recently_played_tracks.csv"),
             limit=int(_conf(spark, "limit", "10")),
-            display_results=_conf(spark, "display_results", "true").lower() == "true",
+            display_results=parse_bool_flag(
+                _conf(spark, "display_results", "true")
+            ),
         )
     else:
         raise SystemExit(f"unknown pipeline {pipeline!r}")

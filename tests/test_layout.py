@@ -1,0 +1,74 @@
+"""Layout/skew operator tests: bucketed joins skip the shuffle; salted
+variants match their plain counterparts exactly."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_spotify_etl_spark.operators.layout import (
+    salted_count_distinct,
+    salted_join,
+    write_bucketed,
+)
+from airflow_spotify_etl_spark.sources.files import load_table
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "value")
+    right = ev.select("event_id", "event_type")
+    tl, tr = f"bl_{uuid.uuid4().hex[:8]}", f"br_{uuid.uuid4().hex[:8]}"
+    write_bucketed(left, tl, ["event_id"], 8, sort_cols=["event_id"],
+                   path=str(tmp_path / "l"))
+    write_bucketed(right, tr, ["event_id"], 8, sort_cols=["event_id"],
+                   path=str(tmp_path / "r"))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(tl).join(spark.table(tr), "event_id")
+        assert joined.count() == ev.count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # Matching bucket layout on the join key: sort-merge join with ZERO
+        # shuffle exchanges — the pay-once-at-write co-location contract.
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {tl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tr}")
+
+
+def test_salted_count_distinct_is_exact(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        (r["event_type"], r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    salted = {
+        (r["event_type"], r["n_distinct_user_id"])
+        for r in salted_count_distinct(ev, ["event_type"], "user_id", 8).collect()
+    }
+    assert salted == exact
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", F.pmod("user_id", F.lit(5)))
+    )
+    plain = ev.join(dim, "user_id").agg(
+        F.count("*").alias("n"), F.round(F.sum("segment"), 2).alias("s")
+    ).collect()[0]
+    salted = salted_join(ev, dim, "user_id", n_salts=8).agg(
+        F.count("*").alias("n"), F.round(F.sum("segment"), 2).alias("s")
+    ).collect()[0]
+    assert (plain["n"], plain["s"]) == (salted["n"], salted["s"])

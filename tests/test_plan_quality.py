@@ -1,0 +1,106 @@
+"""Physical-plan quality gates (the 100 TB design bar).
+
+Correctness tests prove the answers; these prove the PLANS — predicate
+pushdown reaching the parquet scan, column pruning, broadcast only where a
+broadcast belongs, and no shuffle/row-explosion in paths engineered to be
+narrow. A regression here is a scale bug even when sf0.001 results stay
+right.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_spotify_etl_spark.plans import all_queries
+
+
+def _final_plan(df) -> str:
+    """Execute (noop write) and return the FINAL adaptive plan — AQE's
+    runtime join/partition choices only exist after an action."""
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return all_queries()
+
+
+def test_q01_pushes_filter_and_prunes_columns(spark, sf_dir, qs):
+    plan = _final_plan(qs["q01_pricing_summary"](spark, sf_dir))
+    # Time filter reaches the parquet scan…
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # …and unused wide columns never leave it (projection pushdown).
+    assert "l_partkey" not in plan and "l_suppkey" not in plan
+
+
+def test_q02_filters_reach_every_scan(spark, sf_dir, qs):
+    plan = _final_plan(qs["q02_top_revenue_orders"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # dim filter pushed
+    assert plan.count("PushedFilters: [") >= 3  # all three scans filtered
+
+
+def test_q04_broadcasts_true_dims(spark, sf_dir, qs):
+    plan = _final_plan(qs["q04_region_nation_revenue"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # region/nation carry explicit broadcast hints → BroadcastHashJoin must
+    # appear; the fact-fact join must NOT be a nested loop.
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q22_broadcasts_query_side_only(spark, sf_dir, qs):
+    plan = _final_plan(qs["q22_cosine_topk"](spark, sf_dir))
+    # 5 query vectors against the corpus: broadcast nested-loop is the
+    # intended shape (no key to hash on); the corpus side never shuffles
+    # before scoring.
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_ivf_assignment_is_narrow(spark):
+    """The argmax cell assignment must stay a projection: no join, no
+    exchange, no generate — the r1 verdict's nlist-x row explosion stays
+    dead."""
+    from airflow_spotify_etl_spark.operators.similarity import _assign_cells
+
+    corpus = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 97).cast("double") for i in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    cents = [(c, [float(c * (i + 1) % 97) for i in range(8)]) for c in range(4)]
+    assigned = _assign_cells(corpus, cents, "embedding", "vec_id")
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    for op in ("Join", "Exchange", "Generate", "Window"):
+        assert op not in plan, f"assignment plan contains {op}"
+
+
+def test_minhash_verify_joins_only_candidates(spark, sf_dir):
+    """The exact-Jaccard verify stage must route through the candidate list
+    (join fan-in bounded by candidates), not a full shingle self-join."""
+    from airflow_spotify_etl_spark.operators.dedup import minhash_lsh_pairs
+    from airflow_spotify_etl_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    optimized = pairs._jdf.queryExecution().optimizedPlan().toString()
+    # The banding equi-join appears once; the verify path adds joins keyed
+    # through doc_a/doc_b — a second *self*-join of the full shingle relation
+    # on `shingle = shingle` alone must not exist. Heuristic: the optimized
+    # plan joins on shingle only together with a doc key.
+    assert optimized.count("Join Inner, (shingle") <= 1
+
+
+def test_quality_report_is_one_aggregate_pass(spark, sf_dir):
+    from airflow_spotify_etl_spark.operators.quality import quality_report
+    from airflow_spotify_etl_spark.sources.files import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = quality_report(ev, key_col="event_id", ts_col="ts")._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    # One fused Aggregate over the main scan (plus the broadcast 1-row max):
+    # the reference's four separate passes must not reappear.
+    assert plan.count("Relation") <= 2  # main scan + max_ts scan, nothing more
