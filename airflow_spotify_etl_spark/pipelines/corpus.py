@@ -1,0 +1,115 @@
+"""Composed LLM-training-corpus pipeline (north star: the 100 TB use case).
+
+Chains the engine's text/dedup tiers the way a production data pipeline
+does — cheapest filter first, each stage shrinking the next stage's input:
+
+    ingest → quality gate → language ID → exact dedup → near-dedup
+           → fingerprint → partitioned write → summary
+
+Stage costs at scale (why this order):
+1. quality gate      — narrow projection + filter, scan speed.
+2. language ID       — explode + broadcast-join + per-doc agg.
+3. exact dedup       — one skew-free shuffle on md5(text).
+4. MinHash near-dedup— the LSH banding path; runs on the ALREADY exact-
+   deduped survivors, so boilerplate mass is gone before the joins.
+5. fingerprint + write — narrow; partitioned by language for downstream
+   pruning (per-language training mixes read only their slice).
+
+Every stage is an operator this repo oracle-checks individually
+(q18/q20/q21/q25/q23); this module is their composition, tested end-to-end
+in tests/test_corpus_pipeline.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import exact_dedup, minhash_lsh_pairs
+from ..operators.text import fit_lang_profiles, predict_lang
+from ..sinks.writers import summary_record
+
+__all__ = ["quality_filter", "run_corpus_pipeline"]
+
+
+def quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 5,
+    max_stopword_ratio: float = 0.7,
+    min_alpha_ratio: float = 0.5,
+) -> DataFrame:
+    """Stage-1 gate: drop junk before anything expensive sees it.
+    Length / stopword / alphanumeric-ratio heuristics (the q18 metrics as
+    predicates) — one codegen'd projection + filter, no shuffle."""
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    n_chars = F.length(text_col)
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z0-9]", ""))
+    stop = F.array(*[F.lit(s) for s in
+                     ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]])
+    n_stop = F.size(F.filter(words, lambda x: F.array_contains(stop, x)))
+    return docs.filter(
+        (n_words >= min_words)
+        & (n_stop / n_words <= max_stopword_ratio)
+        & (n_alpha / F.greatest(n_chars, F.lit(1)) >= min_alpha_ratio)
+    )
+
+
+def run_corpus_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_path: str,
+    near_dup_threshold: float = 0.7,
+    min_words: int = 5,
+) -> dict:
+    """Full corpus build; returns a K4-style summary of per-stage attrition
+    (the numbers a pipeline operator actually watches)."""
+    n_in = docs.count()
+
+    # 1. quality gate
+    clean = quality_filter(docs, min_words=min_words)
+
+    # 2. language ID — profiles fit on the labeled subset, predictions for
+    # all docs (docs with no usable tokens surface as pred_lang=null and are
+    # dropped with the junk).
+    profiles = fit_lang_profiles(clean)
+    langs = predict_lang(clean, profiles).select("doc_id", "pred_lang")
+    clean = clean.join(langs, "doc_id", "left")
+
+    # 3. exact dedup — keep the lowest doc_id per identical text.
+    keepers = exact_dedup(clean).select(F.col("keeper").alias("doc_id"))
+    uniq = clean.join(keepers, "doc_id", "left_semi")
+    # Materialize once: stages 4-6 all re-read this frontier.
+    uniq = uniq.localCheckpoint(eager=True)
+    n_exact = uniq.count()
+
+    # 4. near-dedup — LSH candidates + candidate-only verification on the
+    # exact-deduped survivors; drop the higher doc_id of each near-dup pair.
+    near = minhash_lsh_pairs(uniq, threshold=near_dup_threshold)
+    drop = near.select(F.col("doc_b").alias("doc_id")).distinct()
+    final = uniq.join(drop, "doc_id", "left_anti")
+
+    # 5. fingerprint + partitioned write (by predicted language).
+    canon = F.lower(F.regexp_replace(F.col("text"), "\\s+", " "))
+    final = final.withColumn("fingerprint", F.md5(canon)).withColumn(
+        "pred_lang", F.coalesce("pred_lang", F.lit("und"))
+    )
+    final.write.mode("overwrite").partitionBy("pred_lang").parquet(out_path)
+
+    out = spark.read.parquet(out_path)
+    stats = summary_record(
+        out,
+        n_docs=F.count("*"),
+        n_langs=F.countDistinct("pred_lang"),
+        total_chars=F.sum(F.length("text")),
+    )
+    return {
+        "docs_in": n_in,
+        "docs_after_exact_dedup": n_exact,
+        "docs_out": stats["n_docs"],
+        "n_langs": stats["n_langs"],
+        "total_chars": stats["total_chars"],
+        "output_path": out_path,
+        "status": "success",
+    }

@@ -654,6 +654,73 @@ ORDER BY event_id
 """
 
 
+def q37_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full window surface beyond W1 (SURVEY.md §2.5: rank/dense_rank/
+    lag/lead + frame-spec rolling aggregates are 'absent in reference, free
+    in Spark' — this registers them as engine surface). One shuffle on
+    user_id serves every window (same partitioning reused)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_rank = W.partitionBy("user_id").orderBy("event_type")
+    roll = w.rowsBetween(-2, W.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.lag("value").over(w), 2).alias("prev_value"),
+        F.round(F.lead("value").over(w), 2).alias("next_value"),
+        F.round(F.sum("value").over(roll), 2).alias("rolling3_value"),
+        F.rank().over(w_rank).alias("type_rank"),
+        F.dense_rank().over(w_rank).alias("type_dense_rank"),
+    ).orderBy("user_id", "ts_us", "event_id")
+
+
+_Q37_SQL = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       round(lag(value)  OVER w, 2) AS prev_value,
+       round(lead(value) OVER w, 2) AS next_value,
+       round(sum(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+                                    AS rolling3_value,
+       rank()       OVER wr AS type_rank,
+       dense_rank() OVER wr AS type_dense_rank
+FROM events
+WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
+       wr AS (PARTITION BY user_id ORDER BY event_type)
+ORDER BY user_id, ts_us, event_id
+"""
+
+
+def q38_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (§2.4 extension): daily event counts pivoted by event_type —
+    `groupBy().pivot()` with the value list EXPLICIT, so Catalyst skips the
+    extra distinct-values job and the output schema is fixed at plan time
+    (the scale-safe way to pivot; an unbounded value set would make schema
+    depend on data)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _t(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    return (
+        ev.groupBy("event_date")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .orderBy("event_date")
+    )
+
+
+_Q38_SQL = """
+SELECT CAST(ts AS DATE) AS event_date,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'error')    AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events
+GROUP BY CAST(ts AS DATE)
+ORDER BY event_date
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -672,6 +739,8 @@ QUERIES = {
     "q15_rollup_counts": q15_rollup_counts,
     "q16_shipdate_range_join": q16_shipdate_range_join,
     "q17_last_click_before_purchase": q17_last_click_before_purchase,
+    "q37_window_suite": q37_window_suite,
+    "q38_pivot_daily": q38_pivot_daily,
 }
 
 ORACLES = {
@@ -692,4 +761,6 @@ ORACLES = {
     "q15_rollup_counts": _Q15_SQL,
     "q16_shipdate_range_join": _Q16_SQL,
     "q17_last_click_before_purchase": _Q17_SQL,
+    "q37_window_suite": _Q37_SQL,
+    "q38_pivot_daily": _Q38_SQL,
 }

@@ -1,0 +1,58 @@
+"""End-to-end corpus-pipeline test: junk filtered, exact dups collapsed,
+planted near-dups removed, output partitioned by predicted language."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_spotify_etl_spark.pipelines.corpus import (
+    quality_filter,
+    run_corpus_pipeline,
+)
+from airflow_spotify_etl_spark.sources.files import load_table
+
+
+def test_quality_filter_drops_junk(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today", "en", "s", 49),
+            (2, "too short", "en", "s", 9),
+            (3, "the the the the the the the the the the of of", "en", "s", 45),
+            (4, "!!!! ???? #### %%%% &&&& **** (((( )))) @@@@ ^^^^", "en", "s", 49),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    kept = [r.doc_id for r in quality_filter(df).select("doc_id").collect()]
+    assert kept == [1]  # 2: too few words; 3: stopword soup; 4: no alnum
+
+
+def test_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    # Plant one exact duplicate and one near-duplicate of doc 0.
+    base = docs.filter(F.col("doc_id") == 0).select("text").collect()[0]["text"]
+    words = base.split(" ")
+    near = " ".join(words[:-2] + ["slightly", "changed"])
+    planted = spark.createDataFrame(
+        [
+            (100001, base, "en", "planted", len(base)),
+            (100002, near, "en", "planted", len(near)),
+        ],
+        docs.schema,
+    )
+    out = str(tmp_path / "corpus")
+    summary = run_corpus_pipeline(
+        spark, docs.unionByName(planted), out, near_dup_threshold=0.7
+    )
+
+    assert summary["status"] == "success"
+    assert summary["docs_in"] == docs.count() + 2
+    # Exact dedup collapsed the identical copy…
+    assert summary["docs_after_exact_dedup"] < summary["docs_in"]
+    result = spark.read.parquet(out)
+    ids = {r.doc_id for r in result.select("doc_id").collect()}
+    assert 100001 not in ids  # exact dup of doc 0 (higher id loses)
+    assert 100002 not in ids  # near dup of doc 0
+    assert 0 in ids  # the keeper survives
+    # Language-partitioned layout on disk.
+    assert summary["n_langs"] >= 1
+    assert any(p.name.startswith("pred_lang=") for p in (tmp_path / "corpus").iterdir())
