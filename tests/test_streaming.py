@@ -173,6 +173,44 @@ def test_sessionized_stream_gap_semantics(spark, tmp_path):
     assert sessions == {(1, _ts(0), 2), (1, _ts(120), 1)}
 
 
+def test_stateful_running_totals_accumulate_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-user lifetime totals must carry state
+    across separate availableNow drains (checkpointed state store)."""
+    from airflow_spotify_etl_spark.streaming.stateful import running_user_totals
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "totals")
+    _write_batch(spark, src, _rows((1, 0, 1, "a", 10.0), (2, 1, 1, "a", 5.0)))
+
+    def drain():
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = (
+            running_user_totals(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    out1 = drain()
+    r1 = out1.filter(F.col("user_id") == 1).orderBy("n_events").collect()[-1]
+    assert (r1.n_events, r1.total_value) == (2, 15.0)
+
+    # Batch 2: one more event for user 1 — totals must include batch 1's
+    # state, recovered from the checkpointed state store.
+    _write_batch(spark, src, _rows((3, 2, 1, "a", 2.5)))
+    out2 = drain()
+    r2 = out2.filter(F.col("user_id") == 1).orderBy("n_events").collect()[-1]
+    assert (r2.n_events, r2.total_value) == (3, 17.5)
+    assert r2.last_seen_us == int(_ts(2).timestamp() * 1_000_000)
+
+
 def test_empty_fetch_is_clean_noop(spark, tmp_path):
     def fetch(after_us):
         return spark.createDataFrame([], SCHEMA)
