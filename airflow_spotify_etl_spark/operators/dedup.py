@@ -55,10 +55,10 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def shingle(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(id, shingle) pairs: distinct word n-grams per document."""
+def _gram_array(text_col: str, n: int):
+    """array<string> of the distinct word n-grams of a text column."""
     words = F.split(F.col(text_col), " ")
-    grams = F.when(
+    return F.when(
         F.size(words) >= n,
         F.array_distinct(
             F.transform(
@@ -68,8 +68,15 @@ def shingle(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: in
                 ),
             )
         ),
-    ).otherwise(F.array())
-    return df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingle) pairs: distinct word n-grams per document."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_gram_array(text_col, n)).alias("shingle"),
+    )
 
 
 def _doc_sizes(sh: DataFrame) -> DataFrame:
@@ -147,7 +154,14 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash signature per doc: sig_i = min over shingles of
     (a_i * crc32(shingle) + b_i) mod p. One explode + one grouped
-    multi-min-aggregate — a single shuffle on doc_id."""
+    multi-min-aggregate — a single shuffle on doc_id.
+
+    Deliberately NOT a higher-order-function projection (array_min over
+    transform): higher-order functions are CodegenFallback in Spark —
+    interpreted per element — and benchmark ~20x slower here than this
+    fully whole-stage-codegen'd explode + hash-aggregate, whose map-side
+    partial min means the shuffle carries only one 64-long row per doc per
+    partition."""
     sh = shingle(df, text_col, id_col, n).withColumn("c", F.crc32("shingle"))
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("c") + F.lit(b), F.lit(_MERSENNE))).alias(f"h{i}")
