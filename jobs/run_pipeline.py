@@ -26,10 +26,10 @@ def _conf(spark, key: str, default: str | None = None) -> str | None:
     return spark.conf.get(f"spark.spotify.{key}", default)
 
 
-def main() -> None:
-    pipeline = sys.argv[1]
+def main(argv: list[str] | None = None, source: SpotifyRestSource | None = None) -> dict:
+    pipeline = (argv or sys.argv[1:])[0]
     spark = get_spark(f"spotify-{pipeline}")
-    source = SpotifyRestSource(spark)
+    source = source or SpotifyRestSource(spark)
     if pipeline == "top_tracks_etl":
         summary = run_top_tracks_etl(
             spark,
@@ -58,6 +58,7 @@ def main() -> None:
     else:
         raise SystemExit(f"unknown pipeline {pipeline!r}")
     print(json.dumps(summary))
+    return summary
 
 
 if __name__ == "__main__":

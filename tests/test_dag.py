@@ -54,3 +54,26 @@ def test_job_specs_cover_all_three_pipelines():
     for s in mod.JOB_SPECS:
         assert s["application"] == "jobs/run_pipeline.py"
         assert s["application_args"][0] == s["task_id"]
+
+
+def test_job_runner_dispatches_and_prints_summary(spark, tmp_path, capsys):
+    """The spark-submit target end-to-end with a canned source: config via
+    spark.spotify.* conf, summary JSON on stdout for XCom capture."""
+    import importlib.util
+    import json as _json
+
+    from tests.test_pipelines import CannedTransport
+    from airflow_spotify_etl_spark.sources.rest import SpotifyRestSource
+
+    job_path = Path(__file__).resolve().parent.parent / "jobs" / "run_pipeline.py"
+    spec = importlib.util.spec_from_file_location("run_pipeline", job_path)
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    spark.conf.set("spark.spotify.output_path", str(tmp_path / "out_csv"))
+    spark.conf.set("spark.spotify.display_results", "false")
+    src = SpotifyRestSource(spark, transport=CannedTransport(), token="t")
+    summary = job.main(["recently_played_analysis"], source=src)
+    assert summary["tracks_processed"] == 5 and summary["status"] == "success"
+    printed = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["tracks_processed"] == 5

@@ -61,6 +61,29 @@ def test_windowed_stream_matches_batch_semantics(spark, tmp_path):
     }
 
 
+def test_sliding_windows_overlap(spark, tmp_path):
+    """ST6 sliding windows: a 2h window sliding hourly assigns each event to
+    two windows."""
+    src = str(tmp_path / "src")
+    rows = _rows(
+        (1, 30, 1, "click", 1.0),
+        (2, 400, 9, "view", 9.9),  # advances watermark, closes early windows
+    )
+    _write_batch(spark, src, rows)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = run_to_memory(
+        spark,
+        windowed_stream(stream, window="2 hours", slide="1 hour", watermark="1 hour"),
+        _memname(),
+    )
+    starts = sorted(
+        r.window_start for r in out.filter(F.col("n_events") == 1).collect()
+        if r.total_value == 1.0
+    )
+    # Event at 00:30 belongs to the [23:00, 01:00) and [00:00, 02:00) windows.
+    assert starts == [_ts(-60), _ts(0)]
+
+
 def test_dedup_across_micro_batches(spark, tmp_path):
     src = str(tmp_path / "src")
     _write_batch(spark, src, _rows((1, 0, 1, "a", 1.0), (2, 1, 1, "a", 1.0)))
