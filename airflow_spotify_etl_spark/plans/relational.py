@@ -7,8 +7,10 @@ declarative Spark plans over the test star schema, each paired with an ANSI
 SQL oracle (``ORACLES``) that DuckDB runs on the same Parquet files.
 
 Scale notes (100 TB design):
-- Dimension joins (region/nation/supplier/customer-at-small-SF) are
-  broadcast — no shuffle for the big fact side.
+- Only TRUE dims (region 5 rows, nation 25 — size-fixed at any SF) carry
+  broadcast hints. customer/supplier scale with the facts, so AQE picks
+  their join strategy from runtime sizes (broadcast at small SF, shuffle
+  join at 100 TB).
 - Fact-fact joins (lineitem ⋈ orders) shuffle on the join key; AQE handles
   skew and coalesces post-shuffle partitions.
 - All aggregates are single-pass multi-aggregate (`agg(...)` with many
@@ -721,6 +723,74 @@ ORDER BY event_date
 """
 
 
+def q39_above_type_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (§2.6 extension — TPC-H Q2/Q17 idiom):
+    parts priced above 1.02x their type's average. Catalyst DECORRELATES
+    the subquery into an aggregate + join — no per-row re-execution; at
+    100 TB this is one grouped aggregate over part plus one join, both
+    shuffling on p_type."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_type, round(p_retailprice, 2) AS price
+        FROM part p
+        WHERE p_retailprice > 1.02 * (
+            SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type
+        )
+        ORDER BY p_partkey
+        """
+    )
+
+
+_Q39_SQL = """
+SELECT p_partkey, p_type, round(p_retailprice, 2) AS price
+FROM part p
+WHERE p_retailprice > 1.02 * (
+    SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type
+)
+ORDER BY p_partkey
+"""
+
+
+def q40_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING + semi-join (TPC-H Q18 idiom): customers whose order count
+    and total spend clear thresholds, with their names semi-joined back.
+    The HAVING filter runs on the aggregate BEFORE the dimension join, so
+    only qualifying keys reach the join at scale."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, b.n_orders, b.total_spend
+        FROM (
+            SELECT o_custkey, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_spend
+            FROM orders
+            GROUP BY o_custkey
+            HAVING count(*) >= 8
+        ) b
+        JOIN customer c ON c.c_custkey = b.o_custkey
+        ORDER BY b.total_spend DESC, c.c_custkey
+        LIMIT 50
+        """
+    )
+
+
+_Q40_SQL = """
+SELECT c.c_custkey, c.c_name, b.n_orders, b.total_spend
+FROM (
+    SELECT o_custkey, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 8
+) b
+JOIN customer c ON c.c_custkey = b.o_custkey
+ORDER BY b.total_spend DESC, c.c_custkey
+LIMIT 50
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -741,6 +811,8 @@ QUERIES = {
     "q17_last_click_before_purchase": q17_last_click_before_purchase,
     "q37_window_suite": q37_window_suite,
     "q38_pivot_daily": q38_pivot_daily,
+    "q39_above_type_average": q39_above_type_average,
+    "q40_big_customers": q40_big_customers,
 }
 
 ORACLES = {
@@ -763,4 +835,6 @@ ORACLES = {
     "q17_last_click_before_purchase": _Q17_SQL,
     "q37_window_suite": _Q37_SQL,
     "q38_pivot_daily": _Q38_SQL,
+    "q39_above_type_average": _Q39_SQL,
+    "q40_big_customers": _Q40_SQL,
 }
