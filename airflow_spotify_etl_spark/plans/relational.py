@@ -791,6 +791,38 @@ LIMIT 50
 """
 
 
+def q41_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (§2.4 statistical
+    extension): median / p90 / p99 of event value by type. Uses Spark's
+    exact ``percentile`` (sort-based within groups) to match DuckDB's
+    ``quantile_cont`` bit-for-bit after rounding; at 100 TB swap in
+    ``percentile_approx`` (t-digest sketch, single pass, mergeable) when
+    sketch error is acceptable — same query shape."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 2).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 2).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 2).alias("p99"),
+            F.round(F.stddev_samp("value"), 2).alias("value_stddev"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q41_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 2)  AS p50,
+       round(quantile_cont(value, 0.9), 2)  AS p90,
+       round(quantile_cont(value, 0.99), 2) AS p99,
+       round(stddev_samp(value), 2)         AS value_stddev
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -813,6 +845,7 @@ QUERIES = {
     "q38_pivot_daily": q38_pivot_daily,
     "q39_above_type_average": q39_above_type_average,
     "q40_big_customers": q40_big_customers,
+    "q41_value_percentiles": q41_value_percentiles,
 }
 
 ORACLES = {
@@ -837,4 +870,5 @@ ORACLES = {
     "q38_pivot_daily": _Q38_SQL,
     "q39_above_type_average": _Q39_SQL,
     "q40_big_customers": _Q40_SQL,
+    "q41_value_percentiles": _Q41_SQL,
 }
