@@ -26,9 +26,11 @@ from .etl import (
     run_recently_played_etl,
     run_top_tracks_etl,
 )
+from .streaming_etl import run_recently_played_stream
 
 __all__ = [
     "run_top_tracks_etl",
     "run_recently_played_etl",
     "run_recently_played_analysis",
+    "run_recently_played_stream",
 ]

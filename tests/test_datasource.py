@@ -58,6 +58,34 @@ def test_batch_read_flattens_through_the_same_path(spark):
     assert rows[0]["name"] == "Song 0" and rows[0]["popularity"] == 50
 
 
+def test_native_streaming_pipeline_end_to_end(spark, tmp_path):
+    """Composed native pipeline 2: datasource stream → flatten → watermarked
+    dedup → parquet. A re-drain with a replayed+grown payload appends only
+    the genuinely new rows (offsets + dedup state both from the checkpoint),
+    and the flattened 8-col schema incl. the timestamp slice lands in the
+    sink."""
+    from airflow_spotify_etl_spark.pipelines import run_recently_played_stream
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    s1 = run_recently_played_stream(
+        spark, sink, ckpt, source_options={"payload_json": _payload(3)}
+    )
+    assert s1["rows_in_sink"] == 3 and s1["status"] == "success"
+
+    s2 = run_recently_played_stream(
+        spark, sink, ckpt, source_options={"payload_json": _payload(5)}
+    )
+    assert s2["rows_in_sink"] == 5  # 3 replayed suppressed, 2 new appended
+    sunk = spark.read.parquet(sink)
+    assert sunk.select("played_at").distinct().count() == 5
+    assert set(sunk.columns) >= {
+        "song_name", "artist_name", "played_at", "timestamp", "track_id",
+        "album_name", "duration_ms", "popularity",
+    }
+    assert s2["date_range"] == "2024-01-01 to 2024-01-01"
+
+
 def test_stream_offsets_resume_without_reemit(spark, tmp_path):
     """The native streaming cursor: batch 1 emits 3 rows; a restart with 2
     NEW rows in the payload emits only those 2 (checkpointed offset, ST2)."""
