@@ -16,10 +16,16 @@ from airflow_spotify_etl_spark.plans import all_queries
 
 
 def _final_plan(df) -> str:
-    """Execute (noop write) and return the FINAL adaptive plan — AQE's
-    runtime join/partition choices only exist after an action."""
-    df.write.format("noop").mode("overwrite").save()
-    return df._jdf.queryExecution().executedPlan().toString()
+    """Execute the DataFrame's own query execution and return the FINAL
+    adaptive plan — AQE's runtime join/partition choices only exist after
+    an action on THIS plan (a noop write spawns a separate execution and
+    leaves df's plan pre-AQE)."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=false" not in plan, "plan did not finalize"
+    # Drop the appended pre-AQE "Initial Plan" section — assert only on
+    # what actually ran.
+    return plan.split("== Initial Plan ==")[0]
 
 
 @pytest.fixture(scope="module")
