@@ -69,7 +69,10 @@ def run_recently_played_stream(
     )
     q.awaitTermination()
 
-    sunk = spark.read.parquet(sink_path)
+    try:
+        sunk = spark.read.parquet(sink_path)
+    except Exception:  # empty first drain: sink dir not created yet (F1)
+        return {"rows_in_sink": 0, "sink_path": sink_path, "status": "no_data"}
     row = sunk.agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("artist_name").alias("unique_artists"),

@@ -196,6 +196,42 @@ def test_sessionized_stream_gap_semantics(spark, tmp_path):
     assert sessions == {(1, _ts(0), 2), (1, _ts(120), 1)}
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Purchases join clicks by the same user within the gap window; a
+    purchase outside the window matches nothing."""
+    from airflow_spotify_etl_spark.streaming.joins import interval_join_stream
+
+    src = str(tmp_path / "src")
+    rows = _rows(
+        (1, 0, 1, "click", 1.0),
+        (2, 20, 1, "purchase", 9.0),   # 20min after the click → joins
+        (3, 300, 2, "click", 1.0),
+        (4, 450, 2, "purchase", 5.0),  # 150min after → outside 1h gap
+    )
+    _write_batch(spark, src, rows)
+
+    def stream():
+        return spark.readStream.schema(SCHEMA).parquet(src)
+
+    clicks = stream().filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = stream().filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = interval_join_stream(
+        clicks, purchases, on="user_id",
+        left_ts="click_ts", right_ts="purchase_ts", max_gap="1 hour",
+    )
+    out = run_to_memory(spark, joined, _memname())
+    got = {(r.user_id, r.click_id, r.purchase_id) for r in out.collect()}
+    assert got == {(1, 1, 2)}
+
+
 def test_stateful_running_totals_accumulate_across_batches(spark, tmp_path):
     """applyInPandasWithState: per-user lifetime totals must carry state
     across separate availableNow drains (checkpointed state store)."""
