@@ -38,6 +38,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash_signatures",
     "simhash_pairs",
+    "connected_components",
 ]
 
 # Modulus for the universal-hash family: smallest prime > 2^32. With
@@ -156,6 +157,62 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "na", "nb", "jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(doc_id, component) for every doc in the pair list, where component
+    is the minimum doc id reachable through near-dup edges.
+
+    Pairwise dedup output is not yet a dedup DECISION: near-dup relations
+    chain (A~B, B~C), so keeping "one of each pair" can still keep two docs
+    of one cluster. This resolves pairs into clusters by min-label
+    propagation: each round, every node adopts the smallest label among
+    itself and its neighbors; converges in O(cluster diameter) rounds —
+    near-dup clusters are shallow (diameter ≤ a few hops), so a handful of
+    joins suffices. Each round is one shuffle join; the frontier is
+    localCheckpointed so the lineage doesn't grow exponentially. At massive
+    cluster diameters switch to pointer-doubling (log-diameter rounds) —
+    same join primitive, documented here as the scale-out path."""
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_comp", F.col("component"))
+                ).alias("component"),
+                (F.coalesce("nbr_comp", F.col("component")) < F.col("component")).alias(
+                    "_changed"
+                ),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = updated.filter("_changed").count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    return labels
 
 
 def _hash_params(k: int) -> list[tuple[int, int]]:

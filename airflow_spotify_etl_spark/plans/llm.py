@@ -338,6 +338,104 @@ def q29_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predict_lang(docs, profiles).orderBy("doc_id")
 
 
+def q42_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (dedup tier 5): exact-Jaccard pairs (the q24
+    edges) resolved into connected components by iterative min-label
+    propagation, then per-cluster keeper + size — the actual dedup
+    decision a corpus build executes. Oracle: DuckDB recursive-CTE
+    transitive closure over the identical edge list."""
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000)
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .orderBy("component")
+    )
+
+
+_Q42_SQL = """
+WITH RECURSIVE sh_raw AS (
+  SELECT doc_id, unnest(list_distinct(
+           [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+         )) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), sh AS (
+  SELECT doc_id, shingle FROM sh_raw
+  WHERE shingle NOT IN (
+    SELECT shingle FROM sh_raw GROUP BY shingle HAVING count(*) > 1000
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(inter / (sa.n_shingles + sb.n_shingles - inter), 4) >= 0.5
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), reach(node, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT x.node, e.b FROM reach x JOIN edges e ON x.r = e.a
+), comp AS (
+  SELECT node AS doc_id, least(node, min(r)) AS component
+  FROM reach GROUP BY node
+)
+SELECT component, count(*) AS cluster_size, min(doc_id) AS keeper_doc_id
+FROM comp GROUP BY component ORDER BY component
+"""
+
+
+def q43_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary builder (tokenizer-training input): BPE-ish token
+    frequencies + document frequencies, top 200. One explode + one grouped
+    aggregate — the shuffle key (token) is capped by the top-K, and the
+    count/count-distinct partials combine map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe_pattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit(bpe_pattern), 0)).alias(
+            "token"
+        ),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(200)
+    )
+
+
+_Q43_SQL = r"""
+SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS token
+  FROM documents
+)
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 200
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -351,6 +449,8 @@ QUERIES = {
     "q27_ivf_topk": q27_ivf_topk,
     "q28_embedding_near_dups": q28_embedding_near_dups,
     "q29_lang_id": q29_lang_id,
+    "q42_dedup_clusters": q42_dedup_clusters,
+    "q43_vocabulary": q43_vocabulary,
 }
 
 ORACLES = {
@@ -361,6 +461,8 @@ ORACLES = {
     "q22_cosine_topk": _Q22_SQL,
     "q23_fingerprint": _Q23_SQL,
     "q24_ngram_jaccard_pairs": _Q24_SQL,
+    "q42_dedup_clusters": _Q42_SQL,
+    "q43_vocabulary": _Q43_SQL,
     # q25-q29 are rows-only: hash families / iterative refinement aren't
     # SQL-portable; their correctness is asserted against exact counterparts
     # in tests/test_dedup.py, test_similarity.py, test_text.py.

@@ -80,3 +80,17 @@ def test_simhash_finds_exact_duplicates(spark):
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(df).collect()}
     assert pairs.get((1, 2)) == 0
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_connected_components_known_graph(spark):
+    """Chain 1-2-3 and pair 10-11: labels converge to each cluster's min id
+    (the transitive case pairwise dedup alone gets wrong)."""
+    from airflow_spotify_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_id, r.component) for r in connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
