@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import exact_dedup, minhash_lsh_pairs
+from ..operators.dedup import connected_components, exact_dedup, minhash_lsh_pairs
 from ..operators.text import fit_lang_profiles, predict_lang
 from ..sinks.writers import summary_record
 
@@ -85,9 +85,12 @@ def run_corpus_pipeline(
     n_exact = uniq.count()
 
     # 4. near-dedup — LSH candidates + candidate-only verification on the
-    # exact-deduped survivors; drop the higher doc_id of each near-dup pair.
+    # exact-deduped survivors, resolved into CLUSTERS (near-dup relations
+    # chain: dropping "the higher doc of each pair" would still keep two
+    # docs of one A~B~C chain); keep the minimum doc_id per component.
     near = minhash_lsh_pairs(uniq, threshold=near_dup_threshold)
-    drop = near.select(F.col("doc_b").alias("doc_id")).distinct()
+    comp = connected_components(near)
+    drop = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     final = uniq.join(drop, "doc_id", "left_anti")
 
     # 5. fingerprint + partitioned write (by predicted language).
