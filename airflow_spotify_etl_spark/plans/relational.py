@@ -823,6 +823,41 @@ ORDER BY event_type
 """
 
 
+def q44_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (§2.4 extension, completing the rollup/pivot
+    family): all 4 aggregation granularities of (event_type, event_date)
+    in ONE pass — Catalyst expands the grouping sets before the single
+    shuffle rather than scanning per granularity."""
+    ev = _t(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    return (
+        ev.cube("event_type", "event_date")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.date_format("event_date", "yyyy-MM-dd"), F.lit("(all)")).alias(
+                "event_date"
+            ),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("event_type", "event_date")
+    )
+
+
+_Q44_SQL = """
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(strftime(event_date, '%Y-%m-%d'), '(all)') AS event_date,
+       n_events, total_value
+FROM (
+  SELECT event_type, CAST(ts AS DATE) AS event_date,
+         count(*) AS n_events, round(sum(value), 2) AS total_value
+  FROM events
+  GROUP BY CUBE (event_type, CAST(ts AS DATE))
+)
+ORDER BY event_type, event_date
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -846,6 +881,7 @@ QUERIES = {
     "q39_above_type_average": q39_above_type_average,
     "q40_big_customers": q40_big_customers,
     "q41_value_percentiles": q41_value_percentiles,
+    "q44_cube_counts": q44_cube_counts,
 }
 
 ORACLES = {
@@ -871,4 +907,5 @@ ORACLES = {
     "q39_above_type_average": _Q39_SQL,
     "q40_big_customers": _Q40_SQL,
     "q41_value_percentiles": _Q41_SQL,
+    "q44_cube_counts": _Q44_SQL,
 }

@@ -149,6 +149,24 @@ def test_oauth_user_auth_refreshes_and_caches(spark, transport, tmp_path):
     assert len(transport.calls) == n_calls
 
 
+def test_fetch_partitioned_handles_empty_partitions(spark):
+    """Executor-side fan-out: partitions whose keys return no records must
+    still yield schema-conformant (empty) frames (ADVICE r1 fix)."""
+    from airflow_spotify_etl_spark.sources.rest import fetch_partitioned
+
+    keys = spark.createDataFrame([(k,) for k in "abcdefgh"], "key string").repartition(8)
+
+    def fetch_one(key: str) -> list[dict]:
+        if key in ("a", "b"):
+            return [{"key": key, "n": ord(key)}]
+        return []  # sparse partition
+
+    out = fetch_partitioned(spark, keys, fetch_one, "key string, n long")
+    rows = {(r.key, r.n) for r in out.collect()}
+    assert rows == {("a", 97), ("b", 98)}
+    assert out.columns == ["key", "n"]
+
+
 # -- composed end-to-end flows (the reference's three entry points) --------
 
 def test_top_tracks_etl_end_to_end(spark, source, tmp_path):
