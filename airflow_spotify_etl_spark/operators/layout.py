@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["write_bucketed", "salted_count_distinct", "salted_join"]
+__all__ = [
+    "write_bucketed",
+    "write_range_clustered",
+    "salted_count_distinct",
+    "salted_join",
+]
 
 
 def write_bucketed(
@@ -48,6 +53,29 @@ def write_bucketed(
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int = 32,
+) -> None:
+    """Range-cluster a table on ``cluster_cols`` at write time:
+    ``repartitionByRange`` gives each output file a DISJOINT value range,
+    and ``sortWithinPartitions`` orders rows inside each file. Parquet
+    stores per-row-group min/max for every column, so a later filtered
+    scan on the cluster columns skips whole files/row-groups — the
+    open-source lever for time-series reads (cluster events by ts: a
+    one-day query over 100 TB touches ~1/365th of the files). The range
+    boundaries come from a sampled sketch of the data — one extra sampling
+    pass, no full sort."""
+    (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
 
 
 def salted_count_distinct(

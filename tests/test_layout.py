@@ -42,6 +42,31 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {tr}")
 
 
+def test_range_clustered_files_have_disjoint_ranges(spark, sf_dir, tmp_path):
+    """Each output file covers a disjoint ts range → parquet min/max stats
+    let filtered scans skip whole files."""
+    import pathlib
+
+    from airflow_spotify_etl_spark.operators.layout import write_range_clustered
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "clustered")
+    write_range_clustered(ev, out, ["ts"], n_files=8)
+
+    files = sorted(str(p) for p in pathlib.Path(out).glob("*.parquet"))
+    assert len(files) >= 4
+    ranges = []
+    for f in files:
+        row = spark.read.parquet(f).agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).collect()[0]
+        ranges.append((row["lo"], row["hi"]))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next  # disjoint (boundary rows may touch)
+    assert spark.read.parquet(out).count() == ev.count()
+
+
 def test_salted_count_distinct_is_exact(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     exact = {
