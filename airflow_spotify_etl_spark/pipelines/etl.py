@@ -111,7 +111,13 @@ def run_recently_played_etl(
     if report["status"] == "empty":
         return {"tracks_processed": 0, "status": "no_data"}
 
-    appended = append_table(flat.drop("played_ts"), db_path, key="played_at")
+    # Partition the sink by the date slice: downstream reads of "recent
+    # days" prune to those directories, and the anti-join's key scan
+    # stays bounded at scale.
+    appended = append_table(
+        flat.drop("played_ts"), db_path, key="played_at",
+        partition_date_col="timestamp",
+    )
 
     stats = summary_record(
         flat,
