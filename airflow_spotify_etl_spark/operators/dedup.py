@@ -82,30 +82,29 @@ def shingle(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: in
     )
 
 
-def _doc_sizes(sh: DataFrame) -> DataFrame:
-    return sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-
-
-def _capped_shingles(
+def _sized_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int, max_bucket: int | None
-) -> tuple[DataFrame, DataFrame]:
-    """(sizes, joinable) shingle views sharing ONE shuffle.
+) -> DataFrame:
+    """(doc_id, shingle, n_shingles, _bucket_n) rows with BOTH pruning
+    counters attached as window columns — no side tables, so downstream
+    never joins doc sizes back in (a size join invites the planner to
+    broadcast a misestimated pair aggregate; at 50k-doc stress that OOMed
+    the driver).
 
-    A windowed per-shingle doc count serves two pruning rules at once:
-    - hot-bucket cap (> max_bucket): boilerplate shingles carry no dedup
-      signal and would make the self-join quadratic in the bucket;
-    - singleton drop (< 2 docs): a shingle held by one doc can never
-      produce a pair, so it leaves the JOIN input (typically the large
-      majority of shingles) — but stays in the doc-size denominator.
+    - ``_bucket_n`` (docs per shingle): hot-bucket cap (> max_bucket drops
+      boilerplate shingles — no dedup signal, quadratic cost) and the
+      singleton prune downstream (< 2 docs can't form a pair).
+    - ``n_shingles`` (per doc, counted AFTER the cap, matching the oracle's
+      denominator): rides along into pair expansion.
     """
     sh = shingle(df, text_col, id_col, n).withColumn(
-        "_n_docs", F.count("*").over(W.partitionBy("shingle"))
+        "_bucket_n", F.count("*").over(W.partitionBy("shingle"))
     )
     if max_bucket:
-        sh = sh.filter(F.col("_n_docs") <= max_bucket)
-    sizes = _doc_sizes(sh.drop("_n_docs"))
-    joinable = sh.filter(F.col("_n_docs") >= 2).drop("_n_docs")
-    return sizes, joinable
+        sh = sh.filter(F.col("_bucket_n") <= max_bucket)
+    return sh.withColumn(
+        "n_shingles", F.count("*").over(W.partitionBy("doc_id"))
+    )
 
 
 def ngram_jaccard_pairs(
@@ -119,38 +118,35 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
 
     intersection counted from per-shingle doc buckets: groupBy(shingle) →
-    collect_list(doc_id) → pair expansion via a double explode — the
-    join-free formulation of the textbook shingle self-join. One shuffle
-    builds the buckets (the self-join variant shuffles the shingle table
-    three times with no exchange reuse); the hot-bucket cap bounds every
-    collected array at max_bucket ids, so bucket arrays stay small by
-    construction at any corpus size, and singleton buckets (most of any
-    real corpus) exit before expansion — they cannot produce a pair."""
-    sh = shingle(df, text_col, id_col, n)
-    buckets = sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("ids"))
-    if max_bucket:
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
-    sizes = (
-        buckets.select(F.explode("ids").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shingles"))
+    collect_list(struct(doc_id, n_shingles)) → pair expansion via a double
+    explode — the JOIN-FREE formulation of the textbook shingle self-join.
+    Doc sizes travel inside the bucket structs, so the union denominators
+    come out of the same aggregation that counts intersections: the plan
+    has zero joins, hence zero runtime broadcast decisions a misestimated
+    aggregate could derail (the join-back-sizes variant OOMed the driver
+    at a 50k-doc stress when AQE broadcast the pair table). The hot-bucket
+    cap bounds every collected array; singleton buckets exit before
+    expansion — they cannot produce a pair."""
+    sh = _sized_shingles(df, text_col, id_col, n, max_bucket)
+    buckets = (
+        sh.filter(F.col("_bucket_n") >= 2)
+        .groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc_id", "n_shingles")).alias("ids"))
     )
     expanded = (
-        buckets.filter(F.size("ids") >= 2)
-        .select(F.explode("ids").alias("doc_a"), "ids")
-        .select("doc_a", F.explode("ids").alias("doc_b"))
+        buckets.select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
     )
-    inter = (
-        expanded.filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    inter = expanded.groupBy(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    ).agg(
+        F.count("*").alias("inter"),
+        F.min("a.n_shingles").alias("na"),
+        F.min("b.n_shingles").alias("nb"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
         )
@@ -285,23 +281,31 @@ def minhash_lsh_pairs(
     # of LSH. Route each candidate pair through doc_a's shingles, then meet
     # doc_b's shingles on (doc_b, shingle): shuffle volume is
     # O(candidates × shingles/doc), never the full shingle self-join.
-    # Singletons can't intersect two docs, so only co-occurring shingles
-    # enter the intersection join; sizes keep every capped shingle.
-    sizes, joinable = _capped_shingles(df, text_col, id_col, n, max_bucket)
-    sh_a = joinable.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = joinable.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # Doc sizes ride on the shingle rows as window columns (see
+    # _sized_shingles) so no size join-back exists for the planner to
+    # misbroadcast; singleton shingles can't intersect two docs and are
+    # pruned from the routing.
+    sh = _sized_shingles(df, text_col, id_col, n, max_bucket).filter(
+        F.col("_bucket_n") >= 2
+    )
+    sh_a = sh.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("n_shingles").alias("na")
+    )
+    sh_b = sh.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("n_shingles").alias("nb")
+    )
     inter = (
         candidates.join(sh_a, "doc_a")
         .join(sh_b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
         )

@@ -62,10 +62,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Dlog4j2.level=warn")
     )
+    resolved_master = master or f"local[{cores}]"
     if os.environ.get("SPARK_GRAFT_DRIVER_MEM"):
         builder = builder.config(
             "spark.driver.memory", os.environ["SPARK_GRAFT_DRIVER_MEM"]
         )
+    elif resolved_master.startswith("local"):
+        # In local mode the driver JVM IS every executor; the JVM's ~1g
+        # default heap OOMs on wide shuffles long before the machine does.
+        builder = builder.config("spark.driver.memory", "16g")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
