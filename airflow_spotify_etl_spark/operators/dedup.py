@@ -56,55 +56,84 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def shingle(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(id, shingle) pairs: distinct word n-grams per document.
+def shingle(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, shingle) pairs: word n-grams per document (distinct by default).
 
-    posexplode + lead-window formulation — whole-stage codegen end to end.
-    (The seemingly-narrower alternative, transform/concat over the word
-    array, runs INTERPRETED — higher-order functions are CodegenFallback —
-    and benchmarks ~5x slower; the window's one small shuffle on doc_id is
-    the cheaper trade.) Docs with < n words produce no rows."""
-    words = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    NARROW formulation — explode an index sequence and slice the word array
+    by element_at: split → explode(sequence(1, len-n+1)) → concat_ws of
+    w[i..i+n-1]. Every expression is whole-stage codegen (element_at and
+    sequence are ordinary codegen expressions — unlike transform/aggregate
+    HOFs, which fall back to interpreted eval and bench ~5x slower), and
+    the phase needs ZERO shuffle: no window, no sort. The previous
+    lead-window formulation shuffled and sorted the entire word table
+    before any aggregate could combine map-side; this one hands downstream
+    per-doc aggregates raw narrow rows, so their partial aggregation (min
+    for MinHash, collect_set for sizing) collapses in-doc duplicates
+    BEFORE the exchange. Docs with < n words produce no rows.
+
+    ``distinct=False`` skips the dedup shuffle; use it when downstream is
+    a per-doc aggregate that is insensitive to duplicates (MinHash minima,
+    collect_set)."""
+    n_idx = F.size("_w") - (n - 1)
+    idx = F.when(n_idx >= 1, F.sequence(F.lit(1), n_idx)).otherwise(
+        F.array().cast("array<int>")
     )
-    w = W.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", j).over(w) for j in range(1, n)]
-    return (
-        words.select(
+    out = (
+        df.select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("_w"))
+        .select("doc_id", "_w", F.explode(idx).alias("_i"))
+        .select(
             "doc_id",
-            F.concat_ws(" ", *parts).alias("shingle"),
-            F.lead("w", n - 1).over(w).alias("_last"),
+            F.concat_ws(
+                " ", *[F.element_at("_w", F.col("_i") + j) for j in range(n)]
+            ).alias("shingle"),
         )
-        .filter(F.col("_last").isNotNull())
-        .drop("_last")
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def _sized_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int, max_bucket: int | None
 ) -> DataFrame:
     """(doc_id, shingle, n_shingles, _bucket_n) rows with BOTH pruning
-    counters attached as window columns — no side tables, so downstream
-    never joins doc sizes back in (a size join invites the planner to
-    broadcast a misestimated pair aggregate; at 50k-doc stress that OOMed
-    the driver).
+    counters attached in-row — no side tables, so downstream never joins
+    doc sizes back in (a size join invites the planner to broadcast a
+    misestimated pair aggregate; at 50k-doc stress that OOMed the driver).
+
+    TWO shuffles for the whole phase:
+    1. ``groupBy(doc_id).collect_set`` over the narrow shingle stream —
+       partial collect_set dedups in-doc shingles map-side, and one pass
+       yields both the distinct shingles AND ``n_shingles`` = size(set)
+       (replacing a distinct shuffle plus a separate size aggregation);
+    2. the ``_bucket_n`` count-window partitions by shingle; the caller's
+       ``groupBy("shingle")`` reuses THAT partitioning (no exchange).
 
     - ``_bucket_n`` (docs per shingle): hot-bucket cap (> max_bucket drops
       boilerplate shingles — no dedup signal, quadratic cost) and the
       singleton prune downstream (< 2 docs can't form a pair).
-    - ``n_shingles`` (per doc, counted AFTER the cap, matching the oracle's
-      denominator): rides along into pair expansion.
+    - ``n_shingles`` (per doc, counted BEFORE the cap): the cap bounds
+      candidate generation; Jaccard denominators stay the doc's true
+      distinct-shingle count. The oracle mirrors this (plans/llm.py).
     """
-    sh = shingle(df, text_col, id_col, n).withColumn(
-        "_bucket_n", F.count("*").over(W.partitionBy("shingle"))
+    sh = (
+        shingle(df, text_col, id_col, n, distinct=False)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("_shs"))
+        .select(
+            "doc_id",
+            F.size("_shs").alias("n_shingles"),
+            F.explode("_shs").alias("shingle"),
+        )
+        .withColumn("_bucket_n", F.count("*").over(W.partitionBy("shingle")))
     )
     if max_bucket:
         sh = sh.filter(F.col("_bucket_n") <= max_bucket)
-    return sh.withColumn(
-        "n_shingles", F.count("*").over(W.partitionBy("doc_id"))
-    )
+    return sh
 
 
 def ngram_jaccard_pairs(
@@ -230,8 +259,14 @@ def minhash_signatures(
     interpreted per element — and benchmark ~20x slower here than this
     fully whole-stage-codegen'd explode + hash-aggregate, whose map-side
     partial min means the shuffle carries only one 64-long row per doc per
-    partition."""
-    sh = shingle(df, text_col, id_col, n).withColumn("c", F.crc32("shingle"))
+    partition.
+
+    Duplicate in-doc shingles can't change a minimum, so the distinct pass
+    is skipped: the grouped min reuses the lead-window's doc_id
+    partitioning and the whole signature phase costs ONE exchange."""
+    sh = shingle(df, text_col, id_col, n, distinct=False).withColumn(
+        "c", F.crc32("shingle")
+    )
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("c") + F.lit(b), F.lit(_MERSENNE))).alias(f"h{i}")
         for i, (a, b) in enumerate(_hash_params(k))

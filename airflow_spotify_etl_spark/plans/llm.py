@@ -108,7 +108,10 @@ def q20_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.countDistinct("source").alias("n_sources"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            # Unrounded exact division of an exact integer sum: identical
+            # doubles in every engine. round(avg, 2) is the trap — Spark
+            # rounds the shortest decimal repr, DuckDB the binary value.
+            (F.sum("n_chars") / F.count("n_chars")).alias("avg_chars"),
             # total as exact integer — dividing an int sum by 1000 then
             # rounding lands exactly on .xx5 boundaries where Spark
             # (decimal-string HALF_UP) and DuckDB (binary-double) disagree.
@@ -122,7 +125,7 @@ _Q20_SQL = """
 SELECT lang,
        count(*)                       AS n_docs,
        count(DISTINCT source)         AS n_sources,
-       round(avg(n_chars), 2)         AS avg_chars,
+       CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_chars,
        CAST(sum(n_chars) AS BIGINT)   AS total_chars
 FROM documents
 GROUP BY lang
@@ -266,7 +269,9 @@ WITH sh_raw AS (
     SELECT shingle FROM sh_raw GROUP BY shingle HAVING count(*) > 1000
   )
 ), sizes AS (
-  SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+  -- pre-cap sizes: the cap bounds candidate generation only; Jaccard
+  -- denominators stay the doc's true distinct-shingle count
+  SELECT doc_id, count(*) AS n_shingles FROM sh_raw GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -371,7 +376,9 @@ WITH RECURSIVE sh_raw AS (
     SELECT shingle FROM sh_raw GROUP BY shingle HAVING count(*) > 1000
   )
 ), sizes AS (
-  SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+  -- pre-cap sizes: the cap bounds candidate generation only; Jaccard
+  -- denominators stay the doc's true distinct-shingle count
+  SELECT doc_id, count(*) AS n_shingles FROM sh_raw GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -77,3 +77,21 @@ def test_lsh_pairs_finds_planted_duplicates(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = {(r.vec_a, r.vec_b) for r in cosine_pairs_lsh(df, threshold=0.95).collect()}
     assert (0, 100) in got
+
+
+def test_pandas_assignment_matches_hof(spark, emb):
+    # The Arrow/numpy assignment twin must agree with the built-in argmax
+    # projection cell-for-cell (same unit centroids, same tie-break).
+    from airflow_spotify_etl_spark.operators.similarity import (
+        _assign_cells,
+        _centroids,
+        assign_cells_pandas,
+    )
+
+    cents = _centroids(emb, "embedding", "vec_id", nlist=8, dim=64)
+    hof = _assign_cells(emb, cents, "embedding", "vec_id").select("vec_id", "cell")
+    pnd = assign_cells_pandas(emb, cents, "embedding", "vec_id").select(
+        "vec_id", F.col("cell").alias("pcell")
+    )
+    diff = hof.join(pnd, "vec_id").filter(F.col("cell") != F.col("pcell")).count()
+    assert diff == 0
