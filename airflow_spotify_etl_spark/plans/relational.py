@@ -17,8 +17,11 @@ Scale notes (100 TB design):
   expressions) — the reference re-scans per statistic (spotify_etl.py:265
   then :279 recomputes the mean; spotify_etl2.py:272-274 three passes);
   Catalyst computes all partials in one scan here.
-- Floating-point aggregates are rounded to 2 decimals in BOTH engines so the
-  order-insensitive value hash is stable under summation-order differences.
+- Money aggregates sum in DECIMAL (exact, order-independent) and averages
+  divide the exact sum by the exact count unrounded, so the value hash is
+  bit-stable across engines and runs — see `_dec`. round() on a double is
+  the one non-portable op (Spark rounds the shortest decimal repr, DuckDB
+  the binary value); it appears only where inputs are exact decimals.
 """
 
 from __future__ import annotations
@@ -38,6 +41,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _dec(col: str, scale: str = "decimal(18,2)"):
+    """Exact decimal view of a fixed-2-decimal measure stored as double.
+
+    Money sums MUST aggregate in decimal, not double: a double sum's last
+    ulp depends on partial-aggregate arrival order (nondeterministic across
+    runs and across engines), and round(·, 2) of a value sitting on a .xx5
+    boundary then flips between HALF_UP engines and binary-double engines.
+    Decimal sums are exact and order-independent, so the rounded output is
+    bit-identical everywhere. Averages divide the exact decimal sum (cast
+    to double) by the exact count — identical IEEE division in any engine —
+    and skip the final round entirely (Spark rounds the shortest decimal
+    repr, DuckDB rounds the binary value; on identical doubles they can
+    still disagree at a .xx5 repr)."""
+    return F.col(col).cast(scale)
+
+
 # --------------------------------------------------------------------------
 # Aggregation suite (A1-A7): TPC-H Q1-style pricing summary.
 # --------------------------------------------------------------------------
@@ -46,25 +65,22 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     A6 round — reference computes each stat in a separate pass,
     spotify_etl.py:264-265, spotify_etl2.py:272-274)."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    price = _dec("l_extendedprice")
+    disc = _dec("l_discount", "decimal(4,2)")
+    tax = _dec("l_tax", "decimal(4,2)")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            # l_quantity is integer-valued: double sums are already exact.
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.round(F.sum(price * (1 - disc)), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(price * (1 - disc) * (1 + tax)), 2)
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count("l_extendedprice")).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count("l_discount")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -73,13 +89,18 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q01_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                            AS sum_qty,
-       round(sum(l_extendedprice), 2)                                       AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
-       round(avg(l_quantity), 2)                                            AS avg_qty,
-       round(avg(l_extendedprice), 2)                                       AS avg_price,
-       round(avg(l_discount), 2)                                            AS avg_disc,
+       sum(l_quantity)                                                      AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)          AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE)   AS sum_charge,
+       sum(l_quantity) / count(l_quantity)                                  AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         / count(l_extendedprice)                                           AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+         / count(l_discount)                                                AS avg_disc,
        count(*)                                                             AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -110,8 +131,11 @@ def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount", "decimal(4,2)"))),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
         .withColumn("o_orderdate", F.to_date("o_orderdate"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -121,7 +145,8 @@ def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q02_SQL = """
 SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -145,8 +170,9 @@ def q03_segment_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT c_mktsegment,
                count(*)                   AS n_orders,
-               round(avg(o_totalprice), 2) AS avg_order_value,
-               round(sum(o_totalprice), 2) AS total_value
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(o_totalprice)     AS avg_order_value,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM orders JOIN customer ON o_custkey = c_custkey
         WHERE o_orderdate >= (SELECT max(o_orderdate) - INTERVAL 90 DAYS FROM orders)
         GROUP BY c_mktsegment
@@ -159,8 +185,9 @@ def q03_segment_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q03_SQL = """
 SELECT c_mktsegment,
        count(*)                    AS n_orders,
-       round(avg(o_totalprice), 2) AS avg_order_value,
-       round(sum(o_totalprice), 2) AS total_value
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         / count(o_totalprice)     AS avg_order_value,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM orders JOIN customer ON o_custkey = c_custkey
 WHERE o_orderdate >= (SELECT max(o_orderdate) - INTERVAL 90 DAY FROM orders)
 GROUP BY c_mktsegment
@@ -197,8 +224,11 @@ def q04_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+                F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount", "decimal(4,2)"))),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
@@ -207,7 +237,8 @@ def q04_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q04_SQL = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
        count(*)                                          AS n_lineitems
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -234,7 +265,7 @@ def q05_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("user_id").alias("n_users"),
-        F.round(F.avg("value"), 2).alias("avg_value"),
+        (F.sum(_dec("value")).cast("double") / F.count("value")).alias("avg_value"),
         F.unix_micros(F.min("ts")).alias("first_ts_us"),
         F.unix_micros(F.max("ts")).alias("last_ts_us"),
         F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
@@ -244,7 +275,7 @@ def q05_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q05_SQL = """
 SELECT count(*)                                   AS n_rows,
        count(DISTINCT user_id)                    AS n_users,
-       round(avg(value), 2)                       AS avg_value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value,
        epoch_us(min(ts))                          AS first_ts_us,
        epoch_us(max(ts))                          AS last_ts_us,
        count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
@@ -261,7 +292,7 @@ def q06_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.avg("value"), 2).alias("avg_value"),
+            (F.sum(_dec("value")).cast("double") / F.count("value")).alias("avg_value"),
             F.to_date(F.min("ts")).alias("first_date"),
             F.to_date(F.max("ts")).alias("last_date"),
             F.count_if(F.col("value") > 100.0).alias("n_high_value"),
@@ -274,7 +305,7 @@ _Q06_SQL = """
 SELECT event_type,
        count(*)                              AS n_events,
        count(DISTINCT user_id)               AS n_users,
-       round(avg(value), 2)                  AS avg_value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value,
        CAST(min(ts) AS DATE)                 AS first_date,
        CAST(max(ts) AS DATE)                 AS last_date,
        count(*) FILTER (WHERE value > 100.0) AS n_high_value
@@ -295,7 +326,7 @@ def q07_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
         )
         .orderBy("event_date")
     )
@@ -305,7 +336,7 @@ _Q07_SQL = """
 SELECT CAST(ts AS DATE)     AS event_date,
        count(*)             AS n_events,
        count(DISTINCT user_id) AS n_users,
-       round(sum(value), 2) AS total_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY CAST(ts AS DATE)
 ORDER BY event_date
@@ -321,7 +352,7 @@ def q08_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUNDED total then user_id so both engines pick identical rows."""
     ev = _t(spark, sf_dir, "events")
     per_user = ev.groupBy("event_type", "user_id").agg(
-        F.round(F.sum("value"), 2).alias("total_value"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
         F.count("*").alias("n_events"),
     )
     w = W.partitionBy("event_type").orderBy(
@@ -343,7 +374,7 @@ FROM (
                             ORDER BY total_value DESC, user_id) AS rank
   FROM (
     SELECT event_type, user_id,
-           round(sum(value), 2) AS total_value,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
            count(*)             AS n_events
     FROM events GROUP BY event_type, user_id
   )
@@ -537,7 +568,10 @@ def q15_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
     return (
         ev.rollup("event_type", "event_date")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
         # Rollup NULL keys → '(all)' sentinels so the subtotal rows hash
         # identically across engines (and read better downstream).
         .select(
@@ -558,7 +592,8 @@ SELECT coalesce(event_type, '(all)') AS event_type,
        n_events, total_value
 FROM (
   SELECT event_type, CAST(ts AS DATE) AS event_date,
-         count(*) AS n_events, round(sum(value), 2) AS total_value
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
   FROM events
   GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
 )
@@ -583,7 +618,7 @@ def q16_shipdate_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_shipped_90d"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
         )
         .orderBy("o_orderpriority")
     )
@@ -592,7 +627,7 @@ def q16_shipdate_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q16_SQL = """
 SELECT o_orderpriority,
        count(*)                         AS n_shipped_90d,
-       round(sum(l_extendedprice), 2)   AS total_price
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= o_orderdate
   AND l_shipdate <  o_orderdate + INTERVAL 90 DAY
@@ -735,7 +770,9 @@ def q39_above_type_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT p_partkey, p_type, round(p_retailprice, 2) AS price
         FROM part p
         WHERE p_retailprice > 1.02 * (
-            SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type
+            SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+           / count(p2.p_retailprice)
+    FROM part p2 WHERE p2.p_type = p.p_type
         )
         ORDER BY p_partkey
         """
@@ -746,7 +783,9 @@ _Q39_SQL = """
 SELECT p_partkey, p_type, round(p_retailprice, 2) AS price
 FROM part p
 WHERE p_retailprice > 1.02 * (
-    SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type
+    SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+           / count(p2.p_retailprice)
+    FROM part p2 WHERE p2.p_type = p.p_type
 )
 ORDER BY p_partkey
 """
@@ -764,7 +803,7 @@ def q40_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.c_custkey, c.c_name, b.n_orders, b.total_spend
         FROM (
             SELECT o_custkey, count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS total_spend
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
             FROM orders
             GROUP BY o_custkey
             HAVING count(*) >= 8
@@ -780,7 +819,7 @@ _Q40_SQL = """
 SELECT c.c_custkey, c.c_name, b.n_orders, b.total_spend
 FROM (
     SELECT o_custkey, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_spend
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
     FROM orders
     GROUP BY o_custkey
     HAVING count(*) >= 8
@@ -831,7 +870,10 @@ def q44_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
     return (
         ev.cube("event_type", "event_date")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
         .select(
             F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
             F.coalesce(F.date_format("event_date", "yyyy-MM-dd"), F.lit("(all)")).alias(
@@ -850,7 +892,8 @@ SELECT coalesce(event_type, '(all)') AS event_type,
        n_events, total_value
 FROM (
   SELECT event_type, CAST(ts AS DATE) AS event_date,
-         count(*) AS n_events, round(sum(value), 2) AS total_value
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
   FROM events
   GROUP BY CUBE (event_type, CAST(ts AS DATE))
 )

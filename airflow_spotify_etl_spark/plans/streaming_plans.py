@@ -62,7 +62,12 @@ def q31_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # Decimal sum: exact and order-independent, so the hash is
+            # stable across engines and runs (see plans/relational._dec).
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
         .select(
             F.unix_micros(F.col("w.start")).alias("window_start_us"),
             "event_type",
@@ -77,7 +82,7 @@ _Q31_SQL = """
 SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
        event_type,
        count(*)             AS n_events,
-       round(sum(value), 2) AS total_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
 ORDER BY window_start_us, event_type
