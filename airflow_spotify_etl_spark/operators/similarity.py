@@ -80,41 +80,22 @@ def cosine_topk(
     )
 
 
-def _centroid_array(centroids: list[tuple[int, list[float]]]):
-    """Literal array<struct<cell,cv>> expression from driver-side centroids,
-    with each centroid UNIT-NORMALIZED in Python first: dot(v, ĉ) then ranks
-    identically to dot(v, c)/|c| and the per-row per-cell norm fold (an
-    interpreted array aggregate) disappears from the executor entirely.
-    nlist × dim doubles (e.g. 16 × 64 = 1k literals) — tiny by design; ships
-    with the plan to every executor, no join needed."""
-    arr = []
-    for cell, cv in centroids:
+def _unit_mat(centroids: list[tuple[int, list[float]]]):
+    """ONE literal ``array<array<double>>`` of unit-normalized centroids,
+    indexed by cell id (``_centroids`` emits dense ids 0..nlist-1, so the
+    array position IS the cell). A single Literal node — building it as
+    nlist × dim nested ``F.lit`` calls instead gives Catalyst a thousand-node
+    expression tree and costs ~1 s of analysis/optimization per query at
+    nlist=16, growing with nlist. Unit-normalizing driver-side makes every
+    executor-side score a plain dot product: dot(v, ĉ) ranks identically to
+    dot(v, c)/|c|, and the per-row per-cell norm fold (interpreted, like all
+    array aggregates) disappears entirely."""
+    mat = []
+    for cell, cv in sorted(centroids):
+        assert cell == len(mat), "centroid cell ids must be dense 0..nlist-1"
         n = sum(x * x for x in cv) ** 0.5 or 1.0
-        arr.append(
-            F.struct(
-                F.lit(int(cell)).alias("cell"),
-                F.array(*[F.lit(float(x) / n) for x in cv]).alias("cv"),
-            )
-        )
-    return F.array(*arr)
-
-
-def _seed_centroids(
-    corpus: DataFrame, vec_col: str, id_col: str, nlist: int
-) -> list[tuple[int, list[float]]]:
-    """Deterministic pseudo-random seed vectors: the nlist lowest-xxhash64(id)
-    rows. orderBy+limit compiles to TakeOrderedAndProject (per-partition
-    top-nlist + driver merge) — no full sort, no shuffle — and hash order
-    decorrelates the sample from any id-assignment pattern. Pass the
-    TRAINING SAMPLE, not the full corpus: the lowest-hash rows of a uniform
-    hash slice are just as pseudo-random, and the scan is sample-sized."""
-    rows = (
-        corpus.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("cv"))
-        .orderBy(F.xxhash64("_id"), F.col("_id"))
-        .limit(nlist)
-        .collect()
-    )
-    return [(i, list(r["cv"])) for i, r in enumerate(rows)]
+        mat.append([float(x) / n for x in cv])
+    return F.lit(mat)
 
 
 def _centroids(
@@ -123,52 +104,40 @@ def _centroids(
     id_col: str,
     nlist: int,
     dim: int,
-    sample_mod: int = 8,
+    max_train: int = 16384,
+    lloyd_iters: int = 2,
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic centroids: pseudo-random seeds + one Lloyd refinement
-    (assign + per-cell mean) over a 1/sample_mod HASH SAMPLE of the corpus.
-    Training on a sample is the scale-correct shape — at 100 TB nobody runs
-    Lloyd over the full corpus; a uniform hash slice gives the same cell
-    means in expectation at a fraction of the scan, and xxhash64(id) keeps
-    it deterministic across runs (no Date/random). Returns a driver-side
-    list — the centroid table is nlist rows by construction, so collecting
-    it is the point: it then rides into the assignment projection as a
-    broadcast literal instead of a join side. The refinement's only shuffle
-    is the (cell, dim) partial aggregate — nlist × dim groups, independent
-    of corpus size.
-
-    The sample is CACHED for the training phase: seeds and the refinement
-    both read the one sample-sized relation, so the full corpus is scanned
-    zero times during training (the caller's search scan is the only full
-    pass)."""
-    sample = corpus.select(id_col, vec_col).filter(
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0
-    )
-    sample.persist()
-    try:
-        seeds = _seed_centroids(sample, vec_col, id_col, nlist)
-        assigned = _assign_cells(sample, seeds, vec_col, id_col)
-        refined = _refine(assigned, vec_col)
-    finally:
-        sample.unpersist()
-    out = dict(seeds)
-    out.update(refined)
-    return sorted(out.items())
-
-
-def _refine(assigned: DataFrame, vec_col: str) -> list[tuple[int, list[float]]]:
-    refined = (
-        assigned.select("cell", F.posexplode(_as_double(vec_col)).alias("i", "x"))
-        .groupBy("cell", "i")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pairs"))
-        .select("cell", F.transform("pairs", lambda p: p["m"]).alias("cv"))
+    """Deterministic centroids: ONE Spark job collects a bounded training
+    sample (the max_train lowest-xxhash64(id) rows — TakeOrderedAndProject,
+    per-partition top-k + driver merge, no full sort), then Lloyd runs
+    driver-side in numpy. This is the FAISS shape: IVF training always uses
+    a bounded sample (a hash slice is pseudo-random and deterministic — no
+    Date/random), because cell means from ~1k vectors/cell are as good as
+    cell means from the full corpus, and a driver matmul over ≤16k×dim
+    beats a multi-job distributed Lloyd whose every step is scheduling
+    overhead. Seeds are the nlist lowest-hash rows, ties to the lowest id;
+    an emptied cell keeps its previous centroid so the cell-id space stays
+    dense. Returns a driver-side list that rides into the assignment
+    projection as a broadcast literal instead of a join side."""
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("cv"))
+        .orderBy(F.xxhash64("_id"), F.col("_id"))
+        .limit(max_train)
         .collect()
     )
-    # Caller merges over the seeds: a cell the sample never hit keeps its
-    # seed vector, so the cell-id space stays dense regardless of draw.
-    return [(r["cell"], list(r["cv"])) for r in refined]
+    X = np.array([list(r["cv"]) for r in rows], dtype="float64")
+    cents = X[:nlist].copy()
+    for _ in range(lloyd_iters):
+        # Nearest by cosine ≡ argmax of dot against unit centroids (|x|
+        # constant per row); first-max ties to the lowest cell id, matching
+        # the executor-side assignment's tie-break.
+        unit = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(X @ unit.T, axis=1)
+        for c in range(nlist):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return [(i, [float(x) for x in cents[i]]) for i in range(nlist)]
 
 
 def _assign_cells(
@@ -180,22 +149,22 @@ def _assign_cells(
     for the corpus×nlist join+window (which explodes rows nlist× and
     shuffles the whole corpus). Ties break to the lowest cell id.
 
-    Ranking is by dot(v,ĉ) against unit centroids (see _centroid_array):
-    |v| is constant across cells and |ĉ|=1, so the argmax equals the cosine
-    argmax with one fused multiply-add fold per cell. The double-cast of the
-    vector binds ONCE via a scratch column — folds are interpreted, so
-    repeating the cast per cell would multiply the scan cost nlist×."""
-    scored = F.transform(
-        _centroid_array(centroids),
-        lambda c: F.struct(
-            _dot(F.col("_vd"), c["cv"]).alias("sim"),
-            (-c["cell"]).alias("neg_cell"),
-        ),
-    )
+    Ranking is by dot(v,ĉ) against unit centroids (see _unit_mat): |v| is
+    constant across cells and |ĉ|=1, so the argmax equals the cosine argmax
+    with one fused multiply-add fold per cell. The argmax itself is
+    array_position(sims, array_max(sims)) — first occurrence, so ties break
+    to the lowest cell id (matching np.argmax in the pandas twin). The
+    double-cast of the vector binds ONCE via a scratch column — folds are
+    interpreted, so repeating the cast per cell would multiply the scan
+    cost nlist×."""
+    sims = F.transform(_unit_mat(centroids), lambda cv: _dot(F.col("_vd"), cv))
     return (
         df.withColumn("_vd", _as_double(vec_col))
-        .withColumn("cell", -F.array_max(scored)["neg_cell"])
-        .drop("_vd")
+        .withColumn("_sims", sims)
+        .withColumn(
+            "cell", (F.array_position("_sims", F.array_max("_sims")) - 1).cast("int")
+        )
+        .drop("_vd", "_sims")
     )
 
 
@@ -265,10 +234,10 @@ def ivf_topk(
     # cosine.)
     qv = _as_double(vec_col)
     qscored = F.transform(
-        _centroid_array(cents),
-        lambda c: F.struct(
-            _dot(F.col("_qv"), c["cv"]).alias("sim"),
-            c["cell"].alias("cell"),
+        _unit_mat(cents),
+        lambda cv, i: F.struct(
+            _dot(F.col("_qv"), cv).alias("sim"),
+            i.alias("cell"),
         ),
     )
     probes = F.slice(F.reverse(F.array_sort(qscored)), 1, nprobe)
