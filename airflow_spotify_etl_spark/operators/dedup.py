@@ -285,11 +285,24 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     verify: bool = True,
     max_bucket: int | None = 1000,
+    max_band_bucket: int | None = 1000,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band the signature (bands × k/bands), meet
-    candidates in band buckets (equi-join on (band, band_hash)), then verify
-    candidates with exact Jaccard. With k=64, bands=16 (r=4) the S-curve
-    crosses ~0.5 at s ≈ (1/16)^(1/4) ≈ 0.5."""
+    candidates in band buckets, then verify candidates with exact Jaccard.
+    With k=64, bands=16 (r=4) the S-curve crosses ~0.5 at
+    s ≈ (1/16)^(1/4) ≈ 0.5.
+
+    Candidate generation is the same JOIN-FREE capped bucket expansion as
+    ``ngram_jaccard_pairs``: count docs per (band, band_hash) bucket with a
+    window (reusing the groupBy's partitioning), DROP buckets above
+    ``max_band_bucket`` — on a real web corpus one band value shared by 10⁵
+    templated/boilerplate docs would otherwise expand quadratically before
+    any distinct, and such buckets carry no dedup signal (every member
+    collides with every other; exact-dedup-first already removed identical
+    docs) — prune singleton buckets (can't form a pair), then
+    collect_list + double-explode. Zero joins in the candidate phase, so
+    zero runtime broadcast decisions, and every collected bucket array is
+    bounded by the cap."""
     r = k // bands
     sig = minhash_signatures(df, text_col, id_col, k, n)
     band_arr = F.array(
@@ -298,16 +311,20 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select("doc_id", F.posexplode(band_arr).alias("band", "bh"))
-    a, b_ = banded.alias("a"), banded.alias("b")
+    banded = sig.select(
+        "doc_id", F.posexplode(band_arr).alias("band", "bh")
+    ).withColumn("_bucket_n", F.count("*").over(W.partitionBy("band", "bh")))
+    if max_band_bucket:
+        banded = banded.filter(F.col("_bucket_n") <= max_band_bucket)
+    buckets = (
+        banded.filter(F.col("_bucket_n") >= 2)
+        .groupBy("band", "bh")
+        .agg(F.collect_list("doc_id").alias("ids"))
+    )
     candidates = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
     if not verify:
@@ -384,10 +401,18 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 4,
+    max_block_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block the 64-bit signature into ``blocks``
     16-bit pieces — any pair within Hamming ≤ blocks-1 shares at least one
-    block (pigeonhole) — equi-join per block, verify Hamming via bit_count."""
+    block (pigeonhole) — meet per block bucket, verify Hamming via bit_count.
+
+    Same capped join-free bucket expansion as ``minhash_lsh_pairs``: a block
+    value shared by more docs than ``max_block_bucket`` (near-constant
+    signatures from templated text) is dropped before the quadratic pair
+    expansion — those buckets are all-pairs-collide noise, not signal. The
+    signature rides inside the bucket structs so the Hamming verify needs no
+    join-back."""
     sig = simhash_signatures(df, text_col, id_col)
     width = 64 // blocks
     mask = (1 << width) - 1
@@ -399,15 +424,18 @@ def simhash_pairs(
     )
     blocked = sig.select(
         "doc_id", "simhash", F.posexplode(block_arr).alias("blk", "bv")
+    ).withColumn("_bucket_n", F.count("*").over(W.partitionBy("blk", "bv")))
+    if max_block_bucket:
+        blocked = blocked.filter(F.col("_bucket_n") <= max_block_bucket)
+    buckets = (
+        blocked.filter(F.col("_bucket_n") >= 2)
+        .groupBy("blk", "bv")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ids"))
     )
-    a, b = blocked.alias("a"), blocked.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        buckets.select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

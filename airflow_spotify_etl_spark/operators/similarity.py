@@ -268,13 +268,24 @@ def cosine_pairs_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
+    max_band_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate vector pairs via random-hyperplane LSH.
 
     Sign sketch: bit_i = sign(v · r_i) for n_planes fixed random normals;
     band the sketch, meet candidates per band, verify exact cosine ≥
     threshold. P[bit match] = 1 - angle/π, so high-cosine pairs collide in
-    some band with high probability while the cross join never materializes."""
+    some band with high probability while the cross join never materializes.
+
+    Candidates come from the same capped JOIN-FREE bucket expansion as the
+    text LSH tiers (operators/dedup.py): count vectors per (band, bit-hash)
+    bucket with a window, drop buckets above ``max_band_bucket``
+    (near-constant vectors — e.g. zero/padding embeddings — produce one hot
+    band shared by the whole degenerate mass and would expand quadratically
+    while carrying no near-dup signal), prune singletons, then
+    collect_list + double-explode. Vectors and norms ride inside the bucket
+    structs (bounded by the cap), so the exact-cosine verify needs no
+    join-back and the whole plan is join-free."""
     rng = np.random.RandomState(_SEED)
     planes = rng.randn(n_planes, dim).tolist()
     v = _as_double(vec_col)
@@ -309,24 +320,33 @@ def cosine_pairs_lsh(
     )
     banded = sketched.select(
         id_col, "_v", "_n", F.posexplode(band_arr).alias("band", "bh")
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a." + id_col) < F.col("b." + id_col)),
+    ).withColumn("_bucket_n", F.count("*").over(W.partitionBy("band", "bh")))
+    if max_band_bucket:
+        banded = banded.filter(F.col("_bucket_n") <= max_band_bucket)
+    buckets = (
+        banded.filter(F.col("_bucket_n") >= 2)
+        .groupBy("band", "bh")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), "_v", "_n")
+            ).alias("vs")
         )
+    )
+    return (
+        buckets.select(F.explode("vs").alias("a"), "vs")
+        .select("a", F.explode("vs").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
         .select(
-            F.col("a." + id_col).alias("vec_a"),
-            F.col("b." + id_col).alias("vec_b"),
+            F.col("a.id").alias("vec_a"),
+            F.col("b.id").alias("vec_b"),
             F.col("a._v").alias("_va"),
             F.col("b._v").alias("_vb"),
             F.col("a._n").alias("_na"),
             F.col("b._n").alias("_nb"),
         )
-        .distinct()
+        # Dedup on ids only — comparing the vector payloads would hash two
+        # 64-double arrays per row for no extra information.
+        .dropDuplicates(["vec_a", "vec_b"])
         .withColumn(
             "cosine_sim",
             F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 4),

@@ -94,3 +94,17 @@ def test_connected_components_known_graph(spark):
         (r.doc_id, r.component) for r in connected_components(pairs).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_band_bucket_cap_drops_boilerplate_buckets(spark):
+    """30 identical docs collide in EVERY band: with the cap below the
+    bucket population the quadratic expansion is dropped entirely; with the
+    cap off, all 435 pairs come back. (Production composes exact-dedup
+    first, so surviving hot buckets really are templated noise.)"""
+    df = _docs(spark, [(i, "alpha beta gamma delta epsilon zeta") for i in range(30)])
+    capped = minhash_lsh_pairs(df, verify=False, max_band_bucket=10)
+    assert capped.count() == 0
+    uncapped = minhash_lsh_pairs(df, verify=False, max_band_bucket=None)
+    assert uncapped.count() == 30 * 29 // 2
+    sim_capped = simhash_pairs(df, max_block_bucket=10)
+    assert sim_capped.count() == 0

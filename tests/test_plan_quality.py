@@ -110,3 +110,28 @@ def test_quality_report_is_one_aggregate_pass(spark, sf_dir):
     # One fused Aggregate over the main scan (plus the broadcast 1-row max):
     # the reference's four separate passes must not reappear.
     assert plan.count("Relation") <= 2  # main scan + max_ts scan, nothing more
+
+
+def test_lsh_candidate_generation_is_capped_and_join_free(spark, sf_dir):
+    """All three signature-LSH tiers (MinHash bands, SimHash blocks,
+    hyperplane bands) must generate candidates via the capped join-free
+    bucket expansion: no Join anywhere in the candidate plan, and the
+    ``_bucket_n <= cap`` window filter present so one hot band value
+    (templated boilerplate at 100 TB) cannot expand quadratically."""
+    from airflow_spotify_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from airflow_spotify_etl_spark.operators.similarity import cosine_pairs_lsh
+    from airflow_spotify_etl_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    for df in (
+        minhash_lsh_pairs(docs, verify=False),
+        simhash_pairs(docs),
+        cosine_pairs_lsh(emb, threshold=0.45),
+    ):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Join" not in plan, plan
+        assert "_bucket_n" in plan and "<= 1000" in plan, plan
