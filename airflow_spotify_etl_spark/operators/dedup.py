@@ -42,9 +42,21 @@ __all__ = [
 ]
 
 # Modulus for the universal-hash family: smallest prime > 2^32. With
-# a < 2^31 and crc32 < 2^32, a*x + b stays under 2^63 (no int64 overflow).
+# a < 2^31 and the 32-bit shingle hash < 2^32, a*x + b stays under 2^63
+# (no int64 overflow).
 _MERSENNE = 4294967311
 _SEED = 42
+
+
+def _h32(col):
+    """Portable 32-bit shingle hash: the first 8 hex chars of md5. Chosen
+    over crc32/xxhash64 because BOTH engines compute it identically
+    (Spark: conv(substr(md5,1,8),16,10); DuckDB: ('0x'||substr(md5,1,8))
+    ::BIGINT), which is what lets the ENTIRE MinHash-LSH pipeline be
+    value-checked by the DuckDB oracle (plans/llm.py q25) instead of
+    rows-only. md5 costs ~2x crc32 per call — noise next to the 64-way
+    min-aggregate it feeds."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -251,8 +263,9 @@ def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 64, n: int = 3
 ) -> DataFrame:
     """k-permutation MinHash signature per doc: sig_i = min over shingles of
-    (a_i * crc32(shingle) + b_i) mod p. One explode + one grouped
-    multi-min-aggregate — a single shuffle on doc_id.
+    (a_i * h32(shingle) + b_i) mod p, where h32 is the engine-portable md5
+    slice (see _h32). One explode + one grouped multi-min-aggregate — a
+    single shuffle on doc_id.
 
     Deliberately NOT a higher-order-function projection (array_min over
     transform): higher-order functions are CodegenFallback in Spark —
@@ -265,7 +278,7 @@ def minhash_signatures(
     is skipped: the grouped min reuses the lead-window's doc_id
     partitioning and the whole signature phase costs ONE exchange."""
     sh = shingle(df, text_col, id_col, n, distinct=False).withColumn(
-        "c", F.crc32("shingle")
+        "c", _h32("shingle")
     )
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("c") + F.lit(b), F.lit(_MERSENNE))).alias(f"h{i}")

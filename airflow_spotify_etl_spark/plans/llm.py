@@ -3,9 +3,10 @@
 Text analysis, dedup, and embedding similarity over the ``documents`` and
 ``embeddings`` tables. Everything here is built-in Catalyst expressions
 (higher-order array functions, regexp, md5) — no Python UDFs in any
-oracle-checked path; approximate/sketch variants (MinHash-LSH, SimHash) live
-in operators/dedup.py with rows-only checks since their hash seeds are not
-SQL-portable.
+oracle-checked path; approximate/sketch variants live in operators/dedup.py.
+MinHash-LSH (q25) is fully value-checked — its md5-slice hash family is
+engine-portable (see _q25_sql); SimHash/hyperplane-LSH stay rows-only (their
+xxhash64 / float-dot hash families are not).
 
 Scale notes:
 - Text metrics are narrow per-row projections: no shuffle, fully
@@ -289,12 +290,85 @@ ORDER BY doc_a, doc_b
 
 def q25_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (dedup tier 3, THE 100 TB scale path).
-    Rows-only check: the signature hash family isn't SQL-portable; recall vs
-    the exact tier is asserted in tests/test_dedup.py."""
+
+    VALUE-checked: the shingle hash is the engine-portable md5 slice
+    (operators/dedup._h32), so the oracle recomputes the full pipeline —
+    signatures, banding, capped buckets, exact-Jaccard verify — in DuckDB
+    (_q25_sql). Band-bucket membership is compared by sig-tuple equality
+    there, which is output-equivalent to Spark's xxhash64 band key: a hash
+    collision could only ADD a candidate pair, and any pair either shares
+    no capped shingle (dropped by the verify inner join in both engines) or
+    gets the identical exact-Jaccard filter. Recall vs the exact tier is
+    asserted in tests/test_dedup.py."""
     from ..operators.dedup import minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+def _q25_sql() -> str:
+    """DuckDB twin of minhash_lsh_pairs(threshold=0.5): same params (seeded
+    from operators.dedup._hash_params so the two can never drift), same
+    modulus, same band/bucket caps, same verify arithmetic as _Q24_SQL."""
+    from ..operators.dedup import _MERSENNE, _hash_params
+
+    params = ",\n    ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_hash_params(64))
+    )
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh_raw AS (
+  SELECT doc_id, unnest(list_distinct(
+           [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+         )) AS shingle
+  FROM w
+), hs AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh_raw
+), params(i, a, b) AS (VALUES
+    {params}
+), sig AS (
+  SELECT doc_id, p.i, min((p.a * h + p.b) % {_MERSENNE}) AS s
+  FROM hs CROSS JOIN params p GROUP BY doc_id, p.i
+), banded AS (
+  -- band key = the r=4 sig values themselves; tuple equality is
+  -- output-equivalent to Spark's xxhash64 of the same tuple
+  SELECT doc_id, i // 4 AS band, string_agg(s::VARCHAR, ',' ORDER BY i) AS bh
+  FROM sig GROUP BY doc_id, i // 4
+), ok AS (
+  SELECT band, bh FROM banded GROUP BY band, bh
+  HAVING count(*) BETWEEN 2 AND 1000
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN ok ON ok.band = a.band AND ok.bh = a.bh
+  JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), sh AS (
+  -- hot-bucket cap mirrored from _sized_shingles(max_bucket=1000)
+  SELECT doc_id, shingle FROM sh_raw
+  WHERE shingle NOT IN (
+    SELECT shingle FROM sh_raw GROUP BY shingle HAVING count(*) > 1000
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM sh_raw GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.inter,
+       sa.n_shingles AS na, sb.n_shingles AS nb,
+       round(i.inter / (sa.n_shingles + sb.n_shingles - i.inter), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(i.inter / (sa.n_shingles + sb.n_shingles - i.inter), 4) >= 0.5
+ORDER BY i.doc_a, i.doc_b
+"""
+
+
+_Q25_SQL = _q25_sql()
 
 
 def q26_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,9 +542,11 @@ ORACLES = {
     "q22_cosine_topk": _Q22_SQL,
     "q23_fingerprint": _Q23_SQL,
     "q24_ngram_jaccard_pairs": _Q24_SQL,
+    "q25_minhash_lsh_pairs": _Q25_SQL,
     "q42_dedup_clusters": _Q42_SQL,
     "q43_vocabulary": _Q43_SQL,
-    # q25-q29 are rows-only: hash families / iterative refinement aren't
-    # SQL-portable; their correctness is asserted against exact counterparts
-    # in tests/test_dedup.py, test_similarity.py, test_text.py.
+    # q26-q29 are rows-only: SimHash/hyperplane hash families (xxhash64,
+    # float dot products) and IVF's driver-side Lloyd aren't SQL-portable;
+    # their correctness is asserted against exact counterparts in
+    # tests/test_dedup.py, test_similarity.py, test_text.py.
 }
