@@ -111,7 +111,13 @@ def _closed_form(mid: int) -> tuple[str, int, int, int, int, int, int]:
 def synthesize_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     """Deterministic fake media table from an id column (see _closed_form).
     Payload bytes are sha256-streamed from the id — content-addressable, so
-    features/fingerprints are reproducible across runs and engines."""
+    features/fingerprints are reproducible across runs and engines.
+
+    The chain hashes lowercase-HEX strings (h_1 = sha256(str(id)),
+    h_{k+1} = sha256(hex(h_k)); payload = unhex(h_1‖h_2‖…)[:plen]) rather
+    than raw digest bytes: DuckDB's sha256 only accepts VARCHAR, and hex
+    chaining is what lets the q36 oracle recompute the payload — and hence
+    the feature vectors — engine-side (plans/multimodal_plans._q36_sql)."""
     import pandas as pd
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -120,12 +126,11 @@ def synthesize_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
             for mid in pdf[id_col].astype("int64"):
                 mid = int(mid)
                 kind, w, h, sr, dur, nf, plen = _closed_form(mid)
-                payload = b""
-                seed = str(mid).encode()
-                while len(payload) < plen:
-                    seed = hashlib.sha256(seed).digest()
-                    payload += seed
-                payload = payload[:plen]
+                hx, payload_hex = str(mid), ""
+                while len(payload_hex) < 2 * plen:
+                    hx = hashlib.sha256(hx.encode()).hexdigest()
+                    payload_hex += hx
+                payload = bytes.fromhex(payload_hex[: 2 * plen])
                 content = (
                     _MAGIC
                     + struct.pack(_HDR, MEDIA_KINDS.index(kind), w, h, sr, dur, nf)
@@ -227,10 +232,13 @@ def _try_real_decode(kind: str):
 
 def media_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """Fixed-dim feature vector per item. REAL pipeline: decode + CNN/fbank
-    via the gated decoder. STUB (this container): sha256 of the payload
-    folded into ``dim`` floats in [0,1) — deterministic, content-addressed,
-    so downstream ANN/dedup plumbing (array<float> column, same as the
-    embeddings table) is exercised for real."""
+    via the gated decoder. STUB (this container): sha256 of the payload's
+    lowercase-hex encoding folded into ``dim`` floats in [0,1) —
+    deterministic, content-addressed, so downstream ANN/dedup plumbing
+    (array<float> column, same as the embeddings table) is exercised for
+    real. Hashing the hex string (not the raw bytes) keeps the stub
+    recomputable by DuckDB's VARCHAR-only sha256, making q36 value-checked
+    end-to-end through the binary pack→Arrow→parse round-trip."""
     import pandas as pd
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -238,7 +246,7 @@ def media_features(media: DataFrame, dim: int = 8) -> DataFrame:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
                 payload = bytes(blob)[_HDR_LEN:]
-                digest = hashlib.sha256(payload).digest()
+                digest = hashlib.sha256(payload.hex().encode()).digest()
                 vec = [
                     int.from_bytes(digest[4 * i : 4 * i + 4], "little")
                     / 2**32

@@ -72,10 +72,13 @@ ORDER BY media_id, frame_idx
 
 
 def q36_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-addressed feature vectors (stubbed sha256 fold — rows-only:
-    the hash fold isn't SQL-portable; determinism and batch shape are
-    asserted in tests/test_multimodal.py). Demonstrates the array<float>
-    feature column feeding the ANN tier (operators/similarity.py)."""
+    """Content-addressed feature vectors. VALUE-checked: the stub hashes
+    hex strings (DuckDB's sha256 is VARCHAR-only), so the oracle recomputes
+    the payload chain, the feature digest, the little-endian u32 → float32
+    quantization, and the fold sum — an end-to-end check that the binary
+    payload generated in mapInPandas round-trips through Arrow byte-exact.
+    Demonstrates the array<float> feature column feeding the ANN tier
+    (operators/similarity.py)."""
     feats = media_features(_media(spark, sf_dir), dim=8)
     return feats.select(
         "media_id",
@@ -90,6 +93,38 @@ def q36_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def _q36_sql() -> str:
+    """DuckDB twin of q36: payload hex chain (≤3 digests cover the max
+    95-byte payload), feature digest over the hex string, then each float_i
+    = little-endian u32 of digest bytes [4i, 4i+4) / 2^32 cast through
+    REAL (float32) exactly as the Arrow array<float> column stores it, and
+    the fold sum accumulated in array order like Spark's F.aggregate."""
+
+    def byte(j: int) -> str:  # 0-based byte j of the digest, as BIGINT
+        return f"('0x' || substr(dhex, {2 * j + 1}, 2))::BIGINT"
+
+    acc = "0.0"
+    for i in range(8):
+        le = " + ".join(f"{byte(4 * i + k)} * {256 ** k}" for k in range(4))
+        acc = f"({acc} + CAST(CAST(({le}) / 4294967296.0 AS REAL) AS DOUBLE))"
+    return f"""
+WITH chain AS (
+  SELECT doc_id AS media_id,
+         2 * (32 + doc_id % 64) AS hexlen,
+         sha256(doc_id::VARCHAR) AS d1
+  FROM documents
+), digest AS (
+  SELECT media_id,
+         sha256(substr(d1 || sha256(d1) || sha256(sha256(d1)), 1, hexlen))
+           AS dhex
+  FROM chain
+)
+SELECT media_id, round({acc}, 4) AS feat_sum
+FROM digest
+ORDER BY media_id
+"""
+
+
 QUERIES = {
     "q34_media_meta": q34_media_meta,
     "q35_frame_sample": q35_frame_sample,
@@ -99,5 +134,5 @@ QUERIES = {
 ORACLES = {
     "q34_media_meta": _Q34_SQL,
     "q35_frame_sample": _Q35_SQL,
-    # q36 rows-only: sha256 fold not SQL-portable.
+    "q36_media_features": _q36_sql(),
 }
