@@ -137,16 +137,15 @@ ORDER BY lang
 def q21_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact deduplication by content hash (north star): md5-groupBy, keep
     the minimum doc_id per group. The hash key is uniformly distributed →
-    shuffle is skew-free at any scale."""
+    shuffle is skew-free at any scale. Routed through the operator
+    (operators/dedup.exact_dedup) so the oracle checks the operator itself,
+    not a plan-local re-implementation."""
+    from ..operators.dedup import exact_dedup
+
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.groupBy(F.md5("text").alias("text_hash"))
-        .agg(
-            F.count("*").alias("n_copies"),
-            F.min("doc_id").alias("keeper_doc_id"),
-        )
-        .orderBy("keeper_doc_id")
-    )
+    return exact_dedup(docs).select(
+        "text_hash", "n_copies", F.col("keeper").alias("keeper_doc_id")
+    ).orderBy("keeper_doc_id")
 
 
 _Q21_SQL = """

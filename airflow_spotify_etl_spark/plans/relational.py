@@ -830,22 +830,39 @@ LIMIT 50
 """
 
 
-def q41_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (§2.4 statistical
-    extension): median / p90 / p99 of event value by type. Uses Spark's
-    exact ``percentile`` (sort-based within groups) to match DuckDB's
-    ``quantile_cont`` bit-for-bit after rounding; at 100 TB swap in
-    ``percentile_approx`` (t-digest sketch, single pass, mergeable) when
-    sketch error is acceptable — same query shape."""
+def q41_value_percentiles(
+    spark: SparkSession, sf_dir: str, approx: bool = False, accuracy: int = 10000
+) -> DataFrame:
+    """Percentiles per group (§2.4 statistical extension): median / p90 /
+    p99 of event value by type.
+
+    Two modes behind one surface:
+    - exact (default, oracle-checked): Spark's ``percentile`` — sort-based,
+      buffers each group's values; matches DuckDB's ``quantile_cont``
+      bit-for-bit after rounding. The plan you want when groups fit in
+      memory (few event types × bounded values here).
+    - ``approx=True`` (THE 100 TB plan): ``percentile_approx`` — a bounded
+      ~KB sketch per group, single pass, mergeable map-side like any
+      partial aggregate, so a group's memory no longer grows with its row
+      count. Error ≤ 1/accuracy relative rank; tolerance vs the exact form
+      is pinned in tests/test_functions.py (no oracle — DuckDB's
+      approx_quantile is a different sketch)."""
     ev = _t(spark, sf_dir, "events")
+    if approx:
+        pct = [
+            F.round(
+                F.percentile_approx("value", q, accuracy), 2
+            ).alias(f"p{int(q * 100)}")
+            for q in (0.5, 0.9, 0.99)
+        ]
+    else:
+        pct = [
+            F.round(F.expr(f"percentile(value, {q})"), 2).alias(f"p{int(q * 100)}")
+            for q in (0.5, 0.9, 0.99)
+        ]
     return (
         ev.groupBy("event_type")
-        .agg(
-            F.round(F.expr("percentile(value, 0.5)"), 2).alias("p50"),
-            F.round(F.expr("percentile(value, 0.9)"), 2).alias("p90"),
-            F.round(F.expr("percentile(value, 0.99)"), 2).alias("p99"),
-            F.round(F.stddev_samp("value"), 2).alias("value_stddev"),
-        )
+        .agg(*pct, F.round(F.stddev_samp("value"), 2).alias("value_stddev"))
         .orderBy("event_type")
     )
 

@@ -36,6 +36,7 @@ __all__ = [
     "append_table",
     "append_jdbc",
     "console_display",
+    "display_tracks",
     "summary_record",
 ]
 
@@ -84,25 +85,69 @@ def append_table(
     return n
 
 
+# "Table/relation does not exist" message fragments for the common JDBC
+# dialects (Derby, Postgres, MySQL, SQLite, SQL Server, Oracle). ONLY these
+# mean "first run"; anything else (auth, timeout, network, permission) must
+# propagate — swallowing it and appending unguarded would silently defeat
+# the idempotency guarantee (the reference's double-insert bug,
+# spotify_etl2.py:220, reintroduced through the error path).
+_TABLE_ABSENT_FRAGMENTS = (
+    "does not exist",       # Derby "Table/View 'T' does not exist", Postgres, Oracle text
+    "doesn't exist",        # MySQL
+    "no such table",        # SQLite
+    "invalid object name",  # SQL Server
+    "ora-00942",            # Oracle code
+)
+
+
+def _jdbc_table_absent(exc: Exception) -> bool:
+    msg = str(exc).lower()
+    return any(f in msg for f in _TABLE_ABSENT_FRAGMENTS)
+
+
+def _jdbc_key_scan(table: str, key_predicate: str | None) -> str:
+    """The dbtable expression for the key read-back: the bare table, or —
+    when the caller knows a key lower bound — a pushed-down subquery so the
+    remote scan is bounded instead of the entire key column (at a large
+    target table the unbounded read-back dominates the append). Spark still
+    prunes the projection to the key column through the derived table with
+    dialect-correct identifier quoting."""
+    if key_predicate is None:
+        return table
+    return f"(SELECT * FROM {table} WHERE {key_predicate}) spark_graft_keys"
+
+
 def append_jdbc(
     new: DataFrame,
     url: str,
     table: str,
     key: str,
     properties: dict | None = None,
+    key_predicate: str | None = None,
 ) -> int:
     """K2 RDBMS parity — the reference's SQLite ``to_sql(if_exists="append")``
     (spotify_etl2.py:220) as a JDBC append, made idempotent by anti-joining
     against the remote table's key projection first (the reference
     double-inserts on re-run). Returns rows actually added.
 
-    Scale: the key read-back is a single-column scan; for very large targets
-    push a predicate (e.g. key > cursor) into the ``table`` query instead."""
+    ``key_predicate`` (e.g. ``"played_at > '2026-01-01'"``) pushes a bound
+    into the remote key scan (see _jdbc_key_scan); with a monotone key the
+    caller passes its cursor and the read-back touches only the recent tail.
+    Rows in ``new`` whose keys fall OUTSIDE the predicate are assumed
+    already-deduped by the caller's cursor logic.
+
+    First-run detection is by the driver's table-absent error ONLY
+    (_jdbc_table_absent); transient failures re-raise rather than
+    masquerading as an empty table and double-inserting."""
     props = properties or {}
     spark = new.sparkSession
     try:
-        existing = spark.read.jdbc(url, table, properties=props).select(key)
-    except Exception:  # table absent on first run (driver-specific error)
+        existing = spark.read.jdbc(
+            url, _jdbc_key_scan(table, key_predicate), properties=props
+        ).select(key)
+    except Exception as exc:
+        if not _jdbc_table_absent(exc):
+            raise
         existing = None
     fresh = incremental_anti_append(new, existing, key) if existing is not None else new
     fresh = fresh.localCheckpoint(eager=True)
@@ -117,6 +162,37 @@ def console_display(df: DataFrame, n: int = 20, enabled: bool = True) -> None:
     ``display_tracks`` gated by a lowercased config flag, new.py:224)."""
     if enabled:
         df.show(n, truncate=False)
+
+
+def display_tracks(df: DataFrame, n: int = 50, enabled: bool = True) -> None:
+    """K3 format parity — the reference's numbered per-track console layout
+    (new.py:143-175): header with the track count, 80-dash separators, and
+    per track the rank / name / artist / album lines, optional URL /
+    played-at / explicit lines, popularity out of 100 and m:ss duration.
+    Bounded collect (≤ n rows — the reference's payloads are ≤ 50)."""
+    if not enabled:
+        return
+    rows = df.limit(n).collect()
+    if not rows:
+        print("No tracks to display")
+        return
+    print(f"\n\U0001f3b5 Your {len(rows)} Most Recently Played Tracks:\n")
+    print("-" * 80)
+    for t in rows:
+        print(f"#{t['rank']}")
+        print(f"\U0001f3b5 Track: {t['track_name']}")
+        print(f"\U0001f464 Artist: {t['artist_name']}")
+        print(f"\U0001f4bf Album: {t['album_name']}")
+        if t["spotify_url"]:
+            print(f"\U0001f517 URL: {t['spotify_url']}")
+        if t["played_at"]:
+            print(f"⏰ Played at: {t['played_at']}")
+        print(f"⭐ Popularity: {t['popularity']}/100")
+        dur = t["duration_ms"]
+        print(f"⏱️  Duration: {dur // 60000}:{(dur % 60000) // 1000:02d}")
+        if t["explicit"]:
+            print("\U0001f6ab Explicit content")
+        print("-" * 80)
 
 
 def summary_record(df: DataFrame, **aggs: F.Column) -> dict:

@@ -64,3 +64,36 @@ def test_s3_paths_rewrite_to_s3a():
     assert normalize_object_store_path("s3://bucket/key.csv") == "s3a://bucket/key.csv"
     assert normalize_object_store_path("/local/path") == "/local/path"
     assert normalize_object_store_path("s3a://bucket/x") == "s3a://bucket/x"
+
+
+def test_percentile_approx_twin_tracks_exact(spark, sf_dir):
+    """The sketch-mode percentile surface (the 100 TB plan) stays within
+    sketch tolerance of the exact sort-based form on real data."""
+    from airflow_spotify_etl_spark.plans.relational import q41_value_percentiles
+
+    from airflow_spotify_etl_spark.sources.files import load_table
+
+    exact = {r.event_type: r for r in q41_value_percentiles(spark, sf_dir).collect()}
+    approx = {
+        r.event_type: r
+        for r in q41_value_percentiles(spark, sf_dir, approx=True).collect()
+    }
+    assert exact.keys() == approx.keys()
+    # The sketch guarantee is on RANK (error <= n/accuracy), and
+    # percentile_approx returns an actual sample, not an interpolation — so
+    # assert the answer lands within +-2 order statistics of the target
+    # rank, which stays meaningful even where tail gaps are large relative
+    # to the value (sf0.001 groups are ~200 rows: one step at p99 can be
+    # tens of percent of the value, so a value-relative bound would be
+    # either vacuous or flaky).
+    vals: dict[str, list[float]] = {}
+    for r in load_table(spark, sf_dir, "events").select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    for et, a in approx.items():
+        xs = sorted(vals[et])
+        for col, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            rank = q * (len(xs) - 1)
+            lo = xs[max(0, int(rank) - 2)]
+            hi = xs[min(len(xs) - 1, int(rank) + 3)]
+            assert lo - 0.01 <= a[col] <= hi + 0.01, (et, col, a[col], lo, hi)
+        assert exact[et].value_stddev == a.value_stddev  # stddev path identical

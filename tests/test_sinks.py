@@ -1,0 +1,116 @@
+"""Sink tests: JDBC idempotent append end-to-end against embedded Derby
+(the JDBC driver bundled with Spark), first-run/table-absent semantics,
+bounded key read-back, and the reference-parity console display."""
+
+from __future__ import annotations
+
+import pytest
+
+from airflow_spotify_etl_spark.sinks.writers import (
+    _jdbc_key_scan,
+    _jdbc_table_absent,
+    append_jdbc,
+    display_tracks,
+)
+
+
+@pytest.fixture()
+def derby_url(spark, tmp_path):
+    # Keep derby.log and the database inside the test tmp dir.
+    spark._jvm.java.lang.System.setProperty("derby.system.home", str(tmp_path))
+    return f"jdbc:derby:{tmp_path}/sinkdb;create=true"
+
+
+def _tracks(spark, ids):
+    return spark.createDataFrame(
+        [(i, f"track-{i}") for i in ids], "track_id long, name string"
+    )
+
+
+def test_append_jdbc_idempotent_end_to_end(spark, derby_url):
+    df = _tracks(spark, [1, 2, 3])
+    # First run: table absent -> Derby raises 'does not exist' -> treated as
+    # first run, all rows written.
+    assert append_jdbc(df, derby_url, "plays", key="track_id") == 3
+    # Re-run with the same rows: anti-join drops everything.
+    assert append_jdbc(df, derby_url, "plays", key="track_id") == 0
+    # New rows only are added.
+    assert append_jdbc(_tracks(spark, [3, 4]), derby_url, "plays", key="track_id") == 1
+    got = spark.read.jdbc(derby_url, "plays").count()
+    assert got == 4
+
+
+def test_append_jdbc_key_predicate_bounds_readback(spark, derby_url):
+    assert append_jdbc(_tracks(spark, [1, 2]), derby_url, "cursored", key="track_id") == 2
+    # Cursor says: only keys > 1 can collide; row 3 is fresh, row 2 dups.
+    added = append_jdbc(
+        _tracks(spark, [2, 3]),
+        derby_url,
+        "cursored",
+        key="track_id",
+        key_predicate='"track_id" > 1',
+    )
+    assert added == 1
+    assert spark.read.jdbc(derby_url, "cursored").count() == 3
+
+
+def test_jdbc_key_scan_pushes_predicate():
+    assert _jdbc_key_scan("plays", None) == "plays"
+    q = _jdbc_key_scan("plays", '"track_id" > 42')
+    assert q == '(SELECT * FROM plays WHERE "track_id" > 42) spark_graft_keys'
+
+
+def test_append_jdbc_reraises_non_absence_errors(spark, tmp_path):
+    # A connection-level failure (bogus subprotocol -> 'No suitable driver')
+    # must NOT be treated as first-run: re-raise instead of double-inserting.
+    with pytest.raises(Exception) as ei:
+        append_jdbc(
+            _tracks(spark, [1]), "jdbc:nosuchdb:whatever", "plays", key="track_id"
+        )
+    assert not _jdbc_table_absent(ei.value)
+
+
+def test_table_absent_classifier():
+    assert _jdbc_table_absent(Exception("Table/View 'PLAYS' does not exist."))
+    assert _jdbc_table_absent(Exception('relation "plays" does not exist'))
+    assert _jdbc_table_absent(Exception("no such table: plays"))
+    assert not _jdbc_table_absent(Exception("Connection refused"))
+    assert not _jdbc_table_absent(Exception("password authentication failed"))
+    assert not _jdbc_table_absent(Exception("connection timed out"))
+
+
+def test_display_tracks_reference_layout(spark, capsys):
+    df = spark.createDataFrame(
+        [
+            (1, "Song A", "Artist A", "Album A", "https://x/1", "2026-01-01T10:00:00Z", 73, 215000, True),
+            (2, "Song B", "Artist B", "Album B", None, None, 10, 59000, False),
+        ],
+        "rank int, track_name string, artist_name string, album_name string,"
+        " spotify_url string, played_at string, popularity int,"
+        " duration_ms long, explicit boolean",
+    )
+    display_tracks(df)
+    out = capsys.readouterr().out
+    # Reference layout (new.py:143-175): count header, dash rule, per-track
+    # numbered lines, m:ss duration, optional URL/played-at/explicit lines.
+    assert "Your 2 Most Recently Played Tracks" in out
+    assert out.count("-" * 80) == 3
+    assert "#1" in out and "#2" in out
+    assert "Track: Song A" in out and "Artist: Artist B" in out
+    assert "Duration: 3:35" in out and "Duration: 0:59" in out
+    assert "Popularity: 73/100" in out
+    assert "URL: https://x/1" in out and "https://x/2" not in out
+    assert out.count("Explicit content") == 1
+
+
+def test_display_tracks_disabled_and_empty(spark, capsys):
+    df = _tracks(spark, [1])
+    display_tracks(df, enabled=False)
+    assert capsys.readouterr().out == ""
+    empty = df.filter("track_id < 0").selectExpr(
+        "1 as rank", "name as track_name", "name as artist_name",
+        "name as album_name", "name as spotify_url", "name as played_at",
+        "1 as popularity", "cast(1 as long) as duration_ms", "false as explicit",
+    )
+    display_tracks(empty)
+    assert "No tracks to display" in capsys.readouterr().out
