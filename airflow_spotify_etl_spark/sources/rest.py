@@ -79,12 +79,20 @@ class OAuthUserAuth:
     with a durable token cache, the engine twin of spotipy's
     ``.spotify_cache`` (new.py:68).
 
-    The interactive browser authorization happens once, out of band; the
-    cache file then seeds every run (``{"refresh_token": ..., and after the
-    first refresh "access_token"/"expires_at"}``). ``token()`` serves the
-    cached access token while it is fresh and otherwise exchanges the
-    refresh token (POST grant_type=refresh_token with Basic client auth —
-    the public Spotify OAuth contract), rewriting the cache."""
+    The full spotipy flow (new.py:63-77: SpotifyOAuth with scope
+    ``user-read-recently-played`` seeding ``.spotify_cache``) maps to:
+
+    1. ``authorize_url(...)`` — the URL the user opens once in a browser
+       (spotipy opens it automatically); Spotify redirects back with
+       ``?code=...``.
+    2. ``authorize(code, redirect_uri)`` — the one-time
+       authorization-code → token grant; seeds the cache file.
+    3. ``token()`` — every run: serves the cached access token while fresh,
+       otherwise exchanges the refresh token (POST grant_type=refresh_token
+       with Basic client auth — the public Spotify OAuth contract),
+       rewriting the cache."""
+
+    SCOPE = "user-read-recently-played"  # new.py:88
 
     def __init__(
         self,
@@ -108,6 +116,64 @@ class OAuthUserAuth:
             )
         with open(self.cache_path) as f:
             return json.load(f)
+
+    def authorize_url(
+        self,
+        redirect_uri: str,
+        scope: str | None = None,
+        state: str | None = None,
+    ) -> str:
+        """The one-time browser consent URL (the step spotipy performs by
+        opening a local browser, new.py:63-71). No HTTP here — the user
+        visits it and Spotify redirects to ``redirect_uri?code=...``."""
+        cid = resolve_credential(self.spark, "client_id")
+        params = {
+            "client_id": cid,
+            "response_type": "code",
+            "redirect_uri": redirect_uri,
+            "scope": scope or self.SCOPE,
+        }
+        if state:
+            params["state"] = state
+        return "https://accounts.spotify.com/authorize?" + urllib.parse.urlencode(
+            params
+        )
+
+    def authorize(self, code: str, redirect_uri: str) -> dict:
+        """One-time authorization-code → token grant; SEEDS the cache the
+        refresh-token flow then lives off (closing the loop spotipy's
+        SpotifyOAuth cache_path performs, new.py:63-77). Returns the cache
+        dict. ``redirect_uri`` must byte-match the one used in
+        ``authorize_url`` (OAuth spec requirement, enforced by Spotify)."""
+        import time
+
+        cid = resolve_credential(self.spark, "client_id")
+        secret = resolve_credential(self.spark, "client_secret")
+        auth = base64.b64encode(f"{cid}:{secret}".encode()).decode()
+        body = urllib.parse.urlencode(
+            {
+                "grant_type": "authorization_code",
+                "code": code,
+                "redirect_uri": redirect_uri,
+            }
+        ).encode()
+        payload = self.transport(
+            _TOKEN_URL,
+            {
+                "Authorization": f"Basic {auth}",
+                "Content-Type": "application/x-www-form-urlencoded",
+            },
+            data=body,
+        )
+        cache = {
+            "access_token": payload["access_token"],
+            "refresh_token": payload["refresh_token"],
+            "expires_at": time.time() + payload.get("expires_in", 3600),
+            "scope": payload.get("scope", self.SCOPE),
+        }
+        with open(self.cache_path, "w") as f:
+            json.dump(cache, f)
+        return cache
 
     def token(self) -> str:
         import time

@@ -75,10 +75,32 @@ JOB_SPECS = [
 ]
 
 
+def summary_path_for(task_id: str, summary_dir: str = "/tmp/spotify_summaries") -> str:
+    """Where the job writes its summary JSON (jobs/run_pipeline.py) and the
+    success callback reads it back. spark-submit runs in client mode on the
+    Airflow worker, so this worker-local path is visible to both sides."""
+    return f"{summary_dir}/{task_id}.json"
+
+
+def push_summary_to_xcom(context: dict) -> None:
+    """on_success_callback: read the job's summary file and push it to XCom
+    under key 'summary' — completing the reference's XCom contract
+    (spotify_etl.py:275-281, where the PythonOperator return dict lands in
+    XCom automatically; SparkSubmitOperator publishes nothing by itself)."""
+    import json
+
+    ti = context["ti"]
+    path = summary_path_for(ti.task_id)
+    with open(path) as f:
+        ti.xcom_push(key="summary", value=json.load(f))
+
+
 def build_dag(conf: dict[str, str] | None = None):
     """Materialize the Airflow DAG (requires Airflow + the Spark provider
     at import time — i.e. inside an Airflow deployment, not the engine's
     test env)."""
+    import os
+
     from airflow import DAG
     from airflow.providers.apache.spark.operators.spark_submit import (
         SparkSubmitOperator,
@@ -86,12 +108,16 @@ def build_dag(conf: dict[str, str] | None = None):
 
     dag = DAG(default_args=DEFAULT_ARGS, **DAG_CONFIG)
     conf = conf or {}
+    os.makedirs("/tmp/spotify_summaries", exist_ok=True)
     for spec in JOB_SPECS:
+        task_conf = {k: conf[k] for k in spec["conf_keys"] if k in conf}
+        task_conf["spark.spotify.summary_path"] = summary_path_for(spec["task_id"])
         SparkSubmitOperator(
             task_id=spec["task_id"],
             application=spec["application"],
             application_args=spec["application_args"],
-            conf={k: conf[k] for k in spec["conf_keys"] if k in conf},
+            conf=task_conf,
+            on_success_callback=push_summary_to_xcom,
             dag=dag,
         )
     return dag

@@ -4,7 +4,14 @@ Usage: spark-submit jobs/run_pipeline.py <pipeline> — where <pipeline> is
 ``top_tracks_etl`` / ``recently_played_etl`` / ``recently_played_analysis``.
 Pipeline config arrives as ``--conf spark.spotify.*`` (the same channel the
 reference fills from Airflow Variables, SURVEY.md §2.11); the summary dict
-prints as one JSON line for the scheduler to capture as XCom.
+prints as one JSON line AND — when ``spark.spotify.summary_path`` is set —
+lands in that file, which the DAG's on-success callback pushes to XCom
+(dags/spotify_spark_dag.py push_summary_to_xcom). That file convention is
+what completes the reference's XCom contract (spotify_etl.py:275-281:
+PythonOperator return → XCom): SparkSubmitOperator never parses stdout, so
+without it the summary would print and vanish. The DAG runs spark-submit in
+client mode on the Airflow worker, so the driver-local summary file IS
+worker-local — readable by the callback.
 """
 
 from __future__ import annotations
@@ -58,6 +65,10 @@ def main(argv: list[str] | None = None, source: SpotifyRestSource | None = None)
     else:
         raise SystemExit(f"unknown pipeline {pipeline!r}")
     print(json.dumps(summary))
+    summary_path = _conf(spark, "summary_path")
+    if summary_path:
+        with open(summary_path, "w") as f:
+            json.dump(summary, f)
     return summary
 
 

@@ -77,3 +77,56 @@ def test_job_runner_dispatches_and_prints_summary(spark, tmp_path, capsys):
     assert summary["tracks_processed"] == 5 and summary["status"] == "success"
     printed = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert printed["tracks_processed"] == 5
+
+
+def test_summary_file_contract_end_to_end(spark, tmp_path, capsys):
+    """XCom wiring (reference spotify_etl.py:275-281): the job writes its
+    summary JSON to spark.spotify.summary_path; the DAG's success callback
+    reads that file and xcom_pushes it."""
+    import importlib.util
+    import json as _json
+
+    from tests.test_pipelines import CannedTransport
+    from airflow_spotify_etl_spark.sources.rest import SpotifyRestSource
+
+    job_path = Path(__file__).resolve().parent.parent / "jobs" / "run_pipeline.py"
+    spec = importlib.util.spec_from_file_location("run_pipeline2", job_path)
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    summary_file = tmp_path / "recently_played_analysis.json"
+    spark.conf.set("spark.spotify.output_path", str(tmp_path / "out_csv"))
+    spark.conf.set("spark.spotify.display_results", "false")
+    spark.conf.set("spark.spotify.summary_path", str(summary_file))
+    src = SpotifyRestSource(spark, transport=CannedTransport(), token="t")
+    summary = job.main(["recently_played_analysis"], source=src)
+    spark.conf.unset("spark.spotify.summary_path")
+    assert _json.loads(summary_file.read_text()) == summary
+
+    # The DAG-side callback pushes exactly that payload under key=summary.
+    mod = _load()
+
+    class FakeTI:
+        task_id = "recently_played_analysis"
+
+        def __init__(self):
+            self.pushed = {}
+
+        def xcom_push(self, key, value):
+            self.pushed[key] = value
+
+    ti = FakeTI()
+    orig = mod.summary_path_for
+    mod.summary_path_for = lambda task_id, summary_dir=None: str(summary_file)
+    try:
+        mod.push_summary_to_xcom({"ti": ti})
+    finally:
+        mod.summary_path_for = orig
+    assert ti.pushed["summary"] == summary
+
+
+def test_build_dag_wires_summary_conf():
+    mod = _load()
+    for spec in mod.JOB_SPECS:
+        path = mod.summary_path_for(spec["task_id"])
+        assert path.endswith(f"{spec['task_id']}.json")

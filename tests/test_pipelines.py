@@ -250,3 +250,51 @@ def test_recently_played_analysis_end_to_end(spark, source, tmp_path, capsys):
     # W1: rank 1 is the most recent played_at.
     top = back.filter(F.col("rank") == 1).collect()[0]
     assert top["played_at"] == "2024-01-01T10:04:00.000Z"
+
+
+def test_oauth_initial_grant_seeds_cache(spark, tmp_path):
+    """S6 initial authorization-code grant (reference new.py:63-77): the
+    one-time code->token exchange seeds the cache, after which token()
+    serves/refreshes WITHOUT re-authorization."""
+
+    class GrantTransport(CannedTransport):
+        def __call__(self, url, headers, data=None):
+            self.calls.append((url, headers, data))
+            assert url.startswith("https://accounts.spotify.com/api/token")
+            if b"grant_type=authorization_code" in data:
+                return {
+                    "access_token": "tok-initial",
+                    "refresh_token": "r-initial",
+                    "expires_in": 3600,
+                    "scope": "user-read-recently-played",
+                }
+            return {"access_token": "tok-refreshed", "expires_in": 3600}
+
+    spark.conf.set("spark.spotify.client_id", "cid")
+    spark.conf.set("spark.spotify.client_secret", "sec")
+    t = GrantTransport()
+    cache = tmp_path / "cache.json"
+    auth = OAuthUserAuth(spark, cache_path=str(cache), transport=t)
+
+    url = auth.authorize_url("http://localhost:8888/callback", state="xyz")
+    assert url.startswith("https://accounts.spotify.com/authorize?")
+    assert "client_id=cid" in url and "response_type=code" in url
+    assert "scope=user-read-recently-played" in url and "state=xyz" in url
+
+    seeded = auth.authorize("code-123", "http://localhost:8888/callback")
+    assert seeded["refresh_token"] == "r-initial"
+    _, headers, data = t.calls[0]
+    creds = base64.b64decode(headers["Authorization"].split()[1]).decode()
+    assert creds == "cid:sec"
+    assert b"code=code-123" in data
+    assert b"redirect_uri=http%3A%2F%2Flocalhost%3A8888%2Fcallback" in data
+
+    # cache is seeded: fresh token served with no further HTTP...
+    assert auth.token() == "tok-initial"
+    assert len(t.calls) == 1
+    # ...and once expired, the refresh grant (not re-authorization) runs.
+    stored = json.loads(cache.read_text())
+    stored["expires_at"] = 0
+    cache.write_text(json.dumps(stored))
+    assert auth.token() == "tok-refreshed"
+    assert b"grant_type=refresh_token" in t.calls[-1][2]
