@@ -227,6 +227,7 @@ def connected_components(
         .withColumn("component", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    n_changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -249,6 +250,14 @@ def connected_components(
         labels = updated.drop("_changed")
         if n_changed == 0:
             break
+    if n_changed:
+        # Unconverged labels are simply WRONG (they'd silently diverge from
+        # the transitive-closure oracle) — refuse rather than return them.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({n_changed} labels still changing): cluster diameter exceeds "
+            f"max_iter — raise max_iter or switch to pointer-doubling"
+        )
     return labels
 
 

@@ -115,7 +115,18 @@ def salted_join(
     side replicates ``n_salts``× via a sequence-explode. Join runs on
     (key, salt) — the hot key's rows now occupy ``n_salts`` reducers.
     Right replication cost: |right| × n_salts rows, so use this when the
-    right side is the smaller relation (dimension against a skewed fact)."""
+    right side is the smaller relation (dimension against a skewed fact).
+
+    Only inner/left/semi/anti are salting-safe: with right/full outer, an
+    unmatched right row has been replicated across all n_salts sub-keys and
+    would emit n_salts null-padded output rows instead of one."""
+    safe = {"inner", "left", "leftouter", "left_outer", "semi", "leftsemi",
+            "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower() not in safe:
+        raise ValueError(
+            f"salted_join(how={how!r}) would duplicate unmatched right rows "
+            f"n_salts times; supported: inner/left/semi/anti"
+        )
     salted_left = left.withColumn(
         "_salt", F.pmod(F.spark_partition_id(), F.lit(n_salts))
     )

@@ -125,6 +125,12 @@ def _centroids(
         .limit(max_train)
         .collect()
     )
+    if not rows:
+        raise ValueError("IVF training: corpus is empty — no vectors to cluster")
+    # Fewer vectors than requested cells: clamp (FAISS warns and degrades the
+    # same way) — the previous DataFrame implementation degraded gracefully
+    # and the argmax projection must too, instead of IndexError.
+    nlist = min(nlist, len(rows))
     X = np.array([list(r["cv"]) for r in rows], dtype="float64")
     cents = X[:nlist].copy()
     for _ in range(lloyd_iters):

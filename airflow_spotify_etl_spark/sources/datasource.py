@@ -110,6 +110,15 @@ class _StreamReader(SimpleDataSourceStreamReader):
         return iter(rows), {"cursor": new_cursor}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # Crash-recovery replay LIMITATION (live mode): this re-fetches the
+        # endpoint, but /recently-played is a moving 50-item window — rows
+        # committed in the original batch may have scrolled out, so a live
+        # replay can return fewer rows than first committed. With canned
+        # payload_json (tests, backfills) the replay is exact. A WAL that
+        # persists each fetched batch keyed by (start, end) — replaying from
+        # storage instead of the API — is the upgrade path if live
+        # exactly-once recovery is ever required; the reference has no
+        # recovery story at all (wall-clock cursor, SURVEY §2.10).
         rows = _to_rows(_fetch_items(self.options), after=start["cursor"] or None)
         return iter(r for r in rows if r[0] <= end["cursor"])
 

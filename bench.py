@@ -2,18 +2,24 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"q01_...": sec, ...}, "sf": 0.1}
+   "queries": {"q01_...": sec, ...}, "sf": 0.1, "runs": 3, "stat": "median"}
 
 Each query is fully MATERIALIZED via a noop-format write: every projection
 expression, sort, and window actually executes (a count() action would let
 Catalyst prune projection expressions and final sorts, under-measuring
 expression-heavy queries). Results stay on executors; nothing is collected.
+
+Per-query time is the MEDIAN of $SPARK_GRAFT_BENCH_RUNS (default 3)
+back-to-back runs: single-run warm timings showed single-digit-percent
+run-to-run noise (r2 verdict), which a median makes round-over-round deltas
+trustworthy against.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -55,14 +61,22 @@ def main() -> None:
     spark.range(1).count()
     qs[HEADLINE[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        samples = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+        print(
+            f"# {name}: median {timings[name]:.3f}s of "
+            f"{[round(s, 3) for s in samples]}",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -73,6 +87,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": n_runs,
+                "stat": "median",
             }
         )
     )

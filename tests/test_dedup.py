@@ -108,3 +108,15 @@ def test_band_bucket_cap_drops_boilerplate_buckets(spark):
     assert uncapped.count() == 30 * 29 // 2
     sim_capped = simhash_pairs(df, max_block_bucket=10)
     assert sim_capped.count() == 0
+
+
+def test_connected_components_refuses_unconverged(spark):
+    """A cluster whose diameter exceeds max_iter must raise, not silently
+    return wrong labels (ADVICE r2)."""
+    from airflow_spotify_etl_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)

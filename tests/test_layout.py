@@ -97,3 +97,12 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         F.count("*").alias("n"), F.round(F.sum("segment"), 2).alias("s")
     ).collect()[0]
     assert (plain["n"], plain["s"]) == (salted["n"], salted["s"])
+
+
+def test_salted_join_rejects_outer_howes(spark):
+    from airflow_spotify_etl_spark.operators.layout import salted_join
+
+    df = spark.range(4).withColumnRenamed("id", "k")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(df, df, "k", how=how)

@@ -95,3 +95,21 @@ def test_pandas_assignment_matches_hof(spark, emb):
     )
     diff = hof.join(pnd, "vec_id").filter(F.col("cell") != F.col("pcell")).count()
     assert diff == 0
+
+
+def test_ivf_clamps_nlist_to_corpus_size(spark):
+    """nlist > corpus size degrades gracefully (ADVICE r2): fewer cells,
+    correct top-k — and an empty corpus raises a clear error."""
+    from airflow_spotify_etl_spark.operators.similarity import _centroids, ivf_topk
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i + 1), 0.0]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    got = ivf_topk(corpus, queries, k=3, nlist=16, nprobe=16, dim=2)
+    assert got.count() == 3  # all vectors still reachable
+    with pytest.raises(ValueError, match="empty"):
+        _centroids(corpus.filter("vec_id < 0"), "embedding", "vec_id", 4, 2)
