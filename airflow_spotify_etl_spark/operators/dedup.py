@@ -392,14 +392,29 @@ def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
     """64-bit SimHash over word tokens: per bit j, sum ±1 across token
-    hashes; sign(sum) → bit j. Explode + one grouped multi-aggregate."""
+    hashes; sign(sum) → bit j. Explode + one grouped multi-aggregate.
+
+    The 64 token-hash bits come from TWO 32-bit md5 slices (hex chars 1-8
+    and 9-16) instead of one xxhash64: the same engine-portability argument
+    as _h32 — DuckDB can recompute both halves but not Spark's seeded
+    xxhash64 — which is what upgrades q26 from rows-only to value-checked
+    (plans/llm.py _q26_sql). Kept as two 32-bit columns (never assembled
+    into one 64-bit value): bit j < 32 reads the low slice, j >= 32 the
+    high one, so no sign-bit/overflow semantics differ between engines."""
     tokens = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("lo", _h32("tok")).withColumn(
+        "hi", F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long")
+    )
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col("lo" if j < 32 else "hi"), j % 32)
+                .bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"s{j}")
         for j in range(bits)
     ]

@@ -371,11 +371,65 @@ _Q25_SQL = _q25_sql()
 
 
 def q26_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (dedup tier 4). Rows-only check."""
+    """SimHash near-dup pairs (dedup tier 4). VALUE-checked: the token hash
+    is two portable 32-bit md5 slices (see simhash_signatures), so the
+    oracle recomputes signatures, block buckets, and Hamming distances
+    bit-for-bit (_Q26_SQL). Block-bucket membership compares the 16 sign
+    bits directly — equality-equivalent to Spark's packed 16-bit block
+    values."""
     from ..operators.dedup import simhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+_Q26_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), th AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS lo,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hi
+  FROM toks
+), sums AS (
+  -- per (doc, bit j): sum of +-1 over token-hash bit j
+  SELECT doc_id, j.j AS j,
+         sum(CASE WHEN ((CASE WHEN j.j < 32 THEN lo ELSE hi END) >> (j.j % 32)::INT) & 1 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j
+  GROUP BY doc_id, j.j
+), sig AS (
+  -- the two 32-bit halves of the simhash, for the bit_count verify
+  SELECT doc_id,
+         CAST(sum(CASE WHEN j < 32 AND s > 0 THEN 1::BIGINT << j::INT ELSE 0 END) AS BIGINT) AS lo_sig,
+         CAST(sum(CASE WHEN j >= 32 AND s > 0 THEN 1::BIGINT << (j - 32)::INT ELSE 0 END) AS BIGINT) AS hi_sig
+  FROM sums GROUP BY doc_id
+), blocked AS (
+  -- pigeonhole blocks = 16 consecutive sign bits; bucket key is the bit
+  -- string (equality-equivalent to Spark's packed 16-bit value)
+  SELECT doc_id, j // 16 AS blk,
+         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bv
+  FROM sums GROUP BY doc_id, j // 16
+), ok AS (
+  -- max_block_bucket=1000 cap + singleton prune mirrored from simhash_pairs
+  SELECT blk, bv FROM blocked GROUP BY blk, bv
+  HAVING count(*) BETWEEN 2 AND 1000
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocked a
+  JOIN ok ON ok.blk = a.blk AND ok.bv = a.bv
+  JOIN blocked b ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(sa.lo_sig, sb.lo_sig))
+            + bit_count(xor(sa.hi_sig, sb.hi_sig)) AS INT) AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.lo_sig, sb.lo_sig))
+      + bit_count(xor(sa.hi_sig, sb.hi_sig)) <= 3
+ORDER BY doc_a, doc_b
+"""
 
 
 def q27_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,7 +450,11 @@ def q27_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q28_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via random-hyperplane LSH
-    (north star near-dup tier for vectors). Rows-only check."""
+    (north star near-dup tier for vectors). VALUE-checked: the plane matrix
+    is a seeded constant embedded verbatim in the oracle (_q28_sql), which
+    recomputes sketch bits, band buckets, and the exact-cosine verify with
+    DuckDB's list_dot_product — the same float machinery the q22 oracle
+    already hash-matches against Spark's array fold."""
     from ..operators.similarity import cosine_pairs_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -405,15 +463,118 @@ def q28_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_lsh(emb, threshold=0.45).orderBy("vec_a", "vec_b")
 
 
+def _q28_sql() -> str:
+    """DuckDB twin of cosine_pairs_lsh(threshold=0.45): the SAME seeded
+    plane matrix (np.random.RandomState(42), mirroring
+    operators/similarity.py), repr'd into literals — shortest-round-trip
+    strings parse to identical doubles in both engines."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    planes = rng.randn(16, 64).tolist()
+    plane_rows = ",\n    ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    cos = (
+        "list_dot_product(va.e, vb.e) / (sqrt(list_dot_product(va.e, va.e))"
+        " * sqrt(list_dot_product(vb.e, vb.e)))"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), planes(i, p) AS (VALUES
+    {plane_rows}
+), bits AS (
+  -- sketch bit per plane; 4 consecutive bits per band (n_planes=16, bands=4)
+  SELECT vec_id, i // 4 AS band,
+         string_agg(CASE WHEN list_dot_product(e, p) > 0 THEN '1' ELSE '0' END,
+                    '' ORDER BY i) AS bh
+  FROM v CROSS JOIN planes
+  GROUP BY vec_id, i // 4
+), ok AS (
+  -- max_band_bucket=1000 cap + singleton prune mirrored from cosine_pairs_lsh
+  SELECT band, bh FROM bits GROUP BY band, bh HAVING count(*) BETWEEN 2 AND 1000
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bits a
+  JOIN ok ON ok.band = a.band AND ok.bh = a.bh
+  JOIN bits b ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b, round({cos}, 4) AS cosine_sim
+FROM cand c
+JOIN v va ON va.vec_id = c.vec_a
+JOIN v vb ON vb.vec_id = c.vec_b
+WHERE round({cos}, 4) >= 0.45
+ORDER BY vec_a, vec_b
+"""
+
+
 def q29_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic character-trigram language ID (north star text analysis):
-    fit per-lang profiles on the labeled corpus, predict per doc. Rows-only
-    check; accuracy-vs-labels asserted in tests/test_text.py."""
+    """Multinomial-NB language ID (north star text analysis): fit per-lang
+    token profiles on the labeled corpus, predict per doc. VALUE-checked:
+    both NB phases are relational (counts → log weights → matched-sum
+    argmax), so the oracle replays them in SQL (_Q29_SQL); the score is
+    rounded to 4 decimals in both engines — the matched-weight sum is the
+    one place aggregation ORDER could perturb the last float bits.
+    Accuracy-vs-labels asserted in tests/test_text.py."""
     from ..operators.text import fit_lang_profiles, predict_lang
 
     docs = load_table(spark, sf_dir, "documents")
     profiles = fit_lang_profiles(docs)
-    return predict_lang(docs, profiles).orderBy("doc_id")
+    out = predict_lang(docs, profiles)
+    return out.select(
+        "doc_id", "pred_lang", F.round("score", 4).alias("score"), "n_matched"
+    ).orderBy("doc_id")
+
+
+_Q29_SQL = r"""
+WITH grams AS (
+  SELECT * FROM (
+    SELECT doc_id, lang,
+           unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), counts AS (
+  SELECT lang, tok, count(*) AS cnt FROM grams GROUP BY lang, tok
+), totals AS (
+  SELECT lang, sum(cnt) AS total FROM counts GROUP BY lang
+), profiles AS (
+  -- top_m=500 tokens per lang, weight = ln P(tok|lang)
+  SELECT c.lang, c.tok, ln(c.cnt / t.total) AS weight
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rn
+    FROM counts
+  ) c JOIN totals t ON t.lang = c.lang
+  WHERE c.rn <= 500
+), doc_sizes AS (
+  SELECT d.doc_id, coalesce(g.n, 0) AS n_tokens
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  LEFT JOIN (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id) g
+    USING (doc_id)
+), scored AS (
+  SELECT g.doc_id, p.lang,
+         sum(p.weight) AS matched_weight, count(*) AS n_matched
+  FROM grams g JOIN profiles p ON p.tok = g.tok
+  GROUP BY g.doc_id, p.lang
+), best AS (
+  SELECT doc_id, lang AS pred_lang, score, n_matched FROM (
+    SELECT s.doc_id, s.lang, s.n_matched,
+           s.matched_weight + (ds.n_tokens - s.n_matched) * (-18.0) AS score,
+           row_number() OVER (
+             PARTITION BY s.doc_id
+             ORDER BY s.matched_weight + (ds.n_tokens - s.n_matched) * (-18.0) DESC,
+                      s.lang
+           ) AS rn
+    FROM scored s JOIN doc_sizes ds USING (doc_id)
+  ) WHERE rn = 1
+)
+SELECT ds.doc_id, b.pred_lang,
+       round(coalesce(b.score, ds.n_tokens * (-18.0)), 4) AS score,
+       coalesce(b.n_matched, 0) AS n_matched
+FROM doc_sizes ds LEFT JOIN best b USING (doc_id)
+ORDER BY ds.doc_id
+"""
 
 
 def q42_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -542,10 +703,13 @@ ORACLES = {
     "q23_fingerprint": _Q23_SQL,
     "q24_ngram_jaccard_pairs": _Q24_SQL,
     "q25_minhash_lsh_pairs": _Q25_SQL,
+    "q26_simhash_pairs": _Q26_SQL,
+    "q28_embedding_near_dups": _q28_sql(),
+    "q29_lang_id": _Q29_SQL,
     "q42_dedup_clusters": _Q42_SQL,
     "q43_vocabulary": _Q43_SQL,
-    # q26-q29 are rows-only: SimHash/hyperplane hash families (xxhash64,
-    # float dot products) and IVF's driver-side Lloyd aren't SQL-portable;
-    # their correctness is asserted against exact counterparts in
-    # tests/test_dedup.py, test_similarity.py, test_text.py.
+    # q27 is the one remaining rows-only query: its top-k depends on
+    # driver-side Lloyd centroid training, which a fixed SQL string cannot
+    # replay; recall vs the exact scan is asserted in
+    # tests/test_similarity.py.
 }
