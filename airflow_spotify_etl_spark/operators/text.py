@@ -116,3 +116,96 @@ def predict_lang(
         F.coalesce("score", F.col("n_tokens") * F.lit(_FLOOR)).alias("score"),
         F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
     )
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per doc (Rae et al. 2021 §A1.1 use
+    these to drop template/spam pages before LLM training): type-token
+    ratio, most-frequent-token fraction, most-frequent-bigram fraction.
+
+    Shape at 100 TB: one narrow token explode + two grouped aggregates per
+    granularity, both keyed on doc_id (map-side partials collapse in-doc
+    duplicates before the exchange); the bigram stream reuses the
+    shuffle-free sequence-explode idiom (operators/dedup.shingle). Docs
+    with no tokens survive with n_tokens=0 and null ratios."""
+    toks = word_tokens(df, text_col, id_col)
+    t = (
+        toks.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_cnt"),
+        )
+    )
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "\\s+"), lambda x: x != F.lit("")
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+    n_idx = F.size("_w") - 1
+    idx = F.when(n_idx >= 1, F.sequence(F.lit(1), n_idx)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bi = (
+        base.select("doc_id", "_w", F.explode(idx).alias("_i"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.element_at("_w", F.col("_i")), F.element_at("_w", F.col("_i") + 1)
+            ).alias("bigram"),
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bi_cnt"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(t, "doc_id", "left")
+        .join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 4).alias(
+                "type_token_ratio"
+            ),
+            F.round(F.col("top_cnt") / F.col("n_tokens"), 4).alias("top_token_frac"),
+            F.round(F.col("top_bi_cnt") / F.col("n_bigrams"), 4).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Shannon entropy of the per-doc token distribution (nats) — low
+    entropy = repetitive/templated text, a standard corpus-quality signal.
+
+    Algebraic form H = ln(n) - Σ c·ln(c) / n needs ONE grouped aggregate
+    over (doc, token) counts — no second pass joining totals back, no
+    window. ``entropy_norm`` divides by ln(n_distinct) (the max possible H
+    for that vocabulary), giving a 0-1 uniformity score."""
+    counts = word_tokens(df, text_col, id_col).groupBy("doc_id", "gram").agg(
+        F.count("*").alias("c")
+    )
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("c") * F.log("c")).alias("clnc"),
+    )
+    entropy = F.log("n") - F.col("clnc") / F.col("n")
+    return agg.select(
+        "doc_id",
+        F.round(entropy, 4).alias("entropy"),
+        F.round(
+            F.when(F.col("n_distinct") > 1, entropy / F.log("n_distinct")).otherwise(
+                F.lit(0.0)
+            ),
+            4,
+        ).alias("entropy_norm"),
+    )

@@ -677,6 +677,116 @@ LIMIT 200
 """
 
 
+def q45_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (corpus quality): type-token ratio,
+    top-token and top-bigram fractions per doc — the signals that drop
+    templated/spam mass before LLM training."""
+    from ..operators.text import repetition_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_metrics(docs).orderBy("doc_id")
+
+
+_Q45_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(w) AS tok FROM w
+), t AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct, max(c) AS top_cnt
+  FROM (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+  GROUP BY doc_id
+), bi AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bi_cnt
+  FROM (
+    SELECT doc_id, bigram, count(*) AS c FROM (
+      SELECT doc_id,
+             unnest([w[i] || ' ' || w[i + 1] for i in range(1, len(w))]) AS bigram
+      FROM w
+    ) GROUP BY 1, 2
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(t.n_tokens, 0) AS n_tokens,
+       round(t.n_distinct / t.n_tokens, 4) AS type_token_ratio,
+       round(t.top_cnt / t.n_tokens, 4) AS top_token_frac,
+       round(bi.top_bi_cnt / bi.n_bigrams, 4) AS top_bigram_frac
+FROM documents d
+LEFT JOIN t USING (doc_id)
+LEFT JOIN bi USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q46_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token-distribution Shannon entropy + 0-1 uniformity score
+    (corpus quality: low entropy = templated text)."""
+    from ..operators.text import token_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_entropy(docs).orderBy("doc_id")
+
+
+_Q46_SQL = r"""
+WITH counts AS (
+  SELECT doc_id, tok, count(*) AS c FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> '' GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_distinct,
+         sum(c * ln(c)) AS clnc
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id,
+       round(ln(n) - clnc / n, 4) AS entropy,
+       round(CASE WHEN n_distinct > 1
+                  THEN (ln(n) - clnc / n) / ln(n_distinct)
+                  ELSE 0.0 END, 4) AS entropy_norm
+FROM agg
+ORDER BY doc_id
+"""
+
+
+# Corpus-mixing rates for q47: down-weight the dominant language, keep the
+# rest — the C4/Pile-style re-balancing a 100 TB build runs as its last
+# filter stage.
+_Q47_RATES = {"en": 0.5, "de": 1.0, "es": 0.25, "fr": 1.0, "zh": 0.1}
+
+
+def q47_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket corpus mixing (operators/sampling.py):
+    per-language keep rates, reproducible on any cluster, zero shuffle."""
+    from ..operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, _Q47_RATES)
+        .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+def _q47_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(r * 10000)}" for s, r in sorted(_Q47_RATES.items())
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('smp' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+           AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, bucket FROM b
+WHERE bucket < CASE lang {cases} ELSE 10000 END
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -692,6 +802,9 @@ QUERIES = {
     "q29_lang_id": q29_lang_id,
     "q42_dedup_clusters": q42_dedup_clusters,
     "q43_vocabulary": q43_vocabulary,
+    "q45_repetition_metrics": q45_repetition_metrics,
+    "q46_token_entropy": q46_token_entropy,
+    "q47_stratified_sample": q47_stratified_sample,
 }
 
 ORACLES = {
@@ -708,6 +821,9 @@ ORACLES = {
     "q29_lang_id": _Q29_SQL,
     "q42_dedup_clusters": _Q42_SQL,
     "q43_vocabulary": _Q43_SQL,
+    "q45_repetition_metrics": _Q45_SQL,
+    "q46_token_entropy": _Q46_SQL,
+    "q47_stratified_sample": _q47_sql(),
     # q27 is the one remaining rows-only query: its top-k depends on
     # driver-side Lloyd centroid training, which a fixed SQL string cannot
     # replay; recall vs the exact scan is asserted in

@@ -33,3 +33,53 @@ def test_lang_id_beats_chance(spark, sf_dir):
     # impossible — but profiles fit on the corpus itself must beat chance.
     assert acc_row.acc > 1.0 / n_langs, acc_row.acc
     assert preds.count() == docs.count()  # every doc classified
+
+
+def test_repetition_metrics_closed_form(spark):
+    from airflow_spotify_etl_spark.operators.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y"), (3, "solo")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    r1 = got[1]  # tokens: a,a,a,b; bigrams: "a a","a a","a b"
+    assert r1.n_tokens == 4
+    assert r1.type_token_ratio == 0.5
+    assert r1.top_token_frac == 0.75
+    assert r1.top_bigram_frac == 0.6667
+    assert got[2].top_bigram_frac == 1.0
+    assert got[3].n_tokens == 1 and got[3].top_bigram_frac is None
+
+
+def test_token_entropy_closed_form(spark):
+    import math
+
+    from airflow_spotify_etl_spark.operators.text import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a a a")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in token_entropy(df).collect()}
+    assert got[1].entropy == round(math.log(4), 4) and got[1].entropy_norm == 1.0
+    assert got[2].entropy == 0.0 and got[2].entropy_norm == 0.0
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark, sf_dir):
+    from airflow_spotify_etl_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"en": 0.5, "de": 0.0}
+    a = stratified_sample(docs, rates).select("doc_id").collect()
+    b = stratified_sample(docs, rates).select("doc_id").collect()
+    assert {r.doc_id for r in a} == {r.doc_id for r in b}  # reproducible
+    by_lang = dict(
+        stratified_sample(docs, rates)
+        .groupBy("lang").count().collect()
+    )
+    totals = dict(docs.groupBy("lang").count().collect())
+    assert "de" not in by_lang                      # rate 0 drops stratum
+    assert by_lang["fr"] == totals["fr"]            # unlisted keeps default 1.0
+    assert 0.3 < by_lang["en"] / totals["en"] < 0.7  # ~rate, hash-binomial
+    # independent salts draw different samples
+    c = {r.doc_id for r in stratified_sample(docs, rates, salt="other").select("doc_id").collect()}
+    assert c != {r.doc_id for r in a}
