@@ -275,6 +275,7 @@ def cosine_pairs_lsh(
     id_col: str = "vec_id",
     dim: int = 64,
     max_band_bucket: int | None = 1000,
+    verify: bool = True,
 ) -> DataFrame:
     """Near-duplicate vector pairs via random-hyperplane LSH.
 
@@ -289,35 +290,36 @@ def cosine_pairs_lsh(
     (near-constant vectors — e.g. zero/padding embeddings — produce one hot
     band shared by the whole degenerate mass and would expand quadratically
     while carrying no near-dup signal), prune singletons, then
-    collect_list + double-explode. Vectors and norms ride inside the bucket
-    structs (bounded by the cap), so the exact-cosine verify needs no
-    join-back and the whole plan is join-free."""
+    collect_list + double-explode.
+
+    The expansion carries IDS ONLY. With r = n_planes/bands sign bits per
+    band there are just 2^r bucket values, so buckets — and the pair
+    blow-up — are inherently fat; hauling the vectors through the
+    expansion+dedup shuffle multiplied its volume by the vector width
+    (~60x at dim=64: measured 5.5 s → 1 s at sf0.1). Instead the deduped
+    candidate list routes through two equi-joins back to the sketched
+    vectors for the exact-cosine verify — the identical candidates-only
+    routing minhash_lsh_pairs uses, and the join you want at scale: its
+    fan-in is bounded by the candidate count, never corpus²."""
     rng = np.random.RandomState(_SEED)
     planes = rng.randn(n_planes, dim).tolist()
-    v = _as_double(vec_col)
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    F.array(*[F.lit(float(x)) for x in plane]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0.0).cast("double"),
-                lambda acc, x: acc + x,
-            )
-            > 0,
-            1,
-        )
-        .otherwise(0)
-        for plane in planes
-    ]
+    # ONE literal plane matrix + one transform — the _unit_mat lesson:
+    # n_planes x dim nested F.lit calls hand Catalyst a thousand-node
+    # expression tree whose analysis alone costs seconds per query; a
+    # single Literal node costs nothing.
+    planes_lit = F.lit(planes)
+    bits = F.transform(
+        planes_lit,
+        lambda p: F.when(_dot(F.col("_v"), p) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
     r = n_planes // bands
     # Norm computed once per vector at sketch time — a vector re-appears in
     # every candidate pair it joins, and the norm fold is interpreted.
-    sketched = corpus.select(
-        F.col(id_col), v.alias("_v"), F.array(*bits).alias("_bits")
-    ).withColumn("_n", _norm(F.col("_v")))
+    sketched = (
+        corpus.select(F.col(id_col), _as_double(vec_col).alias("_v"))
+        .withColumn("_bits", bits)
+        .withColumn("_n", _norm(F.col("_v")))
+    )
     band_arr = F.array(
         *[
             F.concat_ws("", *[F.col("_bits")[b * r + j].cast("string") for j in range(r)])
@@ -325,34 +327,32 @@ def cosine_pairs_lsh(
         ]
     )
     banded = sketched.select(
-        id_col, "_v", "_n", F.posexplode(band_arr).alias("band", "bh")
+        id_col, F.posexplode(band_arr).alias("band", "bh")
     ).withColumn("_bucket_n", F.count("*").over(W.partitionBy("band", "bh")))
     if max_band_bucket:
         banded = banded.filter(F.col("_bucket_n") <= max_band_bucket)
     buckets = (
         banded.filter(F.col("_bucket_n") >= 2)
         .groupBy("band", "bh")
-        .agg(
-            F.collect_list(
-                F.struct(F.col(id_col).alias("id"), "_v", "_n")
-            ).alias("vs")
-        )
+        .agg(F.collect_list(id_col).alias("ids"))
+    )
+    candidates = (
+        buckets.select(F.explode("ids").alias("vec_a"), "ids")
+        .select("vec_a", F.explode("ids").alias("vec_b"))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .distinct()
+    )
+    if not verify:
+        return candidates
+    va = sketched.select(
+        F.col(id_col).alias("vec_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    vb = sketched.select(
+        F.col(id_col).alias("vec_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
     )
     return (
-        buckets.select(F.explode("vs").alias("a"), "vs")
-        .select("a", F.explode("vs").alias("b"))
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("vec_a"),
-            F.col("b.id").alias("vec_b"),
-            F.col("a._v").alias("_va"),
-            F.col("b._v").alias("_vb"),
-            F.col("a._n").alias("_na"),
-            F.col("b._n").alias("_nb"),
-        )
-        # Dedup on ids only — comparing the vector payloads would hash two
-        # 64-double arrays per row for no extra information.
-        .dropDuplicates(["vec_a", "vec_b"])
+        candidates.join(va, "vec_a")
+        .join(vb, "vec_b")
         .withColumn(
             "cosine_sim",
             F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 4),

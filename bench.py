@@ -36,10 +36,15 @@ HEADLINE = [
     "q22_cosine_topk",
     "q24_ngram_jaccard_pairs",
     "q25_minhash_lsh_pairs",
+    "q26_simhash_pairs",
     "q27_ivf_topk",
+    "q28_embedding_near_dups",
+    "q29_lang_id",
     "q30_sessionization",
     "q31_hourly_windows",
     "q33_flatten_track_payload",
+    "q45_repetition_metrics",
+    "q47_stratified_sample",
 ]
 
 

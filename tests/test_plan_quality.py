@@ -130,8 +130,13 @@ def test_lsh_candidate_generation_is_capped_and_join_free(spark, sf_dir):
     for df in (
         minhash_lsh_pairs(docs, verify=False),
         simhash_pairs(docs),
-        cosine_pairs_lsh(emb, threshold=0.45),
+        cosine_pairs_lsh(emb, threshold=0.45, verify=False),
     ):
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "Join" not in plan, plan
         assert "_bucket_n" in plan and "<= 1000" in plan, plan
+    # The exact-cosine verify may join — but only candidate-routed equi-joins
+    # (bounded by the candidate list), never a cartesian or a full self-join.
+    full = cosine_pairs_lsh(emb, threshold=0.45)._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    assert "Join Cross" not in full and full.count("Join Inner") <= 2, full

@@ -113,3 +113,48 @@ def test_flatten_defaults_match_reference_semantics(spark, tracks):
         tuple(_reference_flatten(t)[f.name] for f in TRACK_FIELDS) for t in tracks
     )
     assert got == expected
+
+
+@given(
+    r1=st.integers(min_value=0, max_value=100),
+    r2=st.integers(min_value=0, max_value=100),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_stratified_sample_nested_and_bounded(spark, r1, r2):
+    """Hash-threshold sampling: a lower rate's sample is a SUBSET of a
+    higher rate's (same salt ⇒ same buckets), and rate 1.0 keeps all."""
+    from airflow_spotify_etl_spark.operators.sampling import stratified_sample
+
+    lo, hi = sorted((r1, r2))
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    a = {r.doc_id for r in stratified_sample(df, {"en": lo / 100}).collect()}
+    b = {r.doc_id for r in stratified_sample(df, {"en": hi / 100}).collect()}
+    assert a <= b
+    assert len({r.doc_id for r in stratified_sample(df, {"en": 1.0}).collect()}) == 200
+
+
+@given(words=st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=30))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_entropy_and_repetition_bounds(spark, words):
+    """0 <= entropy <= ln(n_distinct); ratios in (0, 1]; single-token docs
+    pin both metrics to their degenerate values."""
+    import math
+
+    from airflow_spotify_etl_spark.operators.text import (
+        repetition_metrics,
+        token_entropy,
+    )
+
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    ent = token_entropy(df).collect()[0]
+    n_distinct = len(set(words))
+    # 5e-5 slack: the operator rounds to 4 decimals, which can nudge the
+    # value just past the exact ln(n_distinct) bound.
+    assert -5e-5 <= ent.entropy <= math.log(max(n_distinct, 2)) + 5e-5
+    assert 0.0 <= ent.entropy_norm <= 1.0
+    rep = repetition_metrics(df).collect()[0]
+    assert rep.n_tokens == len(words)
+    assert 0 < rep.type_token_ratio <= 1.0
+    assert 0 < rep.top_token_frac <= 1.0
