@@ -787,6 +787,39 @@ ORDER BY doc_id
 """
 
 
+def q48_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing plan (operators/packing.py): shard by
+    portable hash, running token total per shard, seq/offset assignment."""
+    from ..operators.packing import pack_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_documents(docs, capacity=2048, n_shards=8).orderBy("doc_id")
+
+
+_Q48_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))
+           AS n_tokens,
+         ('0x' || substr(md5('shard' || doc_id::VARCHAR), 1, 8))::BIGINT % 8
+           AS shard
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tokens, shard,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens AS BIGINT) AS start
+  FROM base
+)
+SELECT doc_id, n_tokens, shard,
+       start // 2048 AS seq,
+       start % 2048 AS offset
+FROM cum
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -805,6 +838,7 @@ QUERIES = {
     "q45_repetition_metrics": q45_repetition_metrics,
     "q46_token_entropy": q46_token_entropy,
     "q47_stratified_sample": q47_stratified_sample,
+    "q48_pack_sequences": q48_pack_sequences,
 }
 
 ORACLES = {
@@ -824,6 +858,7 @@ ORACLES = {
     "q45_repetition_metrics": _Q45_SQL,
     "q46_token_entropy": _Q46_SQL,
     "q47_stratified_sample": _q47_sql(),
+    "q48_pack_sequences": _Q48_SQL,
     # q27 is the one remaining rows-only query: its top-k depends on
     # driver-side Lloyd centroid training, which a fixed SQL string cannot
     # replay; recall vs the exact scan is asserted in

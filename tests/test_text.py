@@ -83,3 +83,26 @@ def test_stratified_sample_deterministic_and_rate_bounded(spark, sf_dir):
     # independent salts draw different samples
     c = {r.doc_id for r in stratified_sample(docs, rates, salt="other").select("doc_id").collect()}
     assert c != {r.doc_id for r in a}
+
+
+def test_pack_documents_invariants(spark, sf_dir):
+    """Packing plan: offsets stay inside capacity, every doc lands exactly
+    once, and within a shard consecutive docs tile contiguously (next start
+    = previous start + previous n_tokens)."""
+    from airflow_spotify_etl_spark.operators.packing import pack_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    cap = 512
+    plan = pack_documents(docs, capacity=cap, n_shards=4).collect()
+    assert len(plan) == docs.count()
+    assert {r.shard for r in plan} <= set(range(4))
+    by_shard: dict[int, list] = {}
+    for r in plan:
+        assert 0 <= r.offset < cap
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.doc_id)
+        start = 0
+        for r in rows:
+            assert r.seq == start // cap and r.offset == start % cap
+            start += r.n_tokens
