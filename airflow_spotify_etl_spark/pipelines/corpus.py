@@ -3,21 +3,27 @@
 Chains the engine's text/dedup tiers the way a production data pipeline
 does — cheapest filter first, each stage shrinking the next stage's input:
 
-    ingest → quality gate → language ID → exact dedup → near-dedup
-           → fingerprint → partitioned write → summary
+    ingest → quality gate → repetition gate → language ID → exact dedup
+           → near-dedup → stratified mixing → fingerprint
+           → partitioned write → summary
 
 Stage costs at scale (why this order):
 1. quality gate      — narrow projection + filter, scan speed.
-2. language ID       — explode + broadcast-join + per-doc agg.
-3. exact dedup       — one skew-free shuffle on md5(text).
-4. MinHash near-dedup— the LSH banding path; runs on the ALREADY exact-
+2. repetition gate   — per-doc token aggregates (Gopher-style TTR /
+   top-fraction cuts); one doc-keyed shuffle, drops templated mass
+   BEFORE the dedup tiers would waste candidate work on it.
+3. language ID       — explode + broadcast-join + per-doc agg.
+4. exact dedup       — one skew-free shuffle on md5(text).
+5. MinHash near-dedup— the LSH banding path; runs on the ALREADY exact-
    deduped survivors, so boilerplate mass is gone before the joins.
-5. fingerprint + write — narrow; partitioned by language for downstream
+6. stratified mixing — deterministic hash down-sampling per language to
+   the target mix; narrow filter, reproducible on any cluster.
+7. fingerprint + write — narrow; partitioned by language for downstream
    pruning (per-language training mixes read only their slice).
 
 Every stage is an operator this repo oracle-checks individually
-(q18/q20/q21/q25/q23); this module is their composition, tested end-to-end
-in tests/test_corpus_pipeline.py.
+(q18/q45/q20/q21/q25/q47/q23); this module is their composition, tested
+end-to-end in tests/test_corpus_pipeline.py.
 """
 
 from __future__ import annotations
@@ -56,12 +62,33 @@ def quality_filter(
     )
 
 
+def repetition_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_type_token_ratio: float = 0.05,
+    max_top_token_frac: float = 0.5,
+) -> DataFrame:
+    """Stage-2 gate: drop template/spam mass by repetition signals
+    (operators/text.repetition_metrics as predicates — the Gopher cuts).
+    Runs BEFORE the dedup tiers so their band buckets never fill with the
+    degenerate docs these thresholds remove."""
+    from ..operators.text import repetition_metrics
+
+    keep = repetition_metrics(docs, text_col, id_col).filter(
+        (F.col("type_token_ratio") >= min_type_token_ratio)
+        & (F.col("top_token_frac") <= max_top_token_frac)
+    ).select("doc_id")
+    return docs.join(keep, "doc_id", "left_semi")
+
+
 def run_corpus_pipeline(
     spark: SparkSession,
     docs: DataFrame,
     out_path: str,
     near_dup_threshold: float = 0.7,
     min_words: int = 5,
+    mix_rates: dict[str, float] | None = None,
 ) -> dict:
     """Full corpus build; returns a K4-style summary of per-stage attrition
     (the numbers a pipeline operator actually watches)."""
@@ -70,21 +97,24 @@ def run_corpus_pipeline(
     # 1. quality gate
     clean = quality_filter(docs, min_words=min_words)
 
-    # 2. language ID — profiles fit on the labeled subset, predictions for
+    # 2. repetition gate (Gopher cuts)
+    clean = repetition_filter(clean)
+
+    # 3. language ID — profiles fit on the labeled subset, predictions for
     # all docs (docs with no usable tokens surface as pred_lang=null and are
     # dropped with the junk).
     profiles = fit_lang_profiles(clean)
     langs = predict_lang(clean, profiles).select("doc_id", "pred_lang")
     clean = clean.join(langs, "doc_id", "left")
 
-    # 3. exact dedup — keep the lowest doc_id per identical text.
+    # 4. exact dedup — keep the lowest doc_id per identical text.
     keepers = exact_dedup(clean).select(F.col("keeper").alias("doc_id"))
     uniq = clean.join(keepers, "doc_id", "left_semi")
     # Materialize once: stages 4-6 all re-read this frontier.
     uniq = uniq.localCheckpoint(eager=True)
     n_exact = uniq.count()
 
-    # 4. near-dedup — LSH candidates + candidate-only verification on the
+    # 5. near-dedup — LSH candidates + candidate-only verification on the
     # exact-deduped survivors, resolved into CLUSTERS (near-dup relations
     # chain: dropping "the higher doc of each pair" would still keep two
     # docs of one A~B~C chain); keep the minimum doc_id per component.
@@ -93,11 +123,18 @@ def run_corpus_pipeline(
     drop = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     final = uniq.join(drop, "doc_id", "left_anti")
 
-    # 5. fingerprint + partitioned write (by predicted language).
+    # 6. stratified mixing — down-sample strata to the target corpus mix.
+    final = final.withColumn("pred_lang", F.coalesce("pred_lang", F.lit("und")))
+    if mix_rates:
+        from ..operators.sampling import stratified_sample
+
+        final = stratified_sample(final, mix_rates, strata_col="pred_lang").drop(
+            "bucket"
+        )
+
+    # 7. fingerprint + partitioned write (by predicted language).
     canon = F.lower(F.regexp_replace(F.col("text"), "\\s+", " "))
-    final = final.withColumn("fingerprint", F.md5(canon)).withColumn(
-        "pred_lang", F.coalesce("pred_lang", F.lit("und"))
-    )
+    final = final.withColumn("fingerprint", F.md5(canon))
     final.write.mode("overwrite").partitionBy("pred_lang").parquet(out_path)
 
     out = spark.read.parquet(out_path)

@@ -56,3 +56,37 @@ def test_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
     # Language-partitioned layout on disk.
     assert summary["n_langs"] >= 1
     assert any(p.name.startswith("pred_lang=") for p in (tmp_path / "corpus").iterdir())
+
+
+def test_repetition_filter_drops_templated_mass(spark):
+    from airflow_spotify_etl_spark.pipelines.corpus import repetition_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "a varied document with many different interesting words inside"),
+            (2, "spam " * 40 + "spam"),  # one token repeated 41x
+        ],
+        "doc_id long, text string",
+    )
+    kept = [r.doc_id for r in repetition_filter(df).select("doc_id").collect()]
+    assert kept == [1]
+
+
+def test_corpus_pipeline_mix_rates_downsample(spark, sf_dir, tmp_path):
+    from airflow_spotify_etl_spark.pipelines.corpus import run_corpus_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = run_corpus_pipeline(spark, docs, str(tmp_path / "full"))
+    mixed = run_corpus_pipeline(
+        spark, docs, str(tmp_path / "mixed"), mix_rates={"en": 0.2}
+    )
+    assert mixed["docs_out"] < full["docs_out"]
+    # non-en strata untouched: only the en partition shrank
+    full_en = spark.read.parquet(str(tmp_path / "full")).filter(
+        "pred_lang = 'en'"
+    ).count()
+    mixed_en = spark.read.parquet(str(tmp_path / "mixed")).filter(
+        "pred_lang = 'en'"
+    ).count()
+    assert mixed_en < full_en
+    assert (full["docs_out"] - full_en) == (mixed["docs_out"] - mixed_en)
