@@ -96,7 +96,19 @@ class _StreamReader(SimpleDataSourceStreamReader):
 
     Spark checkpoints the offset dicts; on restart it replays from the last
     committed offset via readBetweenOffsets — the gap/dup-free semantics the
-    reference's wall-clock `after = now()-24h` cursor cannot give."""
+    reference's wall-clock `after = now()-24h` cursor cannot give.
+
+    Crash-recovery replay and the moving window: /recently-played only
+    serves the latest 50 items, so a LIVE re-fetch during replay can return
+    different rows than the original batch committed. Set ``wal_dir`` (a
+    driver-visible path; this reader runs on the driver) and every fetched
+    batch is persisted keyed by its (start, end) offsets, making
+    ``readBetweenOffsets`` an exact storage replay — true exactly-once
+    recovery against a non-replayable source. Without ``wal_dir`` the
+    replay falls back to the live re-fetch (fine for canned payload_json
+    and backfills; the reference has no recovery story at all — wall-clock
+    cursor, SURVEY §2.10). WAL files are ≤50 rows each; GC of batches older
+    than the retained checkpoint is the operator's cron job."""
 
     def __init__(self, options: dict):
         self.options = options
@@ -104,21 +116,38 @@ class _StreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"cursor": ""}
 
+    def _wal_path(self, start: dict, end: dict) -> str:
+        import hashlib
+        import os
+
+        key = hashlib.md5(
+            json.dumps([start, end], sort_keys=True).encode()
+        ).hexdigest()
+        return os.path.join(self.options["wal_dir"], f"batch-{key}.json")
+
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        import os
+
         rows = _to_rows(_fetch_items(self.options), after=start["cursor"] or None)
         new_cursor = rows[-1][0] if rows else start["cursor"]
-        return iter(rows), {"cursor": new_cursor}
+        end = {"cursor": new_cursor}
+        if self.options.get("wal_dir"):
+            os.makedirs(self.options["wal_dir"], exist_ok=True)
+            path = self._wal_path(start, end)
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(rows, f)
+            os.replace(tmp, path)  # atomic: a replay never sees a torn file
+        return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        # Crash-recovery replay LIMITATION (live mode): this re-fetches the
-        # endpoint, but /recently-played is a moving 50-item window — rows
-        # committed in the original batch may have scrolled out, so a live
-        # replay can return fewer rows than first committed. With canned
-        # payload_json (tests, backfills) the replay is exact. A WAL that
-        # persists each fetched batch keyed by (start, end) — replaying from
-        # storage instead of the API — is the upgrade path if live
-        # exactly-once recovery is ever required; the reference has no
-        # recovery story at all (wall-clock cursor, SURVEY §2.10).
+        import os
+
+        if self.options.get("wal_dir"):
+            path = self._wal_path(start, end)
+            if os.path.exists(path):
+                with open(path) as f:
+                    return iter([tuple(r) for r in json.load(f)])
         rows = _to_rows(_fetch_items(self.options), after=start["cursor"] or None)
         return iter(r for r in rows if r[0] <= end["cursor"])
 

@@ -44,7 +44,9 @@ HEADLINE = [
     "q31_hourly_windows",
     "q33_flatten_track_payload",
     "q45_repetition_metrics",
+    "q46_token_entropy",
     "q47_stratified_sample",
+    "q48_pack_sequences",
 ]
 
 

@@ -113,3 +113,28 @@ def test_stream_offsets_resume_without_reemit(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 5
     assert got.select("played_at").distinct().count() == 5
+
+
+def test_wal_replay_is_exact_when_source_window_moves(spark, tmp_path):
+    """With wal_dir set, readBetweenOffsets replays the ORIGINAL batch from
+    storage even after the live payload has scrolled (exactly-once recovery
+    against the moving 50-item API window)."""
+    from airflow_spotify_etl_spark.sources.datasource import _StreamReader
+
+    wal = str(tmp_path / "wal")
+    opts = {"payload_json": _payload(3), "wal_dir": wal}
+    reader = _StreamReader(opts)
+    start = reader.initialOffset()
+    rows, end = reader.read(start)
+    original = list(rows)
+    assert len(original) == 3
+
+    # The API window moves on: the same offsets now cover different rows.
+    reader.options["payload_json"] = _payload(2, start_min=30)
+    replayed = list(reader.readBetweenOffsets(start, end))
+    assert replayed == original  # WAL replay, not the drifted live fetch
+
+    # Without a WAL the replay degrades to the (drifted) live fetch.
+    bare = _StreamReader({"payload_json": _payload(2, start_min=30)})
+    drifted = list(bare.readBetweenOffsets(start, end))
+    assert drifted != original
