@@ -34,6 +34,7 @@ __all__ = [
     "exact_dedup",
     "shingle",
     "ngram_jaccard_pairs",
+    "ngram_contamination",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash_signatures",
@@ -194,6 +195,32 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "na", "nb", "jaccard")
     )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-decontamination screen: corpus docs sharing ≥1 word n-gram
+    with the eval set, with the shared-gram count (GPT-3 appendix C / PaLM
+    style — production n is 8-13).
+
+    Scale shape: eval benchmarks are MBs against a 100 TB corpus, so the
+    eval shingle set is distinct'd and BROADCAST into the corpus shingle
+    stream (the shuffle-free sequence-explode, see ``shingle``); the only
+    exchange is the final per-doc count. No corpus self-join exists."""
+    needles = (
+        shingle(eval_docs, text_col, id_col, n, distinct=False)
+        .select(F.col("shingle").alias("needle"))
+        .distinct()
+    )
+    hits = shingle(corpus, text_col, id_col, n, distinct=True).join(
+        F.broadcast(needles), F.col("shingle") == F.col("needle")
+    )
+    return hits.groupBy("doc_id").agg(F.count("*").alias("n_shared_ngrams"))
 
 
 def connected_components(

@@ -820,6 +820,92 @@ ORDER BY doc_id
 """
 
 
+def q49_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score: average log-probability of each doc's
+    tokens under the CORPUS unigram distribution — outlier docs (gibberish,
+    wrong-language, boilerplate) score far from the bulk and get cut by a
+    percentile threshold downstream.
+
+    Shape at 100 TB: the unigram model is one grouped count (skew-free
+    token key), broadcast back into a per-doc average — same
+    broadcast-model-scan shape as NB lang-ID (q29). Unseen tokens can't
+    occur (the model is fit on the same corpus); a held-out variant would
+    add the q29 floor term."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "\\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    total = toks.count()
+    model = toks.groupBy("tok").agg(
+        F.log(F.count("*") / F.lit(float(total))).alias("logp")
+    )
+    return (
+        toks.join(F.broadcast(model), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("logp"), 4).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q49_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), model AS (
+  SELECT tok, ln(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM toks)) AS logp
+  FROM toks GROUP BY tok
+)
+SELECT t.doc_id, count(*) AS n_tokens, round(avg(m.logp), 4) AS avg_logprob
+FROM toks t JOIN model m USING (tok)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+def q50_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination scan: flag corpus docs sharing any word
+    n-gram with the eval set (here: the 5 lowest doc_ids stand in for an
+    eval benchmark). The standard n-gram-collision screen (GPT-3 appendix C
+    / PaLM style). Production uses 8-13 grams; this corpus's tiny synthetic
+    vocabulary makes 4-grams the equivalent selectivity (8-grams collide
+    on none of it, 3-grams on a third of it).
+
+    Shape at 100 TB: eval-set shingles are tiny (benchmarks are MBs) —
+    distinct them and broadcast into the corpus shingle stream; the corpus
+    side is the same shuffle-free sequence-explode used everywhere
+    (operators/dedup.shingle); one per-doc aggregate after the broadcast
+    semi-match. No corpus self-join anywhere."""
+    from ..operators.dedup import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") < 5)
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    return ngram_contamination(corpus, eval_docs, n=4).orderBy("doc_id")
+
+
+_Q50_SQL = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           [array_to_string(w[i:i+3], ' ') for i in range(1, len(w) - 2)]
+         )) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), needles AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id < 5
+)
+SELECT s.doc_id, count(*) AS n_shared_ngrams
+FROM sh s JOIN needles n USING (shingle)
+WHERE s.doc_id >= 5
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -839,6 +925,8 @@ QUERIES = {
     "q46_token_entropy": q46_token_entropy,
     "q47_stratified_sample": q47_stratified_sample,
     "q48_pack_sequences": q48_pack_sequences,
+    "q49_unigram_logprob": q49_unigram_logprob,
+    "q50_decontamination": q50_decontamination,
 }
 
 ORACLES = {
@@ -859,6 +947,8 @@ ORACLES = {
     "q46_token_entropy": _Q46_SQL,
     "q47_stratified_sample": _q47_sql(),
     "q48_pack_sequences": _Q48_SQL,
+    "q49_unigram_logprob": _Q49_SQL,
+    "q50_decontamination": _Q50_SQL,
     # q27 is the one remaining rows-only query: its top-k depends on
     # driver-side Lloyd centroid training, which a fixed SQL string cannot
     # replay; recall vs the exact scan is asserted in

@@ -47,6 +47,8 @@ HEADLINE = [
     "q46_token_entropy",
     "q47_stratified_sample",
     "q48_pack_sequences",
+    "q49_unigram_logprob",
+    "q50_decontamination",
 ]
 
 

@@ -120,3 +120,22 @@ def test_connected_components_refuses_unconverged(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=2)
+
+
+def test_ngram_contamination_planted_overlap(spark):
+    """A corpus doc containing an eval doc's exact 4-gram is flagged with
+    the right shared count; clean docs are not."""
+    from airflow_spotify_etl_spark.operators.dedup import ngram_contamination
+
+    eval_docs = _docs(spark, [(1, "the secret eval answer is forty two")])
+    corpus = _docs(
+        spark,
+        [
+            (10, "prefix words then the secret eval answer is forty two suffix"),
+            (11, "completely unrelated clean text with no overlap at all"),
+        ],
+    )
+    got = {r.doc_id: r.n_shared_ngrams for r in
+           ngram_contamination(corpus, eval_docs, n=4).collect()}
+    # eval doc has 4 distinct 4-grams; the contaminated doc contains them all
+    assert got == {10: 4}
