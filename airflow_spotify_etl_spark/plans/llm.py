@@ -906,6 +906,83 @@ ORDER BY s.doc_id
 """
 
 
+_BM25_TERMS = ["spark", "vector", "hash"]
+
+
+def q51_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword scoring — targeted corpus curation (pull the docs most
+    about a topic into a domain mix). Okapi BM25 with k1=1.2, b=0.75 over a
+    fixed term set; top 20 by score.
+
+    Shape at 100 TB: term stats (df) and corpus scalars (N, avgdl) are tiny
+    — the scan filters to query-term rows FIRST (a pushed narrow filter),
+    so the per-(doc,term) tf aggregate touches only matching tokens; df
+    broadcasts back; one final per-doc sum + top-k. Ordering uses the
+    ROUNDED score so the engine-vs-oracle sort can't diverge on last-bit
+    float noise at the limit boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "\\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = float(stats["n"]), float(stats["avgdl"])
+    k1, b = 1.2, 0.75
+    tf = (
+        toks.filter(F.col("tok").isin(_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    partial = idf * (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    return (
+        tf.join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .withColumn("partial", partial)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("partial"), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+def _q51_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN ({terms}) GROUP BY 1, 2
+), df AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+)
+SELECT tf.doc_id,
+       round(sum(
+         ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+         * (tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+       ), 4) AS bm25
+FROM tf
+JOIN df USING (tok)
+JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN stats s
+GROUP BY tf.doc_id
+ORDER BY bm25 DESC, tf.doc_id
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -927,6 +1004,7 @@ QUERIES = {
     "q48_pack_sequences": q48_pack_sequences,
     "q49_unigram_logprob": q49_unigram_logprob,
     "q50_decontamination": q50_decontamination,
+    "q51_bm25_keyword_search": q51_bm25_keyword_search,
 }
 
 ORACLES = {
@@ -949,6 +1027,7 @@ ORACLES = {
     "q48_pack_sequences": _Q48_SQL,
     "q49_unigram_logprob": _Q49_SQL,
     "q50_decontamination": _Q50_SQL,
+    "q51_bm25_keyword_search": _q51_sql(),
     # q27 is the one remaining rows-only query: its top-k depends on
     # driver-side Lloyd centroid training, which a fixed SQL string cannot
     # replay; recall vs the exact scan is asserted in

@@ -49,6 +49,7 @@ HEADLINE = [
     "q48_pack_sequences",
     "q49_unigram_logprob",
     "q50_decontamination",
+    "q51_bm25_keyword_search",
 ]
 
 

@@ -106,3 +106,21 @@ def test_pack_documents_invariants(spark, sf_dir):
         for r in rows:
             assert r.seq == start // cap and r.offset == start % cap
             start += r.n_tokens
+
+
+def test_bm25_ranks_term_dense_docs_first(spark, sf_dir):
+    """BM25 sanity on real data: every returned doc contains >=1 query
+    term; scores are positive and non-increasing; ties break by doc_id."""
+    from airflow_spotify_etl_spark.plans.llm import (
+        _BM25_TERMS,
+        q51_bm25_keyword_search,
+    )
+
+    rows = q51_bm25_keyword_search(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r.bm25 for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    docs = {r.doc_id: r.text for r in load_table(spark, sf_dir, "documents").collect()}
+    for r in rows:
+        assert any(t in docs[r.doc_id].lower().split() for t in _BM25_TERMS)
