@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "exact_dedup",
+    "chunk_dedup",
     "shingle",
     "ngram_jaccard_pairs",
     "ngram_contamination",
@@ -66,6 +67,75 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return (
         df.groupBy(F.md5(text_col).alias("text_hash"))
         .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    chunk_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document exact dedup (the Dolma/RefinedWeb "paragraph-level"
+    pass): split each doc into consecutive ``chunk_words``-word chunks,
+    keep only each chunk's FIRST corpus-wide occurrence (ordered by
+    doc_id, then position), and reconstruct the surviving text per doc.
+    Catches boilerplate repeated across documents (headers, footers,
+    navigation) that whole-document dedup can't touch.
+
+    Returns (doc_id, n_chunks, n_kept, text_clean) for EVERY input doc —
+    a doc whose text is entirely boilerplate survives with n_kept=0 and
+    an empty text_clean rather than vanishing.
+
+    Scale shape: the chunk stream is the shuffle-free sequence-explode
+    (see ``shingle``); first-occurrence marking is ONE count-window
+    exchange keyed on the chunk text (uniform: chunks are near-unique
+    outside boilerplate, and boilerplate buckets are bounded by corpus
+    repetition, not doc count); reconstruction is one per-doc aggregate.
+    The chunk text itself is the window key — at 100 TB swap the key for
+    md5(chunk) to keep exchange rows narrow (same plan shape)."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "\\s+"), lambda x: x != F.lit("")
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+    n_chunks = F.ceil(F.size("_w") / F.lit(float(chunk_words))).cast("int")
+    idx = F.when(n_chunks >= 1, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = base.select("doc_id", "_w", F.explode(idx).alias("_ci")).select(
+        "doc_id",
+        F.col("_ci").alias("ci"),
+        F.expr(
+            f"array_join(slice(_w, _ci * {int(chunk_words)} + 1,"
+            f" {int(chunk_words)}), ' ')"
+        ).alias("chunk"),
+    )
+    w = W.partitionBy("chunk").orderBy("doc_id", "ci")
+    marked = chunks.withColumn("keep", F.row_number().over(w) == 1)
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("ci", "chunk"))
+                    )
+                ),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
     )
 
 

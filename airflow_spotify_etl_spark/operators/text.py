@@ -22,7 +22,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["char_ngrams", "word_tokens", "fit_lang_profiles", "predict_lang"]
+__all__ = [
+    "char_ngrams",
+    "word_tokens",
+    "fit_lang_profiles",
+    "predict_lang",
+    "redact_pii",
+    "top_ngrams",
+]
+
+# PII patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, and \b only — no
+# capture groups, backreferences, or lookaround (RE2 has none of the
+# latter two).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+_PII_TOKENS = {"email": "<EMAIL>", "phone": "<PHONE>", "ipv4": "<IP>"}
 
 # log-probability assigned to tokens absent from a language's profile
 # (Laplace-ish floor; must be below any real profile weight).
@@ -46,6 +64,68 @@ def word_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.col(text_col)), "\\s+")).alias("gram"),
     ).filter(F.col("gram") != "")
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub emails / NANP phone numbers / IPv4 addresses from text before
+    LLM training (the C4/Dolma-style PII pass). Returns per doc the
+    redacted text plus a match count per pattern.
+
+    Counts are measured on the RAW text independently per pattern;
+    redaction then applies email → phone → ipv4 (email first so its
+    digit-bearing local parts can't be half-eaten by the narrower
+    patterns). Pure regexp projection — whole-stage codegen, no shuffle,
+    no UDF; at 100 TB this runs at scan speed."""
+    raw = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(raw, F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    clean = raw
+    for name, pat in PII_PATTERNS.items():
+        clean = F.regexp_replace(clean, pat, _PII_TOKENS[name])
+    return df.select(
+        F.col(id_col).alias("doc_id"), clean.alias("text_clean"), *counts
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level top-k word n-grams with occurrence + document
+    frequencies — the corpus-inspection stat a curation run prints before
+    and after filtering (boilerplate shows up as an over-represented
+    head). Shuffle-free n-gram expansion (the sequence-explode idiom,
+    see operators/dedup.shingle) into one grouped aggregate whose
+    count/count-distinct partials combine map-side; the output is top-k
+    bounded."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "\\s+"), lambda x: x != F.lit("")
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+    last = F.size("_w") - n + 1
+    idx = F.when(last >= 1, F.sequence(F.lit(1), last)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = base.select("doc_id", "_w", F.explode(idx).alias("_i")).select(
+        "doc_id",
+        F.expr(f"array_join(slice(_w, _i, {int(n)}), ' ')").alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
+        .limit(k)
+    )
 
 
 def fit_lang_profiles(

@@ -463,11 +463,14 @@ def q28_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_lsh(emb, threshold=0.45).orderBy("vec_a", "vec_b")
 
 
-def _q28_sql() -> str:
-    """DuckDB twin of cosine_pairs_lsh(threshold=0.45): the SAME seeded
-    plane matrix (np.random.RandomState(42), mirroring
-    operators/similarity.py), repr'd into literals — shortest-round-trip
-    strings parse to identical doubles in both engines."""
+def _lsh_pair_ctes() -> str:
+    """CTE chain computing cosine_pairs_lsh(threshold=0.45)'s verified
+    pairs, ending in a ``pairs(vec_a, vec_b, cosine_sim)`` CTE — shared by
+    the q28 oracle (pairs as the answer) and the q55 oracle (pairs as the
+    edge list of the dedup-cluster closure). The SAME seeded plane matrix
+    (np.random.RandomState(42), mirroring operators/similarity.py), repr'd
+    into literals — shortest-round-trip strings parse to identical doubles
+    in both engines."""
     import numpy as np
 
     rng = np.random.RandomState(42)
@@ -480,8 +483,7 @@ def _q28_sql() -> str:
         "list_dot_product(va.e, vb.e) / (sqrt(list_dot_product(va.e, va.e))"
         " * sqrt(list_dot_product(vb.e, vb.e)))"
     )
-    return f"""
-WITH v AS (
+    return f"""v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 ), planes(i, p) AS (VALUES
     {plane_rows}
@@ -500,12 +502,19 @@ WITH v AS (
   FROM bits a
   JOIN ok ON ok.band = a.band AND ok.bh = a.bh
   JOIN bits b ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id
-)
-SELECT c.vec_a, c.vec_b, round({cos}, 4) AS cosine_sim
-FROM cand c
-JOIN v va ON va.vec_id = c.vec_a
-JOIN v vb ON vb.vec_id = c.vec_b
-WHERE round({cos}, 4) >= 0.45
+), pairs AS (
+  SELECT c.vec_a, c.vec_b, round({cos}, 4) AS cosine_sim
+  FROM cand c
+  JOIN v va ON va.vec_id = c.vec_a
+  JOIN v vb ON vb.vec_id = c.vec_b
+  WHERE round({cos}, 4) >= 0.45
+)"""
+
+
+def _q28_sql() -> str:
+    return f"""
+WITH {_lsh_pair_ctes()}
+SELECT vec_a, vec_b, cosine_sim FROM pairs
 ORDER BY vec_a, vec_b
 """
 
@@ -983,6 +992,184 @@ LIMIT 20
 """
 
 
+def q52_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (operators/text.redact_pii): emails, NANP phones,
+    IPv4s replaced with typed tokens, per-pattern match counts. The word-
+    salad corpus carries no real PII, so the query SEEDS a deterministic
+    email/phone/IP triple per doc (built from doc_id, identically in the
+    oracle) — the value check then genuinely exercises the regex engines:
+    any Java-vs-RE2 semantic drift in the patterns breaks the hash."""
+    from ..operators.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = lambda c: c.cast("string")  # noqa: E731
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            s(F.col("doc_id")),
+            F.lit("@example.com call 555-"),
+            F.lpad(s(F.col("doc_id") % 900 + 100), 3, "0"),
+            F.lit("-"),
+            F.lpad(s(F.col("doc_id") % 10000), 4, "0"),
+            F.lit(" from 10."),
+            s(F.col("doc_id") % 256),
+            F.lit(".0."),
+            s(F.col("doc_id") % 100 + 1),
+        ).alias("text"),
+    )
+    return redact_pii(seeded).orderBy("doc_id")
+
+
+def _q52_sql() -> str:
+    from ..operators.text import PII_PATTERNS
+
+    email, phone, ipv4 = (
+        PII_PATTERNS["email"],
+        PII_PATTERNS["phone"],
+        PII_PATTERNS["ipv4"],
+    )
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com call 555-'
+              || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100 + 1)
+           AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(
+         text, '{email}', '<EMAIL>', 'g'),
+               '{phone}', '<PHONE>', 'g'),
+               '{ipv4}', '<IP>', 'g') AS text_clean,
+       len(regexp_extract_all(text, '{email}')) AS n_email,
+       len(regexp_extract_all(text, '{phone}')) AS n_phone,
+       len(regexp_extract_all(text, '{ipv4}')) AS n_ipv4
+FROM seeded
+ORDER BY doc_id
+"""
+
+
+def q53_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup (operators/dedup.chunk_dedup): 8-word
+    chunks, first corpus-wide occurrence wins, per-doc reconstruction —
+    the paragraph-level pass that removes cross-document boilerplate
+    whole-document dedup can't see."""
+    from ..operators.dedup import chunk_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_dedup(docs, chunk_words=8).orderBy("doc_id")
+
+
+_Q53_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+), ix AS (
+  SELECT doc_id, w,
+         unnest(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS ci
+  FROM w
+), chunks AS (
+  SELECT doc_id, ci, array_to_string(w[ci*8+1 : ci*8+8], ' ') AS chunk
+  FROM ix
+), marked AS (
+  SELECT doc_id, ci, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ci) = 1 AS keep
+  FROM chunks
+), per_doc AS (
+  SELECT doc_id,
+         count(*) AS n_chunks,
+         CAST(coalesce(sum(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_kept,
+         coalesce(string_agg(chunk, ' ' ORDER BY ci) FILTER (WHERE keep), '')
+           AS text_clean
+  FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_chunks, 0) AS n_chunks,
+       coalesce(p.n_kept, 0) AS n_kept,
+       coalesce(p.text_clean, '') AS text_clean
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def q54_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-30 word bigrams with occurrence + doc frequencies
+    (operators/text.top_ngrams) — the before/after curation stat that
+    surfaces over-represented boilerplate heads."""
+    from ..operators.text import top_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_ngrams(docs, n=2, k=30)
+
+
+_Q54_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram
+  FROM w
+)
+SELECT gram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM grams
+GROUP BY gram
+ORDER BY n_occurrences DESC, gram
+LIMIT 30
+"""
+
+
+def q55_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup DECISION over embeddings: hyperplane-
+    LSH near-dup pairs (the q28 machinery) resolved into clusters by
+    min-label propagation, keep the lowest-id representative, emit the
+    drop list. Oracle: the q28 SQL pipeline + the q42 recursive-CTE
+    transitive closure, keeper = cluster min."""
+    from ..operators.dedup import connected_components
+    from ..operators.similarity import cosine_pairs_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_lsh(emb, threshold=0.45)
+    comp = connected_components(pairs, a_col="vec_a", b_col="vec_b")
+    return (
+        comp.filter(F.col("doc_id") != F.col("component"))
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("component").alias("keeper_vec_id"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _q55_sql() -> str:
+    """q28's candidate+verify CTE chain feeding the q42 closure: pairs →
+    bidirectional edges → min-reachable component, drop list = nodes whose
+    component isn't themselves."""
+    return f"""
+WITH RECURSIVE {_lsh_pair_ctes()}, edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION ALL
+  SELECT vec_b, vec_a FROM pairs
+), reach(node, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT x.node, e.b FROM reach x JOIN edges e ON x.r = e.a
+), comp AS (
+  SELECT node AS vec_id, least(node, min(r)) AS component
+  FROM reach GROUP BY node
+)
+SELECT vec_id, component AS keeper_vec_id
+FROM comp WHERE vec_id <> component
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -1005,6 +1192,10 @@ QUERIES = {
     "q49_unigram_logprob": q49_unigram_logprob,
     "q50_decontamination": q50_decontamination,
     "q51_bm25_keyword_search": q51_bm25_keyword_search,
+    "q52_pii_redaction": q52_pii_redaction,
+    "q53_chunk_dedup": q53_chunk_dedup,
+    "q54_top_bigrams": q54_top_bigrams,
+    "q55_semantic_dedup": q55_semantic_dedup,
 }
 
 ORACLES = {
@@ -1028,6 +1219,10 @@ ORACLES = {
     "q49_unigram_logprob": _Q49_SQL,
     "q50_decontamination": _Q50_SQL,
     "q51_bm25_keyword_search": _q51_sql(),
+    "q52_pii_redaction": _q52_sql(),
+    "q53_chunk_dedup": _Q53_SQL,
+    "q54_top_bigrams": _Q54_SQL,
+    "q55_semantic_dedup": _q55_sql(),
     # q27 is the one remaining rows-only query: its top-k depends on
     # driver-side Lloyd centroid training, which a fixed SQL string cannot
     # replay; recall vs the exact scan is asserted in

@@ -50,6 +50,10 @@ HEADLINE = [
     "q49_unigram_logprob",
     "q50_decontamination",
     "q51_bm25_keyword_search",
+    "q52_pii_redaction",
+    "q53_chunk_dedup",
+    "q54_top_bigrams",
+    "q55_semantic_dedup",
 ]
 
 

@@ -139,3 +139,35 @@ def test_ngram_contamination_planted_overlap(spark):
            ngram_contamination(corpus, eval_docs, n=4).collect()}
     # eval doc has 4 distinct 4-grams; the contaminated doc contains them all
     assert got == {10: 4}
+
+
+def test_chunk_dedup_removes_cross_doc_boilerplate(spark):
+    from airflow_spotify_etl_spark.operators.dedup import chunk_dedup
+
+    boiler = "one two three four five six seven eight"
+    df = _docs(
+        spark,
+        [
+            (1, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+            (2, boiler + " iota kappa lambda mu nu xi omicron pi"),
+            (3, ""),
+        ],
+    )
+    out = {r.doc_id: r for r in chunk_dedup(df, chunk_words=8).collect()}
+    # doc 1 keeps both chunks; doc 2 loses the boilerplate chunk only.
+    assert (out[1].n_chunks, out[1].n_kept) == (2, 2)
+    assert (out[2].n_chunks, out[2].n_kept) == (2, 1)
+    assert out[2].text_clean == "iota kappa lambda mu nu xi omicron pi"
+    assert out[1].text_clean == out[1].text_clean.strip() and boiler in out[1].text_clean
+    # empty doc survives with zero chunks, not a dropped row
+    assert (out[3].n_chunks, out[3].n_kept, out[3].text_clean) == (0, 0, "")
+
+
+def test_chunk_dedup_first_occurrence_is_positional(spark):
+    from airflow_spotify_etl_spark.operators.dedup import chunk_dedup
+
+    # The SAME chunk twice within one doc: second occurrence dropped too.
+    chunk = "a b c d e f g h"
+    df = _docs(spark, [(7, chunk + " " + chunk)])
+    row = chunk_dedup(df, chunk_words=8).collect()[0]
+    assert (row.n_chunks, row.n_kept, row.text_clean) == (2, 1, chunk)

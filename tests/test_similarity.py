@@ -113,3 +113,21 @@ def test_ivf_clamps_nlist_to_corpus_size(spark):
     assert got.count() == 3  # all vectors still reachable
     with pytest.raises(ValueError, match="empty"):
         _centroids(corpus.filter("vec_id < 0"), "embedding", "vec_id", 4, 2)
+
+
+def test_semantic_dedup_drops_planted_duplicate(spark):
+    from airflow_spotify_etl_spark.operators.dedup import connected_components
+
+    base = [float(i % 7) - 3.0 for i in range(64)]
+    other = [float((i * 3) % 11) - 5.0 for i in range(64)]
+    df = spark.createDataFrame(
+        [(0, base), (1, list(base)), (2, other)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = cosine_pairs_lsh(df, threshold=0.9)
+    comp = connected_components(pairs, a_col="vec_a", b_col="vec_b")
+    dropped = {
+        r.doc_id: r.component
+        for r in comp.filter("doc_id != component").collect()
+    }
+    assert dropped == {1: 0}

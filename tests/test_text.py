@@ -124,3 +124,35 @@ def test_bm25_ranks_term_dense_docs_first(spark, sf_dir):
     docs = {r.doc_id: r.text for r in load_table(spark, sf_dir, "documents").collect()}
     for r in rows:
         assert any(t in docs[r.doc_id].lower().split() for t in _BM25_TERMS)
+
+
+def test_redact_pii_literal(spark):
+    from airflow_spotify_etl_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.user+tag@sub.example.org now"),
+            (2, "call 555-123-4567 or visit 192.168.0.1 twice 10.0.0.2"),
+            (3, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].text_clean == "mail <EMAIL> now"
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ipv4) == (1, 0, 0)
+    assert out[2].text_clean == "call <PHONE> or visit <IP> twice <IP>"
+    assert (out[2].n_email, out[2].n_phone, out[2].n_ipv4) == (0, 1, 2)
+    assert out[3].text_clean == "clean text only"
+    assert (out[3].n_email, out[3].n_phone, out[3].n_ipv4) == (0, 0, 0)
+
+
+def test_top_ngrams_literal(spark):
+    from airflow_spotify_etl_spark.operators.text import top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b x")], "doc_id long, text string"
+    )
+    rows = top_ngrams(df, n=2, k=10).collect()
+    got = [(r.gram, r.n_occurrences, r.n_docs) for r in rows]
+    assert got[0] == ("a b", 3, 2)
+    assert ("b a", 1, 1) in got and ("b x", 1, 1) in got
