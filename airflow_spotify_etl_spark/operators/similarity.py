@@ -26,7 +26,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "ivf_topk", "cosine_pairs_lsh", "assign_cells_pandas"]
+__all__ = [
+    "cosine_topk",
+    "ivf_topk",
+    "ivf_search",
+    "hash_seed_centroids",
+    "cosine_pairs_lsh",
+    "assign_cells_pandas",
+]
 
 _SEED = 42
 
@@ -229,7 +236,64 @@ def ivf_topk(
     worker) or 'pandas' (Arrow-batched numpy matmul; faster warm, pays a
     one-time worker spin-up — the cluster choice; see assign_cells_pandas)."""
     cents = _centroids(corpus, vec_col, id_col, nlist, dim)
+    return ivf_search(
+        corpus,
+        queries,
+        cents,
+        k=k,
+        nprobe=nprobe,
+        vec_col=vec_col,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        assign_impl=assign_impl,
+    )
+
+
+def hash_seed_centroids(
+    corpus: DataFrame,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Untrained IVF seeds: the nlist corpus vectors with the smallest
+    engine-portable md5-slice hash of their id (ties to the lowest id),
+    cell ids in hash order. A pseudo-random deterministic sample — the
+    Lloyd-free degenerate of _centroids' seeding, and, unlike xxhash64,
+    reproducible in DuckDB (('0x'||substr(md5(id),1,8))::BIGINT), which is
+    what lets the ENTIRE IVF search machinery (assignment argmax, probe
+    selection, in-cell scoring, top-k) be value-checked by a SQL oracle
+    (plans/llm.py q56). One bounded TakeOrderedAndProject job."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("cv"))
+        .orderBy(h, F.col("_id"))
+        .limit(nlist)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("IVF seeding: corpus is empty — no vectors to seed")
+    return [(i, [float(x) for x in r["cv"]]) for i, r in enumerate(rows)]
+
+
+def ivf_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    assign_impl: str = "hof",
+) -> DataFrame:
+    """IVF search against a FIXED centroid list: assignment + probe
+    selection + in-cell scoring + per-query top-k. Split out of ivf_topk
+    so the search machinery runs under both trained (q27) and
+    hash-seeded oracle-checkable (q56) centroids."""
     assign = assign_cells_pandas if assign_impl == "pandas" else _assign_cells
+    cents = centroids
     assigned = assign(corpus, cents, vec_col, id_col).withColumn(
         "_vd", _as_double(vec_col)
     ).withColumn("_vn", _norm(F.col("_vd")))

@@ -1170,6 +1170,90 @@ ORDER BY vec_id
 """
 
 
+def q56_ivf_search_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE IVF search machinery (cell assignment argmax, nprobe
+    probe selection, in-cell scoring, per-query top-k) under hash-seeded
+    Lloyd-free centroids — the value-checkable twin of q27, whose trained
+    centroids a fixed SQL string cannot replay. Seeds are the 16 corpus
+    vectors with the smallest md5-slice hash of their id (engine-portable:
+    DuckDB reproduces it as ('0x'||substr(md5(id),1,8))::BIGINT), so the
+    oracle replays seeding, normalization, assignment, probing, and top-k
+    exactly. Same plan shape as q27: assignment is a narrow argmax
+    projection, probes broadcast, one top-k window."""
+    from ..operators.similarity import hash_seed_centroids, ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cents = hash_seed_centroids(corpus, nlist=16)
+    return ivf_search(corpus, queries, cents, k=5, nprobe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
+# Replays operators/similarity.py end-to-end: seeds (md5-slice order, ties
+# to lowest id, cell = hash-rank), unit centroids (x / sqrt(dot(cv,cv)) —
+# same sequential fold the driver-side Python normalization performs),
+# assignment argmax (ties to LOWEST cell: rn over dot DESC, cell ASC),
+# probe selection (reverse(array_sort(struct(sim,cell))) ties to HIGHEST
+# cell: rn over dot DESC, cell DESC), exact cosine + row_number top-k.
+_Q56_SQL = """
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= 5
+), seeds AS (
+  SELECT row_number() OVER (
+           ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                    vec_id
+         ) - 1 AS cell,
+         v AS cv
+  FROM c
+  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT, vec_id
+  LIMIT 16
+), cents AS (
+  SELECT cell,
+         list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS u
+  FROM seeds
+), assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT c.vec_id, c.v, cents.cell,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY list_dot_product(c.v, cents.u) DESC, cents.cell ASC
+           ) AS rn
+    FROM c CROSS JOIN cents
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, cents.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qv, cents.u) DESC, cents.cell DESC
+           ) AS rn
+    FROM q CROSS JOIN cents
+  ) WHERE rn <= 4
+), s AS (
+  SELECT p.query_id, a.vec_id,
+         list_dot_product(p.qv, a.v) /
+           (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS cos
+  FROM probes p JOIN assigned a USING (cell)
+)
+SELECT query_id, rank, vec_id, cosine_sim FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank,
+         round(cos, 4) AS cosine_sim
+  FROM s
+)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -1196,6 +1280,7 @@ QUERIES = {
     "q53_chunk_dedup": q53_chunk_dedup,
     "q54_top_bigrams": q54_top_bigrams,
     "q55_semantic_dedup": q55_semantic_dedup,
+    "q56_ivf_search_seeded": q56_ivf_search_seeded,
 }
 
 ORACLES = {
@@ -1223,6 +1308,7 @@ ORACLES = {
     "q53_chunk_dedup": _Q53_SQL,
     "q54_top_bigrams": _Q54_SQL,
     "q55_semantic_dedup": _q55_sql(),
+    "q56_ivf_search_seeded": _Q56_SQL,
     # q27 is the one remaining rows-only query: its top-k depends on
     # driver-side Lloyd centroid training, which a fixed SQL string cannot
     # replay; recall vs the exact scan is asserted in

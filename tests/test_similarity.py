@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 from airflow_spotify_etl_spark.operators.similarity import (
     cosine_pairs_lsh,
     cosine_topk,
+    hash_seed_centroids,
+    ivf_search,
     ivf_topk,
 )
 from airflow_spotify_etl_spark.sources.files import load_table
@@ -57,6 +59,22 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, recall  # probing half the cells
+
+
+def test_hash_seeded_ivf_search(spark, emb):
+    # Lloyd-free seeded search (the q56 oracle path): seeds are dense
+    # 0..nlist-1, and the search still recalls a usable fraction of the
+    # exact top-k — untrained cells are worse than Lloyd's but not broken.
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    q = _queries(emb)
+    cents = hash_seed_centroids(corpus, nlist=8)
+    assert [c for c, _ in cents] == list(range(8))
+    out = ivf_search(corpus, q, cents, k=5, nprobe=4).collect()
+    assert {r.query_id for r in out} == set(range(5))
+    assert all(1 <= r.rank <= 5 for r in out)
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(corpus, q, k=5).collect()}
+    approx = {(r.query_id, r.vec_id) for r in out}
+    assert len(exact & approx) / len(exact) >= 0.4
 
 
 def test_lsh_pairs_verified_above_threshold(spark, emb):
