@@ -15,9 +15,23 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import connector_plans, llm, multimodal_plans, relational, streaming_plans
+from . import (
+    connector_plans,
+    graph_plans,
+    llm,
+    multimodal_plans,
+    relational,
+    streaming_plans,
+)
 
-_MODULES = (relational, llm, streaming_plans, connector_plans, multimodal_plans)
+_MODULES = (
+    relational,
+    llm,
+    streaming_plans,
+    connector_plans,
+    multimodal_plans,
+    graph_plans,
+)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

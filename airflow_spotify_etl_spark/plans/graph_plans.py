@@ -1,0 +1,102 @@
+"""Graph-centrality query plans over event-derived edge lists.
+
+The reference has no graph tier; this extends the north-star curation
+surface — random-walk importance (PageRank over item/host transition
+graphs) is a standard quality-weighting signal for web-scale training
+corpora. The oracle replays the EXACT fixpoint: fixed iteration count, the
+same dangling-mass redistribution, unrolled as one CTE pair per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.files import load_table
+
+_DAMPING = 0.85
+_ITERS = 5
+
+
+def q57_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the item-transition graph: per user, order events by
+    (ts, event_id); each consecutive pair of ``props.k`` items is a directed
+    edge, parallel edges collapse into weights. 5 damped iterations with
+    dangling redistribution (operators/graph.py pagerank — edges partitioned
+    by dst once, node-sized rank relation broadcast per iteration)."""
+    from ..operators.graph import pagerank
+
+    ev = load_table(spark, sf_dir, "events")
+    item = F.get_json_object("props", "$.k").cast("bigint")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select("user_id", "ts", "event_id", item.alias("dst"))
+        .withColumn("src", F.lag("dst").over(w))
+        .filter(F.col("src").isNotNull())
+    )
+    return pagerank(edges, "src", "dst", damping=_DAMPING, iters=_ITERS)
+
+
+def _q57_sql(damping: float = _DAMPING, iters: int = _ITERS) -> str:
+    """Unrolled PageRank: r0 = 1/N, then per iteration a dangling-mass
+    scalar (d{i}) and a rank update (r{i+1}) mirroring operators/graph.py:
+    rank' = (1-d)/N + d*(Σ rank·w/out_w + dangling/N). (1-d) literals are
+    DECIMAL in DuckDB vs Python-double in Spark — identical after the
+    round-6 output (relative gap ~1e-16)."""
+    parts = [
+        """
+WITH it AS (
+  SELECT user_id, ts, event_id,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst,
+         lag(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+  FROM events
+), e AS (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+  FROM it WHERE src IS NOT NULL GROUP BY src, dst
+), outw AS (
+  SELECT src, sum(w) AS out_w FROM e GROUP BY src
+), nodes AS (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+), r0 AS (
+  SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", d{i} AS (
+  SELECT coalesce(sum(rank), 0.0) AS dm
+  FROM r{i} WHERE node NOT IN (SELECT src FROM outw)
+), r{i + 1} AS (
+  SELECT nd.node,
+         (1 - {damping}) / (SELECT n FROM nn)
+         + {damping} * (coalesce(inf.s, 0.0)
+                        + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank * e.w / o.out_w) AS s
+    FROM e
+    JOIN r{i} r ON e.src = r.node
+    JOIN outw o ON o.src = e.src
+    GROUP BY e.dst
+  ) inf ON nd.node = inf.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, round(rank, 6) AS rank FROM r{iters} ORDER BY node
+"""
+    )
+    return "".join(parts)
+
+
+QUERIES = {
+    "q57_item_pagerank": q57_item_pagerank,
+}
+
+ORACLES = {
+    "q57_item_pagerank": _q57_sql(),
+}

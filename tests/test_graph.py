@@ -1,0 +1,75 @@
+"""PageRank: exact semantics vs a hand-rolled numpy fixpoint (same
+dangling redistribution, same iteration count), plus degenerate inputs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from airflow_spotify_etl_spark.operators.graph import pagerank
+
+
+def _numpy_pagerank(edges, damping=0.85, iters=5):
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for s, d, w in edges:
+        W[idx[s], idx[d]] += w
+    out = W.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[out == 0].sum()
+        inflow = np.zeros(n)
+        nz = out > 0
+        inflow = (r[nz] / out[nz]) @ W[nz]
+        r = (1 - damping) / n + damping * (inflow + dangling / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {r.node: r.rank for r in pagerank(df, weight_col="w", **kw).collect()}
+    want = _numpy_pagerank(edges, **kw)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-6), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
+    return got
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    # A 3-cycle is perfectly symmetric: every node must hold rank 1/3.
+    got = _run(spark, [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0)])
+    assert all(r == pytest.approx(1 / 3, abs=1e-6) for r in got.values())
+
+
+def test_pagerank_hub_matches_numpy(spark):
+    # Asymmetric weighted graph incl. a dangling node (4 has no out-edges).
+    edges = [
+        (1, 2, 1.0),
+        (1, 3, 3.0),
+        (2, 3, 1.0),
+        (3, 1, 1.0),
+        (2, 4, 2.0),
+    ]
+    got = _run(spark, edges)
+    # Exact per-value agreement is asserted in _run; the rank ORDERING must
+    # also match the numpy reference (no tie-flips from float noise).
+    want = _numpy_pagerank(edges)
+    assert sorted(got, key=got.get) == sorted(want, key=want.get)
+
+
+def test_pagerank_unweighted_parallel_edges_collapse(spark):
+    # weight_col=None counts parallel edges: (1→2)×2 vs (1→3)×1.
+    df = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 3)], "src long, dst long"
+    )
+    got = {r.node: r.rank for r in pagerank(df).collect()}
+    assert got[2] > got[3]
+
+
+def test_pagerank_empty_raises(spark):
+    df = spark.createDataFrame([], "src long, dst long, w double")
+    with pytest.raises(ValueError, match="empty edge list"):
+        pagerank(df, weight_col="w")

@@ -140,3 +140,29 @@ def test_lsh_candidate_generation_is_capped_and_join_free(spark, sf_dir):
     full = cosine_pairs_lsh(emb, threshold=0.45)._jdf.queryExecution(
     ).optimizedPlan().toString()
     assert "Join Cross" not in full and full.count("Join Inner") <= 2, full
+
+
+def test_pagerank_iteration_aggregates_without_reshuffle(spark):
+    """pagerank's per-iteration inflow: edges are hash-partitioned by dst
+    ONCE before the loop; the rank relation joins in via broadcast, so the
+    groupBy(dst) must run as partial+final HashAggregate with NO new
+    Exchange — the only exchanges in the stage are the one-time
+    REPARTITION_BY_COL and the BroadcastExchange. At 100 TB the edge
+    relation never reshuffles inside the loop."""
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 2.0)], "src long, dst long, w double"
+    ).repartition("dst")
+    ranks = spark.createDataFrame(
+        [(1, 0.3, 1.0), (2, 0.3, 1.0), (3, 0.4, 2.0)],
+        "node long, rank double, out_w double",
+    )
+    contrib = e.join(F.broadcast(ranks), e.src == F.col("node")).select(
+        "dst", (F.col("rank") * F.col("w") / F.col("out_w")).alias("c")
+    )
+    inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
+    plan = inflow._jdf.queryExecution().executedPlan().toString()
+    hash_exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 1 and "REPARTITION_BY_COL" in hash_exchanges[0], plan
+    assert "BroadcastHashJoin" in plan, plan
