@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "asof_join_pandas", "incremental_anti_append"]
+__all__ = ["asof_join", "asof_join_pandas", "incremental_anti_append", "fuzzy_self_join"]
 
 
 def asof_join(
@@ -107,3 +107,49 @@ def incremental_anti_append(new: DataFrame, existing: DataFrame, key: str) -> Da
     idempotent-append guard. Broadcast ``existing``'s key projection when the
     target's recent-key set is small; at scale, partition both by key."""
     return new.join(existing.select(key).distinct(), key, "left_anti")
+
+
+def fuzzy_self_join(
+    df: DataFrame,
+    col: str,
+    max_dist: int = 2,
+    block_expr=None,
+    max_block: int | None = 1000,
+) -> DataFrame:
+    """Blocked edit-distance similarity self-join: distinct values of
+    ``col`` whose Levenshtein distance is ≤ ``max_dist``, candidates drawn
+    only within a blocking key (entity-resolution attribute blocking — the
+    quadratic verify runs per block, never across the whole relation).
+
+    ``block_expr`` defaults to the last whitespace token (catalog-style
+    'modifier noun' strings vary in the modifier). Blocks above
+    ``max_block`` distinct values are DROPPED, the same skew discipline as
+    the LSH band caps (operators/dedup.py): a degenerate block (one shared
+    suffix across millions of values) would expand quadratically while the
+    pairs it contributes are low-signal boilerplate.
+
+    Returns (name_a, name_b, dist) with name_a < name_b. Scale: dedup
+    shuffle on the value, one shuffle on the block key, per-block pair
+    expansion bounded by max_block²; levenshtein is JVM-side codegen."""
+    b = block_expr if block_expr is not None else F.element_at(F.split(F.col("_v"), " "), -1)
+    names = (
+        df.select(F.col(col).alias("_v"))
+        .distinct()
+        .withColumn("_blk", b)
+    )
+    if max_block is not None:
+        names = names.withColumn(
+            "_blk_n", F.count("*").over(W.partitionBy("_blk"))
+        ).filter(F.col("_blk_n") <= max_block)
+    left = names.select(F.col("_blk"), F.col("_v").alias("name_a"))
+    right = names.select(F.col("_blk").alias("_blk_r"), F.col("_v").alias("name_b"))
+    return (
+        left.join(
+            right,
+            (F.col("_blk") == F.col("_blk_r"))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("name_a", "name_b", "dist")
+    )

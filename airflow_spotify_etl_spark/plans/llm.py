@@ -1254,6 +1254,163 @@ ORDER BY query_id, rank
 """
 
 
+def q58_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (north star: heuristic corpus
+    filtering — Rae et al. 2021's repetition/length/stopword rules): per
+    doc, named boolean flags + the combined keep decision. One explode +
+    two grouped aggregations (the scale-right shape for distinct-word
+    stats — see the HOF-vs-explode note in operators/dedup.py); thresholds
+    sit on exact integer-ratio doubles so the decision is engine-portable
+    bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    d = g.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("max_c"),
+        F.sum(F.length("word") * F.col("c")).alias("sum_len"),
+        F.sum(
+            F.when(F.col("word").isin(_STOPWORDS), F.col("c")).otherwise(0)
+        ).alias("n_stop"),
+    )
+    mean_len = F.col("sum_len") / F.col("n_words")
+    top_ratio = F.col("max_c") / F.col("n_words")
+    dup_ratio = F.lit(1) - F.col("n_distinct") / F.col("n_words")
+    flags = {
+        "flag_word_count": F.col("n_words") >= 30,
+        "flag_word_len": (mean_len >= 3) & (mean_len <= 10),
+        "flag_top_word": top_ratio <= 0.12,
+        "flag_dup_words": dup_ratio <= 0.6,
+        "flag_stopwords": F.col("n_stop") >= 2,
+    }
+    keep = F.lit(True)
+    for c in flags.values():
+        keep = keep & c
+    return d.select(
+        "doc_id",
+        "n_words",
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(top_ratio, 4).alias("top_word_ratio"),
+        F.round(dup_ratio, 4).alias("dup_word_ratio"),
+        "n_stop",
+        *[c.alias(n) for n, c in flags.items()],
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+_Q58_SQL = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), g AS (
+  SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word
+), d AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_words,
+         count(*) AS n_distinct,
+         max(c) AS max_c,
+         CAST(sum(length(word) * c) AS BIGINT) AS sum_len,
+         CAST(coalesce(sum(c) FILTER (
+           WHERE list_contains({_STOPWORDS!r}, word)), 0) AS BIGINT) AS n_stop
+  FROM g GROUP BY doc_id
+)
+SELECT doc_id, n_words,
+       round(sum_len / n_words, 4) AS mean_word_len,
+       round(max_c / n_words, 4) AS top_word_ratio,
+       round(1 - n_distinct / n_words, 4) AS dup_word_ratio,
+       n_stop,
+       n_words >= 30 AS flag_word_count,
+       sum_len / n_words >= 3 AND sum_len / n_words <= 10 AS flag_word_len,
+       max_c / n_words <= 0.12 AS flag_top_word,
+       1 - n_distinct / n_words <= 0.6 AS flag_dup_words,
+       n_stop >= 2 AS flag_stopwords,
+       (n_words >= 30 AND sum_len / n_words >= 3 AND sum_len / n_words <= 10
+        AND max_c / n_words <= 0.12 AND 1 - n_distinct / n_words <= 0.6
+        AND n_stop >= 2) AS keep
+FROM d ORDER BY doc_id
+"""
+
+
+def q59_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word co-occurrence PMI over the corpus (north star: collocation /
+    phrase mining for tokenizer and n-gram vocabulary decisions). The
+    vocabulary is BOUNDED FIRST (top 30 words by document frequency, ties
+    lexicographic) and broadcast, so the per-doc pair expansion is capped at
+    C(30,2) regardless of corpus size — the same prune-before-pairing
+    discipline as the LSH tiers. PMI = ln(P(a,b) / (P(a)·P(b))) over
+    document incidence."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = float(docs.count())
+    w = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("word"),
+    )
+    vocab = (
+        w.groupBy("word")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "word")
+        .limit(30)
+    )
+    wv = w.join(F.broadcast(vocab), "word").select("doc_id", "word", "df")
+    a, b = wv.alias("a"), wv.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.word") < F.col("b.word")),
+        )
+        .groupBy(
+            F.col("a.word").alias("word_a"),
+            F.col("b.word").alias("word_b"),
+            F.col("a.df").alias("df_a"),
+            F.col("b.df").alias("df_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    return (
+        p.select(
+            "word_a",
+            "word_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab") * F.lit(n_docs) / (F.col("df_a") * F.col("df_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("n_ab"), "word_a", "word_b")
+        .limit(50)
+    )
+
+
+_Q59_SQL = """
+WITH w AS (
+  SELECT DISTINCT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  )
+), vocab AS (
+  SELECT word, count(*) AS df FROM w GROUP BY word
+  ORDER BY df DESC, word LIMIT 30
+), wv AS (
+  SELECT w.doc_id, w.word, v.df FROM w JOIN vocab v USING (word)
+), p AS (
+  SELECT a.word AS word_a, b.word AS word_b, a.df AS df_a, b.df AS df_b,
+         count(*) AS n_ab
+  FROM wv a JOIN wv b ON a.doc_id = b.doc_id AND a.word < b.word
+  GROUP BY 1, 2, 3, 4
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+)
+SELECT word_a, word_b, n_ab,
+       round(ln(n_ab * (SELECT n_docs FROM n) / (df_a * df_b)), 4) AS pmi
+FROM p ORDER BY n_ab DESC, word_a, word_b LIMIT 50
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -1281,6 +1438,8 @@ QUERIES = {
     "q54_top_bigrams": q54_top_bigrams,
     "q55_semantic_dedup": q55_semantic_dedup,
     "q56_ivf_search_seeded": q56_ivf_search_seeded,
+    "q58_gopher_quality_flags": q58_gopher_quality_flags,
+    "q59_cooccurrence_pmi": q59_cooccurrence_pmi,
 }
 
 ORACLES = {
@@ -1309,6 +1468,8 @@ ORACLES = {
     "q54_top_bigrams": _Q54_SQL,
     "q55_semantic_dedup": _q55_sql(),
     "q56_ivf_search_seeded": _Q56_SQL,
+    "q58_gopher_quality_flags": _Q58_SQL,
+    "q59_cooccurrence_pmi": _Q59_SQL,
     # q27 is the one remaining rows-only query: its top-k depends on
     # driver-side Lloyd centroid training, which a fixed SQL string cannot
     # replay; recall vs the exact scan is asserted in

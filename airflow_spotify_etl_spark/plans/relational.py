@@ -918,6 +918,37 @@ ORDER BY event_type, event_date
 """
 
 
+def q60_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance similarity self-join over the part catalog
+    (entity resolution: near-identical SKU names). Blocking key = the noun
+    (last token); the Levenshtein verify runs only within a block, with the
+    LSH-style cap dropping degenerate blocks (operators/joins.py
+    fuzzy_self_join)."""
+    from ..operators.joins import fuzzy_self_join
+
+    part = load_table(spark, sf_dir, "part")
+    return fuzzy_self_join(part, "p_name", max_dist=2).orderBy(
+        "name_a", "name_b"
+    )
+
+
+_Q60_SQL = """
+WITH n AS (
+  SELECT DISTINCT p_name AS v FROM part
+), b AS (
+  SELECT v, string_split(v, ' ')[-1] AS blk FROM n
+), c AS (
+  SELECT v, blk FROM (
+    SELECT v, blk, count(*) OVER (PARTITION BY blk) AS bn FROM b
+  ) WHERE bn <= 1000
+)
+SELECT a.v AS name_a, r.v AS name_b, levenshtein(a.v, r.v) AS dist
+FROM c a JOIN c r ON a.blk = r.blk AND a.v < r.v
+WHERE levenshtein(a.v, r.v) <= 2
+ORDER BY name_a, name_b
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -942,6 +973,7 @@ QUERIES = {
     "q40_big_customers": q40_big_customers,
     "q41_value_percentiles": q41_value_percentiles,
     "q44_cube_counts": q44_cube_counts,
+    "q60_fuzzy_part_names": q60_fuzzy_part_names,
 }
 
 ORACLES = {
@@ -968,4 +1000,5 @@ ORACLES = {
     "q40_big_customers": _Q40_SQL,
     "q41_value_percentiles": _Q41_SQL,
     "q44_cube_counts": _Q44_SQL,
+    "q60_fuzzy_part_names": _Q60_SQL,
 }

@@ -54,6 +54,10 @@ HEADLINE = [
     "q53_chunk_dedup",
     "q54_top_bigrams",
     "q55_semantic_dedup",
+    "q57_item_pagerank",
+    "q58_gopher_quality_flags",
+    "q59_cooccurrence_pmi",
+    "q60_fuzzy_part_names",
 ]
 
 

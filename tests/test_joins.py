@@ -74,3 +74,34 @@ def test_incremental_anti_append_is_idempotent(spark):
     merged = existing.union(out)
     again = incremental_anti_append(new, merged, "id")
     assert again.count() == 0
+
+
+def test_fuzzy_self_join_finds_planted_variants(spark):
+    from airflow_spotify_etl_spark.operators.joins import fuzzy_self_join
+
+    df = spark.createDataFrame(
+        [("cold anvil",), ("old anvil",), ("gold anvil",), ("red widget",),
+         ("red widget",), ("blue bolt",)],
+        "p_name string",
+    )
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in fuzzy_self_join(df, "p_name", max_dist=2).collect()
+    }
+    # Same-noun variants within distance 2; cross-block pairs never compared.
+    assert ("cold anvil", "old anvil", 1) in got
+    assert ("gold anvil", "old anvil", 1) in got
+    assert ("cold anvil", "gold anvil", 1) in got
+    assert all("widget" not in a or "widget" not in b or a != b for a, b, _ in got)
+    assert not any("bolt" in a and "anvil" in b for a, b, _ in got)
+
+
+def test_fuzzy_self_join_caps_degenerate_blocks(spark):
+    from airflow_spotify_etl_spark.operators.joins import fuzzy_self_join
+
+    # 40 values sharing one noun: with max_block=10 the block is dropped
+    # entirely instead of expanding quadratically.
+    rows = [(f"v{i:02d} gizmo",) for i in range(40)]
+    df = spark.createDataFrame(rows, "p_name string")
+    assert fuzzy_self_join(df, "p_name", max_dist=2, max_block=10).count() == 0
+    assert fuzzy_self_join(df, "p_name", max_dist=2, max_block=100).count() > 0

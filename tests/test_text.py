@@ -156,3 +156,30 @@ def test_top_ngrams_literal(spark):
     got = [(r.gram, r.n_occurrences, r.n_docs) for r in rows]
     assert got[0] == ("a b", 3, 2)
     assert ("b a", 1, 1) in got and ("b x", 1, 1) in got
+
+
+def test_gopher_flags_discriminate(spark, sf_dir):
+    from airflow_spotify_etl_spark.plans.llm import q58_gopher_quality_flags
+
+    rows = q58_gopher_quality_flags(spark, sf_dir).collect()
+    kept = sum(r.keep for r in rows)
+    # Thresholds must actually split the corpus — a gate that keeps or drops
+    # everything carries no signal.
+    assert 0 < kept < len(rows)
+    for r in rows:
+        assert r.keep == (
+            r.flag_word_count and r.flag_word_len and r.flag_top_word
+            and r.flag_dup_words and r.flag_stopwords
+        )
+
+
+def test_pmi_sign_matches_independence(spark, sf_dir):
+    from airflow_spotify_etl_spark.plans.llm import q59_cooccurrence_pmi
+
+    rows = q59_cooccurrence_pmi(spark, sf_dir).collect()
+    assert len(rows) == 50
+    # PMI is ln(P(ab)/(P(a)P(b))): bounded by the corpus and finite.
+    assert all(abs(r.pmi) < 20 for r in rows)
+    # Ordered by co-occurrence count descending.
+    counts = [r.n_ab for r in rows]
+    assert counts == sorted(counts, reverse=True)
