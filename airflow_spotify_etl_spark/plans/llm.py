@@ -1411,6 +1411,69 @@ FROM p ORDER BY n_ab DESC, word_a, word_b LIMIT 50
 """
 
 
+def q64_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keywords by TF-IDF (north star: keyword
+    extraction for corpus indexing/routing; complements the corpus-level
+    BM25 ranking of q51). tf = term_count/doc_len, idf = ln(N/df). One
+    explode, two grouped aggregations (term-in-doc, then df), a broadcast
+    of the df relation is NOT needed — df joins back on the word key whose
+    cardinality is the vocabulary, and AQE picks the strategy. Top-3 via
+    one row_number window per doc; ties break lexicographically."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = float(docs.count())
+    g = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    doclen = g.groupBy("doc_id").agg(F.sum("c").alias("n_words"))
+    dfreq = g.groupBy("word").agg(F.count("*").alias("df"))
+    scored = (
+        g.join(doclen, "doc_id")
+        .join(dfreq, "word")
+        .withColumn(
+            "tfidf",
+            (F.col("c") / F.col("n_words")) * F.log(F.lit(n_docs) / F.col("df")),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", F.col("word").alias("term"),
+                F.round("tfidf", 6).alias("tfidf"))
+        .orderBy("doc_id", "rank")
+    )
+
+
+_Q64_SQL = """
+WITH g AS (
+  SELECT doc_id, word, count(*) AS c FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  ) GROUP BY doc_id, word
+), doclen AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words FROM g GROUP BY doc_id
+), dfreq AS (
+  SELECT word, count(*) AS df FROM g GROUP BY word
+), scored AS (
+  SELECT g.doc_id, g.word,
+         (g.c / d.n_words)
+           * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / f.df)
+           AS tfidf
+  FROM g JOIN doclen d USING (doc_id) JOIN dfreq f USING (word)
+)
+SELECT doc_id, rank, term, tfidf FROM (
+  SELECT doc_id, word AS term,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, word) AS rank,
+         round(tfidf, 6) AS tfidf
+  FROM scored
+)
+WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -1440,6 +1503,7 @@ QUERIES = {
     "q56_ivf_search_seeded": q56_ivf_search_seeded,
     "q58_gopher_quality_flags": q58_gopher_quality_flags,
     "q59_cooccurrence_pmi": q59_cooccurrence_pmi,
+    "q64_tfidf_top_terms": q64_tfidf_top_terms,
 }
 
 ORACLES = {
@@ -1470,6 +1534,7 @@ ORACLES = {
     "q56_ivf_search_seeded": _Q56_SQL,
     "q58_gopher_quality_flags": _Q58_SQL,
     "q59_cooccurrence_pmi": _Q59_SQL,
+    "q64_tfidf_top_terms": _Q64_SQL,
     # q27 is the one remaining rows-only query: its top-k depends on
     # driver-side Lloyd centroid training, which a fixed SQL string cannot
     # replay; recall vs the exact scan is asserted in

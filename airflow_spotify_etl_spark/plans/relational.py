@@ -949,6 +949,163 @@ ORDER BY name_a, name_b
 """
 
 
+def q61_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: users who viewed,
+    then clicked AFTER their first view, then purchased AFTER that first
+    qualifying click. Three stage aggregates, each a groupBy on user_id
+    joined to the next stage's filtered scan — every join is keyed on
+    user_id so AQE co-locates the stages on one shuffle key; no windows,
+    no self-join explosion."""
+    ev = _t(spark, sf_dir, "events")
+
+    def stage(prev: DataFrame, etype: str, ts_col: str, prev_ts: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(ts_col))
+        )
+
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    clicks = stage(views, "click", "tc", "tv")
+    purchases = stage(clicks, "purchase", "tp", "tc")
+    n_v = views.agg(F.count("*").alias("n_viewed"))
+    n_c = clicks.agg(F.count("*").alias("n_clicked_after_view"))
+    n_p = purchases.agg(F.count("*").alias("n_purchased_after_click"))
+    return (
+        n_v.crossJoin(n_c)
+        .crossJoin(n_p)
+        .select(
+            "n_viewed",
+            "n_clicked_after_view",
+            "n_purchased_after_click",
+            F.round(
+                F.col("n_clicked_after_view") / F.col("n_viewed"), 4
+            ).alias("view_to_click"),
+            F.round(
+                F.col("n_purchased_after_click") / F.col("n_clicked_after_view"),
+                4,
+            ).alias("click_to_purchase"),
+        )
+    )
+
+
+_Q61_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS tv FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS tc
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.tv
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS tp
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.tc
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_viewed,
+       (SELECT count(*) FROM c) AS n_clicked_after_view,
+       (SELECT count(*) FROM p) AS n_purchased_after_click,
+       round((SELECT count(*) FROM c) / (SELECT count(*) FROM v), 4)
+         AS view_to_click,
+       round((SELECT count(*) FROM p) / (SELECT count(*) FROM c), 4)
+         AS click_to_purchase
+"""
+
+
+def q62_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity date, counted as
+    retained on each later day they appear, day offsets 0-7. Two grouped
+    aggregations on user_id/(cohort, offset) plus one user-keyed join —
+    the standard product-analytics rollup, shuffle-bounded by |users|."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_date"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_date"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_date", "day_offset")
+    )
+
+
+_Q62_SQL = """
+WITH a AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), f AS (
+  SELECT user_id, min(day) AS cohort_date FROM a GROUP BY user_id
+)
+SELECT strftime(f.cohort_date, '%Y-%m-%d') AS cohort_date,
+       datediff('day', f.cohort_date, a.day) AS day_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM a JOIN f USING (user_id)
+WHERE datediff('day', f.cohort_date, a.day) <= 7
+GROUP BY f.cohort_date, datediff('day', f.cohort_date, a.day)
+ORDER BY cohort_date, day_offset
+"""
+
+
+def q63_rolling_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE rolling aggregate: hourly event value per type with a
+    trailing 3-hour moving average. The frame is rangeBetween on epoch
+    seconds (gap-correct: missing hours shrink the frame, unlike a ROWS
+    frame), per-type partitions. Hourly sums aggregate in DECIMAL first so
+    the windowed average divides exact sums — engine-portable without a
+    float-sum ordering hazard."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour_ts"),
+        )
+        .agg(F.sum(_dec("value")).alias("hv"))
+        .withColumn("epoch_s", F.unix_timestamp("hour_ts"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("epoch_s")
+        .rangeBetween(-2 * 3600, 0)
+    )
+    return (
+        hourly.select(
+            "event_type",
+            F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            F.col("hv").cast("double").alias("hourly_value"),
+            (F.sum("hv").over(w).cast("double") / F.count("hv").over(w)).alias(
+                "rolling_3h_avg"
+            ),
+        )
+        .orderBy("event_type", "hour_ts")
+    )
+
+
+_Q63_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         sum(CAST(value AS DECIMAL(18,2))) AS hv,
+         epoch(date_trunc('hour', ts)) AS epoch_s
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+)
+SELECT event_type,
+       strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       CAST(hv AS DOUBLE) AS hourly_value,
+       CAST(sum(hv) OVER w AS DOUBLE) / count(hv) OVER w AS rolling_3h_avg
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_s
+             RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW)
+ORDER BY event_type, hour_ts
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -974,6 +1131,9 @@ QUERIES = {
     "q41_value_percentiles": q41_value_percentiles,
     "q44_cube_counts": q44_cube_counts,
     "q60_fuzzy_part_names": q60_fuzzy_part_names,
+    "q61_conversion_funnel": q61_conversion_funnel,
+    "q62_retention_cohorts": q62_retention_cohorts,
+    "q63_rolling_hourly_value": q63_rolling_hourly_value,
 }
 
 ORACLES = {
@@ -1001,4 +1161,7 @@ ORACLES = {
     "q41_value_percentiles": _Q41_SQL,
     "q44_cube_counts": _Q44_SQL,
     "q60_fuzzy_part_names": _Q60_SQL,
+    "q61_conversion_funnel": _Q61_SQL,
+    "q62_retention_cohorts": _Q62_SQL,
+    "q63_rolling_hourly_value": _Q63_SQL,
 }

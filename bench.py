@@ -58,6 +58,10 @@ HEADLINE = [
     "q58_gopher_quality_flags",
     "q59_cooccurrence_pmi",
     "q60_fuzzy_part_names",
+    "q61_conversion_funnel",
+    "q62_retention_cohorts",
+    "q63_rolling_hourly_value",
+    "q64_tfidf_top_terms",
 ]
 
 
