@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from .dedup import _h32
 
-__all__ = ["stratified_sample"]
+__all__ = ["stratified_sample", "weighted_sample"]
 
 _BUCKETS = 10_000
 
@@ -56,3 +56,34 @@ def stratified_sample(
         else F.lit(int(default_rate * _BUCKETS))
     )
     return df.withColumn("bucket", bucket).filter(F.col("bucket") < threshold)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col,
+    id_col: str = "doc_id",
+    salt: str = "wsmp",
+) -> DataFrame:
+    """Per-row weighted Bernoulli sampling: keep iff hash-bucket < w·10000.
+
+    ``weight_col`` is a Column (or name) of keep-probabilities; values are
+    clamped to [0, 1] and quantized to integer thresholds (floor(w·10000))
+    so the comparison is integer-vs-integer — no float-comparison boundary
+    hazard between engines. The decision is a narrow codegen projection
+    (md5 + compare) with no shuffle, and deterministic per (salt, id):
+    re-running the corpus build keeps exactly the same rows. This is the
+    quality-weighted downsampling step LLM curation pipelines run after
+    scoring (keep high-quality docs with probability ∝ score) — same shape
+    as DCLM/CCNet reweighting, expressed engine-portably."""
+    w = weight_col if not isinstance(weight_col, str) else F.col(weight_col)
+    bucket = F.pmod(
+        _h32(F.concat(F.lit(salt), F.col(id_col).cast("string"))), F.lit(_BUCKETS)
+    )
+    thr = F.floor(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), w.cast("double"))) * _BUCKETS
+    ).cast("long")
+    return (
+        df.withColumn("bucket", bucket)
+        .withColumn("keep_threshold", thr)
+        .filter(F.col("bucket") < F.col("keep_threshold"))
+    )

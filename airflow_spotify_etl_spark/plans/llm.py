@@ -1474,6 +1474,43 @@ ORDER BY doc_id, rank
 """
 
 
+def q69_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus downsampling (operators/sampling.py
+    `weighted_sample`): keep each doc with probability proportional to a
+    per-doc quality weight (here n_chars/max_chars — in production the
+    LM/classifier score from q49/q58). The keep decision is
+    hash-deterministic and quantized to integer thresholds, so the EXACT
+    kept set replays in SQL. Plan: 1-row max broadcast + narrow codegen
+    filter — zero data shuffles."""
+    from ..operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("n_chars").alias("mx"))
+    d = docs.crossJoin(F.broadcast(mx)).withColumn(
+        "w", F.col("n_chars") / F.col("mx")
+    )
+    return (
+        weighted_sample(d, "w", salt="wsmp")
+        .select("doc_id", "lang", "bucket", "keep_threshold")
+        .orderBy("doc_id")
+    )
+
+
+_Q69_SQL = """
+WITH mx AS (SELECT max(n_chars) AS mx FROM documents),
+b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('wsmp' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+           AS bucket,
+         CAST(floor(n_chars / mx * 10000) AS BIGINT) AS keep_threshold
+  FROM documents, mx
+)
+SELECT doc_id, lang, bucket, keep_threshold FROM b
+WHERE bucket < keep_threshold
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -1504,6 +1541,7 @@ QUERIES = {
     "q58_gopher_quality_flags": q58_gopher_quality_flags,
     "q59_cooccurrence_pmi": q59_cooccurrence_pmi,
     "q64_tfidf_top_terms": q64_tfidf_top_terms,
+    "q69_weighted_sample": q69_weighted_sample,
 }
 
 ORACLES = {
@@ -1535,6 +1573,7 @@ ORACLES = {
     "q58_gopher_quality_flags": _Q58_SQL,
     "q59_cooccurrence_pmi": _Q59_SQL,
     "q64_tfidf_top_terms": _Q64_SQL,
+    "q69_weighted_sample": _Q69_SQL,
     # q27 is the one remaining rows-only query: its top-k depends on
     # driver-side Lloyd centroid training, which a fixed SQL string cannot
     # replay; recall vs the exact scan is asserted in

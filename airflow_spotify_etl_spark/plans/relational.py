@@ -1106,6 +1106,266 @@ ORDER BY event_type, hour_ts
 """
 
 
+def q65_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from the event stream: each user's
+    consecutive run of one event_type becomes a validity interval
+    [valid_from, valid_to) with the open (current) interval closed by the
+    standard end-of-time sentinel. One partitionBy(user_id) exchange serves
+    all three windows (change marker, running run-id, lead valid_to) — the
+    canonical warehouse pattern the reference's append-only sink
+    (spotify_etl2.py:220) would need to become a history table. Scale:
+    shuffle is keyed on user_id (high-cardinality, skew-free); no joins."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrows = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev = F.lag("event_type").over(w)
+    runs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn(
+            "chg",
+            F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0),
+        )
+        .withColumn("run_id", F.sum("chg").over(wrows))
+        .groupBy("user_id", "run_id")
+        .agg(
+            F.min("event_type").alias("state"),
+            F.min("ts").alias("vf"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    w2 = W.partitionBy("user_id").orderBy("run_id")
+    nxt = F.lead("vf").over(w2)
+    return (
+        runs.withColumn("vt", nxt)
+        .select(
+            "user_id",
+            "run_id",
+            "state",
+            F.unix_micros("vf").alias("valid_from_us"),
+            F.coalesce(F.unix_micros("vt"), F.lit(253402300799000000)).alias(
+                "valid_to_us"
+            ),
+            F.col("vt").isNull().alias("is_current"),
+            "n_events",
+        )
+        .orderBy("user_id", "run_id")
+    )
+
+
+_Q65_SQL = """
+WITH m AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), r AS (
+  SELECT user_id, event_type,  ts,
+         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS run_id
+  FROM m
+), g AS (
+  SELECT user_id, run_id, min(event_type) AS state, min(ts) AS vf,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM r GROUP BY user_id, run_id
+)
+SELECT user_id, run_id, state,
+       epoch_us(vf) AS valid_from_us,
+       coalesce(epoch_us(lead(vf) OVER w2), 253402300799000000) AS valid_to_us,
+       (lead(vf) OVER w2 IS NULL) AS is_current,
+       n_events
+FROM g
+WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
+ORDER BY user_id, run_id
+"""
+
+
+def q66_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining: top-20 three-event paths users actually
+    take, from two lead() windows over each user's timeline — the
+    sequence-mining primitive behind funnel discovery. One user-keyed
+    exchange; the path space is tiny (|types|³) so the final top-k is a
+    TakeOrderedAndProject, never a global sort of the counts."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("e2", F.lead("event_type", 1).over(w))
+        .withColumn("e3", F.lead("event_type", 2).over(w))
+        .filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "event_type", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
+
+
+_Q66_SQL = """
+WITH t AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1 || '>' || e2 || '>' || e3 AS path,
+       CAST(count(*) AS BIGINT) AS n
+FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY e1 || '>' || e2 || '>' || e3
+ORDER BY n DESC, path
+LIMIT 20
+"""
+
+
+def q67_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 3σ outlier scan in EXACT integer arithmetic. The naive form
+    |x − mean| > 3·stddev computes mean/stddev as doubles whose last ulp
+    depends on aggregation order — boundary rows flip between engines and
+    runs. Instead both sides of the inequality are cleared of divisions:
+
+        (n−1)·(n·x − S)² > 9·n·(n·SSQ − S²)
+
+    with x in integer cents (values carry exactly 2 decimals), S = Σx,
+    SSQ = Σx². All terms are exact DECIMAL(38,0) integers (magnitudes
+    ≤ ~1e18), so the flag is bit-deterministic on any engine and any
+    partitioning. Plan: one grouped agg (5 rows) broadcast back over the
+    scan — no second full shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("decimal(38,0)")
+    evc = ev.select("event_id", "event_type", "value", cents.alias("cv"))
+    stats = evc.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("cv").alias("sv"),
+        F.sum(F.col("cv") * F.col("cv")).alias("ssq"),
+    )
+    dev = F.col("n") * F.col("cv") - F.col("sv")
+    return (
+        evc.join(F.broadcast(stats), "event_type")
+        .filter(
+            (F.col("n") - 1) * dev * dev
+            > 9 * F.col("n") * (F.col("n") * F.col("ssq") - F.col("sv") * F.col("sv"))
+        )
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+_Q67_SQL = """
+WITH c AS (
+  SELECT event_id, event_type, value,
+         CAST(round(value * 100) AS HUGEINT) AS cv
+  FROM events
+), s AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(cv) AS HUGEINT) AS sv,
+         CAST(sum(cv * cv) AS HUGEINT) AS ssq
+  FROM c GROUP BY event_type
+)
+SELECT c.event_id, c.event_type, c.value
+FROM c JOIN s USING (event_type)
+WHERE (s.n - 1) * (s.n * c.cv - s.sv) * (s.n * c.cv - s.sv)
+      > 9 * s.n * (s.n * s.ssq - s.sv * s.sv)
+ORDER BY c.event_id
+"""
+
+
+def q68_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 10-bucket histogram of order totals. Bucket assignment is
+    pure integer arithmetic on cents ((x−lo)·10 div (hi−lo), max clamped
+    into bucket 9) so boundary values land identically on every engine —
+    float division would make edge cents engine-dependent. The min/max pass
+    is a 1-row broadcast; the histogram itself is one grouped agg with
+    map-side partials (10 groups)."""
+    o = _t(spark, sf_dir, "orders")
+    oc = o.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        _dec("o_totalprice").alias("p"),
+    )
+    mm = oc.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    return (
+        oc.crossJoin(F.broadcast(mm))
+        .withColumn(
+            "bucket",
+            F.least(F.lit(9), F.expr("(cents - lo) * 10 div (hi - lo)")).cast("int"),
+        )
+        .groupBy("bucket", "lo", "hi")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("p").cast("double").alias("total_value"),
+        )
+        .select(
+            "bucket",
+            (F.expr("lo * 10 + bucket * (hi - lo)") / 1000.0).alias("bucket_lo"),
+            (F.expr("lo * 10 + (bucket + 1) * (hi - lo)") / 1000.0).alias("bucket_hi"),
+            "n_orders",
+            "total_value",
+        )
+        .orderBy("bucket")
+    )
+
+
+_Q68_SQL = """
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders
+), mm AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c),
+b AS (
+  SELECT least(9, (cents - lo) * 10 // (hi - lo)) AS bucket, p, lo, hi
+  FROM c, mm
+)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       (lo * 10 + bucket * (hi - lo)) / 1000.0 AS bucket_lo,
+       (lo * 10 + (bucket + 1) * (hi - lo)) / 1000.0 AS bucket_hi,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(p) AS DOUBLE) AS total_value
+FROM b GROUP BY bucket, lo, hi ORDER BY bucket
+"""
+
+
+def q70_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance
+    (operators/incremental.py): the daily rollup snapshot built from
+    history-before-cutoff is merged with partial aggregates of ONLY the
+    post-cutoff delta — the base rows are never re-aggregated. The oracle
+    is a FULL recompute over all events, so a green hash proves
+    merge(snapshot, partials(delta)) == partials(base ∪ delta) exactly
+    (sums aggregate in DECIMAL, making the merge order-independent). At
+    100 TB this is the difference between touching one day's partition and
+    re-scanning the corpus each run."""
+    from ..operators.incremental import merge_rollup, rollup_snapshot
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    base = ev.filter(F.col("day") < F.lit("2024-01-25").cast("date"))
+    delta = ev.filter(F.col("day") >= F.lit("2024-01-25").cast("date"))
+    keys = ["day", "event_type"]
+    snapshot = rollup_snapshot(base, keys, _dec("value"))
+    merged = merge_rollup(snapshot, rollup_snapshot(delta, keys, _dec("value")))
+    return merged.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    ).orderBy("day", "event_type")
+
+
+_Q70_SQL = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+       CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+FROM events
+GROUP BY CAST(ts AS DATE), event_type
+ORDER BY day, event_type
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -1134,6 +1394,11 @@ QUERIES = {
     "q61_conversion_funnel": q61_conversion_funnel,
     "q62_retention_cohorts": q62_retention_cohorts,
     "q63_rolling_hourly_value": q63_rolling_hourly_value,
+    "q65_scd2_intervals": q65_scd2_intervals,
+    "q66_event_path_trigrams": q66_event_path_trigrams,
+    "q67_value_outliers": q67_value_outliers,
+    "q68_price_histogram": q68_price_histogram,
+    "q70_incremental_rollup": q70_incremental_rollup,
 }
 
 ORACLES = {
@@ -1164,4 +1429,9 @@ ORACLES = {
     "q61_conversion_funnel": _Q61_SQL,
     "q62_retention_cohorts": _Q62_SQL,
     "q63_rolling_hourly_value": _Q63_SQL,
+    "q65_scd2_intervals": _Q65_SQL,
+    "q66_event_path_trigrams": _Q66_SQL,
+    "q67_value_outliers": _Q67_SQL,
+    "q68_price_histogram": _Q68_SQL,
+    "q70_incremental_rollup": _Q70_SQL,
 }

@@ -101,13 +101,13 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # ts is physically TIMESTAMP(NANOS) — scanned as long (nanosAsLong) and
-    # converted to a microsecond TimestampType in load_table, truncating
-    # exactly like DuckDB's ns→µs cast so oracle comparisons agree.
+    # ts unit varies across generator versions (TIMESTAMP(NANOS) in older
+    # fixtures, TIMESTAMP(MICROS) now) — load_table sniffs the parquet
+    # footer and picks the matching read path; see _events_schema.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -133,14 +133,37 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+def _events_ts_unit(path: str) -> str:
+    """Sniff the physical time unit of events.ts from the parquet footer.
+
+    Fixture generators have shipped both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) for the same logical column; reading nanos with a
+    micros schema (or vice versa) silently lands every timestamp in 1970.
+    One driver-side footer read settles it. Falls back to micros (the
+    Spark-native unit) when the footer isn't locally readable."""
+    try:
+        import pyarrow.parquet as pq
+
+        return getattr(pq.ParquetFile(path).schema_arrow.field("ts").type, "unit", "us")
+    except Exception:
+        return "us"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one star-schema table with its explicit schema."""
-    df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events" and _events_ts_unit(path) == "ns":
         # nanos → microsecond timestamp (`div` floors, matching DuckDB's
         # truncating ns→µs cast). Stays a narrow codegen'd projection.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        ns_schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in SCHEMAS["events"].fields
+            ]
+        )
+        df = spark.read.schema(ns_schema).parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:

@@ -1,0 +1,145 @@
+"""Incremental rollup maintenance + new analytics operators: the merged
+snapshot must equal a full recompute exactly; sampling, SCD-2, outlier, and
+histogram operators verified on closed-form literal inputs."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from airflow_spotify_etl_spark.operators.incremental import (
+    merge_rollup,
+    rollup_snapshot,
+)
+from airflow_spotify_etl_spark.operators.sampling import weighted_sample
+from airflow_spotify_etl_spark.sources.files import load_table
+
+
+def _dec(col):
+    return F.col(col).cast("decimal(18,2)")
+
+
+def test_incremental_merge_equals_full_recompute(spark, sf_dir):
+    """merge(partials(base), partials(delta)) == partials(base ∪ delta),
+    exactly — decimal sums make the combine order-independent."""
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    cutoff = F.lit("2024-01-10").cast("date")
+    keys = ["day", "event_type"]
+    base = ev.filter(F.col("day") < cutoff)
+    delta = ev.filter(F.col("day") >= cutoff)
+
+    merged = merge_rollup(
+        rollup_snapshot(base, keys, _dec("value")),
+        rollup_snapshot(delta, keys, _dec("value")),
+    )
+    full = rollup_snapshot(ev, keys, _dec("value"))
+    assert merged.exceptAll(full).isEmpty() and full.exceptAll(merged).isEmpty()
+
+
+def test_incremental_merge_never_scans_base(spark, sf_dir):
+    """The incremental path's plan must not contain a second scan of the
+    base rows: merging an already-materialized snapshot with a delta reads
+    the snapshot relation, not the raw history."""
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    keys = ["day", "event_type"]
+    snap = rollup_snapshot(
+        ev.filter(F.col("day") < F.lit("2024-01-10").cast("date")), keys, _dec("value")
+    ).localCheckpoint()  # materialized snapshot, as a real pipeline would store
+    delta = ev.filter(F.col("day") >= F.lit("2024-01-10").cast("date"))
+    merged = merge_rollup(snap, rollup_snapshot(delta, keys, _dec("value")))
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") <= 1  # delta scan only
+
+
+def test_merge_rollup_min_max_fold():
+    """min/max states fold correctly across snapshots (not summed)."""
+    from airflow_spotify_etl_spark.session import get_spark
+
+    spark = get_spark("tests")
+    rows = [("a", 1, Decimal("5.00"), Decimal("1.00"), Decimal("4.00")),
+            ("a", 2, Decimal("7.00"), Decimal("0.50"), Decimal("6.00"))]
+    cols = ["k", "n_events", "sum_value", "min_value", "max_value"]
+    a = spark.createDataFrame([rows[0]], cols)
+    b = spark.createDataFrame([rows[1]], cols)
+    out = merge_rollup(a, b).collect()[0]
+    assert out["n_events"] == 3
+    assert out["sum_value"] == Decimal("12.00")
+    assert out["min_value"] == Decimal("0.50")
+    assert out["max_value"] == Decimal("6.00")
+
+
+def test_weighted_sample_deterministic_and_monotone(spark, sf_dir):
+    """Same salt → identical kept set; weight 0 keeps nothing; weight 1
+    keeps everything; the kept set at w is a subset of the kept set at any
+    higher weight (same hash, higher threshold)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    w0 = weighted_sample(docs.withColumn("w", F.lit(0.0)), "w")
+    w1 = weighted_sample(docs.withColumn("w", F.lit(1.0)), "w")
+    assert w0.count() == 0
+    assert w1.count() == docs.count()
+
+    half = weighted_sample(docs.withColumn("w", F.lit(0.5)), "w")
+    again = weighted_sample(docs.withColumn("w", F.lit(0.5)), "w")
+    a = {r.doc_id for r in half.collect()}
+    assert a == {r.doc_id for r in again.collect()}
+    full = {r.doc_id for r in w1.collect()}
+    assert a <= full
+    # Bernoulli(0.5) over 500 docs: kept fraction within loose bounds.
+    n = docs.count()
+    assert 0.35 * n < len(a) < 0.65 * n
+
+
+def test_scd2_intervals_tile_timeline(spark, sf_dir):
+    """q65 invariants: per user, intervals are disjoint and contiguous
+    (next valid_from == previous valid_to), exactly one open interval, and
+    n_events sums to the user's event count."""
+    from airflow_spotify_etl_spark.plans.relational import q65_scd2_intervals
+
+    out = q65_scd2_intervals(spark, sf_dir)
+    sentinel = 253402300799000000
+    per_user = (
+        out.groupBy("user_id")
+        .agg(
+            F.sum(F.col("is_current").cast("int")).alias("n_open"),
+            F.sum("n_events").alias("total"),
+        )
+        .collect()
+    )
+    assert all(r.n_open == 1 for r in per_user)
+    ev = load_table(spark, sf_dir, "events")
+    counts = {r.user_id: r.c for r in ev.groupBy("user_id").agg(F.count("*").alias("c")).collect()}
+    assert all(counts[r.user_id] == r.total for r in per_user)
+
+    rows = out.filter(F.col("user_id") == per_user[0].user_id).collect()
+    for prev, nxt in zip(rows, rows[1:]):
+        assert prev["valid_to_us"] == nxt["valid_from_us"]
+    assert rows[-1]["valid_to_us"] == sentinel
+
+
+def test_outlier_inequality_matches_float_zscore(spark, sf_dir):
+    """The division-free integer inequality flags exactly the rows a
+    float z-score > 3 would (values are 2-decimal, so no boundary rows sit
+    within float error of the threshold in this fixture)."""
+    from airflow_spotify_etl_spark.plans.relational import q67_value_outliers
+
+    flagged = {r.event_id for r in q67_value_outliers(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    expect = set()
+    for _, g in ev.groupby("event_type"):
+        m, sd = g["value"].mean(), g["value"].std(ddof=1)
+        expect |= set(g.loc[abs(g["value"] - m) > 3 * sd, "event_id"])
+    assert flagged == expect
+
+
+def test_histogram_covers_all_orders(spark, sf_dir):
+    from airflow_spotify_etl_spark.plans.relational import q68_price_histogram
+
+    rows = q68_price_histogram(spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    assert sum(r.n_orders for r in rows) == o.count()
+    assert [r.bucket for r in rows] == sorted({r.bucket for r in rows})
+    lo = min(r.bucket_lo for r in rows)
+    hi = max(r.bucket_hi for r in rows)
+    mn, mx = o.agg(F.min("o_totalprice"), F.max("o_totalprice")).collect()[0]
+    assert abs(lo - mn) < 0.011 and abs(hi - mx) < 0.011
