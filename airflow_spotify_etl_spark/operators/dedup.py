@@ -298,6 +298,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 20,
+    method: str = "label",
 ) -> DataFrame:
     """(doc_id, component) for every doc in the pair list, where component
     is the minimum doc id reachable through near-dup edges.
@@ -309,9 +310,17 @@ def connected_components(
     itself and its neighbors; converges in O(cluster diameter) rounds —
     near-dup clusters are shallow (diameter ≤ a few hops), so a handful of
     joins suffices. Each round is one shuffle join; the frontier is
-    localCheckpointed so the lineage doesn't grow exponentially. At massive
-    cluster diameters switch to pointer-doubling (log-diameter rounds) —
-    same join primitive, documented here as the scale-out path."""
+    localCheckpointed so the lineage doesn't grow exponentially.
+
+    ``method="pointer"`` adds a pointer-jumping shortcut each round
+    (l(v) ← l(l(v)) after the neighbor-min step): the distance a minimum
+    label travels per round doubles, so convergence is O(log diameter)
+    rounds — the scale path for long chains (templated page series, crawl
+    rings) where plain propagation would need diameter rounds. Labels are
+    always ids of nodes inside the same component (neighbor labels and
+    label-of-label both stay in-component), so correctness is unchanged;
+    each round costs one extra self-join on the label table, keyed by the
+    same component id the next round shuffles on anyway."""
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     )
@@ -331,18 +340,35 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_comp"))
         )
-        updated = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_comp", F.col("component"))
-                ).alias("component"),
-                (F.coalesce("nbr_comp", F.col("component")) < F.col("component")).alias(
-                    "_changed"
-                ),
+        updated = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.src, "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("component"), F.coalesce("nbr_comp", F.col("component"))
+            ).alias("component"),
+            (F.coalesce("nbr_comp", F.col("component")) < F.col("component")).alias(
+                "_changed"
+            ),
+        )
+        if method == "pointer":
+            # Shortcut: follow the label pointer one hop (l(l(v))). The
+            # target row always exists (labels cover every node and a
+            # label IS a node id); left+coalesce guards the no-op case.
+            tgt = updated.select(
+                F.col("doc_id").alias("t_id"), F.col("component").alias("t_comp")
             )
-        ).localCheckpoint(eager=True)
+            updated = updated.join(
+                tgt, updated.component == tgt.t_id, "left"
+            ).select(
+                "doc_id",
+                F.coalesce("t_comp", "component").alias("component"),
+                (
+                    F.col("_changed")
+                    | (F.coalesce("t_comp", "component") < F.col("component"))
+                ).alias("_changed"),
+            )
+        updated = updated.localCheckpoint(eager=True)
         n_changed = updated.filter("_changed").count()
         labels = updated.drop("_changed")
         if n_changed == 0:
@@ -353,7 +379,8 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"({n_changed} labels still changing): cluster diameter exceeds "
-            f"max_iter — raise max_iter or switch to pointer-doubling"
+            f"max_iter — raise max_iter or use method='pointer' "
+            "(log-diameter rounds)"
         )
     return labels
 

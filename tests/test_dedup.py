@@ -122,6 +122,37 @@ def test_connected_components_refuses_unconverged(spark):
         connected_components(chain, max_iter=2)
 
 
+def test_pointer_doubling_converges_in_log_rounds(spark):
+    """method='pointer': a 40-node chain (diameter 40) resolves within 8
+    rounds — label distance doubles per round — where plain propagation
+    needs 40 rounds and refuses at max_iter=8. Same labels as the
+    O(diameter) method on a mixed graph."""
+    from airflow_spotify_etl_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=8)
+    got = {
+        (r.doc_id, r.component)
+        for r in connected_components(chain, max_iter=8, method="pointer").collect()
+    }
+    assert got == {(i, 0) for i in range(41)}
+
+    mixed = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11), (11, 12), (5, 12)], "doc_a long, doc_b long"
+    )
+    lab = {
+        (r.doc_id, r.component) for r in connected_components(mixed).collect()
+    }
+    ptr = {
+        (r.doc_id, r.component)
+        for r in connected_components(mixed, method="pointer").collect()
+    }
+    assert lab == ptr
+
+
 def test_ngram_contamination_planted_overlap(spark):
     """A corpus doc containing an eval doc's exact 4-gram is flagged with
     the right shared count; clean docs are not."""
