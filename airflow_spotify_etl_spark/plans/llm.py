@@ -1511,6 +1511,46 @@ ORDER BY doc_id
 """
 
 
+def q71_per_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-stratum quota sampling: exactly min(10, |stratum|) docs
+    per source, chosen by deterministic hash order — the fixed-budget
+    counterpart of rate-based mixing (q47). row_number over the portable
+    md5 order makes the chosen set content-addressed: any engine, any
+    partitioning, same sample. One shuffle keyed on source; at scale with
+    few giant strata the window input should be pre-cut with an
+    approximate per-partition top-k (rank never exceeds the quota, so each
+    map partition can locally retain its smallest 10 hashes first — the
+    TakeOrdered pattern applied per key)."""
+    from ..operators.dedup import _h32
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = _h32(F.concat(F.lit("quota"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", "source", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "source", "rn")
+        .orderBy("source", "rn")
+    )
+
+
+_Q71_SQL = """
+WITH h AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('quota' || doc_id::VARCHAR), 1, 8))::BIGINT AS h
+  FROM documents
+)
+SELECT doc_id, source, rn FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+  FROM h
+)
+WHERE rn <= 10
+ORDER BY source, rn
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -1542,6 +1582,7 @@ QUERIES = {
     "q59_cooccurrence_pmi": q59_cooccurrence_pmi,
     "q64_tfidf_top_terms": q64_tfidf_top_terms,
     "q69_weighted_sample": q69_weighted_sample,
+    "q71_per_source_quota": q71_per_source_quota,
 }
 
 ORACLES = {
@@ -1574,6 +1615,7 @@ ORACLES = {
     "q59_cooccurrence_pmi": _Q59_SQL,
     "q64_tfidf_top_terms": _Q64_SQL,
     "q69_weighted_sample": _Q69_SQL,
+    "q71_per_source_quota": _Q71_SQL,
     # q27 is the one remaining rows-only query: its top-k depends on
     # driver-side Lloyd centroid training, which a fixed SQL string cannot
     # replay; recall vs the exact scan is asserted in

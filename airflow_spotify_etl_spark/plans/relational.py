@@ -1366,6 +1366,95 @@ ORDER BY day, event_type
 """
 
 
+def q72_excess_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped correlated-aggregate query: suppliers who shipped
+    more than 1.5× the per-supplier average quantity of a part in 1995.
+    The correlated comparison is division-free (2·qty·n > 3·total, exact
+    integer-valued doubles) so the boundary is engine-deterministic. Plan:
+    one (part, supp) aggregate, a partkey window over the already-reduced
+    relation, then a supplier join that AQE broadcasts at small SF —
+    the nested-subquery decorrelation pattern, hand-expressed."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
+    w = W.partitionBy("l_partkey")
+    flagged = (
+        ps.withColumn("n_s", F.count("*").over(w))
+        .withColumn("tot", F.sum("qty").over(w))
+        .filter(2 * F.col("qty") * F.col("n_s") > 3 * F.col("tot"))
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        flagged.join(sup, flagged.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n_excess_parts"))
+        .orderBy(F.col("n_excess_parts").desc(), "s_name")
+        .limit(50)
+    )
+
+
+_Q72_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-01-01'
+  GROUP BY l_partkey, l_suppkey
+), f AS (
+  SELECT l_partkey, l_suppkey FROM (
+    SELECT l_partkey, l_suppkey, qty,
+           count(*) OVER (PARTITION BY l_partkey) AS n_s,
+           sum(qty)  OVER (PARTITION BY l_partkey) AS tot
+    FROM ps
+  ) WHERE 2 * qty * n_s > 3 * tot
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS n_excess_parts
+FROM f JOIN supplier s ON f.l_suppkey = s.s_suppkey
+GROUP BY s.s_name
+ORDER BY n_excess_parts DESC, s_name
+LIMIT 50
+"""
+
+
+def q73_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column processing: events carry a raw JSON ``props``
+    payload; extract ``$.k`` with a JSON-path expression (JVM-side
+    get_json_object — no Python in the loop) and aggregate it per type.
+    Integer sums keep the stats exact. At 100 TB the parse is a narrow
+    codegen projection; for repeated multi-key access you'd materialize
+    from_json(struct) once instead of N path extractions."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q73_SQL = """
+SELECT event_type,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -1399,6 +1488,8 @@ QUERIES = {
     "q67_value_outliers": q67_value_outliers,
     "q68_price_histogram": q68_price_histogram,
     "q70_incremental_rollup": q70_incremental_rollup,
+    "q72_excess_part_suppliers": q72_excess_part_suppliers,
+    "q73_json_props_stats": q73_json_props_stats,
 }
 
 ORACLES = {
@@ -1434,4 +1525,6 @@ ORACLES = {
     "q67_value_outliers": _Q67_SQL,
     "q68_price_histogram": _Q68_SQL,
     "q70_incremental_rollup": _Q70_SQL,
+    "q72_excess_part_suppliers": _Q72_SQL,
+    "q73_json_props_stats": _Q73_SQL,
 }
