@@ -62,6 +62,15 @@ HEADLINE = [
     "q62_retention_cohorts",
     "q63_rolling_hourly_value",
     "q64_tfidf_top_terms",
+    "q65_scd2_intervals",
+    "q66_event_path_trigrams",
+    "q67_value_outliers",
+    "q68_price_histogram",
+    "q69_weighted_sample",
+    "q70_incremental_rollup",
+    "q71_per_source_quota",
+    "q72_excess_part_suppliers",
+    "q73_json_props_stats",
 ]
 
 

@@ -166,3 +166,28 @@ def test_pagerank_iteration_aggregates_without_reshuffle(spark):
     ]
     assert len(hash_exchanges) == 1 and "REPARTITION_BY_COL" in hash_exchanges[0], plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q65_reuses_one_user_exchange_for_all_windows(spark, sf_dir, qs):
+    """SCD-2 runs three window passes and a grouped aggregate, but
+    HashPartitioning(user_id) satisfies all of them: exactly one data
+    hash-exchange (plus the output range sort) may appear."""
+    plan = _final_plan(qs["q65_scd2_intervals"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q67_broadcasts_moment_stats(spark, sf_dir, qs):
+    """The 5-row per-type moment aggregate must come back as a broadcast —
+    a shuffle join here would reshuffle the full scan at 100 TB."""
+    plan = _final_plan(qs["q67_value_outliers"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_q69_weighted_sample_has_no_data_shuffle(spark, sf_dir, qs):
+    """The sampling decision is a narrow hash+compare projection; the only
+    exchanges allowed are the 1-row max broadcast and the output sort."""
+    plan = _final_plan(qs["q69_weighted_sample"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalar combine
