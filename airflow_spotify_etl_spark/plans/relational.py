@@ -1455,6 +1455,42 @@ ORDER BY event_type
 """
 
 
+def q74_sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 through the engine's SQL surface: tables registered as temp
+    views (sources/files.register_views), the query itself a single
+    ``spark.sql`` string — proof that the full Catalyst SQL front-end is a
+    first-class entry point, not just the DataFrame DSL. Revenue sums in
+    DECIMAL (exact, order-independent — see _dec). The plan is the one
+    Q6 wants: all three predicates pushed into the parquet scan, one
+    partial+final aggregate, no shuffle beyond the 1-row combine."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                 AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+_Q74_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -1490,6 +1526,7 @@ QUERIES = {
     "q70_incremental_rollup": q70_incremental_rollup,
     "q72_excess_part_suppliers": q72_excess_part_suppliers,
     "q73_json_props_stats": q73_json_props_stats,
+    "q74_sql_forecast_revenue": q74_sql_forecast_revenue,
 }
 
 ORACLES = {
@@ -1527,4 +1564,5 @@ ORACLES = {
     "q70_incremental_rollup": _Q70_SQL,
     "q72_excess_part_suppliers": _Q72_SQL,
     "q73_json_props_stats": _Q73_SQL,
+    "q74_sql_forecast_revenue": _Q74_SQL,
 }
