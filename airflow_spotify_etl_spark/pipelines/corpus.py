@@ -4,8 +4,8 @@ Chains the engine's text/dedup tiers the way a production data pipeline
 does — cheapest filter first, each stage shrinking the next stage's input:
 
     ingest → quality gate → repetition gate → language ID → exact dedup
-           → near-dedup → stratified mixing → fingerprint
-           → partitioned write → summary
+           → near-dedup → stratified mixing → quality-weighted sampling
+           → fingerprint → partitioned write → summary
 
 Stage costs at scale (why this order):
 1. quality gate      — narrow projection + filter, scan speed.
@@ -89,6 +89,7 @@ def run_corpus_pipeline(
     near_dup_threshold: float = 0.7,
     min_words: int = 5,
     mix_rates: dict[str, float] | None = None,
+    weight_col=None,
 ) -> dict:
     """Full corpus build; returns a K4-style summary of per-stage attrition
     (the numbers a pipeline operator actually watches)."""
@@ -131,6 +132,17 @@ def run_corpus_pipeline(
         final = stratified_sample(final, mix_rates, strata_col="pred_lang").drop(
             "bucket"
         )
+
+    # 6b. quality-weighted downsampling — keep each doc with probability
+    # given by ``weight_col`` (a Column in [0,1], e.g. a normalized q49 LM
+    # score). Hash-deterministic (operators/sampling.weighted_sample), so
+    # the corpus stays content-addressed end-to-end.
+    if weight_col is not None:
+        from ..operators.sampling import weighted_sample
+
+        final = weighted_sample(
+            final.withColumn("_w", weight_col), "_w", salt="corpusw"
+        ).drop("bucket", "keep_threshold", "_w")
 
     # 7. fingerprint + partitioned write (by predicted language).
     canon = F.lower(F.regexp_replace(F.col("text"), "\\s+", " "))

@@ -90,3 +90,23 @@ def test_corpus_pipeline_mix_rates_downsample(spark, sf_dir, tmp_path):
     ).count()
     assert mixed_en < full_en
     assert (full["docs_out"] - full_en) == (mixed["docs_out"] - mixed_en)
+
+
+def test_corpus_pipeline_weighted_sampling_stage(spark, sf_dir, tmp_path):
+    """weight_col: weight 1.0 is a no-op; a length-proportional weight
+    keeps a strict, deterministic subset (same set on a re-run)."""
+    from airflow_spotify_etl_spark.pipelines.corpus import run_corpus_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = run_corpus_pipeline(spark, docs, str(tmp_path / "full"),
+                               weight_col=F.lit(1.0))
+    base = run_corpus_pipeline(spark, docs, str(tmp_path / "base"))
+    assert full["docs_out"] == base["docs_out"]
+
+    w = F.least(F.lit(1.0), F.length("text") / 400.0)
+    s1 = run_corpus_pipeline(spark, docs, str(tmp_path / "w1"), weight_col=w)
+    s2 = run_corpus_pipeline(spark, docs, str(tmp_path / "w2"), weight_col=w)
+    assert 0 < s1["docs_out"] < base["docs_out"]
+    ids1 = {r.doc_id for r in spark.read.parquet(str(tmp_path / "w1")).select("doc_id").collect()}
+    ids2 = {r.doc_id for r in spark.read.parquet(str(tmp_path / "w2")).select("doc_id").collect()}
+    assert ids1 == ids2
