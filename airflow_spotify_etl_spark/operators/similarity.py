@@ -33,6 +33,7 @@ __all__ = [
     "hash_seed_centroids",
     "cosine_pairs_lsh",
     "assign_cells_pandas",
+    "sketch_bits_pandas",
 ]
 
 _SEED = 42
@@ -330,6 +331,43 @@ def ivf_search(
     )
 
 
+def sketch_bits_pandas(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Vectorized hyperplane sign-sketch: (id, _v, _bits, _n) via one
+    numpy matmul per Arrow batch — V(batch×dim) @ P.T(dim×planes) — instead
+    of n_planes interpreted aggregate-folds per row. Same output contract
+    as the HOF sketch inside cosine_pairs_lsh, so the banding/verify
+    machinery downstream is shared. Sign decisions can differ from the
+    sequential fold only when a dot product sits within float rounding of
+    zero (measure-zero for random normals; bit-equivalence on the fixtures
+    is pinned in tests/test_similarity.py)."""
+    P = np.asarray(planes, dtype=np.float64)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(
+                pdf[vec_col].map(lambda x: np.asarray(x, dtype=np.float64)).values
+            )
+            B = (V @ P.T > 0).astype("int32")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "_v": list(map(list, V)),
+                    "_bits": list(map(list, B)),
+                    "_n": np.sqrt((V * V).sum(axis=1)),
+                }
+            )
+
+    schema = f"{id_col} long, _v array<double>, _bits array<int>, _n double"
+    return corpus.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
 def cosine_pairs_lsh(
     corpus: DataFrame,
     threshold: float = 0.9,
@@ -340,6 +378,7 @@ def cosine_pairs_lsh(
     dim: int = 64,
     max_band_bucket: int | None = 1000,
     verify: bool = True,
+    sketch_impl: str = "hof",
 ) -> DataFrame:
     """Near-duplicate vector pairs via random-hyperplane LSH.
 
@@ -367,23 +406,30 @@ def cosine_pairs_lsh(
     fan-in is bounded by the candidate count, never corpus²."""
     rng = np.random.RandomState(_SEED)
     planes = rng.randn(n_planes, dim).tolist()
-    # ONE literal plane matrix + one transform — the _unit_mat lesson:
-    # n_planes x dim nested F.lit calls hand Catalyst a thousand-node
-    # expression tree whose analysis alone costs seconds per query; a
-    # single Literal node costs nothing.
-    planes_lit = F.lit(planes)
-    bits = F.transform(
-        planes_lit,
-        lambda p: F.when(_dot(F.col("_v"), p) > 0, F.lit(1)).otherwise(F.lit(0)),
-    )
     r = n_planes // bands
-    # Norm computed once per vector at sketch time — a vector re-appears in
-    # every candidate pair it joins, and the norm fold is interpreted.
-    sketched = (
-        corpus.select(F.col(id_col), _as_double(vec_col).alias("_v"))
-        .withColumn("_bits", bits)
-        .withColumn("_n", _norm(F.col("_v")))
-    )
+    if sketch_impl == "pandas":
+        # Arrow/numpy twin (same pattern as assign_cells_pandas): one
+        # BLAS matmul per batch replaces n_planes interpreted folds per
+        # row — the throughput path for cluster sketch jobs; bit-
+        # equivalence to the HOF path is pinned in tests.
+        sketched = sketch_bits_pandas(corpus, planes, vec_col, id_col)
+    else:
+        # ONE literal plane matrix + one transform — the _unit_mat lesson:
+        # n_planes x dim nested F.lit calls hand Catalyst a thousand-node
+        # expression tree whose analysis alone costs seconds per query; a
+        # single Literal node costs nothing.
+        planes_lit = F.lit(planes)
+        bits = F.transform(
+            planes_lit,
+            lambda p: F.when(_dot(F.col("_v"), p) > 0, F.lit(1)).otherwise(F.lit(0)),
+        )
+        # Norm computed once per vector at sketch time — a vector re-appears
+        # in every candidate pair it joins, and the norm fold is interpreted.
+        sketched = (
+            corpus.select(F.col(id_col), _as_double(vec_col).alias("_v"))
+            .withColumn("_bits", bits)
+            .withColumn("_n", _norm(F.col("_v")))
+        )
     band_arr = F.array(
         *[
             F.concat_ws("", *[F.col("_bits")[b * r + j].cast("string") for j in range(r)])

@@ -149,3 +149,50 @@ def test_semantic_dedup_drops_planted_duplicate(spark):
         for r in comp.filter("doc_id != component").collect()
     }
     assert dropped == {1: 0}
+
+
+def test_pandas_sketch_twin_matches_hof_bits(spark, sf_dir):
+    """sketch_bits_pandas must produce the SAME sign bits (and therefore
+    the same candidate pairs) as the higher-order-function sketch — the
+    assign_cells_pandas equivalence argument applied to the LSH tier."""
+    import numpy as np
+
+    from airflow_spotify_etl_spark.operators.similarity import (
+        _SEED,
+        cosine_pairs_lsh,
+        sketch_bits_pandas,
+    )
+    from airflow_spotify_etl_spark.sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = np.random.RandomState(_SEED).randn(16, 64).tolist()
+    got = {
+        r.vec_id: list(r._bits)
+        for r in sketch_bits_pandas(emb, planes).collect()
+    }
+
+    from pyspark.sql import functions as F
+
+    from airflow_spotify_etl_spark.operators.similarity import (
+        _as_double,
+        _dot,
+    )
+
+    bits = F.transform(
+        F.lit(planes),
+        lambda p: F.when(_dot(F.col("_v"), p) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    want = {
+        r.vec_id: list(r._bits)
+        for r in emb.select("vec_id", _as_double("embedding").alias("_v"))
+        .withColumn("_bits", bits)
+        .collect()
+    }
+    assert got == want
+
+    hof = {(r.vec_a, r.vec_b) for r in cosine_pairs_lsh(emb, threshold=0.45).collect()}
+    pnd = {
+        (r.vec_a, r.vec_b)
+        for r in cosine_pairs_lsh(emb, threshold=0.45, sketch_impl="pandas").collect()
+    }
+    assert hof == pnd
