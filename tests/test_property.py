@@ -158,3 +158,117 @@ def test_entropy_and_repetition_bounds(spark, words):
     assert rep.n_tokens == len(words)
     assert 0 < rep.type_token_ratio <= 1.0
     assert 0 < rep.top_token_frac <= 1.0
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=29),       # day offset
+            st.sampled_from(["a", "b", "c"]),             # group
+            st.integers(min_value=0, max_value=99_999),   # cents
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=0, max_value=29),               # cutoff day
+)
+def test_incremental_merge_equals_full_for_any_split(spark, rows, cutoff):
+    """merge(partials(base), partials(delta)) == partials(all) for ANY
+    split point and ANY values — the monoid-associativity contract of
+    operators/incremental.py, not just the one fixture cutoff."""
+    from airflow_spotify_etl_spark.operators.incremental import (
+        merge_rollup,
+        rollup_snapshot,
+    )
+
+    df = spark.createDataFrame(
+        [(d, g, c / 100.0) for d, g, c in rows], "day int, grp string, value double"
+    )
+    val = F.col("value").cast("decimal(18,2)")
+    keys = ["day", "grp"]
+    full = rollup_snapshot(df, keys, val)
+    merged = merge_rollup(
+        rollup_snapshot(df.filter(F.col("day") < cutoff), keys, val),
+        rollup_snapshot(df.filter(F.col("day") >= cutoff), keys, val),
+    )
+    assert merged.exceptAll(full).isEmpty() and full.exceptAll(merged).isEmpty()
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10_000),  # cents in [0, 100.00]
+        min_size=3,
+        max_size=80,
+    )
+)
+def test_outlier_inequality_matches_exact_rational_zscore(spark, cents):
+    """The division-free integer inequality (q67) must agree with an
+    EXACT rational z² > 9·σ² comparison (fractions module) on arbitrary
+    2-decimal values — including values sitting exactly on the boundary,
+    where a float z-score reference could legitimately disagree."""
+    from fractions import Fraction
+
+    from airflow_spotify_etl_spark.plans.relational import q67_value_outliers  # noqa: F401  (shape reference)
+
+    df = spark.createDataFrame(
+        [(i, "t", c / 100.0) for i, c in enumerate(cents)],
+        "event_id long, event_type string, value double",
+    )
+    cv = F.round(F.col("value") * 100, 0).cast("decimal(38,0)")
+    evc = df.select("event_id", "event_type", cv.alias("cv"))
+    stats = evc.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("cv").alias("sv"),
+        F.sum(F.col("cv") * F.col("cv")).alias("ssq"),
+    )
+    dev = F.col("n") * F.col("cv") - F.col("sv")
+    flagged = {
+        r.event_id
+        for r in evc.join(F.broadcast(stats), "event_type")
+        .filter(
+            (F.col("n") - 1) * dev * dev
+            > 9 * F.col("n") * (F.col("n") * F.col("ssq") - F.col("sv") * F.col("sv"))
+        )
+        .collect()
+    }
+
+    n = len(cents)
+    mean = Fraction(sum(cents), n)
+    var = (
+        sum((Fraction(c) - mean) ** 2 for c in cents) / (n - 1)
+        if n > 1
+        else Fraction(0)
+    )
+    expect = {
+        i for i, c in enumerate(cents) if (Fraction(c) - mean) ** 2 > 9 * var
+    }
+    assert flagged == expect
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.floats(min_value=0.0, max_value=1.0),
+    st.floats(min_value=0.0, max_value=1.0),
+)
+def test_weighted_sample_monotone_in_weight(spark, w_lo, w_hi):
+    """For any two weights w_lo <= w_hi, the kept set at w_lo is a subset
+    of the kept set at w_hi (same hash, higher threshold)."""
+    from airflow_spotify_etl_spark.operators.sampling import weighted_sample
+
+    if w_lo > w_hi:
+        w_lo, w_hi = w_hi, w_lo
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    lo = {
+        r.doc_id
+        for r in weighted_sample(df.withColumn("w", F.lit(w_lo)), "w").collect()
+    }
+    hi = {
+        r.doc_id
+        for r in weighted_sample(df.withColumn("w", F.lit(w_hi)), "w").collect()
+    }
+    assert lo <= hi
