@@ -1491,6 +1491,96 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-0
 """
 
 
+def q75_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id — the general form of
+    rollup (q15) / cube (q44): exactly the (status), (priority), and
+    (status, priority) groupings in one pass, disambiguated by GROUPING()
+    flags rather than nulls (a null group key and a super-aggregate row
+    are different things — the flags make that queryable). Catalyst
+    expands the sets into one Expand + single aggregate, so the scan runs
+    once regardless of how many groupings are requested."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_value
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+        """
+    )
+
+
+_Q75_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+"""
+
+
+def q76_windowed_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct count over a window — an operation Spark's window engine
+    does NOT support natively (COUNT(DISTINCT) OVER raises). The engine
+    expresses it as size(collect_set() OVER w): per event, how many
+    distinct users of that event_type have appeared up to (and including)
+    its calendar day. The state is the per-partition distinct set — fine
+    for bounded-cardinality keys like users-per-type; for unbounded keys
+    swap in the sketch path (approx_count_distinct per cumulative frame
+    via self-join, or operators/sketches.py offline)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        daily.withColumn("cum_users", F.size(F.collect_set("user_id").over(w)))
+        .groupBy("event_type", "day")
+        .agg(F.max("cum_users").alias("cum_distinct_users"))
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cum_distinct_users",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_Q76_SQL = """
+WITH daily AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id FROM events
+), per_row AS (
+  SELECT event_type, day,
+         count(DISTINCT user_id) OVER (
+           PARTITION BY event_type ORDER BY day
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS c
+  FROM daily
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(max(c) AS INTEGER) AS cum_distinct_users
+FROM per_row
+GROUP BY event_type, day
+ORDER BY event_type, day
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -1527,6 +1617,8 @@ QUERIES = {
     "q72_excess_part_suppliers": q72_excess_part_suppliers,
     "q73_json_props_stats": q73_json_props_stats,
     "q74_sql_forecast_revenue": q74_sql_forecast_revenue,
+    "q75_grouping_sets": q75_grouping_sets,
+    "q76_windowed_distinct_count": q76_windowed_distinct_count,
 }
 
 ORACLES = {
@@ -1565,4 +1657,6 @@ ORACLES = {
     "q72_excess_part_suppliers": _Q72_SQL,
     "q73_json_props_stats": _Q73_SQL,
     "q74_sql_forecast_revenue": _Q74_SQL,
+    "q75_grouping_sets": _Q75_SQL,
+    "q76_windowed_distinct_count": _Q76_SQL,
 }
