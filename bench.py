@@ -71,6 +71,9 @@ HEADLINE = [
     "q71_per_source_quota",
     "q72_excess_part_suppliers",
     "q73_json_props_stats",
+    "q74_sql_forecast_revenue",
+    "q75_grouping_sets",
+    "q76_windowed_distinct_count",
 ]
 
 
