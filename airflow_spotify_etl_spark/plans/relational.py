@@ -1278,7 +1278,8 @@ def q68_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     into bucket 9) so boundary values land identically on every engine —
     float division would make edge cents engine-dependent. The min/max pass
     is a 1-row broadcast; the histogram itself is one grouped agg with
-    map-side partials (10 groups)."""
+    map-side partials (10 groups). Degenerate range (hi == lo — a
+    constant column) collapses to bucket 0 instead of dividing by zero."""
     o = _t(spark, sf_dir, "orders")
     oc = o.select(
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
@@ -1289,7 +1290,11 @@ def q68_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         oc.crossJoin(F.broadcast(mm))
         .withColumn(
             "bucket",
-            F.least(F.lit(9), F.expr("(cents - lo) * 10 div (hi - lo)")).cast("int"),
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(F.lit(9), F.expr("(cents - lo) * 10 div (hi - lo)"))
+            )
+            .cast("int"),
         )
         .groupBy("bucket", "lo", "hi")
         .agg(
@@ -1314,7 +1319,9 @@ WITH c AS (
   FROM orders
 ), mm AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c),
 b AS (
-  SELECT least(9, (cents - lo) * 10 // (hi - lo)) AS bucket, p, lo, hi
+  SELECT CASE WHEN hi = lo THEN 0
+              ELSE least(9, (cents - lo) * 10 // (hi - lo)) END AS bucket,
+         p, lo, hi
   FROM c, mm
 )
 SELECT CAST(bucket AS INTEGER) AS bucket,
