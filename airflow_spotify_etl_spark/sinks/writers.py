@@ -60,6 +60,22 @@ def write_csv(df: DataFrame, path: str, single_file: bool = False) -> str:
     return path
 
 
+def write_jsonl(df: DataFrame, path: str) -> str:
+    """Newline-delimited JSON (one object per line, one file per
+    partition) — the corpus interchange format; ``s3://`` normalized like
+    write_csv."""
+    path = normalize_object_store_path(path)
+    df.write.mode("overwrite").json(path)
+    return path
+
+
+def write_orc(df: DataFrame, path: str) -> str:
+    """ORC with the same overwrite contract as the parquet writers."""
+    path = normalize_object_store_path(path)
+    df.write.mode("overwrite").orc(path)
+    return path
+
+
 def append_table(
     new: DataFrame,
     path: str,

@@ -189,3 +189,23 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .csv(path)
     )
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Newline-delimited JSON scan with explicit schema — the interchange
+    format raw API payloads and web-crawl corpora actually arrive in.
+    PERMISSIVE like read_csv: malformed lines become null rows, not scan
+    failures (reference F8 semantics). Splittable per line, so a 100 TB
+    JSONL drop parallelizes like any text source; convert to parquet in
+    the first pipeline stage — JSON parsing is the most expensive scan in
+    the engine and should happen exactly once."""
+    return (
+        spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+    )
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """ORC scan with explicit schema — same columnar pushdown/pruning
+    contract as parquet (PushedFilters + ReadSchema in the plan), for
+    lakes standardized on ORC."""
+    return spark.read.schema(schema).orc(path)

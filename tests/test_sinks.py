@@ -114,3 +114,57 @@ def test_display_tracks_disabled_and_empty(spark, capsys):
     )
     display_tracks(empty)
     assert "No tracks to display" in capsys.readouterr().out
+
+
+def test_jsonl_round_trip_with_malformed_line(spark, sf_dir, tmp_path):
+    """write_jsonl → read_jsonl preserves rows exactly; a corrupt line in
+    the file becomes a null row (PERMISSIVE), not a scan failure."""
+    from airflow_spotify_etl_spark.sinks.writers import write_jsonl
+    from airflow_spotify_etl_spark.sources.files import load_table, read_jsonl
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    p = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, p)
+    back = read_jsonl(spark, p, docs.schema)
+    assert back.exceptAll(docs).isEmpty() and docs.exceptAll(back).isEmpty()
+
+    # Corrupt line: engine's F8 tolerance — the unparseable line becomes an
+    # all-null row (no exception); adding the standard _corrupt_record
+    # column instead captures the raw line for a quarantine path.
+    import pathlib
+
+    from pyspark.sql import types as T
+
+    (pathlib.Path(p) / "part-99999-extra-c000.json").write_text(
+        "{not json at all\n"
+    )
+    spark.catalog.refreshByPath(p)
+    tolerant = read_jsonl(spark, p, docs.schema)
+    assert tolerant.count() == docs.count() + 1
+    assert tolerant.filter("doc_id IS NULL").count() == 1
+    quarantine_schema = T.StructType(
+        list(docs.schema.fields)
+        + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    captured = read_jsonl(spark, p, quarantine_schema).cache()
+    try:
+        # (cache required: Spark disallows queries touching ONLY the raw
+        # corrupt-record column — see UNSUPPORTED_FEATURE.QUERY_ONLY_...)
+        assert captured.filter("_corrupt_record IS NOT NULL").count() == 1
+    finally:
+        captured.unpersist()
+
+
+def test_orc_round_trip_pushes_filters(spark, sf_dir, tmp_path):
+    from airflow_spotify_etl_spark.sinks.writers import write_orc
+    from airflow_spotify_etl_spark.sources.files import load_table, read_orc
+
+    orders = load_table(spark, sf_dir, "orders")
+    p = str(tmp_path / "orders_orc")
+    write_orc(orders, p)
+    back = read_orc(spark, p, orders.schema)
+    assert back.count() == orders.count()
+    q = back.filter("o_totalprice > 1000").select("o_orderkey")
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,1000.0)]" in plan
