@@ -766,6 +766,27 @@ ORDER BY doc_id
 _Q47_RATES = {"en": 0.5, "de": 1.0, "es": 0.25, "fr": 1.0, "zh": 0.1}
 
 
+def q77_dedup_clusters_pointer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q42's clustering through the POINTER-DOUBLING path
+    (connected_components(method='pointer'), log-diameter rounds): the
+    same recursive-CTE transitive-closure oracle must hash-match, proving
+    the scale algorithm — not just the O(diameter) default — produces the
+    exact component labels."""
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000)
+    comp = connected_components(pairs, method="pointer")
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .orderBy("component")
+    )
+
+
 def q47_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-bucket corpus mixing (operators/sampling.py):
     per-language keep rates, reproducible on any cluster, zero shuffle."""
@@ -1583,6 +1604,7 @@ QUERIES = {
     "q64_tfidf_top_terms": q64_tfidf_top_terms,
     "q69_weighted_sample": q69_weighted_sample,
     "q71_per_source_quota": q71_per_source_quota,
+    "q77_dedup_clusters_pointer": q77_dedup_clusters_pointer,
 }
 
 ORACLES = {
@@ -1616,6 +1638,7 @@ ORACLES = {
     "q64_tfidf_top_terms": _Q64_SQL,
     "q69_weighted_sample": _Q69_SQL,
     "q71_per_source_quota": _Q71_SQL,
+    "q77_dedup_clusters_pointer": _Q42_SQL,
     # q27 is the one remaining rows-only query: its top-k depends on
     # driver-side Lloyd centroid training, which a fixed SQL string cannot
     # replay; recall vs the exact scan is asserted in
