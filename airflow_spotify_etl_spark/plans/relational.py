@@ -1588,6 +1588,86 @@ ORDER BY event_type, day
 """
 
 
+def q78_trend_fit_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group model fit through the ``applyInPandas`` grouped-map seam:
+    each event_type's value-vs-time OLS trend, fit inside an Arrow batch.
+    This is the niche the seam exists for — per-group fits with no SQL
+    closed form (sklearn/scipy models); OLS specifically DOES have one
+    (regr_slope), which is exactly what makes this instance oracle-
+    checkable: the fit returns the exact INTEGER numerator/denominator
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    over integer (seconds-since-2024, cents) pairs — python bigints in the
+    UDF, HUGEINT in DuckDB — so the Python-seam output hash-matches SQL
+    bit-for-bit; the float slope is one identical IEEE division on both
+    sides. Plan: one shuffle on event_type; each group is one Arrow batch
+    (fine for |types| groups; a high-cardinality fit would pre-aggregate
+    the sums JVM-side and fit driver-side instead)."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    base = 1704067200  # 2024-01-01, keeps x small and exact
+    pre = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("x"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+    ).withColumn("x", F.col("x") - F.lit(base))
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        from decimal import Decimal
+
+        n = len(pdf)
+        x = [int(v) for v in pdf["x"]]
+        y = [int(v) for v in pdf["y"]]
+        sx, sy = sum(x), sum(y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        sxx = sum(a * a for a in x)
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "n": n,
+                    "num": Decimal(num),
+                    "den": Decimal(den),
+                    "slope": float(num) / float(den) if den else 0.0,
+                }
+            ]
+        )
+
+    schema = (
+        "event_type string, n long, num decimal(38,0), den decimal(38,0), "
+        "slope double"
+    )
+    return (
+        pre.groupBy("event_type").applyInPandas(fit, schema).orderBy("event_type")
+    )
+
+
+_Q78_SQL = """
+WITH b AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 1000000 - 1704067200 AS HUGEINT) AS x,
+         CAST(round(value * 100) AS HUGEINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * y) AS HUGEINT) AS sxy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx
+  FROM b GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS num,
+       CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS den,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+FROM s ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -1626,6 +1706,7 @@ QUERIES = {
     "q74_sql_forecast_revenue": q74_sql_forecast_revenue,
     "q75_grouping_sets": q75_grouping_sets,
     "q76_windowed_distinct_count": q76_windowed_distinct_count,
+    "q78_trend_fit_grouped": q78_trend_fit_grouped,
 }
 
 ORACLES = {
@@ -1666,4 +1747,5 @@ ORACLES = {
     "q74_sql_forecast_revenue": _Q74_SQL,
     "q75_grouping_sets": _Q75_SQL,
     "q76_windowed_distinct_count": _Q76_SQL,
+    "q78_trend_fit_grouped": _Q78_SQL,
 }
