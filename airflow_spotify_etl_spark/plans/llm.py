@@ -1572,6 +1572,69 @@ ORDER BY source, rn
 """
 
 
+def q79_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-ingestion chunking: fixed-size sliding windows WITH OVERLAP
+    (size 64 tokens, stride 48 → 16-token overlap), the retrieval-corpus
+    counterpart of q53's disjoint dedup chunks — overlap keeps answers
+    that straddle a boundary retrievable. Pure codegen arithmetic:
+    chunk count = 1 + ceil((n−size)/stride) via integer div (no float
+    boundary), sequence + explode + slice; emits md5(chunk) so the
+    exploded relation stays narrow (the chunk text itself never needs to
+    leave the row it came from until embedding time)."""
+    size, stride = 64, 48
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        F.expr(f"(size(split(text, ' ')) - {size} + {stride} - 1) div {stride}") + 1
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(
+                        F.slice(toks, i * stride + 1, size), " "
+                    ),
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size(F.split("chunk", " ")).alias("n_chunk_tokens"),
+            F.md5("chunk").alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+_Q79_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), counted AS (
+  SELECT doc_id, w,
+         CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 48 - 1) // 48 + 1 END
+           AS n_chunks
+  FROM base
+), exploded AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, n_chunks)) AS INTEGER) AS chunk_idx, w
+  FROM counted
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS INTEGER)
+         AS n_chunk_tokens,
+       md5(array_to_string(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' '))
+         AS chunk_hash
+FROM exploded
+ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -1605,6 +1668,7 @@ QUERIES = {
     "q69_weighted_sample": q69_weighted_sample,
     "q71_per_source_quota": q71_per_source_quota,
     "q77_dedup_clusters_pointer": q77_dedup_clusters_pointer,
+    "q79_rag_chunks": q79_rag_chunks,
 }
 
 ORACLES = {
@@ -1639,6 +1703,7 @@ ORACLES = {
     "q69_weighted_sample": _Q69_SQL,
     "q71_per_source_quota": _Q71_SQL,
     "q77_dedup_clusters_pointer": _Q42_SQL,
+    "q79_rag_chunks": _Q79_SQL,
     # q27 is the one remaining rows-only query: its top-k depends on
     # driver-side Lloyd centroid training, which a fixed SQL string cannot
     # replay; recall vs the exact scan is asserted in
