@@ -20,11 +20,12 @@ q47) — same argument as the MinHash family.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .dedup import _h32
 
-__all__ = ["stratified_sample", "weighted_sample"]
+__all__ = ["stratified_sample", "weighted_sample", "quota_sample"]
 
 _BUCKETS = 10_000
 
@@ -86,4 +87,52 @@ def weighted_sample(
         df.withColumn("bucket", bucket)
         .withColumn("keep_threshold", thr)
         .filter(F.col("bucket") < F.col("keep_threshold"))
+    )
+
+
+def quota_sample(
+    df: DataFrame,
+    k: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "quota",
+    precut: bool = True,
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen by deterministic
+    hash order (rank column ``rn`` ∈ 1..k). The fixed-budget counterpart
+    of rate-based `stratified_sample`.
+
+    The rank itself needs a per-stratum window — a shuffle keyed on
+    ``strata_col``. With ``precut`` (default), a map-side combine runs
+    first: each input partition locally keeps only its k smallest hashes
+    per stratum (the global top-k is a subset of the union of per-
+    partition top-ks, so this is EXACT), shrinking the shuffle from |df|
+    rows to ≤ k · strata · partitions. At 100 TB with k=1000 that is the
+    difference between shuffling the corpus and shuffling a rounding
+    error of it — the same partial-aggregate idea Catalyst applies to
+    sums, hand-applied to an order statistic."""
+    import pandas as pd
+
+    h = _h32(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    hashed = df.select(id_col, strata_col).withColumn("h", h)
+
+    if precut:
+        out_schema = f"{id_col} long, {strata_col} string, h long"
+
+        def local_topk(batches):
+            for pdf in batches:
+                if len(pdf):
+                    yield (
+                        pdf.sort_values(["h", id_col])
+                        .groupby(strata_col, sort=False)
+                        .head(k)
+                    )
+
+        hashed = hashed.mapInPandas(local_topk, out_schema)
+
+    rn = F.row_number().over(W.partitionBy(strata_col).orderBy("h", id_col))
+    return (
+        hashed.withColumn("rn", rn)
+        .filter(F.col("rn") <= k)
+        .select(id_col, strata_col, "rn")
     )

@@ -1535,25 +1535,17 @@ ORDER BY doc_id
 def q71_per_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Balanced per-stratum quota sampling: exactly min(10, |stratum|) docs
     per source, chosen by deterministic hash order — the fixed-budget
-    counterpart of rate-based mixing (q47). row_number over the portable
-    md5 order makes the chosen set content-addressed: any engine, any
-    partitioning, same sample. One shuffle keyed on source; at scale with
-    few giant strata the window input should be pre-cut with an
-    approximate per-partition top-k (rank never exceeds the quota, so each
-    map partition can locally retain its smallest 10 hashes first — the
-    TakeOrdered pattern applied per key)."""
-    from ..operators.dedup import _h32
+    counterpart of rate-based mixing (q47), via operators/sampling.py
+    `quota_sample`. row_number over the portable md5 order makes the
+    chosen set content-addressed: any engine, any partitioning, same
+    sample. The map-side pre-cut (each partition locally keeps its 10
+    smallest hashes per stratum — exact, since the global top-k is a
+    subset of the union of local top-ks) shrinks the window shuffle from
+    |corpus| rows to ≤ k·strata·partitions."""
+    from ..operators.sampling import quota_sample
 
     docs = load_table(spark, sf_dir, "documents")
-    h = _h32(F.concat(F.lit("quota"), F.col("doc_id").cast("string")))
-    w = W.partitionBy("source").orderBy("h", "doc_id")
-    return (
-        docs.select("doc_id", "source", h.alias("h"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .select("doc_id", "source", "rn")
-        .orderBy("source", "rn")
-    )
+    return quota_sample(docs, 10).orderBy("source", "rn")
 
 
 _Q71_SQL = """

@@ -143,3 +143,20 @@ def test_histogram_covers_all_orders(spark, sf_dir):
     hi = max(r.bucket_hi for r in rows)
     mn, mx = o.agg(F.min("o_totalprice"), F.max("o_totalprice")).collect()[0]
     assert abs(lo - mn) < 0.011 and abs(hi - mx) < 0.011
+
+
+def test_quota_sample_precut_is_exact(spark, sf_dir):
+    """The map-side pre-cut must not change the chosen sample: global
+    top-k per stratum is a subset of the union of per-partition top-ks."""
+    from airflow_spotify_etl_spark.operators.sampling import quota_sample
+
+    docs = load_table(spark, sf_dir, "documents").repartition(7)
+    fast = {(r.doc_id, r.source, r.rn)
+            for r in quota_sample(docs, 5, precut=True).collect()}
+    plain = {(r.doc_id, r.source, r.rn)
+             for r in quota_sample(docs, 5, precut=False).collect()}
+    assert fast == plain
+    per_stratum = {}
+    for _, s, _ in fast:
+        per_stratum[s] = per_stratum.get(s, 0) + 1
+    assert all(v == 5 for v in per_stratum.values())
