@@ -1115,24 +1115,15 @@ def q65_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical warehouse pattern the reference's append-only sink
     (spotify_etl2.py:220) would need to become a history table. Scale:
     shuffle is keyed on user_id (high-cardinality, skew-free); no joins."""
+    from ..operators.incremental import scd2_runs
+
     ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    wrows = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    prev = F.lag("event_type").over(w)
-    runs = (
-        ev.select("user_id", "ts", "event_id", "event_type")
-        .withColumn(
-            "chg",
-            F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0),
-        )
-        .withColumn("run_id", F.sum("chg").over(wrows))
-        .groupBy("user_id", "run_id")
-        .agg(
-            F.min("event_type").alias("state"),
-            F.min("ts").alias("vf"),
-            F.count("*").alias("n_events"),
-        )
-    )
+    return _scd2_format(scd2_runs(ev))
+
+
+def _scd2_format(runs: DataFrame) -> DataFrame:
+    """Run table → interval table: lead() closes each run with the next
+    run's valid_from; the open run gets the end-of-time sentinel."""
     w2 = W.partitionBy("user_id").orderBy("run_id")
     nxt = F.lead("vf").over(w2)
     return (
@@ -1668,6 +1659,25 @@ FROM s ORDER BY event_type
 """
 
 
+def q80_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD-2 maintenance (operators/incremental.py
+    `scd2_apply_delta`): the stored run table built from history before the
+    cutoff is folded together with ONLY the post-cutoff delta — continuing
+    open runs whose state persists, appending new runs otherwise — and the
+    oracle is q65's FULL-rebuild SQL over all events. A green hash proves
+    apply(base_runs, delta) == rebuild(base ∪ delta) exactly, including a
+    run that straddles the cutoff. The historical events are never
+    re-scanned; the delta path touches runs-of-delta plus two
+    |keys|-bounded joins."""
+    from ..operators.incremental import scd2_apply_delta, scd2_runs
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-25").cast("timestamp")
+    base = scd2_runs(ev.filter(F.col("ts") < cutoff))
+    merged = scd2_apply_delta(base, ev.filter(F.col("ts") >= cutoff))
+    return _scd2_format(merged)
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -1707,6 +1717,7 @@ QUERIES = {
     "q75_grouping_sets": q75_grouping_sets,
     "q76_windowed_distinct_count": q76_windowed_distinct_count,
     "q78_trend_fit_grouped": q78_trend_fit_grouped,
+    "q80_scd2_incremental": q80_scd2_incremental,
 }
 
 ORACLES = {
@@ -1748,4 +1759,5 @@ ORACLES = {
     "q75_grouping_sets": _Q75_SQL,
     "q76_windowed_distinct_count": _Q76_SQL,
     "q78_trend_fit_grouped": _Q78_SQL,
+    "q80_scd2_incremental": _Q65_SQL,
 }
