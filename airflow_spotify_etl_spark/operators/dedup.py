@@ -38,6 +38,7 @@ __all__ = [
     "ngram_contamination",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_delta",
     "simhash_signatures",
     "simhash_pairs",
     "connected_components",
@@ -475,14 +476,27 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return candidates
-    # Exact-Jaccard verification over CANDIDATE pairs only — the entire point
-    # of LSH. Route each candidate pair through doc_a's shingles, then meet
-    # doc_b's shingles on (doc_b, shingle): shuffle volume is
-    # O(candidates × shingles/doc), never the full shingle self-join.
-    # Doc sizes ride on the shingle rows as window columns (see
-    # _sized_shingles) so no size join-back exists for the planner to
-    # misbroadcast; singleton shingles can't intersect two docs and are
-    # pruned from the routing.
+    return _jaccard_verify(df, candidates, text_col, id_col, n, max_bucket, threshold)
+
+
+def _jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_bucket: int | None,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification over CANDIDATE pairs only — the entire
+    point of LSH. Route each candidate pair through doc_a's shingles, then
+    meet doc_b's shingles on (doc_b, shingle): shuffle volume is
+    O(candidates × shingles/doc), never the full shingle self-join.
+    Doc sizes ride on the shingle rows as window columns (see
+    _sized_shingles) so no size join-back exists for the planner to
+    misbroadcast; singleton shingles can't intersect two docs and are
+    pruned from the routing. Shared by the full self-pairs path and the
+    delta-vs-corpus path (identical arithmetic → identical oracle)."""
     sh = _sized_shingles(df, text_col, id_col, n, max_bucket).filter(
         F.col("_bucket_n") >= 2
     )
@@ -510,6 +524,63 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "na", "nb", "jaccard")
     )
+
+
+def minhash_lsh_pairs_delta(
+    corpus: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = 1000,
+    max_band_bucket: int | None = 1000,
+) -> DataFrame:
+    """Incremental near-dup detection: MinHash-LSH pairs of a NEW delta
+    batch against (corpus ∪ delta) — the production shape where the corpus
+    bands are computed once and stored, and each ingest batch only bands
+    itself and probes. Returns exactly the full self-pairs result
+    restricted to pairs touching the delta (verified by q81 against the
+    q25 oracle filtered the same way).
+
+    Candidate generation here IS a join — delta bands ⋈ all bands on
+    (band, band-hash) — unlike the full path's collect_list expansion:
+    with one side |delta|-bounded and both sides bucket-capped
+    (``max_band_bucket`` drops boilerplate buckets before the join), its
+    fan-out is ≤ |delta bands| × cap, never corpus². At scale the
+    all-bands side reads a stored table bucketed by (band, bh), making the
+    probe a co-located join with zero corpus-side shuffle per batch."""
+    full = corpus.unionByName(delta)
+    r = k // bands
+    sig = minhash_signatures(full, text_col, id_col, k, n)
+    band_arr = F.array(
+        *[
+            F.xxhash64(F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)]))
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", F.posexplode(band_arr).alias("band", "bh")
+    ).withColumn("_bucket_n", F.count("*").over(W.partitionBy("band", "bh")))
+    if max_band_bucket:
+        banded = banded.filter(F.col("_bucket_n") <= max_band_bucket)
+    banded = banded.filter(F.col("_bucket_n") >= 2)
+    delta_ids = delta.select(F.col(id_col).alias("doc_id")).distinct()
+    banded_delta = banded.join(delta_ids, "doc_id", "left_semi")
+    probe = banded_delta.select(
+        F.col("doc_id").alias("_d"), "band", "bh"
+    ).join(banded.select(F.col("doc_id").alias("_x"), "band", "bh"), ["band", "bh"])
+    candidates = (
+        probe.filter(F.col("_d") != F.col("_x"))
+        .select(
+            F.least("_d", "_x").alias("doc_a"),
+            F.greatest("_d", "_x").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _jaccard_verify(full, candidates, text_col, id_col, n, max_bucket, threshold)
 
 
 def simhash_signatures(

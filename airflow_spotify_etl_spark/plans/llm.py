@@ -305,6 +305,34 @@ def q25_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, threshold=0.5).orderBy("doc_a", "doc_b")
 
 
+def q81_minhash_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup ingest (operators/dedup.minhash_lsh_pairs_delta):
+    docs ≥ 400 arrive as a new batch and are near-dup-checked against the
+    stored corpus WITHOUT a corpus self-join — delta bands probe the
+    all-bands relation, candidates verify by exact Jaccard. The oracle is
+    the full q25 pipeline filtered to pairs touching the delta, so a green
+    hash proves the batch path finds exactly the pairs a full-corpus rerun
+    would."""
+    from ..operators.dedup import minhash_lsh_pairs_delta
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    delta = docs.filter(F.col("doc_id") >= 400)
+    return minhash_lsh_pairs_delta(corpus, delta, threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _q81_sql() -> str:
+    return f"""
+SELECT * FROM (
+{_q25_sql()}
+) q25_full
+WHERE doc_a >= 400 OR doc_b >= 400
+ORDER BY doc_a, doc_b
+"""
+
+
 def _q25_sql() -> str:
     """DuckDB twin of minhash_lsh_pairs(threshold=0.5): same params (seeded
     from operators.dedup._hash_params so the two can never drift), same
@@ -1661,6 +1689,7 @@ QUERIES = {
     "q71_per_source_quota": q71_per_source_quota,
     "q77_dedup_clusters_pointer": q77_dedup_clusters_pointer,
     "q79_rag_chunks": q79_rag_chunks,
+    "q81_minhash_delta": q81_minhash_delta,
 }
 
 ORACLES = {
@@ -1696,6 +1725,7 @@ ORACLES = {
     "q71_per_source_quota": _Q71_SQL,
     "q77_dedup_clusters_pointer": _Q42_SQL,
     "q79_rag_chunks": _Q79_SQL,
+    "q81_minhash_delta": _q81_sql(),
     # q27 is the one remaining rows-only query: its top-k depends on
     # driver-side Lloyd centroid training, which a fixed SQL string cannot
     # replay; recall vs the exact scan is asserted in
