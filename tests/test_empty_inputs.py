@@ -1,0 +1,115 @@
+"""Empty-input sweep: every core operator must return an empty (or
+identity) result on zero rows — not raise. Empty partitions and empty
+delta batches are routine at scale (a filter that matches nothing, an
+ingest tick with no new data); an operator that crashes on them takes the
+pipeline down on the quietest day."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], DOC_SCHEMA)
+
+
+def test_dedup_tiers_on_empty_corpus(spark):
+    from airflow_spotify_etl_spark.operators.dedup import (
+        chunk_dedup,
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    docs = _empty_docs(spark)
+    assert exact_dedup(docs).count() == 0
+    assert chunk_dedup(docs).count() == 0
+    assert ngram_jaccard_pairs(docs).count() == 0
+    assert minhash_lsh_pairs(docs).count() == 0
+    assert simhash_pairs(docs).count() == 0
+
+
+def test_delta_dedup_with_empty_delta_and_empty_corpus(spark, sf_dir):
+    from airflow_spotify_etl_spark.operators.dedup import minhash_lsh_pairs_delta
+    from airflow_spotify_etl_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    empty = _empty_docs(spark)
+    # no new docs → no new pairs; empty corpus → delta can only self-pair
+    assert minhash_lsh_pairs_delta(docs, empty).count() == 0
+    assert minhash_lsh_pairs_delta(empty, empty).count() == 0
+
+
+def test_sampling_on_empty(spark):
+    from pyspark.sql import functions as F
+
+    from airflow_spotify_etl_spark.operators.sampling import (
+        quota_sample,
+        stratified_sample,
+        weighted_sample,
+    )
+
+    docs = _empty_docs(spark)
+    assert stratified_sample(docs, {"en": 0.5}).count() == 0
+    assert weighted_sample(docs.withColumn("w", F.lit(0.5)), "w").count() == 0
+    assert quota_sample(docs, 5).count() == 0
+    assert quota_sample(docs, 5, precut=False).count() == 0
+
+
+def test_connected_components_on_empty_edges(spark):
+    from airflow_spotify_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(pairs).count() == 0
+    assert connected_components(pairs, method="pointer").count() == 0
+
+
+def test_incremental_ops_with_empty_delta(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from airflow_spotify_etl_spark.operators.incremental import (
+        merge_rollup,
+        rollup_snapshot,
+        scd2_apply_delta,
+        scd2_runs,
+    )
+    from airflow_spotify_etl_spark.sources.files import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(50)
+    empty_ev = spark.createDataFrame([], ev.schema)
+    keys = ["event_type"]
+    val = F.col("value").cast("decimal(18,2)")
+    snap = rollup_snapshot(ev, keys, val)
+    merged = merge_rollup(snap, rollup_snapshot(empty_ev, keys, val))
+    assert merged.exceptAll(snap).isEmpty() and snap.exceptAll(merged).isEmpty()
+
+    runs = scd2_runs(ev)
+    applied = scd2_apply_delta(runs, empty_ev)
+    assert applied.exceptAll(runs).isEmpty() and runs.exceptAll(applied).isEmpty()
+    # and a delta applied to an EMPTY history is just the delta's own runs
+    fresh = scd2_apply_delta(scd2_runs(empty_ev), ev)
+    assert fresh.exceptAll(runs).isEmpty() and runs.exceptAll(fresh).isEmpty()
+
+
+def test_quality_and_text_on_empty(spark):
+    from airflow_spotify_etl_spark.operators.text import (
+        repetition_metrics,
+        token_entropy,
+    )
+    from airflow_spotify_etl_spark.pipelines.corpus import quality_filter
+
+    docs = _empty_docs(spark)
+    assert quality_filter(docs).count() == 0
+    assert repetition_metrics(docs).count() == 0
+    assert token_entropy(docs).count() == 0
