@@ -340,3 +340,38 @@ def test_empty_fetch_is_clean_noop(spark, tmp_path):
         spark, fetch, str(tmp_path / "sink2"), key_col="event_id", ts_col="ts"
     )
     assert ing.run_once()["status"] == "empty"
+
+
+def test_scd2_maintenance_stream_matches_full_rebuild(spark, tmp_path):
+    """Two availableNow drains, each folding its micro-batch into the
+    stored SCD-2 run table incrementally; the final store must equal a
+    from-scratch scd2_runs over ALL events — including a state run that
+    continues across the batch boundary."""
+    from airflow_spotify_etl_spark.operators.incremental import scd2_runs
+    from airflow_spotify_etl_spark.streaming.scd2 import run_scd2_maintenance
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "scd2_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    # user 1: a->a across the boundary (must merge into one run);
+    # user 2: a then b (new run); user 3 appears only in batch 2.
+    batch1 = _rows((1, 0, 1, "a", 1.0), (2, 1, 1, "a", 1.0), (3, 2, 2, "a", 1.0))
+    batch2 = _rows((4, 3, 1, "a", 1.0), (5, 4, 2, "b", 1.0), (6, 5, 3, "c", 1.0))
+
+    def drain():
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        run_scd2_maintenance(spark, stream, store, ckpt)
+
+    _write_batch(spark, src, batch1)
+    drain()
+    _write_batch(spark, src, batch2)
+    drain()
+
+    got = spark.read.parquet(store)
+    all_events = spark.read.schema(SCHEMA).parquet(src)
+    want = scd2_runs(all_events)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    # the boundary-straddling run merged: user 1 has ONE run of 3 events
+    u1 = got.filter("user_id = 1").collect()
+    assert len(u1) == 1 and u1[0]["n_events"] == 3
