@@ -27,7 +27,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["rollup_snapshot", "merge_rollup", "scd2_runs", "scd2_apply_delta"]
+__all__ = [
+    "rollup_snapshot",
+    "merge_rollup",
+    "scd2_runs",
+    "scd2_apply_delta",
+    "snapshot_diff",
+]
 
 
 def rollup_snapshot(events: DataFrame, keys: list[str], value_col) -> DataFrame:
@@ -61,6 +67,33 @@ def merge_rollup(snapshot: DataFrame, delta_partials: DataFrame) -> DataFrame:
             F.sum("sum_value").alias("sum_value"),
             F.min("min_value").alias("min_value"),
             F.max("max_value").alias("max_value"),
+        )
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Dataset-version diff: (id, status ∈ added|removed|changed|unchanged)
+    between two snapshots, comparing content by md5 so the full-outer join
+    shuffles two narrow (id, hash) relations — never the payloads. This is
+    the audit primitive for corpus releases (what changed between v1 and
+    v2) and for validating incremental maintenance (diff(stored, rebuilt)
+    must be all-unchanged). One co-partitioned join keyed on id."""
+    o = old.select(F.col(id_col).alias("id"), F.md5(content_col).alias("oh"))
+    n = new.select(F.col(id_col).alias("id"), F.md5(content_col).alias("nh"))
+    return (
+        o.join(n, "id", "full_outer")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("oh").isNull(), F.lit("added"))
+            .when(F.col("nh").isNull(), F.lit("removed"))
+            .when(F.col("oh") != F.col("nh"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
         )
     )
 

@@ -1678,6 +1678,43 @@ def q80_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scd2_format(merged)
 
 
+def q82_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-release diff (operators/incremental.snapshot_diff): v1 is
+    docs < 450, v2 drops the first 50, keeps the rest, and rewrites every
+    7th doc — the diff must classify every id as added / removed /
+    changed / unchanged from two narrow (id, md5) relations joined once
+    on id. The release-audit primitive for versioned datasets."""
+    from ..operators.incremental import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") < 450)
+    v2 = docs.filter(F.col("doc_id") >= 50).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(v1, v2).orderBy("doc_id")
+
+
+_Q82_SQL = """
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS oh FROM documents WHERE doc_id < 450
+), v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS nh
+  FROM documents WHERE doc_id >= 50
+)
+SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.oh IS NULL THEN 'added'
+            WHEN v2.nh IS NULL THEN 'removed'
+            WHEN v1.oh <> v2.nh THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -1718,6 +1755,7 @@ QUERIES = {
     "q76_windowed_distinct_count": q76_windowed_distinct_count,
     "q78_trend_fit_grouped": q78_trend_fit_grouped,
     "q80_scd2_incremental": q80_scd2_incremental,
+    "q82_snapshot_diff": q82_snapshot_diff,
 }
 
 ORACLES = {
@@ -1760,4 +1798,5 @@ ORACLES = {
     "q76_windowed_distinct_count": _Q76_SQL,
     "q78_trend_fit_grouped": _Q78_SQL,
     "q80_scd2_incremental": _Q65_SQL,
+    "q82_snapshot_diff": _Q82_SQL,
 }

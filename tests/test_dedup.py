@@ -202,3 +202,19 @@ def test_chunk_dedup_first_occurrence_is_positional(spark):
     df = _docs(spark, [(7, chunk + " " + chunk)])
     row = chunk_dedup(df, chunk_words=8).collect()[0]
     assert (row.n_chunks, row.n_kept, row.text_clean) == (2, 1, chunk)
+
+
+def test_delta_probe_respects_band_bucket_cap(spark):
+    """30 identical docs arrive as a delta against an identical-text
+    corpus: every band bucket is hot, the cap drops them all, and the
+    probe join expands nothing — the same boilerplate guarantee as the
+    full path's collect_list expansion."""
+    from airflow_spotify_etl_spark.operators.dedup import minhash_lsh_pairs_delta
+
+    corpus = _docs(spark, [(i, "alpha beta gamma delta epsilon zeta") for i in range(20)])
+    delta = _docs(spark, [(100 + i, "alpha beta gamma delta epsilon zeta") for i in range(10)])
+    capped = minhash_lsh_pairs_delta(corpus, delta, max_band_bucket=10)
+    assert capped.count() == 0
+    uncapped = minhash_lsh_pairs_delta(corpus, delta, max_band_bucket=None)
+    # all pairs touching the delta: C(10,2) within + 10x20 across
+    assert uncapped.count() == 10 * 9 // 2 + 10 * 20
