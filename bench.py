@@ -74,6 +74,9 @@ HEADLINE = [
     "q74_sql_forecast_revenue",
     "q75_grouping_sets",
     "q76_windowed_distinct_count",
+    "q80_scd2_incremental",
+    "q81_minhash_delta",
+    "q82_snapshot_diff",
 ]
 
 
