@@ -82,9 +82,16 @@ def snapshot_diff(
     shuffles two narrow (id, hash) relations — never the payloads. This is
     the audit primitive for corpus releases (what changed between v1 and
     v2) and for validating incremental maintenance (diff(stored, rebuilt)
-    must be all-unchanged). One co-partitioned join keyed on id."""
-    o = old.select(F.col(id_col).alias("id"), F.md5(content_col).alias("oh"))
-    n = new.select(F.col(id_col).alias("id"), F.md5(content_col).alias("nh"))
+    must be all-unchanged). One co-partitioned join keyed on id.
+
+    NULL content is coalesced to a sentinel before hashing: ``md5(NULL)``
+    is NULL, which would be indistinguishable from "row absent" in the
+    full-outer join and misclassify NULL-both-sides as added (ADVICE r3).
+    The sentinel starts with a NUL byte no real text contains, so it
+    cannot collide with a legitimate value."""
+    content = F.md5(F.coalesce(F.col(content_col), F.lit("\x00<null>")))
+    o = old.select(F.col(id_col).alias("id"), content.alias("oh"))
+    n = new.select(F.col(id_col).alias("id"), content.alias("nh"))
     return (
         o.join(n, "id", "full_outer")
         .select(

@@ -117,7 +117,14 @@ def quota_sample(
     hashed = df.select(id_col, strata_col).withColumn("h", h)
 
     if precut:
-        out_schema = f"{id_col} long, {strata_col} string, h long"
+        # Derive the id/strata types from the input schema — hardcoding
+        # them (long/string) silently miscast any other id type (ADVICE r3).
+        from pyspark.sql.types import StructType
+
+        in_fields = {f.name: f for f in hashed.schema.fields}
+        out_schema = StructType(
+            [in_fields[id_col], in_fields[strata_col], in_fields["h"]]
+        )
 
         def local_topk(batches):
             for pdf in batches:

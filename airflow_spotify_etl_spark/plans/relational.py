@@ -1591,8 +1591,12 @@ def q78_trend_fit_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     over integer (seconds-since-2024, cents) pairs — python bigints in the
     UDF, HUGEINT in DuckDB — so the Python-seam output hash-matches SQL
-    bit-for-bit; the float slope is one identical IEEE division on both
-    sides. Plan: one shuffle on event_type; each group is one Arrow batch
+    bit-for-bit. The float slope itself (num/den) is deliberately NOT in
+    the output: DuckDB's HUGEINT→DOUBLE cast is not correctly rounded, so
+    the two engines' int→double conversions can differ by one ulp before
+    the division (observed in CORRECTNESS_r03); the exact integer num/den
+    pair IS the fit, and callers divide at the edge if they want a float.
+    Plan: one shuffle on event_type; each group is one Arrow batch
     (fine for |types| groups; a high-cardinality fit would pre-aggregate
     the sums JVM-side and fit driver-side instead)."""
     import pandas as pd
@@ -1623,15 +1627,11 @@ def q78_trend_fit_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n": n,
                     "num": Decimal(num),
                     "den": Decimal(den),
-                    "slope": float(num) / float(den) if den else 0.0,
                 }
             ]
         )
 
-    schema = (
-        "event_type string, n long, num decimal(38,0), den decimal(38,0), "
-        "slope double"
-    )
+    schema = "event_type string, n long, num decimal(38,0), den decimal(38,0)"
     return (
         pre.groupBy("event_type").applyInPandas(fit, schema).orderBy("event_type")
     )
@@ -1652,9 +1652,7 @@ WITH b AS (
 )
 SELECT event_type, CAST(n AS BIGINT) AS n,
        CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS num,
-       CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS den,
-       CAST(n * sxy - sx * sy AS DOUBLE)
-         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+       CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS den
 FROM s ORDER BY event_type
 """
 
@@ -1699,10 +1697,12 @@ def q82_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q82_SQL = """
 WITH v1 AS (
-  SELECT doc_id, md5(text) AS oh FROM documents WHERE doc_id < 450
+  SELECT doc_id, md5(coalesce(text, chr(0) || '<null>')) AS oh
+  FROM documents WHERE doc_id < 450
 ), v2 AS (
   SELECT doc_id,
-         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS nh
+         md5(coalesce(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                           ELSE text END, chr(0) || '<null>')) AS nh
   FROM documents WHERE doc_id >= 50
 )
 SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,

@@ -22,9 +22,29 @@ touch-only-the-delta argument as operators/incremental.py.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["run_scd2_maintenance"]
+
+
+def _store_exists(store_path: str) -> bool:
+    """True iff a previously-committed run table exists at ``store_path``.
+
+    Existence is decided by looking at the path itself (local/posix: the
+    directory with parquet parts; an object store would check the prefix),
+    NOT by whether ``spark.read`` succeeds: a transient read failure
+    (corrupt footer, permission/network blip, concurrent writer) must
+    abort the batch and surface, never be mistaken for "first batch" —
+    that mistake would overwrite the store with only the current batch and
+    silently destroy all accumulated history (ADVICE r3)."""
+    p = Path(store_path)
+    if not p.exists():
+        return False
+    # An empty/aborted directory (no parquet parts) is "absent": a prior
+    # overwrite that died before committing any part file left no data.
+    return any(p.glob("*.parquet")) or (p / "_SUCCESS").exists()
 
 
 def run_scd2_maintenance(
@@ -40,11 +60,12 @@ def run_scd2_maintenance(
     def apply_batch(bdf: DataFrame, batch_id: int) -> None:
         if bdf.isEmpty():
             return
-        try:
+        have_store = _store_exists(store_path)
+        if have_store:
+            # Any failure here is a real error (store exists but cannot be
+            # read) and propagates — foreachBatch fails the query rather
+            # than clobbering history with a batch-only rebuild.
             current = spark.read.parquet(store_path)
-            have_store = True
-        except Exception:
-            have_store = False
         updated = (
             scd2_apply_delta(current, bdf) if have_store else scd2_runs(bdf)
         )
