@@ -90,11 +90,12 @@ def chunk_dedup(
 
     Scale shape: the chunk stream is the shuffle-free sequence-explode
     (see ``shingle``); first-occurrence marking is ONE count-window
-    exchange keyed on the chunk text (uniform: chunks are near-unique
-    outside boilerplate, and boilerplate buckets are bounded by corpus
-    repetition, not doc count); reconstruction is one per-doc aggregate.
-    The chunk text itself is the window key — at 100 TB swap the key for
-    md5(chunk) to keep exchange rows narrow (same plan shape)."""
+    exchange keyed on ``md5(chunk)`` carrying only (hash, doc_id, ci) —
+    the chunk TEXT never rides through that shuffle, so boilerplate hot
+    buckets cost 3 narrow columns per row, not the payload. Surviving
+    text is rebuilt afterwards by re-slicing each doc's word array: one
+    doc_id-keyed join (uniform key) against the kept chunk indices, which
+    shares the per-doc aggregate's partitioning."""
     words = F.filter(
         F.split(F.lower(F.col(text_col)), "\\s+"), lambda x: x != F.lit("")
     )
@@ -103,34 +104,41 @@ def chunk_dedup(
     idx = F.when(n_chunks >= 1, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
         F.array().cast("array<int>")
     )
+    cw = int(chunk_words)
+    chunk_of = f"array_join(slice(_w, _ci * {cw} + 1, {cw}), ' ')"
+    # Narrow chunk stream: (md5(chunk), doc_id, ci). 128-bit hash ≡ chunk
+    # identity for dedup purposes; the text is recomputed at rebuild.
     chunks = base.select("doc_id", "_w", F.explode(idx).alias("_ci")).select(
         "doc_id",
         F.col("_ci").alias("ci"),
-        F.expr(
-            f"array_join(slice(_w, _ci * {int(chunk_words)} + 1,"
-            f" {int(chunk_words)}), ' ')"
-        ).alias("chunk"),
+        F.md5(F.expr(chunk_of)).alias("ch"),
     )
-    w = W.partitionBy("chunk").orderBy("doc_id", "ci")
+    w = W.partitionBy("ch").orderBy("doc_id", "ci")
     marked = chunks.withColumn("keep", F.row_number().over(w) == 1)
     per_doc = marked.groupBy("doc_id").agg(
         F.count("*").alias("n_chunks"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("keep"), F.col("ci")))
+        ).alias("_kept_ci"),
+    )
+    rebuilt = base.join(per_doc, "doc_id").select(
+        "doc_id",
+        "n_chunks",
+        "n_kept",
         F.array_join(
             F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("keep"), F.struct("ci", "chunk"))
-                    )
+                F.col("_kept_ci"),
+                lambda ci: F.array_join(
+                    F.slice(F.col("_w"), ci * cw + 1, cw), " "
                 ),
-                lambda x: x["chunk"],
             ),
             " ",
         ).alias("text_clean"),
     )
     return (
         df.select(F.col(id_col).alias("doc_id"))
-        .join(per_doc, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),

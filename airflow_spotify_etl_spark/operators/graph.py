@@ -43,6 +43,7 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 5,
     rank_decimals: int = 6,
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list; returns (node, rank).
 
@@ -52,6 +53,19 @@ def pagerank(
     rounded to ``rank_decimals`` in the OUTPUT only (iterations run at full
     double precision); grouped double sums commute to ~1e-16, so round-6
     values are engine-portable (same argument as the cosine oracles).
+
+    ``broadcast_ranks`` picks the scale regime:
+
+    - ``True`` (default, item/host/domain graphs): the node-sized rank
+      relation broadcasts into the dst-partitioned edge scan each
+      iteration — edges NEVER reshuffle and the inflow aggregation is
+      exchange-free. Requires ranks·|nodes| to fit an executor.
+    - ``False`` (web-scale |nodes| beyond broadcast): edges are hash-
+      partitioned by ``src`` once and the rank relation sort-merge-joins
+      against them (a node-sized shuffle per iteration — ranks change
+      every round, so that shuffle is irreducible); the contribution
+      aggregation then pays one contributions-sized exchange on ``dst``.
+      The edge relation itself still never re-partitions inside the loop.
     """
     w = (
         F.col(weight_col).cast("double")
@@ -64,7 +78,7 @@ def pagerank(
         )
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
-        .repartition("dst")
+        .repartition("dst" if broadcast_ranks else "src")
     )
     e = e.persist()
     outw = e.groupBy("src").agg(F.sum("w").alias("out_w"))
@@ -95,10 +109,9 @@ def pagerank(
                 "_dpn"
             )
         )
-        contrib = e.join(
-            F.broadcast(ranks.filter(F.col("out_w").isNotNull())),
-            e.src == F.col("node"),
-        ).select(
+        live = ranks.filter(F.col("out_w").isNotNull())
+        rank_rel = F.broadcast(live) if broadcast_ranks else live.hint("merge")
+        contrib = e.join(rank_rel, e.src == F.col("node")).select(
             "dst", (F.col("rank") * F.col("w") / F.col("out_w")).alias("c")
         )
         inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))

@@ -30,6 +30,7 @@ def _numpy_pagerank(edges, damping=0.85, iters=5):
 def _run(spark, edges, **kw):
     df = spark.createDataFrame(edges, "src long, dst long, w double")
     got = {r.node: r.rank for r in pagerank(df, weight_col="w", **kw).collect()}
+    kw.pop("broadcast_ranks", None)  # spark-only knob, not in the numpy model
     want = _numpy_pagerank(edges, **kw)
     assert set(got) == set(want)
     for v in want:
@@ -73,3 +74,53 @@ def test_pagerank_empty_raises(spark):
     df = spark.createDataFrame([], "src long, dst long, w double")
     with pytest.raises(ValueError, match="empty edge list"):
         pagerank(df, weight_col="w")
+
+
+def test_pagerank_smj_fallback_matches_broadcast(spark):
+    """broadcast_ranks=False (web-scale node sets) must compute the exact
+    same fixpoint through the sort-merge path."""
+    edges = [
+        (1, 2, 1.0),
+        (1, 3, 3.0),
+        (2, 3, 1.0),
+        (3, 1, 1.0),
+        (2, 4, 2.0),
+    ]
+    got = _run(spark, edges, broadcast_ranks=False)
+    want = _run(spark, edges)
+    assert got == want
+
+
+def test_pagerank_smj_fallback_plan_has_no_rank_broadcast(spark):
+    """With broadcast_ranks=False the in-loop edge⋈rank join must be a
+    SortMergeJoin (rank relation too big to broadcast at web scale) with
+    the edge relation partitioned by src ONCE (REPARTITION_BY_COL) — no
+    per-iteration edge reshuffle and no BroadcastHashJoin on the rank
+    join. pagerank's localCheckpoint truncates lineage at the output, so
+    (same pattern as the broadcast-path gate above) this replicates one
+    in-loop iteration: src-partitioned edges, merge-hinted rank join."""
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 2.0)], "src long, dst long, w double"
+    ).repartition("src")
+    ranks = spark.createDataFrame(
+        [(1, 0.3, 1.0), (2, 0.3, 1.0), (3, 0.4, 2.0)],
+        "node long, rank double, out_w double",
+    )
+    contrib = e.join(ranks.hint("merge"), e.src == F.col("node")).select(
+        "dst", (F.col("rank") * F.col("w") / F.col("out_w")).alias("c")
+    )
+    inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
+    phys = inflow._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in phys, phys
+    assert "BroadcastHashJoin" not in phys, phys
+    # Edge side partitioned once by src; the only OTHER hash exchanges are
+    # the node-sized rank shuffle (irreducible: ranks change per round)
+    # and the contributions exchange feeding groupBy(dst).
+    edge_exchanges = [
+        ln
+        for ln in phys.splitlines()
+        if "Exchange hashpartitioning(src" in ln and "REPARTITION_BY_COL" in ln
+    ]
+    assert len(edge_exchanges) == 1, phys
