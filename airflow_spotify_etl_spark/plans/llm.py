@@ -461,9 +461,16 @@ ORDER BY doc_a, doc_b
 
 
 def q27_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate nearest neighbors (similarity-search scale path).
-    Rows-only check; recall vs brute force asserted in
-    tests/test_similarity.py."""
+    """TRAINED IVF (driver-side Lloyd centroids) run at nprobe = nlist —
+    the FAISS probe-all sanity configuration. Probing every cell makes the
+    result exactly the brute-force top-k REGARDLESS of what the trained
+    centroids are, so the fixed SQL oracle (exact scan, same tie-break)
+    value-checks the whole trained pipeline: a bug in Lloyd's cell-id
+    space, the assignment argmax (dropped or double-assigned vectors), the
+    probe union, or the top-k merge would all break the hash. The
+    selective-probe path (nprobe < nlist, where recall is approximate by
+    design) is oracle-checked under hash-seeded centroids by q56 and
+    recall-tested for trained centroids in tests/test_similarity.py."""
     from ..operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -471,9 +478,38 @@ def q27_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.filter(F.col("vec_id") >= 5)
-    return ivf_topk(corpus, queries, k=5, nlist=16, nprobe=4).orderBy(
+    return ivf_topk(corpus, queries, k=5, nlist=16, nprobe=16).orderBy(
         "query_id", "rank"
     )
+
+
+# Probe-all IVF ≡ exact scan: brute-force cosine top-k with ivf_search's
+# exact tie-break (cos DESC, vec_id ASC) and output rounding. Same float
+# machinery the q22 oracle already hash-matches (sequential-fold dot
+# products agree bit-for-bit between Spark's aggregate() and DuckDB's
+# list_dot_product).
+_Q27_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= 5
+), s AS (
+  SELECT query_id, vec_id,
+         list_dot_product(qv, v) /
+           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+  FROM c CROSS JOIN q
+)
+SELECT query_id, rank, vec_id, cosine_sim FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank,
+         round(cos, 4) AS cosine_sim
+  FROM s
+)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
 
 
 def q28_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1702,6 +1738,7 @@ ORACLES = {
     "q24_ngram_jaccard_pairs": _Q24_SQL,
     "q25_minhash_lsh_pairs": _Q25_SQL,
     "q26_simhash_pairs": _Q26_SQL,
+    "q27_ivf_topk": _Q27_SQL,
     "q28_embedding_near_dups": _q28_sql(),
     "q29_lang_id": _Q29_SQL,
     "q42_dedup_clusters": _Q42_SQL,
@@ -1726,8 +1763,4 @@ ORACLES = {
     "q77_dedup_clusters_pointer": _Q42_SQL,
     "q79_rag_chunks": _Q79_SQL,
     "q81_minhash_delta": _q81_sql(),
-    # q27 is the one remaining rows-only query: its top-k depends on
-    # driver-side Lloyd centroid training, which a fixed SQL string cannot
-    # replay; recall vs the exact scan is asserted in
-    # tests/test_similarity.py.
 }
