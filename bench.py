@@ -19,11 +19,26 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _anchor_medians() -> dict[str, float]:
+    """Per-query anchors from BASELINE.md's standing-reference table
+    (cells like ``| q01_pricing_summary | 1.358 |``); {} if absent."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    try:
+        text = open(path).read()
+    except OSError:
+        return {}
+    return {
+        m.group(1): float(m.group(2))
+        for m in re.finditer(r"\|\s*(q\w+)\s*\|\s*([0-9.]+)\s*\|", text)
+    }
 
 HEADLINE = [
     "q01_pricing_summary",
@@ -112,6 +127,28 @@ def main() -> None:
         print(
             f"# {name}: median {timings[name]:.3f}s of "
             f"{[round(s, 3) for s in samples]}",
+            file=sys.stderr,
+        )
+
+    # Regression gate vs the standing BASELINE.md anchors (sf0.1 only —
+    # anchors were recorded at that scale).
+    anchors = _anchor_medians() if abs(sf - 0.1) < 1e-9 else {}
+    regressions = [
+        name
+        for name, sec in timings.items()
+        if name in anchors and sec > 2.0 * anchors[name]
+    ]
+    for name in regressions:
+        print(
+            f"# REGRESSION {name}: {timings[name]:.3f}s > 2x anchor "
+            f"{anchors[name]:.3f}s (BASELINE.md)",
+            file=sys.stderr,
+        )
+    if anchors:
+        print(
+            f"# anchor check: {len(regressions)} of "
+            f"{sum(1 for n in timings if n in anchors)} anchored queries "
+            "exceed 2x their BASELINE.md median",
             file=sys.stderr,
         )
 

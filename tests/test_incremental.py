@@ -160,3 +160,54 @@ def test_quota_sample_precut_is_exact(spark, sf_dir):
     for _, s, _ in fast:
         per_stratum[s] = per_stratum.get(s, 0) + 1
     assert all(v == 5 for v in per_stratum.values())
+
+
+def test_scd2_apply_delta_planted_hot_key(spark):
+    """Skew gate for scd2_apply_delta (same planted-hot-key discipline as
+    the dedup/delta-probe tests): one user carries 4,000 delta events —
+    1000x the other keys — including a run that straddles the cutoff with
+    an unchanged state (the open-run merge path) and mid-delta state flips.
+    The incremental apply must still equal the full rebuild exactly; the
+    hot key concentrates in ONE window partition, which is the inherent
+    per-key sort SCD-2 requires, but nothing else in the plan may depend
+    on the skewed key's size (the run-table joins stay |keys|-bounded)."""
+    from airflow_spotify_etl_spark.operators.incremental import (
+        scd2_apply_delta,
+        scd2_runs,
+    )
+
+    rows = []
+    # 200 cold users: 2 base events, 1 delta event each (state flip).
+    for u in range(200):
+        rows += [
+            (u, 100, f"e{u}a", "view"),
+            (u, 200, f"e{u}b", "view"),
+            (u, 1200, f"e{u}c", "purchase"),
+        ]
+    # Hot user 999: base run of 'view' open at the cutoff, then 4,000 delta
+    # events continuing 'view' before flipping state every 1,000 events.
+    rows += [(999, t, f"h{t}", "view") for t in (100, 300, 500)]
+    rows += [
+        (999, 1000 + i, f"hd{i}", "view" if (i // 1000) % 2 == 0 else "click")
+        for i in range(4000)
+    ]
+    ev = spark.createDataFrame(
+        [(u, float(t), e, s) for u, t, e, s in rows],
+        "user_id long, tsec double, event_id string, event_type string",
+    ).select(
+        "user_id",
+        F.timestamp_seconds("tsec").alias("ts"),
+        "event_id",
+        "event_type",
+    )
+    cutoff = F.timestamp_seconds(F.lit(1000))
+    base = scd2_runs(ev.filter(F.col("ts") < cutoff)).localCheckpoint()
+    applied = scd2_apply_delta(base, ev.filter(F.col("ts") >= cutoff))
+    full = scd2_runs(ev)
+    assert applied.exceptAll(full).isEmpty() and full.exceptAll(applied).isEmpty()
+    # The hot key's runs: the delta's first 1000-event 'view' block merges
+    # into the open base run (3+1000), then click/view/click runs of 1000.
+    hot = {r.run_id: (r.state, r.n_events)
+           for r in applied.filter(F.col("user_id") == 999).collect()}
+    assert hot[1] == ("view", 1003)
+    assert hot[2] == ("click", 1000) and len(hot) == 4
