@@ -35,9 +35,12 @@ def _anchor_medians() -> dict[str, float]:
         text = open(path).read()
     except OSError:
         return {}
+    # Lookahead for the trailing pipe: the two-column-pair table rows share
+    # the middle "|", which a consuming match would swallow, hiding the
+    # second (query, sec) pair on every row.
     return {
         m.group(1): float(m.group(2))
-        for m in re.finditer(r"\|\s*(q\w+)\s*\|\s*([0-9.]+)\s*\|", text)
+        for m in re.finditer(r"\|\s*(q\w+)\s*\|\s*([0-9.]+)\s*(?=\|)", text)
     }
 
 HEADLINE = [
