@@ -25,10 +25,11 @@ def test_oracles_subset_of_queries():
     assert set(oracles) <= set(qs)
 
 
-def test_rows_only_tier_is_exactly_q27():
-    """Every registered query must carry an oracle except the one
-    documented rows-only case (q27: driver-side Lloyd training that a
-    fixed SQL string cannot replay). A new query landing here without an
-    oracle is a coverage regression, not a design choice."""
+def test_every_query_has_an_oracle():
+    """Every registered query must carry a DuckDB oracle — the rows-only
+    tier is empty since q27 gained its probe-all exact oracle (trained
+    IVF at nprobe=nlist ≡ brute-force top-k, centroid-independent). A new
+    query landing without an oracle is a coverage regression, not a
+    design choice."""
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
-    assert set(qs) - set(oracles) == {"q27_ivf_topk"}
+    assert set(qs) - set(oracles) == set()
