@@ -671,8 +671,10 @@ def q42_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q42_SQL = """
-WITH RECURSIVE sh_raw AS (
+# CTE chain ending in comp(doc_id, component) — shared by the q42 oracle
+# (clusters as the answer) and the q84 oracle (clusters joined against the
+# domain split for the leakage audit).
+_Q42_CTES = """sh_raw AS (
   SELECT doc_id, unnest(list_distinct(
            [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
          )) AS shingle
@@ -707,7 +709,10 @@ WITH RECURSIVE sh_raw AS (
 ), comp AS (
   SELECT node AS doc_id, least(node, min(r)) AS component
   FROM reach GROUP BY node
-)
+)"""
+
+_Q42_SQL = f"""
+WITH RECURSIVE {_Q42_CTES}
 SELECT component, count(*) AS cluster_size, min(doc_id) AS keeper_doc_id
 FROM comp GROUP BY component ORDER BY component
 """
@@ -1691,6 +1696,79 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+def q83_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split (operators/splits.domain_split): the
+    split decision hashes the DOMAIN (source), not the row, so every doc
+    of a domain lands on one side and intra-domain near-dups can never
+    straddle the fence. The decision is a zero-shuffle codegen projection
+    (portable md5-slice hash vs a percent threshold) — at 100 TB it rides
+    the scan; the only exchange here is the per-(source, split) rollup
+    that reports the resulting corpus composition."""
+    from ..operators.splits import domain_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        domain_split(docs, val_pct=30)
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q83_SQL = """
+SELECT source,
+       CASE WHEN ('0x' || substr(md5('split' || source), 1, 8))::BIGINT % 100 < 30
+            THEN 'val' ELSE 'train' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q84_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit (operators/splits.
+    split_leakage_audit): near-dup clusters (the q42 machinery — capped
+    Jaccard edges resolved by label-propagation connected components)
+    joined against the domain split; a cluster with members on both sides
+    is LEAKY — duplicate text the domain fence failed to contain (same
+    boilerplate republished across domains), i.e. exactly the rows that
+    inflate eval. Costs one |clustered-docs| join + one component-keyed
+    aggregate on top of the cluster map; the corpus itself is never
+    reshuffled. Oracle: the q42 recursive-closure CTEs + the same split
+    CASE, composed."""
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+    from ..operators.splits import domain_split, split_leakage_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000)
+    comp = connected_components(pairs)
+    assign = domain_split(docs, val_pct=30).select("doc_id", "split")
+    return split_leakage_audit(comp, assign).orderBy("component")
+
+
+_Q84_SQL = f"""
+WITH RECURSIVE {_Q42_CTES}, assign AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5('split' || source), 1, 8))::BIGINT % 100 < 30
+              THEN 'val' ELSE 'train' END AS split
+  FROM documents
+)
+SELECT component,
+       count(*) AS cluster_size,
+       count(*) FILTER (WHERE split = 'train') AS n_train,
+       count(*) FILTER (WHERE split = 'val') AS n_val,
+       count(*) FILTER (WHERE split = 'train') > 0
+         AND count(*) FILTER (WHERE split = 'val') > 0 AS leaky
+FROM comp JOIN assign USING (doc_id)
+GROUP BY component ORDER BY component
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -1726,6 +1804,8 @@ QUERIES = {
     "q77_dedup_clusters_pointer": q77_dedup_clusters_pointer,
     "q79_rag_chunks": q79_rag_chunks,
     "q81_minhash_delta": q81_minhash_delta,
+    "q83_leakage_safe_split": q83_leakage_safe_split,
+    "q84_split_leakage_audit": q84_split_leakage_audit,
 }
 
 ORACLES = {
@@ -1763,4 +1843,6 @@ ORACLES = {
     "q77_dedup_clusters_pointer": _Q42_SQL,
     "q79_rag_chunks": _Q79_SQL,
     "q81_minhash_delta": _q81_sql(),
+    "q83_leakage_safe_split": _Q83_SQL,
+    "q84_split_leakage_audit": _Q84_SQL,
 }

@@ -95,6 +95,8 @@ HEADLINE = [
     "q80_scd2_incremental",
     "q81_minhash_delta",
     "q82_snapshot_diff",
+    "q83_leakage_safe_split",
+    "q84_split_leakage_audit",
 ]
 
 

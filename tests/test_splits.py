@@ -1,0 +1,57 @@
+"""Leakage-safe splitting: domain atomicity, zero-shuffle decision plan,
+and the cluster-vs-split audit's leaky flags on closed-form input."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_spotify_etl_spark.operators.splits import (
+    domain_split,
+    split_leakage_audit,
+)
+
+
+def test_domain_split_is_atomic_per_domain(spark):
+    df = spark.createDataFrame(
+        [(i, f"d{i % 7}") for i in range(200)], "doc_id long, source string"
+    )
+    out = domain_split(df, val_pct=40)
+    per_domain = (
+        out.groupBy("source")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r.n_splits == 1 for r in per_domain)
+    # Deterministic: same input, same assignment, run to run.
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {r.doc_id: r.split for r in domain_split(df, val_pct=40).collect()}
+    assert a == b
+    # With 7 domains and val_pct=40, both splits should be inhabited.
+    assert {r.split for r in out.collect()} == {"train", "val"}
+
+
+def test_domain_split_decision_is_shuffle_free(spark):
+    """The split decision must be a pure projection riding the scan — no
+    Exchange anywhere in the plan (the 100 TB contract: splitting the
+    corpus costs one codegen'd pass, not a shuffle)."""
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    plan = domain_split(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_split_leakage_audit_flags(spark):
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3), (5, 5)],
+        "doc_id long, component long",
+    )
+    assign = spark.createDataFrame(
+        [(1, "train"), (2, "val"), (3, "train"), (4, "train"), (5, "val")],
+        "doc_id long, split string",
+    )
+    rows = {
+        r.component: (r.cluster_size, r.n_train, r.n_val, r.leaky)
+        for r in split_leakage_audit(comp, assign).collect()
+    }
+    assert rows[1] == (2, 1, 1, True)  # spans both splits
+    assert rows[3] == (2, 2, 0, False)  # train-only
+    assert rows[5] == (1, 0, 1, False)  # singleton val
