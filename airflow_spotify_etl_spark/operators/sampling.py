@@ -25,7 +25,13 @@ from pyspark.sql import functions as F
 
 from .dedup import _h32
 
-__all__ = ["stratified_sample", "weighted_sample", "quota_sample"]
+__all__ = [
+    "stratified_sample",
+    "weighted_sample",
+    "quota_sample",
+    "epoch_mixture",
+    "token_budget_select",
+]
 
 _BUCKETS = 10_000
 
@@ -142,4 +148,101 @@ def quota_sample(
         hashed.withColumn("rn", rn)
         .filter(F.col("rn") <= k)
         .select(id_col, strata_col, "rn")
+    )
+
+
+def epoch_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "epoch",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Source-weighted corpus mixing with FRACTIONAL epochs (the
+    Pile/DoReMi shape): each stratum's docs are emitted ``w`` times, where
+    non-integer ``w`` means every doc appears floor(w) times and a
+    deterministic hash(salt‖id)-chosen fraction of docs appears once more
+    (w < 1 is plain down-sampling). Adds an ``epoch`` column (1..n) per
+    emitted copy.
+
+    The repeat count is a narrow projection (CASE over strata + integer
+    hash compare — quantized thresholds, no float boundary hazard) and the
+    emission is an explode of ``sequence(1, n)``: zero shuffle, linear in
+    OUTPUT rows. Content-addressed like the other sampling ops: the same
+    doc gets the same epoch count on every run, any cluster."""
+    wexpr = None
+    for stratum, wt in sorted(weights.items()):
+        cond = F.col(strata_col) == stratum
+        wexpr = F.when(cond, float(wt)) if wexpr is None else wexpr.when(cond, float(wt))
+    w = (
+        wexpr.otherwise(float(default_weight))
+        if wexpr is not None
+        else F.lit(float(default_weight))
+    )
+    base = F.floor(w).cast("int")
+    frac_thr = F.floor((w - F.floor(w)) * _BUCKETS).cast("long")
+    h = F.pmod(
+        _h32(F.concat(F.lit(salt), F.col(id_col).cast("string"))), F.lit(_BUCKETS)
+    )
+    n_rep = base + (h < frac_thr).cast("int")
+    seq = F.when(n_rep >= 1, F.sequence(F.lit(1), n_rep)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn("epoch", F.explode(seq))
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    tokens_col: str = "n_tokens",
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy selection under a token budget: take docs in (score DESC,
+    id) order while the running token total stays ≤ ``budget`` — the
+    data-selection step of quality-ranked corpus curation (highest-value
+    tokens first until the training budget is full).
+
+    The running total is a DISTRIBUTED prefix sum, not a global-window
+    cumsum: ``Window.orderBy`` with no partition key would drag the whole
+    corpus through ONE partition — the canonical 100 TB anti-pattern.
+    Instead: range-repartition by the sort key (so partition i's keys all
+    precede partition i+1's), cumsum WITHIN each partition, then add each
+    partition's offset = sum of all earlier partitions' totals (a
+    #partitions-sized relation — the only single-partition window runs
+    over THAT, which is bounded by cluster width, not data). Ties cannot
+    straddle a partition boundary because ``id_col`` makes the sort key
+    total. Gated by tests/test_plan_quality.py: no SinglePartition
+    exchange feeds a Window over the data relation."""
+    sort_cols = [F.col(score_col).desc(), F.col(id_col)]
+    ranged = (
+        df.repartitionByRange(*sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        # Pin the pid assignment: both the cumsum branch and the offsets
+        # branch read it, and a re-evaluated range exchange must not be
+        # able to disagree between them.
+        .localCheckpoint(eager=False)
+    )
+    w_local = (
+        W.partitionBy("_pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = ranged.withColumn(
+        "_cum_local", F.sum(F.col(tokens_col).cast("long")).over(w_local)
+    )
+    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.sum(F.col(tokens_col).cast("long")).alias("_ptotal"))
+        .withColumn("_off", F.coalesce(F.sum("_ptotal").over(w_off), F.lit(0)))
+        .select("_pid", "_off")
+    )
+    cum = (F.col("_cum_local") + F.col("_off")).alias("cum_tokens")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("cum_tokens", cum)
+        .filter(F.col("cum_tokens") <= budget)
+        .drop("_pid", "_cum_local", "_off")
     )

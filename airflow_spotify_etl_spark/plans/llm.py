@@ -1769,6 +1769,103 @@ GROUP BY component ORDER BY component
 """
 
 
+def q85_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch source mixing (operators/sampling.epoch_mixture):
+    src0 upweighted 2.5x (every doc twice, a hash-chosen half a third
+    time), src1 downsampled to 0.25, src2 at 1.75, src3 halved, the rest
+    at 1.0 — the Pile-style mixture schedule as a zero-shuffle explode.
+    Reported per source: input docs, emitted rows, max epoch."""
+    from ..operators.sampling import epoch_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = epoch_mixture(
+        docs, {"src0": 2.5, "src1": 0.25, "src2": 1.75, "src3": 0.5}
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_emitted"),
+            F.max("epoch").alias("max_epoch"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q85_SQL = """
+WITH w AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
+                     WHEN 'src2' THEN 1.75 WHEN 'src3' THEN 0.5
+                     ELSE 1.0 END AS wt,
+         ('0x' || substr(md5('epoch' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+           AS h
+  FROM documents
+), reps AS (
+  SELECT doc_id, source,
+         CAST(floor(wt) AS INT)
+           + CASE WHEN h < floor((wt - floor(wt)) * 10000) THEN 1 ELSE 0 END
+           AS n_rep
+  FROM w
+), emitted AS (
+  SELECT doc_id, source, unnest(range(1, n_rep + 1)) AS epoch
+  FROM reps WHERE n_rep >= 1
+)
+SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_emitted,
+       CAST(max(epoch) AS INT) AS max_epoch
+FROM emitted GROUP BY source ORDER BY source
+"""
+
+
+def q86_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked data selection under a token budget (operators/
+    sampling.token_budget_select): docs ordered by the q18 quality score
+    (rounded to 4 decimals on BOTH engines so the order ties identically;
+    doc_id breaks the remaining ties) are taken greedily until 10,000
+    tokens. The running total is the distributed prefix-sum — range
+    repartition + per-partition cumsum + bounded offset join — never a
+    single-partition global window over the corpus."""
+    from ..operators.sampling import token_budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda x: F.array_contains(stop_arr, x)))
+    scored = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_tokens"),
+        F.round(
+            F.least(n_words / F.lit(100.0), F.lit(1.0)) * (1 - n_stop / n_words), 4
+        ).alias("quality_score"),
+    )
+    return (
+        token_budget_select(scored, budget=10_000)
+        .select("doc_id", "quality_score", "n_tokens", "cum_tokens")
+        .orderBy("cum_tokens")
+    )
+
+
+_Q86_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         round(least(len(string_split(text, ' ')) / 100.0, 1.0)
+               * (1 - len(list_filter(string_split(text, ' '),
+                     x -> list_contains({_STOPWORDS!r}, x)))
+                     / len(string_split(text, ' '))), 4) AS quality_score
+  FROM documents
+), c AS (
+  SELECT doc_id, quality_score, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id)
+              AS BIGINT) AS cum_tokens
+  FROM base
+)
+SELECT doc_id, quality_score, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= 10000 ORDER BY cum_tokens
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -1806,6 +1903,8 @@ QUERIES = {
     "q81_minhash_delta": q81_minhash_delta,
     "q83_leakage_safe_split": q83_leakage_safe_split,
     "q84_split_leakage_audit": q84_split_leakage_audit,
+    "q85_epoch_mixture": q85_epoch_mixture,
+    "q86_token_budget_selection": q86_token_budget_selection,
 }
 
 ORACLES = {
@@ -1845,4 +1944,6 @@ ORACLES = {
     "q81_minhash_delta": _q81_sql(),
     "q83_leakage_safe_split": _Q83_SQL,
     "q84_split_leakage_audit": _Q84_SQL,
+    "q85_epoch_mixture": _Q85_SQL,
+    "q86_token_budget_selection": _Q86_SQL,
 }

@@ -97,6 +97,8 @@ HEADLINE = [
     "q82_snapshot_diff",
     "q83_leakage_safe_split",
     "q84_split_leakage_audit",
+    "q85_epoch_mixture",
+    "q86_token_budget_selection",
 ]
 
 

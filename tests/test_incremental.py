@@ -211,3 +211,73 @@ def test_scd2_apply_delta_planted_hot_key(spark):
            for r in applied.filter(F.col("user_id") == 999).collect()}
     assert hot[1] == ("view", 1003)
     assert hot[2] == ("click", 1000) and len(hot) == 4
+
+
+def test_epoch_mixture_fractional_repeats(spark):
+    from airflow_spotify_etl_spark.operators.sampling import epoch_mixture
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i < 100 else ("cold" if i < 200 else "rest"))
+         for i in range(300)],
+        "doc_id long, source string",
+    )
+    out = epoch_mixture(df, {"hot": 2.5, "cold": 0.25}).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.source, []).append((r.doc_id, r.epoch))
+    # hot: every doc 2 or 3 times, ~half get the 3rd epoch.
+    hot_counts = {}
+    for d, e in per["hot"]:
+        hot_counts[d] = max(hot_counts.get(d, 0), e)
+    assert set(hot_counts.values()) <= {2, 3} and len(hot_counts) == 100
+    n3 = sum(1 for v in hot_counts.values() if v == 3)
+    assert 30 <= n3 <= 70  # hash-chosen ~50%
+    # cold: ~25% of docs once, the rest dropped entirely.
+    cold_docs = {d for d, _ in per["cold"]}
+    assert 10 <= len(cold_docs) <= 40
+    assert all(e == 1 for _, e in per["cold"])
+    # rest: default weight 1.0 — exactly once each.
+    assert len(per["rest"]) == 100 and all(e == 1 for _, e in per["rest"])
+    # Deterministic across runs.
+    again = epoch_mixture(df, {"hot": 2.5, "cold": 0.25}).collect()
+    assert sorted((r.doc_id, r.epoch) for r in out) == sorted(
+        (r.doc_id, r.epoch) for r in again
+    )
+
+
+def test_token_budget_select_matches_serial_greedy(spark):
+    from airflow_spotify_etl_spark.operators.sampling import token_budget_select
+
+    rows = [(i, (i * 37) % 100 + 1, float((i * 53) % 997) / 997) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, quality_score double")
+    got = {
+        r.doc_id: r.cum_tokens
+        for r in token_budget_select(df, budget=5000).collect()
+    }
+    # Serial reference greedy.
+    cum, want = 0, {}
+    for i, toks, score in sorted(rows, key=lambda r: (-r[2], r[0])):
+        cum += toks
+        if cum > 5000:
+            break
+        want[i] = cum
+    assert got == want
+
+
+def test_token_budget_select_no_global_window_over_data(spark):
+    """The corpus-sized relation must flow through a Window PARTITIONED by
+    _pid (range-partitioned prefix sum); the only unpartitioned window
+    allowed is over the #partitions-sized offsets aggregate."""
+    from airflow_spotify_etl_spark.operators.sampling import token_budget_select
+
+    df = spark.createDataFrame(
+        [(i, 10, float(i % 7)) for i in range(100)],
+        "doc_id long, n_tokens long, quality_score double",
+    )
+    plan = token_budget_select(df, budget=400)._jdf.queryExecution(
+    ).executedPlan().toString()
+    data_windows = [
+        ln for ln in plan.splitlines()
+        if "Window" in ln and "_cum_local" in ln
+    ]
+    assert data_windows and all("_pid" in ln for ln in data_windows), plan
