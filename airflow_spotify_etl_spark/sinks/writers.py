@@ -35,6 +35,8 @@ __all__ = [
     "write_csv",
     "append_table",
     "append_jdbc",
+    "overwrite_partitions",
+    "compact_table",
     "console_display",
     "display_tracks",
     "summary_record",
@@ -98,6 +100,69 @@ def append_table(
         if partition_date_col:
             writer = writer.partitionBy(partition_date_col)
         writer.parquet(path)
+    return n
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_col: str) -> None:
+    """Replace ONLY the partitions present in ``df`` (dynamic partition
+    overwrite), leaving every other partition untouched — the backfill /
+    late-data-restatement primitive: re-deriving one day of a 100 TB
+    partitioned table must rewrite that day's directory, not the table.
+    Static overwrite (Spark's default) would truncate the whole table
+    first; the session-conf flip to ``dynamic`` is scoped and restored."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def compact_table(
+    spark,
+    path: str,
+    partition_col: str | None = None,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Small-file compaction: rewrite a parquet table into
+    ceil(rows / target) files (per partition when ``partition_col`` is
+    given, via one repartition on the partition key; AQE coalesces the
+    shuffle into few outputs). Streaming appends and per-batch writes
+    accrete small files whose open/footer overhead eventually dominates
+    scans; periodic compaction is standard table maintenance. Returns the
+    row count (sanity: unchanged by compaction). The rewrite stages to a
+    sibling temp dir and swaps via rename — a mid-compaction crash leaves
+    the original table intact."""
+    import shutil
+    from pathlib import Path
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, -(-n // target_rows_per_file))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    if partition_col:
+        (
+            df.repartition(n_files, partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(tmp)
+        )
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    after = spark.read.parquet(tmp).count()
+    if after != n:
+        raise RuntimeError(
+            f"compact_table: row count changed {n} -> {after}; "
+            f"aborting swap, original table untouched at {path}"
+        )
+    p = Path(path)
+    shutil.rmtree(p)
+    Path(tmp).rename(p)
     return n
 
 

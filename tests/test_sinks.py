@@ -168,3 +168,49 @@ def test_orc_round_trip_pushes_filters(spark, sf_dir, tmp_path):
     q.collect()
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,1000.0)]" in plan
+
+
+def test_overwrite_partitions_touches_only_present_partitions(spark, tmp_path):
+    from airflow_spotify_etl_spark.sinks.writers import overwrite_partitions
+
+    path = str(tmp_path / "ptable")
+    base = spark.createDataFrame(
+        [(1, "d1", 10.0), (2, "d1", 20.0), (3, "d2", 30.0), (4, "d3", 40.0)],
+        "id long, day string, v double",
+    )
+    base.write.partitionBy("day").parquet(path)
+    # Restate d2 only: one replacement row with a corrected value.
+    restated = spark.createDataFrame(
+        [(3, "d2", 99.0)], "id long, day string, v double"
+    )
+    overwrite_partitions(restated, path, "day")
+    got = {
+        (r.id, r.day): r.v for r in spark.read.parquet(path).collect()
+    }
+    # d1/d3 untouched, d2 replaced (static overwrite would have dropped them).
+    assert got == {(1, "d1"): 10.0, (2, "d1"): 20.0, (3, "d2"): 99.0, (4, "d3"): 40.0}
+    # The conf flip is restored after the call.
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC").upper()
+        == "STATIC"
+    )
+
+
+def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
+    from airflow_spotify_etl_spark.sinks.writers import compact_table
+
+    path = str(tmp_path / "frag")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "id long, v double"
+    )
+    # Fragment: 32 small files from the default parallelism.
+    df.repartition(32).write.parquet(path)
+    import glob
+
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before > 4
+    n = compact_table(spark, path, target_rows_per_file=1_000_000)
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert n == 1000 and after == 1
+    got = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert got == list(range(1000))
