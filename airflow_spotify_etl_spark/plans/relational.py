@@ -1715,6 +1715,153 @@ ORDER BY doc_id
 """
 
 
+def q87_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style nation-pair trade flows: revenue shipped between
+    NATION_1 and NATION_2 (both directions kept separate) per ship year.
+    Six-relation join where BOTH nation legs are true fixed-size dims
+    (broadcast); supplier/customer scale with data, so their strategy is
+    left to AQE (broadcast here, shuffle join at 100 TB). The pair filter
+    applies to the broadcast legs before the fact join, so non-matching
+    lineitems drop at the earliest join, not in a post-filter."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    n1 = nat.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount", "decimal(4,2)"))),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q87_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_lineitems
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    AND n1.n_name IN ('NATION_1', 'NATION_2')
+    AND n2.n_name IN ('NATION_1', 'NATION_2')
+    AND n1.n_name <> n2.n_name
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q88_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style market share: NATION_3 suppliers' revenue fraction
+    of all PROMO-part revenue sold to ASIA-region customers, per order
+    year. A 7-relation join tree where the selective dims (part type,
+    region) broadcast and prune FIRST — the part filter alone drops ~5/6
+    of lineitems at the earliest join. The share divides two EXACT
+    decimal sums (conditional numerator via a CASE inside the same
+    aggregate — one pass, no self-join), cast to double only for the
+    final rounded ratio."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    vol = _dec("l_extendedprice") * (1 - _dec("l_discount", "decimal(4,2)"))
+    supp_nat = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_nat = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cust_nat), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(supp_nat), supp.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)).alias("_num"),
+            F.sum(vol).alias("_den"),
+        )
+    )
+    share = F.round(
+        F.coalesce(F.col("_num"), F.lit(0)).cast("double")
+        / F.col("_den").cast("double"),
+        4,
+    )
+    return agg.select(
+        "o_year",
+        share.alias("mkt_share"),
+        F.round(F.col("_den"), 2).cast("double").alias("total_revenue"),
+    ).orderBy("o_year")
+
+
+_Q88_SQL = """
+WITH base AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(4,2))) AS vol,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region   ON n2.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+)
+SELECT o_year,
+       round(CAST(coalesce(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol END),
+                           0) AS DOUBLE)
+             / CAST(sum(vol) AS DOUBLE), 4) AS mkt_share,
+       CAST(round(sum(vol), 2) AS DOUBLE) AS total_revenue
+FROM base
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -1756,6 +1903,8 @@ QUERIES = {
     "q78_trend_fit_grouped": q78_trend_fit_grouped,
     "q80_scd2_incremental": q80_scd2_incremental,
     "q82_snapshot_diff": q82_snapshot_diff,
+    "q87_volume_shipping": q87_volume_shipping,
+    "q88_market_share": q88_market_share,
 }
 
 ORACLES = {
@@ -1799,4 +1948,6 @@ ORACLES = {
     "q78_trend_fit_grouped": _Q78_SQL,
     "q80_scd2_incremental": _Q65_SQL,
     "q82_snapshot_diff": _Q82_SQL,
+    "q87_volume_shipping": _Q87_SQL,
+    "q88_market_share": _Q88_SQL,
 }

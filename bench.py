@@ -99,6 +99,8 @@ HEADLINE = [
     "q84_split_leakage_audit",
     "q85_epoch_mixture",
     "q86_token_budget_selection",
+    "q87_volume_shipping",
+    "q88_market_share",
 ]
 
 
