@@ -25,7 +25,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["quality_report", "assert_quality"]
+__all__ = [
+    "quality_report",
+    "assert_quality",
+    "check_unique",
+    "check_not_null",
+    "check_accepted_values",
+    "check_referential",
+    "integrity_audit",
+]
 
 
 def quality_report(
@@ -80,3 +88,67 @@ def assert_quality(
         )
     row["status"] = "ok"
     return row
+
+
+# ---------------------------------------------------------------------------
+# Cross-table integrity audit (the dbt-tests tier: uniqueness, not-null,
+# accepted values, referential integrity — each check one aggregate or one
+# anti-join, emitted as a uniform (check, n_violations) relation so the
+# audit is storable/diffable like any other table).
+
+
+def check_unique(df: DataFrame, cols: list[str], name: str) -> DataFrame:
+    """n_violations = rows beyond the first per duplicate key group
+    (count(*) − count(distinct key)); 0 iff the key is unique. One
+    partial-aggregate exchange on the key."""
+    distinct = F.count_distinct(*[F.col(c) for c in cols])
+    return df.agg(
+        (F.count(F.lit(1)) - distinct).cast("long").alias("n_violations")
+    ).select(F.lit(name).alias("check"), "n_violations")
+
+
+def check_not_null(df: DataFrame, col: str, name: str) -> DataFrame:
+    """n_violations = NULL count; map-side reducible, no exchange."""
+    return df.agg(
+        F.sum(F.col(col).isNull().cast("long")).cast("long").alias("n_violations")
+    ).select(F.lit(name).alias("check"), "n_violations")
+
+
+def check_accepted_values(
+    df: DataFrame, col: str, allowed: list[str], name: str
+) -> DataFrame:
+    """n_violations = non-null rows outside ``allowed`` (dbt semantics:
+    NULLs belong to the not-null check, not this one)."""
+    bad = F.col(col).isNotNull() & ~F.col(col).isin(*allowed)
+    return df.agg(
+        F.sum(bad.cast("long")).cast("long").alias("n_violations")
+    ).select(F.lit(name).alias("check"), "n_violations")
+
+
+def check_referential(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    name: str,
+) -> DataFrame:
+    """n_violations = child rows whose key has no parent (left anti join,
+    child-side keys only through the exchange; AQE broadcasts the parent
+    key set when it fits)."""
+    orphans = child.select(F.col(child_key).alias("_k")).join(
+        parent.select(F.col(parent_key).alias("_k")), "_k", "left_anti"
+    )
+    return orphans.agg(
+        F.count(F.lit(1)).cast("long").alias("n_violations")
+    ).select(F.lit(name).alias("check"), "n_violations")
+
+
+def integrity_audit(checks: list[DataFrame]) -> DataFrame:
+    """Union per-check 1-row relations into the audit table. Each branch
+    executes independently (parallel scans); the union itself is free."""
+    if not checks:
+        raise ValueError("integrity_audit: no checks given")
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

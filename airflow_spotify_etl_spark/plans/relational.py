@@ -1862,6 +1862,67 @@ ORDER BY o_year
 """
 
 
+def q89_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse constraint audit (operators/quality.py integrity tier):
+    primary-key uniqueness, not-null, accepted-values, and referential
+    checks over the star schema, emitted as a uniform (check,
+    n_violations) table — the dbt-tests shape, each check one aggregate
+    or one anti-join. On clean data every row is 0; planted-violation
+    behavior is pinned by tests/test_quality.py."""
+    from ..operators.quality import (
+        check_accepted_values,
+        check_not_null,
+        check_referential,
+        check_unique,
+        integrity_audit,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    return integrity_audit(
+        [
+            check_unique(orders, ["o_orderkey"], "orders_pk_unique"),
+            check_unique(
+                li, ["l_orderkey", "l_linenumber"], "lineitem_pk_unique"
+            ),
+            check_not_null(orders, "o_custkey", "orders_custkey_not_null"),
+            check_accepted_values(
+                orders, "o_orderstatus", ["O", "F", "P"], "orders_status_values"
+            ),
+            check_referential(
+                li, orders, "l_orderkey", "o_orderkey", "lineitem_orders_fk"
+            ),
+            check_referential(
+                orders, cust, "o_custkey", "c_custkey", "orders_customer_fk"
+            ),
+        ]
+    ).orderBy("check")
+
+
+_Q89_SQL = """
+SELECT 'orders_pk_unique' AS "check",
+       count(*) - count(DISTINCT o_orderkey) AS n_violations FROM orders
+UNION ALL
+SELECT 'lineitem_pk_unique',
+       count(*) - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+UNION ALL
+SELECT 'orders_custkey_not_null',
+       count(*) FILTER (WHERE o_custkey IS NULL) FROM orders
+UNION ALL
+SELECT 'orders_status_values',
+       count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O','F','P')) FROM orders
+UNION ALL
+SELECT 'lineitem_orders_fk', count(*) FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders_customer_fk', count(*) FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+ORDER BY "check"
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -1905,6 +1966,7 @@ QUERIES = {
     "q82_snapshot_diff": q82_snapshot_diff,
     "q87_volume_shipping": q87_volume_shipping,
     "q88_market_share": q88_market_share,
+    "q89_integrity_audit": q89_integrity_audit,
 }
 
 ORACLES = {
@@ -1950,4 +2012,5 @@ ORACLES = {
     "q82_snapshot_diff": _Q82_SQL,
     "q87_volume_shipping": _Q87_SQL,
     "q88_market_share": _Q88_SQL,
+    "q89_integrity_audit": _Q89_SQL,
 }

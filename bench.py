@@ -101,6 +101,7 @@ HEADLINE = [
     "q86_token_budget_selection",
     "q87_volume_shipping",
     "q88_market_share",
+    "q89_integrity_audit",
 ]
 
 

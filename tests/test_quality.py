@@ -55,3 +55,49 @@ def test_late_rows_counted_and_kept(spark):
     df = _df(spark, [(1, TS, "a"), (2, late, "b")])
     row = quality_report(df, "k", "ts", freshness_days=7).collect()[0]
     assert row.n_late_rows == 1 and row.n_rows == 2  # warn-and-keep: row stays
+
+
+def test_integrity_checks_count_planted_violations(spark):
+    from airflow_spotify_etl_spark.operators.quality import (
+        check_accepted_values,
+        check_not_null,
+        check_referential,
+        check_unique,
+        integrity_audit,
+    )
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    child = spark.createDataFrame(
+        # pk 1 triplicated (2 extra rows), one NULL status, one bad status,
+        # two orphans (fk 9 twice).
+        [
+            (1, 1, "O"),
+            (1, 1, "F"),
+            (1, 1, "X"),
+            (2, 9, None),
+            (3, 9, "O"),
+            (4, 2, "P"),
+        ],
+        "id long, fk long, status string",
+    )
+    got = {
+        r.check: r.n_violations
+        for r in integrity_audit(
+            [
+                check_unique(child, ["id"], "uniq"),
+                check_not_null(child, "status", "notnull"),
+                check_accepted_values(child, "status", ["O", "F", "P"], "vals"),
+                check_referential(child, parent, "fk", "pk", "fk"),
+            ]
+        ).collect()
+    }
+    assert got == {"uniq": 2, "notnull": 1, "vals": 1, "fk": 2}
+
+
+def test_integrity_audit_empty_list_raises(spark):
+    import pytest as _pytest
+
+    from airflow_spotify_etl_spark.operators.quality import integrity_audit
+
+    with _pytest.raises(ValueError, match="no checks"):
+        integrity_audit([])
