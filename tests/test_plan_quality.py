@@ -191,3 +191,28 @@ def test_q69_weighted_sample_has_no_data_shuffle(spark, sf_dir, qs):
     plan = _final_plan(qs["q69_weighted_sample"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 0, plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalar combine
+
+
+def test_q87_q88_deep_joins_broadcast_dims_and_push_filters(spark, qs):
+    """The TPC-H Q7/Q8-shape trees: every dimension leg arrives as a
+    broadcast (at this SF), the fact table never cartesian-joins, the
+    selective filters (shipdate range / part type) reach the parquet
+    scans, and the only data exchanges are the final aggregate + sort —
+    the join tree itself adds none. Runs at sf0.01: at sf0.001 the
+    filtered result is empty and AQE collapses the whole tree to
+    EmptyRelation, leaving nothing to assert on."""
+    for name, pushed in (
+        ("q87_volume_shipping", "l_shipdate"),
+        ("q88_market_share", "p_type"),
+    ):
+        plan = _final_plan(qs[name](spark, "/root/testdata/sf0.01"))
+        assert "CartesianProduct" not in plan and "Join Cross" not in plan, name
+        assert "SortMergeJoin" not in plan, name  # all dims broadcast at this SF
+        assert f"PushedFilters: [IsNotNull({pushed})" in plan, (name, plan[:2000])
+        data_exchanges = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange" in ln and "Broadcast" not in ln
+        ]
+        # hash exchange for the group-by + range exchange for the sort.
+        assert len(data_exchanges) <= 2, (name, data_exchanges)
