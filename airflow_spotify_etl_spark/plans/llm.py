@@ -1769,6 +1769,76 @@ GROUP BY component ORDER BY component
 """
 
 
+def q90_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pairs (the q24 capped
+    Jaccard tier) attributed to their source pair — which sources mirror
+    each other's content, the audit that drives source-level dedup
+    priorities and licensing review. The pair relation is candidate-sized
+    (tiny next to the corpus), so the two source-lookup joins are cheap;
+    sources are normalized least/greatest so the matrix is unordered-
+    unique. Mean Jaccard is an avg of round-4 doubles re-rounded to 4 —
+    the established engine-portable float discipline."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000)
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 4).alias("mean_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+_Q90_SQL = """
+WITH sh_raw AS (
+  SELECT doc_id, unnest(list_distinct(
+           [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+         )) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), sh AS (
+  SELECT doc_id, shingle FROM sh_raw
+  WHERE shingle NOT IN (
+    SELECT shingle FROM sh_raw GROUP BY shingle HAVING count(*) > 1000
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM sh_raw GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b,
+         round(inter / (sa.n_shingles + sb.n_shingles - inter), 4) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(inter / (sa.n_shingles + sb.n_shingles - inter), 4) >= 0.5
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*) AS n_pairs,
+       round(avg(jaccard), 4) AS mean_jaccard
+FROM pairs
+JOIN documents da ON da.doc_id = doc_a
+JOIN documents db ON db.doc_id = doc_b
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+
+
 def q85_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fractional-epoch source mixing (operators/sampling.epoch_mixture):
     src0 upweighted 2.5x (every doc twice, a hash-chosen half a third
@@ -1905,6 +1975,7 @@ QUERIES = {
     "q84_split_leakage_audit": q84_split_leakage_audit,
     "q85_epoch_mixture": q85_epoch_mixture,
     "q86_token_budget_selection": q86_token_budget_selection,
+    "q90_source_overlap": q90_source_overlap,
 }
 
 ORACLES = {
@@ -1946,4 +2017,5 @@ ORACLES = {
     "q84_split_leakage_audit": _Q84_SQL,
     "q85_epoch_mixture": _Q85_SQL,
     "q86_token_budget_selection": _Q86_SQL,
+    "q90_source_overlap": _Q90_SQL,
 }

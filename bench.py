@@ -102,6 +102,7 @@ HEADLINE = [
     "q87_volume_shipping",
     "q88_market_share",
     "q89_integrity_audit",
+    "q90_source_overlap",
 ]
 
 
