@@ -1862,6 +1862,67 @@ ORDER BY o_year
 """
 
 
+def q91_temporal_dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ SCD-2 dimension by validity interval — the canonical
+    warehouse temporal lookup: each purchase event resolved to the
+    dimension run that was CURRENT at the event's timestamp (user equi-key
+    + [valid_from, valid_to) containment). The join is an equi-join on the
+    key with the interval predicates as join filters, so it shuffles on
+    user_id like any other keyed join — no range-explode, no cartesian;
+    intervals tile each user's timeline (q65 invariant), so exactly one
+    dimension row matches per fact."""
+    from ..operators.incremental import scd2_runs
+
+    ev = _t(spark, sf_dir, "events")
+    runs = scd2_runs(ev)
+    w2 = W.partitionBy("user_id").orderBy("run_id")
+    dim = runs.withColumn("vt", F.lead("vf").over(w2)).select(
+        F.col("user_id").alias("d_user"), "run_id", "state", "vf", "vt"
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        facts.join(
+            dim,
+            (facts.user_id == dim.d_user)
+            & (dim.vf <= facts.ts)
+            & (dim.vt.isNull() | (facts.ts < dim.vt)),
+        )
+        .select("event_id", "user_id", "run_id", "state")
+        .orderBy("event_id")
+    )
+
+
+_Q91_SQL = """
+WITH m AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), r AS (
+  SELECT user_id, event_type, ts,
+         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS run_id
+  FROM m
+), g AS (
+  SELECT user_id, run_id, min(event_type) AS state, min(ts) AS vf
+  FROM r GROUP BY user_id, run_id
+), d AS (
+  SELECT user_id, run_id, state, vf, lead(vf) OVER w2 AS vt
+  FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
+)
+SELECT f.event_id, f.user_id, d.run_id, d.state
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') f
+JOIN d ON f.user_id = d.user_id
+      AND d.vf <= f.ts AND (d.vt IS NULL OR f.ts < d.vt)
+ORDER BY f.event_id
+"""
+
+
 def q89_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warehouse constraint audit (operators/quality.py integrity tier):
     primary-key uniqueness, not-null, accepted-values, and referential
@@ -1967,6 +2028,7 @@ QUERIES = {
     "q87_volume_shipping": q87_volume_shipping,
     "q88_market_share": q88_market_share,
     "q89_integrity_audit": q89_integrity_audit,
+    "q91_temporal_dim_lookup": q91_temporal_dim_lookup,
 }
 
 ORACLES = {
@@ -2013,4 +2075,5 @@ ORACLES = {
     "q87_volume_shipping": _Q87_SQL,
     "q88_market_share": _Q88_SQL,
     "q89_integrity_audit": _Q89_SQL,
+    "q91_temporal_dim_lookup": _Q91_SQL,
 }

@@ -103,6 +103,7 @@ HEADLINE = [
     "q88_market_share",
     "q89_integrity_audit",
     "q90_source_overlap",
+    "q91_temporal_dim_lookup",
 ]
 
 
