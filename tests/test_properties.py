@@ -1,0 +1,94 @@
+"""Property-based invariants (hypothesis): randomized inputs, exact
+equalities. Example counts are kept small — every example spins Spark jobs —
+but the shapes hypothesis explores (duplicate timestamps, single-key
+streams, all-same-state runs, zero-token docs) are exactly the edges
+hand-written fixtures miss."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (user, t_sec, event_id, state) streams: few users/states so runs merge and
+# flip often; event ids unique so ordering is total.
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=50),
+        st.sampled_from(["a", "b", "c"]),
+    ),
+    min_size=1,
+    max_size=40,
+).map(
+    lambda rows: [
+        (u, t, i, s) for i, (u, t, s) in enumerate(rows)
+    ]
+)
+
+
+@_slow
+@given(stream=_events, cut=st.integers(min_value=0, max_value=50))
+def test_scd2_apply_delta_equals_rebuild_on_random_streams(spark, stream, cut):
+    """apply(runs(base), delta) == runs(base ∪ delta) for EVERY split
+    point, including splits inside a run, at a state flip, before all
+    events, and after all events."""
+    from airflow_spotify_etl_spark.operators.incremental import (
+        scd2_apply_delta,
+        scd2_runs,
+    )
+
+    ev = spark.createDataFrame(
+        [(u, float(t), str(i), s) for u, t, i, s in stream],
+        "user_id long, tsec double, event_id string, event_type string",
+    ).select(
+        "user_id",
+        F.timestamp_seconds("tsec").alias("ts"),
+        "event_id",
+        "event_type",
+    )
+    cutoff = F.timestamp_seconds(F.lit(cut))
+    base_ev = ev.filter(F.col("ts") < cutoff)
+    delta_ev = ev.filter(F.col("ts") >= cutoff)
+    applied = scd2_apply_delta(scd2_runs(base_ev), delta_ev)
+    full = scd2_runs(ev)
+    assert applied.exceptAll(full).isEmpty() and full.exceptAll(applied).isEmpty()
+
+
+@_slow
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=200),
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    budget=st.integers(min_value=0, max_value=2000),
+)
+def test_token_budget_select_equals_serial_greedy(spark, docs, budget):
+    from airflow_spotify_etl_spark.operators.sampling import token_budget_select
+
+    rows = [(i, (i * 13) % 97 + 1, round(q, 4)) for i, q in docs]
+    df = spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, quality_score double"
+    )
+    got = {
+        r.doc_id: r.cum_tokens
+        for r in token_budget_select(df, budget=budget).collect()
+    }
+    cum, want = 0, {}
+    for i, toks, score in sorted(rows, key=lambda r: (-r[2], r[0])):
+        cum += toks
+        if cum > budget:
+            break
+        want[i] = cum
+    assert got == want
