@@ -1839,6 +1839,87 @@ ORDER BY source_a, source_b
 """
 
 
+def q92_ensemble_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal near-dup evidence: LEXICAL pairs (capped n-gram
+    Jaccard ≥ 0.5, the q24 tier) full-outer-merged with SEMANTIC pairs
+    (hyperplane-LSH cosine ≥ 0.45 over the aligned embedding table, the
+    q28 tier), labeled 'lexical' / 'semantic' / 'both'. Production dedup
+    ensembles exactly this way — surface rewrites evade lexical shingles,
+    templated boilerplate evades embeddings; the union catches both, and
+    the provenance column is what a reviewer audits before dropping. Both
+    evidence relations are candidate-sized, so the merge join is
+    corpus-independent. Scores are coalesced to -1.0 sentinels (absent
+    evidence) to keep the hashed output NULL-free."""
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.similarity import cosine_pairs_lsh
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    sem = cosine_pairs_lsh(emb, threshold=0.45).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        "cosine_sim",
+    )
+    merged = lex.join(sem, ["doc_a", "doc_b"], "full_outer")
+    evidence = (
+        F.when(F.col("jaccard").isNotNull() & F.col("cosine_sim").isNotNull(), "both")
+        .when(F.col("jaccard").isNotNull(), "lexical")
+        .otherwise("semantic")
+    )
+    return merged.select(
+        "doc_a",
+        "doc_b",
+        evidence.alias("evidence"),
+        F.coalesce("jaccard", F.lit(-1.0)).alias("jaccard"),
+        F.coalesce("cosine_sim", F.lit(-1.0)).alias("cosine_sim"),
+    ).orderBy("doc_a", "doc_b")
+
+
+def _q92_sql() -> str:
+    """Union the q24 lexical CTE chain (renamed to avoid colliding with
+    the semantic chain's ``pairs``) with the q28 semantic chain from
+    _lsh_pair_ctes(), full-outer-joined on the pair key."""
+    return f"""
+WITH {_lsh_pair_ctes()}, lex_sh_raw AS (
+  SELECT doc_id, unnest(list_distinct(
+           [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+         )) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), lex_sh AS (
+  SELECT doc_id, shingle FROM lex_sh_raw
+  WHERE shingle NOT IN (
+    SELECT shingle FROM lex_sh_raw GROUP BY shingle HAVING count(*) > 1000
+  )
+), lex_sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM lex_sh_raw GROUP BY doc_id
+), lex_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM lex_sh a JOIN lex_sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), lex_pairs AS (
+  SELECT doc_a, doc_b,
+         round(inter / (sa.n_shingles + sb.n_shingles - inter), 4) AS jaccard
+  FROM lex_inter
+  JOIN lex_sizes sa ON sa.doc_id = doc_a
+  JOIN lex_sizes sb ON sb.doc_id = doc_b
+  WHERE round(inter / (sa.n_shingles + sb.n_shingles - inter), 4) >= 0.5
+)
+SELECT coalesce(l.doc_a, p.vec_a) AS doc_a,
+       coalesce(l.doc_b, p.vec_b) AS doc_b,
+       CASE WHEN l.jaccard IS NOT NULL AND p.cosine_sim IS NOT NULL THEN 'both'
+            WHEN l.jaccard IS NOT NULL THEN 'lexical'
+            ELSE 'semantic' END AS evidence,
+       coalesce(l.jaccard, -1.0) AS jaccard,
+       coalesce(p.cosine_sim, -1.0) AS cosine_sim
+FROM lex_pairs l
+FULL OUTER JOIN pairs p ON l.doc_a = p.vec_a AND l.doc_b = p.vec_b
+ORDER BY doc_a, doc_b
+"""
+
+
 def q85_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fractional-epoch source mixing (operators/sampling.epoch_mixture):
     src0 upweighted 2.5x (every doc twice, a hash-chosen half a third
@@ -1976,6 +2057,7 @@ QUERIES = {
     "q85_epoch_mixture": q85_epoch_mixture,
     "q86_token_budget_selection": q86_token_budget_selection,
     "q90_source_overlap": q90_source_overlap,
+    "q92_ensemble_near_dups": q92_ensemble_near_dups,
 }
 
 ORACLES = {
@@ -2018,4 +2100,5 @@ ORACLES = {
     "q85_epoch_mixture": _Q85_SQL,
     "q86_token_budget_selection": _Q86_SQL,
     "q90_source_overlap": _Q90_SQL,
+    "q92_ensemble_near_dups": _q92_sql(),
 }

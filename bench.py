@@ -104,6 +104,7 @@ HEADLINE = [
     "q89_integrity_audit",
     "q90_source_overlap",
     "q91_temporal_dim_lookup",
+    "q92_ensemble_near_dups",
 ]
 
 
