@@ -375,3 +375,52 @@ def test_scd2_maintenance_stream_matches_full_rebuild(spark, tmp_path):
     # the boundary-straddling run merged: user 1 has ONE run of 3 events
     u1 = got.filter("user_id = 1").collect()
     assert len(u1) == 1 and u1[0]["n_events"] == 3
+
+
+def test_scd2_maintenance_corrupt_store_fails_instead_of_overwriting(
+    spark, tmp_path
+):
+    """A store that EXISTS but cannot be read (corrupt footer, permission
+    blip) must fail the batch loudly — never be mistaken for 'first
+    batch', which would overwrite the store with only the current batch
+    and destroy all accumulated history (r3 audit finding). The corrupt
+    file must still be there afterwards."""
+    from airflow_spotify_etl_spark.streaming.scd2 import run_scd2_maintenance
+
+    src = str(tmp_path / "src")
+    store_dir = tmp_path / "scd2_store"
+    ckpt = str(tmp_path / "ckpt")
+    store_dir.mkdir()
+    corrupt = store_dir / "part-00000-deadbeef.snappy.parquet"
+    corrupt.write_bytes(b"this is not a parquet file")
+
+    _write_batch(spark, src, _rows((1, 0, 1, "a", 1.0)))
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    with pytest.raises(Exception):
+        run_scd2_maintenance(spark, stream, str(store_dir), ckpt)
+    # History (however corrupt) was not clobbered by a batch-only rebuild.
+    assert corrupt.read_bytes() == b"this is not a parquet file"
+
+
+def test_scd2_store_existence_probe():
+    """Empty or part-less directories are 'absent' (a died overwrite);
+    directories with parquet parts or a _SUCCESS marker are 'present'."""
+    import tempfile
+    from pathlib import Path
+
+    from airflow_spotify_etl_spark.streaming.scd2 import _store_exists
+
+    with tempfile.TemporaryDirectory() as d:
+        root = Path(d)
+        assert not _store_exists(str(root / "missing"))
+        empty = root / "empty"
+        empty.mkdir()
+        assert not _store_exists(str(empty))
+        with_part = root / "withpart"
+        with_part.mkdir()
+        (with_part / "part-0.parquet").write_bytes(b"x")
+        assert _store_exists(str(with_part))
+        with_marker = root / "withmarker"
+        with_marker.mkdir()
+        (with_marker / "_SUCCESS").touch()
+        assert _store_exists(str(with_marker))
