@@ -92,3 +92,56 @@ def test_token_budget_select_equals_serial_greedy(spark, docs, budget):
             break
         want[i] = cum
     assert got == want
+
+
+@_slow
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+            min_size=0,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_chunk_dedup_invariants_on_random_corpora(spark, texts):
+    """Global invariants, any corpus: (1) Σ n_kept == number of DISTINCT
+    chunk texts corpus-wide (first-occurrence keeps exactly one copy of
+    each); (2) n_kept ≤ n_chunks per doc; (3) every doc's cleaned text is
+    a concatenation of a subset of its own chunks, in order."""
+    from airflow_spotify_etl_spark.operators.dedup import chunk_dedup
+
+    cw = 2
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = chunk_dedup(df, chunk_words=cw).collect()
+
+    def chunks_of(text):
+        w = [x for x in text.lower().split() if x]
+        return [" ".join(w[i : i + cw]) for i in range(0, len(w), cw)]
+
+    distinct = set()
+    for t in texts:
+        distinct.update(chunks_of(t))
+    assert sum(r.n_kept for r in rows) == len(distinct)
+    by_id = {r.doc_id: r for r in rows}
+    assert set(by_id) == set(range(len(texts)))
+    for i, t in enumerate(texts):
+        r = by_id[i]
+        assert r.n_chunks == len(chunks_of(t))
+        assert 0 <= r.n_kept <= r.n_chunks
+    # Serial recomputation of the whole operator for exact equality
+    # (subsumes in-order-subset: kept chunks are the doc's own chunks
+    # filtered to first global occurrence, in position order).
+    seen, want = set(), {}
+    for i, t in enumerate(texts):
+        kept_chunks = []
+        for c in chunks_of(t):
+            if c not in seen:
+                seen.add(c)
+                kept_chunks.append(c)
+        want[i] = " ".join(kept_chunks)
+    assert {r.doc_id: r.text_clean for r in rows} == want
