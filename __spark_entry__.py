@@ -2,8 +2,9 @@
 
 ``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` /
 ``oracle_sql()`` expose every implemented operator from SURVEY.md §2 plus the
-north-star LLM-pipeline operators, each paired with an ANSI-SQL DuckDB oracle
-(non-SQL-expressible ops omit the oracle → rows-only check).
+north-star LLM-pipeline operators — every registered query carries an
+ANSI-SQL DuckDB oracle (92/92; trained IVF is made exactly checkable by its
+probe-all configuration, see plans/llm.py q27).
 """
 
 from __future__ import annotations
