@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "exact_dedup",
+    "canonical_dedup",
     "chunk_dedup",
     "shingle",
     "ngram_jaccard_pairs",
@@ -68,6 +69,40 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return (
         df.groupBy(F.md5(text_col).alias("text_hash"))
         .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+def canonical_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Normalization-aware exact dedup report: case / punctuation /
+    whitespace variants of the same content count as ONE document (the
+    CCNet/C4 canonical-form pass that plain md5 dedup misses). Canonical
+    key = md5(normalize_text(text)); the global keeper per key is the
+    minimum id, computed as a window over the hash — a uniform key, so the
+    single data exchange is skew-free by construction, and only the narrow
+    (hash, id, group) projection passes through it (the text itself never
+    shuffles). Returns per-``group_col`` keep/drop accounting."""
+    from .text import normalize_text
+
+    n = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.md5(normalize_text(F.col(text_col))).alias("ch"),
+    )
+    keeper = F.min(id_col).over(W.partitionBy("ch"))
+    return (
+        n.withColumn("keeper", keeper)
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("ch").alias("n_canonical"),
+            F.count(F.when(F.col(id_col) == F.col("keeper"), 1)).alias("n_kept"),
+        )
+        .orderBy(group_col)
     )
 
 

@@ -31,6 +31,7 @@ __all__ = [
     "quota_sample",
     "epoch_mixture",
     "token_budget_select",
+    "exact_k_sample",
 ]
 
 _BUCKETS = 10_000
@@ -246,3 +247,23 @@ def token_budget_select(
         .filter(F.col("cum_tokens") <= budget)
         .drop("_pid", "_cum_local", "_off")
     )
+
+
+def exact_k_sample(
+    df: DataFrame, k: int, id_col: str = "doc_id", salt: str = "ek"
+) -> DataFrame:
+    """Exact-size-k deterministic uniform sample: the k rows with the
+    smallest engine-portable md5-slice hash of (salt ‖ id). Rate-based
+    sampling (stratified_sample) can only hit a TARGET size in
+    expectation; this hits it exactly — the "give me exactly 100k eval
+    docs" ask.
+
+    ORDER BY hash LIMIT k plans as TakeOrderedAndProject: per-partition
+    top-k heaps + one final merge of ≤ #partitions·k rows — no global
+    sort, no full-data exchange (plan-gated, tests/test_plan_quality.py),
+    so it scales to 100 TB as a single narrow pass. Prefix-stable: the
+    k-sample is a prefix of the k'-sample for k < k' at the same salt, so
+    growing a sample never resamples what was already drawn. Different
+    salts draw independent samples. Adds the hash as column ``h``."""
+    h = _h32(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return df.withColumn("h", h).orderBy("h", F.col(id_col)).limit(k)

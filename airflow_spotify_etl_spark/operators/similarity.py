@@ -34,6 +34,7 @@ __all__ = [
     "cosine_pairs_lsh",
     "assign_cells_pandas",
     "sketch_bits_pandas",
+    "diversity_cap",
 ]
 
 _SEED = 42
@@ -469,4 +470,51 @@ def cosine_pairs_lsh(
         )
         .filter(F.col("cosine_sim") >= threshold)
         .select("vec_a", "vec_b", "cosine_sim")
+    )
+
+
+def diversity_cap(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    m: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep: str = "diverse",
+) -> DataFrame:
+    """SemDeDup-style cluster-cap sampling (Abbas et al. 2023,
+    arXiv:2303.09540): assign every vector to its nearest centroid, then
+    keep at most ``m`` per cell — ``keep='diverse'`` prefers the LEAST
+    prototypical members (lowest cosine to the centroid), so the kept set
+    spreads over the cell instead of piling onto its mode;
+    ``keep='prototypes'`` flips the order for a representative-subset
+    draw.
+
+    Plan shape: assignment is the same argmax PROJECTION as _assign_cells
+    (zero joins, zero shuffle — the per-cell similarity falls out of the
+    same sims array via element_at, no recompute); the cap is one
+    row_number window keyed on cell id over the narrow (id, cell, sim)
+    projection — the embeddings themselves never shuffle, and the exchange
+    key is as balanced as the clustering (a pathological all-one-cell
+    corpus degrades to a single-reducer sort of ids+floats, not of
+    vectors). Under hash-seeded centroids (hash_seed_centroids) the whole
+    pipeline is SQL-replayable — oracle-checked in plans/llm.py q95."""
+    sims = F.transform(_unit_mat(centroids), lambda cv: _dot(F.col("_vd"), cv))
+    scored = (
+        corpus.withColumn("_vd", _as_double(vec_col))
+        .withColumn("_sims", sims)
+        .withColumn(
+            "cell", (F.array_position("_sims", F.array_max("_sims")) - 1).cast("int")
+        )
+        .withColumn(
+            "_cs",
+            F.element_at("_sims", F.col("cell") + F.lit(1)) / _norm(F.col("_vd")),
+        )
+        .select(F.col(id_col), "cell", "_cs")
+    )
+    order = F.col("_cs").asc() if keep == "diverse" else F.col("_cs").desc()
+    w = W.partitionBy("cell").orderBy(order, F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= m)
+        .select("cell", "rank", id_col, F.round("_cs", 4).alias("centroid_sim"))
     )

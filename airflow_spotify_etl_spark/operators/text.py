@@ -27,6 +27,7 @@ __all__ = [
     "word_tokens",
     "fit_lang_profiles",
     "predict_lang",
+    "normalize_text",
     "redact_pii",
     "top_ngrams",
 ]
@@ -45,6 +46,18 @@ _PII_TOKENS = {"email": "<EMAIL>", "phone": "<PHONE>", "ipv4": "<IP>"}
 # log-probability assigned to tokens absent from a language's profile
 # (Laplace-ish floor; must be below any real profile weight).
 _FLOOR = -18.0
+
+
+def normalize_text(col):
+    """Canonical text form: lowercase, every non-[a-z0-9 ] byte → space,
+    collapse space runs, trim. Pure codegen projection (lower + two
+    regexp_replace + trim) — no shuffle, rides the scan at any scale. The
+    patterns use only literal character classes (no \\s, \\b, or
+    lookaround), the subset on which Java regex (Spark) and RE2 (DuckDB)
+    agree byte-for-byte, so md5(normalize_text(...)) is an
+    oracle-checkable canonical fingerprint (plans/llm.py q93)."""
+    c = F.regexp_replace(F.lower(col), "[^a-z0-9 ]", " ")
+    return F.trim(F.regexp_replace(c, " +", " "))
 
 
 def char_ngrams(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:

@@ -2017,6 +2017,122 @@ FROM c WHERE cum_tokens <= 10000 ORDER BY cum_tokens
 """
 
 
+def q93_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup report (north star: canonical-form
+    dedup — case/punctuation/whitespace variants of one content are ONE
+    document, the CCNet/C4 canonicalization pass plain md5 dedup misses).
+    Canonicalize (lower, non-alnum → space, collapse, trim — all
+    RE2-portable, operators/text.normalize_text) → md5 → global keeper =
+    min doc_id per canonical hash (window over the uniform hash key: one
+    skew-free exchange of the narrow (hash, id, source) projection; the
+    text never shuffles) → per-source keep/drop accounting."""
+    from ..operators.dedup import canonical_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return canonical_dedup(docs)
+
+
+_Q93_SQL = """
+WITH n AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS ch
+  FROM documents
+), k AS (
+  SELECT doc_id, source, ch,
+         min(doc_id) OVER (PARTITION BY ch) AS keeper
+  FROM n
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT ch) AS n_canonical,
+       count(*) FILTER (WHERE doc_id = keeper) AS n_kept
+FROM k
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q94_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size-k deterministic uniform sample (north star: "exactly
+    100k eval docs", not a rate that hits 100k in expectation): global
+    top-k by the portable md5-slice hash — plans as TakeOrderedAndProject
+    (per-partition heaps + bounded merge, no global sort or full exchange;
+    plan-gated), and the k-sample is a PREFIX of any larger sample at the
+    same salt. Routed through operators/sampling.exact_k_sample."""
+    from ..operators.sampling import exact_k_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_k_sample(docs.select("doc_id", "source", "lang"), k=100)
+
+
+_Q94_SQL = """
+SELECT doc_id, source, lang,
+       ('0x' || substr(md5('ek' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+FROM documents
+ORDER BY h, doc_id
+LIMIT 100
+"""
+
+
+def q95_diversity_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style diversity sampling (north star: semantic-cluster
+    pruning of a training corpus): nearest-centroid assignment (argmax
+    projection, zero shuffle) → keep the m=10 LEAST prototypical vectors
+    per cell (lowest cosine to centroid — the kept set spreads over the
+    cluster instead of stacking near-duplicates at its mode). Hash-seeded
+    centroids (the q56 argument) make the ENTIRE pipeline — seeding,
+    normalization, assignment argmax, per-cell diversity ranking —
+    replayable by the SQL oracle."""
+    from ..operators.similarity import diversity_cap, hash_seed_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = hash_seed_centroids(emb, nlist=16)
+    return diversity_cap(emb, cents, m=10).orderBy("cell", "rank")
+
+
+# Replays seeding (md5-slice order, ties to lowest id, cell = hash rank),
+# unit centroids, assignment argmax (ties to LOWEST cell), per-cell cosine,
+# and the diversity window (ASC — least prototypical first). Same portable
+# pieces as _Q56_SQL.
+_Q95_SQL = """
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), seeds AS (
+  SELECT row_number() OVER (
+           ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                    vec_id
+         ) - 1 AS cell,
+         v AS cv
+  FROM c
+  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT, vec_id
+  LIMIT 16
+), cents AS (
+  SELECT cell,
+         list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS u
+  FROM seeds
+), assigned AS (
+  SELECT vec_id, cell, dot / sqrt(list_dot_product(v, v)) AS cs FROM (
+    SELECT c.vec_id, c.v, cents.cell,
+           list_dot_product(c.v, cents.u) AS dot,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY list_dot_product(c.v, cents.u) DESC, cents.cell ASC
+           ) AS rn
+    FROM c CROSS JOIN cents
+  ) WHERE rn = 1
+)
+SELECT cell, rank, vec_id, centroid_sim FROM (
+  SELECT cell, vec_id,
+         row_number() OVER (PARTITION BY cell ORDER BY cs ASC, vec_id) AS rank,
+         round(cs, 4) AS centroid_sim
+  FROM assigned
+)
+WHERE rank <= 10
+ORDER BY cell, rank
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -2058,6 +2174,9 @@ QUERIES = {
     "q86_token_budget_selection": q86_token_budget_selection,
     "q90_source_overlap": q90_source_overlap,
     "q92_ensemble_near_dups": q92_ensemble_near_dups,
+    "q93_canonical_dedup": q93_canonical_dedup,
+    "q94_exact_k_sample": q94_exact_k_sample,
+    "q95_diversity_cap_sample": q95_diversity_cap_sample,
 }
 
 ORACLES = {
@@ -2101,4 +2220,7 @@ ORACLES = {
     "q86_token_budget_selection": _Q86_SQL,
     "q90_source_overlap": _Q90_SQL,
     "q92_ensemble_near_dups": _q92_sql(),
+    "q93_canonical_dedup": _Q93_SQL,
+    "q94_exact_k_sample": _Q94_SQL,
+    "q95_diversity_cap_sample": _Q95_SQL,
 }

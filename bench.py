@@ -105,6 +105,9 @@ HEADLINE = [
     "q90_source_overlap",
     "q91_temporal_dim_lookup",
     "q92_ensemble_near_dups",
+    "q93_canonical_dedup",
+    "q94_exact_k_sample",
+    "q95_diversity_cap_sample",
 ]
 
 

@@ -218,3 +218,26 @@ def test_delta_probe_respects_band_bucket_cap(spark):
     uncapped = minhash_lsh_pairs_delta(corpus, delta, max_band_bucket=None)
     # all pairs touching the delta: C(10,2) within + 10x20 across
     assert uncapped.count() == 10 * 9 // 2 + 10 * 20
+
+
+def test_canonical_dedup_counts_variants_once(spark):
+    """Case/punctuation/whitespace variants share one canonical hash; the
+    global keeper is the minimum doc_id, and per-source accounting sees
+    cross-source duplicates (a source whose doc loses to another source's
+    keeper reports it as dropped)."""
+    from airflow_spotify_etl_spark.operators.dedup import canonical_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, World!", "a"),
+            (2, "hello   world", "a"),
+            (3, "HELLO WORLD?", "b"),
+            (4, "different", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in canonical_dedup(df).collect()}
+    assert got["a"].n_docs == 2 and got["a"].n_canonical == 1
+    assert got["a"].n_kept == 1  # doc 1 is the global keeper
+    assert got["b"].n_docs == 2 and got["b"].n_canonical == 2
+    assert got["b"].n_kept == 1  # doc 3 loses to source a's keeper

@@ -216,3 +216,35 @@ def test_q87_q88_deep_joins_broadcast_dims_and_push_filters(spark, qs):
         ]
         # hash exchange for the group-by + range exchange for the sort.
         assert len(data_exchanges) <= 2, (name, data_exchanges)
+
+
+def test_q94_exact_k_sample_is_shuffle_free_topk(spark, sf_dir, qs):
+    """ORDER BY hash LIMIT k must plan as TakeOrderedAndProject —
+    per-partition heaps + bounded merge — with NO exchange anywhere: the
+    100 TB sample is one narrow pass over the scan."""
+    plan = _final_plan(qs["q94_exact_k_sample"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan, plan
+
+
+def test_q93_canonical_dedup_shuffles_hash_not_text(spark, sf_dir, qs):
+    """The keeper window exchanges on the uniform canonical hash over the
+    narrow (id, source, hash) projection; unused columns never leave the
+    scan, and the whole report is 2 hash exchanges + the output sort."""
+    plan = _final_plan(qs["q93_canonical_dedup"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Exchange rangepartitioning") == 1, plan
+    assert "n_chars" not in plan and "lang" not in plan  # pruned at the scan
+
+
+def test_q95_diversity_cap_prunes_topk_map_side(spark, sf_dir, qs):
+    """Assignment is a zero-join argmax projection; the per-cell cap must
+    push a PARTIAL WindowGroupLimit below the exchange (each task ships at
+    most m rows per cell, not its whole cell) and shuffle only the narrow
+    (id, cell, sim) projection — one hash exchange total."""
+    plan = _final_plan(qs["q95_diversity_cap_sample"](spark, sf_dir))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    import re as _re
+
+    assert _re.search(r"WindowGroupLimit .*row_number\(\), 10, Partial", plan), plan

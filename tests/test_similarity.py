@@ -196,3 +196,25 @@ def test_pandas_sketch_twin_matches_hof_bits(spark, sf_dir):
         for r in cosine_pairs_lsh(emb, threshold=0.45, sketch_impl="pandas").collect()
     }
     assert hof == pnd
+
+
+def test_diversity_cap_caps_and_orders_each_cell(spark, emb):
+    from airflow_spotify_etl_spark.operators.similarity import diversity_cap
+
+    cents = hash_seed_centroids(emb, nlist=4)
+    out = diversity_cap(emb, cents, m=3).collect()
+    by_cell: dict[int, list] = {}
+    for r in out:
+        by_cell.setdefault(r.cell, []).append(r)
+    n_vecs = emb.count()
+    assert sum(len(v) for v in by_cell.values()) <= 4 * 3 < n_vecs
+    for rows in by_cell.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r.centroid_sim for r in rows]
+        assert sims == sorted(sims)  # diverse: least prototypical first
+
+    proto = diversity_cap(emb, cents, m=3, keep="prototypes").collect()
+    for cell in {r.cell for r in proto}:
+        sims = [r.centroid_sim for r in sorted(proto, key=lambda r: r.rank) if r.cell == cell]
+        assert sims == sorted(sims, reverse=True)

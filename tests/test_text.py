@@ -183,3 +183,30 @@ def test_pmi_sign_matches_independence(spark, sf_dir):
     # Ordered by co-occurrence count descending.
     counts = [r.n_ab for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_normalize_text_literal(spark):
+    from airflow_spotify_etl_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [("  Foo!!  BAR__baz 42 ",), ("already clean",), ("",)], "text string"
+    )
+    got = [r.n for r in df.select(normalize_text(F.col("text")).alias("n")).collect()]
+    assert got == ["foo bar baz 42", "already clean", ""]
+
+
+def test_exact_k_sample_size_prefix_determinism(spark, sf_dir):
+    """Exactly k rows; the k-sample is a prefix of the 2k-sample at the
+    same salt (growing a sample never resamples); reruns are identical;
+    a different salt draws a different set."""
+    from airflow_spotify_etl_spark.operators.sampling import exact_k_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    s10 = [r.doc_id for r in exact_k_sample(docs, 10).select("doc_id").collect()]
+    s20 = [r.doc_id for r in exact_k_sample(docs, 20).select("doc_id").collect()]
+    assert len(s10) == 10 and len(s20) == 20
+    assert s20[:10] == s10
+    again = [r.doc_id for r in exact_k_sample(docs, 10).select("doc_id").collect()]
+    assert again == s10
+    other = {r.doc_id for r in exact_k_sample(docs, 10, salt="x").select("doc_id").collect()}
+    assert other != set(s10)
