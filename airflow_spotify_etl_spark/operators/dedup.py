@@ -43,6 +43,7 @@ __all__ = [
     "simhash_signatures",
     "simhash_pairs",
     "connected_components",
+    "bloom_novelty_filter",
 ]
 
 # Modulus for the universal-hash family: smallest prime > 2^32. With
@@ -721,3 +722,90 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def bloom_novelty_filter(
+    corpus: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 16,
+    j_hashes: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Bloom-gated incremental exact dedup: which delta docs are NOVEL
+    (content hash absent from the stored corpus)?
+
+    The naive shape anti-joins every batch against the full corpus hash
+    table — at 100 TB that reshuffles corpus-scale data per ingest. A
+    Bloom filter over the corpus hashes splits the batch map-side:
+
+    - bloom says ABSENT → definitely novel (a Bloom filter has no false
+      negatives): emitted with zero join work — the common case for a
+      healthy ingest, decided in the scan projection;
+    - bloom says PRESENT → duplicate OR false positive: only these
+      (dup_rate + fp_rate of the batch) reach the exact anti-join, whose
+      stored side at scale is a bucketed hash table probed co-located
+      (the q81 delta-bands argument).
+
+    The filter is built from Catalyst primitives so it needs no native
+    bloom UDAF: j salted md5-slice positions per doc → one bit_or
+    aggregate keyed on the WORD index (pos >> 6). Partial aggregation
+    bounds every map task's output at m_bits/64 longs — the build shuffle
+    is bloom-sized, not corpus-sized — and the finished filter is a
+    driver-side array<long> literal (m_bits = 2^16 → 1024 longs, the same
+    bounded-collect contract as IVF seeding) broadcast inside the probe
+    projection. The j probe positions recompute the SAME expressions, so
+    no-false-negatives holds by construction (pytest-pinned, along with
+    bloom-vs-plain-anti-join result equivalence).
+
+    Correctness is bloom-INDEPENDENT: false positives are caught by the
+    exact join, so the output equals a plain anti-join bit-for-bit — which
+    is exactly what lets a fixed SQL oracle (plans/llm.py q96) check the
+    whole operator."""
+    ch = F.md5(F.col(text_col))
+
+    def pos(i: int):
+        return F.pmod(
+            _h32(F.concat(F.lit(f"{salt}{i}:"), ch)), F.lit(m_bits)
+        )
+
+    words = (
+        corpus.select(F.explode(F.array(*[pos(i) for i in range(j_hashes)])).alias("pos"))
+        .select(
+            F.shiftright("pos", 6).cast("int").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    arr = [0] * (m_bits >> 6)
+    for r in words:
+        arr[r.word] = r.bits
+    bf = F.lit(arr)
+
+    def might_contain_all():
+        conds = []
+        for i in range(j_hashes):
+            p = pos(i)
+            word = F.element_at(bf, F.shiftright(p, 6).cast("int") + F.lit(1))
+            bit = F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pmod("
+                f"CAST(conv(substring(md5(concat('{salt}{i}:', md5({text_col}))), 1, 8), 16, 10) AS BIGINT)"
+                f" % {m_bits}, 64) AS INT))"
+            )
+            conds.append(word.bitwiseAND(bit) != 0)
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+
+    probe = delta.withColumn("_mc", might_contain_all())
+    definitely_new = probe.filter(~F.col("_mc")).drop("_mc")
+    candidates = probe.filter(F.col("_mc")).drop("_mc")
+    corpus_hashes = corpus.select(ch.alias("_ch")).distinct()
+    confirmed_new = candidates.withColumn("_ch", ch).join(
+        corpus_hashes, "_ch", "left_anti"
+    ).drop("_ch")
+    return definitely_new.unionByName(confirmed_new)

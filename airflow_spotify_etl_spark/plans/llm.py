@@ -2133,6 +2133,40 @@ ORDER BY cell, rank
 """
 
 
+def q96_bloom_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated incremental exact dedup (north star: 100 TB ingest —
+    don't anti-join every batch against the whole corpus): delta docs
+    (doc_id ≥ 400, the q81 batch convention) screened by a Catalyst-built
+    Bloom filter over corpus content hashes — bloom-absent docs are novel
+    with ZERO join work (no false negatives), only bloom-present docs
+    (dups + false positives) reach the exact anti-join. The bloom is
+    correctness-neutral, so the oracle is the plain NOT EXISTS anti-join:
+    a green hash proves the gated path returns exactly what the full join
+    would."""
+    from ..operators.dedup import bloom_novelty_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    delta = docs.filter(F.col("doc_id") >= 400)
+    return (
+        bloom_novelty_filter(corpus, delta)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+_Q96_SQL = """
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE d.doc_id >= 400
+  AND NOT EXISTS (
+    SELECT 1 FROM documents c
+    WHERE c.doc_id < 400 AND md5(c.text) = md5(d.text)
+  )
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -2177,6 +2211,7 @@ QUERIES = {
     "q93_canonical_dedup": q93_canonical_dedup,
     "q94_exact_k_sample": q94_exact_k_sample,
     "q95_diversity_cap_sample": q95_diversity_cap_sample,
+    "q96_bloom_novelty": q96_bloom_novelty,
 }
 
 ORACLES = {
@@ -2223,4 +2258,5 @@ ORACLES = {
     "q93_canonical_dedup": _Q93_SQL,
     "q94_exact_k_sample": _Q94_SQL,
     "q95_diversity_cap_sample": _Q95_SQL,
+    "q96_bloom_novelty": _Q96_SQL,
 }

