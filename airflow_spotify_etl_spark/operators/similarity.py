@@ -35,6 +35,10 @@ __all__ = [
     "assign_cells_pandas",
     "sketch_bits_pandas",
     "diversity_cap",
+    "pq_codebooks",
+    "pq_codebooks_trained",
+    "pq_encode",
+    "pq_adc_topk",
 ]
 
 _SEED = 42
@@ -518,3 +522,145 @@ def diversity_cap(
         .filter(F.col("rank") <= m)
         .select("cell", "rank", id_col, F.round("_cs", 4).alias("centroid_sim"))
     )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    embedding into ``n_sub`` contiguous subspaces; each subspace's
+    ``n_codes`` codewords are the slices of the SAME hash-seeded sample
+    hash_seed_centroids draws (Lloyd-free, engine-portable) — so the whole
+    PQ pipeline (seeding, encoding argmin, ADC scoring, top-k) is
+    replayable by a SQL oracle (plans/llm.py q97), the q56 argument
+    applied to compression. Returns books[j][c] = codeword vector."""
+    seeds = hash_seed_centroids(corpus, nlist=n_codes, vec_col=vec_col, id_col=id_col)
+    dim = len(seeds[0][1])
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible into {n_sub} subspaces")
+    d = dim // n_sub
+    return [[vec[j * d : (j + 1) * d] for _, vec in seeds] for j in range(n_sub)]
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ encoding: per subspace j, code_j = argmin_c ‖v_j − c‖², computed
+    as argmax(dot(v_j, c) − ‖c‖²/2) — the codeword half-norms are driver
+    literals, so each subspace costs n_codes interpreted dot-folds and the
+    whole encode is a narrow PROJECTION (zero joins, zero shuffle): at
+    100 TB the corpus compresses to n_sub small ints per row (here 4×4
+    bits vs 64 floats, 64× less state to ship) in one scan. Ties break to
+    the lowest code (array_position first-occurrence)."""
+    d = len(books[0][0])
+    out = corpus.withColumn("_vd", _as_double(vec_col))
+    for j, book in enumerate(books):
+        half_norms = [0.5 * sum(x * x for x in cw) for cw in book]
+        sub = F.slice("_vd", j * d + 1, d)
+        out = out.withColumn(f"_s{j}", sub)
+        def _score(jj: int, hn: list[float]):
+            # Bind the loop variables via a factory — a default-arg lambda
+            # would change the HOF arity PySpark infers from the signature.
+            return lambda cw, i: _dot(F.col(f"_s{jj}"), cw) - F.element_at(
+                F.lit(hn), i + 1
+            )
+
+        scores = F.transform(F.lit(book), _score(j, half_norms))
+        out = out.withColumn(f"_sc{j}", scores).withColumn(
+            f"code_{j}",
+            (F.array_position(f"_sc{j}", F.array_max(f"_sc{j}")) - 1).cast("int"),
+        )
+    drop = ["_vd"] + [f"_s{j}" for j in range(len(books))] + [
+        f"_sc{j}" for j in range(len(books))
+    ]
+    return out.drop(*drop)
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance inner-product search over PQ codes: the exact
+    query vector scores each corpus row as Σ_j dot(q_j, codeword_{j,
+    code_j}) — the summation chain is explicit left-to-right so Spark and
+    the SQL oracle add in the same order (float-parity discipline). The
+    scan streams (id, 4 codes) instead of raw vectors — the ADC pass over
+    a 100 TB corpus touches the compressed table only; queries broadcast,
+    per-query top-k prunes map-side (WindowGroupLimit, plan-gated)."""
+    enc = pq_encode(corpus, books, vec_col, id_col).select(
+        id_col, *[f"code_{j}" for j in range(len(books))]
+    )
+    d = len(books[0][0])
+    q = queries.select(F.col(query_id_col), _as_double(vec_col).alias("_qv"))
+    joined = enc.join(F.broadcast(q))
+    adc = None
+    for j, book in enumerate(books):
+        term = _dot(
+            F.slice("_qv", j * d + 1, d),
+            F.element_at(F.lit(book), F.col(f"code_{j}") + 1),
+        )
+        adc = term if adc is None else adc + term
+    w = W.partitionBy(query_id_col).orderBy(F.col("_adc").desc(), F.col(id_col))
+    return (
+        joined.withColumn("_adc", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, F.round("_adc", 4).alias("adc_sim"))
+    )
+
+
+def pq_codebooks_trained(
+    corpus: DataFrame,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_train: int = 16384,
+    lloyd_iters: int = 8,
+) -> list[list[list[float]]]:
+    """Trained PQ codebooks: per-subspace k-means over the same bounded
+    deterministic hash-sample `_centroids` uses (ONE TakeOrderedAndProject
+    job, then numpy driver-side — the FAISS training shape). Better
+    quantization than the hash-seeded slices (`pq_codebooks`) at the cost
+    of SQL-replayability: search under trained books is the quality path,
+    the seeded twin is the oracle-checkable one (the q27/q56 duality,
+    applied to compression). Seeds are the first n_codes sample rows;
+    emptied cells keep their previous codeword so code ids stay dense."""
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("cv"))
+        .orderBy(F.xxhash64("_id"), F.col("_id"))
+        .limit(max_train)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("PQ training: corpus is empty")
+    X = np.array([list(r["cv"]) for r in rows], dtype="float64")
+    dim = X.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible into {n_sub} subspaces")
+    d = dim // n_sub
+    n_codes = min(n_codes, len(rows))
+    books = []
+    for j in range(n_sub):
+        S = X[:, j * d : (j + 1) * d]
+        C = S[:n_codes].copy()
+        for _ in range(lloyd_iters):
+            assign = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+            for c in range(n_codes):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append([[float(x) for x in row] for row in C])
+    return books

@@ -2167,6 +2167,82 @@ ORDER BY d.doc_id
 """
 
 
+def q97_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (north star: the COMPRESSED ANN
+    scale path — at 100 TB the scored relation is (id, 4 codes), 64×
+    smaller than raw vectors). Codebooks are subspace slices of the
+    hash-seeded sample (operators/similarity.pq_codebooks), so encoding
+    (per-subspace argmin), asymmetric scoring, and top-k all replay in
+    the SQL oracle — the q56 argument applied to compression. Explicit
+    left-to-right summation chain on both sides for float parity."""
+    from ..operators.similarity import pq_adc_topk, pq_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    books = pq_codebooks(corpus, n_sub=4, n_codes=16)
+    return pq_adc_topk(corpus, queries, books, k=5).orderBy("query_id", "rank")
+
+
+# Replays pq_codebooks (same md5-slice seed order as _Q56_SQL, sliced into
+# 4 subspaces), pq_encode (argmin ‖v_j−c‖² as argmax(dot − ‖c‖²/2), ties
+# to the lowest code), and the ADC sum with the SAME left-to-right
+# addition order as the Spark chain (the single-row max(CASE) pivot keeps
+# each addend exact).
+_Q97_SQL = """
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= 5
+), seeds AS (
+  SELECT row_number() OVER (
+           ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                    vec_id
+         ) - 1 AS code,
+         v AS cv
+  FROM c
+  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT, vec_id
+  LIMIT 16
+), books AS (
+  SELECT s.code, t.j, list_slice(s.cv, t.j*16 + 1, t.j*16 + 16) AS cw
+  FROM seeds s CROSS JOIN range(4) t(j)
+), enc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT c.vec_id, b.j, b.code,
+           row_number() OVER (
+             PARTITION BY c.vec_id, b.j
+             ORDER BY list_dot_product(list_slice(c.v, b.j*16 + 1, b.j*16 + 16), b.cw)
+                      - 0.5 * list_dot_product(b.cw, b.cw) DESC,
+                      b.code ASC
+           ) AS rn
+    FROM c CROSS JOIN books b
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), terms AS (
+  SELECT q.query_id, e.vec_id, e.j,
+         list_dot_product(list_slice(q.qv, e.j*16 + 1, e.j*16 + 16), b.cw) AS d
+  FROM q CROSS JOIN enc e JOIN books b ON b.j = e.j AND b.code = e.code
+), adc AS (
+  SELECT query_id, vec_id,
+         ((max(CASE WHEN j = 0 THEN d END)
+           + max(CASE WHEN j = 1 THEN d END))
+           + max(CASE WHEN j = 2 THEN d END))
+           + max(CASE WHEN j = 3 THEN d END) AS a
+  FROM terms GROUP BY query_id, vec_id
+)
+SELECT query_id, rank, vec_id, adc_sim FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY a DESC, vec_id) AS rank,
+         round(a, 4) AS adc_sim
+  FROM adc
+) WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -2212,6 +2288,7 @@ QUERIES = {
     "q94_exact_k_sample": q94_exact_k_sample,
     "q95_diversity_cap_sample": q95_diversity_cap_sample,
     "q96_bloom_novelty": q96_bloom_novelty,
+    "q97_pq_adc_topk": q97_pq_adc_topk,
 }
 
 ORACLES = {
@@ -2259,4 +2336,5 @@ ORACLES = {
     "q94_exact_k_sample": _Q94_SQL,
     "q95_diversity_cap_sample": _Q95_SQL,
     "q96_bloom_novelty": _Q96_SQL,
+    "q97_pq_adc_topk": _Q97_SQL,
 }

@@ -108,6 +108,8 @@ HEADLINE = [
     "q93_canonical_dedup",
     "q94_exact_k_sample",
     "q95_diversity_cap_sample",
+    "q96_bloom_novelty",
+    "q97_pq_adc_topk",
 ]
 
 

@@ -248,3 +248,17 @@ def test_q95_diversity_cap_prunes_topk_map_side(spark, sf_dir, qs):
     import re as _re
 
     assert _re.search(r"WindowGroupLimit .*row_number\(\), 10, Partial", plan), plan
+
+
+def test_q97_pq_adc_scores_compressed_rows_map_side(spark, sf_dir, qs):
+    """PQ encode must ride the scan as a projection (no join/shuffle
+    before the broadcast of the query set), and the per-query top-k must
+    prune map-side (partial WindowGroupLimit) so only ≤ k rows per query
+    per task reach the single hash exchange."""
+    plan = _final_plan(qs["q97_pq_adc_topk"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # query set broadcast, corpus streams
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    import re as _re
+
+    assert _re.search(r"WindowGroupLimit .*row_number\(\), 5, Partial", plan), plan
