@@ -113,3 +113,53 @@ def test_quality_and_text_on_empty(spark):
     assert quality_filter(docs).count() == 0
     assert repetition_metrics(docs).count() == 0
     assert token_entropy(docs).count() == 0
+
+
+def test_round4_ops_on_empty(spark, sf_dir):
+    """canonical_dedup / exact_k_sample / bloom_novelty_filter /
+    diversity_cap / pq_encode on zero input rows: empty result, no
+    crash. Empty CORPUS sides that seed driver literals (centroids,
+    codebooks, bloom) raise a clear error or degrade per contract."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from airflow_spotify_etl_spark.operators.dedup import (
+        bloom_novelty_filter,
+        canonical_dedup,
+    )
+    from airflow_spotify_etl_spark.operators.sampling import exact_k_sample
+    from airflow_spotify_etl_spark.operators.similarity import (
+        diversity_cap,
+        hash_seed_centroids,
+        pq_codebooks,
+        pq_encode,
+    )
+    from airflow_spotify_etl_spark.sources.files import load_table
+
+    docs = _empty_docs(spark)
+    assert canonical_dedup(docs).count() == 0
+    assert exact_k_sample(docs, 10).count() == 0
+
+    some = load_table(spark, sf_dir, "documents").limit(20)
+    # empty delta → nothing novel; empty corpus → everything novel
+    assert bloom_novelty_filter(some, docs).count() == 0
+    assert bloom_novelty_filter(docs.limit(0), docs).count() == 0
+    # empty corpus still builds a valid (all-zero) bloom: all delta novel
+    assert bloom_novelty_filter(docs, some).count() == 20
+
+    emb_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    empty_emb = spark.createDataFrame([], emb_schema)
+    emb = load_table(spark, sf_dir, "embeddings").limit(20)
+    cents = hash_seed_centroids(emb, nlist=4)
+    assert diversity_cap(empty_emb, cents, m=3).count() == 0
+    books = pq_codebooks(emb, n_sub=4, n_codes=8)
+    assert pq_encode(empty_emb, books).count() == 0
+    with _pytest.raises(ValueError):
+        hash_seed_centroids(empty_emb, nlist=4)
+    with _pytest.raises(ValueError):
+        pq_codebooks(empty_emb)
