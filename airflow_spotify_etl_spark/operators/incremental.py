@@ -33,6 +33,7 @@ __all__ = [
     "scd2_runs",
     "scd2_apply_delta",
     "snapshot_diff",
+    "gap_fill_hourly",
 ]
 
 
@@ -203,3 +204,41 @@ def scd2_apply_delta(
         )
     )
     return updated_current.unionByName(new_runs)
+
+
+def gap_fill_hourly(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-filled hourly rollup with last-observation-carried-forward —
+    the hypertable ``time_bucket_gapfill + locf`` shape: every hour
+    between the stream's first and last event appears exactly once;
+    silent hours get n_events = 0 and carry the last known hourly average
+    forward (leading gaps stay NULL — there is nothing to carry).
+
+    Scale shape: the only stream-sized work is the hourly aggregate (one
+    exchange on the bounded hour key; DECIMAL sum so the average is
+    order-independent across partitions — float-parity discipline). The
+    spine explodes sequence(min, max, 1 hour) from a 1-row bounds
+    aggregate; spine ⋈ hourly and the LOCF window run on HOUR-cardinality
+    relations (≈ 8.8k rows/year), never the stream. The unpartitioned
+    LOCF window is deliberate and bounded; at multi-year scale partition
+    it by year and stitch the boundary value in a second tiny pass."""
+    dec = F.col(value_col).cast("decimal(18,2)")
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col(ts_col)).alias("hour_ts")
+    ).agg(
+        F.count("*").alias("n_events"),
+        (F.sum(dec).cast("double") / F.count(value_col)).alias("_avg"),
+    )
+    bounds = hourly.agg(F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_ts")
+    )
+    w = W.orderBy("hour_ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return spine.join(hourly, "hour_ts", "left").select(
+        "hour_ts",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.round(F.last("_avg", ignorenulls=True).over(w), 4).alias("avg_value_locf"),
+    )

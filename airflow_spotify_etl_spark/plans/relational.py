@@ -1984,6 +1984,51 @@ ORDER BY "check"
 """
 
 
+def q98_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly time-series rollup with last-observation-carried-
+    forward — the hypertable ``time_bucket_gapfill + locf`` shape: hours
+    with no purchase events still appear (n_events = 0) and carry the
+    last known hourly average forward.
+
+    Scale shape: the ONLY corpus-sized work is the hourly aggregate (one
+    exchange on the bounded hour key, decimal sum for order-independent
+    float parity — the q03 discipline). The spine is sequence(min, max,
+    1 hour) exploded from a 1-row bounds aggregate; the spine⋈hourly left
+    join and the LOCF window both run on HOUR-cardinality relations
+    (≈ 720 rows/month), never the event stream — the unpartitioned LOCF
+    window is deliberate and bounded (at multi-year scale, partition it
+    by year and carry the year-boundary value in a second tiny pass)."""
+    from ..operators.incremental import gap_fill_hourly
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return gap_fill_hourly(ev).orderBy("hour_ts")
+
+
+_Q98_SQL = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour_ts,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS a
+  FROM events
+  WHERE event_type = 'purchase'
+  GROUP BY 1
+), b AS (
+  SELECT min(hour_ts) AS lo, max(hour_ts) AS hi FROM h
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts FROM b
+)
+SELECT s.hour_ts,
+       coalesce(h.n_events, 0) AS n_events,
+       round(last_value(h.a IGNORE NULLS) OVER (
+         ORDER BY s.hour_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 4) AS avg_value_locf
+FROM spine s LEFT JOIN h USING (hour_ts)
+ORDER BY hour_ts
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -2029,6 +2074,7 @@ QUERIES = {
     "q88_market_share": q88_market_share,
     "q89_integrity_audit": q89_integrity_audit,
     "q91_temporal_dim_lookup": q91_temporal_dim_lookup,
+    "q98_gap_fill_hourly": q98_gap_fill_hourly,
 }
 
 ORACLES = {
@@ -2076,4 +2122,5 @@ ORACLES = {
     "q88_market_share": _Q88_SQL,
     "q89_integrity_audit": _Q89_SQL,
     "q91_temporal_dim_lookup": _Q91_SQL,
+    "q98_gap_fill_hourly": _Q98_SQL,
 }

@@ -110,6 +110,7 @@ HEADLINE = [
     "q95_diversity_cap_sample",
     "q96_bloom_novelty",
     "q97_pq_adc_topk",
+    "q98_gap_fill_hourly",
 ]
 
 

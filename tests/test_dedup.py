@@ -303,3 +303,22 @@ def test_bloom_novelty_gates_join_to_candidates(spark):
     # might-contain candidates must be a small fraction of the batch.
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan or "left_anti" in plan
+
+
+def test_canonical_dedup_survives_hot_canonical_key(spark):
+    """Planted skew: 5k docs collapsing to ONE canonical hash (the
+    all-boilerplate corpus). The keeper window exchange carries only the
+    narrow (id, source, hash) projection, so a hot key is rows of ~50
+    bytes, not documents — the operator must stay correct: one canonical
+    form, one global keeper, everything else dropped."""
+    from airflow_spotify_etl_spark.operators.dedup import canonical_dedup
+
+    df = spark.createDataFrame(
+        [(i, f"  SAME   boilerplate!! {'' if True else i}", f"s{i % 4}") for i in range(5000)],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in canonical_dedup(df).collect()}
+    assert sum(r.n_docs for r in got.values()) == 5000
+    assert all(r.n_canonical == 1 for r in got.values())
+    assert sum(r.n_kept for r in got.values()) == 1  # one global keeper
+    assert got["s0"].n_kept == 1  # doc_id 0 lives in source s0

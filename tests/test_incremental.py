@@ -281,3 +281,26 @@ def test_token_budget_select_no_global_window_over_data(spark):
         if "Window" in ln and "_cum_local" in ln
     ]
     assert data_windows and all("_pid" in ln for ln in data_windows), plan
+
+
+def test_gap_fill_hourly_locf_and_zero_counts(spark):
+    """Planted 2-hour gap: the silent hours appear with n_events=0 and
+    carry the last hourly average; a leading gap cannot exist (spine
+    starts at the first event); averages are exact decimal/count."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.operators.incremental import gap_fill_hourly
+
+    rows = [
+        (datetime(2024, 3, 1, 10, 15), 10.0),
+        (datetime(2024, 3, 1, 10, 45), 20.0),
+        # hours 11 and 12 silent
+        (datetime(2024, 3, 1, 13, 5), 7.0),
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = {r.hour_ts.hour: r for r in gap_fill_hourly(ev).collect()}
+    assert sorted(got) == [10, 11, 12, 13]
+    assert got[10].n_events == 2 and got[10].avg_value_locf == 15.0
+    assert got[11].n_events == 0 and got[11].avg_value_locf == 15.0
+    assert got[12].n_events == 0 and got[12].avg_value_locf == 15.0
+    assert got[13].n_events == 1 and got[13].avg_value_locf == 7.0
