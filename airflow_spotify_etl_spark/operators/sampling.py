@@ -32,6 +32,7 @@ __all__ = [
     "epoch_mixture",
     "token_budget_select",
     "exact_k_sample",
+    "weighted_exact_k_sample",
 ]
 
 _BUCKETS = 10_000
@@ -267,3 +268,40 @@ def exact_k_sample(
     salts draw independent samples. Adds the hash as column ``h``."""
     h = _h32(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     return df.withColumn("h", h).orderBy("h", F.col(id_col)).limit(k)
+
+
+def weighted_exact_k_sample(
+    df: DataFrame,
+    k: int,
+    weight_col,
+    id_col: str = "doc_id",
+    salt: str = "wek",
+) -> DataFrame:
+    """Exact-size-k WEIGHTED sampling without replacement — the
+    Efraimidis–Spirakis A-ES scheme (Inf. Process. Lett. 97(5), 2006):
+    each row draws u ∈ (0, 1] and competes with key u^(1/w); the k
+    largest keys are a weighted-without-replacement sample. Rate-based
+    `weighted_sample` hits its size only in expectation and samples WITH
+    independent Bernoulli draws; this nails the budget exactly with
+    inclusion probability ∝ weight.
+
+    Determinized like every sampler here: u = (h32(salt‖id) + 1) / 2^32 —
+    content-addressed, reproducible on any cluster, and replayable by the
+    DuckDB oracle (plans/llm.py q99). Rows with weight ≤ 0 or NULL never
+    compete. ORDER BY key LIMIT k plans as TakeOrderedAndProject
+    (per-partition heaps, no global sort, no exchange — the q94 shape),
+    so the 100 TB weighted draw is one narrow pass. pow() is IEEE-double
+    on both engines; a rank flip would need two keys within 1 ulp —
+    continuous-weight measure zero (the q56 float-discipline argument)."""
+    w = weight_col if not isinstance(weight_col, str) else F.col(weight_col)
+    wd = w.cast("double")
+    u = (_h32(F.concat(F.lit(salt), F.col(id_col).cast("string"))) + F.lit(1)) / F.lit(
+        float(2**32)
+    )
+    key = F.pow(u, F.lit(1.0) / wd)
+    return (
+        df.filter(wd > 0)
+        .withColumn("es_key", key)
+        .orderBy(F.col("es_key").desc(), F.col(id_col))
+        .limit(k)
+    )

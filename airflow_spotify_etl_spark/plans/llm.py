@@ -2243,6 +2243,42 @@ ORDER BY query_id, rank
 """
 
 
+def q99_weighted_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size-k weighted-without-replacement sample (Efraimidis–
+    Spirakis A-ES) of documents, weight = n_chars — "exactly 100 docs,
+    longer docs proportionally likelier". Plans as TakeOrderedAndProject
+    over a narrow projection: zero exchanges (plan-gated with q94). The
+    hash-determinized competition keys replay in SQL, so the draw itself
+    is oracle-checked, not just its size."""
+    from ..operators.sampling import weighted_exact_k_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = weighted_exact_k_sample(
+        docs.select("doc_id", "source", "n_chars"), k=100, weight_col="n_chars"
+    )
+    return out.select(
+        "doc_id", "source", "n_chars", F.round("es_key", 6).alias("es_key")
+    )
+
+
+_Q99_SQL = """
+SELECT doc_id, source, n_chars,
+       round(power(
+         ((('0x' || substr(md5('wek' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+           / 4294967296.0),
+         1.0 / CAST(n_chars AS DOUBLE)
+       ), 6) AS es_key
+FROM documents
+WHERE CAST(n_chars AS DOUBLE) > 0
+ORDER BY power(
+         ((('0x' || substr(md5('wek' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+           / 4294967296.0),
+         1.0 / CAST(n_chars AS DOUBLE)
+       ) DESC, doc_id
+LIMIT 100
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -2289,6 +2325,7 @@ QUERIES = {
     "q95_diversity_cap_sample": q95_diversity_cap_sample,
     "q96_bloom_novelty": q96_bloom_novelty,
     "q97_pq_adc_topk": q97_pq_adc_topk,
+    "q99_weighted_exact_k": q99_weighted_exact_k,
 }
 
 ORACLES = {
@@ -2337,4 +2374,5 @@ ORACLES = {
     "q95_diversity_cap_sample": _Q95_SQL,
     "q96_bloom_novelty": _Q96_SQL,
     "q97_pq_adc_topk": _Q97_SQL,
+    "q99_weighted_exact_k": _Q99_SQL,
 }

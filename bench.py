@@ -111,6 +111,7 @@ HEADLINE = [
     "q96_bloom_novelty",
     "q97_pq_adc_topk",
     "q98_gap_fill_hourly",
+    "q99_weighted_exact_k",
 ]
 
 

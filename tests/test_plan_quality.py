@@ -222,9 +222,10 @@ def test_q94_exact_k_sample_is_shuffle_free_topk(spark, sf_dir, qs):
     """ORDER BY hash LIMIT k must plan as TakeOrderedAndProject —
     per-partition heaps + bounded merge — with NO exchange anywhere: the
     100 TB sample is one narrow pass over the scan."""
-    plan = _final_plan(qs["q94_exact_k_sample"](spark, sf_dir))
-    assert "TakeOrderedAndProject" in plan
-    assert "Exchange" not in plan, plan
+    for name in ("q94_exact_k_sample", "q99_weighted_exact_k"):
+        plan = _final_plan(qs[name](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Exchange" not in plan, (name, plan)
 
 
 def test_q93_canonical_dedup_shuffles_hash_not_text(spark, sf_dir, qs):

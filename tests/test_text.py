@@ -210,3 +210,19 @@ def test_exact_k_sample_size_prefix_determinism(spark, sf_dir):
     assert again == s10
     other = {r.doc_id for r in exact_k_sample(docs, 10, salt="x").select("doc_id").collect()}
     assert other != set(s10)
+
+
+def test_weighted_exact_k_sample_properties(spark):
+    """Exactly k rows; non-positive weights never compete; heavy weights
+    dominate the draw (A-ES inclusion ∝ weight: u^(1/huge) ≈ 1 beats
+    u^(1/tiny) ≈ 0 for any hash draw); reruns identical."""
+    from airflow_spotify_etl_spark.operators.sampling import weighted_exact_k_sample
+
+    rows = [(i, 1e6) for i in range(50)] + [(100 + i, 1e-3) for i in range(450)]
+    rows += [(9000, 0.0), (9001, -5.0), (9002, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_exact_k_sample(df, 40, "w").collect()
+    assert len(out) == 40
+    assert all(r.doc_id < 50 for r in out)  # heavy class sweeps the draw
+    again = weighted_exact_k_sample(df, 40, "w").collect()
+    assert [r.doc_id for r in again] == [r.doc_id for r in out]
