@@ -39,6 +39,7 @@ __all__ = [
     "pq_codebooks_trained",
     "pq_encode",
     "pq_adc_topk",
+    "ivf_pq_topk",
 ]
 
 _SEED = 42
@@ -664,3 +665,64 @@ def pq_codebooks_trained(
                     C[c] = members.mean(axis=0)
         books.append([[float(x) for x in row] for row in C])
     return books
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    books: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ: the production ANN composition (FAISS IVFx,PQy) — IVF cell
+    pruning bounds WHICH rows are scored (nprobe/nlist of the corpus via
+    partition pruning at scale), PQ/ADC bounds WHAT is read per row (4
+    int codes, not raw vectors). Both stages are the audited narrow
+    projections (`_assign_cells`, `pq_encode`); the probe set broadcasts;
+    per-query top-k prunes map-side. Under hash-seeded centroids and
+    codebooks the ENTIRE composition replays in SQL (plans/llm.py q100).
+
+    At 100 TB the encoded+assigned table is the STORED index: (id, cell,
+    codes) written partitioned by cell — a query touches nprobe
+    partitions of a table ~64× narrower than the corpus."""
+    enc = pq_encode(corpus, books, vec_col, id_col)
+    assigned = _assign_cells(enc, centroids, vec_col, id_col).select(
+        id_col, "cell", *[f"code_{j}" for j in range(len(books))]
+    )
+
+    # nprobe closest cells per query — identical selection (and tie-break:
+    # sim DESC, cell DESC) to ivf_search, so q56's oracle argument carries.
+    qv = _as_double(vec_col)
+    qscored = F.transform(
+        _unit_mat(centroids),
+        lambda cv, i: F.struct(
+            _dot(F.col("_qv"), cv).alias("sim"),
+            i.alias("cell"),
+        ),
+    )
+    probes = F.slice(F.reverse(F.array_sort(qscored)), 1, nprobe)
+    qcells = (
+        queries.select(F.col(query_id_col), qv.alias("_qv"))
+        .withColumn("cell", F.explode(F.transform(probes, lambda s: s["cell"])))
+    )
+
+    joined = assigned.join(F.broadcast(qcells), "cell")
+    d = len(books[0][0])
+    adc = None
+    for j, book in enumerate(books):
+        term = _dot(
+            F.slice("_qv", j * d + 1, d),
+            F.element_at(F.lit(book), F.col(f"code_{j}") + 1),
+        )
+        adc = term if adc is None else adc + term
+    w = W.partitionBy(query_id_col).orderBy(F.col("_adc").desc(), F.col(id_col))
+    return (
+        joined.withColumn("_adc", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, F.round("_adc", 4).alias("adc_sim"))
+    )

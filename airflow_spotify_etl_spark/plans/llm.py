@@ -2279,6 +2279,112 @@ LIMIT 100
 """
 
 
+def q100_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN search (the FAISS IVF16,PQ4 production composition):
+    IVF cell pruning bounds WHICH rows score (nprobe=4 of 16 cells —
+    partition pruning at scale), PQ/ADC bounds WHAT each row costs (4 int
+    codes, 64× narrower than raw vectors). Centroids AND codebooks are
+    hash-seeded from the same portable sample, so seeding, assignment,
+    probe selection, encoding, ADC, and top-k ALL replay in the SQL
+    oracle — the capstone of the q56/q97 oracle-checkable-ANN argument."""
+    from ..operators.similarity import (
+        hash_seed_centroids,
+        ivf_pq_topk,
+        pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cents = hash_seed_centroids(corpus, nlist=16)
+    books = pq_codebooks(corpus, n_sub=4, n_codes=16)
+    return ivf_pq_topk(corpus, queries, cents, books, k=5, nprobe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
+# Composes the proven fragments: _Q56_SQL's seeds/cents/assignment/probes
+# (assignment ties → LOWEST cell, probe ties → HIGHEST cell) with
+# _Q97_SQL's books/encoding/ADC pivot (explicit left-assoc addition).
+_Q100_SQL = """
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= 5
+), seeds AS (
+  SELECT row_number() OVER (
+           ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                    vec_id
+         ) - 1 AS cell,
+         v AS cv
+  FROM c
+  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT, vec_id
+  LIMIT 16
+), cents AS (
+  SELECT cell,
+         list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS u
+  FROM seeds
+), books AS (
+  SELECT s.cell AS code, t.j, list_slice(s.cv, t.j*16 + 1, t.j*16 + 16) AS cw
+  FROM seeds s CROSS JOIN range(4) t(j)
+), assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT c.vec_id, c.v, cents.cell,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY list_dot_product(c.v, cents.u) DESC, cents.cell ASC
+           ) AS rn
+    FROM c CROSS JOIN cents
+  ) WHERE rn = 1
+), enc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT c.vec_id, b.j, b.code,
+           row_number() OVER (
+             PARTITION BY c.vec_id, b.j
+             ORDER BY list_dot_product(list_slice(c.v, b.j*16 + 1, b.j*16 + 16), b.cw)
+                      - 0.5 * list_dot_product(b.cw, b.cw) DESC,
+                      b.code ASC
+           ) AS rn
+    FROM c CROSS JOIN books b
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, cents.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qv, cents.u) DESC, cents.cell DESC
+           ) AS rn
+    FROM q CROSS JOIN cents
+  ) WHERE rn <= 4
+), terms AS (
+  SELECT p.query_id, a.vec_id, e.j,
+         list_dot_product(list_slice(p.qv, e.j*16 + 1, e.j*16 + 16), b.cw) AS d
+  FROM probes p
+  JOIN assigned a USING (cell)
+  JOIN enc e ON e.vec_id = a.vec_id
+  JOIN books b ON b.j = e.j AND b.code = e.code
+), adc AS (
+  SELECT query_id, vec_id,
+         ((max(CASE WHEN j = 0 THEN d END)
+           + max(CASE WHEN j = 1 THEN d END))
+           + max(CASE WHEN j = 2 THEN d END))
+           + max(CASE WHEN j = 3 THEN d END) AS a
+  FROM terms GROUP BY query_id, vec_id
+)
+SELECT query_id, rank, vec_id, adc_sim FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY a DESC, vec_id) AS rank,
+         round(a, 4) AS adc_sim
+  FROM adc
+) WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -2326,6 +2432,7 @@ QUERIES = {
     "q96_bloom_novelty": q96_bloom_novelty,
     "q97_pq_adc_topk": q97_pq_adc_topk,
     "q99_weighted_exact_k": q99_weighted_exact_k,
+    "q100_ivf_pq_search": q100_ivf_pq_search,
 }
 
 ORACLES = {
@@ -2375,4 +2482,5 @@ ORACLES = {
     "q96_bloom_novelty": _Q96_SQL,
     "q97_pq_adc_topk": _Q97_SQL,
     "q99_weighted_exact_k": _Q99_SQL,
+    "q100_ivf_pq_search": _Q100_SQL,
 }

@@ -112,6 +112,7 @@ HEADLINE = [
     "q97_pq_adc_topk",
     "q98_gap_fill_hourly",
     "q99_weighted_exact_k",
+    "q100_ivf_pq_search",
 ]
 
 

@@ -263,3 +263,17 @@ def test_q97_pq_adc_scores_compressed_rows_map_side(spark, sf_dir, qs):
     import re as _re
 
     assert _re.search(r"WindowGroupLimit .*row_number\(\), 5, Partial", plan), plan
+
+
+def test_q100_ivf_pq_streams_codes_through_broadcast_probe(spark, sf_dir, qs):
+    """The composed index scan must stay narrow: assignment + encoding
+    ride the scan as projections (no join before the probe broadcast),
+    and the only hash exchange is the per-query top-k window with its
+    partial WindowGroupLimit below it."""
+    plan = _final_plan(qs["q100_ivf_pq_search"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # probe join keyed on cell
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    import re as _re
+
+    assert _re.search(r"WindowGroupLimit .*row_number\(\), 5, Partial", plan), plan

