@@ -732,6 +732,7 @@ def bloom_novelty_filter(
     m_bits: int = 1 << 16,
     j_hashes: int = 4,
     salt: str = "bloom",
+    corpus_hash_col: str | None = None,
 ) -> DataFrame:
     """Bloom-gated incremental exact dedup: which delta docs are NOVEL
     (content hash absent from the stored corpus)?
@@ -764,14 +765,22 @@ def bloom_novelty_filter(
     is exactly what lets a fixed SQL oracle (plans/llm.py q96) check the
     whole operator."""
     ch = F.md5(F.col(text_col))
+    # With corpus_hash_col, the stored side is already a hash TABLE (the
+    # streaming ingest shape, streaming/novelty.py) — no text re-hash.
+    corpus_ch = F.col(corpus_hash_col) if corpus_hash_col else ch
 
-    def pos(i: int):
+    def pos(i: int, of=None):
         return F.pmod(
-            _h32(F.concat(F.lit(f"{salt}{i}:"), ch)), F.lit(m_bits)
+            _h32(F.concat(F.lit(f"{salt}{i}:"), ch if of is None else of)),
+            F.lit(m_bits),
         )
 
     words = (
-        corpus.select(F.explode(F.array(*[pos(i) for i in range(j_hashes)])).alias("pos"))
+        corpus.select(
+            F.explode(
+                F.array(*[pos(i, corpus_ch) for i in range(j_hashes)])
+            ).alias("pos")
+        )
         .select(
             F.shiftright("pos", 6).cast("int").alias("word"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias("bit"),
@@ -804,7 +813,7 @@ def bloom_novelty_filter(
     probe = delta.withColumn("_mc", might_contain_all())
     definitely_new = probe.filter(~F.col("_mc")).drop("_mc")
     candidates = probe.filter(F.col("_mc")).drop("_mc")
-    corpus_hashes = corpus.select(ch.alias("_ch")).distinct()
+    corpus_hashes = corpus.select(corpus_ch.alias("_ch")).distinct()
     confirmed_new = candidates.withColumn("_ch", ch).join(
         corpus_hashes, "_ch", "left_anti"
     ).drop("_ch")

@@ -424,3 +424,40 @@ def test_scd2_store_existence_probe():
         with_marker.mkdir()
         (with_marker / "_SUCCESS").touch()
         assert _store_exists(str(with_marker))
+
+
+def test_novelty_ingest_admits_each_content_once(spark, tmp_path):
+    """Three drains: within-batch dups collapse, cross-batch dups are
+    rejected by the stored hash table, a drain with no new input changes
+    nothing, and the store holds exactly one hash per admitted doc."""
+    from airflow_spotify_etl_spark.streaming.novelty import run_novelty_ingest
+
+    doc_schema = "doc_id long, text string"
+    src = str(tmp_path / "docs_src")
+    store = str(tmp_path / "hash_store")
+    novel = str(tmp_path / "novel_out")
+    ckpt = str(tmp_path / "novel_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(doc_schema).parquet(src)
+        run_novelty_ingest(spark, stream, store, novel, ckpt)
+
+    def write(rows):
+        spark.createDataFrame(rows, doc_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write([(1, "alpha"), (2, "beta"), (3, "alpha")])  # 3 dups 1 in-batch
+    drain()
+    got = {r.doc_id for r in spark.read.parquet(novel).collect()}
+    assert got == {1, 2}
+
+    write([(10, "beta"), (11, "gamma"), (12, "gamma")])
+    drain()
+    got = {r.doc_id for r in spark.read.parquet(novel).collect()}
+    assert got == {1, 2, 11}  # 10 dup-vs-store, 12 dup-in-batch
+
+    drain()  # nothing new arrived
+    assert {r.doc_id for r in spark.read.parquet(novel).collect()} == {1, 2, 11}
+    hashes = [r.ch for r in spark.read.parquet(store).collect()]
+    assert len(hashes) == 3 and len(set(hashes)) == 3
