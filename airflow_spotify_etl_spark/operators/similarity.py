@@ -40,6 +40,7 @@ __all__ = [
     "pq_encode",
     "pq_adc_topk",
     "ivf_pq_topk",
+    "ivf_pq_index_pandas",
 ]
 
 _SEED = 42
@@ -677,6 +678,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    index_impl: str = "hof",
 ) -> DataFrame:
     """IVF-PQ: the production ANN composition (FAISS IVFx,PQy) — IVF cell
     pruning bounds WHICH rows are scored (nprobe/nlist of the corpus via
@@ -686,13 +688,21 @@ def ivf_pq_topk(
     per-query top-k prunes map-side. Under hash-seeded centroids and
     codebooks the ENTIRE composition replays in SQL (plans/llm.py q100).
 
+    ``index_impl='pandas'`` builds the index via the bit-identical BLAS
+    twin (`ivf_pq_index_pandas`, ~2× warm at sf0.1) — the CLUSTER path
+    when the index is built in-query; the HOF default keeps the whole
+    plan in Catalyst expressions for the oracle.
+
     At 100 TB the encoded+assigned table is the STORED index: (id, cell,
     codes) written partitioned by cell — a query touches nprobe
     partitions of a table ~64× narrower than the corpus."""
-    enc = pq_encode(corpus, books, vec_col, id_col)
-    assigned = _assign_cells(enc, centroids, vec_col, id_col).select(
-        id_col, "cell", *[f"code_{j}" for j in range(len(books))]
-    )
+    if index_impl == "pandas":
+        assigned = ivf_pq_index_pandas(corpus, centroids, books, vec_col, id_col)
+    else:
+        enc = pq_encode(corpus, books, vec_col, id_col)
+        assigned = _assign_cells(enc, centroids, vec_col, id_col).select(
+            id_col, "cell", *[f"code_{j}" for j in range(len(books))]
+        )
 
     # nprobe closest cells per query — identical selection (and tie-break:
     # sim DESC, cell DESC) to ivf_search, so q56's oracle argument carries.
@@ -726,3 +736,49 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, F.round("_adc", 4).alias("adc_sim"))
     )
+
+
+def ivf_pq_index_pandas(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Arrow/numpy twin of the (assign + encode) index build: per Arrow
+    batch, ONE matmul against unit centroids (cell argmax) and one
+    distance matrix per subspace (code argmin) — the BLAS path for
+    building the stored (id, cell, codes) index at cluster scale, where
+    the interpreted HOF folds (nlist + n_sub·n_codes dots per row)
+    dominate the scan. Bit-identical to the HOF pair by the same
+    argument as assign_cells_pandas (ties: first argmax/argmin = lowest
+    cell/code); equivalence is pytest-pinned."""
+    n_sub = len(books)
+    d = len(books[0][0])
+    U = []
+    for cell, cv in sorted(centroids):
+        n = sum(x * x for x in cv) ** 0.5 or 1.0
+        U.append([float(x) / n for x in cv])
+    U = np.asarray(U, dtype="float64")
+    B = [np.asarray(b, dtype="float64") for b in books]
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(
+                pdf[vec_col].map(lambda x: np.asarray(x, dtype=np.float64)).values
+            )
+            out = {id_col: pdf[id_col].values,
+                   "cell": (V @ U.T).argmax(axis=1).astype("int32")}
+            for j in range(n_sub):
+                S = V[:, j * d : (j + 1) * d]
+                # argmin ||s-c||^2 == argmax (s.c - |c|^2/2): same matmul
+                # trick, same tie-break (first max) as the HOF fold.
+                scores = S @ B[j].T - 0.5 * (B[j] * B[j]).sum(axis=1)
+                out[f"code_{j}"] = scores.argmax(axis=1).astype("int32")
+            yield pd.DataFrame(out)
+
+    codes_schema = ", ".join(f"code_{j} int" for j in range(n_sub))
+    schema = f"{id_col} long, cell int, {codes_schema}"
+    return corpus.select(id_col, vec_col).mapInPandas(gen, schema)

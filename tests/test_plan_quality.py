@@ -232,6 +232,10 @@ def test_q93_canonical_dedup_shuffles_hash_not_text(spark, sf_dir, qs):
     """The keeper window exchanges on the uniform canonical hash over the
     narrow (id, source, hash) projection; unused columns never leave the
     scan, and the whole report is 2 hash exchanges + the output sort."""
+    # Another test may have cached a table this query reads; a cached scan
+    # (InMemoryTableScan) carries the full cached schema and would fail
+    # the pruning assertion for reasons unrelated to this plan.
+    spark.catalog.clearCache()
     plan = _final_plan(qs["q93_canonical_dedup"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert plan.count("Exchange rangepartitioning") == 1, plan

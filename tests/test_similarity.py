@@ -342,3 +342,27 @@ def test_ivf_pq_probe_all_equals_plain_adc(spark, emb):
     assert len(pruned) == 25
     for r in pruned:
         assert r.vec_id in cells  # every hit is a real corpus row
+
+
+def test_ivf_pq_pandas_index_matches_hof(spark, emb):
+    """The BLAS index build must agree with the HOF assignment+encoding
+    row-for-row (cells AND all subspace codes) — the
+    assign_cells_pandas equivalence argument extended to PQ."""
+    from airflow_spotify_etl_spark.operators.similarity import (
+        _assign_cells,
+        ivf_pq_index_pandas,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cents = hash_seed_centroids(corpus, nlist=8)
+    books = pq_codebooks(corpus, n_sub=4, n_codes=16)
+
+    hof = _assign_cells(
+        pq_encode(corpus, books), cents, "embedding", "vec_id"
+    ).select("vec_id", "cell", "code_0", "code_1", "code_2", "code_3")
+    pnd = ivf_pq_index_pandas(corpus, cents, books)
+    a = {tuple(r) for r in hof.collect()}
+    b = {tuple(r) for r in pnd.collect()}
+    assert a == b
