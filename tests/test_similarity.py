@@ -366,3 +366,37 @@ def test_ivf_pq_pandas_index_matches_hof(spark, emb):
     a = {tuple(r) for r in hof.collect()}
     b = {tuple(r) for r in pnd.collect()}
     assert a == b
+
+
+def test_stored_ann_index_prunes_partitions_and_matches_inmemory(spark, emb, tmp_path):
+    """The stored index must be cell-partitioned, the search must read
+    ONLY the probed cells (PartitionFilters on the parquet scan — the
+    physical 100 TB claim), and results must equal the in-memory IVF-PQ
+    composition exactly."""
+    from airflow_spotify_etl_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_codebooks,
+        search_ann_index,
+        write_ann_index,
+    )
+
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    q = _queries(emb)
+    cents = hash_seed_centroids(corpus, nlist=8)
+    books = pq_codebooks(corpus, n_sub=4, n_codes=16)
+    path = str(tmp_path / "ann_index")
+    write_ann_index(corpus, cents, books, path)
+
+    got = search_ann_index(spark, path, q, cents, books, k=5, nprobe=3)
+    want = ivf_pq_topk(corpus, q, cents, books, k=5, nprobe=3)
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w and len(g) == 25
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan, plan[:1500]
+    # The pruned scan lists only probed cell directories, never all 8.
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[cell#\d+ IN \(([^)]*)\)", plan)
+    assert m and len(m.group(1).split(",")) < 8, plan[:1500]
