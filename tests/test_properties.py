@@ -145,3 +145,66 @@ def test_chunk_dedup_invariants_on_random_corpora(spark, texts):
                 kept_chunks.append(c)
         want[i] = " ".join(kept_chunks)
     assert {r.doc_id: r.text_clean for r in rows} == want
+
+
+# Random corpora of short texts drawn from a small alphabet, so exact
+# duplicates across the corpus/delta split occur frequently.
+_texts = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=6),
+    min_size=1,
+    max_size=24,
+)
+
+
+@_slow
+@given(texts=_texts, cut=st.integers(min_value=0, max_value=24), m_bits=st.sampled_from([64, 4096]))
+def test_bloom_novelty_equals_plain_antijoin_on_random_corpora(
+    spark, texts, cut, m_bits
+):
+    """For every corpus/delta split and bloom size (including filters so
+    tiny they saturate), the bloom-gated result must equal the plain
+    content-hash anti-join — the q96 invariant, randomized."""
+    from airflow_spotify_etl_spark.operators.dedup import bloom_novelty_filter
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = df.filter(F.col("doc_id") < cut)
+    delta = df.filter(F.col("doc_id") >= cut)
+    if corpus.isEmpty():
+        want = {r.doc_id for r in delta.collect()}
+    else:
+        want = {
+            r.doc_id
+            for r in delta.join(
+                corpus.select(F.md5("text").alias("_ch")).distinct(),
+                F.md5(delta.text) == F.col("_ch"),
+                "left_anti",
+            ).collect()
+        }
+    got = {
+        r.doc_id
+        for r in bloom_novelty_filter(corpus, delta, m_bits=m_bits, j_hashes=3).collect()
+    }
+    assert got == want
+
+
+@_slow
+@given(texts=_texts)
+def test_canonical_dedup_accounting_invariants(spark, texts):
+    """On any corpus: per-source docs sum to the corpus, global kept
+    count equals the number of distinct canonical forms, and kept never
+    exceeds docs in any source."""
+    from airflow_spotify_etl_spark.operators.dedup import canonical_dedup
+    from airflow_spotify_etl_spark.operators.text import normalize_text
+
+    rows = [(i, t, f"s{i % 3}") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = canonical_dedup(df).collect()
+    n_forms = (
+        df.select(F.md5(normalize_text(F.col("text"))).alias("ch"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_docs for r in out) == len(rows)
+    assert sum(r.n_kept for r in out) == n_forms
+    assert all(0 <= r.n_kept <= r.n_docs for r in out)
