@@ -86,7 +86,12 @@ def canonical_dedup(
     minimum id, computed as a window over the hash — a uniform key, so the
     single data exchange is skew-free by construction, and only the narrow
     (hash, id, group) projection passes through it (the text itself never
-    shuffles). Returns per-``group_col`` keep/drop accounting."""
+    shuffles). Returns per-``group_col`` keep/drop accounting.
+
+    NULL text: md5(normalize(NULL)) is NULL in Spark AND the SQL oracle —
+    all NULL-text docs share one NULL-keyed window group (one keeper) but
+    are excluded from ``n_canonical`` (COUNT DISTINCT skips NULL), the
+    identical convention in both engines."""
     from .text import normalize_text
 
     n = df.select(
@@ -775,12 +780,17 @@ def bloom_novelty_filter(
             F.lit(m_bits),
         )
 
+    # NULL content hashes never enter the filter: md5(NULL) is NULL, a
+    # NULL position would reach the driver as arr[None]. SQL semantics
+    # (NOT EXISTS with NULL equality) treat a NULL-text doc as matching
+    # nothing, which the probe below mirrors.
     words = (
         corpus.select(
             F.explode(
                 F.array(*[pos(i, corpus_ch) for i in range(j_hashes)])
             ).alias("pos")
         )
+        .filter(F.col("pos").isNotNull())
         .select(
             F.shiftright("pos", 6).cast("int").alias("word"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias("bit"),
@@ -810,7 +820,13 @@ def bloom_novelty_filter(
             out = out & c
         return out
 
-    probe = delta.withColumn("_mc", might_contain_all())
+    # A NULL-text delta row makes _mc NULL, which both branch filters
+    # would drop — losing the row. NULL equals nothing in the exact
+    # anti-join's semantics, so it is NOVEL by definition: coalesce the
+    # probe to false and let it take the join-free branch.
+    probe = delta.withColumn(
+        "_mc", F.coalesce(might_contain_all(), F.lit(False))
+    )
     definitely_new = probe.filter(~F.col("_mc")).drop("_mc")
     candidates = probe.filter(F.col("_mc")).drop("_mc")
     corpus_hashes = corpus.select(corpus_ch.alias("_ch")).distinct()

@@ -322,3 +322,21 @@ def test_canonical_dedup_survives_hot_canonical_key(spark):
     assert all(r.n_canonical == 1 for r in got.values())
     assert sum(r.n_kept for r in got.values()) == 1  # one global keeper
     assert got["s0"].n_kept == 1  # doc_id 0 lives in source s0
+
+
+def test_bloom_novelty_null_text_rows_survive_as_novel(spark):
+    """NULL-text rows: NULL equals nothing in the anti-join's semantics,
+    so they are novel by definition — they must neither crash the bloom
+    build (md5(NULL) position) nor silently vanish from the probe."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from airflow_spotify_etl_spark.operators.dedup import bloom_novelty_filter
+
+    corpus = spark.createDataFrame(
+        [(1, "kept"), (2, None)], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [(10, "kept"), (11, None), (12, "fresh")], "doc_id long, text string"
+    )
+    got = {r.doc_id for r in bloom_novelty_filter(corpus, delta).collect()}
+    assert got == {11, 12}

@@ -163,3 +163,14 @@ def test_round4_ops_on_empty(spark, sf_dir):
         hash_seed_centroids(empty_emb, nlist=4)
     with _pytest.raises(ValueError):
         pq_codebooks(empty_emb)
+
+
+def test_gap_fill_on_empty_stream(spark):
+    from pyspark.sql import types as T
+
+    from airflow_spotify_etl_spark.operators.incremental import gap_fill_hourly
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("value", T.DoubleType())]
+    )
+    assert gap_fill_hourly(spark.createDataFrame([], schema)).count() == 0
