@@ -781,8 +781,15 @@ def ivf_pq_index_pandas(
                 out[f"code_{j}"] = scores.argmax(axis=1).astype("int32")
             yield pd.DataFrame(out)
 
-    codes_schema = ", ".join(f"code_{j} int" for j in range(n_sub))
-    schema = f"{id_col} long, cell int, {codes_schema}"
+    # Derive the id field from the input schema — hardcoding `long` would
+    # silently miscast any other id type (the quota_sample ADVICE lesson).
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    id_field = next(f for f in corpus.schema.fields if f.name == id_col)
+    schema = StructType(
+        [id_field, StructField("cell", IntegerType())]
+        + [StructField(f"code_{j}", IntegerType()) for j in range(n_sub)]
+    )
     return corpus.select(id_col, vec_col).mapInPandas(gen, schema)
 
 
@@ -848,8 +855,26 @@ def search_ann_index(
         probe_pairs += [(r[query_id_col], int(c), [float(x) for x in qv]) for c in order]
     cells = sorted({c for _, c, _ in probe_pairs})
 
+    # Probe relation schema follows the query id's actual type (no
+    # hardcoded long — the quota_sample ADVICE lesson).
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    qid_field = next(f for f in queries.schema.fields if f.name == query_id_col)
     qcells = spark.createDataFrame(
-        probe_pairs, f"{query_id_col} long, cell int, _qv array<double>"
+        probe_pairs,
+        StructType(
+            [
+                qid_field,
+                StructField("cell", IntegerType()),
+                StructField("_qv", ArrayType(DoubleType())),
+            ]
+        ),
     )
     idx = spark.read.parquet(path).filter(F.col("cell").isin(cells))
     joined = idx.join(F.broadcast(qcells), "cell")

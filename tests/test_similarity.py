@@ -400,3 +400,24 @@ def test_stored_ann_index_prunes_partitions_and_matches_inmemory(spark, emb, tmp
 
     m = _re.search(r"PartitionFilters: \[cell#\d+ IN \(([^)]*)\)", plan)
     assert m and len(m.group(1).split(",")) < 8, plan[:1500]
+
+
+def test_ann_index_and_pandas_encode_respect_string_ids(spark):
+    """String ids flow through the BLAS index build and the stored-index
+    search unchanged — the derived-schema contract (no hardcoded long)."""
+    from airflow_spotify_etl_spark.operators.similarity import (
+        hash_seed_centroids,
+        ivf_pq_index_pandas,
+        pq_codebooks,
+    )
+
+    corpus = spark.createDataFrame(
+        [(f"doc-{i}", [float((i * 7 + j) % 5) - 2.0 for j in range(8)]) for i in range(12)],
+        "vec_id string, embedding array<double>",
+    )
+    cents = hash_seed_centroids(corpus, nlist=4)
+    books = pq_codebooks(corpus, n_sub=2, n_codes=4)
+    idx = ivf_pq_index_pandas(corpus, cents, books)
+    assert dict(idx.dtypes)["vec_id"] == "string"
+    rows = idx.collect()
+    assert {r.vec_id for r in rows} == {f"doc-{i}" for i in range(12)}
