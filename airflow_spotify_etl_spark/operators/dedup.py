@@ -769,6 +769,8 @@ def bloom_novelty_filter(
     exact join, so the output equals a plain anti-join bit-for-bit — which
     is exactly what lets a fixed SQL oracle (plans/llm.py q96) check the
     whole operator."""
+    if m_bits < 64 or m_bits % 64:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
     ch = F.md5(F.col(text_col))
     # With corpus_hash_col, the stored side is already a hash TABLE (the
     # streaming ingest shape, streaming/novelty.py) — no text re-hash.
@@ -778,6 +780,16 @@ def bloom_novelty_filter(
         return F.pmod(
             _h32(F.concat(F.lit(f"{salt}{i}:"), ch if of is None else of)),
             F.lit(m_bits),
+        )
+
+    def bit_of(p):
+        # shiftleft with a COLUMN shift count needs call_function (the
+        # Python wrapper only takes int) — one derivation of the probe
+        # position feeds both the word index and the bit mask, so the
+        # no-false-negative invariant can't be broken by editing one of
+        # two redundant encodings.
+        return F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(64)).cast("int")
         )
 
     # NULL content hashes never enter the filter: md5(NULL) is NULL, a
@@ -793,7 +805,7 @@ def bloom_novelty_filter(
         .filter(F.col("pos").isNotNull())
         .select(
             F.shiftright("pos", 6).cast("int").alias("word"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias("bit"),
+            bit_of(F.col("pos")).alias("bit"),
         )
         .groupBy("word")
         .agg(F.bit_or("bit").alias("bits"))
@@ -809,12 +821,7 @@ def bloom_novelty_filter(
         for i in range(j_hashes):
             p = pos(i)
             word = F.element_at(bf, F.shiftright(p, 6).cast("int") + F.lit(1))
-            bit = F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), CAST(pmod("
-                f"CAST(conv(substring(md5(concat('{salt}{i}:', md5({text_col}))), 1, 8), 16, 10) AS BIGINT)"
-                f" % {m_bits}, 64) AS INT))"
-            )
-            conds.append(word.bitwiseAND(bit) != 0)
+            conds.append(word.bitwiseAND(bit_of(p)) != 0)
         out = conds[0]
         for c in conds[1:]:
             out = out & c

@@ -100,8 +100,20 @@ def assert_quality(
 def check_unique(df: DataFrame, cols: list[str], name: str) -> DataFrame:
     """n_violations = rows beyond the first per duplicate key group
     (count(*) − count(distinct key)); 0 iff the key is unique. One
-    partial-aggregate exchange on the key."""
-    distinct = F.count_distinct(*[F.col(c) for c in cols])
+    partial-aggregate exchange on the key.
+
+    Composite keys count through a STRUCT: Spark's bare
+    ``count_distinct(a, b)`` skips any row with a NULL component, while
+    SQL ``count(DISTINCT (a, b))`` counts the NULL-containing tuple — a
+    struct (never NULL itself) restores tuple semantics, so a NULL in one
+    PK column is a countable key, not an invisible row (engine-parity
+    with the q89 oracle). Single columns keep the bare form: there both
+    engines skip NULL identically."""
+    distinct = (
+        F.count_distinct(F.struct(*[F.col(c) for c in cols]))
+        if len(cols) > 1
+        else F.count_distinct(F.col(cols[0]))
+    )
     return df.agg(
         (F.count(F.lit(1)) - distinct).cast("long").alias("n_violations")
     ).select(F.lit(name).alias("check"), "n_violations")

@@ -107,12 +107,67 @@ def _unit_mat(centroids: list[tuple[int, list[float]]]):
     executor-side score a plain dot product: dot(v, ĉ) ranks identically to
     dot(v, c)/|c|, and the per-row per-cell norm fold (interpreted, like all
     array aggregates) disappears entirely."""
+    return F.lit(_unit_rows(centroids))
+
+
+def _unit_rows(centroids: list[tuple[int, list[float]]]) -> list[list[float]]:
+    """Driver-side unit-normalized centroid rows in dense cell order —
+    the single source _unit_mat lifts into a literal and
+    search_ann_index's driver-side probe selection folds over (one
+    normalization, identical floats everywhere)."""
     mat = []
     for cell, cv in sorted(centroids):
         assert cell == len(mat), "centroid cell ids must be dense 0..nlist-1"
         n = sum(x * x for x in cv) ** 0.5 or 1.0
         mat.append([float(x) / n for x in cv])
-    return F.lit(mat)
+    return mat
+
+
+def _adc_ranked(
+    joined: DataFrame,
+    books: list[list[list[float]]],
+    k: int,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """THE asymmetric-distance scorer: Σ_j dot(q_j, codeword_{j,code_j})
+    as an explicit left-to-right chain (float-parity with the oracle's
+    pivot sum), then per-query top-k. Single definition — pq_adc_topk,
+    ivf_pq_topk, and search_ann_index must score identically or their
+    pinned parity contracts silently diverge."""
+    d = len(books[0][0])
+    adc = None
+    for j, book in enumerate(books):
+        term = _dot(
+            F.slice("_qv", j * d + 1, d),
+            F.element_at(F.lit(book), F.col(f"code_{j}") + 1),
+        )
+        adc = term if adc is None else adc + term
+    w = W.partitionBy(query_id_col).orderBy(F.col("_adc").desc(), F.col(id_col))
+    return (
+        joined.withColumn("_adc", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, F.round("_adc", 4).alias("adc_sim"))
+    )
+
+
+def _pq_index(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    books: list[list[list[float]]],
+    vec_col: str,
+    id_col: str,
+    impl: str,
+) -> DataFrame:
+    """(id, cell, codes) index build — HOF projections (oracle path) or
+    the bit-identical BLAS twin."""
+    if impl == "pandas":
+        return ivf_pq_index_pandas(corpus, centroids, books, vec_col, id_col)
+    enc = pq_encode(corpus, books, vec_col, id_col)
+    return _assign_cells(enc, centroids, vec_col, id_col).select(
+        id_col, "cell", *[f"code_{j}" for j in range(len(books))]
+    )
 
 
 def _centroids(
@@ -606,23 +661,9 @@ def pq_adc_topk(
     enc = pq_encode(corpus, books, vec_col, id_col).select(
         id_col, *[f"code_{j}" for j in range(len(books))]
     )
-    d = len(books[0][0])
     q = queries.select(F.col(query_id_col), _as_double(vec_col).alias("_qv"))
     joined = enc.join(F.broadcast(q))
-    adc = None
-    for j, book in enumerate(books):
-        term = _dot(
-            F.slice("_qv", j * d + 1, d),
-            F.element_at(F.lit(book), F.col(f"code_{j}") + 1),
-        )
-        adc = term if adc is None else adc + term
-    w = W.partitionBy(query_id_col).orderBy(F.col("_adc").desc(), F.col(id_col))
-    return (
-        joined.withColumn("_adc", adc)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "rank", id_col, F.round("_adc", 4).alias("adc_sim"))
-    )
+    return _adc_ranked(joined, books, k, id_col, query_id_col)
 
 
 def pq_codebooks_trained(
@@ -698,13 +739,7 @@ def ivf_pq_topk(
     At 100 TB the encoded+assigned table is the STORED index: (id, cell,
     codes) written partitioned by cell — a query touches nprobe
     partitions of a table ~64× narrower than the corpus."""
-    if index_impl == "pandas":
-        assigned = ivf_pq_index_pandas(corpus, centroids, books, vec_col, id_col)
-    else:
-        enc = pq_encode(corpus, books, vec_col, id_col)
-        assigned = _assign_cells(enc, centroids, vec_col, id_col).select(
-            id_col, "cell", *[f"code_{j}" for j in range(len(books))]
-        )
+    assigned = _pq_index(corpus, centroids, books, vec_col, id_col, index_impl)
 
     # nprobe closest cells per query — identical selection (and tie-break:
     # sim DESC, cell DESC) to ivf_search, so q56's oracle argument carries.
@@ -723,21 +758,7 @@ def ivf_pq_topk(
     )
 
     joined = assigned.join(F.broadcast(qcells), "cell")
-    d = len(books[0][0])
-    adc = None
-    for j, book in enumerate(books):
-        term = _dot(
-            F.slice("_qv", j * d + 1, d),
-            F.element_at(F.lit(book), F.col(f"code_{j}") + 1),
-        )
-        adc = term if adc is None else adc + term
-    w = W.partitionBy(query_id_col).orderBy(F.col("_adc").desc(), F.col(id_col))
-    return (
-        joined.withColumn("_adc", adc)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "rank", id_col, F.round("_adc", 4).alias("adc_sim"))
-    )
+    return _adc_ranked(joined, books, k, id_col, query_id_col)
 
 
 def ivf_pq_index_pandas(
@@ -807,13 +828,7 @@ def write_ann_index(
     stored" claim refers to. Each row is (id, codes) inside its cell
     directory: ~64× narrower than raw vectors, and physically laid out so
     a query's nprobe cells are whole partitions."""
-    if index_impl == "pandas":
-        idx = ivf_pq_index_pandas(corpus, centroids, books, vec_col, id_col)
-    else:
-        enc = pq_encode(corpus, books, vec_col, id_col)
-        idx = _assign_cells(enc, centroids, vec_col, id_col).select(
-            id_col, "cell", *[f"code_{j}" for j in range(len(books))]
-        )
+    idx = _pq_index(corpus, centroids, books, vec_col, id_col, index_impl)
     idx.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
@@ -836,23 +851,31 @@ def search_ann_index(
     are computed driver-side from the centroid literals — no Spark job —
     and the per-row work is the same ADC chain as ivf_pq_topk.
     Result-identical to the in-memory composition (pytest-pinned)."""
-    U = []
-    for cell, cv in sorted(centroids):
-        n = sum(x * x for x in cv) ** 0.5 or 1.0
-        U.append([float(x) / n for x in cv])
-    Umat = np.asarray(U, dtype="float64")
+    U = _unit_rows(centroids)
 
     qrows = queries.select(F.col(query_id_col), _as_double(vec_col).alias("_qv")).collect()
     if not qrows:
         raise ValueError("ANN search: empty query set")
+
+    def _seq_dot(a, b):
+        # STRICT left-fold, same accumulation order as the Catalyst
+        # `_dot` fold ivf_pq_topk probes with — a BLAS matmul's
+        # pairwise/SIMD accumulation could order two near-tied centroid
+        # sims differently and silently probe a different cell set,
+        # breaking the pinned result-parity with the in-memory path.
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
     probe_pairs = []
     for r in qrows:
-        qv = np.asarray(r["_qv"], dtype="float64")
-        sims = Umat @ qv
+        qv = [float(x) for x in r["_qv"]]
+        sims = [_seq_dot(qv, u) for u in U]
         # ties → HIGHEST cell, matching ivf_search/ivf_pq_topk's
         # reverse(array_sort(struct(sim, cell))) selection.
         order = sorted(range(len(sims)), key=lambda c: (-sims[c], -c))[:nprobe]
-        probe_pairs += [(r[query_id_col], int(c), [float(x) for x in qv]) for c in order]
+        probe_pairs += [(r[query_id_col], int(c), qv) for c in order]
     cells = sorted({c for _, c, _ in probe_pairs})
 
     # Probe relation schema follows the query id's actual type (no
@@ -878,18 +901,4 @@ def search_ann_index(
     )
     idx = spark.read.parquet(path).filter(F.col("cell").isin(cells))
     joined = idx.join(F.broadcast(qcells), "cell")
-    d = len(books[0][0])
-    adc = None
-    for j, book in enumerate(books):
-        term = _dot(
-            F.slice("_qv", j * d + 1, d),
-            F.element_at(F.lit(book), F.col(f"code_{j}") + 1),
-        )
-        adc = term if adc is None else adc + term
-    w = W.partitionBy(query_id_col).orderBy(F.col("_adc").desc(), F.col(id_col))
-    return (
-        joined.withColumn("_adc", adc)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "rank", id_col, F.round("_adc", 4).alias("adc_sim"))
-    )
+    return _adc_ranked(joined, books, k, id_col, query_id_col)

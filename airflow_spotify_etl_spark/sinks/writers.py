@@ -136,11 +136,23 @@ def compact_table(
     accrete small files whose open/footer overhead eventually dominates
     scans; periodic compaction is standard table maintenance. Returns the
     row count (sanity: unchanged by compaction). The rewrite stages to a
-    sibling temp dir and swaps via rename — a mid-compaction crash leaves
-    the original table intact."""
+    sibling temp dir and swaps rename-first: original → .bak, staged →
+    path, then delete .bak — at EVERY crash point a complete copy of the
+    data exists on disk (before the first rename: original in place;
+    between renames: .bak; after: the compacted table), unlike a
+    delete-then-rename swap whose kill window strands the only copy at
+    the temp name. A leftover .bak from a previous crash is recovered or
+    cleared before staging."""
     import shutil
     from pathlib import Path
 
+    bak = Path(path.rstrip("/") + "._compact_bak")
+    p = Path(path)
+    if bak.exists():
+        if p.exists():
+            shutil.rmtree(bak)  # prior swap completed; stale backup
+        else:
+            bak.rename(p)  # prior swap died between renames; recover
     df = spark.read.parquet(path)
     n = df.count()
     n_files = max(1, -(-n // target_rows_per_file))
@@ -160,9 +172,9 @@ def compact_table(
             f"compact_table: row count changed {n} -> {after}; "
             f"aborting swap, original table untouched at {path}"
         )
-    p = Path(path)
-    shutil.rmtree(p)
+    p.rename(bak)
     Path(tmp).rename(p)
+    shutil.rmtree(bak)
     return n
 
 

@@ -101,3 +101,16 @@ def test_integrity_audit_empty_list_raises(spark):
 
     with _pytest.raises(ValueError, match="no checks"):
         integrity_audit([])
+
+
+def test_check_unique_composite_counts_null_tuples(spark):
+    """A NULL inside a composite key is a countable key (SQL tuple
+    semantics, the q89 oracle's count(DISTINCT (a,b))) — not a row that
+    silently disappears from the distinct count."""
+    from airflow_spotify_etl_spark.operators.quality import check_unique
+
+    df = spark.createDataFrame(
+        [(1, None), (1, None), (2, 2)], "a long, b long"
+    )
+    got = check_unique(df, ["a", "b"], "pk").collect()[0]
+    assert got.n_violations == 1  # (1,NULL) duplicated once; (2,2) unique

@@ -234,3 +234,23 @@ def test_partitioned_table_read_prunes_directories(spark, tmp_path):
     # And the scan reads only pruned files: selected partition count 1.
     scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
     assert scan, plan
+
+
+def test_compact_swap_recovers_from_crash_between_renames(spark, tmp_path):
+    """Simulate the kill window between the two swap renames (original
+    already moved to .bak, staged dir not yet renamed in): the next
+    compact_table call must recover the backup and complete normally —
+    no data loss at any crash point."""
+    from pathlib import Path
+
+    from airflow_spotify_etl_spark.sinks.writers import compact_table
+
+    path = str(tmp_path / "t")
+    spark.range(100).write.parquet(path)
+    # Crash simulation: original renamed to .bak, nothing at path.
+    Path(path).rename(path + "._compact_bak")
+    assert not Path(path).exists()
+    n = compact_table(spark, path)
+    assert n == 100
+    assert spark.read.parquet(path).count() == 100
+    assert not Path(path + "._compact_bak").exists()

@@ -461,3 +461,31 @@ def test_novelty_ingest_admits_each_content_once(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(novel).collect()} == {1, 2, 11}
     hashes = [r.ch for r in spark.read.parquet(store).collect()]
     assert len(hashes) == 3 and len(set(hashes)) == 3
+
+
+def test_novelty_ingest_retry_and_null_text(spark, tmp_path):
+    """foreachBatch is at-least-once: re-applying the SAME batch id must
+    rewrite identical partitions, never duplicate admitted docs — even
+    when the store already holds the batch's own hashes (the
+    crash-after-store-write window). NULL-text rows are each novel."""
+    from airflow_spotify_etl_spark.streaming.novelty import _apply_novelty_batch
+
+    doc_schema = "doc_id long, text string"
+    store = str(tmp_path / "hash_store")
+    novel = str(tmp_path / "novel_out")
+
+    b0 = spark.createDataFrame([(1, "alpha"), (2, "beta")], doc_schema)
+    _apply_novelty_batch(spark, b0, store, novel, batch_id=0)
+
+    b1 = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, None), (13, None)], doc_schema
+    )
+    _apply_novelty_batch(spark, b1, store, novel, batch_id=1)
+    want = {11, 12, 13}  # 10 dup-vs-store; both NULL-text rows novel
+    assert {r.doc_id for r in spark.read.parquet(novel).collect()} == {1, 2} | want
+
+    # Retry of batch 1 AFTER its store partition was already written.
+    _apply_novelty_batch(spark, b1, store, novel, batch_id=1)
+    assert {r.doc_id for r in spark.read.parquet(novel).collect()} == {1, 2} | want
+    rows = spark.read.parquet(novel).collect()
+    assert len(rows) == 5  # no duplicated admissions
