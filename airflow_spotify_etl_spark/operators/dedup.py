@@ -34,6 +34,7 @@ __all__ = [
     "exact_dedup",
     "canonical_dedup",
     "chunk_dedup",
+    "span_dup_profile",
     "shingle",
     "ngram_jaccard_pairs",
     "ngram_contamination",
@@ -185,6 +186,103 @@ def chunk_dedup(
             F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+def span_dup_profile(
+    df: DataFrame,
+    window_words: int = 8,
+    stride: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Alignment-free repeated-SPAN profile (the substring-dedup signal of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): slide a ``window_words``-token window over each doc and mark
+    windows whose text recurs anywhere in the corpus — including within
+    the same doc, which is how self-repeating boilerplate shows up. Unlike
+    ``chunk_dedup``'s fixed non-overlapping chunks, the dense (stride-1)
+    windows catch shared spans at ANY alignment: a shared span of ≥
+    ``window_words`` tokens contains a full window at every internal
+    offset on BOTH sides, so at least one hash collides. ``stride > 1``
+    is a cost knob that forfeits that guarantee — each doc then samples
+    only offsets of one phase (mod stride), and two docs sharing a span
+    collide only when their span alignments agree mod stride (a 1/stride
+    chance for arbitrary alignment; self-repetition is still caught).
+    Keep stride 1 for detection; the principled sparser variant is
+    content-defined selection (winnowing), where BOTH sides pick the same
+    offsets by construction.
+
+    Returns one row per input doc:
+    (doc_id, n_windows, n_dup_windows, dup_frac, max_dup_run) where
+    ``max_dup_run`` is the longest run of CONSECUTIVE duplicated windows —
+    ``window_words + (max_dup_run−1)·stride`` approximates the longest
+    repeated span in tokens, which is the actual cut signal (spans over a
+    threshold get excised, not whole docs). Docs shorter than
+    ``window_words`` tokens have no window and report zeros.
+
+    Scale shape: the window stream is the shuffle-free sequence-explode;
+    occurrence counting is ONE count-window exchange keyed on
+    ``md5(window)`` carrying (hash, doc_id, wi) — never the text (the
+    chunk_dedup lesson). The run-length pass (wi − row_number per doc) and
+    the per-doc rollup share the doc_id partitioning, so the whole profile
+    is 2 narrow exchanges regardless of corpus size; no join touches two
+    large relations."""
+    wv = int(window_words)
+    sv = int(stride)
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "\\s+"), lambda x: x != F.lit("")
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+    n_pos = F.when(
+        F.size("_w") >= wv,
+        ((F.size("_w") - F.lit(wv)) / F.lit(sv)).cast("int") + 1,
+    ).otherwise(F.lit(0))
+    idx = F.when(n_pos >= 1, F.sequence(F.lit(0), n_pos - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    span_of = f"array_join(slice(_w, _wi * {sv} + 1, {wv}), ' ')"
+    wins = base.select("doc_id", "_w", F.explode(idx).alias("_wi")).select(
+        "doc_id",
+        F.col("_wi").alias("wi"),
+        F.md5(F.expr(span_of)).alias("wh"),
+    )
+    cnt = F.count("*").over(W.partitionBy("wh"))
+    marked = wins.withColumn("dup", cnt > 1)
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum(F.col("dup").cast("long")).alias("n_dup_windows"),
+    )
+    # Longest consecutive duplicated run: group key wi − row_number is
+    # constant exactly over consecutive wi among a doc's dup windows.
+    dup_w = marked.filter("dup").withColumn(
+        "_grp",
+        F.col("wi")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("wi")),
+    )
+    runs = (
+        dup_w.groupBy("doc_id", "_grp")
+        .agg(F.count("*").alias("_run"))
+        .groupBy("doc_id")
+        .agg(F.max("_run").alias("max_dup_run"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .join(runs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.when(
+                    F.coalesce("n_windows", F.lit(0)) > 0,
+                    F.col("n_dup_windows") / F.col("n_windows"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("dup_frac"),
+            F.coalesce("max_dup_run", F.lit(0)).cast("long").alias("max_dup_run"),
         )
     )
 

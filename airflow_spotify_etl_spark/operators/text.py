@@ -30,6 +30,7 @@ __all__ = [
     "normalize_text",
     "redact_pii",
     "top_ngrams",
+    "hashed_linear_score",
 ]
 
 # PII patterns chosen to behave identically under Java regex (Spark) and
@@ -301,4 +302,61 @@ def token_entropy(
             ),
             4,
         ).alias("entropy_norm"),
+    )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    n_buckets: int = 4096,
+    weight_salt: str = "qw",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style linear quality-classifier INFERENCE over hashed
+    bag-of-words features (Joulin et al. 2017; the DCLM/CCNet quality-
+    filter shape): score = sigmoid(mean_tokens weight[bucket(tok)]).
+
+    The weight table is derived per bucket from the engine-portable md5
+    slice — ``w(b) = h32(salt‖b)/2³¹ − 1 ∈ [−1, 1)`` — standing in for
+    trained parameters. That choice is what makes the whole inference pass
+    value-checkable by the DuckDB oracle (plans/llm.py q104): a real model
+    would load the SAME shape from a weights table and broadcast it; here
+    the "lookup" folds into the projection, so scoring is a pure narrow
+    codegen pass (split → hash → arithmetic) with the per-doc mean as the
+    only exchange. No Python seam, no model file, no join: at 100 TB the
+    classifier costs exactly one aggregate over the token stream —
+    the reason hashed linear models (not transformers) are the standard
+    first-tier quality gate in web-scale curation.
+
+    Returns (doc_id, n_tokens, score ∈ (0,1)); token-less docs score
+    sigmoid(0) = 0.5 by convention."""
+    nb = int(n_buckets)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "\\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+    from .dedup import _h32
+
+    b = F.pmod(_h32(F.col("tok")), F.lit(nb))
+    w = _h32(F.concat(F.lit(weight_salt), b.cast("string"))) / F.lit(
+        float(2**31)
+    ) - F.lit(1.0)
+    per_doc = toks.select("doc_id", w.alias("w")).groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"), F.avg("w").alias("m")
+    )
+    sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(4.0) * F.coalesce("m", F.lit(0.0))))
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.round(sig, 4).alias("score"),
+        )
+        .orderBy("doc_id")
     )

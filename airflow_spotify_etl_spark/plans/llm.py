@@ -2385,6 +2385,148 @@ ORDER BY query_id, rank
 """
 
 
+def q102_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/sampling.dsir_log_weights):
+    score every doc by target-likeness under hashed unigram models, with
+    the English subset standing in for the target distribution (in
+    production: Wikipedia/books). The full pipeline — bucketing, both
+    add-1-smoothed models, absent-bucket floors, per-doc log-ratio sum —
+    replays in the oracle SQL, so the green hash certifies the model fit
+    AND the scoring pass, not just row counts."""
+    from ..operators.sampling import dsir_log_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_log_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
+_Q102_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), tgt_toks AS (
+  SELECT t.b FROM toks t JOIN documents d USING (doc_id) WHERE d.lang = 'en'
+), rt AS (SELECT CAST(count(*) + 1024 AS DOUBLE) AS d FROM toks),
+   tt AS (SELECT CAST(count(*) + 1024 AS DOUBLE) AS d FROM tgt_toks),
+   rm AS (
+  SELECT b, ln((count(*) + 1) / (SELECT d FROM rt)) AS logp_raw
+  FROM toks GROUP BY b
+), tm AS (
+  SELECT b, ln((count(*) + 1) / (SELECT d FROM tt)) AS logp_tgt
+  FROM tgt_toks GROUP BY b
+), scored AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+         round(sum(coalesce(tm.logp_tgt, -ln((SELECT d FROM tt)))
+                   - rm.logp_raw), 4) AS log_weight
+  FROM toks t
+  JOIN rm USING (b)
+  LEFT JOIN tm USING (b)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_tokens, 0) AS n_tokens,
+       coalesce(s.log_weight, 0.0) AS log_weight
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q103_span_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alignment-free repeated-span profile (operators/dedup.
+    span_dup_profile): dense 8-token windows (stride 1 — the alignment
+    guarantee, see the operator docstring), occurrence-counted
+    corpus-wide by md5; per doc the duplicated-window fraction and the
+    longest consecutive duplicated run (window_words + run − 1 ≈ longest
+    shared span in tokens). The oracle replays window extraction, the
+    count-window, and the run-length grouping (wi − row_number)
+    verbatim."""
+    from ..operators.dedup import span_dup_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_dup_profile(docs, window_words=8, stride=1).orderBy("doc_id")
+
+
+_Q103_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), pos AS (
+  SELECT doc_id,
+         unnest(range(0, CASE WHEN len(w) >= 8
+                              THEN len(w) - 8 + 1 ELSE 0 END)) AS wi,
+         w
+  FROM w
+), wins AS (
+  SELECT doc_id, wi,
+         md5(array_to_string(w[wi + 1 : wi + 8], ' ')) AS wh
+  FROM pos
+), marked AS (
+  SELECT doc_id, wi, count(*) OVER (PARTITION BY wh) > 1 AS dup FROM wins
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_windows,
+         CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM marked GROUP BY doc_id
+), runs AS (
+  SELECT doc_id, max(c) AS max_run FROM (
+    SELECT doc_id, grp, count(*) AS c FROM (
+      SELECT doc_id, wi,
+             wi - row_number() OVER (PARTITION BY doc_id ORDER BY wi) AS grp
+      FROM marked WHERE dup
+    ) GROUP BY doc_id, grp
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_windows, 0) AS n_windows,
+       coalesce(p.n_dup, 0) AS n_dup_windows,
+       round(CASE WHEN coalesce(p.n_windows, 0) > 0
+                  THEN p.n_dup / CAST(p.n_windows AS DOUBLE)
+                  ELSE 0.0 END, 4) AS dup_frac,
+       coalesce(r.max_run, 0) AS max_dup_run
+FROM documents d
+LEFT JOIN per_doc p USING (doc_id)
+LEFT JOIN runs r USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q104_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality-classifier inference (operators/text.
+    hashed_linear_score): sigmoid over the mean hashed-bag-of-words
+    weight, the fastText-shaped first-tier quality gate. The weight
+    "lookup" is an md5 derivation folded into the projection, so the
+    oracle replays the entire forward pass — hashing, weight generation,
+    mean, sigmoid — in SQL."""
+    from ..operators.text import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_linear_score(docs, n_buckets=4096)
+
+
+_Q104_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), sc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         avg(('0x' || substr(md5('qw' ||
+               ((('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096))::VARCHAR
+             ), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS m
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_tokens, 0) AS n_tokens,
+       round(1.0 / (1.0 + exp(-4.0 * coalesce(s.m, 0.0))), 4) AS score
+FROM documents d LEFT JOIN sc s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -2433,6 +2575,9 @@ QUERIES = {
     "q97_pq_adc_topk": q97_pq_adc_topk,
     "q99_weighted_exact_k": q99_weighted_exact_k,
     "q100_ivf_pq_search": q100_ivf_pq_search,
+    "q102_dsir_weights": q102_dsir_weights,
+    "q103_span_dup_profile": q103_span_dup_profile,
+    "q104_quality_classifier": q104_quality_classifier,
 }
 
 ORACLES = {
@@ -2483,4 +2628,7 @@ ORACLES = {
     "q97_pq_adc_topk": _Q97_SQL,
     "q99_weighted_exact_k": _Q99_SQL,
     "q100_ivf_pq_search": _Q100_SQL,
+    "q102_dsir_weights": _Q102_SQL,
+    "q103_span_dup_profile": _Q103_SQL,
+    "q104_quality_classifier": _Q104_SQL,
 }

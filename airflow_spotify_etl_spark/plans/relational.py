@@ -2029,6 +2029,65 @@ ORDER BY hour_ts
 """
 
 
+def q101_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE-INTO upsert (operators/incremental.merge_upsert):
+    a CDC-style delta against the customer dimension — every custkey ≡ 3
+    (mod 10) arrives as an UPDATE (+100 balance, segment stamped
+    'UPDATED'), every custkey ≡ 7 (mod 10) spawns an INSERT under a fresh
+    key — applied as one base-anti-join-∪-delta pass. The oracle replays
+    MERGE's contract directly in SQL (base rows not in the delta key set,
+    UNION ALL the delta), so a green hash proves update-wins, insert, and
+    keep semantics simultaneously. The reference's drop-and-append sink
+    (spotify_etl2.py to_sql 'append') has no update path; this is its
+    scale-correct replacement."""
+    from ..operators.incremental import merge_upsert
+
+    cust = _t(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_custkey") % 10 == 3).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    inserts = cust.filter(F.col("c_custkey") % 10 == 7).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.concat(F.lit("new-"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("INSERTED").alias("c_mktsegment"),
+    )
+    merged = merge_upsert(cust, updates.unionByName(inserts), ["c_custkey"])
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+    ).orderBy("c_custkey")
+
+
+_Q101_SQL = """
+WITH delta AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,
+         'UPDATED' AS c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 3
+  UNION ALL
+  SELECT c_custkey + 1000000, 'new-' || c_name, c_nationkey, 0.0, 'INSERTED'
+  FROM customer WHERE c_custkey % 10 = 7
+)
+SELECT c_custkey, c_name, CAST(c_nationkey AS INTEGER) AS c_nationkey,
+       round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+FROM (
+  SELECT * FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.c_custkey = c.c_custkey)
+  UNION ALL
+  SELECT * FROM delta
+)
+ORDER BY c_custkey
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -2075,6 +2134,7 @@ QUERIES = {
     "q89_integrity_audit": q89_integrity_audit,
     "q91_temporal_dim_lookup": q91_temporal_dim_lookup,
     "q98_gap_fill_hourly": q98_gap_fill_hourly,
+    "q101_merge_upsert": q101_merge_upsert,
 }
 
 ORACLES = {
@@ -2123,4 +2183,5 @@ ORACLES = {
     "q89_integrity_audit": _Q89_SQL,
     "q91_temporal_dim_lookup": _Q91_SQL,
     "q98_gap_fill_hourly": _Q98_SQL,
+    "q101_merge_upsert": _Q101_SQL,
 }

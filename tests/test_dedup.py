@@ -340,3 +340,75 @@ def test_bloom_novelty_null_text_rows_survive_as_novel(spark):
     )
     got = {r.doc_id for r in bloom_novelty_filter(corpus, delta).collect()}
     assert got == {11, 12}
+
+
+def test_span_dup_profile_alignment_free(spark):
+    """A 10-token span shared at DIFFERENT word offsets in two docs (0 vs
+    3) is still caught: a shared span of >= window_words tokens contains a
+    full window at every internal offset on both sides, so the stride-1
+    hashes collide regardless of alignment. chunk_dedup's fixed grid
+    misses exactly this case; the dense windows are the point."""
+    from airflow_spotify_etl_spark.operators.dedup import span_dup_profile
+
+    span = " ".join(f"s{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, span + " tail1 tail2 tail3 tail4"),
+            (2, "pre1 pre2 pre3 " + span + " other1 other2"),
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in span_dup_profile(docs, 8).collect()}
+    # 10-token span, 8-token windows: internal offsets 0,1,2 exist fully
+    # in both docs -> exactly 3 shared windows each, one consecutive run.
+    assert got[1].n_dup_windows == 3 and got[2].n_dup_windows == 3
+    assert got[1].max_dup_run == 3 and got[2].max_dup_run == 3
+    assert got[3].n_dup_windows == 0 and got[3].max_dup_run == 0
+    assert got[3].dup_frac == 0.0
+
+
+def test_span_dup_profile_stride_phase_caveat(spark):
+    """Documented stride>1 limitation: with stride 2, span alignments that
+    disagree mod 2 (offsets 0 vs 3) sample disjoint internal offsets and
+    the shared span goes UNDETECTED — the reason stride defaults to 1."""
+    from airflow_spotify_etl_spark.operators.dedup import span_dup_profile
+
+    span = " ".join(f"s{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, span + " tail1 tail2 tail3 tail4"),
+            (2, "pre1 pre2 pre3 " + span + " other1 other2"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in span_dup_profile(docs, 8, stride=2).collect()}
+    assert got[1].n_dup_windows == 0 and got[2].n_dup_windows == 0
+
+
+def test_span_dup_profile_short_and_empty_docs(spark):
+    """Docs shorter than the window (and empty text) report zeros rather
+    than vanishing."""
+    from airflow_spotify_etl_spark.operators.dedup import span_dup_profile
+
+    docs = spark.createDataFrame(
+        [(1, "only three words"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in span_dup_profile(docs, 8).collect()}
+    assert sorted(got) == [1, 2, 3]
+    for r in got.values():
+        assert r.n_windows == 0 and r.n_dup_windows == 0 and r.max_dup_run == 0
+
+
+def test_span_dup_profile_run_length_measures_span(spark):
+    """Self-repetition: a doc that is one phrase looped has every window
+    duplicated (dup_frac 1.0) and one unbroken run spanning all windows."""
+    from airflow_spotify_etl_spark.operators.dedup import span_dup_profile
+
+    text = " ".join(["loop word phrase"] * 12)  # 36 tokens, 3-periodic
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = span_dup_profile(docs, 8).collect()[0]
+    assert r.n_windows == 36 - 8 + 1
+    assert r.n_dup_windows == r.n_windows and r.dup_frac == 1.0
+    assert r.max_dup_run == r.n_windows

@@ -304,3 +304,50 @@ def test_gap_fill_hourly_locf_and_zero_counts(spark):
     assert got[11].n_events == 0 and got[11].avg_value_locf == 15.0
     assert got[12].n_events == 0 and got[12].avg_value_locf == 15.0
     assert got[13].n_events == 1 and got[13].avg_value_locf == 7.0
+
+
+def test_merge_upsert_update_insert_keep(spark):
+    """MERGE contract on one pass: delta keys replace base rows, new keys
+    insert, untouched base rows survive unchanged — and the three cases
+    partition the output exactly."""
+    from airflow_spotify_etl_spark.operators.incremental import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, v string, n int"
+    )
+    delta = spark.createDataFrame(
+        [(2, "B", 99), (4, "d", 40)], "k int, v string, n int"
+    )
+    got = {r.k: r for r in merge_upsert(base, delta, ["k"]).collect()}
+    assert sorted(got) == [1, 2, 3, 4]
+    assert got[1].v == "a" and got[1].n == 10          # keep
+    assert got[2].v == "B" and got[2].n == 99          # update wins
+    assert got[3].v == "c"                              # keep
+    assert got[4].v == "d" and got[4].n == 40          # insert
+
+
+def test_merge_upsert_last_writer_wins(spark):
+    """A delta with several versions of one key collapses to the max
+    order_col BEFORE merging (CDC tail semantics), instead of duplicating
+    the key in the output."""
+    from airflow_spotify_etl_spark.operators.incremental import merge_upsert
+
+    base = spark.createDataFrame([(1, "a", 0)], "k int, v string, seq int")
+    delta = spark.createDataFrame(
+        [(1, "v1", 5), (1, "v2", 9), (1, "v0", 3)], "k int, v string, seq int"
+    )
+    out = merge_upsert(base, delta, ["k"], order_col="seq").collect()
+    assert len(out) == 1
+    assert out[0].v == "v2" and out[0].seq == 9
+
+
+def test_merge_upsert_no_broadcast_path(spark):
+    """broadcast_delta=False keeps results identical (plan-only switch for
+    deltas too big to broadcast)."""
+    from airflow_spotify_etl_spark.operators.incremental import merge_upsert
+
+    base = spark.createDataFrame([(i, i * 2) for i in range(50)], "k int, n int")
+    delta = spark.createDataFrame([(i, -i) for i in range(0, 100, 7)], "k int, n int")
+    a = sorted(merge_upsert(base, delta, ["k"]).collect())
+    b = sorted(merge_upsert(base, delta, ["k"], broadcast_delta=False).collect())
+    assert a == b

@@ -226,3 +226,46 @@ def test_weighted_exact_k_sample_properties(spark):
     assert all(r.doc_id < 50 for r in out)  # heavy class sweeps the draw
     again = weighted_exact_k_sample(df, 40, "w").collect()
     assert [r.doc_id for r in again] == [r.doc_id for r in out]
+
+
+def test_hashed_linear_score_contract(spark):
+    """Scores land strictly in (0,1); token-less docs score exactly 0.5
+    (sigmoid(0)); identical texts score identically (content-addressed
+    weights); every input doc appears once."""
+    from airflow_spotify_etl_spark.operators.text import hashed_linear_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, ""),
+            (4, None),
+            (5, "zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in hashed_linear_score(docs).collect()}
+    assert sorted(got) == [1, 2, 3, 4, 5]
+    assert all(0.0 < r.score < 1.0 for r in got.values())
+    assert got[3].score == 0.5 and got[4].score == 0.5
+    assert got[3].n_tokens == 0 and got[4].n_tokens == 0
+    assert got[1].score == got[2].score and got[1].n_tokens == 4
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """DSIR sanity: raw pool mixes two disjoint vocabularies; the target
+    pool draws from vocabulary A only. Every A-vocabulary raw doc must
+    out-score every B-vocabulary raw doc, and empty docs report 0."""
+    from airflow_spotify_etl_spark.operators.sampling import dsir_log_weights
+
+    a_docs = [(i, " ".join(f"a{j}" for j in range(10))) for i in range(5)]
+    b_docs = [(i + 10, " ".join(f"b{j}" for j in range(10))) for i in range(5)]
+    raw = spark.createDataFrame(
+        a_docs + b_docs + [(99, "")], "doc_id long, text string"
+    )
+    target = spark.createDataFrame(a_docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in dsir_log_weights(raw, target).collect()}
+    a_scores = [got[i].log_weight for i in range(5)]
+    b_scores = [got[i + 10].log_weight for i in range(5)]
+    assert min(a_scores) > max(b_scores)
+    assert got[99].log_weight == 0.0 and got[99].n_tokens == 0
