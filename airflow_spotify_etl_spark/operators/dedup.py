@@ -35,6 +35,8 @@ __all__ = [
     "canonical_dedup",
     "chunk_dedup",
     "span_dup_profile",
+    "winnowed_fingerprints",
+    "winnowed_dup_profile",
     "shingle",
     "ngram_jaccard_pairs",
     "ngram_contamination",
@@ -283,6 +285,113 @@ def span_dup_profile(
                 4,
             ).alias("dup_frac"),
             F.coalesce("max_dup_run", F.lit(0)).cast("long").alias("max_dup_run"),
+        )
+    )
+
+
+def winnowed_fingerprints(
+    df: DataFrame,
+    window_words: int = 8,
+    winnow_k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03 —
+    the MOSS algorithm): from the dense stride-1 window hashes, keep in
+    each run of ``winnow_k`` consecutive positions only the minimum-hash
+    one. Selection is CONTENT-defined — both copies of a shared span pick
+    the same minimum — so the guarantee survives sparsification: every
+    shared span of ≥ ``window_words + winnow_k − 1`` tokens still yields
+    at least one common fingerprint, at ~2/(winnow_k+1) the density of
+    ``span_dup_profile``'s dense stream. This is the scale path: the
+    downstream exchange shrinks ~(k+1)/2× with a worst-case detection
+    bound, where naive striding (stride>1) loses the bound entirely.
+
+    Ties (equal window hashes inside one k-run — periodic text) break by
+    position via a composite ``hash‖zero-padded-wi`` min-key; the winning
+    POSITION then differs between copies, but its hash — the thing
+    matched on — is identical, so content-definedness is preserved.
+
+    Returns (doc_id, wi, wh): selected window start offsets (0-based,
+    token units) and their md5 fingerprints, one row per distinct
+    selected position. Cost: the dense hash stream never shuffles; the
+    min-key window and the distinct are one doc_id-keyed exchange."""
+    wv = int(window_words)
+    kv = int(winnow_k)
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "\\s+"), lambda x: x != F.lit("")
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+    n_pos = F.when(
+        F.size("_w") >= wv, F.size("_w") - F.lit(wv) + 1
+    ).otherwise(F.lit(0))
+    idx = F.when(n_pos >= 1, F.sequence(F.lit(0), n_pos - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    span_of = f"array_join(slice(_w, _wi + 1, {wv}), ' ')"
+    wins = base.select("doc_id", "_w", F.explode(idx).alias("_wi")).select(
+        "doc_id",
+        F.col("_wi").alias("wi"),
+        F.md5(F.expr(span_of)).alias("wh"),
+    )
+    key = F.concat(F.col("wh"), F.lit(":"), F.lpad(F.col("wi").cast("string"), 12, "0"))
+    sel = F.min(key).over(
+        W.partitionBy("doc_id").orderBy("wi").rowsBetween(0, kv - 1)
+    )
+    return (
+        wins.select("doc_id", sel.alias("_sel"))
+        .distinct()
+        .select(
+            "doc_id",
+            F.substring("_sel", 34, 12).cast("int").alias("wi"),
+            F.substring("_sel", 1, 32).alias("wh"),
+        )
+    )
+
+
+def winnowed_dup_profile(
+    df: DataFrame,
+    window_words: int = 8,
+    winnow_k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-doc duplication profile over winnowed fingerprints: per doc,
+    how many of its distinct fingerprints are shared with at least one
+    OTHER doc. The sparse counterpart of ``span_dup_profile`` — detection
+    bound spans ≥ window_words + winnow_k − 1 tokens, exchange ~2/(k+1)
+    the dense size. Within-doc repetition is deliberately collapsed
+    (fingerprints are distinct-per-doc before counting) so `shared` means
+    cross-document; use span_dup_profile for self-repetition and run
+    lengths. Returns (doc_id, n_fingerprints, n_shared_fp, shared_frac)
+    for every input doc."""
+    fp = winnowed_fingerprints(
+        df, window_words, winnow_k, text_col, id_col
+    ).select("doc_id", "wh").distinct()
+    n_docs = F.count("*").over(W.partitionBy("wh"))
+    per_doc = (
+        fp.withColumn("shared", n_docs > 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fingerprints"),
+            F.sum(F.col("shared").cast("long")).alias("n_shared_fp"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_fingerprints", F.lit(0)).alias("n_fingerprints"),
+            F.coalesce("n_shared_fp", F.lit(0)).alias("n_shared_fp"),
+            F.round(
+                F.when(
+                    F.coalesce("n_fingerprints", F.lit(0)) > 0,
+                    F.col("n_shared_fp") / F.col("n_fingerprints"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("shared_frac"),
         )
     )
 

@@ -2527,6 +2527,65 @@ ORDER BY doc_id
 """
 
 
+def q105_winnowed_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint duplication profile (operators/dedup.
+    winnowed_fingerprints — the MOSS/SIGMOD'03 algorithm): content-defined
+    sparse selection (per k-run min of hash‖position keys) whose shared-
+    fingerprint counts the oracle replays end-to-end — dense hashes,
+    composite min-key window frame, distinct selection, cross-doc count.
+    A green hash certifies the selection function itself, not just the
+    rollup, because any selection difference changes which hashes
+    survive into the counts."""
+    from ..operators.dedup import winnowed_dup_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowed_dup_profile(docs, window_words=8, winnow_k=4).orderBy("doc_id")
+
+
+_Q105_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), pos AS (
+  SELECT doc_id,
+         unnest(range(0, CASE WHEN len(w) >= 8
+                              THEN len(w) - 8 + 1 ELSE 0 END)) AS wi,
+         w
+  FROM w
+), wins AS (
+  SELECT doc_id, wi,
+         md5(array_to_string(w[wi + 1 : wi + 8], ' ')) || ':' ||
+           lpad(wi::VARCHAR, 12, '0') AS key
+  FROM pos
+), sel AS (
+  SELECT DISTINCT doc_id,
+         min(key) OVER (
+           PARTITION BY doc_id ORDER BY wi
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+         ) AS skey
+  FROM wins
+), fp AS (
+  SELECT DISTINCT doc_id, substr(skey, 1, 32) AS wh FROM sel
+), marked AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY wh) > 1 AS shared FROM fp
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_fingerprints,
+         CAST(sum(CASE WHEN shared THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+  FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_fingerprints, 0) AS n_fingerprints,
+       coalesce(p.n_shared, 0) AS n_shared_fp,
+       round(CASE WHEN coalesce(p.n_fingerprints, 0) > 0
+                  THEN p.n_shared / CAST(p.n_fingerprints AS DOUBLE)
+                  ELSE 0.0 END, 4) AS shared_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -2578,6 +2637,7 @@ QUERIES = {
     "q102_dsir_weights": q102_dsir_weights,
     "q103_span_dup_profile": q103_span_dup_profile,
     "q104_quality_classifier": q104_quality_classifier,
+    "q105_winnowed_dup_profile": q105_winnowed_dup_profile,
 }
 
 ORACLES = {
@@ -2631,4 +2691,5 @@ ORACLES = {
     "q102_dsir_weights": _Q102_SQL,
     "q103_span_dup_profile": _Q103_SQL,
     "q104_quality_classifier": _Q104_SQL,
+    "q105_winnowed_dup_profile": _Q105_SQL,
 }

@@ -113,6 +113,10 @@ HEADLINE = [
     "q98_gap_fill_hourly",
     "q99_weighted_exact_k",
     "q100_ivf_pq_search",
+    "q101_merge_upsert",
+    "q102_dsir_weights",
+    "q103_span_dup_profile",
+    "q104_quality_classifier",
 ]
 
 

@@ -412,3 +412,70 @@ def test_span_dup_profile_run_length_measures_span(spark):
     assert r.n_windows == 36 - 8 + 1
     assert r.n_dup_windows == r.n_windows and r.dup_frac == 1.0
     assert r.max_dup_run == r.n_windows
+
+
+def test_winnowing_guarantee_any_alignment(spark):
+    """Winnowing bound: a shared span of exactly window_words + winnow_k − 1
+    = 11 tokens, placed at offsets 0 / 5 / 13 in three docs, yields at
+    least one COMMON fingerprint in every doc — content-defined selection
+    means sparsification can't miss it, at any alignment."""
+    from airflow_spotify_etl_spark.operators.dedup import winnowed_dup_profile
+
+    span = " ".join(f"s{i}" for i in range(11))
+    pad = lambda n, p: " ".join(f"{p}{j}" for j in range(n))
+    docs = spark.createDataFrame(
+        [
+            (1, span + " " + pad(6, "x")),
+            (2, pad(5, "y") + " " + span),
+            (3, pad(13, "z") + " " + span + " " + pad(3, "q")),
+            (4, pad(20, "u")),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in winnowed_dup_profile(docs, 8, 4).collect()}
+    assert got[1].n_shared_fp >= 1
+    assert got[2].n_shared_fp >= 1
+    assert got[3].n_shared_fp >= 1
+    assert got[4].n_shared_fp == 0 and got[4].shared_frac == 0.0
+
+
+def test_winnowing_sparser_than_dense(spark):
+    """Density: winnowed fingerprints number well under the dense window
+    count (~2/(k+1) of it), and every selected position is a valid window
+    start carrying the matching md5."""
+    from airflow_spotify_etl_spark.operators.dedup import winnowed_fingerprints
+
+    text = " ".join(f"t{i}" for i in range(100))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    fps = winnowed_fingerprints(docs, 8, 4).collect()
+    n_dense = 100 - 8 + 1
+    assert 0 < len(fps) < n_dense / 2  # k=4 → expect ~2/5 density
+    assert all(0 <= r.wi < n_dense for r in fps)
+
+
+def test_winnowing_ties_periodic_text(spark):
+    """Periodic text (equal hashes inside one k-run) exercises the
+    hash‖position tie-break: two docs that are the same phrase looped,
+    shifted by one period, must still share fingerprints — the winning
+    positions may differ, the winning HASH cannot."""
+    from airflow_spotify_etl_spark.operators.dedup import winnowed_dup_profile
+
+    loop = ("alpha beta gamma " * 10).strip()          # 30 tokens, period 3
+    shifted = "beta gamma " + "alpha beta gamma " * 9 + "alpha"
+    docs = spark.createDataFrame(
+        [(1, loop), (2, shifted)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in winnowed_dup_profile(docs, 8, 4).collect()}
+    assert got[1].n_shared_fp >= 1 and got[2].n_shared_fp >= 1
+
+
+def test_winnowing_short_docs_zero(spark):
+    from airflow_spotify_etl_spark.operators.dedup import winnowed_dup_profile
+
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in winnowed_dup_profile(docs, 8, 4).collect()}
+    assert all(
+        r.n_fingerprints == 0 and r.n_shared_fp == 0 for r in got.values()
+    )
