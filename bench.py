@@ -117,6 +117,7 @@ HEADLINE = [
     "q102_dsir_weights",
     "q103_span_dup_profile",
     "q104_quality_classifier",
+    "q105_winnowed_dup_profile",
 ]
 
 
