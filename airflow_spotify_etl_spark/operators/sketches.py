@@ -24,9 +24,15 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["approx_profile", "frequent_values"]
+__all__ = [
+    "approx_profile",
+    "frequent_values",
+    "kmv_group_sketch",
+    "kmv_pair_overlap",
+]
 
 
 def approx_profile(
@@ -56,3 +62,119 @@ def frequent_values(
     the standard sketch contract; follow with an exact count of just the
     reported candidates when exact frequencies are needed."""
     return df.freqItems(list(cols), support)
+
+
+def kmv_group_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    k: int = 256,
+) -> DataFrame:
+    """K-minimum-values sketch per group (Bar-Yossef et al. 2002; the
+    mergeable bottom-k distinct sketch behind DataSketches' theta family):
+    the k smallest DISTINCT hash values of each group's value set. Unlike
+    HLL, a KMV sketch supports SET OPERATIONS — union (merge + re-cut to
+    k) and, from a pair's union cut, intersection/Jaccard estimates —
+    which is what cross-corpus overlap questions need without pairwise
+    exact joins.
+
+    The hash is the engine-portable md5 slice (operators/dedup._h32), so
+    every estimate downstream is a DETERMINISTIC function of the input —
+    replayable by the DuckDB oracle (plans/llm.py q106) even though it is
+    an approximation of the exact answer: the oracle checks the sketch
+    arithmetic; a separate pytest checks its accuracy against truth.
+
+    Scale shape: distinct-ify the (group, hash) stream (one map-side-
+    combining exchange, narrow rows), then an EXACT map-side bottom-k
+    precut per partition (the quota_sample combine: the global bottom-k
+    is a subset of the union of per-partition bottom-ks) so the final
+    per-group window sees ≤ k·partitions rows instead of each group's
+    entire distinct set — without the precut, a billion-value group
+    funnels through one window partition. The output is ≤ k rows per
+    group — broadcastable for any downstream pair analysis regardless of
+    corpus size.
+
+    Returns (group_col, h, rn) rows with rn ∈ 1..k ordered by h."""
+    from pyspark.sql.types import StructType
+
+    from .dedup import _h32
+
+    v = value_col if not isinstance(value_col, str) else F.col(value_col)
+    hashed = df.select(F.col(group_col), _h32(v).alias("h")).distinct()
+
+    in_fields = {f.name: f for f in hashed.schema.fields}
+    out_schema = StructType([in_fields[group_col], in_fields["h"]])
+    kv = int(k)
+
+    def local_bottomk(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield pdf.sort_values("h").groupby(group_col, sort=False).head(kv)
+
+    precut = hashed.mapInPandas(local_bottomk, out_schema)
+    rn = F.row_number().over(W.partitionBy(group_col).orderBy("h"))
+    return precut.withColumn("rn", rn).filter(F.col("rn") <= kv)
+
+
+def kmv_pair_overlap(mins: DataFrame, group_col: str, k: int = 256) -> DataFrame:
+    """Pairwise Jaccard + union-cardinality estimates from KMV sketches.
+
+    For each unordered group pair, merge the two sketches, cut the union
+    back to its k smallest hashes (the union KMV), and estimate
+      jaccard_est   = |union-cut ∩ both sketches| / k'
+      union_card_est = (k'−1) · 2³² / h_(k')          (k' = |union cut|)
+    — the standard KMV estimators. All arithmetic happens on ≤ 2k rows
+    per pair: with G groups this is G²·k tiny rows, a broadcast-scale
+    relation no matter how big the corpora were. Exactness of the SKETCH
+    (not the estimate) is oracle-checked; estimator accuracy is
+    pytest-checked against exact Jaccard on planted corpora.
+
+    The sketch is materialized once up front (eager localCheckpoint of a
+    ≤ G·k-row relation — bounded by construction): it feeds three plan
+    arms (both group lists and the scatter), and without the checkpoint
+    each arm would re-run the full upstream corpus scan."""
+    mins = mins.localCheckpoint(eager=True)
+    g1 = mins.select(F.col(group_col).alias("g1")).distinct()
+    g2 = mins.select(F.col(group_col).alias("g2")).distinct()
+    pairs = g1.join(g2, F.col("g1") < F.col("g2"))
+    # scatter each sketch row to the pairs its group participates in
+    m = mins.select(F.col(group_col).alias("g"), "h")
+    scattered = pairs.join(
+        F.broadcast(m), (F.col("g") == F.col("g1")) | (F.col("g") == F.col("g2"))
+    )
+    per_hash = scattered.groupBy("g1", "g2", "h").agg(
+        F.max((F.col("g") == F.col("g1")).cast("int")).alias("in1"),
+        F.max((F.col("g") == F.col("g2")).cast("int")).alias("in2"),
+    )
+    rn = F.row_number().over(W.partitionBy("g1", "g2").orderBy("h"))
+    cut = per_hash.withColumn("rn", rn).filter(F.col("rn") <= int(k))
+    return (
+        cut.groupBy("g1", "g2")
+        .agg(
+            F.count("*").alias("k_used"),
+            F.sum(F.col("in1") * F.col("in2")).alias("n_both"),
+            F.max("h").alias("h_k"),
+        )
+        .select(
+            "g1",
+            "g2",
+            "k_used",
+            "n_both",
+            F.round(F.col("n_both") / F.col("k_used"), 4).alias("jaccard_est"),
+            F.when(
+                F.col("k_used") < int(k),
+                # fewer than k distinct union hashes -> the sketch IS the
+                # exact union; cardinality = k_used, no extrapolation.
+                F.col("k_used").cast("long"),
+            )
+            .otherwise(
+                # floor() explicitly: Spark's double->long cast truncates
+                # while DuckDB's ROUNDS — floor is the portable choice.
+                F.floor(
+                    (F.col("k_used") - 1) * F.lit(float(2**32)) / F.col("h_k")
+                ).cast("long")
+            )
+            .alias("union_card_est"),
+        )
+        .orderBy("g1", "g2")
+    )

@@ -2586,6 +2586,74 @@ ORDER BY doc_id
 """
 
 
+def q106_kmv_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language vocabulary overlap via KMV sketches (operators/
+    sketches.kmv_group_sketch + kmv_pair_overlap): per-language bottom-256
+    distinct token-hash sketches, merged pairwise into union cuts that
+    yield Jaccard and union-cardinality ESTIMATES — the sub-linear way to
+    answer "how much vocabulary do these corpora share" without a
+    pairwise exact join. The estimates are deterministic functions of the
+    md5 hashes, so the oracle replays the sketch arithmetic end-to-end;
+    estimator ACCURACY versus exact Jaccard is a separate pytest."""
+    from ..operators.sketches import kmv_group_sketch, kmv_pair_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "\\s+"), lambda x: x != F.lit("")
+            )
+        ).alias("tok"),
+    )
+    mins = kmv_group_sketch(toks, "lang", "tok", k=256)
+    return kmv_pair_overlap(mins, "lang", k=256)
+
+
+_Q106_SQL = r"""
+WITH toks AS (
+  SELECT lang, tok FROM (
+    SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), hashed AS (
+  SELECT DISTINCT lang, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+  FROM toks
+), mins AS (
+  SELECT lang, h FROM (
+    SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= 256
+), pairs AS (
+  SELECT a.lang AS g1, b.lang AS g2
+  FROM (SELECT DISTINCT lang FROM mins) a
+  JOIN (SELECT DISTINCT lang FROM mins) b ON a.lang < b.lang
+), per_hash AS (
+  SELECT p.g1, p.g2, m.h,
+         max(CASE WHEN m.lang = p.g1 THEN 1 ELSE 0 END) AS in1,
+         max(CASE WHEN m.lang = p.g2 THEN 1 ELSE 0 END) AS in2
+  FROM pairs p JOIN mins m ON m.lang IN (p.g1, p.g2)
+  GROUP BY p.g1, p.g2, m.h
+), cut AS (
+  SELECT * FROM (
+    SELECT g1, g2, h, in1, in2,
+           row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS rn
+    FROM per_hash
+  ) WHERE rn <= 256
+)
+SELECT g1, g2,
+       count(*) AS k_used,
+       CAST(sum(in1 * in2) AS BIGINT) AS n_both,
+       round(CAST(sum(in1 * in2) AS DOUBLE) / count(*), 4) AS jaccard_est,
+       CASE WHEN count(*) < 256 THEN count(*)
+            ELSE CAST(floor((count(*) - 1) * 4294967296.0 / max(h)) AS BIGINT)
+       END AS union_card_est
+FROM cut
+GROUP BY g1, g2
+ORDER BY g1, g2
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -2638,6 +2706,7 @@ QUERIES = {
     "q103_span_dup_profile": q103_span_dup_profile,
     "q104_quality_classifier": q104_quality_classifier,
     "q105_winnowed_dup_profile": q105_winnowed_dup_profile,
+    "q106_kmv_vocab_overlap": q106_kmv_vocab_overlap,
 }
 
 ORACLES = {
@@ -2692,4 +2761,5 @@ ORACLES = {
     "q103_span_dup_profile": _Q103_SQL,
     "q104_quality_classifier": _Q104_SQL,
     "q105_winnowed_dup_profile": _Q105_SQL,
+    "q106_kmv_vocab_overlap": _Q106_SQL,
 }

@@ -118,6 +118,7 @@ HEADLINE = [
     "q103_span_dup_profile",
     "q104_quality_classifier",
     "q105_winnowed_dup_profile",
+    "q106_kmv_vocab_overlap",
 ]
 
 

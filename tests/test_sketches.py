@@ -65,3 +65,65 @@ def test_profile_is_single_pass(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1
     # partial + final aggregate, nothing else: one exchange total.
     assert plan.count("Exchange") == 1
+
+
+def test_kmv_small_sets_are_exact(spark):
+    """When a pair's union has fewer than k distinct values, the sketch
+    IS the union: jaccard_est and union_card_est are exact."""
+    from airflow_spotify_etl_spark.operators.sketches import (
+        kmv_group_sketch,
+        kmv_pair_overlap,
+    )
+
+    rows = [("a", f"v{i}") for i in range(30)] + [
+        ("b", f"v{i}") for i in range(15, 45)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    mins = kmv_group_sketch(df, "g", "v", k=256)
+    out = kmv_pair_overlap(mins, "g", k=256).collect()
+    assert len(out) == 1
+    r = out[0]
+    # |a|=30, |b|=30, overlap 15, union 45 -> J = 15/45
+    assert r.k_used == 45 and r.n_both == 15
+    assert r.union_card_est == 45
+    assert abs(r.jaccard_est - 15 / 45) < 1e-4
+
+
+def test_kmv_estimates_track_truth_at_scale(spark):
+    """5k-vs-5k value sets with 2.5k overlap (true J = 1/3, union 7.5k):
+    a k=256 sketch must land within the standard KMV error envelope
+    (~1/sqrt(k) ≈ 6% relative on Jaccard, similar on cardinality)."""
+    from airflow_spotify_etl_spark.operators.sketches import (
+        kmv_group_sketch,
+        kmv_pair_overlap,
+    )
+
+    rows = [("a", f"x{i}") for i in range(5000)] + [
+        ("b", f"x{i}") for i in range(2500, 7500)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    mins = kmv_group_sketch(df, "g", "v", k=256)
+    r = kmv_pair_overlap(mins, "g", k=256).collect()[0]
+    assert r.k_used == 256
+    assert abs(r.jaccard_est - 1 / 3) < 0.12
+    assert abs(r.union_card_est - 7500) / 7500 < 0.25
+
+
+def test_kmv_precut_matches_unbounded_window(spark):
+    """The map-side bottom-k precut is exact: the sketch equals the one a
+    plain global window would produce (same rows, same ranks)."""
+    from pyspark.sql import Window as W
+
+    from airflow_spotify_etl_spark.operators.dedup import _h32
+    from airflow_spotify_etl_spark.operators.sketches import kmv_group_sketch
+
+    rows = [(f"g{i % 3}", f"val{i * 7919 % 1000}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, v string").repartition(8)
+    got = kmv_group_sketch(df, "g", "v", k=64)
+    ref = (
+        df.select("g", _h32(F.col("v")).alias("h"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(W.partitionBy("g").orderBy("h")))
+        .filter(F.col("rn") <= 64)
+    )
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
