@@ -2654,6 +2654,154 @@ ORDER BY g1, g2
 """
 
 
+def q107_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    doc with the corpus unigram LM (the q49 machinery), then split each
+    LANGUAGE into head/middle/tail terciles by per-language exact
+    percentile thresholds — the curation move that keeps the best third,
+    trains on the middle, and drops the tail. Returns per (lang, bucket):
+    doc count and mean score.
+
+    Shape at 100 TB: scoring is the q49 broadcast-model scan; thresholds
+    are one |langs|-row exact-percentile aggregate broadcast back into a
+    narrow projection — no second scan of the scores, no sort. Bucketing
+    compares the ROUNDED score (the q49 output discipline) against
+    thresholds interpolated from those same rounded values, which is what
+    keeps the cut engine-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "\\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    total = toks.count()
+    model = toks.groupBy("tok").agg(
+        F.log(F.count("*") / F.lit(float(total))).alias("logp")
+    )
+    scored = (
+        toks.join(F.broadcast(model), "tok")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("logp"), 4).alias("score"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    thr = scored.groupBy("lang").agg(
+        F.percentile("score", 1.0 / 3).alias("t_lo"),
+        F.percentile("score", 2.0 / 3).alias("t_hi"),
+    )
+    bucket = (
+        F.when(F.col("score") >= F.col("t_hi"), F.lit("head"))
+        .when(F.col("score") >= F.col("t_lo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(thr), "lang")
+        .withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+_Q107_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), model AS (
+  SELECT tok, ln(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM toks)) AS logp
+  FROM toks GROUP BY tok
+), scored AS (
+  SELECT t.doc_id, round(avg(m.logp), 4) AS score
+  FROM toks t JOIN model m USING (tok) GROUP BY t.doc_id
+), sl AS (
+  SELECT s.doc_id, s.score, d.lang
+  FROM scored s JOIN documents d USING (doc_id)
+), thr AS (
+  SELECT lang, quantile_cont(score, 1.0/3) AS t_lo,
+               quantile_cont(score, 2.0/3) AS t_hi
+  FROM sl GROUP BY lang
+)
+SELECT sl.lang,
+       CASE WHEN sl.score >= thr.t_hi THEN 'head'
+            WHEN sl.score >= thr.t_lo THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       count(*) AS n_docs,
+       round(avg(sl.score), 4) AS avg_score
+FROM sl JOIN thr USING (lang)
+GROUP BY 1, 2
+ORDER BY lang, bucket
+"""
+
+
+def q108_quality_aware_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup decision: the q42 near-dup clusters, but the
+    keeper is the cluster's HIGHEST-quality member (hashed classifier
+    score q104; ties broken by min doc_id) instead of min-id — what
+    SemDeDup/DataComp actually do, since the duplicate you keep should be
+    the best-written copy. Composes three oracle-proven pieces (Jaccard
+    edges, CC closure, classifier forward pass) into one decision; the
+    keeper window (score desc, doc_id) makes the choice deterministic
+    even for byte-identical duplicates with tied scores."""
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+    from ..operators.text import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000)
+    comp = connected_components(pairs)
+    scores = hashed_linear_score(docs, n_buckets=4096).select("doc_id", "score")
+    member = comp.join(scores, "doc_id")
+    rn = F.row_number().over(
+        W.partitionBy("component").orderBy(F.col("score").desc(), "doc_id")
+    )
+    ranked = member.withColumn("rn", rn)
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+                "keeper_doc_id"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("score"))).alias(
+                "keeper_score"
+            ),
+        )
+        .orderBy("component")
+    )
+
+
+_Q108_SQL = f"""
+WITH RECURSIVE {_Q42_CTES}, q_toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), q_scores AS (
+  SELECT d.doc_id,
+         round(1.0 / (1.0 + exp(-4.0 * coalesce(s.m, 0.0))), 4) AS score
+  FROM documents d LEFT JOIN (
+    SELECT doc_id,
+           avg(('0x' || substr(md5('qw' ||
+                 ((('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096))::VARCHAR
+               ), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS m
+    FROM q_toks GROUP BY doc_id
+  ) s USING (doc_id)
+), ranked AS (
+  SELECT c.component, c.doc_id, q.score,
+         row_number() OVER (
+           PARTITION BY c.component ORDER BY q.score DESC, c.doc_id
+         ) AS rn
+  FROM comp c JOIN q_scores q USING (doc_id)
+)
+SELECT component, count(*) AS cluster_size,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS keeper_doc_id,
+       max(CASE WHEN rn = 1 THEN score END) AS keeper_score
+FROM ranked GROUP BY component ORDER BY component
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -2707,6 +2855,8 @@ QUERIES = {
     "q104_quality_classifier": q104_quality_classifier,
     "q105_winnowed_dup_profile": q105_winnowed_dup_profile,
     "q106_kmv_vocab_overlap": q106_kmv_vocab_overlap,
+    "q107_perplexity_buckets": q107_perplexity_buckets,
+    "q108_quality_aware_keepers": q108_quality_aware_keepers,
 }
 
 ORACLES = {
@@ -2762,4 +2912,6 @@ ORACLES = {
     "q104_quality_classifier": _Q104_SQL,
     "q105_winnowed_dup_profile": _Q105_SQL,
     "q106_kmv_vocab_overlap": _Q106_SQL,
+    "q107_perplexity_buckets": _Q107_SQL,
+    "q108_quality_aware_keepers": _Q108_SQL,
 }

@@ -119,6 +119,8 @@ HEADLINE = [
     "q104_quality_classifier",
     "q105_winnowed_dup_profile",
     "q106_kmv_vocab_overlap",
+    "q107_perplexity_buckets",
+    "q108_quality_aware_keepers",
 ]
 
 

@@ -110,3 +110,54 @@ def test_corpus_pipeline_weighted_sampling_stage(spark, sf_dir, tmp_path):
     ids1 = {r.doc_id for r in spark.read.parquet(str(tmp_path / "w1")).select("doc_id").collect()}
     ids2 = {r.doc_id for r in spark.read.parquet(str(tmp_path / "w2")).select("doc_id").collect()}
     assert ids1 == ids2
+
+
+def test_perplexity_buckets_order_and_balance(spark, sf_dir):
+    """CCNet terciles: per language the three buckets exist, sizes differ
+    by at most ~2 (exact-percentile cuts on ties can shift a couple of
+    docs), and mean scores order head > middle > tail."""
+    from airflow_spotify_etl_spark.plans.llm import q107_perplexity_buckets
+
+    rows = q107_perplexity_buckets(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    for lang, b in by_lang.items():
+        assert set(b) == {"head", "middle", "tail"}, lang
+        sizes = [b[k].n_docs for k in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= max(3, sum(sizes) // 3), lang
+        assert b["head"].avg_score > b["middle"].avg_score > b["tail"].avg_score
+
+
+def test_quality_aware_keeper_beats_min_id(spark):
+    """Planted 2-doc near-dup cluster where the HIGHER doc_id has the
+    higher classifier score: the quality-aware keeper must pick it, where
+    q42's min-id rule would not. Built directly from the same operator
+    composition as q108 (edges -> CC -> score window)."""
+    from pyspark.sql import Window as W
+
+    from airflow_spotify_etl_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from airflow_spotify_etl_spark.operators.text import hashed_linear_score
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, base + " iota"), (2, base + " kappa"), (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000)
+    comp = connected_components(pairs)
+    scores = hashed_linear_score(docs).select("doc_id", "score")
+    member = comp.join(scores, "doc_id")
+    rn = F.row_number().over(
+        W.partitionBy("component").orderBy(F.col("score").desc(), "doc_id")
+    )
+    keepers = (
+        member.withColumn("rn", rn).filter("rn = 1").select("doc_id", "score")
+    ).collect()
+    assert len(keepers) == 1
+    s = {r.doc_id: r.score for r in scores.collect()}
+    want = max([1, 2], key=lambda d: (s[d], -d))
+    assert keepers[0].doc_id == want
