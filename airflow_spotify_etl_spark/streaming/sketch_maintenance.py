@@ -1,0 +1,129 @@
+"""Streaming maintenance of MERGEABLE summaries: a weighted top-k sample
+and per-group KMV sketches kept current from a document stream, one
+bounded merge per micro-batch.
+
+Why these two compose with streaming for free: both states are MERGEABLE
+and content-addressed —
+
+- the A-ES weighted sample (operators/sampling.weighted_exact_k_sample)
+  keys every row by a deterministic hash-derived u^(1/w); the global
+  top-k of a union is the top-k of (stored top-k ∪ batch top-k), so a
+  micro-batch merge needs only 2k rows, never history;
+- a KMV sketch (operators/sketches.kmv_group_sketch) is the bottom-k
+  distinct hash set per group; union-then-recut is exactly the sketch of
+  the union, so the stored state is ≤ G·k rows forever.
+
+Each drain therefore costs O(batch) + O(state), with state bounded by
+construction — the 100 TB ingest shape: the corpus never re-scans, and
+the stored artifact a downstream query reads (the sample, the overlap
+estimates) is always current. Equality with the from-scratch batch
+computation is pytest-verified (two drains ≡ one batch run), the same
+incremental-equals-rebuild discipline as streaming SCD-2 (q80).
+
+Store handling follows streaming/scd2.py: path-existence decides "first
+batch" (a read failure on an existing store must fail the batch, not
+silently restart state — ADVICE r3), and the state is materialized
+before the overwrite that replaces it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .scd2 import _store_exists
+
+__all__ = ["run_weighted_sample_maintenance", "run_kmv_maintenance"]
+
+
+def run_weighted_sample_maintenance(
+    spark: SparkSession,
+    stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wek",
+) -> None:
+    """Keep the exact-size-k A-ES weighted sample of EVERYTHING seen on
+    the stream in a stored table: per micro-batch, draw the batch's
+    top-k, union with the stored sample, re-cut to k. Because es_key is a
+    pure function of (salt, id, weight), the merged cut equals the batch
+    q99 draw over the full history — verified in tests."""
+    from ..operators.sampling import weighted_exact_k_sample
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        batch_top = weighted_exact_k_sample(bdf, k, weight_col, id_col, salt)
+        have = _store_exists(store_path)
+        if have:
+            stored = spark.read.parquet(store_path)
+            merged = (
+                stored.unionByName(batch_top)
+                # an id re-sent across batches keeps ONE copy (same key
+                # both times — content-addressed), not two sample slots
+                .dropDuplicates([id_col])
+                .orderBy(F.col("es_key").desc(), id_col)
+                .limit(k)
+            )
+        else:
+            merged = batch_top
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(store_path)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_kmv_maintenance(
+    spark: SparkSession,
+    stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    group_col: str,
+    value_col: str,
+    k: int = 256,
+) -> None:
+    """Keep per-group KMV sketches of the streamed values current: per
+    micro-batch, sketch the batch, union with the stored sketch rows,
+    distinct on (group, h) — the same value re-streamed hashes
+    identically — and re-cut each group to its k smallest. The stored
+    state is ≤ groups·k narrow rows regardless of stream volume; pairwise
+    overlap estimates (kmv_pair_overlap) read it directly."""
+    from pyspark.sql import Window as W
+
+    from ..operators.sketches import kmv_group_sketch
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        batch_mins = kmv_group_sketch(bdf, group_col, value_col, k).select(
+            group_col, "h"
+        )
+        have = _store_exists(store_path)
+        if have:
+            stored = spark.read.parquet(store_path).select(group_col, "h")
+            pool = stored.unionByName(batch_mins).distinct()
+        else:
+            pool = batch_mins
+        rn = F.row_number().over(W.partitionBy(group_col).orderBy("h"))
+        merged = pool.withColumn("rn", rn).filter(F.col("rn") <= int(k))
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(store_path)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

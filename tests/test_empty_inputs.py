@@ -174,3 +174,75 @@ def test_gap_fill_on_empty_stream(spark):
         [T.StructField("ts", T.TimestampType()), T.StructField("value", T.DoubleType())]
     )
     assert gap_fill_hourly(spark.createDataFrame([], schema)).count() == 0
+
+
+def test_round5_text_ops_on_empty_corpus(spark):
+    from airflow_spotify_etl_spark.operators.dedup import (
+        span_dup_profile,
+        winnowed_dup_profile,
+        winnowed_fingerprints,
+    )
+    from airflow_spotify_etl_spark.operators.text import hashed_linear_score
+
+    docs = _empty_docs(spark)
+    assert span_dup_profile(docs).count() == 0
+    assert winnowed_fingerprints(docs).count() == 0
+    assert winnowed_fingerprints(docs, impl="local").count() == 0
+    assert winnowed_dup_profile(docs).count() == 0
+    assert hashed_linear_score(docs).count() == 0
+
+
+def test_dsir_empty_pools(spark, sf_dir):
+    """Empty TARGET pool: every raw doc scores with the uniform-floor
+    target model (finite, not NaN/error). Empty RAW pool: empty output."""
+    from airflow_spotify_etl_spark.operators.sampling import dsir_log_weights
+    from airflow_spotify_etl_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    empty = _empty_docs(spark)
+    out = dsir_log_weights(docs, empty).collect()
+    assert len(out) == 10
+    assert all(r.log_weight == r.log_weight for r in out)  # no NaN
+    assert dsir_log_weights(empty, docs).count() == 0
+
+
+def test_merge_upsert_empty_sides(spark):
+    from airflow_spotify_etl_spark.operators.incremental import merge_upsert
+
+    base = spark.createDataFrame([(1, "a")], "k int, v string")
+    empty = spark.createDataFrame([], "k int, v string")
+    assert [r.v for r in merge_upsert(base, empty, ["k"]).collect()] == ["a"]
+    assert [r.v for r in merge_upsert(empty, base, ["k"]).collect()] == ["a"]
+    assert merge_upsert(empty, empty, ["k"]).count() == 0
+
+
+def test_kmv_empty_and_single_group(spark):
+    from airflow_spotify_etl_spark.operators.sketches import (
+        kmv_group_sketch,
+        kmv_pair_overlap,
+    )
+
+    empty = spark.createDataFrame([], "g string, v string")
+    mins = kmv_group_sketch(empty, "g", "v")
+    assert mins.count() == 0
+    assert kmv_pair_overlap(mins, "g").count() == 0
+    one = spark.createDataFrame([("a", "x"), ("a", "y")], "g string, v string")
+    # a single group has no pairs — empty result, no error
+    assert kmv_pair_overlap(kmv_group_sketch(one, "g", "v"), "g").count() == 0
+
+
+def test_zorder_empty_and_constant_dims(spark, tmp_path):
+    """Empty input writes an empty-but-readable table; a constant
+    dimension (min == max) degrades to rank 0 instead of dividing by a
+    zero-width bucket."""
+    from airflow_spotify_etl_spark.operators.layout import write_zordered
+
+    empty = spark.createDataFrame([], "x long, y long")
+    p1 = str(tmp_path / "ze")
+    write_zordered(empty, p1, ["x", "y"], n_files=4)
+    assert spark.read.parquet(p1).count() == 0
+
+    const = spark.createDataFrame([(1, i) for i in range(100)], "x long, y long")
+    p2 = str(tmp_path / "zc")
+    write_zordered(const, p2, ["x", "y"], n_files=4)
+    assert spark.read.parquet(p2).count() == 100

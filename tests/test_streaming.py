@@ -489,3 +489,93 @@ def test_novelty_ingest_retry_and_null_text(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(novel).collect()} == {1, 2} | want
     rows = spark.read.parquet(novel).collect()
     assert len(rows) == 5  # no duplicated admissions
+
+
+DOCW_SCHEMA = "doc_id long, text string, w double"
+
+
+def _write_docw(spark, path, rows):
+    spark.createDataFrame(rows, DOCW_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_weighted_sample_maintenance_matches_batch_draw(spark, tmp_path):
+    """Two drains folding micro-batches into the stored A-ES top-k; the
+    final store must equal the batch q99 draw over ALL rows — the
+    mergeability proof for the content-addressed sample keys. A doc
+    re-sent in batch 2 occupies one slot, not two."""
+    from airflow_spotify_etl_spark.operators.sampling import (
+        weighted_exact_k_sample,
+    )
+    from airflow_spotify_etl_spark.streaming.sketch_maintenance import (
+        run_weighted_sample_maintenance,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "sample_store")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = [(i, f"doc {i}", 1.0 + (i % 5)) for i in range(40)]
+    batch2 = [(i, f"doc {i}", 1.0 + (i % 5)) for i in range(35, 80)]  # 35-39 resent
+
+    def drain():
+        stream = spark.readStream.schema(DOCW_SCHEMA).parquet(src)
+        run_weighted_sample_maintenance(
+            spark, stream, store, ckpt, k=10, weight_col="w"
+        )
+
+    _write_docw(spark, src, batch1)
+    drain()
+    _write_docw(spark, src, batch2)
+    drain()
+
+    got = spark.read.parquet(store)
+    allrows = spark.read.schema(DOCW_SCHEMA).parquet(src).dropDuplicates(["doc_id"])
+    want = weighted_exact_k_sample(allrows, 10, "w")
+    assert sorted(r.doc_id for r in got.collect()) == sorted(
+        r.doc_id for r in want.collect()
+    )
+    assert got.count() == 10
+
+
+def test_kmv_maintenance_matches_batch_sketch(spark, tmp_path):
+    """Streaming KMV: after two drains the stored sketch equals the batch
+    sketch over the union (union-then-recut IS the union sketch), stays
+    ≤ k rows per group with the bottom-k re-cut genuinely exercised
+    (hundreds of distinct values per group vs k=64), and re-streamed
+    values don't distort it."""
+    from pyspark.sql import functions as F
+
+    from airflow_spotify_etl_spark.operators.sketches import kmv_group_sketch
+    from airflow_spotify_etl_spark.streaming.sketch_maintenance import (
+        run_kmv_maintenance,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "kmv_store")
+    ckpt = str(tmp_path / "ckpt")
+    # group g0/g1 from doc_id parity; ~300 then ~450 distinct values with
+    # overlap between batches (re-streamed values must dedupe)
+    batch1 = [(i, f"v{i % 300}", 0.0) for i in range(600)]
+    batch2 = [(i + 1000, f"v{(i + 150) % 450}", 0.0) for i in range(600)]
+
+    def with_group(df):
+        return df.withColumn("g", (F.col("doc_id") % 2).cast("string"))
+
+    def drain():
+        stream = with_group(spark.readStream.schema(DOCW_SCHEMA).parquet(src))
+        run_kmv_maintenance(
+            spark, stream, store, ckpt, group_col="g", value_col="text", k=64
+        )
+
+    _write_docw(spark, src, batch1)
+    drain()
+    _write_docw(spark, src, batch2)
+    drain()
+
+    got = spark.read.parquet(store)
+    union = with_group(spark.read.schema(DOCW_SCHEMA).parquet(src))
+    want = kmv_group_sketch(union, "g", "text", 64).select("g", "h")
+    assert got.count() == 128  # exactly k per group: the re-cut ran
+    assert got.select("g", "h").exceptAll(want).isEmpty()
+    assert want.exceptAll(got.select("g", "h")).isEmpty()
