@@ -35,6 +35,7 @@ __all__ = [
     "canonical_dedup",
     "chunk_dedup",
     "span_dup_profile",
+    "span_excise",
     "winnowed_fingerprints",
     "winnowed_dup_profile",
     "shingle",
@@ -285,6 +286,83 @@ def span_dup_profile(
                 4,
             ).alias("dup_frac"),
             F.coalesce("max_dup_run", F.lit(0)).cast("long").alias("max_dup_run"),
+        )
+    )
+
+
+def span_excise(
+    df: DataFrame,
+    window_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-dedup EXCISION (the surgery of Lee et al. 2022, which
+    cuts repeated spans out of documents rather than dropping documents):
+    every token covered by a non-first occurrence of a duplicated
+    ``window_words``-token window is removed, and the surviving text is
+    rebuilt in order. First occurrence = corpus order (doc_id, position),
+    so exactly one copy of each repeated span survives — including
+    in-document self-repeats. Unlike ``chunk_dedup``'s aligned chunks,
+    the dense windows excise shared spans at ANY alignment.
+
+    Returns (doc_id, n_tokens, n_removed, text_clean) for every input
+    doc; docs shorter than the window pass through untouched.
+
+    Scale shape: first-occurrence marking is the chunk_dedup count-window
+    — one exchange keyed on md5(window) carrying (hash, doc_id, wi), no
+    text. Losing windows explode to covered (doc_id, pos) pairs (output
+    bounded by duplicated volume, not corpus size); the rebuild is a
+    co-partitioned anti-join of the token stream against that removal
+    set, both keyed (doc_id, pos) — uniform keys, linear everywhere."""
+    wv = int(window_words)
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "\\s+"), lambda x: x != F.lit("")
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+    toks = base.select(
+        "doc_id", F.posexplode("_w").alias("pos", "tok")
+    )  # pos 0-based
+    n_pos = F.when(
+        F.size("_w") >= wv, F.size("_w") - F.lit(wv) + 1
+    ).otherwise(F.lit(0))
+    idx = F.when(n_pos >= 1, F.sequence(F.lit(0), n_pos - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    span_of = f"array_join(slice(_w, _wi + 1, {wv}), ' ')"
+    wins = base.select("doc_id", "_w", F.explode(idx).alias("_wi")).select(
+        "doc_id",
+        F.col("_wi").alias("wi"),
+        F.md5(F.expr(span_of)).alias("wh"),
+    )
+    first = F.row_number().over(W.partitionBy("wh").orderBy("doc_id", "wi"))
+    losers = wins.withColumn("rn", first).filter(F.col("rn") > 1)
+    removed = losers.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("wi"), F.col("wi") + wv - 1)).alias("pos"),
+    ).distinct()
+    kept = toks.join(removed, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    totals = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            (
+                F.coalesce("n_tokens", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
+            ).alias("n_removed"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
     )
 

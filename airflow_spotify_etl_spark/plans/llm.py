@@ -2802,6 +2802,66 @@ FROM ranked GROUP BY component ORDER BY component
 """
 
 
+def q109_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup excision (operators/dedup.span_excise): cut every
+    non-first occurrence of a duplicated 8-token span out of the corpus
+    and rebuild the surviving text — the Lee et al. 2022 surgery, not
+    just its detection signal (q103). The oracle replays window hashing,
+    first-occurrence ranking, coverage expansion, the anti-join, and the
+    ordered text rebuild; a green hash certifies the rebuilt STRINGS."""
+    from ..operators.dedup import span_excise
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_excise(docs, window_words=8).orderBy("doc_id")
+
+
+_Q109_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), toks AS (
+  SELECT doc_id, pos, w[pos + 1] AS tok FROM (
+    SELECT doc_id, w, unnest(range(len(w))) AS pos FROM w
+  )
+), wins AS (
+  SELECT doc_id, wi, md5(array_to_string(w[wi + 1 : wi + 8], ' ')) AS wh
+  FROM (
+    SELECT doc_id, w,
+           unnest(range(0, CASE WHEN len(w) >= 8
+                                THEN len(w) - 8 + 1 ELSE 0 END)) AS wi
+    FROM w
+  )
+), losers AS (
+  SELECT doc_id, wi FROM (
+    SELECT doc_id, wi,
+           row_number() OVER (PARTITION BY wh ORDER BY doc_id, wi) AS rn
+    FROM wins
+  ) WHERE rn > 1
+), removed AS (
+  SELECT DISTINCT doc_id, unnest(range(wi, wi + 8)) AS pos FROM losers
+), kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM toks t ANTI JOIN removed r ON t.doc_id = r.doc_id AND t.pos = r.pos
+), rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         array_to_string(list(tok ORDER BY pos), ' ') AS text_clean
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(t.n_tokens, 0) AS n_tokens,
+       coalesce(t.n_tokens, 0) - coalesce(r.n_kept, 0) AS n_removed,
+       coalesce(r.text_clean, '') AS text_clean
+FROM documents d
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -2857,6 +2917,7 @@ QUERIES = {
     "q106_kmv_vocab_overlap": q106_kmv_vocab_overlap,
     "q107_perplexity_buckets": q107_perplexity_buckets,
     "q108_quality_aware_keepers": q108_quality_aware_keepers,
+    "q109_span_excision": q109_span_excision,
 }
 
 ORACLES = {
@@ -2914,4 +2975,5 @@ ORACLES = {
     "q106_kmv_vocab_overlap": _Q106_SQL,
     "q107_perplexity_buckets": _Q107_SQL,
     "q108_quality_aware_keepers": _Q108_SQL,
+    "q109_span_excision": _Q109_SQL,
 }

@@ -121,6 +121,7 @@ HEADLINE = [
     "q106_kmv_vocab_overlap",
     "q107_perplexity_buckets",
     "q108_quality_aware_keepers",
+    "q109_span_excision",
 ]
 
 

@@ -498,3 +498,53 @@ def test_winnowing_impls_equivalent(spark):
     b = winnowed_fingerprints(docs, 8, 4, impl="window")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     assert a.count() > 0
+
+
+def test_span_excise_removes_second_occurrence_any_alignment(spark):
+    """Doc 2 repeats doc 1's 10-token span at a different alignment: the
+    span is excised from doc 2 (the later occurrence) and doc 1 keeps its
+    text verbatim; surrounding tokens in doc 2 survive."""
+    from airflow_spotify_etl_spark.operators.dedup import span_excise
+
+    span_toks = [f"s{i}" for i in range(10)]
+    span = " ".join(span_toks)
+    d1 = span + " tail1 tail2 tail3 tail4"
+    d2 = "pre1 pre2 pre3 " + span + " post1 post2"
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in span_excise(docs, 8).collect()}
+    assert got[1].n_removed == 0 and got[1].text_clean == d1
+    out2 = got[2].text_clean.split()
+    assert got[2].n_removed == 10
+    assert not set(span_toks) & set(out2)       # span gone
+    assert {"pre1", "pre2", "pre3", "post1", "post2"} <= set(out2)
+
+
+def test_span_excise_self_repetition_keeps_one_copy(spark):
+    """A doc that repeats its own 12-token block keeps exactly the first
+    copy's tokens; later copies are excised."""
+    from airflow_spotify_etl_spark.operators.dedup import span_excise
+
+    block = " ".join(f"b{i}" for i in range(12))
+    text = block + " mid1 mid2 " + block
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = span_excise(docs, 8).collect()[0]
+    assert r.n_tokens == 26
+    toks = r.text_clean.split()
+    # first block + both middles survive; the 12 repeated tokens go
+    assert r.n_removed == 12
+    assert toks[:12] == block.split() and "mid1" in toks and "mid2" in toks
+
+
+def test_span_excise_short_docs_pass_through(spark):
+    from airflow_spotify_etl_spark.operators.dedup import span_excise
+
+    docs = spark.createDataFrame(
+        [(1, "short doc stays"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in span_excise(docs, 8).collect()}
+    assert got[1].n_removed == 0 and got[1].text_clean == "short doc stays"
+    assert got[2].n_removed == 0 and got[2].text_clean == ""
+    assert got[3].n_removed == 0 and got[3].text_clean == ""
