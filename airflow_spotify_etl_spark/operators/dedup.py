@@ -308,6 +308,13 @@ def span_excise(
     Returns (doc_id, n_tokens, n_removed, text_clean) for every input
     doc; docs shorter than the window pass through untouched.
 
+    NOT idempotent by design: removing a span joins its neighbors, and
+    the seam can form a NEW window that duplicates text elsewhere —
+    one pass guarantees every window duplicated in the INPUT keeps
+    exactly one copy; run to a fixpoint (n_removed sums to 0) when the
+    output must be fully self-dedup'd. Deterministic across runs (total
+    (doc_id, wi) first-occurrence order), property-tested either way.
+
     Scale shape: first-occurrence marking is the chunk_dedup count-window
     — one exchange keyed on md5(window) carrying (hash, doc_id, wi), no
     text. Losing windows explode to covered (doc_id, pos) pairs (output

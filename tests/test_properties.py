@@ -208,3 +208,94 @@ def test_canonical_dedup_accounting_invariants(spark, texts):
     assert sum(r.n_docs for r in out) == len(rows)
     assert sum(r.n_kept for r in out) == n_forms
     assert all(0 <= r.n_kept <= r.n_docs for r in out)
+
+
+# Random keyed tables for MERGE: small key space so update/insert/keep
+# all occur; values distinguish which side won.
+_kv = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=9), st.integers(0, 100)),
+    min_size=0,
+    max_size=15,
+)
+
+
+@_slow
+@given(base=_kv, delta=_kv)
+def test_merge_upsert_partition_property(spark, base, delta):
+    """For random base/delta: output keys = base-keys ∪ delta-keys exactly
+    once each; every delta key carries the delta value (update wins),
+    every base-only key carries the base value. Delta collapsed to one
+    row per key first (max seq), mirroring the operator's LWW contract."""
+    from airflow_spotify_etl_spark.operators.incremental import merge_upsert
+
+    bmap = {}
+    for k, v in base:
+        bmap[k] = v  # later rows win in the dict; make base unique-keyed
+    dmap = {}
+    for i, (k, v) in enumerate(delta):
+        dmap[k] = (v, i)
+    bdf = spark.createDataFrame(
+        [(k, v, -1) for k, v in bmap.items()] or [], "k long, v long, seq long"
+    )
+    ddf = spark.createDataFrame(
+        [(k, v, i) for k, (v, i) in dmap.items()] or [], "k long, v long, seq long"
+    )
+    if not bmap and not dmap:
+        return
+    got = {r.k: r.v for r in merge_upsert(bdf, ddf, ["k"], order_col="seq").collect()}
+    want = {**bmap, **{k: v for k, (v, _) in dmap.items()}}
+    assert got == want
+
+
+_texts = st.lists(
+    st.lists(
+        st.sampled_from([f"t{i}" for i in range(12)]), min_size=0, max_size=30
+    ).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@_slow
+@given(texts=_texts)
+def test_span_profile_invariants_on_random_corpora(spark, texts):
+    """For any corpus: 0 ≤ n_dup ≤ n_windows; max_dup_run ≤ n_dup; a
+    window count matching len-w+1; and every doc present exactly once."""
+    from airflow_spotify_etl_spark.operators.dedup import span_dup_profile
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = span_dup_profile(docs, 4).collect()
+    assert sorted(r.doc_id for r in rows) == list(range(len(texts)))
+    for r in rows:
+        n = len(texts[r.doc_id].split())
+        expect_windows = max(0, n - 4 + 1)
+        assert r.n_windows == expect_windows
+        assert 0 <= r.n_dup_windows <= r.n_windows
+        assert r.max_dup_run <= r.n_dup_windows
+
+
+@_slow
+@given(texts=_texts)
+def test_span_excise_conservation_and_determinism(spark, texts):
+    """Conservation: n_tokens == n_removed + len(text_clean tokens), and
+    two runs over the same corpus agree exactly (the first-occurrence
+    rank is totally ordered by (doc_id, wi) — no tie nondeterminism).
+    NOTE deliberately NOT asserted: idempotence. Excision seams can
+    create NEW duplicated windows (removed span joins its neighbors), so
+    a second pass may legitimately remove more — the reason production
+    substring dedup iterates to a fixpoint or length-filters first."""
+    from airflow_spotify_etl_spark.operators.dedup import span_excise
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in span_excise(docs, 4).collect()}
+    for r in out.values():
+        kept = r.text_clean.split()
+        assert r.n_tokens == r.n_removed + len(kept)
+    again = {r.doc_id: r for r in span_excise(docs, 4).collect()}
+    assert {k: (v.n_removed, v.text_clean) for k, v in out.items()} == {
+        k: (v.n_removed, v.text_clean) for k, v in again.items()
+    }
