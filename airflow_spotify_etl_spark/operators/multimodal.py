@@ -47,6 +47,7 @@ __all__ = [
     "media_features",
     "resize_image",
     "write_media_partitioned",
+    "binary_dedup",
 ]
 
 MEDIA_KINDS = ["image", "audio", "video"]
@@ -312,4 +313,36 @@ def write_media_partitioned(
         .partitionBy("kind")
         .option("maxRecordsPerFile", max_records_per_file)
         .parquet(path)
+    )
+
+
+def binary_dedup(
+    media: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    skip_header: bool = True,
+) -> DataFrame:
+    """Exact dedup of opaque binary content — the first-tier pass of every
+    image/audio pipeline (byte-identical assets dominate web-scraped media
+    long before perceptual hashing matters). Groups rows by a digest of
+    the PAYLOAD bytes (``skip_header`` drops the typed header so re-tagged
+    copies of the same bytes still collapse) and reports copies + keeper.
+
+    The digest is ``md5(lower(hex(payload)))`` — hex-string rather than
+    raw-byte hashing, the same engine-portability choice as
+    synthesize_media's sha chain: it lets the q110 oracle recompute the
+    key from the payload chain without BLOB support. Pure codegen
+    projection; only the 32-char digest and the id ride the one exchange
+    (the binary itself never shuffles — the dedup of a 100 TB media lake
+    moves ~48 B/row)."""
+    start = _HDR_LEN + 1 if skip_header else 1
+    payload = F.expr(f"substring({content_col}, {start}, 2147483647)")
+    key = F.md5(F.lower(F.hex(payload)))
+    return (
+        media.select(F.col(id_col), key.alias("content_key"))
+        .groupBy("content_key")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("keeper_id"),
+        )
     )

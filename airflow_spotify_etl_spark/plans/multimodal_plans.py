@@ -125,14 +125,63 @@ ORDER BY media_id
 """
 
 
+def q110_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup over opaque binary content (operators/multimodal.
+    binary_dedup): docs map onto 50 distinct media assets (media_id =
+    doc_id % 50) so every asset has ~n/50 byte-identical copies; dedup
+    groups by the payload digest and reports copies + keeper. The oracle
+    recomputes the payload from the sha-chain (the q36 discipline) and
+    replays the digest — certifying that the binary produced through the
+    Arrow seam round-trips byte-exact into the dedup key."""
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select((F.col("doc_id") % 50).alias("media_id")).distinct()
+    media = synthesize_media(ids)
+    copies = docs.select(
+        "doc_id", (F.col("doc_id") % 50).alias("media_id")
+    ).join(media.select("media_id", "content"), "media_id")
+    from ..operators.multimodal import binary_dedup
+
+    return (
+        binary_dedup(copies, content_col="content", id_col="doc_id")
+        .withColumnRenamed("keeper_id", "keeper_doc_id")
+        .orderBy("content_key")
+    )
+
+
+_Q110_SQL = """
+WITH m AS (
+  SELECT DISTINCT doc_id % 50 AS media_id FROM documents
+), chain AS (
+  SELECT media_id, 2 * (32 + media_id % 64) AS hexlen,
+         sha256(media_id::VARCHAR) AS d1
+  FROM m
+), pay AS (
+  SELECT media_id,
+         substr(d1 || sha256(d1) || sha256(sha256(d1)), 1, hexlen) AS phex
+  FROM chain
+), copies AS (
+  SELECT d.doc_id, p.phex
+  FROM documents d JOIN pay p ON p.media_id = d.doc_id % 50
+)
+SELECT md5(phex) AS content_key,
+       count(*) AS n_copies,
+       min(doc_id) AS keeper_doc_id
+FROM copies
+GROUP BY 1
+ORDER BY content_key
+"""
+
+
 QUERIES = {
     "q34_media_meta": q34_media_meta,
     "q35_frame_sample": q35_frame_sample,
     "q36_media_features": q36_media_features,
+    "q110_binary_dedup": q110_binary_dedup,
 }
 
 ORACLES = {
     "q34_media_meta": _Q34_SQL,
     "q35_frame_sample": _Q35_SQL,
     "q36_media_features": _q36_sql(),
+    "q110_binary_dedup": _Q110_SQL,
 }

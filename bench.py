@@ -122,6 +122,7 @@ HEADLINE = [
     "q107_perplexity_buckets",
     "q108_quality_aware_keepers",
     "q109_span_excision",
+    "q110_binary_dedup",
 ]
 
 

@@ -82,3 +82,33 @@ def test_partitioned_layout_prunes_by_kind(spark, media, tmp_path):
     assert videos.count() == 20
     plan = videos._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_binary_dedup_collapses_retagged_copies(spark):
+    """Two blobs with identical payload but different typed headers are
+    the same asset under skip_header=True (the re-encoded/re-tagged copy
+    case) and different under skip_header=False; distinct payloads never
+    collapse."""
+    from airflow_spotify_etl_spark.operators.multimodal import (
+        _HDR_LEN,
+        binary_dedup,
+    )
+
+    payload_a = bytes(range(40))
+    payload_b = bytes(range(1, 41))
+    hdr1 = b"SPKM" + bytes(_HDR_LEN - 4)
+    hdr2 = b"SPKM" + bytes([7] * (_HDR_LEN - 4))
+    rows = [
+        (1, hdr1 + payload_a),
+        (2, hdr2 + payload_a),   # re-tagged copy of the same bytes
+        (3, hdr1 + payload_b),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+
+    by_payload = binary_dedup(media).collect()
+    assert sorted((r.n_copies, r.keeper_id) for r in by_payload) == [
+        (1, 3),
+        (2, 1),
+    ]
+    whole_blob = binary_dedup(media, skip_header=False).collect()
+    assert sorted(r.n_copies for r in whole_blob) == [1, 1, 1]
