@@ -36,6 +36,7 @@ __all__ = [
     "chunk_dedup",
     "span_dup_profile",
     "span_excise",
+    "span_excise_fixpoint",
     "winnowed_fingerprints",
     "winnowed_dup_profile",
     "shingle",
@@ -372,6 +373,69 @@ def span_excise(
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
     )
+
+
+def span_excise_fixpoint(
+    df: DataFrame,
+    window_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Iterate ``span_excise`` until no window in the corpus is duplicated
+    (or ``max_rounds``): each pass can mint new duplicated windows at
+    excision seams, so full self-dedup needs the fixpoint. Convergence is
+    guaranteed — every productive round removes ≥ 1 token from a finite
+    corpus — and in practice 2-3 rounds suffice (seam windows are rare).
+
+    Driver loop discipline (the connected_components pattern): one
+    bounded-size scalar check per round (`n_removed` sum — an aggregate,
+    not a collect of data), eager localCheckpoint between rounds so plan
+    depth stays O(1) instead of O(rounds), and a hard round cap. Raises
+    if the cap is hit while removals continue — a silent partial dedup
+    would poison downstream exact-match assumptions.
+
+    Returns (doc_id, n_tokens, n_removed, text_clean) where n_tokens is
+    the ORIGINAL token count and n_removed the total across rounds."""
+    cur = span_excise(df, window_words, text_col, id_col)
+    cur = cur.localCheckpoint(eager=True)
+    total = cur.select(
+        "doc_id", "n_tokens", "n_removed", "text_clean"
+    )
+    for _ in range(int(max_rounds) - 1):
+        removed = total.agg(F.sum("n_removed")).collect()[0][0] or 0
+        nxt = span_excise(
+            total.select("doc_id", F.col("text_clean").alias("text")),
+            window_words,
+            "text",
+            "doc_id",
+        )
+        merged = (
+            total.select("doc_id", "n_tokens", F.col("n_removed").alias("_r0"))
+            .join(nxt.select("doc_id", F.col("n_removed").alias("_r1"), "text_clean"), "doc_id")
+            .select(
+                "doc_id",
+                "n_tokens",
+                (F.col("_r0") + F.col("_r1")).alias("n_removed"),
+                "text_clean",
+            )
+        )
+        merged = merged.localCheckpoint(eager=True)
+        new_removed = merged.agg(F.sum("n_removed")).collect()[0][0] or 0
+        total = merged
+        if new_removed == removed:
+            return total
+    final_check = span_excise(
+        total.select("doc_id", F.col("text_clean").alias("text")),
+        window_words,
+        "text",
+        "doc_id",
+    )
+    if (final_check.agg(F.sum("n_removed")).collect()[0][0] or 0) > 0:
+        raise RuntimeError(
+            f"span_excise_fixpoint: no convergence in {max_rounds} rounds"
+        )
+    return total
 
 
 def winnowed_fingerprints(

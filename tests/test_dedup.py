@@ -548,3 +548,59 @@ def test_span_excise_short_docs_pass_through(spark):
     assert got[1].n_removed == 0 and got[1].text_clean == "short doc stays"
     assert got[2].n_removed == 0 and got[2].text_clean == ""
     assert got[3].n_removed == 0 and got[3].text_clean == ""
+
+
+def test_span_excise_fixpoint_resolves_seam_duplicates(spark):
+    """Constructed seam case: excising doc 2's copy of doc 1's span glues
+    'c1 c2' next to 'c3 c4', minting a window that duplicates doc 3 —
+    one pass leaves that second-order duplicate, the fixpoint does not.
+    Final corpus must profile ZERO duplicated windows."""
+    from pyspark.sql import functions as F
+
+    from airflow_spotify_etl_spark.operators.dedup import (
+        span_dup_profile,
+        span_excise,
+        span_excise_fixpoint,
+    )
+
+    span = " ".join(f"s{i}" for i in range(8))
+    seam = "c1 c2 c3 c4"
+    docs = spark.createDataFrame(
+        [
+            (1, span + " x1 x2"),
+            (2, "c1 c2 " + span + " c3 c4"),
+            (3, "q1 " + seam + " q2 q3"),  # will match doc 2's seam (4-token window)
+        ],
+        "doc_id long, text string",
+    )
+
+    one_pass = span_excise(docs, 4)
+    cleaned_once = one_pass.select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    assert (
+        span_dup_profile(cleaned_once, 4)
+        .agg(F.sum("n_dup_windows"))
+        .collect()[0][0]
+        > 0
+    )  # the seam duplicate survives one pass
+
+    fixed = span_excise_fixpoint(docs, 4)
+    cleaned = fixed.select("doc_id", F.col("text_clean").alias("text"))
+    assert (
+        span_dup_profile(cleaned, 4).agg(F.sum("n_dup_windows")).collect()[0][0]
+        == 0
+    )
+    # accounting: totals = original minus surviving
+    for r in fixed.collect():
+        assert r.n_tokens - r.n_removed == len(r.text_clean.split())
+
+
+def test_span_excise_fixpoint_noop_on_clean_corpus(spark):
+    from airflow_spotify_etl_spark.operators.dedup import span_excise_fixpoint
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h i j")], "doc_id long, text string"
+    )
+    out = span_excise_fixpoint(docs, 4).collect()
+    assert all(r.n_removed == 0 for r in out)
