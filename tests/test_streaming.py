@@ -579,3 +579,47 @@ def test_kmv_maintenance_matches_batch_sketch(spark, tmp_path):
     assert got.count() == 128  # exactly k per group: the re-cut ran
     assert got.select("g", "h").exceptAll(want).isEmpty()
     assert want.exceptAll(got.select("g", "h")).isEmpty()
+
+
+def test_heavy_hitters_maintenance_guarantees(spark, tmp_path):
+    """Misra-Gries over two drains: the planted heavy item (freq ≫
+    N/(m+1)) is present with count within N/(m+1) of truth; state never
+    exceeds m counters; n_total tracks the full stream."""
+    from airflow_spotify_etl_spark.streaming.sketch_maintenance import (
+        run_heavy_hitters_maintenance,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "hh_store")
+    ckpt = str(tmp_path / "ckpt")
+    # heavy item "H": 200 of 500 in batch 1, 150 of 450 in batch 2;
+    # tail: items t0..t299 once or twice each
+    batch1 = [(i, "H", 0.0) for i in range(200)] + [
+        (1000 + i, f"t{i % 300}", 0.0) for i in range(300)
+    ]
+    batch2 = [(2000 + i, "H", 0.0) for i in range(150)] + [
+        (3000 + i, f"t{(i * 7) % 300}", 0.0) for i in range(300)
+    ]
+
+    def drain():
+        stream = spark.readStream.schema(DOCW_SCHEMA).parquet(src)
+        run_heavy_hitters_maintenance(
+            spark, stream, store, ckpt, item_col="text", m=50
+        )
+
+    _write_docw(spark, src, batch1)
+    drain()
+    _write_docw(spark, src, batch2)
+    drain()
+
+    rows = spark.read.parquet(store).collect()
+    assert 0 < len(rows) <= 50
+    n_total = rows[0].n_total
+    assert n_total == 950
+    by_item = {r.item: r.cnt for r in rows}
+    true_h = 350
+    assert "H" in by_item
+    bound = n_total / (50 + 1)
+    assert true_h - bound <= by_item["H"] <= true_h
+    # every stored count is an undercount of truth by construction
+    assert all(c <= true_h if i == "H" else c <= 2 * 2 for i, c in by_item.items())
