@@ -3,9 +3,10 @@
 Chains the engine's text/dedup tiers the way a production data pipeline
 does — cheapest filter first, each stage shrinking the next stage's input:
 
-    ingest → quality gate → repetition gate → language ID → exact dedup
-           → near-dedup → stratified mixing → quality-weighted sampling
-           → fingerprint → partitioned write → summary
+    ingest → quality gate → repetition gate → classifier gate →
+    PII redaction → language ID → exact dedup → near-dedup →
+    span excision → stratified mixing → quality-weighted sampling →
+    fingerprint → partitioned write → summary
 
 Stage costs at scale (why this order):
 1. quality gate      — narrow projection + filter, scan speed.
@@ -90,6 +91,9 @@ def run_corpus_pipeline(
     min_words: int = 5,
     mix_rates: dict[str, float] | None = None,
     weight_col=None,
+    classifier_min_score: float | None = None,
+    excise_spans: bool = False,
+    redact_pii_text: bool = False,
 ) -> dict:
     """Full corpus build; returns a K4-style summary of per-stage attrition
     (the numbers a pipeline operator actually watches)."""
@@ -100,6 +104,30 @@ def run_corpus_pipeline(
 
     # 2. repetition gate (Gopher cuts)
     clean = repetition_filter(clean)
+
+    # 2b. model-based quality gate — the hashed linear classifier (q104):
+    # a second-tier cut after the heuristic gates, before any shuffle-
+    # heavy dedup work sees the low-quality mass.
+    if classifier_min_score is not None:
+        from ..operators.text import hashed_linear_score
+
+        ok = hashed_linear_score(clean).filter(
+            F.col("score") >= float(classifier_min_score)
+        )
+        clean = clean.join(ok.select("doc_id"), "doc_id", "left_semi")
+
+    # 2c. PII redaction — scrub before anything persists or fingerprints
+    # (redacted text is what dedup/fingerprint must see, or two docs
+    # differing only in a phone number would not collapse).
+    if redact_pii_text:
+        from ..operators.text import redact_pii
+
+        red = redact_pii(clean).select("doc_id", "text_clean")
+        clean = (
+            clean.join(red, "doc_id")
+            .drop("text")
+            .withColumnRenamed("text_clean", "text")
+        )
 
     # 3. language ID — profiles fit on the labeled subset, predictions for
     # all docs (docs with no usable tokens surface as pred_lang=null and are
@@ -123,6 +151,19 @@ def run_corpus_pipeline(
     comp = connected_components(near)
     drop = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     final = uniq.join(drop, "doc_id", "left_anti")
+
+    # 5b. sub-document span excision — cut repeated spans the document-
+    # level tiers can't touch (shared boilerplate inside otherwise-unique
+    # docs). Runs AFTER doc-level dedup so the window stream is smallest.
+    if excise_spans:
+        from ..operators.dedup import span_excise
+
+        cut = span_excise(final).select("doc_id", "text_clean")
+        final = (
+            final.join(cut, "doc_id")
+            .drop("text")
+            .withColumnRenamed("text_clean", "text")
+        )
 
     # 6. stratified mixing — down-sample strata to the target corpus mix.
     final = final.withColumn("pred_lang", F.coalesce("pred_lang", F.lit("und")))
@@ -149,7 +190,11 @@ def run_corpus_pipeline(
     final = final.withColumn("fingerprint", F.md5(canon))
     final.write.mode("overwrite").partitionBy("pred_lang").parquet(out_path)
 
-    out = spark.read.parquet(out_path)
+    # Explicit schema on the read-back: a gate combination that empties
+    # the corpus writes zero part files, and schema INFERENCE on an empty
+    # directory throws — the summary of an empty corpus should be zeros,
+    # not a crash (the quietest-day rule, tests/test_empty_inputs.py).
+    out = spark.read.schema(final.schema).parquet(out_path)
     stats = summary_record(
         out,
         n_docs=F.count("*"),

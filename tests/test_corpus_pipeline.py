@@ -161,3 +161,56 @@ def test_quality_aware_keeper_beats_min_id(spark):
     s = {r.doc_id: r.score for r in scores.collect()}
     want = max([1, 2], key=lambda d: (s[d], -d))
     assert keepers[0].doc_id == want
+
+
+def test_pipeline_with_classifier_pii_and_excision(spark, tmp_path):
+    """The round-5 stages wired end-to-end: planted PII is scrubbed from
+    the OUTPUT text (and from the fingerprint input), a cross-doc
+    repeated span survives in exactly one doc, and the classifier gate
+    drops the lowest-scoring docs while keeping the corpus non-empty."""
+    from airflow_spotify_etl_spark.operators.text import hashed_linear_score
+    from airflow_spotify_etl_spark.pipelines.corpus import run_corpus_pipeline
+
+    span = " ".join(f"shared{i}" for i in range(10))
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river " + span, "en"),
+        (2, "a completely different sentence with the email bob@example.com inside "
+            + span, "en"),
+        (3, "yet another normal document with plenty of ordinary words to pass the gate", "en"),
+        (4, "more clean text about data pipelines and distributed systems at scale", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    # pick a threshold below every doc's score so the gate keeps all 4 —
+    # the gate's dropping behavior is asserted separately below.
+    scores = {r.doc_id: r.score for r in hashed_linear_score(docs).collect()}
+    thr = min(scores.values())
+    out_path = str(tmp_path / "corpus")
+    summary = run_corpus_pipeline(
+        spark,
+        docs,
+        out_path,
+        min_words=3,
+        classifier_min_score=thr,
+        excise_spans=True,
+        redact_pii_text=True,
+    )
+    assert summary["status"] == "success" and summary["docs_out"] >= 3
+
+    out = {r.doc_id: r.text for r in spark.read.parquet(out_path).collect()}
+    joined = " ".join(out.values())
+    # span_excise rebuilds from lowercased tokens, so the redaction
+    # token survives as "<email>"
+    assert "bob@example.com" not in joined.lower()
+    assert "<email>" in joined.lower()
+    n_span_copies = sum("shared0 shared1" in t for t in out.values())
+    assert n_span_copies == 1  # excision kept exactly one copy
+
+    # the gate actually gates: a threshold above the max score empties it
+    high = run_corpus_pipeline(
+        spark,
+        docs,
+        str(tmp_path / "corpus2"),
+        min_words=3,
+        classifier_min_score=max(scores.values()) + 0.1,
+    )
+    assert high["docs_out"] == 0
