@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "adamic_adar_pairs"]
 
 
 def pagerank(
@@ -133,3 +133,63 @@ def pagerank(
     return ranks.select(
         "node", F.round("rank", rank_decimals).alias("rank")
     ).orderBy("node")
+
+
+def adamic_adar_pairs(
+    interactions: DataFrame,
+    user_col: str,
+    item_col: str,
+    max_basket: int = 100,
+    top_k: int = 50,
+) -> DataFrame:
+    """Link prediction over the bipartite interaction graph: Adamic-Adar
+    score for item pairs,
+
+        AA(i, j) = Σ_{u ∈ N(i) ∩ N(j)} 1 / ln(deg(u)),
+
+    the common-neighbors index that discounts promiscuous users
+    (Adamic & Adar 2003) — the classic co-purchase "customers also
+    bought" signal. Users who interact with a single item carry no pair
+    evidence and drop out (ln(1) = 0 would divide by zero; deg ≥ 2 by
+    construction of the pair expansion).
+
+    Scale shape: pair generation explodes each user's item basket into
+    C(n, 2) pairs — quadratic per user, so ``max_basket`` caps it (drop
+    power-users' baskets above the cap, the q24/q59 bucket discipline:
+    a user who bought everything tells you nothing about pairwise
+    affinity). The expansion is join-free (collect_set + nested explode);
+    the score is ONE grouped sum over (i, j) with map-side combine;
+    output is top-k bounded."""
+    inter = interactions.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("i")
+    ).distinct()
+    baskets = inter.groupBy("u").agg(
+        F.array_sort(F.collect_set("i")).alias("items")
+    )
+    capped = baskets.filter(
+        (F.size("items") >= 2) & (F.size("items") <= int(max_basket))
+    )
+    w = F.lit(1.0) / F.log(F.size("items").cast("double"))
+    pairs = (
+        capped.select(w.alias("w"), F.explode(_pair_expr("items")).alias("p"))
+        .select("w", F.col("p.a").alias("item_a"), F.col("p.b").alias("item_b"))
+    )
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(
+            F.count("*").alias("n_common_users"),
+            F.round(F.sum("w"), 4).alias("aa_score"),
+        )
+        .orderBy(F.col("aa_score").desc(), "item_a", "item_b")
+        .limit(int(top_k))
+    )
+
+
+def _pair_expr(items_col: str):
+    """array<struct<a,b>> of all ordered pairs (a < b by array order) —
+    flatten of a nested transform, pure codegen."""
+    return F.expr(
+        f"flatten(transform({items_col}, (x, ix) -> "
+        f"transform(slice({items_col}, ix + 2, size({items_col})), "
+        f"y -> struct(x as a, y as b))))"
+    )

@@ -100,3 +100,50 @@ QUERIES = {
 ORACLES = {
     "q57_item_pagerank": _q57_sql(),
 }
+
+
+def q111_copurchase_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the customer×part co-purchase
+    graph (operators/graph.adamic_adar_pairs): top-50 part pairs by
+    common-customer evidence, promiscuous customers discounted by
+    1/ln(degree) and power-baskets capped. The oracle replays degree
+    computation, the cap, the pair expansion (as a self-join — the
+    Spark side is the join-free nested-transform twin), and the scored
+    rollup."""
+    from ..operators.graph import adamic_adar_pairs
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    inter = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select("o_custkey", "l_partkey")
+    return adamic_adar_pairs(
+        inter, "o_custkey", "l_partkey", max_basket=100, top_k=50
+    )
+
+
+_Q111_SQL = """
+WITH inter AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), deg AS (
+  SELECT u, count(*) AS d FROM inter GROUP BY u
+), ok AS (
+  SELECT u, d FROM deg WHERE d BETWEEN 2 AND 100
+), pairs AS (
+  SELECT a.i AS item_a, b.i AS item_b, o.d
+  FROM inter a
+  JOIN inter b ON a.u = b.u AND a.i < b.i
+  JOIN ok o ON o.u = a.u
+)
+SELECT item_a, item_b,
+       count(*) AS n_common_users,
+       round(sum(1.0 / ln(d)), 4) AS aa_score
+FROM pairs
+GROUP BY 1, 2
+ORDER BY aa_score DESC, item_a, item_b
+LIMIT 50
+"""
+
+QUERIES["q111_copurchase_adamic_adar"] = q111_copurchase_adamic_adar
+ORACLES["q111_copurchase_adamic_adar"] = _Q111_SQL

@@ -123,6 +123,7 @@ HEADLINE = [
     "q108_quality_aware_keepers",
     "q109_span_excision",
     "q110_binary_dedup",
+    "q111_copurchase_adamic_adar",
 ]
 
 

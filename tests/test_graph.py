@@ -124,3 +124,32 @@ def test_pagerank_smj_fallback_plan_has_no_rank_broadcast(spark):
         if "Exchange hashpartitioning(src" in ln and "REPARTITION_BY_COL" in ln
     ]
     assert len(edge_exchanges) == 1, phys
+
+
+def test_adamic_adar_planted_affinity(spark):
+    """Closed-form check: users 1-3 each buy {A, B}; user 4 buys
+    {A, B, C, D}. AA(A,B) = 3/ln(2) + 1/ln(4); AA(C,D) = 1/ln(4); pairs
+    through the capped power-user only score 1/ln(4). A degree-1 user
+    contributes nothing; a basket above the cap vanishes entirely."""
+    import math
+
+    from airflow_spotify_etl_spark.operators.graph import adamic_adar_pairs
+
+    rows = (
+        [(u, it) for u in (1, 2, 3) for it in ("A", "B")]
+        + [(4, it) for it in ("A", "B", "C", "D")]
+        + [(5, "A")]                               # degree-1: no evidence
+        + [(6, it) for it in ("A", "B", "X1", "X2", "X3")]  # capped out
+    )
+    inter = spark.createDataFrame(rows, "u long, i string")
+    got = {
+        (r.item_a, r.item_b): r
+        for r in adamic_adar_pairs(inter, "u", "i", max_basket=4, top_k=10).collect()
+    }
+    ab = got[("A", "B")]
+    assert ab.n_common_users == 4
+    assert abs(ab.aa_score - round(3 / math.log(2) + 1 / math.log(4), 4)) < 1e-9
+    cd = got[("C", "D")]
+    assert cd.n_common_users == 1
+    assert abs(cd.aa_score - round(1 / math.log(4), 4)) < 1e-9
+    assert ("A", "X1") not in got  # user 6's basket exceeded the cap
