@@ -43,6 +43,7 @@ __all__ = [
     "ivf_pq_index_pandas",
     "write_ann_index",
     "search_ann_index",
+    "quantize_int8",
 ]
 
 _SEED = 42
@@ -902,3 +903,58 @@ def search_ann_index(
     idx = spark.read.parquet(path).filter(F.col("cell").isin(cells))
     joined = idx.join(F.broadcast(qcells), "cell")
     return _adc_ranked(joined, books, k, id_col, query_id_col)
+
+
+def quantize_int8(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard 4× storage
+    tier between raw float32 and PQ's 64× codes (FAISS SQ8): each vector
+    stores one float scale (its max |x|) plus int8 codes
+    round(x / scale · 127). Returns (id, scale, qvec, max_abs_err,
+    cos_recon): the reconstruction error stats a pipeline gates on
+    before swapping the scored tier (cos_recon ≈ 1 − ½·quant-noise² —
+    expect ≥ 0.999 for well-spread vectors, see pytest).
+
+    All arithmetic is in-order array folds on doubles (the q22 cosine
+    discipline), so the whole transform — scale, codes, reconstruction,
+    error, cosine — replays in the DuckDB oracle (q112). A zero vector
+    quantizes to zeros with scale 0 and cos_recon defined as 1.0 (exact
+    reconstruction) rather than 0/0. Pure narrow projection: no shuffle,
+    no UDF; at 100 TB this is a scan-speed rewrite of the embedding
+    table."""
+    v = _as_double(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    qvec = F.transform(
+        v, lambda x: F.round(x / F.col("scale") * 127).cast("int")
+    )
+    recon = F.transform(
+        F.col("qvec"), lambda q: q * F.col("scale") / F.lit(127.0)
+    )
+    err = F.array_max(
+        F.zip_with(v, F.col("_recon"), lambda x, r: F.abs(x - r))
+    )
+    cos = _dot(v, F.col("_recon")) / (_norm(v) * _norm(F.col("_recon")))
+    return (
+        emb.select(F.col(id_col), F.col(vec_col), scale.alias("scale"))
+        .withColumn(
+            "qvec",
+            F.when(F.col("scale") > 0, qvec).otherwise(
+                F.transform(v, lambda x: F.lit(0))
+            ),
+        )
+        .withColumn("_recon", recon)
+        .select(
+            id_col,
+            F.round("scale", 4).alias("scale"),
+            "qvec",
+            F.round(
+                F.when(F.col("scale") > 0, err).otherwise(F.lit(0.0)), 6
+            ).alias("max_abs_err"),
+            F.round(
+                F.when(F.col("scale") > 0, cos).otherwise(F.lit(1.0)), 6
+            ).alias("cos_recon"),
+        )
+    )

@@ -2862,6 +2862,61 @@ ORDER BY doc_id
 """
 
 
+def q112_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization audit (operators/similarity.
+    quantize_int8): per-vector scale, an md5 digest of the full int8 code
+    sequence (array columns stringify differently across engines — the
+    digest certifies every code byte-exactly), and the reconstruction
+    error stats a pipeline gates on before switching its scoring tier to
+    the 4×-smaller table."""
+    from ..operators.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.md5(F.array_join("qvec", ",")).alias("codes_md5"),
+        "max_abs_err",
+        "cos_recon",
+    ).orderBy("vec_id")
+
+
+_Q112_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), scaled AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS s
+  FROM v
+), q AS (
+  SELECT vec_id, v, s,
+         CASE WHEN s > 0
+              THEN list_transform(v, x -> CAST(round(x / s * 127) AS INTEGER))
+              ELSE list_transform(v, x -> 0) END AS qvec
+  FROM scaled
+), r AS (
+  SELECT vec_id, v, s, qvec,
+         list_transform(qvec, c -> c * s / 127.0) AS recon
+  FROM q
+)
+SELECT vec_id,
+       round(s, 4) AS scale,
+       md5(array_to_string(qvec, ',')) AS codes_md5,
+       round(CASE WHEN s > 0 THEN
+         list_max(list_transform(list_zip(v, recon),
+                                 p -> abs(p[1] - p[2])))
+         ELSE 0.0 END, 6) AS max_abs_err,
+       round(CASE WHEN s > 0 THEN
+         list_dot_product(v, recon)
+         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(recon, recon)))
+         ELSE 1.0 END, 6) AS cos_recon
+FROM r
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -2918,6 +2973,7 @@ QUERIES = {
     "q107_perplexity_buckets": q107_perplexity_buckets,
     "q108_quality_aware_keepers": q108_quality_aware_keepers,
     "q109_span_excision": q109_span_excision,
+    "q112_int8_quantization": q112_int8_quantization,
 }
 
 ORACLES = {
@@ -2976,4 +3032,5 @@ ORACLES = {
     "q107_perplexity_buckets": _Q107_SQL,
     "q108_quality_aware_keepers": _Q108_SQL,
     "q109_span_excision": _Q109_SQL,
+    "q112_int8_quantization": _Q112_SQL,
 }

@@ -124,6 +124,7 @@ HEADLINE = [
     "q109_span_excision",
     "q110_binary_dedup",
     "q111_copurchase_adamic_adar",
+    "q112_int8_quantization",
 ]
 
 

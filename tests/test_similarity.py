@@ -421,3 +421,33 @@ def test_ann_index_and_pandas_encode_respect_string_ids(spark):
     assert dict(idx.dtypes)["vec_id"] == "string"
     rows = idx.collect()
     assert {r.vec_id for r in rows} == {f"doc-{i}" for i in range(12)}
+
+
+def test_quantize_int8_error_bounds(spark, sf_dir):
+    """Quantization contract on the real embeddings: max |x − recon| ≤
+    scale/254 (half a quantization step, + float slack), cos_recon ≥
+    0.999, and the max-|x| element reconstructs exactly (code ±127)."""
+    from airflow_spotify_etl_spark.operators.similarity import quantize_int8
+    from airflow_spotify_etl_spark.sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    rows = quantize_int8(emb).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.max_abs_err <= r.scale / 254 + 1e-6
+        assert r.cos_recon >= 0.999
+        assert max(abs(c) for c in r.qvec) == 127
+
+
+def test_quantize_int8_zero_vector(spark):
+    from airflow_spotify_etl_spark.operators.similarity import quantize_int8
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in quantize_int8(emb).collect()}
+    z = got[1]
+    assert z.scale == 0.0 and z.cos_recon == 1.0 and z.max_abs_err == 0.0
+    assert list(z.qvec) == [0, 0, 0]
+    assert got[2].qvec[1] == -127  # max-|x| element hits the rail
