@@ -14,7 +14,8 @@ would need a reconciliation pass (re-run `scd2_runs` over the affected
 keys' history); detection of such keys is the `withWatermark` late-data
 path (ST4).
 
-The store is rewritten atomically per batch (materialize → overwrite). At
+The store is replaced atomically per batch (materialize → stage →
+rename-first swap, crash-recoverable — see _commit_store). At
 scale, partition the run table by key range and rewrite only partitions
 with batch activity (dynamic partition overwrite), the same
 touch-only-the-delta argument as operators/incremental.py.
@@ -38,13 +39,48 @@ def _store_exists(store_path: str) -> bool:
     (corrupt footer, permission/network blip, concurrent writer) must
     abort the batch and surface, never be mistaken for "first batch" —
     that mistake would overwrite the store with only the current batch and
-    silently destroy all accumulated history (ADVICE r3)."""
+    silently destroy all accumulated history (ADVICE r3).
+
+    Recovers a crashed swap first: a leftover ``.bak`` with no main path
+    means ``_commit_store`` died between its two renames — the backup IS
+    the committed store and is renamed back before answering."""
     p = Path(store_path)
+    bak = Path(store_path.rstrip("/") + "._swap_bak")
+    if bak.exists():
+        if p.exists():
+            import shutil
+
+            shutil.rmtree(bak)  # prior swap completed; stale backup
+        else:
+            bak.rename(p)  # swap died between renames; backup is current
     if not p.exists():
         return False
     # An empty/aborted directory (no parquet parts) is "absent": a prior
     # overwrite that died before committing any part file left no data.
     return any(p.glob("*.parquet")) or (p / "_SUCCESS").exists()
+
+
+def _commit_store(df: "DataFrame", store_path: str) -> None:
+    """Atomically replace the store with ``df``: stage to a sibling temp
+    dir, then swap RENAME-FIRST (store → .bak, staged → store, delete
+    .bak) — the compact_table discipline (sinks/writers.py): at every
+    crash point a complete committed copy exists on disk, unlike
+    mode('overwrite') in place, whose kill window mid-write leaves only
+    partial part files where history used to be (the loss window the r3
+    ADVICE flagged). ``_store_exists`` recovers the .bak on next start."""
+    import shutil
+
+    tmp = store_path.rstrip("/") + "._swap_tmp"
+    bak = Path(store_path.rstrip("/") + "._swap_bak")
+    df.write.mode("overwrite").parquet(tmp)
+    p = Path(store_path)
+    if bak.exists():
+        shutil.rmtree(bak)
+    if p.exists():
+        p.rename(bak)
+    Path(tmp).rename(p)
+    if bak.exists():
+        shutil.rmtree(bak)
 
 
 def run_scd2_maintenance(
@@ -69,10 +105,10 @@ def run_scd2_maintenance(
         updated = (
             scd2_apply_delta(current, bdf) if have_store else scd2_runs(bdf)
         )
-        # Materialize BEFORE overwriting: the plan reads store_path and the
+        # Materialize BEFORE replacing: the plan reads store_path and the
         # write replaces it — overwrite-while-reading corrupts the table.
         updated = updated.localCheckpoint(eager=True)
-        updated.write.mode("overwrite").parquet(store_path)
+        _commit_store(updated, store_path)
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .scd2 import _store_exists
+from .scd2 import _commit_store, _store_exists
 
 __all__ = [
     "run_weighted_sample_maintenance",
@@ -77,7 +77,7 @@ def run_weighted_sample_maintenance(
         else:
             merged = batch_top
         merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(store_path)
+        _commit_store(merged, store_path)
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)
@@ -123,7 +123,7 @@ def run_kmv_maintenance(
         rn = F.row_number().over(W.partitionBy(group_col).orderBy("h"))
         merged = pool.withColumn("rn", rn).filter(F.col("rn") <= int(k))
         merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(store_path)
+        _commit_store(merged, store_path)
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)
@@ -192,7 +192,7 @@ def run_heavy_hitters_maintenance(
             .withColumn("n_total", F.lit(prev_n + batch_n).cast("long"))
         )
         merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(store_path)
+        _commit_store(merged, store_path)
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)

@@ -623,3 +623,37 @@ def test_heavy_hitters_maintenance_guarantees(spark, tmp_path):
     assert true_h - bound <= by_item["H"] <= true_h
     # every stored count is an undercount of truth by construction
     assert all(c <= true_h if i == "H" else c <= 2 * 2 for i, c in by_item.items())
+
+
+def test_store_swap_crash_recovery(spark, tmp_path):
+    """Crash-window recovery: if the swap died between its two renames
+    (only the .bak exists), the next drain must treat the BACKUP as the
+    committed store and keep accumulating — not restart from scratch."""
+    import pathlib
+
+    from airflow_spotify_etl_spark.streaming.sketch_maintenance import (
+        run_weighted_sample_maintenance,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_docw(spark, src, [(i, f"d{i}", 1.0 + i % 3) for i in range(30)])
+    stream = spark.readStream.schema(DOCW_SCHEMA).parquet(src)
+    run_weighted_sample_maintenance(spark, stream, store, ckpt, k=5, weight_col="w")
+    committed = sorted(r.doc_id for r in spark.read.parquet(store).collect())
+
+    # simulate the crash window: store renamed to .bak, new store never landed
+    pathlib.Path(store).rename(pathlib.Path(store + "._swap_bak"))
+
+    _write_docw(spark, src, [(100 + i, f"e{i}", 1.0) for i in range(10)])
+    stream = spark.readStream.schema(DOCW_SCHEMA).parquet(src)
+    run_weighted_sample_maintenance(spark, stream, store, ckpt, k=5, weight_col="w")
+
+    got = sorted(r.doc_id for r in spark.read.parquet(store).collect())
+    # the recovered store still reflects batch 1's winners merged with
+    # batch 2 — NOT a from-scratch sample of batch 2 alone
+    assert len(got) == 5
+    assert any(d < 100 for d in got), (committed, got)
+    assert not pathlib.Path(store + "._swap_bak").exists()
