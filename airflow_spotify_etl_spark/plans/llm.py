@@ -2917,6 +2917,139 @@ ORDER BY vec_id
 """
 
 
+def q113_sq8_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search ON the int8 tier (q112's output) and audit it against the
+    exact float scan (the q22 machinery): per query, top-5 by
+    reconstructed cosine over int8 codes, reported as the overlap with
+    the exact top-5 plus the quantized hit list. The integer dot product
+    Σ qa·qb is EXACT arithmetic — no float-summation ordering between
+    engines at all; only the per-pair scale/norm division is floating,
+    and that's one deterministic expression per pair. This is the audit
+    a pipeline runs before switching its scoring tier to the 4×-smaller
+    table: recall@5 per query, not a global average that can hide a bad
+    query."""
+    from ..operators.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = quantize_int8(emb).select("vec_id", "scale", "qvec")
+    qside = qz.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("scale").alias("qs"),
+        F.col("qvec").alias("qq"),
+    )
+    cside = qz.filter(F.col("vec_id") >= 5)
+    # integer dot (exact), norms of the int codes (exact ints under sqrt)
+    idot = F.aggregate(
+        F.zip_with("qq", "qvec", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    inorm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    scored = cside.join(F.broadcast(qside)).select(
+        "query_id",
+        "vec_id",
+        (
+            idot.cast("double") / (inorm(F.col("qq")) * inorm(F.col("qvec")))
+        ).alias("cos8"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos8").desc(), "vec_id")
+    top8 = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id")
+    )
+    from ..operators.similarity import cosine_topk
+
+    exact = cosine_topk(
+        emb.filter(F.col("vec_id") >= 5),
+        emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
+        k=5,
+    ).select("query_id", "vec_id")
+    hits = top8.join(exact, ["query_id", "vec_id"], "left_semi")
+    return (
+        top8.groupBy("query_id")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("_ids"))
+        .join(
+            hits.groupBy("query_id").agg(F.count("*").alias("n_overlap")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.array_join(F.transform("_ids", lambda x: x.cast("string")), ",").alias(
+                "sq8_top5"
+            ),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_Q113_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), qz AS (
+  SELECT vec_id,
+         list_max(list_transform(v, x -> abs(x))) AS s,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN list_transform(v, x -> CAST(round(
+                     x / list_max(list_transform(v, y -> abs(y))) * 127)
+                   AS INTEGER))
+              ELSE list_transform(v, x -> 0) END AS qvec,
+         v
+  FROM v
+), scored8 AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         CAST(list_dot_product(
+           list_transform(q.qvec, x -> CAST(x AS BIGINT)),
+           list_transform(c.qvec, x -> CAST(x AS BIGINT))) AS DOUBLE)
+         / (sqrt(CAST(list_dot_product(
+              list_transform(q.qvec, x -> CAST(x AS BIGINT)),
+              list_transform(q.qvec, x -> CAST(x AS BIGINT))) AS DOUBLE))
+            * sqrt(CAST(list_dot_product(
+              list_transform(c.qvec, x -> CAST(x AS BIGINT)),
+              list_transform(c.qvec, x -> CAST(x AS BIGINT))) AS DOUBLE)))
+           AS cos8
+  FROM qz q JOIN qz c ON q.vec_id < 5 AND c.vec_id >= 5
+), top8 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY cos8 DESC, vec_id
+           ) AS rank
+    FROM scored8
+  ) WHERE rank <= 5
+), exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, c.v)
+                      / (sqrt(list_dot_product(q.v, q.v))
+                         * sqrt(list_dot_product(c.v, c.v))) DESC,
+                      c.vec_id
+           ) AS rank
+    FROM v q JOIN v c ON q.vec_id < 5 AND c.vec_id >= 5
+  ) WHERE rank <= 5
+)
+SELECT t.query_id,
+       array_to_string(list_sort(list(t.vec_id)), ',') AS sq8_top5,
+       CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overlap_at_5
+FROM top8 t
+LEFT JOIN exact e ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+GROUP BY t.query_id
+ORDER BY t.query_id
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -2974,6 +3107,7 @@ QUERIES = {
     "q108_quality_aware_keepers": q108_quality_aware_keepers,
     "q109_span_excision": q109_span_excision,
     "q112_int8_quantization": q112_int8_quantization,
+    "q113_sq8_search_recall": q113_sq8_search_recall,
 }
 
 ORACLES = {
@@ -3033,4 +3167,5 @@ ORACLES = {
     "q108_quality_aware_keepers": _Q108_SQL,
     "q109_span_excision": _Q109_SQL,
     "q112_int8_quantization": _Q112_SQL,
+    "q113_sq8_search_recall": _Q113_SQL,
 }

@@ -125,6 +125,7 @@ HEADLINE = [
     "q110_binary_dedup",
     "q111_copurchase_adamic_adar",
     "q112_int8_quantization",
+    "q113_sq8_search_recall",
 ]
 
 

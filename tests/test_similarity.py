@@ -451,3 +451,15 @@ def test_quantize_int8_zero_vector(spark):
     assert z.scale == 0.0 and z.cos_recon == 1.0 and z.max_abs_err == 0.0
     assert list(z.qvec) == [0, 0, 0]
     assert got[2].qvec[1] == -127  # max-|x| element hits the rail
+
+
+def test_sq8_search_recall_high(spark, sf_dir):
+    """The int8 tier must be usable for search: recall@5 vs the exact
+    float scan stays ≥ 4/5 on every query (int8 noise ~0.4% of scale
+    rarely reorders well-separated neighbors)."""
+    from airflow_spotify_etl_spark.plans.llm import q113_sq8_search_recall
+
+    rows = q113_sq8_search_recall(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r.n_overlap_at_5 >= 4 for r in rows)
+    assert all(len(r.sq8_top5.split(",")) == 5 for r in rows)
