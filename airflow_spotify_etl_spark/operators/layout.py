@@ -30,14 +30,16 @@ __all__ = [
     "zorder_key",
     "salted_count_distinct",
     "salted_join",
+    "skew_report",
 ]
 
 
 def zorder_key(cols: list, bits: int = 16):
     """Z-order (Morton) interleave of ``cols`` as one long column.
 
-    Each input column is first RANK-normalized by the caller to an
-    integer in [0, 2^bits) — ``write_zordered`` does this with ntile —
+    Each input column is first normalized by the caller to an integer in
+    [0, 2^bits) — ``write_zordered`` uses equal-width ``width_bucket``
+    against global min/max —
     then the bit-interleave is pure codegen arithmetic: for bit position
     b, column j contributes bit b of its value at output position
     b·n_cols + j. ``bits`` × n_cols must stay ≤ 63."""
@@ -230,3 +232,51 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return salted_left.join(salted_right, [key, "_salt"], how).drop("_salt")
+
+
+def skew_report(df: DataFrame, key_cols: list[str], top_k: int = 5) -> DataFrame:
+    """Join/agg-key skew diagnostic — the numbers that decide between a
+    plain shuffle, AQE skew splitting, and explicit salting
+    (`salted_join` / `salted_count_distinct`): per-key-count distribution
+    (max, median, p99), the skew factor max/avg, and an integer
+    recommended salt count ceil(max/avg) computed in EXACT integer
+    arithmetic (ceil-div: (max·n_keys + n_rows − 1) div n_rows — no
+    float boundary). One row out; ``top_keys`` carries the top-k heavy
+    keys as 'key:count' strings.
+
+    Cost: one grouped count over the key (the exchange you were about to
+    take anyway, here taken once on a diagnostic run) + a count-sized
+    aggregate. Run it on a sample for a quick read — counts scale, the
+    RATIOS this reports are what matter."""
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("cnt"))
+    key_str = F.concat_ws("/", *[F.col(c).cast("string") for c in key_cols])
+    topk = (
+        counts.orderBy(F.col("cnt").desc(), *key_cols)
+        .limit(int(top_k))
+        .select(F.concat(key_str, F.lit(":"), F.col("cnt")).alias("kc"))
+        .agg(F.array_join(F.collect_list("kc"), ", ").alias("top_keys"))
+    )
+    stats = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_key_rows"),
+        F.expr("percentile(cnt, 0.5)").alias("p50_key_rows"),
+        F.expr("percentile(cnt, 0.99)").alias("p99_key_rows"),
+    )
+    return stats.crossJoin(F.broadcast(topk)).select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        F.round("p50_key_rows", 2).alias("p50_key_rows"),
+        F.round("p99_key_rows", 2).alias("p99_key_rows"),
+        F.round(
+            F.col("max_key_rows") * F.col("n_keys") / F.col("n_rows"), 4
+        ).alias("skew_factor"),
+        # `div` = true integer division (no double round-trip: a double
+        # quotient cast back to long can truncate 2.9999999... to 2
+        # where exact ceil-div says 3)
+        F.expr(
+            "(max_key_rows * n_keys + n_rows - 1) div n_rows"
+        ).alias("recommended_salts"),
+        "top_keys",
+    )

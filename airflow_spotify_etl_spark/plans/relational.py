@@ -2088,6 +2088,47 @@ ORDER BY c_custkey
 """
 
 
+def q114_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (operators/layout.skew_report) over the
+    events table's (event_type, user activity) — the one-row report that
+    decides plain-shuffle vs AQE-skew-split vs explicit salting before a
+    100 TB join. Recommended salt count is exact integer ceil-div; the
+    distribution stats replay in SQL (DuckDB quantile_cont matches
+    Spark's exact `percentile`)."""
+    from ..operators.layout import skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return skew_report(ev, ["event_type"], top_k=3)
+
+
+_Q114_SQL = """
+WITH counts AS (
+  SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+), stats AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+         count(*) AS n_keys,
+         CAST(max(cnt) AS BIGINT) AS max_key_rows,
+         quantile_cont(cnt, 0.5) AS p50_key_rows,
+         quantile_cont(cnt, 0.99) AS p99_key_rows
+  FROM counts
+), topk AS (
+  SELECT array_to_string(list(kc ORDER BY cnt DESC, event_type), ', ')
+           AS top_keys
+  FROM (
+    SELECT event_type, cnt, event_type || ':' || cnt AS kc
+    FROM counts ORDER BY cnt DESC, event_type LIMIT 3
+  )
+)
+SELECT n_rows, n_keys, max_key_rows,
+       round(p50_key_rows, 2) AS p50_key_rows,
+       round(p99_key_rows, 2) AS p99_key_rows,
+       round(max_key_rows * n_keys / CAST(n_rows AS DOUBLE), 4) AS skew_factor,
+       (max_key_rows * n_keys + n_rows - 1) // n_rows AS recommended_salts,
+       top_keys
+FROM stats CROSS JOIN topk
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -2135,6 +2176,7 @@ QUERIES = {
     "q91_temporal_dim_lookup": q91_temporal_dim_lookup,
     "q98_gap_fill_hourly": q98_gap_fill_hourly,
     "q101_merge_upsert": q101_merge_upsert,
+    "q114_skew_report": q114_skew_report,
 }
 
 ORACLES = {
@@ -2184,4 +2226,5 @@ ORACLES = {
     "q91_temporal_dim_lookup": _Q91_SQL,
     "q98_gap_fill_hourly": _Q98_SQL,
     "q101_merge_upsert": _Q101_SQL,
+    "q114_skew_report": _Q114_SQL,
 }

@@ -126,6 +126,7 @@ HEADLINE = [
     "q111_copurchase_adamic_adar",
     "q112_int8_quantization",
     "q113_sq8_search_recall",
+    "q114_skew_report",
 ]
 
 

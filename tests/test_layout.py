@@ -171,3 +171,20 @@ def test_zordered_files_prune_on_both_dims(spark, tmp_path):
     # worst-case pruning dimension: the z layout must beat the 1-D
     # layout's unclustered dim decisively.
     assert max(zx, zy) < ry * 0.7
+
+
+def test_skew_report_closed_form(spark):
+    """Planted skew: key 'hot' holds 80 of 100 rows over 3 keys →
+    skew_factor 2.4, recommended_salts ceil(80·3/100) = 3, top key
+    listed first."""
+    from airflow_spotify_etl_spark.operators.layout import skew_report
+
+    rows = (
+        [("hot",)] * 80 + [("warm",)] * 15 + [("cold",)] * 5
+    )
+    df = spark.createDataFrame(rows, "k string")
+    r = skew_report(df, ["k"], top_k=2).collect()[0]
+    assert r.n_rows == 100 and r.n_keys == 3 and r.max_key_rows == 80
+    assert r.skew_factor == 2.4
+    assert r.recommended_salts == 3
+    assert r.top_keys.startswith("hot:80")
