@@ -41,6 +41,7 @@ __all__ = [
     "winnowed_dup_profile",
     "shingle",
     "ngram_jaccard_pairs",
+    "sparse_cosine_pairs",
     "ngram_contamination",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -1238,3 +1239,110 @@ def bloom_novelty_filter(
         corpus_hashes, "_ch", "left_anti"
     ).drop("_ch")
     return definitely_new.unionByName(confirmed_new)
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_df: int = 2,
+    max_df: int = 1000,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """COUNT-weighted n-gram cosine near-dup pairs over an inverted index —
+    the sparse-vector cousin of ``ngram_jaccard_pairs`` (set overlap) that
+    weighs REPEATED shingles, so a doc that repeats another doc's
+    boilerplate ten times scores differently than one sharing it once.
+    This is the classic all-pairs similarity-search shape (Bayardo et al.,
+    WWW'07): build term postings, prune hot terms, expand candidate pairs
+    only within a posting list, and accumulate dot products with one
+    grouped sum.
+
+    Exactness contract: the dot product and both squared norms are EXACT
+    integer sums of shingle-count products (no floats anywhere in the
+    aggregation), so cross-engine float-summation order can never reorder
+    results. The only float math is the final
+    ``dot / (sqrt(norm2_a) * sqrt(norm2_b))`` — every step of which is a
+    correctly-rounded IEEE op on exactly-represented integers (all sums
+    < 2^53 for any doc under ~10^6 shingle mass), hence bit-identical in
+    Spark and the DuckDB oracle. The q78 lesson (engines round a >2^53
+    int→double cast differently) is designed out, not tolerated.
+
+    Scale shape (100 TB):
+    - shingling is the shuffle-free sequence-explode (``shingle``,
+      distinct=False) and the (doc, shingle) counts combine map-side;
+    - ``max_df`` caps the quadratic surface: a term shared by k docs
+      expands C(k, 2) candidate rows, so boilerplate terms (df beyond the
+      cap) are dropped — they carry no discriminative signal, the same
+      hot-bucket discipline as q24/q25/q59, and double as the idf-style
+      stop-term filter a count cosine needs;
+    - pair expansion is JOIN-FREE (sorted postings + nested transform
+      flatten) — nothing for AQE to misbroadcast, and per-term work is
+      bounded by C(max_df, 2);
+    - the accumulation is ONE grouped integer sum on (doc_a, doc_b) with
+      map-side combine; the norm attach joins a doc-cardinality relation
+      on the pair ids (AQE broadcasts it at small SF, co-partitions at
+      scale). Only ids, counts, and 8-byte sums ever shuffle — never text.
+    """
+    g = (
+        shingle(df, text_col, id_col, n, distinct=False)
+        .groupBy("doc_id", "shingle")
+        .agg(F.count("*").alias("c"))
+    )
+    norms = g.groupBy("doc_id").agg(
+        F.sum(F.col("c") * F.col("c")).alias("norm2")
+    )
+    postings = (
+        g.groupBy("shingle")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "c"))
+            ).alias("ps"),
+            F.count("*").alias("df"),
+        )
+        .filter((F.col("df") >= int(min_df)) & (F.col("df") <= int(max_df)))
+    )
+    # All within-posting pairs (a < b by the sorted array order), each
+    # carrying its exact count product — flatten of a nested transform,
+    # no join anywhere in the candidate phase.
+    pair = F.expr(
+        "flatten(transform(ps, (x, ix) -> "
+        "transform(slice(ps, ix + 2, size(ps)), "
+        "y -> struct(x.doc_id as a, y.doc_id as b, x.c * y.c as p))))"
+    )
+    dots = (
+        postings.select(F.explode(pair).alias("pr"))
+        .select(
+            F.col("pr.a").alias("doc_a"),
+            F.col("pr.b").alias("doc_b"),
+            F.col("pr.p").alias("p"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("p").alias("dot"))
+    )
+    cos = F.round(
+        F.col("dot").cast("double")
+        / (
+            F.sqrt(F.col("norm2_a").cast("double"))
+            * F.sqrt(F.col("norm2_b").cast("double"))
+        ),
+        6,
+    )
+    return (
+        dots.join(
+            norms.select(
+                F.col("doc_id").alias("doc_a"), F.col("norm2").alias("norm2_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            norms.select(
+                F.col("doc_id").alias("doc_b"), F.col("norm2").alias("norm2_b")
+            ),
+            "doc_b",
+        )
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= float(threshold))
+        .select("doc_a", "doc_b", "dot", "norm2_a", "norm2_b", "cosine")
+    )

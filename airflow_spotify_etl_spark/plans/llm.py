@@ -3050,6 +3050,57 @@ ORDER BY t.query_id
 """
 
 
+def q115_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical cosine near-dup pairs
+    (operators/dedup.sparse_cosine_pairs): count-weighted word-trigram
+    vectors, inverted-index candidate generation with the df ≤ 1000
+    hot-term cap, join-free pair expansion, ONE exact-integer dot-product
+    rollup. Complements q24 (unweighted Jaccard) — cosine weighs repeated
+    shingles, the signal that separates "shares a header once" from "is
+    80% the same page". The dot and both norms are exact BIGINTs in the
+    output, so the oracle hash-checks the whole candidate+score pipeline,
+    and the one float (cosine) is a single correctly-rounded expression
+    over those integers on both engines."""
+    from ..operators.dedup import sparse_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sparse_cosine_pairs(
+        docs, n=3, min_df=2, max_df=1000, threshold=0.3
+    ).orderBy("doc_a", "doc_b")
+
+
+_Q115_SQL = """
+WITH g AS (
+  SELECT doc_id, shingle, count(*) AS c FROM (
+    SELECT doc_id,
+           unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                   for i in range(1, len(w) - 1)]) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  ) GROUP BY doc_id, shingle
+), norms AS (
+  SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS norm2 FROM g GROUP BY doc_id
+), terms AS (
+  -- min_df=2 (singleton terms form no pair), max_df=1000 hot-term cap
+  SELECT shingle FROM g GROUP BY shingle
+  HAVING count(*) BETWEEN 2 AND 1000
+), dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(a.c * b.c) AS BIGINT) AS dot
+  FROM g a
+  JOIN g b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.shingle IN (SELECT shingle FROM terms)
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, dot, na.norm2 AS norm2_a, nb.norm2 AS norm2_b,
+       round(dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+WHERE round(dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) >= 0.3
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -3108,6 +3159,7 @@ QUERIES = {
     "q109_span_excision": q109_span_excision,
     "q112_int8_quantization": q112_int8_quantization,
     "q113_sq8_search_recall": q113_sq8_search_recall,
+    "q115_sparse_cosine_pairs": q115_sparse_cosine_pairs,
 }
 
 ORACLES = {
@@ -3168,4 +3220,5 @@ ORACLES = {
     "q109_span_excision": _Q109_SQL,
     "q112_int8_quantization": _Q112_SQL,
     "q113_sq8_search_recall": _Q113_SQL,
+    "q115_sparse_cosine_pairs": _Q115_SQL,
 }

@@ -127,6 +127,7 @@ HEADLINE = [
     "q112_int8_quantization",
     "q113_sq8_search_recall",
     "q114_skew_report",
+    "q115_sparse_cosine_pairs",
 ]
 
 

@@ -604,3 +604,73 @@ def test_span_excise_fixpoint_noop_on_clean_corpus(spark):
     )
     out = span_excise_fixpoint(docs, 4).collect()
     assert all(r.n_removed == 0 for r in out)
+
+
+def test_sparse_cosine_identical_docs_score_one(spark):
+    from airflow_spotify_etl_spark.operators.dedup import sparse_cosine_pairs
+
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e f"),          # identical → cosine 1.0
+            (3, "a b c d e f g h i"),    # shares a prefix → partial
+            (4, "z z z z z z z z"),      # disjoint vocabulary
+        ],
+    )
+    out = {
+        (r.doc_a, r.doc_b): r
+        for r in sparse_cosine_pairs(df, threshold=0.0).collect()
+    }
+    assert out[(1, 2)].cosine == 1.0
+    # exact integers ride the output: identical 6-word docs share 4
+    # trigrams, each count 1 → dot = norm2 = 4
+    assert out[(1, 2)].dot == 4 and out[(1, 2)].norm2_a == 4
+    assert 0.0 < out[(1, 3)].cosine < 1.0
+    assert (1, 4) not in out and (2, 4) not in out
+
+
+def test_sparse_cosine_weighs_repetition_above_jaccard(spark):
+    """The count weighting is the point: a doc that repeats the shared
+    boilerplate scores higher against its source than the unweighted
+    set overlap would suggest."""
+    from airflow_spotify_etl_spark.operators.dedup import sparse_cosine_pairs
+
+    boiler = "the quick brown fox jumps"
+    df = _docs(
+        spark,
+        [
+            (1, boiler),
+            (2, boiler + " " + boiler + " " + boiler),  # 3x repetition
+            (3, boiler + " unrelated tail words here now ok"),
+        ],
+    )
+    out = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in sparse_cosine_pairs(df, threshold=0.0).collect()
+    }
+    # doc 2 is doc 1 repeated: cosine stays high despite extra trigrams
+    assert out[(1, 2)] > 0.8
+
+
+def test_sparse_cosine_hot_term_cap_prunes_boilerplate(spark):
+    from airflow_spotify_etl_spark.operators.dedup import sparse_cosine_pairs
+
+    # 12 docs all share one boilerplate trigram; two also share real content
+    rows = [(i, f"common boiler plate u{i} v{i} w{i}") for i in range(10)]
+    rows += [(100, "real shared content alpha beta"), (101, "real shared content alpha beta")]
+    df = _docs(spark, rows)
+    # cap at 5: the df=12 'common boiler plate' term is dropped, so the
+    # boilerplate-only docs form no pair; the real dup pair survives on
+    # its own terms
+    out = sparse_cosine_pairs(df, max_df=5, threshold=0.3).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in out}
+    assert (100, 101) in pairs
+    assert all(a >= 100 for a, _ in pairs)
+
+
+def test_sparse_cosine_short_docs_form_no_pairs(spark):
+    from airflow_spotify_etl_spark.operators.dedup import sparse_cosine_pairs
+
+    df = _docs(spark, [(1, "a b"), (2, "a b"), (3, "")])
+    assert sparse_cosine_pairs(df, threshold=0.0).count() == 0

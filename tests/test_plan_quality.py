@@ -281,3 +281,27 @@ def test_q100_ivf_pq_streams_codes_through_broadcast_probe(spark, sf_dir, qs):
     import re as _re
 
     assert _re.search(r"WindowGroupLimit .*row_number\(\), 5, Partial", plan), plan
+
+
+def test_q115_sparse_cosine_candidates_join_free_and_narrow(spark, sf_dir):
+    """The sparse-cosine candidate phase must be the capped join-free
+    posting expansion: the ONLY joins in the whole plan are the two
+    norm attaches after the pair rollup, and the text column never
+    survives past the shingle projection (only ids, counts, and sums
+    shuffle)."""
+    from airflow_spotify_etl_spark.operators.dedup import sparse_cosine_pairs
+    from airflow_spotify_etl_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sparse_cosine_pairs(docs, threshold=0.3)
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    # Exactly two joins: norm2_a and norm2_b attaches; the candidate
+    # phase (postings → pair explode → rollup) has none.
+    assert optimized.count("Join Inner") == 2, optimized
+    # df cap present in the posting filter.
+    assert "df#" in optimized or "<= 1000" in optimized, optimized
+    plan = _final_plan(out)
+    # No exchange carries the text column (narrow shuffles only).
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text" not in ln, ln
