@@ -31,6 +31,7 @@ __all__ = [
     "salted_count_distinct",
     "salted_join",
     "skew_report",
+    "epoch_shuffle",
 ]
 
 
@@ -279,4 +280,73 @@ def skew_report(df: DataFrame, key_cols: list[str], top_k: int = 5) -> DataFrame
             "(max_key_rows * n_keys + n_rows - 1) div n_rows"
         ).alias("recommended_salts"),
         "top_keys",
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "epoch0",
+    batch_size: int = 64,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic corpus shuffle + training-batch assignment: the order
+    a trainer reads the corpus in epoch ``seed``. Every row gets a
+    ``global_pos`` (its position in the md5(seed:id) order — a new seed
+    string per epoch yields a fresh, reproducible permutation) and the
+    ``batch_id`` = global_pos / batch_size it lands in. Re-running with
+    the same seed reproduces the epoch exactly — the property that makes
+    training-data order auditable and resumable.
+
+    Scale shape — the naive formulation is a single global
+    ``row_number() OVER (ORDER BY key)``, which Spark executes as ONE
+    partition holding the whole corpus (the classic global-sort-rank
+    trap). This implementation is the distributed two-phase rank:
+
+    1. bucket each row by the first 2 hex chars of its shuffle key
+       (lexicographic hex order == numeric order, so bucket order is
+       consistent with key order);
+    2. count rows per bucket — a 1-in-``n_buckets`` aggregate — and
+       running-sum those counts into bucket offsets (the ONLY
+       unpartitioned window runs over that ``n_buckets``-row relation,
+       never over data);
+    3. rank WITHIN each bucket (a partitioned window) and add the
+       broadcast bucket offset: ``global_pos = offset + rank - 1``.
+
+    One data shuffle (the per-bucket rank exchange) for an exact global
+    permutation. To materialize the epoch physically, write with
+    ``repartitionByRange(global_pos)`` so readers stream batches in
+    order without any sort."""
+    from pyspark.sql import Window as W
+
+    key = F.md5(
+        F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    # 2 hex chars → 256 buckets; fewer when n_buckets < 256 via pmod.
+    b = df.select(F.col(id_col), key.alias("shuffle_key")).withColumn(
+        "_bucket",
+        F.pmod(
+            F.conv(F.substring("shuffle_key", 1, 2), 16, 10).cast("int"),
+            F.lit(int(n_buckets)),
+        )
+        if int(n_buckets) < 256
+        else F.conv(F.substring("shuffle_key", 1, 2), 16, 10).cast("int"),
+    )
+    counts = b.groupBy("_bucket").agg(F.count("*").alias("_cnt"))
+    off_w = (
+        W.orderBy("_bucket").rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_bucket",
+        F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_offset"),
+    )
+    rank_w = W.partitionBy("_bucket").orderBy("shuffle_key", id_col)
+    return (
+        b.withColumn("_r", F.row_number().over(rank_w))
+        .join(F.broadcast(offsets), "_bucket")
+        .withColumn("global_pos", F.col("_offset") + F.col("_r") - 1)
+        .withColumn(
+            "batch_id", F.floor(F.col("global_pos") / int(batch_size))
+        )
+        .select(id_col, "shuffle_key", "global_pos", "batch_id")
     )

@@ -2129,6 +2129,35 @@ FROM stats CROSS JOIN topk
 """
 
 
+def q116_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle + batch assignment
+    (operators/layout.epoch_shuffle): every document's exact position and
+    batch in the md5(seed:id) read order, computed with the DISTRIBUTED
+    two-phase global rank (per-bucket partitioned window + broadcast
+    bucket offsets) — never a single-partition ORDER BY window over the
+    corpus. The oracle is the naive global row_number, proving the
+    bucket-offset decomposition reproduces it row-for-row."""
+    from ..operators.layout import epoch_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    return epoch_shuffle(
+        docs, id_col="doc_id", seed="epoch0", batch_size=64
+    ).orderBy("global_pos")
+
+
+_Q116_SQL = """
+SELECT doc_id, shuffle_key,
+       row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS global_pos,
+       (row_number() OVER (ORDER BY shuffle_key, doc_id) - 1) // 64
+         AS batch_id
+FROM (
+  SELECT doc_id, md5('epoch0:' || doc_id::VARCHAR) AS shuffle_key
+  FROM documents
+)
+ORDER BY global_pos
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -2177,6 +2206,7 @@ QUERIES = {
     "q98_gap_fill_hourly": q98_gap_fill_hourly,
     "q101_merge_upsert": q101_merge_upsert,
     "q114_skew_report": q114_skew_report,
+    "q116_epoch_shuffle": q116_epoch_shuffle,
 }
 
 ORACLES = {
@@ -2227,4 +2257,5 @@ ORACLES = {
     "q98_gap_fill_hourly": _Q98_SQL,
     "q101_merge_upsert": _Q101_SQL,
     "q114_skew_report": _Q114_SQL,
+    "q116_epoch_shuffle": _Q116_SQL,
 }

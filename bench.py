@@ -128,6 +128,7 @@ HEADLINE = [
     "q113_sq8_search_recall",
     "q114_skew_report",
     "q115_sparse_cosine_pairs",
+    "q116_epoch_shuffle",
 ]
 
 

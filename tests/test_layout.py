@@ -188,3 +188,45 @@ def test_skew_report_closed_form(spark):
     assert r.skew_factor == 2.4
     assert r.recommended_salts == 3
     assert r.top_keys.startswith("hot:80")
+
+
+def test_epoch_shuffle_reproducible_and_batched(spark):
+    from airflow_spotify_etl_spark.operators.layout import epoch_shuffle
+
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    a = epoch_shuffle(df, batch_size=32, seed="e1").orderBy("global_pos").collect()
+    b = epoch_shuffle(df, batch_size=32, seed="e1").orderBy("global_pos").collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]  # same seed → same epoch
+    # positions are an exact permutation of 0..n-1
+    assert [r.global_pos for r in a] == list(range(300))
+    # every batch full except the last
+    from collections import Counter
+
+    sizes = Counter(r.batch_id for r in a)
+    last = max(sizes)
+    assert all(v == 32 for k, v in sizes.items() if k != last)
+    assert sizes[last] == 300 % 32
+    # a different seed is a different permutation
+    c = epoch_shuffle(df, batch_size=32, seed="e2").orderBy("global_pos").collect()
+    assert [r.doc_id for r in c] != [r.doc_id for r in a]
+
+
+def test_epoch_shuffle_rank_is_distributed(spark):
+    """The global permutation must come from the bucket-offset
+    decomposition: the row_number window is PARTITIONED by bucket, and
+    the only single-partition exchange in the plan is the n_buckets-row
+    offset relation (after its aggregate) — the corpus itself never
+    funnels through one task."""
+    from airflow_spotify_etl_spark.operators.layout import epoch_shuffle
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = epoch_shuffle(df)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    # row_number over the data is bucket-partitioned
+    import re
+
+    rn = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert rn and all("_bucket" in ln for ln in rn), plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
