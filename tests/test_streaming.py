@@ -657,3 +657,126 @@ def test_store_swap_crash_recovery(spark, tmp_path):
     assert len(got) == 5
     assert any(d < 100 for d in got), (committed, got)
     assert not pathlib.Path(store + "._swap_bak").exists()
+
+
+def test_ann_index_maintenance_matches_batch_build(spark, tmp_path):
+    """Two-batch streaming maintenance of the stored IVF-PQ index — with
+    an id UPDATED in the second batch — must equal the one-shot batch
+    build of the final corpus state, both as the latest-per-id view and
+    after compaction; search over the compacted store must equal the
+    in-memory IVF-PQ composition on the final corpus."""
+    from airflow_spotify_etl_spark.operators.similarity import (
+        hash_seed_centroids,
+        ivf_pq_topk,
+        pq_codebooks,
+        search_ann_index,
+        write_ann_index,
+    )
+    from airflow_spotify_etl_spark.sources.files import load_table
+    from airflow_spotify_etl_spark.streaming.ann_maintenance import (
+        compact_ann_index,
+        latest_index_view,
+        run_ann_index_maintenance,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    cents = hash_seed_centroids(corpus, nlist=8)
+    books = pq_codebooks(corpus, n_sub=4, n_codes=16)
+
+    # batch 1: ids 5..N with vec_id 7 carrying a STALE vector (vec 8's);
+    # batch 2: the correction for id 7 (its true vector) → an update.
+    v8 = corpus.filter(F.col("vec_id") == 8).select("embedding").head()[0]
+    b1 = corpus.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") == 7,
+            F.lit([float(x) for x in v8]).cast("array<float>"),
+        ).otherwise(F.col("embedding")),
+    )
+    b2 = corpus.filter(F.col("vec_id") == 7)
+
+    src = str(tmp_path / "vec_src")
+    idx = str(tmp_path / "ann_store")
+    ckpt = str(tmp_path / "ann_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).parquet(src)
+        run_ann_index_maintenance(spark, stream, idx, cents, books, ckpt)
+
+    b1.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    b2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    want = {
+        tuple(r)
+        for r in write_and_read_reference(spark, corpus, cents, books, tmp_path)
+    }
+    got_view = {
+        tuple(r)
+        for r in latest_index_view(spark, idx).select(*_IDX_COLS).collect()
+    }
+    assert got_view == want  # read-time upsert equals the batch build
+
+    n = compact_ann_index(spark, idx)
+    assert n == len(want)
+    got_compact = {
+        tuple(r)
+        for r in spark.read.parquet(idx).select(*_IDX_COLS).collect()
+    }
+    assert got_compact == want  # one row per id again, update applied
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        tuple(r)
+        for r in search_ann_index(spark, idx, q, cents, books, k=5, nprobe=3).collect()
+    )
+    ref = sorted(
+        tuple(r)
+        for r in ivf_pq_topk(corpus, q, cents, books, k=5, nprobe=3).collect()
+    )
+    assert got == ref
+
+
+_IDX_COLS = ["vec_id", "cell", "code_0", "code_1", "code_2", "code_3"]
+
+
+def write_and_read_reference(spark, corpus, cents, books, tmp_path):
+    from airflow_spotify_etl_spark.operators.similarity import write_ann_index
+
+    ref_path = str(tmp_path / "ann_ref")
+    write_ann_index(corpus, cents, books, ref_path)
+    return spark.read.parquet(ref_path).select(*_IDX_COLS).collect()
+
+
+def test_ann_index_maintenance_retry_is_idempotent(spark, tmp_path):
+    """Re-applying the SAME batch (foreachBatch at-least-once) rewrites
+    identical partitions — the store never accretes duplicates; and
+    within-batch duplicate ids collapse deterministically."""
+    from airflow_spotify_etl_spark.operators.similarity import (
+        hash_seed_centroids,
+        pq_codebooks,
+    )
+    from airflow_spotify_etl_spark.sources.files import load_table
+    from airflow_spotify_etl_spark.streaming.ann_maintenance import (
+        _apply_index_batch,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    cents = hash_seed_centroids(corpus, nlist=8)
+    books = pq_codebooks(corpus, n_sub=4, n_codes=16)
+    idx = str(tmp_path / "ann_store")
+
+    dup = corpus.limit(10).unionByName(corpus.limit(3))  # in-batch dup ids
+    _apply_index_batch(dup, idx, cents, books, 0, "embedding", "vec_id", "hof")
+    first = sorted(tuple(r) for r in spark.read.parquet(idx).collect())
+    assert len(first) == 10  # dups collapsed
+    _apply_index_batch(dup, idx, cents, books, 0, "embedding", "vec_id", "hof")
+    again = sorted(tuple(r) for r in spark.read.parquet(idx).collect())
+    assert again == first
