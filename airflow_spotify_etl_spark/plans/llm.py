@@ -3101,6 +3101,45 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q117_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-iteration BPE merge scoring (operators/bpe.py) — tokenizer
+    training at corpus scale. The corpus collapses to its VOCABULARY
+    relation in one word-count pass; adjacent char pairs are counted on
+    that vocab weighted by word frequency (subword-nmt's structure), so
+    at 100 TB the pair space never sees corpus bytes. Exact integer
+    counts end-to-end; the full iterative trainer (argmax → codegen
+    merge fold → recount) is pytest-pinned to the Sennrich toy corpus."""
+    from ..operators.bpe import bpe_merge_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merge_candidates(docs, top_k=20)
+
+
+_Q117_SQL = """
+WITH words AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+), vocab AS (
+  SELECT w, count(*) AS freq FROM words WHERE len(w) > 0 GROUP BY w
+), pairs AS (
+  SELECT w, freq, substr(w, i, 1) AS left_sym, substr(w, i + 1, 1) AS right_sym
+  FROM (
+    SELECT w, freq, unnest(range(1, len(w))) AS i
+    FROM vocab WHERE len(w) >= 2
+  )
+), agg AS (
+  SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS n_occurrences,
+         count(DISTINCT w) AS n_words
+  FROM pairs GROUP BY 1, 2
+)
+SELECT row_number() OVER (ORDER BY n_occurrences DESC, left_sym, right_sym)
+         AS rank,
+       left_sym, right_sym, n_occurrences, n_words
+FROM agg
+ORDER BY n_occurrences DESC, left_sym, right_sym
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -3160,6 +3199,7 @@ QUERIES = {
     "q112_int8_quantization": q112_int8_quantization,
     "q113_sq8_search_recall": q113_sq8_search_recall,
     "q115_sparse_cosine_pairs": q115_sparse_cosine_pairs,
+    "q117_bpe_merge_candidates": q117_bpe_merge_candidates,
 }
 
 ORACLES = {
@@ -3221,4 +3261,5 @@ ORACLES = {
     "q112_int8_quantization": _Q112_SQL,
     "q113_sq8_search_recall": _Q113_SQL,
     "q115_sparse_cosine_pairs": _Q115_SQL,
+    "q117_bpe_merge_candidates": _Q117_SQL,
 }

@@ -129,6 +129,7 @@ HEADLINE = [
     "q114_skew_report",
     "q115_sparse_cosine_pairs",
     "q116_epoch_shuffle",
+    "q117_bpe_merge_candidates",
 ]
 
 

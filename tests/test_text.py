@@ -269,3 +269,53 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     b_scores = [got[i + 10].log_weight for i in range(5)]
     assert min(a_scores) > max(b_scores)
     assert got[99].log_weight == 0.0 and got[99].n_tokens == 0
+
+
+def test_bpe_first_merges_match_sennrich_example(spark):
+    """The BPE paper's toy corpus: ('e','s') is the first merge (count 9
+    from newest x6 + widest x3), ('es','t') the second, and after enough
+    merges 'low' is a single token while 'newest' tokenizes n|ew|est."""
+    from airflow_spotify_etl_spark.operators.bpe import (
+        bpe_merge_candidates,
+        bpe_train,
+    )
+
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+
+    top = bpe_merge_candidates(df, top_k=3).collect()
+    assert (top[0].left_sym, top[0].right_sym, top[0].n_occurrences) == ("e", "s", 9)
+
+    merges, vocab = bpe_train(df, n_merges=5)
+    assert [(a, b) for a, b, _ in merges[:2]] == [("e", "s"), ("es", "t")]
+    toks = {r.w: list(r.syms) for r in vocab.collect()}
+    assert toks["low"] == ["low"]
+    assert toks["newest"] == ["n", "ew", "est"]
+    assert toks["widest"] == ["w", "i", "d", "est"]
+
+
+def test_bpe_merge_is_left_to_right_non_overlapping(spark):
+    """'aaaa' with merge (a,a) must become [aa, aa] and 'aaa' [aa, a] —
+    position-based counting but non-overlapping application."""
+    from airflow_spotify_etl_spark.operators.bpe import _apply_merge, _chars
+
+    df = spark.createDataFrame(
+        [("aaaa",), ("aaa",), ("aba",)], "w string"
+    ).withColumn("syms", _chars(F.col("w")))
+    out = {
+        r.w: list(r.m)
+        for r in df.withColumn("m", _apply_merge(F.col("syms"), "a", "a")).collect()
+    }
+    assert out["aaaa"] == ["aa", "aa"]
+    assert out["aaa"] == ["aa", "a"]
+    assert out["aba"] == ["a", "b", "a"]
+
+
+def test_bpe_train_stops_below_min_count(spark):
+    from airflow_spotify_etl_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
+    merges, _ = bpe_train(df, n_merges=10, min_count=2)
+    assert merges == []  # every pair occurs once — nothing worth merging
