@@ -33,6 +33,7 @@ __all__ = [
     "check_accepted_values",
     "check_referential",
     "integrity_audit",
+    "rate_anomalies",
 ]
 
 
@@ -164,3 +165,61 @@ def integrity_audit(checks: list[DataFrame]) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def rate_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    factor: int = 3,
+    n_lags: int = 8,
+) -> DataFrame:
+    """Per-type hourly-rate anomaly flags: an hour is anomalous when its
+    count exceeds ``factor`` x the decay-weighted trailing baseline
+    (EWMA over the ``n_lags`` previous observed hours, powers-of-two
+    weights — heaviest on the most recent lag). The baseline rides as
+    an exact integer fraction (num/den; den shrinks at a series head
+    where fewer lags exist) and the flag is the cross-multiplied
+    integer comparison ``cnt * den > factor * num`` — no float division
+    decides anything, so the decision replays bit-for-bit in the SQL
+    oracle (plans/relational.py q118). One aggregate exchange; all
+    ``n_lags`` lag() calls share ONE window pass."""
+    from pyspark.sql import Window as W
+
+    hourly = df.groupBy(
+        type_col, F.date_trunc("hour", ts_col).alias("hour_ts")
+    ).agg(F.count("*").alias("cnt"))
+    w = W.partitionBy(type_col).orderBy("hour_ts")
+    lags = [F.lag("cnt", j).over(w) for j in range(1, n_lags + 1)]
+    weights = [1 << (n_lags - j) for j in range(1, n_lags + 1)]
+    num = sum(
+        (F.coalesce(lg, F.lit(0)) * F.lit(wt) for lg, wt in zip(lags, weights)),
+        F.lit(0),
+    )
+    den = sum(
+        (
+            F.when(lg.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+            for lg, wt in zip(lags, weights)
+        ),
+        F.lit(0),
+    )
+    d = hourly.select(
+        type_col,
+        F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+        "cnt",
+        num.alias("baseline_num"),
+        den.alias("baseline_den"),
+    )
+    anom = (F.col("baseline_den") > 0) & (
+        F.col("cnt") * F.col("baseline_den")
+        > int(factor) * F.col("baseline_num")
+    )
+    ratio = F.when(
+        (F.col("baseline_den") > 0) & (F.col("baseline_num") > 0),
+        F.round(
+            (F.col("cnt") * F.col("baseline_den")).cast("double")
+            / F.col("baseline_num").cast("double"),
+            4,
+        ),
+    )
+    return d.withColumn("is_anomaly", anom).withColumn("rate_ratio", ratio)

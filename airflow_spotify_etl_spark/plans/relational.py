@@ -2158,6 +2158,70 @@ ORDER BY global_pos
 """
 
 
+def q118_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection: per type, flag hours whose count
+    exceeds 3× the decay-weighted trailing baseline (EWMA over the 8
+    previous observed hours, powers-of-two weights 128..1 — heaviest on
+    the most recent lag). The ops-monitoring primitive a 100 TB ingest
+    runs on its own telemetry.
+
+    Exactness: the baseline is kept as an exact integer FRACTION
+    (weighted sum ``num`` over weight total ``den`` — den shrinks at a
+    series head where fewer lags exist), and the anomaly gate is the
+    cross-multiplied integer comparison ``cnt·den > 3·num`` — no float
+    division ever decides a flag, so the decision replays bit-for-bit
+    in SQL. One aggregate exchange; the 8 lags share ONE window pass
+    (operators/quality.rate_anomalies)."""
+    from ..operators.quality import rate_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    return rate_anomalies(ev, factor=3, n_lags=8).orderBy(
+        "event_type", "hour_ts"
+    )
+
+
+_Q118_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT event_type, hour_ts, cnt,
+         lag(cnt, 1) OVER w AS l1, lag(cnt, 2) OVER w AS l2,
+         lag(cnt, 3) OVER w AS l3, lag(cnt, 4) OVER w AS l4,
+         lag(cnt, 5) OVER w AS l5, lag(cnt, 6) OVER w AS l6,
+         lag(cnt, 7) OVER w AS l7, lag(cnt, 8) OVER w AS l8
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts)
+), b AS (
+  SELECT event_type, hour_ts, cnt,
+         coalesce(l1,0)*128 + coalesce(l2,0)*64 + coalesce(l3,0)*32
+           + coalesce(l4,0)*16 + coalesce(l5,0)*8 + coalesce(l6,0)*4
+           + coalesce(l7,0)*2 + coalesce(l8,0)*1 AS baseline_num,
+         (CASE WHEN l1 IS NOT NULL THEN 128 ELSE 0 END)
+           + (CASE WHEN l2 IS NOT NULL THEN 64 ELSE 0 END)
+           + (CASE WHEN l3 IS NOT NULL THEN 32 ELSE 0 END)
+           + (CASE WHEN l4 IS NOT NULL THEN 16 ELSE 0 END)
+           + (CASE WHEN l5 IS NOT NULL THEN 8 ELSE 0 END)
+           + (CASE WHEN l6 IS NOT NULL THEN 4 ELSE 0 END)
+           + (CASE WHEN l7 IS NOT NULL THEN 2 ELSE 0 END)
+           + (CASE WHEN l8 IS NOT NULL THEN 1 ELSE 0 END) AS baseline_den
+  FROM l
+)
+SELECT event_type, strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       cnt,
+       CAST(baseline_num AS BIGINT) AS baseline_num,
+       CAST(baseline_den AS BIGINT) AS baseline_den,
+       (baseline_den > 0 AND cnt * baseline_den > 3 * baseline_num)
+         AS is_anomaly,
+       CASE WHEN baseline_den > 0 AND baseline_num > 0
+            THEN round(CAST(cnt * baseline_den AS DOUBLE)
+                       / CAST(baseline_num AS DOUBLE), 4)
+       END AS rate_ratio
+FROM b
+ORDER BY event_type, hour_ts
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -2207,6 +2271,7 @@ QUERIES = {
     "q101_merge_upsert": q101_merge_upsert,
     "q114_skew_report": q114_skew_report,
     "q116_epoch_shuffle": q116_epoch_shuffle,
+    "q118_rate_anomalies": q118_rate_anomalies,
 }
 
 ORACLES = {
@@ -2258,4 +2323,5 @@ ORACLES = {
     "q101_merge_upsert": _Q101_SQL,
     "q114_skew_report": _Q114_SQL,
     "q116_epoch_shuffle": _Q116_SQL,
+    "q118_rate_anomalies": _Q118_SQL,
 }

@@ -130,6 +130,7 @@ HEADLINE = [
     "q115_sparse_cosine_pairs",
     "q116_epoch_shuffle",
     "q117_bpe_merge_candidates",
+    "q118_rate_anomalies",
 ]
 
 

@@ -114,3 +114,55 @@ def test_check_unique_composite_counts_null_tuples(spark):
     )
     got = check_unique(df, ["a", "b"], "pk").collect()[0]
     assert got.n_violations == 1  # (1,NULL) duplicated once; (2,2) unique
+
+
+def test_rate_anomalies_flags_planted_spike(spark):
+    """Steady 10/hour for 10 hours, then a 100-event spike: only the
+    spike hour is flagged; the series head (no baseline) never is; the
+    flag decision is the exact integer cross-multiply."""
+    import datetime as dt
+
+    from airflow_spotify_etl_spark.operators.quality import rate_anomalies
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(10):
+        for _ in range(10):
+            rows.append((eid, base + dt.timedelta(hours=h), "click"))
+            eid += 1
+    for _ in range(100):  # hour 10: the spike
+        rows.append((eid, base + dt.timedelta(hours=10), "click"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    out = {r.hour_ts: r for r in rate_anomalies(df).collect()}
+    flagged = [k for k, r in out.items() if r.is_anomaly]
+    assert flagged == ["2024-01-01 10:00:00"]
+    spike = out["2024-01-01 10:00:00"]
+    # all 8 lags exist and equal 10 → num = 10*255, den = 255, ratio 10
+    assert spike.baseline_den == 255 and spike.baseline_num == 2550
+    assert spike.rate_ratio == 10.0
+    head = out["2024-01-01 00:00:00"]
+    assert head.baseline_den == 0 and not head.is_anomaly
+
+
+def test_rate_anomalies_shrinking_head_baseline(spark):
+    """At hour 1 only lag-1 exists: den = the single heaviest weight,
+    and a 3x jump there IS flagged (the fraction, not a padded zero
+    baseline, decides)."""
+    import datetime as dt
+
+    from airflow_spotify_etl_spark.operators.quality import rate_anomalies
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base, "buy") for i in range(10)]
+    rows += [(100 + i, base + dt.timedelta(hours=1), "buy") for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    out = {r.hour_ts: r for r in rate_anomalies(df).collect()}
+    h1 = out["2024-01-01 01:00:00"]
+    assert h1.baseline_den == 128 and h1.baseline_num == 10 * 128
+    assert h1.is_anomaly  # 40 > 3 x 10
