@@ -3140,6 +3140,106 @@ LIMIT 20
 """
 
 
+def q119_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus datasheet — the "data card" summary a training
+    run records next to its checkpoints: volume (docs/chars/tokens),
+    exact-duplicate rate, language mix, and the dominant language with
+    its share. ONE corpus scan: the first aggregate groups to
+    (source, lang, text-hash) — at most one row per distinct document —
+    and every datasheet number rolls up from that narrow relation; the
+    corpus text never shuffles (only the md5 and three integers do).
+    The two ratios are single divisions of exact integers, rounded
+    identically in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.groupBy(
+        "source", "lang", F.md5("text").alias("ch")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum("n_chars").alias("chars"),
+        F.sum(F.size(F.split("text", " "))).alias("toks"),
+    )
+    per_lang = base.groupBy("source", "lang").agg(
+        F.sum("cnt").alias("lang_docs")
+    )
+    w = W.partitionBy("source").orderBy(F.col("lang_docs").desc(), "lang")
+    top = (
+        per_lang.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("top_lang"),
+            F.col("lang_docs").alias("top_lang_docs"),
+        )
+    )
+    per_source = base.groupBy("source").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.countDistinct("ch").alias("n_distinct_texts"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("chars").alias("total_chars"),
+        F.sum("toks").alias("total_tokens"),
+    )
+    return (
+        per_source.join(top, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct_texts",
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct_texts")).cast("double")
+                / F.col("n_docs").cast("double"),
+                4,
+            ).alias("dup_rate"),
+            "n_langs",
+            "top_lang",
+            "top_lang_docs",
+            F.round(
+                F.col("top_lang_docs").cast("double")
+                / F.col("n_docs").cast("double"),
+                4,
+            ).alias("top_lang_share"),
+            "total_chars",
+            "total_tokens",
+        )
+        .orderBy("source")
+    )
+
+
+_Q119_SQL = """
+WITH base AS (
+  SELECT source, lang, md5(text) AS ch, count(*) AS cnt,
+         CAST(sum(n_chars) AS BIGINT) AS chars,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+  FROM documents GROUP BY 1, 2, 3
+), per_lang AS (
+  SELECT source, lang, CAST(sum(cnt) AS BIGINT) AS lang_docs
+  FROM base GROUP BY 1, 2
+), top AS (
+  SELECT source, lang AS top_lang, lang_docs AS top_lang_docs FROM (
+    SELECT source, lang, lang_docs,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY lang_docs DESC, lang) AS rn
+    FROM per_lang
+  ) WHERE rn = 1
+), per_source AS (
+  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+         count(DISTINCT ch) AS n_distinct_texts,
+         count(DISTINCT lang) AS n_langs,
+         CAST(sum(chars) AS BIGINT) AS total_chars,
+         CAST(sum(toks) AS BIGINT) AS total_tokens
+  FROM base GROUP BY 1
+)
+SELECT s.source, n_docs, n_distinct_texts,
+       round(CAST(n_docs - n_distinct_texts AS DOUBLE)
+             / CAST(n_docs AS DOUBLE), 4) AS dup_rate,
+       n_langs, top_lang, top_lang_docs,
+       round(CAST(top_lang_docs AS DOUBLE)
+             / CAST(n_docs AS DOUBLE), 4) AS top_lang_share,
+       total_chars, total_tokens
+FROM per_source s JOIN top t ON t.source = s.source
+ORDER BY s.source
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -3200,6 +3300,7 @@ QUERIES = {
     "q113_sq8_search_recall": q113_sq8_search_recall,
     "q115_sparse_cosine_pairs": q115_sparse_cosine_pairs,
     "q117_bpe_merge_candidates": q117_bpe_merge_candidates,
+    "q119_corpus_datasheet": q119_corpus_datasheet,
 }
 
 ORACLES = {
@@ -3262,4 +3363,5 @@ ORACLES = {
     "q113_sq8_search_recall": _Q113_SQL,
     "q115_sparse_cosine_pairs": _Q115_SQL,
     "q117_bpe_merge_candidates": _Q117_SQL,
+    "q119_corpus_datasheet": _Q119_SQL,
 }

@@ -131,6 +131,7 @@ HEADLINE = [
     "q116_epoch_shuffle",
     "q117_bpe_merge_candidates",
     "q118_rate_anomalies",
+    "q119_corpus_datasheet",
 ]
 
 

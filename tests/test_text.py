@@ -319,3 +319,33 @@ def test_bpe_train_stops_below_min_count(spark):
     df = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
     merges, _ = bpe_train(df, n_merges=10, min_count=2)
     assert merges == []  # every pair occurs once — nothing worth merging
+
+
+def test_corpus_datasheet_planted_counts(spark):
+    """Planted corpus: dup rate, language mix, and dominant-language
+    share come out exact; ties on the top language break to the
+    lexicographically first."""
+    from airflow_spotify_etl_spark.plans.llm import q119_corpus_datasheet  # noqa: F401  (plan fn needs sf_dir)
+    from airflow_spotify_etl_spark.plans.llm import load_table  # noqa: F401
+    import airflow_spotify_etl_spark.plans.llm as llm
+
+    rows = [
+        (1, "a b c", "en", "s1", 5),
+        (2, "a b c", "en", "s1", 5),   # exact dup
+        (3, "x y", "fr", "s1", 3),
+        (4, "p q r s", "en", "s2", 7),
+        (5, "t u", "fr", "s2", 3),     # s2: en/fr tie → 'en' wins
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r.source: r for r in llm.q119_corpus_datasheet(spark, td).collect()}
+    s1 = out["s1"]
+    assert (s1.n_docs, s1.n_distinct_texts, s1.dup_rate) == (3, 2, 0.3333)
+    assert (s1.top_lang, s1.top_lang_docs, s1.n_langs) == ("en", 2, 2)
+    assert s1.total_tokens == 3 + 3 + 2
+    s2 = out["s2"]
+    assert s2.top_lang == "en" and s2.top_lang_share == 0.5
