@@ -34,6 +34,7 @@ __all__ = [
     "exact_k_sample",
     "weighted_exact_k_sample",
     "dsir_log_weights",
+    "contrastive_negatives",
 ]
 
 _BUCKETS = 10_000
@@ -390,4 +391,72 @@ def dsir_log_weights(
             F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
         )
         .orderBy("doc_id")
+    )
+
+
+def contrastive_negatives(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 4,
+    seed: str = "neg0",
+) -> DataFrame:
+    """Deterministic negative-pair mining for contrastive training: each
+    document gets ``k`` pseudo-random partner documents, reproducibly
+    (same seed → same pairs), with no self-pairs and no corpus
+    cross-join anywhere.
+
+    Shape: the corpus is first given a dense position index 0..N-1 (the
+    ``epoch_shuffle`` distributed md5 rank — one bucket-partitioned
+    window, no global sort). Negative j of the doc at position p is the
+    doc at position ``(p + 1 + h(seed, id, j) mod (N-1)) mod N`` — the
+    +1 ring offset makes self-selection IMPOSSIBLE by arithmetic (not
+    by rejection-resampling, which would need a data-dependent retry
+    loop), and h is the engine-portable md5-slice hash, so every pair
+    replays exactly in the SQL oracle (q120). The partner attach is ONE
+    equi-join on the dense integer position — k·N narrow rows against
+    the N-row index, co-partitioned at scale, nothing quadratic.
+
+    N rides in as a broadcast 1-row aggregate (the scalar-crossJoin
+    house pattern); degenerate N=1 corpora return no pairs (there is
+    nobody else to pair with)."""
+    from .dedup import _h32
+    from .layout import epoch_shuffle
+
+    idx = epoch_shuffle(df, id_col=id_col, seed=seed + ":idx").select(
+        F.col(id_col), F.col("global_pos").alias("pos")
+    )
+    n_rel = idx.agg(F.count("*").alias("n_total"))
+    cand = (
+        idx.crossJoin(F.broadcast(n_rel))
+        .filter(F.col("n_total") >= 2)
+        .select(
+            id_col,
+            "pos",
+            "n_total",
+            F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("neg_rank"),
+        )
+        .withColumn(
+            "_h",
+            _h32(
+                F.concat(
+                    F.lit(str(seed) + ":"),
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    F.col("neg_rank").cast("string"),
+                )
+            ),
+        )
+        .withColumn(
+            "neg_pos",
+            F.pmod(
+                F.col("pos") + 1 + F.pmod("_h", F.col("n_total") - 1),
+                F.col("n_total"),
+            ),
+        )
+    )
+    partners = idx.select(
+        F.col("pos").alias("neg_pos"), F.col(id_col).alias("neg_" + id_col)
+    )
+    return cand.join(partners, "neg_pos").select(
+        id_col, "neg_rank", "neg_" + id_col
     )

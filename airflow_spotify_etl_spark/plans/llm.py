@@ -3240,6 +3240,51 @@ ORDER BY s.source
 """
 
 
+def q120_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-pair mining for contrastive training
+    (operators/sampling.contrastive_negatives): 4 reproducible partners
+    per document via the md5 ring offset over the epoch-shuffle dense
+    index — self-pairs impossible by arithmetic, no corpus cross-join,
+    one co-partitionable integer-key attach. The oracle replays the
+    whole chain (rank, hash, modular offset, join) exactly."""
+    from ..operators.sampling import contrastive_negatives
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contrastive_negatives(docs, k=4, seed="neg0").orderBy(
+        "doc_id", "neg_rank"
+    )
+
+
+_Q120_SQL = """
+WITH idx AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY md5('neg0:idx:' || doc_id::VARCHAR), doc_id
+         ) - 1 AS pos
+  FROM documents
+), n AS (
+  SELECT count(*) AS n_total FROM documents
+), cand AS (
+  SELECT i.doc_id, i.pos, n.n_total, j.j AS neg_rank,
+         ('0x' || substr(
+            md5('neg0:' || i.doc_id::VARCHAR || ':' || j.j::VARCHAR), 1, 8
+          ))::BIGINT AS h
+  FROM idx i
+  CROSS JOIN n
+  CROSS JOIN (SELECT unnest(range(1, 5)) AS j) j
+  WHERE n.n_total >= 2
+)
+SELECT c.doc_id, c.neg_rank, p.doc_id AS neg_doc_id
+FROM (
+  SELECT doc_id, neg_rank,
+         (pos + 1 + (h % (n_total - 1))) % n_total AS neg_pos
+  FROM cand
+) c
+JOIN idx p ON p.pos = c.neg_pos
+ORDER BY c.doc_id, c.neg_rank
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -3301,6 +3346,7 @@ QUERIES = {
     "q115_sparse_cosine_pairs": q115_sparse_cosine_pairs,
     "q117_bpe_merge_candidates": q117_bpe_merge_candidates,
     "q119_corpus_datasheet": q119_corpus_datasheet,
+    "q120_contrastive_negatives": q120_contrastive_negatives,
 }
 
 ORACLES = {
@@ -3364,4 +3410,5 @@ ORACLES = {
     "q115_sparse_cosine_pairs": _Q115_SQL,
     "q117_bpe_merge_candidates": _Q117_SQL,
     "q119_corpus_datasheet": _Q119_SQL,
+    "q120_contrastive_negatives": _Q120_SQL,
 }

@@ -132,6 +132,7 @@ HEADLINE = [
     "q117_bpe_merge_candidates",
     "q118_rate_anomalies",
     "q119_corpus_datasheet",
+    "q120_contrastive_negatives",
 ]
 
 

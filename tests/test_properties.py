@@ -299,3 +299,75 @@ def test_span_excise_conservation_and_determinism(spark, texts):
     assert {k: (v.n_removed, v.text_clean) for k, v in out.items()} == {
         k: (v.n_removed, v.text_clean) for k, v in again.items()
     }
+
+
+_corpora = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=30),
+    min_size=2,
+    max_size=12,
+)
+
+
+@_slow
+@given(texts=_corpora)
+def test_sparse_cosine_equals_numpy_reference(spark, texts):
+    """sparse_cosine_pairs (capped inverted index, join-free expansion,
+    integer dot/norms) == the obvious dense numpy count-vector cosine
+    on every random corpus — including all-space, repeated-shingle, and
+    sub-3-word docs."""
+    import numpy as np
+
+    from airflow_spotify_etl_spark.operators.dedup import sparse_cosine_pairs
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.dot, r.norm2_a, r.norm2_b)
+        for r in sparse_cosine_pairs(df, threshold=0.0, max_df=10**6).collect()
+    }
+
+    # reference: trigram count vectors, explicit dot/norms
+    def grams(t):
+        w = t.split(" ")
+        return [" ".join(w[i : i + 3]) for i in range(len(w) - 2)]
+
+    counts = {i: {} for i, _ in rows}
+    for i, t in rows:
+        for g in grams(t):
+            counts[i][g] = counts[i].get(g, 0) + 1
+    want = {}
+    ids = [i for i, _ in rows]
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = counts[ids[x]], counts[ids[y]]
+            dot = sum(a[g] * b.get(g, 0) for g in a)
+            if dot:  # pairs sharing no term never materialize
+                na = sum(v * v for v in a.values())
+                nb = sum(v * v for v in b.values())
+                want[(ids[x], ids[y])] = (dot, na, nb)
+    assert got == want
+
+
+@_slow
+@given(
+    n=st.integers(min_value=1, max_value=60),
+    seed=st.sampled_from(["s1", "s2", "s3"]),
+    bs=st.integers(min_value=1, max_value=16),
+)
+def test_epoch_shuffle_is_exact_md5_permutation(spark, n, seed, bs):
+    """The distributed bucket-offset rank must equal the naive global
+    md5 sort for every corpus size, seed, and batch size — positions
+    are a permutation of 0..n-1 and batches are contiguous cuts."""
+    import hashlib
+
+    from airflow_spotify_etl_spark.operators.layout import epoch_shuffle
+
+    df = spark.range(0, n).withColumnRenamed("id", "doc_id")
+    out = epoch_shuffle(df, seed=seed, batch_size=bs).collect()
+    want_order = sorted(
+        range(n), key=lambda i: hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+    )
+    got = sorted(out, key=lambda r: r.global_pos)
+    assert [r.doc_id for r in got] == want_order
+    assert [r.global_pos for r in got] == list(range(n))
+    assert all(r.batch_id == r.global_pos // bs for r in out)

@@ -55,3 +55,37 @@ def test_split_leakage_audit_flags(spark):
     assert rows[1] == (2, 1, 1, True)  # spans both splits
     assert rows[3] == (2, 2, 0, False)  # train-only
     assert rows[5] == (1, 0, 1, False)  # singleton val
+
+
+def test_contrastive_negatives_no_self_pairs_and_reproducible(spark):
+    from airflow_spotify_etl_spark.operators.sampling import (
+        contrastive_negatives,
+    )
+
+    df = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+    a = contrastive_negatives(df, k=4, seed="s").orderBy(
+        "doc_id", "neg_rank"
+    ).collect()
+    assert len(a) == 50 * 4
+    assert all(r.neg_doc_id != r.doc_id for r in a)  # ring offset: impossible
+    b = contrastive_negatives(df, k=4, seed="s").orderBy(
+        "doc_id", "neg_rank"
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    c = contrastive_negatives(df, k=4, seed="t").collect()
+    assert {(r.doc_id, r.neg_rank, r.neg_doc_id) for r in c} != {
+        (r.doc_id, r.neg_rank, r.neg_doc_id) for r in a
+    }
+
+
+def test_contrastive_negatives_degenerate_corpora(spark):
+    from airflow_spotify_etl_spark.operators.sampling import (
+        contrastive_negatives,
+    )
+
+    one = spark.range(0, 1).withColumnRenamed("id", "doc_id")
+    assert contrastive_negatives(one, k=3).count() == 0  # nobody to pair
+    two = spark.range(0, 2).withColumnRenamed("id", "doc_id")
+    out = contrastive_negatives(two, k=3).collect()
+    # N=2: every negative is the other doc, all k ranks present
+    assert len(out) == 6 and all(r.neg_doc_id == 1 - r.doc_id for r in out)
