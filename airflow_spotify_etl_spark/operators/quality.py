@@ -34,6 +34,7 @@ __all__ = [
     "check_referential",
     "integrity_audit",
     "rate_anomalies",
+    "rate_anomalies_hourly",
 ]
 
 
@@ -184,11 +185,24 @@ def rate_anomalies(
     decides anything, so the decision replays bit-for-bit in the SQL
     oracle (plans/relational.py q118). One aggregate exchange; all
     ``n_lags`` lag() calls share ONE window pass."""
-    from pyspark.sql import Window as W
-
     hourly = df.groupBy(
         type_col, F.date_trunc("hour", ts_col).alias("hour_ts")
     ).agg(F.count("*").alias("cnt"))
+    return rate_anomalies_hourly(hourly, type_col, factor, n_lags)
+
+
+def rate_anomalies_hourly(
+    hourly: DataFrame,
+    type_col: str = "event_type",
+    factor: int = 3,
+    n_lags: int = 8,
+) -> DataFrame:
+    """The flag core over a pre-aggregated (type, hour_ts, cnt) relation —
+    shared by the batch operator above and the streaming rate monitor
+    (streaming/rate_monitor.py), which maintains the hourly counts as a
+    mergeable store and recomputes flags from their sum."""
+    from pyspark.sql import Window as W
+
     w = W.partitionBy(type_col).orderBy("hour_ts")
     lags = [F.lag("cnt", j).over(w) for j in range(1, n_lags + 1)]
     weights = [1 << (n_lags - j) for j in range(1, n_lags + 1)]

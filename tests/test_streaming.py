@@ -780,3 +780,59 @@ def test_ann_index_maintenance_retry_is_idempotent(spark, tmp_path):
     _apply_index_batch(dup, idx, cents, books, 0, "embedding", "vec_id", "hof")
     again = sorted(tuple(r) for r in spark.read.parquet(idx).collect())
     assert again == first
+
+
+def test_rate_monitor_equals_batch_operator(spark, tmp_path):
+    """Two drains (an hour SPLIT across batches, plus a spike hour) must
+    produce exactly the batch q118 flags on the union — partial hourly
+    counts merge by addition; retrying a batch never double-counts."""
+    import datetime as dt
+
+    from airflow_spotify_etl_spark.operators.quality import rate_anomalies
+    from airflow_spotify_etl_spark.streaming.rate_monitor import (
+        _apply_rate_batch,
+        read_rate_flags,
+        run_rate_monitor,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows1, rows2, eid = [], [], 0
+    for h in range(9):
+        for i in range(10):
+            # hour h split: 6 events in batch 1, 4 in batch 2
+            (rows1 if i < 6 else rows2).append(
+                (eid, base + dt.timedelta(hours=h), "click")
+            )
+            eid += 1
+    for _ in range(120):  # spike hour arrives entirely in batch 2
+        rows2.append((eid, base + dt.timedelta(hours=9), "click"))
+        eid += 1
+    schema = "event_id long, ts timestamp, event_type string"
+    src = str(tmp_path / "ev_src")
+    store = str(tmp_path / "rate_store")
+    ckpt = str(tmp_path / "rate_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        run_rate_monitor(spark, stream, store, ckpt)
+
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    got = sorted(
+        tuple(r) for r in read_rate_flags(spark, store).collect()
+    )
+    want_df = rate_anomalies(
+        spark.createDataFrame(rows1 + rows2, schema)
+    )
+    want = sorted(tuple(r) for r in want_df.collect())
+    assert got == want
+    assert any(r.is_anomaly for r in read_rate_flags(spark, store).collect())
+
+    # at-least-once retry: re-apply batch 1's content under its id
+    b1 = spark.createDataFrame(rows1, schema)
+    _apply_rate_batch(b1, store, 0, "ts", "event_type")
+    again = sorted(tuple(r) for r in read_rate_flags(spark, store).collect())
+    assert again == want
