@@ -35,6 +35,7 @@ __all__ = [
     "scd2_apply_delta",
     "snapshot_diff",
     "gap_fill_hourly",
+    "stats_drift",
 ]
 
 
@@ -282,4 +283,95 @@ def gap_fill_hourly(
         "hour_ts",
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.round(F.last("_avg", ignorenulls=True).over(w), 4).alias("avg_value_locf"),
+    )
+
+
+def stats_drift(
+    old: DataFrame,
+    new: DataFrame,
+    columns: list[str],
+    null_delta_pct: int = 1,
+    distinct_ratio_bound: int = 2,
+) -> DataFrame:
+    """Column-stats drift report between two snapshots of a table — the
+    check a pipeline runs before promoting today's partition: per
+    column, row/null/distinct counts on both sides, the null-rate delta,
+    the distinct-count ratio, and two drift flags. Catches silent
+    upstream breakage (a field going NULL, an enum collapsing, an id
+    column exploding) that schema equality alone never sees.
+
+    Both flags are CROSS-MULTIPLIED integer comparisons —
+    ``|nulls_new·n_old − nulls_old·n_new|·100 > null_delta_pct·n_old·n_new``
+    and ``distinct_new·bound < distinct_old`` (or symmetric) — so no
+    float division decides a flag and the whole report replays exactly
+    in the SQL oracle (plans/relational.py q121). The reported ratio
+    columns are single divisions of those exact integers, rounded.
+
+    Scale shape: ONE aggregate pass per side (all columns' counts in a
+    single fused Aggregate over the scan — the quality_report
+    discipline), a stack() unpivot of the resulting 1-row relation, and
+    a column-name join of two ``len(columns)``-row relations. Cost is
+    two scans regardless of column count."""
+    cols = list(columns)
+
+    def prof(df: DataFrame) -> DataFrame:
+        aggs = [F.count("*").alias("n")]
+        for c in cols:
+            aggs.append(F.count(c).alias(f"nn_{c}"))
+            aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+        row = df.agg(*aggs)
+        stack = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in cols)
+        return row.selectExpr(
+            "n",
+            f"stack({len(cols)}, {stack}) AS (column, n_nonnull, n_distinct)",
+        )
+
+    o = prof(old).select(
+        "column",
+        F.col("n").alias("n_old"),
+        (F.col("n") - F.col("n_nonnull")).alias("nulls_old"),
+        F.col("n_distinct").alias("distinct_old"),
+    )
+    nw = prof(new).select(
+        "column",
+        F.col("n").alias("n_new"),
+        (F.col("n") - F.col("n_nonnull")).alias("nulls_new"),
+        F.col("n_distinct").alias("distinct_new"),
+    )
+    j = o.join(nw, "column")
+    null_drift = (
+        F.abs(
+            F.col("nulls_new") * F.col("n_old")
+            - F.col("nulls_old") * F.col("n_new")
+        )
+        * 100
+        > int(null_delta_pct) * F.col("n_old") * F.col("n_new")
+    )
+    b = int(distinct_ratio_bound)
+    distinct_drift = (
+        F.col("distinct_new") * b < F.col("distinct_old")
+    ) | (F.col("distinct_new") > b * F.col("distinct_old"))
+    return j.select(
+        "column",
+        "n_old",
+        "n_new",
+        "nulls_old",
+        "nulls_new",
+        "distinct_old",
+        "distinct_new",
+        F.round(
+            F.col("nulls_new").cast("double") / F.col("n_new").cast("double")
+            - F.col("nulls_old").cast("double") / F.col("n_old").cast("double"),
+            6,
+        ).alias("null_rate_delta"),
+        F.when(
+            F.col("distinct_old") > 0,
+            F.round(
+                F.col("distinct_new").cast("double")
+                / F.col("distinct_old").cast("double"),
+                4,
+            ),
+        ).alias("distinct_ratio"),
+        null_drift.alias("null_drift"),
+        distinct_drift.alias("distinct_drift"),
     )

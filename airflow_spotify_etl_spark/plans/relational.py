@@ -2222,6 +2222,73 @@ ORDER BY event_type, hour_ts
 """
 
 
+def q121_stats_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-stats drift between two snapshot windows of the events
+    table (operators/incremental.stats_drift): the first half of the
+    month as "yesterday", the second as "today". Per column —
+    row/null/distinct counts, null-rate delta, distinct ratio, and
+    cross-multiplied integer drift flags (no float division decides a
+    flag). One fused aggregate per side; both time filters reach the
+    parquet scan."""
+    from ..operators.incremental import stats_drift
+
+    ev = _t(spark, sf_dir, "events")
+    cut = "2024-01-16 00:00:00"
+    old = ev.filter(F.col("ts") < cut)
+    new = ev.filter(F.col("ts") >= cut)
+    return stats_drift(
+        old, new, ["event_type", "user_id", "value", "props"]
+    ).orderBy("column")
+
+
+_Q121_SQL = """
+WITH o AS (
+  SELECT count(*) AS n,
+         count(event_type) AS nn_event_type,
+         count(DISTINCT event_type) AS nd_event_type,
+         count(user_id) AS nn_user_id,
+         count(DISTINCT user_id) AS nd_user_id,
+         count(value) AS nn_value, count(DISTINCT value) AS nd_value,
+         count(props) AS nn_props, count(DISTINCT props) AS nd_props
+  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+), nw AS (
+  SELECT count(*) AS n,
+         count(event_type) AS nn_event_type,
+         count(DISTINCT event_type) AS nd_event_type,
+         count(user_id) AS nn_user_id,
+         count(DISTINCT user_id) AS nd_user_id,
+         count(value) AS nn_value, count(DISTINCT value) AS nd_value,
+         count(props) AS nn_props, count(DISTINCT props) AS nd_props
+  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+), ou AS (
+  SELECT 'event_type' AS column, n, nn_event_type AS nn, nd_event_type AS nd FROM o
+  UNION ALL SELECT 'user_id', n, nn_user_id, nd_user_id FROM o
+  UNION ALL SELECT 'value', n, nn_value, nd_value FROM o
+  UNION ALL SELECT 'props', n, nn_props, nd_props FROM o
+), nu AS (
+  SELECT 'event_type' AS column, n, nn_event_type AS nn, nd_event_type AS nd FROM nw
+  UNION ALL SELECT 'user_id', n, nn_user_id, nd_user_id FROM nw
+  UNION ALL SELECT 'value', n, nn_value, nd_value FROM nw
+  UNION ALL SELECT 'props', n, nn_props, nd_props FROM nw
+)
+SELECT ou.column,
+       ou.n AS n_old, nu.n AS n_new,
+       ou.n - ou.nn AS nulls_old, nu.n - nu.nn AS nulls_new,
+       ou.nd AS distinct_old, nu.nd AS distinct_new,
+       round(CAST(nu.n - nu.nn AS DOUBLE) / CAST(nu.n AS DOUBLE)
+             - CAST(ou.n - ou.nn AS DOUBLE) / CAST(ou.n AS DOUBLE), 6)
+         AS null_rate_delta,
+       CASE WHEN ou.nd > 0
+            THEN round(CAST(nu.nd AS DOUBLE) / CAST(ou.nd AS DOUBLE), 4)
+       END AS distinct_ratio,
+       (abs((nu.n - nu.nn) * ou.n - (ou.n - ou.nn) * nu.n) * 100
+          > 1 * ou.n * nu.n) AS null_drift,
+       (nu.nd * 2 < ou.nd OR nu.nd > 2 * ou.nd) AS distinct_drift
+FROM ou JOIN nu ON nu.column = ou.column
+ORDER BY ou.column
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -2272,6 +2339,7 @@ QUERIES = {
     "q114_skew_report": q114_skew_report,
     "q116_epoch_shuffle": q116_epoch_shuffle,
     "q118_rate_anomalies": q118_rate_anomalies,
+    "q121_stats_drift": q121_stats_drift,
 }
 
 ORACLES = {
@@ -2324,4 +2392,5 @@ ORACLES = {
     "q114_skew_report": _Q114_SQL,
     "q116_epoch_shuffle": _Q116_SQL,
     "q118_rate_anomalies": _Q118_SQL,
+    "q121_stats_drift": _Q121_SQL,
 }

@@ -133,6 +133,7 @@ HEADLINE = [
     "q118_rate_anomalies",
     "q119_corpus_datasheet",
     "q120_contrastive_negatives",
+    "q121_stats_drift",
 ]
 
 

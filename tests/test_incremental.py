@@ -351,3 +351,38 @@ def test_merge_upsert_no_broadcast_path(spark):
     a = sorted(merge_upsert(base, delta, ["k"]).collect())
     b = sorted(merge_upsert(base, delta, ["k"], broadcast_delta=False).collect())
     assert a == b
+
+
+def test_stats_drift_flags_planted_breakage(spark):
+    """A field going NULL and an enum collapsing are flagged; a stable
+    column is not; all flag decisions are integer cross-multiplies."""
+    from airflow_spotify_etl_spark.operators.incremental import stats_drift
+
+    old_rows = [(i, f"e{i % 5}", float(i)) for i in range(100)]
+    # new: 'etype' collapses to ONE value, 'val' goes 50% NULL, id stable
+    new_rows = [
+        (i, "e0", float(i) if i % 2 == 0 else None) for i in range(100)
+    ]
+    schema = "id long, etype string, val double"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    out = {r.column: r for r in stats_drift(old, new, ["etype", "val", "id"]).collect()}
+    assert out["etype"].distinct_drift and not out["etype"].null_drift
+    assert out["etype"].distinct_ratio == 0.2
+    assert out["val"].null_drift and out["val"].null_rate_delta == 0.5
+    assert not out["id"].null_drift and not out["id"].distinct_drift
+    assert out["id"].distinct_ratio == 1.0
+
+
+def test_stats_drift_single_fused_aggregate_per_side(spark):
+    """All columns' counts must come from ONE aggregate over each scan
+    (the quality_report discipline) — column count must not multiply
+    scans."""
+    from airflow_spotify_etl_spark.operators.incremental import stats_drift
+
+    df = spark.range(0, 50).select(
+        F.col("id"), (F.col("id") % 3).alias("a"), (F.col("id") % 7).alias("b")
+    )
+    plan = stats_drift(df, df, ["a", "b", "id"])._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    assert plan.count("Relation") <= 2, plan  # one scan per side, no more
