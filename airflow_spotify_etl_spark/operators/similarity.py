@@ -44,6 +44,7 @@ __all__ = [
     "write_ann_index",
     "search_ann_index",
     "quantize_int8",
+    "embedding_drift",
 ]
 
 _SEED = 42
@@ -957,4 +958,88 @@ def quantize_int8(
                 F.when(F.col("scale") > 0, cos).otherwise(F.lit(1.0)), 6
             ).alias("cos_recon"),
         )
+    )
+
+
+def embedding_drift(
+    old: DataFrame,
+    new: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 10_000,
+    min_cosine: float = 0.98,
+) -> DataFrame:
+    """Per-label embedding-centroid drift between two snapshots — the
+    monitor a pipeline runs when the upstream encoder changes or a
+    source shifts: cosine between the old and new per-label centroids
+    plus the L2 of the mean shift, with a drift flag.
+
+    Order-independence: a float sum ACROSS rows depends on aggregation
+    order (the one nondeterminism Catalyst is allowed), so components
+    are first quantized to integers (round(x·scale)) and the per-dim
+    sums are EXACT bigints — any aggregation order gives the same sum.
+    Cosine needs no /n (scale and count cancel), and every sum, product
+    and fold stays under 2^53 for |x| ≤ ~3, ≤ ~10^5 rows/label at
+    scale=10^4 — lower ``scale`` when per-label counts grow beyond
+    that (quantization error 1/scale per component trades off against
+    the exact-integer budget). The only floats are the final
+    per-label cosine/L2 folds over the 64 aggregated sums, evaluated in
+    array order on both engines — bit-identical in the SQL oracle
+    (q122).
+
+    Shape: one narrow posexplode per side, (label, dim) integer
+    aggregate with map-side combine, label-sized reassembly, a
+    label-count join, and one tiny label⋈label join. Corpus vectors
+    never shuffle — only (label, dim, bigint) rows do."""
+
+    def centroid_sums(df: DataFrame) -> DataFrame:
+        q = df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(_as_double(vec_col)).alias("dim", "x"),
+        ).select(
+            "label",
+            "dim",
+            F.round(F.col("x") * int(scale)).cast("long").alias("q"),
+        )
+        sums = q.groupBy("label", "dim").agg(F.sum("q").alias("s"))
+        vec = sums.groupBy("label").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                lambda st: st["s"].cast("double"),
+            ).alias("svec")
+        )
+        n = df.groupBy(F.col(label_col).alias("label")).agg(
+            F.count("*").alias("n")
+        )
+        return vec.join(n, "label")
+
+    o = centroid_sums(old).select(
+        "label", F.col("svec").alias("so"), F.col("n").alias("n_old")
+    )
+    nw = centroid_sums(new).select(
+        "label", F.col("svec").alias("sn"), F.col("n").alias("n_new")
+    )
+    j = o.join(nw, "label")
+    cos = F.round(
+        _dot(F.col("so"), F.col("sn"))
+        / (_norm(F.col("so")) * _norm(F.col("sn"))),
+        6,
+    )
+    mean_diff = F.zip_with(
+        F.col("sn"),
+        F.col("so"),
+        lambda a, b: (
+            a / F.col("n_new").cast("double")
+            - b / F.col("n_old").cast("double")
+        )
+        / F.lit(float(scale)),
+    )
+    l2 = F.round(F.sqrt(_dot(mean_diff, mean_diff)), 6)
+    return j.select(
+        "label",
+        "n_old",
+        "n_new",
+        cos.alias("centroid_cosine"),
+        l2.alias("mean_shift_l2"),
+        (cos < float(min_cosine)).alias("drift"),
     )

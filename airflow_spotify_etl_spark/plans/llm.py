@@ -3285,6 +3285,64 @@ ORDER BY c.doc_id, c.neg_rank
 """
 
 
+def q122_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-centroid drift between two snapshot halves of
+    the embeddings table (operators/similarity.embedding_drift):
+    components quantize to integers so the per-dim sums are exact
+    bigints under ANY aggregation order — the float-sum-across-rows
+    hazard is designed out — and the only floats are the final
+    per-label folds over 64 aggregated sums, bit-identical in SQL."""
+    from ..operators.similarity import embedding_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") < 250)
+    new = emb.filter(F.col("vec_id") >= 250)
+    return embedding_drift(old, new).orderBy("label")
+
+
+_Q122_SQL = """
+WITH q AS (
+  SELECT label, j.j AS dim,
+         CAST(round(embedding[j.j + 1]::DOUBLE * 10000) AS BIGINT) AS q,
+         (vec_id < 250) AS is_old
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j
+), sums AS (
+  SELECT label, is_old, dim, CAST(sum(q) AS BIGINT) AS s
+  FROM q GROUP BY 1, 2, 3
+), vecs AS (
+  SELECT label, is_old,
+         list_transform(list(s ORDER BY dim), v -> v::DOUBLE) AS svec
+  FROM sums GROUP BY 1, 2
+), counts AS (
+  SELECT label, (vec_id < 250) AS is_old, count(*) AS n
+  FROM embeddings GROUP BY 1, 2
+), sides AS (
+  SELECT v.label, v.is_old, v.svec, c.n
+  FROM vecs v JOIN counts c ON c.label = v.label AND c.is_old = v.is_old
+), j AS (
+  SELECT o.label, o.svec AS so, o.n AS n_old, nw.svec AS sn, nw.n AS n_new
+  FROM sides o JOIN sides nw
+    ON nw.label = o.label AND o.is_old AND NOT nw.is_old
+), m AS (
+  SELECT label, n_old, n_new,
+         round(list_dot_product(so, sn)
+               / (sqrt(list_dot_product(so, so))
+                  * sqrt(list_dot_product(sn, sn))), 6) AS centroid_cosine,
+         list_transform(list_zip(sn, so),
+                        p -> (p[1] / CAST(n_new AS DOUBLE)
+                              - p[2] / CAST(n_old AS DOUBLE)) / 10000.0)
+           AS md
+  FROM j
+)
+SELECT label, n_old, n_new, centroid_cosine,
+       round(sqrt(list_dot_product(md, md)), 6) AS mean_shift_l2,
+       (centroid_cosine < 0.98) AS drift
+FROM m
+ORDER BY label
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -3347,6 +3405,7 @@ QUERIES = {
     "q117_bpe_merge_candidates": q117_bpe_merge_candidates,
     "q119_corpus_datasheet": q119_corpus_datasheet,
     "q120_contrastive_negatives": q120_contrastive_negatives,
+    "q122_embedding_drift": q122_embedding_drift,
 }
 
 ORACLES = {
@@ -3411,4 +3470,5 @@ ORACLES = {
     "q117_bpe_merge_candidates": _Q117_SQL,
     "q119_corpus_datasheet": _Q119_SQL,
     "q120_contrastive_negatives": _Q120_SQL,
+    "q122_embedding_drift": _Q122_SQL,
 }

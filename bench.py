@@ -134,6 +134,7 @@ HEADLINE = [
     "q119_corpus_datasheet",
     "q120_contrastive_negatives",
     "q121_stats_drift",
+    "q122_embedding_drift",
 ]
 
 

@@ -463,3 +463,54 @@ def test_sq8_search_recall_high(spark, sf_dir):
     assert len(rows) == 5
     assert all(r.n_overlap_at_5 >= 4 for r in rows)
     assert all(len(r.sq8_top5.split(",")) == 5 for r in rows)
+
+
+def test_embedding_drift_identical_and_shifted_snapshots(spark):
+    """Identical snapshots: cosine 1, shift 0, no drift. A label whose
+    vectors flip direction in the new snapshot: cosine -1, flagged."""
+    from airflow_spotify_etl_spark.operators.similarity import embedding_drift
+
+    base = [
+        (i, [1.0, 0.0, 0.0, 2.0], 0) for i in range(10)
+    ] + [
+        (100 + i, [0.0, 3.0, 1.0, 0.0], 1) for i in range(8)
+    ]
+    schema = "vec_id long, embedding array<float>, label int"
+    old = spark.createDataFrame(base, schema)
+    same = {r.label: r for r in embedding_drift(old, old).collect()}
+    assert all(r.centroid_cosine == 1.0 for r in same.values())
+    assert all(r.mean_shift_l2 == 0.0 for r in same.values())
+    assert not any(r.drift for r in same.values())
+
+    flipped = [
+        (i, [-1.0, 0.0, 0.0, -2.0], 0) for i in range(10)
+    ] + [
+        (100 + i, [0.0, 3.0, 1.0, 0.0], 1) for i in range(8)
+    ]
+    new = spark.createDataFrame(flipped, schema)
+    out = {r.label: r for r in embedding_drift(old, new).collect()}
+    assert out[0].centroid_cosine == -1.0 and out[0].drift
+    assert out[1].centroid_cosine == 1.0 and not out[1].drift
+    # label 0 flipped: mean shift = 2*|mean| = 2*sqrt(1+4)
+    import math
+
+    assert abs(out[0].mean_shift_l2 - 2 * math.sqrt(5)) < 1e-4
+
+
+def test_embedding_drift_is_aggregation_order_independent(spark):
+    """The quantized integer sums make the centroid exact under any
+    partitioning: 1-partition and 16-partition runs agree bit-for-bit."""
+    from airflow_spotify_etl_spark.operators.similarity import embedding_drift
+    from airflow_spotify_etl_spark.sources.files import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    old = emb.filter(F.col("vec_id") < 250)
+    new = emb.filter(F.col("vec_id") >= 250)
+    a = sorted(tuple(r) for r in embedding_drift(old, new).collect())
+    b = sorted(
+        tuple(r)
+        for r in embedding_drift(
+            old.repartition(16), new.repartition(16)
+        ).collect()
+    )
+    assert a == b
