@@ -3343,6 +3343,60 @@ ORDER BY label
 """
 
 
+def q123_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the documents table's quasi-identifiers
+    (lang, source, length bucket) — the governance check a release
+    pipeline runs before publishing: per equivalence class, its size;
+    flagged when below k=5 (those rows are re-identifiable by their
+    quasi-identifier combination alone and need suppression or
+    generalization). One grouped count on a bounded composite key plus
+    a 1-row summary join giving the table's anonymity level (the min
+    class size — the k the release actually provides). All integers;
+    the audit replays exactly in SQL.
+
+    At 100 TB this is one map-side-combinable count on a low-cardinality
+    key — audit cost is scan-bound, and the flagged classes (the only
+    rows a human reviews) are bounded by the QI space, not the data."""
+    docs = load_table(spark, sf_dir, "documents")
+    qi = docs.select(
+        "lang",
+        "source",
+        (F.floor(F.col("n_chars") / 100) * 100).alias("len_bucket"),
+    )
+    classes = qi.groupBy("lang", "source", "len_bucket").agg(
+        F.count("*").alias("class_size")
+    )
+    level = classes.agg(F.min("class_size").alias("anonymity_level"))
+    return (
+        classes.crossJoin(F.broadcast(level))
+        .select(
+            "lang",
+            "source",
+            "len_bucket",
+            "class_size",
+            (F.col("class_size") < 5).alias("below_k"),
+            "anonymity_level",
+        )
+        .orderBy("lang", "source", "len_bucket")
+    )
+
+
+_Q123_SQL = """
+WITH classes AS (
+  SELECT lang, source,
+         CAST(floor(n_chars / 100) * 100 AS BIGINT) AS len_bucket,
+         count(*) AS class_size
+  FROM documents GROUP BY 1, 2, 3
+), level AS (
+  SELECT min(class_size) AS anonymity_level FROM classes
+)
+SELECT lang, source, len_bucket, class_size,
+       (class_size < 5) AS below_k, anonymity_level
+FROM classes CROSS JOIN level
+ORDER BY lang, source, len_bucket
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -3406,6 +3460,7 @@ QUERIES = {
     "q119_corpus_datasheet": q119_corpus_datasheet,
     "q120_contrastive_negatives": q120_contrastive_negatives,
     "q122_embedding_drift": q122_embedding_drift,
+    "q123_k_anonymity": q123_k_anonymity,
 }
 
 ORACLES = {
@@ -3471,4 +3526,5 @@ ORACLES = {
     "q119_corpus_datasheet": _Q119_SQL,
     "q120_contrastive_negatives": _Q120_SQL,
     "q122_embedding_drift": _Q122_SQL,
+    "q123_k_anonymity": _Q123_SQL,
 }

@@ -135,6 +135,7 @@ HEADLINE = [
     "q120_contrastive_negatives",
     "q121_stats_drift",
     "q122_embedding_drift",
+    "q123_k_anonymity",
 ]
 
 

@@ -166,3 +166,32 @@ def test_rate_anomalies_shrinking_head_baseline(spark):
     h1 = out["2024-01-01 01:00:00"]
     assert h1.baseline_den == 128 and h1.baseline_num == 10 * 128
     assert h1.is_anomaly  # 40 > 3 x 10
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    """Planted quasi-identifier classes: the singleton is flagged, the
+    big class is not, and the table-level anonymity equals the smallest
+    class size."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, "en", "s1", 150) for i in range(10)]
+    rows += [(100, "fr", "s2", 950)]  # a singleton QI class
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long"
+    )
+    qi = df.select(
+        "lang", "source", (F.floor(F.col("n_chars") / 100) * 100).alias("len_bucket")
+    )
+    classes = qi.groupBy("lang", "source", "len_bucket").agg(
+        F.count("*").alias("class_size")
+    )
+    level = classes.agg(F.min("class_size").alias("anonymity_level"))
+    out = {
+        (r.lang, r.source): r
+        for r in classes.crossJoin(F.broadcast(level))
+        .withColumn("below_k", F.col("class_size") < 5)
+        .collect()
+    }
+    assert out[("fr", "s2")].below_k and out[("fr", "s2")].class_size == 1
+    assert not out[("en", "s1")].below_k
+    assert out[("en", "s1")].anonymity_level == 1
