@@ -836,3 +836,57 @@ def test_rate_monitor_equals_batch_operator(spark, tmp_path):
     _apply_rate_batch(b1, store, 0, "ts", "event_type")
     again = sorted(tuple(r) for r in read_rate_flags(spark, store).collect())
     assert again == want
+
+
+def test_datasheet_maintenance_equals_batch_q119(spark, tmp_path):
+    """Two drains (cross-batch duplicate texts, a new lang arriving
+    late) must reproduce the batch q119 datasheet on the union exactly
+    — the (source, lang, hash) partials merge by addition and the
+    distinct counts stay exact; a batch retry changes nothing."""
+    import airflow_spotify_etl_spark.plans.llm as llm
+    from airflow_spotify_etl_spark.streaming.datasheet import (
+        _apply_datasheet_batch,
+        read_datasheet,
+        run_datasheet_maintenance,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    rows1 = [
+        (1, "a b c", "en", "s1", 5),
+        (2, "x y", "fr", "s1", 3),
+        (3, "p q r", "en", "s2", 5),
+    ]
+    rows2 = [
+        (10, "a b c", "en", "s1", 5),   # cross-batch duplicate text
+        (11, "neu text", "de", "s2", 8),  # new lang arrives late
+    ]
+    src = str(tmp_path / "doc_src")
+    store = str(tmp_path / "ds_store")
+    ckpt = str(tmp_path / "ds_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        run_datasheet_maintenance(spark, stream, store, ckpt)
+
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    got = sorted(tuple(r) for r in read_datasheet(spark, store).collect())
+
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows1 + rows2, schema).write.parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        want = sorted(
+            tuple(r) for r in llm.q119_corpus_datasheet(spark, td).collect()
+        )
+    assert got == want
+
+    # retry batch 0 with identical content: datasheet unchanged
+    _apply_datasheet_batch(spark.createDataFrame(rows1, schema), store, 0)
+    again = sorted(tuple(r) for r in read_datasheet(spark, store).collect())
+    assert again == want
