@@ -2289,6 +2289,61 @@ ORDER BY ou.column
 """
 
 
+def q124_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) through the SQL surface — the
+    second pure-`spark.sql` entry after q74's Q6, exercising the
+    front-end on a 3-table join + grouped aggregate + top-k: segment
+    filter on customer, date split across orders/lineitem, revenue in
+    DECIMAL (exact, order-independent), deterministic top-10
+    (revenue desc, orderdate, orderkey). Catalyst gets the classic Q3
+    plan for free: both date predicates and the segment filter pushed
+    into their scans, customer broadcast, the grouped sum partial
+    before the final exchange."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                 AS revenue,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate,
+               o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < '1995-03-15'
+          AND l_shipdate > '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+        """
+    )
+
+
+_Q124_SQL = """
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -2340,6 +2395,7 @@ QUERIES = {
     "q116_epoch_shuffle": q116_epoch_shuffle,
     "q118_rate_anomalies": q118_rate_anomalies,
     "q121_stats_drift": q121_stats_drift,
+    "q124_sql_shipping_priority": q124_sql_shipping_priority,
 }
 
 ORACLES = {
@@ -2393,4 +2449,5 @@ ORACLES = {
     "q116_epoch_shuffle": _Q116_SQL,
     "q118_rate_anomalies": _Q118_SQL,
     "q121_stats_drift": _Q121_SQL,
+    "q124_sql_shipping_priority": _Q124_SQL,
 }

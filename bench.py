@@ -136,6 +136,7 @@ HEADLINE = [
     "q121_stats_drift",
     "q122_embedding_drift",
     "q123_k_anonymity",
+    "q124_sql_shipping_priority",
 ]
 
 

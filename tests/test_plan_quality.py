@@ -305,3 +305,16 @@ def test_q115_sparse_cosine_candidates_join_free_and_narrow(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange" in ln:
             assert "text" not in ln, ln
+
+
+def test_q124_tpch_q3_plan_shape(spark, sf_dir, qs):
+    """TPC-H Q3 through the SQL front-end must get the classic plan:
+    the segment filter and BOTH date predicates pushed into their
+    parquet scans, the customer side broadcast, and a partial
+    aggregate before the final grouped exchange."""
+    plan = _final_plan(qs["q124_sql_shipping_priority"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    text = "\n".join(pushed)
+    assert "c_mktsegment" in text and "o_orderdate" in text and "l_shipdate" in text, text
+    assert "partial_sum" in plan or "partial" in plan.lower(), plan
