@@ -2344,6 +2344,58 @@ LIMIT 10
 """
 
 
+def q125_sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting) through the SQL surface: the
+    4-table join (customer ⋈ orders ⋈ lineitem ⋈ nation) ranking
+    customers by revenue lost to returns in a quarter. DECIMAL-exact
+    revenue; deterministic top-20. The plan Catalyst derives is the Q10
+    textbook shape: quarter + returnflag predicates pushed, small dims
+    broadcast, one grouped exchange."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders", "lineitem", "nation"])
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                 AS revenue,
+               CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+               n_name
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1995-04-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """
+    )
+
+
+_Q125_SQL = """
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS revenue,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+       n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -2396,6 +2448,7 @@ QUERIES = {
     "q118_rate_anomalies": q118_rate_anomalies,
     "q121_stats_drift": q121_stats_drift,
     "q124_sql_shipping_priority": q124_sql_shipping_priority,
+    "q125_sql_returned_items": q125_sql_returned_items,
 }
 
 ORACLES = {
@@ -2450,4 +2503,5 @@ ORACLES = {
     "q118_rate_anomalies": _Q118_SQL,
     "q121_stats_drift": _Q121_SQL,
     "q124_sql_shipping_priority": _Q124_SQL,
+    "q125_sql_returned_items": _Q125_SQL,
 }

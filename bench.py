@@ -137,6 +137,7 @@ HEADLINE = [
     "q122_embedding_drift",
     "q123_k_anonymity",
     "q124_sql_shipping_priority",
+    "q125_sql_returned_items",
 ]
 
 
