@@ -2396,6 +2396,58 @@ LIMIT 20
 """
 
 
+def q126_sql_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers) through the SQL surface: the
+    IN-(grouped-HAVING-subquery) shape — orders whose total lineitem
+    quantity clears a threshold, joined back to customers. Exercises
+    Catalyst's subquery planning: the HAVING subquery becomes a grouped
+    aggregate + semi-join, not a per-row re-execution. Quantities are
+    summed in DECIMAL(18,2) so the threshold comparison and the output
+    are exact; deterministic order by (qty desc, orderkey)."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql(
+        """
+        SELECT c_name, c_custkey, o_orderkey,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+        )
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY total_qty DESC, o_orderkey
+        LIMIT 20
+        """
+    )
+
+
+_Q126_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -2449,6 +2501,7 @@ QUERIES = {
     "q121_stats_drift": q121_stats_drift,
     "q124_sql_shipping_priority": q124_sql_shipping_priority,
     "q125_sql_returned_items": q125_sql_returned_items,
+    "q126_sql_large_volume_customers": q126_sql_large_volume_customers,
 }
 
 ORACLES = {
@@ -2504,4 +2557,5 @@ ORACLES = {
     "q121_stats_drift": _Q121_SQL,
     "q124_sql_shipping_priority": _Q124_SQL,
     "q125_sql_returned_items": _Q125_SQL,
+    "q126_sql_large_volume_customers": _Q126_SQL,
 }

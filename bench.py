@@ -138,6 +138,7 @@ HEADLINE = [
     "q123_k_anonymity",
     "q124_sql_shipping_priority",
     "q125_sql_returned_items",
+    "q126_sql_large_volume_customers",
 ]
 
 
