@@ -2448,6 +2448,48 @@ LIMIT 20
 """
 
 
+def q127_salted_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed fact⋈dim enrichment through the EXPLICIT salting path
+    (operators/layout.salted_join): events scatter over 8 sub-keys, the
+    customer dim replicates 8×, the join runs on (key, salt) — the
+    plan a pipeline switches to when q114's skew report flags a hot key
+    beyond AQE's split threshold. The oracle is the PLAIN join +
+    rollup: a green hash proves salting is correctness-neutral
+    (identical result set, different physical distribution) — the
+    claim that makes the operator safe to drop into any hot join."""
+    from ..operators.layout import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    j = salted_join(ev, cust, key="user_id", n_salts=8)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(_dec("value")).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_Q127_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -2502,6 +2544,7 @@ QUERIES = {
     "q124_sql_shipping_priority": q124_sql_shipping_priority,
     "q125_sql_returned_items": q125_sql_returned_items,
     "q126_sql_large_volume_customers": q126_sql_large_volume_customers,
+    "q127_salted_enrichment": q127_salted_enrichment,
 }
 
 ORACLES = {
@@ -2558,4 +2601,5 @@ ORACLES = {
     "q124_sql_shipping_priority": _Q124_SQL,
     "q125_sql_returned_items": _Q125_SQL,
     "q126_sql_large_volume_customers": _Q126_SQL,
+    "q127_salted_enrichment": _Q127_SQL,
 }

@@ -139,6 +139,7 @@ HEADLINE = [
     "q124_sql_shipping_priority",
     "q125_sql_returned_items",
     "q126_sql_large_volume_customers",
+    "q127_salted_enrichment",
 ]
 
 
