@@ -2490,6 +2490,32 @@ ORDER BY c_mktsegment
 """
 
 
+def q128_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type distinct-user counts through the SALTED two-phase
+    path (operators/layout.salted_count_distinct): dedup inside
+    (type, hash(user) % 32) buckets, then sum the per-bucket distincts
+    — the plan a pipeline switches to when one group key owns most of
+    the table and plain countDistinct melts its single reducer. The
+    oracle is the plain COUNT(DISTINCT): a green hash proves the
+    salted decomposition is exact (each distinct value lands in exactly
+    one bucket), not an approximation."""
+    from ..operators.layout import salted_count_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_count_distinct(
+        ev, ["event_type"], "user_id", n_salts=32
+    ).orderBy("event_type")
+
+
+_Q128_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_distinct_user_id
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -2545,6 +2571,7 @@ QUERIES = {
     "q125_sql_returned_items": q125_sql_returned_items,
     "q126_sql_large_volume_customers": q126_sql_large_volume_customers,
     "q127_salted_enrichment": q127_salted_enrichment,
+    "q128_salted_distinct_users": q128_salted_distinct_users,
 }
 
 ORACLES = {
@@ -2602,4 +2629,5 @@ ORACLES = {
     "q125_sql_returned_items": _Q125_SQL,
     "q126_sql_large_volume_customers": _Q126_SQL,
     "q127_salted_enrichment": _Q127_SQL,
+    "q128_salted_distinct_users": _Q128_SQL,
 }

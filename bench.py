@@ -140,6 +140,7 @@ HEADLINE = [
     "q125_sql_returned_items",
     "q126_sql_large_volume_customers",
     "q127_salted_enrichment",
+    "q128_salted_distinct_users",
 ]
 
 
