@@ -32,6 +32,7 @@ __all__ = [
     "salted_join",
     "skew_report",
     "epoch_shuffle",
+    "range_boundaries",
 ]
 
 
@@ -349,4 +350,46 @@ def epoch_shuffle(
             "batch_id", F.floor(F.col("global_pos") / int(batch_size))
         )
         .select(id_col, "shuffle_key", "global_pos", "batch_id")
+    )
+
+
+def range_boundaries(
+    df: DataFrame, col: str, n_buckets: int = 8
+) -> DataFrame:
+    """Equi-depth range-boundary planner: the exact quantile boundaries
+    that split ``col`` into ``n_buckets`` near-equal buckets, with the
+    realized per-bucket counts proving the balance. This is the number
+    a clustered write actually needs — ``repartitionByRange`` samples
+    to estimate these; computing them exactly (one percentile
+    aggregate) lets a 100 TB layout job pin its file sizes instead of
+    trusting a sample, and the same boundaries feed range pruning
+    metadata.
+
+    Exactness: Spark's exact ``percentile`` and DuckDB's
+    ``quantile_cont`` compute the same interpolated values (the q114
+    parity), so bucket assignment (count of boundaries strictly below
+    the value) replays bit-for-bit in the oracle. One aggregate for the
+    boundaries (broadcast back as a 1-row array), one grouped count —
+    the table never sorts."""
+    n = int(n_buckets)
+    fracs = ", ".join(str(k / n) for k in range(1, n))
+    b = df.agg(F.expr(f"percentile({col}, array({fracs}))").alias("_bs"))
+    d = df.select(F.col(col).alias("_v")).crossJoin(F.broadcast(b))
+    bucket = F.size(F.filter("_bs", lambda x: F.col("_v") > x))
+    counts = (
+        d.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    return counts.crossJoin(F.broadcast(b)).select(
+        "bucket",
+        "n_rows",
+        F.when(
+            F.col("bucket") >= 1,
+            F.round(F.element_at("_bs", F.col("bucket")), 4),
+        ).alias("lo"),
+        F.when(
+            F.col("bucket") <= n - 2,
+            F.round(F.element_at("_bs", F.col("bucket") + 1), 4),
+        ).alias("hi"),
     )

@@ -2516,6 +2516,40 @@ ORDER BY event_type
 """
 
 
+def q129_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth range-boundary plan for clustering lineitem by price
+    (operators/layout.range_boundaries): exact 8-bucket quantile
+    boundaries + realized per-bucket counts — the pinned input a
+    range-clustered write uses instead of repartitionByRange's sample.
+    Exact-percentile parity with quantile_cont makes the whole plan
+    hash-checkable."""
+    from ..operators.layout import range_boundaries
+
+    li = _t(spark, sf_dir, "lineitem")
+    return range_boundaries(li, "l_extendedprice", n_buckets=8).orderBy(
+        "bucket"
+    )
+
+
+_Q129_SQL = """
+WITH b AS (
+  SELECT quantile_cont(l_extendedprice,
+           [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+  FROM lineitem
+), assigned AS (
+  SELECT len(list_filter(b.bs, x -> l.l_extendedprice > x)) AS bucket
+  FROM lineitem l CROSS JOIN b
+), counts AS (
+  SELECT bucket, count(*) AS n_rows FROM assigned GROUP BY bucket
+)
+SELECT c.bucket, c.n_rows,
+       CASE WHEN c.bucket >= 1 THEN round(b.bs[c.bucket], 4) END AS lo,
+       CASE WHEN c.bucket <= 6 THEN round(b.bs[c.bucket + 1], 4) END AS hi
+FROM counts c CROSS JOIN b
+ORDER BY c.bucket
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -2572,6 +2606,7 @@ QUERIES = {
     "q126_sql_large_volume_customers": q126_sql_large_volume_customers,
     "q127_salted_enrichment": q127_salted_enrichment,
     "q128_salted_distinct_users": q128_salted_distinct_users,
+    "q129_range_boundaries": q129_range_boundaries,
 }
 
 ORACLES = {
@@ -2630,4 +2665,5 @@ ORACLES = {
     "q126_sql_large_volume_customers": _Q126_SQL,
     "q127_salted_enrichment": _Q127_SQL,
     "q128_salted_distinct_users": _Q128_SQL,
+    "q129_range_boundaries": _Q129_SQL,
 }

@@ -141,6 +141,7 @@ HEADLINE = [
     "q126_sql_large_volume_customers",
     "q127_salted_enrichment",
     "q128_salted_distinct_users",
+    "q129_range_boundaries",
 ]
 
 

@@ -230,3 +230,18 @@ def test_epoch_shuffle_rank_is_distributed(spark):
     rn = [ln for ln in plan.splitlines() if "row_number()" in ln]
     assert rn and all("_bucket" in ln for ln in rn), plan
     assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_range_boundaries_balance_and_edges(spark):
+    from airflow_spotify_etl_spark.operators.layout import range_boundaries
+
+    df = spark.range(0, 1000).select(F.col("id").cast("double").alias("v"))
+    out = {r.bucket: r for r in range_boundaries(df, "v", n_buckets=4).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    # uniform data → perfectly balanced buckets (within interpolation)
+    assert all(240 <= r.n_rows <= 260 for r in out.values())
+    assert out[0].lo is None and out[3].hi is None
+    assert out[0].hi is not None and out[0].hi == out[1].lo
+    # boundaries ascend
+    bs = [out[0].hi, out[1].hi, out[2].hi]
+    assert bs == sorted(bs)
