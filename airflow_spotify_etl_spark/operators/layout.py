@@ -360,10 +360,16 @@ def range_boundaries(
     that split ``col`` into ``n_buckets`` near-equal buckets, with the
     realized per-bucket counts proving the balance. This is the number
     a clustered write actually needs — ``repartitionByRange`` samples
-    to estimate these; computing them exactly (one percentile
-    aggregate) lets a 100 TB layout job pin its file sizes instead of
-    trusting a sample, and the same boundaries feed range pruning
-    metadata.
+    to estimate these; pinning them exactly fixes file sizes and feeds
+    range-pruning metadata.
+
+    Scale honesty: Spark's EXACT ``percentile`` buffers the column's
+    values in the final aggregate — fine to ~10^8 rows of one double
+    column (the calibration/audit tier this query is), NOT a 100 TB
+    scan. At that scale swap in ``approx_percentile`` (mergeable
+    sketch, same call shape) or the q41 sketch tier for the boundaries
+    and keep this exact path as the small-sample auditor that
+    validates the sketch's error.
 
     Exactness: Spark's exact ``percentile`` and DuckDB's
     ``quantile_cont`` compute the same interpolated values (the q114
