@@ -3397,6 +3397,89 @@ ORDER BY lang, source, len_bucket
 """
 
 
+def q130_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall, driver-visible: the MinHash-LSH tier (q25) audited
+    against the exact n-gram-Jaccard tier (q24) on the same corpus and
+    threshold — pair counts on both sides, the intersection, and
+    recall/precision. The pytest recall gate already pins this
+    per-round; registering it as a query puts the number in the
+    official correctness record with a full SQL replay (both tiers'
+    oracles composed). Exact integer counts; two rounded divisions."""
+    from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Each tier's pair relation feeds TWO audit branches (its own count
+    # and the intersection); localCheckpoint materializes the narrow
+    # (doc_a, doc_b) relations once instead of re-running the dedup
+    # pipelines per branch — pair counts are corpus-bounded and tiny.
+    exact = (
+        ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    lsh = (
+        minhash_lsh_pairs(docs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    # Three 1-row aggregates composed with scalar crossJoins — the
+    # audit itself is one tiny plan.
+    out = (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(F.broadcast(lsh.agg(F.count("*").alias("n_lsh"))))
+        .crossJoin(
+            F.broadcast(
+                exact.join(lsh, ["doc_a", "doc_b"]).agg(
+                    F.count("*").alias("n_common")
+                )
+            )
+        )
+    )
+    return out.select(
+        "n_exact",
+        "n_lsh",
+        "n_common",
+        F.when(
+            F.col("n_exact") > 0,
+            F.round(
+                F.col("n_common").cast("double")
+                / F.col("n_exact").cast("double"),
+                4,
+            ),
+        ).alias("recall"),
+        F.when(
+            F.col("n_lsh") > 0,
+            F.round(
+                F.col("n_common").cast("double")
+                / F.col("n_lsh").cast("double"),
+                4,
+            ),
+        ).alias("precision"),
+    )
+
+
+def _q130_sql() -> str:
+    return f"""
+WITH exact_pairs AS (
+  SELECT doc_a, doc_b FROM ({_Q24_SQL}) x
+), lsh_pairs AS (
+  SELECT doc_a, doc_b FROM ({_q25_sql()}) y
+), m AS (
+  SELECT (SELECT count(*) FROM exact_pairs) AS n_exact,
+         (SELECT count(*) FROM lsh_pairs) AS n_lsh,
+         (SELECT count(*) FROM exact_pairs e
+            JOIN lsh_pairs l
+              ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b) AS n_common
+)
+SELECT n_exact, n_lsh, n_common,
+       CASE WHEN n_exact > 0
+            THEN round(CAST(n_common AS DOUBLE) / n_exact, 4) END AS recall,
+       CASE WHEN n_lsh > 0
+            THEN round(CAST(n_common AS DOUBLE) / n_lsh, 4) END AS precision
+FROM m
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -3461,6 +3544,7 @@ QUERIES = {
     "q120_contrastive_negatives": q120_contrastive_negatives,
     "q122_embedding_drift": q122_embedding_drift,
     "q123_k_anonymity": q123_k_anonymity,
+    "q130_lsh_recall_audit": q130_lsh_recall_audit,
 }
 
 ORACLES = {
@@ -3527,4 +3611,5 @@ ORACLES = {
     "q120_contrastive_negatives": _Q120_SQL,
     "q122_embedding_drift": _Q122_SQL,
     "q123_k_anonymity": _Q123_SQL,
+    "q130_lsh_recall_audit": _q130_sql(),
 }

@@ -142,6 +142,7 @@ HEADLINE = [
     "q127_salted_enrichment",
     "q128_salted_distinct_users",
     "q129_range_boundaries",
+    "q130_lsh_recall_audit",
 ]
 
 
