@@ -359,10 +359,15 @@ def stats_drift(
         "nulls_new",
         "distinct_old",
         "distinct_new",
-        F.round(
-            F.col("nulls_new").cast("double") / F.col("n_new").cast("double")
-            - F.col("nulls_old").cast("double") / F.col("n_old").cast("double"),
-            6,
+        F.when(
+            (F.col("n_old") > 0) & (F.col("n_new") > 0),
+            F.round(
+                F.col("nulls_new").cast("double")
+                / F.col("n_new").cast("double")
+                - F.col("nulls_old").cast("double")
+                / F.col("n_old").cast("double"),
+                6,
+            ),
         ).alias("null_rate_delta"),
         F.when(
             F.col("distinct_old") > 0,

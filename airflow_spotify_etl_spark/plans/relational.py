@@ -2275,9 +2275,10 @@ SELECT ou.column,
        ou.n AS n_old, nu.n AS n_new,
        ou.n - ou.nn AS nulls_old, nu.n - nu.nn AS nulls_new,
        ou.nd AS distinct_old, nu.nd AS distinct_new,
-       round(CAST(nu.n - nu.nn AS DOUBLE) / CAST(nu.n AS DOUBLE)
-             - CAST(ou.n - ou.nn AS DOUBLE) / CAST(ou.n AS DOUBLE), 6)
-         AS null_rate_delta,
+       CASE WHEN ou.n > 0 AND nu.n > 0 THEN
+         round(CAST(nu.n - nu.nn AS DOUBLE) / CAST(nu.n AS DOUBLE)
+               - CAST(ou.n - ou.nn AS DOUBLE) / CAST(ou.n AS DOUBLE), 6)
+       END AS null_rate_delta,
        CASE WHEN ou.nd > 0
             THEN round(CAST(nu.nd AS DOUBLE) / CAST(ou.nd AS DOUBLE), 4)
        END AS distinct_ratio,

@@ -246,3 +246,51 @@ def test_zorder_empty_and_constant_dims(spark, tmp_path):
     p2 = str(tmp_path / "zc")
     write_zordered(const, p2, ["x", "y"], n_files=4)
     assert spark.read.parquet(p2).count() == 100
+
+
+def test_round4b_ops_on_empty(spark):
+    """Every operator added in the second half of round 4 survives a
+    zero-row input: empty result (or identity), never a raise."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from airflow_spotify_etl_spark.operators.bpe import (
+        bpe_merge_candidates,
+        bpe_train,
+    )
+    from airflow_spotify_etl_spark.operators.dedup import sparse_cosine_pairs
+    from airflow_spotify_etl_spark.operators.incremental import stats_drift
+    from airflow_spotify_etl_spark.operators.layout import (
+        epoch_shuffle,
+        range_boundaries,
+    )
+    from airflow_spotify_etl_spark.operators.quality import rate_anomalies
+    from airflow_spotify_etl_spark.operators.sampling import (
+        contrastive_negatives,
+    )
+    from airflow_spotify_etl_spark.operators.similarity import embedding_drift
+
+    docs = _empty_docs(spark)
+    assert sparse_cosine_pairs(docs).count() == 0
+    assert bpe_merge_candidates(docs).count() == 0
+    merges, vocab = bpe_train(docs, n_merges=3)
+    assert merges == [] and vocab.count() == 0
+    assert epoch_shuffle(docs, id_col="doc_id").count() == 0
+    assert contrastive_negatives(docs, id_col="doc_id").count() == 0
+
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, event_type string"
+    )
+    assert rate_anomalies(ev).count() == 0
+
+    assert stats_drift(docs, docs, ["lang", "n_chars"]).count() == 2  # all-zero rows join fine
+    sd = {r.column: r for r in stats_drift(docs, docs, ["lang"]).collect()}
+    assert sd["lang"].n_old == 0 and not sd["lang"].distinct_drift
+
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert embedding_drift(emb, emb).count() == 0
+
+    vals = spark.createDataFrame([], "v double")
+    assert range_boundaries(vals, "v", 4).count() == 0
