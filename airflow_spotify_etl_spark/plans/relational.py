@@ -2551,6 +2551,47 @@ ORDER BY c.bucket
 """
 
 
+def q131_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality estimate, computed EXACTLY from per-key
+    counts: |events ⋈ customer on user_id| = Σ_k cA(k)·cB(k) — the
+    number a planner wants BEFORE committing to a join strategy, at
+    the cost of two narrow count aggregates + a key-cardinality join
+    instead of the join itself. Also reports both sides' key counts
+    and the max single-key contribution (the skew share that decides
+    salting). All integers; the estimate is proven exact against the
+    oracle's actual join count."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    ca = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.count("*").alias("ca")
+    )
+    cb = cust.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count("*").alias("cb")
+    )
+    per_key = ca.join(cb, "k").select(
+        "k", (F.col("ca") * F.col("cb")).alias("contrib")
+    )
+    return per_key.agg(
+        F.count("*").alias("n_join_keys"),
+        F.sum("contrib").alias("est_join_rows"),
+        F.max("contrib").alias("max_key_rows"),
+    )
+
+
+_Q131_SQL = """
+WITH actual AS (
+  SELECT e.user_id AS k
+  FROM events e JOIN customer c ON c.c_custkey = e.user_id
+)
+SELECT count(DISTINCT k) AS n_join_keys,
+       count(*) AS est_join_rows,
+       CAST(max(per_key) AS BIGINT) AS max_key_rows
+FROM actual
+JOIN (SELECT k AS k2, count(*) AS per_key FROM actual GROUP BY k) m
+  ON m.k2 = actual.k
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -2608,6 +2649,7 @@ QUERIES = {
     "q127_salted_enrichment": q127_salted_enrichment,
     "q128_salted_distinct_users": q128_salted_distinct_users,
     "q129_range_boundaries": q129_range_boundaries,
+    "q131_join_cardinality": q131_join_cardinality,
 }
 
 ORACLES = {
@@ -2667,4 +2709,5 @@ ORACLES = {
     "q127_salted_enrichment": _Q127_SQL,
     "q128_salted_distinct_users": _Q128_SQL,
     "q129_range_boundaries": _Q129_SQL,
+    "q131_join_cardinality": _Q131_SQL,
 }

@@ -143,6 +143,7 @@ HEADLINE = [
     "q128_salted_distinct_users",
     "q129_range_boundaries",
     "q130_lsh_recall_audit",
+    "q131_join_cardinality",
 ]
 
 

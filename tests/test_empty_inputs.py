@@ -294,3 +294,18 @@ def test_round4b_ops_on_empty(spark):
 
     vals = spark.createDataFrame([], "v double")
     assert range_boundaries(vals, "v", 4).count() == 0
+
+
+def test_round4b_text_ops_with_null_text(spark):
+    """NULL text must degrade gracefully (no rows / no pairs), never
+    raise — the PERMISSIVE-read contract extends to the new text ops."""
+    from airflow_spotify_etl_spark.operators.bpe import bpe_merge_candidates
+    from airflow_spotify_etl_spark.operators.dedup import sparse_cosine_pairs
+
+    rows = [(1, None, "en", "s1", 0), (2, "a b c d", "en", "s1", 7),
+            (3, "a b c d", "en", "s1", 7)]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    pairs = sparse_cosine_pairs(docs, threshold=0.0).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(2, 3)}
+    top = bpe_merge_candidates(docs, top_k=50).collect()
+    assert all(r.n_occurrences >= 1 for r in top)
