@@ -47,6 +47,7 @@ __all__ = [
     "media_features",
     "resize_image",
     "write_media_partitioned",
+    "binary_block_pairs",
     "binary_dedup",
 ]
 
@@ -344,5 +345,92 @@ def binary_dedup(
         .agg(
             F.count("*").alias("n_copies"),
             F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def binary_block_pairs(
+    media: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    block_bytes: int = 8,
+    threshold: float = 0.45,
+    max_bucket: int = 1000,
+    skip_header: bool = True,
+) -> DataFrame:
+    """FUZZY binary near-dup pairs — the tier above exact ``binary_dedup``:
+    chunk each payload into fixed ``block_bytes`` blocks, hash each block,
+    and score asset pairs by block-set Jaccard. Catches what exact dedup
+    cannot: an asset with bytes APPENDED (re-encoded tail, appended
+    metadata) shares all its original blocks and scores high, while
+    unrelated assets share none (block hashes collide nowhere). This is
+    the ssdeep/block-hash idea expressed as the repo's standard capped
+    inverted-index candidate shape (q24/q115 discipline).
+
+    Engine parity: blocks are cut from the payload's lowercase HEX string
+    (the q110 digest discipline), so the whole pipeline — chunking, block
+    md5s, candidate generation, Jaccard — replays in the SQL oracle
+    (q132). Fixed-offset blocks mean an INSERTION shifts every later
+    block (alignment loss — the known block-hash limitation); the
+    content-defined winnowing tier (q105) is the text-side answer, and a
+    rolling-boundary variant would be the binary one.
+
+    Scale: per-asset work is payload/block_bytes hashes in one codegen
+    projection; candidates come from the capped join-free posting
+    expansion (a block shared by > max_bucket assets is boilerplate —
+    carries no signal, would cost C(bucket, 2)); only ids, 32-char
+    hashes, and counts shuffle — payload bytes never do."""
+    start = _HDR_LEN + 1 if skip_header else 1
+    hx = F.lower(F.hex(F.expr(f"substring({content_col}, {start}, 2147483647)")))
+    hb = 2 * int(block_bytes)
+    base = media.select(F.col(id_col).alias("_id"), hx.alias("_hx"))
+    n_idx = F.ceil(F.length("_hx") / F.lit(float(hb))).cast("int")
+    idx = F.when(n_idx >= 1, F.sequence(F.lit(0), n_idx - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    blocks = (
+        base.select("_id", "_hx", F.explode(idx).alias("_i"))
+        .select(
+            "_id",
+            F.md5(F.expr(f"substr(_hx, _i * {hb} + 1, {hb})")).alias("bh"),
+        )
+        .distinct()
+    )
+    sizes = blocks.groupBy("_id").agg(F.count("*").alias("nb"))
+    sized = blocks.join(sizes, "_id")
+    inv = (
+        sized.groupBy("bh")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_id", "nb"))).alias("ps"),
+            F.count("*").alias("df"),
+        )
+        .filter((F.col("df") >= 2) & (F.col("df") <= int(max_bucket)))
+    )
+    pair = F.expr(
+        "flatten(transform(ps, (x, ix) -> "
+        "transform(slice(ps, ix + 2, size(ps)), "
+        "y -> struct(x._id as a, y._id as b, x.nb as na, y.nb as nb))))"
+    )
+    inter = (
+        inv.select(F.explode(pair).alias("pr"))
+        .select("pr.a", "pr.b", "pr.na", "pr.nb")
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.round(
+        F.col("inter").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        4,
+    )
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= float(threshold))
+        .select(
+            F.col("a").alias("asset_a"),
+            F.col("b").alias("asset_b"),
+            "inter",
+            F.col("na").alias("blocks_a"),
+            F.col("nb").alias("blocks_b"),
+            "jaccard",
         )
     )

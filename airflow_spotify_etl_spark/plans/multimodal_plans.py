@@ -172,11 +172,92 @@ ORDER BY content_key
 """
 
 
+def q132_binary_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy binary near-dup pairs (operators/multimodal.
+    binary_block_pairs): 50 synthesized assets plus, for media_id < 10,
+    a TAMPERED variant (id 1000+media_id) whose payload has 16
+    sha-derived bytes APPENDED — the re-encoded-tail case exact dedup
+    (q110) cannot see. Block-hash Jaccard pairs each variant with its
+    original (shared prefix blocks dominate) and nothing else; the
+    oracle replays the payload chains, the append, the 8-byte blocking,
+    and the capped candidate pipeline in SQL."""
+    from ..operators.multimodal import binary_block_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select((F.col("doc_id") % 50).alias("media_id")).distinct()
+    media = synthesize_media(ids).select("media_id", "content")
+    extra = F.unhex(
+        F.substring(
+            F.sha2(F.concat(F.lit("x"), F.col("media_id").cast("string")), 256),
+            1,
+            32,
+        )
+    )
+    variants = (
+        media.filter(F.col("media_id") < 10)
+        .select(
+            (F.col("media_id") + 1000).alias("media_id"),
+            F.concat(F.col("content"), extra).alias("content"),
+        )
+    )
+    allm = media.unionByName(variants)
+    return binary_block_pairs(allm).orderBy("asset_a", "asset_b")
+
+
+_Q132_SQL = """
+WITH m AS (
+  SELECT DISTINCT doc_id % 50 AS media_id FROM documents
+), chain AS (
+  SELECT media_id, 2 * (32 + media_id % 64) AS hexlen,
+         sha256(media_id::VARCHAR) AS d1
+  FROM m
+), pay AS (
+  SELECT media_id,
+         substr(d1 || sha256(d1) || sha256(sha256(d1)), 1, hexlen) AS phex
+  FROM chain
+), variants AS (
+  SELECT media_id + 1000 AS media_id,
+         phex || substr(sha256('x' || media_id::VARCHAR), 1, 32) AS phex
+  FROM pay WHERE media_id < 10
+), allm AS (
+  SELECT media_id, phex FROM pay
+  UNION ALL SELECT media_id, phex FROM variants
+), blocks AS (
+  SELECT DISTINCT media_id,
+         md5(substr(phex, i * 16 + 1, 16)) AS bh
+  FROM (
+    SELECT media_id, phex,
+           unnest(range(0, CAST(ceil(len(phex) / 16.0) AS BIGINT))) AS i
+    FROM allm
+  )
+), sizes AS (
+  SELECT media_id, count(*) AS nb FROM blocks GROUP BY media_id
+), capped AS (
+  SELECT bh FROM blocks GROUP BY bh HAVING count(*) BETWEEN 2 AND 1000
+), inter AS (
+  SELECT a.media_id AS asset_a, b.media_id AS asset_b, count(*) AS inter
+  FROM blocks a
+  JOIN blocks b ON b.bh = a.bh AND a.media_id < b.media_id
+  WHERE a.bh IN (SELECT bh FROM capped)
+  GROUP BY 1, 2
+)
+SELECT asset_a, asset_b, inter,
+       sa.nb AS blocks_a, sb.nb AS blocks_b,
+       round(inter / CAST(sa.nb + sb.nb - inter AS DOUBLE), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.media_id = asset_a
+JOIN sizes sb ON sb.media_id = asset_b
+WHERE round(inter / CAST(sa.nb + sb.nb - inter AS DOUBLE), 4) >= 0.45
+ORDER BY asset_a, asset_b
+"""
+
+
 QUERIES = {
     "q34_media_meta": q34_media_meta,
     "q35_frame_sample": q35_frame_sample,
     "q36_media_features": q36_media_features,
     "q110_binary_dedup": q110_binary_dedup,
+    "q132_binary_block_pairs": q132_binary_block_pairs,
 }
 
 ORACLES = {
@@ -184,4 +265,5 @@ ORACLES = {
     "q35_frame_sample": _Q35_SQL,
     "q36_media_features": _q36_sql(),
     "q110_binary_dedup": _Q110_SQL,
+    "q132_binary_block_pairs": _Q132_SQL,
 }

@@ -144,6 +144,7 @@ HEADLINE = [
     "q129_range_boundaries",
     "q130_lsh_recall_audit",
     "q131_join_cardinality",
+    "q132_binary_block_pairs",
 ]
 
 

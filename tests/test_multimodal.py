@@ -112,3 +112,30 @@ def test_binary_dedup_collapses_retagged_copies(spark):
     ]
     whole_blob = binary_dedup(media, skip_header=False).collect()
     assert sorted(r.n_copies for r in whole_blob) == [1, 1, 1]
+
+
+def test_binary_block_pairs_finds_appended_copies_only(spark):
+    """An asset with bytes appended pairs with its original at high
+    Jaccard; unrelated assets share no blocks; exact dedup (q110 tier)
+    would have missed the tampered copy entirely."""
+    from airflow_spotify_etl_spark.operators.multimodal import (
+        binary_block_pairs,
+        binary_dedup,
+        synthesize_media,
+    )
+
+    ids = spark.range(0, 20).withColumnRenamed("id", "media_id")
+    media = synthesize_media(ids).select("media_id", "content")
+    tampered = media.filter(F.col("media_id") == 3).select(
+        (F.col("media_id") + 500).alias("media_id"),
+        F.concat("content", F.unhex(F.lit("00112233445566778899aabbccddeeff"))).alias(
+            "content"
+        ),
+    )
+    allm = media.unionByName(tampered)
+    pairs = binary_block_pairs(allm).collect()
+    assert {(r.asset_a, r.asset_b) for r in pairs} == {(3, 503)}
+    assert all(r.jaccard >= 0.45 for r in pairs)
+    # exact tier is blind to it: every content_key has exactly one copy
+    exact = binary_dedup(allm, id_col="media_id").collect()
+    assert all(r.n_copies == 1 for r in exact)
