@@ -35,6 +35,7 @@ import struct
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -48,6 +49,7 @@ __all__ = [
     "resize_image",
     "write_media_partitioned",
     "binary_block_pairs",
+    "binary_cdc_pairs",
     "binary_dedup",
 ]
 
@@ -396,6 +398,16 @@ def binary_block_pairs(
         )
         .distinct()
     )
+    return _hash_set_jaccard(blocks, threshold, max_bucket)
+
+
+def _hash_set_jaccard(
+    blocks: DataFrame, threshold: float, max_bucket: int
+) -> DataFrame:
+    """Shared Jaccard tail for the binary near-dup tiers: (_id, bh)
+    distinct hash sets → capped inverted index → join-free pair
+    expansion → one grouped intersection count → thresholded Jaccard
+    (the q24/q115 candidate discipline)."""
     sizes = blocks.groupBy("_id").agg(F.count("*").alias("nb"))
     sized = blocks.join(sizes, "_id")
     inv = (
@@ -434,3 +446,77 @@ def binary_block_pairs(
             "jaccard",
         )
     )
+
+
+def binary_cdc_pairs(
+    media: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    divisor: int = 8,
+    threshold: float = 0.3,
+    max_bucket: int = 1000,
+    skip_header: bool = True,
+) -> DataFrame:
+    """Content-defined-chunking binary near-dup — the alignment-ROBUST
+    tier ``binary_block_pairs`` documents as its limitation: block
+    boundaries are cut where a rolling hash of the trailing 4-byte
+    window hits 0 mod ``divisor`` (FastCDC/rsync boundary rule), so an
+    INSERTION only disturbs the windows that overlap it — every other
+    boundary, and hence every other block, re-aligns and still matches.
+    Fixed-offset blocking loses every block after the insertion point;
+    this tier is what actually catches a mid-stream edit
+    (pytest-contrasted).
+
+    Engine parity: boundaries, blocks, and hashes all derive from the
+    payload hex string with the portable md5-slice hash, so the FULL
+    pipeline — rolling boundary rule, cumulative block ids, block
+    digests, capped candidate Jaccard — replays in SQL (q133).
+
+    Scale: per-asset work is one position explode (payload-length rows
+    carrying only id + 8-hex windows), a per-asset cumulative-sum
+    window on the uniform id key, and the shared capped-inverted-index
+    tail. Expected block size = ``divisor`` bytes; the hot-block cap
+    bounds the candidate space exactly as in every other tier."""
+    start = _HDR_LEN + 1 if skip_header else 1
+    hx = F.lower(
+        F.hex(F.expr(f"substring({content_col}, {start}, 2147483647)"))
+    )
+    base = media.select(F.col(id_col).alias("_id"), hx.alias("_hx"))
+    nbytes = (F.length("_hx") / 2).cast("int")
+    pos = F.explode(
+        F.when(nbytes >= 1, F.sequence(F.lit(1), nbytes)).otherwise(
+            F.array().cast("array<int>")
+        )
+    )
+    p = base.select("_id", "_hx", pos.alias("_p"))
+    window_hex = F.expr("substr(_hx, 2 * _p - 7, 8)")
+    h = F.conv(F.substring(F.md5(window_hex), 1, 8), 16, 10).cast("long")
+    # a boundary AFTER byte _p (never inside the first 3 bytes)
+    flagged = p.withColumn(
+        "_b",
+        ((F.col("_p") >= 4) & (F.pmod(h, F.lit(int(divisor))) == 0)).cast(
+            "int"
+        ),
+    )
+    w = (
+        W.partitionBy("_id")
+        .orderBy("_p")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    assigned = flagged.withColumn(
+        "_blk", F.coalesce(F.sum("_b").over(w), F.lit(0))
+    )
+    spans = assigned.groupBy("_id", "_blk").agg(
+        F.min("_p").alias("_a"), F.max("_p").alias("_z")
+    )
+    blocks = (
+        spans.join(base, "_id")
+        .select(
+            "_id",
+            F.md5(
+                F.expr("substr(_hx, 2 * (_a - 1) + 1, 2 * (_z - _a + 1))")
+            ).alias("bh"),
+        )
+        .distinct()
+    )
+    return _hash_set_jaccard(blocks, threshold, max_bucket)

@@ -252,12 +252,103 @@ ORDER BY asset_a, asset_b
 """
 
 
+def q133_binary_cdc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alignment-robust binary near-dup (operators/multimodal.
+    binary_cdc_pairs): the same 50 assets, but the tampered variants
+    (media_id < 10 → id 1000+) have 4 bytes INSERTED mid-payload — the
+    edit that shifts every later fixed-offset block and blinds q132.
+    Content-defined boundaries re-align after the insertion, so the
+    variants still pair with their originals. The oracle replays the
+    rolling boundary rule, cumulative block assignment, block digests,
+    and the capped Jaccard tail in SQL."""
+    from ..operators.multimodal import _HDR_LEN, binary_cdc_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select((F.col("doc_id") % 50).alias("media_id")).distinct()
+    media = synthesize_media(ids).select("media_id", "content")
+    variants = media.filter(F.col("media_id") < 10).select(
+        (F.col("media_id") + 1000).alias("media_id"),
+        F.concat(
+            F.expr(f"substring(content, 1, {_HDR_LEN} + 12)"),
+            F.unhex(F.lit("deadbeef")),
+            F.expr(f"substring(content, {_HDR_LEN} + 13, 2147483647)"),
+        ).alias("content"),
+    )
+    allm = media.unionByName(variants)
+    return binary_cdc_pairs(allm).orderBy("asset_a", "asset_b")
+
+
+_Q133_SQL = """
+WITH m AS (
+  SELECT DISTINCT doc_id % 50 AS media_id FROM documents
+), chain AS (
+  SELECT media_id, 2 * (32 + media_id % 64) AS hexlen,
+         sha256(media_id::VARCHAR) AS d1
+  FROM m
+), pay AS (
+  SELECT media_id,
+         substr(d1 || sha256(d1) || sha256(sha256(d1)), 1, hexlen) AS phex
+  FROM chain
+), variants AS (
+  SELECT media_id + 1000 AS media_id,
+         substr(phex, 1, 24) || 'deadbeef' || substr(phex, 25) AS phex
+  FROM pay WHERE media_id < 10
+), allm AS (
+  SELECT media_id, phex FROM pay
+  UNION ALL SELECT media_id, phex FROM variants
+), pos AS (
+  SELECT media_id, phex,
+         CAST(unnest(range(1, len(phex) // 2 + 1)) AS INTEGER) AS p
+  FROM allm
+), flags AS (
+  SELECT media_id, phex, p,
+         CASE WHEN p >= 4
+                AND ('0x' || substr(md5(substr(phex, 2 * p - 7, 8)), 1, 8))
+                      ::BIGINT % 8 = 0
+              THEN 1 ELSE 0 END AS b
+  FROM pos
+), assigned AS (
+  SELECT media_id, phex, p,
+         coalesce(sum(b) OVER (PARTITION BY media_id ORDER BY p
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS blk
+  FROM flags
+), spans AS (
+  SELECT media_id, blk, min(p) AS a, max(p) AS z, min(phex) AS phex
+  FROM assigned GROUP BY media_id, blk
+), blocks AS (
+  SELECT DISTINCT media_id,
+         md5(substr(phex, 2 * (a - 1) + 1, 2 * (z - a + 1))) AS bh
+  FROM spans
+), sizes AS (
+  SELECT media_id, count(*) AS nb FROM blocks GROUP BY media_id
+), capped AS (
+  SELECT bh FROM blocks GROUP BY bh HAVING count(*) BETWEEN 2 AND 1000
+), inter AS (
+  SELECT a.media_id AS asset_a, b.media_id AS asset_b, count(*) AS inter
+  FROM blocks a
+  JOIN blocks b ON b.bh = a.bh AND a.media_id < b.media_id
+  WHERE a.bh IN (SELECT bh FROM capped)
+  GROUP BY 1, 2
+)
+SELECT asset_a, asset_b, inter,
+       sa.nb AS blocks_a, sb.nb AS blocks_b,
+       round(inter / CAST(sa.nb + sb.nb - inter AS DOUBLE), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.media_id = asset_a
+JOIN sizes sb ON sb.media_id = asset_b
+WHERE round(inter / CAST(sa.nb + sb.nb - inter AS DOUBLE), 4) >= 0.3
+ORDER BY asset_a, asset_b
+"""
+
+
 QUERIES = {
     "q34_media_meta": q34_media_meta,
     "q35_frame_sample": q35_frame_sample,
     "q36_media_features": q36_media_features,
     "q110_binary_dedup": q110_binary_dedup,
     "q132_binary_block_pairs": q132_binary_block_pairs,
+    "q133_binary_cdc_pairs": q133_binary_cdc_pairs,
 }
 
 ORACLES = {
@@ -266,4 +357,5 @@ ORACLES = {
     "q36_media_features": _q36_sql(),
     "q110_binary_dedup": _Q110_SQL,
     "q132_binary_block_pairs": _Q132_SQL,
+    "q133_binary_cdc_pairs": _Q133_SQL,
 }

@@ -145,6 +145,7 @@ HEADLINE = [
     "q130_lsh_recall_audit",
     "q131_join_cardinality",
     "q132_binary_block_pairs",
+    "q133_binary_cdc_pairs",
 ]
 
 

@@ -139,3 +139,32 @@ def test_binary_block_pairs_finds_appended_copies_only(spark):
     # exact tier is blind to it: every content_key has exactly one copy
     exact = binary_dedup(allm, id_col="media_id").collect()
     assert all(r.n_copies == 1 for r in exact)
+
+
+def test_cdc_pairs_survive_insertion_where_fixed_blocks_fail(spark):
+    """4 bytes INSERTED mid-payload: content-defined chunking still
+    pairs the variant with its original (boundaries re-align after the
+    edit), while fixed-offset blocking finds nothing — the limitation
+    q132's docstring documents, closed by this tier."""
+    from airflow_spotify_etl_spark.operators.multimodal import (
+        _HDR_LEN,
+        binary_block_pairs,
+        binary_cdc_pairs,
+        synthesize_media,
+    )
+
+    ids = spark.range(0, 20).withColumnRenamed("id", "media_id")
+    media = synthesize_media(ids).select("media_id", "content")
+    ins = media.filter(F.col("media_id") == 3).select(
+        (F.col("media_id") + 500).alias("media_id"),
+        F.concat(
+            F.expr(f"substring(content, 1, {_HDR_LEN} + 12)"),
+            F.unhex(F.lit("deadbeef")),
+            F.expr(f"substring(content, {_HDR_LEN} + 13, 2147483647)"),
+        ).alias("content"),
+    )
+    allm = media.unionByName(ins)
+    cdc = {(r.asset_a, r.asset_b) for r in binary_cdc_pairs(allm).collect()}
+    assert (3, 503) in cdc
+    fixed = binary_block_pairs(allm, threshold=0.3).collect()
+    assert fixed == []
