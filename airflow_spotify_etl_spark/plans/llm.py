@@ -3480,6 +3480,80 @@ FROM m
 """
 
 
+def q134_scaling_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested deterministic subsets for scaling-law runs: every doc gets
+    the SMALLEST power-of-two percentage tier it belongs to (1, 2, 4,
+    …, 64, else 100), assigned by the portable md5-slice hash against
+    fixed thresholds — so the 1% set is a strict subset of the 2% set,
+    which is a subset of the 4% set, and so on (the nestedness property
+    a scaling-law sweep needs: each larger run REUSES the smaller run's
+    data exactly). Zero shuffles beyond the rollup: the tier is a pure
+    projection; the output is per-tier doc counts plus the cumulative
+    (nested) size each training run would read. Nestedness itself is
+    pytest-pinned."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("scale0:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(10_000),
+    )
+    tier = (
+        F.when(u < 100, 1)
+        .when(u < 200, 2)
+        .when(u < 400, 4)
+        .when(u < 800, 8)
+        .when(u < 1600, 16)
+        .when(u < 3200, 32)
+        .when(u < 6400, 64)
+        .otherwise(100)
+    )
+    per_tier = (
+        docs.select(tier.alias("tier_pct"))
+        .groupBy("tier_pct")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = W.orderBy("tier_pct").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        per_tier.withColumn("n_cumulative", F.sum("n_docs").over(w))
+        .orderBy("tier_pct")
+    )
+
+
+_Q134_SQL = """
+WITH t AS (
+  SELECT CASE
+           WHEN u < 100 THEN 1
+           WHEN u < 200 THEN 2
+           WHEN u < 400 THEN 4
+           WHEN u < 800 THEN 8
+           WHEN u < 1600 THEN 16
+           WHEN u < 3200 THEN 32
+           WHEN u < 6400 THEN 64
+           ELSE 100 END AS tier_pct
+  FROM (
+    SELECT ('0x' || substr(md5('scale0:' || doc_id::VARCHAR), 1, 8))
+             ::BIGINT % 10000 AS u
+    FROM documents
+  )
+), per_tier AS (
+  SELECT tier_pct, count(*) AS n_docs FROM t GROUP BY tier_pct
+)
+SELECT tier_pct, n_docs,
+       CAST(sum(n_docs) OVER (ORDER BY tier_pct
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS n_cumulative
+FROM per_tier
+ORDER BY tier_pct
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -3545,6 +3619,7 @@ QUERIES = {
     "q122_embedding_drift": q122_embedding_drift,
     "q123_k_anonymity": q123_k_anonymity,
     "q130_lsh_recall_audit": q130_lsh_recall_audit,
+    "q134_scaling_subsets": q134_scaling_subsets,
 }
 
 ORACLES = {
@@ -3612,4 +3687,5 @@ ORACLES = {
     "q122_embedding_drift": _Q122_SQL,
     "q123_k_anonymity": _Q123_SQL,
     "q130_lsh_recall_audit": _q130_sql(),
+    "q134_scaling_subsets": _Q134_SQL,
 }

@@ -146,6 +146,7 @@ HEADLINE = [
     "q131_join_cardinality",
     "q132_binary_block_pairs",
     "q133_binary_cdc_pairs",
+    "q134_scaling_subsets",
 ]
 
 

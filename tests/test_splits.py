@@ -89,3 +89,31 @@ def test_contrastive_negatives_degenerate_corpora(spark):
     out = contrastive_negatives(two, k=3).collect()
     # N=2: every negative is the other doc, all k ranks present
     assert len(out) == 6 and all(r.neg_doc_id == 1 - r.doc_id for r in out)
+
+
+def test_scaling_subsets_are_nested(spark):
+    """The tier-p set (all docs with tier <= p) must be a strict subset
+    of every larger tier — the property that lets a scaling-law sweep
+    reuse each smaller run's data exactly."""
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    u = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("scale0:"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ), 16, 10,
+        ).cast("long"),
+        F.lit(10_000),
+    )
+    d = docs.withColumn("u", u)
+    sets = {
+        p: {r.doc_id for r in d.filter(F.col("u") < p * 100).collect()}
+        for p in (1, 2, 4, 8, 16, 32, 64)
+    }
+    for small, big in zip((1, 2, 4, 8, 16, 32), (2, 4, 8, 16, 32, 64)):
+        assert sets[small] < sets[big]  # strict nesting
+    # tier sizes are near their nominal percentage (hash uniformity)
+    assert 30 <= len(sets[1]) <= 75   # ~50 of 5000
+    assert 2700 <= len(sets[64]) <= 3600  # ~3200
