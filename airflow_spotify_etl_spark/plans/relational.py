@@ -2592,6 +2592,100 @@ JOIN (SELECT k AS k2, count(*) AS per_key FROM actual GROUP BY k) m
 """
 
 
+def q135_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution: every click in the 24 h before
+    a purchase (same user) shares that purchase's credit — 40 % to the
+    first touch, 40 % to the last, 20 % across the middles. Credit is
+    INTEGER BASIS POINTS with a deterministic remainder rule (the
+    integer division's leftover goes to the earliest middle touch), so
+    per-purchase credit sums to exactly 10000 and every rollup is exact
+    under any aggregation order — the float-credit scheme every
+    analytics stack hand-waves is engineered into integer arithmetic
+    instead. One user-keyed range join (q16 shape), one per-purchase
+    window pass, one 4-key rollup; the checksum column proves
+    conservation in the output itself."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id", F.col("ts").alias("cts")
+    )
+    j = p.join(c, "user_id").filter(
+        (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") > F.col("pts") - F.expr("INTERVAL 24 HOURS"))
+    )
+    w = W.partitionBy("pid").orderBy("cts", "cid")
+    t = j.withColumn("r", F.row_number().over(w)).withColumn(
+        "k", F.count("*").over(W.partitionBy("pid"))
+    )
+    base = F.floor(F.lit(2000) / (F.col("k") - 2)).cast("long")
+    rem = F.lit(2000) - base * (F.col("k") - 2)
+    credit = (
+        F.when(F.col("k") == 1, F.lit(10000))
+        .when(F.col("k") == 2, F.lit(5000))
+        .when(F.col("r") == 1, F.lit(4000))
+        .when(F.col("r") == F.col("k"), F.lit(4000))
+        .when(F.col("r") == 2, base + rem)
+        .otherwise(base)
+    ).cast("long")
+    role = (
+        F.when(F.col("k") == 1, "only")
+        .when(F.col("r") == 1, "first")
+        .when(F.col("r") == F.col("k"), "last")
+        .otherwise("middle")
+    )
+    return (
+        t.select(role.alias("role"), credit.alias("bp"), "pid")
+        .groupBy("role")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.sum("bp").alias("credit_bp"),
+            F.countDistinct("pid").alias("n_purchases"),
+        )
+        .orderBy("role")
+    )
+
+
+_Q135_SQL = """
+WITH p AS (
+  SELECT event_id AS pid, user_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS cid, user_id, ts AS cts
+  FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT p.pid, c.cid, c.cts
+  FROM p JOIN c ON c.user_id = p.user_id
+  WHERE c.cts <= p.pts AND c.cts > p.pts - INTERVAL 24 HOURS
+), t AS (
+  SELECT pid, cid,
+         row_number() OVER (PARTITION BY pid ORDER BY cts, cid) AS r,
+         count(*) OVER (PARTITION BY pid) AS k
+  FROM j
+), credited AS (
+  SELECT pid,
+         CASE WHEN k = 1 THEN 'only'
+              WHEN r = 1 THEN 'first'
+              WHEN r = k THEN 'last'
+              ELSE 'middle' END AS role,
+         CAST(CASE WHEN k = 1 THEN 10000
+              WHEN k = 2 THEN 5000
+              WHEN r = 1 THEN 4000
+              WHEN r = k THEN 4000
+              WHEN r = 2 THEN (2000 // (k - 2)) + 2000 - (2000 // (k - 2)) * (k - 2)
+              ELSE 2000 // (k - 2) END AS BIGINT) AS bp
+  FROM t
+)
+SELECT role, count(*) AS n_touches,
+       CAST(sum(bp) AS BIGINT) AS credit_bp,
+       count(DISTINCT pid) AS n_purchases
+FROM credited
+GROUP BY role
+ORDER BY role
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -2650,6 +2744,7 @@ QUERIES = {
     "q128_salted_distinct_users": q128_salted_distinct_users,
     "q129_range_boundaries": q129_range_boundaries,
     "q131_join_cardinality": q131_join_cardinality,
+    "q135_multitouch_attribution": q135_multitouch_attribution,
 }
 
 ORACLES = {
@@ -2710,4 +2805,5 @@ ORACLES = {
     "q128_salted_distinct_users": _Q128_SQL,
     "q129_range_boundaries": _Q129_SQL,
     "q131_join_cardinality": _Q131_SQL,
+    "q135_multitouch_attribution": _Q135_SQL,
 }

@@ -147,6 +147,7 @@ HEADLINE = [
     "q132_binary_block_pairs",
     "q133_binary_cdc_pairs",
     "q134_scaling_subsets",
+    "q135_multitouch_attribution",
 ]
 
 

@@ -105,3 +105,57 @@ def test_fuzzy_self_join_caps_degenerate_blocks(spark):
     df = spark.createDataFrame(rows, "p_name string")
     assert fuzzy_self_join(df, "p_name", max_dist=2, max_block=10).count() == 0
     assert fuzzy_self_join(df, "p_name", max_dist=2, max_block=100).count() > 0
+
+
+def test_multitouch_credit_conserves_exactly(spark):
+    """Every purchase's credit must sum to exactly 10000 bp whatever its
+    touch count — including the k=3 case where 2000 doesn't divide
+    evenly and the remainder goes to the earliest middle."""
+    import datetime as dt
+
+    from airflow_spotify_etl_spark.plans.relational import (
+        q135_multitouch_attribution,
+    )
+    import os, tempfile
+
+    base = dt.datetime(2024, 1, 5, 12, 0, 0)
+    rows = []
+    eid = 0
+
+    def ev(kind, user, minutes):
+        nonlocal eid
+        rows.append(
+            (eid, base + dt.timedelta(minutes=minutes), user, kind, 1.0, "{}")
+        )
+        eid += 1
+
+    # user 1: k=5 (middle split 2000 over 3 → 666/666/668-style with rem)
+    for m in (-200, -150, -100, -50, -10):
+        ev("click", 1, m)
+    ev("purchase", 1, 0)
+    # user 2: k=1 (only)
+    ev("click", 2, -30)
+    ev("purchase", 2, 0)
+    # user 3: k=3 → middles get 2000 with remainder to earliest middle
+    for m in (-90, -60, -30):
+        ev("click", 3, m)
+    ev("purchase", 3, 0)
+    # user 4: a click OUTSIDE the 24h window — no credit at all
+    ev("click", 4, -60 * 25)
+    ev("purchase", 4, 0)
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        out = {r.role: r for r in q135_multitouch_attribution(spark, td).collect()}
+    total = sum(r.credit_bp for r in out.values())
+    assert total == 10000 * 3  # users 1-3 credited; user 4's purchase untouched
+    assert out["only"].credit_bp == 10000 and out["only"].n_touches == 1
+    assert out["first"].n_touches == 2 and out["first"].credit_bp == 8000
+    assert out["last"].credit_bp == 8000
+    # middles: user1 has 3 middles (2000 total), user3 has 1 middle (2000)
+    assert out["middle"].n_touches == 4 and out["middle"].credit_bp == 4000
