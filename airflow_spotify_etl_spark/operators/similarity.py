@@ -45,6 +45,8 @@ __all__ = [
     "search_ann_index",
     "quantize_int8",
     "embedding_drift",
+    "centroid_sums",
+    "drift_between",
 ]
 
 _SEED = 42
@@ -992,7 +994,21 @@ def embedding_drift(
     label-count join, and one tiny label⋈label join. Corpus vectors
     never shuffle — only (label, dim, bigint) rows do."""
 
-    def centroid_sums(df: DataFrame) -> DataFrame:
+    o = centroid_sums(old, vec_col, label_col, scale).select(
+        "label", F.col("svec").alias("so"), F.col("n").alias("n_old")
+    )
+    nw = centroid_sums(new, vec_col, label_col, scale).select(
+        "label", F.col("svec").alias("sn"), F.col("n").alias("n_new")
+    )
+    return drift_between(o, nw, scale, min_cosine)
+
+
+def centroid_sums(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 10_000,
+) -> DataFrame:
         q = df.select(
             F.col(label_col).alias("label"),
             F.posexplode(_as_double(vec_col)).alias("dim", "x"),
@@ -1013,12 +1029,16 @@ def embedding_drift(
         )
         return vec.join(n, "label")
 
-    o = centroid_sums(old).select(
-        "label", F.col("svec").alias("so"), F.col("n").alias("n_old")
-    )
-    nw = centroid_sums(new).select(
-        "label", F.col("svec").alias("sn"), F.col("n").alias("n_new")
-    )
+def drift_between(
+    o: DataFrame,
+    nw: DataFrame,
+    scale: int = 10_000,
+    min_cosine: float = 0.98,
+) -> DataFrame:
+    """The comparison tail of ``embedding_drift`` over two (label, svec,
+    n) relations — shared by the batch operator and the streaming
+    monitor (streaming/embedding_monitor.py), whose stored additive
+    partials merge into exactly this shape."""
     j = o.join(nw, "label")
     cos = F.round(
         _dot(F.col("so"), F.col("sn"))

@@ -890,3 +890,69 @@ def test_datasheet_maintenance_equals_batch_q119(spark, tmp_path):
     _apply_datasheet_batch(spark.createDataFrame(rows1, schema), store, 0)
     again = sorted(tuple(r) for r in read_datasheet(spark, store).collect())
     assert again == want
+
+
+def test_centroid_maintenance_equals_batch_drift(spark, tmp_path):
+    """Two drains (a label SPLIT across batches) fold into exactly the
+    batch centroid_sums of the union, and read_drift against a pinned
+    reference equals the batch q122 operator on the same data; a batch
+    retry changes nothing (additive integer partials)."""
+    from airflow_spotify_etl_spark.operators.similarity import (
+        centroid_sums,
+        embedding_drift,
+    )
+    from airflow_spotify_etl_spark.sources.files import load_table
+    from airflow_spotify_etl_spark.streaming.embedding_monitor import (
+        _apply_centroid_batch,
+        read_centroids,
+        read_drift,
+        run_centroid_maintenance,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    ref_df = emb.filter(F.col("vec_id") < 250)
+    newer = emb.filter(F.col("vec_id") >= 250)
+    b1 = newer.filter(F.col("vec_id") % 2 == 0)
+    b2 = newer.filter(F.col("vec_id") % 2 == 1)
+
+    src = str(tmp_path / "vec_src")
+    store = str(tmp_path / "cent_store")
+    ckpt = str(tmp_path / "cent_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>, label int"
+        ).parquet(src)
+        run_centroid_maintenance(spark, stream, store, ckpt)
+
+    b1.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    b2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    got = {
+        r.label: (list(r.svec), r.n)
+        for r in read_centroids(spark, store).collect()
+    }
+    want = {
+        r.label: (list(r.svec), r.n) for r in centroid_sums(newer).collect()
+    }
+    assert got == want  # exact additive merge, any batch split
+
+    ref = centroid_sums(ref_df)
+    got_drift = sorted(
+        tuple(r) for r in read_drift(spark, store, ref).collect()
+    )
+    want_drift = sorted(
+        tuple(r) for r in embedding_drift(ref_df, newer).collect()
+    )
+    assert got_drift == want_drift
+
+    _apply_centroid_batch(b1, store, 0, "embedding", "label", 10_000)
+    again = {
+        r.label: (list(r.svec), r.n)
+        for r in read_centroids(spark, store).collect()
+    }
+    assert again == want
