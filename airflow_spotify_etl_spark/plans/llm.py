@@ -3554,6 +3554,56 @@ ORDER BY tier_pct
 """
 
 
+def q136_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified train/val/test assignment with EXACT integer quotas:
+    within each language stratum, docs are ranked by the portable
+    md5 hash (deterministic, reproducible) and the first ⌊n/10⌋ go to
+    val, the next ⌊n/10⌋ to test, the rest to train — so every stratum
+    hits its 10 % quotas exactly (floor semantics documented; no
+    binomial wobble, unlike rand()-thresholding, which at small strata
+    can starve a split entirely). Complements q83 (near-dup-group
+    leakage safety): this is the proportional-allocation layer. One
+    per-stratum window on the uniform hash key; output is the
+    (lang, split) count matrix the training config records."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("split0:"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("lang").orderBy(h, "doc_id")
+    n = F.count("*").over(W.partitionBy("lang"))
+    r = F.row_number().over(w)
+    split = (
+        F.when(r <= F.floor(n / 10), "val")
+        .when(r <= 2 * F.floor(n / 10), "test")
+        .otherwise("train")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+_Q136_SQL = """
+WITH ranked AS (
+  SELECT lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('split0:' || doc_id::VARCHAR), doc_id
+         ) AS r,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN r <= n // 10 THEN 'val'
+            WHEN r <= 2 * (n // 10) THEN 'test'
+            ELSE 'train' END AS split,
+       count(*) AS n_docs
+FROM ranked
+GROUP BY 1, 2
+ORDER BY lang, split
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -3620,6 +3670,7 @@ QUERIES = {
     "q123_k_anonymity": q123_k_anonymity,
     "q130_lsh_recall_audit": q130_lsh_recall_audit,
     "q134_scaling_subsets": q134_scaling_subsets,
+    "q136_stratified_split": q136_stratified_split,
 }
 
 ORACLES = {
@@ -3688,4 +3739,5 @@ ORACLES = {
     "q123_k_anonymity": _Q123_SQL,
     "q130_lsh_recall_audit": _q130_sql(),
     "q134_scaling_subsets": _Q134_SQL,
+    "q136_stratified_split": _Q136_SQL,
 }

@@ -148,6 +148,7 @@ HEADLINE = [
     "q133_binary_cdc_pairs",
     "q134_scaling_subsets",
     "q135_multitouch_attribution",
+    "q136_stratified_split",
 ]
 
 

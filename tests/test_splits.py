@@ -117,3 +117,33 @@ def test_scaling_subsets_are_nested(spark):
     # tier sizes are near their nominal percentage (hash uniformity)
     assert 30 <= len(sets[1]) <= 75   # ~50 of 5000
     assert 2700 <= len(sets[64]) <= 3600  # ~3200
+
+
+def test_stratified_split_exact_quotas_and_tiny_strata(spark):
+    """Every stratum hits floor(n/10) for val AND test exactly; strata
+    under 10 docs put everything in train (no starved rand() wobble);
+    assignment is deterministic."""
+    import os, tempfile
+
+    import airflow_spotify_etl_spark.plans.llm as llm
+
+    rows = [(i, f"t{i}", "en", "s", 5) for i in range(47)]
+    rows += [(100 + i, f"u{i}", "fr", "s", 5) for i in range(7)]  # tiny stratum
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            (r.lang, r.split): r.n_docs
+            for r in llm.q136_stratified_split(spark, td).collect()
+        }
+        again = {
+            (r.lang, r.split): r.n_docs
+            for r in llm.q136_stratified_split(spark, td).collect()
+        }
+    assert out == again
+    assert out[("en", "val")] == 4 and out[("en", "test")] == 4
+    assert out[("en", "train")] == 39
+    assert ("fr", "val") not in out and ("fr", "test") not in out
+    assert out[("fr", "train")] == 7
