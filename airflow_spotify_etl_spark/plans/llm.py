@@ -3604,6 +3604,76 @@ ORDER BY lang, split
 """
 
 
+def q137_dedup_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup effectiveness — the number that justifies the
+    dedup pipeline's existence: raw token volume vs EFFECTIVE tokens
+    (global exact-dedup keepers only, lowest doc_id wins, attributed to
+    the keeper's source) and the savings ratio. The keeper decision is
+    one count-window on the uniform md5 key (q21/q93 discipline — text
+    never shuffles); both rollups are exact integers; savings is the
+    single rounded division."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    raw = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).alias("raw_tokens"),
+    )
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    eff = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.sum(toks).alias("effective_tokens"),
+        )
+    )
+    return (
+        raw.join(eff, "source")
+        .select(
+            "source",
+            "n_docs",
+            "kept_docs",
+            "raw_tokens",
+            "effective_tokens",
+            F.round(
+                (F.col("raw_tokens") - F.col("effective_tokens")).cast(
+                    "double"
+                )
+                / F.col("raw_tokens").cast("double"),
+                4,
+            ).alias("token_savings"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q137_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, text, len(string_split(text, ' ')) AS t
+  FROM documents
+), raw AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS raw_tokens
+  FROM toks GROUP BY source
+), keepers AS (
+  SELECT source, t FROM (
+    SELECT source, t,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM toks
+  ) WHERE rn = 1
+), eff AS (
+  SELECT source, count(*) AS kept_docs,
+         CAST(sum(t) AS BIGINT) AS effective_tokens
+  FROM keepers GROUP BY source
+)
+SELECT r.source, n_docs, kept_docs, raw_tokens, effective_tokens,
+       round(CAST(raw_tokens - effective_tokens AS DOUBLE)
+             / CAST(raw_tokens AS DOUBLE), 4) AS token_savings
+FROM raw r JOIN eff e ON e.source = r.source
+ORDER BY r.source
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -3671,6 +3741,7 @@ QUERIES = {
     "q130_lsh_recall_audit": q130_lsh_recall_audit,
     "q134_scaling_subsets": q134_scaling_subsets,
     "q136_stratified_split": q136_stratified_split,
+    "q137_dedup_effectiveness": q137_dedup_effectiveness,
 }
 
 ORACLES = {
@@ -3740,4 +3811,5 @@ ORACLES = {
     "q130_lsh_recall_audit": _q130_sql(),
     "q134_scaling_subsets": _Q134_SQL,
     "q136_stratified_split": _Q136_SQL,
+    "q137_dedup_effectiveness": _Q137_SQL,
 }

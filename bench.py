@@ -149,6 +149,7 @@ HEADLINE = [
     "q134_scaling_subsets",
     "q135_multitouch_attribution",
     "q136_stratified_split",
+    "q137_dedup_effectiveness",
 ]
 
 
