@@ -2686,6 +2686,108 @@ ORDER BY role
 """
 
 
+def q138_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped funnel conversion: sessions are 30-minute-gap
+    windows per user (the q30 sessionization rule), and a session
+    CONVERTS when it contains a purchase at-or-after a click — ordering
+    inside the session matters, which is what distinguishes this from
+    a mere co-occurrence count. Daily rollup: sessions, converted
+    sessions, exact-integer counts, one rounded rate. Two window
+    passes over the same user-keyed sort order (gap flag → session id,
+    then min-click/convert flags per session) — Catalyst reuses the
+    (user_id)-keyed exchange for both."""
+    ev = _t(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wu)
+        > 1800,
+        1,
+    ).otherwise(0)
+    first = F.when(F.lag("ts").over(wu).isNull(), 1).otherwise(0)
+    s = ev.select("user_id", "event_id", "ts", "event_type").withColumn(
+        "_new", F.greatest(gap, first)
+    )
+    s = s.withColumn(
+        "session_id",
+        F.sum("_new").over(
+            wu.rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    ws = W.partitionBy("user_id", "session_id")
+    min_click = F.min(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(ws)
+    converted = F.max(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & min_click.isNotNull()
+            & (F.col("ts") >= min_click),
+            1,
+        ).otherwise(0)
+    ).over(ws)
+    per_session = (
+        s.withColumn("_conv", converted)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("day"),
+            F.max("_conv").alias("conv"),
+        )
+    )
+    return (
+        per_session.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("conv").alias("n_converted"),
+        )
+        .withColumn(
+            "conversion_rate",
+            F.round(
+                F.col("n_converted").cast("double")
+                / F.col("n_sessions").cast("double"),
+                4,
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+_Q138_SQL = """
+WITH s AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sid AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM s
+), flagged AS (
+  SELECT user_id, session_id, ts, event_type,
+         min(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id, session_id) AS min_click
+  FROM sid
+), per_session AS (
+  SELECT user_id, session_id,
+         min(CAST(ts AS DATE)) AS day,
+         max(CASE WHEN event_type = 'purchase' AND min_click IS NOT NULL
+                    AND ts >= min_click THEN 1 ELSE 0 END) AS conv
+  FROM flagged
+  GROUP BY user_id, session_id
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       count(*) AS n_sessions,
+       CAST(sum(conv) AS BIGINT) AS n_converted,
+       round(CAST(sum(conv) AS DOUBLE) / count(*), 4) AS conversion_rate
+FROM per_session
+GROUP BY day
+ORDER BY day
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -2745,6 +2847,7 @@ QUERIES = {
     "q129_range_boundaries": q129_range_boundaries,
     "q131_join_cardinality": q131_join_cardinality,
     "q135_multitouch_attribution": q135_multitouch_attribution,
+    "q138_session_conversion": q138_session_conversion,
 }
 
 ORACLES = {
@@ -2806,4 +2909,5 @@ ORACLES = {
     "q129_range_boundaries": _Q129_SQL,
     "q131_join_cardinality": _Q131_SQL,
     "q135_multitouch_attribution": _Q135_SQL,
+    "q138_session_conversion": _Q138_SQL,
 }

@@ -150,6 +150,7 @@ HEADLINE = [
     "q135_multitouch_attribution",
     "q136_stratified_split",
     "q137_dedup_effectiveness",
+    "q138_session_conversion",
 ]
 
 

@@ -159,3 +159,43 @@ def test_multitouch_credit_conserves_exactly(spark):
     assert out["last"].credit_bp == 8000
     # middles: user1 has 3 middles (2000 total), user3 has 1 middle (2000)
     assert out["middle"].n_touches == 4 and out["middle"].credit_bp == 4000
+
+
+def test_session_conversion_ordering_and_gap(spark):
+    """Conversion requires a purchase AT-OR-AFTER a click INSIDE the
+    session: purchase-then-click does not convert; a >30-min gap splits
+    the session so a click in session 1 cannot convert session 2."""
+    import datetime as dt
+    import os, tempfile
+
+    from airflow_spotify_etl_spark.plans.relational import (
+        q138_session_conversion,
+    )
+
+    base = dt.datetime(2024, 2, 1, 9, 0, 0)
+    rows = []
+    eid = 0
+
+    def ev(kind, user, minutes):
+        nonlocal eid
+        rows.append(
+            (eid, base + dt.timedelta(minutes=minutes), user, kind, 1.0, "{}")
+        )
+        eid += 1
+
+    ev("click", 1, 0); ev("purchase", 1, 5)        # converts
+    ev("purchase", 2, 0); ev("click", 2, 5)        # wrong order: no
+    ev("click", 3, 0); ev("purchase", 3, 45)       # gap splits: no
+    ev("view", 4, 0)                               # session, no funnel
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        out = q138_session_conversion(spark, td).collect()
+    assert len(out) == 1
+    r = out[0]
+    # sessions: u1 x1, u2 x1, u3 x2 (split), u4 x1 = 5; converted: u1 only
+    assert (r.n_sessions, r.n_converted, r.conversion_rate) == (5, 1, 0.2)
