@@ -26,8 +26,10 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = [
+    "exact_heavy_hitters",
     "approx_profile",
     "frequent_values",
     "kmv_group_sketch",
@@ -177,4 +179,69 @@ def kmv_pair_overlap(mins: DataFrame, group_col: str, k: int = 256) -> DataFrame
             .alias("union_card_est"),
         )
         .orderBy("g1", "g2")
+    )
+
+
+def exact_heavy_hitters(
+    df: DataFrame, col: str, m: int = 200
+) -> DataFrame:
+    """EXACT frequent items (count · m > n) over a key space too large
+    to shuffle — the two-phase Misra-Gries pattern: each partition
+    summarizes its rows into ≤ m candidate counters (Arrow-batched,
+    memory O(m)); the union of candidates is exactly-recounted and
+    thresholded. The MG guarantee makes the result EXACT, not
+    approximate: any item with global frequency > n/m survives at least
+    one partition's summary (it cannot be decremented to zero by fewer
+    than n/m other rows in total, and a fortiori not within the
+    partitions it dominates), so no qualifying item is ever missing,
+    and the exact recount discards every non-qualifying candidate.
+    The SQL oracle is therefore the PLAIN ``GROUP BY HAVING
+    count·m > n`` — partitioning cannot change the answer, only the
+    intermediate candidate set (pytest repartitions adversarially and
+    asserts identity).
+
+    Scale: the full key never shuffles — per partition only ≤ m
+    counters leave the executor, and the recount joins the bounded
+    candidate relation (broadcast) against the scan. This is how a
+    100 TB key space (urls, ngrams, user agents) yields its heavy tail
+    without a key-cardinality exchange. The threshold comparison is the
+    integer cross-multiply — no division decides membership."""
+    import pandas as pd
+
+    colname = col
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[colname]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < int(m):
+                    counters[v] = 1
+                else:
+                    dead = [k for k in counters if counters[k] == 1]
+                    for k in counters:
+                        counters[k] -= 1
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({colname: list(counters.keys())})
+
+    field = df.schema[colname]
+    cand_schema = T.StructType([field])
+    candidates = (
+        df.select(colname).mapInPandas(mg, cand_schema).distinct()
+    )
+    n_rel = df.agg(F.count(colname).alias("_n"))
+    counts = (
+        df.join(F.broadcast(candidates), colname)
+        .groupBy(colname)
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(n_rel))
+        .filter(F.col("cnt") * int(m) > F.col("_n"))
+        .select(colname, "cnt", F.col("_n").alias("n_total"))
+        .orderBy(F.col("cnt").desc(), colname)
     )

@@ -3674,6 +3674,45 @@ ORDER BY r.source
 """
 
 
+def q139_exact_heavy_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitter bigrams via the two-phase Misra-Gries pattern
+    (operators/sketches.exact_heavy_hitters, m=1000): per-partition
+    bounded summaries → exact recount of the candidate union — the full
+    bigram key space never shuffles, yet the result is EXACT (the MG
+    guarantee means no qualifying item can be missing, and the recount
+    kills every false candidate). The oracle is the PLAIN
+    GROUP BY HAVING cnt·1000 > n — partitioning cannot change the
+    answer, which is the whole claim."""
+    from ..operators.sketches import exact_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),"
+                " i -> concat_ws(' ', element_at(split(text, ' '), i),"
+                " element_at(split(text, ' '), i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    return exact_heavy_hitters(bigrams, "bigram", m=1000)
+
+
+_Q139_SQL = """
+WITH b AS (
+  SELECT unnest([w[i] || ' ' || w[i + 1] for i in range(1, len(w))]) AS bigram
+  FROM (SELECT string_split(text, ' ') AS w FROM documents)
+), n AS (
+  SELECT count(*) AS n_total FROM b
+)
+SELECT bigram, count(*) AS cnt, n.n_total
+FROM b CROSS JOIN n
+GROUP BY bigram, n.n_total
+HAVING count(*) * 1000 > n.n_total
+ORDER BY cnt DESC, bigram
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -3742,6 +3781,7 @@ QUERIES = {
     "q134_scaling_subsets": q134_scaling_subsets,
     "q136_stratified_split": q136_stratified_split,
     "q137_dedup_effectiveness": q137_dedup_effectiveness,
+    "q139_exact_heavy_bigrams": q139_exact_heavy_bigrams,
 }
 
 ORACLES = {
@@ -3812,4 +3852,5 @@ ORACLES = {
     "q134_scaling_subsets": _Q134_SQL,
     "q136_stratified_split": _Q136_SQL,
     "q137_dedup_effectiveness": _Q137_SQL,
+    "q139_exact_heavy_bigrams": _Q139_SQL,
 }

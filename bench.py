@@ -151,6 +151,7 @@ HEADLINE = [
     "q136_stratified_split",
     "q137_dedup_effectiveness",
     "q138_session_conversion",
+    "q139_exact_heavy_bigrams",
 ]
 
 

@@ -127,3 +127,48 @@ def test_kmv_precut_matches_unbounded_window(spark):
         .filter(F.col("rn") <= 64)
     )
     assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+
+
+def test_exact_heavy_hitters_guarantee_under_adversarial_partitioning(spark):
+    """The MG two-phase result must equal the plain groupBy answer for
+    EVERY partitioning — including one that concentrates the heavy item
+    in a single partition and one that spreads it thin."""
+    from pyspark.sql import functions as F
+
+    from airflow_spotify_etl_spark.operators.sketches import (
+        exact_heavy_hitters,
+    )
+
+    rows = [("hot",)] * 300 + [("warm",)] * 120 + [
+        (f"u{i}",) for i in range(580)
+    ]
+    df = spark.createDataFrame(rows, "w string")
+    want = {("hot", 300), ("warm", 120)}  # cnt*10 > 1000
+
+    for parts in (1, 7, 32):
+        got = {
+            (r.w, r.cnt)
+            for r in exact_heavy_hitters(df.repartition(parts), "w", m=10).collect()
+        }
+        assert got == want, parts
+    # sorted layout (heavy item contiguous) — same answer
+    got = {
+        (r.w, r.cnt)
+        for r in exact_heavy_hitters(
+            df.repartitionByRange(8, "w"), "w", m=10
+        ).collect()
+    }
+    assert got == want
+
+
+def test_exact_heavy_hitters_null_and_empty(spark):
+    from airflow_spotify_etl_spark.operators.sketches import (
+        exact_heavy_hitters,
+    )
+
+    df = spark.createDataFrame([(None,), ("a",), ("a",)], "w string")
+    out = exact_heavy_hitters(df, "w", m=2).collect()
+    # n counts non-null rows only; 'a' has 2 of 2
+    assert [(r.w, r.cnt, r.n_total) for r in out] == [("a", 2, 2)]
+    empty = spark.createDataFrame([], "w string")
+    assert exact_heavy_hitters(empty, "w", m=5).count() == 0
