@@ -2788,6 +2788,79 @@ ORDER BY day
 """
 
 
+def q140_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase latency distribution: the as-of join (q17
+    machinery) pairs each purchase with its most recent prior click by
+    the same user, and the report is exact p50/p90/p99 of the lag in
+    seconds plus the match rate. Exact integer microsecond lags feed
+    Spark's exact percentile ≡ DuckDB quantile_cont (the q114 parity);
+    the match rate is one rounded division of exact counts. The
+    operational number a funnel team actually pages on — how long the
+    intent-to-purchase window really is."""
+    from ..operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        "user_id",
+        F.col("ts").alias("cts"),
+    )
+    j = asof_join(
+        p, c, on=["user_id"], left_ts="ts", right_ts="cts",
+        right_payload=["cid"],
+    )
+    lag_s = (
+        (F.unix_micros("ts") - F.unix_micros("cts")) / F.lit(1_000_000.0)
+    )
+    matched = j.filter(F.col("cid").isNotNull()).select(lag_s.alias("lag"))
+    stats = matched.agg(
+        F.count("*").alias("n_matched"),
+        F.expr("percentile(lag, array(0.5, 0.9, 0.99))").alias("ps"),
+    )
+    total = p.agg(F.count("*").alias("n_purchases"))
+    return stats.crossJoin(F.broadcast(total)).select(
+        "n_purchases",
+        "n_matched",
+        F.round(
+            F.col("n_matched").cast("double")
+            / F.col("n_purchases").cast("double"),
+            4,
+        ).alias("match_rate"),
+        F.round(F.element_at("ps", 1), 2).alias("p50_lag_s"),
+        F.round(F.element_at("ps", 2), 2).alias("p90_lag_s"),
+        F.round(F.element_at("ps", 3), 2).alias("p99_lag_s"),
+    )
+
+
+_Q140_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS cid, user_id, ts AS cts
+  FROM events WHERE event_type = 'click'
+), matched AS (
+  SELECT p.event_id,
+         epoch_us(p.ts) - epoch_us(max(c.cts)) AS lag_us
+  FROM p JOIN c ON c.user_id = p.user_id AND c.cts <= p.ts
+  GROUP BY p.event_id, p.ts
+), lags AS (
+  SELECT lag_us / 1000000.0 AS lag FROM matched
+)
+SELECT (SELECT count(*) FROM p) AS n_purchases,
+       (SELECT count(*) FROM lags) AS n_matched,
+       round(CAST((SELECT count(*) FROM lags) AS DOUBLE)
+             / (SELECT count(*) FROM p), 4) AS match_rate,
+       round(quantile_cont(lag, 0.5), 2) AS p50_lag_s,
+       round(quantile_cont(lag, 0.9), 2) AS p90_lag_s,
+       round(quantile_cont(lag, 0.99), 2) AS p99_lag_s
+FROM lags
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -2848,6 +2921,7 @@ QUERIES = {
     "q131_join_cardinality": q131_join_cardinality,
     "q135_multitouch_attribution": q135_multitouch_attribution,
     "q138_session_conversion": q138_session_conversion,
+    "q140_conversion_latency": q140_conversion_latency,
 }
 
 ORACLES = {
@@ -2910,4 +2984,5 @@ ORACLES = {
     "q131_join_cardinality": _Q131_SQL,
     "q135_multitouch_attribution": _Q135_SQL,
     "q138_session_conversion": _Q138_SQL,
+    "q140_conversion_latency": _Q140_SQL,
 }

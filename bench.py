@@ -152,6 +152,7 @@ HEADLINE = [
     "q137_dedup_effectiveness",
     "q138_session_conversion",
     "q139_exact_heavy_bigrams",
+    "q140_conversion_latency",
 ]
 
 
