@@ -3713,6 +3713,68 @@ ORDER BY cnt DESC, bigram
 """
 
 
+def q141_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram — the shape report a dedup run
+    publishes: how many clusters of each size exist, how many docs and
+    how many would be DROPPED at each size (size − 1 per cluster), plus
+    the singleton count (docs in no near-dup pair at all), derived by
+    subtracting clustered docs from the corpus total. Composes the q42
+    closure; everything after it is two tiny rollups. Exact integers
+    throughout."""
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters")
+    )
+    clustered = sizes.agg(
+        F.coalesce(F.sum("cluster_size"), F.lit(0)).alias("n_clustered")
+    )
+    total = docs.agg(F.count("*").alias("n_total"))
+    singles = (
+        clustered.crossJoin(F.broadcast(total))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("n_total") - F.col("n_clustered")).alias("n_clusters"),
+        )
+    )
+    return (
+        hist.unionByName(singles)
+        .withColumn(
+            "n_docs", F.col("cluster_size") * F.col("n_clusters")
+        )
+        .withColumn(
+            "n_dropped_on_dedup",
+            (F.col("cluster_size") - 1) * F.col("n_clusters"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def _q141_sql() -> str:
+    return f"""
+WITH RECURSIVE {_Q42_CTES}
+, csizes AS (
+  SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+), hist AS (
+  SELECT cluster_size, count(*) AS n_clusters FROM csizes GROUP BY cluster_size
+  UNION ALL
+  SELECT 1 AS cluster_size,
+         (SELECT count(*) FROM documents)
+           - coalesce((SELECT sum(cluster_size) FROM csizes), 0) AS n_clusters
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(n_clusters AS BIGINT) AS n_clusters,
+       CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * n_clusters AS BIGINT) AS n_dropped_on_dedup
+FROM hist
+ORDER BY cluster_size
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -3782,6 +3844,7 @@ QUERIES = {
     "q136_stratified_split": q136_stratified_split,
     "q137_dedup_effectiveness": q137_dedup_effectiveness,
     "q139_exact_heavy_bigrams": q139_exact_heavy_bigrams,
+    "q141_cluster_size_histogram": q141_cluster_size_histogram,
 }
 
 ORACLES = {
@@ -3853,4 +3916,5 @@ ORACLES = {
     "q136_stratified_split": _Q136_SQL,
     "q137_dedup_effectiveness": _Q137_SQL,
     "q139_exact_heavy_bigrams": _Q139_SQL,
+    "q141_cluster_size_histogram": _q141_sql(),
 }

@@ -153,6 +153,7 @@ HEADLINE = [
     "q138_session_conversion",
     "q139_exact_heavy_bigrams",
     "q140_conversion_latency",
+    "q141_cluster_size_histogram",
 ]
 
 
