@@ -3775,6 +3775,63 @@ ORDER BY cluster_size
 """
 
 
+def q142_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model evaluation at corpus scale: the q29 NB language-ID
+    predictions cross-tabulated against the gold ``lang`` labels — the
+    confusion matrix plus per-actual-language recall share. The entire
+    prediction pipeline is already SQL-replayable (q29), so the oracle
+    composes it and the evaluation itself is two exact rollups + one
+    rounded division; a green hash certifies predictions AND the eval
+    arithmetic together. This is the pattern for evaluating ANY
+    relational model in the engine against labels it trained beside."""
+    from ..operators.text import fit_lang_profiles, predict_lang
+
+    docs = load_table(spark, sf_dir, "documents")
+    profiles = fit_lang_profiles(docs)
+    preds = predict_lang(docs, profiles).select("doc_id", "pred_lang")
+    j = preds.join(
+        docs.select("doc_id", F.col("lang").alias("actual_lang")), "doc_id"
+    )
+    totals = j.groupBy("actual_lang").agg(
+        F.count("*").alias("actual_total")
+    )
+    return (
+        j.groupBy("actual_lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .join(totals, "actual_lang")
+        .select(
+            "actual_lang",
+            "pred_lang",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.col("actual_total").cast("double"),
+                4,
+            ).alias("share_of_actual"),
+        )
+        .orderBy("actual_lang", "pred_lang")
+    )
+
+
+def _q142_sql() -> str:
+    return f"""
+WITH preds AS (
+  SELECT doc_id, pred_lang FROM ({_Q29_SQL}) q29
+), j AS (
+  SELECT p.doc_id, p.pred_lang, d.lang AS actual_lang
+  FROM preds p JOIN documents d USING (doc_id)
+), totals AS (
+  SELECT actual_lang, count(*) AS actual_total FROM j GROUP BY actual_lang
+)
+SELECT j.actual_lang, j.pred_lang, count(*) AS n_docs,
+       round(CAST(count(*) AS DOUBLE) / any_value(t.actual_total), 4)
+         AS share_of_actual
+FROM j JOIN totals t ON t.actual_lang = j.actual_lang
+GROUP BY j.actual_lang, j.pred_lang
+ORDER BY j.actual_lang, j.pred_lang
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -3845,6 +3902,7 @@ QUERIES = {
     "q137_dedup_effectiveness": q137_dedup_effectiveness,
     "q139_exact_heavy_bigrams": q139_exact_heavy_bigrams,
     "q141_cluster_size_histogram": q141_cluster_size_histogram,
+    "q142_langid_confusion": q142_langid_confusion,
 }
 
 ORACLES = {
@@ -3917,4 +3975,5 @@ ORACLES = {
     "q137_dedup_effectiveness": _Q137_SQL,
     "q139_exact_heavy_bigrams": _Q139_SQL,
     "q141_cluster_size_histogram": _q141_sql(),
+    "q142_langid_confusion": _q142_sql(),
 }

@@ -154,6 +154,7 @@ HEADLINE = [
     "q139_exact_heavy_bigrams",
     "q140_conversion_latency",
     "q141_cluster_size_histogram",
+    "q142_langid_confusion",
 ]
 
 
