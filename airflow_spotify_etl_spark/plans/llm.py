@@ -3832,6 +3832,87 @@ ORDER BY j.actual_lang, j.pred_lang
 """
 
 
+def q143_classifier_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point selection for the quality classifier: sweep the
+    q104 score threshold and measure precision/recall against the q58
+    heuristic gate as pseudo-labels — exactly how production pipelines
+    calibrate a learned filter against the rule-based one before
+    swapping it in (DCLM/CCNet practice). Thresholding happens on the
+    ROUNDED score both engines share, counts are exact integers, and
+    the P/R columns are guarded rounded divisions. One line per
+    threshold — the table you pick the knee from."""
+    from ..operators.text import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = hashed_linear_score(docs, n_buckets=4096).select(
+        "doc_id", "score"
+    )
+    labels = q58_gopher_quality_flags(spark, sf_dir).select(
+        "doc_id", "keep"
+    )
+    j = scores.join(labels, "doc_id")
+    th = F.explode(
+        F.array(*[F.lit(x) for x in (0.3, 0.4, 0.5, 0.6, 0.7)])
+    ).alias("threshold")
+    e = j.select("score", "keep", th)
+    pred = F.col("score") >= F.col("threshold")
+    agg = e.groupBy("threshold").agg(
+        F.sum(F.when(pred & F.col("keep"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(pred & ~F.col("keep"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~pred & F.col("keep"), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~pred & ~F.col("keep"), 1).otherwise(0)).alias("tn"),
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.round(
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 4
+        ),
+    )
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.round(
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 4
+        ),
+    )
+    return agg.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        prec.alias("precision"), rec.alias("recall"),
+    ).orderBy("threshold")
+
+
+def _q143_sql() -> str:
+    return f"""
+WITH scores AS (
+  SELECT doc_id, score FROM ({_Q104_SQL}) s
+), labels AS (
+  SELECT doc_id, keep FROM ({_Q58_SQL}) l
+), e AS (
+  SELECT s.score, l.keep, t.threshold
+  FROM scores s
+  JOIN labels l USING (doc_id)
+  CROSS JOIN (SELECT unnest([0.3, 0.4, 0.5, 0.6, 0.7]) AS threshold) t
+), agg AS (
+  SELECT threshold,
+         CAST(sum(CASE WHEN score >= threshold AND keep THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN score >= threshold AND NOT keep THEN 1 ELSE 0 END)
+              AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN score < threshold AND keep THEN 1 ELSE 0 END)
+              AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN score < threshold AND NOT keep THEN 1 ELSE 0 END)
+              AS BIGINT) AS tn
+  FROM e GROUP BY threshold
+)
+SELECT threshold, tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0
+            THEN round(CAST(tp AS DOUBLE) / (tp + fp), 4) END AS precision,
+       CASE WHEN tp + fn > 0
+            THEN round(CAST(tp AS DOUBLE) / (tp + fn), 4) END AS recall
+FROM agg
+ORDER BY threshold
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -3903,6 +3984,7 @@ QUERIES = {
     "q139_exact_heavy_bigrams": q139_exact_heavy_bigrams,
     "q141_cluster_size_histogram": q141_cluster_size_histogram,
     "q142_langid_confusion": q142_langid_confusion,
+    "q143_classifier_threshold_sweep": q143_classifier_threshold_sweep,
 }
 
 ORACLES = {
@@ -3976,4 +4058,5 @@ ORACLES = {
     "q139_exact_heavy_bigrams": _Q139_SQL,
     "q141_cluster_size_histogram": _q141_sql(),
     "q142_langid_confusion": _q142_sql(),
+    "q143_classifier_threshold_sweep": _q143_sql(),
 }

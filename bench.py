@@ -155,6 +155,7 @@ HEADLINE = [
     "q140_conversion_latency",
     "q141_cluster_size_histogram",
     "q142_langid_confusion",
+    "q143_classifier_threshold_sweep",
 ]
 
 
