@@ -33,6 +33,7 @@ __all__ = [
     "skew_report",
     "epoch_shuffle",
     "range_boundaries",
+    "curriculum_order",
 ]
 
 
@@ -398,4 +399,52 @@ def range_boundaries(
             F.col("bucket") <= n - 2,
             F.round(F.element_at("_bs", F.col("bucket") + 1), 4),
         ).alias("hi"),
+    )
+
+
+def curriculum_order(
+    df: DataFrame,
+    tier_col: str,
+    id_col: str = "doc_id",
+    seed: str = "cur0",
+    batch_size: int = 64,
+) -> DataFrame:
+    """Curriculum training order: TIER-major (easy tiers first),
+    deterministically SHUFFLED within each tier — the read order a
+    curriculum run wants, with the same reproducibility/auditability
+    contract as ``epoch_shuffle``. Implementation is the same
+    distributed two-phase rank with a composite bucket
+    (tier · 256 + hash-prefix): per-bucket partitioned rank + a
+    broadcast offset relation whose only unpartitioned window runs over
+    ≤ tiers × 256 rows. Global order equals (tier asc, md5(seed:id)
+    asc) — provable against the naive window (the q116 oracle
+    discipline) — and batches are contiguous cuts of it, so early
+    batches are all easy-tier."""
+    from pyspark.sql import Window as W
+
+    key = F.md5(
+        F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    b = df.select(
+        F.col(id_col), F.col(tier_col).alias("tier"), key.alias("shuffle_key")
+    ).withColumn(
+        "_bucket",
+        F.col("tier").cast("long") * 256
+        + F.conv(F.substring("shuffle_key", 1, 2), 16, 10).cast("long"),
+    )
+    counts = b.groupBy("_bucket").agg(F.count("*").alias("_cnt"))
+    off_w = W.orderBy("_bucket").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_bucket",
+        F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_offset"),
+    )
+    rank_w = W.partitionBy("_bucket").orderBy("shuffle_key", id_col)
+    return (
+        b.withColumn("_r", F.row_number().over(rank_w))
+        .join(F.broadcast(offsets), "_bucket")
+        .withColumn("global_pos", F.col("_offset") + F.col("_r") - 1)
+        .withColumn(
+            "batch_id", F.floor(F.col("global_pos") / int(batch_size))
+        )
+        .select(id_col, "tier", "shuffle_key", "global_pos", "batch_id")
     )

@@ -2861,6 +2861,40 @@ FROM lags
 """
 
 
+def q144_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum read order (operators/layout.curriculum_order): docs
+    tiered by length (shorter = earlier, tier = min(n_chars/250, 3) —
+    the classic short-to-long curriculum), shuffled within tier,
+    batches as contiguous cuts. The distributed composite-bucket rank
+    is oracle-proven against the naive (tier, md5) global row_number —
+    the q116 argument extended to a two-level key."""
+    from ..operators.layout import curriculum_order
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "tier", F.least(F.floor(F.col("n_chars") / 250), F.lit(3)).cast("int")
+    )
+    return curriculum_order(
+        docs, tier_col="tier", id_col="doc_id", seed="cur0", batch_size=64
+    ).orderBy("global_pos")
+
+
+_Q144_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(least(floor(n_chars / 250), 3) AS INTEGER) AS tier,
+         md5('cur0:' || doc_id::VARCHAR) AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, tier, shuffle_key,
+       row_number() OVER (ORDER BY tier, shuffle_key, doc_id) - 1
+         AS global_pos,
+       (row_number() OVER (ORDER BY tier, shuffle_key, doc_id) - 1) // 64
+         AS batch_id
+FROM t
+ORDER BY global_pos
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -2922,6 +2956,7 @@ QUERIES = {
     "q135_multitouch_attribution": q135_multitouch_attribution,
     "q138_session_conversion": q138_session_conversion,
     "q140_conversion_latency": q140_conversion_latency,
+    "q144_curriculum_order": q144_curriculum_order,
 }
 
 ORACLES = {
@@ -2985,4 +3020,5 @@ ORACLES = {
     "q135_multitouch_attribution": _Q135_SQL,
     "q138_session_conversion": _Q138_SQL,
     "q140_conversion_latency": _Q140_SQL,
+    "q144_curriculum_order": _Q144_SQL,
 }

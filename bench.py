@@ -156,6 +156,7 @@ HEADLINE = [
     "q141_cluster_size_histogram",
     "q142_langid_confusion",
     "q143_classifier_threshold_sweep",
+    "q144_curriculum_order",
 ]
 
 

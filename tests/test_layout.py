@@ -245,3 +245,22 @@ def test_range_boundaries_balance_and_edges(spark):
     # boundaries ascend
     bs = [out[0].hi, out[1].hi, out[2].hi]
     assert bs == sorted(bs)
+
+
+def test_curriculum_order_tier_major_shuffled_within(spark):
+    from airflow_spotify_etl_spark.operators.layout import curriculum_order
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("int").alias("tier")
+    )
+    out = curriculum_order(df, "tier").orderBy("global_pos").collect()
+    # positions are a permutation; tiers are non-decreasing along it
+    assert [r.global_pos for r in out] == list(range(200))
+    tiers = [r.tier for r in out]
+    assert tiers == sorted(tiers)
+    # within a tier the doc order is NOT the id order (it is shuffled)
+    t0 = [r.doc_id for r in out if r.tier == 0]
+    assert t0 != sorted(t0)
+    # deterministic
+    again = curriculum_order(df, "tier").orderBy("global_pos").collect()
+    assert [r.doc_id for r in again] == [r.doc_id for r in out]
