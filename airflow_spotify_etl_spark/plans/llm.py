@@ -3913,6 +3913,63 @@ ORDER BY threshold
 """
 
 
+def q145_interleaved_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-interleaved training order — the fix for homogeneous
+    batches: docs are shuffled WITHIN each source (md5 rank) and then
+    round-robin interleaved across sources, so every contiguous batch
+    carries the corpus's source mix. The global position needs NO rank
+    machinery at all: with the per-source size table broadcast as one
+    array, pos(r, s) = Σ_s' min(r, n_s') + |{s' < s : n_s' > r}| — a
+    pure codegen fold over ~source-count array entries per row, exactly
+    the row_number the naive ORDER BY (r, source) would assign
+    (the oracle proves the closed form). Even cheaper than the q116
+    bucket-offset rank: one within-source window + a broadcast fold,
+    zero extra exchanges."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("il0:"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("source").orderBy(key, "doc_id")
+    ranked = docs.select("doc_id", "source").withColumn(
+        "r", F.row_number().over(w) - 1
+    )
+    sizes = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("source", "n"))
+            ).alias("sz")
+        )
+    )
+    pos = F.expr(
+        "aggregate(sz, 0L, (acc, x) -> acc + least(CAST(r AS BIGINT), x.n)"
+        " + CASE WHEN x.source < source AND x.n > r THEN 1L ELSE 0L END)"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(sizes))
+        .withColumn("global_pos", pos)
+        .withColumn("batch_id", F.floor(F.col("global_pos") / 64))
+        .select("doc_id", "source", "r", "global_pos", "batch_id")
+        .orderBy("global_pos")
+    )
+
+
+_Q145_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('il0:' || doc_id::VARCHAR), doc_id
+         ) - 1 AS r
+  FROM documents
+)
+SELECT doc_id, source, r,
+       row_number() OVER (ORDER BY r, source) - 1 AS global_pos,
+       (row_number() OVER (ORDER BY r, source) - 1) // 64 AS batch_id
+FROM ranked
+ORDER BY global_pos
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -3985,6 +4042,7 @@ QUERIES = {
     "q141_cluster_size_histogram": q141_cluster_size_histogram,
     "q142_langid_confusion": q142_langid_confusion,
     "q143_classifier_threshold_sweep": q143_classifier_threshold_sweep,
+    "q145_interleaved_batches": q145_interleaved_batches,
 }
 
 ORACLES = {
@@ -4059,4 +4117,5 @@ ORACLES = {
     "q141_cluster_size_histogram": _q141_sql(),
     "q142_langid_confusion": _q142_sql(),
     "q143_classifier_threshold_sweep": _q143_sql(),
+    "q145_interleaved_batches": _Q145_SQL,
 }

@@ -157,6 +157,7 @@ HEADLINE = [
     "q142_langid_confusion",
     "q143_classifier_threshold_sweep",
     "q144_curriculum_order",
+    "q145_interleaved_batches",
 ]
 
 

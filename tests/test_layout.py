@@ -264,3 +264,32 @@ def test_curriculum_order_tier_major_shuffled_within(spark):
     # deterministic
     again = curriculum_order(df, "tier").orderBy("global_pos").collect()
     assert [r.doc_id for r in again] == [r.doc_id for r in out]
+
+
+def test_interleave_closed_form_and_batch_mix(spark):
+    """The closed-form position equals the naive (r, source) row_number
+    on SKEWED source sizes, and the first batch contains every source
+    that still has docs — the mix property interleaving exists for."""
+    import os, tempfile
+
+    import airflow_spotify_etl_spark.plans.llm as llm
+
+    rows = [(i, f"t{i}", "en", "big", 5) for i in range(90)]
+    rows += [(200 + i, f"u{i}", "en", "mid", 5) for i in range(30)]
+    rows += [(400 + i, f"v{i}", "en", "tiny", 5) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = llm.q145_interleaved_batches(spark, td).orderBy("global_pos").collect()
+    assert [r.global_pos for r in out] == list(range(126))
+    # naive reference
+    ranked = sorted(out, key=lambda x: (x.r, x.source))
+    assert [r.global_pos for r in ranked] == list(range(126))
+    # batch 0 (64 docs) holds all three sources; tiny is exhausted early
+    b0 = {r.source for r in out if r.batch_id == 0}
+    assert b0 == {"big", "mid", "tiny"}
+    # the first 3*6 positions alternate through all sources while tiny lasts
+    first18 = [r.source for r in out[:18]]
+    assert first18.count("tiny") == 6
