@@ -3970,6 +3970,72 @@ ORDER BY global_pos
 """
 
 
+def q146_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query IVF recall, driver-visible (the q113 audit pattern
+    applied to the IVF tier): the q56 hash-seeded IVF search (nprobe
+    4/16) against the q22 brute-force top-5 — per query, the pruned
+    tier's hit list and its overlap with ground truth. Both pipelines
+    already replay in SQL, so the composed oracle certifies the search
+    AND the audit; the pytest recall gate becomes an official
+    correctness row."""
+    from ..operators.similarity import cosine_topk, hash_seed_centroids, ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cents = hash_seed_centroids(corpus, nlist=16)
+    ivf = ivf_search(corpus, queries, cents, k=5, nprobe=4).select(
+        "query_id", "vec_id"
+    )
+    brute = cosine_topk(corpus, queries, k=5).select(
+        "query_id", F.col("vec_id").alias("bvec")
+    )
+    hits = (
+        ivf.alias("i")
+        .join(
+            brute.alias("b"),
+            (F.col("i.query_id") == F.col("b.query_id"))
+            & (F.col("i.vec_id") == F.col("b.bvec")),
+            "left",
+        )
+        .select(
+            F.col("i.query_id").alias("query_id"),
+            F.col("i.vec_id").alias("vec_id"),
+            F.col("b.bvec").isNotNull().alias("hit"),
+        )
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list(F.col("vec_id").cast("string")))
+            ).alias("ivf_top5"),
+            F.sum(F.col("hit").cast("long")).alias("n_overlap_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _q146_sql() -> str:
+    return f"""
+WITH ivf AS (
+  SELECT query_id, vec_id FROM ({_Q56_SQL}) s
+), brute AS (
+  SELECT query_id, vec_id AS bvec FROM ({_Q22_SQL}) b
+)
+SELECT i.query_id,
+       array_to_string(list_sort(list(i.vec_id::VARCHAR)), ',') AS ivf_top5,
+       CAST(sum(CASE WHEN br.bvec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overlap_at_5
+FROM ivf i
+LEFT JOIN brute br ON br.query_id = i.query_id AND br.bvec = i.vec_id
+GROUP BY i.query_id
+ORDER BY i.query_id
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -4043,6 +4109,7 @@ QUERIES = {
     "q142_langid_confusion": q142_langid_confusion,
     "q143_classifier_threshold_sweep": q143_classifier_threshold_sweep,
     "q145_interleaved_batches": q145_interleaved_batches,
+    "q146_ivf_recall_audit": q146_ivf_recall_audit,
 }
 
 ORACLES = {
@@ -4118,4 +4185,5 @@ ORACLES = {
     "q142_langid_confusion": _q142_sql(),
     "q143_classifier_threshold_sweep": _q143_sql(),
     "q145_interleaved_batches": _Q145_SQL,
+    "q146_ivf_recall_audit": _q146_sql(),
 }

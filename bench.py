@@ -158,6 +158,7 @@ HEADLINE = [
     "q143_classifier_threshold_sweep",
     "q144_curriculum_order",
     "q145_interleaved_batches",
+    "q146_ivf_recall_audit",
 ]
 
 
