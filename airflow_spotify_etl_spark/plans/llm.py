@@ -4036,6 +4036,90 @@ ORDER BY i.query_id
 """
 
 
+def q147_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline as one oracle-checked funnel: input →
+    heuristic gate (q58 keep) → exact dedup (min-id keeper per md5
+    among gate survivors) → near-dup dedup (min SURVIVING id per q42
+    cluster; unclustered survivors pass) — per-stage counts and
+    retention. Each stage is individually oracle-checked elsewhere;
+    this row certifies their COMPOSITION, the thing a production corpus
+    build actually runs (pipelines/corpus.py is the executable twin).
+    All integers; ratios are single rounded divisions."""
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    gate = q58_gopher_quality_flags(spark, sf_dir).select("doc_id", "keep")
+    g = docs.join(gate, "doc_id").filter(F.col("keep"))
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = (
+        g.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id")
+    )
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000)
+    comp = connected_components(pairs)
+    surv = exact.join(comp, "doc_id", "left")
+    clustered_keep = (
+        surv.filter(F.col("component").isNotNull())
+        .groupBy("component")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    final = surv.filter(F.col("component").isNull()).select("doc_id").unionByName(
+        clustered_keep
+    )
+    n_input = docs.agg(F.count("*").alias("n_input"))
+    n_gate = g.agg(F.count("*").alias("n_after_gate"))
+    n_exact = exact.agg(F.count("*").alias("n_after_exact"))
+    n_final = final.agg(F.count("*").alias("n_after_neardup"))
+    return (
+        n_input.crossJoin(F.broadcast(n_gate))
+        .crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_final))
+        .select(
+            "n_input",
+            "n_after_gate",
+            "n_after_exact",
+            "n_after_neardup",
+            F.round(
+                F.col("n_after_neardup").cast("double")
+                / F.col("n_input").cast("double"),
+                4,
+            ).alias("retention"),
+        )
+    )
+
+
+def _q147_sql() -> str:
+    return f"""
+WITH RECURSIVE {_Q42_CTES}
+, gate AS (
+  SELECT doc_id FROM ({_Q58_SQL}) g WHERE keep
+), gdocs AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN gate USING (doc_id)
+), exact AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM gdocs
+  ) WHERE rn = 1
+), surv AS (
+  SELECT e.doc_id, c.component
+  FROM exact e LEFT JOIN comp c USING (doc_id)
+), final AS (
+  SELECT doc_id FROM surv WHERE component IS NULL
+  UNION ALL
+  SELECT min(doc_id) FROM surv WHERE component IS NOT NULL GROUP BY component
+)
+SELECT (SELECT count(*) FROM documents) AS n_input,
+       (SELECT count(*) FROM gate) AS n_after_gate,
+       (SELECT count(*) FROM exact) AS n_after_exact,
+       (SELECT count(*) FROM final) AS n_after_neardup,
+       round(CAST((SELECT count(*) FROM final) AS DOUBLE)
+             / (SELECT count(*) FROM documents), 4) AS retention
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -4110,6 +4194,7 @@ QUERIES = {
     "q143_classifier_threshold_sweep": q143_classifier_threshold_sweep,
     "q145_interleaved_batches": q145_interleaved_batches,
     "q146_ivf_recall_audit": q146_ivf_recall_audit,
+    "q147_pipeline_funnel": q147_pipeline_funnel,
 }
 
 ORACLES = {
@@ -4186,4 +4271,5 @@ ORACLES = {
     "q143_classifier_threshold_sweep": _q143_sql(),
     "q145_interleaved_batches": _Q145_SQL,
     "q146_ivf_recall_audit": _q146_sql(),
+    "q147_pipeline_funnel": _q147_sql(),
 }

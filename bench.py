@@ -159,6 +159,7 @@ HEADLINE = [
     "q144_curriculum_order",
     "q145_interleaved_batches",
     "q146_ivf_recall_audit",
+    "q147_pipeline_funnel",
 ]
 
 
