@@ -4120,6 +4120,73 @@ SELECT (SELECT count(*) FROM documents) AS n_input,
 """
 
 
+def q148_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination accounting per source — the release-gate view of
+    q50's doc-level flags: how many docs each source contributes, how
+    many carry eval-set n-gram collisions, the contamination rate, and
+    the overlap-depth maximum (one deeply-contaminated doc is a
+    different problem than many grazing ones). Composes the q50 scan
+    (broadcast eval shingles, no corpus self-join) with one
+    source-cardinality rollup; exact integers + one rounded rate."""
+    from ..operators.dedup import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") < 5)
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    flagged = ngram_contamination(corpus, eval_docs, n=4).select(
+        "doc_id", "n_shared_ngrams"
+    )
+    j = corpus.select("doc_id", "source").join(flagged, "doc_id", "left")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("n_shared_ngrams").alias("n_contaminated"),
+            F.coalesce(F.max("n_shared_ngrams"), F.lit(0)).alias(
+                "max_shared_ngrams"
+            ),
+        )
+        .withColumn(
+            "contamination_rate",
+            F.round(
+                F.col("n_contaminated").cast("double")
+                / F.col("n_docs").cast("double"),
+                4,
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_Q148_SQL = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           [array_to_string(w[i:i+3], ' ') for i in range(1, len(w) - 2)]
+         )) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), needles AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id < 5
+), flagged AS (
+  SELECT s.doc_id, count(*) AS n_shared_ngrams
+  FROM sh s JOIN needles n USING (shingle)
+  WHERE s.doc_id >= 5
+  GROUP BY s.doc_id
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       count(f.n_shared_ngrams) AS n_contaminated,
+       CAST(coalesce(max(f.n_shared_ngrams), 0) AS BIGINT)
+         AS max_shared_ngrams,
+       round(CAST(count(f.n_shared_ngrams) AS DOUBLE) / count(*), 4)
+         AS contamination_rate
+FROM documents d
+LEFT JOIN flagged f ON f.doc_id = d.doc_id
+WHERE d.doc_id >= 5
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -4195,6 +4262,7 @@ QUERIES = {
     "q145_interleaved_batches": q145_interleaved_batches,
     "q146_ivf_recall_audit": q146_ivf_recall_audit,
     "q147_pipeline_funnel": q147_pipeline_funnel,
+    "q148_contamination_by_source": q148_contamination_by_source,
 }
 
 ORACLES = {
@@ -4272,4 +4340,5 @@ ORACLES = {
     "q145_interleaved_batches": _Q145_SQL,
     "q146_ivf_recall_audit": _q146_sql(),
     "q147_pipeline_funnel": _q147_sql(),
+    "q148_contamination_by_source": _Q148_SQL,
 }

@@ -160,6 +160,7 @@ HEADLINE = [
     "q145_interleaved_batches",
     "q146_ivf_recall_audit",
     "q147_pipeline_funnel",
+    "q148_contamination_by_source",
 ]
 
 
