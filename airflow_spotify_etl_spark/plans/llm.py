@@ -4187,6 +4187,90 @@ ORDER BY d.source
 """
 
 
+def q149_signature_tier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-tier dedup agreement, driver-visible: exact Jaccard (q24)
+    as ground truth vs BOTH signature tiers — MinHash-LSH (q25) and
+    SimHash (q26) — pair counts, per-tier overlap with truth, and
+    recall. Completes the q130 audit across the whole signature family:
+    one table says which approximate tier you can trust at this
+    threshold (LSH recalls everything; SimHash's coarser 64-bit
+    signature trades recall for cost — the number makes the trade
+    visible). All three pipelines replay in the composed oracle."""
+    from ..operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = (
+        ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    lsh = (
+        minhash_lsh_pairs(docs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    sim = (
+        simhash_pairs(docs)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+
+    def n(df, name):
+        return df.agg(F.count("*").alias(name))
+
+    def inter(a, b, name):
+        return a.join(b, ["doc_a", "doc_b"]).agg(F.count("*").alias(name))
+
+    out = (
+        n(exact, "n_exact")
+        .crossJoin(F.broadcast(n(lsh, "n_lsh")))
+        .crossJoin(F.broadcast(n(sim, "n_simhash")))
+        .crossJoin(F.broadcast(inter(lsh, exact, "lsh_hits")))
+        .crossJoin(F.broadcast(inter(sim, exact, "simhash_hits")))
+    )
+    rec = lambda h: F.when(  # noqa: E731
+        F.col("n_exact") > 0,
+        F.round(F.col(h).cast("double") / F.col("n_exact").cast("double"), 4),
+    )
+    return out.select(
+        "n_exact", "n_lsh", "n_simhash", "lsh_hits", "simhash_hits",
+        rec("lsh_hits").alias("lsh_recall"),
+        rec("simhash_hits").alias("simhash_recall"),
+    )
+
+
+def _q149_sql() -> str:
+    return f"""
+WITH exact_pairs AS (
+  SELECT doc_a, doc_b FROM ({_Q24_SQL}) x
+), lsh_pairs AS (
+  SELECT doc_a, doc_b FROM ({_q25_sql()}) y
+), sim_pairs AS (
+  SELECT doc_a, doc_b FROM ({_Q26_SQL}) z
+), m AS (
+  SELECT (SELECT count(*) FROM exact_pairs) AS n_exact,
+         (SELECT count(*) FROM lsh_pairs) AS n_lsh,
+         (SELECT count(*) FROM sim_pairs) AS n_simhash,
+         (SELECT count(*) FROM lsh_pairs l JOIN exact_pairs e
+            ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b) AS lsh_hits,
+         (SELECT count(*) FROM sim_pairs s JOIN exact_pairs e
+            ON e.doc_a = s.doc_a AND e.doc_b = s.doc_b) AS simhash_hits
+)
+SELECT n_exact, n_lsh, n_simhash, lsh_hits, simhash_hits,
+       CASE WHEN n_exact > 0
+            THEN round(CAST(lsh_hits AS DOUBLE) / n_exact, 4) END
+         AS lsh_recall,
+       CASE WHEN n_exact > 0
+            THEN round(CAST(simhash_hits AS DOUBLE) / n_exact, 4) END
+         AS simhash_recall
+FROM m
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -4263,6 +4347,7 @@ QUERIES = {
     "q146_ivf_recall_audit": q146_ivf_recall_audit,
     "q147_pipeline_funnel": q147_pipeline_funnel,
     "q148_contamination_by_source": q148_contamination_by_source,
+    "q149_signature_tier_agreement": q149_signature_tier_agreement,
 }
 
 ORACLES = {
@@ -4341,4 +4426,5 @@ ORACLES = {
     "q146_ivf_recall_audit": _q146_sql(),
     "q147_pipeline_funnel": _q147_sql(),
     "q148_contamination_by_source": _Q148_SQL,
+    "q149_signature_tier_agreement": _q149_sql(),
 }

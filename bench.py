@@ -161,6 +161,7 @@ HEADLINE = [
     "q146_ivf_recall_audit",
     "q147_pipeline_funnel",
     "q148_contamination_by_source",
+    "q149_signature_tier_agreement",
 ]
 
 
