@@ -107,5 +107,62 @@ ORDER BY doc_id
 """
 
 
-QUERIES = {"q33_flatten_track_payload": q33_flatten_track_payload}
-ORACLES = {"q33_flatten_track_payload": _Q33_SQL}
+def q150_reference_top_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference application's OWN pipeline as one oracle-checked
+    query — the capstone parity row: nested payload flatten with
+    defaults (spotify_etl.py:224-260 semantics, the q33 machinery) →
+    ms→m:ss display format (new.py:170) → popularity rank and top-10
+    (new.py:97-114's enumerate over the sorted list). A user of the
+    reference reads THIS table; here the whole chain is declarative
+    Catalyst and the oracle replays every default, the format string,
+    and the rank. The global rank window is the reference's own
+    semantic (its only window) and is bounded by the top-10 cut."""
+    docs = load_table(spark, sf_dir, "documents")
+    fields = [FieldSpec("doc_id", "doc_id"), *TRACK_FIELDS]
+    flat = flatten_with_defaults(_nested_tracks(docs), fields)
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("popularity").desc(), "doc_id")
+    ms = F.col("duration_ms")
+    return (
+        flat.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "rank",
+            "artist_name",
+            "song_name",
+            F.format_string(
+                "%d:%02d",
+                (ms / 60000).cast("bigint"),
+                ((ms % 60000) / 1000).cast("bigint"),
+            ).alias("duration"),
+            "popularity",
+            "album_name",
+        )
+        .orderBy("rank")
+    )
+
+
+_Q150_SQL = f"""
+WITH flat AS (
+  SELECT * FROM ({_Q33_SQL}) f
+)
+SELECT row_number() OVER (ORDER BY popularity DESC, doc_id) AS rank,
+       artist_name, song_name,
+       printf('%d:%02d', duration_ms // 60000,
+              (duration_ms % 60000) // 1000) AS duration,
+       popularity, album_name
+FROM flat
+ORDER BY rank
+LIMIT 10
+"""
+
+
+QUERIES = {
+    "q33_flatten_track_payload": q33_flatten_track_payload,
+    "q150_reference_top_tracks": q150_reference_top_tracks,
+}
+ORACLES = {
+    "q33_flatten_track_payload": _Q33_SQL,
+    "q150_reference_top_tracks": _Q150_SQL,
+}

@@ -162,6 +162,7 @@ HEADLINE = [
     "q147_pipeline_funnel",
     "q148_contamination_by_source",
     "q149_signature_tier_agreement",
+    "q150_reference_top_tracks",
 ]
 
 
