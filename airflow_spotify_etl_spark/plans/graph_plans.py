@@ -93,12 +93,92 @@ SELECT node, round(rank, 6) AS rank FROM r{iters} ORDER BY node
     return "".join(parts)
 
 
+def q151_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-walk-with-restart item similarity (operators/graph.
+    personalized_pagerank): the q57 transition graph with teleport onto
+    the 3 smallest item ids — "expand from THESE items", the
+    recommendation/query-expansion counterpart of global importance.
+    Same unrolled-fixpoint oracle discipline as q57, with the uniform
+    1/N teleport replaced by the seed vector (ORDER BY node LIMIT 3 —
+    relationally derived, so SQL replays it)."""
+    from ..operators.graph import personalized_pagerank
+
+    ev = load_table(spark, sf_dir, "events")
+    item = F.get_json_object("props", "$.k").cast("bigint")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select("user_id", "ts", "event_id", item.alias("dst"))
+        .withColumn("src", F.lag("dst").over(w))
+        .filter(F.col("src").isNotNull())
+    )
+    return personalized_pagerank(
+        edges, "src", "dst", damping=_DAMPING, iters=_ITERS, seeds_k=3
+    )
+
+
+def _q151_sql(damping: float = _DAMPING, iters: int = _ITERS, k: int = 3) -> str:
+    parts = [
+        f"""
+WITH it AS (
+  SELECT user_id, ts, event_id,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst,
+         lag(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+  FROM events
+), e AS (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+  FROM it WHERE src IS NOT NULL GROUP BY src, dst
+), outw AS (
+  SELECT src, sum(w) AS out_w FROM e GROUP BY src
+), nodes0 AS (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+), seeds AS (
+  SELECT node FROM nodes0 ORDER BY node LIMIT {k}
+), nodes AS (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL
+              THEN CAST(1.0 AS DOUBLE) / {k} ELSE 0.0 END AS p
+  FROM nodes0 n LEFT JOIN seeds s ON s.node = n.node
+), r0 AS (
+  SELECT node, p, p AS rank FROM nodes
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", d{i} AS (
+  SELECT coalesce(sum(rank), 0.0) AS dm
+  FROM r{i} WHERE node NOT IN (SELECT src FROM outw)
+), r{i + 1} AS (
+  SELECT nd.node, nd.p,
+         (1 - {damping}) * nd.p
+         + {damping} * (coalesce(inf.s, 0.0)
+                        + (SELECT dm FROM d{i}) * nd.p) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank * e.w / o.out_w) AS s
+    FROM e
+    JOIN r{i} r ON e.src = r.node
+    JOIN outw o ON o.src = e.src
+    GROUP BY e.dst
+  ) inf ON nd.node = inf.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, round(rank, 6) AS rank FROM r{iters} ORDER BY node
+"""
+    )
+    return "".join(parts)
+
+
 QUERIES = {
     "q57_item_pagerank": q57_item_pagerank,
+    "q151_personalized_pagerank": q151_personalized_pagerank,
 }
 
 ORACLES = {
     "q57_item_pagerank": _q57_sql(),
+    "q151_personalized_pagerank": _q151_sql(),
 }
 
 

@@ -163,6 +163,7 @@ HEADLINE = [
     "q148_contamination_by_source",
     "q149_signature_tier_agreement",
     "q150_reference_top_tracks",
+    "q151_personalized_pagerank",
 ]
 
 

@@ -153,3 +153,26 @@ def test_adamic_adar_planted_affinity(spark):
     assert cd.n_common_users == 1
     assert abs(cd.aa_score - round(1 / math.log(4), 4)) < 1e-9
     assert ("A", "X1") not in got  # user 6's basket exceeded the cap
+
+
+def test_personalized_pagerank_mass_near_seeds(spark):
+    """On a star graph rooted at node 0 (seed), PPR concentrates mass on
+    the seed and its out-neighbors; a node unreachable from the seeds
+    (and not a seed) gets rank 0."""
+    from airflow_spotify_etl_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    # 0 -> 1, 0 -> 2, 1 -> 0, plus an isolated pair 8 -> 9
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 0), (8, 9)], "src long, dst long"
+    )
+    out = {r.node: r.rank for r in personalized_pagerank(
+        edges, seeds_k=3, iters=10
+    ).collect()}
+    # seeds are the 3 smallest nodes: 0, 1, 2
+    assert out[0] > out[9]
+    assert out[9] == 0.0  # 9 only receives from 8, which has rank 0
+    assert out[8] == 0.0  # not a seed, no inflow
+    # total mass stays bounded by 1 (teleport loses nothing to danglers)
+    assert 0.99 <= sum(out.values()) <= 1.01
