@@ -2895,6 +2895,47 @@ ORDER BY global_pos
 """
 
 
+def q152_sql_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4's shape (order-priority checking) through the SQL
+    surface: count orders per priority that have AT LEAST ONE line
+    shipped more than 90 days after the order date — the correlated
+    EXISTS that Catalyst rewrites into a left SEMI join (one probe per
+    order, no row multiplication from multi-line orders, which a plain
+    join + distinct would pay for). Both date predicates pushed; the
+    date arithmetic is written identically in both engines."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1995-04-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > CAST(date_add(o_orderdate, 90) AS TIMESTAMP)
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+_Q152_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > (o_orderdate + INTERVAL 90 DAY)::TIMESTAMP
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -2957,6 +2998,7 @@ QUERIES = {
     "q138_session_conversion": q138_session_conversion,
     "q140_conversion_latency": q140_conversion_latency,
     "q144_curriculum_order": q144_curriculum_order,
+    "q152_sql_priority_check": q152_sql_priority_check,
 }
 
 ORACLES = {
@@ -3021,4 +3063,5 @@ ORACLES = {
     "q138_session_conversion": _Q138_SQL,
     "q140_conversion_latency": _Q140_SQL,
     "q144_curriculum_order": _Q144_SQL,
+    "q152_sql_priority_check": _Q152_SQL,
 }

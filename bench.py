@@ -164,6 +164,7 @@ HEADLINE = [
     "q149_signature_tier_agreement",
     "q150_reference_top_tracks",
     "q151_personalized_pagerank",
+    "q152_sql_priority_check",
 ]
 
 
