@@ -1610,8 +1610,6 @@ def q78_trend_fit_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("x", F.col("x") - F.lit(base))
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        from decimal import Decimal
-
         n = len(pdf)
         x = [int(v) for v in pdf["x"]]
         y = [int(v) for v in pdf["y"]]
@@ -1620,18 +1618,21 @@ def q78_trend_fit_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         sxx = sum(a * a for a in x)
         num = n * sxy - sx * sy
         den = n * sxx - sx * sx
+        # num/den exceed int64 at scale; emitted as exact decimal STRINGS
+        # because DuckDB's pandas fetch coerces HUGEINT/DECIMAL(38,0) to
+        # float64, which breaks the driver's exact-string value hash.
         return pd.DataFrame(
             [
                 {
                     "event_type": pdf["event_type"].iloc[0],
                     "n": n,
-                    "num": Decimal(num),
-                    "den": Decimal(den),
+                    "num": str(num),
+                    "den": str(den),
                 }
             ]
         )
 
-    schema = "event_type string, n long, num decimal(38,0), den decimal(38,0)"
+    schema = "event_type string, n long, num string, den string"
     return (
         pre.groupBy("event_type").applyInPandas(fit, schema).orderBy("event_type")
     )
@@ -1651,8 +1652,8 @@ WITH b AS (
   FROM b GROUP BY event_type
 )
 SELECT event_type, CAST(n AS BIGINT) AS n,
-       CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS num,
-       CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS den
+       CAST(n * sxy - sx * sy AS VARCHAR) AS num,
+       CAST(n * sxx - sx * sx AS VARCHAR) AS den
 FROM s ORDER BY event_type
 """
 
@@ -2936,6 +2937,193 @@ ORDER BY o_orderpriority
 """
 
 
+def q153_sql_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13's shape (customer distribution) through the SQL surface:
+    LEFT OUTER join customer→orders with an extra join-side predicate
+    (non-urgent orders only — the analog of Q13's comment filter, and it
+    must live in the ON clause: in the WHERE it would silently turn the
+    outer join inner and drop the zero-order bucket), count orders per
+    customer including the zero bucket, then histogram the counts. Two
+    aggregations, the second over |distinct counts| rows. All-integer
+    output — hash-exact by construction. The outer join hashes on the
+    customer key; at scale AQE picks broadcast for the dim side."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey
+               AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+        """
+    )
+
+
+_Q153_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q154_sql_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape (suppliers who kept orders waiting) through the
+    SQL surface, adapted to this schema's columns: a line is "late" when
+    it ships > 60 days after its order date (the testdata has no
+    commit/receipt dates). For finished orders, count per supplier the
+    orders where THEIR line was late, another supplier participated
+    (correlated EXISTS → left semi join), and NO other supplier was late
+    (correlated NOT EXISTS → left anti join). The per-(order, supplier)
+    late flag is pre-aggregated once in a CTE so all three references
+    probe the same |order-supplier| relation rather than re-joining raw
+    lineitem; Catalyst plans the chain as hash semi + anti joins on the
+    order key — no row multiplication, no distinct. Integer output."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["supplier", "lineitem", "orders", "nation"])
+    return spark.sql(
+        """
+        WITH lf AS (
+          SELECT l_orderkey, l_suppkey,
+                 max(CASE WHEN l_shipdate >
+                       CAST(date_add(o_orderdate, 60) AS TIMESTAMP)
+                     THEN 1 ELSE 0 END) AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+          GROUP BY l_orderkey, l_suppkey
+        )
+        SELECT s_name, n_name, count(*) AS numwait
+        FROM supplier s
+        JOIN lf l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN nation ON s.s_nationkey = n_nationkey
+        WHERE l1.late = 1
+          AND EXISTS (
+            SELECT 1 FROM lf l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lf l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.late = 1
+          )
+        GROUP BY s_name, n_name
+        ORDER BY numwait DESC, s_name
+        """
+    )
+
+
+_Q154_SQL = """
+WITH lf AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > (o_orderdate + INTERVAL 60 DAY)::TIMESTAMP
+             THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+)
+SELECT s_name, n_name, count(*) AS numwait
+FROM supplier s
+JOIN lf l1 ON s.s_suppkey = l1.l_suppkey
+JOIN nation ON s.s_nationkey = n_nationkey
+WHERE l1.late = 1
+  AND EXISTS (
+    SELECT 1 FROM lf l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lf l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.late = 1
+  )
+GROUP BY s_name, n_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+def q155_sql_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22's shape (global sales opportunity) through the SQL
+    surface: per market segment, the count and total balance of customers
+    whose balance beats the average POSITIVE balance and who have placed
+    no order since 1999-01-01 (every synthetic customer has SOME order,
+    so the dormancy window replaces Q22's plain no-orders test; the
+    pushed date filter shrinks the anti-join build side before it ever
+    shuffles). The above-average flag is the house integer discipline:
+    balances are exact cents (BIGINT), and ``cb·n > sum_cb`` decides the
+    flag with no float division; the only float is the final
+    cents→currency division of an exactly-summed integer, rounded
+    identically in both engines. Catalyst plans the scalar subquery as a
+    1-row broadcast and the NOT EXISTS as a left anti hash join."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        WITH cb AS (
+          SELECT c_custkey, c_mktsegment,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+          FROM customer
+        ), avg_pos AS (
+          SELECT sum(bal_cents) AS s, count(*) AS n
+          FROM cb WHERE bal_cents > 0
+        )
+        SELECT c_mktsegment,
+               count(*) AS numcust,
+               round(sum(bal_cents) / 100.0, 2) AS totacctbal
+        FROM cb CROSS JOIN avg_pos
+        WHERE bal_cents * n > s
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = cb.c_custkey
+              AND o_orderdate >= '1999-01-01'
+          )
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )
+
+
+_Q155_SQL = """
+WITH cb AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+), avg_pos AS (
+  SELECT CAST(sum(bal_cents) AS BIGINT) AS s, count(*) AS n
+  FROM cb WHERE bal_cents > 0
+)
+SELECT c_mktsegment,
+       count(*) AS numcust,
+       round(CAST(sum(bal_cents) AS BIGINT) / 100.0, 2) AS totacctbal
+FROM cb CROSS JOIN avg_pos
+WHERE bal_cents * n > s
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = cb.c_custkey
+      AND o_orderdate >= DATE '1999-01-01'
+  )
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -2999,6 +3187,9 @@ QUERIES = {
     "q140_conversion_latency": q140_conversion_latency,
     "q144_curriculum_order": q144_curriculum_order,
     "q152_sql_priority_check": q152_sql_priority_check,
+    "q153_sql_order_count_histogram": q153_sql_order_count_histogram,
+    "q154_sql_lone_late_supplier": q154_sql_lone_late_supplier,
+    "q155_sql_dormant_high_balance": q155_sql_dormant_high_balance,
 }
 
 ORACLES = {
@@ -3064,4 +3255,7 @@ ORACLES = {
     "q140_conversion_latency": _Q140_SQL,
     "q144_curriculum_order": _Q144_SQL,
     "q152_sql_priority_check": _Q152_SQL,
+    "q153_sql_order_count_histogram": _Q153_SQL,
+    "q154_sql_lone_late_supplier": _Q154_SQL,
+    "q155_sql_dormant_high_balance": _Q155_SQL,
 }

@@ -165,6 +165,11 @@ HEADLINE = [
     "q150_reference_top_tracks",
     "q151_personalized_pagerank",
     "q152_sql_priority_check",
+    "q153_sql_order_count_histogram",
+    "q154_sql_lone_late_supplier",
+    "q155_sql_dormant_high_balance",
+    "q156_boilerplate_excision",
+    "q157_vocab_growth",
 ]
 
 
@@ -226,17 +231,47 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs": n_runs,
+        "stat": "median",
+    }
+    # Full per-query JSON goes to a FILE (and to stdout first, for anyone
+    # reading the whole stream). The LAST stdout line is a compact summary
+    # under 300 bytes: round 4's single ~5 KB JSON line was tail-truncated
+    # by the driver's capture and recorded as parsed:null, losing the
+    # round's headline number. A tail capture always keeps the final line
+    # intact when it is short.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(full, f, separators=(",", ":"))
+        f.write("\n")
+    print(json.dumps(full, separators=(",", ":")))
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:8]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
                 "sf": sf,
                 "runs": n_runs,
                 "stat": "median",
-            }
+                "n_queries": len(timings),
+                "queries_shown": "8 slowest",
+                "regressions_vs_anchor": len(regressions),
+                "queries_file": "BENCH_FULL.json",
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -56,16 +56,12 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
                     f"dtype mismatch col {c!r}: spark={sv.dtype} oracle={ov.dtype}"
                     " (driver value-hash will differ; CAST the oracle)"
                 )
-            if sv.dtype.kind == "f" or ov.dtype.kind == "f":
-                import numpy as np
-
-                svn = pd.to_numeric(sv, errors="coerce")
-                ovn = pd.to_numeric(ov, errors="coerce")
-                both_nan = svn.isna() & ovn.isna()
-                close = np.isclose(svn.fillna(0), ovn.fillna(0), rtol=0, atol=1e-9)
-                ok = (both_nan | close).all()
-            else:
-                ok = sv.astype(str).equals(ov.astype(str))
+            # Driver-strict: the driver's value hash is over exact value
+            # strings with NO numeric tolerance, so selfcheck must be too
+            # (an np.isclose pass here previously hid the q78 HUGEINT→float64
+            # divergence for two rounds). Any float that isn't bit-identical
+            # after the mandated round(...) on both sides is a real failure.
+            ok = sv.astype(str).equals(ov.astype(str))
             if not ok:
                 bad = (sv.astype(str) != ov.astype(str))
                 idx = bad[bad].index[:3].tolist()
@@ -75,8 +71,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as e
     from airflow_spotify_etl_spark.session import get_spark
@@ -90,6 +92,7 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     n_pass = n_fail = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -98,26 +101,53 @@ def main() -> int:
             spark_pdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {type(ex).__name__}: {ex}")
+            results[name] = {"pass": False, "err": f"spark: {type(ex).__name__}: {ex}"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"pass {name}: rows-only ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
+            results[name] = {
+                "pass": True, "mode": "rows-only", "rows": len(spark_pdf),
+                "sec": round(time.time() - t0, 1),
+            }
             n_pass += 1
             continue
         try:
             oracle_pdf = con.execute(oracles[name]).fetchdf()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: oracle error: {type(ex).__name__}: {ex}")
+            results[name] = {"pass": False, "err": f"oracle: {type(ex).__name__}: {ex}"}
             n_fail += 1
             continue
         problems = compare(name, spark_pdf, oracle_pdf)
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
+            results[name] = {"pass": False, "err": "; ".join(problems)[:500]}
             n_fail += 1
         else:
             print(f"pass {name} ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
+            results[name] = {
+                "pass": True, "mode": "strict-hash", "rows": len(spark_pdf),
+                "sec": round(time.time() - t0, 1),
+            }
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "comparison": "driver-strict exact-string (no float tolerance)",
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "queries": results,
+                },
+                f,
+                indent=1,
+            )
+            f.write("\n")
     return 1 if n_fail else 0
 
 
