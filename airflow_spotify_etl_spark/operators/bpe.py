@@ -78,10 +78,10 @@ def bpe_merge_candidates(
     )
 
 
-def _chars(col):
-    """Explode a word into its character array (codegen substr map)."""
+def _chars(name: str):
+    """Character array of the named column (codegen substr map)."""
     return F.expr(
-        "transform(sequence(1, length(w)), i -> substr(w, i, 1))"
+        f"transform(sequence(1, length({name})), i -> substr({name}, i, 1))"
     )
 
 
@@ -146,7 +146,7 @@ def bpe_train(
     ``min_count`` (merging singletons is noise)."""
     vocab = (
         word_vocab(df, text_col)
-        .withColumn("syms", _chars(F.col("w")))
+        .withColumn("syms", _chars("w"))
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[str, str, int]] = []

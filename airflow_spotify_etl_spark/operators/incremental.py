@@ -320,7 +320,19 @@ def stats_drift(
             aggs.append(F.count(c).alias(f"nn_{c}"))
             aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
         row = df.agg(*aggs)
-        stack = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in cols)
+        # Column names flow into generated SQL: backtick-quote the
+        # aliases (doubling any embedded backtick, Spark's escape) and
+        # single-quote-escape the name literal so spaces/quotes/dots in
+        # source column names can't break the stack() parse.
+        def bq(name: str) -> str:
+            return "`" + name.replace("`", "``") + "`"
+
+        def lit(name: str) -> str:
+            return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+        stack = ", ".join(
+            f"{lit(c)}, {bq('nn_' + c)}, {bq('nd_' + c)}" for c in cols
+        )
         return row.selectExpr(
             "n",
             f"stack({len(cols)}, {stack}) AS (column, n_nonnull, n_distinct)",

@@ -324,15 +324,16 @@ def epoch_shuffle(
     key = F.md5(
         F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string"))
     )
-    # 2 hex chars → 256 buckets; fewer when n_buckets < 256 via pmod.
+    # 2 hex chars → 256 buckets; fewer via RANGE division (floor(prefix *
+    # n_buckets / 256)), never modulo: bucket order must stay consistent
+    # with shuffle_key order or global_pos stops being the md5-order rank
+    # (pmod puts prefix 0x0a in bucket 0 behind 0x01 in bucket 1).
+    if not 1 <= int(n_buckets) <= 256:
+        raise ValueError(f"n_buckets must be in [1, 256], got {n_buckets}")
+    prefix = F.conv(F.substring("shuffle_key", 1, 2), 16, 10).cast("int")
     b = df.select(F.col(id_col), key.alias("shuffle_key")).withColumn(
         "_bucket",
-        F.pmod(
-            F.conv(F.substring("shuffle_key", 1, 2), 16, 10).cast("int"),
-            F.lit(int(n_buckets)),
-        )
-        if int(n_buckets) < 256
-        else F.conv(F.substring("shuffle_key", 1, 2), 16, 10).cast("int"),
+        ((prefix * F.lit(int(n_buckets))) / F.lit(256)).cast("int"),
     )
     counts = b.groupBy("_bucket").agg(F.count("*").alias("_cnt"))
     off_w = (

@@ -3686,12 +3686,17 @@ def q139_exact_heavy_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import exact_heavy_hitters
 
     docs = load_table(spark, sf_dir, "documents")
+    # Guarded sequence: sequence(1, 0) in Spark is the DESCENDING [1, 0],
+    # not empty, so a 1-word text would index element_at(w, 0) and throw —
+    # emit an explicitly empty array for texts with < 2 words instead.
     bigrams = docs.select(
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),"
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN"
+                " transform(sequence(1, size(split(text, ' ')) - 1),"
                 " i -> concat_ws(' ', element_at(split(text, ' '), i),"
                 " element_at(split(text, ' '), i + 1)))"
+                " ELSE CAST(array() AS array<string>) END"
             )
         ).alias("bigram")
     )
@@ -4271,6 +4276,159 @@ FROM m
 """
 
 
+def q156_boilerplate_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal (operators/dedup.boilerplate_excision):
+    8-word chunks appearing in ≥ 2 distinct docs are excised from EVERY
+    doc — including the first copy, which q53's keep-first rule retains.
+    The pair of queries documents the policy difference on one chunking:
+    q53 deduplicates, q156 censors."""
+    from ..operators.dedup import boilerplate_excision
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_excision(docs, chunk_words=8, min_docs=2).orderBy("doc_id")
+
+
+_Q156_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+), ix AS (
+  SELECT doc_id, w,
+         unnest(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS ci
+  FROM w
+), chunks AS (
+  SELECT doc_id, ci, array_to_string(w[ci*8+1 : ci*8+8], ' ') AS chunk
+  FROM ix
+), f AS (
+  SELECT chunk, count(DISTINCT doc_id) AS df_docs FROM chunks GROUP BY chunk
+), marked AS (
+  SELECT c.doc_id, c.ci, c.chunk, f.df_docs < 2 AS keep
+  FROM chunks c JOIN f USING (chunk)
+), per_doc AS (
+  SELECT doc_id,
+         count(*) AS n_chunks,
+         CAST(coalesce(sum(CASE WHEN keep THEN 0 ELSE 1 END), 0) AS BIGINT)
+           AS n_removed,
+         coalesce(string_agg(chunk, ' ' ORDER BY ci) FILTER (WHERE keep), '')
+           AS text_clean
+  FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_chunks, 0) AS n_chunks,
+       coalesce(p.n_removed, 0) AS n_removed,
+       coalesce(p.text_clean, '') AS text_clean
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def q157_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth audit: per source, the doc/token/vocab
+    counts of four NESTED corpus prefixes (quarters by the portable doc
+    hash — same subset discipline as q134, so prefix 2 contains prefix 1
+    by construction) plus the type-token ratio per prefix. A vocabulary
+    that stops growing across prefixes signals templated/duplicated text;
+    the curve is the standard corpus-health check before tokenizer
+    training.
+
+    Scale shape: no global rank — prefix membership is a pure hash range
+    per doc. The word stream shuffles once into the (source, word)
+    min-bucket aggregate (map-side combine, vocabulary-sized result);
+    each vocab word then expands to at most 4 (source, prefix) rows and
+    each doc-level token subtotal to at most 4 — both final aggregates
+    are |sources|x4-bounded. TTR is the single rounded division of exact
+    integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(
+        "conv(substr(md5(cast(doc_id AS string)), 1, 8), 16, 10)"
+    ).cast("long")
+    base = docs.select(
+        "source",
+        (h % 4).alias("bucket"),
+        F.filter(
+            F.split(F.lower("text"), "\\s+"), lambda x: x != F.lit("")
+        ).alias("_w"),
+    )
+    # Doc-level subtotals fan out to the prefixes that contain the bucket.
+    per_bucket = base.groupBy("source", "bucket").agg(
+        F.count("*").alias("docs"), F.sum(F.size("_w")).alias("toks")
+    )
+    sizes = (
+        per_bucket.select(
+            "source",
+            "docs",
+            "toks",
+            F.explode(F.sequence(F.col("bucket") + 1, F.lit(4))).alias("p"),
+        )
+        .groupBy("source", "p")
+        .agg(F.sum("docs").alias("n_docs"), F.sum("toks").alias("n_tokens"))
+    )
+    # A word counts toward every prefix from its FIRST bucket onward.
+    first = (
+        base.select("source", "bucket", F.explode("_w").alias("word"))
+        .groupBy("source", "word")
+        .agg(F.min("bucket").alias("b0"))
+    )
+    vocab = (
+        first.select(
+            "source",
+            F.explode(F.sequence(F.col("b0") + 1, F.lit(4))).alias("p"),
+        )
+        .groupBy("source", "p")
+        .agg(F.count("*").alias("n_vocab"))
+    )
+    return (
+        sizes.join(vocab, ["source", "p"])
+        .select(
+            "source",
+            F.col("p").alias("prefix_quarter"),
+            "n_docs",
+            "n_tokens",
+            "n_vocab",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.col("n_vocab").cast("double") / F.col("n_tokens"), 6
+                ),
+            ).alias("ttr"),
+        )
+        .orderBy("source", "prefix_quarter")
+    )
+
+
+_Q157_SQL = r"""
+WITH base AS (
+  SELECT source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4
+           AS bucket,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+), per_bucket AS (
+  SELECT source, bucket, count(*) AS docs, CAST(sum(len(w)) AS BIGINT) AS toks
+  FROM base GROUP BY source, bucket
+), sizes AS (
+  SELECT source, p, CAST(sum(docs) AS BIGINT) AS n_docs,
+         CAST(sum(toks) AS BIGINT) AS n_tokens
+  FROM (SELECT *, unnest(range(bucket + 1, 5)) AS p FROM per_bucket)
+  GROUP BY source, p
+), first AS (
+  SELECT source, word, min(bucket) AS b0
+  FROM (SELECT source, bucket, unnest(w) AS word FROM base)
+  GROUP BY source, word
+), vocab AS (
+  SELECT source, p, count(*) AS n_vocab
+  FROM (SELECT source, unnest(range(b0 + 1, 5)) AS p FROM first)
+  GROUP BY source, p
+)
+SELECT s.source, s.p AS prefix_quarter, s.n_docs, s.n_tokens, v.n_vocab,
+       CASE WHEN s.n_tokens > 0
+            THEN round(CAST(v.n_vocab AS DOUBLE) / s.n_tokens, 6) END AS ttr
+FROM sizes s JOIN vocab v ON s.source = v.source AND s.p = v.p
+ORDER BY s.source, prefix_quarter
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -4348,6 +4506,8 @@ QUERIES = {
     "q147_pipeline_funnel": q147_pipeline_funnel,
     "q148_contamination_by_source": q148_contamination_by_source,
     "q149_signature_tier_agreement": q149_signature_tier_agreement,
+    "q156_boilerplate_excision": q156_boilerplate_excision,
+    "q157_vocab_growth": q157_vocab_growth,
 }
 
 ORACLES = {
@@ -4427,4 +4587,6 @@ ORACLES = {
     "q147_pipeline_funnel": _q147_sql(),
     "q148_contamination_by_source": _Q148_SQL,
     "q149_signature_tier_agreement": _q149_sql(),
+    "q156_boilerplate_excision": _Q156_SQL,
+    "q157_vocab_growth": _Q157_SQL,
 }

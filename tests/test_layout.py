@@ -211,6 +211,33 @@ def test_epoch_shuffle_reproducible_and_batched(spark):
     assert [r.doc_id for r in c] != [r.doc_id for r in a]
 
 
+def test_epoch_shuffle_small_bucket_count_keeps_md5_order(spark):
+    """n_buckets < 256 must produce the SAME global_pos as the default:
+    global_pos is defined as the row's rank in md5(seed:id) order, so
+    bucketing is only allowed to change parallelism, never the order.
+    (A modulo-derived bucket breaks this — 0x0a would sort before 0x01 —
+    which is why buckets are range-derived: floor(prefix·n/256).)"""
+    import pytest
+
+    from airflow_spotify_etl_spark.operators.layout import epoch_shuffle
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    base = {
+        r.doc_id: r.global_pos
+        for r in epoch_shuffle(df, seed="e9").collect()
+    }
+    for n in (1, 10, 255):
+        got = {
+            r.doc_id: r.global_pos
+            for r in epoch_shuffle(df, seed="e9", n_buckets=n).collect()
+        }
+        assert got == base, f"n_buckets={n} reordered the epoch"
+    with pytest.raises(ValueError):
+        epoch_shuffle(df, n_buckets=0)
+    with pytest.raises(ValueError):
+        epoch_shuffle(df, n_buckets=512)
+
+
 def test_epoch_shuffle_rank_is_distributed(spark):
     """The global permutation must come from the bucket-offset
     decomposition: the row_number window is PARTITIONED by bucket, and

@@ -172,3 +172,26 @@ def test_exact_heavy_hitters_null_and_empty(spark):
     assert [(r.w, r.cnt, r.n_total) for r in out] == [("a", 2, 2)]
     empty = spark.createDataFrame([], "w string")
     assert exact_heavy_hitters(empty, "w", m=5).count() == 0
+
+
+def test_q139_bigrams_survive_degenerate_texts(spark, tmp_path):
+    """Regression: sequence(1, 0) in Spark is the DESCENDING [1, 0], not
+    empty, so an unguarded bigram transform over a 1-word (or empty) text
+    indexed element_at(w, 0) and threw INVALID_ARRAY_INDEX_IN_ELEMENT_AT.
+    The plan must instead emit zero bigrams for < 2-word texts."""
+    from airflow_spotify_etl_spark.plans.llm import q139_exact_heavy_bigrams
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows = [
+        (1, "one", "en", "s", 3),
+        (2, "", "en", "s", 0),
+        (3, "two words", "en", "s", 9),
+        (4, "two words", "en", "s", 9),
+        (5, "two words", "en", "s", 9),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = q139_exact_heavy_bigrams(spark, str(tmp_path)).collect()
+    # 3 bigram occurrences total, all "two words": 3*1000 > 3 → heavy.
+    assert [(r.bigram, r.cnt, r.n_total) for r in out] == [("two words", 3, 3)]

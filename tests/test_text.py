@@ -303,7 +303,7 @@ def test_bpe_merge_is_left_to_right_non_overlapping(spark):
 
     df = spark.createDataFrame(
         [("aaaa",), ("aaa",), ("aba",)], "w string"
-    ).withColumn("syms", _chars(F.col("w")))
+    ).withColumn("syms", _chars("w"))
     out = {
         r.w: list(r.m)
         for r in df.withColumn("m", _apply_merge(F.col("syms"), "a", "a")).collect()
@@ -349,3 +349,54 @@ def test_corpus_datasheet_planted_counts(spark):
     assert s1.total_tokens == 3 + 3 + 2
     s2 = out["s2"]
     assert s2.top_lang == "en" and s2.top_lang_share == 0.5
+
+
+def test_q157_vocab_growth_prefixes_nest(spark, sf_dir):
+    """Prefixes are NESTED by construction (hash-range membership), so
+    docs/tokens/vocab must be non-decreasing in p within every source and
+    prefix 4 must equal the full per-source corpus exactly."""
+    from pyspark.sql import functions as F
+
+    from airflow_spotify_etl_spark.plans.llm import q157_vocab_growth
+    from airflow_spotify_etl_spark.sources.files import load_table
+
+    out = q157_vocab_growth(spark, sf_dir).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    assert by_src, "no sources"
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r.prefix_quarter)
+        assert [r.prefix_quarter for r in rows] == [1, 2, 3, 4], src
+        for a, b in zip(rows, rows[1:]):
+            assert a.n_docs <= b.n_docs and a.n_tokens <= b.n_tokens
+            assert a.n_vocab <= b.n_vocab, src
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = {
+        (r.source, r.n_docs, r.n_vocab)
+        for r in docs.select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower("text"), "\\s+"),
+                        lambda x: x != F.lit(""),
+                    )
+                )
+            ).alias("word"),
+            "doc_id",
+        )
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("word").alias("n_vocab"),
+        )
+        .collect()
+    }
+    got = {
+        (r.source, r.n_docs, r.n_vocab)
+        for r in out
+        if r.prefix_quarter == 4
+    }
+    assert got == full
