@@ -34,6 +34,7 @@ __all__ = [
     "exact_dedup",
     "canonical_dedup",
     "chunk_dedup",
+    "boilerplate_excision",
     "span_dup_profile",
     "span_excise",
     "span_excise_fixpoint",
@@ -190,6 +191,87 @@ def chunk_dedup(
             "doc_id",
             F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+def boilerplate_excision(
+    df: DataFrame,
+    chunk_words: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style boilerplate removal: a chunk whose DOCUMENT frequency
+    reaches ``min_docs`` is excised from EVERY document — including the
+    first (unlike ``chunk_dedup``, which keeps the first corpus-wide
+    occurrence; headers/footers/cookie banners carry no signal anywhere,
+    so no copy should survive). The reference for the rule is C4's
+    three-sentence line filter (Raffel et al. 2020 §2.2), applied here at
+    the same fixed-word-chunk granularity as ``chunk_dedup`` so the two
+    passes compose on one chunking.
+
+    Returns (doc_id, n_chunks, n_removed, text_clean) for EVERY input
+    doc; an all-boilerplate doc survives with empty ``text_clean``.
+
+    Scale shape: the chunk stream is the shuffle-free sequence-explode
+    carrying only (md5(chunk), doc_id, ci) — never the text; the doc
+    frequency is one countDistinct aggregate keyed on the hash whose
+    partials combine map-side, and the keep/drop mark is a same-key hash
+    join of the narrow chunk stream against that |distinct chunks|-row
+    frequency relation (a boilerplate hot key joins against its ONE
+    frequency row — no multiplication). Rebuild is the shared
+    re-slicing join keyed on doc_id, a uniform key."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "\\s+"), lambda x: x != F.lit("")
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+    n_chunks = F.ceil(F.size("_w") / F.lit(float(chunk_words))).cast("int")
+    idx = F.when(n_chunks >= 1, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    cw = int(chunk_words)
+    chunk_of = f"array_join(slice(_w, _ci * {cw} + 1, {cw}), ' ')"
+    chunks = base.select("doc_id", "_w", F.explode(idx).alias("_ci")).select(
+        "doc_id",
+        F.col("_ci").alias("ci"),
+        F.md5(F.expr(chunk_of)).alias("ch"),
+    )
+    freq = chunks.groupBy("ch").agg(
+        F.countDistinct("doc_id").alias("_df")
+    )
+    marked = chunks.join(freq, "ch").withColumn(
+        "keep", F.col("_df") < int(min_docs)
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_removed"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("keep"), F.col("ci")))
+        ).alias("_kept_ci"),
+    )
+    rebuilt = base.join(per_doc, "doc_id").select(
+        "doc_id",
+        "n_chunks",
+        "n_removed",
+        F.array_join(
+            F.transform(
+                F.col("_kept_ci"),
+                lambda ci: F.array_join(
+                    F.slice(F.col("_w"), ci * cw + 1, cw), " "
+                ),
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
     )

@@ -674,3 +674,42 @@ def test_sparse_cosine_short_docs_form_no_pairs(spark):
 
     df = _docs(spark, [(1, "a b"), (2, "a b"), (3, "")])
     assert sparse_cosine_pairs(df, threshold=0.0).count() == 0
+
+
+def test_boilerplate_excision_removes_all_copies(spark):
+    """Contrast with chunk_dedup's keep-first rule: a chunk in >= min_docs
+    docs must vanish from EVERY doc, the first included; unique text and
+    chunks shared only within a single doc survive untouched."""
+    from airflow_spotify_etl_spark.operators.dedup import (
+        boilerplate_excision,
+        chunk_dedup,
+    )
+
+    bp = "cookie banner accept all terms privacy policy notice"  # 8 words
+    u1 = "alpha beta gamma delta epsilon zeta eta theta"
+    u2 = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{bp} {u1}"),
+            (2, f"{bp} {u2}"),
+            (3, u2.upper()),  # lowercased chunking → same chunk as doc 2's
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in boilerplate_excision(docs, chunk_words=8, min_docs=2).collect()
+    }
+    # bp is in docs 1+2 → gone from BOTH; u2 is in docs 2+3 → gone from both.
+    assert (out[1].n_chunks, out[1].n_removed, out[1].text_clean) == (2, 1, u1)
+    assert (out[2].n_chunks, out[2].n_removed, out[2].text_clean) == (2, 2, "")
+    assert (out[3].n_chunks, out[3].n_removed, out[3].text_clean) == (1, 1, "")
+    # chunk_dedup on the same corpus KEEPS the first copy of each chunk.
+    kept = {r.doc_id: r.text_clean for r in chunk_dedup(docs, chunk_words=8).collect()}
+    assert kept[1] == f"{bp} {u1}"
+    # min_docs=3: nothing reaches 3 docs → identity (modulo case-folding).
+    ident = {
+        r.doc_id: r.n_removed
+        for r in boilerplate_excision(docs, chunk_words=8, min_docs=3).collect()
+    }
+    assert ident == {1: 0, 2: 0, 3: 0}

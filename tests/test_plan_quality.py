@@ -318,3 +318,110 @@ def test_q124_tpch_q3_plan_shape(spark, sf_dir, qs):
     text = "\n".join(pushed)
     assert "c_mktsegment" in text and "o_orderdate" in text and "l_shipdate" in text, text
     assert "partial_sum" in plan or "partial" in plan.lower(), plan
+
+
+def test_q153_outer_join_keeps_zero_order_bucket(spark, tmp_path, qs):
+    """The non-urgent predicate lives in the ON clause: a customer whose
+    ONLY orders are urgent (and one with no orders at all) must still
+    appear, in the c_count=0 bucket. In the WHERE the outer join would
+    quietly become inner and the bucket would vanish."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    d = datetime(1999, 6, 1)
+    custs = [(i, f"c{i}", 0, 0.0, "SEG") for i in range(1, 5)]
+    orders = [
+        # cust 1: two normal orders; cust 2: one urgent (excluded); cust 3: none
+        (10, 1, "O", 1.0, d, "3-MEDIUM"),
+        (11, 1, "O", 1.0, d, "3-MEDIUM"),
+        (12, 2, "O", 1.0, d, "1-URGENT"),
+        (13, 4, "O", 1.0, d, "2-HIGH"),
+    ]
+    spark.createDataFrame(custs, SCHEMAS["customer"]).write.parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    spark.createDataFrame(orders, SCHEMAS["orders"]).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    out = {
+        (r.c_count, r.custdist)
+        for r in qs["q153_sql_order_count_histogram"](spark, str(tmp_path)).collect()
+    }
+    assert out == {(0, 2), (1, 1), (2, 1)}  # custs {2,3} → 0; {4} → 1; {1} → 2
+
+
+def test_q154_lone_late_supplier_semantics(spark, tmp_path, qs):
+    """Only the supplier whose line is the SOLE late line of a
+    multi-supplier finished order counts: co-late orders, single-supplier
+    orders, and non-finished orders all drop out."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    od = datetime(1999, 1, 1)
+    on_time = datetime(1999, 2, 1)   # +31d
+    late = datetime(1999, 4, 1)      # +90d > 60d
+    sups = [(1, "s1", 0, 0.0), (2, "s2", 0, 0.0), (3, "s3", 0, 0.0)]
+    nations = [(0, "N0", 0)]
+    orders = [
+        (100, 1, "F", 1.0, od, "3-MEDIUM"),  # s1 late, s2 on time → s1 counts
+        (101, 1, "F", 1.0, od, "3-MEDIUM"),  # s1 AND s2 late → nobody
+        (102, 1, "F", 1.0, od, "3-MEDIUM"),  # s3 late, sole supplier → nobody
+        (103, 1, "O", 1.0, od, "3-MEDIUM"),  # s1 late but order not finished
+    ]
+    li = [
+        (100, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+        (100, 1, 2, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", on_time),
+        (101, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+        (101, 1, 2, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+        (102, 1, 3, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+        (103, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+        (103, 1, 2, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", on_time),
+    ]
+    for name, rows in [
+        ("supplier", sups), ("nation", nations),
+        ("orders", orders), ("lineitem", li),
+    ]:
+        spark.createDataFrame(rows, SCHEMAS[name]).write.parquet(
+            str(tmp_path / f"{name}.parquet")
+        )
+    out = [
+        (r.s_name, r.n_name, r.numwait)
+        for r in qs["q154_sql_lone_late_supplier"](spark, str(tmp_path)).collect()
+    ]
+    assert out == [("s1", "N0", 1)]
+
+
+def test_q155_above_average_flag_is_exact_on_boundary(spark, tmp_path, qs):
+    """bal·n > sum decides membership in exact cents: a balance exactly
+    EQUAL to the positive average is excluded (strict >), and negative
+    balances never enter the average. Dormancy = no order on/after
+    1999-01-01."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    # positive balances: 10.00, 20.00, 30.00 → avg 20.00 exactly
+    custs = [
+        (1, "c1", 0, 10.00, "A"),
+        (2, "c2", 0, 20.00, "A"),   # == avg → excluded even though dormant
+        (3, "c3", 0, 30.00, "A"),   # > avg, dormant → counted
+        (4, "c4", 0, -5.00, "A"),   # negative: not in avg, never counted
+        (5, "c5", 0, 30.00, "B"),   # > avg but has a recent order → excluded
+    ]
+    orders = [
+        (10, 5, "O", 1.0, datetime(1999, 6, 1), "3-MEDIUM"),
+        (11, 3, "O", 1.0, datetime(1998, 6, 1), "3-MEDIUM"),  # old → still dormant
+    ]
+    spark.createDataFrame(custs, SCHEMAS["customer"]).write.parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    spark.createDataFrame(orders, SCHEMAS["orders"]).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    out = [
+        (r.c_mktsegment, r.numcust, r.totacctbal)
+        for r in qs["q155_sql_dormant_high_balance"](spark, str(tmp_path)).collect()
+    ]
+    assert out == [("A", 1, 30.0)]
