@@ -4429,6 +4429,233 @@ ORDER BY s.source, prefix_quarter
 """
 
 
+def q158_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty — the marginal-value audit behind
+    source-mixing decisions (a source whose 8-gram mass mostly re-occurs
+    in OTHER sources adds little new text; compare SlimPajama's
+    cross-source redundancy analysis): per source, total 8-gram
+    occurrences, the occurrences whose gram also appears in at least one
+    other source, and the novel share.
+
+    Scale shape: the gram stream is the shuffle-free sequence-explode
+    carrying only (md5(gram), source); the per-(gram, source) and
+    per-gram rollups combine map-side on the hash; the shared/novel mark
+    is a same-key join of the |gram, source| relation against the
+    |gram|-sized source-count relation (a boilerplate hot gram joins its
+    ONE count row). Output is |sources| rows; the share is the single
+    rounded division of exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower("text"), "\\s+"), lambda x: x != F.lit("")
+    )
+    base = docs.select("source", words.alias("_w"))
+    n = 8
+    last = F.size("_w") - n + 1
+    idx = F.when(last >= 1, F.sequence(F.lit(1), last)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = base.select("source", F.explode(idx).alias("_i"), "_w").select(
+        "source",
+        F.md5(F.expr(f"array_join(slice(_w, _i, {n}), ' ')")).alias("g"),
+    )
+    per_sg = grams.groupBy("g", "source").agg(F.count("*").alias("occ"))
+    per_g = per_sg.groupBy("g").agg(
+        F.count("*").alias("n_sources")
+    )
+    j = per_sg.join(per_g, "g")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum("occ").alias("n_grams"),
+            F.sum(
+                F.when(F.col("n_sources") >= 2, F.col("occ")).otherwise(0)
+            ).alias("n_shared"),
+        )
+        .select(
+            "source",
+            "n_grams",
+            "n_shared",
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    (F.col("n_grams") - F.col("n_shared")).cast("double")
+                    / F.col("n_grams"),
+                    6,
+                ),
+            ).alias("novel_share"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q158_SQL = r"""
+WITH base AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT source, md5(array_to_string(w[i : i + 7], ' ')) AS g
+  FROM (SELECT source, w, unnest(range(1, len(w) - 6)) AS i FROM base)
+), per_sg AS (
+  SELECT g, source, count(*) AS occ FROM grams GROUP BY g, source
+), per_g AS (
+  SELECT g, count(*) AS n_sources FROM per_sg GROUP BY g
+)
+SELECT s.source,
+       CAST(sum(s.occ) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN p.n_sources >= 2 THEN s.occ ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       CASE WHEN sum(s.occ) > 0
+            THEN round(CAST(sum(s.occ) -
+                   sum(CASE WHEN p.n_sources >= 2 THEN s.occ ELSE 0 END)
+                 AS DOUBLE) / CAST(sum(s.occ) AS BIGINT), 6) END
+         AS novel_share
+FROM per_sg s JOIN per_g p USING (g)
+GROUP BY s.source
+ORDER BY s.source
+"""
+
+
+def q159_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length fit audit — the table a training run consults before
+    fixing max_seq_len: per source and context budget L in {512, 1024,
+    2048, 4096}, how many docs fit whole and what fraction of the token
+    mass survives truncation at L (sum(min(tokens, L)) / sum(tokens)).
+    One corpus scan computing each doc's whitespace token count, a
+    4-way literal-array fan-out (each doc row expands to its four (L,
+    fits, kept) contributions — no re-scan per budget), and a
+    |sources|x4-bounded rollup. Kept-share is the single rounded
+    division of exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split(F.lower("text"), "\\s+"), lambda x: x != F.lit(""))
+    )
+    per_doc = docs.select("source", toks.cast("long").alias("n_tok"))
+    fan = per_doc.select(
+        "source",
+        "n_tok",
+        F.explode(F.array(*[F.lit(x) for x in (512, 1024, 2048, 4096)])).alias(
+            "context_len"
+        ),
+    )
+    return (
+        fan.groupBy("source", "context_len")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                (F.col("n_tok") <= F.col("context_len")).cast("long")
+            ).alias("n_docs_fit"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.least(F.col("n_tok"), F.col("context_len").cast("long"))).alias(
+                "n_tokens_kept"
+            ),
+        )
+        .select(
+            "source",
+            "context_len",
+            "n_docs",
+            "n_docs_fit",
+            "n_tokens",
+            "n_tokens_kept",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.col("n_tokens_kept").cast("double") / F.col("n_tokens"),
+                    6,
+                ),
+            ).alias("kept_share"),
+        )
+        .orderBy("source", "context_len")
+    )
+
+
+_Q159_SQL = r"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents
+), fan AS (
+  SELECT source, n_tok, unnest([512, 1024, 2048, 4096]) AS context_len
+  FROM per_doc
+)
+SELECT source, context_len,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_tok <= context_len THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_fit,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(least(n_tok, context_len)) AS BIGINT) AS n_tokens_kept,
+       CASE WHEN sum(n_tok) > 0
+            THEN round(CAST(sum(least(n_tok, context_len)) AS BIGINT)
+                       / CAST(sum(n_tok) AS BIGINT)::DOUBLE, 6) END
+         AS kept_share
+FROM fan
+GROUP BY source, context_len
+ORDER BY source, context_len
+"""
+
+
+def q164_partition_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout / compaction-planner audit for a hypothetical
+    ``PARTITIONED BY (source, lang)`` corpus write — the small-files
+    check run before (or after) a big ingest: per partition, rows and
+    exact text bytes, the file count a 64 MB target would produce, and
+    the two planner flags (``needs_compaction`` — data present but
+    under one target file; ``needs_split`` — more than 8 target files,
+    so the partition key is too coarse / skewed and wants a sub-key or
+    salt). Flags are integer comparisons on exact byte sums; the only
+    float is the rounded avg-doc-bytes division.
+
+    Scale shape: ONE grouped aggregate over the scan to |source×lang|
+    rows — this audit never touches the data again; it reads the same
+    numbers a real writer's commit stats would carry."""
+    target = 64 * 1024 * 1024
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.octet_length("text").cast("long")).alias("text_bytes"),
+    )
+    files = F.ceil(F.col("text_bytes") / F.lit(float(target))).cast("long")
+    return (
+        per.select(
+            "source",
+            "lang",
+            "n_rows",
+            "text_bytes",
+            files.alias("target_files"),
+            F.when(
+                F.col("n_rows") > 0,
+                F.round(
+                    F.col("text_bytes").cast("double") / F.col("n_rows"), 2
+                ),
+            ).alias("avg_doc_bytes"),
+            ((F.col("text_bytes") > 0) & (F.col("text_bytes") < target)).alias(
+                "needs_compaction"
+            ),
+            (files > 8).alias("needs_split"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+_Q164_SQL = """
+WITH per AS (
+  SELECT source, lang, count(*) AS n_rows,
+         CAST(sum(octet_length(ENCODE(text))) AS BIGINT) AS text_bytes
+  FROM documents GROUP BY source, lang
+)
+SELECT source, lang, n_rows, text_bytes,
+       CAST(ceil(text_bytes / 67108864.0) AS BIGINT) AS target_files,
+       CASE WHEN n_rows > 0
+            THEN round(CAST(text_bytes AS DOUBLE) / n_rows, 2) END
+         AS avg_doc_bytes,
+       text_bytes > 0 AND text_bytes < 67108864 AS needs_compaction,
+       CAST(ceil(text_bytes / 67108864.0) AS BIGINT) > 8 AS needs_split
+FROM per
+ORDER BY source, lang
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -4508,6 +4735,9 @@ QUERIES = {
     "q149_signature_tier_agreement": q149_signature_tier_agreement,
     "q156_boilerplate_excision": q156_boilerplate_excision,
     "q157_vocab_growth": q157_vocab_growth,
+    "q158_ngram_novelty": q158_ngram_novelty,
+    "q159_context_fit": q159_context_fit,
+    "q164_partition_layout_audit": q164_partition_layout_audit,
 }
 
 ORACLES = {
@@ -4589,4 +4819,7 @@ ORACLES = {
     "q149_signature_tier_agreement": _q149_sql(),
     "q156_boilerplate_excision": _Q156_SQL,
     "q157_vocab_growth": _Q157_SQL,
+    "q158_ngram_novelty": _Q158_SQL,
+    "q159_context_fit": _Q159_SQL,
+    "q164_partition_layout_audit": _Q164_SQL,
 }

@@ -3124,6 +3124,245 @@ ORDER BY c_mktsegment
 """
 
 
+def q160_sql_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15's shape (top supplier by quarterly revenue) through the
+    SQL surface: an aggregated revenue view probed twice — once for the
+    per-supplier rollup, once under max() — with the equality filter
+    Catalyst plans as a 1-row broadcast of the scalar max against the
+    |suppliers|-sized rollup (the view is NOT recomputed per row).
+    Revenue stays exact to the end: cents x (100 - discount-percent)
+    integer units, one rounded /10000 division on output. Ties (several
+    suppliers at the max) are all returned, per Q15's spec."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["supplier", "lineitem"])
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                   AS rev_e4
+          FROM lineitem
+          WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1995-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               round(rev_e4 / 10000.0, 2) AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE rev_e4 = (SELECT max(rev_e4) FROM revenue)
+        ORDER BY s_suppkey
+        """
+    )
+
+
+_Q160_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1995-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       round(rev_e4 / 10000.0, 2) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE rev_e4 = (SELECT max(rev_e4) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q161_sql_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17's shape (small-quantity-order revenue) through the SQL
+    surface: average yearly revenue lost if Brand#1's small orders
+    (quantity below 20% of that part's average order quantity) moved to
+    bulk. The correlated scalar average is pre-aggregated per part and
+    the membership test is the house integer cross-multiply —
+    ``qty·5·n < sum_qty`` with all three terms exact BIGINTs (quantities
+    are integral), so no float division decides a row. The only float is
+    the final cents/700 division, rounded once, identically, on both
+    engines. Catalyst plans the per-part aggregate as a broadcast-joined
+    build side; the brand filter is pushed into the part scan."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(
+        """
+        WITH pq AS (
+          SELECT l_partkey,
+                 count(*) AS n_lines,
+                 sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_brand = 'Brand#1'
+          GROUP BY l_partkey
+        )
+        SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     / 700.0, 2) AS avg_yearly
+        FROM lineitem JOIN pq ON lineitem.l_partkey = pq.l_partkey
+        WHERE CAST(l_quantity AS BIGINT) * 5 * n_lines < sum_qty
+        """
+    )
+
+
+_Q161_SQL = """
+WITH pq AS (
+  SELECT l_partkey,
+         count(*) AS n_lines,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#1'
+  GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             / 700.0, 2) AS avg_yearly
+FROM lineitem JOIN pq ON lineitem.l_partkey = pq.l_partkey
+WHERE CAST(l_quantity AS BIGINT) * 5 * n_lines < sum_qty
+"""
+
+
+def q162_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust (median/MAD) outlier scan — the companion to q67's
+    3σ scan for heavy-tailed values, where the mean and stddev are
+    themselves dragged by the outliers they're meant to find. A row is
+    an outlier when |x − median| > 3·1.4826·MAD.
+
+    Exactness discipline: values are exact cents; 2·median of integers
+    is an exact integer (the even-n midpoint average can only end in .5),
+    so the center lives in half-cent ints and deviations 4·MAD in
+    quarter-cent ints. The flag is the all-integer cross-multiply
+    ``dev2·40000 > 44478·mad4`` (3·1.4826 = 4.4478) — no float division
+    decides a row, both engines replay it bit-for-bit.
+
+    Scale shape: two grouped aggregates over the scan (|types| groups)
+    plus |types|-row broadcast joins back. Exact ``percentile`` buffers a
+    group's values (same honesty note as q41/q129); the 100 TB swap is
+    ``percentile_approx`` with the flag inequality unchanged."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    base = ev.select("event_type", cents.alias("c"))
+    med = base.groupBy("event_type").agg(
+        F.expr("CAST(round(2 * percentile(c, 0.5)) AS BIGINT)").alias("m2")
+    )
+    dev = base.join(F.broadcast(med), "event_type").select(
+        "event_type", "m2", F.abs(2 * F.col("c") - F.col("m2")).alias("dev2")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("CAST(round(2 * percentile(dev2, 0.5)) AS BIGINT)").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("m2").alias("_m2"),
+            F.max("mad4").alias("_mad4"),
+            F.sum(
+                (F.col("dev2") * 40000 > 44478 * F.col("mad4")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("_m2") / 200.0, 3).alias("median_value"),
+            F.round(F.col("_mad4") / 400.0, 3).alias("mad_value"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q162_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+), med AS (
+  SELECT event_type, CAST(round(2 * quantile_cont(c, 0.5)) AS BIGINT) AS m2
+  FROM base GROUP BY event_type
+), dev AS (
+  SELECT b.event_type, m.m2, abs(2 * b.c - m.m2) AS dev2
+  FROM base b JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type,
+         CAST(round(2 * quantile_cont(dev2, 0.5)) AS BIGINT) AS mad4
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       count(*) AS n,
+       round(max(d.m2) / 200.0, 3) AS median_value,
+       round(max(a.mad4) / 400.0, 3) AS mad_value,
+       CAST(sum(CASE WHEN d.dev2 * 40000 > 44478 * a.mad4
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad a USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+def q163_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over event values — the
+    data-forensics screen for fabricated or re-scaled numeric feeds (a
+    synthetic generator that draws uniformly shows up instantly against
+    the log-law). The digit is taken from the STRING form of the exact
+    cents integer — no log10, whose float boundary at powers of ten
+    flips digits between engines. One grouped aggregate to 9 rows; the
+    observed share is the single rounded division of exact integers, and
+    the expected Benford shares are identical literals in both engines
+    (never computed — log10(1+1/d) last-ulp differences would leak into
+    the hash)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    expected = {
+        1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+        6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+    }
+    exp_expr = F.create_map(
+        *[F.lit(x) for kv in expected.items() for x in kv]
+    )
+    digits = ev.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    ).filter(F.col("digit") >= 1)
+    total = digits.groupBy().agg(F.count("*").alias("n_total"))
+    return (
+        digits.groupBy("digit")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_total"), 6).alias(
+                "share"
+            ),
+            exp_expr[F.col("digit")].alias("benford_share"),
+        )
+        .orderBy("digit")
+    )
+
+
+_Q163_SQL = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+              1, 1) AS INTEGER) AS digit
+  FROM events
+), dd AS (
+  SELECT digit FROM d WHERE digit >= 1
+), t AS (
+  SELECT count(*) AS n_total FROM dd
+)
+SELECT digit, count(*) AS n,
+       round(CAST(count(*) AS DOUBLE) / max(t.n_total), 6) AS share,
+       CAST(CASE digit
+         WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091 WHEN 3 THEN 0.124939
+         WHEN 4 THEN 0.09691 WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+         WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 ELSE 0.045757
+       END AS DOUBLE) AS benford_share
+FROM dd CROSS JOIN t
+GROUP BY digit
+ORDER BY digit
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -3190,6 +3429,10 @@ QUERIES = {
     "q153_sql_order_count_histogram": q153_sql_order_count_histogram,
     "q154_sql_lone_late_supplier": q154_sql_lone_late_supplier,
     "q155_sql_dormant_high_balance": q155_sql_dormant_high_balance,
+    "q160_sql_top_revenue_supplier": q160_sql_top_revenue_supplier,
+    "q161_sql_small_quantity_revenue": q161_sql_small_quantity_revenue,
+    "q162_mad_outliers": q162_mad_outliers,
+    "q163_benford_audit": q163_benford_audit,
 }
 
 ORACLES = {
@@ -3258,4 +3501,8 @@ ORACLES = {
     "q153_sql_order_count_histogram": _Q153_SQL,
     "q154_sql_lone_late_supplier": _Q154_SQL,
     "q155_sql_dormant_high_balance": _Q155_SQL,
+    "q160_sql_top_revenue_supplier": _Q160_SQL,
+    "q161_sql_small_quantity_revenue": _Q161_SQL,
+    "q162_mad_outliers": _Q162_SQL,
+    "q163_benford_audit": _Q163_SQL,
 }

@@ -170,6 +170,13 @@ HEADLINE = [
     "q155_sql_dormant_high_balance",
     "q156_boilerplate_excision",
     "q157_vocab_growth",
+    "q158_ngram_novelty",
+    "q159_context_fit",
+    "q160_sql_top_revenue_supplier",
+    "q161_sql_small_quantity_revenue",
+    "q162_mad_outliers",
+    "q163_benford_audit",
+    "q164_partition_layout_audit",
 ]
 
 

@@ -425,3 +425,80 @@ def test_q155_above_average_flag_is_exact_on_boundary(spark, tmp_path, qs):
         for r in qs["q155_sql_dormant_high_balance"](spark, str(tmp_path)).collect()
     ]
     assert out == [("A", 1, 30.0)]
+
+
+def test_q162_mad_flag_is_exact_on_boundary(spark, tmp_path, qs):
+    """|x − med| > 3·1.4826·MAD in pure integers: with median 10.00 and
+    MAD 1.00, the cut sits at dev > 4.4478 — a deviation of exactly
+    4.4478 (x = 14.4478 is not representable in cents; use 4.44 and
+    4.45 around 4.4478·1.00) must split no/yes."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    t = datetime(2024, 1, 1)
+    vals = [9.0, 10.0, 11.0, 14.44, 14.45]
+    rows = [
+        (i, t, 1, "t", v, "{}") for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = qs["q162_mad_outliers"](spark, str(tmp_path)).collect()
+    r = out[0]
+    # median 11.00? sorted [9, 10, 11, 14.44, 14.45] → median 11.00;
+    # deviations [2, 1, 0, 3.44, 3.45] → MAD = 2.00.
+    assert (r.event_type, r.n) == ("t", 5)
+    assert r.median_value == 11.0 and r.mad_value == 2.0
+    # cut = 4.4478*2.00 = 8.8956 → no outliers among deviations ≤ 3.45
+    assert r.n_outliers == 0
+
+
+def test_q162_known_outlier_counted(spark, tmp_path, qs):
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    t = datetime(2024, 1, 1)
+    # median 10.00, MAD 0.01 → cut 0.044478; 10.05 deviates 0.05 → outlier
+    vals = [9.99, 10.0, 10.01, 10.0, 10.05]
+    rows = [(i, t, 1, "t", v, "{}") for i, v in enumerate(vals)]
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = qs["q162_mad_outliers"](spark, str(tmp_path)).collect()[0]
+    assert r.median_value == 10.0 and r.mad_value == 0.01
+    assert r.n_outliers == 1
+
+
+def test_q163_benford_digit_from_exact_cents(spark, tmp_path, qs):
+    """Digit comes from the cents-integer string: 0.05 → '5', 12.34 →
+    '1', 0.10 → '1' (cents=10) — no log10 anywhere."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    t = datetime(2024, 1, 1)
+    vals = [0.05, 12.34, 0.10, 9.99, 100.00]
+    rows = [(i, t, 1, "t", v, "{}") for i, v in enumerate(vals)]
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {r.digit: r.n for r in qs["q163_benford_audit"](spark, str(tmp_path)).collect()}
+    assert out == {5: 1, 1: 3, 9: 1}  # 12.34→1, 0.10→1, 100.00→1
+
+
+def test_q164_compaction_flags(spark, tmp_path, qs):
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows = [
+        (1, "x" * 1000, "en", "small", 1000),   # tiny → needs_compaction
+        (2, "", "en", "empty", 0),              # zero bytes → neither flag
+    ]
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {r.source: r for r in qs["q164_partition_layout_audit"](spark, str(tmp_path)).collect()}
+    assert out["small"].needs_compaction and not out["small"].needs_split
+    assert out["small"].target_files == 1 and out["small"].avg_doc_bytes == 1000.0
+    assert not out["empty"].needs_compaction and out["empty"].target_files == 0

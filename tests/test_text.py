@@ -400,3 +400,54 @@ def test_q157_vocab_growth_prefixes_nest(spark, sf_dir):
         if r.prefix_quarter == 4
     }
     assert got == full
+
+
+def test_q158_ngram_novelty_cross_source_marking(spark, tmp_path):
+    """A gram is 'shared' only when it occurs in >= 2 DISTINCT sources:
+    repeats inside one source stay novel; every occurrence of a
+    cross-source gram counts as shared on both sides."""
+    from airflow_spotify_etl_spark.plans.llm import q158_ngram_novelty
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    g = "w1 w2 w3 w4 w5 w6 w7 w8"          # the shared 8-gram
+    u = "a1 a2 a3 a4 a5 a6 a7 a8"          # source-A-only 8-gram
+    rows = [
+        (1, g, "en", "A", len(g)),
+        (2, g, "en", "A", len(g)),          # in-source repeat of g
+        (3, u, "en", "A", len(u)),
+        (4, g, "en", "B", len(g)),
+        (5, "short text only", "en", "C", 15),  # < 8 words → no grams
+    ]
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.source: (r.n_grams, r.n_shared, r.novel_share)
+        for r in q158_ngram_novelty(spark, str(tmp_path)).collect()
+    }
+    # A: 3 gram occurrences (g, g, u); g is cross-source → 2 shared.
+    assert out["A"] == (3, 2, round(1 / 3, 6))
+    assert out["B"] == (1, 1, 0.0)
+    assert "C" not in out  # no grams → no row
+
+
+def test_q159_context_fit_exact_truncation_accounting(spark, tmp_path):
+    """fits and kept-token mass must be exact: a 600-token doc fits 1024+
+    but contributes only 512 of its tokens at L=512."""
+    from airflow_spotify_etl_spark.plans.llm import q159_context_fit
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows = [
+        (1, " ".join(["w"] * 600), "en", "S", 1200),
+        (2, "three little words", "en", "S", 18),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.context_len: (r.n_docs, r.n_docs_fit, r.n_tokens, r.n_tokens_kept)
+        for r in q159_context_fit(spark, str(tmp_path)).collect()
+    }
+    assert out[512] == (2, 1, 603, 515)    # 600→512 kept, 3→3
+    assert out[1024] == (2, 2, 603, 603)
+    assert out[4096] == (2, 2, 603, 603)
