@@ -3363,6 +3363,153 @@ ORDER BY digit
 """
 
 
+def q165_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequential pattern audit: each user's full
+    event history becomes an ordered character string (c/e/p/s/v by
+    type initial, sorted by ts then event_id for a total order) and
+    three behavioral patterns are tested as regexes over it — the CEP
+    primitive (completed funnel with gaps 's.*v.*c.*p', recovery
+    'e.*p', bounce = never purchases). Spark has no MATCH_RECOGNIZE;
+    a sorted-collect + rlike replays it exactly and the oracle proves
+    the two engines agree on both the ordering and the matching.
+
+    Scale shape: ONE user-keyed exchange into the sorted collect; the
+    path string is bounded by per-user activity, not corpus size (a
+    real deployment caps it with slice(arr, 1, N) — same contract as
+    the capped-basket discipline in graph.py). The pattern rollup is a
+    3-row unpivot of one aggregate row; share is the single rounded
+    division of exact integers."""
+    ev = _t(spark, sf_dir, "events")
+    paths = (
+        ev.select(
+            "user_id",
+            F.struct(
+                "ts", "event_id", F.substring("event_type", 1, 1).alias("ch")
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("arr"))
+        .select(
+            "user_id",
+            F.concat_ws("", F.expr("transform(arr, x -> x.ch)")).alias("path"),
+        )
+    )
+    agg = paths.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("path").rlike("s.*v.*c.*p").cast("long")).alias("m_funnel"),
+        F.sum(F.col("path").rlike("e.*p").cast("long")).alias("m_recovery"),
+        F.sum((~F.col("path").rlike("p")).cast("long")).alias("m_bounce"),
+    )
+    return agg.selectExpr(
+        "n_users",
+        "stack(3, 'funnel_complete', m_funnel,"
+        " 'recovery_purchase', m_recovery,"
+        " 'bounce_no_purchase', m_bounce) AS (pattern, n_matched)",
+    ).select(
+        "pattern",
+        "n_users",
+        "n_matched",
+        F.round(F.col("n_matched").cast("double") / F.col("n_users"), 6).alias(
+            "share"
+        ),
+    ).orderBy("pattern")
+
+
+_Q165_SQL = """
+WITH paths AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), ''
+                    ORDER BY ts, event_id) AS path
+  FROM events GROUP BY user_id
+), a AS (
+  SELECT count(*) AS n_users,
+         CAST(sum(CASE WHEN regexp_matches(path, 's.*v.*c.*p')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS m_funnel,
+         CAST(sum(CASE WHEN regexp_matches(path, 'e.*p')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS m_recovery,
+         CAST(sum(CASE WHEN NOT regexp_matches(path, 'p')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS m_bounce
+  FROM paths
+)
+SELECT u.pattern, a.n_users, u.n_matched,
+       round(CAST(u.n_matched AS DOUBLE) / a.n_users, 6) AS share
+FROM a, (
+  SELECT 'funnel_complete' AS pattern, m_funnel AS n_matched FROM a
+  UNION ALL SELECT 'recovery_purchase', m_recovery FROM a
+  UNION ALL SELECT 'bounce_no_purchase', m_bounce FROM a
+) u
+ORDER BY pattern
+"""
+
+
+def q166_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed WEIGHTED median: per return flag, the smallest
+    price p such that lineitems priced ≤ p carry at least half the
+    total shipped QUANTITY — the volume-weighted center a pricing
+    analysis wants (the plain median treats a 50-unit line like a
+    1-unit line). No built-in does weighted quantiles exactly in
+    either engine; the cumulative-weight window replays identically in
+    both: one per-group sort exchange for the running sum, a broadcast
+    1-row-per-group total, and the all-integer cut ``2·cumw ≥ W``
+    (quantities are integral — no float compares anywhere; the output
+    price is exact cents divided once, rounded)."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("pc"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    w_cum = W.partitionBy("l_returnflag").orderBy("pc").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    tot = base.groupBy("l_returnflag").agg(F.sum("q").alias("wtot"))
+    cum = (
+        base.groupBy("l_returnflag", "pc")
+        .agg(F.sum("q").alias("qp"))
+        .withColumn("cumw", F.sum("qp").over(w_cum))
+    )
+    return (
+        cum.join(F.broadcast(tot), "l_returnflag")
+        .filter(2 * F.col("cumw") >= F.col("wtot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("pc").alias("_pc"), F.max("wtot").alias("total_quantity"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("_pc") / 100.0, 2).alias("weighted_median_price"),
+            "total_quantity",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q166_SQL = """
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+         CAST(l_quantity AS BIGINT) AS q
+  FROM lineitem
+), grp AS (
+  SELECT l_returnflag, pc, CAST(sum(q) AS BIGINT) AS qp
+  FROM base GROUP BY l_returnflag, pc
+), cum AS (
+  SELECT l_returnflag, pc, qp,
+         CAST(sum(qp) OVER (PARTITION BY l_returnflag ORDER BY pc
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw
+  FROM grp
+), tot AS (
+  SELECT l_returnflag, CAST(sum(q) AS BIGINT) AS wtot
+  FROM base GROUP BY l_returnflag
+)
+SELECT c.l_returnflag,
+       round(min(c.pc) / 100.0, 2) AS weighted_median_price,
+       max(t.wtot) AS total_quantity
+FROM cum c JOIN tot t USING (l_returnflag)
+WHERE 2 * c.cumw >= t.wtot
+GROUP BY c.l_returnflag
+ORDER BY c.l_returnflag
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -3433,6 +3580,8 @@ QUERIES = {
     "q161_sql_small_quantity_revenue": q161_sql_small_quantity_revenue,
     "q162_mad_outliers": q162_mad_outliers,
     "q163_benford_audit": q163_benford_audit,
+    "q165_sequence_patterns": q165_sequence_patterns,
+    "q166_weighted_median": q166_weighted_median,
 }
 
 ORACLES = {
@@ -3505,4 +3654,6 @@ ORACLES = {
     "q161_sql_small_quantity_revenue": _Q161_SQL,
     "q162_mad_outliers": _Q162_SQL,
     "q163_benford_audit": _Q163_SQL,
+    "q165_sequence_patterns": _Q165_SQL,
+    "q166_weighted_median": _Q166_SQL,
 }

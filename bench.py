@@ -177,6 +177,8 @@ HEADLINE = [
     "q162_mad_outliers",
     "q163_benford_audit",
     "q164_partition_layout_audit",
+    "q165_sequence_patterns",
+    "q166_weighted_median",
 ]
 
 

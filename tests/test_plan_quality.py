@@ -502,3 +502,68 @@ def test_q164_compaction_flags(spark, tmp_path, qs):
     assert out["small"].needs_compaction and not out["small"].needs_split
     assert out["small"].target_files == 1 and out["small"].avg_doc_bytes == 1000.0
     assert not out["empty"].needs_compaction and out["empty"].target_files == 0
+
+
+def test_q165_patterns_respect_event_order(spark, tmp_path, qs):
+    """Order matters: p-before-s is NOT a completed funnel; an error
+    AFTER the purchase is not a recovery."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    def ev(i, t_min, uid, typ):
+        return (i, datetime(2024, 1, 1, 0, t_min), uid, typ, 1.0, "{}")
+
+    rows = [
+        # user 1: s→v→c→p in order → funnel; no error → no recovery
+        ev(1, 1, 1, "signup"), ev(2, 2, 1, "view"),
+        ev(3, 3, 1, "click"), ev(4, 4, 1, "purchase"),
+        # user 2: p first, then s,v,c → NOT a funnel; error after p → no recovery
+        ev(5, 1, 2, "purchase"), ev(6, 2, 2, "signup"),
+        ev(7, 3, 2, "view"), ev(8, 4, 2, "click"), ev(9, 5, 2, "error"),
+        # user 3: e then p → recovery; never signs up → no funnel
+        ev(10, 1, 3, "error"), ev(11, 2, 3, "purchase"),
+        # user 4: views only → bounce
+        ev(12, 1, 4, "view"),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {
+        r.pattern: (r.n_users, r.n_matched)
+        for r in qs["q165_sequence_patterns"](spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        "funnel_complete": (4, 1),
+        "recovery_purchase": (4, 1),
+        "bounce_no_purchase": (4, 1),
+    }
+
+
+def test_q166_weighted_median_vs_plain(spark, tmp_path, qs):
+    """One heavy cheap line must drag the WEIGHTED median below the
+    plain median: prices [1, 100, 101] with quantities [10, 1, 1] put
+    half the 12-unit mass at price 1."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    t = datetime(2024, 1, 1)
+    li = [
+        (1, 1, 1, 1, 10.0, 1.00, 0.0, 0.0, "A", "O", t),
+        (1, 1, 1, 2, 1.0, 100.00, 0.0, 0.0, "A", "O", t),
+        (1, 1, 1, 3, 1.0, 101.00, 0.0, 0.0, "A", "O", t),
+        # group B: symmetric weights → median at the middle price
+        (2, 1, 1, 1, 1.0, 5.00, 0.0, 0.0, "B", "O", t),
+        (2, 1, 1, 2, 1.0, 7.00, 0.0, 0.0, "B", "O", t),
+        (2, 1, 1, 3, 1.0, 9.00, 0.0, 0.0, "B", "O", t),
+    ]
+    spark.createDataFrame(li, SCHEMAS["lineitem"]).write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    out = {
+        r.l_returnflag: (r.weighted_median_price, r.total_quantity)
+        for r in qs["q166_weighted_median"](spark, str(tmp_path)).collect()
+    }
+    assert out["A"] == (1.00, 12)   # cumw at price 1 is 10 ≥ 12/2
+    assert out["B"] == (7.00, 3)
