@@ -4656,6 +4656,76 @@ ORDER BY source, lang
 """
 
 
+def q167_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-store health check — the pre-index audit an ANN build
+    runs first: per label, vector count, dimension constancy, zero
+    vectors (dead encoder outputs poison cosine math), and the mean
+    squared norm. Norms are computed in QUANTIZED integer units
+    (round(x·10⁴)² summed as BIGINTs) so the cross-row aggregation is
+    order-independent and engine-exact — a raw float32 sum would differ
+    between engines and between partitionings (the q122 drift lesson);
+    every float32 element is cast to DOUBLE before scaling because
+    DuckDB would otherwise multiply in single precision. One grouped
+    pass; the mean is the single rounded division of exact integers."""
+    em = load_table(spark, sf_dir, "embeddings")
+    norm2q = F.expr(
+        "aggregate(transform(embedding,"
+        " x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (a, e) -> a + e * e)"
+    )
+    per = em.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        norm2q.alias("n2q"),
+    )
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (F.min("dim") == F.max("dim")).alias("dims_constant"),
+            F.max("dim").alias("dim"),
+            F.sum((F.col("n2q") == 0).cast("long")).alias("n_zero_vecs"),
+            F.sum("n2q").alias("_sum_n2q"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "dims_constant",
+            "dim",
+            "n_zero_vecs",
+            F.round(
+                F.col("_sum_n2q").cast("double")
+                / (F.col("n_vecs") * F.lit(100000000)).cast("double"),
+                6,
+            ).alias("mean_sq_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+_Q167_SQL = """
+WITH per AS (
+  SELECT label, len(embedding) AS dim,
+         CAST(list_sum(list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)
+                   * CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)))
+              AS BIGINT) AS n2q
+  FROM embeddings
+)
+SELECT label,
+       count(*) AS n_vecs,
+       min(dim) = max(dim) AS dims_constant,
+       max(dim) AS dim,
+       CAST(sum(CASE WHEN n2q = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_vecs,
+       round(CAST(sum(n2q) AS BIGINT)
+             / CAST(count(*) * 100000000 AS DOUBLE), 6) AS mean_sq_norm
+FROM per
+GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -4738,6 +4808,7 @@ QUERIES = {
     "q158_ngram_novelty": q158_ngram_novelty,
     "q159_context_fit": q159_context_fit,
     "q164_partition_layout_audit": q164_partition_layout_audit,
+    "q167_embedding_health": q167_embedding_health,
 }
 
 ORACLES = {
@@ -4822,4 +4893,5 @@ ORACLES = {
     "q158_ngram_novelty": _Q158_SQL,
     "q159_context_fit": _Q159_SQL,
     "q164_partition_layout_audit": _Q164_SQL,
+    "q167_embedding_health": _Q167_SQL,
 }

@@ -179,6 +179,7 @@ HEADLINE = [
     "q164_partition_layout_audit",
     "q165_sequence_patterns",
     "q166_weighted_median",
+    "q167_embedding_health",
 ]
 
 

@@ -514,3 +514,36 @@ def test_embedding_drift_is_aggregation_order_independent(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_q167_embedding_health_zero_vec_and_partition_invariance(spark, tmp_path):
+    """A planted all-zero vector is counted; quantized integer norms make
+    the result identical under different partitionings (the float-sum
+    order trap the quantization exists to kill)."""
+    from pyspark.sql import functions as F
+
+    from airflow_spotify_etl_spark.plans.llm import q167_embedding_health
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS, load_table
+
+    base = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    zero = spark.createDataFrame(
+        [(999999, [0.0] * 64, 0)], SCHEMAS["embeddings"]
+    )
+    base.unionByName(zero).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out1 = {
+        r.label: (r.n_vecs, r.n_zero_vecs, r.mean_sq_norm, r.dims_constant)
+        for r in q167_embedding_health(spark, str(tmp_path)).collect()
+    }
+    assert out1[0][1] == 1 and all(v[3] for v in out1.values())
+    # repartitioned read → identical result (order-independent sums)
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "embeddings.parquet"))
+    base.unionByName(zero).repartition(13).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out2 = {
+        r.label: (r.n_vecs, r.n_zero_vecs, r.mean_sq_norm, r.dims_constant)
+        for r in q167_embedding_health(spark, str(tmp_path)).collect()
+    }
+    assert out1 == out2
