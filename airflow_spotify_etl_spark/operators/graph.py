@@ -32,7 +32,94 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "personalized_pagerank", "adamic_adar_pairs"]
+__all__ = [
+    "pagerank",
+    "personalized_pagerank",
+    "adamic_adar_pairs",
+    "triangle_count",
+]
+
+
+def triangle_count(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Exact triangle census with DEGREE-ORDERED orientation — the
+    standard distributed-triangle discipline (Cohen 2009; GraphX's
+    TriangleCount uses the same idea): orient every undirected edge from
+    its lower-(degree, id) endpoint to the higher, so each triangle is
+    generated exactly once, from its lowest-order corner, and — the
+    scale property — every oriented out-degree is O(√m), which bounds
+    the wedge self-join at Σ out_deg² ≤ O(m^1.5) instead of the hub
+    blow-up Σ deg² a naive orientation pays on power-law graphs.
+
+    Returns ONE row: n_nodes, n_edges, n_triangles, n_wedges
+    (Σ C(deg, 2) — closed + open 2-paths), and the global clustering
+    coefficient 3·T / wedges (the only float, a single rounded division
+    of exact integers).
+
+    Shuffle shape: canonicalize+distinct (1 exchange), degree count
+    (1), two degree lookups (key-joins against the |V|-row degree
+    relation), the wedge self-join keyed on the low corner, and the
+    closing-edge semi-join keyed on the candidate pair. All joins carry
+    only ids and degrees."""
+    aa, bb = F.col(a_col), F.col(b_col)
+    e = (
+        edges.select(
+            F.least(aa, bb).alias("a"), F.greatest(aa, bb).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("n"))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    # Total order: degree-major, id-minor, packed into one BIGINT
+    # (ids are < 2^32 here; the same packing replays in the oracle).
+    key = (F.col("d") * F.lit(4294967296) + F.col("n")).alias("k")
+    keyed = deg.select("n", key)
+    ek = (
+        e.join(keyed.withColumnRenamed("n", "a").withColumnRenamed("k", "ka"), "a")
+        .join(keyed.withColumnRenamed("n", "b").withColumnRenamed("k", "kb"), "b")
+    )
+    oriented = ek.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("t"),
+        F.least("ka", "kb").alias("ks"),
+        F.greatest("ka", "kb").alias("kt"),
+    )
+    o1 = oriented.select("s", F.col("t").alias("t1"), F.col("kt").alias("kt1"))
+    o2 = oriented.select("s", F.col("t").alias("t2"), F.col("kt").alias("kt2"))
+    wedges = o1.join(o2, "s").filter(F.col("kt1") < F.col("kt2"))
+    tri = wedges.join(
+        oriented.select(F.col("s").alias("t1"), F.col("t").alias("t2")),
+        ["t1", "t2"],
+        "left_semi",
+    ).agg(F.count("*").alias("n_triangles"))
+    stats = (
+        deg.agg(
+            F.count("*").alias("n_nodes"),
+            (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias(
+                "n_wedges"
+            ),
+        )
+        .crossJoin(e.agg(F.count("*").alias("n_edges")))
+        .crossJoin(F.broadcast(tri))
+    )
+    return stats.select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(
+                (3 * F.col("n_triangles")).cast("double") / F.col("n_wedges"),
+                6,
+            ),
+        ).alias("global_clustering"),
+    )
 
 
 def pagerank(

@@ -227,3 +227,74 @@ LIMIT 50
 
 QUERIES["q111_copurchase_adamic_adar"] = q111_copurchase_adamic_adar
 ORACLES["q111_copurchase_adamic_adar"] = _Q111_SQL
+
+
+def q168_transition_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the undirected item-transition graph (the q57
+    edge list with direction dropped) via operators/graph.triangle_count
+    — degree-ordered orientation, each triangle generated once from its
+    lowest-(degree, id) corner, wedge work bounded by Σ out_deg² =
+    O(m^1.5). The oracle replays the same orientation and joins
+    verbatim, so a green hash proves both the census and the packing
+    (k = d·2³² + id) agree across engines."""
+    from ..operators.graph import triangle_count
+
+    ev = load_table(spark, sf_dir, "events")
+    item = F.get_json_object("props", "$.k").cast("bigint")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select("user_id", "ts", "event_id", item.alias("dst"))
+        .withColumn("src", F.lag("dst").over(w))
+        .filter(F.col("src").isNotNull())
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    )
+    return triangle_count(edges, "a", "b")
+
+
+_Q168_SQL = """
+WITH it AS (
+  SELECT user_id, ts, event_id,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst,
+         lag(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+  FROM events
+), e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM it WHERE src IS NOT NULL AND src <> dst
+), deg AS (
+  SELECT n, count(*) AS d
+  FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+  GROUP BY n
+), keyed AS (
+  SELECT n, d * 4294967296 + n AS k FROM deg
+), ek AS (
+  SELECT e.a, e.b, ka.k AS ka, kb.k AS kb
+  FROM e JOIN keyed ka ON ka.n = e.a JOIN keyed kb ON kb.n = e.b
+), oriented AS (
+  SELECT CASE WHEN ka < kb THEN a ELSE b END AS s,
+         CASE WHEN ka < kb THEN b ELSE a END AS t,
+         least(ka, kb) AS ks, greatest(ka, kb) AS kt
+  FROM ek
+), wedges AS (
+  SELECT o1.t AS t1, o2.t AS t2
+  FROM oriented o1 JOIN oriented o2 ON o1.s = o2.s AND o1.kt < o2.kt
+), tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.s = w.t1 AND o.t = w.t2)
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges
+  FROM deg
+), ec AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e
+)
+SELECT s.n_nodes, ec.n_edges, t.n_triangles, s.n_wedges,
+       CASE WHEN s.n_wedges > 0
+            THEN round(CAST(3 * t.n_triangles AS DOUBLE) / s.n_wedges, 6) END
+         AS global_clustering
+FROM stats s CROSS JOIN ec CROSS JOIN tri t
+"""
+
+QUERIES["q168_transition_triangles"] = q168_transition_triangles
+ORACLES["q168_transition_triangles"] = _Q168_SQL

@@ -180,6 +180,7 @@ HEADLINE = [
     "q165_sequence_patterns",
     "q166_weighted_median",
     "q167_embedding_health",
+    "q168_transition_triangles",
 ]
 
 

@@ -176,3 +176,29 @@ def test_personalized_pagerank_mass_near_seeds(spark):
     assert out[8] == 0.0  # not a seed, no inflow
     # total mass stays bounded by 1 (teleport loses nothing to danglers)
     assert 0.99 <= sum(out.values()) <= 1.01
+
+
+def test_triangle_count_known_graphs(spark):
+    from airflow_spotify_etl_spark.operators.graph import triangle_count
+
+    # K4: 4 triangles, 6 edges, wedges = 4*C(3,2) = 12, clustering = 1.0
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    df = spark.createDataFrame(k4, "a long, b long")
+    r = triangle_count(df).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles, r.n_wedges) == (4, 6, 4, 12)
+    assert r.global_clustering == 1.0
+
+    # path 0-1-2-3: no triangles; duplicate + reversed + self-loop edges
+    # must all canonicalize away
+    path = [(0, 1), (1, 0), (1, 2), (2, 3), (3, 3), (2, 1)]
+    df = spark.createDataFrame(path, "a long, b long")
+    r = triangle_count(df).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles, r.n_wedges) == (4, 3, 0, 2)
+    assert r.global_clustering == 0.0
+
+    # triangle + pendant: T=1, wedges = C(2,2)*2 + C(3,2) = 1+1+3 = 5
+    g = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    df = spark.createDataFrame(g, "a long, b long")
+    r = triangle_count(df).collect()[0]
+    assert (r.n_triangles, r.n_wedges) == (1, 5)
+    assert r.global_clustering == 0.6
