@@ -298,3 +298,57 @@ FROM stats s CROSS JOIN ec CROSS JOIN tri t
 
 QUERIES["q168_transition_triangles"] = q168_transition_triangles
 ORACLES["q168_transition_triangles"] = _Q168_SQL
+
+
+_Q169_BODY = """
+WITH RECURSIVE it AS (
+  SELECT user_id, ts, event_id,
+         {item_expr} AS dst,
+         lag({item_expr}) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS src
+  FROM events
+), e AS (
+  SELECT DISTINCT src, dst FROM it WHERE src IS NOT NULL AND src <> dst
+), seeds AS (
+  SELECT DISTINCT src AS node FROM e ORDER BY node LIMIT 5
+), reach(node, hops) AS (
+  SELECT node, 0 FROM seeds
+  UNION ALL
+  SELECT e.dst, r.hops + 1
+  FROM reach r JOIN e ON e.src = r.node
+  WHERE r.hops < 2
+), best AS (
+  SELECT node, min(hops) AS min_hops FROM reach GROUP BY node
+)
+SELECT min_hops, count(*) AS n_nodes
+FROM best GROUP BY min_hops ORDER BY min_hops
+"""
+
+
+def q169_sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop reachability through the SQL surface's RECURSIVE CTE
+    (Spark 4's WITH RECURSIVE ... UNION ALL): BFS frontier from the 5
+    smallest source items over the transition graph, depth-capped at 2,
+    then min-hop dedup and a hop histogram. The same statement runs
+    verbatim in DuckDB — the engines must agree on recursion semantics,
+    the depth cap, and the dedup. The UNION ALL frontier enumerates
+    WALKS (Spark doesn't support UNION-distinct recursion yet), so the
+    depth cap is the scale control: the walk count is Σ seeds·deg^h for
+    h ≤ 2, kept under Spark's 1M recursion row limit at every SF — the iterative-operator tier (q42/q57 pointer-doubling and
+    broadcast loops) is the engine's unbounded-depth path."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        _Q169_BODY.format(
+            item_expr="CAST(get_json_object(props, '$.k') AS BIGINT)"
+        )
+    )
+
+
+_Q169_SQL = _Q169_BODY.format(
+    item_expr="TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)"
+)
+
+QUERIES["q169_sql_recursive_reachability"] = q169_sql_recursive_reachability
+ORACLES["q169_sql_recursive_reachability"] = _Q169_SQL

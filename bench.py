@@ -181,6 +181,7 @@ HEADLINE = [
     "q166_weighted_median",
     "q167_embedding_health",
     "q168_transition_triangles",
+    "q169_sql_recursive_reachability",
 ]
 
 
