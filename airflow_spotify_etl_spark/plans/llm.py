@@ -333,10 +333,12 @@ ORDER BY doc_a, doc_b
 """
 
 
-def _q25_sql() -> str:
+def _q25_sql(r: int = 4) -> str:
     """DuckDB twin of minhash_lsh_pairs(threshold=0.5): same params (seeded
     from operators.dedup._hash_params so the two can never drift), same
-    modulus, same band/bucket caps, same verify arithmetic as _Q24_SQL."""
+    modulus, same band/bucket caps, same verify arithmetic as _Q24_SQL.
+    ``r`` is rows-per-band (bands = 64 // r) — default matches q25's
+    bands=16; q170's band sweep reuses the builder at r in {8, 4, 2}."""
     from ..operators.dedup import _MERSENNE, _hash_params
 
     params = ",\n    ".join(
@@ -357,10 +359,10 @@ sh_raw AS (
   SELECT doc_id, p.i, min((p.a * h + p.b) % {_MERSENNE}) AS s
   FROM hs CROSS JOIN params p GROUP BY doc_id, p.i
 ), banded AS (
-  -- band key = the r=4 sig values themselves; tuple equality is
+  -- band key = the r sig values themselves; tuple equality is
   -- output-equivalent to Spark's xxhash64 of the same tuple
-  SELECT doc_id, i // 4 AS band, string_agg(s::VARCHAR, ',' ORDER BY i) AS bh
-  FROM sig GROUP BY doc_id, i // 4
+  SELECT doc_id, i // {r} AS band, string_agg(s::VARCHAR, ',' ORDER BY i) AS bh
+  FROM sig GROUP BY doc_id, i // {r}
 ), ok AS (
   SELECT band, bh FROM banded GROUP BY band, bh
   HAVING count(*) BETWEEN 2 AND 1000
@@ -4726,6 +4728,101 @@ ORDER BY label
 """
 
 
+def q170_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-choice sweep — the tuning table behind q25's (16, 4)
+    default: the SAME 64-hash signature banded three ways (8×8, 16×4,
+    32×2), each tier's verified pairs audited against the exact q24
+    tier. The S-curve midpoint (1/b)^(1/r) moves from ≈0.77 to ≈0.18
+    across the sweep, so recall at the 0.5 threshold must be monotone
+    in the band count — the property a corpus owner consults before
+    spending the candidate budget. Signatures and caps are shared with
+    q25 (one builder on both engines, so the sweep can never drift from
+    the production tier). Exact integer counts; one rounded division
+    per arm."""
+    from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = (
+        ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    ne = exact.agg(F.count("*").alias("n_exact"))
+    arms = []
+    for bands in (8, 16, 32):
+        lsh = (
+            minhash_lsh_pairs(docs, bands=bands, threshold=0.5)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        )
+        arms.append(
+            lsh.agg(F.count("*").alias("n_pairs"))
+            .crossJoin(
+                F.broadcast(
+                    lsh.join(exact, ["doc_a", "doc_b"]).agg(
+                        F.count("*").alias("n_hit")
+                    )
+                )
+            )
+            .select(
+                F.lit(bands).alias("bands"),
+                F.lit(64 // bands).alias("rows_per_band"),
+                "n_pairs",
+                "n_hit",
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return (
+        out.crossJoin(F.broadcast(ne))
+        .select(
+            "bands",
+            "rows_per_band",
+            "n_pairs",
+            "n_exact",
+            "n_hit",
+            F.when(
+                F.col("n_exact") > 0,
+                F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 4),
+            ).alias("recall"),
+        )
+        .orderBy("bands")
+    )
+
+
+def _q170_sql() -> str:
+    arms = []
+    for bands in (8, 16, 32):
+        r = 64 // bands
+        arms.append(
+            f"""SELECT {bands} AS bands, {r} AS rows_per_band,
+       (SELECT count(*) FROM a{bands}) AS n_pairs,
+       (SELECT n_exact FROM ne) AS n_exact,
+       (SELECT count(*) FROM a{bands} l
+          JOIN exact_pairs e
+            ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b) AS n_hit"""
+        )
+    withs = ",\n".join(
+        f"a{bands} AS (SELECT doc_a, doc_b FROM ({_q25_sql(64 // bands)}) s{bands})"
+        for bands in (8, 16, 32)
+    )
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH exact_pairs AS (
+  SELECT doc_a, doc_b FROM ({_Q24_SQL}) x
+), ne AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact_pairs
+),
+{withs}
+SELECT bands, rows_per_band, n_pairs, n_exact, n_hit,
+       CASE WHEN n_exact > 0
+            THEN round(CAST(n_hit AS DOUBLE) / n_exact, 4) END AS recall
+FROM ({body}) u
+ORDER BY bands
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -4809,6 +4906,7 @@ QUERIES = {
     "q159_context_fit": q159_context_fit,
     "q164_partition_layout_audit": q164_partition_layout_audit,
     "q167_embedding_health": q167_embedding_health,
+    "q170_lsh_band_sweep": q170_lsh_band_sweep,
 }
 
 ORACLES = {
@@ -4894,4 +4992,5 @@ ORACLES = {
     "q159_context_fit": _Q159_SQL,
     "q164_partition_layout_audit": _Q164_SQL,
     "q167_embedding_health": _Q167_SQL,
+    "q170_lsh_band_sweep": _q170_sql(),
 }

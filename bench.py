@@ -182,6 +182,7 @@ HEADLINE = [
     "q167_embedding_health",
     "q168_transition_triangles",
     "q169_sql_recursive_reachability",
+    "q170_lsh_band_sweep",
 ]
 
 

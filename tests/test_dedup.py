@@ -713,3 +713,20 @@ def test_boilerplate_excision_removes_all_copies(spark):
         for r in boilerplate_excision(docs, chunk_words=8, min_docs=3).collect()
     }
     assert ident == {1: 0, 2: 0, 3: 0}
+
+
+def test_q170_band_sweep_recall_monotone(spark, sf_dir):
+    """More bands (shorter rows-per-band) can only LOWER the S-curve
+    midpoint, so recall at a fixed threshold must be non-decreasing in
+    the band count, and every verified tier stays precision-1 vs the
+    exact pair set (n_hit == n_pairs: verification uses the same exact
+    Jaccard)."""
+    from airflow_spotify_etl_spark.plans.llm import q170_lsh_band_sweep
+
+    rows = q170_lsh_band_sweep(spark, sf_dir).collect()
+    assert [r.bands for r in rows] == [8, 16, 32]
+    recalls = [r.recall for r in rows]
+    assert recalls == sorted(recalls), recalls
+    for r in rows:
+        assert r.n_hit == r.n_pairs, (r.bands, r.n_pairs, r.n_hit)
+        assert r.n_hit <= r.n_exact
