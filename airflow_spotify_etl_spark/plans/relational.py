@@ -3510,6 +3510,120 @@ ORDER BY c.l_returnflag
 """
 
 
+def q171_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs row-major clustering audit — the number that justifies
+    OPTIMIZE ZORDER (operators/layout.zorder_key / write_zordered): bucket
+    lineitem 32 ways by (a) the Morton interleave of (partkey, suppkey)
+    low-16-bit halves and (b) the row-major key partkey·2¹⁶+suppkey, then
+    report the mean in-bucket min-max WIDTH of each dimension. Row-major
+    gives a razor-thin partkey range but the FULL suppkey range per
+    bucket (zero pruning on the second dim); the Z-curve pays a modestly
+    wider partkey range to shrink both — exactly the file-stats pruning
+    trade a lakehouse makes. The key is the same codegen bit-arithmetic
+    as the writer (bit b of column j lands at position b·2+j), replayed
+    verbatim in the oracle; everything is integer until the two rounded
+    mean divisions."""
+    from ..operators.layout import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    raw = li.select(
+        F.col("l_partkey").alias("x0"), F.col("l_suppkey").alias("y0")
+    )
+    # Equal-width normalization to [0, 2^16) against the global min/max
+    # (write_zordered's width_bucket step) in EXACT integer arithmetic —
+    # without it a small key domain leaves the curve's high bits all
+    # zero and every row in one bucket.
+    stats = raw.agg(
+        F.min("x0").alias("mnx"),
+        F.max("x0").alias("mxx"),
+        F.min("y0").alias("mny"),
+        F.max("y0").alias("mxy"),
+    )
+    base = raw.crossJoin(F.broadcast(stats)).select(
+        # `div` (Spark) / `//` (DuckDB): EXPLICIT integer division — a
+        # float divide + CAST would truncate in Spark but ROUND in DuckDB.
+        F.expr("(x0 - mnx) * 65536 div (mxx - mnx + 1)").alias("xp"),
+        F.expr("(y0 - mny) * 65536 div (mxy - mny + 1)").alias("yp"),
+    )
+    keyed = base.select(
+        "xp",
+        "yp",
+        F.shiftright(zorder_key(["xp", "yp"], bits=16), 27).alias("bz"),
+        F.shiftright(F.col("xp") * 65536 + F.col("yp"), 27).alias("br"),
+    )
+
+    def ranges(bucket_col: str, layout: str) -> DataFrame:
+        return (
+            keyed.groupBy(F.col(bucket_col).alias("_b"))
+            .agg(
+                (F.max("xp") - F.min("xp")).alias("xr"),
+                (F.max("yp") - F.min("yp")).alias("yr"),
+            )
+            .agg(
+                F.count("*").alias("n_buckets"),
+                F.sum("xr").alias("sx"),
+                F.sum("yr").alias("sy"),
+            )
+            .select(
+                F.lit(layout).alias("layout"),
+                "n_buckets",
+                F.round(F.col("sx").cast("double") / F.col("n_buckets"), 2).alias(
+                    "avg_partkey_range"
+                ),
+                F.round(F.col("sy").cast("double") / F.col("n_buckets"), 2).alias(
+                    "avg_suppkey_range"
+                ),
+            )
+        )
+
+    return (
+        ranges("bz", "zorder")
+        .unionByName(ranges("br", "rowmajor"))
+        .orderBy("layout")
+    )
+
+
+def _q171_sql() -> str:
+    interleave = " + ".join(
+        f"(((xp >> {b}) & 1) << {2 * b}) + (((yp >> {b}) & 1) << {2 * b + 1})"
+        for b in range(16)
+    )
+    return f"""
+WITH stats AS (
+  SELECT min(l_partkey) AS mnx, max(l_partkey) AS mxx,
+         min(l_suppkey) AS mny, max(l_suppkey) AS mxy
+  FROM lineitem
+), base AS (
+  SELECT (l_partkey - mnx) * 65536 // (mxx - mnx + 1) AS xp,
+         (l_suppkey - mny) * 65536 // (mxy - mny + 1) AS yp
+  FROM lineitem CROSS JOIN stats
+), keyed AS (
+  SELECT xp, yp,
+         ({interleave}) >> 27 AS bz,
+         (xp * 65536 + yp) >> 27 AS br
+  FROM base
+), rz AS (
+  SELECT bz AS b, max(xp) - min(xp) AS xr, max(yp) - min(yp) AS yr
+  FROM keyed GROUP BY bz
+), rr AS (
+  SELECT br AS b, max(xp) - min(xp) AS xr, max(yp) - min(yp) AS yr
+  FROM keyed GROUP BY br
+)
+SELECT 'zorder' AS layout, count(*) AS n_buckets,
+       round(CAST(sum(xr) AS BIGINT) / CAST(count(*) AS DOUBLE), 2)
+         AS avg_partkey_range,
+       round(CAST(sum(yr) AS BIGINT) / CAST(count(*) AS DOUBLE), 2)
+         AS avg_suppkey_range
+FROM rz
+UNION ALL
+SELECT 'rowmajor', count(*),
+       round(CAST(sum(xr) AS BIGINT) / CAST(count(*) AS DOUBLE), 2),
+       round(CAST(sum(yr) AS BIGINT) / CAST(count(*) AS DOUBLE), 2)
+FROM rr
+ORDER BY layout
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -3582,6 +3696,7 @@ QUERIES = {
     "q163_benford_audit": q163_benford_audit,
     "q165_sequence_patterns": q165_sequence_patterns,
     "q166_weighted_median": q166_weighted_median,
+    "q171_zorder_layout_audit": q171_zorder_layout_audit,
 }
 
 ORACLES = {
@@ -3656,4 +3771,5 @@ ORACLES = {
     "q163_benford_audit": _Q163_SQL,
     "q165_sequence_patterns": _Q165_SQL,
     "q166_weighted_median": _Q166_SQL,
+    "q171_zorder_layout_audit": _q171_sql(),
 }

@@ -183,6 +183,7 @@ HEADLINE = [
     "q168_transition_triangles",
     "q169_sql_recursive_reachability",
     "q170_lsh_band_sweep",
+    "q171_zorder_layout_audit",
 ]
 
 

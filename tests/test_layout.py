@@ -320,3 +320,22 @@ def test_interleave_closed_form_and_batch_mix(spark):
     # the first 3*6 positions alternate through all sources while tiny lasts
     first18 = [r.source for r in out[:18]]
     assert first18.count("tiny") == 6
+
+
+def test_q171_zorder_narrows_second_dimension(spark, sf_dir):
+    """The audit must show the clustering trade: row-major leaves the
+    second dimension's in-bucket range near the full domain (no pruning)
+    while the Z-curve shrinks it by an order of magnitude, paying a
+    bounded widening of the first."""
+    from airflow_spotify_etl_spark.plans.relational import (
+        q171_zorder_layout_audit,
+    )
+
+    out = {
+        r.layout: r
+        for r in q171_zorder_layout_audit(spark, sf_dir).collect()
+    }
+    rm, zo = out["rowmajor"], out["zorder"]
+    assert zo.avg_suppkey_range < rm.avg_suppkey_range / 4
+    assert rm.avg_suppkey_range > 0.8 * 65536  # rowmajor: no 2nd-dim pruning
+    assert zo.avg_partkey_range < 0.5 * 65536  # z still prunes dim 1
