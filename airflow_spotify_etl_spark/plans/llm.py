@@ -4823,6 +4823,82 @@ ORDER BY bands
 """
 
 
+def q172_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability-diagram) table for the quality
+    classifier: q104 scores binned into deciles, each bin's mean score
+    against the empirical keep-rate of the q58 pseudo-labels — the
+    companion to q143's threshold sweep (that picks an operating point;
+    this shows whether the scores MEAN anything as probabilities, the
+    ECE ingredient). Discipline: the shared rounded score becomes an
+    exact integer (round(score·10⁴)) ONCE; the bin is integer division
+    of that integer (no float binning at the decile boundaries) and the
+    bin's mean score is the single rounded division of the exact
+    integer sum — a raw float mean would be aggregation-order-dependent."""
+    from ..operators.text import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = hashed_linear_score(docs, n_buckets=4096).select("doc_id", "score")
+    labels = q58_gopher_quality_flags(spark, sf_dir).select("doc_id", "keep")
+    si = F.expr("CAST(round(score * 10000) AS BIGINT)")
+    j = (
+        scores.join(labels, "doc_id")
+        .select(si.alias("si"), "keep")
+        .select(
+            F.least(F.greatest(F.expr("si div 1000"), F.lit(0)), F.lit(9))
+            .cast("int")
+            .alias("bin"),
+            "si",
+            "keep",
+        )
+    )
+    return (
+        j.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.sum("si").alias("_ssum"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_keep",
+            F.round(
+                F.col("_ssum").cast("double") / (F.col("n") * F.lit(10000)),
+                4,
+            ).alias("mean_score"),
+            F.round(F.col("n_keep").cast("double") / F.col("n"), 4).alias(
+                "keep_rate"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+def _q172_sql() -> str:
+    return f"""
+WITH scores AS (
+  SELECT doc_id, score FROM ({_Q104_SQL}) s
+), labels AS (
+  SELECT doc_id, keep FROM ({_Q58_SQL}) l
+), e AS (
+  SELECT CAST(round(s.score * 10000) AS BIGINT) AS si, l.keep
+  FROM scores s JOIN labels l USING (doc_id)
+), b AS (
+  SELECT CAST(least(greatest(si // 1000, 0), 9) AS INTEGER) AS bin, si, keep
+  FROM e
+)
+SELECT bin, count(*) AS n,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       round(CAST(sum(si) AS BIGINT) / CAST(count(*) * 10000 AS DOUBLE), 4)
+         AS mean_score,
+       round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(count(*) AS DOUBLE), 4) AS keep_rate
+FROM b
+GROUP BY bin
+ORDER BY bin
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -4907,6 +4983,7 @@ QUERIES = {
     "q164_partition_layout_audit": q164_partition_layout_audit,
     "q167_embedding_health": q167_embedding_health,
     "q170_lsh_band_sweep": q170_lsh_band_sweep,
+    "q172_reliability_bins": q172_reliability_bins,
 }
 
 ORACLES = {
@@ -4993,4 +5070,5 @@ ORACLES = {
     "q164_partition_layout_audit": _Q164_SQL,
     "q167_embedding_health": _Q167_SQL,
     "q170_lsh_band_sweep": _q170_sql(),
+    "q172_reliability_bins": _q172_sql(),
 }

@@ -184,6 +184,7 @@ HEADLINE = [
     "q169_sql_recursive_reachability",
     "q170_lsh_band_sweep",
     "q171_zorder_layout_audit",
+    "q172_reliability_bins",
 ]
 
 

@@ -451,3 +451,20 @@ def test_q159_context_fit_exact_truncation_accounting(spark, tmp_path):
     assert out[512] == (2, 1, 603, 515)    # 600→512 kept, 3→3
     assert out[1024] == (2, 2, 603, 603)
     assert out[4096] == (2, 2, 603, 603)
+
+
+def test_q172_reliability_bins_partition_exact(spark, sf_dir):
+    """Bins must exactly partition the joined doc set (Σn = |docs with
+    scores ∩ labels|) and keep_rate must be n_keep/n re-rounded."""
+    from airflow_spotify_etl_spark.plans.llm import q172_reliability_bins
+
+    rows = q172_reliability_bins(spark, sf_dir).collect()
+    assert rows, "no bins"
+    assert all(0 <= r.bin <= 9 for r in rows)
+    for r in rows:
+        assert 0 <= r.n_keep <= r.n
+        assert r.keep_rate == round(r.n_keep / r.n, 4)
+        assert 0.0 <= r.mean_score <= 1.0001
+    # bins sorted and unique
+    bins = [r.bin for r in rows]
+    assert bins == sorted(set(bins))
