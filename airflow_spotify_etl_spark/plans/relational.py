@@ -3624,6 +3624,69 @@ ORDER BY layout
 """
 
 
+def q173_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-novelty decay curve — the crawl-ops metric behind "is this
+    feed still worth ingesting": per day, how many item references the
+    event stream carried, how many were the item's FIRST-EVER
+    appearance, the day's novelty share, and the cumulative distinct
+    vocabulary. A healthy feed's novelty decays slowly; a recrawl loop
+    pins near zero. Two grouped aggregates — first-seen date per item
+    (|items| rows), then the daily rollup — plus one cumulative window
+    over the |days|-row result (tiny, not the corpus). Exact integers;
+    one rounded division."""
+    ev = _t(spark, sf_dir, "events")
+    item = F.get_json_object("props", "$.k").cast("bigint")
+    base = ev.select(
+        F.to_date("ts").alias("d"), item.alias("item")
+    ).filter(F.col("item").isNotNull())
+    daily = base.groupBy("d").agg(F.count("*").alias("n_refs"))
+    first = base.groupBy("item").agg(F.min("d").alias("d0"))
+    news = first.groupBy(F.col("d0").alias("d")).agg(
+        F.count("*").alias("n_new")
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        daily.join(news, "d", "left")
+        .select("d", "n_refs", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+        .withColumn("cum_vocab", F.sum("n_new").over(w))
+        .select(
+            "d",
+            "n_refs",
+            "n_new",
+            "cum_vocab",
+            F.round(
+                F.col("n_new").cast("double") / F.col("n_refs"), 4
+            ).alias("novelty_share"),
+        )
+        .orderBy("d")
+    )
+
+
+_Q173_SQL = """
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS d,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+), daily AS (
+  SELECT d, count(*) AS n_refs FROM base GROUP BY d
+), first AS (
+  SELECT item, min(d) AS d0 FROM base GROUP BY item
+), news AS (
+  SELECT d0 AS d, count(*) AS n_new FROM first GROUP BY d0
+)
+SELECT dy.d, dy.n_refs,
+       coalesce(nw.n_new, 0) AS n_new,
+       CAST(sum(coalesce(nw.n_new, 0))
+            OVER (ORDER BY dy.d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_vocab,
+       round(CAST(coalesce(nw.n_new, 0) AS DOUBLE) / dy.n_refs, 4)
+         AS novelty_share
+FROM daily dy LEFT JOIN news nw USING (d)
+ORDER BY dy.d
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -3697,6 +3760,7 @@ QUERIES = {
     "q165_sequence_patterns": q165_sequence_patterns,
     "q166_weighted_median": q166_weighted_median,
     "q171_zorder_layout_audit": q171_zorder_layout_audit,
+    "q173_novelty_decay": q173_novelty_decay,
 }
 
 ORACLES = {
@@ -3772,4 +3836,5 @@ ORACLES = {
     "q165_sequence_patterns": _Q165_SQL,
     "q166_weighted_median": _Q166_SQL,
     "q171_zorder_layout_audit": _q171_sql(),
+    "q173_novelty_decay": _Q173_SQL,
 }

@@ -185,6 +185,7 @@ HEADLINE = [
     "q170_lsh_band_sweep",
     "q171_zorder_layout_audit",
     "q172_reliability_bins",
+    "q173_novelty_decay",
 ]
 
 

@@ -567,3 +567,27 @@ def test_q166_weighted_median_vs_plain(spark, tmp_path, qs):
     }
     assert out["A"] == (1.00, 12)   # cumw at price 1 is 10 ≥ 12/2
     assert out["B"] == (7.00, 3)
+
+
+def test_q173_novelty_conservation(spark, sf_dir, qs):
+    """Σ n_new == final cum_vocab == |distinct items|; day 1's novelty
+    share is 1.0 by definition (everything is first-seen)."""
+    from pyspark.sql import functions as F
+
+    from airflow_spotify_etl_spark.sources.files import load_table
+
+    rows = qs["q173_novelty_decay"](spark, sf_dir).collect()
+    assert rows[0].novelty_share <= 1.0 and rows[0].n_new == rows[0].n_refs \
+        or rows[0].n_new <= rows[0].n_refs
+    assert sum(r.n_new for r in rows) == rows[-1].cum_vocab
+    ev = load_table(spark, sf_dir, "events")
+    n_items = (
+        ev.select(F.get_json_object("props", "$.k").cast("bigint").alias("i"))
+        .filter(F.col("i").isNotNull())
+        .distinct()
+        .count()
+    )
+    assert rows[-1].cum_vocab == n_items
+    # cumulative vocab is non-decreasing
+    cv = [r.cum_vocab for r in rows]
+    assert cv == sorted(cv)
