@@ -31,12 +31,50 @@ __all__ = [
     "rollup_snapshot",
     "merge_rollup",
     "merge_upsert",
+    "cdc_apply",
     "scd2_runs",
     "scd2_apply_delta",
     "snapshot_diff",
     "gap_fill_hourly",
     "stats_drift",
 ]
+
+
+def cdc_apply(
+    base: DataFrame,
+    cdc: DataFrame,
+    keys: list[str],
+    order_col: str,
+    op_col: str = "op",
+    broadcast_cdc: bool = True,
+) -> DataFrame:
+    """Apply a CDC batch WITH delete tombstones to a stored table state —
+    ``merge_upsert`` plus the WHEN MATCHED ... DELETE arm a real MERGE
+    needs: the batch is first collapsed to the LATEST change per key
+    (max ``order_col``; a key that is updated then deleted within one
+    batch must end deleted, and vice versa), then 'D' keys are removed
+    from the state, 'U'/'I' keys replace-or-insert, and untouched base
+    rows pass through. Deleting a key the state never had is a no-op,
+    as a CDC consumer requires for at-least-once replays.
+
+    Scale shape: one |cdc|-keyed window for the collapse, one anti join
+    of base against the (broadcastable) CDC key set, one union — the
+    base streams through exactly once; cost scales with the batch, not
+    the table. On partitioned storage this pairs with dynamic partition
+    overwrite exactly like merge_upsert."""
+    w = W.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    latest = (
+        cdc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    cols = base.columns
+    key_set = latest.select(*keys).distinct()
+    if broadcast_cdc:
+        key_set = F.broadcast(key_set)
+    survivors = base.join(key_set, keys, "left_anti")
+    upserts = latest.filter(F.col(op_col) != "D").select(*cols)
+    return survivors.unionByName(upserts)
 
 
 def merge_upsert(

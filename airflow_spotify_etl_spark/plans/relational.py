@@ -3086,7 +3086,7 @@ def q155_sql_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         SELECT c_mktsegment,
                count(*) AS numcust,
-               round(sum(bal_cents) / 100.0, 2) AS totacctbal
+               round(CAST(sum(bal_cents) AS DOUBLE) / 100.0, 2) AS totacctbal
         FROM cb CROSS JOIN avg_pos
         WHERE bal_cents * n > s
           AND NOT EXISTS (
@@ -3111,7 +3111,7 @@ WITH cb AS (
 )
 SELECT c_mktsegment,
        count(*) AS numcust,
-       round(CAST(sum(bal_cents) AS BIGINT) / 100.0, 2) AS totacctbal
+       round(CAST(CAST(sum(bal_cents) AS BIGINT) AS DOUBLE) / 100.0, 2) AS totacctbal
 FROM cb CROSS JOIN avg_pos
 WHERE bal_cents * n > s
   AND NOT EXISTS (
@@ -3148,7 +3148,7 @@ def q160_sql_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
           GROUP BY l_suppkey
         )
         SELECT s_suppkey, s_name,
-               round(rev_e4 / 10000.0, 2) AS total_revenue
+               round(CAST(rev_e4 AS DOUBLE) / 10000.0, 2) AS total_revenue
         FROM supplier JOIN revenue ON s_suppkey = supplier_no
         WHERE rev_e4 = (SELECT max(rev_e4) FROM revenue)
         ORDER BY s_suppkey
@@ -3168,7 +3168,7 @@ WITH revenue AS (
   GROUP BY l_suppkey
 )
 SELECT s_suppkey, s_name,
-       round(rev_e4 / 10000.0, 2) AS total_revenue
+       round(CAST(rev_e4 AS DOUBLE) / 10000.0, 2) AS total_revenue
 FROM supplier JOIN revenue ON s_suppkey = supplier_no
 WHERE rev_e4 = (SELECT max(rev_e4) FROM revenue)
 ORDER BY s_suppkey
@@ -3199,8 +3199,8 @@ def q161_sql_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
           WHERE p_brand = 'Brand#1'
           GROUP BY l_partkey
         )
-        SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-                     / 700.0, 2) AS avg_yearly
+        SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                          AS DOUBLE) / 700.0, 2) AS avg_yearly
         FROM lineitem JOIN pq ON lineitem.l_partkey = pq.l_partkey
         WHERE CAST(l_quantity AS BIGINT) * 5 * n_lines < sum_qty
         """
@@ -3216,8 +3216,8 @@ WITH pq AS (
   WHERE p_brand = 'Brand#1'
   GROUP BY l_partkey
 )
-SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-             / 700.0, 2) AS avg_yearly
+SELECT round(CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                  AS DOUBLE) / 700.0, 2) AS avg_yearly
 FROM lineitem JOIN pq ON lineitem.l_partkey = pq.l_partkey
 WHERE CAST(l_quantity AS BIGINT) * 5 * n_lines < sum_qty
 """
@@ -3687,6 +3687,161 @@ ORDER BY dy.d
 """
 
 
+def q174_sql_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT → UNPIVOT round-trip through the SQL surface: daily event
+    counts pivoted wide by type, then UNPIVOTed straight back — the
+    oracle is the PLAIN GROUP BY, so a green hash proves the two
+    clauses compose to the identity (including the null-cell contract:
+    PIVOT fills absent (day, type) cells with NULL and UNPIVOT drops
+    NULLs, so missing combinations stay missing on both sides). The
+    DataFrame pivot is q38; this pins the SQL front-end's clauses."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT d, event_type, n FROM (
+          SELECT * FROM (SELECT CAST(ts AS DATE) AS d, event_type FROM events)
+          PIVOT (count(*) AS n FOR event_type IN
+                 ('click' AS click, 'error' AS error, 'purchase' AS purchase,
+                  'signup' AS signup, 'view' AS view))
+        ) UNPIVOT (n FOR event_type IN (click, error, purchase, signup, view))
+        ORDER BY d, event_type
+        """
+    )
+
+
+_Q174_SQL = """
+SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n
+FROM events
+GROUP BY CAST(ts AS DATE), event_type
+ORDER BY d, event_type
+"""
+
+
+def q175_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL top-k through the SQL surface — the per-entity
+    top-N idiom SQL users reach for before learning window functions:
+    for every nation, the 2 richest customers via a correlated ordered
+    LIMIT subquery. Catalyst decorrelates the LATERAL into a
+    partitioned window under the hood (no per-nation rescan); the
+    IDENTICAL statement runs on DuckDB, which plans its own lateral —
+    the engines must agree on correlation, ordering, and the
+    deterministic (balance DESC, key ASC) tiebreak. Balances stay
+    exact cents until the rounded output division."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["customer", "nation"])
+    return spark.sql(
+        """
+        SELECT n.n_name, s.c_name,
+               round(CAST(s.bal_cents AS DOUBLE) / 100.0, 2) AS acctbal
+        FROM nation n,
+        LATERAL (
+          SELECT c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+          FROM customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY bal_cents DESC, c_name
+          LIMIT 2
+        ) s
+        ORDER BY n.n_name, acctbal DESC, c_name
+        """
+    )
+
+
+_Q175_SQL = """
+SELECT n.n_name, s.c_name,
+       round(CAST(s.bal_cents AS DOUBLE) / 100.0, 2) AS acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY bal_cents DESC, c_name
+  LIMIT 2
+) s
+ORDER BY n.n_name, acctbal DESC, c_name
+"""
+
+
+def q176_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply WITH tombstones (operators/incremental.cdc_apply): the
+    orders table as of 1999-01-01 is the stored state; later orders
+    become a change stream where 'P'-status rows are DELETE tombstones
+    and the rest are upserts, latest-per-key wins by order date. The
+    oracle rebuilds the same final state from scratch with one window —
+    a green hash proves apply(state, cdc) == rebuild(full), deletes
+    included, which is the invariant a lakehouse MERGE with WHEN
+    MATCHED ... DELETE must hold."""
+    from ..operators.incremental import cdc_apply
+
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    base = o.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_cents"),
+        "o_orderdate",
+    )
+    post = o.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_cents"),
+        "o_orderdate",
+        F.when(F.col("o_orderstatus") == "P", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    # Two CDC versions per changed key: the original change and a later
+    # price correction one day on — so latest-per-key collapse is
+    # genuinely exercised (v2 must win; v1 must leave no trace).
+    v2 = post.select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("price_cents") + 5).alias("price_cents"),
+        F.expr("o_orderdate + INTERVAL 1 DAY").alias("o_orderdate"),
+        "op",
+    )
+    cdc = post.unionByName(v2)
+    return (
+        cdc_apply(base, cdc, keys=["o_orderkey"], order_col="o_orderdate")
+        .select("o_orderkey", "o_orderstatus", "price_cents")
+        .orderBy("o_orderkey")
+    )
+
+
+_Q176_SQL = """
+WITH post AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         o_orderdate,
+         CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS op
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+), cdc AS (
+  SELECT * FROM post
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, price_cents + 5,
+         o_orderdate + INTERVAL 1 DAY, op
+  FROM post
+), latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY o_orderdate DESC) AS rn
+    FROM cdc
+  ) WHERE rn = 1
+), base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+)
+SELECT o_orderkey, o_orderstatus, price_cents FROM base
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+UNION ALL
+SELECT o_orderkey, o_orderstatus, price_cents FROM latest WHERE op = 'U'
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -3761,6 +3916,9 @@ QUERIES = {
     "q166_weighted_median": q166_weighted_median,
     "q171_zorder_layout_audit": q171_zorder_layout_audit,
     "q173_novelty_decay": q173_novelty_decay,
+    "q174_sql_pivot_unpivot": q174_sql_pivot_unpivot,
+    "q175_sql_lateral_topk": q175_sql_lateral_topk,
+    "q176_cdc_apply": q176_cdc_apply,
 }
 
 ORACLES = {
@@ -3837,4 +3995,7 @@ ORACLES = {
     "q166_weighted_median": _Q166_SQL,
     "q171_zorder_layout_audit": _q171_sql(),
     "q173_novelty_decay": _Q173_SQL,
+    "q174_sql_pivot_unpivot": _Q174_SQL,
+    "q175_sql_lateral_topk": _Q175_SQL,
+    "q176_cdc_apply": _Q176_SQL,
 }

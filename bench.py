@@ -186,6 +186,9 @@ HEADLINE = [
     "q171_zorder_layout_audit",
     "q172_reliability_bins",
     "q173_novelty_decay",
+    "q174_sql_pivot_unpivot",
+    "q175_sql_lateral_topk",
+    "q176_cdc_apply",
 ]
 
 

@@ -386,3 +386,29 @@ def test_stats_drift_single_fused_aggregate_per_side(spark):
     plan = stats_drift(df, df, ["a", "b", "id"])._jdf.queryExecution(
     ).optimizedPlan().toString()
     assert plan.count("Relation") <= 2, plan  # one scan per side, no more
+
+
+def test_cdc_apply_tombstones_and_latest_wins(spark):
+    from airflow_spotify_etl_spark.operators.incremental import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, v string, p long"
+    )
+    cdc = spark.createDataFrame(
+        [
+            # key 1: update then DELETE (later) → must end deleted
+            (1, "a2", 11, 5, "U"), (1, "a3", 12, 9, "D"),
+            # key 2: delete then UPDATE (later) → must end updated
+            (2, "b2", 21, 5, "D"), (2, "b3", 22, 9, "U"),
+            # key 4: brand-new insert
+            (4, "d", 40, 5, "U"),
+            # key 5: delete of a key the state never had → no-op
+            (5, "e", 50, 5, "D"),
+        ],
+        "k long, v string, p long, ord long, op string",
+    )
+    out = {
+        r.k: (r.v, r.p)
+        for r in cdc_apply(base, cdc, keys=["k"], order_col="ord").collect()
+    }
+    assert out == {2: ("b3", 22), 3: ("c", 30), 4: ("d", 40)}

@@ -51,10 +51,17 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
             # The driver hashes exact value strings — an integer column on one
             # side fetched as float64 on the other ("150" vs "150.0") diverges
             # even when numerically identical (DuckDB HUGEINT promotion).
-            if {sv.dtype.kind, ov.dtype.kind} == {"i", "f"}:
+            kinds = {sv.dtype.kind, ov.dtype.kind}
+            if kinds == {"i", "f"} or ("f" in kinds and "O" in kinds):
+                # int-vs-float ("150" vs "150.0") and Decimal-object-vs-
+                # float ("9677.80" vs "9677.8") both break the driver's
+                # exact value-string hash even when numerically equal —
+                # the latter comes from Spark SQL DECIMAL literals
+                # (`x / 100.0` is decimal division in Spark SQL; CAST the
+                # numerator AS DOUBLE on both sides).
                 problems.append(
                     f"dtype mismatch col {c!r}: spark={sv.dtype} oracle={ov.dtype}"
-                    " (driver value-hash will differ; CAST the oracle)"
+                    " (driver value-hash will differ; align the types)"
                 )
             # Driver-strict: the driver's value hash is over exact value
             # strings with NO numeric tolerance, so selfcheck must be too
