@@ -3842,6 +3842,132 @@ ORDER BY o_orderkey
 """
 
 
+def q177_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user — the hypertable
+    ``time_weight(locf)`` shape: between consecutive events the value
+    holds (last observation carried forward), so the average weights
+    each reading by HOW LONG it was current, not by how often the
+    sensor fired — a burst of identical readings stops biasing the
+    mean. TWAP = Σ vᵢ·Δtᵢ / Σ Δtᵢ over each user's consecutive-event
+    segments. Exactness: cents × microseconds products summed as
+    BIGINTs (≤ ~4·10¹⁵ per segment — no overflow), one rounded final
+    division. One user-keyed window (lead) + one grouped sum — the
+    q66/q138 exchange pattern."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+            F.expr("unix_micros(ts)").alias("us"),
+        )
+        .withColumn("us2", F.lead("us").over(w))
+        .filter(F.col("us2").isNotNull())
+        .select(
+            "user_id", "c", (F.col("us2") - F.col("us")).alias("dt")
+        )
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.col("c") * F.col("dt")).alias("_num"),
+            F.sum("dt").alias("_den"),
+        )
+        .filter(F.col("_den") > 0)
+        .select(
+            "user_id",
+            "n_segments",
+            F.round(
+                F.col("_num").cast("double") / (F.col("_den") * F.lit(100)),
+                4,
+            ).alias("twap_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_Q177_SQL = """
+WITH seg AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         lead(epoch_us(ts)) OVER w - epoch_us(ts) AS dt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       count(*) AS n_segments,
+       round(CAST(sum(c * dt) AS BIGINT)
+             / CAST(CAST(sum(dt) AS BIGINT) * 100 AS DOUBLE), 4)
+         AS twap_value
+FROM seg
+WHERE dt IS NOT NULL
+GROUP BY user_id
+HAVING CAST(sum(dt) AS BIGINT) > 0
+ORDER BY user_id
+"""
+
+
+def q178_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle rollup — the financial/monitoring downsample: per
+    (event_type, day), the opening value, high, low, and closing value
+    plus volume. Open/close use ``min_by``/``max_by`` on a PACKED
+    deterministic key (epoch-micros·1000 + event_id mod 1000 — two
+    events in the same microsecond still order identically in both
+    engines; a bare ts tiebreak would be engine-dependent). One grouped
+    aggregate, all partials map-side combinable; exact cents until the
+    four rounded output divisions."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100, 0).cast("long")
+    key = F.expr("unix_micros(ts) * 1000 + event_id % 1000")
+    base = ev.select(
+        F.to_date("ts").alias("d"),
+        "event_type",
+        c.alias("c"),
+        key.alias("k"),
+    )
+    return (
+        base.groupBy("event_type", "d")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("min_by(c, k)").alias("_o"),
+            F.max("c").alias("_h"),
+            F.min("c").alias("_l"),
+            F.expr("max_by(c, k)").alias("_c"),
+        )
+        .select(
+            "event_type",
+            "d",
+            "n",
+            F.round(F.col("_o") / F.lit(100.0), 2).alias("open"),
+            F.round(F.col("_h") / F.lit(100.0), 2).alias("high"),
+            F.round(F.col("_l") / F.lit(100.0), 2).alias("low"),
+            F.round(F.col("_c") / F.lit(100.0), 2).alias("close"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+_Q178_SQL = """
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS d, event_type,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         epoch_us(ts) * 1000 + event_id % 1000 AS k
+  FROM events
+)
+SELECT event_type, d, count(*) AS n,
+       round(CAST(CAST(min_by(c, k) AS BIGINT) AS DOUBLE) / 100.0, 2) AS open,
+       round(CAST(CAST(max(c) AS BIGINT) AS DOUBLE) / 100.0, 2) AS high,
+       round(CAST(CAST(min(c) AS BIGINT) AS DOUBLE) / 100.0, 2) AS low,
+       round(CAST(CAST(max_by(c, k) AS BIGINT) AS DOUBLE) / 100.0, 2) AS close
+FROM base
+GROUP BY event_type, d
+ORDER BY event_type, d
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -3919,6 +4045,8 @@ QUERIES = {
     "q174_sql_pivot_unpivot": q174_sql_pivot_unpivot,
     "q175_sql_lateral_topk": q175_sql_lateral_topk,
     "q176_cdc_apply": q176_cdc_apply,
+    "q177_time_weighted_avg": q177_time_weighted_avg,
+    "q178_ohlc_candles": q178_ohlc_candles,
 }
 
 ORACLES = {
@@ -3998,4 +4126,6 @@ ORACLES = {
     "q174_sql_pivot_unpivot": _Q174_SQL,
     "q175_sql_lateral_topk": _Q175_SQL,
     "q176_cdc_apply": _Q176_SQL,
+    "q177_time_weighted_avg": _Q177_SQL,
+    "q178_ohlc_candles": _Q178_SQL,
 }

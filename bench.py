@@ -189,6 +189,8 @@ HEADLINE = [
     "q174_sql_pivot_unpivot",
     "q175_sql_lateral_topk",
     "q176_cdc_apply",
+    "q177_time_weighted_avg",
+    "q178_ohlc_candles",
 ]
 
 

@@ -591,3 +591,47 @@ def test_q173_novelty_conservation(spark, sf_dir, qs):
     # cumulative vocab is non-decreasing
     cv = [r.cum_vocab for r in rows]
     assert cv == sorted(cv)
+
+
+def test_q177_twap_ignores_burst_frequency(spark, tmp_path, qs):
+    """LOCF weighting: value 10 held for 9 minutes then 20 for 1 minute
+    → TWAP 11.0 regardless of how many duplicate readings land inside
+    the 10-held span."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    def ev(i, minute, v):
+        return (i, datetime(2024, 1, 1, 0, minute), 1, "t", v, "{}")
+
+    # burst of 10s at t=0..3 (still worth 10 until t=9), then 20 at 9, end at 10
+    rows = [ev(1, 0, 10.0), ev(2, 1, 10.0), ev(3, 2, 10.0), ev(4, 3, 10.0),
+            ev(5, 9, 20.0), ev(6, 10, 0.0)]
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = qs["q177_time_weighted_avg"](spark, str(tmp_path)).collect()[0]
+    # segments: 10*(1+1+1+6) + 20*1 over 10 minutes = (90+20)/10 = 11.0
+    assert (r.user_id, r.n_segments, r.twap_value) == (1, 5, 11.0)
+
+
+def test_q178_ohlc_deterministic_open_close(spark, tmp_path, qs):
+    """Open is the first value by (ts, event_id), close the last — two
+    events in the SAME microsecond must resolve by event_id in both
+    engines (the packed key's contract)."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (2, t, 1, "t", 5.0, "{}"),    # same instant, higher id
+        (1, t, 1, "t", 3.0, "{}"),    # same instant, lower id → open
+        (3, datetime(2024, 1, 1, 13), 1, "t", 9.0, "{}"),
+        (4, datetime(2024, 1, 1, 14), 1, "t", 1.0, "{}"),  # close
+    ]
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = qs["q178_ohlc_candles"](spark, str(tmp_path)).collect()[0]
+    assert (r.n, r.open, r.high, r.low, r.close) == (4, 3.0, 9.0, 1.0, 1.0)
