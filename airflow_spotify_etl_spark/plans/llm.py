@@ -4899,6 +4899,104 @@ ORDER BY bin
 """
 
 
+def q179_label_centroid_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-centroid affinity matrix — which embedding classes crowd
+    each other (a near-1 cosine between two label centroids predicts
+    ANN confusion and motivates merging or re-labeling before index
+    build). Per label the QUANTIZED per-dimension sums (round(x·10⁴)
+    BIGINTs — order-independent, the q122/q167 discipline) form the
+    unnormalized centroid; all 45 unordered pairs of the 10-row
+    centroid relation then get cos = num / √(a·b) where num, a, b are
+    exact integer dot products (n factors cancel). √ is IEEE
+    correctly-rounded, so the double chain over exact integers is
+    engine-identical before the final round. The pairwise stage is a
+    |labels|²-bounded self-join of a tiny relation — corpus cost is one
+    grouped pass."""
+    em = load_table(spark, sf_dir, "embeddings")
+    # per-dim quantized sums: explode dims, sum per (label, dim)
+    per = (
+        em.select(
+            "label",
+            F.posexplode(
+                F.expr(
+                    "transform(embedding,"
+                    " x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+                )
+            ).alias("dim", "q"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.sum("q").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "s"))
+            ).alias("_ds")
+        )
+        .select(
+            "label", F.expr("transform(_ds, e -> e.s)").alias("vec")
+        )
+    )
+    a = per.select(
+        F.col("label").alias("label_a"), F.col("vec").alias("va")
+    )
+    b = per.select(
+        F.col("label").alias("label_b"), F.col("vec").alias("vb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+    num = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (s, e) -> s + e)"
+    )
+    na = F.expr(
+        "aggregate(transform(va, x -> x * x), CAST(0 AS BIGINT), (s, e) -> s + e)"
+    )
+    nb = F.expr(
+        "aggregate(transform(vb, x -> x * x), CAST(0 AS BIGINT), (s, e) -> s + e)"
+    )
+    return (
+        pairs.select(
+            "label_a",
+            "label_b",
+            F.round(
+                num.cast("double")
+                / F.sqrt(na.cast("double") * nb.cast("double")),
+                6,
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+_Q179_SQL = """
+WITH q AS (
+  SELECT label, dim - 1 AS dim, q
+  FROM (
+    SELECT label,
+           unnest(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)))
+             AS q,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings
+  )
+), per AS (
+  SELECT label, dim, CAST(sum(q) AS BIGINT) AS s
+  FROM q GROUP BY label, dim
+), vecs AS (
+  SELECT label, list(s ORDER BY dim) AS vec FROM per GROUP BY label
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       round(CAST(list_sum(list_transform(range(1, len(a.vec) + 1),
+                  i -> a.vec[i] * b.vec[i])) AS BIGINT)
+             / sqrt(CAST(list_sum(list_transform(a.vec, x -> x * x))
+                         AS BIGINT)::DOUBLE
+                    * CAST(list_sum(list_transform(b.vec, x -> x * x))
+                           AS BIGINT)::DOUBLE), 6)
+         AS centroid_cosine
+FROM vecs a JOIN vecs b ON a.label < b.label
+ORDER BY label_a, label_b
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -4984,6 +5082,7 @@ QUERIES = {
     "q167_embedding_health": q167_embedding_health,
     "q170_lsh_band_sweep": q170_lsh_band_sweep,
     "q172_reliability_bins": q172_reliability_bins,
+    "q179_label_centroid_affinity": q179_label_centroid_affinity,
 }
 
 ORACLES = {
@@ -5071,4 +5170,5 @@ ORACLES = {
     "q167_embedding_health": _Q167_SQL,
     "q170_lsh_band_sweep": _q170_sql(),
     "q172_reliability_bins": _q172_sql(),
+    "q179_label_centroid_affinity": _Q179_SQL,
 }

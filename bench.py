@@ -191,6 +191,7 @@ HEADLINE = [
     "q176_cdc_apply",
     "q177_time_weighted_avg",
     "q178_ohlc_candles",
+    "q179_label_centroid_affinity",
 ]
 
 

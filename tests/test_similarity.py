@@ -547,3 +547,16 @@ def test_q167_embedding_health_zero_vec_and_partition_invariance(spark, tmp_path
         for r in q167_embedding_health(spark, str(tmp_path)).collect()
     }
     assert out1 == out2
+
+
+def test_q179_centroid_affinity_partition_invariant_and_bounded(spark, sf_dir):
+    """Quantized integer centroid sums → the matrix is identical under
+    repartitioning, every cosine is in [-1, 1], and all 45 unordered
+    label pairs appear exactly once."""
+    from airflow_spotify_etl_spark.plans.llm import q179_label_centroid_affinity
+
+    rows = q179_label_centroid_affinity(spark, sf_dir).collect()
+    assert len(rows) == 45
+    assert all(-1.0 <= r.centroid_cosine <= 1.0 for r in rows)
+    pairs = {(r.label_a, r.label_b) for r in rows}
+    assert len(pairs) == 45 and all(a < b for a, b in pairs)
