@@ -3968,6 +3968,125 @@ ORDER BY event_type, d
 """
 
 
+def q180_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic behavioral cut: per user, Recency
+    (days since last purchase, vs the stream's max date), Frequency
+    (purchase count), Monetary (exact cents), each scored into
+    quintiles against EXACT percentile boundaries of the user-level
+    relation, then segment counts. Boundaries come from one percentile
+    aggregate over the |users|-row rollup broadcast back (the q41/q129
+    exact tier — percentile_approx is the swap when users outgrow a
+    buffer); scoring is pure comparisons against those boundaries, so
+    both engines bucket identically (interpolated boundaries are exact
+    rationals of ints). Output is the ≤125-row (r, f, m) segment
+    census with mean monetary value per segment — exact integers and
+    two rounded divisions."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase")
+    mx = p.agg(F.max(F.to_date("ts")).alias("d_max"))
+    users = (
+        p.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.datediff(F.col("d_max"), F.to_date("ts"))).alias("rec"),
+            F.count("*").alias("freq"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("mon"),
+        )
+    )
+    bounds = users.agg(
+        *[
+            F.expr(f"percentile({c}, {q})").alias(f"{c}_{int(q * 100)}")
+            for c in ("rec", "freq", "mon")
+            for q in (0.2, 0.4, 0.6, 0.8)
+        ]
+    )
+
+    def score(c: str, invert: bool) -> F.Column:
+        s = (
+            F.when(F.col(c) <= F.col(f"{c}_20"), 1)
+            .when(F.col(c) <= F.col(f"{c}_40"), 2)
+            .when(F.col(c) <= F.col(f"{c}_60"), 3)
+            .when(F.col(c) <= F.col(f"{c}_80"), 4)
+            .otherwise(5)
+        )
+        # low recency = GOOD → invert so 5 is always the best quintile
+        return (6 - s) if invert else s
+
+    scored = users.crossJoin(F.broadcast(bounds)).select(
+        score("rec", True).alias("r_score"),
+        score("freq", False).alias("f_score"),
+        score("mon", False).alias("m_score"),
+        "mon",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("mon").alias("_mon"),
+        )
+        .select(
+            "r_score",
+            "f_score",
+            "m_score",
+            "n_users",
+            # round-half-up to the CENT in pure integers, then one
+            # exact /100 — round(sum/(n·100), 2) hits .xx5 ties where
+            # Spark (decimal-string HALF_UP) and DuckDB (binary double)
+            # disagree by a cent.
+            (
+                F.expr("(2 * _mon + n_users) div (2 * n_users)").cast("double")
+                / F.lit(100.0)
+            ).alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+_Q180_SQL = """
+WITH p AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), mx AS (
+  SELECT max(d) AS d_max FROM p
+), users AS (
+  SELECT user_id,
+         min(date_diff('day', d, d_max)) AS rec,
+         count(*) AS freq,
+         CAST(sum(cents) AS BIGINT) AS mon
+  FROM p CROSS JOIN mx
+  GROUP BY user_id
+), bounds AS (
+  SELECT quantile_cont(rec, 0.2) AS rec_20, quantile_cont(rec, 0.4) AS rec_40,
+         quantile_cont(rec, 0.6) AS rec_60, quantile_cont(rec, 0.8) AS rec_80,
+         quantile_cont(freq, 0.2) AS freq_20, quantile_cont(freq, 0.4) AS freq_40,
+         quantile_cont(freq, 0.6) AS freq_60, quantile_cont(freq, 0.8) AS freq_80,
+         quantile_cont(mon, 0.2) AS mon_20, quantile_cont(mon, 0.4) AS mon_40,
+         quantile_cont(mon, 0.6) AS mon_60, quantile_cont(mon, 0.8) AS mon_80
+  FROM users
+), scored AS (
+  SELECT 6 - (CASE WHEN rec <= rec_20 THEN 1 WHEN rec <= rec_40 THEN 2
+                   WHEN rec <= rec_60 THEN 3 WHEN rec <= rec_80 THEN 4
+                   ELSE 5 END) AS r_score,
+         CASE WHEN freq <= freq_20 THEN 1 WHEN freq <= freq_40 THEN 2
+              WHEN freq <= freq_60 THEN 3 WHEN freq <= freq_80 THEN 4
+              ELSE 5 END AS f_score,
+         CASE WHEN mon <= mon_20 THEN 1 WHEN mon <= mon_40 THEN 2
+              WHEN mon <= mon_60 THEN 3 WHEN mon <= mon_80 THEN 4
+              ELSE 5 END AS m_score,
+         mon
+  FROM users CROSS JOIN bounds
+)
+SELECT r_score, f_score, m_score,
+       count(*) AS n_users,
+       CAST((2 * CAST(sum(mon) AS BIGINT) + count(*)) // (2 * count(*))
+            AS DOUBLE) / 100.0 AS avg_monetary
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -4047,6 +4166,7 @@ QUERIES = {
     "q176_cdc_apply": q176_cdc_apply,
     "q177_time_weighted_avg": q177_time_weighted_avg,
     "q178_ohlc_candles": q178_ohlc_candles,
+    "q180_rfm_segments": q180_rfm_segments,
 }
 
 ORACLES = {
@@ -4128,4 +4248,5 @@ ORACLES = {
     "q176_cdc_apply": _Q176_SQL,
     "q177_time_weighted_avg": _Q177_SQL,
     "q178_ohlc_candles": _Q178_SQL,
+    "q180_rfm_segments": _Q180_SQL,
 }

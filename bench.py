@@ -192,6 +192,7 @@ HEADLINE = [
     "q177_time_weighted_avg",
     "q178_ohlc_candles",
     "q179_label_centroid_affinity",
+    "q180_rfm_segments",
 ]
 
 

@@ -635,3 +635,26 @@ def test_q178_ohlc_deterministic_open_close(spark, tmp_path, qs):
     )
     r = qs["q178_ohlc_candles"](spark, str(tmp_path)).collect()[0]
     assert (r.n, r.open, r.high, r.low, r.close) == (4, 3.0, 9.0, 1.0, 1.0)
+
+
+def test_q180_rfm_scores_and_tie_safe_rounding(spark, sf_dir, qs):
+    """Scores live in 1..5, user counts conserve, and avg_monetary is
+    the integer-half-up cent mean (no float .xx5 tie can shift it)."""
+    from pyspark.sql import functions as F
+
+    from airflow_spotify_etl_spark.sources.files import load_table
+
+    rows = qs["q180_rfm_segments"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+        # exact 2-decimal value
+        assert abs(r.avg_monetary * 100 - round(r.avg_monetary * 100)) < 1e-9
+    ev = load_table(spark, sf_dir, "events")
+    n_buyers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_users for r in rows) == n_buyers
