@@ -4087,6 +4087,68 @@ ORDER BY r_score, f_score, m_score
 """
 
 
+def q181_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite (operators/expectations.py — the
+    Deequ/Great-Expectations shape): six typed checks over the events
+    stream compiled into ONE fused aggregate pass (check count never
+    adds scans), unpivoted into a per-check report with exact integer
+    violation counts. The oracle replays each check as plain SQL over
+    the same scan — a green hash proves the compiler's semantics
+    (NULL handling, uniqueness-as-excess, regex fullmatch) match the
+    obvious SQL meaning."""
+    from ..operators.expectations import (
+        expectations_report,
+        in_range,
+        in_set,
+        matches,
+        min_rows,
+        not_null,
+        unique,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    suite = [
+        not_null("user_id"),
+        unique("event_id"),
+        in_range("value", 0, 1000),
+        in_set("event_type", ["click", "error", "purchase", "signup", "view"]),
+        matches("props", r"^\{.*\}$"),
+        min_rows(1000),
+    ]
+    return expectations_report(ev, suite).orderBy("check")
+
+
+_Q181_SQL = r"""
+WITH a AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_nn,
+         count(event_id) - count(DISTINCT event_id) AS v_uq,
+         CAST(sum(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 1000)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_rng,
+         CAST(sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                       ('click', 'error', 'purchase', 'signup', 'view')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+         CAST(sum(CASE WHEN props IS NOT NULL
+                       AND NOT regexp_matches(props, '^\{.*\}$')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_re,
+         greatest(0, 1000 - count(*)) AS v_min
+  FROM events
+)
+SELECT u.check, u.col AS "column", a.n AS n_rows,
+       u.v AS n_violations, u.v = 0 AS passed
+FROM a, (
+  SELECT 'in_range_value' AS check, 'value' AS col, v_rng AS v FROM a
+  UNION ALL SELECT 'in_set_event_type', 'event_type', v_set FROM a
+  UNION ALL SELECT 'matches_props', 'props', v_re FROM a
+  UNION ALL SELECT 'min_rows', '', v_min FROM a
+  UNION ALL SELECT 'not_null_user_id', 'user_id', v_nn FROM a
+  UNION ALL SELECT 'unique_event_id', 'event_id', v_uq FROM a
+) u
+ORDER BY u.check
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -4167,6 +4229,7 @@ QUERIES = {
     "q177_time_weighted_avg": q177_time_weighted_avg,
     "q178_ohlc_candles": q178_ohlc_candles,
     "q180_rfm_segments": q180_rfm_segments,
+    "q181_expectations_report": q181_expectations_report,
 }
 
 ORACLES = {
@@ -4249,4 +4312,5 @@ ORACLES = {
     "q177_time_weighted_avg": _Q177_SQL,
     "q178_ohlc_candles": _Q178_SQL,
     "q180_rfm_segments": _Q180_SQL,
+    "q181_expectations_report": _Q181_SQL,
 }

@@ -193,6 +193,7 @@ HEADLINE = [
     "q178_ohlc_candles",
     "q179_label_centroid_affinity",
     "q180_rfm_segments",
+    "q181_expectations_report",
 ]
 
 

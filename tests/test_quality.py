@@ -195,3 +195,52 @@ def test_k_anonymity_flags_small_classes(spark):
     assert out[("fr", "s2")].below_k and out[("fr", "s2")].class_size == 1
     assert not out[("en", "s1")].below_k
     assert out[("en", "s1")].anonymity_level == 1
+def test_expectations_one_pass_and_semantics(spark):
+    """All six check kinds verified on planted data, and the whole suite
+    must compile into ONE aggregate over one scan (no per-check jobs)."""
+    from airflow_spotify_etl_spark.operators.expectations import (
+        expectations_report, in_range, in_set, matches, min_rows,
+        not_null, unique,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 5, "ok"),
+            (2, "a", -1, "ok"),        # dup 'a'; -1 out of range
+            (None, "b", 50, "bad!"),   # null id; pattern violation
+            (4, None, 2000, "ok"),     # null v (not a set violation); range
+        ],
+        "id long, v string, x long, s string",
+    )
+    suite = [
+        not_null("id"), unique("v"), in_range("x", 0, 1000),
+        in_set("v", ["a", "b"]), matches("s", "^ok$"), min_rows(10),
+    ]
+    out = {r.check: (r.n_violations, r.passed) for r in expectations_report(df, suite).collect()}
+    assert out["not_null_id"] == (1, False)
+    assert out["unique_v"] == (1, False)       # 'a' twice → 1 excess
+    assert out["in_range_x"] == (2, False)     # -1 and 2000
+    assert out["in_set_v"] == (0, True)        # NULL not a violation
+    assert out["matches_s"] == (1, False)
+    assert out["min_rows"] == (6, False)       # 10 - 4
+    # one scan: the physical plan contains exactly one HashAggregate pair
+    rep = expectations_report(df, suite)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    scans = len(_re.findall(r"Scan ExistingRDD|LocalTableScan", plan))
+    assert scans == 1, plan
+
+
+def test_expectations_all_pass_and_empty(spark):
+    from airflow_spotify_etl_spark.operators.expectations import (
+        expectations_report, min_rows, not_null,
+    )
+
+    df = spark.createDataFrame([(1,)], "id long")
+    out = expectations_report(df, [not_null("id"), min_rows(1)]).collect()
+    assert all(r.passed for r in out)
+    empty = spark.createDataFrame([], "id long")
+    out = {r.check: r.n_violations for r in
+           expectations_report(empty, [not_null("id"), min_rows(3)]).collect()}
+    assert out == {"not_null_id": 0, "min_rows": 3}
+
