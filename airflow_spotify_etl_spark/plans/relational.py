@@ -4149,6 +4149,89 @@ ORDER BY u.check
 """
 
 
+def q182_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test (event type × day-of-week) with the
+    statistic defined in EXACT integer arithmetic: per cell,
+    (O·N − R·C)²/(N·R·C) is computed as integer quotient-plus-scaled-
+    remainder in milli-units — ``d² div M · 1000 + (d² mod M) · 1000
+    div M`` — so the cross-cell sum is an exact BIGINT and both engines
+    agree bit-for-bit (a per-cell double sum would be aggregation-order
+    -dependent). The floor-quantization understates χ² by < 1 milli per
+    cell — a DEFINED statistic, stated in the report. Magnitude audit:
+    d² ≤ (O·N)² needs N·O < 3·10⁹ — true well past sf0.1; the
+    DECIMAL(38) swap is the documented big-N path. One grouped count +
+    tiny margin joins; dow parity pinned (Spark dayofweek−1 ≡ DuckDB
+    dow)."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).alias("dow")
+    ).agg(F.count("*").alias("o"))
+    rows_m = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols_m = cells.groupBy("dow").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    # FULL grid: absent (type, dow) cells are real zero observations and
+    # contribute R·C/N each — dropping them understates the statistic
+    # (a perfectly dependent 2x2 would read half its true chi2).
+    grid = rows_m.crossJoin(cols_m)
+    j = (
+        grid.join(cells, ["event_type", "dow"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    term = F.expr(
+        "(o * n - r * c) * (o * n - r * c) div (n * r * c) * 1000"
+        " + ((o * n - r * c) * (o * n - r * c) % (n * r * c)) * 1000"
+        "   div (n * r * c)"
+    )
+    agg = j.agg(
+        F.max("n").alias("n"),
+        F.count("*").alias("n_cells"),
+        F.countDistinct("event_type").alias("_nt"),
+        F.countDistinct("dow").alias("_nd"),
+        F.sum(term).alias("chi2_milli"),
+    )
+    return agg.select(
+        "n",
+        "n_cells",
+        ((F.col("_nt") - 1) * (F.col("_nd") - 1)).alias("dof"),
+        "chi2_milli",
+        F.round(F.col("chi2_milli").cast("double") / 1000.0, 3).alias("chi2"),
+    )
+
+
+_Q182_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(date_part('dow', ts) AS INTEGER) AS dow,
+         count(*) AS o
+  FROM events GROUP BY event_type, CAST(date_part('dow', ts) AS INTEGER)
+), rm AS (
+  SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY event_type
+), cm AS (
+  SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY dow
+), tot AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n FROM cells
+), grid AS (
+  SELECT rm.event_type, rm.r, cm.dow, cm.c FROM rm CROSS JOIN cm
+), j AS (
+  SELECT coalesce(cells.o, 0) AS o, grid.r, grid.c, tot.n
+  FROM grid LEFT JOIN cells USING (event_type, dow) CROSS JOIN tot
+), terms AS (
+  SELECT n,
+         (o * n - r * c) * (o * n - r * c) // (n * r * c) * 1000
+         + ((o * n - r * c) * (o * n - r * c) % (n * r * c)) * 1000
+           // (n * r * c) AS t
+  FROM j
+)
+SELECT max(n) AS n,
+       count(*) AS n_cells,
+       CAST((SELECT count(*) FROM rm) - 1 AS BIGINT)
+         * ((SELECT count(*) FROM cm) - 1) AS dof,
+       CAST(sum(t) AS BIGINT) AS chi2_milli,
+       round(CAST(CAST(sum(t) AS BIGINT) AS DOUBLE) / 1000.0, 3) AS chi2
+FROM terms
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -4230,6 +4313,7 @@ QUERIES = {
     "q178_ohlc_candles": q178_ohlc_candles,
     "q180_rfm_segments": q180_rfm_segments,
     "q181_expectations_report": q181_expectations_report,
+    "q182_chi_square": q182_chi_square,
 }
 
 ORACLES = {
@@ -4313,4 +4397,5 @@ ORACLES = {
     "q178_ohlc_candles": _Q178_SQL,
     "q180_rfm_segments": _Q180_SQL,
     "q181_expectations_report": _Q181_SQL,
+    "q182_chi_square": _Q182_SQL,
 }

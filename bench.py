@@ -194,6 +194,7 @@ HEADLINE = [
     "q179_label_centroid_affinity",
     "q180_rfm_segments",
     "q181_expectations_report",
+    "q182_chi_square",
 ]
 
 

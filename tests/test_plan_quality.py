@@ -658,3 +658,43 @@ def test_q180_rfm_scores_and_tie_safe_rounding(spark, sf_dir, qs):
         .count()
     )
     assert sum(r.n_users for r in rows) == n_buyers
+
+
+def test_q182_chi_square_detects_planted_dependence(spark, tmp_path, qs):
+    """Independent planted cells → χ² ≈ 0; a fully dependent layout
+    (each type on its own day) → χ² near n·(k−1). Quantization floors
+    by < 1 milli per cell."""
+    from datetime import datetime, timedelta
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    base = datetime(2024, 1, 1)  # a Monday
+    rows = []
+    i = 0
+    # independent: every type equally on Mon and Tue
+    for t in ("click", "view"):
+        for d in (0, 1):
+            for _ in range(10):
+                rows.append((i, base + timedelta(days=d), 1, t, 1.0, "{}"))
+                i += 1
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = qs["q182_chi_square"](spark, str(tmp_path)).collect()[0]
+    assert (r.n, r.n_cells, r.dof, r.chi2_milli) == (40, 4, 1, 0)
+
+    # dependent: clicks only Monday, views only Tuesday
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "events.parquet"))
+    rows = []
+    i = 0
+    for _ in range(10):
+        rows.append((i, base, 1, "click", 1.0, "{}")); i += 1
+        rows.append((i, base + timedelta(days=1), 1, "view", 1.0, "{}")); i += 1
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = qs["q182_chi_square"](spark, str(tmp_path)).collect()[0]
+    # perfect dependence in a 2x2: chi2 == n == 20 (quantization-floored)
+    assert r.dof == 1 and 19.9 <= r.chi2 <= 20.0
