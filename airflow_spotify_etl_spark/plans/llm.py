@@ -4997,6 +4997,81 @@ ORDER BY label_a, label_b
 """
 
 
+def q183_source_copy_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source copy-ring census — licensing/governance telemetry: sources
+    connected by cross-source near-duplicate evidence (the q24 exact
+    tier) are resolved into rings with the q42 min-label closure, here
+    running on SOURCE names (min-label propagation needs only an
+    orderable label — strings qualify). A ring of mirrors should be
+    ingested once, not |ring| times; the census names each ring's
+    members so the decision is actionable. The pair relation is
+    candidate-sized; the closure runs on the |sources|-node graph —
+    corpus cost is the one dedup tier already paid for."""
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000)
+    src = docs.select("doc_id", "source")
+    sp = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .distinct()
+    )
+    comp = connected_components(sp, "src_a", "src_b")
+    return (
+        comp.groupBy(F.col("component").alias("ring"))
+        .agg(
+            F.count("*").alias("n_sources"),
+            F.array_join(
+                F.array_sort(F.collect_set("doc_id")), ","
+            ).alias("members"),
+        )
+        .orderBy("ring")
+    )
+
+
+def _q183_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_Q24_SQL}) p
+), sp AS (
+  SELECT DISTINCT least(da.source, db.source) AS a,
+                  greatest(da.source, db.source) AS b
+  FROM pairs
+  JOIN documents da ON da.doc_id = pairs.doc_a
+  JOIN documents db ON db.doc_id = pairs.doc_b
+  WHERE da.source <> db.source
+), edges AS (
+  SELECT a, b FROM sp UNION ALL SELECT b, a FROM sp
+), nodes AS (
+  SELECT DISTINCT a AS node FROM edges
+), reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+), comp AS (
+  SELECT node, min(label) AS component FROM reach GROUP BY node
+)
+SELECT component AS ring,
+       count(*) AS n_sources,
+       string_agg(node, ',' ORDER BY node) AS members
+FROM comp
+GROUP BY component
+ORDER BY ring
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -5083,6 +5158,7 @@ QUERIES = {
     "q170_lsh_band_sweep": q170_lsh_band_sweep,
     "q172_reliability_bins": q172_reliability_bins,
     "q179_label_centroid_affinity": q179_label_centroid_affinity,
+    "q183_source_copy_rings": q183_source_copy_rings,
 }
 
 ORACLES = {
@@ -5171,4 +5247,5 @@ ORACLES = {
     "q170_lsh_band_sweep": _q170_sql(),
     "q172_reliability_bins": _q172_sql(),
     "q179_label_centroid_affinity": _Q179_SQL,
+    "q183_source_copy_rings": _q183_sql(),
 }

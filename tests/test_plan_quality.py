@@ -698,3 +698,34 @@ def test_q182_chi_square_detects_planted_dependence(spark, tmp_path, qs):
     r = qs["q182_chi_square"](spark, str(tmp_path)).collect()[0]
     # perfect dependence in a 2x2: chi2 == n == 20 (quantization-floored)
     assert r.dof == 1 and 19.9 <= r.chi2 <= 20.0
+
+
+def test_q183_copy_rings_chain_and_isolate(spark, tmp_path, qs):
+    """Cross-source dup evidence chains a~b and b~c into ONE ring (the
+    whole point of the closure — pairwise keep-one would miss c), d~e
+    forms a second ring, and a source with no cross-source dup never
+    appears. Ring label = min member source name."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    t1 = "alpha beta gamma delta epsilon"
+    t2 = "zeta eta theta iota kappa"
+    t3 = "lambda mu nu xi omicron"
+    t4 = "rho sigma tau upsilon phi"
+    rows = [
+        (1, t1, "en", "src_a", len(t1)),
+        (2, t1, "en", "src_b", len(t1)),   # a ~ b
+        (3, t2, "en", "src_b", len(t2)),
+        (4, t2, "en", "src_c", len(t2)),   # b ~ c  -> ring {a,b,c}
+        (5, t3, "en", "src_d", len(t3)),
+        (6, t3, "en", "src_e", len(t3)),   # d ~ e  -> ring {d,e}
+        (7, t4, "en", "src_f", len(t4)),   # isolated: absent
+    ]
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {r.ring: r for r in qs["q183_source_copy_rings"](spark, str(tmp_path)).collect()}
+    assert set(out) == {"src_a", "src_d"}
+    assert out["src_a"].n_sources == 3
+    assert out["src_a"].members == "src_a,src_b,src_c"
+    assert out["src_d"].n_sources == 2
+    assert out["src_d"].members == "src_d,src_e"
