@@ -4232,6 +4232,128 @@ FROM terms
 """
 
 
+def q184_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Spearman rank correlation between customer account
+    balance and lifetime order spend, EXACT to the last bit: tie-aware
+    average ranks are doubled to stay integral (tie group of size c at
+    min-rank p has average rank p+(c−1)/2, so 2·rank+cnt−1 is an exact
+    integer), and ρ² is the integer quotient num²·10⁶ div (denx·deny)
+    over the Pearson-on-ranks sums — no cross-row float ever forms, so
+    aggregation order cannot perturb the statistic. ρ itself is the one
+    sanctioned float chain: sign · √(ρ²µ/10⁶), both factors exact
+    doubles, √ correctly rounded IEEE in both engines. Magnitude audit:
+    with n customers per group, doubled ranks ≤ 2n, num ≤ 4n⁴ (BIGINT
+    past sf1), num²·10⁶ ≤ 2.7·10³⁷ < 10³⁸ at n=6000 — the DECIMAL(38)
+    ceiling, stated. Degenerate groups (a constant side, e.g. every
+    customer unspent) have den=0 → ρ NULL, not a crash.
+
+    Scale shape: spend rollup is one fact-keyed exchange; ranks are two
+    windows over the SAME nation partitioning (one exchange, two sorts);
+    group size is |customers|/|nations| — for unbounded groups swap in
+    the q144 distributed-rank (range-partitioned) path. Final stats are
+    a 25-row aggregate."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("spend_c")
+    )
+    base = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(spend, cust.c_custkey == spend.o_custkey, "left")
+        .select(
+            "n_name",
+            F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("xc"),
+            F.coalesce("spend_c", F.lit(0)).alias("yc"),
+        )
+    )
+    wx = W.partitionBy("n_name").orderBy("xc")
+    wy = W.partitionBy("n_name").orderBy("yc")
+    ranked = base.select(
+        "n_name",
+        (2 * F.rank().over(wx) + F.count("*").over(W.partitionBy("n_name", "xc")) - 1)
+        .alias("rx"),
+        (2 * F.rank().over(wy) + F.count("*").over(W.partitionBy("n_name", "yc")) - 1)
+        .alias("ry"),
+    )
+    s = ranked.groupBy("n_name").agg(
+        F.count("*").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    num = "(cast(n as decimal(19,0)) * sxy - cast(sx as decimal(19,0)) * sy)"
+    denx = "(cast(n as decimal(19,0)) * sxx - cast(sx as decimal(19,0)) * sx)"
+    deny = "(cast(n as decimal(19,0)) * syy - cast(sy as decimal(19,0)) * sy)"
+    rho2u = (
+        f"case when {denx} = 0 or {deny} = 0 then null "
+        f"else {num} * {num} * 1000000 div ({denx} * {deny}) end"
+    )
+    sign = f"cast(case when {num} > 0 then 1 when {num} < 0 then -1 else 0 end as int)"
+    return s.select(
+        F.col("n_name").alias("nation"),
+        "n",
+        F.expr(rho2u).alias("rho2_micro"),
+        F.expr(sign).alias("rho_sign"),
+        F.expr(
+            f"round({sign} * sqrt(cast({rho2u} as double) / 1e6), 4)"
+        ).alias("rho"),
+    ).orderBy("nation")
+
+
+_Q184_SQL = """
+WITH spend AS (
+  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend_c
+  FROM orders GROUP BY o_custkey
+), base AS (
+  SELECT n_name,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS xc,
+         coalesce(spend_c, 0) AS yc
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  LEFT JOIN spend ON c_custkey = o_custkey
+), ranked AS (
+  SELECT n_name,
+         2 * rank() OVER (PARTITION BY n_name ORDER BY xc)
+           + count(*) OVER (PARTITION BY n_name, xc) - 1 AS rx,
+         2 * rank() OVER (PARTITION BY n_name ORDER BY yc)
+           + count(*) OVER (PARTITION BY n_name, yc) - 1 AS ry
+  FROM base
+), s AS (
+  SELECT n_name, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(rx) AS HUGEINT) AS sx, CAST(sum(ry) AS HUGEINT) AS sy,
+         CAST(sum(rx * ry) AS HUGEINT) AS sxy,
+         CAST(sum(rx * rx) AS HUGEINT) AS sxx,
+         CAST(sum(ry * ry) AS HUGEINT) AS syy
+  FROM ranked GROUP BY n_name
+)
+SELECT n_name AS nation,
+       CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+                 THEN NULL
+                 ELSE (n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000
+                      // ((n * sxx - sx * sx) * (n * syy - sy * sy)) END
+            AS BIGINT) AS rho2_micro,
+       CAST(CASE WHEN (n * sxy - sx * sy) > 0 THEN 1
+                 WHEN (n * sxy - sx * sy) < 0 THEN -1 ELSE 0 END
+            AS INTEGER) AS rho_sign,
+       round(CASE WHEN (n * sxy - sx * sy) > 0 THEN 1
+                  WHEN (n * sxy - sx * sy) < 0 THEN -1 ELSE 0 END
+             * sqrt(CAST(CAST(CASE WHEN (n * sxx - sx * sx) = 0
+                                        OR (n * syy - sy * sy) = 0
+                                   THEN NULL
+                                   ELSE (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                                        * 1000000
+                                        // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                                   END AS BIGINT) AS DOUBLE) / 1e6), 4) AS rho
+FROM s
+ORDER BY nation
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -4314,6 +4436,7 @@ QUERIES = {
     "q180_rfm_segments": q180_rfm_segments,
     "q181_expectations_report": q181_expectations_report,
     "q182_chi_square": q182_chi_square,
+    "q184_spearman_corr": q184_spearman_corr,
 }
 
 ORACLES = {
@@ -4398,4 +4521,5 @@ ORACLES = {
     "q180_rfm_segments": _Q180_SQL,
     "q181_expectations_report": _Q181_SQL,
     "q182_chi_square": _Q182_SQL,
+    "q184_spearman_corr": _Q184_SQL,
 }

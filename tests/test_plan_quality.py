@@ -729,3 +729,29 @@ def test_q183_copy_rings_chain_and_isolate(spark, tmp_path, qs):
     assert out["src_a"].members == "src_a,src_b,src_c"
     assert out["src_d"].n_sources == 2
     assert out["src_d"].members == "src_d,src_e"
+
+
+def test_q184_spearman_planted_correlations(spark, tmp_path, qs):
+    """MONO: spend rank follows balance rank exactly → rho = +1.
+    ANTI: reversed → rho = −1. FLAT: every spend 0 (one giant tie) →
+    den=0 → rho NULL, sign from num (0). Tie-averaged doubled ranks keep
+    everything integral."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    nations = [(0, "MONO", 0), (1, "ANTI", 0), (2, "FLAT", 0)]
+    custs, orders, oid = [], [], 0
+    for i in range(6):
+        custs.append((i, f"c{i}", 0, 100.0 + i, "B"))        # MONO
+        custs.append((10 + i, f"c{10+i}", 1, 100.0 + i, "B"))  # ANTI
+        custs.append((20 + i, f"c{20+i}", 2, 100.0 + i, "B"))  # FLAT: no orders
+        orders.append((oid, i, "O", 10.0 * (i + 1), datetime(2024, 1, 1), "1-URGENT")); oid += 1
+        orders.append((oid, 10 + i, "O", 10.0 * (6 - i), datetime(2024, 1, 1), "1-URGENT")); oid += 1
+    spark.createDataFrame(nations, SCHEMAS["nation"]).write.parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(custs, SCHEMAS["customer"]).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(orders, SCHEMAS["orders"]).write.parquet(str(tmp_path / "orders.parquet"))
+    out = {r.nation: r for r in qs["q184_spearman_corr"](spark, str(tmp_path)).collect()}
+    assert (out["MONO"].rho2_micro, out["MONO"].rho_sign, out["MONO"].rho) == (1000000, 1, 1.0)
+    assert (out["ANTI"].rho2_micro, out["ANTI"].rho_sign, out["ANTI"].rho) == (1000000, -1, -1.0)
+    assert out["FLAT"].rho2_micro is None and out["FLAT"].rho is None
