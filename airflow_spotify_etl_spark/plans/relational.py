@@ -4354,6 +4354,74 @@ ORDER BY nation
 """
 
 
+def q185_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent curation gates (a char-length
+    rater and a token-count rater) — the inter-annotator-agreement number
+    a labeling pipeline reports before trusting cheap filters. Exact
+    rational: κ = (n·agree − pe) / (n² − pe) with pe = r₁c₁ + r₀c₀ all
+    integers from ONE fused aggregate scan (the 2×2 confusion, both
+    margins, and n come out of the same pass — no per-cell re-scan).
+    κ_micro is the truncating integer quotient ·10⁶ (both engines
+    truncate toward zero); κ itself divides two ≤10⁶ exact doubles.
+    Magnitude: n² needs DECIMAL past ~3·10⁹ docs — cast up front (19,0),
+    DuckDB HUGEINT; the div is exact at any corpus size. pe = n²
+    (a degenerate all-one-cell corpus) → NULL, not a crash."""
+    docs = _t(spark, sf_dir, "documents")
+    flags = docs.select(
+        (F.col("n_chars").between(200, 5000)).cast("long").alias("a"),
+        (F.size(F.split(F.col("text"), " ")) >= 40).cast("long").alias("b"),
+    )
+    s = flags.agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("cast(a = 1 and b = 1 as long)")).alias("c11"),
+        F.sum(F.expr("cast(a = 1 and b = 0 as long)")).alias("c10"),
+        F.sum(F.expr("cast(a = 0 and b = 1 as long)")).alias("c01"),
+        F.sum(F.expr("cast(a = 0 and b = 0 as long)")).alias("c00"),
+    )
+    n = "cast(n as decimal(19,0))"
+    pe = f"(cast(c11 + c10 as decimal(19,0)) * (c11 + c01) + cast(c01 + c00 as decimal(19,0)) * (c10 + c00))"
+    num = f"({n} * (c11 + c00) - {pe})"
+    den = f"({n} * n - {pe})"
+    kmicro = f"case when {den} = 0 then null else {num} * 1000000 div {den} end"
+    return s.select(
+        "n", "c11", "c10", "c01", "c00",
+        F.expr(kmicro).alias("kappa_micro"),
+        F.expr(f"round(cast({kmicro} as double) / 1e6, 4)").alias("kappa"),
+    )
+
+
+_Q185_SQL = """
+WITH flags AS (
+  SELECT CAST(n_chars BETWEEN 200 AND 5000 AS BIGINT) AS a,
+         CAST(len(string_split(text, ' ')) >= 40 AS BIGINT) AS b
+  FROM documents
+), s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(a = 1 AND b = 1 AS BIGINT)) AS HUGEINT) AS c11,
+         CAST(sum(CAST(a = 1 AND b = 0 AS BIGINT)) AS HUGEINT) AS c10,
+         CAST(sum(CAST(a = 0 AND b = 1 AS BIGINT)) AS HUGEINT) AS c01,
+         CAST(sum(CAST(a = 0 AND b = 0 AS BIGINT)) AS HUGEINT) AS c00
+  FROM flags
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(c11 AS BIGINT) AS c11, CAST(c10 AS BIGINT) AS c10,
+       CAST(c01 AS BIGINT) AS c01, CAST(c00 AS BIGINT) AS c00,
+       CAST(CASE WHEN (n * n - ((c11 + c10) * (c11 + c01) + (c01 + c00) * (c10 + c00))) = 0
+                 THEN NULL
+                 ELSE (n * (c11 + c00) - ((c11 + c10) * (c11 + c01) + (c01 + c00) * (c10 + c00)))
+                      * 1000000
+                      // (n * n - ((c11 + c10) * (c11 + c01) + (c01 + c00) * (c10 + c00)))
+            END AS BIGINT) AS kappa_micro,
+       round(CAST(CAST(CASE WHEN (n * n - ((c11 + c10) * (c11 + c01) + (c01 + c00) * (c10 + c00))) = 0
+                 THEN NULL
+                 ELSE (n * (c11 + c00) - ((c11 + c10) * (c11 + c01) + (c01 + c00) * (c10 + c00)))
+                      * 1000000
+                      // (n * n - ((c11 + c10) * (c11 + c01) + (c01 + c00) * (c10 + c00)))
+            END AS BIGINT) AS DOUBLE) / 1e6, 4) AS kappa
+FROM s
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -4437,6 +4505,7 @@ QUERIES = {
     "q181_expectations_report": q181_expectations_report,
     "q182_chi_square": q182_chi_square,
     "q184_spearman_corr": q184_spearman_corr,
+    "q185_cohens_kappa": q185_cohens_kappa,
 }
 
 ORACLES = {
@@ -4522,4 +4591,5 @@ ORACLES = {
     "q181_expectations_report": _Q181_SQL,
     "q182_chi_square": _Q182_SQL,
     "q184_spearman_corr": _Q184_SQL,
+    "q185_cohens_kappa": _Q185_SQL,
 }

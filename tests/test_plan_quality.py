@@ -755,3 +755,35 @@ def test_q184_spearman_planted_correlations(spark, tmp_path, qs):
     assert (out["MONO"].rho2_micro, out["MONO"].rho_sign, out["MONO"].rho) == (1000000, 1, 1.0)
     assert (out["ANTI"].rho2_micro, out["ANTI"].rho_sign, out["ANTI"].rho) == (1000000, -1, -1.0)
     assert out["FLAT"].rho2_micro is None and out["FLAT"].rho is None
+
+
+def test_q185_kappa_known_value_and_degenerate(spark, tmp_path, qs):
+    """Planted 2x2 (c11=20,c10=5,c01=10,c00=15): po=.7, pe=.5 → κ=0.4
+    exactly (kappa_micro=400000). Degenerate corpus (every doc in one
+    cell → pe=n²) → NULL kappa."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    long_txt = " ".join(["w"] * 50)   # b=1
+    short_txt = "w x y"               # b=0
+    rows, i = [], 0
+    def add(a, b, cnt):
+        nonlocal i
+        for _ in range(cnt):
+            t = long_txt if b else short_txt
+            nc = 300 if a else 10
+            rows.append((i, t, "en", "s", nc)); i += 1
+    add(1, 1, 20); add(1, 0, 5); add(0, 1, 10); add(0, 0, 15)
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet"))
+    r = qs["q185_cohens_kappa"](spark, str(tmp_path)).collect()[0]
+    assert (r.n, r.c11, r.c10, r.c01, r.c00) == (50, 20, 5, 10, 15)
+    assert r.kappa_micro == 400000 and r.kappa == 0.4
+
+    import shutil
+    shutil.rmtree(str(tmp_path / "documents.parquet"))
+    rows, i = [], 0
+    add(1, 1, 7)   # all agree-positive: pe = n² → undefined
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet"))
+    r = qs["q185_cohens_kappa"](spark, str(tmp_path)).collect()[0]
+    assert r.kappa_micro is None and r.kappa is None
