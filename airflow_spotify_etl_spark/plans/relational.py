@@ -4422,6 +4422,105 @@ FROM s
 """
 
 
+def q186_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance, EXACT, per ship-year:
+    does the price distribution of returned lineitems differ from kept
+    ones? D = max|F₁−F₂| is evaluated at every pooled price point
+    without a single float: per (year, cents) counts → one cumulative
+    window over the distinct-price rows → the integer envelope
+    max|n₂·cum₁ − n₁·cum₂|, divided once at the end (truncating ·10⁶
+    quotient; both engines truncate toward zero). The window partitions
+    by year (the q166 weighted-quantile shape: the sort touches
+    DISTINCT prices, not rows); for unbounded value domains pre-bucket
+    with the q68 equi-width grid first. n₁·n₂ outgrows BIGINT near 3·10⁹
+    rows/side — the DECIMAL cast up front is that ceiling. A year with
+    either side empty yields NULL distance, not a crash."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.year("l_shipdate").alias("ship_year"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("pc"),
+        (F.col("l_returnflag") == "R").cast("long").alias("r"),
+    )
+    cnt = base.groupBy("ship_year", "pc").agg(
+        F.sum("r").alias("c1"), F.sum(1 - F.col("r")).alias("c2")
+    )
+    w = W.partitionBy("ship_year").orderBy("pc").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = cnt.select(
+        "ship_year",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+    )
+    tot = cnt.groupBy("ship_year").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    env = (
+        cum.join(F.broadcast(tot), "ship_year")
+        .groupBy("ship_year")
+        .agg(
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+            F.max(
+                F.abs(
+                    F.expr("cast(n2 as decimal(19,0)) * cum1")
+                    - F.expr("cast(n1 as decimal(19,0)) * cum2")
+                )
+            ).alias("dnum"),
+        )
+    )
+    ksu = (
+        "case when n1 = 0 or n2 = 0 then null "
+        "else dnum * 1000000 div (cast(n1 as decimal(19,0)) * n2) end"
+    )
+    return env.select(
+        "ship_year", "n1", "n2",
+        F.expr(ksu).alias("ks_micro"),
+        F.expr(f"round(cast({ksu} as double) / 1e6, 4)").alias("ks"),
+    ).orderBy("ship_year")
+
+
+_Q186_SQL = """
+WITH base AS (
+  SELECT CAST(date_part('year', l_shipdate) AS INTEGER) AS ship_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+         CAST(l_returnflag = 'R' AS BIGINT) AS r
+  FROM lineitem
+), cnt AS (
+  SELECT ship_year, pc,
+         CAST(sum(r) AS BIGINT) AS c1,
+         CAST(sum(1 - r) AS BIGINT) AS c2
+  FROM base GROUP BY ship_year, pc
+), cum AS (
+  SELECT ship_year,
+         sum(c1) OVER (PARTITION BY ship_year ORDER BY pc
+                       ROWS UNBOUNDED PRECEDING) AS cum1,
+         sum(c2) OVER (PARTITION BY ship_year ORDER BY pc
+                       ROWS UNBOUNDED PRECEDING) AS cum2
+  FROM cnt
+), tot AS (
+  SELECT ship_year, CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(sum(c2) AS BIGINT) AS n2
+  FROM cnt GROUP BY ship_year
+), env AS (
+  SELECT cum.ship_year, max(n1) AS n1, max(n2) AS n2,
+         max(abs(CAST(n2 AS HUGEINT) * cum1 - CAST(n1 AS HUGEINT) * cum2))
+           AS dnum
+  FROM cum JOIN tot ON cum.ship_year = tot.ship_year
+  GROUP BY cum.ship_year
+)
+SELECT ship_year, n1, n2,
+       CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                 ELSE dnum * 1000000 // (CAST(n1 AS HUGEINT) * n2) END
+            AS BIGINT) AS ks_micro,
+       round(CAST(CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                 ELSE dnum * 1000000 // (CAST(n1 AS HUGEINT) * n2) END
+            AS BIGINT) AS DOUBLE) / 1e6, 4) AS ks
+FROM env
+ORDER BY ship_year
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -4506,6 +4605,7 @@ QUERIES = {
     "q182_chi_square": q182_chi_square,
     "q184_spearman_corr": q184_spearman_corr,
     "q185_cohens_kappa": q185_cohens_kappa,
+    "q186_ks_test": q186_ks_test,
 }
 
 ORACLES = {
@@ -4592,4 +4692,5 @@ ORACLES = {
     "q182_chi_square": _Q182_SQL,
     "q184_spearman_corr": _Q184_SQL,
     "q185_cohens_kappa": _Q185_SQL,
+    "q186_ks_test": _Q186_SQL,
 }

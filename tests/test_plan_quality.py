@@ -787,3 +787,27 @@ def test_q185_kappa_known_value_and_degenerate(spark, tmp_path, qs):
         str(tmp_path / "documents.parquet"))
     r = qs["q185_cohens_kappa"](spark, str(tmp_path)).collect()[0]
     assert r.kappa_micro is None and r.kappa is None
+
+
+def test_q186_ks_planted_distances(spark, tmp_path, qs):
+    """Disjoint supports (all R prices below all non-R) → D = 1.
+    Identical distributions → D = 0. A year with one side empty → NULL."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows, k = [], 0
+    def li(year, price, flag):
+        nonlocal k
+        rows.append((k, 1, 1, 1, 1.0, price, 0.0, 0.0, flag, "O",
+                     datetime(year, 6, 1))); k += 1
+    for i in range(5):
+        li(2020, 10.0 + i, "R"); li(2020, 100.0 + i, "N")   # disjoint
+        li(2021, 50.0 + i, "R"); li(2021, 50.0 + i, "N")    # identical
+        li(2022, 10.0 + i, "N")                              # one-sided
+    spark.createDataFrame(rows, SCHEMAS["lineitem"]).write.parquet(
+        str(tmp_path / "lineitem.parquet"))
+    out = {r.ship_year: r for r in qs["q186_ks_test"](spark, str(tmp_path)).collect()}
+    assert (out[2020].ks_micro, out[2020].ks) == (1000000, 1.0)
+    assert (out[2021].ks_micro, out[2021].ks) == (0, 0.0)
+    assert out[2022].ks_micro is None and out[2022].n1 == 0
