@@ -4521,6 +4521,87 @@ ORDER BY ship_year
 """
 
 
+def q187_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (tie-aware, EXACT) per source: do English docs run
+    longer than non-English ones? Doubled U stays integral under ties —
+    2U₁ = Σ_v c1(v)·(2·cum2(<v) + c2(v)) over per-(source, n_chars)
+    counts, one exclusive cumulative window over DISTINCT lengths (the
+    q166/q186 shape: the sort never touches raw rows). The rank-biserial
+    effect size r = U₁/(n₁n₂·½) − 1 = (2U₁ − 2n₁n₂+...)/... is emitted
+    as the truncating quotient (2U₁ − n₁n₂)·10⁶ div (n₁n₂) ∈ [−10⁶,10⁶]
+    — sign says which side stochastically dominates; both engines
+    truncate toward zero. Products cast to DECIMAL/HUGEINT up front
+    (n₁n₂ outgrows BIGINT near 3·10⁹ docs/side). One-sided sources →
+    NULL effect."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        F.col("n_chars").alias("nc"),
+        (F.col("lang") == "en").cast("long").alias("e"),
+    )
+    cnt = base.groupBy("source", "nc").agg(
+        F.sum("e").alias("c1"), F.sum(1 - F.col("e")).alias("c2")
+    )
+    w_excl = W.partitionBy("source").orderBy("nc").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    u_terms = cnt.select(
+        "source", "c1", "c2",
+        F.coalesce(F.sum("c2").over(w_excl), F.lit(0)).alias("cum2x"),
+    )
+    s = u_terms.groupBy("source").agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(
+            F.expr("cast(c1 as decimal(19,0)) * (2 * cum2x + c2)")
+        ).alias("u2"),
+    )
+    rbu = (
+        "case when n1 = 0 or n2 = 0 then null "
+        "else (u2 - cast(n1 as decimal(19,0)) * n2) * 1000000 "
+        "     div (cast(n1 as decimal(19,0)) * n2) end"
+    )
+    return s.select(
+        "source", "n1", "n2",
+        F.col("u2").cast("long").alias("u2"),
+        F.expr(rbu).alias("rb_micro"),
+        F.expr(f"round(cast({rbu} as double) / 1e6, 4)").alias("rank_biserial"),
+    ).orderBy("source")
+
+
+_Q187_SQL = """
+WITH base AS (
+  SELECT source, n_chars AS nc, CAST(lang = 'en' AS BIGINT) AS e
+  FROM documents
+), cnt AS (
+  SELECT source, nc, CAST(sum(e) AS BIGINT) AS c1,
+         CAST(sum(1 - e) AS BIGINT) AS c2
+  FROM base GROUP BY source, nc
+), u_terms AS (
+  SELECT source, c1, c2,
+         coalesce(sum(c2) OVER (PARTITION BY source ORDER BY nc
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cum2x
+  FROM cnt
+), s AS (
+  SELECT source, CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(sum(c2) AS BIGINT) AS n2,
+         CAST(sum(CAST(c1 AS HUGEINT) * (2 * cum2x + c2)) AS HUGEINT) AS u2
+  FROM u_terms GROUP BY source
+)
+SELECT source, n1, n2, CAST(u2 AS BIGINT) AS u2,
+       CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                 ELSE (u2 - CAST(n1 AS HUGEINT) * n2) * 1000000
+                      // (CAST(n1 AS HUGEINT) * n2) END AS BIGINT) AS rb_micro,
+       round(CAST(CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                 ELSE (u2 - CAST(n1 AS HUGEINT) * n2) * 1000000
+                      // (CAST(n1 AS HUGEINT) * n2) END AS BIGINT) AS DOUBLE)
+             / 1e6, 4) AS rank_biserial
+FROM s
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -4606,6 +4687,7 @@ QUERIES = {
     "q184_spearman_corr": q184_spearman_corr,
     "q185_cohens_kappa": q185_cohens_kappa,
     "q186_ks_test": q186_ks_test,
+    "q187_mann_whitney": q187_mann_whitney,
 }
 
 ORACLES = {
@@ -4693,4 +4775,5 @@ ORACLES = {
     "q184_spearman_corr": _Q184_SQL,
     "q185_cohens_kappa": _Q185_SQL,
     "q186_ks_test": _Q186_SQL,
+    "q187_mann_whitney": _Q187_SQL,
 }

@@ -811,3 +811,27 @@ def test_q186_ks_planted_distances(spark, tmp_path, qs):
     assert (out[2020].ks_micro, out[2020].ks) == (1000000, 1.0)
     assert (out[2021].ks_micro, out[2021].ks) == (0, 0.0)
     assert out[2022].ks_micro is None and out[2022].n1 == 0
+
+
+def test_q187_mann_whitney_dominance_and_ties(spark, tmp_path, qs):
+    """DOM: every en doc longer than every other → 2U = 2·n1n2, rb=+1.
+    SUB: reversed → rb=−1. TIE: all identical lengths → 2U = n1n2,
+    rb=0 (the tie-half credit). ONE: no non-en docs → NULL."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows, i = [], 0
+    def doc(src, lang, nc):
+        nonlocal i
+        rows.append((i, "t", lang, src, nc)); i += 1
+    for k in range(3):
+        doc("DOM", "en", 100 + k); doc("DOM", "fr", 10 + k)
+        doc("SUB", "en", 10 + k); doc("SUB", "fr", 100 + k)
+        doc("TIE", "en", 50); doc("TIE", "fr", 50)
+        doc("ONE", "en", 10 + k)
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet"))
+    out = {r.source: r for r in qs["q187_mann_whitney"](spark, str(tmp_path)).collect()}
+    assert (out["DOM"].u2, out["DOM"].rb_micro, out["DOM"].rank_biserial) == (18, 1000000, 1.0)
+    assert (out["SUB"].u2, out["SUB"].rank_biserial) == (0, -1.0)
+    assert (out["TIE"].u2, out["TIE"].rb_micro) == (9, 0)
+    assert out["ONE"].rb_micro is None
