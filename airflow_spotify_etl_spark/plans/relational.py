@@ -4602,6 +4602,111 @@ ORDER BY source
 """
 
 
+def q188_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the DAILY event-count series — the
+    seasonality probe (a weekly cycle shows as a lag-7 peak). The series
+    is zero-filled over the full calendar (a silent gap is a real 0, not
+    a skipped term — positional lag over a gapped series would compare
+    Tuesday to Thursday), then each lag is an exact-integer Pearson over
+    the (x_t, x_{t−k}) pairs: counts are integers, so every sum is
+    exact; ρ² is the q184 quotient num²·10⁶ div (denx·deny) and ρ the
+    one sanctioned sign·√ chain. Scale shape: the corpus collapses to
+    ≤|days| rows in the FIRST exchange; calendar fill is a 1-row min/max
+    broadcast + sequence-explode; the 7 lag joins run on the tiny daily
+    table. Constant series (den=0) → NULL."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("c")
+    )
+    mm = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = mm.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    series = cal.join(daily, "d", "left").select(
+        "d", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
+    a = series.select(F.col("d").alias("da"), F.col("c").alias("x"))
+    b = series.select(F.col("d").alias("db"), F.col("c").alias("y"))
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.expr("db = date_add(da, -k)"))
+    )
+    s = pairs.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.expr("cast(x as decimal(19,0)) * y")).alias("sxy"),
+        F.sum(F.expr("cast(x as decimal(19,0)) * x")).alias("sxx"),
+        F.sum(F.expr("cast(y as decimal(19,0)) * y")).alias("syy"),
+    )
+    num = "(cast(n as decimal(19,0)) * sxy - cast(sx as decimal(19,0)) * sy)"
+    denx = "(cast(n as decimal(19,0)) * sxx - cast(sx as decimal(19,0)) * sx)"
+    deny = "(cast(n as decimal(19,0)) * syy - cast(sy as decimal(19,0)) * sy)"
+    r2u = (
+        f"case when {denx} = 0 or {deny} = 0 then null "
+        f"else {num} * {num} * 1000000 div ({denx} * {deny}) end"
+    )
+    sign = f"cast(case when {num} > 0 then 1 when {num} < 0 then -1 else 0 end as int)"
+    return s.select(
+        F.col("k").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        F.expr(r2u).alias("acf2_micro"),
+        F.expr(sign).alias("acf_sign"),
+        F.expr(f"round({sign} * sqrt(cast({r2u} as double) / 1e6), 4)").alias("acf"),
+    ).orderBy("lag")
+
+
+_Q188_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY CAST(ts AS DATE)
+), mm AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM daily
+), cal AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM mm
+), series AS (
+  SELECT cal.d, coalesce(daily.c, 0) AS c
+  FROM cal LEFT JOIN daily ON cal.d = daily.d
+), lags AS (
+  SELECT unnest(range(1, 8)) AS k
+), pairs AS (
+  SELECT CAST(lags.k AS INTEGER) AS k, a.c AS x, b.c AS y
+  FROM lags
+  JOIN series a ON true
+  JOIN series b ON b.d = a.d - CAST(lags.k AS INTEGER)
+), s AS (
+  SELECT k, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM pairs GROUP BY k
+)
+SELECT k AS lag, CAST(n AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+                 THEN NULL
+                 ELSE (n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000
+                      // ((n * sxx - sx * sx) * (n * syy - sy * sy)) END
+            AS BIGINT) AS acf2_micro,
+       CAST(CASE WHEN (n * sxy - sx * sy) > 0 THEN 1
+                 WHEN (n * sxy - sx * sy) < 0 THEN -1 ELSE 0 END
+            AS INTEGER) AS acf_sign,
+       round(CASE WHEN (n * sxy - sx * sy) > 0 THEN 1
+                  WHEN (n * sxy - sx * sy) < 0 THEN -1 ELSE 0 END
+             * sqrt(CAST(CAST(CASE WHEN (n * sxx - sx * sx) = 0
+                                        OR (n * syy - sy * sy) = 0
+                                   THEN NULL
+                                   ELSE (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                                        * 1000000
+                                        // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                                   END AS BIGINT) AS DOUBLE) / 1e6), 4) AS acf
+FROM s
+ORDER BY lag
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -4688,6 +4793,7 @@ QUERIES = {
     "q185_cohens_kappa": q185_cohens_kappa,
     "q186_ks_test": q186_ks_test,
     "q187_mann_whitney": q187_mann_whitney,
+    "q188_autocorrelation": q188_autocorrelation,
 }
 
 ORACLES = {
@@ -4776,4 +4882,5 @@ ORACLES = {
     "q185_cohens_kappa": _Q185_SQL,
     "q186_ks_test": _Q186_SQL,
     "q187_mann_whitney": _Q187_SQL,
+    "q188_autocorrelation": _Q188_SQL,
 }

@@ -835,3 +835,30 @@ def test_q187_mann_whitney_dominance_and_ties(spark, tmp_path, qs):
     assert (out["SUB"].u2, out["SUB"].rank_biserial) == (0, -1.0)
     assert (out["TIE"].u2, out["TIE"].rb_micro) == (9, 0)
     assert out["ONE"].rb_micro is None
+
+
+def test_q188_acf_weekly_cycle_and_zero_fill(spark, tmp_path, qs):
+    """A strict 7-day cycle (counts 1..7 repeating over 35 days) →
+    lag-7 acf = +1 exactly; lag-1 is negative-or-small but defined.
+    Zero-fill matters: day 10 absent from events must enter as 0 —
+    n_pairs counts calendar pairs, not observed pairs."""
+    from datetime import datetime, timedelta
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    base = datetime(2024, 1, 1)
+    rows, i = [], 0
+    for day in range(35):
+        if day == 10:
+            continue  # absent day → zero-filled
+        for _ in range((day % 7) + 1):
+            rows.append((i, base + timedelta(days=day), 1, "click", 1.0, "{}")); i += 1
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet"))
+    out = {r.lag: r for r in qs["q188_autocorrelation"](spark, str(tmp_path)).collect()}
+    assert out[7].n_pairs == 28
+    # day 10 (count 4 in the cycle) was zeroed, so lag-7 isn't a perfect
+    # +1 — but the cycle still dominates: strongest positive lag is 7.
+    assert out[7].acf_sign == 1
+    assert out[7].acf == max(r.acf for r in out.values())
+    assert out[1].n_pairs == 34
