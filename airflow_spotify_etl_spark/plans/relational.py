@@ -4707,6 +4707,91 @@ ORDER BY lag
 """
 
 
+def q189_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer lifetime spend — the
+    revenue-concentration number (0 = spend spread evenly, →1 = one
+    whale). Exact sorted-rank identity G = (2Σᵢ i·xᵢ − (n+1)S)/(n·S)
+    over integer cents: the position weight i is a row_number within the
+    nation (ties contribute identically regardless of order among
+    equals, so the tiebreak is cosmetic), every product stays integral,
+    and the single truncating ·10⁶ quotient lands at the end. Unspent
+    customers enter as real zeros — dropping them would understate
+    concentration. One fact-keyed exchange for the rollup, one
+    nation-keyed exchange for rank+sums (the q184 window shape); S=0
+    nations → NULL. n·S outgrows BIGINT near 10¹⁸ cent-rows — DECIMAL
+    cast up front is that ceiling."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("spend_c")
+    )
+    base = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(spend, cust.c_custkey == spend.o_custkey, "left")
+        .select(
+            "n_name",
+            F.col("c_custkey").alias("ck"),
+            F.coalesce("spend_c", F.lit(0)).alias("x"),
+        )
+    )
+    w = W.partitionBy("n_name").orderBy("x", "ck")
+    ranked = base.select(
+        "n_name", "x", F.row_number().over(w).alias("i")
+    )
+    s = ranked.groupBy("n_name").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.expr("cast(i as decimal(19,0)) * x")).alias("six"),
+    )
+    gu = (
+        "case when sx = 0 then null "
+        "else (2 * six - (cast(n as decimal(19,0)) + 1) * sx) * 1000000 "
+        "     div (cast(n as decimal(19,0)) * sx) end"
+    )
+    return s.select(
+        F.col("n_name").alias("nation"),
+        "n",
+        F.col("sx").alias("total_spend_cents"),
+        F.expr(gu).alias("gini_micro"),
+        F.expr(f"round(cast({gu} as double) / 1e6, 4)").alias("gini"),
+    ).orderBy("nation")
+
+
+_Q189_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_c
+  FROM orders GROUP BY o_custkey
+), base AS (
+  SELECT n_name, c_custkey AS ck, coalesce(spend_c, 0) AS x
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  LEFT JOIN spend ON c_custkey = o_custkey
+), ranked AS (
+  SELECT n_name, x,
+         row_number() OVER (PARTITION BY n_name ORDER BY x, ck) AS i
+  FROM base
+), s AS (
+  SELECT n_name, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(CAST(i AS HUGEINT) * x) AS HUGEINT) AS six
+  FROM ranked GROUP BY n_name
+)
+SELECT n_name AS nation,
+       CAST(n AS BIGINT) AS n,
+       CAST(sx AS BIGINT) AS total_spend_cents,
+       CAST(CASE WHEN sx = 0 THEN NULL
+                 ELSE (2 * six - (n + 1) * sx) * 1000000 // (n * sx) END
+            AS BIGINT) AS gini_micro,
+       round(CAST(CAST(CASE WHEN sx = 0 THEN NULL
+                 ELSE (2 * six - (n + 1) * sx) * 1000000 // (n * sx) END
+            AS BIGINT) AS DOUBLE) / 1e6, 4) AS gini
+FROM s
+ORDER BY nation
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -4794,6 +4879,7 @@ QUERIES = {
     "q186_ks_test": q186_ks_test,
     "q187_mann_whitney": q187_mann_whitney,
     "q188_autocorrelation": q188_autocorrelation,
+    "q189_gini_concentration": q189_gini_concentration,
 }
 
 ORACLES = {
@@ -4883,4 +4969,5 @@ ORACLES = {
     "q186_ks_test": _Q186_SQL,
     "q187_mann_whitney": _Q187_SQL,
     "q188_autocorrelation": _Q188_SQL,
+    "q189_gini_concentration": _Q189_SQL,
 }

@@ -862,3 +862,28 @@ def test_q188_acf_weekly_cycle_and_zero_fill(spark, tmp_path, qs):
     assert out[7].acf_sign == 1
     assert out[7].acf == max(r.acf for r in out.values())
     assert out[1].n_pairs == 34
+
+
+def test_q189_gini_known_values(spark, tmp_path, qs):
+    """EVEN: equal spends → G = 0. WHALE: one customer holds everything
+    → G = (n−1)/n = 0.75 for n=4. ZERO: nobody spent → NULL. Unspent
+    customers count as zeros (WHALE's other three have no orders)."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    nations = [(0, "EVEN", 0), (1, "WHALE", 0), (2, "ZERO", 0)]
+    custs, orders, oid = [], [], 0
+    for i in range(4):
+        custs.append((i, f"c{i}", 0, 0.0, "B"))
+        custs.append((10 + i, f"c{10+i}", 1, 0.0, "B"))
+        custs.append((20 + i, f"c{20+i}", 2, 0.0, "B"))
+        orders.append((oid, i, "O", 25.0, datetime(2024, 1, 1), "1")); oid += 1
+    orders.append((oid, 10, "O", 100.0, datetime(2024, 1, 1), "1")); oid += 1
+    spark.createDataFrame(nations, SCHEMAS["nation"]).write.parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(custs, SCHEMAS["customer"]).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(orders, SCHEMAS["orders"]).write.parquet(str(tmp_path / "orders.parquet"))
+    out = {r.nation: r for r in qs["q189_gini_concentration"](spark, str(tmp_path)).collect()}
+    assert (out["EVEN"].gini_micro, out["EVEN"].gini) == (0, 0.0)
+    assert (out["WHALE"].gini_micro, out["WHALE"].gini) == (750000, 0.75)
+    assert out["ZERO"].gini_micro is None and out["ZERO"].total_spend_cents == 0
