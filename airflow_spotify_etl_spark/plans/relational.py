@@ -4792,6 +4792,85 @@ ORDER BY nation
 """
 
 
+def q190_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upward level-shift detection (CUSUM) on the daily event-count
+    series, EXACT: the textbook recursion S_t = max(0, S_{t−1} + dev_t)
+    is not a SQL window — but its closed form IS: S_t = P_t − min_{j≤t}
+    P_j over the prefix sums of deviations. Deviations are mean-centered
+    without division by scaling through D (days) and T (total): P'_t =
+    D·prefix_t − t·T, so S'_t = P'_t − min(0, runmin(P'_j)) is an exact
+    integer D·(accumulated excess). Alarm when that excess tops 10% of
+    total volume — S'·10 > D·T, cross-multiplied, no float in the
+    decision. The series is calendar zero-filled (a silent day is a real
+    0). Scale: corpus → |days| rows in one exchange; the ordered windows
+    ride the tiny daily table; D·prefix outgrows BIGINT near 10¹⁴
+    events — DECIMAL note. Output: one row per day with the scaled
+    excess and the alarm flag."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("x")
+    )
+    mm = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = mm.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    series = cal.join(daily, "d", "left").select(
+        "d", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    tot = series.agg(
+        F.count("*").alias("dd"), F.sum("x").alias("t")
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    pref = series.crossJoin(F.broadcast(tot)).select(
+        "d", "x", "dd", "t",
+        (
+            F.col("dd") * F.sum("x").over(w)
+            - F.row_number().over(W.orderBy("d")) * F.col("t")
+        ).alias("p"),
+    )
+    s = pref.select(
+        "d", "x", "dd", "t",
+        (F.col("p") - F.least(F.lit(0), F.min("p").over(w))).alias("s"),
+    )
+    return s.select(
+        "d", "x",
+        F.col("s").alias("excess_scaled"),
+        (F.col("s") * 10 > F.col("dd") * F.col("t")).alias("alarm"),
+    ).orderBy("d")
+
+
+_Q190_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY CAST(ts AS DATE)
+), mm AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM daily
+), cal AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM mm
+), series AS (
+  SELECT cal.d, coalesce(daily.x, 0) AS x
+  FROM cal LEFT JOIN daily ON cal.d = daily.d
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS dd, CAST(sum(x) AS BIGINT) AS t
+  FROM series
+), pref AS (
+  SELECT d, x, dd, t,
+         dd * sum(x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+           - row_number() OVER (ORDER BY d) * t AS p
+  FROM series CROSS JOIN tot
+), s AS (
+  SELECT d, x, dd, t,
+         p - least(0, min(p) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)) AS s
+  FROM pref
+)
+SELECT d, x, CAST(s AS BIGINT) AS excess_scaled,
+       s * 10 > dd * t AS alarm
+FROM s
+ORDER BY d
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -4880,6 +4959,7 @@ QUERIES = {
     "q187_mann_whitney": q187_mann_whitney,
     "q188_autocorrelation": q188_autocorrelation,
     "q189_gini_concentration": q189_gini_concentration,
+    "q190_cusum_changepoints": q190_cusum_changepoints,
 }
 
 ORACLES = {
@@ -4970,4 +5050,5 @@ ORACLES = {
     "q187_mann_whitney": _Q187_SQL,
     "q188_autocorrelation": _Q188_SQL,
     "q189_gini_concentration": _Q189_SQL,
+    "q190_cusum_changepoints": _Q190_SQL,
 }

@@ -887,3 +887,31 @@ def test_q189_gini_known_values(spark, tmp_path, qs):
     assert (out["EVEN"].gini_micro, out["EVEN"].gini) == (0, 0.0)
     assert (out["WHALE"].gini_micro, out["WHALE"].gini) == (750000, 0.75)
     assert out["ZERO"].gini_micro is None and out["ZERO"].total_spend_cents == 0
+
+
+def test_q190_cusum_matches_textbook_recursion(spark, tmp_path, qs):
+    """The window closed-form must equal the literal recursion
+    S_t = max(0, S_{t-1} + (x_t − mean))·D on a planted step series
+    (10/day for 10 days, then 30/day for 5 days) — alarm fires inside
+    the shifted regime, never before the shift."""
+    from datetime import datetime, timedelta
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    base = datetime(2024, 1, 1)
+    counts = [10] * 10 + [30] * 5
+    rows, i = [], 0
+    for day, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((i, base + timedelta(days=day), 1, "click", 1.0, "{}")); i += 1
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet"))
+    out = qs["q190_cusum_changepoints"](spark, str(tmp_path)).collect()
+    D, T = len(counts), sum(counts)
+    s, expect = 0, []
+    for c in counts:
+        s = max(0, s + (D * c - T))  # scaled-by-D recursion
+        expect.append(s)
+    assert [r.excess_scaled for r in out] == expect
+    alarms = [r.alarm for r in out]
+    assert not any(alarms[:10]) and any(alarms[10:])
