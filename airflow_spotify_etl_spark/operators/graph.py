@@ -282,6 +282,83 @@ def _pair_expr(items_col: str):
     )
 
 
+def association_rules(
+    interactions: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket: int = 100,
+    min_pair_count: int = 3,
+    top_k: int = 50,
+) -> DataFrame:
+    """Market-basket association rules — support, both confidences, and
+    lift per item pair, every metric an EXACT truncating integer
+    quotient (·10⁶ for probabilities, ·10³ for lift) so rule ranking is
+    float-free and engine-portable. The universe is the CAPPED basket
+    set (size ∈ [2, max_basket], the q111 power-basket discipline):
+    singles counts, pair counts, and N all come from that one universe,
+    so support/confidence/lift are mutually consistent probabilities.
+
+    Scale shape: join-free C(n,2) pair expansion (nested transform, the
+    adamic_adar path) with the per-basket cap bounding the quadratic
+    blowup; pair rollup is ONE grouped count with map-side combine; the
+    ``min_pair_count`` filter shrinks the relation BEFORE the two
+    single-count joins; output is top-k bounded on the integer lift.
+    N·n_ab outgrows BIGINT near 10⁹ baskets × 10⁹ pair count — the
+    DECIMAL casts are that ceiling."""
+    inter = interactions.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    baskets = (
+        inter.groupBy("b")
+        .agg(F.array_sort(F.collect_set("i")).alias("items"))
+        .filter(
+            (F.size("items") >= 2) & (F.size("items") <= int(max_basket))
+        )
+    )
+    n_tot = baskets.agg(F.count("*").alias("n_baskets"))
+    singles = baskets.select(F.explode("items").alias("i")).groupBy("i").agg(
+        F.count("*").alias("n_i")
+    )
+    pairs = (
+        baskets.select(F.explode(_pair_expr("items")).alias("p"))
+        .select(F.col("p.a").alias("item_a"), F.col("p.b").alias("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_pair_count))
+    )
+    joined = (
+        pairs.join(
+            singles.select(F.col("i").alias("item_a"), F.col("n_i").alias("n_a")),
+            "item_a",
+        )
+        .join(
+            singles.select(F.col("i").alias("item_b"), F.col("n_i").alias("n_b")),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_tot))
+    )
+    return (
+        joined.select(
+            "item_a", "item_b", "n_ab", "n_a", "n_b",
+            F.expr(
+                "cast(n_ab as decimal(19,0)) * 1000000 div n_baskets"
+            ).alias("support_micro"),
+            F.expr(
+                "cast(n_ab as decimal(19,0)) * 1000000 div n_a"
+            ).alias("conf_ab_micro"),
+            F.expr(
+                "cast(n_ab as decimal(19,0)) * 1000000 div n_b"
+            ).alias("conf_ba_micro"),
+            F.expr(
+                "cast(n_baskets as decimal(19,0)) * n_ab * 1000 "
+                "div (cast(n_a as decimal(19,0)) * n_b)"
+            ).alias("lift_milli"),
+        )
+        .orderBy(F.col("lift_milli").desc(), "item_a", "item_b")
+        .limit(int(top_k))
+    )
+
+
 def personalized_pagerank(
     edges: DataFrame,
     src_col: str = "src",

@@ -352,3 +352,60 @@ _Q169_SQL = _Q169_BODY.format(
 
 QUERIES["q169_sql_recursive_reachability"] = q169_sql_recursive_reachability
 ORACLES["q169_sql_recursive_reachability"] = _Q169_SQL
+
+
+def q191_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over ORDER baskets (operators/graph.
+    association_rules): top-50 part pairs by exact integer lift, with
+    support and both confidences as truncating ·10⁶ quotients — the
+    "customers who bought A also bought B" rule mining with a float-free
+    ranking. The oracle replays the cap, the pair expansion (self-join
+    twin of the join-free nested transform), the single counts, and the
+    identical integer quotients."""
+    from ..operators.graph import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return association_rules(
+        li, "l_orderkey", "l_partkey",
+        max_basket=100, min_pair_count=3, top_k=50,
+    )
+
+
+_Q191_SQL = """
+WITH inter AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), deg AS (
+  SELECT b, count(*) AS d FROM inter GROUP BY b
+), ok AS (
+  SELECT b FROM deg WHERE d BETWEEN 2 AND 100
+), capped AS (
+  SELECT inter.b, inter.i FROM inter JOIN ok ON inter.b = ok.b
+), n_tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_baskets FROM ok
+), singles AS (
+  SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM capped GROUP BY i
+), pairs AS (
+  SELECT a.i AS item_a, b2.i AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM capped a JOIN capped b2 ON a.b = b2.b AND a.i < b2.i
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+)
+SELECT item_a, item_b, n_ab, sa.n_i AS n_a, sb.n_i AS n_b,
+       CAST(CAST(n_ab AS HUGEINT) * 1000000 // n_baskets AS BIGINT)
+         AS support_micro,
+       CAST(CAST(n_ab AS HUGEINT) * 1000000 // sa.n_i AS BIGINT)
+         AS conf_ab_micro,
+       CAST(CAST(n_ab AS HUGEINT) * 1000000 // sb.n_i AS BIGINT)
+         AS conf_ba_micro,
+       CAST(CAST(n_baskets AS HUGEINT) * n_ab * 1000
+            // (CAST(sa.n_i AS HUGEINT) * sb.n_i) AS BIGINT) AS lift_milli
+FROM pairs
+JOIN singles sa ON sa.i = item_a
+JOIN singles sb ON sb.i = item_b
+CROSS JOIN n_tot
+ORDER BY lift_milli DESC, item_a, item_b
+LIMIT 50
+"""
+
+QUERIES["q191_association_rules"] = q191_association_rules
+ORACLES["q191_association_rules"] = _Q191_SQL

@@ -915,3 +915,32 @@ def test_q190_cusum_matches_textbook_recursion(spark, tmp_path, qs):
     assert [r.excess_scaled for r in out] == expect
     alarms = [r.alarm for r in out]
     assert not any(alarms[:10]) and any(alarms[10:])
+
+
+def test_q191_association_rule_arithmetic(spark, tmp_path, qs):
+    """Planted baskets with a known (A,B) rule: 3 of 4 capped baskets
+    contain both A and B, A appears in 4, B in 3 → support=750000µ,
+    conf(A→B)=750000µ, conf(B→A)=1000000µ, lift = 4·3·1000/(4·3) = 1000.
+    An oversized basket (>100 items) must NOT contribute."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows, k = [], 0
+    def li(order, part):
+        nonlocal k
+        rows.append((order, part, 1, k, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                     datetime(2024, 1, 1))); k += 1
+    for o, parts in enumerate([[1, 2, 3], [1, 2, 4], [1, 2, 5], [1, 6, 7]]):
+        for p in parts:
+            li(o, p)
+    for p in range(1000, 1101):  # 101-item basket: capped away
+        li(99, p)
+    spark.createDataFrame(rows, SCHEMAS["lineitem"]).write.parquet(
+        str(tmp_path / "lineitem.parquet"))
+    out = qs["q191_association_rules"](spark, str(tmp_path)).collect()
+    rule = {(r.item_a, r.item_b): r for r in out}[(1, 2)]
+    assert (rule.n_ab, rule.n_a, rule.n_b) == (3, 4, 3)
+    assert (rule.support_micro, rule.conf_ab_micro, rule.conf_ba_micro) == (750000, 750000, 1000000)
+    assert rule.lift_milli == 1000  # 4·3·1000/(4·3)
+    assert not any(r.item_a >= 1000 for r in out)
