@@ -5072,6 +5072,101 @@ ORDER BY ring
 """
 
 
+def q192_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per source — is a source's length
+    distribution drifting away from the corpus mix? 10 equal-width bins
+    over the global [min,max] (the q68 broadcast-min/max grid, full
+    source×bin grid so zero bins are real terms), Laplace-smoothed
+    shares (cnt+1)/(n+10) so empty bins stay defined, and the PSI term
+    (p_a−p_e)·ln(p_a/p_e) evaluated as ONE identical float chain over
+    exact integer counts on both engines — then QUANTIZED to integer
+    micro-units per bin before the cross-bin sum (the q122 rule: never
+    sum raw doubles across rows; sum their rounded integer images,
+    which is order-independent). ln is the one libm call — round-6
+    before the cast makes a cross-engine ulp flip a measure-zero event,
+    same accepted risk as the q111 1/ln scoring. Scale: one corpus scan
+    for the histogram, a |sources|×10 grid, zero shuffles beyond the
+    two grouped counts. psi_micro ≥ 100000 (PSI > 0.1) flags the
+    conventional 'shifting' threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    mm = docs.agg(F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi"))
+    binned = docs.crossJoin(F.broadcast(mm)).select(
+        "source",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(F.lit(9), F.expr("(n_chars - lo) * 10 div (hi - lo)"))
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    actual = binned.groupBy("source", "bin").agg(F.count("*").alias("a"))
+    expected = binned.groupBy("bin").agg(F.count("*").alias("g"))
+    n_src = binned.groupBy("source").agg(F.count("*").alias("ns"))
+    n_tot = binned.agg(F.count("*").alias("nt"))
+    grid = (
+        n_src.crossJoin(F.broadcast(expected))
+        .join(actual, ["source", "bin"], "left")
+        .withColumn("a", F.coalesce("a", F.lit(0)))
+        .crossJoin(F.broadcast(n_tot))
+    )
+    pa = "(cast(a + 1 as double) / cast(ns + 10 as double))"
+    pe = "(cast(g + 1 as double) / cast(nt + 10 as double))"
+    contrib = (
+        f"cast(round(({pa} - {pe}) * ln({pa} / {pe}) * 1e6) as bigint)"
+    )
+    per_src = grid.groupBy("source").agg(
+        F.max("ns").alias("n_docs"),
+        F.sum(F.expr(contrib)).alias("psi_micro"),
+    )
+    return per_src.select(
+        "source", "n_docs", "psi_micro",
+        (F.col("psi_micro") >= 100000).alias("shifting"),
+    ).orderBy("source")
+
+
+_Q192_SQL = """
+WITH mm AS (
+  SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents
+), binned AS (
+  SELECT source,
+         CAST(CASE WHEN hi = lo THEN 0
+              ELSE least(9, (n_chars - lo) * 10 // (hi - lo)) END
+           AS INTEGER) AS bin
+  FROM documents CROSS JOIN mm
+), actual AS (
+  SELECT source, bin, CAST(count(*) AS BIGINT) AS a
+  FROM binned GROUP BY source, bin
+), expected AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS g FROM binned GROUP BY bin
+), n_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS ns FROM binned GROUP BY source
+), n_tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS nt FROM binned
+), grid AS (
+  SELECT n_src.source, n_src.ns, expected.bin, expected.g,
+         coalesce(actual.a, 0) AS a, n_tot.nt
+  FROM n_src
+  CROSS JOIN expected
+  LEFT JOIN actual ON actual.source = n_src.source AND actual.bin = expected.bin
+  CROSS JOIN n_tot
+), terms AS (
+  SELECT source, ns,
+         CAST(round(((CAST(a + 1 AS DOUBLE) / CAST(ns + 10 AS DOUBLE))
+                     - (CAST(g + 1 AS DOUBLE) / CAST(nt + 10 AS DOUBLE)))
+                    * ln((CAST(a + 1 AS DOUBLE) / CAST(ns + 10 AS DOUBLE))
+                         / (CAST(g + 1 AS DOUBLE) / CAST(nt + 10 AS DOUBLE)))
+                    * 1e6) AS BIGINT) AS c
+  FROM grid
+)
+SELECT source, max(ns) AS n_docs,
+       CAST(sum(c) AS BIGINT) AS psi_micro,
+       CAST(sum(c) AS BIGINT) >= 100000 AS shifting
+FROM terms
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -5159,6 +5254,7 @@ QUERIES = {
     "q172_reliability_bins": q172_reliability_bins,
     "q179_label_centroid_affinity": q179_label_centroid_affinity,
     "q183_source_copy_rings": q183_source_copy_rings,
+    "q192_psi_drift": q192_psi_drift,
 }
 
 ORACLES = {
@@ -5248,4 +5344,5 @@ ORACLES = {
     "q172_reliability_bins": _q172_sql(),
     "q179_label_centroid_affinity": _Q179_SQL,
     "q183_source_copy_rings": _q183_sql(),
+    "q192_psi_drift": _Q192_SQL,
 }

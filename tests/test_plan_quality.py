@@ -944,3 +944,37 @@ def test_q191_association_rule_arithmetic(spark, tmp_path, qs):
     assert (rule.support_micro, rule.conf_ab_micro, rule.conf_ba_micro) == (750000, 750000, 1000000)
     assert rule.lift_milli == 1000  # 4·3·1000/(4·3)
     assert not any(r.item_a >= 1000 for r in out)
+
+
+def test_q192_psi_drift_detects_shifted_source(spark, tmp_path, qs):
+    """A source matching the corpus mix scores ~0 PSI; a source
+    concentrated in one extreme bin crosses the 0.1 'shifting'
+    threshold. Exact expected value replayed in Python with the same
+    smoothing and quantization."""
+    import math
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows, i = [], 0
+    # corpus: lengths spread 0..999 across two balanced sources,
+    # plus a drifted source piled at the top end
+    for k in range(100):
+        rows.append((i, "t", "en", "bal_a", k * 10)); i += 1
+        rows.append((i, "t", "en", "bal_b", k * 10)); i += 1
+    for k in range(10):
+        rows.append((i, "t", "en", "top_heavy", 990)); i += 1
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet"))
+    out = {r.source: r for r in qs["q192_psi_drift"](spark, str(tmp_path)).collect()}
+    assert not out["bal_a"].shifting and not out["bal_b"].shifting
+    assert out["top_heavy"].shifting
+
+    # replay top_heavy exactly: global bins over [0, 990]
+    g = [20] * 9 + [30]        # 10 per bin per bal source ×2, +10 at top
+    a = [0] * 9 + [10]
+    ns, nt = 10, 210
+    psi = sum(
+        round(((ab + 1) / (ns + 10) - (gb + 1) / (nt + 10))
+              * math.log(((ab + 1) / (ns + 10)) / ((gb + 1) / (nt + 10))) * 1e6)
+        for ab, gb in zip(a, g))
+    assert out["top_heavy"].psi_micro == psi
