@@ -4871,6 +4871,63 @@ ORDER BY d
 """
 
 
+def q193_sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume) through the SQL surface: revenue
+    kept inside each ASIA nation — lineitems whose CUSTOMER and SUPPLIER
+    sit in the same nation, the classic 6-table star with the extra
+    c_nationkey = s_nationkey equi-condition that makes Q5 the
+    join-order stress test. DECIMAL-exact revenue (q124 discipline);
+    region/nation broadcast; the year predicate pushes into the orders
+    scan; Catalyst's join reorder keeps the two fact relations joined
+    on their keys before the nation equality filters the pair."""
+    from ..sources.files import register_views
+
+    register_views(
+        spark, sf_dir,
+        ["customer", "orders", "lineitem", "supplier", "nation", "region"],
+    )
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                 AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+        """
+    )
+
+
+_Q193_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+             AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -4960,6 +5017,7 @@ QUERIES = {
     "q188_autocorrelation": q188_autocorrelation,
     "q189_gini_concentration": q189_gini_concentration,
     "q190_cusum_changepoints": q190_cusum_changepoints,
+    "q193_sql_local_supplier_volume": q193_sql_local_supplier_volume,
 }
 
 ORACLES = {
@@ -5051,4 +5109,5 @@ ORACLES = {
     "q188_autocorrelation": _Q188_SQL,
     "q189_gini_concentration": _Q189_SQL,
     "q190_cusum_changepoints": _Q190_SQL,
+    "q193_sql_local_supplier_volume": _Q193_SQL,
 }

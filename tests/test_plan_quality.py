@@ -978,3 +978,14 @@ def test_q192_psi_drift_detects_shifted_source(spark, tmp_path, qs):
               * math.log(((ab + 1) / (ns + 10)) / ((gb + 1) / (nt + 10))) * 1e6)
         for ab, gb in zip(a, g))
     assert out["top_heavy"].psi_micro == psi
+
+
+def test_q193_q5_plan_shape(spark, sf_dir, qs):
+    """Q5's plan bar: region filter + date range pushed into their
+    scans, dims broadcast, no cartesian anywhere despite the extra
+    c_nationkey = s_nationkey cross-relation equality."""
+    plan = _final_plan(qs["q193_sql_local_supplier_volume"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "IsNotNull(o_orderdate)" in plan
+    assert "BroadcastHashJoin" in plan
