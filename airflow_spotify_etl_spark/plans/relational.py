@@ -4928,6 +4928,54 @@ ORDER BY revenue DESC, n_name
 """
 
 
+def q194_sql_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates) adapted to
+    this schema: three OR'd brand/size/quantity bands over
+    lineitem ⋈ part. The POINT is the predicate structure — Catalyst
+    must extract the common conjuncts it can push (p_size ≥ 1, quantity
+    bounds via OR-to-range) and keep the disjunction as a single
+    post-join filter instead of three unioned scans (the naive rewrite
+    triples the fact read at 100 TB). DECIMAL-exact revenue; one
+    aggregate row out."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(
+        """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                 AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity >= 1 AND l_quantity <= 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity >= 10 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 20 AND l_quantity <= 30)
+        """
+    )
+
+
+_Q194_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -5018,6 +5066,7 @@ QUERIES = {
     "q189_gini_concentration": q189_gini_concentration,
     "q190_cusum_changepoints": q190_cusum_changepoints,
     "q193_sql_local_supplier_volume": q193_sql_local_supplier_volume,
+    "q194_sql_disjunctive_revenue": q194_sql_disjunctive_revenue,
 }
 
 ORACLES = {
@@ -5110,4 +5159,5 @@ ORACLES = {
     "q189_gini_concentration": _Q189_SQL,
     "q190_cusum_changepoints": _Q190_SQL,
     "q193_sql_local_supplier_volume": _Q193_SQL,
+    "q194_sql_disjunctive_revenue": _Q194_SQL,
 }

@@ -989,3 +989,15 @@ def test_q193_q5_plan_shape(spark, sf_dir, qs):
     assert "EqualTo(r_name,ASIA)" in plan
     assert "IsNotNull(o_orderdate)" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q194_q19_or_predicates_push_into_both_scans(spark, sf_dir, qs):
+    """The Q19 plan bar: the disjunction is NOT expanded into unioned
+    scans; each relation's OR-branch lands in ITS parquet scan
+    (quantity bands on lineitem, brand/size bands on part) plus the
+    extracted common conjunct p_size >= 1."""
+    plan = _final_plan(qs["q194_sql_disjunctive_revenue"](spark, sf_dir))
+    assert "Union" not in plan
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "GreaterThanOrEqual(p_size,1)" in plan
+    assert "Or(Or(And(EqualTo(p_brand" in plan
