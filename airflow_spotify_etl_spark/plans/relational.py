@@ -4976,6 +4976,66 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
 """
 
 
+def q195_sql_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock) shape through the SQL surface:
+    parts whose lineitem revenue exceeds 1.5× the MEAN per-part revenue
+    — a grouped HAVING judged against scalar subqueries over the same
+    fact. The mean is never materialized: the cut is cross-multiplied
+    (value·2·|parts| > total·3) so every compared quantity is an exact
+    DECIMAL product — no division, no float, identical membership in
+    both engines at any scale factor (a fixed share threshold would
+    empty out as |parts| grows with SF). Catalyst decorrelates the scalar into a 1-row broadcast
+    join; the fact is scanned twice (grouped + total) — the rewrite
+    into one window-over-nothing pass would globally reshuffle, so two
+    cheap scans win at 100 TB. Output value cast to DOUBLE for display
+    only."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                 AS part_value
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY p_partkey, p_name
+        HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2))
+                      - CAST(l_discount AS DECIMAL(4,2))))
+               * (SELECT count(DISTINCT l_partkey) * 2 FROM lineitem)
+               > (SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (CAST(1 AS DECIMAL(18,2))
+                                - CAST(l_discount AS DECIMAL(4,2))))
+                         * 3
+                  FROM lineitem)
+        ORDER BY part_value DESC, p_partkey
+        """
+    )
+
+
+_Q195_SQL = """
+SELECT p_partkey, p_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS part_value
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY p_partkey, p_name
+HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2))
+              - CAST(l_discount AS DECIMAL(4,2))))
+       * (SELECT count(DISTINCT l_partkey) * 2 FROM lineitem)
+       > (SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2))
+                        - CAST(l_discount AS DECIMAL(4,2))))
+                 * 3
+          FROM lineitem)
+ORDER BY part_value DESC, p_partkey
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -5067,6 +5127,7 @@ QUERIES = {
     "q190_cusum_changepoints": q190_cusum_changepoints,
     "q193_sql_local_supplier_volume": q193_sql_local_supplier_volume,
     "q194_sql_disjunctive_revenue": q194_sql_disjunctive_revenue,
+    "q195_sql_important_parts": q195_sql_important_parts,
 }
 
 ORACLES = {
@@ -5160,4 +5221,5 @@ ORACLES = {
     "q190_cusum_changepoints": _Q190_SQL,
     "q193_sql_local_supplier_volume": _Q193_SQL,
     "q194_sql_disjunctive_revenue": _Q194_SQL,
+    "q195_sql_important_parts": _Q195_SQL,
 }

