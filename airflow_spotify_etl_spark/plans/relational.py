@@ -5036,6 +5036,71 @@ ORDER BY part_value DESC, p_partkey
 """
 
 
+def q196_sql_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect) shape: per ship-month, the share of
+    revenue carried by PROMO-type parts. Both the promo and total sums
+    are exact DECIMALs from ONE conditional-aggregation pass (no second
+    scan, no join back); the share itself never divides decimals — it's
+    the truncating integer quotient (promo·10⁴)·10⁶ div (total·10⁴):
+    the ·10⁴ shift makes each DECIMAL(·,4) integral BEFORE its scale-0
+    cast (a direct cast would ROUND, and the engines round differently), so the figure is bit-identical
+    in both engines at any magnitude (DECIMAL→DOUBLE casts drift past
+    2⁵³ — the q78 lesson — hence no CAST-then-divide). Display percent
+    derives from the micro value. Months with zero revenue cannot occur
+    (a month exists only via its lineitems)."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(
+        """
+        WITH t AS (
+          SELECT date_format(l_shipdate, 'yyyy-MM') AS ship_month,
+                 sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(18,2))
+                             - CAST(l_discount AS DECIMAL(4,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_rev,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2))
+                        - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          GROUP BY date_format(l_shipdate, 'yyyy-MM')
+        )
+        SELECT ship_month,
+               CAST(promo_rev AS DOUBLE) AS promo_rev,
+               CAST(total_rev AS DOUBLE) AS total_rev,
+               CAST(promo_rev * 10000 AS DECIMAL(28,0)) * 1000000
+                 div CAST(total_rev * 10000 AS DECIMAL(28,0)) AS promo_micro
+        FROM t
+        ORDER BY ship_month
+        """
+    )
+
+
+_Q196_SQL = """
+WITH t AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2))
+                     - CAST(l_discount AS DECIMAL(4,2)))
+             ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_rev,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2))
+                - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY strftime(l_shipdate, '%Y-%m')
+)
+SELECT ship_month,
+       CAST(promo_rev AS DOUBLE) AS promo_rev,
+       CAST(total_rev AS DOUBLE) AS total_rev,
+       CAST(CAST(promo_rev * 10000 AS HUGEINT) * 1000000
+            // CAST(total_rev * 10000 AS HUGEINT) AS BIGINT) AS promo_micro
+FROM t
+ORDER BY ship_month
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -5128,6 +5193,7 @@ QUERIES = {
     "q193_sql_local_supplier_volume": q193_sql_local_supplier_volume,
     "q194_sql_disjunctive_revenue": q194_sql_disjunctive_revenue,
     "q195_sql_important_parts": q195_sql_important_parts,
+    "q196_sql_promo_share": q196_sql_promo_share,
 }
 
 ORACLES = {
@@ -5222,4 +5288,5 @@ ORACLES = {
     "q193_sql_local_supplier_volume": _Q193_SQL,
     "q194_sql_disjunctive_revenue": _Q194_SQL,
     "q195_sql_important_parts": _Q195_SQL,
+    "q196_sql_promo_share": _Q196_SQL,
 }

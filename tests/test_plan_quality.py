@@ -1033,3 +1033,25 @@ def test_q195_q11_membership_is_exact(spark, tmp_path, qs):
                    datetime(2024, 1, 1))); k += 1
     spark.createDataFrame(li, SCHEMAS["lineitem"]).write.parquet(str(tmp_path / "lineitem.parquet"))
     assert qs["q195_sql_important_parts"](spark, str(tmp_path)).count() == 0
+
+
+def test_q196_promo_share_exact_quotient(spark, tmp_path, qs):
+    """One month, promo 25.00 of 100.00 total → promo_micro = 250000
+    exactly. Fractional cents survive the ·10⁴ shift: promo 0.01 of
+    0.03 → 333333 (floor), not a rounded cast."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    parts = [(1, "a", "B", "PROMO", 1, 1.0), (2, "b", "B", "LARGE", 1, 1.0)]
+    li = [
+        (0, 1, 1, 0, 1.0, 25.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 5)),
+        (1, 2, 1, 1, 1.0, 75.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 9)),
+        (2, 1, 1, 2, 1.0, 0.01, 0.0, 0.0, "N", "O", datetime(2024, 2, 5)),
+        (3, 2, 1, 3, 1.0, 0.02, 0.0, 0.0, "N", "O", datetime(2024, 2, 9)),
+    ]
+    spark.createDataFrame(parts, SCHEMAS["part"]).write.parquet(str(tmp_path / "part.parquet"))
+    spark.createDataFrame(li, SCHEMAS["lineitem"]).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r.ship_month: r for r in qs["q196_sql_promo_share"](spark, str(tmp_path)).collect()}
+    assert out["2024-01"].promo_micro == 250000
+    assert out["2024-02"].promo_micro == 333333
