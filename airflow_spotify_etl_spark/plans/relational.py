@@ -5101,6 +5101,58 @@ ORDER BY ship_month
 """
 
 
+def q197_sql_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit) shape on this schema: revenue
+    attributed to the SUPPLIER's nation per order-year, restricted to
+    parts whose name carries the Q9-style substring filter (p_name LIKE
+    '%a%' stands in for '%green%' on the synthetic names). The plan
+    lesson Q9 teaches: the LIKE filter prunes part FIRST (pushed into
+    its scan), the fact joins ride broadcast dims, and the wide
+    (nation × year) rollup is the only real exchange. DECIMAL-exact
+    amount, display cast only."""
+    from ..sources.files import register_views
+
+    register_views(
+        spark, sf_dir, ["lineitem", "orders", "supplier", "nation", "part"]
+    )
+    return spark.sql(
+        """
+        SELECT n_name AS nation,
+               year(o_orderdate) AS o_year,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                 AS amount
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%a%'
+        GROUP BY n_name, year(o_orderdate)
+        ORDER BY nation, o_year DESC
+        """
+    )
+
+
+_Q197_SQL = """
+SELECT n_name AS nation,
+       CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS amount
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN part ON p_partkey = l_partkey
+WHERE p_name LIKE '%a%'
+GROUP BY n_name, date_part('year', o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -5194,6 +5246,7 @@ QUERIES = {
     "q194_sql_disjunctive_revenue": q194_sql_disjunctive_revenue,
     "q195_sql_important_parts": q195_sql_important_parts,
     "q196_sql_promo_share": q196_sql_promo_share,
+    "q197_sql_nation_profit": q197_sql_nation_profit,
 }
 
 ORACLES = {
@@ -5289,4 +5342,5 @@ ORACLES = {
     "q194_sql_disjunctive_revenue": _Q194_SQL,
     "q195_sql_important_parts": _Q195_SQL,
     "q196_sql_promo_share": _Q196_SQL,
+    "q197_sql_nation_profit": _Q197_SQL,
 }

@@ -1055,3 +1055,13 @@ def test_q196_promo_share_exact_quotient(spark, tmp_path, qs):
     out = {r.ship_month: r for r in qs["q196_sql_promo_share"](spark, str(tmp_path)).collect()}
     assert out["2024-01"].promo_micro == 250000
     assert out["2024-02"].promo_micro == 333333
+
+
+def test_q197_q9_like_filter_pushed_to_part_scan(spark, sf_dir, qs):
+    """Q9's plan bar: the p_name LIKE filter reaches the part scan
+    (StringContains pushed), no nested loop, and the fact side never
+    scans p_name (column pruned to the join key + filter)."""
+    plan = _final_plan(qs["q197_sql_nation_profit"](spark, sf_dir))
+    assert "StringContains(p_name,a)" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
