@@ -5167,6 +5167,75 @@ ORDER BY source
 """
 
 
+def q198_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Shannon entropy and Pielou evenness of the SOURCE
+    mix — the diversity dial a pretraining mix is tuned by (evenness 1
+    = sources contribute equally; → 0 = one source dominates the
+    language). Per-(lang, source) counts from one scan; each −p·ln p
+    term is a single float chain over exact integers QUANTIZED to
+    micro-nats before the cross-source sum (the q122/q192 rule — the
+    sum is an exact BIGINT, aggregation order can't move it). Evenness
+    divides that integer by ln(n_sources) once at the end; single-source
+    languages have zero entropy and NULL evenness (ln 1 = 0). ln is the
+    accepted libm seam (q111). Scale: two grouped counts, a
+    |langs×sources| term table, nothing corpus-sized past the first
+    exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("lang", "source").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("lang").agg(
+        F.sum("c").alias("n"), F.count("*").alias("k")
+    )
+    terms = cnt.join(tot, "lang").select(
+        "lang", "n", "k",
+        F.expr(
+            "cast(round(-(cast(c as double) / cast(n as double))"
+            " * ln(cast(c as double) / cast(n as double)) * 1e6) as bigint)"
+        ).alias("t"),
+    )
+    s = terms.groupBy("lang").agg(
+        F.max("n").alias("n_docs"),
+        F.max("k").alias("n_sources"),
+        F.sum("t").alias("entropy_micro"),
+    )
+    even = (
+        "case when n_sources <= 1 then null "
+        "else cast(round(cast(entropy_micro as double)"
+        " / ln(cast(n_sources as double))) as bigint) end"
+    )
+    return s.select(
+        "lang", "n_docs", "n_sources", "entropy_micro",
+        F.expr(even).alias("evenness_micro"),
+    ).orderBy("lang")
+
+
+_Q198_SQL = """
+WITH cnt AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY lang, source
+), tot AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k
+  FROM cnt GROUP BY lang
+), terms AS (
+  SELECT cnt.lang, tot.n, tot.k,
+         CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                    * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6)
+              AS BIGINT) AS t
+  FROM cnt JOIN tot ON cnt.lang = tot.lang
+), s AS (
+  SELECT lang, max(n) AS n_docs, max(k) AS n_sources,
+         CAST(sum(t) AS BIGINT) AS entropy_micro
+  FROM terms GROUP BY lang
+)
+SELECT lang, n_docs, n_sources, entropy_micro,
+       CASE WHEN n_sources <= 1 THEN NULL
+            ELSE CAST(round(CAST(entropy_micro AS DOUBLE)
+                            / ln(CAST(n_sources AS DOUBLE))) AS BIGINT) END
+         AS evenness_micro
+FROM s
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -5255,6 +5324,7 @@ QUERIES = {
     "q179_label_centroid_affinity": q179_label_centroid_affinity,
     "q183_source_copy_rings": q183_source_copy_rings,
     "q192_psi_drift": q192_psi_drift,
+    "q198_source_entropy": q198_source_entropy,
 }
 
 ORACLES = {
@@ -5345,4 +5415,5 @@ ORACLES = {
     "q179_label_centroid_affinity": _Q179_SQL,
     "q183_source_copy_rings": _q183_sql(),
     "q192_psi_drift": _Q192_SQL,
+    "q198_source_entropy": _Q198_SQL,
 }

@@ -1065,3 +1065,29 @@ def test_q197_q9_like_filter_pushed_to_part_scan(spark, sf_dir, qs):
     assert "StringContains(p_name,a)" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q198_entropy_uniform_skewed_single(spark, tmp_path, qs):
+    """Uniform 4-source mix → H = ln 4 (within the per-term micro
+    quantum) and evenness ≈ 1e6. A single-source language → entropy 0,
+    evenness NULL. Dominated mix sits strictly between."""
+    import math
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows, i = [], 0
+    for src in range(4):
+        for _ in range(10):
+            rows.append((i, "t", "uni", f"s{src}", 10)); i += 1
+    for _ in range(5):
+        rows.append((i, "t", "solo", "only", 10)); i += 1
+    for src, cnt in (("big", 97), ("small", 3)):
+        for _ in range(cnt):
+            rows.append((i, "t", "skew", src, 10)); i += 1
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet"))
+    out = {r.lang: r for r in qs["q198_source_entropy"](spark, str(tmp_path)).collect()}
+    assert out["uni"].entropy_micro == 4 * round(0.25 * math.log(4) * 1e6)
+    assert abs(out["uni"].evenness_micro - 1000000) <= 2
+    assert out["solo"].entropy_micro == 0 and out["solo"].evenness_micro is None
+    assert 0 < out["skew"].entropy_micro < out["uni"].entropy_micro
