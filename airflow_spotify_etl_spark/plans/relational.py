@@ -5153,6 +5153,78 @@ ORDER BY nation, o_year DESC
 """
 
 
+def q199_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman supplier-concentration index per nation —
+    the antitrust-style "is this nation's supply base one big vendor?"
+    number, and unlike entropy it needs NO transcendental: HHI =
+    Σ share_i² = Σx_i²·10⁶ div (Σx)² is an exact truncating integer
+    quotient over per-supplier revenue cents. The effective supplier
+    count 1/HHI is the one display division. Two exchanges: the
+    supplier rollup (fact-keyed) and the nation rollup; squares cast to
+    DECIMAL up front (x² outgrows BIGINT past ~10⁹·10⁹ cents²). The
+    classic >2500-point (0.25) concentration flag is an integer
+    compare."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name", "s_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            ).alias("x")
+        )
+    )
+    s = rev.groupBy("n_name").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("x").alias("sx"),
+        F.sum(F.expr("cast(x as decimal(19,0)) * x")).alias("sxx"),
+    )
+    hhi = (
+        "case when sx = 0 then null "
+        "else sxx * 1000000 div (cast(sx as decimal(19,0)) * sx) end"
+    )
+    return s.select(
+        F.col("n_name").alias("nation"),
+        "n_suppliers",
+        F.expr(hhi).alias("hhi_micro"),
+        F.expr(f"({hhi}) > 250000").alias("concentrated"),
+        F.expr(f"round(1e6 / cast({hhi} as double), 2)").alias(
+            "effective_suppliers"
+        ),
+    ).orderBy("nation")
+
+
+_Q199_SQL = """
+WITH rev AS (
+  SELECT n_name, s_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, s_suppkey
+), s AS (
+  SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM rev GROUP BY n_name
+)
+SELECT n_name AS nation, n_suppliers,
+       CAST(CASE WHEN sx = 0 THEN NULL
+                 ELSE sxx * 1000000 // (sx * sx) END AS BIGINT) AS hhi_micro,
+       CAST(CASE WHEN sx = 0 THEN NULL
+                 ELSE sxx * 1000000 // (sx * sx) END AS BIGINT) > 250000
+         AS concentrated,
+       round(1e6 / CAST(CAST(CASE WHEN sx = 0 THEN NULL
+                 ELSE sxx * 1000000 // (sx * sx) END AS BIGINT) AS DOUBLE), 2)
+         AS effective_suppliers
+FROM s
+ORDER BY nation
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -5247,6 +5319,7 @@ QUERIES = {
     "q195_sql_important_parts": q195_sql_important_parts,
     "q196_sql_promo_share": q196_sql_promo_share,
     "q197_sql_nation_profit": q197_sql_nation_profit,
+    "q199_hhi_concentration": q199_hhi_concentration,
 }
 
 ORACLES = {
@@ -5343,4 +5416,5 @@ ORACLES = {
     "q195_sql_important_parts": _Q195_SQL,
     "q196_sql_promo_share": _Q196_SQL,
     "q197_sql_nation_profit": _Q197_SQL,
+    "q199_hhi_concentration": _Q199_SQL,
 }

@@ -1091,3 +1091,31 @@ def test_q198_entropy_uniform_skewed_single(spark, tmp_path, qs):
     assert abs(out["uni"].evenness_micro - 1000000) <= 2
     assert out["solo"].entropy_micro == 0 and out["solo"].evenness_micro is None
     assert 0 < out["skew"].entropy_micro < out["uni"].entropy_micro
+
+
+def test_q199_hhi_known_values(spark, tmp_path, qs):
+    """MONO: single supplier → HHI = 1e6, concentrated, eff = 1.0.
+    DUO: 50/50 split → HHI = 500000, eff = 2.0. SPREAD: 5 equal
+    suppliers → HHI = 200000, not concentrated, eff = 5.0."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    nations = [(0, "MONO", 0), (1, "DUO", 0), (2, "SPREAD", 0)]
+    sups, li, k = [], [], 0
+    def sup(sk, nk): sups.append((sk, f"s{sk}", nk, 0.0))
+    def line(sk, price):
+        nonlocal k
+        li.append((k, 1, sk, k, 1.0, price, 0.0, 0.0, "N", "O",
+                   datetime(2024, 1, 1))); k += 1
+    sup(1, 0); line(1, 100.0)
+    sup(10, 1); sup(11, 1); line(10, 50.0); line(11, 50.0)
+    for j in range(5):
+        sup(20 + j, 2); line(20 + j, 20.0)
+    spark.createDataFrame(nations, SCHEMAS["nation"]).write.parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(sups, SCHEMAS["supplier"]).write.parquet(str(tmp_path / "supplier.parquet"))
+    spark.createDataFrame(li, SCHEMAS["lineitem"]).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r.nation: r for r in qs["q199_hhi_concentration"](spark, str(tmp_path)).collect()}
+    assert (out["MONO"].hhi_micro, out["MONO"].concentrated, out["MONO"].effective_suppliers) == (1000000, True, 1.0)
+    assert (out["DUO"].hhi_micro, out["DUO"].effective_suppliers) == (500000, 2.0)
+    assert (out["SPREAD"].hhi_micro, out["SPREAD"].concentrated, out["SPREAD"].effective_suppliers) == (200000, False, 5.0)
