@@ -5338,6 +5338,159 @@ FROM cust_terms CROSS JOIN btw
 """
 
 
+def q201_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between customer balance and lifetime spend,
+    computed EXACTLY on the 10×10 equi-width quantized grid — the
+    rank-free formulation: once values are bucketed, concordant /
+    discordant / tied pair counts are plain integer arithmetic over the
+    100-cell joint histogram (C = Σ n_ij·n_i'j' over i'>i, j'>j via a
+    100×100 cell self-join — constant work regardless of corpus size),
+    so there is NO global sort anywhere: the q68 broadcast-min/max grid
+    replaces ntile's single-partition window. Tau-b handles the
+    quantization ties by construction: τ² = (C−D)²·10⁶ div
+    ((T₀−T₁)(T₀−T₂)) is the q184 exact-quotient pattern, τ the
+    sanctioned sign·√ chain. Pair counts stay doubled-free (each
+    unordered pair counted once by the i'>i join). DECIMAL ceiling:
+    (C−D)² ≤ (n²/2)² needs DECIMAL(38) past ~10⁹ customers — cast up
+    front."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("sp")
+    )
+    base = cust.join(spend, cust.c_custkey == spend.o_custkey, "left").select(
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("xc"),
+        F.coalesce("sp", F.lit(0)).alias("yc"),
+    )
+    mm = base.agg(
+        F.min("xc").alias("lx"), F.max("xc").alias("hx"),
+        F.min("yc").alias("ly"), F.max("yc").alias("hy"),
+    )
+    binned = base.crossJoin(F.broadcast(mm)).select(
+        F.when(F.col("hx") == F.col("lx"), F.lit(0))
+        .otherwise(F.least(F.lit(9), F.expr("(xc - lx) * 10 div (hx - lx)")))
+        .cast("int").alias("bx"),
+        F.when(F.col("hy") == F.col("ly"), F.lit(0))
+        .otherwise(F.least(F.lit(9), F.expr("(yc - ly) * 10 div (hy - ly)")))
+        .cast("int").alias("by"),
+    )
+    grid = binned.groupBy("bx", "by").agg(F.count("*").alias("c"))
+    g2 = grid.select(
+        F.col("bx").alias("bx2"), F.col("by").alias("by2"),
+        F.col("c").alias("c2"),
+    )
+    conc = (
+        grid.join(
+            F.broadcast(g2),
+            (F.col("bx2") > F.col("bx")) & (F.col("by2") > F.col("by")),
+        )
+        .agg(F.sum(F.expr("cast(c as decimal(19,0)) * c2")).alias("v"))
+        .select(F.coalesce("v", F.lit(0).cast("decimal(19,0)")).alias("cc"))
+    )
+    disc = (
+        grid.join(
+            F.broadcast(g2),
+            (F.col("bx2") > F.col("bx")) & (F.col("by2") < F.col("by")),
+        )
+        .agg(F.sum(F.expr("cast(c as decimal(19,0)) * c2")).alias("v"))
+        .select(F.coalesce("v", F.lit(0).cast("decimal(19,0)")).alias("dd"))
+    )
+    margins = grid.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.expr("cast(c as decimal(19,0)) * (c - 1)")).alias("txy2"),
+    )
+    tx = (
+        grid.groupBy("bx").agg(F.sum("c").alias("m"))
+        .agg(F.sum(F.expr("cast(m as decimal(19,0)) * (m - 1)")).alias("tx2"))
+    )
+    ty = (
+        grid.groupBy("by").agg(F.sum("c").alias("m"))
+        .agg(F.sum(F.expr("cast(m as decimal(19,0)) * (m - 1)")).alias("ty2"))
+    )
+    s = (
+        conc.crossJoin(F.broadcast(disc))
+        .crossJoin(F.broadcast(margins))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    # doubled pair counts: 2T0 = n(n-1), 2T1 = Σ m(m-1) — ratios cancel
+    den = (
+        "((cast(n as decimal(19,0)) * (n - 1) - tx2)"
+        " * (cast(n as decimal(19,0)) * (n - 1) - ty2))"
+    )
+    num = "(cc - dd)"
+    tau2u = (
+        f"case when {den} = 0 then null "
+        f"else {num} * {num} * 4 * 1000000 div {den} end"
+    )
+    sign = f"cast(case when {num} > 0 then 1 when {num} < 0 then -1 else 0 end as int)"
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("cc").cast("long").alias("concordant"),
+        F.col("dd").cast("long").alias("discordant"),
+        F.expr(tau2u).alias("tau2_micro"),
+        F.expr(sign).alias("tau_sign"),
+        F.expr(f"round({sign} * sqrt(cast({tau2u} as double) / 1e6), 4)").alias("tau"),
+    )
+
+
+_Q201_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sp
+  FROM orders GROUP BY o_custkey
+), base AS (
+  SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS xc,
+         coalesce(sp, 0) AS yc
+  FROM customer LEFT JOIN spend ON c_custkey = o_custkey
+), mm AS (
+  SELECT min(xc) AS lx, max(xc) AS hx, min(yc) AS ly, max(yc) AS hy FROM base
+), binned AS (
+  SELECT CAST(CASE WHEN hx = lx THEN 0
+              ELSE least(9, (xc - lx) * 10 // (hx - lx)) END AS INTEGER) AS bx,
+         CAST(CASE WHEN hy = ly THEN 0
+              ELSE least(9, (yc - ly) * 10 // (hy - ly)) END AS INTEGER) AS by
+  FROM base CROSS JOIN mm
+), grid AS (
+  SELECT bx, by, CAST(count(*) AS BIGINT) AS c FROM binned GROUP BY bx, by
+), conc AS (
+  SELECT coalesce(CAST(sum(CAST(g1.c AS HUGEINT) * g2.c) AS HUGEINT),
+                  0::HUGEINT) AS cc
+  FROM grid g1 JOIN grid g2 ON g2.bx > g1.bx AND g2.by > g1.by
+), disc AS (
+  SELECT coalesce(CAST(sum(CAST(g1.c AS HUGEINT) * g2.c) AS HUGEINT),
+                  0::HUGEINT) AS dd
+  FROM grid g1 JOIN grid g2 ON g2.bx > g1.bx AND g2.by < g1.by
+), margins AS (
+  SELECT CAST(sum(c) AS HUGEINT) AS n FROM grid
+), tx AS (
+  SELECT CAST(sum(CAST(m AS HUGEINT) * (m - 1)) AS HUGEINT) AS tx2
+  FROM (SELECT bx, sum(c) AS m FROM grid GROUP BY bx)
+), ty AS (
+  SELECT CAST(sum(CAST(m AS HUGEINT) * (m - 1)) AS HUGEINT) AS ty2
+  FROM (SELECT by, sum(c) AS m FROM grid GROUP BY by)
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(cc AS BIGINT) AS concordant,
+       CAST(dd AS BIGINT) AS discordant,
+       CAST(CASE WHEN ((n * (n - 1) - tx2) * (n * (n - 1) - ty2)) = 0 THEN NULL
+                 ELSE (cc - dd) * (cc - dd) * 4 * 1000000
+                      // ((n * (n - 1) - tx2) * (n * (n - 1) - ty2)) END
+            AS BIGINT) AS tau2_micro,
+       CAST(CASE WHEN cc > dd THEN 1 WHEN cc < dd THEN -1 ELSE 0 END
+            AS INTEGER) AS tau_sign,
+       round(CASE WHEN cc > dd THEN 1 WHEN cc < dd THEN -1 ELSE 0 END
+             * sqrt(CAST(CAST(
+                 CASE WHEN ((n * (n - 1) - tx2) * (n * (n - 1) - ty2)) = 0
+                      THEN NULL
+                      ELSE (cc - dd) * (cc - dd) * 4 * 1000000
+                           // ((n * (n - 1) - tx2) * (n * (n - 1) - ty2)) END
+                 AS BIGINT) AS DOUBLE) / 1e6), 4) AS tau
+FROM conc
+CROSS JOIN disc CROSS JOIN margins CROSS JOIN tx CROSS JOIN ty
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -5434,6 +5587,7 @@ QUERIES = {
     "q197_sql_nation_profit": q197_sql_nation_profit,
     "q199_hhi_concentration": q199_hhi_concentration,
     "q200_theil_decomposition": q200_theil_decomposition,
+    "q201_kendall_tau": q201_kendall_tau,
 }
 
 ORACLES = {
@@ -5532,4 +5686,5 @@ ORACLES = {
     "q197_sql_nation_profit": _Q197_SQL,
     "q199_hhi_concentration": _Q199_SQL,
     "q200_theil_decomposition": _Q200_SQL,
+    "q201_kendall_tau": _Q201_SQL,
 }

@@ -1148,3 +1148,30 @@ def test_q200_theil_decomposition_identity(spark, tmp_path, qs):
     assert abs(r.theil_total_micro - round(expect * 1e6)) <= 1
     assert abs(r.theil_total_micro - r.theil_between_micro) <= 1
     assert r.gap_micro <= 1
+
+
+def test_q201_kendall_tau_planted(spark, tmp_path, qs):
+    """Perfect monotone spend-follows-balance → τ = 1 (all pairs
+    concordant, no off-diagonal ties). Perfect reversal → τ = −1.
+    Values spread so each customer lands in a distinct decile bucket."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    def build(path, reverse):
+        custs, orders = [], []
+        for i in range(10):
+            custs.append((i, f"c{i}", 0, 100.0 * (i + 1), "B"))
+            spend = 10.0 * ((10 - i) if reverse else (i + 1))
+            orders.append((i, i, "O", spend, datetime(2024, 1, 1), "1"))
+        spark.createDataFrame(custs, SCHEMAS["customer"]).write.mode("overwrite").parquet(str(path / "customer.parquet"))
+        spark.createDataFrame(orders, SCHEMAS["orders"]).write.mode("overwrite").parquet(str(path / "orders.parquet"))
+
+    build(tmp_path, reverse=False)
+    r = qs["q201_kendall_tau"](spark, str(tmp_path)).collect()[0]
+    assert (r.concordant, r.discordant) == (45, 0)
+    assert (r.tau2_micro, r.tau_sign, r.tau) == (1000000, 1, 1.0)
+
+    build(tmp_path, reverse=True)
+    r = qs["q201_kendall_tau"](spark, str(tmp_path)).collect()[0]
+    assert (r.concordant, r.discordant, r.tau) == (0, 45, -1.0)
