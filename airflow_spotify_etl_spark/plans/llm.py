@@ -5236,6 +5236,99 @@ ORDER BY lang
 """
 
 
+def q202_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law slope of the corpus token-frequency curve — the
+    sanity number for synthetic/natural text (natural language sits
+    near −1; templated spam flattens it). Token counts → top-1000 by
+    (count desc, token) — a TakeOrdered, never a global sort — then OLS
+    on (ln rank, ln freq) where BOTH logs are quantized to integer
+    micro-units per point before the regression sums (q122 rule), so
+    the slope numerator/denominator are exact DECIMAL integers and the
+    fitted slope is a truncating ·10³ quotient. The 1000-point window
+    rank is a tiny single-partition sort by construction (bounded K,
+    not corpus). R² omitted deliberately — slope + intercept carry the
+    Zipf diagnosis. ln is the accepted libm seam."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "tok")
+        .limit(1000)
+    )
+    ranked = toks.select(
+        "tok", "freq",
+        F.row_number()
+        .over(W.orderBy(F.col("freq").desc(), "tok"))
+        .alias("rank"),
+    )
+    pts = ranked.select(
+        F.expr("cast(round(ln(cast(rank as double)) * 1e6) as bigint)").alias("u"),
+        F.expr("cast(round(ln(cast(freq as double)) * 1e6) as bigint)").alias("v"),
+    )
+    s = pts.agg(
+        F.count("*").alias("k"),
+        F.sum("u").alias("su"), F.sum("v").alias("sv"),
+        F.sum(F.expr("cast(u as decimal(19,0)) * v")).alias("suv"),
+        F.sum(F.expr("cast(u as decimal(19,0)) * u")).alias("suu"),
+    )
+    num = "(cast(k as decimal(19,0)) * suv - cast(su as decimal(19,0)) * sv)"
+    den = "(cast(k as decimal(19,0)) * suu - cast(su as decimal(19,0)) * su)"
+    slope = f"case when {den} = 0 then null else {num} * 1000 div {den} end"
+    # intercept (in micro ln-units): (Σv − slope_milli·Σu/1000) / k
+    return s.select(
+        F.col("k").alias("n_points"),
+        F.expr(slope).alias("slope_milli"),
+        F.expr(f"round(cast({slope} as double) / 1e3, 4)").alias("slope"),
+        F.expr(
+            f"case when {den} = 0 then null else "
+            f"(sv - ({slope}) * su div 1000) div k end"
+        ).alias("intercept_micro"),
+    )
+
+
+_Q202_SQL = """
+WITH toks AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY tok
+  ORDER BY freq DESC, tok
+  LIMIT 1000
+), ranked AS (
+  SELECT tok, freq,
+         row_number() OVER (ORDER BY freq DESC, tok) AS rank
+  FROM toks
+), pts AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS u,
+         CAST(round(ln(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS v
+  FROM ranked
+), s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS k,
+         CAST(sum(u) AS HUGEINT) AS su, CAST(sum(v) AS HUGEINT) AS sv,
+         CAST(sum(CAST(u AS HUGEINT) * v) AS HUGEINT) AS suv,
+         CAST(sum(CAST(u AS HUGEINT) * u) AS HUGEINT) AS suu
+  FROM pts
+)
+SELECT CAST(k AS BIGINT) AS n_points,
+       CAST(CASE WHEN (k * suu - su * su) = 0 THEN NULL
+                 ELSE (k * suv - su * sv) * 1000 // (k * suu - su * su) END
+            AS BIGINT) AS slope_milli,
+       round(CAST(CAST(CASE WHEN (k * suu - su * su) = 0 THEN NULL
+                 ELSE (k * suv - su * sv) * 1000 // (k * suu - su * su) END
+            AS BIGINT) AS DOUBLE) / 1e3, 4) AS slope,
+       CAST(CASE WHEN (k * suu - su * su) = 0 THEN NULL
+                 ELSE (sv - (CASE WHEN (k * suu - su * su) = 0 THEN NULL
+                             ELSE (k * suv - su * sv) * 1000
+                                  // (k * suu - su * su) END) * su // 1000) // k
+            END AS BIGINT) AS intercept_micro
+FROM s
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -5325,6 +5418,7 @@ QUERIES = {
     "q183_source_copy_rings": q183_source_copy_rings,
     "q192_psi_drift": q192_psi_drift,
     "q198_source_entropy": q198_source_entropy,
+    "q202_zipf_slope": q202_zipf_slope,
 }
 
 ORACLES = {
@@ -5416,4 +5510,5 @@ ORACLES = {
     "q183_source_copy_rings": _q183_sql(),
     "q192_psi_drift": _Q192_SQL,
     "q198_source_entropy": _Q198_SQL,
+    "q202_zipf_slope": _Q202_SQL,
 }

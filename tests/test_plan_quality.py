@@ -1175,3 +1175,33 @@ def test_q201_kendall_tau_planted(spark, tmp_path, qs):
     build(tmp_path, reverse=True)
     r = qs["q201_kendall_tau"](spark, str(tmp_path)).collect()[0]
     assert (r.concordant, r.discordant, r.tau) == (0, 45, -1.0)
+
+
+def test_q202_zipf_recovers_planted_slope(spark, tmp_path, qs):
+    """Plant token frequencies f(r) = round(1000·r^{-0.8}) for ranks
+    1..50 → the fitted log-log slope lands within 0.02 of −0.8, and a
+    flat (all-equal) frequency corpus fits slope 0."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows, i = [], 0
+    words = []
+    for r in range(1, 51):
+        words.extend([f"w{r:03d}"] * round(1000 * r ** -0.8))
+    # chunk into docs of 200 tokens
+    for j in range(0, len(words), 200):
+        t = " ".join(words[j:j + 200])
+        rows.append((i, t, "en", "s", len(t))); i += 1
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet"))
+    r = qs["q202_zipf_slope"](spark, str(tmp_path)).collect()[0]
+    assert r.n_points == 50
+    assert abs(r.slope + 0.8) < 0.02
+
+    import shutil
+    shutil.rmtree(str(tmp_path / "documents.parquet"))
+    flat = " ".join(f"t{k}" for k in range(30))
+    spark.createDataFrame([(0, flat, "en", "s", len(flat))],
+                          SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet"))
+    r = qs["q202_zipf_slope"](spark, str(tmp_path)).collect()[0]
+    assert r.slope_milli == 0
