@@ -5491,6 +5491,90 @@ CROSS JOIN disc CROSS JOIN margins CROSS JOIN tx CROSS JOIN ty
 """
 
 
+def q203_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio) of DAILY counts per event
+    type — the burstiness dial: a Poisson-arrival stream sits at 1,
+    bursty traffic (bot storms, batch replays) far above, metronomic
+    traffic below. Fully rational, zero transcendental: with D days and
+    S = Σx, F = var/mean = (D·Σx² − S²)·? — emitted as the truncating
+    quotient (D·Σx² − S²)·10³ div (D·S) (population variance over the
+    calendar-zero-filled series; a silent day is a real 0 and LOWERS
+    the mean while RAISING the variance — dropping gaps would
+    understate burstiness). One corpus exchange to (type, day) counts,
+    a broadcast calendar fill, a |types|-row output. Over-dispersion
+    flag F > 2 is an integer cross-multiplied compare."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("x"))
+    mm = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    cal = mm.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    types = daily.select("event_type").distinct()
+    series = (
+        types.crossJoin(F.broadcast(cal))
+        .join(daily, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    s = series.groupBy("event_type").agg(
+        F.count("*").alias("dd"),
+        F.sum("x").alias("sx"),
+        F.sum(F.expr("cast(x as decimal(19,0)) * x")).alias("sxx"),
+    )
+    fano = (
+        "case when sx = 0 then null "
+        "else (cast(dd as decimal(19,0)) * sxx"
+        "      - cast(sx as decimal(19,0)) * sx) * 1000 "
+        "     div (cast(dd as decimal(19,0)) * sx) end"
+    )
+    return s.select(
+        "event_type",
+        F.col("dd").alias("n_days"),
+        F.col("sx").alias("n_events"),
+        F.expr(fano).alias("fano_milli"),
+        F.expr(
+            "(cast(dd as decimal(19,0)) * sxx - cast(sx as decimal(19,0)) * sx)"
+            " > 2 * cast(dd as decimal(19,0)) * sx"
+        ).alias("overdispersed"),
+    ).orderBy("event_type")
+
+
+_Q203_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), mm AS (
+  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events
+), cal AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM mm
+), types AS (
+  SELECT DISTINCT event_type FROM daily
+), series AS (
+  SELECT types.event_type, cal.d, coalesce(daily.x, 0) AS x
+  FROM types CROSS JOIN cal
+  LEFT JOIN daily ON daily.event_type = types.event_type AND daily.d = cal.d
+), s AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS dd,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM series GROUP BY event_type
+)
+SELECT event_type,
+       CAST(dd AS BIGINT) AS n_days,
+       CAST(sx AS BIGINT) AS n_events,
+       CAST(CASE WHEN sx = 0 THEN NULL
+                 ELSE (dd * sxx - sx * sx) * 1000 // (dd * sx) END
+            AS BIGINT) AS fano_milli,
+       (dd * sxx - sx * sx) > 2 * dd * sx AS overdispersed
+FROM s
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -5588,6 +5672,7 @@ QUERIES = {
     "q199_hhi_concentration": q199_hhi_concentration,
     "q200_theil_decomposition": q200_theil_decomposition,
     "q201_kendall_tau": q201_kendall_tau,
+    "q203_fano_burstiness": q203_fano_burstiness,
 }
 
 ORACLES = {
@@ -5687,4 +5772,5 @@ ORACLES = {
     "q199_hhi_concentration": _Q199_SQL,
     "q200_theil_decomposition": _Q200_SQL,
     "q201_kendall_tau": _Q201_SQL,
+    "q203_fano_burstiness": _Q203_SQL,
 }

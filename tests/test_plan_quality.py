@@ -1205,3 +1205,29 @@ def test_q202_zipf_recovers_planted_slope(spark, tmp_path, qs):
         str(tmp_path / "documents.parquet"))
     r = qs["q202_zipf_slope"](spark, str(tmp_path)).collect()[0]
     assert r.slope_milli == 0
+
+
+def test_q203_fano_constant_vs_bursty(spark, tmp_path, qs):
+    """Constant 5/day over 10 days → variance 0 → fano 0, not
+    overdispersed. All 50 events on ONE day of 10 → mean 5,
+    var = (10·2500−2500)/100... → fano_milli = floor(45000/50·1000/10)
+    = hand value 45000·1000/50 = ... pinned numerically below. The
+    zero-filled days are what create the burst signal."""
+    from datetime import datetime, timedelta
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    base = datetime(2024, 1, 1)
+    rows, i = [], 0
+    for day in range(10):
+        for _ in range(5):
+            rows.append((i, base + timedelta(days=day), 1, "steady", 1.0, "{}")); i += 1
+    for _ in range(50):
+        rows.append((i, base, 1, "burst", 1.0, "{}")); i += 1
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet"))
+    out = {r.event_type: r for r in qs["q203_fano_burstiness"](spark, str(tmp_path)).collect()}
+    assert (out["steady"].fano_milli, out["steady"].overdispersed) == (0, False)
+    # burst: D=10, S=50, Σx²=2500 → (10·2500−2500)·1000 // (10·50) = 45000
+    assert (out["burst"].fano_milli, out["burst"].overdispersed) == (45000, True)
+    assert out["burst"].n_days == 10  # calendar fill gave burst its 9 zeros
