@@ -5575,6 +5575,72 @@ ORDER BY event_type
 """
 
 
+def q204_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on PAIRED classifier errors — do the q185
+    length-gate and token-gate disagree with the labeling (lang='en')
+    at different rates? Only the discordant pairs carry signal: b =
+    length-gate right & token-gate wrong, c = the reverse, χ² =
+    (b−c)²/(b+c) — an exact truncating ·10³ quotient (the
+    continuity-corrected (|b−c|−1)²/(b+c) is emitted alongside, same
+    arithmetic; the uncorrected form is the stated statistic). All four
+    paired-outcome cells come from ONE fused scan — no per-classifier
+    re-pass. b+c = 0 (the gates never disagree on correctness) → NULL.
+    DECIMAL ceiling at b,c ~ 3·10⁹ as usual."""
+    docs = _t(spark, sf_dir, "documents")
+    flags = docs.select(
+        (F.col("n_chars").between(200, 5000)).alias("a"),
+        (F.size(F.split(F.col("text"), " ")) >= 40).alias("bg"),
+        (F.col("lang") == "en").alias("t"),
+    )
+    s = flags.agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("cast((a = t) and (bg <> t) as long)")).alias("b"),
+        F.sum(F.expr("cast((a <> t) and (bg = t) as long)")).alias("c"),
+    )
+    stat = (
+        "case when b + c = 0 then null "
+        "else (cast(b as decimal(19,0)) - c) * (cast(b as decimal(19,0)) - c)"
+        " * 1000 div (cast(b as decimal(19,0)) + c) end"
+    )
+    corr = (
+        "case when b + c = 0 then null "
+        "else (abs(cast(b as decimal(19,0)) - c) - 1)"
+        " * (abs(cast(b as decimal(19,0)) - c) - 1)"
+        " * 1000 div (cast(b as decimal(19,0)) + c) end"
+    )
+    return s.select(
+        "n", "b", "c",
+        F.expr(stat).alias("mcnemar_milli"),
+        F.expr(corr).alias("mcnemar_corrected_milli"),
+    )
+
+
+_Q204_SQL = """
+WITH flags AS (
+  SELECT (n_chars BETWEEN 200 AND 5000) AS a,
+         (len(string_split(text, ' ')) >= 40) AS bg,
+         (lang = 'en') AS t
+  FROM documents
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST((a = t) AND (bg <> t) AS BIGINT)) AS BIGINT) AS b,
+         CAST(sum(CAST((a <> t) AND (bg = t) AS BIGINT)) AS BIGINT) AS c
+  FROM flags
+)
+SELECT n, b, c,
+       CAST(CASE WHEN b + c = 0 THEN NULL
+                 ELSE (CAST(b AS HUGEINT) - c) * (CAST(b AS HUGEINT) - c)
+                      * 1000 // (CAST(b AS HUGEINT) + c) END
+            AS BIGINT) AS mcnemar_milli,
+       CAST(CASE WHEN b + c = 0 THEN NULL
+                 ELSE (abs(CAST(b AS HUGEINT) - c) - 1)
+                      * (abs(CAST(b AS HUGEINT) - c) - 1)
+                      * 1000 // (CAST(b AS HUGEINT) + c) END
+            AS BIGINT) AS mcnemar_corrected_milli
+FROM s
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -5673,6 +5739,7 @@ QUERIES = {
     "q200_theil_decomposition": q200_theil_decomposition,
     "q201_kendall_tau": q201_kendall_tau,
     "q203_fano_burstiness": q203_fano_burstiness,
+    "q204_mcnemar_test": q204_mcnemar_test,
 }
 
 ORACLES = {
@@ -5773,4 +5840,5 @@ ORACLES = {
     "q200_theil_decomposition": _Q200_SQL,
     "q201_kendall_tau": _Q201_SQL,
     "q203_fano_burstiness": _Q203_SQL,
+    "q204_mcnemar_test": _Q204_SQL,
 }

@@ -1231,3 +1231,40 @@ def test_q203_fano_constant_vs_bursty(spark, tmp_path, qs):
     # burst: D=10, S=50, Σx²=2500 → (10·2500−2500)·1000 // (10·50) = 45000
     assert (out["burst"].fano_milli, out["burst"].overdispersed) == (45000, True)
     assert out["burst"].n_days == 10  # calendar fill gave burst its 9 zeros
+
+
+def test_q204_mcnemar_discordant_counting(spark, tmp_path, qs):
+    """Planted paired outcomes: 6 docs where the length gate alone is
+    right (b), 2 where the token gate alone is right (c), plus
+    concordant filler → χ²_milli = (6−2)²·1000//8 = 2000, corrected
+    (4−1)²·1000//8 = 1125. All-concordant corpus → NULL."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    long_txt = " ".join(["w"] * 50)   # token gate fires
+    short_txt = "w x"                  # token gate doesn't
+    rows, i = [], 0
+    def doc(a_right, b_right, cnt):
+        nonlocal i
+        for _ in range(cnt):
+            # truth = en. a = length-in-range, bg = long text.
+            lang = "en"
+            nc = 300 if a_right else 10       # a matches truth iff a_right
+            t = long_txt if b_right else short_txt
+            rows.append((i, t, lang, "s", nc)); i += 1
+    doc(True, False, 6)    # b cell
+    doc(False, True, 2)    # c cell
+    doc(True, True, 10)    # concordant-right
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet"))
+    r = qs["q204_mcnemar_test"](spark, str(tmp_path)).collect()[0]
+    assert (r.b, r.c) == (6, 2)
+    assert r.mcnemar_milli == 2000 and r.mcnemar_corrected_milli == 1125
+
+    import shutil
+    shutil.rmtree(str(tmp_path / "documents.parquet"))
+    rows, i = [], 0
+    doc(True, True, 5)
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet"))
+    r = qs["q204_mcnemar_test"](spark, str(tmp_path)).collect()[0]
+    assert r.mcnemar_milli is None
