@@ -5641,6 +5641,116 @@ FROM s
 """
 
 
+def q205_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily event series' up/down
+    moves — is traffic direction random, trending (few long runs), or
+    oscillating (many short runs)? Day-over-day moves on the calendar
+    zero-filled series, ties dropped (the standard reduction), runs
+    counted by a lag window over the FILTERED move sequence. The z²
+    statistic is made fully rational by clearing denominators:
+    z² = ((R−1)·n − 2n₁n₂)²·(n−1) / (2n₁n₂·(2n₁n₂ − n)) — every factor
+    an exact integer, emitted as a truncating ·10³ quotient with the
+    direction sign from R·n vs 2n₁n₂+n (too many runs = oscillation,
+    too few = trending). Degenerate (n<2 or 2n₁n₂≤n) → NULL. The
+    ordered windows ride the |days| table only."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("x")
+    )
+    mm = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = mm.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    series = cal.join(daily, "d", "left").select(
+        "d", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    wd = W.orderBy("d")
+    moves = (
+        series.select(
+            "d", (F.col("x") - F.lag("x").over(wd)).alias("diff")
+        )
+        .filter(F.col("diff").isNotNull() & (F.col("diff") != 0))
+        .select("d", F.signum("diff").cast("int").alias("s"))
+    )
+    runs = moves.select(
+        "s",
+        (F.col("s") != F.coalesce(F.lag("s").over(wd), F.col("s")))
+        .cast("long")
+        .alias("chg"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("cast(s = 1 as long)")).alias("n_up"),
+        F.sum(F.expr("cast(s = -1 as long)")).alias("n_down"),
+        (F.sum("chg") + 1).alias("r"),
+    )
+    p = "(2 * cast(n_up as decimal(19,0)) * n_down)"
+    num = f"((r - 1) * cast(n as decimal(19,0)) - {p})"
+    den = f"({p} * ({p} - n))"
+    z2 = (
+        f"case when n < 2 or {p} <= n then null "
+        f"else {num} * {num} * (n - 1) * 1000 div {den} end"
+    )
+    sign = (
+        f"cast(case when r * cast(n as decimal(19,0)) > {p} + n then 1 "
+        f"when r * cast(n as decimal(19,0)) < {p} + n then -1 else 0 end as int)"
+    )
+    return runs.select(
+        F.col("n").alias("n_moves"), "n_up", "n_down",
+        F.col("r").alias("runs"),
+        F.expr(z2).alias("z2_milli"),
+        F.expr(sign).alias("direction"),
+        F.expr(
+            f"round({sign} * sqrt(cast({z2} as double) / 1e3), 4)"
+        ).alias("z"),
+    )
+
+
+_Q205_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY CAST(ts AS DATE)
+), mm AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM daily
+), cal AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM mm
+), series AS (
+  SELECT cal.d, coalesce(daily.x, 0) AS x
+  FROM cal LEFT JOIN daily ON cal.d = daily.d
+), moves AS (
+  SELECT d, CAST(sign(diff) AS INTEGER) AS s
+  FROM (SELECT d, x - lag(x) OVER (ORDER BY d) AS diff FROM series)
+  WHERE diff IS NOT NULL AND diff <> 0
+), runs AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(s = 1 AS BIGINT)) AS HUGEINT) AS n_up,
+         CAST(sum(CAST(s = -1 AS BIGINT)) AS HUGEINT) AS n_down,
+         CAST(sum(CAST(s <> coalesce(prev, s) AS BIGINT)) + 1 AS HUGEINT) AS r
+  FROM (SELECT s, lag(s) OVER (ORDER BY d) AS prev FROM moves)
+)
+SELECT CAST(n AS BIGINT) AS n_moves,
+       CAST(n_up AS BIGINT) AS n_up, CAST(n_down AS BIGINT) AS n_down,
+       CAST(r AS BIGINT) AS runs,
+       CAST(CASE WHEN n < 2 OR 2 * n_up * n_down <= n THEN NULL
+                 ELSE ((r - 1) * n - 2 * n_up * n_down)
+                      * ((r - 1) * n - 2 * n_up * n_down) * (n - 1) * 1000
+                      // (2 * n_up * n_down * (2 * n_up * n_down - n)) END
+            AS BIGINT) AS z2_milli,
+       CAST(CASE WHEN r * n > 2 * n_up * n_down + n THEN 1
+                 WHEN r * n < 2 * n_up * n_down + n THEN -1 ELSE 0 END
+            AS INTEGER) AS direction,
+       round(CASE WHEN r * n > 2 * n_up * n_down + n THEN 1
+                  WHEN r * n < 2 * n_up * n_down + n THEN -1 ELSE 0 END
+             * sqrt(CAST(CAST(
+                 CASE WHEN n < 2 OR 2 * n_up * n_down <= n THEN NULL
+                      ELSE ((r - 1) * n - 2 * n_up * n_down)
+                           * ((r - 1) * n - 2 * n_up * n_down) * (n - 1) * 1000
+                           // (2 * n_up * n_down * (2 * n_up * n_down - n)) END
+                 AS BIGINT) AS DOUBLE) / 1e3), 4) AS z
+FROM runs
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -5740,6 +5850,7 @@ QUERIES = {
     "q201_kendall_tau": q201_kendall_tau,
     "q203_fano_burstiness": q203_fano_burstiness,
     "q204_mcnemar_test": q204_mcnemar_test,
+    "q205_runs_test": q205_runs_test,
 }
 
 ORACLES = {
@@ -5841,4 +5952,5 @@ ORACLES = {
     "q201_kendall_tau": _Q201_SQL,
     "q203_fano_burstiness": _Q203_SQL,
     "q204_mcnemar_test": _Q204_SQL,
+    "q205_runs_test": _Q205_SQL,
 }

@@ -1268,3 +1268,39 @@ def test_q204_mcnemar_discordant_counting(spark, tmp_path, qs):
         str(tmp_path / "documents.parquet"))
     r = qs["q204_mcnemar_test"](spark, str(tmp_path)).collect()[0]
     assert r.mcnemar_milli is None
+
+
+def test_q205_runs_counting_and_extremes(spark, tmp_path, qs):
+    """Strict alternation (counts 1,3,1,3,...) → every move flips:
+    runs = n_moves, direction = +1 (oscillation). A monotone staircase
+    → a single run with z² undefined (one-sided). Hand-check the exact
+    z2_milli on the alternating case."""
+    from datetime import datetime, timedelta
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    base = datetime(2024, 1, 1)
+    def build(counts):
+        rows, i = [], 0
+        for day, c in enumerate(counts):
+            for _ in range(c):
+                rows.append((i, base + timedelta(days=day), 1, "e", 1.0, "{}")); i += 1
+        return rows
+
+    alt = [1, 3] * 6  # 12 days, 11 moves, all flips
+    spark.createDataFrame(build(alt), SCHEMAS["events"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = qs["q205_runs_test"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_moves, r.runs, r.direction) == (11, 11, 1)
+    n, nu, nd, R = 11, 5, 6, 11
+    num = (R - 1) * n - 2 * nu * nd
+    expect = num * num * (n - 1) * 1000 // (2 * nu * nd * (2 * nu * nd - n))
+    assert r.z2_milli == expect
+
+    stair = [k + 1 for k in range(12)]
+    spark.createDataFrame(build(stair), SCHEMAS["events"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = qs["q205_runs_test"](spark, str(tmp_path)).collect()[0]
+    # all-up: μ = 2·n1·n2/n + 1 = 1 = R exactly → direction 0
+    assert (r.runs, r.n_down, r.direction) == (1, 0, 0)
+    assert r.z2_milli is None  # one-sided moves: 2·n1·n2 = 0 ≤ n
