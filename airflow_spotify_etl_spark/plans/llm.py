@@ -5329,6 +5329,73 @@ FROM s
 """
 
 
+def q206_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing / Chao1 vocabulary-coverage telemetry — how much of
+    the language is the corpus still missing? From token counts alone:
+    the Good–Turing unseen-probability mass is n₁/N (singleton tokens
+    over total tokens — EXACT as a ·10⁶ integer quotient), and the
+    Chao1 richness estimate V + n₁²/(2n₂) says how many types a bigger
+    crawl would surface (exact quotient; n₂=0 falls back to the
+    bias-corrected V + n₁(n₁−1)/2 — the standard Chao1 variant, flagged
+    in the output). Everything derives from the count-of-counts table:
+    one token rollup (the only corpus-sized exchange), one tiny
+    frequency-of-frequencies rollup, one row out."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+    )
+    s = tok.agg(
+        F.count("*").alias("v"),
+        F.sum("f").alias("n"),
+        F.sum(F.expr("cast(f = 1 as long)")).alias("n1"),
+        F.sum(F.expr("cast(f = 2 as long)")).alias("n2"),
+    )
+    unseen = "cast(n1 as decimal(19,0)) * 1000000 div n"
+    chao = (
+        "case when n2 > 0 "
+        "then v + cast(n1 as decimal(19,0)) * n1 div (2 * n2) "
+        "else v + cast(n1 as decimal(19,0)) * (n1 - 1) div 2 end"
+    )
+    return s.select(
+        F.col("v").alias("vocab_size"),
+        F.col("n").alias("n_tokens"),
+        F.col("n1").alias("singletons"),
+        F.col("n2").alias("doubletons"),
+        F.expr(unseen).alias("unseen_mass_micro"),
+        F.expr(chao).cast("long").alias("chao1_estimate"),
+        (F.col("n2") == 0).alias("bias_corrected_variant"),
+    )
+
+
+_Q206_SQL = """
+WITH tok AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS f
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY tok
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS v,
+         CAST(sum(f) AS BIGINT) AS n,
+         CAST(sum(CAST(f = 1 AS BIGINT)) AS BIGINT) AS n1,
+         CAST(sum(CAST(f = 2 AS BIGINT)) AS BIGINT) AS n2
+  FROM tok
+)
+SELECT v AS vocab_size, n AS n_tokens, n1 AS singletons, n2 AS doubletons,
+       CAST(CAST(n1 AS HUGEINT) * 1000000 // n AS BIGINT) AS unseen_mass_micro,
+       CAST(CASE WHEN n2 > 0
+                 THEN v + CAST(n1 AS HUGEINT) * n1 // (2 * n2)
+                 ELSE v + CAST(n1 AS HUGEINT) * (n1 - 1) // 2 END
+            AS BIGINT) AS chao1_estimate,
+       (n2 = 0) AS bias_corrected_variant
+FROM s
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -5419,6 +5486,7 @@ QUERIES = {
     "q192_psi_drift": q192_psi_drift,
     "q198_source_entropy": q198_source_entropy,
     "q202_zipf_slope": q202_zipf_slope,
+    "q206_vocab_coverage": q206_vocab_coverage,
 }
 
 ORACLES = {
@@ -5511,4 +5579,5 @@ ORACLES = {
     "q192_psi_drift": _Q192_SQL,
     "q198_source_entropy": _Q198_SQL,
     "q202_zipf_slope": _Q202_SQL,
+    "q206_vocab_coverage": _Q206_SQL,
 }

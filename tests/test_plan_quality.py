@@ -1304,3 +1304,26 @@ def test_q205_runs_counting_and_extremes(spark, tmp_path, qs):
     # all-up: μ = 2·n1·n2/n + 1 = 1 = R exactly → direction 0
     assert (r.runs, r.n_down, r.direction) == (1, 0, 0)
     assert r.z2_milli is None  # one-sided moves: 2·n1·n2 = 0 ≤ n
+
+
+def test_q206_vocab_coverage_hand_counts(spark, tmp_path, qs):
+    """Corpus 'a a a b b c d': V=4, N=7, n1=2 (c,d), n2=1 (b) →
+    unseen = 2·10⁶//7 = 285714, chao1 = 4 + 4//2 = 6. A corpus with
+    no doubletons exercises the bias-corrected branch: 'a a a b c'
+    → n1=2, n2=0 → chao1 = 3 + 2·1//2 = 4, flag True."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    spark.createDataFrame([(0, "a a a b b c d", "en", "s", 13)],
+                          SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet"))
+    r = qs["q206_vocab_coverage"](spark, str(tmp_path)).collect()[0]
+    assert (r.vocab_size, r.n_tokens, r.singletons, r.doubletons) == (4, 7, 2, 1)
+    assert (r.unseen_mass_micro, r.chao1_estimate, r.bias_corrected_variant) == (285714, 6, False)
+
+    import shutil
+    shutil.rmtree(str(tmp_path / "documents.parquet"))
+    spark.createDataFrame([(0, "a a a b c", "en", "s", 9)],
+                          SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet"))
+    r = qs["q206_vocab_coverage"](spark, str(tmp_path)).collect()[0]
+    assert (r.chao1_estimate, r.bias_corrected_variant) == (4, True)
