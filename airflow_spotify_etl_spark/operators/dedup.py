@@ -797,6 +797,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    containment_pct: int = 90,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Broder CONTAINMENT near-dups: pairs where the smaller doc's
+    shingle set is ≥ ``containment_pct``% inside the larger's — the
+    aggregator/quote-page class that resemblance (Jaccard) MISSES: a
+    500-word article pasted into a 5000-word digest has Jaccard ≈ 0.1
+    but containment ≈ 1.0, and a dedup pipeline that only runs the
+    Jaccard tier ships both copies. Emitted pairs are restricted to
+    exactly that blind spot (containment ≥ cut AND Jaccard < 0.5, both
+    as INTEGER cross-multiplied compares — 100·inter ≥ pct·min(na,nb);
+    3·inter < na+nb — no float decides membership).
+
+    Scale shape: identical to ngram_jaccard_pairs — the join-free
+    capped bucket expansion (hot boilerplate shingles dropped at
+    ``max_bucket``), one grouped pair count, no self-join anywhere."""
+    sh = _sized_shingles(df, text_col, id_col, n, max_bucket)
+    buckets = (
+        sh.filter(F.col("_bucket_n") >= 2)
+        .groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc_id", "n_shingles")).alias("ids"))
+    )
+    expanded = (
+        buckets.select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    inter = expanded.groupBy(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    ).agg(
+        F.count("*").alias("inter"),
+        F.min("a.n_shingles").alias("na"),
+        F.min("b.n_shingles").alias("nb"),
+    )
+    return (
+        inter.filter(
+            (100 * F.col("inter") >= int(containment_pct) * F.least("na", "nb"))
+            & (3 * F.col("inter") < F.col("na") + F.col("nb"))
+        )
+        .select(
+            "doc_a", "doc_b", "inter", "na", "nb",
+            F.expr(
+                "cast(inter as bigint) * 1000000 div least(na, nb)"
+            ).alias("containment_micro"),
+            F.when(F.col("na") <= F.col("nb"), F.lit("a_in_b"))
+            .otherwise(F.lit("b_in_a"))
+            .alias("direction"),
+        )
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame,
     eval_docs: DataFrame,

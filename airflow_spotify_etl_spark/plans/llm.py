@@ -5396,6 +5396,53 @@ FROM s
 """
 
 
+def q207_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dups (operators/dedup.containment_pairs): the
+    aggregator blind spot — pairs ≥90% contained but Jaccard < 0.5, so
+    the exact-Jaccard tier (q24) ships both copies. Both cuts are
+    integer cross-multiplies; the oracle replays the capped shingle
+    pipeline with the same two inequalities."""
+    from ..operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, containment_pct=90, max_bucket=1000
+    ).orderBy("doc_a", "doc_b")
+
+
+_Q207_SQL = """
+WITH sh_raw AS (
+  SELECT doc_id, unnest(list_distinct(
+           [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+         )) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), sh AS (
+  SELECT doc_id, shingle FROM sh_raw
+  WHERE shingle NOT IN (
+    SELECT shingle FROM sh_raw GROUP BY shingle HAVING count(*) > 1000
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM sh_raw GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter, sa.n_shingles AS na, sb.n_shingles AS nb,
+       CAST(CAST(inter AS BIGINT) * 1000000
+            // least(sa.n_shingles, sb.n_shingles) AS BIGINT)
+         AS containment_micro,
+       CASE WHEN sa.n_shingles <= sb.n_shingles THEN 'a_in_b'
+            ELSE 'b_in_a' END AS direction
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 100 * inter >= 90 * least(sa.n_shingles, sb.n_shingles)
+  AND 3 * inter < sa.n_shingles + sb.n_shingles
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -5487,6 +5534,7 @@ QUERIES = {
     "q198_source_entropy": q198_source_entropy,
     "q202_zipf_slope": q202_zipf_slope,
     "q206_vocab_coverage": q206_vocab_coverage,
+    "q207_containment_pairs": q207_containment_pairs,
 }
 
 ORACLES = {
@@ -5580,4 +5628,5 @@ ORACLES = {
     "q198_source_entropy": _Q198_SQL,
     "q202_zipf_slope": _Q202_SQL,
     "q206_vocab_coverage": _Q206_SQL,
+    "q207_containment_pairs": _Q207_SQL,
 }

@@ -1327,3 +1327,30 @@ def test_q206_vocab_coverage_hand_counts(spark, tmp_path, qs):
         str(tmp_path / "documents.parquet"))
     r = qs["q206_vocab_coverage"](spark, str(tmp_path)).collect()[0]
     assert (r.chao1_estimate, r.bias_corrected_variant) == (4, True)
+
+
+def test_q207_containment_catches_jaccard_blind_spot(spark, tmp_path, qs):
+    """A 10-word article fully pasted into a 100-word digest:
+    containment = 1.0 but Jaccard ≈ 0.08 → the q24 Jaccard tier misses
+    it, q207 must emit it with direction a_in_b. A near-identical pair
+    (high Jaccard) must NOT appear — it belongs to the Jaccard tier."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    article = " ".join(f"art{i}" for i in range(10))
+    digest = article + " " + " ".join(f"fill{i}" for i in range(90))
+    twin_a = " ".join(f"twin{i}" for i in range(10))
+    twin_b = twin_a + " extra"
+    rows = [
+        (1, article, "en", "s", len(article)),
+        (2, digest, "en", "s", len(digest)),
+        (3, twin_a, "en", "s", len(twin_a)),
+        (4, twin_b, "en", "s", len(twin_b)),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet"))
+    out = qs["q207_containment_pairs"](spark, str(tmp_path)).collect()
+    pairs = {(r.doc_a, r.doc_b): r for r in out}
+    assert set(pairs) == {(1, 2)}
+    r = pairs[(1, 2)]
+    assert r.containment_micro == 1000000 and r.direction == "a_in_b"
+    assert r.na == 8  # 10 words → 8 trigrams
