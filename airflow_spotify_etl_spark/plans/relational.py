@@ -5751,6 +5751,51 @@ FROM runs
 """
 
 
+def q208_sql_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship) shape: how many DISTINCT
+    suppliers can deliver each (brand, type, size) bucket, excluding a
+    blacklist — the NOT IN subquery (suppliers in arrears, the stand-in
+    for Q16's complaint scan) plus a grouped count(DISTINCT). The plan
+    lessons: NOT IN over a non-nullable key becomes a broadcast
+    ANTI-join (not a per-row subquery), and the distinct-agg expands to
+    the two-phase partial-distinct exchange. Restriction predicates
+    push into the part scan. Deterministic order (count desc, then the
+    full key)."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["lineitem", "part", "supplier"])
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """
+    )
+
+
+_Q208_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -5851,6 +5896,7 @@ QUERIES = {
     "q203_fano_burstiness": q203_fano_burstiness,
     "q204_mcnemar_test": q204_mcnemar_test,
     "q205_runs_test": q205_runs_test,
+    "q208_sql_supplier_diversity": q208_sql_supplier_diversity,
 }
 
 ORACLES = {
@@ -5953,4 +5999,5 @@ ORACLES = {
     "q203_fano_burstiness": _Q203_SQL,
     "q204_mcnemar_test": _Q204_SQL,
     "q205_runs_test": _Q205_SQL,
+    "q208_sql_supplier_diversity": _Q208_SQL,
 }

@@ -195,6 +195,32 @@ HEADLINE = [
     "q180_rfm_segments",
     "q181_expectations_report",
     "q182_chi_square",
+    "q183_source_copy_rings",
+    "q184_spearman_corr",
+    "q185_cohens_kappa",
+    "q186_ks_test",
+    "q187_mann_whitney",
+    "q188_autocorrelation",
+    "q189_gini_concentration",
+    "q190_cusum_changepoints",
+    "q191_association_rules",
+    "q192_psi_drift",
+    "q193_sql_local_supplier_volume",
+    "q194_sql_disjunctive_revenue",
+    "q195_sql_important_parts",
+    "q196_sql_promo_share",
+    "q197_sql_nation_profit",
+    "q198_source_entropy",
+    "q199_hhi_concentration",
+    "q200_theil_decomposition",
+    "q201_kendall_tau",
+    "q202_zipf_slope",
+    "q203_fano_burstiness",
+    "q204_mcnemar_test",
+    "q205_runs_test",
+    "q206_vocab_coverage",
+    "q207_containment_pairs",
+    "q208_sql_supplier_diversity",
 ]
 
 

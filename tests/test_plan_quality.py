@@ -1354,3 +1354,19 @@ def test_q207_containment_catches_jaccard_blind_spot(spark, tmp_path, qs):
     r = pairs[(1, 2)]
     assert r.containment_micro == 1000000 and r.direction == "a_in_b"
     assert r.na == 8  # 10 words → 8 trigrams
+
+
+def test_q208_q16_anti_join_and_distinct_shape(spark, sf_dir, qs):
+    """Q16's plan bar: the NOT IN subquery compiles to a broadcast
+    ANTI hash join (no per-row subquery, no nested loop over facts),
+    the size/type predicates push into the part scan, and a distinct
+    pre-aggregation (partial on l_suppkey) precedes the final count.
+    The anti-join is asserted on the PRE-AQE plan: at tiny SF the
+    blacklist side can be empty and AQE's empty-relation propagation
+    (correctly) deletes the LeftAnti from the final plan."""
+    df = qs["q208_sql_supplier_diversity"](spark, sf_dir)
+    pre = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti, BuildRight" in pre
+    plan = _final_plan(df)
+    assert "Not(EqualTo(p_type,PROMO))" in plan and "In(p_size," in plan
+    assert "HashAggregate" in plan and "CartesianProduct" not in plan
