@@ -5796,6 +5796,68 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
 
 
+def q209_sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier) shape — the last uncovered
+    TPC-H plan shape: a CORRELATED scalar subquery (per-part regional
+    minimum price) that Catalyst decorrelates into an aggregate-join —
+    min() grouped by l_partkey joined back on (partkey, price) — not a
+    per-row re-execution. The region restriction appears in both the
+    outer and inner blocks and pushes into both scans; supplier/nation/
+    region dims broadcast. Every output column participates in ORDER BY
+    so the LIMIT cuts a deterministic multiset in both engines (the
+    result rows themselves carry no floats derived by arithmetic —
+    l_extendedprice/s_acctbal are raw column values, exact in parquet)."""
+    from ..sources.files import register_views
+
+    register_views(
+        spark, sf_dir, ["part", "lineitem", "supplier", "nation", "region"]
+    )
+    return spark.sql(
+        """
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+               l_extendedprice AS min_price
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE p_size <= 10 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+          AND l_extendedprice = (
+            SELECT min(l2.l_extendedprice)
+            FROM lineitem l2
+            JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+            JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+            JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+            WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE'
+          )
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, p_type, min_price
+        LIMIT 100
+        """
+    )
+
+
+_Q209_SQL = """
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+       l_extendedprice AS min_price
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size <= 10 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+  AND l_extendedprice = (
+    SELECT min(l2.l_extendedprice)
+    FROM lineitem l2
+    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, p_type, min_price
+LIMIT 100
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -5897,6 +5959,7 @@ QUERIES = {
     "q204_mcnemar_test": q204_mcnemar_test,
     "q205_runs_test": q205_runs_test,
     "q208_sql_supplier_diversity": q208_sql_supplier_diversity,
+    "q209_sql_min_cost_supplier": q209_sql_min_cost_supplier,
 }
 
 ORACLES = {
@@ -6000,4 +6063,5 @@ ORACLES = {
     "q204_mcnemar_test": _Q204_SQL,
     "q205_runs_test": _Q205_SQL,
     "q208_sql_supplier_diversity": _Q208_SQL,
+    "q209_sql_min_cost_supplier": _Q209_SQL,
 }

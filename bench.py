@@ -221,6 +221,7 @@ HEADLINE = [
     "q206_vocab_coverage",
     "q207_containment_pairs",
     "q208_sql_supplier_diversity",
+    "q209_sql_min_cost_supplier",
 ]
 
 

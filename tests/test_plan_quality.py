@@ -1370,3 +1370,18 @@ def test_q208_q16_anti_join_and_distinct_shape(spark, sf_dir, qs):
     plan = _final_plan(df)
     assert "Not(EqualTo(p_type,PROMO))" in plan and "In(p_size," in plan
     assert "HashAggregate" in plan and "CartesianProduct" not in plan
+
+
+def test_q209_q2_correlated_min_decorrelates(spark, sf_dir, qs):
+    """Q2's plan bar: the correlated scalar subquery (per-part regional
+    min price) must DECORRELATE into a grouped min aggregate joined
+    back on (partkey, price) — partial_min proves map-side combine —
+    with no nested-loop/cartesian re-execution per outer row, and the
+    part/region restrictions pushed into their scans."""
+    plan = _final_plan(qs["q209_sql_min_cost_supplier"](spark, sf_dir))
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EqualTo(p_type,STANDARD)" in plan
+    assert "LessThanOrEqual(p_size,10)" in plan
+    assert "EqualTo(r_name,EUROPE)" in plan
