@@ -5858,6 +5858,116 @@ LIMIT 100
 """
 
 
+def q210_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day by a DISTRIBUTED sweep-line:
+    sessionize per user (30-min gap, 60-s tail so single-event sessions
+    have positive length), split each session interval at UTC midnight
+    into per-day segments, emit +1/-1 boundary deltas, and running-sum
+    them inside a window PARTITIONED BY day — the sweep is per-day
+    local, so no global single-partition sort exists anywhere (the
+    classic scale failure of naive interval sweeps). All arithmetic is
+    integer epoch-seconds; ties order -1 before +1 so touching
+    intervals never count as concurrent and the per-group max is
+    order-deterministic in both engines."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        WITH e AS (
+          SELECT user_id, unix_timestamp(ts) AS es FROM events
+        ),
+        ord AS (
+          SELECT user_id, es,
+                 CASE WHEN lag(es) OVER (PARTITION BY user_id ORDER BY es)
+                        IS NULL
+                      OR es - lag(es) OVER (PARTITION BY user_id ORDER BY es)
+                        > 1800
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM e
+        ),
+        sess AS (
+          SELECT user_id,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY es
+                                     ROWS UNBOUNDED PRECEDING) AS sid,
+                 es
+          FROM ord
+        ),
+        bounds AS (
+          SELECT user_id, sid, min(es) AS s, max(es) + 60 AS f
+          FROM sess GROUP BY user_id, sid
+        ),
+        seg AS (
+          SELECT d AS epoch_day,
+                 greatest(s, d * 86400) AS seg_start,
+                 least(f, (d + 1) * 86400) AS seg_end
+          FROM bounds
+          LATERAL VIEW explode(sequence(s div 86400, (f - 1) div 86400)) AS d
+        ),
+        deltas AS (
+          SELECT epoch_day, seg_start AS t, 1 AS delta FROM seg
+          UNION ALL
+          SELECT epoch_day, seg_end AS t, -1 AS delta FROM seg
+        ),
+        sweep AS (
+          SELECT epoch_day,
+                 sum(delta) OVER (PARTITION BY epoch_day ORDER BY t, delta
+                                  ROWS UNBOUNDED PRECEDING) AS run
+          FROM deltas
+        )
+        SELECT epoch_day, CAST(max(run) AS BIGINT) AS peak_concurrency,
+               count(*) DIV 2 AS n_segments
+        FROM sweep GROUP BY epoch_day
+        ORDER BY epoch_day
+        """
+    )
+
+
+_Q210_SQL = """
+WITH e AS (
+  SELECT user_id, epoch(ts)::BIGINT AS es FROM events
+),
+ord AS (
+  SELECT user_id, es,
+         CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es)
+),
+sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY es
+                             ROWS UNBOUNDED PRECEDING) AS sid,
+         es
+  FROM ord
+),
+bounds AS (
+  SELECT user_id, sid, min(es) AS s, max(es) + 60 AS f
+  FROM sess GROUP BY user_id, sid
+),
+seg AS (
+  SELECT d.d AS epoch_day,
+         greatest(s, d.d * 86400) AS seg_start,
+         least(f, (d.d + 1) * 86400) AS seg_end
+  FROM bounds, UNNEST(generate_series(s // 86400, (f - 1) // 86400)) AS d(d)
+),
+deltas AS (
+  SELECT epoch_day, seg_start AS t, 1 AS delta FROM seg
+  UNION ALL
+  SELECT epoch_day, seg_end AS t, -1 AS delta FROM seg
+),
+sweep AS (
+  SELECT epoch_day,
+         sum(delta) OVER (PARTITION BY epoch_day ORDER BY t, delta
+                          ROWS UNBOUNDED PRECEDING) AS run
+  FROM deltas
+)
+SELECT epoch_day, CAST(max(run) AS BIGINT) AS peak_concurrency,
+       CAST(count(*) // 2 AS BIGINT) AS n_segments
+FROM sweep GROUP BY epoch_day
+ORDER BY epoch_day
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -5960,6 +6070,7 @@ QUERIES = {
     "q205_runs_test": q205_runs_test,
     "q208_sql_supplier_diversity": q208_sql_supplier_diversity,
     "q209_sql_min_cost_supplier": q209_sql_min_cost_supplier,
+    "q210_peak_concurrency": q210_peak_concurrency,
 }
 
 ORACLES = {
@@ -6064,4 +6175,5 @@ ORACLES = {
     "q205_runs_test": _Q205_SQL,
     "q208_sql_supplier_diversity": _Q208_SQL,
     "q209_sql_min_cost_supplier": _Q209_SQL,
+    "q210_peak_concurrency": _Q210_SQL,
 }

@@ -222,6 +222,7 @@ HEADLINE = [
     "q207_containment_pairs",
     "q208_sql_supplier_diversity",
     "q209_sql_min_cost_supplier",
+    "q210_peak_concurrency",
 ]
 
 

@@ -1385,3 +1385,46 @@ def test_q209_q2_correlated_min_decorrelates(spark, sf_dir, qs):
     assert "EqualTo(p_type,STANDARD)" in plan
     assert "LessThanOrEqual(p_size,10)" in plan
     assert "EqualTo(r_name,EUROPE)" in plan
+
+
+def test_q210_sweep_line_semantics_and_partitioned_plan(spark, tmp_path, qs):
+    """Planted intervals: 3 users overlap 10:00-10:10 (peak 3), a 4th
+    user's session touches (starts exactly when another's tail ends) —
+    touching must NOT count as concurrent (-1 sorts before +1). A
+    midnight-crossing session must appear as a segment on BOTH days.
+    Plan gate: every window is keyed (user_id or epoch_day) — no
+    empty-frame global window, which would serialize the sweep."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    def ev(i, dt, uid):
+        return (i, dt, uid, "e", 1.0, "{}")
+
+    rows = [
+        # users 1-3: sessions covering 10:00..10:10 (+60s tail)
+        ev(1, datetime(2024, 1, 1, 10, 0), 1),
+        ev(2, datetime(2024, 1, 1, 10, 10), 1),
+        ev(3, datetime(2024, 1, 1, 10, 5), 2),
+        ev(4, datetime(2024, 1, 1, 10, 9), 2),
+        ev(5, datetime(2024, 1, 1, 10, 8), 3),
+        # user 4 starts exactly at user 1's session end (10:11:00 tail)
+        ev(6, datetime(2024, 1, 1, 10, 11), 4),
+        # user 5: midnight-crossing session (23:50 -> 00:05 next day)
+        ev(7, datetime(2024, 1, 2, 23, 50), 5),
+        ev(8, datetime(2024, 1, 3, 0, 5), 5),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "events.parquet"))
+    df = qs["q210_peak_concurrency"](spark, str(tmp_path))
+    got = {r.epoch_day: (r.peak_concurrency, r.n_segments) for r in df.collect()}
+    d1 = (datetime(2024, 1, 1) - datetime(1970, 1, 1)).days
+    d2, d3 = d1 + 1, d1 + 2
+    assert got[d1] == (3, 4)  # touching session never makes it 4
+    assert got[d2][0] == 1 and got[d3][0] == 1  # midnight split: both days
+    assert got[d2][1] == 1 and got[d3][1] == 1
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "user_id" in spec or "epoch_day" in spec, spec
