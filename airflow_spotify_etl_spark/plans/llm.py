@@ -5443,6 +5443,108 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q211_js_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each SOURCE's unigram distribution
+    from the corpus distribution — the nonparametric drift dial for a
+    pretraining mix (PSI q192 bins a scalar; this covers the whole
+    vocabulary). The key scale trick: tokens ABSENT from a source
+    contribute exactly 0.5·ln2·q_t, and Σq_t over them is
+    (N − Σ_present g_t)/N — an INTEGER-sum closed form — so the query
+    needs only an inner token join on the source's own vocabulary,
+    never a per-source sweep of the full corpus vocabulary (which
+    would be |sources|×|vocab|). Per-token terms are one identical
+    float chain over exact integer counts, quantized to pico-nats
+    before the cross-token sum (q122/q192/q200 rule); ln is the
+    accepted libm seam. JS is bounded by ln2 so js_micro ≤ 693147."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("source"),
+        F.explode(F.split(F.lower("text"), "\\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    cnt = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    glob = cnt.groupBy("tok").agg(F.sum("c").alias("g"))
+    ns = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    ntot = glob.agg(F.sum("g").alias("nt"))
+    p = "(cast(c as double) / cast(n as double))"
+    q = "(cast(g as double) / cast(nt as double))"
+    term = (
+        f"cast(round((0.5 * {p} * ln(2 * {p} / ({p} + {q}))"
+        f" + 0.5 * {q} * ln(2 * {q} / ({p} + {q}))) * 1e12) as bigint)"
+    )
+    per_src = (
+        cnt.join(glob, "tok")
+        .join(ns, "source")
+        .crossJoin(F.broadcast(ntot))
+        .groupBy("source")
+        .agg(
+            F.max("n").alias("n_tokens"),
+            F.count("*").alias("vocab"),
+            F.sum(F.expr(term)).alias("present_pico"),
+            F.sum("g").alias("qnum"),
+            F.max("nt").alias("nt"),
+        )
+    )
+    tail = (
+        "cast(round(0.5 * ln(2.0) * cast(nt - qnum as double)"
+        " / cast(nt as double) * 1e12) as bigint)"
+    )
+    return per_src.select(
+        "source", "n_tokens", "vocab",
+        (F.col("present_pico") + F.expr(tail)).alias("js_pico"),
+    ).select(
+        "source", "n_tokens", "vocab", "js_pico",
+        F.expr("js_pico div 1000000").alias("js_micro"),
+    ).orderBy("source")
+
+
+_Q211_SQL = r"""
+WITH toks AS (
+  SELECT source, tok FROM (
+    SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), cnt AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, tok
+), gtok AS (
+  SELECT tok, CAST(sum(c) AS BIGINT) AS g FROM cnt GROUP BY tok
+), ns AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY source
+), ntot AS (
+  SELECT CAST(sum(g) AS BIGINT) AS nt FROM gtok
+), per_src AS (
+  SELECT cnt.source,
+         max(n) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS vocab,
+         CAST(sum(CAST(round((0.5 * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(2 * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                    / ((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                       + (CAST(g AS DOUBLE) / CAST(nt AS DOUBLE))))
+             + 0.5 * (CAST(g AS DOUBLE) / CAST(nt AS DOUBLE))
+               * ln(2 * (CAST(g AS DOUBLE) / CAST(nt AS DOUBLE))
+                    / ((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                       + (CAST(g AS DOUBLE) / CAST(nt AS DOUBLE)))))
+             * 1e12) AS BIGINT)) AS BIGINT) AS present_pico,
+         CAST(sum(g) AS BIGINT) AS qnum,
+         max(nt) AS nt
+  FROM cnt
+  JOIN gtok ON cnt.tok = gtok.tok
+  JOIN ns ON cnt.source = ns.source
+  CROSS JOIN ntot
+  GROUP BY cnt.source
+)
+SELECT source, n_tokens, vocab,
+       present_pico + CAST(round(0.5 * ln(2.0)
+         * CAST(nt - qnum AS DOUBLE) / CAST(nt AS DOUBLE) * 1e12)
+         AS BIGINT) AS js_pico,
+       (present_pico + CAST(round(0.5 * ln(2.0)
+         * CAST(nt - qnum AS DOUBLE) / CAST(nt AS DOUBLE) * 1e12)
+         AS BIGINT)) // 1000000 AS js_micro
+FROM per_src
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -5535,6 +5637,7 @@ QUERIES = {
     "q202_zipf_slope": q202_zipf_slope,
     "q206_vocab_coverage": q206_vocab_coverage,
     "q207_containment_pairs": q207_containment_pairs,
+    "q211_js_source_drift": q211_js_source_drift,
 }
 
 ORACLES = {
@@ -5629,4 +5732,5 @@ ORACLES = {
     "q202_zipf_slope": _Q202_SQL,
     "q206_vocab_coverage": _Q206_SQL,
     "q207_containment_pairs": _Q207_SQL,
+    "q211_js_source_drift": _Q211_SQL,
 }

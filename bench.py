@@ -223,6 +223,7 @@ HEADLINE = [
     "q208_sql_supplier_diversity",
     "q209_sql_min_cost_supplier",
     "q210_peak_concurrency",
+    "q211_js_source_drift",
 ]
 
 

@@ -1428,3 +1428,39 @@ def test_q210_sweep_line_semantics_and_partitioned_plan(spark, tmp_path, qs):
     import re
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "user_id" in spec or "epoch_day" in spec, spec
+
+
+def test_q211_js_drift_closed_form_tail(spark, tmp_path, qs):
+    """Two symmetric disjoint-vocab sources: js must be equal for both
+    and match the hand-computed JS against the pooled corpus to within
+    per-term rounding (pico quantization). Also: a source whose
+    distribution IS the corpus distribution has js ~ 0."""
+    import math
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows = [
+        (1, "a a", "en", "sA", 3),
+        (2, "b b", "en", "sB", 3),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.source: r for r in
+           qs["q211_js_source_drift"](spark, str(tmp_path)).collect()}
+    # source A: p(a)=1 vs corpus q(a)=1/2; absent mass 1/2 -> tail
+    expect = (0.5 * 1.0 * math.log(2 * 1.0 / 1.5)
+              + 0.5 * 0.5 * math.log(2 * 0.5 / 1.5)
+              + 0.5 * math.log(2.0) * 0.5)
+    assert got["sA"].js_pico == got["sB"].js_pico
+    assert abs(got["sA"].js_pico - round(expect * 1e12)) <= 2
+    assert got["sA"].vocab == 1 and got["sA"].n_tokens == 2
+
+    rows = [
+        (1, "x y", "en", "same", 3),
+        (2, "x y", "en", "other", 3),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.source: r for r in
+           qs["q211_js_source_drift"](spark, str(tmp_path)).collect()}
+    assert got["same"].js_pico == 0 and got["other"].js_pico == 0
