@@ -5545,6 +5545,109 @@ ORDER BY source
 """
 
 
+def q212_keyness_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood (G²) keyness: the 5 tokens most
+    OVER-represented in each source vs the rest of the corpus — the
+    standard corpus-linguistics keyword extractor (better than raw
+    tf-idf for small counts because it is a proper 2×2 likelihood
+    test). All four contingency cells derive from two grouped counts
+    (a; g−a; n−a; rest) — one corpus scan, token-keyed shuffles only.
+    The G² float chain runs once per (source, token) over exact
+    integers, is micro-quantized BEFORE ranking (so the rank compares
+    integers and ties break on the token string identically in both
+    engines), and keeps only over-represented tokens via the integer
+    cross-multiply a·N > n·g. The per-source top-5 rank is a keyed
+    window — map-side WindowGroupLimit prunes before the shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower("text"), "\\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    cnt = toks.groupBy("source", "tok").agg(F.count("*").alias("a"))
+    gtok = cnt.groupBy("tok").agg(F.sum("a").alias("g"))
+    ns = cnt.groupBy("source").agg(F.sum("a").alias("n"))
+    ntot = gtok.agg(F.sum("g").alias("nt"))
+    cells = (
+        cnt.join(gtok, "tok")
+        .join(ns, "source")
+        .crossJoin(F.broadcast(ntot))
+        .filter(F.expr("a * nt > n * g"))
+        .withColumn("b", F.expr("g - a"))
+        .withColumn("c", F.expr("n - a"))
+        .withColumn("d", F.expr("(nt - n) - (g - a)"))
+    )
+    t = (
+        "cast({o} as double) * ln(cast({o} as double) * cast(nt as double)"
+        " / (cast({r} as double) * cast({col} as double)))"
+    )
+    g2 = (
+        "cast(round(2.0 * ("
+        f" (case when a = 0 then 0 else {t.format(o='a', r='n', col='g')} end)"
+        f"+(case when b = 0 then 0 else {t.format(o='b', r='nt - n', col='g')} end)"
+        f"+(case when c = 0 then 0 else {t.format(o='c', r='n', col='nt - g')} end)"
+        f"+(case when d = 0 then 0 else {t.format(o='d', r='nt - n', col='nt - g')} end)"
+        ") * 1e6) as bigint)"
+    )
+    scored = cells.select(
+        "source", "tok", "a", "g", F.expr(g2).alias("g2_micro")
+    )
+    w = W.partitionBy("source").orderBy(
+        F.col("g2_micro").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "rnk", "tok", "a", "g", "g2_micro")
+        .orderBy("source", "rnk")
+    )
+
+
+_Q212_SQL = r"""
+WITH toks AS (
+  SELECT source, tok FROM (
+    SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), cnt AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS a
+  FROM toks GROUP BY source, tok
+), gtok AS (
+  SELECT tok, CAST(sum(a) AS BIGINT) AS g FROM cnt GROUP BY tok
+), ns AS (
+  SELECT source, CAST(sum(a) AS BIGINT) AS n FROM cnt GROUP BY source
+), ntot AS (
+  SELECT CAST(sum(g) AS BIGINT) AS nt FROM gtok
+), cells AS (
+  SELECT cnt.source, cnt.tok, a, g, n, nt,
+         g - a AS b, n - a AS c, (nt - n) - (g - a) AS d
+  FROM cnt JOIN gtok ON cnt.tok = gtok.tok
+  JOIN ns ON cnt.source = ns.source CROSS JOIN ntot
+  WHERE a * nt > n * g
+), scored AS (
+  SELECT source, tok, a, g,
+    CAST(round(2.0 * (
+      (CASE WHEN a = 0 THEN 0 ELSE CAST(a AS DOUBLE) * ln(CAST(a AS DOUBLE)
+        * CAST(nt AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(g AS DOUBLE))) END)
+    + (CASE WHEN b = 0 THEN 0 ELSE CAST(b AS DOUBLE) * ln(CAST(b AS DOUBLE)
+        * CAST(nt AS DOUBLE) / (CAST(nt - n AS DOUBLE) * CAST(g AS DOUBLE))) END)
+    + (CASE WHEN c = 0 THEN 0 ELSE CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)
+        * CAST(nt AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(nt - g AS DOUBLE))) END)
+    + (CASE WHEN d = 0 THEN 0 ELSE CAST(d AS DOUBLE) * ln(CAST(d AS DOUBLE)
+        * CAST(nt AS DOUBLE) / (CAST(nt - n AS DOUBLE) * CAST(nt - g AS DOUBLE))) END)
+    ) * 1e6) AS BIGINT) AS g2_micro
+  FROM cells
+), ranked AS (
+  SELECT source, tok, a, g, g2_micro,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY g2_micro DESC, tok) AS rnk
+  FROM scored
+)
+SELECT source, rnk, tok, a, g, g2_micro
+FROM ranked WHERE rnk <= 5
+ORDER BY source, rnk
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -5638,6 +5741,7 @@ QUERIES = {
     "q206_vocab_coverage": q206_vocab_coverage,
     "q207_containment_pairs": q207_containment_pairs,
     "q211_js_source_drift": q211_js_source_drift,
+    "q212_keyness_loglik": q212_keyness_loglik,
 }
 
 ORACLES = {
@@ -5733,4 +5837,5 @@ ORACLES = {
     "q206_vocab_coverage": _Q206_SQL,
     "q207_containment_pairs": _Q207_SQL,
     "q211_js_source_drift": _Q211_SQL,
+    "q212_keyness_loglik": _Q212_SQL,
 }

@@ -224,6 +224,7 @@ HEADLINE = [
     "q209_sql_min_cost_supplier",
     "q210_peak_concurrency",
     "q211_js_source_drift",
+    "q212_keyness_loglik",
 ]
 
 

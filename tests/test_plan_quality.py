@@ -1464,3 +1464,34 @@ def test_q211_js_drift_closed_form_tail(spark, tmp_path, qs):
     got = {r.source: r for r in
            qs["q211_js_source_drift"](spark, str(tmp_path)).collect()}
     assert got["same"].js_pico == 0 and got["other"].js_pico == 0
+
+
+def test_q212_keyness_picks_planted_keyword_and_prunes_window(spark, tmp_path, qs):
+    """A token that appears ONLY in source sK (20x) while both sources
+    share common filler must rank #1 for sK with a hand-computed G².
+    Plan gate: the per-source top-5 is a WindowGroupLimit (map-side
+    rank pruning), not a full-window materialization."""
+    import math
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    filler = "the and of to in " * 4  # 20 shared tokens per doc
+    rows = [
+        (1, filler + "zebra " * 20, "en", "sK", 1),
+        (2, filler, "en", "sR", 1),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "documents.parquet"))
+    df = qs["q212_keyness_loglik"](spark, str(tmp_path))
+    top = {r.source: r for r in df.collect() if r.rnk == 1}
+    assert top["sK"].tok == "zebra" and top["sK"].a == 20
+    # G2 hand-check: a=20,g=20,n=40,nt=60 -> b=0,c=20,d=20
+    a, g, n, nt = 20, 20, 40, 60
+    c = n - a
+    d = (nt - n) - (g - a)
+    g2 = 2 * (a * math.log(a * nt / (n * g))
+              + c * math.log(c * nt / (n * (nt - g)))
+              + d * math.log(d * nt / ((nt - n) * (nt - g))))
+    assert abs(top["sK"].g2_micro - round(g2 * 1e6)) <= 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
