@@ -5648,6 +5648,95 @@ ORDER BY source, rnk
 """
 
 
+def q213_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup tier: Levenshtein <= 5 on the normalized
+    80-char head — catches small in-place edits (typo fixes, version
+    bumps) that exact hashing misses and that shingle tiers only see
+    at much higher Jaccard cost. Candidate generation is LENGTH
+    BLOCKING with overlap (each head lands in bucket len//8 and the
+    next one up, so a pair within 5 edits always shares a bucket),
+    each bucket CAPPED at 200 members (row_number by doc_id — the
+    house join-free discipline: the quadratic term is bounded per
+    bucket, never corpus-sized), and an integer length prefilter
+    |la-lb| <= 5 runs before the O(len^2) levenshtein call. The
+    DISTINCT collapses the two-bucket overlap. Both engines compute
+    the same DP distance, so parity is exact integers throughout."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower("text"), "\\s+", " "), 1, 80
+        ).alias("head"),
+    ).withColumn("hl", F.length("head"))
+    w = W.partitionBy(F.expr("hl div 8")).orderBy("doc_id")
+    capped = (
+        norm.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 200)
+        .drop("rn")
+    )
+    buckets = capped.withColumn("b", F.expr("hl div 8")).unionByName(
+        capped.withColumn("b", F.expr("hl div 8 + 1"))
+    )
+    x = buckets.alias("x")
+    y = buckets.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .filter(F.abs(F.col("x.hl") - F.col("y.hl")) <= 5)
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.head").alias("ha"),
+            F.col("y.head").alias("hb"),
+            F.col("x.hl").alias("len_a"),
+            F.col("y.hl").alias("len_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "lev", F.levenshtein("ha", "hb").cast("bigint")
+        )
+        .filter(F.col("lev") <= 5)
+        .select("doc_a", "doc_b", "len_a", "len_b", "lev")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_Q213_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 80) AS head
+  FROM documents
+), sized AS (
+  SELECT doc_id, head, length(head) AS hl,
+         row_number() OVER (PARTITION BY length(head) // 8
+                            ORDER BY doc_id) AS rn
+  FROM norm
+), capped AS (
+  SELECT doc_id, head, hl FROM sized WHERE rn <= 200
+), buckets AS (
+  SELECT doc_id, head, hl, hl // 8 AS b FROM capped
+  UNION ALL
+  SELECT doc_id, head, hl, hl // 8 + 1 AS b FROM capped
+), pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.head AS ha, y.head AS hb, x.hl AS la, y.hl AS lb
+  FROM buckets x JOIN buckets y
+    ON x.b = y.b AND x.doc_id < y.doc_id
+  WHERE abs(x.hl - y.hl) <= 5
+)
+SELECT doc_a, doc_b, la AS len_a, lb AS len_b,
+       CAST(levenshtein(ha, hb) AS BIGINT) AS lev
+FROM pairs
+WHERE levenshtein(ha, hb) <= 5
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -5742,6 +5831,7 @@ QUERIES = {
     "q207_containment_pairs": q207_containment_pairs,
     "q211_js_source_drift": q211_js_source_drift,
     "q212_keyness_loglik": q212_keyness_loglik,
+    "q213_edit_distance_pairs": q213_edit_distance_pairs,
 }
 
 ORACLES = {
@@ -5838,4 +5928,5 @@ ORACLES = {
     "q207_containment_pairs": _Q207_SQL,
     "q211_js_source_drift": _Q211_SQL,
     "q212_keyness_loglik": _Q212_SQL,
+    "q213_edit_distance_pairs": _Q213_SQL,
 }

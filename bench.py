@@ -225,6 +225,7 @@ HEADLINE = [
     "q210_peak_concurrency",
     "q211_js_source_drift",
     "q212_keyness_loglik",
+    "q213_edit_distance_pairs",
 ]
 
 

@@ -1495,3 +1495,38 @@ def test_q212_keyness_picks_planted_keyword_and_prunes_window(spark, tmp_path, q
     assert abs(top["sK"].g2_micro - round(g2 * 1e6)) <= 1
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_q213_length_blocking_finds_cross_bucket_edit(spark, tmp_path, qs):
+    """A doc and its 3-edit variant whose heads land in DIFFERENT
+    len//8 buckets (79 vs 82 chars -> buckets 9 and 10) must still
+    pair via the overlap bucket; two unrelated docs must not. Exact
+    lev value asserted."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the night aa"  # 80 chars
+    edited = base[:77] + "bbbb"  # 81 chars, few edits at the tail
+    other = "z" * 80
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, edited, "en", "s", len(edited)),
+        (3, other, "en", "s", 80),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rowsout = qs["q213_edit_distance_pairs"](spark, str(tmp_path)).collect()
+    assert [(r.doc_a, r.doc_b) for r in rowsout] == [(1, 2)]
+    import re
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    ha = re.sub(r"\s+", " ", base.lower())[:80]
+    hb = re.sub(r"\s+", " ", edited.lower())[:80]
+    assert rowsout[0].lev == lev(ha, hb)
