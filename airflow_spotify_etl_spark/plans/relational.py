@@ -5968,6 +5968,62 @@ ORDER BY epoch_day
 """
 
 
+def q214_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier (cheapest-and-largest parts): every
+    part not dominated in (price low, size high). The classic serial
+    solution sorts globally and runs one cumulative max — a
+    single-partition scale killer. This plan is the DISTRIBUTED
+    two-phase prefix-max: collapse to per-price groups, range-bucket
+    prices on the broadcast [min,max] grid, take the running max
+    WITHIN each bucket (keyed window), reduce each bucket to one max
+    (|buckets| rows), prefix-max those 32 rows, and combine — the only
+    unkeyed window runs over 32 rows. Frontier membership is the
+    integer compare pmax > max(strictly-cheaper maxes); dominated-by-
+    equal-price is handled by the per-price group max. Validated
+    against naive O(n^2) dominance in the pytest."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["part"])
+    return spark.sql(_Q214_SQL)
+
+
+_Q214_SQL = """
+WITH mm AS (
+  SELECT min(p_retailprice) AS lo, max(p_retailprice) AS hi FROM part
+), pg AS (
+  SELECT p_retailprice AS price, max(p_size) AS pmax
+  FROM part GROUP BY p_retailprice
+), bucketed AS (
+  SELECT price, pmax,
+         CAST(CASE WHEN hi = lo THEN 0
+              ELSE least(31, CAST(floor((price - lo) * 32 / (hi - lo))
+                               AS INTEGER)) END AS INTEGER) AS bkt
+  FROM pg CROSS JOIN mm
+), loc AS (
+  SELECT price, pmax, bkt,
+         max(pmax) OVER (PARTITION BY bkt ORDER BY price
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS local_before
+  FROM bucketed
+), bmax AS (
+  SELECT bkt, max(pmax) AS bm FROM bucketed GROUP BY bkt
+), bpre AS (
+  SELECT bkt, max(bm) OVER (ORDER BY bkt
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prior_max
+  FROM bmax
+), frontier AS (
+  SELECT price, pmax
+  FROM loc JOIN bpre ON loc.bkt = bpre.bkt
+  WHERE pmax > greatest(coalesce(local_before, -1), coalesce(prior_max, -1))
+)
+SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+FROM part JOIN frontier
+  ON part.p_retailprice = frontier.price AND part.p_size = frontier.pmax
+ORDER BY p_retailprice, p_partkey
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -6071,6 +6127,7 @@ QUERIES = {
     "q208_sql_supplier_diversity": q208_sql_supplier_diversity,
     "q209_sql_min_cost_supplier": q209_sql_min_cost_supplier,
     "q210_peak_concurrency": q210_peak_concurrency,
+    "q214_pareto_frontier": q214_pareto_frontier,
 }
 
 ORACLES = {
@@ -6176,4 +6233,5 @@ ORACLES = {
     "q208_sql_supplier_diversity": _Q208_SQL,
     "q209_sql_min_cost_supplier": _Q209_SQL,
     "q210_peak_concurrency": _Q210_SQL,
+    "q214_pareto_frontier": _Q214_SQL,
 }

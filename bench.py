@@ -226,6 +226,7 @@ HEADLINE = [
     "q211_js_source_drift",
     "q212_keyness_loglik",
     "q213_edit_distance_pairs",
+    "q214_pareto_frontier",
 ]
 
 

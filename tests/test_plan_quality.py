@@ -1530,3 +1530,36 @@ def test_q213_length_blocking_finds_cross_bucket_edit(spark, tmp_path, qs):
     ha = re.sub(r"\s+", " ", base.lower())[:80]
     hb = re.sub(r"\s+", " ", edited.lower())[:80]
     assert rowsout[0].lev == lev(ha, hb)
+
+
+def test_q214_skyline_matches_naive_dominance(spark, tmp_path, qs):
+    """Random 300-point cloud (seeded): the bucketed two-phase
+    prefix-max frontier must equal naive O(n^2) dominance exactly —
+    including duplicate frontier points and equal-price ties. Plan
+    gate: the only empty-partition window runs AFTER the per-bucket
+    reduction (input |buckets| rows), never over the part scan."""
+    import random
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(300):
+        price = round(rng.uniform(100, 999), 1)
+        size = rng.randint(1, 50)
+        rows.append((i, f"part{i}", "Brand#1", "STANDARD", size, price))
+    # planted duplicates of one frontier-ish point
+    rows.append((900, "dup1", "Brand#1", "STANDARD", 50, 100.0))
+    rows.append((901, "dup2", "Brand#1", "STANDARD", 50, 100.0))
+    spark.createDataFrame(rows, SCHEMAS["part"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "part.parquet"))
+    got = [(r.p_partkey, r.p_retailprice, r.p_size) for r in
+           qs["q214_pareto_frontier"](spark, str(tmp_path)).collect()]
+    pts = [(i, p, s) for (i, _, _, _, s, p) in rows]
+    naive = sorted(
+        [(i, p, s) for (i, p, s) in pts
+         if not any((q < p and t >= s) or (q <= p and t > s)
+                    for (_, q, t) in pts)],
+        key=lambda r: (r[1], r[0]))
+    assert got == naive
+    assert {900, 901} <= {i for i, _, _ in got}
