@@ -6024,6 +6024,112 @@ ORDER BY p_retailprice, p_partkey
 """
 
 
+def q215_lead_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the click and purchase DAILY
+    series: Pearson r at every lag in [-7, +7] — does click volume
+    LEAD purchase volume, and by how many days? All six sufficient
+    statistics (n, Sx, Sy, Sxx, Syy, Sxy) are exact INTEGER sums over
+    the calendar-zero-filled series (q203 discipline), grouped by lag;
+    the r float chain (one sqrt — the accepted libm seam, like ln in
+    q111/q192) runs once per lag over those integers and rounds to
+    milli. Degenerate variance => NULL, each factor checked separately
+    in integers (no product overflow). Scale: one grouped count over
+    events, then everything is |days| x 15 rows — the lag fan-out
+    happens AFTER aggregation, never on raw events."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        WITH days AS (
+          SELECT min(unix_timestamp(ts) div 86400) AS d0,
+                 max(unix_timestamp(ts) div 86400) AS d1
+          FROM events
+        ),
+        cal AS (
+          SELECT explode(sequence(d0, d1)) AS day FROM days
+        ),
+        cnts AS (
+          SELECT unix_timestamp(ts) div 86400 AS day, event_type,
+                 count(*) AS c
+          FROM events WHERE event_type IN ('click', 'purchase')
+          GROUP BY 1, 2
+        ),
+        x AS (
+          SELECT cal.day, coalesce(c, 0) AS v FROM cal
+          LEFT JOIN cnts ON cnts.day = cal.day AND event_type = 'click'
+        ),
+        y AS (
+          SELECT cal.day, coalesce(c, 0) AS v FROM cal
+          LEFT JOIN cnts ON cnts.day = cal.day AND event_type = 'purchase'
+        ),
+        lags AS (
+          SELECT explode(sequence(-7, 7)) AS lag
+        ),
+        joined AS (
+          SELECT lag, x.v AS xv, y.v AS yv
+          FROM lags CROSS JOIN x JOIN y ON y.day = x.day + lags.lag
+        ),
+        agg AS (
+          SELECT lag, count(*) AS n,
+                 sum(xv) AS sx, sum(yv) AS sy,
+                 sum(xv * xv) AS sxx, sum(yv * yv) AS syy,
+                 sum(xv * yv) AS sxy
+          FROM joined GROUP BY lag
+        )
+        SELECT CAST(lag AS BIGINT) AS lag, n,
+               CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                    THEN NULL
+                    ELSE CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                * CAST(n * syy - sy * sy AS DOUBLE)) * 1000)
+                         AS BIGINT) END AS r_milli
+        FROM agg ORDER BY lag
+        """
+    )
+
+
+_Q215_SQL = """
+WITH days AS (
+  SELECT min(epoch(ts)::BIGINT // 86400) AS d0,
+         max(epoch(ts)::BIGINT // 86400) AS d1
+  FROM events
+), cal AS (
+  SELECT u.d AS day FROM days, UNNEST(generate_series(d0, d1)) AS u(d)
+), cnts AS (
+  SELECT epoch(ts)::BIGINT // 86400 AS day, event_type,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+), x AS (
+  SELECT cal.day, coalesce(c, 0) AS v FROM cal
+  LEFT JOIN cnts ON cnts.day = cal.day AND event_type = 'click'
+), y AS (
+  SELECT cal.day, coalesce(c, 0) AS v FROM cal
+  LEFT JOIN cnts ON cnts.day = cal.day AND event_type = 'purchase'
+), lags AS (
+  SELECT u.l AS lag FROM UNNEST(generate_series(-7, 7)) AS u(l)
+), joined AS (
+  SELECT lag, x.v AS xv, y.v AS yv
+  FROM lags CROSS JOIN x JOIN y ON y.day = x.day + lags.lag
+), agg AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+         CAST(sum(xv * xv) AS BIGINT) AS sxx,
+         CAST(sum(yv * yv) AS BIGINT) AS syy,
+         CAST(sum(xv * yv) AS BIGINT) AS sxy
+  FROM joined GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n,
+       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+            ELSE CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)) * 1000)
+                 AS BIGINT) END AS r_milli
+FROM agg ORDER BY lag
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -6128,6 +6234,7 @@ QUERIES = {
     "q209_sql_min_cost_supplier": q209_sql_min_cost_supplier,
     "q210_peak_concurrency": q210_peak_concurrency,
     "q214_pareto_frontier": q214_pareto_frontier,
+    "q215_lead_lag_correlation": q215_lead_lag_correlation,
 }
 
 ORACLES = {
@@ -6234,4 +6341,5 @@ ORACLES = {
     "q209_sql_min_cost_supplier": _Q209_SQL,
     "q210_peak_concurrency": _Q210_SQL,
     "q214_pareto_frontier": _Q214_SQL,
+    "q215_lead_lag_correlation": _Q215_SQL,
 }

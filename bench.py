@@ -227,6 +227,7 @@ HEADLINE = [
     "q212_keyness_loglik",
     "q213_edit_distance_pairs",
     "q214_pareto_frontier",
+    "q215_lead_lag_correlation",
 ]
 
 

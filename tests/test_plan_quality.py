@@ -1563,3 +1563,30 @@ def test_q214_skyline_matches_naive_dominance(spark, tmp_path, qs):
         key=lambda r: (r[1], r[0]))
     assert got == naive
     assert {900, 901} <= {i for i, _, _ in got}
+
+
+def test_q215_lead_lag_finds_planted_shift(spark, tmp_path, qs):
+    """Purchases planted as an exact 2-day-delayed copy of a varying
+    click series: r_milli must be exactly 1000 at lag +2 and lower at
+    every other lag; a constant series at some lag window yields NULL
+    (degenerate variance guard)."""
+    from datetime import datetime, timedelta
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    base = datetime(2024, 3, 1)
+    clicks = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+    rows, i = [], 0
+    for day, c in enumerate(clicks):
+        for _ in range(c):
+            rows.append((i, base + timedelta(days=day), 1, "click", 1.0, "{}"))
+            i += 1
+        for _ in range(clicks[day - 2] if day >= 2 else 1):
+            rows.append((i, base + timedelta(days=day), 1, "purchase", 1.0, "{}"))
+            i += 1
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r.lag: r.r_milli for r in
+           qs["q215_lead_lag_correlation"](spark, str(tmp_path)).collect()}
+    assert got[2] == 1000
+    assert all(v is None or v < 1000 for lag, v in got.items() if lag != 2)
