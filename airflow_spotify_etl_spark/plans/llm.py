@@ -5737,6 +5737,65 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q216_bag_of_words_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words (token-multiset) dedup tier: key = md5 of the
+    SORTED token list — catches shuffled-sentence / reordered copies
+    that exact md5 misses and canonical normalization (q93, which only
+    folds case/punct/whitespace) also misses, at exact-dedup cost (one
+    narrow hash shuffle, no pair generation at all — contrast the
+    quadratic-bounded tiers q24/q213). Sort order is binary UTF-8 in
+    both engines (byte order == code-point order), so the key is
+    engine-portable. Per-source accounting: reorder_only_dups =
+    n_exact - n_bags is the dup mass visible ONLY to this tier."""
+    docs = load_table(spark, sf_dir, "documents")
+    keys = docs.select(
+        "source",
+        F.md5("text").alias("eh"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.sort_array(
+                    F.filter(
+                        F.split(F.lower("text"), "\\s+"),
+                        lambda t: t != "",
+                    )
+                ),
+            )
+        ).alias("bh"),
+    )
+    return (
+        keys.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("eh").alias("n_exact"),
+            F.countDistinct("bh").alias("n_bags"),
+            (F.countDistinct("eh") - F.countDistinct("bh")).alias(
+                "reorder_only_dups"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_Q216_SQL = r"""
+WITH keys AS (
+  SELECT doc_id, source,
+         md5(text) AS eh,
+         md5(array_to_string(list_sort(list_filter(
+             string_split_regex(lower(text), '\s+'), t -> t <> '')), ' '))
+           AS bh
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT eh) AS BIGINT) AS n_exact,
+       CAST(count(DISTINCT bh) AS BIGINT) AS n_bags,
+       CAST(count(DISTINCT eh) - count(DISTINCT bh) AS BIGINT)
+         AS reorder_only_dups
+FROM keys GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -5832,6 +5891,7 @@ QUERIES = {
     "q211_js_source_drift": q211_js_source_drift,
     "q212_keyness_loglik": q212_keyness_loglik,
     "q213_edit_distance_pairs": q213_edit_distance_pairs,
+    "q216_bag_of_words_dedup": q216_bag_of_words_dedup,
 }
 
 ORACLES = {
@@ -5929,4 +5989,5 @@ ORACLES = {
     "q211_js_source_drift": _Q211_SQL,
     "q212_keyness_loglik": _Q212_SQL,
     "q213_edit_distance_pairs": _Q213_SQL,
+    "q216_bag_of_words_dedup": _Q216_SQL,
 }

@@ -228,6 +228,7 @@ HEADLINE = [
     "q213_edit_distance_pairs",
     "q214_pareto_frontier",
     "q215_lead_lag_correlation",
+    "q216_bag_of_words_dedup",
 ]
 
 

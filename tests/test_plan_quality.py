@@ -1590,3 +1590,26 @@ def test_q215_lead_lag_finds_planted_shift(spark, tmp_path, qs):
            qs["q215_lead_lag_correlation"](spark, str(tmp_path)).collect()}
     assert got[2] == 1000
     assert all(v is None or v < 1000 for lag, v in got.items() if lag != 2)
+
+
+def test_q216_bag_key_catches_reorder_only(spark, tmp_path, qs):
+    """Planted: doc 2 is a word-reordering of doc 1 (distinct md5,
+    same bag), doc 3 differs only in case+spacing from doc 1 (same
+    bag after lower+split), doc 4 is genuinely different. Expect
+    n_exact=4 (all texts distinct), n_bags=2, reorder_only_dups=2.
+    Plan gate: no pair join — the tier is pure hash aggregation."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows = [
+        (1, "alpha beta gamma", "en", "s", 1),
+        (2, "gamma alpha beta", "en", "s", 1),
+        (3, "Beta   ALPHA gamma", "en", "s", 1),
+        (4, "delta epsilon zeta", "en", "s", 1),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "documents.parquet"))
+    df = qs["q216_bag_of_words_dedup"](spark, str(tmp_path))
+    r = df.collect()[0]
+    assert (r.n_docs, r.n_exact, r.n_bags, r.reorder_only_dups) == (4, 4, 2, 2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
