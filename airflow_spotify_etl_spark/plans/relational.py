@@ -6130,6 +6130,106 @@ FROM agg ORDER BY lag
 """
 
 
+def q217_seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative day-of-week seasonal indices per event type —
+    the classical-decomposition seasonal factor (index 1.0 = that
+    weekday runs at the daily average). Day-of-week comes from PURE
+    INTEGER epoch arithmetic ((epoch_day + 3) %% 7, Monday = 0) so
+    both engines bucket identically with no timezone/locale seam;
+    counts are zero-filled over the full type x calendar grid (q203
+    discipline) so sparse weekdays read 0 rather than vanishing; the
+    index is one float chain over four exact integers, micro-
+    quantized. Scale: one grouped count over events, then everything
+    is |types| x 7 rows; the calendar fan-out is post-aggregation."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        WITH days AS (
+          SELECT min(unix_timestamp(ts) div 86400) AS d0,
+                 max(unix_timestamp(ts) div 86400) AS d1
+          FROM events
+        ),
+        cal AS (
+          SELECT explode(sequence(d0, d1)) AS day FROM days
+        ),
+        types AS (
+          SELECT DISTINCT event_type FROM events
+        ),
+        grid AS (
+          SELECT event_type, day FROM types CROSS JOIN cal
+        ),
+        cnts AS (
+          SELECT event_type AS et, unix_timestamp(ts) div 86400 AS day,
+                 count(*) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        filled AS (
+          SELECT grid.event_type, grid.day, coalesce(c, 0) AS c,
+                 (grid.day + 3) % 7 AS dow
+          FROM grid LEFT JOIN cnts
+            ON cnts.et = grid.event_type AND cnts.day = grid.day
+        ),
+        dowagg AS (
+          SELECT event_type, dow, count(*) AS n_days, sum(c) AS sum_c
+          FROM filled GROUP BY event_type, dow
+        ),
+        tot AS (
+          SELECT event_type AS et, sum(sum_c) AS total,
+                 sum(n_days) AS total_days
+          FROM dowagg GROUP BY event_type
+        )
+        SELECT event_type, dow, n_days, sum_c,
+               CASE WHEN total = 0 THEN NULL ELSE
+                 CAST(round((CAST(sum_c AS DOUBLE) / CAST(n_days AS DOUBLE))
+                      / (CAST(total AS DOUBLE) / CAST(total_days AS DOUBLE))
+                      * 1e6) AS BIGINT) END AS index_micro
+        FROM dowagg JOIN tot ON dowagg.event_type = tot.et
+        ORDER BY event_type, dow
+        """
+    )
+
+
+_Q217_SQL = """
+WITH days AS (
+  SELECT min(epoch(ts)::BIGINT // 86400) AS d0,
+         max(epoch(ts)::BIGINT // 86400) AS d1
+  FROM events
+), cal AS (
+  SELECT u.d AS day FROM days, UNNEST(generate_series(d0, d1)) AS u(d)
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), grid AS (
+  SELECT event_type, day FROM types CROSS JOIN cal
+), cnts AS (
+  SELECT event_type AS et, epoch(ts)::BIGINT // 86400 AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), filled AS (
+  SELECT grid.event_type, grid.day, coalesce(c, 0) AS c,
+         (grid.day + 3) % 7 AS dow
+  FROM grid LEFT JOIN cnts
+    ON cnts.et = grid.event_type AND cnts.day = grid.day
+), dowagg AS (
+  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(c) AS BIGINT) AS sum_c
+  FROM filled GROUP BY event_type, dow
+), tot AS (
+  SELECT event_type AS et, CAST(sum(sum_c) AS BIGINT) AS total,
+         CAST(sum(n_days) AS BIGINT) AS total_days
+  FROM dowagg GROUP BY event_type
+)
+SELECT event_type, dow, n_days, sum_c,
+       CASE WHEN total = 0 THEN NULL ELSE
+         CAST(round((CAST(sum_c AS DOUBLE) / CAST(n_days AS DOUBLE))
+              / (CAST(total AS DOUBLE) / CAST(total_days AS DOUBLE)) * 1e6)
+           AS BIGINT) END AS index_micro
+FROM dowagg JOIN tot ON dowagg.event_type = tot.et
+ORDER BY event_type, dow
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -6235,6 +6335,7 @@ QUERIES = {
     "q210_peak_concurrency": q210_peak_concurrency,
     "q214_pareto_frontier": q214_pareto_frontier,
     "q215_lead_lag_correlation": q215_lead_lag_correlation,
+    "q217_seasonal_indices": q217_seasonal_indices,
 }
 
 ORACLES = {
@@ -6342,4 +6443,5 @@ ORACLES = {
     "q210_peak_concurrency": _Q210_SQL,
     "q214_pareto_frontier": _Q214_SQL,
     "q215_lead_lag_correlation": _Q215_SQL,
+    "q217_seasonal_indices": _Q217_SQL,
 }

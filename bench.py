@@ -229,6 +229,7 @@ HEADLINE = [
     "q214_pareto_frontier",
     "q215_lead_lag_correlation",
     "q216_bag_of_words_dedup",
+    "q217_seasonal_indices",
 ]
 
 

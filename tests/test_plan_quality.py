@@ -1613,3 +1613,30 @@ def test_q216_bag_key_catches_reorder_only(spark, tmp_path, qs):
     assert (r.n_docs, r.n_exact, r.n_bags, r.reorder_only_dups) == (4, 4, 2, 2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_q217_seasonal_index_hand_check(spark, tmp_path, qs):
+    """Two full weeks where Mondays get 8 events/day and every other
+    day gets 1: grand daily avg = 28/14 = 2, so Monday's index is
+    exactly 8/2 = 4.0 (micro 4000000) and every other day 1/2 = 0.5
+    (500000). Also checks the integer dow mapping: 2024-03-04 is a
+    Monday -> dow 0."""
+    from datetime import datetime, timedelta
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    base = datetime(2024, 3, 4)  # Monday
+    rows, i = [], 0
+    for day in range(14):
+        n = 8 if day % 7 == 0 else 1
+        for _ in range(n):
+            rows.append((i, base + timedelta(days=day), 1, "click", 1.0, "{}"))
+            i += 1
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r.dow: r for r in
+           qs["q217_seasonal_indices"](spark, str(tmp_path)).collect()}
+    assert got[0].sum_c == 16 and got[0].n_days == 2
+    assert got[0].index_micro == 4000000
+    for d in range(1, 7):
+        assert got[d].index_micro == 500000
