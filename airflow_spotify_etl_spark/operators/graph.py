@@ -443,3 +443,55 @@ def personalized_pagerank(
     return ranks.select(
         "node", F.round("rank", rank_decimals).alias("rank")
     ).orderBy("node")
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: drop every vertex
+    with degree < k, delete its edges, repeat. Returns the peel
+    TRAJECTORY — one row per round with (n_vertices, n_edges) of the
+    surviving subgraph — which converges to the k-core (a fixed point:
+    two equal consecutive rows prove convergence inside the budget).
+
+    Scale shape: each round is one degree aggregation (vertex-keyed,
+    map-side combine) plus two semi-joins of the edge list against the
+    surviving vertex set — all shuffles are keyed by vertex id, and
+    ``localCheckpoint`` truncates the lineage every round so the plan
+    does not grow with the iteration count (same discipline as
+    pagerank/personalized_pagerank above). The round budget is fixed
+    (peeling halves fast in practice; the trajectory records whether
+    the fixed point was reached), so the job graph is bounded.
+
+    ``edges`` must be distinct undirected pairs (a < b)."""
+    e = edges.select("a", "b").localCheckpoint(eager=True)
+
+    def _summary(ed: DataFrame, r: int) -> DataFrame:
+        verts = ed.select(F.col("a").alias("v")).unionAll(
+            ed.select(F.col("b").alias("v"))
+        )
+        return verts.agg(
+            F.lit(r).cast("long").alias("round"),
+            F.countDistinct("v").alias("n_vertices"),
+            (F.count("*") / 2).cast("long").alias("n_edges"),
+        )
+
+    out = _summary(e, 0)
+    for r in range(1, int(rounds) + 1):
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= int(k)).select("v")
+        e = (
+            e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionAll(_summary(e, r))
+    return out.orderBy("round")

@@ -6230,6 +6230,167 @@ ORDER BY event_type, dow
 """
 
 
+def q218_kcore_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=110, near this graph's density
+    threshold so the peel is non-trivial) of the co-purchase graph:
+    parts are vertices, an edge joins parts bought in the same order
+    (baskets capped at 100, the q111 discipline; join-free nested-
+    transform pair expansion). Output is the 8-round PEEL TRAJECTORY
+    (round, n_vertices, n_edges) — two equal consecutive rows prove
+    the fixed point (the k-core) was reached inside the budget. Every
+    per-round shuffle is vertex-keyed; localCheckpoint truncates the
+    lineage each round (operators/graph.kcore_peel). The oracle is
+    the same peel UNROLLED as 8 materialized CTE rounds."""
+    from ..operators.graph import _pair_expr, kcore_peel
+
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .groupBy("o")
+        .agg(F.array_sort(F.collect_set("p")).alias("items"))
+        .filter((F.size("items") >= 2) & (F.size("items") <= 100))
+    )
+    edges = (
+        baskets.select(F.explode(_pair_expr("items")).alias("pr"))
+        .select(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+        .distinct()
+    )
+    return kcore_peel(edges, k=110, rounds=8)
+
+
+_Q218_SQL = """
+WITH b AS MATERIALIZED (
+  SELECT l_orderkey AS o, l_partkey AS p
+  FROM lineitem GROUP BY 1, 2
+), sized AS MATERIALIZED (
+  SELECT o, p, count(*) OVER (PARTITION BY o) AS bs FROM b
+), kept AS MATERIALIZED (
+  SELECT o, p FROM sized WHERE bs <= 100
+), e0 AS MATERIALIZED (
+  SELECT DISTINCT x.p AS a, y.p AS bb
+  FROM kept x JOIN kept y ON x.o = y.o AND x.p < y.p
+),
+v1 AS MATERIALIZED (
+  SELECT a AS v FROM (
+    SELECT a FROM e0 UNION ALL SELECT bb FROM e0
+  ) t(a) GROUP BY a HAVING count(*) >= 110
+),
+e1 AS MATERIALIZED (
+  SELECT a, bb FROM e0
+  WHERE a IN (SELECT v FROM v1) AND bb IN (SELECT v FROM v1)
+),
+v2 AS MATERIALIZED (
+  SELECT a AS v FROM (
+    SELECT a FROM e1 UNION ALL SELECT bb FROM e1
+  ) t(a) GROUP BY a HAVING count(*) >= 110
+),
+e2 AS MATERIALIZED (
+  SELECT a, bb FROM e1
+  WHERE a IN (SELECT v FROM v2) AND bb IN (SELECT v FROM v2)
+),
+v3 AS MATERIALIZED (
+  SELECT a AS v FROM (
+    SELECT a FROM e2 UNION ALL SELECT bb FROM e2
+  ) t(a) GROUP BY a HAVING count(*) >= 110
+),
+e3 AS MATERIALIZED (
+  SELECT a, bb FROM e2
+  WHERE a IN (SELECT v FROM v3) AND bb IN (SELECT v FROM v3)
+),
+v4 AS MATERIALIZED (
+  SELECT a AS v FROM (
+    SELECT a FROM e3 UNION ALL SELECT bb FROM e3
+  ) t(a) GROUP BY a HAVING count(*) >= 110
+),
+e4 AS MATERIALIZED (
+  SELECT a, bb FROM e3
+  WHERE a IN (SELECT v FROM v4) AND bb IN (SELECT v FROM v4)
+),
+v5 AS MATERIALIZED (
+  SELECT a AS v FROM (
+    SELECT a FROM e4 UNION ALL SELECT bb FROM e4
+  ) t(a) GROUP BY a HAVING count(*) >= 110
+),
+e5 AS MATERIALIZED (
+  SELECT a, bb FROM e4
+  WHERE a IN (SELECT v FROM v5) AND bb IN (SELECT v FROM v5)
+),
+v6 AS MATERIALIZED (
+  SELECT a AS v FROM (
+    SELECT a FROM e5 UNION ALL SELECT bb FROM e5
+  ) t(a) GROUP BY a HAVING count(*) >= 110
+),
+e6 AS MATERIALIZED (
+  SELECT a, bb FROM e5
+  WHERE a IN (SELECT v FROM v6) AND bb IN (SELECT v FROM v6)
+),
+v7 AS MATERIALIZED (
+  SELECT a AS v FROM (
+    SELECT a FROM e6 UNION ALL SELECT bb FROM e6
+  ) t(a) GROUP BY a HAVING count(*) >= 110
+),
+e7 AS MATERIALIZED (
+  SELECT a, bb FROM e6
+  WHERE a IN (SELECT v FROM v7) AND bb IN (SELECT v FROM v7)
+),
+v8 AS MATERIALIZED (
+  SELECT a AS v FROM (
+    SELECT a FROM e7 UNION ALL SELECT bb FROM e7
+  ) t(a) GROUP BY a HAVING count(*) >= 110
+),
+e8 AS MATERIALIZED (
+  SELECT a, bb FROM e7
+  WHERE a IN (SELECT v FROM v8) AND bb IN (SELECT v FROM v8)
+)
+SELECT * FROM (
+SELECT CAST(0 AS BIGINT) AS round,
+  (SELECT CAST(count(DISTINCT v) AS BIGINT)
+   FROM (SELECT a AS v FROM e0 UNION SELECT bb FROM e0) u) AS n_vertices,
+  (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS round,
+  (SELECT CAST(count(DISTINCT v) AS BIGINT)
+   FROM (SELECT a AS v FROM e1 UNION SELECT bb FROM e1) u) AS n_vertices,
+  (SELECT CAST(count(*) AS BIGINT) FROM e1) AS n_edges
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS round,
+  (SELECT CAST(count(DISTINCT v) AS BIGINT)
+   FROM (SELECT a AS v FROM e2 UNION SELECT bb FROM e2) u) AS n_vertices,
+  (SELECT CAST(count(*) AS BIGINT) FROM e2) AS n_edges
+UNION ALL
+SELECT CAST(3 AS BIGINT) AS round,
+  (SELECT CAST(count(DISTINCT v) AS BIGINT)
+   FROM (SELECT a AS v FROM e3 UNION SELECT bb FROM e3) u) AS n_vertices,
+  (SELECT CAST(count(*) AS BIGINT) FROM e3) AS n_edges
+UNION ALL
+SELECT CAST(4 AS BIGINT) AS round,
+  (SELECT CAST(count(DISTINCT v) AS BIGINT)
+   FROM (SELECT a AS v FROM e4 UNION SELECT bb FROM e4) u) AS n_vertices,
+  (SELECT CAST(count(*) AS BIGINT) FROM e4) AS n_edges
+UNION ALL
+SELECT CAST(5 AS BIGINT) AS round,
+  (SELECT CAST(count(DISTINCT v) AS BIGINT)
+   FROM (SELECT a AS v FROM e5 UNION SELECT bb FROM e5) u) AS n_vertices,
+  (SELECT CAST(count(*) AS BIGINT) FROM e5) AS n_edges
+UNION ALL
+SELECT CAST(6 AS BIGINT) AS round,
+  (SELECT CAST(count(DISTINCT v) AS BIGINT)
+   FROM (SELECT a AS v FROM e6 UNION SELECT bb FROM e6) u) AS n_vertices,
+  (SELECT CAST(count(*) AS BIGINT) FROM e6) AS n_edges
+UNION ALL
+SELECT CAST(7 AS BIGINT) AS round,
+  (SELECT CAST(count(DISTINCT v) AS BIGINT)
+   FROM (SELECT a AS v FROM e7 UNION SELECT bb FROM e7) u) AS n_vertices,
+  (SELECT CAST(count(*) AS BIGINT) FROM e7) AS n_edges
+UNION ALL
+SELECT CAST(8 AS BIGINT) AS round,
+  (SELECT CAST(count(DISTINCT v) AS BIGINT)
+   FROM (SELECT a AS v FROM e8 UNION SELECT bb FROM e8) u) AS n_vertices,
+  (SELECT CAST(count(*) AS BIGINT) FROM e8) AS n_edges
+) ORDER BY round"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -6336,6 +6497,7 @@ QUERIES = {
     "q214_pareto_frontier": q214_pareto_frontier,
     "q215_lead_lag_correlation": q215_lead_lag_correlation,
     "q217_seasonal_indices": q217_seasonal_indices,
+    "q218_kcore_trajectory": q218_kcore_trajectory,
 }
 
 ORACLES = {
@@ -6444,4 +6606,5 @@ ORACLES = {
     "q214_pareto_frontier": _Q214_SQL,
     "q215_lead_lag_correlation": _Q215_SQL,
     "q217_seasonal_indices": _Q217_SQL,
+    "q218_kcore_trajectory": _Q218_SQL,
 }

@@ -230,6 +230,7 @@ HEADLINE = [
     "q215_lead_lag_correlation",
     "q216_bag_of_words_dedup",
     "q217_seasonal_indices",
+    "q218_kcore_trajectory",
 ]
 
 

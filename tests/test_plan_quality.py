@@ -1640,3 +1640,23 @@ def test_q217_seasonal_index_hand_check(spark, tmp_path, qs):
     assert got[0].index_micro == 4000000
     for d in range(1, 7):
         assert got[d].index_micro == 500000
+
+
+def test_q218_kcore_peel_planted_graph(spark, qs, tmp_path):
+    """Planted graph via the operator directly: a 4-clique (3-core)
+    plus a pendant chain hanging off it. Peeling with k=3 must strip
+    the chain in order (round 1 drops the chain tail's support, the
+    clique survives as the fixed point) and the trajectory must show
+    convergence: two equal consecutive rows."""
+    from airflow_spotify_etl_spark.operators.graph import kcore_peel
+
+    # 4-clique on 1-4; chain 4-5, 5-6
+    E = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    edges = spark.createDataFrame(E, "a long, b long")
+    rows = kcore_peel(edges, k=3, rounds=4).collect()
+    traj = [(r.round, r.n_vertices, r.n_edges) for r in rows]
+    assert traj[0] == (0, 6, 8)
+    # round 1: vertices 5 (deg 2) and 6 (deg 1) drop -> clique only
+    assert traj[1] == (1, 4, 6)
+    # fixed point: all later rounds identical
+    assert traj[2] == (2, 4, 6) and traj[-1] == (4, 4, 6)
