@@ -6391,6 +6391,87 @@ SELECT CAST(8 AS BIGINT) AS round,
 ) ORDER BY round"""
 
 
+def q219_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT (sequential probability ratio test) on the daily
+    user-conversion rate: H0 p=0.2 vs H1 p=0.3, alpha=beta=0.05 — the
+    canonical always-valid sequential A/B monitor. A trial is a
+    user-day with at least one click; success = same user-day also
+    purchased (a proper Bernoulli, built by one grouped max-flag scan).
+    Per-day LLR terms use ln(1.5)/ln(0.875) — EXACTLY representable
+    double arguments, dodging the decimal-literal division seam — and
+    are micro-quantized before the cumulative sum, so the running LLR
+    is an exact BIGINT prefix and the +/-ln(19) decision boundaries
+    compare integers. The only unkeyed window runs over |days|
+    post-aggregation rows (q215 argument)."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        WITH ud AS (
+          SELECT user_id, unix_timestamp(ts) div 86400 AS day,
+                 max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS has_click,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS has_buy
+          FROM events GROUP BY 1, 2
+        ),
+        daily AS (
+          SELECT day, count(*) AS n_trials, sum(has_buy) AS k_success
+          FROM ud WHERE has_click = 1 GROUP BY day
+        ),
+        terms AS (
+          SELECT day, n_trials, k_success,
+                 CAST(round((CAST(k_success AS DOUBLE) * ln(1.5)
+                      + CAST(n_trials - k_success AS DOUBLE) * ln(0.875))
+                      * 1e6) AS BIGINT) AS term_micro
+          FROM daily
+        ),
+        cum AS (
+          SELECT day, n_trials, k_success,
+                 sum(term_micro) OVER (ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS llr_micro
+          FROM terms
+        )
+        SELECT day AS epoch_day, n_trials, k_success, llr_micro,
+               CASE WHEN llr_micro >= 2944439 THEN 'accept_h1'
+                    WHEN llr_micro <= -2944439 THEN 'accept_h0'
+                    ELSE 'continue' END AS decision
+        FROM cum ORDER BY epoch_day
+        """
+    )
+
+
+_Q219_SQL = """
+WITH ud AS (
+  SELECT user_id, epoch(ts)::BIGINT // 86400 AS day,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_buy
+  FROM events GROUP BY 1, 2
+), daily AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_trials,
+         CAST(sum(has_buy) AS BIGINT) AS k_success
+  FROM ud WHERE has_click = 1 GROUP BY day
+), terms AS (
+  SELECT day, n_trials, k_success,
+         CAST(round((CAST(k_success AS DOUBLE) * ln(1.5)
+              + CAST(n_trials - k_success AS DOUBLE) * ln(0.875))
+              * 1e6) AS BIGINT) AS term_micro
+  FROM daily
+), cum AS (
+  SELECT day, n_trials, k_success,
+         CAST(sum(term_micro) OVER (ORDER BY day
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS llr_micro
+  FROM terms
+)
+SELECT day AS epoch_day, n_trials, k_success, llr_micro,
+       CASE WHEN llr_micro >= 2944439 THEN 'accept_h1'
+            WHEN llr_micro <= -2944439 THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM cum ORDER BY epoch_day
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -6498,6 +6579,7 @@ QUERIES = {
     "q215_lead_lag_correlation": q215_lead_lag_correlation,
     "q217_seasonal_indices": q217_seasonal_indices,
     "q218_kcore_trajectory": q218_kcore_trajectory,
+    "q219_sprt_sequential_test": q219_sprt_sequential_test,
 }
 
 ORACLES = {
@@ -6607,4 +6689,5 @@ ORACLES = {
     "q215_lead_lag_correlation": _Q215_SQL,
     "q217_seasonal_indices": _Q217_SQL,
     "q218_kcore_trajectory": _Q218_SQL,
+    "q219_sprt_sequential_test": _Q219_SQL,
 }

@@ -231,6 +231,7 @@ HEADLINE = [
     "q216_bag_of_words_dedup",
     "q217_seasonal_indices",
     "q218_kcore_trajectory",
+    "q219_sprt_sequential_test",
 ]
 
 

@@ -1660,3 +1660,44 @@ def test_q218_kcore_peel_planted_graph(spark, qs, tmp_path):
     assert traj[1] == (1, 4, 6)
     # fixed point: all later rounds identical
     assert traj[2] == (2, 4, 6) and traj[-1] == (4, 4, 6)
+
+
+def test_q219_sprt_crosses_boundaries_correctly(spark, tmp_path, qs):
+    """Planted conversions: 10 days at 0/10 conversions must drive the
+    LLR below -ln(19) (accept_h0, exact term -10*ln(0.875)*1e6 per
+    day... negative direction), and a separate run at 10/10 must
+    accept_h1. Per-day term hand-checked in micro units."""
+    import math
+    from datetime import datetime, timedelta
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    base = datetime(2024, 5, 1)
+
+    def build(successes_per_day):
+        rows, i = [], 0
+        for day in range(10):
+            for u in range(10):
+                rows.append((i, base + timedelta(days=day), u, "click", 1.0, "{}"))
+                i += 1
+                if u < successes_per_day:
+                    rows.append((i, base + timedelta(days=day, hours=1), u,
+                                 "purchase", 1.0, "{}"))
+                    i += 1
+        return rows
+
+    spark.createDataFrame(build(0), SCHEMAS["events"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "events.parquet"))
+    rows = qs["q219_sprt_sequential_test"](spark, str(tmp_path)).collect()
+    term = round(10 * math.log(0.875) * 1e6)
+    assert rows[0].llr_micro == term
+    assert rows[-1].llr_micro == 10 * term
+    assert rows[-1].decision == "accept_h0"
+    assert any(r.decision == "accept_h0" for r in rows[:4])
+
+    spark.createDataFrame(build(10), SCHEMAS["events"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "events.parquet"))
+    rows = qs["q219_sprt_sequential_test"](spark, str(tmp_path)).collect()
+    term1 = round(10 * math.log(1.5) * 1e6)
+    assert rows[0].llr_micro == term1
+    assert rows[-1].decision == "accept_h1"
