@@ -5796,6 +5796,67 @@ FROM keys GROUP BY source ORDER BY source
 """
 
 
+def q220_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search ("table value") by POSITIONAL inverted-index
+    intersection — the search-engine primitive BM25 (q51) cannot
+    express: postings are (token, doc, position) triples, the phrase
+    match is a doc-keyed self-join of the two terms' postings with the
+    adjacency predicate pos2 = pos1 + 1. The token filter applies
+    BEFORE the join (the plan only ever shuffles the two query terms'
+    postings, not the corpus index — at scale this is the posting-list
+    skip, the selective predicate pushed below the join). Positions
+    come from posexplode (deterministic ordinals), never an unordered
+    row_number. Output: per-doc occurrence count and first position."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.filter(
+                    F.split(F.lower("text"), "\\s+"), lambda t: t != ""
+                )
+            ).alias("pos", "tok"),
+        )
+        .filter(F.col("tok").isin("table", "value"))
+    )
+    t1 = toks.filter(F.col("tok") == "table").select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    t2 = toks.filter(F.col("tok") == "value").select(
+        "doc_id", F.col("pos").alias("p2")
+    )
+    hits = t1.join(t2, "doc_id").filter(F.col("p2") == F.col("p1") + 1)
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            (F.min("p1") + 1).cast("long").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q220_SQL = r"""
+WITH lsts AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> t <> '') AS l
+  FROM documents
+), toks AS (
+  SELECT doc_id, l[i] AS tok, i AS pos
+  FROM lsts, UNNEST(generate_series(1, len(l))) AS t(i)
+  WHERE l[i] IN ('table', 'value')
+)
+SELECT t1.doc_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(t1.pos) AS BIGINT) AS first_pos
+FROM toks t1
+JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+WHERE t1.tok = 'table' AND t2.tok = 'value'
+GROUP BY t1.doc_id
+ORDER BY t1.doc_id
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -5892,6 +5953,7 @@ QUERIES = {
     "q212_keyness_loglik": q212_keyness_loglik,
     "q213_edit_distance_pairs": q213_edit_distance_pairs,
     "q216_bag_of_words_dedup": q216_bag_of_words_dedup,
+    "q220_phrase_search": q220_phrase_search,
 }
 
 ORACLES = {
@@ -5990,4 +6052,5 @@ ORACLES = {
     "q212_keyness_loglik": _Q212_SQL,
     "q213_edit_distance_pairs": _Q213_SQL,
     "q216_bag_of_words_dedup": _Q216_SQL,
+    "q220_phrase_search": _Q220_SQL,
 }

@@ -232,6 +232,7 @@ HEADLINE = [
     "q217_seasonal_indices",
     "q218_kcore_trajectory",
     "q219_sprt_sequential_test",
+    "q220_phrase_search",
 ]
 
 

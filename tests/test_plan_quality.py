@@ -1701,3 +1701,27 @@ def test_q219_sprt_crosses_boundaries_correctly(spark, tmp_path, qs):
     term1 = round(10 * math.log(1.5) * 1e6)
     assert rows[0].llr_micro == term1
     assert rows[-1].decision == "accept_h1"
+
+
+def test_q220_phrase_adjacency_and_prefilter(spark, tmp_path, qs):
+    """'table value table value table' has 2 adjacent matches starting
+    at position 1; 'table x value' has none (adjacency, not co-
+    occurrence); 'value table' has none (order matters). Plan gate:
+    the token IN-filter sits below the join (only query-term postings
+    shuffle) and the join is doc-keyed, not a cartesian."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows = [
+        (1, "table value table value table", "en", "s", 1),
+        (2, "table x value", "en", "s", 1),
+        (3, "value table", "en", "s", 1),
+        (4, "a table value b", "en", "s", 1),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "documents.parquet"))
+    df = qs["q220_phrase_search"](spark, str(tmp_path))
+    got = {r.doc_id: (r.n_matches, r.first_pos) for r in df.collect()}
+    assert got == {1: (2, 1), 4: (1, 2)}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "tok#" in plan and "IN (table,value)" in plan.replace("'", "")
