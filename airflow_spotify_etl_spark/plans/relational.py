@@ -2700,8 +2700,8 @@ def q138_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     wu = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.when(
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wu)
-        > 1800,
+        F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu))
+        > 1800 * 1_000_000,
         1,
     ).otherwise(0)
     first = F.when(F.lag("ts").over(wu).isNull(), 1).otherwise(0)
@@ -2756,7 +2756,7 @@ _Q138_SQL = """
 WITH s AS (
   SELECT user_id, event_id, ts, event_type,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
               THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -5875,14 +5875,14 @@ def q210_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         WITH e AS (
-          SELECT user_id, unix_timestamp(ts) AS es FROM events
+          SELECT user_id, unix_micros(ts) AS es FROM events
         ),
         ord AS (
           SELECT user_id, es,
                  CASE WHEN lag(es) OVER (PARTITION BY user_id ORDER BY es)
                         IS NULL
                       OR es - lag(es) OVER (PARTITION BY user_id ORDER BY es)
-                        > 1800
+                        > 1800000000
                       THEN 1 ELSE 0 END AS new_sess
           FROM e
         ),
@@ -5894,15 +5894,15 @@ def q210_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM ord
         ),
         bounds AS (
-          SELECT user_id, sid, min(es) AS s, max(es) + 60 AS f
+          SELECT user_id, sid, min(es) AS s, max(es) + 60000000 AS f
           FROM sess GROUP BY user_id, sid
         ),
         seg AS (
           SELECT d AS epoch_day,
-                 greatest(s, d * 86400) AS seg_start,
-                 least(f, (d + 1) * 86400) AS seg_end
+                 greatest(s, d * 86400000000) AS seg_start,
+                 least(f, (d + 1) * 86400000000) AS seg_end
           FROM bounds
-          LATERAL VIEW explode(sequence(s div 86400, (f - 1) div 86400)) AS d
+          LATERAL VIEW explode(sequence(s div 86400000000, (f - 1) div 86400000000)) AS d
         ),
         deltas AS (
           SELECT epoch_day, seg_start AS t, 1 AS delta FROM seg
@@ -5925,11 +5925,11 @@ def q210_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q210_SQL = """
 WITH e AS (
-  SELECT user_id, epoch(ts)::BIGINT AS es FROM events
+  SELECT user_id, epoch_us(ts) AS es FROM events
 ),
 ord AS (
   SELECT user_id, es,
-         CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+         CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800000000
               THEN 1 ELSE 0 END AS new_sess
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es)
 ),
@@ -5941,14 +5941,14 @@ sess AS (
   FROM ord
 ),
 bounds AS (
-  SELECT user_id, sid, min(es) AS s, max(es) + 60 AS f
+  SELECT user_id, sid, min(es) AS s, max(es) + 60000000 AS f
   FROM sess GROUP BY user_id, sid
 ),
 seg AS (
   SELECT d.d AS epoch_day,
-         greatest(s, d.d * 86400) AS seg_start,
-         least(f, (d.d + 1) * 86400) AS seg_end
-  FROM bounds, UNNEST(generate_series(s // 86400, (f - 1) // 86400)) AS d(d)
+         greatest(s, d.d * 86400000000) AS seg_start,
+         least(f, (d.d + 1) * 86400000000) AS seg_end
+  FROM bounds, UNNEST(generate_series(s // 86400000000, (f - 1) // 86400000000)) AS d(d)
 ),
 deltas AS (
   SELECT epoch_day, seg_start AS t, 1 AS delta FROM seg
@@ -6042,15 +6042,15 @@ def q215_lead_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         WITH days AS (
-          SELECT min(unix_timestamp(ts) div 86400) AS d0,
-                 max(unix_timestamp(ts) div 86400) AS d1
+          SELECT min(unix_micros(ts) div 86400000000) AS d0,
+                 max(unix_micros(ts) div 86400000000) AS d1
           FROM events
         ),
         cal AS (
           SELECT explode(sequence(d0, d1)) AS day FROM days
         ),
         cnts AS (
-          SELECT unix_timestamp(ts) div 86400 AS day, event_type,
+          SELECT unix_micros(ts) div 86400000000 AS day, event_type,
                  count(*) AS c
           FROM events WHERE event_type IN ('click', 'purchase')
           GROUP BY 1, 2
@@ -6091,13 +6091,13 @@ def q215_lead_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q215_SQL = """
 WITH days AS (
-  SELECT min(epoch(ts)::BIGINT // 86400) AS d0,
-         max(epoch(ts)::BIGINT // 86400) AS d1
+  SELECT min(epoch_us(ts) // 86400000000) AS d0,
+         max(epoch_us(ts) // 86400000000) AS d1
   FROM events
 ), cal AS (
   SELECT u.d AS day FROM days, UNNEST(generate_series(d0, d1)) AS u(d)
 ), cnts AS (
-  SELECT epoch(ts)::BIGINT // 86400 AS day, event_type,
+  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
          CAST(count(*) AS BIGINT) AS c
   FROM events WHERE event_type IN ('click', 'purchase')
   GROUP BY 1, 2
@@ -6147,8 +6147,8 @@ def q217_seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         WITH days AS (
-          SELECT min(unix_timestamp(ts) div 86400) AS d0,
-                 max(unix_timestamp(ts) div 86400) AS d1
+          SELECT min(unix_micros(ts) div 86400000000) AS d0,
+                 max(unix_micros(ts) div 86400000000) AS d1
           FROM events
         ),
         cal AS (
@@ -6161,7 +6161,7 @@ def q217_seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT event_type, day FROM types CROSS JOIN cal
         ),
         cnts AS (
-          SELECT event_type AS et, unix_timestamp(ts) div 86400 AS day,
+          SELECT event_type AS et, unix_micros(ts) div 86400000000 AS day,
                  count(*) AS c
           FROM events GROUP BY 1, 2
         ),
@@ -6193,8 +6193,8 @@ def q217_seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q217_SQL = """
 WITH days AS (
-  SELECT min(epoch(ts)::BIGINT // 86400) AS d0,
-         max(epoch(ts)::BIGINT // 86400) AS d1
+  SELECT min(epoch_us(ts) // 86400000000) AS d0,
+         max(epoch_us(ts) // 86400000000) AS d1
   FROM events
 ), cal AS (
   SELECT u.d AS day FROM days, UNNEST(generate_series(d0, d1)) AS u(d)
@@ -6203,7 +6203,7 @@ WITH days AS (
 ), grid AS (
   SELECT event_type, day FROM types CROSS JOIN cal
 ), cnts AS (
-  SELECT event_type AS et, epoch(ts)::BIGINT // 86400 AS day,
+  SELECT event_type AS et, epoch_us(ts) // 86400000000 AS day,
          CAST(count(*) AS BIGINT) AS c
   FROM events GROUP BY 1, 2
 ), filled AS (
@@ -6409,7 +6409,7 @@ def q219_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         WITH ud AS (
-          SELECT user_id, unix_timestamp(ts) div 86400 AS day,
+          SELECT user_id, unix_micros(ts) div 86400000000 AS day,
                  max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
                    AS has_click,
                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -6444,7 +6444,7 @@ def q219_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q219_SQL = """
 WITH ud AS (
-  SELECT user_id, epoch(ts)::BIGINT // 86400 AS day,
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
          max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_buy
   FROM events GROUP BY 1, 2
@@ -6469,6 +6469,71 @@ SELECT day AS epoch_day, n_trials, k_success, llr_micro,
             WHEN llr_micro <= -2944439 THEN 'accept_h0'
             ELSE 'continue' END AS decision
 FROM cum ORDER BY epoch_day
+"""
+
+
+def q221_interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu) of each
+    user's INTER-EVENT times — the timing-based complement of the
+    count-based Fano factor (q203): B -> -1 for clockwork arrivals,
+    0 for Poisson, -> +1 for heavy bursts. Gaps come from a user-keyed
+    lag window (distributed); the three sufficient statistics (n, S,
+    SS) are exact integer epoch-second sums, and the n's cancel
+    algebraically so B reduces to (sqrt(n*SS - S^2) - S)/(sqrt(...) +
+    S) — one sqrt chain per user (population sigma), micro-quantized.
+    Degenerate gaps (n < 2 after lag, or all-zero) emit NULL; users
+    under 10 gaps are dropped (estimator noise floor)."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        WITH e AS (
+          SELECT user_id, unix_micros(ts) div 1000000 AS es FROM events
+        ),
+        gaps AS (
+          SELECT user_id,
+                 es - lag(es) OVER (PARTITION BY user_id ORDER BY es) AS g
+          FROM e
+        ),
+        agg AS (
+          SELECT user_id, count(g) AS n, sum(g) AS s, sum(g * g) AS ss
+          FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+        )
+        SELECT user_id, n, s, ss,
+               CASE WHEN n < 2 OR s = 0 THEN NULL ELSE
+                 CAST(round((sqrt(CAST(n * ss - s * s AS DOUBLE))
+                      - CAST(s AS DOUBLE))
+                      / (sqrt(CAST(n * ss - s * s AS DOUBLE))
+                         + CAST(s AS DOUBLE)) * 1e6) AS BIGINT) END
+                 AS burstiness_micro
+        FROM agg
+        WHERE n >= 10
+        ORDER BY user_id
+        """
+    )
+
+
+_Q221_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS es FROM events
+), gaps AS (
+  SELECT user_id,
+         es - lag(es) OVER (PARTITION BY user_id ORDER BY es) AS g
+  FROM e
+), agg AS (
+  SELECT user_id, CAST(count(g) AS BIGINT) AS n,
+         CAST(sum(g) AS BIGINT) AS s, CAST(sum(g * g) AS BIGINT) AS ss
+  FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n, s, ss,
+       CASE WHEN n < 2 OR s = 0 THEN NULL ELSE
+         CAST(round((sqrt(CAST(n * ss - s * s AS DOUBLE)) - CAST(s AS DOUBLE))
+              / (sqrt(CAST(n * ss - s * s AS DOUBLE)) + CAST(s AS DOUBLE))
+              * 1e6) AS BIGINT) END AS burstiness_micro
+FROM agg
+WHERE n >= 10
+ORDER BY user_id
 """
 
 
@@ -6580,6 +6645,7 @@ QUERIES = {
     "q217_seasonal_indices": q217_seasonal_indices,
     "q218_kcore_trajectory": q218_kcore_trajectory,
     "q219_sprt_sequential_test": q219_sprt_sequential_test,
+    "q221_interevent_burstiness": q221_interevent_burstiness,
 }
 
 ORACLES = {
@@ -6690,4 +6756,5 @@ ORACLES = {
     "q217_seasonal_indices": _Q217_SQL,
     "q218_kcore_trajectory": _Q218_SQL,
     "q219_sprt_sequential_test": _Q219_SQL,
+    "q221_interevent_burstiness": _Q221_SQL,
 }

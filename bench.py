@@ -233,6 +233,7 @@ HEADLINE = [
     "q218_kcore_trajectory",
     "q219_sprt_sequential_test",
     "q220_phrase_search",
+    "q221_interevent_burstiness",
 ]
 
 

@@ -1725,3 +1725,31 @@ def test_q220_phrase_adjacency_and_prefilter(spark, tmp_path, qs):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "tok#" in plan and "IN (table,value)" in plan.replace("'", "")
+
+
+def test_q221_burstiness_extremes(spark, tmp_path, qs):
+    """Clockwork arrivals (constant 100-s gaps) have sigma=0 ->
+    B = -1e6 exactly; a bursty train (ten 1-s gaps then one huge gap)
+    must score B > 0. Exact hand-check on the clockwork case."""
+    from datetime import datetime, timedelta
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    base = datetime(2024, 6, 1)
+    rows = []
+    i = 0
+    for k in range(12):  # user 1: constant gaps
+        rows.append((i, base + timedelta(seconds=100 * k), 1, "e", 1.0, "{}"))
+        i += 1
+    t = 0
+    gaps = [1] * 10 + [100000]
+    for g in [0] + gaps:  # user 2: bursty
+        t += g
+        rows.append((i, base + timedelta(seconds=t), 2, "e", 1.0, "{}"))
+        i += 1
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r.user_id: r for r in
+           qs["q221_interevent_burstiness"](spark, str(tmp_path)).collect()}
+    assert got[1].burstiness_micro == -1000000  # sigma = 0
+    assert got[2].burstiness_micro > 500000
