@@ -6537,6 +6537,118 @@ ORDER BY user_id
 """
 
 
+def q222_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for days-to-first-purchase after
+    first click, with RIGHT CENSORING at the observation horizon —
+    the survival-analysis estimator naive conversion rates get wrong
+    (censored users are neither converted nor failed; dropping them
+    biases the curve). Risk sets come from a reverse cumulative sum
+    over the |distinct durations| post-aggregation table; each
+    (1 - d/n) factor's ln is PICO-QUANTIZED before the prefix sum so
+    the product is an exact-integer exponent (order-independent), and
+    exp() runs once per output row. The n_risk = d terminal row (all
+    remaining subjects fail) uses a -1000-nat sentinel, which exp
+    maps to exactly 0 — at most one such row can exist, so no
+    overflow. Unkeyed windows all run post-aggregation (q215/q219
+    argument)."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        WITH mx AS (
+          SELECT max(unix_micros(ts) div 86400000000) AS dmax FROM events
+        ),
+        per_user AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'click'
+                          THEN unix_micros(ts) div 86400000000 END) AS c0,
+                 min(CASE WHEN event_type = 'purchase'
+                          THEN unix_micros(ts) div 86400000000 END) AS p0
+          FROM events GROUP BY user_id
+        ),
+        subjects AS (
+          SELECT user_id,
+                 CASE WHEN p0 IS NOT NULL AND p0 >= c0 THEN p0 - c0
+                      ELSE dmax - c0 END AS dur,
+                 CASE WHEN p0 IS NOT NULL AND p0 >= c0 THEN 1 ELSE 0 END AS ev
+          FROM per_user CROSS JOIN mx
+          WHERE c0 IS NOT NULL
+        ),
+        tbl AS (
+          SELECT dur, count(*) AS at_t, sum(ev) AS d
+          FROM subjects GROUP BY dur
+        ),
+        risk AS (
+          SELECT dur, d,
+                 sum(at_t) OVER (ORDER BY dur DESC
+                      ROWS UNBOUNDED PRECEDING) AS n_risk
+          FROM tbl
+        ),
+        terms AS (
+          SELECT dur, d, n_risk,
+                 CASE WHEN d = 0 THEN 0
+                      WHEN n_risk = d THEN -1000000000000000
+                      ELSE CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+                           / CAST(n_risk AS DOUBLE)) * 1e12) AS BIGINT) END
+                   AS lnp
+          FROM risk
+        )
+        SELECT dur AS duration_days, n_risk, d AS n_events,
+               CAST(round(exp(CAST(sum(lnp) OVER (ORDER BY dur
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e12) * 1e6)
+                    AS BIGINT) AS survival_micro
+        FROM terms
+        WHERE d > 0
+        ORDER BY dur
+        """
+    )
+
+
+_Q222_SQL = """
+WITH mx AS (
+  SELECT max(epoch_us(ts) // 86400000000) AS dmax FROM events
+), per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'click'
+                  THEN epoch_us(ts) // 86400000000 END) AS c0,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(ts) // 86400000000 END) AS p0
+  FROM events GROUP BY user_id
+), subjects AS (
+  SELECT user_id,
+         CASE WHEN p0 IS NOT NULL AND p0 >= c0 THEN p0 - c0
+              ELSE dmax - c0 END AS dur,
+         CASE WHEN p0 IS NOT NULL AND p0 >= c0 THEN 1 ELSE 0 END AS ev
+  FROM per_user CROSS JOIN mx
+  WHERE c0 IS NOT NULL
+), tbl AS (
+  SELECT dur, CAST(count(*) AS BIGINT) AS at_t,
+         CAST(sum(ev) AS BIGINT) AS d
+  FROM subjects GROUP BY dur
+), risk AS (
+  SELECT dur, d,
+         CAST(sum(at_t) OVER (ORDER BY dur DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+  FROM tbl
+), terms AS (
+  SELECT dur, d, n_risk,
+         CASE WHEN d = 0 THEN 0
+              WHEN n_risk = d THEN -1000000000000000
+              ELSE CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+                   / CAST(n_risk AS DOUBLE)) * 1e12) AS BIGINT) END AS lnp
+  FROM risk
+)
+SELECT dur AS duration_days, n_risk, d AS n_events,
+       CAST(round(exp(CAST(sum(lnp) OVER (ORDER BY dur
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e12) * 1e6) AS BIGINT)
+         AS survival_micro
+FROM terms
+WHERE d > 0
+ORDER BY dur
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -6646,6 +6758,7 @@ QUERIES = {
     "q218_kcore_trajectory": q218_kcore_trajectory,
     "q219_sprt_sequential_test": q219_sprt_sequential_test,
     "q221_interevent_burstiness": q221_interevent_burstiness,
+    "q222_kaplan_meier": q222_kaplan_meier,
 }
 
 ORACLES = {
@@ -6757,4 +6870,5 @@ ORACLES = {
     "q218_kcore_trajectory": _Q218_SQL,
     "q219_sprt_sequential_test": _Q219_SQL,
     "q221_interevent_burstiness": _Q221_SQL,
+    "q222_kaplan_meier": _Q222_SQL,
 }

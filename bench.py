@@ -234,6 +234,7 @@ HEADLINE = [
     "q219_sprt_sequential_test",
     "q220_phrase_search",
     "q221_interevent_burstiness",
+    "q222_kaplan_meier",
 ]
 
 

@@ -1753,3 +1753,35 @@ def test_q221_burstiness_extremes(spark, tmp_path, qs):
            qs["q221_interevent_burstiness"](spark, str(tmp_path)).collect()}
     assert got[1].burstiness_micro == -1000000  # sigma = 0
     assert got[2].burstiness_micro > 500000
+
+
+def test_q222_km_hand_computed_with_censoring(spark, tmp_path, qs):
+    """Textbook KM: 4 users convert on days 0,0,1,3 after first click;
+    2 users never convert (censored at horizon day 5, after the last
+    event). S(0)=4/6, S(1)=4/6*3/4=1/2, S(3)=1/2*2/3=1/3 — censored
+    users stay in the risk set until the horizon, which naive
+    conversion math would get wrong. Exact micro values asserted."""
+    from datetime import datetime, timedelta
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    base = datetime(2024, 7, 1)
+    rows, i = [], 0
+    # converters: (user, delay)
+    for u, delay in [(1, 0), (2, 0), (3, 1), (4, 3)]:
+        rows.append((i, base, u, "click", 1.0, "{}")); i += 1
+        rows.append((i, base + timedelta(days=delay, hours=2), u,
+                     "purchase", 1.0, "{}")); i += 1
+    for u in (5, 6):  # censored
+        rows.append((i, base, u, "click", 1.0, "{}")); i += 1
+    # horizon marker: day 5 (any event type sets dmax)
+    rows.append((i, base + timedelta(days=5), 7, "view", 1.0, "{}"))
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r.duration_days: r for r in
+           qs["q222_kaplan_meier"](spark, str(tmp_path)).collect()}
+    assert set(got) == {0, 1, 3}
+    assert (got[0].n_risk, got[0].n_events) == (6, 2)
+    assert got[0].survival_micro == 666667
+    assert got[1].survival_micro == 500000
+    assert got[3].survival_micro == 333333
