@@ -6649,6 +6649,100 @@ ORDER BY dur
 """
 
 
+def q223_haar_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet band energies of each event type's daily series —
+    multi-resolution periodicity detection (level L = the 2^L-day
+    band; a strong weekly rhythm pumps levels 2-3, day-to-day noise
+    pumps level 1) that is FULLY INTEGER: each unnormalized Haar
+    detail coefficient is (first-half block sum) - (second-half block
+    sum) of zero-filled daily counts, and band energy is the sum of
+    squared coefficients — no float appears anywhere, so cross-engine
+    parity is exact by construction (the strongest guarantee in the
+    float-parity ladder). Partial trailing blocks are dropped
+    (blk_days = 2^L) rather than zero-padded, so energies are not
+    biased by the series end. One grouped count over events; the
+    level fan-out (x3) happens on the |types| x |days| grid."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        WITH days AS (
+          SELECT min(unix_micros(ts) div 86400000000) AS d0,
+                 max(unix_micros(ts) div 86400000000) AS d1
+          FROM events
+        ),
+        cal AS (
+          SELECT explode(sequence(d0, d1)) AS day FROM days
+        ),
+        types AS (SELECT DISTINCT event_type FROM events),
+        grid AS (SELECT event_type, day FROM types CROSS JOIN cal),
+        cnts AS (
+          SELECT event_type AS et, unix_micros(ts) div 86400000000 AS day,
+                 count(*) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        filled AS (
+          SELECT grid.event_type, grid.day - days.d0 AS t, coalesce(c, 0) AS c
+          FROM grid CROSS JOIN days
+          LEFT JOIN cnts ON cnts.et = grid.event_type AND cnts.day = grid.day
+        ),
+        lv AS (SELECT explode(sequence(1, 3)) AS lvl),
+        coefs AS (
+          SELECT event_type, lvl, t div shiftleft(1, lvl) AS blk,
+                 sum(CASE WHEN (t div shiftleft(1, lvl - 1)) % 2 = 0
+                          THEN c ELSE -c END) AS coef,
+                 count(*) AS blk_days
+          FROM filled CROSS JOIN lv
+          GROUP BY event_type, lvl, t div shiftleft(1, lvl)
+        )
+        SELECT event_type, CAST(lvl AS BIGINT) AS lvl,
+               count(*) AS n_blocks,
+               sum(coef * coef) AS energy
+        FROM coefs
+        WHERE blk_days = shiftleft(1, lvl)
+        GROUP BY event_type, lvl
+        ORDER BY event_type, lvl
+        """
+    )
+
+
+_Q223_SQL = """
+WITH days AS (
+  SELECT min(epoch_us(ts) // 86400000000) AS d0,
+         max(epoch_us(ts) // 86400000000) AS d1
+  FROM events
+), cal AS (
+  SELECT u.d AS day FROM days, UNNEST(generate_series(d0, d1)) AS u(d)
+), types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT event_type, day FROM types CROSS JOIN cal),
+cnts AS (
+  SELECT event_type AS et, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), filled AS (
+  SELECT grid.event_type, grid.day - days.d0 AS t, coalesce(c, 0) AS c
+  FROM grid CROSS JOIN days
+  LEFT JOIN cnts ON cnts.et = grid.event_type AND cnts.day = grid.day
+), lv AS (SELECT u.l AS lvl FROM UNNEST(generate_series(1, 3)) AS u(l)),
+coefs AS (
+  SELECT event_type, lvl, t // (1 << lvl) AS blk,
+         CAST(sum(CASE WHEN (t // (1 << (lvl - 1))) % 2 = 0
+                       THEN c ELSE -c END) AS BIGINT) AS coef,
+         CAST(count(*) AS BIGINT) AS blk_days
+  FROM filled CROSS JOIN lv
+  GROUP BY event_type, lvl, t // (1 << lvl)
+)
+SELECT event_type, CAST(lvl AS BIGINT) AS lvl,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(coef * coef) AS BIGINT) AS energy
+FROM coefs
+WHERE blk_days = (1 << lvl)
+GROUP BY event_type, lvl
+ORDER BY event_type, lvl
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -6759,6 +6853,7 @@ QUERIES = {
     "q219_sprt_sequential_test": q219_sprt_sequential_test,
     "q221_interevent_burstiness": q221_interevent_burstiness,
     "q222_kaplan_meier": q222_kaplan_meier,
+    "q223_haar_band_energy": q223_haar_band_energy,
 }
 
 ORACLES = {
@@ -6871,4 +6966,5 @@ ORACLES = {
     "q219_sprt_sequential_test": _Q219_SQL,
     "q221_interevent_burstiness": _Q221_SQL,
     "q222_kaplan_meier": _Q222_SQL,
+    "q223_haar_band_energy": _Q223_SQL,
 }

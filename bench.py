@@ -235,6 +235,7 @@ HEADLINE = [
     "q220_phrase_search",
     "q221_interevent_burstiness",
     "q222_kaplan_meier",
+    "q223_haar_band_energy",
 ]
 
 

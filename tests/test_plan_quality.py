@@ -1785,3 +1785,32 @@ def test_q222_km_hand_computed_with_censoring(spark, tmp_path, qs):
     assert got[0].survival_micro == 666667
     assert got[1].survival_micro == 500000
     assert got[3].survival_micro == 333333
+
+
+def test_q223_haar_energy_hand_computed(spark, tmp_path, qs):
+    """8 days of counts [4,0,4,0,4,0,4,0] (period-2 square wave):
+    level-1 coefficients are all +4 -> energy 4*16=64; levels 2 and 3
+    are exactly 0 (halves balance). A trailing 9th day must be
+    dropped from every level (partial blocks)."""
+    from datetime import datetime, timedelta
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    base = datetime(2024, 8, 5)
+    rows, i = [], 0
+    series = [4, 0, 4, 0, 4, 0, 4, 0, 7]  # 9th day = partial block
+    for day, n in enumerate(series):
+        for _ in range(n):
+            rows.append((i, base + timedelta(days=day), 1, "click", 1.0, "{}"))
+            i += 1
+    # keep day range anchored even where counts are 0
+    rows.append((0, base + timedelta(days=1, hours=1), 2, "view", 1.0, "{}"))
+    spark.createDataFrame(
+        [(j, *r[1:]) for j, r in enumerate(rows)], SCHEMAS["events"]
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {(r.event_type, r.lvl): r for r in
+           qs["q223_haar_band_energy"](spark, str(tmp_path)).collect()}
+    assert got[("click", 1)].n_blocks == 4  # day 9 partial block dropped
+    assert got[("click", 1)].energy == 64
+    assert got[("click", 2)].energy == 0 and got[("click", 2)].n_blocks == 2
+    assert got[("click", 3)].energy == 0 and got[("click", 3)].n_blocks == 1
