@@ -6743,6 +6743,70 @@ ORDER BY event_type, lvl
 """
 
 
+def q224_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto 80/15/5) inventory classification of parts by
+    cumulative revenue share — the warehouse-planning classic whose
+    naive form is a GLOBAL revenue-desc running sum (single-partition
+    scale killer). Here it is the q214 two-phase machinery applied to
+    prefix-SUM: range-bucket part revenues on the broadcast [min,max]
+    grid (bucket order provably consistent with revenue order — the
+    index is monotone in hi-r, and equal revenues share a bucket),
+    sum WITHIN buckets via keyed windows, prefix the 32 bucket totals,
+    and combine. Revenue is exact integer cents x (100-disc) so the
+    80%/95% cuts are integer cross-multiplies; ties break on part key.
+    Validated against the naive global running sum in the pytest."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_Q224_SQL)
+
+
+_Q224_SQL = """
+WITH rev AS (
+  SELECT l_partkey AS p,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS r
+  FROM lineitem GROUP BY l_partkey
+), mm AS (
+  SELECT min(r) AS lo, max(r) AS hi, CAST(sum(r) AS BIGINT) AS tot FROM rev
+), bucketed AS (
+  SELECT p, r,
+         CAST(CASE WHEN hi = lo THEN 0
+              ELSE least(31, CAST(floor((CAST(hi - r AS DOUBLE))
+                   * 32 / CAST(hi - lo AS DOUBLE)) AS INTEGER)) END
+           AS INTEGER) AS bkt, tot
+  FROM rev CROSS JOIN mm
+), loc AS (
+  SELECT p, r, bkt, tot,
+         CAST(coalesce(sum(r) OVER (PARTITION BY bkt ORDER BY r DESC, p
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS before_in_bkt
+  FROM bucketed
+), bsum AS (
+  SELECT bkt, CAST(sum(r) AS BIGINT) AS bs FROM bucketed GROUP BY bkt
+), bpre AS (
+  SELECT bkt, CAST(coalesce(sum(bs) OVER (ORDER BY bkt
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS prior
+  FROM bsum
+), shares AS (
+  SELECT p, r, loc.bkt, tot, prior + before_in_bkt + r AS cum
+  FROM loc JOIN bpre ON loc.bkt = bpre.bkt
+), classed AS (
+  SELECT p, r,
+         CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+              WHEN cum * 100 <= tot * 95 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM shares
+)
+SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(r) AS BIGINT) AS revenue_cents2,
+       min(r) AS min_rev, max(r) AS max_rev
+FROM classed GROUP BY abc ORDER BY abc
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -6854,6 +6918,7 @@ QUERIES = {
     "q221_interevent_burstiness": q221_interevent_burstiness,
     "q222_kaplan_meier": q222_kaplan_meier,
     "q223_haar_band_energy": q223_haar_band_energy,
+    "q224_abc_classification": q224_abc_classification,
 }
 
 ORACLES = {
@@ -6967,4 +7032,5 @@ ORACLES = {
     "q221_interevent_burstiness": _Q221_SQL,
     "q222_kaplan_meier": _Q222_SQL,
     "q223_haar_band_energy": _Q223_SQL,
+    "q224_abc_classification": _Q224_SQL,
 }

@@ -236,6 +236,7 @@ HEADLINE = [
     "q221_interevent_burstiness",
     "q222_kaplan_meier",
     "q223_haar_band_energy",
+    "q224_abc_classification",
 ]
 
 

@@ -1814,3 +1814,40 @@ def test_q223_haar_energy_hand_computed(spark, tmp_path, qs):
     assert got[("click", 1)].energy == 64
     assert got[("click", 2)].energy == 0 and got[("click", 2)].n_blocks == 2
     assert got[("click", 3)].energy == 0 and got[("click", 3)].n_blocks == 1
+
+
+def test_q224_abc_matches_naive_global_cumsum(spark, tmp_path, qs):
+    """Seeded revenue cloud: the bucketed two-phase prefix-SUM classes
+    must match the naive global revenue-desc running-sum
+    classification exactly, including revenue ties split across the
+    80% boundary (tie parts share a bucket, so bucket order cannot
+    disagree with value order)."""
+    import random
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    from datetime import datetime
+
+    rng = random.Random(11)
+    rows, i = [], 0
+    for p in range(200):
+        price = float(rng.choice([50, 100, 100, 250, 1000]))  # many ties
+        rows.append((i, p, 1, 1, 1.0, price, 0.0, 0.0,
+                     "N", "O", datetime(2024, 1, 1)))
+        i += 1
+    spark.createDataFrame(rows, SCHEMAS["lineitem"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {r.abc: (r.n_parts, r.revenue_cents2) for r in
+           qs["q224_abc_classification"](spark, str(tmp_path)).collect()}
+    revs = sorted(
+        ((int(round(r[5] * 100)) * 100, r[1]) for r in rows),
+        key=lambda t: (-t[0], t[1]))
+    tot = sum(r for r, _ in revs)
+    cum, naive = 0, {}
+    for r, p in revs:
+        cum += r
+        c = "A" if cum * 100 <= tot * 80 else ("B" if cum * 100 <= tot * 95
+                                               else "C")
+        n, s = naive.get(c, (0, 0))
+        naive[c] = (n + 1, s + r)
+    assert got == naive
