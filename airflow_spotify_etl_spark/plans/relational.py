@@ -6807,6 +6807,101 @@ FROM classed GROUP BY abc ORDER BY abc
 """
 
 
+def q225_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (Newman 2002):
+    the Pearson correlation of endpoint degrees over edge ENDS (each
+    undirected edge contributes both orientations — the standard
+    symmetric estimator). Do hub parts co-sell with hubs (r > 0,
+    assortative) or with the long tail (r < 0, disassortative,
+    typical of real co-purchase graphs)? Degrees are one vertex-keyed
+    grouped count over the capped-basket edge list (q218's edge
+    build); the six sufficient statistics are exact integer sums
+    (d <= basket-cap-bounded degree, squares safely inside BIGINT at
+    any SF with capped baskets), and the single sqrt chain runs once
+    on the 1-row aggregate, rounded to milli. The DuckDB twin
+    MATERIALIZEs its CTEs; Spark reuses the exchange subtree."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_Q225_SPARK)
+
+
+_Q225_SPARK = """
+WITH b AS (
+  SELECT l_orderkey AS o, l_partkey AS p FROM lineitem GROUP BY 1, 2
+), sized AS (
+  SELECT o, p, count(*) OVER (PARTITION BY o) AS bs FROM b
+), kept AS (
+  SELECT o, p FROM sized WHERE bs <= 100
+), e AS (
+  SELECT DISTINCT x.p AS a, y.p AS bb
+  FROM kept x JOIN kept y ON x.o = y.o AND x.p < y.p
+), deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS v FROM e UNION ALL SELECT bb FROM e
+  ) GROUP BY v
+), ori AS (
+  SELECT da.d AS dx, db.d AS dy
+  FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.bb = db.v
+  UNION ALL
+  SELECT db.d AS dx, da.d AS dy
+  FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.bb = db.v
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         CAST(sum(dy * dy) AS BIGINT) AS syy,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy
+  FROM ori
+)
+SELECT n, sx, sxy,
+       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+            ELSE CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)) * 1000)
+                 AS BIGINT) END AS assortativity_milli
+FROM agg
+"""
+
+
+_Q225_SQL = """
+WITH b AS MATERIALIZED (
+  SELECT l_orderkey AS o, l_partkey AS p FROM lineitem GROUP BY 1, 2
+), sized AS (
+  SELECT o, p, count(*) OVER (PARTITION BY o) AS bs FROM b
+), kept AS (
+  SELECT o, p FROM sized WHERE bs <= 100
+), e AS MATERIALIZED (
+  SELECT DISTINCT x.p AS a, y.p AS bb
+  FROM kept x JOIN kept y ON x.o = y.o AND x.p < y.p
+), deg AS MATERIALIZED (
+  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS v FROM e UNION ALL SELECT bb FROM e
+  ) GROUP BY v
+), ori AS (
+  SELECT da.d AS dx, db.d AS dy
+  FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.bb = db.v
+  UNION ALL
+  SELECT db.d AS dx, da.d AS dy
+  FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.bb = db.v
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         CAST(sum(dy * dy) AS BIGINT) AS syy,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy
+  FROM ori
+)
+SELECT n, sx, sxy,
+       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+            ELSE CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)) * 1000)
+                 AS BIGINT) END AS assortativity_milli
+FROM agg
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -6919,6 +7014,7 @@ QUERIES = {
     "q222_kaplan_meier": q222_kaplan_meier,
     "q223_haar_band_energy": q223_haar_band_energy,
     "q224_abc_classification": q224_abc_classification,
+    "q225_degree_assortativity": q225_degree_assortativity,
 }
 
 ORACLES = {
@@ -7033,4 +7129,5 @@ ORACLES = {
     "q222_kaplan_meier": _Q222_SQL,
     "q223_haar_band_energy": _Q223_SQL,
     "q224_abc_classification": _Q224_SQL,
+    "q225_degree_assortativity": _Q225_SQL,
 }

@@ -237,6 +237,7 @@ HEADLINE = [
     "q222_kaplan_meier",
     "q223_haar_band_energy",
     "q224_abc_classification",
+    "q225_degree_assortativity",
 ]
 
 

@@ -1851,3 +1851,37 @@ def test_q224_abc_matches_naive_global_cumsum(spark, tmp_path, qs):
         n, s = naive.get(c, (0, 0))
         naive[c] = (n + 1, s + r)
     assert got == naive
+
+
+def test_q225_assortativity_signs(spark, tmp_path, qs):
+    """A star basket graph (one order with hub part + 4 leaves, plus
+    separate 2-part orders attaching leaves to fresh spokes) is
+    disassortative: r < 0. A union of two disjoint same-size cliques
+    (all degrees equal within each) has zero variance -> NULL."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    d = datetime(2024, 1, 1)
+
+    def li(rows):
+        out = []
+        for i, (o, p) in enumerate(rows):
+            out.append((o, p, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", d))
+        return out
+
+    # star: order 1 = {0,1,2,3,4}; orders 2-5 attach spokes {1,11},{2,12},...
+    star = [(1, p) for p in range(5)] + [
+        (o, p) for o, p in [(2, 1), (2, 11), (3, 2), (3, 12),
+                            (4, 3), (4, 13), (5, 4), (5, 14)]]
+    spark.createDataFrame(li(star), SCHEMAS["lineitem"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = qs["q225_degree_assortativity"](spark, str(tmp_path)).collect()[0]
+    assert r.assortativity_milli < 0
+
+    # two disjoint triangles: every vertex degree 2 -> zero variance
+    tri = [(1, p) for p in (20, 21, 22)] + [(2, p) for p in (30, 31, 32)]
+    spark.createDataFrame(li(tri), SCHEMAS["lineitem"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = qs["q225_degree_assortativity"](spark, str(tmp_path)).collect()[0]
+    assert r.assortativity_milli is None and r.n == 12
