@@ -6902,6 +6902,185 @@ FROM agg
 """
 
 
+def q226_markov_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state conditional entropy of the event-type Markov chain —
+    how predictable is the NEXT action given the current one? (The
+    chain's entropy rate is the sum of these terms; a state whose row
+    collapses toward 0 nano-nats is a deterministic funnel step.)
+    Transitions from a user-keyed lag; each -(c/N)·ln(c/cx) term is
+    one float chain over three exact integers, NANO-quantized before
+    the 25-cell sum (finer than micro because row masses are O(1/25)).
+    Identical SQL text runs on both engines."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_Q226_SQL)
+
+
+_Q226_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), trans AS (
+  SELECT prev, event_type AS nxt, CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE prev IS NOT NULL GROUP BY prev, nxt
+), rowt AS (
+  SELECT prev AS prev2, CAST(sum(c) AS BIGINT) AS cx FROM trans GROUP BY prev
+), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM trans),
+terms AS (
+  SELECT trans.prev, nxt, c, cx, n,
+         CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+              * ln(CAST(c AS DOUBLE) / CAST(cx AS DOUBLE)) * 1e9)
+           AS BIGINT) AS t
+  FROM trans JOIN rowt ON trans.prev = rowt.prev2 CROSS JOIN tot
+)
+SELECT prev, CAST(count(*) AS BIGINT) AS n_next,
+       max(cx) AS n_from,
+       CAST(sum(t) AS BIGINT) AS cond_entropy_nano
+FROM terms GROUP BY prev ORDER BY prev
+"""
+
+
+def q227_trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending parts by exponentially decayed order counts with a
+    1-day half-life — and the decay is EXACT: score = sum of
+    c_age · 2^(40-age) over the last 41 days is pure BIGINT (dyadic
+    weights as integer shifts; newest day weighs 2^40, the horizon
+    weighs 1), so there is no float to drift and no summation-order
+    seam at all — the integer-only guarantee class of q223. The age
+    filter prunes the join output before aggregation; top-20 is a
+    total-order limit on (score desc, partkey)."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["lineitem", "orders"])
+    return spark.sql(
+        """
+        WITH mx AS (
+          SELECT max(unix_micros(o_orderdate) div 86400000000) AS dmax
+          FROM orders
+        ),
+        li AS (
+          SELECT l_partkey AS p,
+                 dmax - (unix_micros(o_orderdate) div 86400000000) AS age
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey CROSS JOIN mx
+          WHERE dmax - (unix_micros(o_orderdate) div 86400000000) <= 40
+        ),
+        daily AS (
+          SELECT p, age, count(*) AS c FROM li GROUP BY p, age
+        ),
+        scored AS (
+          SELECT p,
+                 sum(c * shiftleft(CAST(1 AS BIGINT), CAST(40 - age AS INT)))
+                   AS score,
+                 sum(c) AS n_recent
+          FROM daily GROUP BY p
+        )
+        SELECT p AS partkey, score, n_recent
+        FROM scored
+        ORDER BY score DESC, partkey
+        LIMIT 20
+        """
+    )
+
+
+_Q227_SQL = """
+WITH mx AS (
+  SELECT max(epoch_us(o_orderdate) // 86400000000) AS dmax FROM orders
+), li AS (
+  SELECT l_partkey AS p,
+         dmax - (epoch_us(o_orderdate) // 86400000000) AS age
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey CROSS JOIN mx
+  WHERE dmax - (epoch_us(o_orderdate) // 86400000000) <= 40
+), daily AS (
+  SELECT p, age, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY p, age
+), scored AS (
+  SELECT p, CAST(sum(c * (1::BIGINT << CAST(40 - age AS INT))) AS BIGINT)
+           AS score,
+         CAST(sum(c) AS BIGINT) AS n_recent
+  FROM daily GROUP BY p
+)
+SELECT p AS partkey, score, n_recent
+FROM scored
+ORDER BY score DESC, partkey
+LIMIT 20
+"""
+
+
+def q228_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: users cohorted by first-signup day,
+    cumulative purchase revenue by cohort age — the
+    product-analytics curve behind payback-period decisions. Revenue
+    converts to exact integer cents through the DECIMAL(18,2) view
+    (the _dec discipline — double sums are order-dependent); the
+    cumulative sum is a cohort-KEYED window (distributed across
+    cohorts, never a global sort); day arithmetic is integer
+    epoch-microseconds floor-divided (rule 11)."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        WITH firsts AS (
+          SELECT user_id, min(unix_micros(ts) div 86400000000) AS cohort_day
+          FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        purch AS (
+          SELECT user_id, unix_micros(ts) div 86400000000 AS d,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'
+        ),
+        joined AS (
+          SELECT f.cohort_day AS cd, p.d - f.cohort_day AS age_d, p.cents
+          FROM purch p JOIN firsts f ON p.user_id = f.user_id
+          WHERE p.d >= f.cohort_day
+        ),
+        agg AS (
+          SELECT cd, age_d, sum(cents) AS rev, count(*) AS n_purch
+          FROM joined GROUP BY cd, age_d
+        ),
+        sized AS (
+          SELECT cohort_day AS cd2, count(*) AS cohort_users
+          FROM firsts GROUP BY cohort_day
+        )
+        SELECT cd AS cohort_day, age_d, n_purch, cohort_users,
+               sum(rev) OVER (PARTITION BY cd ORDER BY age_d
+                    ROWS UNBOUNDED PRECEDING) AS cum_revenue_cents
+        FROM agg JOIN sized ON agg.cd = sized.cd2
+        ORDER BY cohort_day, age_d
+        """
+    )
+
+
+_Q228_SQL = """
+WITH firsts AS (
+  SELECT user_id, min(epoch_us(ts) // 86400000000) AS cohort_day
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), purch AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), joined AS (
+  SELECT f.cohort_day AS cd, p.d - f.cohort_day AS age_d, p.cents
+  FROM purch p JOIN firsts f ON p.user_id = f.user_id
+  WHERE p.d >= f.cohort_day
+), agg AS (
+  SELECT cd, age_d, CAST(sum(cents) AS BIGINT) AS rev,
+         CAST(count(*) AS BIGINT) AS n_purch
+  FROM joined GROUP BY cd, age_d
+), sized AS (
+  SELECT cohort_day AS cd2, CAST(count(*) AS BIGINT) AS cohort_users
+  FROM firsts GROUP BY cohort_day
+)
+SELECT cd AS cohort_day, age_d, n_purch, cohort_users,
+       CAST(sum(rev) OVER (PARTITION BY cd ORDER BY age_d
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_cents
+FROM agg JOIN sized ON agg.cd = sized.cd2
+ORDER BY cohort_day, age_d
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -7015,6 +7194,9 @@ QUERIES = {
     "q223_haar_band_energy": q223_haar_band_energy,
     "q224_abc_classification": q224_abc_classification,
     "q225_degree_assortativity": q225_degree_assortativity,
+    "q226_markov_conditional_entropy": q226_markov_conditional_entropy,
+    "q227_trending_decay": q227_trending_decay,
+    "q228_cohort_ltv": q228_cohort_ltv,
 }
 
 ORACLES = {
@@ -7130,4 +7312,7 @@ ORACLES = {
     "q223_haar_band_energy": _Q223_SQL,
     "q224_abc_classification": _Q224_SQL,
     "q225_degree_assortativity": _Q225_SQL,
+    "q226_markov_conditional_entropy": _Q226_SQL,
+    "q227_trending_decay": _Q227_SQL,
+    "q228_cohort_ltv": _Q228_SQL,
 }

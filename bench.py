@@ -238,6 +238,9 @@ HEADLINE = [
     "q223_haar_band_energy",
     "q224_abc_classification",
     "q225_degree_assortativity",
+    "q226_markov_conditional_entropy",
+    "q227_trending_decay",
+    "q228_cohort_ltv",
 ]
 
 

@@ -1885,3 +1885,113 @@ def test_q225_assortativity_signs(spark, tmp_path, qs):
         "overwrite").parquet(str(tmp_path / "lineitem.parquet"))
     r = qs["q225_degree_assortativity"](spark, str(tmp_path)).collect()[0]
     assert r.assortativity_milli is None and r.n == 12
+
+
+def test_q226_entropy_deterministic_vs_uniform_rows(spark, tmp_path, qs):
+    """User A always does click->view->click->view... (deterministic
+    row: cond entropy term ln(c/cx)=0 for its transitions); user B
+    alternates purchase->{click,view} evenly. The deterministic
+    state's row contributes 0; the purchase row's entropy equals
+    (cP/N)*ln(2) split across its two cells."""
+    import math
+    from datetime import datetime, timedelta
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    base = datetime(2024, 9, 1)
+    rows, i = [], 0
+    seqA = ["click", "view"] * 6
+    for k, et in enumerate(seqA):
+        rows.append((i, base + timedelta(minutes=k), 1, et, 1.0, "{}")); i += 1
+    seqB = ["purchase", "click", "purchase", "view"] * 3
+    for k, et in enumerate(seqB):
+        rows.append((i, base + timedelta(minutes=k), 2, et, 1.0, "{}")); i += 1
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r.prev: r for r in
+           qs["q226_markov_conditional_entropy"](spark, str(tmp_path)).collect()}
+    # view -> click always (user A) and view -> purchase (user B): 2 cells
+    # purchase row: -> click x3, -> view x2 (last purchase ends seq? check masses)
+    p = got["purchase"]
+    n = sum(r.n_from for r in got.values())
+    # purchase transitions: B: purchase->click x3, purchase->view x3
+    assert p.n_next == 2 and p.n_from == 6
+    expect = round(-(3 / n) * math.log(3 / 6) * 1e9) * 2
+    assert abs(p.cond_entropy_nano - expect) <= 2
+    # click -> view is deterministic for A but B has click->purchase
+    # the fully deterministic row: none guaranteed; check zero-entropy shape
+    # via a pure-deterministic fixture instead:
+    rows2 = []
+    i = 0
+    for k, et in enumerate(["signup", "error"] * 8):
+        rows2.append((i, base + timedelta(minutes=k), 3, et, 1.0, "{}")); i += 1
+    spark.createDataFrame(rows2, SCHEMAS["events"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "events.parquet"))
+    got2 = {r.prev: r for r in
+            qs["q226_markov_conditional_entropy"](spark, str(tmp_path)).collect()}
+    assert got2["signup"].cond_entropy_nano == 0
+    assert got2["error"].cond_entropy_nano == 0
+
+
+def test_q227_dyadic_decay_exact_and_recency_wins(spark, tmp_path, qs):
+    """Part X: 1 order on the newest day (weight 2^40). Part Y: 100
+    orders at the horizon (age 40, weight 1 each -> 100). X must rank
+    first with score exactly 2^40; an order older than the horizon
+    must not appear at all."""
+    from datetime import datetime, timedelta
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    end = datetime(2024, 10, 31)
+
+    def order(o, day):
+        return (o, 1, "O", 100.0, day, "1-URGENT")
+
+    orders, lines, o = [], [], 1
+    orders.append(order(o, end)); lines.append((o, 100, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", end)); o += 1
+    for _ in range(100):
+        d = end - timedelta(days=40)
+        orders.append(order(o, d)); lines.append((o, 200, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", d)); o += 1
+    d_old = end - timedelta(days=41)
+    orders.append(order(o, d_old)); lines.append((o, 300, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", d_old)); o += 1
+    spark.createDataFrame(orders, SCHEMAS["orders"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(lines, SCHEMAS["lineitem"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    rows = qs["q227_trending_decay"](spark, str(tmp_path)).collect()
+    assert [r.partkey for r in rows[:2]] == [100, 200]
+    assert rows[0].score == 1 << 40
+    assert rows[1].score == 100
+    assert all(r.partkey != 300 for r in rows)
+
+
+def test_q228_ltv_triangle_cumulates_per_cohort(spark, tmp_path, qs):
+    """Two cohorts: day-0 cohort (2 users) purchases 10.00 on day 0
+    and 5.50 on day 2; day-1 cohort (1 user) purchases 2.25 on day 3
+    (age 2). Cumulative cents per cohort checked exactly; a purchase
+    BEFORE signup is excluded."""
+    from datetime import datetime, timedelta
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    base = datetime(2024, 11, 1)
+    rows = [
+        (1, base, 1, "signup", 0.0, "{}"),
+        (2, base, 2, "signup", 0.0, "{}"),
+        (3, base + timedelta(days=1), 3, "signup", 0.0, "{}"),
+        (4, base + timedelta(hours=2), 1, "purchase", 10.0, "{}"),
+        (5, base + timedelta(days=2), 2, "purchase", 5.5, "{}"),
+        (6, base + timedelta(days=3), 3, "purchase", 2.25, "{}"),
+        # user 3 purchase BEFORE signup day -> excluded
+        (7, base, 3, "purchase", 99.0, "{}"),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {(r.cohort_day, r.age_d): r for r in
+           qs["q228_cohort_ltv"](spark, str(tmp_path)).collect()}
+    d0 = (base - datetime(1970, 1, 1)).days
+    assert got[(d0, 0)].cum_revenue_cents == 1000
+    assert got[(d0, 2)].cum_revenue_cents == 1550
+    assert got[(d0 + 1, 2)].cum_revenue_cents == 225
+    assert got[(d0 + 1, 2)].cohort_users == 1
+    assert (d0 + 1, -1) not in got and all(k[1] >= 0 for k in got)
