@@ -7081,6 +7081,50 @@ ORDER BY cohort_day, age_d
 """
 
 
+def q229_markov_top1_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine model evaluation: per-state top-1 accuracy of the
+    event-type Markov predictor (predict the modal next event given
+    the current one) — the productionized complement of q226's
+    entropy (entropy says how predictable a state COULD be; this says
+    how well the argmax rule actually does). The argmax is a keyed
+    rank over the 25-cell transition table with a deterministic
+    (count desc, event asc) tiebreak so both engines pick the same
+    prediction; accuracy is evaluated on the SAME transition counts
+    (resubstitution — no second corpus pass needed), as one integer
+    conditional sum; the single float division is micro-rounded.
+    Identical SQL text runs on both engines."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_Q229_SQL)
+
+
+_Q229_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS nxt,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), trans AS (
+  SELECT prev, nxt, CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE prev IS NOT NULL GROUP BY prev, nxt
+), best AS (
+  SELECT prev AS prev2, nxt AS pred
+  FROM (SELECT prev, nxt, row_number() OVER (PARTITION BY prev
+               ORDER BY c DESC, nxt) AS rn FROM trans)
+  WHERE rn = 1
+)
+SELECT trans.prev, max(pred) AS predicted,
+       CAST(sum(c) AS BIGINT) AS n_transitions,
+       CAST(sum(CASE WHEN nxt = pred THEN c ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(round(CAST(sum(CASE WHEN nxt = pred THEN c ELSE 0 END) AS DOUBLE)
+            / CAST(sum(c) AS DOUBLE) * 1e6) AS BIGINT) AS accuracy_micro
+FROM trans JOIN best ON trans.prev = best.prev2
+GROUP BY trans.prev
+ORDER BY trans.prev
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -7197,6 +7241,7 @@ QUERIES = {
     "q226_markov_conditional_entropy": q226_markov_conditional_entropy,
     "q227_trending_decay": q227_trending_decay,
     "q228_cohort_ltv": q228_cohort_ltv,
+    "q229_markov_top1_accuracy": q229_markov_top1_accuracy,
 }
 
 ORACLES = {
@@ -7315,4 +7360,5 @@ ORACLES = {
     "q226_markov_conditional_entropy": _Q226_SQL,
     "q227_trending_decay": _Q227_SQL,
     "q228_cohort_ltv": _Q228_SQL,
+    "q229_markov_top1_accuracy": _Q229_SQL,
 }

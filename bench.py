@@ -241,6 +241,7 @@ HEADLINE = [
     "q226_markov_conditional_entropy",
     "q227_trending_decay",
     "q228_cohort_ltv",
+    "q229_markov_top1_accuracy",
 ]
 
 

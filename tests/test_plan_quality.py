@@ -1995,3 +1995,29 @@ def test_q228_ltv_triangle_cumulates_per_cohort(spark, tmp_path, qs):
     assert got[(d0 + 1, 2)].cum_revenue_cents == 225
     assert got[(d0 + 1, 2)].cohort_users == 1
     assert (d0 + 1, -1) not in got and all(k[1] >= 0 for k in got)
+
+
+def test_q229_markov_argmax_deterministic_tiebreak(spark, tmp_path, qs):
+    """click is followed by view 3x and error 3x (tie): the predictor
+    must pick 'error' (count desc, then event ASC) in both engines;
+    accuracy for click = 3/6. A deterministic state scores 1e6."""
+    from datetime import datetime, timedelta
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    base = datetime(2024, 12, 1)
+    seq = []
+    for _ in range(3):
+        seq += ["click", "view", "click", "error"]
+    seq += ["signup", "purchase"] * 4  # signup -> purchase always
+    rows = [(i, base + timedelta(minutes=i), 1 if et in ("click", "view", "error") else 2, et, 1.0, "{}")
+            for i, et in enumerate(seq)]
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r.prev: r for r in
+           qs["q229_markov_top1_accuracy"](spark, str(tmp_path)).collect()}
+    c = got["click"]
+    assert c.predicted == "error"  # tie broken by event name
+    assert (c.n_transitions, c.n_correct, c.accuracy_micro) == (6, 3, 500000)
+    s = got["signup"]
+    assert s.predicted == "purchase" and s.accuracy_micro == 1000000
