@@ -495,3 +495,28 @@ def kcore_peel(
         )
         out = out.unionAll(_summary(e, r))
     return out.orderBy("round")
+
+
+def copurchase_edges(lineitem: DataFrame, max_basket: int = 100) -> DataFrame:
+    """Distinct undirected co-purchase edges (a < b): parts bought in
+    the same order, baskets capped at ``max_basket`` (the q111/q24
+    discipline — a basket that contains everything carries no pairwise
+    signal and its C(n,2) expansion is the quadratic hazard). Single
+    source of truth for the co-purchase graph: q218 (k-core), q225
+    (assortativity) and any future graph query must build edges HERE
+    so a cap change cannot silently decouple them. Join-free
+    nested-transform pair expansion; only (a, b) pairs shuffle."""
+    baskets = (
+        lineitem.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .groupBy("o")
+        .agg(F.array_sort(F.collect_set("p")).alias("items"))
+        .filter((F.size("items") >= 2) & (F.size("items") <= int(max_basket)))
+    )
+    return (
+        baskets.select(F.explode(_pair_expr("items")).alias("pr"))
+        .select(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+        .distinct()
+    )

@@ -5745,31 +5745,27 @@ def q216_bag_of_words_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow hash shuffle, no pair generation at all — contrast the
     quadratic-bounded tiers q24/q213). Sort order is binary UTF-8 in
     both engines (byte order == code-point order), so the key is
-    engine-portable. Per-source accounting: reorder_only_dups =
-    n_exact - n_bags is the dup mass visible ONLY to this tier."""
+    engine-portable. Three keys ladder the accounting: exact md5,
+    canonical (case/whitespace-folded token JOIN, unsorted) and bag
+    (sorted) — so reorder_only_dups = n_canon - n_bags isolates the
+    dup mass visible ONLY to reordering, not double-counting the
+    case/space dups the canonical tier already catches."""
     docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "\\s+"), lambda t: t != "")
     keys = docs.select(
         "source",
         F.md5("text").alias("eh"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.sort_array(
-                    F.filter(
-                        F.split(F.lower("text"), "\\s+"),
-                        lambda t: t != "",
-                    )
-                ),
-            )
-        ).alias("bh"),
+        F.md5(F.concat_ws(" ", toks)).alias("ch"),
+        F.md5(F.concat_ws(" ", F.sort_array(toks))).alias("bh"),
     )
     return (
         keys.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
             F.countDistinct("eh").alias("n_exact"),
+            F.countDistinct("ch").alias("n_canon"),
             F.countDistinct("bh").alias("n_bags"),
-            (F.countDistinct("eh") - F.countDistinct("bh")).alias(
+            (F.countDistinct("ch") - F.countDistinct("bh")).alias(
                 "reorder_only_dups"
             ),
         )
@@ -5781,6 +5777,9 @@ _Q216_SQL = r"""
 WITH keys AS (
   SELECT doc_id, source,
          md5(text) AS eh,
+         md5(array_to_string(list_filter(
+             string_split_regex(lower(text), '\s+'), t -> t <> ''), ' '))
+           AS ch,
          md5(array_to_string(list_sort(list_filter(
              string_split_regex(lower(text), '\s+'), t -> t <> '')), ' '))
            AS bh
@@ -5789,8 +5788,9 @@ WITH keys AS (
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(DISTINCT eh) AS BIGINT) AS n_exact,
+       CAST(count(DISTINCT ch) AS BIGINT) AS n_canon,
        CAST(count(DISTINCT bh) AS BIGINT) AS n_bags,
-       CAST(count(DISTINCT eh) - count(DISTINCT bh) AS BIGINT)
+       CAST(count(DISTINCT ch) - count(DISTINCT bh) AS BIGINT)
          AS reorder_only_dups
 FROM keys GROUP BY source ORDER BY source
 """

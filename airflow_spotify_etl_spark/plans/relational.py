@@ -5866,7 +5866,8 @@ def q210_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     them inside a window PARTITIONED BY day — the sweep is per-day
     local, so no global single-partition sort exists anywhere (the
     classic scale failure of naive interval sweeps). All arithmetic is
-    integer epoch-seconds; ties order -1 before +1 so touching
+    integer epoch-MICROseconds (rule 11: Spark floors seconds, DuckDB
+    rounds them — micros are exact); ties order -1 before +1 so touching
     intervals never count as concurrent and the per-group max is
     order-deterministic in both engines."""
     from ..sources.files import register_views
@@ -6073,17 +6074,24 @@ def q215_lead_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg AS (
           SELECT lag, count(*) AS n,
                  sum(xv) AS sx, sum(yv) AS sy,
-                 sum(xv * xv) AS sxx, sum(yv * yv) AS syy,
-                 sum(xv * yv) AS sxy
+                 sum(cast(xv as decimal(38,0)) * xv) AS sxx,
+                 sum(cast(yv as decimal(38,0)) * yv) AS syy,
+                 sum(cast(xv as decimal(38,0)) * yv) AS sxy
           FROM joined GROUP BY lag
         )
         SELECT CAST(lag AS BIGINT) AS lag, n,
-               CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+               CASE WHEN cast(n as double) * cast(sxx as double)
+                         - cast(sx as double) * cast(sx as double) <= 0
+                      OR cast(n as double) * cast(syy as double)
+                         - cast(sy as double) * cast(sy as double) <= 0
                     THEN NULL
-                    ELSE CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
-                         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                                * CAST(n * syy - sy * sy AS DOUBLE)) * 1000)
-                         AS BIGINT) END AS r_milli
+                    ELSE CAST(round((cast(n as double) * cast(sxy as double)
+                         - cast(sx as double) * cast(sy as double))
+                         / sqrt((cast(n as double) * cast(sxx as double)
+                                 - cast(sx as double) * cast(sx as double))
+                                * (cast(n as double) * cast(syy as double)
+                                   - cast(sy as double) * cast(sy as double)))
+                         * 1000) AS BIGINT) END AS r_milli
         FROM agg ORDER BY lag
         """
     )
@@ -6115,17 +6123,22 @@ WITH days AS (
 ), agg AS (
   SELECT lag, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
-         CAST(sum(xv * xv) AS BIGINT) AS sxx,
-         CAST(sum(yv * yv) AS BIGINT) AS syy,
-         CAST(sum(xv * yv) AS BIGINT) AS sxy
+         sum(xv * xv) AS sxx, sum(yv * yv) AS syy, sum(xv * yv) AS sxy
   FROM joined GROUP BY lag
 )
 SELECT CAST(lag AS BIGINT) AS lag, n,
-       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
-            ELSE CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                        * CAST(n * syy - sy * sy AS DOUBLE)) * 1000)
-                 AS BIGINT) END AS r_milli
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0
+              OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0
+            THEN NULL
+            ELSE CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 * 1000) AS BIGINT) END AS r_milli
 FROM agg ORDER BY lag
 """
 
@@ -6241,22 +6254,10 @@ def q218_kcore_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round shuffle is vertex-keyed; localCheckpoint truncates the
     lineage each round (operators/graph.kcore_peel). The oracle is
     the same peel UNROLLED as 8 materialized CTE rounds."""
-    from ..operators.graph import _pair_expr, kcore_peel
+    from ..operators.graph import copurchase_edges, kcore_peel
 
     li = _t(spark, sf_dir, "lineitem")
-    baskets = (
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .groupBy("o")
-        .agg(F.array_sort(F.collect_set("p")).alias("items"))
-        .filter((F.size("items") >= 2) & (F.size("items") <= 100))
-    )
-    edges = (
-        baskets.select(F.explode(_pair_expr("items")).alias("pr"))
-        .select(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
-        .distinct()
-    )
-    return kcore_peel(edges, k=110, rounds=8)
+    return kcore_peel(copurchase_edges(li, max_basket=100), k=110, rounds=8)
 
 
 _Q218_SQL = """
@@ -6478,9 +6479,12 @@ def q221_interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-based Fano factor (q203): B -> -1 for clockwork arrivals,
     0 for Poisson, -> +1 for heavy bursts. Gaps come from a user-keyed
     lag window (distributed); the three sufficient statistics (n, S,
-    SS) are exact integer epoch-second sums, and the n's cancel
-    algebraically so B reduces to (sqrt(n*SS - S^2) - S)/(sqrt(...) +
-    S) — one sqrt chain per user (population sigma), micro-quantized.
+    SS) are exact integer epoch-second sums — SS accumulates in
+    DECIMAL(38,0)/HUGEINT because a long-span user's sum of squared
+    gaps can pass int64 — and the n's cancel algebraically so B
+    reduces to (sqrt(n*SS - S^2) - S)/(sqrt(...) + S), the moment
+    products evaluated in DOUBLE (greatest(...,0) absorbs sub-ulp
+    negatives), one sqrt chain per user, micro-quantized.
     Degenerate gaps (n < 2 after lag, or all-zero) emit NULL; users
     under 10 gaps are dropped (estimator noise floor)."""
     from ..sources.files import register_views
@@ -6497,14 +6501,19 @@ def q221_interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM e
         ),
         agg AS (
-          SELECT user_id, count(g) AS n, sum(g) AS s, sum(g * g) AS ss
+          SELECT user_id, count(g) AS n, sum(g) AS s,
+                 sum(cast(g as decimal(38,0)) * g) AS ss
           FROM gaps WHERE g IS NOT NULL GROUP BY user_id
         )
-        SELECT user_id, n, s, ss,
+        SELECT user_id, n, s,
                CASE WHEN n < 2 OR s = 0 THEN NULL ELSE
-                 CAST(round((sqrt(CAST(n * ss - s * s AS DOUBLE))
+                 CAST(round((sqrt(greatest(cast(n as double)
+                        * cast(ss as double)
+                        - cast(s as double) * cast(s as double), 0d))
                       - CAST(s AS DOUBLE))
-                      / (sqrt(CAST(n * ss - s * s AS DOUBLE))
+                      / (sqrt(greatest(cast(n as double)
+                         * cast(ss as double)
+                         - cast(s as double) * cast(s as double), 0d))
                          + CAST(s AS DOUBLE)) * 1e6) AS BIGINT) END
                  AS burstiness_micro
         FROM agg
@@ -6523,13 +6532,17 @@ WITH e AS (
   FROM e
 ), agg AS (
   SELECT user_id, CAST(count(g) AS BIGINT) AS n,
-         CAST(sum(g) AS BIGINT) AS s, CAST(sum(g * g) AS BIGINT) AS ss
+         CAST(sum(g) AS BIGINT) AS s, sum(g * g) AS ss
   FROM gaps WHERE g IS NOT NULL GROUP BY user_id
 )
-SELECT user_id, n, s, ss,
+SELECT user_id, n, s,
        CASE WHEN n < 2 OR s = 0 THEN NULL ELSE
-         CAST(round((sqrt(CAST(n * ss - s * s AS DOUBLE)) - CAST(s AS DOUBLE))
-              / (sqrt(CAST(n * ss - s * s AS DOUBLE)) + CAST(s AS DOUBLE))
+         CAST(round((sqrt(greatest(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 0))
+              - CAST(s AS DOUBLE))
+              / (sqrt(greatest(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 0))
+                 + CAST(s AS DOUBLE))
               * 1e6) AS BIGINT) END AS burstiness_micro
 FROM agg
 WHERE n >= 10
@@ -6539,7 +6552,9 @@ ORDER BY user_id
 
 def q222_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival curve for days-to-first-purchase after
-    first click, with RIGHT CENSORING at the observation horizon —
+    first click (the event is the first purchase AT OR AFTER the
+    first click — earlier purchases do not convert this exposure),
+    with RIGHT CENSORING at the observation horizon —
     the survival-analysis estimator naive conversion rates get wrong
     (censored users are neither converted nor failed; dropping them
     biases the curve). Risk sets come from a reverse cumulative sum
@@ -6556,23 +6571,32 @@ def q222_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ["events"])
     return spark.sql(
         """
-        WITH mx AS (
-          SELECT max(unix_micros(ts) div 86400000000) AS dmax FROM events
+        WITH ev AS (
+          SELECT user_id, event_type,
+                 unix_micros(ts) div 86400000000 AS day
+          FROM events
         ),
-        per_user AS (
+        mx AS (
+          SELECT max(day) AS dmax FROM ev
+        ),
+        firsts AS (
           SELECT user_id,
-                 min(CASE WHEN event_type = 'click'
-                          THEN unix_micros(ts) div 86400000000 END) AS c0,
-                 min(CASE WHEN event_type = 'purchase'
-                          THEN unix_micros(ts) div 86400000000 END) AS p0
-          FROM events GROUP BY user_id
+                 min(CASE WHEN event_type = 'click' THEN day END) AS c0
+          FROM ev GROUP BY user_id
+        ),
+        conv AS (
+          SELECT e.user_id, min(day) AS p0
+          FROM ev e JOIN firsts f ON e.user_id = f.user_id
+          WHERE e.event_type = 'purchase' AND e.day >= f.c0
+          GROUP BY e.user_id
         ),
         subjects AS (
-          SELECT user_id,
-                 CASE WHEN p0 IS NOT NULL AND p0 >= c0 THEN p0 - c0
+          SELECT f.user_id,
+                 CASE WHEN p0 IS NOT NULL THEN p0 - c0
                       ELSE dmax - c0 END AS dur,
-                 CASE WHEN p0 IS NOT NULL AND p0 >= c0 THEN 1 ELSE 0 END AS ev
-          FROM per_user CROSS JOIN mx
+                 CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END AS ev
+          FROM firsts f LEFT JOIN conv ON f.user_id = conv.user_id
+          CROSS JOIN mx
           WHERE c0 IS NOT NULL
         ),
         tbl AS (
@@ -6606,21 +6630,27 @@ def q222_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q222_SQL = """
-WITH mx AS (
-  SELECT max(epoch_us(ts) // 86400000000) AS dmax FROM events
-), per_user AS (
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS day
+  FROM events
+), mx AS (
+  SELECT max(day) AS dmax FROM ev
+), firsts AS (
   SELECT user_id,
-         min(CASE WHEN event_type = 'click'
-                  THEN epoch_us(ts) // 86400000000 END) AS c0,
-         min(CASE WHEN event_type = 'purchase'
-                  THEN epoch_us(ts) // 86400000000 END) AS p0
-  FROM events GROUP BY user_id
+         min(CASE WHEN event_type = 'click' THEN day END) AS c0
+  FROM ev GROUP BY user_id
+), conv AS (
+  SELECT e.user_id, min(day) AS p0
+  FROM ev e JOIN firsts f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase' AND e.day >= f.c0
+  GROUP BY e.user_id
 ), subjects AS (
-  SELECT user_id,
-         CASE WHEN p0 IS NOT NULL AND p0 >= c0 THEN p0 - c0
+  SELECT f.user_id,
+         CASE WHEN p0 IS NOT NULL THEN p0 - c0
               ELSE dmax - c0 END AS dur,
-         CASE WHEN p0 IS NOT NULL AND p0 >= c0 THEN 1 ELSE 0 END AS ev
-  FROM per_user CROSS JOIN mx
+         CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM firsts f LEFT JOIN conv ON f.user_id = conv.user_id
+  CROSS JOIN mx
   WHERE c0 IS NOT NULL
 ), tbl AS (
   SELECT dur, CAST(count(*) AS BIGINT) AS at_t,
@@ -6795,8 +6825,10 @@ WITH rev AS (
   FROM loc JOIN bpre ON loc.bkt = bpre.bkt
 ), classed AS (
   SELECT p, r,
-         CASE WHEN cum * 100 <= tot * 80 THEN 'A'
-              WHEN cum * 100 <= tot * 95 THEN 'B'
+         CASE WHEN CAST(cum AS DECIMAL(38,0)) * 100
+                   <= CAST(tot AS DECIMAL(38,0)) * 80 THEN 'A'
+              WHEN CAST(cum AS DECIMAL(38,0)) * 100
+                   <= CAST(tot AS DECIMAL(38,0)) * 95 THEN 'B'
               ELSE 'C' END AS abc
   FROM shares
 )
@@ -6813,55 +6845,58 @@ def q225_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     undirected edge contributes both orientations — the standard
     symmetric estimator). Do hub parts co-sell with hubs (r > 0,
     assortative) or with the long tail (r < 0, disassortative,
-    typical of real co-purchase graphs)? Degrees are one vertex-keyed
-    grouped count over the capped-basket edge list (q218's edge
-    build); the six sufficient statistics are exact integer sums
-    (d <= basket-cap-bounded degree, squares safely inside BIGINT at
-    any SF with capped baskets), and the single sqrt chain runs once
-    on the 1-row aggregate, rounded to milli. The DuckDB twin
-    MATERIALIZEs its CTEs; Spark reuses the exchange subtree."""
+    typical of real co-purchase graphs)? Edges come from the SHARED
+    builder operators/graph.copurchase_edges (same graph as q218);
+    degrees are one vertex-keyed grouped count. Moment sums
+    accumulate in DECIMAL(38,0) on the Spark side (DuckDB's
+    sum(BIGINT) is HUGEINT natively) because sum(d^2)/sum(d*d') can
+    exceed int64 on skewed graphs at large SF — Spark's non-ANSI
+    BIGINT sum would wrap silently where DuckDB errors, diverging
+    exactly where the sf0.01 selfcheck never looks. The n*Sxx - Sx^2
+    products then evaluate in DOUBLE (int-to-double casts are
+    correctly rounded in both engines below 2^53; past that the
+    shared cast is the accepted q78-class ulp seam, guarded by
+    vx/vy <= 0 => NULL)."""
+    from ..operators.graph import copurchase_edges
     from ..sources.files import register_views
 
     register_views(spark, sf_dir, ["lineitem"])
-    return spark.sql(_Q225_SPARK)
-
-
-_Q225_SPARK = """
-WITH b AS (
-  SELECT l_orderkey AS o, l_partkey AS p FROM lineitem GROUP BY 1, 2
-), sized AS (
-  SELECT o, p, count(*) OVER (PARTITION BY o) AS bs FROM b
-), kept AS (
-  SELECT o, p FROM sized WHERE bs <= 100
-), e AS (
-  SELECT DISTINCT x.p AS a, y.p AS bb
-  FROM kept x JOIN kept y ON x.o = y.o AND x.p < y.p
-), deg AS (
-  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
-    SELECT a AS v FROM e UNION ALL SELECT bb FROM e
-  ) GROUP BY v
-), ori AS (
-  SELECT da.d AS dx, db.d AS dy
-  FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.bb = db.v
-  UNION ALL
-  SELECT db.d AS dx, da.d AS dy
-  FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.bb = db.v
-), agg AS (
-  SELECT CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
-         CAST(sum(dx * dx) AS BIGINT) AS sxx,
-         CAST(sum(dy * dy) AS BIGINT) AS syy,
-         CAST(sum(dx * dy) AS BIGINT) AS sxy
-  FROM ori
-)
-SELECT n, sx, sxy,
-       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
-            ELSE CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                        * CAST(n * syy - sy * sy AS DOUBLE)) * 1000)
-                 AS BIGINT) END AS assortativity_milli
-FROM agg
-"""
+    e = copurchase_edges(spark.table("lineitem"), max_basket=100)
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    j = (
+        e.join(deg.select(F.col("v").alias("a"), F.col("d").alias("dx")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("dy")), "b")
+        .select("dx", "dy")
+    )
+    ori = j.unionAll(j.select(F.col("dy").alias("dx"), F.col("dx").alias("dy")))
+    agg = ori.agg(
+        F.count("*").alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.expr("cast(dx as decimal(38,0)) * dx")).alias("sxx"),
+        F.sum(F.expr("cast(dy as decimal(38,0)) * dy")).alias("syy"),
+        F.sum(F.expr("cast(dx as decimal(38,0)) * dy")).alias("sxy"),
+    )
+    vx = ("(cast(n as double) * cast(sxx as double)"
+          " - cast(sx as double) * cast(sx as double))")
+    vy = ("(cast(n as double) * cast(syy as double)"
+          " - cast(sy as double) * cast(sy as double))")
+    num = ("(cast(n as double) * cast(sxy as double)"
+           " - cast(sx as double) * cast(sy as double))")
+    return agg.select(
+        "n", "sx",
+        F.expr("cast(sxy as bigint)").alias("sxy"),
+        F.expr(
+            f"case when {vx} <= 0 or {vy} <= 0 then null "
+            f"else cast(round({num} / sqrt({vx} * {vy}) * 1000) as bigint) "
+            "end"
+        ).alias("assortativity_milli"),
+    )
 
 
 _Q225_SQL = """
@@ -6870,7 +6905,7 @@ WITH b AS MATERIALIZED (
 ), sized AS (
   SELECT o, p, count(*) OVER (PARTITION BY o) AS bs FROM b
 ), kept AS (
-  SELECT o, p FROM sized WHERE bs <= 100
+  SELECT o, p FROM sized WHERE bs BETWEEN 2 AND 100
 ), e AS MATERIALIZED (
   SELECT DISTINCT x.p AS a, y.p AS bb
   FROM kept x JOIN kept y ON x.o = y.o AND x.p < y.p
@@ -6887,17 +6922,22 @@ WITH b AS MATERIALIZED (
 ), agg AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
          CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
-         CAST(sum(dx * dx) AS BIGINT) AS sxx,
-         CAST(sum(dy * dy) AS BIGINT) AS syy,
-         CAST(sum(dx * dy) AS BIGINT) AS sxy
+         sum(dx * dx) AS sxx, sum(dy * dy) AS syy, sum(dx * dy) AS sxy
   FROM ori
 )
-SELECT n, sx, sxy,
-       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
-            ELSE CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                        * CAST(n * syy - sy * sy AS DOUBLE)) * 1000)
-                 AS BIGINT) END AS assortativity_milli
+SELECT n, sx, CAST(sxy AS BIGINT) AS sxy,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <= 0
+              OR (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0
+            THEN NULL
+            ELSE CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 * 1000) AS BIGINT) END AS assortativity_milli
 FROM agg
 """
 

@@ -1593,24 +1593,26 @@ def test_q215_lead_lag_finds_planted_shift(spark, tmp_path, qs):
 
 
 def test_q216_bag_key_catches_reorder_only(spark, tmp_path, qs):
-    """Planted: doc 2 is a word-reordering of doc 1 (distinct md5,
-    same bag), doc 3 differs only in case+spacing from doc 1 (same
-    bag after lower+split), doc 4 is genuinely different. Expect
-    n_exact=4 (all texts distinct), n_bags=2, reorder_only_dups=2.
-    Plan gate: no pair join — the tier is pure hash aggregation."""
+    """Planted: doc 2 is a word-reordering of doc 1 (distinct md5 AND
+    distinct canonical, same bag), doc 3 differs only in case+spacing
+    from doc 1 (same canonical, so the canonical tier catches it and
+    reorder_only must NOT count it), doc 4 is genuinely different.
+    Expect n_exact=4, n_canon=3, n_bags=2, reorder_only_dups=1 (only
+    the genuine reordering). Plan gate: no pair join."""
     from airflow_spotify_etl_spark.sources.files import SCHEMAS
 
     rows = [
         (1, "alpha beta gamma", "en", "s", 1),
         (2, "gamma alpha beta", "en", "s", 1),
-        (3, "Beta   ALPHA gamma", "en", "s", 1),
+        (3, "ALPHA   Beta gamma", "en", "s", 1),
         (4, "delta epsilon zeta", "en", "s", 1),
     ]
     spark.createDataFrame(rows, SCHEMAS["documents"]).write.mode(
         "overwrite").parquet(str(tmp_path / "documents.parquet"))
     df = qs["q216_bag_of_words_dedup"](spark, str(tmp_path))
     r = df.collect()[0]
-    assert (r.n_docs, r.n_exact, r.n_bags, r.reorder_only_dups) == (4, 4, 2, 2)
+    assert (r.n_docs, r.n_exact, r.n_canon, r.n_bags,
+            r.reorder_only_dups) == (4, 4, 3, 2, 1)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
 
@@ -1757,10 +1759,10 @@ def test_q221_burstiness_extremes(spark, tmp_path, qs):
 
 def test_q222_km_hand_computed_with_censoring(spark, tmp_path, qs):
     """Textbook KM: 4 users convert on days 0,0,1,3 after first click;
-    2 users never convert (censored at horizon day 5, after the last
-    event). S(0)=4/6, S(1)=4/6*3/4=1/2, S(3)=1/2*2/3=1/3 — censored
-    users stay in the risk set until the horizon, which naive
-    conversion math would get wrong. Exact micro values asserted."""
+    2 users never convert (censored at horizon day 5), and 1 user
+    purchased BEFORE ever clicking then again on day 3 after — the
+    pre-click purchase must not censor them (it is not a conversion
+    of this exposure). Exact micro values asserted."""
     from datetime import datetime, timedelta
 
     from airflow_spotify_etl_spark.sources.files import SCHEMAS
@@ -1774,6 +1776,12 @@ def test_q222_km_hand_computed_with_censoring(spark, tmp_path, qs):
                      "purchase", 1.0, "{}")); i += 1
     for u in (5, 6):  # censored
         rows.append((i, base, u, "click", 1.0, "{}")); i += 1
+    # user 8: purchased BEFORE ever clicking, then converts on day 3
+    # after the click — the pre-click purchase must NOT censor them
+    rows.append((i, base - timedelta(days=2), 8, "purchase", 1.0, "{}")); i += 1
+    rows.append((i, base, 8, "click", 1.0, "{}")); i += 1
+    rows.append((i, base + timedelta(days=3, hours=1), 8, "purchase", 1.0,
+                 "{}")); i += 1
     # horizon marker: day 5 (any event type sets dmax)
     rows.append((i, base + timedelta(days=5), 7, "view", 1.0, "{}"))
     spark.createDataFrame(rows, SCHEMAS["events"]).write.mode(
@@ -1781,10 +1789,12 @@ def test_q222_km_hand_computed_with_censoring(spark, tmp_path, qs):
     got = {r.duration_days: r for r in
            qs["q222_kaplan_meier"](spark, str(tmp_path)).collect()}
     assert set(got) == {0, 1, 3}
-    assert (got[0].n_risk, got[0].n_events) == (6, 2)
-    assert got[0].survival_micro == 666667
-    assert got[1].survival_micro == 500000
-    assert got[3].survival_micro == 333333
+    # 7 subjects now (user 8 converts at dur 3, counted as an event)
+    assert (got[0].n_risk, got[0].n_events) == (7, 2)
+    # S(0)=5/7, S(1)=5/7*4/5=4/7, S(3)=4/7*2/4=2/7
+    assert got[0].survival_micro == 714286
+    assert got[1].survival_micro == 571429
+    assert (got[3].n_events, got[3].survival_micro) == (2, 285714)
 
 
 def test_q223_haar_energy_hand_computed(spark, tmp_path, qs):
