@@ -520,3 +520,71 @@ def copurchase_edges(lineitem: DataFrame, max_basket: int = 100) -> DataFrame:
         .select(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
         .distinct()
     )
+
+
+def label_propagation_trajectory(
+    edges: DataFrame,
+    rounds: int = 10,
+) -> DataFrame:
+    """Bounded min-label propagation: every vertex starts labeled with
+    its own id; each round it takes the min of its label and its
+    neighbors' labels. After D rounds (D = graph diameter) labels are
+    exactly the connected components; the returned TRAJECTORY — one
+    row per round with (n_components, largest_component) — makes
+    convergence checkable (two equal consecutive rows) without
+    requiring it, so a fixed round budget keeps the semantics exact
+    and oracle-comparable rather than hoped-for. (The production
+    CC operator in dedup.py uses pointer doubling — log rounds; this
+    plain LP exists for bounded-round parity with an unrolled SQL
+    twin, same trade as kcore_peel.)
+
+    Scale shape per round: two edge-keyed label joins + one
+    vertex-keyed min — all keyed shuffles; localCheckpoint truncates
+    lineage so the plan is constant in rounds. The edge list itself is
+    checkpointed ONCE up front: each round references it twice, so an
+    unmaterialized (possibly expensive) edge derivation would
+    re-execute 2x per round."""
+    edges = edges.select("a", "b").localCheckpoint(eager=True)
+    verts = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .distinct()
+    )
+    labels = verts.select("v", F.col("v").alias("lbl")).localCheckpoint(
+        eager=True
+    )
+
+    def _summary(lb: DataFrame, r: int) -> DataFrame:
+        sizes = lb.groupBy("lbl").agg(F.count("*").alias("sz"))
+        return sizes.agg(
+            F.lit(r).cast("long").alias("round"),
+            F.count("*").alias("n_components"),
+            F.max("sz").alias("largest_component"),
+        )
+
+    out = _summary(labels, 0)
+    for r in range(1, int(rounds) + 1):
+        nbr = (
+            edges.join(
+                labels.withColumnRenamed("v", "b").withColumnRenamed(
+                    "lbl", "nl"
+                ),
+                "b",
+            ).select(F.col("a").alias("v"), F.col("nl").alias("lbl"))
+            .unionAll(
+                edges.join(
+                    labels.withColumnRenamed("v", "a").withColumnRenamed(
+                        "lbl", "nl"
+                    ),
+                    "a",
+                ).select(F.col("b").alias("v"), F.col("nl").alias("lbl"))
+            )
+        )
+        labels = (
+            labels.unionAll(nbr)
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionAll(_summary(labels, r))
+    return out.orderBy("round")

@@ -7165,6 +7165,159 @@ ORDER BY trans.prev
 """
 
 
+def q230_percolation_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation robustness of the co-purchase graph: remove the 50
+    highest-degree hubs (deterministic degree-desc, id-asc cut) and
+    measure what remains connected — the targeted-attack experiment
+    of network science (scale-free graphs shatter under hub removal;
+    random graphs barely notice). Components come from BOUNDED
+    min-label propagation (operators/graph.label_propagation_
+    trajectory, 6 rounds, per-round checkpoints) whose trajectory of
+    (n_components, largest_component) rows makes convergence
+    CHECKABLE — two equal consecutive rows — while staying exactly
+    comparable to the DuckDB twin, which unrolls the identical peel
+    as materialized CTE rounds (the q218 discipline). Edges come from
+    the shared copurchase_edges builder."""
+    from ..operators.graph import copurchase_edges, label_propagation_trajectory
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    e = copurchase_edges(spark.table("lineitem"), max_basket=100)
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    # TakeOrderedAndProject, not a single-partition row_number window:
+    # the top-50 cut stays distributed even at 1e8 vertices.
+    hubs = deg.orderBy(F.col("d").desc(), F.col("v")).limit(50).select("v")
+    residual = (
+        e.join(hubs.withColumnRenamed("v", "a"), "a", "left_anti")
+        .join(hubs.withColumnRenamed("v", "b"), "b", "left_anti")
+        .select("a", "b")
+    )
+    return label_propagation_trajectory(residual, rounds=6)
+
+
+_Q230_SQL = """
+WITH b AS MATERIALIZED (
+  SELECT l_orderkey AS o, l_partkey AS p FROM lineitem GROUP BY 1, 2
+), sized AS (
+  SELECT o, p, count(*) OVER (PARTITION BY o) AS bs FROM b
+), kept AS (
+  SELECT o, p FROM sized WHERE bs BETWEEN 2 AND 100
+), e AS MATERIALIZED (
+  SELECT DISTINCT x.p AS a, y.p AS bb
+  FROM kept x JOIN kept y ON x.o = y.o AND x.p < y.p
+), deg AS MATERIALIZED (
+  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS v FROM e UNION ALL SELECT bb FROM e
+  ) GROUP BY v
+), hubs AS MATERIALIZED (
+  SELECT v FROM (
+    SELECT v, row_number() OVER (ORDER BY d DESC, v) AS rn FROM deg
+  ) WHERE rn <= 50
+), re AS MATERIALIZED (
+  SELECT a, bb FROM e
+  WHERE a NOT IN (SELECT v FROM hubs) AND bb NOT IN (SELECT v FROM hubs)
+), l0 AS MATERIALIZED (
+  SELECT v, v AS lbl FROM (
+    SELECT a AS v FROM re UNION SELECT bb FROM re
+  )
+),
+l1 AS MATERIALIZED (
+  SELECT v, min(lbl) AS lbl FROM (
+    SELECT v, lbl FROM l0
+    UNION ALL
+    SELECT re.a AS v, l.lbl FROM re JOIN l0 l ON re.bb = l.v
+    UNION ALL
+    SELECT re.bb AS v, l.lbl FROM re JOIN l0 l ON re.a = l.v
+  ) GROUP BY v
+),
+l2 AS MATERIALIZED (
+  SELECT v, min(lbl) AS lbl FROM (
+    SELECT v, lbl FROM l1
+    UNION ALL
+    SELECT re.a AS v, l.lbl FROM re JOIN l1 l ON re.bb = l.v
+    UNION ALL
+    SELECT re.bb AS v, l.lbl FROM re JOIN l1 l ON re.a = l.v
+  ) GROUP BY v
+),
+l3 AS MATERIALIZED (
+  SELECT v, min(lbl) AS lbl FROM (
+    SELECT v, lbl FROM l2
+    UNION ALL
+    SELECT re.a AS v, l.lbl FROM re JOIN l2 l ON re.bb = l.v
+    UNION ALL
+    SELECT re.bb AS v, l.lbl FROM re JOIN l2 l ON re.a = l.v
+  ) GROUP BY v
+),
+l4 AS MATERIALIZED (
+  SELECT v, min(lbl) AS lbl FROM (
+    SELECT v, lbl FROM l3
+    UNION ALL
+    SELECT re.a AS v, l.lbl FROM re JOIN l3 l ON re.bb = l.v
+    UNION ALL
+    SELECT re.bb AS v, l.lbl FROM re JOIN l3 l ON re.a = l.v
+  ) GROUP BY v
+),
+l5 AS MATERIALIZED (
+  SELECT v, min(lbl) AS lbl FROM (
+    SELECT v, lbl FROM l4
+    UNION ALL
+    SELECT re.a AS v, l.lbl FROM re JOIN l4 l ON re.bb = l.v
+    UNION ALL
+    SELECT re.bb AS v, l.lbl FROM re JOIN l4 l ON re.a = l.v
+  ) GROUP BY v
+),
+l6 AS MATERIALIZED (
+  SELECT v, min(lbl) AS lbl FROM (
+    SELECT v, lbl FROM l5
+    UNION ALL
+    SELECT re.a AS v, l.lbl FROM re JOIN l5 l ON re.bb = l.v
+    UNION ALL
+    SELECT re.bb AS v, l.lbl FROM re JOIN l5 l ON re.a = l.v
+  ) GROUP BY v
+)
+SELECT * FROM (
+SELECT CAST(0 AS BIGINT) AS round,
+  (SELECT CAST(count(DISTINCT lbl) AS BIGINT) FROM l0) AS n_components,
+  (SELECT CAST(max(sz) AS BIGINT) FROM
+     (SELECT count(*) AS sz FROM l0 GROUP BY lbl)) AS largest_component
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS round,
+  (SELECT CAST(count(DISTINCT lbl) AS BIGINT) FROM l1) AS n_components,
+  (SELECT CAST(max(sz) AS BIGINT) FROM
+     (SELECT count(*) AS sz FROM l1 GROUP BY lbl)) AS largest_component
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS round,
+  (SELECT CAST(count(DISTINCT lbl) AS BIGINT) FROM l2) AS n_components,
+  (SELECT CAST(max(sz) AS BIGINT) FROM
+     (SELECT count(*) AS sz FROM l2 GROUP BY lbl)) AS largest_component
+UNION ALL
+SELECT CAST(3 AS BIGINT) AS round,
+  (SELECT CAST(count(DISTINCT lbl) AS BIGINT) FROM l3) AS n_components,
+  (SELECT CAST(max(sz) AS BIGINT) FROM
+     (SELECT count(*) AS sz FROM l3 GROUP BY lbl)) AS largest_component
+UNION ALL
+SELECT CAST(4 AS BIGINT) AS round,
+  (SELECT CAST(count(DISTINCT lbl) AS BIGINT) FROM l4) AS n_components,
+  (SELECT CAST(max(sz) AS BIGINT) FROM
+     (SELECT count(*) AS sz FROM l4 GROUP BY lbl)) AS largest_component
+UNION ALL
+SELECT CAST(5 AS BIGINT) AS round,
+  (SELECT CAST(count(DISTINCT lbl) AS BIGINT) FROM l5) AS n_components,
+  (SELECT CAST(max(sz) AS BIGINT) FROM
+     (SELECT count(*) AS sz FROM l5 GROUP BY lbl)) AS largest_component
+UNION ALL
+SELECT CAST(6 AS BIGINT) AS round,
+  (SELECT CAST(count(DISTINCT lbl) AS BIGINT) FROM l6) AS n_components,
+  (SELECT CAST(max(sz) AS BIGINT) FROM
+     (SELECT count(*) AS sz FROM l6 GROUP BY lbl)) AS largest_component
+) ORDER BY round"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -7282,6 +7435,7 @@ QUERIES = {
     "q227_trending_decay": q227_trending_decay,
     "q228_cohort_ltv": q228_cohort_ltv,
     "q229_markov_top1_accuracy": q229_markov_top1_accuracy,
+    "q230_percolation_robustness": q230_percolation_robustness,
 }
 
 ORACLES = {
@@ -7401,4 +7555,5 @@ ORACLES = {
     "q227_trending_decay": _Q227_SQL,
     "q228_cohort_ltv": _Q228_SQL,
     "q229_markov_top1_accuracy": _Q229_SQL,
+    "q230_percolation_robustness": _Q230_SQL,
 }

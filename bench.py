@@ -242,6 +242,7 @@ HEADLINE = [
     "q227_trending_decay",
     "q228_cohort_ltv",
     "q229_markov_top1_accuracy",
+    "q230_percolation_robustness",
 ]
 
 
