@@ -5858,24 +5858,11 @@ LIMIT 100
 """
 
 
-def q210_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Peak concurrent sessions per day by a DISTRIBUTED sweep-line:
-    sessionize per user (30-min gap, 60-s tail so single-event sessions
-    have positive length), split each session interval at UTC midnight
-    into per-day segments, emit +1/-1 boundary deltas, and running-sum
-    them inside a window PARTITIONED BY day — the sweep is per-day
-    local, so no global single-partition sort exists anywhere (the
-    classic scale failure of naive interval sweeps). All arithmetic is
-    integer epoch-MICROseconds (rule 11: Spark floors seconds, DuckDB
-    rounds them — micros are exact); ties order -1 before +1 so touching
-    intervals never count as concurrent and the per-group max is
-    order-deterministic in both engines."""
-    from ..sources.files import register_views
-
-    register_views(spark, sf_dir, ["events"])
-    return spark.sql(
-        """
-        WITH e AS (
+# Shared sessionization -> midnight-split segment chain (microsecond
+# integers, rule 11). Single source of truth for q210 (peak via sweep)
+# and q231 (time-averaged via busy-time integral) on BOTH engines — a
+# gap/tail/day-width change cannot silently decouple the two queries.
+_SESSION_SEG_SPARK = """        WITH e AS (
           SELECT user_id, unix_micros(ts) AS es FROM events
         ),
         ord AS (
@@ -5904,27 +5891,9 @@ def q210_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
                  least(f, (d + 1) * 86400000000) AS seg_end
           FROM bounds
           LATERAL VIEW explode(sequence(s div 86400000000, (f - 1) div 86400000000)) AS d
-        ),
-        deltas AS (
-          SELECT epoch_day, seg_start AS t, 1 AS delta FROM seg
-          UNION ALL
-          SELECT epoch_day, seg_end AS t, -1 AS delta FROM seg
-        ),
-        sweep AS (
-          SELECT epoch_day,
-                 sum(delta) OVER (PARTITION BY epoch_day ORDER BY t, delta
-                                  ROWS UNBOUNDED PRECEDING) AS run
-          FROM deltas
-        )
-        SELECT epoch_day, CAST(max(run) AS BIGINT) AS peak_concurrency,
-               count(*) DIV 2 AS n_segments
-        FROM sweep GROUP BY epoch_day
-        ORDER BY epoch_day
-        """
-    )
+        )"""
 
-
-_Q210_SQL = """
+_SESSION_SEG_DUCK = """
 WITH e AS (
   SELECT user_id, epoch_us(ts) AS es FROM events
 ),
@@ -5950,7 +5919,47 @@ seg AS (
          greatest(s, d.d * 86400000000) AS seg_start,
          least(f, (d.d + 1) * 86400000000) AS seg_end
   FROM bounds, UNNEST(generate_series(s // 86400000000, (f - 1) // 86400000000)) AS d(d)
-),
+)"""
+
+
+def q210_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day by a DISTRIBUTED sweep-line:
+    sessionize per user (30-min gap, 60-s tail so single-event sessions
+    have positive length), split each session interval at UTC midnight
+    into per-day segments, emit +1/-1 boundary deltas, and running-sum
+    them inside a window PARTITIONED BY day — the sweep is per-day
+    local, so no global single-partition sort exists anywhere (the
+    classic scale failure of naive interval sweeps). All arithmetic is
+    integer epoch-MICROseconds (rule 11: Spark floors seconds, DuckDB
+    rounds them — micros are exact); ties order -1 before +1 so touching
+    intervals never count as concurrent and the per-group max is
+    order-deterministic in both engines."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        _SESSION_SEG_SPARK
+        + """,
+        deltas AS (
+          SELECT epoch_day, seg_start AS t, 1 AS delta FROM seg
+          UNION ALL
+          SELECT epoch_day, seg_end AS t, -1 AS delta FROM seg
+        ),
+        sweep AS (
+          SELECT epoch_day,
+                 sum(delta) OVER (PARTITION BY epoch_day ORDER BY t, delta
+                                  ROWS UNBOUNDED PRECEDING) AS run
+          FROM deltas
+        )
+        SELECT epoch_day, CAST(max(run) AS BIGINT) AS peak_concurrency,
+               count(*) DIV 2 AS n_segments
+        FROM sweep GROUP BY epoch_day
+        ORDER BY epoch_day
+        """
+    )
+
+
+_Q210_SQL = _SESSION_SEG_DUCK + """,
 deltas AS (
   SELECT epoch_day, seg_start AS t, 1 AS delta FROM seg
   UNION ALL
@@ -7318,6 +7327,40 @@ SELECT CAST(6 AS BIGINT) AS round,
 ) ORDER BY round"""
 
 
+def q231_time_avg_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-AVERAGED session concurrency per day — the Little's-law
+    "L" that q210's sweep-line peak bounds from above: integrate busy
+    time (sum of segment lengths in integer microseconds) over each
+    day and divide by the 86400-second day. The division is EXACT
+    integer arithmetic: busy_us // 86400 IS the average concurrency
+    in micro-units (µs busy per second of day = 1e-6 concurrency), so
+    the whole query is in the q223 no-float class. Shares the
+    sessionization -> midnight-split chain with q210 via
+    _SESSION_SEG_SPARK/_SESSION_SEG_DUCK (one source of truth); no
+    window at all — the integral is a plain grouped sum."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        _SESSION_SEG_SPARK
+        + """
+        SELECT epoch_day, count(*) AS n_segments,
+               sum(seg_end - seg_start) AS busy_us,
+               sum(seg_end - seg_start) div 86400 AS avg_concurrency_micro
+        FROM seg GROUP BY epoch_day ORDER BY epoch_day
+        """
+    )
+
+
+_Q231_SQL = _SESSION_SEG_DUCK + """
+SELECT epoch_day, CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(seg_end - seg_start) AS BIGINT) AS busy_us,
+       CAST(sum(seg_end - seg_start) // 86400 AS BIGINT)
+         AS avg_concurrency_micro
+FROM seg GROUP BY epoch_day ORDER BY epoch_day
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -7436,6 +7479,7 @@ QUERIES = {
     "q228_cohort_ltv": q228_cohort_ltv,
     "q229_markov_top1_accuracy": q229_markov_top1_accuracy,
     "q230_percolation_robustness": q230_percolation_robustness,
+    "q231_time_avg_concurrency": q231_time_avg_concurrency,
 }
 
 ORACLES = {
@@ -7556,4 +7600,5 @@ ORACLES = {
     "q228_cohort_ltv": _Q228_SQL,
     "q229_markov_top1_accuracy": _Q229_SQL,
     "q230_percolation_robustness": _Q230_SQL,
+    "q231_time_avg_concurrency": _Q231_SQL,
 }

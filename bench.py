@@ -243,6 +243,7 @@ HEADLINE = [
     "q228_cohort_ltv",
     "q229_markov_top1_accuracy",
     "q230_percolation_robustness",
+    "q231_time_avg_concurrency",
 ]
 
 

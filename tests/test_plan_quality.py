@@ -2073,3 +2073,33 @@ def test_q230_percolation_planted_components(spark, tmp_path, qs):
     hubs = deg.orderBy(F.col("d").desc(), F.col("v")).limit(50).select("v")
     plan = hubs._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q231_busy_time_integral_exact(spark, tmp_path, qs):
+    """One user active 10:00-10:10 (+60 s tail = 660 s busy), another
+    23:50->00:05 next day (midnight split: 600 s on day 1, 360 s on
+    day 2 incl. tail). busy_us and the integer micro average are
+    asserted exactly; consistency with q210: avg <= peak * 1e6."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0), 1, "e", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 10, 10), 1, "e", 1.0, "{}"),
+        (3, datetime(2024, 1, 2, 23, 50), 2, "e", 1.0, "{}"),
+        (4, datetime(2024, 1, 3, 0, 5), 2, "e", 1.0, "{}"),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r.epoch_day: r for r in
+           qs["q231_time_avg_concurrency"](spark, str(tmp_path)).collect()}
+    d1 = (datetime(2024, 1, 1) - datetime(1970, 1, 1)).days
+    assert got[d1].busy_us == 660 * 1_000_000
+    assert got[d1].avg_concurrency_micro == 660 * 1_000_000 // 86400
+    assert got[d1 + 1].busy_us == 600 * 1_000_000
+    assert got[d1 + 2].busy_us == 360 * 1_000_000
+    peaks = {r.epoch_day: r.peak_concurrency for r in
+             qs["q210_peak_concurrency"](spark, str(tmp_path)).collect()}
+    for day, r in got.items():
+        assert r.avg_concurrency_micro <= peaks[day] * 1_000_000
