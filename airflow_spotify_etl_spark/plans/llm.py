@@ -5857,6 +5857,78 @@ ORDER BY t1.doc_id
 """
 
 
+def q232_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale token burstiness: the 25 tokens whose observed
+    document frequency falls furthest below the Poisson expectation
+    D·(1 − exp(−tf/D)) — bursty/topical words concentrate their
+    occurrences in few documents (adaptation << 1e6), while function
+    words track the Poisson line. This is the doc-level complement of
+    the within-doc repetition metrics (q45) and the corpus-level
+    Zipf fit (q202). One grouped (tf, df) scan; the exp chain runs
+    once per surviving token over exact integers, is micro-quantized
+    BEFORE the rank (integers compare identically), and ties break on
+    the token string. tf >= 50 is the estimator noise floor; exp is
+    the accepted libm seam (q111/q192)."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        r"""
+        WITH toks AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id, explode(split(lower(text), '\\s+')) AS tok
+            FROM documents
+          ) WHERE tok <> ''
+        ),
+        stats AS (
+          SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+          FROM toks GROUP BY tok
+        ),
+        d AS (SELECT count(*) AS nd FROM documents),
+        scored AS (
+          SELECT tok, tf, df, nd,
+                 CAST(round(CAST(df AS DOUBLE)
+                      / (CAST(nd AS DOUBLE)
+                         * (1 - exp(-CAST(tf AS DOUBLE) / CAST(nd AS DOUBLE))))
+                      * 1e6) AS BIGINT) AS adaptation_micro
+          FROM stats CROSS JOIN d
+          WHERE tf >= 50
+        )
+        SELECT tok, tf, df, adaptation_micro
+        FROM scored
+        ORDER BY adaptation_micro, tok
+        LIMIT 25
+        """
+    )
+
+
+_Q232_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), stats AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS tf,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY tok
+), d AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+scored AS (
+  SELECT tok, tf, df, nd,
+         CAST(round(CAST(df AS DOUBLE)
+              / (CAST(nd AS DOUBLE)
+                 * (1 - exp(-CAST(tf AS DOUBLE) / CAST(nd AS DOUBLE))))
+              * 1e6) AS BIGINT) AS adaptation_micro
+  FROM stats CROSS JOIN d
+  WHERE tf >= 50
+)
+SELECT tok, tf, df, adaptation_micro
+FROM scored
+ORDER BY adaptation_micro, tok
+LIMIT 25
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -5954,6 +6026,7 @@ QUERIES = {
     "q213_edit_distance_pairs": q213_edit_distance_pairs,
     "q216_bag_of_words_dedup": q216_bag_of_words_dedup,
     "q220_phrase_search": q220_phrase_search,
+    "q232_token_burstiness": q232_token_burstiness,
 }
 
 ORACLES = {
@@ -6053,4 +6126,5 @@ ORACLES = {
     "q213_edit_distance_pairs": _Q213_SQL,
     "q216_bag_of_words_dedup": _Q216_SQL,
     "q220_phrase_search": _Q220_SQL,
+    "q232_token_burstiness": _Q232_SQL,
 }

@@ -244,6 +244,7 @@ HEADLINE = [
     "q229_markov_top1_accuracy",
     "q230_percolation_robustness",
     "q231_time_avg_concurrency",
+    "q232_token_burstiness",
 ]
 
 

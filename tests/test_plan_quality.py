@@ -2103,3 +2103,30 @@ def test_q231_busy_time_integral_exact(spark, tmp_path, qs):
              qs["q210_peak_concurrency"](spark, str(tmp_path)).collect()}
     for day, r in got.items():
         assert r.avg_concurrency_micro <= peaks[day] * 1_000_000
+
+
+def test_q232_bursty_vs_poisson_tokens(spark, tmp_path, qs):
+    """100 docs: token 'spread' appears once in every doc (df=100 =
+    Poisson expectation for tf=100 -> adaptation ~ 1.58e6... actually
+    compute exactly); token 'burst' appears 100 times but all in ONE
+    doc (df=1, maximally bursty). 'burst' must rank first with the
+    exact micro value; 'spread' must score higher (less bursty)."""
+    import math
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows = []
+    for i in range(100):
+        text = "spread " + ("burst " * 100 if i == 0 else "")
+        rows.append((i, text.strip(), "en", "s", 1))
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rowsout = qs["q232_token_burstiness"](spark, str(tmp_path)).collect()
+    got = {r.tok: r for r in rowsout}
+    assert rowsout[0].tok == "burst"
+    nd = 100
+    exp_burst = round(1 / (nd * (1 - math.exp(-100 / nd))) * 1e6)
+    assert got["burst"].adaptation_micro == exp_burst
+    exp_spread = round(100 / (nd * (1 - math.exp(-100 / nd))) * 1e6)
+    assert got["spread"].adaptation_micro == exp_spread
+    assert got["burst"].adaptation_micro < got["spread"].adaptation_micro
