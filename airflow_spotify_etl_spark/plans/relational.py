@@ -7361,6 +7361,140 @@ FROM seg GROUP BY epoch_day ORDER BY epoch_day
 """
 
 
+def _floor_scaled_div(x: str, n: str, m: int) -> str:
+    """Spark SQL expression computing floor(x·m / n) EXACTLY for
+    non-negative DECIMAL x and positive n. Spark's `div` narrows its
+    quotient to BIGINT even on DECIMAL inputs and silently wraps past
+    2⁶³ (observed: S²/N = 9.4e18 wrapped by 2⁶⁴ in q233), so the
+    quotient q = x div n is built from two sub-1e16 limbs via base-10⁹
+    long division — q = q_hi·10⁹ + (r_hi·10⁹ + x mod 10⁹) div n — and
+    the final m-scaling reuses the exact remainder r = x − q·n. Every
+    `div` here yields a quotient < 10¹⁶; valid for x < 9.2e27
+    (x div 10⁹ must fit BIGINT)."""
+    d = 1_000_000_000
+    qhi = f"cast((({x}) div {d}) div ({n}) as decimal(38,0))"
+    inner = (
+        f"((cast((({x}) div {d}) % ({n}) as decimal(38,0)) * {d}"
+        f" + ({x}) % {d}) div ({n}))"
+    )
+    q = f"({qhi} * {d} + {inner})"
+    r = f"(({x}) - {q} * ({n}))"
+    return f"({q} * {m} + ({r}) * {m} div ({n}))"
+
+
+def q233_anova_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test: does mean order value differ across market
+    segments? The decomposition SST = SSB + SSW runs entirely on exact
+    integers: order totals quantize to cents, per-segment (n, Σx, Σx²)
+    are exact DECIMAL sums, and each rational s²/n is scaled to 10⁶ via
+    the two-limb identity floor(a·M/n) = (a div n)·M + ((a%n)·M) div n —
+    no intermediate ever exceeds DECIMAL(38,0) (ceiling ≈ 10¹² orders;
+    q187's documented DECIMAL discipline). F and η² are emitted as
+    integer micro-ratios (`div`/`//` truncate identically on the
+    non-negative operands) so no >2⁵³ integer is ever cast to double —
+    the q78 HUGEINT→float64 trap. Scale shape: one equi-join (AQE picks
+    broadcast when customer is small), one 5-group partial-agg collapse,
+    then 1-row arithmetic. SSB/SSW exceed int64 → emitted as STRINGs
+    (house rule). Degenerate inputs (k=1 or zero variance) → NULL
+    stats, not division errors."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    base = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    g = base.groupBy("seg").agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("cast(cents as decimal(19,0))")).alias("s"),
+        F.sum(F.expr("cast(cents as decimal(19,0)) * cents")).alias("ss"),
+    )
+    ag = g.select(
+        "n", "s", "ss",
+        F.expr(_floor_scaled_div("s * s", "n", 1000000)).alias("a"),
+    )
+    tot = ag.agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("n"),
+        F.sum("s").alias("stot"),
+        F.sum("a").alias("a"),
+        F.expr("sum(ss) * 1000000").alias("ss6"),
+    )
+    b = _floor_scaled_div("stot * stot", "n", 1000000)
+    fin = tot.select(
+        "k", "n",
+        F.expr(f"greatest(a - {b}, cast(0 as decimal(38,0)))").alias("ssb_d"),
+        F.expr("ss6 - a").alias("ssw_d"),
+        F.expr(f"ss6 - {b}").alias("sst_d"),
+    )
+    return fin.select(
+        "k", "n",
+        F.expr("cast(ssb_d as string)").alias("ssb_s"),
+        F.expr("cast(ssw_d as string)").alias("ssw_s"),
+        F.expr(
+            "case when sst_d > 0 then"
+            " cast(ssb_d * 1000000 div sst_d as bigint) end"
+        ).alias("eta2_micro"),
+        F.expr(
+            "case when k > 1 and ssw_d > 0 then cast(least("
+            + _floor_scaled_div(
+                "ssb_d * (n - k)", "ssw_d * (k - 1)", 1000000
+            )
+            + ", cast(1000000000000000 as decimal(38,0))) as bigint) end"
+        ).alias("f_micro"),
+    ).withColumn(
+        "f_stat", F.expr("round(cast(f_micro as double) / 1e6, 4)")
+    )
+
+
+_Q233_SQL = """
+WITH base AS (
+  SELECT c_mktsegment AS seg,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), g AS (
+  SELECT seg, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss
+  FROM base GROUP BY seg
+), ag AS (
+  SELECT n, s, ss,
+         (s * s // n) * 1000000 + ((s * s % n) * 1000000) // n AS a
+  FROM g
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(s) AS HUGEINT) AS stot,
+         CAST(sum(a) AS HUGEINT) AS a,
+         CAST(sum(ss) AS HUGEINT) * 1000000 AS ss6
+  FROM ag
+), fin AS (
+  SELECT k, n,
+         greatest(a - ((stot * stot // n) * 1000000
+                       + ((stot * stot % n) * 1000000) // n),
+                  CAST(0 AS HUGEINT)) AS ssb_d,
+         ss6 - a AS ssw_d,
+         ss6 - ((stot * stot // n) * 1000000
+                + ((stot * stot % n) * 1000000) // n) AS sst_d
+  FROM tot
+), fm AS (
+  SELECT k, n, ssb_d, ssw_d, sst_d,
+         CAST(CASE WHEN k > 1 AND ssw_d > 0 THEN least(
+              ssb_d * (n - k) // (ssw_d * (k - 1)) * 1000000
+              + (ssb_d * (n - k) % (ssw_d * (k - 1))) * 1000000
+                // (ssw_d * (k - 1)),
+              CAST(1000000000000000 AS HUGEINT)) END AS BIGINT) AS f_micro
+  FROM fin
+)
+SELECT k, n,
+       CAST(ssb_d AS VARCHAR) AS ssb_s,
+       CAST(ssw_d AS VARCHAR) AS ssw_s,
+       CAST(CASE WHEN sst_d > 0
+                 THEN ssb_d * 1000000 // sst_d END AS BIGINT) AS eta2_micro,
+       f_micro,
+       round(CAST(f_micro AS DOUBLE) / 1e6, 4) AS f_stat
+FROM fm
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -7480,6 +7614,7 @@ QUERIES = {
     "q229_markov_top1_accuracy": q229_markov_top1_accuracy,
     "q230_percolation_robustness": q230_percolation_robustness,
     "q231_time_avg_concurrency": q231_time_avg_concurrency,
+    "q233_anova_segments": q233_anova_segments,
 }
 
 ORACLES = {
@@ -7601,4 +7736,5 @@ ORACLES = {
     "q229_markov_top1_accuracy": _Q229_SQL,
     "q230_percolation_robustness": _Q230_SQL,
     "q231_time_avg_concurrency": _Q231_SQL,
+    "q233_anova_segments": _Q233_SQL,
 }

@@ -245,6 +245,7 @@ HEADLINE = [
     "q230_percolation_robustness",
     "q231_time_avg_concurrency",
     "q232_token_burstiness",
+    "q233_anova_segments",
 ]
 
 

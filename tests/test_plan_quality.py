@@ -2130,3 +2130,36 @@ def test_q232_bursty_vs_poisson_tokens(spark, tmp_path, qs):
     exp_spread = round(100 / (nd * (1 - math.exp(-100 / nd))) * 1e6)
     assert got["spread"].adaptation_micro == exp_spread
     assert got["burst"].adaptation_micro < got["spread"].adaptation_micro
+
+
+def test_q233_anova_hand_computed(spark, tmp_path, qs):
+    """2 segments x 2 orders: A={100.00, 200.00}, B={300.00, 400.00}
+    (cents). SSB = 4e8 cents^2, SSW = 1e8, F = (4e8/1)/(1e8/2) = 8,
+    eta^2 = 0.8 — every scaled integer asserted exactly, which also
+    exercises the _floor_scaled_div limbs end-to-end."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    ts = datetime(2024, 1, 1)
+    orders = [
+        (1, 1, "O", 100.0, ts, "1-URGENT"),
+        (2, 1, "O", 200.0, ts, "1-URGENT"),
+        (3, 2, "O", 300.0, ts, "1-URGENT"),
+        (4, 2, "O", 400.0, ts, "1-URGENT"),
+    ]
+    cust = [
+        (1, "a", 0, 0.0, "AUTOMOBILE"),
+        (2, "b", 0, 0.0, "BUILDING"),
+    ]
+    spark.createDataFrame(orders, SCHEMAS["orders"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(cust, SCHEMAS["customer"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "customer.parquet"))
+    [r] = qs["q233_anova_segments"](spark, str(tmp_path)).collect()
+    assert r.k == 2 and r.n == 4
+    assert r.ssb_s == str(4 * 10**8 * 10**6)
+    assert r.ssw_s == str(1 * 10**8 * 10**6)
+    assert r.eta2_micro == 800000
+    assert r.f_micro == 8_000_000
+    assert r.f_stat == 8.0
