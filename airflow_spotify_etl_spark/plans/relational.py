@@ -7495,6 +7495,128 @@ FROM fm
 """
 
 
+def q234_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H (tie-corrected, EXACT): does event `value` differ
+    in distribution across event types? The k-group rank ANOVA that
+    completes the q187 (2-group Mann-Whitney) / q233 (parametric ANOVA)
+    test family. Ranks never touch raw rows: values quantize to ms, the
+    (type, ms) count table gets per-value totals from a partitionBy(v)
+    window and the exclusive global cumulative from one rangeBetween
+    window over the post-aggregation table, so doubled rank-sums
+    2R_g = Σ c_gv·(2·cum(<v) + c_v + 1) stay integral under ties.
+    Σ(2R_g)²·10⁶/n_g, 3A/(N(N+1)), and the tie correction
+    (N³−N)/(N³−N−ΣT) all go through _floor_scaled_div — no quotient
+    ever narrows past int64 and no >2⁵³ integer is cast to double.
+    Degenerate inputs (k<2 or all values tied → C=0) yield NULL, not
+    division errors. DECIMAL(38) ceiling ≈ 10⁹ events (R2² ~ 4N⁴)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 1000, 0).cast("long").alias("v"),
+    ).where(F.col("v").isNotNull())
+    cnt = base.groupBy("g", "v").agg(F.count("*").alias("c"))
+    w_v = W.partitionBy("v")
+    w_cum = W.orderBy("v").rangeBetween(W.unboundedPreceding, -1)
+    u = cnt.select(
+        "g", "c",
+        F.sum("c").over(w_v).alias("cv"),
+        F.coalesce(F.sum("c").over(w_cum), F.lit(0)).alias("cumx"),
+    )
+    s = u.groupBy("g").agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.expr("cast(c as decimal(19,0)) * (2 * cumx + cv + 1)")
+        ).alias("r2"),
+    )
+    ag = s.select(
+        "n", F.expr(_floor_scaled_div("r2 * r2", "n", 1000000)).alias("a")
+    )
+    ties = (
+        cnt.groupBy("v").agg(F.sum("c").alias("cv"))
+        .agg(F.sum(
+            F.expr("cast(cv as decimal(19,0)) * cv * cv - cv")
+        ).alias("tt"))
+    )
+    tot = ag.agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("n"),
+        F.sum("a").alias("a"),
+    ).crossJoin(F.broadcast(ties))
+    t1 = _floor_scaled_div(
+        "3 * a", "cast(n as decimal(19,0)) * (n + 1)", 1
+    )
+    prep = tot.select(
+        "k", "n", "a", "tt",
+        F.expr(
+            f"greatest({t1} - 3 * (cast(n as decimal(19,0)) + 1) * 1000000,"
+            " cast(0 as decimal(38,0)))"
+        ).alias("h0"),
+        F.expr(
+            "cast(n as decimal(19,0)) * n * n - n"
+        ).alias("nn3"),
+    )
+    return prep.select(
+        "k", "n",
+        F.expr("cast(a as string)").alias("a_s"),
+        F.expr("cast(tt as string)").alias("tt_s"),
+        F.expr(
+            "case when k > 1 and nn3 - tt > 0 then cast("
+            + _floor_scaled_div("h0 * nn3", "nn3 - tt", 1)
+            + " as bigint) end"
+        ).alias("h_micro"),
+    ).withColumn(
+        "h_stat", F.expr("round(cast(h_micro as double) / 1e6, 4)")
+    )
+
+
+_Q234_SQL = """
+WITH base AS (
+  SELECT event_type AS g, CAST(round(value * 1000) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+), cnt AS (
+  SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY g, v
+), u AS (
+  SELECT g, c,
+         CAST(sum(c) OVER (PARTITION BY v) AS BIGINT) AS cv,
+         CAST(coalesce(sum(c) OVER (ORDER BY v
+              RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cumx
+  FROM cnt
+), s AS (
+  SELECT g, CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CAST(c AS HUGEINT) * (2 * cumx + cv + 1)) AS HUGEINT)
+           AS r2
+  FROM u GROUP BY g
+), ag AS (
+  SELECT n, (r2 * r2 // n) * 1000000 + (r2 * r2 % n) * 1000000 // n AS a
+  FROM s
+), ties AS (
+  SELECT CAST(sum(CAST(cv AS HUGEINT) * cv * cv - cv) AS HUGEINT) AS tt
+  FROM (SELECT CAST(sum(c) AS BIGINT) AS cv FROM cnt GROUP BY v)
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(a) AS HUGEINT) AS a
+  FROM ag
+), prep AS (
+  SELECT k, n, a, tt,
+         greatest(3 * a // (CAST(n AS HUGEINT) * (n + 1))
+                  - 3 * (CAST(n AS HUGEINT) + 1) * 1000000,
+                  CAST(0 AS HUGEINT)) AS h0,
+         CAST(n AS HUGEINT) * n * n - n AS nn3
+  FROM tot CROSS JOIN ties
+)
+SELECT k, n,
+       CAST(a AS VARCHAR) AS a_s,
+       CAST(tt AS VARCHAR) AS tt_s,
+       CAST(CASE WHEN k > 1 AND nn3 - tt > 0
+                 THEN h0 * nn3 // (nn3 - tt) END AS BIGINT) AS h_micro,
+       round(CAST(CAST(CASE WHEN k > 1 AND nn3 - tt > 0
+                 THEN h0 * nn3 // (nn3 - tt) END AS BIGINT) AS DOUBLE)
+             / 1e6, 4) AS h_stat
+FROM prep
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -7615,6 +7737,7 @@ QUERIES = {
     "q230_percolation_robustness": q230_percolation_robustness,
     "q231_time_avg_concurrency": q231_time_avg_concurrency,
     "q233_anova_segments": q233_anova_segments,
+    "q234_kruskal_wallis": q234_kruskal_wallis,
 }
 
 ORACLES = {
@@ -7737,4 +7860,5 @@ ORACLES = {
     "q230_percolation_robustness": _Q230_SQL,
     "q231_time_avg_concurrency": _Q231_SQL,
     "q233_anova_segments": _Q233_SQL,
+    "q234_kruskal_wallis": _Q234_SQL,
 }

@@ -246,6 +246,7 @@ HEADLINE = [
     "q231_time_avg_concurrency",
     "q232_token_burstiness",
     "q233_anova_segments",
+    "q234_kruskal_wallis",
 ]
 
 

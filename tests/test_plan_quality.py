@@ -2163,3 +2163,51 @@ def test_q233_anova_hand_computed(spark, tmp_path, qs):
     assert r.eta2_micro == 800000
     assert r.f_micro == 8_000_000
     assert r.f_stat == 8.0
+
+
+def test_q234_kruskal_wallis_hand_computed(spark, tmp_path, qs):
+    """Two groups X={1,2}ms Y={3,4}ms: ranks 1..4, R_X=3, R_Y=7,
+    H = 12/(4*5)*(9/2+49/2) - 3*5 = 2.4 exactly (no ties, C=1).
+    All scaled integers asserted: A = floor(36e6/2)+floor(196e6/2)."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    ts = datetime(2024, 1, 1)
+    rows = [
+        (1, ts, 1, "X", 0.001, "{}"),
+        (2, ts, 1, "X", 0.002, "{}"),
+        (3, ts, 2, "Y", 0.003, "{}"),
+        (4, ts, 2, "Y", 0.004, "{}"),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "events.parquet"))
+    [r] = qs["q234_kruskal_wallis"](spark, str(tmp_path)).collect()
+    assert r.k == 2 and r.n == 4
+    assert r.a_s == str(18_000_000 + 98_000_000)
+    assert r.tt_s == "0"
+    assert r.h_micro == 2_400_000
+    assert r.h_stat == 2.4
+
+
+def test_q234_kruskal_wallis_tie_correction(spark, tmp_path, qs):
+    """X={1,1}ms Y={2,2}ms: tied pairs get average ranks 1.5 and 3.5,
+    H0 = 12/20*(4.5+24.5) - 15 = 2.4... recompute: R_X=3, R_Y=7 (same
+    sums), TT = 2*(8-2) = 12, C = 1 - 12/60 = 0.8, H = H0/0.8 = 3.0."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    ts = datetime(2024, 1, 1)
+    rows = [
+        (1, ts, 1, "X", 0.001, "{}"),
+        (2, ts, 1, "X", 0.001, "{}"),
+        (3, ts, 2, "Y", 0.002, "{}"),
+        (4, ts, 2, "Y", 0.002, "{}"),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "events.parquet"))
+    [r] = qs["q234_kruskal_wallis"](spark, str(tmp_path)).collect()
+    assert r.tt_s == "12"
+    assert r.h_micro == 3_000_000
+    assert r.h_stat == 3.0
