@@ -6559,86 +6559,54 @@ ORDER BY user_id
 """
 
 
-def q222_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier survival curve for days-to-first-purchase after
-    first click (the event is the first purchase AT OR AFTER the
-    first click — earlier purchases do not convert this exposure),
-    with RIGHT CENSORING at the observation horizon —
-    the survival-analysis estimator naive conversion rates get wrong
-    (censored users are neither converted nor failed; dropping them
-    biases the curve). Risk sets come from a reverse cumulative sum
-    over the |distinct durations| post-aggregation table; each
-    (1 - d/n) factor's ln is PICO-QUANTIZED before the prefix sum so
-    the product is an exact-integer exponent (order-independent), and
-    exp() runs once per output row. The n_risk = d terminal row (all
-    remaining subjects fail) uses a -1000-nat sentinel, which exp
-    maps to exactly 0 — at most one such row can exist, so no
-    overflow. Unkeyed windows all run post-aggregation (q215/q219
-    argument)."""
-    from ..sources.files import register_views
+# Shared survival-analysis risk table (q222 Kaplan-Meier, q235
+# Nelson-Aalen): subjects are users whose first click starts the
+# exposure clock; the event is the first purchase at-or-after it;
+# right-censoring at the max observed day. Produces
+# risk(dur, d, n_risk) via one reverse cumulative sum over the
+# |distinct durations| post-aggregation table.
+_SURVIVAL_RISK_SPARK = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         unix_micros(ts) div 86400000000 AS day
+  FROM events
+),
+mx AS (
+  SELECT max(day) AS dmax FROM ev
+),
+firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'click' THEN day END) AS c0
+  FROM ev GROUP BY user_id
+),
+conv AS (
+  SELECT e.user_id, min(day) AS p0
+  FROM ev e JOIN firsts f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase' AND e.day >= f.c0
+  GROUP BY e.user_id
+),
+subjects AS (
+  SELECT f.user_id,
+         CASE WHEN p0 IS NOT NULL THEN p0 - c0
+              ELSE dmax - c0 END AS dur,
+         CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM firsts f LEFT JOIN conv ON f.user_id = conv.user_id
+  CROSS JOIN mx
+  WHERE c0 IS NOT NULL
+),
+tbl AS (
+  SELECT dur, count(*) AS at_t, sum(ev) AS d
+  FROM subjects GROUP BY dur
+),
+risk AS (
+  SELECT dur, d,
+         sum(at_t) OVER (ORDER BY dur DESC
+              ROWS UNBOUNDED PRECEDING) AS n_risk
+  FROM tbl
+)
+"""
 
-    register_views(spark, sf_dir, ["events"])
-    return spark.sql(
-        """
-        WITH ev AS (
-          SELECT user_id, event_type,
-                 unix_micros(ts) div 86400000000 AS day
-          FROM events
-        ),
-        mx AS (
-          SELECT max(day) AS dmax FROM ev
-        ),
-        firsts AS (
-          SELECT user_id,
-                 min(CASE WHEN event_type = 'click' THEN day END) AS c0
-          FROM ev GROUP BY user_id
-        ),
-        conv AS (
-          SELECT e.user_id, min(day) AS p0
-          FROM ev e JOIN firsts f ON e.user_id = f.user_id
-          WHERE e.event_type = 'purchase' AND e.day >= f.c0
-          GROUP BY e.user_id
-        ),
-        subjects AS (
-          SELECT f.user_id,
-                 CASE WHEN p0 IS NOT NULL THEN p0 - c0
-                      ELSE dmax - c0 END AS dur,
-                 CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END AS ev
-          FROM firsts f LEFT JOIN conv ON f.user_id = conv.user_id
-          CROSS JOIN mx
-          WHERE c0 IS NOT NULL
-        ),
-        tbl AS (
-          SELECT dur, count(*) AS at_t, sum(ev) AS d
-          FROM subjects GROUP BY dur
-        ),
-        risk AS (
-          SELECT dur, d,
-                 sum(at_t) OVER (ORDER BY dur DESC
-                      ROWS UNBOUNDED PRECEDING) AS n_risk
-          FROM tbl
-        ),
-        terms AS (
-          SELECT dur, d, n_risk,
-                 CASE WHEN d = 0 THEN 0
-                      WHEN n_risk = d THEN -1000000000000000
-                      ELSE CAST(round(ln(CAST(n_risk - d AS DOUBLE)
-                           / CAST(n_risk AS DOUBLE)) * 1e12) AS BIGINT) END
-                   AS lnp
-          FROM risk
-        )
-        SELECT dur AS duration_days, n_risk, d AS n_events,
-               CAST(round(exp(CAST(sum(lnp) OVER (ORDER BY dur
-                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e12) * 1e6)
-                    AS BIGINT) AS survival_micro
-        FROM terms
-        WHERE d > 0
-        ORDER BY dur
-        """
-    )
-
-
-_Q222_SQL = """
+_SURVIVAL_RISK_DUCK = """
 WITH ev AS (
   SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS day
   FROM events
@@ -6670,7 +6638,53 @@ WITH ev AS (
          CAST(sum(at_t) OVER (ORDER BY dur DESC
               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
   FROM tbl
-), terms AS (
+)
+"""
+
+
+def q222_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for days-to-first-purchase after
+    first click (the event is the first purchase AT OR AFTER the
+    first click — earlier purchases do not convert this exposure),
+    with RIGHT CENSORING at the observation horizon —
+    the survival-analysis estimator naive conversion rates get wrong
+    (censored users are neither converted nor failed; dropping them
+    biases the curve). Risk sets come from a reverse cumulative sum
+    over the |distinct durations| post-aggregation table; each
+    (1 - d/n) factor's ln is PICO-QUANTIZED before the prefix sum so
+    the product is an exact-integer exponent (order-independent), and
+    exp() runs once per output row. The n_risk = d terminal row (all
+    remaining subjects fail) uses a -1000-nat sentinel, which exp
+    maps to exactly 0 — at most one such row can exist, so no
+    overflow. Unkeyed windows all run post-aggregation (q215/q219
+    argument)."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        _SURVIVAL_RISK_SPARK
+        + """,
+        terms AS (
+          SELECT dur, d, n_risk,
+                 CASE WHEN d = 0 THEN 0
+                      WHEN n_risk = d THEN -1000000000000000
+                      ELSE CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+                           / CAST(n_risk AS DOUBLE)) * 1e12) AS BIGINT) END
+                   AS lnp
+          FROM risk
+        )
+        SELECT dur AS duration_days, n_risk, d AS n_events,
+               CAST(round(exp(CAST(sum(lnp) OVER (ORDER BY dur
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e12) * 1e6)
+                    AS BIGINT) AS survival_micro
+        FROM terms
+        WHERE d > 0
+        ORDER BY dur
+        """
+    )
+
+
+_Q222_SQL = _SURVIVAL_RISK_DUCK + """, terms AS (
   SELECT dur, d, n_risk,
          CASE WHEN d = 0 THEN 0
               WHEN n_risk = d THEN -1000000000000000
@@ -7495,6 +7509,68 @@ FROM fm
 """
 
 
+def q235_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard H(t) = Σ_{t_i≤t} d_i/n_i for
+    days-to-first-purchase, with the Poisson variance estimate
+    Σ d_i/n_i² and the Fleming-Harrington survival Ŝ = exp(−H) — the
+    other classical estimator pair on q222's shared right-censored
+    risk table (_SURVIVAL_RISK_SPARK). Each per-step rational is
+    micro/pico-quantized with `div` BEFORE the prefix sum, so both
+    cumulatives are exact order-independent integer sums (the q222
+    ln-quantization idiom); exp runs once per output row on
+    H_micro/1e6 < 2⁵³. Scale shape: everything after the first
+    groupBy runs on the |distinct durations| table."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        _SURVIVAL_RISK_SPARK
+        + """,
+        steps AS (
+          SELECT dur, d, n_risk,
+                 cast(d as decimal(19,0)) * 1000000 div n_risk AS h_step,
+                 cast(d as decimal(19,0)) * 1000000000000
+                   div (cast(n_risk as decimal(19,0)) * n_risk) AS v_step
+          FROM risk
+        )
+        SELECT dur AS duration_days, n_risk, d AS n_events,
+               h_step AS hazard_step_micro,
+               sum(h_step) OVER (ORDER BY dur
+                    ROWS UNBOUNDED PRECEDING) AS cum_hazard_micro,
+               sum(v_step) OVER (ORDER BY dur
+                    ROWS UNBOUNDED PRECEDING) AS var_pico,
+               cast(round(exp(-cast(sum(h_step) OVER (ORDER BY dur
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e6) * 1e6)
+                    AS BIGINT) AS survival_fh_micro
+        FROM steps
+        WHERE d > 0
+        ORDER BY dur
+        """
+    )
+
+
+_Q235_SQL = _SURVIVAL_RISK_DUCK + """, steps AS (
+  SELECT dur, d, n_risk,
+         CAST(CAST(d AS HUGEINT) * 1000000 // n_risk AS BIGINT) AS h_step,
+         CAST(CAST(d AS HUGEINT) * 1000000000000
+              // (CAST(n_risk AS HUGEINT) * n_risk) AS BIGINT) AS v_step
+  FROM risk
+)
+SELECT dur AS duration_days, n_risk, d AS n_events,
+       h_step AS hazard_step_micro,
+       CAST(sum(h_step) OVER (ORDER BY dur
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_hazard_micro,
+       CAST(sum(v_step) OVER (ORDER BY dur
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS var_pico,
+       CAST(round(exp(-CAST(sum(h_step) OVER (ORDER BY dur
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e6) * 1e6)
+            AS BIGINT) AS survival_fh_micro
+FROM steps
+WHERE d > 0
+ORDER BY dur
+"""
+
+
 def q234_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kruskal-Wallis H (tie-corrected, EXACT): does event `value` differ
     in distribution across event types? The k-group rank ANOVA that
@@ -7738,6 +7814,7 @@ QUERIES = {
     "q231_time_avg_concurrency": q231_time_avg_concurrency,
     "q233_anova_segments": q233_anova_segments,
     "q234_kruskal_wallis": q234_kruskal_wallis,
+    "q235_nelson_aalen": q235_nelson_aalen,
 }
 
 ORACLES = {
@@ -7861,4 +7938,5 @@ ORACLES = {
     "q231_time_avg_concurrency": _Q231_SQL,
     "q233_anova_segments": _Q233_SQL,
     "q234_kruskal_wallis": _Q234_SQL,
+    "q235_nelson_aalen": _Q235_SQL,
 }

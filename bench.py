@@ -247,6 +247,7 @@ HEADLINE = [
     "q232_token_burstiness",
     "q233_anova_segments",
     "q234_kruskal_wallis",
+    "q235_nelson_aalen",
 ]
 
 

@@ -2211,3 +2211,39 @@ def test_q234_kruskal_wallis_tie_correction(spark, tmp_path, qs):
     assert r.tt_s == "12"
     assert r.h_micro == 3_000_000
     assert r.h_stat == 3.0
+
+
+def test_q235_nelson_aalen_hand_computed(spark, tmp_path, qs):
+    """u3 converts at dur 0 (n_risk=3), u1 at dur 2 (n_risk=2), u2 is
+    censored at the day-4 horizon (set by a view-only user). Steps
+    1/3 and 1/2 are floor-micro-quantized before the prefix sum; the
+    Fleming-Harrington survival is exp(-H) on the integer H."""
+    import math
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    d = lambda k: datetime(2024, 1, 1 + k)
+    rows = [
+        (1, d(0), 1, "click", 1.0, "{}"),
+        (2, d(2), 1, "purchase", 1.0, "{}"),
+        (3, d(0), 2, "click", 1.0, "{}"),
+        (4, d(1), 3, "click", 1.0, "{}"),
+        (5, d(1), 3, "purchase", 1.0, "{}"),
+        (6, d(4), 9, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.duration_days: r for r in
+           qs["q235_nelson_aalen"](spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 2}
+    r0, r2 = out[0], out[2]
+    assert (r0.n_risk, r0.n_events) == (3, 1)
+    assert r0.hazard_step_micro == 10**6 // 3
+    assert r0.cum_hazard_micro == 333333
+    assert r0.var_pico == 10**12 // 9
+    assert r0.survival_fh_micro == round(math.exp(-333333 / 1e6) * 1e6)
+    assert (r2.n_risk, r2.n_events) == (2, 1)
+    assert r2.cum_hazard_micro == 333333 + 500000
+    assert r2.var_pico == 10**12 // 9 + 250 * 10**9
+    assert r2.survival_fh_micro == round(math.exp(-833333 / 1e6) * 1e6)
