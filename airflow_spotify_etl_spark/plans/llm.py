@@ -5929,6 +5929,90 @@ LIMIT 25
 """
 
 
+def q236_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per source — the
+    classic curation-time readability screen, fully deterministic:
+    words are letter runs, sentences are [.!?]+ runs (>=1 per doc),
+    and the syllable heuristic counts [aeiouy]+ vowel groups plus one
+    for each zero-vowel word (Flesch's every-word-has-a-syllable
+    floor). All three corpus sums are exact BIGINTs < 2^53, so the
+    final FRE/FKGL chains are single IEEE double expressions written
+    identically in both engines (e0 literals force DOUBLE — a bare
+    206.835 is DECIMAL in Spark SQL, the q175 trap); the per-source
+    ratios are also emitted as exact integer micro quotients. Scale
+    shape: one grouped partial-agg scan, no joins, no windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        F.expr("size(regexp_extract_all(lower(text), '[a-z]+', 0))")
+        .alias("w"),
+        F.expr("greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1)")
+        .alias("s"),
+        F.expr(
+            "size(regexp_extract_all(lower(text), '[aeiouy]+', 0))"
+            " + size(filter(regexp_extract_all(lower(text), '[a-z]+', 0),"
+            "               x -> x not rlike '[aeiouy]'))"
+        ).alias("y"),
+    )
+    g = per.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("w").alias("words"),
+        F.sum("s").alias("sentences"),
+        F.sum("y").alias("syllables"),
+    )
+    return g.select(
+        "source", "n_docs", "words", "sentences", "syllables",
+        F.expr("cast(words as decimal(19,0)) * 1000000 div sentences")
+        .alias("wps_micro"),
+        F.expr(
+            "case when words > 0 then"
+            " cast(syllables as decimal(19,0)) * 1000000 div words end"
+        ).alias("spw_micro"),
+        F.expr(
+            "case when words > 0 then round(206.835e0"
+            " - 1.015e0 * words / sentences"
+            " - 84.6e0 * syllables / words, 4) end"
+        ).alias("fre"),
+        F.expr(
+            "case when words > 0 then round(0.39e0 * words / sentences"
+            " + 11.8e0 * syllables / words - 15.59e0, 4) end"
+        ).alias("fkgl"),
+    ).orderBy("source")
+
+
+_Q236_SQL = r"""
+WITH per AS (
+  SELECT source,
+         len(regexp_extract_all(lower(text), '[a-z]+')) AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))
+           + len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                             x -> NOT regexp_matches(x, '[aeiouy]')))
+           AS y
+  FROM documents
+), g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(w) AS BIGINT) AS words,
+         CAST(sum(s) AS BIGINT) AS sentences,
+         CAST(sum(y) AS BIGINT) AS syllables
+  FROM per GROUP BY source
+)
+SELECT source, n_docs, words, sentences, syllables,
+       CAST(CAST(words AS HUGEINT) * 1000000 // sentences AS BIGINT)
+         AS wps_micro,
+       CAST(CASE WHEN words > 0 THEN
+            CAST(syllables AS HUGEINT) * 1000000 // words END AS BIGINT)
+         AS spw_micro,
+       CASE WHEN words > 0 THEN round(206.835e0
+            - 1.015e0 * words / sentences
+            - 84.6e0 * syllables / words, 4) END AS fre,
+       CASE WHEN words > 0 THEN round(0.39e0 * words / sentences
+            + 11.8e0 * syllables / words - 15.59e0, 4) END AS fkgl
+FROM g
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -6027,6 +6111,7 @@ QUERIES = {
     "q216_bag_of_words_dedup": q216_bag_of_words_dedup,
     "q220_phrase_search": q220_phrase_search,
     "q232_token_burstiness": q232_token_burstiness,
+    "q236_flesch_readability": q236_flesch_readability,
 }
 
 ORACLES = {
@@ -6127,4 +6212,5 @@ ORACLES = {
     "q216_bag_of_words_dedup": _Q216_SQL,
     "q220_phrase_search": _Q220_SQL,
     "q232_token_burstiness": _Q232_SQL,
+    "q236_flesch_readability": _Q236_SQL,
 }

@@ -248,6 +248,7 @@ HEADLINE = [
     "q233_anova_segments",
     "q234_kruskal_wallis",
     "q235_nelson_aalen",
+    "q236_flesch_readability",
 ]
 
 

@@ -2247,3 +2247,27 @@ def test_q235_nelson_aalen_hand_computed(spark, tmp_path, qs):
     assert r2.cum_hazard_micro == 333333 + 500000
     assert r2.var_pico == 10**12 // 9 + 250 * 10**9
     assert r2.survival_fh_micro == round(math.exp(-833333 / 1e6) * 1e6)
+
+
+def test_q236_flesch_hand_computed(spark, tmp_path, qs):
+    """'The cat sat. It ran!' -> 5 words, 2 sentences, 5 vowel groups:
+    FRE = 206.835 - 1.015*2.5 - 84.6*1 = 119.6975. A vowel-less doc
+    ('tsk tsk', no [.!?]) exercises the 1-sentence floor and the
+    one-syllable-per-word floor."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows = [
+        (1, "The cat sat. It ran!", "en", "a", 20),
+        (2, "tsk tsk", "en", "b", 7),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.source: r for r in
+           qs["q236_flesch_readability"](spark, str(tmp_path)).collect()}
+    a, b = out["a"], out["b"]
+    assert (a.words, a.sentences, a.syllables) == (5, 2, 5)
+    assert a.wps_micro == 2_500_000 and a.spw_micro == 1_000_000
+    assert a.fre == round(206.835 - 1.015 * 2.5 - 84.6 * 1.0, 4)
+    assert a.fkgl == round(0.39 * 2.5 + 11.8 * 1.0 - 15.59, 4)
+    assert (b.words, b.sentences, b.syllables) == (2, 1, 2)
+    assert b.spw_micro == 1_000_000
