@@ -6013,6 +6013,92 @@ ORDER BY source
 """
 
 
+def q237_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram LM (d=0.75): the top-20 conditional
+    probabilities P(w|prev) = (c−d)/c(prev) + d·N₁₊(prev·)/c(prev) ·
+    N₁₊(·w)/N₁₊(··) over corpus letter-run tokens — the classic LM
+    smoothing where backoff mass goes to CONTINUATION counts (how many
+    contexts a word completes), not raw frequency. d = 3/4 keeps the
+    whole score rational: P = [(4c−3)·N₁₊(··) + 3·N₁₊(prev·)·N₁₊(·w)]
+    / (4·c(prev)·N₁₊(··)), emitted as an exact integer micro quotient
+    (DECIMAL/HUGEINT cross-multiplication, no floats anywhere). Scale
+    shape: bigrams collapse to the (prev, next) count table in the
+    first agg; context/continuation counts are keyed windows over that
+    table; N₁₊(··) is a 1-row broadcast; the top-20 compiles to
+    TakeOrderedAndProject (deterministic lexicographic tie-break).
+    Bigram guard per the q139 sequence(1,0)-is-descending lesson."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("w")
+    )
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) >= 2 THEN"
+                " transform(sequence(1, size(w) - 1),"
+                " i -> struct(element_at(w, i) AS p,"
+                "             element_at(w, i + 1) AS t))"
+                " ELSE CAST(array() AS array<struct<p:string,t:string>>)"
+                " END"
+            )
+        ).alias("b")
+    ).select(
+        F.col("b.p").alias("prev_tok"), F.col("b.t").alias("next_tok")
+    )
+    cnt = bg.groupBy("prev_tok", "next_tok").agg(F.count("*").alias("c"))
+    wp = W.partitionBy("prev_tok")
+    wt = W.partitionBy("next_tok")
+    enr = cnt.select(
+        "prev_tok", "next_tok", "c",
+        F.sum("c").over(wp).alias("cp"),
+        F.count("*").over(wp).alias("nfw"),
+        F.count("*").over(wt).alias("np"),
+    )
+    nb = cnt.agg(F.count("*").alias("nbb"))
+    return (
+        enr.crossJoin(F.broadcast(nb))
+        .select(
+            "prev_tok", "next_tok", "c", "cp", "np", "nfw", "nbb",
+            F.expr(
+                "cast((cast(4 * c - 3 as decimal(19,0)) * nbb"
+                " + 3 * cast(nfw as decimal(19,0)) * np) * 1000000"
+                " div (4 * cast(cp as decimal(19,0)) * nbb) as bigint)"
+            ).alias("p_micro"),
+        )
+        .orderBy(F.desc("p_micro"), "prev_tok", "next_tok")
+        .limit(20)
+    )
+
+
+_Q237_SQL = r"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents
+), bg AS (
+  SELECT w[i] AS prev_tok, w[i + 1] AS next_tok
+  FROM toks, unnest(generate_series(1, len(w) - 1)) AS u(i)
+  WHERE len(w) >= 2
+), cnt AS (
+  SELECT prev_tok, next_tok, CAST(count(*) AS BIGINT) AS c
+  FROM bg GROUP BY prev_tok, next_tok
+), enr AS (
+  SELECT prev_tok, next_tok, c,
+         CAST(sum(c) OVER (PARTITION BY prev_tok) AS BIGINT) AS cp,
+         CAST(count(*) OVER (PARTITION BY prev_tok) AS BIGINT) AS nfw,
+         CAST(count(*) OVER (PARTITION BY next_tok) AS BIGINT) AS np
+  FROM cnt
+), nb AS (
+  SELECT CAST(count(*) AS BIGINT) AS nbb FROM cnt
+)
+SELECT prev_tok, next_tok, c, cp, np, nfw, nbb,
+       CAST((CAST(4 * c - 3 AS HUGEINT) * nbb
+             + 3 * CAST(nfw AS HUGEINT) * np) * 1000000
+            // (4 * CAST(cp AS HUGEINT) * nbb) AS BIGINT) AS p_micro
+FROM enr CROSS JOIN nb
+ORDER BY p_micro DESC, prev_tok, next_tok
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -6112,6 +6198,7 @@ QUERIES = {
     "q220_phrase_search": q220_phrase_search,
     "q232_token_burstiness": q232_token_burstiness,
     "q236_flesch_readability": q236_flesch_readability,
+    "q237_kneser_ney_bigrams": q237_kneser_ney_bigrams,
 }
 
 ORACLES = {
@@ -6213,4 +6300,5 @@ ORACLES = {
     "q220_phrase_search": _Q220_SQL,
     "q232_token_burstiness": _Q232_SQL,
     "q236_flesch_readability": _Q236_SQL,
+    "q237_kneser_ney_bigrams": _Q237_SQL,
 }

@@ -249,6 +249,7 @@ HEADLINE = [
     "q234_kruskal_wallis",
     "q235_nelson_aalen",
     "q236_flesch_readability",
+    "q237_kneser_ney_bigrams",
 ]
 
 

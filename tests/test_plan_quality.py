@@ -2271,3 +2271,26 @@ def test_q236_flesch_hand_computed(spark, tmp_path, qs):
     assert a.fkgl == round(0.39 * 2.5 + 11.8 * 1.0 - 15.59, 4)
     assert (b.words, b.sentences, b.syllables) == (2, 1, 2)
     assert b.spw_micro == 1_000_000
+
+
+def test_q237_kneser_ney_hand_computed(spark, tmp_path, qs):
+    """Docs 'a b', 'a b', 'a c': c(a,b)=2, c(a,c)=1, c(a)=3,
+    N1+(a.)=2, N1+(.b)=N1+(.c)=1, N1+(..)=2. With d=3/4:
+    P(b|a) = (2-.75)/3 + .75*(2/3)*(1/2) = 2/3 -> 666666 micro;
+    P(c|a) = (1-.75)/3 + .25 = 1/3 -> 333333 micro."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows = [
+        (1, "a b", "en", "s", 3),
+        (2, "a b", "en", "s", 3),
+        (3, "a c", "en", "s", 3),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = qs["q237_kneser_ney_bigrams"](spark, str(tmp_path)).collect()
+    assert [(r.prev_tok, r.next_tok, r.p_micro) for r in out] == [
+        ("a", "b", 666666),
+        ("a", "c", 333333),
+    ]
+    top = out[0]
+    assert (top.c, top.cp, top.np, top.nfw, top.nbb) == (2, 3, 1, 2, 2)
