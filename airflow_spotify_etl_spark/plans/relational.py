@@ -7693,6 +7693,109 @@ FROM prep
 """
 
 
+def q238_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank-based changepoint test on the DAILY event-count
+    series (zero-filled over the full calendar, the q188 argument):
+    U_t = 2·W_t − t(n+1) with W_t the prefix rank-sum; the test
+    statistic K = max_{t<n} |U_t| locates the most likely split. With
+    doubled tie-average ranks R2_v = 2·cum(<v) + c_v + 1, 2·W_t is the
+    exact-integer prefix sum of R2, so U_t = Σ_{i≤t}R2_i − t(n+1)
+    never touches a float; the approximate significance
+    p ≈ 2·exp(−6K²/(n³+n²)) is the single sanctioned double chain over
+    exact <2⁵³ integers. Scale shape: the corpus collapses to ≤|days|
+    rows in the first agg; every window runs on that bounded calendar
+    table; the argmax is TakeOrdered with a deterministic
+    smallest-t tie-break."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("c")
+    )
+    mm = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = mm.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    series = cal.join(daily, "d", "left").select(
+        "d", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w_lt = W.orderBy("c").rangeBetween(W.unboundedPreceding, -1)
+    w_eq = W.partitionBy("c")
+    ranked = series.select(
+        "d", "c",
+        (2 * F.coalesce(F.count("*").over(w_lt), F.lit(0))
+         + F.count("*").over(w_eq) + 1).alias("r2"),
+    )
+    w_t = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.orderBy("d")
+    u = ranked.select(
+        "d",
+        F.row_number().over(w_all).alias("t"),
+        F.sum("r2").over(w_t).alias("s2"),
+    )
+    n1 = ranked.agg(F.count("*").alias("n"))
+    scored = (
+        u.crossJoin(F.broadcast(n1))
+        .where(F.col("t") < F.col("n"))
+        .select(
+            "n", "t", F.col("d").alias("change_date"),
+            (F.col("s2") - F.col("t") * (F.col("n") + 1)).alias("u_stat"),
+        )
+    )
+    return (
+        scored.select(
+            "n", "t", "change_date", "u_stat",
+            F.abs(F.col("u_stat")).alias("k_stat"),
+            F.expr(
+                "round(least(2e0 * exp(-6e0 * u_stat * u_stat"
+                " / (cast(n as double) * n * n + cast(n as double) * n)),"
+                " 1e0), 6)"
+            ).alias("p_value"),
+        )
+        .orderBy(F.desc("k_stat"), "t")
+        .limit(1)
+    )
+
+
+_Q238_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), mm AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM daily
+), cal AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+  FROM mm
+), series AS (
+  SELECT cal.d, coalesce(daily.c, 0) AS c
+  FROM cal LEFT JOIN daily ON cal.d = daily.d
+), ranked AS (
+  SELECT d, c,
+         2 * coalesce(count(*) OVER (ORDER BY c
+              RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + count(*) OVER (PARTITION BY c) + 1 AS r2
+  FROM series
+), u AS (
+  SELECT d, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+         CAST(sum(r2) OVER (ORDER BY d
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s2
+  FROM ranked
+), n1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM ranked
+), scored AS (
+  SELECT n, t, d AS change_date, s2 - t * (n + 1) AS u_stat
+  FROM u CROSS JOIN n1
+  WHERE t < n
+)
+SELECT n, t, change_date, u_stat,
+       abs(u_stat) AS k_stat,
+       round(least(2e0 * exp(-6e0 * u_stat * u_stat
+             / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n)),
+             1e0), 6) AS p_value
+FROM scored
+ORDER BY k_stat DESC, t
+LIMIT 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -7815,6 +7918,7 @@ QUERIES = {
     "q233_anova_segments": q233_anova_segments,
     "q234_kruskal_wallis": q234_kruskal_wallis,
     "q235_nelson_aalen": q235_nelson_aalen,
+    "q238_pettitt_changepoint": q238_pettitt_changepoint,
 }
 
 ORACLES = {
@@ -7939,4 +8043,5 @@ ORACLES = {
     "q233_anova_segments": _Q233_SQL,
     "q234_kruskal_wallis": _Q234_SQL,
     "q235_nelson_aalen": _Q235_SQL,
+    "q238_pettitt_changepoint": _Q238_SQL,
 }

@@ -250,6 +250,7 @@ HEADLINE = [
     "q235_nelson_aalen",
     "q236_flesch_readability",
     "q237_kneser_ney_bigrams",
+    "q238_pettitt_changepoint",
 ]
 
 

@@ -2294,3 +2294,27 @@ def test_q237_kneser_ney_hand_computed(spark, tmp_path, qs):
     ]
     top = out[0]
     assert (top.c, top.cp, top.np, top.nfw, top.nbb) == (2, 3, 1, 2, 2)
+
+
+def test_q238_pettitt_hand_computed(spark, tmp_path, qs):
+    """Counts [1,1,3,3] over 4 consecutive days: doubled tie ranks
+    R2 = [3,3,7,7], U_t = prefix(R2) - t*5 = [-2,-4,-2], so K=4 at
+    t=2 (the true level shift) and p = 2*exp(-96/80)."""
+    import math
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows = []
+    eid = 0
+    for day, cnt in enumerate([1, 1, 3, 3]):
+        for _ in range(cnt):
+            eid += 1
+            rows.append((eid, datetime(2024, 1, 1 + day, 12), 1, "e", 1.0, "{}"))
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "events.parquet"))
+    [r] = qs["q238_pettitt_changepoint"](spark, str(tmp_path)).collect()
+    assert (r.n, r.t) == (4, 2)
+    assert r.change_date.isoformat() == "2024-01-02"
+    assert (r.u_stat, r.k_stat) == (-4, 4)
+    assert r.p_value == round(min(2 * math.exp(-6 * 16 / (64 + 16)), 1.0), 6)
