@@ -30,6 +30,7 @@ and SQL-replayable — the q57 oracle unrolls the same iterations as CTEs.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -588,3 +589,82 @@ def label_propagation_trajectory(
         )
         out = out.unionAll(_summary(labels, r))
     return out.orderBy("round")
+
+
+def item_cosine_recommendations(
+    interactions: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket: int = 100,
+    min_pair_count: int = 3,
+    per_item: int = 5,
+) -> DataFrame:
+    """Item-item cosine collaborative filtering: for every item, the
+    top ``per_item`` neighbors by cos(i,j) = n_ij/√(n_i·n_j) over
+    implicit basket co-occurrence — the classic "users who bought A
+    also bought B" recommender, float-free until one √ per OUTPUT row
+    (ranking uses the exact integer cos²·10¹² = n_ij²·10¹²/(n_i·n_j),
+    monotone in cosine, deterministic neighbor-id tie-break).
+
+    Scale shape: same capped-basket universe as association_rules (the
+    q111 power-basket discipline bounds the C(n,2) expansion); pair
+    rollup is ONE grouped count with map-side combine;
+    ``min_pair_count`` shrinks the relation before the two
+    broadcast-able singles joins; the per-item top-k is a keyed window
+    that compiles to map-side WindowGroupLimit — output is
+    per_item·|items|, linear in the catalogue, never quadratic."""
+    inter = interactions.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    baskets = (
+        inter.groupBy("b")
+        .agg(F.array_sort(F.collect_set("i")).alias("items"))
+        .filter(
+            (F.size("items") >= 2) & (F.size("items") <= int(max_basket))
+        )
+    )
+    singles = baskets.select(F.explode("items").alias("i")).groupBy("i").agg(
+        F.count("*").alias("n_i")
+    )
+    pairs = (
+        baskets.select(F.explode(_pair_expr("items")).alias("p"))
+        .select(F.col("p.a").alias("item"), F.col("p.b").alias("rec"))
+        .groupBy("item", "rec")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_pair_count))
+    )
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("rec").alias("item"), F.col("item").alias("rec"), "n_ab"
+        )
+    )
+    joined = (
+        both.join(
+            singles.select(F.col("i").alias("item"), F.col("n_i").alias("n_a")),
+            "item",
+        )
+        .join(
+            singles.select(F.col("i").alias("rec"), F.col("n_i").alias("n_b")),
+            "rec",
+        )
+        .select(
+            "item", "rec", "n_ab", "n_a", "n_b",
+            F.expr(
+                "cast(n_ab as decimal(19,0)) * n_ab * 1000000000000"
+                " div (cast(n_a as decimal(19,0)) * n_b)"
+            ).alias("cos2_pico"),
+        )
+    )
+    w = W.partitionBy("item").orderBy(F.desc("cos2_pico"), F.asc("rec"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(per_item))
+        .withColumn(
+            "cosine",
+            F.expr("round(sqrt(cast(cos2_pico as double) / 1e12), 6)"),
+        )
+        .select(
+            "item", "rank", "rec", "n_ab", "n_a", "n_b",
+            "cos2_pico", "cosine",
+        )
+    )

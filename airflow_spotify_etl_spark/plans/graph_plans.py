@@ -409,3 +409,63 @@ LIMIT 50
 
 QUERIES["q191_association_rules"] = q191_association_rules
 ORACLES["q191_association_rules"] = _Q191_SQL
+
+def q239_item_cosine_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine collaborative filtering over ORDER baskets
+    (operators/graph.item_cosine_recommendations): each part's top-3
+    "also bought" neighbors by cos(i,j) = n_ij/√(n_i·n_j), ranked on
+    the exact integer cos²·10¹² with a neighbor-id tie-break; one √
+    per output row. The oracle replays the cap, the pair expansion
+    (self-join twin of the join-free nested transform), the
+    both-direction union, and the identical window."""
+    from ..operators.graph import item_cosine_recommendations
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return item_cosine_recommendations(
+        li, "l_orderkey", "l_partkey",
+        max_basket=100, min_pair_count=3, per_item=3,
+    )
+
+
+_Q239_SQL = """
+WITH inter AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), deg AS (
+  SELECT b, count(*) AS d FROM inter GROUP BY b
+), ok AS (
+  SELECT b FROM deg WHERE d BETWEEN 2 AND 100
+), capped AS (
+  SELECT inter.b, inter.i FROM inter JOIN ok ON inter.b = ok.b
+), singles AS (
+  SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM capped GROUP BY i
+), pairs AS (
+  SELECT a.i AS item, b2.i AS rec, CAST(count(*) AS BIGINT) AS n_ab
+  FROM capped a JOIN capped b2 ON a.b = b2.b AND a.i < b2.i
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+), bidir AS (
+  SELECT item, rec, n_ab FROM pairs
+  UNION ALL
+  SELECT rec, item, n_ab FROM pairs
+), joined AS (
+  SELECT bidir.item, bidir.rec, bidir.n_ab,
+         sa.n_i AS n_a, sb.n_i AS n_b,
+         CAST(CAST(n_ab AS HUGEINT) * n_ab * 1000000000000
+              // (CAST(sa.n_i AS HUGEINT) * sb.n_i) AS BIGINT)
+           AS cos2_pico
+  FROM bidir
+  JOIN singles sa ON bidir.item = sa.i
+  JOIN singles sb ON bidir.rec = sb.i
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY item
+            ORDER BY cos2_pico DESC, rec) AS INTEGER) AS rank
+  FROM joined
+)
+SELECT item, rank, rec, n_ab, n_a, n_b, cos2_pico,
+       round(sqrt(CAST(cos2_pico AS DOUBLE) / 1e12), 6) AS cosine
+FROM ranked
+WHERE rank <= 3
+"""
+
+QUERIES["q239_item_cosine_recs"] = q239_item_cosine_recs
+ORACLES["q239_item_cosine_recs"] = _Q239_SQL

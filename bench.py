@@ -251,6 +251,7 @@ HEADLINE = [
     "q236_flesch_readability",
     "q237_kneser_ney_bigrams",
     "q238_pettitt_changepoint",
+    "q239_item_cosine_recs",
 ]
 
 

@@ -2318,3 +2318,35 @@ def test_q238_pettitt_hand_computed(spark, tmp_path, qs):
     assert r.change_date.isoformat() == "2024-01-02"
     assert (r.u_stat, r.k_stat) == (-4, 4)
     assert r.p_value == round(min(2 * math.exp(-6 * 16 / (64 + 16)), 1.0), 6)
+
+
+def test_q239_item_cosine_hand_computed(spark, tmp_path, qs):
+    """Baskets 1-3 = {10,20}, basket 4 = {10,30}: pair (10,20) has
+    n_ab=3 (kept by min_pair_count), (10,30) has 1 (dropped).
+    n_10=4, n_20=3 -> cos = 3/sqrt(12), cos2_pico = 9e12 // 12.
+    Also gates the per-item top-k on a PARTIAL WindowGroupLimit
+    (map-side prune before the window shuffle)."""
+    import math
+    import re as _re
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+    from datetime import datetime
+
+    ts = datetime(2024, 1, 1)
+    li = []
+    for b, parts in [(1, [10, 20]), (2, [10, 20]), (3, [10, 20]),
+                     (4, [10, 30])]:
+        for ln, p in enumerate(parts, 1):
+            li.append((b, p, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O", ts))
+    spark.createDataFrame(li, SCHEMAS["lineitem"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    df = qs["q239_item_cosine_recs"](spark, str(tmp_path))
+    out = df.collect()
+    got = {(r.item, r.rec): r for r in out}
+    assert set(got) == {(10, 20), (20, 10)}
+    r = got[(10, 20)]
+    assert (r.rank, r.n_ab, r.n_a, r.n_b) == (1, 3, 4, 3)
+    assert r.cos2_pico == 9 * 10**12 // 12
+    assert r.cosine == round(math.sqrt((9 * 10**12 // 12) / 1e12), 6)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert _re.search(r"WindowGroupLimit .*row_number\(\), 3, Partial", plan), plan
