@@ -6099,6 +6099,127 @@ LIMIT 20
 """
 
 
+def q240_mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR-50 lexical diversity per source (moving-average type-token
+    ratio, the standard length-robust alternative to raw TTR), computed
+    EXACTLY without materializing any sliding window: summed over all
+    n−w+1 windows, Σ(types per window) decomposes into per-POSITION
+    contributions — token instance i is its window's first occurrence
+    iff the window starts after i's previous occurrence, so it
+    contributes max(0, min(i, n−w+1) − greatest(i−w+1, prev_i+1, 1) + 1)
+    windows. One posexplode + one (doc, token)-keyed lag gives prev_i;
+    everything else is exact integer arithmetic — O(tokens) total, the
+    100 TB shape (a literal w-sized sliding window would be O(tokens·w)).
+    Raw corpus TTR is emitted alongside for the length-bias contrast.
+    Docs shorter than w=50 tokens have no window and are excluded from
+    the MATTR numerator/denominator (standard MATTR); they still count
+    in the TTR columns."""
+    w_sz = 50
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id",
+        F.posexplode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("pos0", "tok"),
+    ).select(
+        "source", "doc_id", "tok", (F.col("pos0") + 1).alias("i")
+    )
+    n_per = toks.groupBy("source", "doc_id").agg(
+        F.max("i").alias("n"), F.countDistinct("tok").alias("dt")
+    )
+    w_lag = W.partitionBy("doc_id", "tok").orderBy("i")
+    prev = toks.select(
+        "source", "doc_id", "tok", "i",
+        F.coalesce(F.lag("i").over(w_lag), F.lit(0)).alias("prev"),
+    )
+    contrib = prev.join(
+        n_per.select("doc_id", "n"), "doc_id"
+    ).where(F.col("n") >= w_sz).select(
+        "source",
+        F.expr(
+            f"greatest(least(i, n - {w_sz} + 1)"
+            f" - greatest(i - {w_sz} + 1, prev + 1, 1) + 1, 0)"
+        ).alias("c"),
+    )
+    mattr = contrib.groupBy("source").agg(
+        F.sum("c").alias("type_instances")
+    )
+    wins = n_per.groupBy("source").agg(
+        F.sum("n").alias("total_tokens"),
+        F.sum("dt").alias("distinct_token_sum"),
+        F.sum(
+            F.when(F.col("n") >= w_sz, F.col("n") - w_sz + 1).otherwise(0)
+        ).alias("windows"),
+        F.count("*").alias("n_docs"),
+    )
+    return (
+        wins.join(mattr, "source", "left")
+        .select(
+            "source", "n_docs", "total_tokens", "windows",
+            F.coalesce("type_instances", F.lit(0)).alias("type_instances"),
+            F.expr(
+                f"case when windows > 0 then"
+                f" cast(coalesce(type_instances, 0) as decimal(19,0))"
+                f" * 1000000 div (cast(windows as decimal(19,0)) * {w_sz})"
+                f" end"
+            ).alias("mattr_micro"),
+            F.expr(
+                "case when total_tokens > 0 then"
+                " cast(distinct_token_sum as decimal(19,0)) * 1000000"
+                " div total_tokens end"
+            ).alias("ttr_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q240_SQL = r"""
+WITH toks AS (
+  SELECT source, doc_id, w[i] AS tok, i
+  FROM (SELECT source, doc_id,
+               regexp_extract_all(lower(text), '[a-z]+') AS w
+        FROM documents),
+       unnest(generate_series(1, len(w))) AS u(i)
+), n_per AS (
+  SELECT source, doc_id, CAST(max(i) AS BIGINT) AS n,
+         CAST(count(DISTINCT tok) AS BIGINT) AS dt
+  FROM toks GROUP BY source, doc_id
+), prev AS (
+  SELECT source, doc_id, tok, i,
+         coalesce(lag(i) OVER (PARTITION BY doc_id, tok ORDER BY i), 0)
+           AS prev
+  FROM toks
+), contrib AS (
+  SELECT p.source,
+         greatest(least(p.i, n.n - 50 + 1)
+                  - greatest(p.i - 50 + 1, p.prev + 1, 1) + 1, 0) AS c
+  FROM prev p JOIN n_per n ON p.doc_id = n.doc_id
+  WHERE n.n >= 50
+), mattr AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS type_instances
+  FROM contrib GROUP BY source
+), wins AS (
+  SELECT source,
+         CAST(sum(n) AS BIGINT) AS total_tokens,
+         CAST(sum(dt) AS BIGINT) AS distinct_token_sum,
+         CAST(sum(CASE WHEN n >= 50 THEN n - 50 + 1 ELSE 0 END) AS BIGINT)
+           AS windows,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM n_per GROUP BY source
+)
+SELECT wins.source, n_docs, total_tokens, windows,
+       CAST(coalesce(type_instances, 0) AS BIGINT) AS type_instances,
+       CAST(CASE WHEN windows > 0 THEN
+            CAST(coalesce(type_instances, 0) AS HUGEINT) * 1000000
+            // (CAST(windows AS HUGEINT) * 50) END AS BIGINT) AS mattr_micro,
+       CAST(CASE WHEN total_tokens > 0 THEN
+            CAST(distinct_token_sum AS HUGEINT) * 1000000
+            // total_tokens END AS BIGINT) AS ttr_micro
+FROM wins LEFT JOIN mattr ON wins.source = mattr.source
+ORDER BY wins.source
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -6199,6 +6320,7 @@ QUERIES = {
     "q232_token_burstiness": q232_token_burstiness,
     "q236_flesch_readability": q236_flesch_readability,
     "q237_kneser_ney_bigrams": q237_kneser_ney_bigrams,
+    "q240_mattr_lexical_diversity": q240_mattr_lexical_diversity,
 }
 
 ORACLES = {
@@ -6301,4 +6423,5 @@ ORACLES = {
     "q232_token_burstiness": _Q232_SQL,
     "q236_flesch_readability": _Q236_SQL,
     "q237_kneser_ney_bigrams": _Q237_SQL,
+    "q240_mattr_lexical_diversity": _Q240_SQL,
 }

@@ -252,6 +252,7 @@ HEADLINE = [
     "q237_kneser_ney_bigrams",
     "q238_pettitt_changepoint",
     "q239_item_cosine_recs",
+    "q240_mattr_lexical_diversity",
 ]
 
 

@@ -2350,3 +2350,33 @@ def test_q239_item_cosine_hand_computed(spark, tmp_path, qs):
     assert r.cosine == round(math.sqrt((9 * 10**12 // 12) / 1e12), 6)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert _re.search(r"WindowGroupLimit .*row_number\(\), 3, Partial", plan), plan
+
+
+def test_q240_mattr_hand_computed(spark, tmp_path, qs):
+    """Doc A = 50 copies of 'xx' -> 1 window, 1 type: MATTR = 1/50.
+    Doc B = 50 distinct words -> MATTR = 1. Doc C has 5 tokens (< w):
+    excluded from windows but still in TTR. Exact micro assertions."""
+    import itertools
+    import string
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    distinct50 = [a + b for a, b in
+                  itertools.product(string.ascii_lowercase, repeat=2)][:50]
+    rows = [
+        (1, " ".join(["xx"] * 50), "en", "a", 0),
+        (2, " ".join(distinct50), "en", "b", 0),
+        (3, "q q q q q", "en", "c", 0),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.source: r for r in
+           qs["q240_mattr_lexical_diversity"](spark, str(tmp_path)).collect()}
+    a, b, c = out["a"], out["b"], out["c"]
+    assert (a.windows, a.type_instances) == (1, 1)
+    assert a.mattr_micro == 10**6 // 50
+    assert a.ttr_micro == 10**6 // 50
+    assert (b.windows, b.type_instances) == (1, 50)
+    assert b.mattr_micro == 1_000_000
+    assert (c.windows, c.type_instances, c.mattr_micro) == (0, 0, None)
+    assert c.total_tokens == 5 and c.ttr_micro == 10**6 // 5
