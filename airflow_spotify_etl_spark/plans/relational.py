@@ -7796,6 +7796,128 @@ LIMIT 1
 """
 
 
+def q241_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test: do purchase events
+    carry different `value` than view events? One conditional-
+    aggregation pass yields exact (n, Σms, Σms²) per side; the
+    variance-of-mean terms v_i = (n·SS − S²)/(n²(n−1)) are
+    micro-quantized through _floor_scaled_div (their numerators exceed
+    every int64 bound), and the Welch-Satterthwaite df runs the same
+    helper over the quantized vm_i so no intermediate ever narrows or
+    wraps. Only the final t chain touches doubles — every cast input
+    is a BIGINT < 2⁵³ (DuckDB's HUGEINT→DOUBLE is not correctly
+    rounded, the q78 family trap; BIGINT→DOUBLE is). Guards: either
+    side with n < 2 → NULL stats. DECIMAL ceiling ≈ 10⁹ events/side
+    (n·SS in the helper's x < 9.2·10²⁷ bound)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.where(F.col("event_type").isin("purchase", "view")).select(
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+        F.round(F.col("value") * 1000, 0).cast("long").alias("ms"),
+    ).where(F.col("ms").isNotNull())
+    g = base.agg(
+        F.sum("is_p").alias("n1"),
+        F.sum(1 - F.col("is_p")).alias("n2"),
+        F.sum(F.expr("cast(is_p * ms as decimal(19,0))")).alias("s1"),
+        F.sum(F.expr("cast((1 - is_p) * ms as decimal(19,0))")).alias("s2"),
+        F.sum(F.expr("cast(is_p as decimal(19,0)) * ms * ms")).alias("ss1"),
+        F.sum(F.expr("cast(1 - is_p as decimal(19,0)) * ms * ms")).alias("ss2"),
+    )
+    vm1 = _floor_scaled_div(
+        "cast(n1 as decimal(19,0)) * ss1 - s1 * s1",
+        "cast(n1 as decimal(19,0)) * n1 * (n1 - 1)", 1000000,
+    )
+    vm2 = _floor_scaled_div(
+        "cast(n2 as decimal(19,0)) * ss2 - s2 * s2",
+        "cast(n2 as decimal(19,0)) * n2 * (n2 - 1)", 1000000,
+    )
+    prep = g.select(
+        "n1", "n2",
+        F.expr("s1 * 1000000 div n1").alias("m1_micro"),
+        F.expr("s2 * 1000000 div n2").alias("m2_micro"),
+        F.expr(f"case when n1 >= 2 then {vm1} end").alias("vm1d"),
+        F.expr(f"case when n2 >= 2 then {vm2} end").alias("vm2d"),
+    )
+    prep2 = prep.select(
+        "n1", "n2", "m1_micro", "m2_micro", "vm1d", "vm2d",
+        F.expr(
+            "case when vm1d is not null then "
+            + _floor_scaled_div("vm1d * vm1d", "n1 - 1", 1)
+            + " end"
+        ).alias("d1"),
+        F.expr(
+            "case when vm2d is not null then "
+            + _floor_scaled_div("vm2d * vm2d", "n2 - 1", 1)
+            + " end"
+        ).alias("d2"),
+    )
+    df_expr = _floor_scaled_div(
+        "(vm1d + vm2d) * (vm1d + vm2d)", "d1 + d2", 1000
+    )
+    return prep2.select(
+        "n1", "n2", "m1_micro", "m2_micro",
+        F.expr("cast(vm1d as bigint)").alias("vm1"),
+        F.expr("cast(vm2d as bigint)").alias("vm2"),
+        F.expr(
+            "case when vm1d is not null and vm2d is not null"
+            " and vm1d + vm2d > 0 then"
+            " round(cast(cast(m1_micro - m2_micro as bigint) as double)"
+            " / 1e6 / sqrt(cast(cast(vm1d + vm2d as bigint) as double)"
+            " / 1e6), 4) end"
+        ).alias("t_stat"),
+        F.expr(
+            "case when d1 is not null and d2 is not null and d1 + d2 > 0"
+            f" then cast({df_expr} as bigint) end"
+        ).alias("df_milli"),
+    )
+
+
+_Q241_SQL = """
+WITH base AS (
+  SELECT CAST(event_type = 'purchase' AS INTEGER) AS is_p,
+         CAST(round(value * 1000) AS BIGINT) AS ms
+  FROM events
+  WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+), g AS (
+  SELECT CAST(sum(is_p) AS BIGINT) AS n1,
+         CAST(sum(1 - is_p) AS BIGINT) AS n2,
+         CAST(sum(CAST(is_p AS HUGEINT) * ms) AS HUGEINT) AS s1,
+         CAST(sum(CAST(1 - is_p AS HUGEINT) * ms) AS HUGEINT) AS s2,
+         CAST(sum(CAST(is_p AS HUGEINT) * ms * ms) AS HUGEINT) AS ss1,
+         CAST(sum(CAST(1 - is_p AS HUGEINT) * ms * ms) AS HUGEINT) AS ss2
+  FROM base
+), prep AS (
+  SELECT n1, n2,
+         s1 * 1000000 // n1 AS m1_micro,
+         s2 * 1000000 // n2 AS m2_micro,
+         CASE WHEN n1 >= 2 THEN
+           (CAST(n1 AS HUGEINT) * ss1 - s1 * s1) * 1000000
+           // (CAST(n1 AS HUGEINT) * n1 * (n1 - 1)) END AS vm1d,
+         CASE WHEN n2 >= 2 THEN
+           (CAST(n2 AS HUGEINT) * ss2 - s2 * s2) * 1000000
+           // (CAST(n2 AS HUGEINT) * n2 * (n2 - 1)) END AS vm2d
+  FROM g
+), prep2 AS (
+  SELECT *, vm1d * vm1d // (n1 - 1) AS d1,
+            vm2d * vm2d // (n2 - 1) AS d2
+  FROM prep
+)
+SELECT n1, n2,
+       CAST(m1_micro AS BIGINT) AS m1_micro,
+       CAST(m2_micro AS BIGINT) AS m2_micro,
+       CAST(vm1d AS BIGINT) AS vm1,
+       CAST(vm2d AS BIGINT) AS vm2,
+       CASE WHEN vm1d IS NOT NULL AND vm2d IS NOT NULL
+            AND vm1d + vm2d > 0 THEN
+         round(CAST(CAST(m1_micro - m2_micro AS BIGINT) AS DOUBLE)
+               / 1e6 / sqrt(CAST(CAST(vm1d + vm2d AS BIGINT) AS DOUBLE)
+               / 1e6), 4) END AS t_stat,
+       CASE WHEN d1 IS NOT NULL AND d2 IS NOT NULL AND d1 + d2 > 0
+            THEN CAST((vm1d + vm2d) * (vm1d + vm2d) * 1000
+                 // (d1 + d2) AS BIGINT) END AS df_milli
+FROM prep2
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -7919,6 +8041,7 @@ QUERIES = {
     "q234_kruskal_wallis": q234_kruskal_wallis,
     "q235_nelson_aalen": q235_nelson_aalen,
     "q238_pettitt_changepoint": q238_pettitt_changepoint,
+    "q241_welch_ttest": q241_welch_ttest,
 }
 
 ORACLES = {
@@ -8044,4 +8167,5 @@ ORACLES = {
     "q234_kruskal_wallis": _Q234_SQL,
     "q235_nelson_aalen": _Q235_SQL,
     "q238_pettitt_changepoint": _Q238_SQL,
+    "q241_welch_ttest": _Q241_SQL,
 }

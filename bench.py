@@ -253,6 +253,7 @@ HEADLINE = [
     "q238_pettitt_changepoint",
     "q239_item_cosine_recs",
     "q240_mattr_lexical_diversity",
+    "q241_welch_ttest",
 ]
 
 

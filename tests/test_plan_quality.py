@@ -2380,3 +2380,31 @@ def test_q240_mattr_hand_computed(spark, tmp_path, qs):
     assert b.mattr_micro == 1_000_000
     assert (c.windows, c.type_instances, c.mattr_micro) == (0, 0, None)
     assert c.total_tokens == 5 and c.ttr_micro == 10**6 // 5
+
+
+def test_q241_welch_hand_computed(spark, tmp_path, qs):
+    """purchase={1,2,3}s vs view={5,6,7,8}s: var1=1e6 ms^2, var2=5e6/3,
+    vm_i = var_i/n_i in micro — every integer mirrored in Python and
+    the t/df chains recomputed bit-for-bit."""
+    import math
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    ts = datetime(2024, 1, 1)
+    rows = [(i + 1, ts, 1, "purchase", float(v), "{}")
+            for i, v in enumerate([1, 2, 3])]
+    rows += [(i + 10, ts, 2, "view", float(v), "{}")
+             for i, v in enumerate([5, 6, 7, 8])]
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "events.parquet"))
+    [r] = qs["q241_welch_ttest"](spark, str(tmp_path)).collect()
+    vm1 = (3 * 14_000_000 - 6000**2) * 10**6 // (9 * 2)
+    vm2 = (4 * 174_000_000 - 26000**2) * 10**6 // (16 * 3)
+    assert (r.n1, r.n2) == (3, 4)
+    assert (r.m1_micro, r.m2_micro) == (2 * 10**9, 6_500 * 10**6)
+    assert (r.vm1, r.vm2) == (vm1, vm2)
+    assert r.t_stat == round(
+        (r.m1_micro - r.m2_micro) / 1e6 / math.sqrt((vm1 + vm2) / 1e6), 4)
+    d1, d2 = vm1 * vm1 // 2, vm2 * vm2 // 3
+    assert r.df_milli == (vm1 + vm2) ** 2 * 1000 // (d1 + d2)
