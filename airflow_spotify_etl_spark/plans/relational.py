@@ -7918,6 +7918,145 @@ FROM prep2
 """
 
 
+def q242_bh_fdr_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR over a FAMILY of in-engine tests: for
+    every source, a 3-bucket length chi-square (short/medium/long docs)
+    against the corpus-wide proportions — df = 2, whose survival
+    function is the closed form p = exp(−X²/2), so no erf is needed
+    (neither engine ships one). Each X² term (O·N − n_s·C_b)²/(N·n_s·C_b)
+    is micro-quantized through _floor_scaled_div and summed exactly;
+    the p chain and the BH comparison p_i ≤ 0.05·i/m are identical
+    double expressions in both engines (exact <2⁵³ integer inputs), so
+    the discovery set is deterministic. Scale shape: the corpus
+    collapses to per-(source, bucket) counts in one agg; the grid,
+    ranks, and the BH step-up all run on the |sources|·3 table;
+    zero-observed cells are materialized by the grid so their (O−E)²
+    mass is not silently dropped. DECIMAL ceiling ≈ 3·10⁹ docs
+    ((O·N)² < 10³⁸)."""
+    docs = _t(spark, sf_dir, "documents")
+    b = docs.select(
+        "source",
+        F.expr(
+            "case when n_chars < 500 then 's'"
+            " when n_chars < 2000 then 'm' else 'l' end"
+        ).alias("bucket"),
+    )
+    obs = b.groupBy("source", "bucket").agg(F.count("*").alias("o"))
+    src_t = b.groupBy("source").agg(F.count("*").alias("ns"))
+    bkt_t = b.groupBy("bucket").agg(F.count("*").alias("cb"))
+    n_t = b.agg(F.count("*").alias("n"))
+    grid = (
+        src_t.crossJoin(F.broadcast(bkt_t))
+        .join(obs, ["source", "bucket"], "left")
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            "source", "ns", "cb", "n",
+            F.coalesce("o", F.lit(0)).alias("o"),
+        )
+    )
+    dev = (
+        "(cast(o as decimal(19,0)) * n - cast(ns as decimal(19,0)) * cb)"
+    )
+    term = grid.select(
+        "source", "ns",
+        F.expr(
+            "case when cb > 0 then "
+            + _floor_scaled_div(
+                f"{dev} * {dev}",
+                "cast(n as decimal(19,0)) * ns * cb",
+                1000000,
+            )
+            + " else cast(0 as decimal(38,0)) end"
+        ).alias("t"),
+    )
+    x2 = term.groupBy("source", "ns").agg(
+        F.expr("cast(sum(t) as bigint)").alias("x2_micro")
+    )
+    m_t = x2.agg(F.count("*").alias("m"))
+    ranked = (
+        x2.crossJoin(F.broadcast(m_t))
+        .withColumn(
+            "i",
+            F.row_number().over(
+                W.orderBy(F.desc("x2_micro"), "source")
+            ),
+        )
+        .withColumn(
+            "p_value",
+            F.expr("exp(-cast(x2_micro as double) / 2e6)"),
+        )
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        ranked.withColumn(
+            "bh_k",
+            F.max(
+                F.expr(
+                    "case when p_value <= 5e-2 * i / m then i else 0 end"
+                )
+            ).over(w_all),
+        )
+        .select(
+            "source", F.col("ns").alias("n_docs"), "x2_micro",
+            F.round("p_value", 8).alias("p_value"),
+            "i", "m", "bh_k",
+            (F.col("i") <= F.col("bh_k")).alias("discovery"),
+        )
+        .orderBy("i")
+    )
+
+
+_Q242_SQL = """
+WITH b AS (
+  SELECT source,
+         CASE WHEN n_chars < 500 THEN 's'
+              WHEN n_chars < 2000 THEN 'm' ELSE 'l' END AS bucket
+  FROM documents
+), obs AS (
+  SELECT source, bucket, CAST(count(*) AS BIGINT) AS o
+  FROM b GROUP BY source, bucket
+), src_t AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS ns FROM b GROUP BY source
+), bkt_t AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS cb FROM b GROUP BY bucket
+), n_t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM b
+), grid AS (
+  SELECT s.source, s.ns, k.cb, n_t.n, coalesce(obs.o, 0) AS o
+  FROM src_t s CROSS JOIN bkt_t k
+  LEFT JOIN obs ON s.source = obs.source AND k.bucket = obs.bucket
+  CROSS JOIN n_t
+), term AS (
+  SELECT source, ns,
+         CASE WHEN cb > 0 THEN
+           (CAST(o AS HUGEINT) * n - CAST(ns AS HUGEINT) * cb)
+           * (CAST(o AS HUGEINT) * n - CAST(ns AS HUGEINT) * cb)
+           * 1000000 // (CAST(n AS HUGEINT) * ns * cb)
+         ELSE 0 END AS t
+  FROM grid
+), x2 AS (
+  SELECT source, ns, CAST(sum(t) AS BIGINT) AS x2_micro
+  FROM term GROUP BY source, ns
+), m_t AS (
+  SELECT CAST(count(*) AS BIGINT) AS m FROM x2
+), ranked AS (
+  SELECT source, ns, x2_micro, m,
+         CAST(row_number() OVER (ORDER BY x2_micro DESC, source)
+              AS BIGINT) AS i,
+         exp(-CAST(x2_micro AS DOUBLE) / 2e6) AS p_value
+  FROM x2 CROSS JOIN m_t
+)
+SELECT source, ns AS n_docs, x2_micro,
+       round(p_value, 8) AS p_value, i, m,
+       max(CASE WHEN p_value <= 5e-2 * i / m THEN i ELSE 0 END)
+         OVER () AS bh_k,
+       i <= max(CASE WHEN p_value <= 5e-2 * i / m THEN i ELSE 0 END)
+         OVER () AS discovery
+FROM ranked
+ORDER BY i
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -8042,6 +8181,7 @@ QUERIES = {
     "q235_nelson_aalen": q235_nelson_aalen,
     "q238_pettitt_changepoint": q238_pettitt_changepoint,
     "q241_welch_ttest": q241_welch_ttest,
+    "q242_bh_fdr_sources": q242_bh_fdr_sources,
 }
 
 ORACLES = {
@@ -8168,4 +8308,5 @@ ORACLES = {
     "q235_nelson_aalen": _Q235_SQL,
     "q238_pettitt_changepoint": _Q238_SQL,
     "q241_welch_ttest": _Q241_SQL,
+    "q242_bh_fdr_sources": _Q242_SQL,
 }

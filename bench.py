@@ -254,6 +254,7 @@ HEADLINE = [
     "q239_item_cosine_recs",
     "q240_mattr_lexical_diversity",
     "q241_welch_ttest",
+    "q242_bh_fdr_sources",
 ]
 
 

@@ -2408,3 +2408,26 @@ def test_q241_welch_hand_computed(spark, tmp_path, qs):
         (r.m1_micro - r.m2_micro) / 1e6 / math.sqrt((vm1 + vm2) / 1e6), 4)
     d1, d2 = vm1 * vm1 // 2, vm2 * vm2 // 3
     assert r.df_milli == (vm1 + vm2) ** 2 * 1000 // (d1 + d2)
+
+
+def test_q242_bh_fdr_hand_computed(spark, tmp_path, qs):
+    """Source a = 10 short docs, source b = 10 long docs: each cell
+    deviates by 5 from expectation, X^2 = (100)^2/2000 * 2 = 10 for
+    both sources, p = exp(-5); with m=2 both pass their BH critical
+    values (0.025, 0.05) so bh_k=2 and both are discoveries. The
+    zero-observed cells contribute — the grid materializes them."""
+    import math
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows = [(i, "x", "en", "a", 100) for i in range(10)]
+    rows += [(100 + i, "x", "en", "b", 3000) for i in range(10)]
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.source: r for r in
+           qs["q242_bh_fdr_sources"](spark, str(tmp_path)).collect()}
+    a, b = out["a"], out["b"]
+    assert a.x2_micro == b.x2_micro == 10_000_000
+    assert a.p_value == round(math.exp(-5.0), 8)
+    assert {a.i, b.i} == {1, 2} and a.m == 2
+    assert a.bh_k == 2 and a.discovery and b.discovery
