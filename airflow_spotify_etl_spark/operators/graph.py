@@ -668,3 +668,70 @@ def item_cosine_recommendations(
             "cos2_pico", "cosine",
         )
     )
+
+
+def _triple_expr(items_col: str):
+    """array<struct<a,b,c>> of all ordered triples (a < b < c by array
+    order) — doubly-nested transform flatten, pure codegen; the cubic
+    twin of _pair_expr."""
+    return F.expr(
+        f"flatten(transform({items_col}, (x, ix) -> "
+        f"flatten(transform(slice({items_col}, ix + 2, size({items_col})), "
+        f"(y, iy) -> transform(slice({items_col}, ix + iy + 3, "
+        f"size({items_col})), z -> struct(x as a, y as b, z as c))))))"
+    )
+
+
+def frequent_triples(
+    interactions: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket: int = 30,
+    min_support: int = 3,
+    top_k: int = 50,
+) -> DataFrame:
+    """Frequent 3-itemsets over baskets — the next rung above
+    association_rules' pairs. The C(n,3) expansion is the CUBIC hazard,
+    so the basket cap is tighter than the pair operators' (30 → ≤4060
+    triples per basket, vs 100 for pairs); baskets above the cap carry
+    no triple signal and are dropped, identically in the oracle.
+    Scale shape: join-free doubly-nested transform (no self-joins at
+    all — the DuckDB oracle's 3-way self-join is the thing this plan
+    avoids), ONE grouped count with map-side combine, min_support
+    shrink before the 1-row basket-total broadcast, TakeOrdered
+    top-k with full lexicographic tie-break."""
+    inter = interactions.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    baskets = (
+        inter.groupBy("b")
+        .agg(F.array_sort(F.collect_set("i")).alias("items"))
+        .filter(
+            (F.size("items") >= 3) & (F.size("items") <= int(max_basket))
+        )
+    )
+    n_tot = baskets.agg(F.count("*").alias("n_baskets"))
+    triples = (
+        baskets.select(F.explode(_triple_expr("items")).alias("t"))
+        .select(
+            F.col("t.a").alias("item_a"),
+            F.col("t.b").alias("item_b"),
+            F.col("t.c").alias("item_c"),
+        )
+        .groupBy("item_a", "item_b", "item_c")
+        .agg(F.count("*").alias("n_abc"))
+        .filter(F.col("n_abc") >= int(min_support))
+    )
+    return (
+        triples.crossJoin(F.broadcast(n_tot))
+        .select(
+            "item_a", "item_b", "item_c", "n_abc", "n_baskets",
+            F.expr(
+                "cast(n_abc as decimal(19,0)) * 1000000 div n_baskets"
+            ).cast("long").alias("support_micro"),
+        )
+        .orderBy(
+            F.desc("n_abc"), "item_a", "item_b", "item_c"
+        )
+        .limit(int(top_k))
+    )

@@ -469,3 +469,244 @@ WHERE rank <= 3
 
 QUERIES["q239_item_cosine_recs"] = q239_item_cosine_recs
 ORACLES["q239_item_cosine_recs"] = _Q239_SQL
+
+def q244_dyad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holland-Leinhardt dyad census + edge reciprocity of the item
+    transition graph (q57's edge construction: consecutive ``props.k``
+    items per user): mutual / asymmetric / null dyad counts and
+    r = 2M/D — the standard probe for whether item flows run two-way.
+    NO self-join: each distinct directed edge maps to its unordered
+    (lo, hi) dyad and ONE grouped count classifies the dyad by how
+    many directions appeared (2 = mutual, 1 = asymmetric); null dyads
+    are C(V,2) − M − A, computed in DECIMAL/HUGEINT and emitted as a
+    STRING (C(V,2) outgrows int64 past ~4·10⁹ nodes). Scale shape:
+    one distinct, one grouped count, three 1-row broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    item = F.get_json_object("props", "$.k").cast("bigint")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select("user_id", "ts", "event_id", item.alias("dst"))
+        .withColumn("src", F.lag("dst").over(w))
+        .filter(
+            F.col("src").isNotNull() & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .select("src", "dst")
+        .distinct()
+    )
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .agg(F.count("*").alias("v"))
+    )
+    dyads = (
+        edges.select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+        )
+        .groupBy("lo", "hi")
+        .agg(F.count("*").alias("n_dir"))
+    )
+    cls = dyads.agg(
+        F.sum(F.expr("cast(n_dir = 2 as long)")).alias("mutual"),
+        F.sum(F.expr("cast(n_dir = 1 as long)")).alias("asym"),
+        F.sum("n_dir").alias("d_edges"),
+    )
+    return cls.crossJoin(F.broadcast(verts)).select(
+        "v", "d_edges", "mutual", "asym",
+        F.expr(
+            "cast(cast(v as decimal(19,0)) * (v - 1) div 2"
+            " - mutual - asym as string)"
+        ).alias("null_dyads_s"),
+        F.expr(
+            "case when d_edges > 0 then"
+            " cast(2 * mutual as decimal(19,0)) * 1000000 div d_edges"
+            " end"
+        ).cast("long").alias("reciprocity_micro"),
+    )
+
+
+_Q244_SQL = """
+WITH it AS (
+  SELECT user_id, ts, event_id,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst,
+         lag(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+  FROM events
+), edges AS (
+  SELECT DISTINCT src, dst FROM it
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+), verts AS (
+  SELECT CAST(count(*) AS BIGINT) AS v
+  FROM (SELECT src AS x FROM edges UNION SELECT dst FROM edges)
+), dyads AS (
+  SELECT least(src, dst) AS lo, greatest(src, dst) AS hi,
+         CAST(count(*) AS BIGINT) AS n_dir
+  FROM edges GROUP BY 1, 2
+), cls AS (
+  SELECT CAST(sum(CAST(n_dir = 2 AS BIGINT)) AS BIGINT) AS mutual,
+         CAST(sum(CAST(n_dir = 1 AS BIGINT)) AS BIGINT) AS asym,
+         CAST(sum(n_dir) AS BIGINT) AS d_edges
+  FROM dyads
+)
+SELECT v, d_edges, mutual, asym,
+       CAST(CAST(v AS HUGEINT) * (v - 1) // 2 - mutual - asym AS VARCHAR)
+         AS null_dyads_s,
+       CAST(CASE WHEN d_edges > 0 THEN
+            CAST(2 * mutual AS HUGEINT) * 1000000 // d_edges END
+            AS BIGINT) AS reciprocity_micro
+FROM cls CROSS JOIN verts
+"""
+
+QUERIES["q244_dyad_census"] = q244_dyad_census
+ORACLES["q244_dyad_census"] = _Q244_SQL
+
+def q245_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap between two part rankings — by total
+    quantity vs by total revenue — the IR-standard top-weighted
+    ranking agreement. p = 1/2 makes every weight dyadic, so
+    RBO@50 = (1−p)·Σ_{d≤50} p^(d−1)·|A_d∩B_d|/d = Σ_d ov_d/(d·2^d)
+    is EXACT integer arithmetic: ov_d comes from each common item's
+    entry depth max(ra, rb) (one inner join of two 50-row lists, no
+    per-depth rescan), weights are shiftleft(1, d) — no pow(), no
+    float sum, and the p^50 truncation residual (< 9·10⁻¹⁶) is below
+    the atto quantum. Scale shape: both top-50s compile to
+    TakeOrderedAndProject over the grouped part aggregates; everything
+    downstream runs on ≤50-row broadcasts. Ties broken by partkey in
+    both rankings (deterministic)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_partkey").agg(
+        F.sum(F.expr("cast(round(l_quantity) as bigint)")).alias("qty"),
+        F.sum(
+            F.expr("cast(round(l_extendedprice * 100) as decimal(19,0))")
+        ).alias("rev"),
+    )
+    top_q = (
+        agg.orderBy(F.desc("qty"), "l_partkey").limit(50)
+        .select(
+            "l_partkey",
+            F.row_number()
+            .over(W.orderBy(F.desc("qty"), "l_partkey")).alias("ra"),
+        )
+    )
+    top_r = (
+        agg.orderBy(F.desc("rev"), "l_partkey").limit(50)
+        .select(
+            "l_partkey",
+            F.row_number()
+            .over(W.orderBy(F.desc("rev"), "l_partkey")).alias("rb"),
+        )
+    )
+    common = top_q.join(top_r, "l_partkey").select(
+        F.greatest("ra", "rb").alias("m")
+    )
+    depths = spark.range(1, 51).select(F.col("id").cast("int").alias("d"))
+    ov = (
+        F.broadcast(depths)
+        .join(F.broadcast(common), F.col("m") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.sum(F.expr("cast(m is not null as long)")).alias("ov_d"))
+    )
+    terms = ov.select(
+        "d", "ov_d",
+        F.expr(
+            "cast(ov_d as decimal(19,0)) * 1000000000000000000"
+            " div (cast(d as decimal(19,0)) * shiftleft(cast(1 as bigint), d))"
+        ).alias("t"),
+    )
+    return terms.agg(
+        F.max(F.expr("case when d = 10 then ov_d end")).alias("overlap_10"),
+        F.max(F.expr("case when d = 50 then ov_d end")).alias("overlap_50"),
+        F.sum("t").cast("long").alias("rbo_atto"),
+    ).select(
+        "overlap_10", "overlap_50", "rbo_atto",
+        F.expr("round(cast(rbo_atto as double) / 1e18, 6)").alias("rbo"),
+    )
+
+
+_Q245_SQL = """
+WITH agg AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT))
+              AS HUGEINT) AS rev
+  FROM lineitem GROUP BY l_partkey
+), top_q AS (
+  SELECT l_partkey, CAST(row_number() OVER (ORDER BY qty DESC, l_partkey)
+         AS INTEGER) AS ra
+  FROM agg ORDER BY qty DESC, l_partkey LIMIT 50
+), top_r AS (
+  SELECT l_partkey, CAST(row_number() OVER (ORDER BY rev DESC, l_partkey)
+         AS INTEGER) AS rb
+  FROM agg ORDER BY rev DESC, l_partkey LIMIT 50
+), common AS (
+  SELECT greatest(ra, rb) AS m FROM top_q JOIN top_r USING (l_partkey)
+), depths AS (
+  SELECT unnest(generate_series(1, 50)) AS d
+), ov AS (
+  SELECT d, CAST(sum(CAST(m IS NOT NULL AS BIGINT)) AS BIGINT) AS ov_d
+  FROM depths LEFT JOIN common ON m <= d
+  GROUP BY d
+), terms AS (
+  SELECT d, ov_d,
+         CAST(ov_d AS HUGEINT) * 1000000000000000000
+           // (CAST(d AS HUGEINT) * (CAST(1 AS BIGINT) << d)) AS t
+  FROM ov
+)
+SELECT max(CASE WHEN d = 10 THEN ov_d END) AS overlap_10,
+       max(CASE WHEN d = 50 THEN ov_d END) AS overlap_50,
+       CAST(sum(t) AS BIGINT) AS rbo_atto,
+       round(CAST(CAST(sum(t) AS BIGINT) AS DOUBLE) / 1e18, 6) AS rbo
+FROM terms
+"""
+
+QUERIES["q245_rbo_rankings"] = q245_rbo_rankings
+ORACLES["q245_rbo_rankings"] = _Q245_SQL
+
+def q246_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets over ORDER baskets (operators/graph.
+    frequent_triples): top-50 part triples by exact co-occurrence
+    count with integer micro support — the rung above q191's pair
+    rules. The Spark side is a join-free doubly-nested transform with
+    the tighter cubic cap (30); the oracle replays it as the 3-way
+    self-join the distributed plan exists to avoid."""
+    from ..operators.graph import frequent_triples
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return frequent_triples(
+        li, "l_orderkey", "l_partkey",
+        max_basket=30, min_support=2, top_k=50,
+    )
+
+
+_Q246_SQL = """
+WITH inter AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), deg AS (
+  SELECT b, count(*) AS d FROM inter GROUP BY b
+), ok AS (
+  SELECT b FROM deg WHERE d BETWEEN 3 AND 30
+), capped AS (
+  SELECT inter.b, inter.i FROM inter JOIN ok ON inter.b = ok.b
+), n_tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_baskets FROM ok
+), triples AS (
+  SELECT t1.i AS item_a, t2.i AS item_b, t3.i AS item_c,
+         CAST(count(*) AS BIGINT) AS n_abc
+  FROM capped t1
+  JOIN capped t2 ON t1.b = t2.b AND t1.i < t2.i
+  JOIN capped t3 ON t2.b = t3.b AND t2.i < t3.i
+  GROUP BY 1, 2, 3
+  HAVING count(*) >= 2
+)
+SELECT item_a, item_b, item_c, n_abc, n_baskets,
+       CAST(CAST(n_abc AS HUGEINT) * 1000000 // n_baskets AS BIGINT)
+         AS support_micro
+FROM triples CROSS JOIN n_tot
+ORDER BY n_abc DESC, item_a, item_b, item_c
+LIMIT 50
+"""
+
+QUERIES["q246_frequent_triples"] = q246_frequent_triples
+ORACLES["q246_frequent_triples"] = _Q246_SQL

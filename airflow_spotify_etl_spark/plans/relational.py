@@ -8057,6 +8057,107 @@ ORDER BY i
 """
 
 
+def q243_mann_kendall_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test + Theil-Sen robust slope on the daily
+    event-count series — the nonparametric alternative to q78's
+    least-squares trend (outlier days cannot drag it). The series is
+    zero-filled over the calendar (q188/q238), so the C(n,2) pair
+    expansion is bounded by |days|² — a few hundred thousand pairs at
+    ANY corpus scale, the whole reason this self-join is admissible.
+    S = Σ sign(Δc) is exact; Kendall-tau-vs-time is the integer
+    quotient 2S·10⁶ div (n(n−1)); each pairwise slope Δc/Δd is
+    nano-quantized (floor div — deterministic) and the Theil-Sen
+    estimate is the LOWER median by row_number over the sorted,
+    bounded slope table (documented choice: no averaging of middle
+    pairs, so the result is an actual observed quantized slope)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("c")
+    )
+    mm = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = mm.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    series = cal.join(daily, "d", "left").select(
+        F.expr("datediff(d, date'1970-01-01')").alias("t"),
+        F.coalesce("c", F.lit(0)).alias("c"),
+    )
+    a = series.select(F.col("t").alias("ta"), F.col("c").alias("ca"))
+    b = series.select(F.col("t").alias("tb"), F.col("c").alias("cb"))
+    pairs = a.join(b, F.col("tb") > F.col("ta")).select(
+        F.signum(F.col("cb") - F.col("ca")).cast("long").alias("sgn"),
+        F.expr(
+            "(cast(cb as decimal(19,0)) - ca) * 1000000000"
+            " div (tb - ta)"
+        ).alias("slope_nano"),
+    )
+    stats = pairs.agg(
+        F.count("*").alias("n_pairs"), F.sum("sgn").alias("s")
+    )
+    med = (
+        pairs.select("slope_nano")
+        .withColumn(
+            "rn", F.row_number().over(W.orderBy("slope_nano"))
+        )
+        .crossJoin(F.broadcast(stats))
+        .where(F.expr("rn = (n_pairs + 1) div 2"))
+        .select(F.col("slope_nano").alias("sen_slope_nano"))
+    )
+    n1 = series.agg(F.count("*").alias("n"))
+    return (
+        stats.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "n", "n_pairs", "s",
+            F.expr(
+                "case when n > 1 then cast(2 * s as decimal(19,0))"
+                " * 1000000 div (cast(n as decimal(19,0)) * (n - 1))"
+                " end"
+            ).cast("long").alias("tau_micro"),
+            "sen_slope_nano",
+        )
+    )
+
+
+_Q243_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), mm AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM daily
+), cal AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+  FROM mm
+), series AS (
+  SELECT CAST(cal.d - DATE '1970-01-01' AS BIGINT) AS t,
+         coalesce(daily.c, 0) AS c
+  FROM cal LEFT JOIN daily ON cal.d = daily.d
+), pairs AS (
+  SELECT CAST(sign(b.c - a.c) AS BIGINT) AS sgn,
+         CAST((CAST(b.c AS HUGEINT) - a.c) * 1000000000
+              // (b.t - a.t) AS BIGINT) AS slope_nano
+  FROM series a JOIN series b ON b.t > a.t
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(sgn) AS BIGINT) AS s
+  FROM pairs
+), med AS (
+  SELECT slope_nano AS sen_slope_nano
+  FROM (SELECT slope_nano,
+               row_number() OVER (ORDER BY slope_nano) AS rn
+        FROM pairs) r CROSS JOIN stats
+  WHERE rn = (n_pairs + 1) // 2
+), n1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM series
+)
+SELECT n, n_pairs, s,
+       CAST(CASE WHEN n > 1 THEN CAST(2 * s AS HUGEINT) * 1000000
+            // (CAST(n AS HUGEINT) * (n - 1)) END AS BIGINT) AS tau_micro,
+       sen_slope_nano
+FROM stats CROSS JOIN n1 CROSS JOIN med
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -8182,6 +8283,7 @@ QUERIES = {
     "q238_pettitt_changepoint": q238_pettitt_changepoint,
     "q241_welch_ttest": q241_welch_ttest,
     "q242_bh_fdr_sources": q242_bh_fdr_sources,
+    "q243_mann_kendall_theil_sen": q243_mann_kendall_theil_sen,
 }
 
 ORACLES = {
@@ -8309,4 +8411,5 @@ ORACLES = {
     "q238_pettitt_changepoint": _Q238_SQL,
     "q241_welch_ttest": _Q241_SQL,
     "q242_bh_fdr_sources": _Q242_SQL,
+    "q243_mann_kendall_theil_sen": _Q243_SQL,
 }

@@ -255,6 +255,10 @@ HEADLINE = [
     "q240_mattr_lexical_diversity",
     "q241_welch_ttest",
     "q242_bh_fdr_sources",
+    "q243_mann_kendall_theil_sen",
+    "q244_dyad_census",
+    "q245_rbo_rankings",
+    "q246_frequent_triples",
 ]
 
 

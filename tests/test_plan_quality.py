@@ -2431,3 +2431,94 @@ def test_q242_bh_fdr_hand_computed(spark, tmp_path, qs):
     assert a.p_value == round(math.exp(-5.0), 8)
     assert {a.i, b.i} == {1, 2} and a.m == 2
     assert a.bh_k == 2 and a.discovery and b.discovery
+
+
+def test_q243_mann_kendall_hand_computed(spark, tmp_path, qs):
+    """Counts [1,2,4] over 3 consecutive days: all 3 pairs rise, so
+    S=3, tau=1. Slopes = {1, 2, 3/2} nano-floored; lower median at
+    rn = (3+1) div 2 = 2 of sorted [1e9, 1.5e9, 2e9] -> 1.5e9."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows = []
+    eid = 0
+    for day, cnt in enumerate([1, 2, 4]):
+        for _ in range(cnt):
+            eid += 1
+            rows.append((eid, datetime(2024, 3, 1 + day, 9), 1, "e", 1.0, "{}"))
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "events.parquet"))
+    [r] = qs["q243_mann_kendall_theil_sen"](spark, str(tmp_path)).collect()
+    assert (r.n, r.n_pairs, r.s) == (3, 3, 3)
+    assert r.tau_micro == 1_000_000
+    assert r.sen_slope_nano == 1_500_000_000
+
+
+def test_q244_dyad_census_hand_computed(spark, tmp_path, qs):
+    """User 1 walks items 1->2->1 (mutual dyad {1,2}); user 2 walks
+    3->4 (asymmetric). V=4, D=3 directed edges, M=1, A=1,
+    null = C(4,2)-2 = 4, r = 2/3."""
+    import json
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    def e(eid, uid, minute, item):
+        return (eid, datetime(2024, 1, 1, 10, minute), uid, "view",
+                1.0, json.dumps({"k": item}))
+
+    rows = [e(1, 1, 0, 1), e(2, 1, 1, 2), e(3, 1, 2, 1),
+            e(4, 2, 0, 3), e(5, 2, 1, 4)]
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "events.parquet"))
+    [r] = qs["q244_dyad_census"](spark, str(tmp_path)).collect()
+    assert (r.v, r.d_edges, r.mutual, r.asym) == (4, 3, 1, 1)
+    assert r.null_dyads_s == "4"
+    assert r.reciprocity_micro == 2 * 10**6 // 3
+
+
+def test_q245_rbo_hand_computed(spark, tmp_path, qs):
+    """3 parts whose qty ranking [1,2,3] reverses in revenue [3,2,1]:
+    entry depths m = {3,2,3} so ov = [0,1,3,3,...]; rbo_atto is the
+    exact dyadic sum mirrored in Python bigints."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    ts = datetime(2024, 1, 1)
+    rows = [
+        (1, 1, 1, 1, 100.0, 10.0, 0.0, 0.0, "N", "O", ts),
+        (2, 2, 1, 1, 50.0, 500.0, 0.0, 0.0, "N", "O", ts),
+        (3, 3, 1, 1, 10.0, 9000.0, 0.0, 0.0, "N", "O", ts),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["lineitem"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    [r] = qs["q245_rbo_rankings"](spark, str(tmp_path)).collect()
+    ov = {d: (0 if d == 1 else 1 if d == 2 else 3) for d in range(1, 51)}
+    expect = sum(ov[d] * 10**18 // (d * 2**d) for d in range(1, 51))
+    assert (r.overlap_10, r.overlap_50) == (3, 3)
+    assert r.rbo_atto == expect
+    assert r.rbo == round(expect / 1e18, 6)
+
+
+def test_q246_frequent_triples_hand_computed(spark, tmp_path, qs):
+    """Baskets 1,2 = {1,2,3}; basket 3 = {1,2,3,4}; basket 4 = 31
+    items (over the cubic cap, dropped). Triple (1,2,3) has support 3
+    of 3 capped baskets; the three (x,y,4) triples have 1 (< 2,
+    dropped). Order and every column asserted."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    ts = datetime(2024, 1, 1)
+    li = []
+    for b, parts in [(1, [1, 2, 3]), (2, [1, 2, 3]), (3, [1, 2, 3, 4]),
+                     (4, list(range(100, 131)))]:
+        for ln, p in enumerate(parts, 1):
+            li.append((b, p, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O", ts))
+    spark.createDataFrame(li, SCHEMAS["lineitem"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = qs["q246_frequent_triples"](spark, str(tmp_path)).collect()
+    assert [(r.item_a, r.item_b, r.item_c, r.n_abc, r.n_baskets,
+             r.support_micro) for r in out] == [(1, 2, 3, 3, 3, 1_000_000)]
