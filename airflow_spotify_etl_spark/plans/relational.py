@@ -8158,6 +8158,193 @@ FROM stats CROSS JOIN n1 CROSS JOIN med
 """
 
 
+def q247_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily event-count series via classical
+    rescaled-range analysis: for block sizes m ∈ {4,8,16,32}, each full
+    block's R/S is computed EXACTLY as integers — scaling the centered
+    prefix deviation by m gives D_t = m·Σ_{i≤t}x_i − t·Σ_block
+    (integer), so R/S = (max D − min D)/√(m·ΣX² − Σ²) with both
+    operands exact (the m's cancel); one √ per block, micro-floored
+    before the per-m average so the cross-block mean is an exact
+    integer sum. H is then the OLS slope of log₂(R/S) on log₂(m) over
+    4 points, with each log ln-quantized to nano BEFORE the 4-point
+    sums (the q222 discipline — no cross-row float accumulation
+    anywhere). H ≈ 0.5 for an uncorrelated series, > 0.5 for
+    persistent. Scale shape: everything runs on the |days|-bounded
+    zero-filled calendar table; blocks are keyed windows."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("c")
+    )
+    mm = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = mm.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    series = (
+        cal.join(daily, "d", "left")
+        .select("d", F.coalesce("c", F.lit(0)).alias("c"))
+        .withColumn("t0", F.expr("datediff(d, date'1970-01-01')"))
+    )
+    base = series.agg(F.min("t0").alias("tmin"))
+    ms = spark.range(2, 6).select(
+        F.expr("shiftleft(cast(1 as bigint), cast(id as int))").alias("m")
+    )
+    blk = (
+        series.crossJoin(F.broadcast(base))
+        .crossJoin(F.broadcast(ms))
+        .select(
+            "m", "c",
+            F.expr("(t0 - tmin) div m").alias("blk"),
+            F.expr("(t0 - tmin) % m + 1").alias("pos"),
+        )
+    )
+    w_pre = W.partitionBy("m", "blk").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    w_all = W.partitionBy("m", "blk")
+    scored = blk.select(
+        "m", "blk", "pos", "c",
+        F.sum("c").over(w_pre).alias("pre"),
+        F.sum("c").over(w_all).alias("tot"),
+        F.count("*").over(w_all).alias("npos"),
+        F.sum(F.expr("cast(c as decimal(19,0)) * c")).over(w_all)
+        .alias("ss"),
+    ).where(F.col("npos") == F.col("m"))
+    dev = scored.select(
+        "m", "blk",
+        F.expr("m * pre - pos * tot").alias("dt"),
+        F.expr("m * ss - cast(tot as decimal(19,0)) * tot").alias("s2m"),
+    )
+    per_blk = dev.groupBy("m", "blk").agg(
+        F.max("dt").alias("dmax"), F.min("dt").alias("dmin"),
+        F.first("s2m").alias("s2m"),
+    ).where(F.col("s2m") > 0)
+    rs = per_blk.select(
+        "m",
+        F.expr(
+            "cast(floor(cast(dmax - dmin as double) * 1e6"
+            " / sqrt(cast(cast(s2m as bigint) as double))) as bigint)"
+        ).alias("rs_micro"),
+    )
+    per_m = rs.groupBy("m").agg(
+        F.count("*").alias("n_blocks"),
+        F.expr("sum(rs_micro) div count(*)").alias("rs_mean_micro"),
+    ).where(F.col("rs_mean_micro") > 0)
+    pts = per_m.select(
+        "m", "n_blocks", "rs_mean_micro",
+        F.expr("cast(round(log2(cast(m as double))) as bigint)").alias("x"),
+        F.expr(
+            "cast(round((ln(cast(rs_mean_micro as double)) - ln(1e6))"
+            " / ln(2e0) * 1e9) as bigint)"
+        ).alias("y_nano"),
+    )
+    ols = pts.agg(
+        F.count("*").alias("k"),
+        F.sum("x").alias("sx"), F.sum("y_nano").alias("sy"),
+        F.sum(F.expr("x * y_nano")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+    ).select(
+        F.expr(
+            "case when k * sxx - sx * sx > 0 then"
+            " cast((k * sxy - sx * sy) * 1000"
+            " div (cast(k * sxx - sx * sx as bigint) * 1000000000)"
+            " * 1000 + ((k * sxy - sx * sy) * 1000"
+            " % (cast(k * sxx - sx * sx as bigint) * 1000000000))"
+            " * 1000 div (cast(k * sxx - sx * sx as bigint) * 1000000000)"
+            " as bigint) end"
+        ).alias("hurst_micro"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(ols))
+        .select(
+            "m", "n_blocks", "rs_mean_micro", "y_nano", "hurst_micro",
+            F.expr("round(cast(hurst_micro as double) / 1e6, 4)")
+            .alias("hurst"),
+        )
+        .orderBy("m")
+    )
+
+
+_Q247_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), mm AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM daily
+), cal AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+  FROM mm
+), series AS (
+  SELECT CAST(cal.d - DATE '1970-01-01' AS BIGINT) AS t0,
+         coalesce(daily.c, 0) AS c
+  FROM cal LEFT JOIN daily ON cal.d = daily.d
+), base AS (
+  SELECT min(t0) AS tmin FROM series
+), ms AS (
+  SELECT unnest([4, 8, 16, 32])::BIGINT AS m
+), blk AS (
+  SELECT m, c,
+         (t0 - tmin) // m AS blk,
+         (t0 - tmin) % m + 1 AS pos
+  FROM series CROSS JOIN base CROSS JOIN ms
+), scored AS (
+  SELECT m, blk, pos, c,
+         CAST(sum(c) OVER (PARTITION BY m, blk ORDER BY pos
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre,
+         CAST(sum(c) OVER (PARTITION BY m, blk) AS BIGINT) AS tot,
+         CAST(count(*) OVER (PARTITION BY m, blk) AS BIGINT) AS npos,
+         CAST(sum(CAST(c AS HUGEINT) * c) OVER (PARTITION BY m, blk)
+              AS HUGEINT) AS ss
+  FROM blk
+), dev AS (
+  SELECT m, blk,
+         m * pre - pos * tot AS dt,
+         m * ss - CAST(tot AS HUGEINT) * tot AS s2m
+  FROM scored WHERE npos = m
+), per_blk AS (
+  SELECT m, blk, max(dt) AS dmax, min(dt) AS dmin, first(s2m) AS s2m
+  FROM dev GROUP BY m, blk
+  HAVING first(s2m) > 0
+), rs AS (
+  SELECT m,
+         CAST(floor(CAST(dmax - dmin AS DOUBLE) * 1e6
+              / sqrt(CAST(CAST(s2m AS BIGINT) AS DOUBLE))) AS BIGINT)
+           AS rs_micro
+  FROM per_blk
+), per_m AS (
+  SELECT m, CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(rs_micro) // count(*) AS BIGINT) AS rs_mean_micro
+  FROM rs GROUP BY m
+  HAVING sum(rs_micro) // count(*) > 0
+), pts AS (
+  SELECT m, n_blocks, rs_mean_micro,
+         CAST(round(log2(CAST(m AS DOUBLE))) AS BIGINT) AS x,
+         CAST(round((ln(CAST(rs_mean_micro AS DOUBLE)) - ln(1e6))
+              / ln(2e0) * 1e9) AS BIGINT) AS y_nano
+  FROM per_m
+), ols AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y_nano) AS BIGINT) AS sy,
+         CAST(sum(x * y_nano) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM pts
+), h AS (
+  SELECT CAST(CASE WHEN k * sxx - sx * sx > 0 THEN
+         (CAST(k AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000
+         // (CAST(k * sxx - sx * sx AS HUGEINT) * 1000000000) * 1000
+         + ((CAST(k AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000
+            % (CAST(k * sxx - sx * sx AS HUGEINT) * 1000000000)) * 1000
+           // (CAST(k * sxx - sx * sx AS HUGEINT) * 1000000000)
+         END AS BIGINT) AS hurst_micro
+  FROM ols
+)
+SELECT m, n_blocks, rs_mean_micro, y_nano, hurst_micro,
+       round(CAST(hurst_micro AS DOUBLE) / 1e6, 4) AS hurst
+FROM pts CROSS JOIN h
+ORDER BY m
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -8284,6 +8471,7 @@ QUERIES = {
     "q241_welch_ttest": q241_welch_ttest,
     "q242_bh_fdr_sources": q242_bh_fdr_sources,
     "q243_mann_kendall_theil_sen": q243_mann_kendall_theil_sen,
+    "q247_hurst_rs": q247_hurst_rs,
 }
 
 ORACLES = {
@@ -8412,4 +8600,5 @@ ORACLES = {
     "q241_welch_ttest": _Q241_SQL,
     "q242_bh_fdr_sources": _Q242_SQL,
     "q243_mann_kendall_theil_sen": _Q243_SQL,
+    "q247_hurst_rs": _Q247_SQL,
 }

@@ -259,6 +259,7 @@ HEADLINE = [
     "q244_dyad_census",
     "q245_rbo_rankings",
     "q246_frequent_triples",
+    "q247_hurst_rs",
 ]
 
 

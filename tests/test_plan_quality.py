@@ -2522,3 +2522,32 @@ def test_q246_frequent_triples_hand_computed(spark, tmp_path, qs):
     out = qs["q246_frequent_triples"](spark, str(tmp_path)).collect()
     assert [(r.item_a, r.item_b, r.item_c, r.n_abc, r.n_baskets,
              r.support_micro) for r in out] == [(1, 2, 3, 3, 3, 1_000_000)]
+
+
+def test_q247_hurst_hand_computed(spark, tmp_path, qs):
+    """Alternating [2,0] over a 9-day calendar (events on the even
+    days; day 9 anchors the zero-filled span): every m=4 block is
+    [2,0,2,0] with scaled deviations [4,0,4,0] -> R=4, S2m=16,
+    R/S=1; the m=8 block gives R/S=1 too. Both log2 points are 0,
+    so the fitted Hurst slope is exactly 0."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows = []
+    eid = 0
+    for day in range(9):
+        cnt = 2 if day % 2 == 0 else 0
+        for _ in range(cnt):
+            eid += 1
+            rows.append((eid, datetime(2024, 5, 1 + day, 8), 1, "e",
+                         1.0, "{}"))
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.m: r for r in qs["q247_hurst_rs"](spark, str(tmp_path)).collect()}
+    assert set(out) == {4, 8}
+    assert out[4].n_blocks == 2 and out[8].n_blocks == 1
+    assert out[4].rs_mean_micro == 1_000_000
+    assert out[8].rs_mean_micro == 1_000_000
+    assert out[4].y_nano == 0 and out[8].y_nano == 0
+    assert out[4].hurst_micro == 0 and out[4].hurst == 0.0
