@@ -8345,6 +8345,109 @@ ORDER BY m
 """
 
 
+def q248_gumbel_return_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit on WEEKLY block maxima of the daily
+    event count, with 4/12/52-week return levels — the capacity-
+    planning question ("what daily peak should we provision for?")
+    answered with the classical EVT method of moments: β = s·√6/π,
+    μ = x̄ − γβ (γ = Euler-Mascheroni), level(T) = μ − β·ln(−ln(1−1/T)).
+    The block-maxima table is calendar-bounded (≤|weeks| rows); its
+    (k, Σmax, Σmax²) are exact integers, the unbiased variance
+    k·SS − S² stays integral, and each return level is ONE double
+    chain over those <2⁵³ integers with e0-literal constants — written
+    identically in both engines, so the output is bit-stable. Weeks
+    are epoch-day div 7 (no partial-week bias at the epoch anchor
+    matters for maxima). Degenerate k < 2 → NULL."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(to_date(ts) as timestamp))"
+               " div 86400000000").alias("day")
+    ).agg(F.count("*").alias("c"))
+    wk = daily.groupBy(F.expr("day div 7").alias("week")).agg(
+        F.max("c").alias("mx")
+    )
+    g = wk.agg(
+        F.count("*").alias("k"),
+        F.sum("mx").alias("s"),
+        F.sum(F.expr("cast(mx as decimal(19,0)) * mx")).alias("ss"),
+    )
+    mean = "cast(cast(s as bigint) as double) / k"
+    sd = (
+        "sqrt(cast(cast(cast(k as decimal(19,0)) * ss"
+        " - cast(s as decimal(19,0)) * s as bigint) as double)"
+        " / (cast(k as double) * (k - 1)))"
+    )
+    beta = f"({sd} * sqrt(6e0) / pi())"
+    mu = f"({mean} - 0.5772156649015329e0 * {beta})"
+    def lvl(t: int) -> str:
+        return (
+            f"round({mu} - {beta} * ln(-ln(1e0 - 1e0 / {t})), 4)"
+        )
+    return g.select(
+        "k",
+        F.expr("cast(s as bigint)").alias("sum_max"),
+        F.expr("cast(ss as string)").alias("ss_s"),
+        F.expr(f"case when k > 1 then round({mu}, 4) end").alias("mu"),
+        F.expr(f"case when k > 1 then round({beta}, 4) end").alias("beta"),
+        F.expr(f"case when k > 1 then {lvl(4)} end").alias("level_4w"),
+        F.expr(f"case when k > 1 then {lvl(12)} end").alias("level_12w"),
+        F.expr(f"case when k > 1 then {lvl(52)} end").alias("level_52w"),
+    )
+
+
+_Q248_SQL = """
+WITH daily AS (
+  SELECT epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)) // 86400000000
+           AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), wk AS (
+  SELECT day // 7 AS week, CAST(max(c) AS BIGINT) AS mx
+  FROM daily GROUP BY 1
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(mx) AS BIGINT) AS s,
+         CAST(sum(CAST(mx AS HUGEINT) * mx) AS HUGEINT) AS ss
+  FROM wk
+)
+SELECT k, s AS sum_max, CAST(ss AS VARCHAR) AS ss_s,
+       CASE WHEN k > 1 THEN round(CAST(CAST(s AS BIGINT) AS DOUBLE) / k
+            - 0.5772156649015329e0 * (sqrt(CAST(CAST(CAST(k AS HUGEINT) * ss
+              - CAST(s AS HUGEINT) * s AS BIGINT) AS DOUBLE)
+              / (CAST(k AS DOUBLE) * (k - 1))) * sqrt(6e0) / pi()), 4)
+         END AS mu,
+       CASE WHEN k > 1 THEN round(sqrt(CAST(CAST(CAST(k AS HUGEINT) * ss
+            - CAST(s AS HUGEINT) * s AS BIGINT) AS DOUBLE)
+            / (CAST(k AS DOUBLE) * (k - 1))) * sqrt(6e0) / pi(), 4)
+         END AS beta,
+       CASE WHEN k > 1 THEN round(CAST(CAST(s AS BIGINT) AS DOUBLE) / k
+            - 0.5772156649015329e0 * (sqrt(CAST(CAST(CAST(k AS HUGEINT) * ss
+              - CAST(s AS HUGEINT) * s AS BIGINT) AS DOUBLE)
+              / (CAST(k AS DOUBLE) * (k - 1))) * sqrt(6e0) / pi())
+            - (sqrt(CAST(CAST(CAST(k AS HUGEINT) * ss
+               - CAST(s AS HUGEINT) * s AS BIGINT) AS DOUBLE)
+               / (CAST(k AS DOUBLE) * (k - 1))) * sqrt(6e0) / pi())
+              * ln(-ln(1e0 - 1e0 / 4)), 4) END AS level_4w,
+       CASE WHEN k > 1 THEN round(CAST(CAST(s AS BIGINT) AS DOUBLE) / k
+            - 0.5772156649015329e0 * (sqrt(CAST(CAST(CAST(k AS HUGEINT) * ss
+              - CAST(s AS HUGEINT) * s AS BIGINT) AS DOUBLE)
+              / (CAST(k AS DOUBLE) * (k - 1))) * sqrt(6e0) / pi())
+            - (sqrt(CAST(CAST(CAST(k AS HUGEINT) * ss
+               - CAST(s AS HUGEINT) * s AS BIGINT) AS DOUBLE)
+               / (CAST(k AS DOUBLE) * (k - 1))) * sqrt(6e0) / pi())
+              * ln(-ln(1e0 - 1e0 / 12)), 4) END AS level_12w,
+       CASE WHEN k > 1 THEN round(CAST(CAST(s AS BIGINT) AS DOUBLE) / k
+            - 0.5772156649015329e0 * (sqrt(CAST(CAST(CAST(k AS HUGEINT) * ss
+              - CAST(s AS HUGEINT) * s AS BIGINT) AS DOUBLE)
+              / (CAST(k AS DOUBLE) * (k - 1))) * sqrt(6e0) / pi())
+            - (sqrt(CAST(CAST(CAST(k AS HUGEINT) * ss
+               - CAST(s AS HUGEINT) * s AS BIGINT) AS DOUBLE)
+               / (CAST(k AS DOUBLE) * (k - 1))) * sqrt(6e0) / pi())
+              * ln(-ln(1e0 - 1e0 / 52)), 4) END AS level_52w
+FROM g
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -8472,6 +8575,7 @@ QUERIES = {
     "q242_bh_fdr_sources": q242_bh_fdr_sources,
     "q243_mann_kendall_theil_sen": q243_mann_kendall_theil_sen,
     "q247_hurst_rs": q247_hurst_rs,
+    "q248_gumbel_return_levels": q248_gumbel_return_levels,
 }
 
 ORACLES = {
@@ -8601,4 +8705,5 @@ ORACLES = {
     "q242_bh_fdr_sources": _Q242_SQL,
     "q243_mann_kendall_theil_sen": _Q243_SQL,
     "q247_hurst_rs": _Q247_SQL,
+    "q248_gumbel_return_levels": _Q248_SQL,
 }

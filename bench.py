@@ -260,6 +260,7 @@ HEADLINE = [
     "q245_rbo_rankings",
     "q246_frequent_triples",
     "q247_hurst_rs",
+    "q248_gumbel_return_levels",
 ]
 
 

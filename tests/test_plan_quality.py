@@ -2551,3 +2551,35 @@ def test_q247_hurst_hand_computed(spark, tmp_path, qs):
     assert out[8].rs_mean_micro == 1_000_000
     assert out[4].y_nano == 0 and out[8].y_nano == 0
     assert out[4].hurst_micro == 0 and out[4].hurst == 0.0
+
+
+def test_q248_gumbel_hand_computed(spark, tmp_path, qs):
+    """Two weekly maxima {3, 5} (weeks anchored at epoch-day div 7):
+    mean 4, sample sd sqrt(2); beta/mu/levels recomputed bit-for-bit
+    with the same double chain in Python."""
+    import math
+    from datetime import datetime, timedelta
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    # 2024-01-01 is epoch day 19723; align block starts to day//7
+    # boundaries by just using two dates 7 days apart.
+    d0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for _ in range(3):
+        eid += 1
+        rows.append((eid, d0, 1, "e", 1.0, "{}"))
+    for _ in range(5):
+        eid += 1
+        rows.append((eid, d0 + timedelta(days=7), 1, "e", 1.0, "{}"))
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "events.parquet"))
+    [r] = qs["q248_gumbel_return_levels"](spark, str(tmp_path)).collect()
+    assert (r.k, r.sum_max, r.ss_s) == (2, 8, "34")
+    mean, sd = 8 / 2, math.sqrt((2 * 34 - 64) / (2.0 * 1))
+    beta = sd * math.sqrt(6.0) / math.pi
+    mu = mean - 0.5772156649015329 * beta
+    assert r.mu == round(mu, 4) and r.beta == round(beta, 4)
+    for t, col in [(4, r.level_4w), (12, r.level_12w), (52, r.level_52w)]:
+        assert col == round(mu - beta * math.log(-math.log(1.0 - 1.0 / t)), 4)
