@@ -6013,21 +6013,11 @@ ORDER BY source
 """
 
 
-def q237_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kneser-Ney smoothed bigram LM (d=0.75): the top-20 conditional
-    probabilities P(w|prev) = (c−d)/c(prev) + d·N₁₊(prev·)/c(prev) ·
-    N₁₊(·w)/N₁₊(··) over corpus letter-run tokens — the classic LM
-    smoothing where backoff mass goes to CONTINUATION counts (how many
-    contexts a word completes), not raw frequency. d = 3/4 keeps the
-    whole score rational: P = [(4c−3)·N₁₊(··) + 3·N₁₊(prev·)·N₁₊(·w)]
-    / (4·c(prev)·N₁₊(··)), emitted as an exact integer micro quotient
-    (DECIMAL/HUGEINT cross-multiplication, no floats anywhere). Scale
-    shape: bigrams collapse to the (prev, next) count table in the
-    first agg; context/continuation counts are keyed windows over that
-    table; N₁₊(··) is a 1-row broadcast; the top-20 compiles to
-    TakeOrderedAndProject (deterministic lexicographic tie-break).
-    Bigram guard per the q139 sequence(1,0)-is-descending lesson."""
-    docs = load_table(spark, sf_dir, "documents")
+def _kn_bigram_lm(docs: DataFrame) -> DataFrame:
+    """Shared Kneser-Ney bigram LM table (q237 estimation, q249
+    scoring): (prev_tok, next_tok, c, cp, nfw, np, nbb) over corpus
+    letter-run tokens, with the q139 sequence guard. All counts exact;
+    the d=3/4 probability numerator/denominator derive from these."""
     toks = docs.select(
         F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("w")
     )
@@ -6055,8 +6045,26 @@ def q237_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(wt).alias("np"),
     )
     nb = cnt.agg(F.count("*").alias("nbb"))
+    return enr.crossJoin(F.broadcast(nb))
+
+
+def q237_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram LM (d=0.75): the top-20 conditional
+    probabilities P(w|prev) = (c−d)/c(prev) + d·N₁₊(prev·)/c(prev) ·
+    N₁₊(·w)/N₁₊(··) over corpus letter-run tokens — the classic LM
+    smoothing where backoff mass goes to CONTINUATION counts (how many
+    contexts a word completes), not raw frequency. d = 3/4 keeps the
+    whole score rational: P = [(4c−3)·N₁₊(··) + 3·N₁₊(prev·)·N₁₊(·w)]
+    / (4·c(prev)·N₁₊(··)), emitted as an exact integer micro quotient
+    (DECIMAL/HUGEINT cross-multiplication, no floats anywhere). Scale
+    shape: bigrams collapse to the (prev, next) count table in the
+    first agg; context/continuation counts are keyed windows over that
+    table; N₁₊(··) is a 1-row broadcast; the top-20 compiles to
+    TakeOrderedAndProject (deterministic lexicographic tie-break).
+    Bigram guard per the q139 sequence(1,0)-is-descending lesson."""
+    docs = load_table(spark, sf_dir, "documents")
     return (
-        enr.crossJoin(F.broadcast(nb))
+        _kn_bigram_lm(docs)
         .select(
             "prev_tok", "next_tok", "c", "cp", "np", "nfw", "nbb",
             F.expr(
@@ -6220,6 +6228,116 @@ ORDER BY wins.source
 """
 
 
+def q249_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source perplexity under the corpus Kneser-Ney bigram LM
+    (q237's shared _kn_bigram_lm) — in-engine model evaluation: which
+    sources does the corpus-level LM model well? Each distinct bigram's
+    log P is computed ONCE on the LM table as ln(num) − ln(den) of the
+    exact d=3/4 rationals (BIGINT-routed casts, <2⁵³), nano-quantized
+    BEFORE any accumulation, so per-source totals are exact integer
+    sums of (multiplicity × lnp_nano) — order-independent (the q222
+    discipline). Resubstitution scoring (the LM is estimated on the
+    full corpus), so every doc bigram exists in the LM — no backoff
+    path needed; PPL = exp(−avg lnP) runs once per source row. Scale
+    shape: one keyed join of the (source, bigram) count table against
+    the LM table; both are post-aggregation; truncating avg division
+    is toward-zero in both engines (negative sums)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lm = _kn_bigram_lm(docs).select(
+        "prev_tok", "next_tok",
+        F.expr(
+            "cast(round((ln(cast(cast(cast(4 * c - 3 as decimal(19,0))"
+            " * nbb + 3 * cast(nfw as decimal(19,0)) * np as bigint)"
+            " as double))"
+            " - ln(cast(cast(4 * cast(cp as decimal(19,0)) * nbb"
+            " as bigint) as double))) * 1e9) as bigint)"
+        ).alias("lnp_nano"),
+    )
+    occ = (
+        docs.select(
+            "source",
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            .alias("w"),
+        )
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(w) >= 2 THEN"
+                    " transform(sequence(1, size(w) - 1),"
+                    " i -> struct(element_at(w, i) AS p,"
+                    "             element_at(w, i + 1) AS t))"
+                    " ELSE CAST(array()"
+                    " AS array<struct<p:string,t:string>>) END"
+                )
+            ).alias("b"),
+        )
+        .select(
+            "source",
+            F.col("b.p").alias("prev_tok"),
+            F.col("b.t").alias("next_tok"),
+        )
+        .groupBy("source", "prev_tok", "next_tok")
+        .agg(F.count("*").alias("mult"))
+    )
+    per = occ.join(lm, ["prev_tok", "next_tok"]).groupBy("source").agg(
+        F.sum("mult").alias("n_bigrams"),
+        F.sum(F.expr("mult * lnp_nano")).alias("sum_lnp_nano"),
+    )
+    return per.select(
+        "source", "n_bigrams", "sum_lnp_nano",
+        F.expr("sum_lnp_nano div n_bigrams").alias("avg_lnp_nano"),
+        F.expr(
+            "round(exp(-cast(sum_lnp_nano div n_bigrams as double)"
+            " / 1e9), 4)"
+        ).alias("perplexity"),
+    ).orderBy("source")
+
+
+_Q249_SQL = r"""
+WITH toks AS (
+  SELECT source, regexp_extract_all(lower(text), '[a-z]+') AS w
+  FROM documents
+), bg AS (
+  SELECT source, w[i] AS prev_tok, w[i + 1] AS next_tok
+  FROM toks, unnest(generate_series(1, len(w) - 1)) AS u(i)
+  WHERE len(w) >= 2
+), cnt AS (
+  SELECT prev_tok, next_tok, CAST(count(*) AS BIGINT) AS c
+  FROM bg GROUP BY prev_tok, next_tok
+), enr AS (
+  SELECT prev_tok, next_tok, c,
+         CAST(sum(c) OVER (PARTITION BY prev_tok) AS BIGINT) AS cp,
+         CAST(count(*) OVER (PARTITION BY prev_tok) AS BIGINT) AS nfw,
+         CAST(count(*) OVER (PARTITION BY next_tok) AS BIGINT) AS np
+  FROM cnt
+), nb AS (
+  SELECT CAST(count(*) AS BIGINT) AS nbb FROM cnt
+), lm AS (
+  SELECT prev_tok, next_tok,
+         CAST(round((ln(CAST(CAST(CAST(4 * c - 3 AS HUGEINT) * nbb
+              + 3 * CAST(nfw AS HUGEINT) * np AS BIGINT) AS DOUBLE))
+              - ln(CAST(CAST(4 * CAST(cp AS HUGEINT) * nbb AS BIGINT)
+                   AS DOUBLE))) * 1e9) AS BIGINT) AS lnp_nano
+  FROM enr CROSS JOIN nb
+), occ AS (
+  SELECT source, prev_tok, next_tok, CAST(count(*) AS BIGINT) AS mult
+  FROM bg GROUP BY source, prev_tok, next_tok
+), per AS (
+  SELECT source, CAST(sum(mult) AS BIGINT) AS n_bigrams,
+         CAST(sum(mult * lnp_nano) AS BIGINT) AS sum_lnp_nano
+  FROM occ JOIN lm USING (prev_tok, next_tok)
+  GROUP BY source
+)
+SELECT source, n_bigrams, sum_lnp_nano,
+       CAST(sum_lnp_nano // n_bigrams AS BIGINT) AS avg_lnp_nano,
+       round(exp(-CAST(CAST(sum_lnp_nano // n_bigrams AS BIGINT)
+             AS DOUBLE) / 1e9), 4) AS perplexity
+FROM per
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -6321,6 +6439,7 @@ QUERIES = {
     "q236_flesch_readability": q236_flesch_readability,
     "q237_kneser_ney_bigrams": q237_kneser_ney_bigrams,
     "q240_mattr_lexical_diversity": q240_mattr_lexical_diversity,
+    "q249_kn_perplexity": q249_kn_perplexity,
 }
 
 ORACLES = {
@@ -6424,4 +6543,5 @@ ORACLES = {
     "q236_flesch_readability": _Q236_SQL,
     "q237_kneser_ney_bigrams": _Q237_SQL,
     "q240_mattr_lexical_diversity": _Q240_SQL,
+    "q249_kn_perplexity": _Q249_SQL,
 }

@@ -261,6 +261,7 @@ HEADLINE = [
     "q246_frequent_triples",
     "q247_hurst_rs",
     "q248_gumbel_return_levels",
+    "q249_kn_perplexity",
 ]
 
 

@@ -2583,3 +2583,30 @@ def test_q248_gumbel_hand_computed(spark, tmp_path, qs):
     assert r.mu == round(mu, 4) and r.beta == round(beta, 4)
     for t, col in [(4, r.level_4w), (12, r.level_12w), (52, r.level_52w)]:
         assert col == round(mu - beta * math.log(-math.log(1.0 - 1.0 / t)), 4)
+
+
+def test_q249_kn_perplexity_hand_computed(spark, tmp_path, qs):
+    """Same corpus as q237 ('a b','a b','a c'): P(b|a)=16/24,
+    P(c|a)=8/24; the per-source total is 2*ln(16/24)+ln(8/24) in
+    exact nano quanta; perplexity mirrors the same double chain."""
+    import math
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows = [
+        (1, "a b", "en", "s", 3),
+        (2, "a b", "en", "s", 3),
+        (3, "a c", "en", "s", 3),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "documents.parquet"))
+    [r] = qs["q249_kn_perplexity"](spark, str(tmp_path)).collect()
+    lnp_ab = round((math.log(16) - math.log(24)) * 1e9)
+    lnp_ac = round((math.log(8) - math.log(24)) * 1e9)
+    total = 2 * lnp_ab + lnp_ac
+    assert (r.source, r.n_bigrams) == ("s", 3)
+    assert r.sum_lnp_nano == total
+    avg = int(total / 3) if total >= 0 else -((-total) // 3)
+    # Spark div / DuckDB // truncate toward zero on negatives
+    assert r.avg_lnp_nano == avg
+    assert r.perplexity == round(math.exp(-avg / 1e9), 4)
