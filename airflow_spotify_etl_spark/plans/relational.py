@@ -8448,6 +8448,113 @@ FROM g
 """
 
 
+def q250_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between the
+    purchase and view `value` distributions — the drift metric that
+    sees HOW FAR mass moved, where KS (q186) only sees the largest gap
+    and PSI (q192) needs binning. W₁ = ∫|F_A − F_B| dv collapses to a
+    sum over DISTINCT ms values: Σ |cumA·nB − cumB·nA|·Δv / (nA·nB),
+    whose numerator is an exact DECIMAL/HUGEINT integer from one
+    inclusive cumulative window over the per-value count table (the
+    q187 shape — raw rows never sort); one truncating division at the
+    end emits micro-ms. Also emitted: the total-variation-style
+    normalized W₁/range. Scale shape: one grouped count collapse, one
+    bounded post-agg window, 1-row totals broadcast. DECIMAL ceiling
+    ≈ 10⁹ events/side (cum·n products)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.where(
+        F.col("event_type").isin("purchase", "view")
+        & F.col("value").isNotNull()
+    ).select(
+        (F.col("event_type") == "purchase").cast("long").alias("is_a"),
+        F.round(F.col("value") * 1000, 0).cast("long").alias("v"),
+    )
+    cnt = base.groupBy("v").agg(
+        F.sum("is_a").alias("ca"), F.sum(1 - F.col("is_a")).alias("cb")
+    )
+    w_cum = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    w_next = W.orderBy("v")
+    cum = cnt.select(
+        "v",
+        F.sum("ca").over(w_cum).alias("cuma"),
+        F.sum("cb").over(w_cum).alias("cumb"),
+        F.lead("v").over(w_next).alias("vnext"),
+    )
+    tot = base.agg(
+        F.sum("is_a").alias("na"),
+        F.sum(1 - F.col("is_a")).alias("nb"),
+        F.min("v").alias("vlo"), F.max("v").alias("vhi"),
+    )
+    terms = cum.crossJoin(F.broadcast(tot)).where(
+        F.col("vnext").isNotNull()
+    ).select(
+        F.expr(
+            "abs(cast(cuma as decimal(19,0)) * nb"
+            " - cast(cumb as decimal(19,0)) * na) * (vnext - v)"
+        ).alias("t"),
+        "na", "nb", "vlo", "vhi",
+    )
+    return terms.groupBy("na", "nb", "vlo", "vhi").agg(
+        F.sum("t").alias("num")
+    ).select(
+        "na", "nb",
+        F.expr("cast(num as string)").alias("num_s"),
+        F.expr(
+            "case when na > 0 and nb > 0 then cast(num * 1000000"
+            " div (cast(na as decimal(19,0)) * nb) as bigint) end"
+        ).alias("w1_micro"),
+        F.expr(
+            "case when na > 0 and nb > 0 and vhi > vlo then"
+            " cast(num * 1000000 div (cast(na as decimal(19,0)) * nb"
+            " * (vhi - vlo)) as bigint) end"
+        ).alias("w1_norm_micro"),
+    )
+
+
+_Q250_SQL = """
+WITH base AS (
+  SELECT CAST(event_type = 'purchase' AS BIGINT) AS is_a,
+         CAST(round(value * 1000) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+), cnt AS (
+  SELECT v, CAST(sum(is_a) AS BIGINT) AS ca,
+         CAST(sum(1 - is_a) AS BIGINT) AS cb
+  FROM base GROUP BY v
+), cum AS (
+  SELECT v,
+         CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cuma,
+         CAST(sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cumb,
+         lead(v) OVER (ORDER BY v) AS vnext
+  FROM cnt
+), tot AS (
+  SELECT CAST(sum(is_a) AS BIGINT) AS na,
+         CAST(sum(1 - is_a) AS BIGINT) AS nb,
+         min(v) AS vlo, max(v) AS vhi
+  FROM base
+), terms AS (
+  SELECT abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na)
+           * (vnext - v) AS t,
+         na, nb, vlo, vhi
+  FROM cum CROSS JOIN tot
+  WHERE vnext IS NOT NULL
+)
+SELECT na, nb,
+       CAST(sum(t) AS VARCHAR) AS num_s,
+       CAST(CASE WHEN na > 0 AND nb > 0 THEN CAST(sum(t) AS HUGEINT)
+            * 1000000 // (CAST(na AS HUGEINT) * nb) END AS BIGINT)
+         AS w1_micro,
+       CAST(CASE WHEN na > 0 AND nb > 0 AND vhi > vlo THEN
+            CAST(sum(t) AS HUGEINT) * 1000000
+            // (CAST(na AS HUGEINT) * nb * (vhi - vlo)) END AS BIGINT)
+         AS w1_norm_micro
+FROM terms
+GROUP BY na, nb, vlo, vhi
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -8576,6 +8683,7 @@ QUERIES = {
     "q243_mann_kendall_theil_sen": q243_mann_kendall_theil_sen,
     "q247_hurst_rs": q247_hurst_rs,
     "q248_gumbel_return_levels": q248_gumbel_return_levels,
+    "q250_wasserstein_drift": q250_wasserstein_drift,
 }
 
 ORACLES = {
@@ -8706,4 +8814,5 @@ ORACLES = {
     "q243_mann_kendall_theil_sen": _Q243_SQL,
     "q247_hurst_rs": _Q247_SQL,
     "q248_gumbel_return_levels": _Q248_SQL,
+    "q250_wasserstein_drift": _Q250_SQL,
 }

@@ -262,6 +262,7 @@ HEADLINE = [
     "q247_hurst_rs",
     "q248_gumbel_return_levels",
     "q249_kn_perplexity",
+    "q250_wasserstein_drift",
 ]
 
 

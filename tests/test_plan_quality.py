@@ -2610,3 +2610,27 @@ def test_q249_kn_perplexity_hand_computed(spark, tmp_path, qs):
     # Spark div / DuckDB // truncate toward zero on negatives
     assert r.avg_lnp_nano == avg
     assert r.perplexity == round(math.exp(-avg / 1e9), 4)
+
+
+def test_q250_wasserstein_hand_computed(spark, tmp_path, qs):
+    """purchase = {1,2}s, view = {3,4}s (ms quanta): the CDF gap is
+    |F_A - F_B| = {1/2 on [1000,2000), 1 on [2000,3000),
+    1/2 on [3000,4000)} so W1 = 2000 ms exactly -> 2e9 micro-ms;
+    normalized by the 3000 ms range -> 2/3."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    ts = datetime(2024, 1, 1)
+    rows = [(1, ts, 1, "purchase", 1.0, "{}"),
+            (2, ts, 1, "purchase", 2.0, "{}"),
+            (3, ts, 2, "view", 3.0, "{}"),
+            (4, ts, 2, "view", 4.0, "{}")]
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "events.parquet"))
+    [r] = qs["q250_wasserstein_drift"](spark, str(tmp_path)).collect()
+    assert (r.na, r.nb) == (2, 2)
+    # num = sum |cumA*nb - cumB*na| * dv = |2|*1000 + |4|*1000 + |2|*1000
+    assert r.num_s == str(8000)
+    assert r.w1_micro == 8000 * 10**6 // 4
+    assert r.w1_norm_micro == 8000 * 10**6 // (4 * 3000)
