@@ -8555,6 +8555,122 @@ GROUP BY na, nb, vlo, vhi
 """
 
 
+_POIS1_T = [1580030168, 3160060337, 3950075421,
+            4213413783, 4279248373, 4292415291]
+
+
+def _pois1_weight(u32: str) -> str:
+    """SQL CASE mapping a uniform 32-bit integer to a Poisson(1) draw
+    (weights 0..6) by EXACT integer threshold comparison — the
+    thresholds are floor(2³²·CDF) precomputed in Python, so both
+    engines branch on identical integers and no float ever enters the
+    resampling. P(>6) ≈ 8·10⁻⁵ is folded into w=6 (bounded weights,
+    also what keeps Σw·x overflow-safe)."""
+    t = _POIS1_T
+    return (
+        f"case when {u32} < {t[0]} then 0"
+        f" when {u32} < {t[1]} then 1 when {u32} < {t[2]} then 2"
+        f" when {u32} < {t[3]} then 3 when {u32} < {t[4]} then 4"
+        f" when {u32} < {t[5]} then 5 else 6 end"
+    )
+
+
+def q251_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap 95% CI for the mean order value — THE
+    resampling scheme that works on distributed data (Σ independent
+    Poisson(1) weights ≈ multinomial resample, no global coordination;
+    the bag-of-little-bootstraps building block). Every draw is
+    DETERMINISTIC: u32 = first 8 md5 hex chars of "orderkey:replicate"
+    (the engine-portable _h32 idiom), mapped to a weight by exact
+    integer thresholds (_pois1_weight), so both engines materialize
+    bit-identical resamples. 50 replicate means are exact ·10⁴-cent
+    truncating quotients; the percentile CI picks order statistics 2
+    and 49 (documented convention) by row_number over the 50-row
+    table. Scale shape: the 50× expansion collapses immediately via
+    map-side combine into 50 groups — one pass, no row ever carries
+    more than (b, w, cents)."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    reps = spark.range(1, 51).select(F.col("id").cast("int").alias("b"))
+    u32 = ("conv(substr(md5(concat(cast(okey as string), ':',"
+           " cast(b as string))), 1, 8), 16, 10)")
+    weighted = base.crossJoin(F.broadcast(reps)).select(
+        "b", "cents",
+        F.expr(_pois1_weight(u32)).cast("long").alias("w"),
+    )
+    means = weighted.groupBy("b").agg(
+        F.sum("w").alias("sw"),
+        F.sum(F.expr("cast(w as decimal(19,0)) * cents")).alias("swx"),
+    ).select(
+        "b",
+        F.expr(
+            "case when sw > 0 then"
+            " cast(swx * 10000 div sw as bigint) end"
+        ).alias("mean_c4"),
+    )
+    ranked = means.withColumn(
+        "rn", F.row_number().over(W.orderBy("mean_c4", "b"))
+    )
+    ci = ranked.agg(
+        F.max(F.expr("case when rn = 2 then mean_c4 end")).alias("lo_c4"),
+        F.max(F.expr("case when rn = 49 then mean_c4 end")).alias("hi_c4"),
+        F.count("*").alias("b_count"),
+    )
+    point = base.agg(
+        F.count("*").alias("n"),
+        F.expr(
+            "cast(sum(cast(cents as decimal(19,0))) * 10000"
+            " div count(*) as bigint)"
+        ).alias("mean_c4"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n", "b_count", "mean_c4", "lo_c4", "hi_c4",
+        F.expr("cast(lo_c4 <= mean_c4 and mean_c4 <= hi_c4 as boolean)")
+        .alias("covers_point"),
+    )
+
+
+_Q251_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey AS okey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), reps AS (
+  SELECT unnest(generate_series(1, 50)) AS b
+), weighted AS (
+  SELECT b, cents,
+         CAST({_pois1_weight("(('0x' || substr(md5(okey::VARCHAR || ':' || b::VARCHAR), 1, 8))::BIGINT)")} AS BIGINT) AS w
+  FROM base CROSS JOIN reps
+), means AS (
+  SELECT b,
+         CAST(CASE WHEN sum(w) > 0 THEN
+              CAST(sum(CAST(w AS HUGEINT) * cents) AS HUGEINT) * 10000
+              // CAST(sum(w) AS HUGEINT) END AS BIGINT) AS mean_c4
+  FROM weighted GROUP BY b
+), ranked AS (
+  SELECT b, mean_c4,
+         row_number() OVER (ORDER BY mean_c4, b) AS rn
+  FROM means
+), ci AS (
+  SELECT max(CASE WHEN rn = 2 THEN mean_c4 END) AS lo_c4,
+         max(CASE WHEN rn = 49 THEN mean_c4 END) AS hi_c4,
+         CAST(count(*) AS BIGINT) AS b_count
+  FROM ranked
+), point AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) * 10000
+              // count(*) AS BIGINT) AS mean_c4
+  FROM base
+)
+SELECT n, b_count, mean_c4, lo_c4, hi_c4,
+       lo_c4 <= mean_c4 AND mean_c4 <= hi_c4 AS covers_point
+FROM point CROSS JOIN ci
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -8684,6 +8800,7 @@ QUERIES = {
     "q247_hurst_rs": q247_hurst_rs,
     "q248_gumbel_return_levels": q248_gumbel_return_levels,
     "q250_wasserstein_drift": q250_wasserstein_drift,
+    "q251_poisson_bootstrap_ci": q251_poisson_bootstrap_ci,
 }
 
 ORACLES = {
@@ -8815,4 +8932,5 @@ ORACLES = {
     "q247_hurst_rs": _Q247_SQL,
     "q248_gumbel_return_levels": _Q248_SQL,
     "q250_wasserstein_drift": _Q250_SQL,
+    "q251_poisson_bootstrap_ci": _Q251_SQL,
 }

@@ -263,6 +263,7 @@ HEADLINE = [
     "q248_gumbel_return_levels",
     "q249_kn_perplexity",
     "q250_wasserstein_drift",
+    "q251_poisson_bootstrap_ci",
 ]
 
 

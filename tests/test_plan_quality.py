@@ -2634,3 +2634,43 @@ def test_q250_wasserstein_hand_computed(spark, tmp_path, qs):
     assert r.num_s == str(8000)
     assert r.w1_micro == 8000 * 10**6 // 4
     assert r.w1_norm_micro == 8000 * 10**6 // (4 * 3000)
+
+
+def test_q251_poisson_bootstrap_bitexact(spark, tmp_path, qs):
+    """10 orders with known prices: every hash draw, weight, replicate
+    mean, and the order-statistic CI are recomputed bit-for-bit in
+    Python from the same md5('okey:b') construction."""
+    import hashlib
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.plans.relational import _POIS1_T
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    ts = datetime(2024, 1, 1)
+    prices = [100.0 * (i + 1) for i in range(10)]
+    rows = [(i + 1, 1, "O", p, ts, "1-URGENT") for i, p in enumerate(prices)]
+    spark.createDataFrame(rows, SCHEMAS["orders"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    def weight(okey, b):
+        u = int(hashlib.md5(f"{okey}:{b}".encode()).hexdigest()[:8], 16)
+        for k, t in enumerate(_POIS1_T):
+            if u < t:
+                return k
+        return 6
+
+    means = []
+    for b in range(1, 51):
+        sw = swx = 0
+        for i, p in enumerate(prices):
+            w = weight(i + 1, b)
+            sw += w
+            swx += w * round(p * 100)
+        means.append(swx * 10000 // sw if sw > 0 else None)
+    ordered = sorted(range(50), key=lambda i: (means[i], i + 1))
+    lo, hi = means[ordered[1]], means[ordered[48]]
+    point = sum(round(p * 100) for p in prices) * 10000 // 10
+    [r] = qs["q251_poisson_bootstrap_ci"](spark, str(tmp_path)).collect()
+    assert (r.n, r.b_count) == (10, 50)
+    assert r.mean_c4 == point
+    assert (r.lo_c4, r.hi_c4) == (lo, hi)
