@@ -6338,6 +6338,115 @@ ORDER BY source
 """
 
 
+def q252_jackknife_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-GROUP jackknife for the corpus mean document length —
+    the survey-statistics workhorse for clustered data (docs within a
+    source are correlated, so the naive iid SE is too small; q251's
+    bootstrap resamples rows, this resamples SOURCES). Each
+    leave-source-out mean is the exact micro quotient
+    (S − s_g)·10⁶ div (N − n_g); the jackknife variance
+    (g−1)/g · Σ (m̂_(g) − m̄)² runs on micro-integers (one grouped
+    collapse to g rows, 1-row totals broadcast), and only the final
+    sqrt touches a double. Degenerate g < 2 or a source holding all
+    docs → NULL. Output: one row per source with its leave-out mean
+    and influence, plus the global jackknife SE repeated (the
+    per-source grain is the deliverable — which source moves the
+    corpus statistic most)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count("*").alias("n_g"),
+        F.sum(F.expr("cast(n_chars as decimal(19,0))")).alias("s_g"),
+    )
+    tot = g.agg(
+        F.count("*").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+    )
+    loo = g.crossJoin(F.broadcast(tot)).select(
+        "source", "n_g", "k", "n",
+        F.expr(
+            "case when n > n_g then"
+            " cast((s - s_g) * 1000000 div (n - n_g) as bigint) end"
+        ).alias("loo_mean_micro"),
+        F.expr("cast(s * 1000000 div n as bigint)").alias("mean_micro"),
+    )
+    jk = loo.agg(
+        F.sum(
+            F.expr("cast(loo_mean_micro as decimal(19,0))")
+        ).alias("sum_loo"),
+        F.count("*").alias("kk"),
+    ).select(
+        F.expr("cast(sum_loo div kk as bigint)").alias("loo_bar_micro")
+    )
+    dev = loo.crossJoin(F.broadcast(jk)).select(
+        "source", "n_g", "k", "loo_mean_micro", "mean_micro",
+        "loo_bar_micro",
+        F.expr(
+            "(loo_mean_micro - mean_micro)"
+        ).alias("influence_micro"),
+        F.expr(
+            "cast(loo_mean_micro - loo_bar_micro as decimal(19,0))"
+            " * (loo_mean_micro - loo_bar_micro)"
+        ).alias("d2"),
+    )
+    var = dev.agg(F.sum("d2").alias("ssq"), F.max("k").alias("k")).select(
+        "k",
+        F.expr(
+            "case when k > 1 then round(sqrt(cast(cast(ssq * (k - 1)"
+            " div k as bigint) as double)) / 1e6, 4) end"
+        ).alias("jackknife_se"),
+    )
+    return (
+        dev.select(
+            "source", "n_g", "loo_mean_micro", "mean_micro",
+            "influence_micro",
+        )
+        .crossJoin(F.broadcast(var.select("jackknife_se")))
+        .orderBy("source")
+    )
+
+
+_Q252_SQL = """
+WITH g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS s_g
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(sum(s_g) AS HUGEINT) AS s
+  FROM g
+), loo AS (
+  SELECT source, n_g, k, n,
+         CAST(CASE WHEN n > n_g THEN
+              (s - s_g) * 1000000 // (n - n_g) END AS BIGINT)
+           AS loo_mean_micro,
+         CAST(s * 1000000 // n AS BIGINT) AS mean_micro
+  FROM g CROSS JOIN tot
+), jk AS (
+  SELECT CAST(sum(CAST(loo_mean_micro AS HUGEINT))
+              // count(*) AS BIGINT) AS loo_bar_micro
+  FROM loo
+), dev AS (
+  SELECT source, n_g, k, loo_mean_micro, mean_micro,
+         loo_mean_micro - mean_micro AS influence_micro,
+         CAST(loo_mean_micro - loo_bar_micro AS HUGEINT)
+           * (loo_mean_micro - loo_bar_micro) AS d2
+  FROM loo CROSS JOIN jk
+), var AS (
+  SELECT max(k) AS k,
+         CASE WHEN max(k) > 1 THEN
+           round(sqrt(CAST(CAST(sum(d2) * (max(k) - 1) // max(k)
+                 AS BIGINT) AS DOUBLE)) / 1e6, 4) END AS jackknife_se
+  FROM dev
+)
+SELECT source, n_g, loo_mean_micro, mean_micro, influence_micro,
+       jackknife_se
+FROM dev CROSS JOIN var
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -6440,6 +6549,7 @@ QUERIES = {
     "q237_kneser_ney_bigrams": q237_kneser_ney_bigrams,
     "q240_mattr_lexical_diversity": q240_mattr_lexical_diversity,
     "q249_kn_perplexity": q249_kn_perplexity,
+    "q252_jackknife_by_source": q252_jackknife_by_source,
 }
 
 ORACLES = {
@@ -6544,4 +6654,5 @@ ORACLES = {
     "q237_kneser_ney_bigrams": _Q237_SQL,
     "q240_mattr_lexical_diversity": _Q240_SQL,
     "q249_kn_perplexity": _Q249_SQL,
+    "q252_jackknife_by_source": _Q252_SQL,
 }

@@ -264,6 +264,7 @@ HEADLINE = [
     "q249_kn_perplexity",
     "q250_wasserstein_drift",
     "q251_poisson_bootstrap_ci",
+    "q252_jackknife_by_source",
 ]
 
 

@@ -2674,3 +2674,24 @@ def test_q251_poisson_bootstrap_bitexact(spark, tmp_path, qs):
     assert (r.n, r.b_count) == (10, 50)
     assert r.mean_c4 == point
     assert (r.lo_c4, r.hi_c4) == (lo, hi)
+
+
+def test_q252_jackknife_hand_computed(spark, tmp_path, qs):
+    """Source a = lengths {100,200}, source b = {600}: leave-out
+    means 600 and 150, their squared deviations from 375 give
+    jackknife SE = sqrt((1/2)*2*225^2) = 225.0 exactly."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows = [(1, "x", "en", "a", 100), (2, "x", "en", "a", 200),
+            (3, "x", "en", "b", 600)]
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.source: r for r in
+           qs["q252_jackknife_by_source"](spark, str(tmp_path)).collect()}
+    a, b = out["a"], out["b"]
+    assert a.mean_micro == 300 * 10**6
+    assert a.loo_mean_micro == 600 * 10**6
+    assert b.loo_mean_micro == 150 * 10**6
+    assert a.influence_micro == 300 * 10**6
+    assert b.influence_micro == -150 * 10**6
+    assert a.jackknife_se == 225.0
