@@ -8671,6 +8671,209 @@ FROM point CROSS JOIN ci
 """
 
 
+def q253_optimal_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal 3-segmentation of the daily event-count series by exact
+    Bellman dynamic programming — the k-segment generalization of the
+    single changepoint (q238) and CUSUM (q190): minimize total
+    within-segment SSE over ALL ways to cut the series into 3
+    contiguous segments. Admissible at any corpus scale because the DP
+    state is calendar-bounded: segment costs come from prefix sums
+    (len·ΣX² − S²)·10⁶ div len via _floor_scaled_div (exact micro
+    integers, so cost comparisons are engine-identical), the O(|days|²)
+    sse relation and both DP layers are joins over bounded tables, and
+    every argmin is min-cost-then-min-index (deterministic ties).
+    Output: the three segments with boundaries, exact sums and costs,
+    plus the optimal total — the oracle replays the identical DP as
+    plain CTEs."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("c")
+    )
+    mm = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = mm.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    series = cal.join(daily, "d", "left").select(
+        "d", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w = W.orderBy("d")
+    pref = series.select(
+        "d",
+        F.row_number().over(w).alias("t"),
+        F.sum("c").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("p"),
+        F.sum(F.expr("cast(c as decimal(19,0)) * c"))
+        .over(w.rowsBetween(W.unboundedPreceding, 0)).alias("q"),
+    )
+    nrow = pref.agg(F.max("t").alias("n"))
+    zero = spark.sql(
+        "select 0 as t, cast(0 as bigint) as p,"
+        " cast(0 as decimal(29,0)) as q"
+    )
+    prefz = pref.select("t", "p", "q").unionByName(zero)
+    a = prefz.select(
+        F.col("t").alias("a"), F.col("p").alias("pa"), F.col("q").alias("qa")
+    )
+    b = pref.select(
+        F.col("t").alias("j"), F.col("p").alias("pj"), F.col("q").alias("qj")
+    )
+    # The O(|days|²) pair expansion is the DP's state space by design
+    # (calendar-bounded); broadcast the anchor side so it compiles to
+    # BroadcastNestedLoopJoin, and persist — four consumers below.
+    sse = F.broadcast(a).join(b, F.col("j") > F.col("a")).select(
+        (F.col("a") + 1).alias("i"), "j",
+        (F.col("j") - F.col("a")).alias("len"),
+        (F.col("pj") - F.col("pa")).alias("s"),
+        F.expr(
+            "cast("
+            + _floor_scaled_div(
+                "(j - a) * (qj - qa) - cast(pj - pa as decimal(19,0))"
+                " * (pj - pa)",
+                "j - a", 1000000,
+            )
+            + " as decimal(38,0))"
+        ).alias("sse_micro"),
+    ).persist()
+    cost1 = sse.where(F.col("i") == 1).select(
+        F.col("j").alias("t"), F.col("sse_micro").alias("c1")
+    )
+    cand2 = cost1.join(sse, F.col("i") == F.col("t") + 1).select(
+        F.col("t").alias("j1"), F.col("j").alias("t2"),
+        (F.col("c1") + F.col("sse_micro")).alias("tot2"),
+    )
+    m2 = cand2.groupBy("t2").agg(F.min("tot2").alias("c2"))
+    cand3 = (
+        m2.join(
+            sse.crossJoin(F.broadcast(nrow)).where(F.col("j") == F.col("n")),
+            F.col("i") == F.col("t2") + 1,
+        )
+        .select("t2", (F.col("c2") + F.col("sse_micro")).alias("tot3"))
+    )
+    best3 = cand3.agg(F.min("tot3").alias("total_cost"))
+    j2 = (
+        cand3.join(
+            F.broadcast(best3), F.col("tot3") == F.col("total_cost")
+        )
+        .agg(
+            F.min("t2").alias("j2"),
+            F.min("total_cost").alias("total_cost_micro"),
+        )
+    )
+    j1 = (
+        cand2.join(F.broadcast(j2), F.col("t2") == F.col("j2"))
+        .join(
+            m2.withColumnRenamed("t2", "t2m"),
+            F.col("t2m") == F.col("j2"),
+        )
+        .where(F.col("tot2") == F.col("c2"))
+        .agg(F.min("j1").alias("j1"))
+    )
+    bounds = (
+        j1.crossJoin(F.broadcast(j2)).crossJoin(F.broadcast(nrow))
+        .select(
+            F.expr(
+                "stack(3,"
+                " 1, cast(1 as bigint), cast(j1 as bigint),"
+                " 2, cast(j1 + 1 as bigint), cast(j2 as bigint),"
+                " 3, cast(j2 + 1 as bigint), cast(n as bigint))"
+                " as (seg_id, i, j)"
+            ),
+            "total_cost_micro",
+        )
+        .select("seg_id", "i", "j", "total_cost_micro")
+    )
+    dates = pref.select("t", "d")
+    return (
+        bounds
+        .join(sse.select("i", "j", "len", "s", "sse_micro"), ["i", "j"])
+        .join(dates.withColumnRenamed("t", "i")
+              .withColumnRenamed("d", "start_date"), "i")
+        .join(dates.withColumnRenamed("t", "j")
+              .withColumnRenamed("d", "end_date"), "j")
+        .select(
+            "seg_id", "start_date", "end_date", "len",
+            F.col("s").alias("seg_sum"),
+            F.expr("cast(sse_micro as bigint)").alias("sse_micro"),
+            F.expr("cast(total_cost_micro as bigint)")
+            .alias("total_cost_micro"),
+        )
+        .orderBy("seg_id")
+    )
+
+
+_Q253_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), mm AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM daily
+), cal AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+  FROM mm
+), series AS (
+  SELECT cal.d, coalesce(daily.c, 0) AS c
+  FROM cal LEFT JOIN daily ON cal.d = daily.d
+), pref AS (
+  SELECT d, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+         CAST(sum(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS p,
+         CAST(sum(CAST(c AS HUGEINT) * c) OVER (ORDER BY d
+              ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS q
+  FROM series
+), nrow AS (
+  SELECT max(t) AS n FROM pref
+), prefz AS (
+  SELECT t, p, q FROM pref
+  UNION ALL SELECT 0, 0, CAST(0 AS HUGEINT)
+), sse AS (
+  SELECT a.t + 1 AS i, b.t AS j, b.t - a.t AS len,
+         b.p - a.p AS s,
+         ((b.t - a.t) * (b.q - a.q)
+          - CAST(b.p - a.p AS HUGEINT) * (b.p - a.p)) * 1000000
+           // (b.t - a.t) AS sse_micro
+  FROM prefz a JOIN pref b ON b.t > a.t
+), cost1 AS (
+  SELECT j AS t, sse_micro AS c1 FROM sse WHERE i = 1
+), cand2 AS (
+  SELECT c.t AS j1, s.j AS t2, c.c1 + s.sse_micro AS tot2
+  FROM cost1 c JOIN sse s ON s.i = c.t + 1
+), m2 AS (
+  SELECT t2, min(tot2) AS c2 FROM cand2 GROUP BY t2
+), cand3 AS (
+  SELECT m2.t2, m2.c2 + s.sse_micro AS tot3
+  FROM m2 JOIN sse s ON s.i = m2.t2 + 1
+  CROSS JOIN nrow WHERE s.j = nrow.n
+), best3 AS (
+  SELECT min(tot3) AS total_cost FROM cand3
+), j2 AS (
+  SELECT min(t2) AS j2, min(total_cost) AS total_cost_micro
+  FROM cand3 CROSS JOIN best3 WHERE tot3 = total_cost
+), j1 AS (
+  SELECT min(j1) AS j1
+  FROM cand2 CROSS JOIN j2 JOIN m2 ON m2.t2 = j2.j2
+  WHERE cand2.t2 = j2.j2 AND cand2.tot2 = m2.c2
+), bounds AS (
+  SELECT 1 AS seg_id, CAST(1 AS BIGINT) AS i, j1.j1 AS j,
+         j2.total_cost_micro
+  FROM j1 CROSS JOIN j2
+  UNION ALL
+  SELECT 2, j1.j1 + 1, j2.j2, j2.total_cost_micro
+  FROM j1 CROSS JOIN j2
+  UNION ALL
+  SELECT 3, j2.j2 + 1, nrow.n, j2.total_cost_micro
+  FROM j2 CROSS JOIN nrow
+)
+SELECT seg_id, di.d AS start_date, dj.d AS end_date, s.len,
+       s.s AS seg_sum,
+       CAST(s.sse_micro AS BIGINT) AS sse_micro,
+       CAST(b.total_cost_micro AS BIGINT) AS total_cost_micro
+FROM bounds b
+JOIN sse s ON s.i = b.i AND s.j = b.j
+JOIN pref di ON di.t = b.i
+JOIN pref dj ON dj.t = b.j
+ORDER BY seg_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -8801,6 +9004,7 @@ QUERIES = {
     "q248_gumbel_return_levels": q248_gumbel_return_levels,
     "q250_wasserstein_drift": q250_wasserstein_drift,
     "q251_poisson_bootstrap_ci": q251_poisson_bootstrap_ci,
+    "q253_optimal_segmentation": q253_optimal_segmentation,
 }
 
 ORACLES = {
@@ -8933,4 +9137,5 @@ ORACLES = {
     "q248_gumbel_return_levels": _Q248_SQL,
     "q250_wasserstein_drift": _Q250_SQL,
     "q251_poisson_bootstrap_ci": _Q251_SQL,
+    "q253_optimal_segmentation": _Q253_SQL,
 }

@@ -265,6 +265,7 @@ HEADLINE = [
     "q250_wasserstein_drift",
     "q251_poisson_bootstrap_ci",
     "q252_jackknife_by_source",
+    "q253_optimal_segmentation",
 ]
 
 

@@ -2695,3 +2695,30 @@ def test_q252_jackknife_hand_computed(spark, tmp_path, qs):
     assert a.influence_micro == 300 * 10**6
     assert b.influence_micro == -150 * 10**6
     assert a.jackknife_se == 225.0
+
+
+def test_q253_segmentation_hand_computed(spark, tmp_path, qs):
+    """Counts [5,5,1,1,9,9] over 6 days: the unique zero-cost
+    3-segmentation is [1,2][3,4][5,6]; every boundary, sum and cost
+    asserted exactly."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows = []
+    eid = 0
+    for day, cnt in enumerate([5, 5, 1, 1, 9, 9]):
+        for _ in range(cnt):
+            eid += 1
+            rows.append((eid, datetime(2024, 7, 1 + day, 6), 1, "e",
+                         1.0, "{}"))
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = qs["q253_optimal_segmentation"](spark, str(tmp_path)).collect()
+    assert [(r.seg_id, r.start_date.isoformat(), r.end_date.isoformat(),
+             r.len, r.seg_sum, r.sse_micro, r.total_cost_micro)
+            for r in out] == [
+        (1, "2024-07-01", "2024-07-02", 2, 10, 0, 0),
+        (2, "2024-07-03", "2024-07-04", 2, 2, 0, 0),
+        (3, "2024-07-05", "2024-07-06", 2, 18, 0, 0),
+    ]
