@@ -266,6 +266,7 @@ HEADLINE = [
     "q251_poisson_bootstrap_ci",
     "q252_jackknife_by_source",
     "q253_optimal_segmentation",
+    "q254_burrows_delta",
 ]
 
 

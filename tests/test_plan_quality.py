@@ -2722,3 +2722,18 @@ def test_q253_segmentation_hand_computed(spark, tmp_path, qs):
         (2, "2024-07-03", "2024-07-04", 2, 2, 0, 0),
         (3, "2024-07-05", "2024-07-06", 2, 18, 0, 0),
     ]
+
+
+def test_q254_burrows_delta_hand_computed(spark, tmp_path, qs):
+    """Mirrored styles: a='x x x y', b='x y y y'. Both words get
+    sd = 250000 micro, z = ±1000 milli, so Delta(a,b) = 2000 milli
+    exactly."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows = [(1, "x x x y", "en", "a", 7), (2, "x y y y", "en", "b", 7)]
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "documents.parquet"))
+    [r] = qs["q254_burrows_delta"](spark, str(tmp_path)).collect()
+    assert (r.sa, r.sb, r.n_words) == ("a", "b", 2)
+    assert r.sum_absdz_milli == 4000
+    assert r.delta_milli == 2000
