@@ -8874,6 +8874,102 @@ ORDER BY seg_id
 """
 
 
+def q255_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10%-trimmed and winsorized mean order value per market
+    segment — the robust-location companions to MAD (q162) and the
+    weighted median (q166), computed WITHOUT sorting raw rows: on the
+    per-(segment, cents) count table, one keyed cumulative window
+    gives each distinct value's kept multiplicity
+    max(0, min(n−k, cum) − max(k, cum−c)) for the trim window
+    [k+1, n−k] (k = n div 10), so the trimmed sum is an exact integer;
+    the winsorized mean adds k copies of the exact p10/p90 order
+    statistics (smallest v with cum ≥ rank — min-filtered aggregates,
+    no percentile approximation anywhere). All quotients are
+    truncating ·10⁴-cent integers. Degenerate n − 2k ≤ 0 → NULL."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    base = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"),
+    )
+    cnt = base.groupBy("seg", "v").agg(F.count("*").alias("c"))
+    w_seg = W.partitionBy("seg")
+    w_cum = W.partitionBy("seg").orderBy("v").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    u = cnt.select(
+        "seg", "v", "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_seg).alias("n"),
+    ).withColumn("k", F.expr("n div 10"))
+    kept = u.select(
+        "seg", "v", "c", "cum", "n", "k",
+        F.expr(
+            "greatest(least(n - k, cum) - greatest(k, cum - c),"
+            " cast(0 as bigint))"
+        ).alias("kept"),
+    )
+    agg = kept.groupBy("seg").agg(
+        F.max("n").alias("n"), F.max("k").alias("k"),
+        F.sum(F.expr("cast(v as decimal(19,0)) * c")).alias("s_all"),
+        F.sum(F.expr("cast(v as decimal(19,0)) * kept")).alias("s_trim"),
+        F.min(F.expr("case when cum >= k + 1 then v end")).alias("p10_c"),
+        F.min(F.expr("case when cum >= n - k then v end")).alias("p90_c"),
+    )
+    return agg.select(
+        "seg", "n", "k", "p10_c", "p90_c",
+        F.expr("cast(s_all * 10000 div n as bigint)").alias("mean_c4"),
+        F.expr(
+            "case when n - 2 * k > 0 then"
+            " cast(s_trim * 10000 div (n - 2 * k) as bigint) end"
+        ).alias("trimmed_mean_c4"),
+        F.expr(
+            "cast((s_trim + cast(k as decimal(19,0)) * p10_c"
+            " + cast(k as decimal(19,0)) * p90_c) * 10000"
+            " div n as bigint)"
+        ).alias("winsor_mean_c4"),
+    ).orderBy("seg")
+
+
+_Q255_SQL = """
+WITH base AS (
+  SELECT c_mktsegment AS seg,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), cnt AS (
+  SELECT seg, v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY seg, v
+), u AS (
+  SELECT seg, v, c,
+         CAST(sum(c) OVER (PARTITION BY seg ORDER BY v
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(c) OVER (PARTITION BY seg) AS BIGINT) AS n
+  FROM cnt
+), kept AS (
+  SELECT seg, v, c, cum, n, n // 10 AS k,
+         greatest(least(n - n // 10, cum)
+                  - greatest(n // 10, cum - c), 0) AS kept
+  FROM u
+), agg AS (
+  SELECT seg, max(n) AS n, max(k) AS k,
+         CAST(sum(CAST(v AS HUGEINT) * c) AS HUGEINT) AS s_all,
+         CAST(sum(CAST(v AS HUGEINT) * kept) AS HUGEINT) AS s_trim,
+         min(CASE WHEN cum >= k + 1 THEN v END) AS p10_c,
+         min(CASE WHEN cum >= n - k THEN v END) AS p90_c
+  FROM kept GROUP BY seg
+)
+SELECT seg, n, k, p10_c, p90_c,
+       CAST(s_all * 10000 // n AS BIGINT) AS mean_c4,
+       CAST(CASE WHEN n - 2 * k > 0 THEN
+            s_trim * 10000 // (n - 2 * k) END AS BIGINT)
+         AS trimmed_mean_c4,
+       CAST((s_trim + CAST(k AS HUGEINT) * p10_c
+             + CAST(k AS HUGEINT) * p90_c) * 10000 // n AS BIGINT)
+         AS winsor_mean_c4
+FROM agg
+ORDER BY seg
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -9005,6 +9101,7 @@ QUERIES = {
     "q250_wasserstein_drift": q250_wasserstein_drift,
     "q251_poisson_bootstrap_ci": q251_poisson_bootstrap_ci,
     "q253_optimal_segmentation": q253_optimal_segmentation,
+    "q255_robust_means": q255_robust_means,
 }
 
 ORACLES = {
@@ -9138,4 +9235,5 @@ ORACLES = {
     "q250_wasserstein_drift": _Q250_SQL,
     "q251_poisson_bootstrap_ci": _Q251_SQL,
     "q253_optimal_segmentation": _Q253_SQL,
+    "q255_robust_means": _Q255_SQL,
 }

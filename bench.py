@@ -267,6 +267,7 @@ HEADLINE = [
     "q252_jackknife_by_source",
     "q253_optimal_segmentation",
     "q254_burrows_delta",
+    "q255_robust_means",
 ]
 
 

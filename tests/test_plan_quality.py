@@ -2737,3 +2737,26 @@ def test_q254_burrows_delta_hand_computed(spark, tmp_path, qs):
     assert (r.sa, r.sb, r.n_words) == ("a", "b", 2)
     assert r.sum_absdz_milli == 4000
     assert r.delta_milli == 2000
+
+
+def test_q255_robust_means_hand_computed(spark, tmp_path, qs):
+    """One segment, values $1..$9 plus a $1000 outlier (n=10, k=1):
+    the trim drops $1 and $1000, the winsorization replaces them with
+    the rank-2/rank-9 values $2/$9 — every quotient exact."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    ts = datetime(2024, 1, 1)
+    vals = [float(x) for x in range(1, 10)] + [1000.0]
+    orders = [(i + 1, 1, "O", v, ts, "1-URGENT") for i, v in enumerate(vals)]
+    cust = [(1, "a", 0, 0.0, "BUILDING")]
+    spark.createDataFrame(orders, SCHEMAS["orders"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(cust, SCHEMAS["customer"]).write.mode(
+        "overwrite").parquet(str(tmp_path / "customer.parquet"))
+    [r] = qs["q255_robust_means"](spark, str(tmp_path)).collect()
+    assert (r.n, r.k, r.p10_c, r.p90_c) == (10, 1, 200, 900)
+    assert r.mean_c4 == 104_500 * 10**4 // 10
+    assert r.trimmed_mean_c4 == 4_400 * 10**4 // 8
+    assert r.winsor_mean_c4 == 5_500 * 10**4 // 10
