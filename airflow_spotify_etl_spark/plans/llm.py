@@ -6577,6 +6577,166 @@ ORDER BY sa, sb
 """
 
 
+def q256_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance: given query vector vec_id=0, pick 5
+    of the top-20 relevant embeddings that are relevant BUT mutually
+    diverse — score(i) = 0.7·rel(i) − 0.3·max_{s∈S} sim(i,s), greedily
+    — the retrieval-side diversity selector that complements corpus-
+    side SemDeDup (q95) and contrastive mining (q120). The greedy loop
+    is UNROLLED (5 steps) over bounded tables: candidates are
+    TakeOrdered top-20 with the 20×20 sim matrix persisted, each step
+    is an anti-join + max-sim aggregate + 1-row TakeOrdered pick, and
+    the oracle replays the identical steps as CTEs. Cosines use the
+    validated q22 zip_with/aggregate double chain (deterministic array-
+    order folds in both engines); λ enters as e0 literals (7e-1/3e-1 —
+    a bare 0.7 is DECIMAL in both SQL dialects). Ties break on
+    vec_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    to_dbl = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        to_dbl("embedding").alias("qv")
+    )
+    cand = emb.filter(F.col("vec_id") > 0).select(
+        "vec_id", "label", to_dbl("embedding").alias("v")
+    )
+    rel = cand.crossJoin(F.broadcast(q)).withColumn(
+        "rel",
+        dot(F.col("qv"), F.col("v"))
+        / (F.sqrt(dot(F.col("qv"), F.col("qv")))
+           * F.sqrt(dot(F.col("v"), F.col("v")))),
+    ).select("vec_id", "label", "v", "rel")
+    top = rel.orderBy(F.desc("rel"), "vec_id").limit(20).persist()
+    a = top.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = top.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    sims = (
+        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
+        .select(
+            "ia", "ib",
+            (dot(F.col("va"), F.col("vb"))
+             / (F.sqrt(dot(F.col("va"), F.col("va")))
+                * F.sqrt(dot(F.col("vb"), F.col("vb"))))).alias("sim"),
+        )
+        .persist()
+    )
+    pick = (
+        top.orderBy(F.desc("rel"), "vec_id").limit(1)
+        .select("vec_id", "label", "rel",
+                F.expr("7e-1 * rel").alias("score"))
+    )
+    picks = [pick]
+    for _ in range(2, 6):
+        sel_ids = picks[0].select("vec_id")
+        for p in picks[1:]:
+            sel_ids = sel_ids.unionByName(p.select("vec_id"))
+        ms = (
+            sims.join(
+                F.broadcast(sel_ids.withColumnRenamed("vec_id", "ib")),
+                "ib",
+            )
+            .groupBy("ia").agg(F.max("sim").alias("ms"))
+        )
+        step = (
+            top.join(sel_ids, "vec_id", "left_anti")
+            .join(ms, F.col("vec_id") == F.col("ia"))
+            .select(
+                "vec_id", "label", "rel",
+                F.expr("7e-1 * rel - 3e-1 * ms").alias("score"),
+            )
+            .orderBy(F.desc("score"), "vec_id").limit(1)
+        )
+        picks.append(step)
+    out = None
+    for i, p in enumerate(picks, 1):
+        row = p.select(
+            F.lit(i).alias("rank"), "vec_id", "label",
+            F.round("rel", 4).alias("relevance"),
+            F.round("score", 4).alias("mmr_score"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("rank")
+
+
+_Q256_SQL = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), cand AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id > 0
+), rel AS (
+  SELECT vec_id, label, v,
+         list_dot_product(qv, v)
+         / (sqrt(list_dot_product(qv, qv))
+            * sqrt(list_dot_product(v, v))) AS rel
+  FROM cand CROSS JOIN q
+), top AS (
+  SELECT vec_id, label, v, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 20
+), sims AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(b.v, b.v))) AS sim
+  FROM top a JOIN top b ON a.vec_id <> b.vec_id
+), s1 AS (
+  SELECT vec_id, label, rel, 7e-1 * rel AS score
+  FROM top ORDER BY rel DESC, vec_id LIMIT 1
+), sel1 AS (SELECT vec_id FROM s1),
+m2 AS (
+  SELECT ia, max(sim) AS ms FROM sims
+  WHERE ib IN (SELECT vec_id FROM sel1) GROUP BY ia
+), s2 AS (
+  SELECT t.vec_id, t.label, t.rel, 7e-1 * t.rel - 3e-1 * m2.ms AS score
+  FROM top t JOIN m2 ON m2.ia = t.vec_id
+  WHERE t.vec_id NOT IN (SELECT vec_id FROM sel1)
+  ORDER BY score DESC, t.vec_id LIMIT 1
+), sel2 AS (SELECT vec_id FROM sel1 UNION ALL SELECT vec_id FROM s2),
+m3 AS (
+  SELECT ia, max(sim) AS ms FROM sims
+  WHERE ib IN (SELECT vec_id FROM sel2) GROUP BY ia
+), s3 AS (
+  SELECT t.vec_id, t.label, t.rel, 7e-1 * t.rel - 3e-1 * m3.ms AS score
+  FROM top t JOIN m3 ON m3.ia = t.vec_id
+  WHERE t.vec_id NOT IN (SELECT vec_id FROM sel2)
+  ORDER BY score DESC, t.vec_id LIMIT 1
+), sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3),
+m4 AS (
+  SELECT ia, max(sim) AS ms FROM sims
+  WHERE ib IN (SELECT vec_id FROM sel3) GROUP BY ia
+), s4 AS (
+  SELECT t.vec_id, t.label, t.rel, 7e-1 * t.rel - 3e-1 * m4.ms AS score
+  FROM top t JOIN m4 ON m4.ia = t.vec_id
+  WHERE t.vec_id NOT IN (SELECT vec_id FROM sel3)
+  ORDER BY score DESC, t.vec_id LIMIT 1
+), sel4 AS (SELECT vec_id FROM sel3 UNION ALL SELECT vec_id FROM s4),
+m5 AS (
+  SELECT ia, max(sim) AS ms FROM sims
+  WHERE ib IN (SELECT vec_id FROM sel4) GROUP BY ia
+), s5 AS (
+  SELECT t.vec_id, t.label, t.rel, 7e-1 * t.rel - 3e-1 * m5.ms AS score
+  FROM top t JOIN m5 ON m5.ia = t.vec_id
+  WHERE t.vec_id NOT IN (SELECT vec_id FROM sel4)
+  ORDER BY score DESC, t.vec_id LIMIT 1
+)
+SELECT rank, vec_id, label, round(rel, 4) AS relevance,
+       round(score, 4) AS mmr_score
+FROM (
+  SELECT 1 AS rank, * FROM s1
+  UNION ALL SELECT 2, * FROM s2
+  UNION ALL SELECT 3, * FROM s3
+  UNION ALL SELECT 4, * FROM s4
+  UNION ALL SELECT 5, * FROM s5
+)
+ORDER BY rank
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -6681,6 +6841,7 @@ QUERIES = {
     "q249_kn_perplexity": q249_kn_perplexity,
     "q252_jackknife_by_source": q252_jackknife_by_source,
     "q254_burrows_delta": q254_burrows_delta,
+    "q256_mmr_selection": q256_mmr_selection,
 }
 
 ORACLES = {
@@ -6787,4 +6948,5 @@ ORACLES = {
     "q249_kn_perplexity": _Q249_SQL,
     "q252_jackknife_by_source": _Q252_SQL,
     "q254_burrows_delta": _Q254_SQL,
+    "q256_mmr_selection": _Q256_SQL,
 }

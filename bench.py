@@ -268,6 +268,7 @@ HEADLINE = [
     "q253_optimal_segmentation",
     "q254_burrows_delta",
     "q255_robust_means",
+    "q256_mmr_selection",
 ]
 
 

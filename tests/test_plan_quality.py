@@ -2760,3 +2760,64 @@ def test_q255_robust_means_hand_computed(spark, tmp_path, qs):
     assert r.mean_c4 == 104_500 * 10**4 // 10
     assert r.trimmed_mean_c4 == 4_400 * 10**4 // 8
     assert r.winsor_mean_c4 == 5_500 * 10**4 // 10
+
+
+def test_q256_mmr_python_mirror(spark, tmp_path, qs):
+    """7 float32-exact vectors; the greedy MMR (rel to vec 0, 0.7/0.3,
+    vec_id ties) is mirrored in Python with the same left-fold float
+    arithmetic and must match pick-for-pick and score-for-score."""
+    import math
+
+    from pyspark.sql.types import (ArrayType, FloatType, IntegerType,
+                                   LongType, StructField, StructType)
+
+    vecs = {
+        0: [1.0, 1.0, 0.0],
+        1: [2.0, 2.0, 0.0],
+        2: [2.0, 2.0, 0.0],
+        3: [1.0, 0.0, 0.5],
+        4: [0.0, 1.0, 0.5],
+        5: [0.5, 0.5, 2.0],
+        6: [1.0, 0.5, 0.25],
+    }
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+    rows = [(k, v, 0) for k, v in vecs.items()]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet"))
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def cos(a, b):
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    qv = vecs[0]
+    cands = sorted(vecs)[1:]
+    rel = {i: cos(qv, vecs[i]) for i in cands}
+    top = sorted(cands, key=lambda i: (-rel[i], i))[:20]
+    sel, expect = [], []
+    first = min(top, key=lambda i: (-rel[i], i))
+    sel.append(first)
+    expect.append((1, first, round(0.7 * rel[first], 4)))
+    for rank in range(2, 6):
+        best = None
+        for i in top:
+            if i in sel:
+                continue
+            ms = max(cos(vecs[i], vecs[s]) for s in sel)
+            score = 0.7 * rel[i] - 0.3 * ms
+            key = (-score, i)
+            if best is None or key < best[0]:
+                best = (key, i, score)
+        sel.append(best[1])
+        expect.append((rank, best[1], round(best[2], 4)))
+    got = [(r.rank, r.vec_id, r.mmr_score) for r in
+           qs["q256_mmr_selection"](spark, str(tmp_path)).collect()]
+    assert got == expect
