@@ -6737,6 +6737,200 @@ ORDER BY rank
 """
 
 
+def q257_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion hybrid retrieval: fuse the BM25 keyword
+    ranking (q51's Okapi scorer over _BM25_TERMS) with the dense cosine
+    ranking (q22's zip_with/aggregate scorer, query = vec_id 0) on
+    doc_id == vec_id, RRF k=60 — the standard hybrid-search fusion a
+    retrieval-augmented pipeline runs in front of an LLM. Top-10 fused.
+
+    Exactness: ranks are integers, so the fused score is the exact
+    rational 1/(60+rb) + 1/(60+rd); it is emitted as the exact BIGINT
+    floor((num * 1e12) / den) (Spark `div` ≡ DuckDB `//`; num ≤ 240 so
+    no overflow) and ordered on that integer — no float enters the
+    comparison or the hash.
+
+    Shape at 100 TB: each ranker ends in a TakeOrdered top-20 (BM25's
+    scan filters to query-term tokens first; the dense pass broadcasts
+    the 1-row query vector) — the fusion join, ranks, and final sort
+    all run on two 20-row bounded tables."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # --- BM25 ranker (q51's scorer, top-20) ---
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "\\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = float(stats["n"]), float(stats["avgdl"])
+    k1, b = 1.2, 0.75
+    tf = (
+        toks.filter(F.col("tok").isin(_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    partial = idf * (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    bm_top = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .withColumn("partial", partial)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("partial"), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+    bm_rank = bm_top.withColumn(
+        "rb",
+        F.row_number().over(W.orderBy(F.col("bm25").desc(), "doc_id")),
+    ).select("doc_id", "rb")
+
+    # --- dense cosine ranker (q22's scorer, query vec_id = 0, top-20) ---
+    to_dbl = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+
+    def dot(a, b_):
+        return F.aggregate(
+            F.zip_with(a, b_, lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+
+    qv = emb.filter(F.col("vec_id") == 0).select(to_dbl("embedding").alias("qv"))
+    dense_top = (
+        emb.filter(F.col("vec_id") > 0)
+        .select("vec_id", to_dbl("embedding").alias("v"))
+        .crossJoin(F.broadcast(qv))
+        .withColumn(
+            "cos",
+            dot(F.col("qv"), F.col("v"))
+            / (F.sqrt(dot(F.col("qv"), F.col("qv")))
+               * F.sqrt(dot(F.col("v"), F.col("v")))),
+        )
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(20)
+    )
+    de_rank = dense_top.withColumn(
+        "rd",
+        F.row_number().over(W.orderBy(F.col("cos").desc(), "vec_id")),
+    ).select(F.col("vec_id").alias("doc_id"), "rd")
+
+    fused = bm_rank.join(de_rank, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("rb"),
+        F.col("rd"),
+        F.when(
+            F.col("rb").isNotNull() & F.col("rd").isNotNull(),
+            (F.lit(120) + F.col("rb") + F.col("rd")).cast("bigint"),
+        )
+        .otherwise(F.lit(1).cast("bigint"))
+        .alias("num"),
+        F.when(
+            F.col("rb").isNotNull() & F.col("rd").isNotNull(),
+            ((F.lit(60) + F.col("rb")) * (F.lit(60) + F.col("rd"))).cast("bigint"),
+        )
+        .otherwise(
+            (F.lit(60) + F.coalesce(F.col("rb"), F.col("rd"))).cast("bigint")
+        )
+        .alias("den"),
+    )
+    scored = fused.select(
+        "doc_id",
+        F.coalesce("rb", F.lit(0)).alias("bm25_rank"),
+        F.coalesce("rd", F.lit(0)).alias("dense_rank"),
+        F.expr("(num * 1000000000000L) div den").alias("rrf_pico"),
+    )
+    top10 = scored.orderBy(F.col("rrf_pico").desc(), "doc_id").limit(10)
+    return (
+        top10.withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.col("rrf_pico").desc(), "doc_id")),
+        )
+        .select("rank", "doc_id", "bm25_rank", "dense_rank", "rrf_pico")
+        .orderBy("rank")
+    )
+
+
+def _q257_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN ({terms}) GROUP BY 1, 2
+), dfreq AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), bm_top AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+           * (tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+         ), 4) AS bm25
+  FROM tf
+  JOIN dfreq USING (tok)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+  ORDER BY bm25 DESC, tf.doc_id
+  LIMIT 20
+), bm_rank AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rb
+  FROM bm_top
+), q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), dense_top AS (
+  SELECT vec_id,
+         list_dot_product(qv, v)
+         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+  FROM (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id > 0
+  ) CROSS JOIN q
+  ORDER BY cos DESC, vec_id
+  LIMIT 20
+), de_rank AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY cos DESC, vec_id) AS rd
+  FROM dense_top
+), fused AS (
+  SELECT doc_id, rb, rd,
+         CASE WHEN rb IS NOT NULL AND rd IS NOT NULL
+              THEN CAST(120 + rb + rd AS BIGINT) ELSE CAST(1 AS BIGINT)
+         END AS num,
+         CASE WHEN rb IS NOT NULL AND rd IS NOT NULL
+              THEN CAST((60 + rb) * (60 + rd) AS BIGINT)
+              ELSE CAST(60 + coalesce(rb, rd) AS BIGINT)
+         END AS den
+  FROM bm_rank FULL OUTER JOIN de_rank USING (doc_id)
+), scored AS (
+  SELECT doc_id,
+         coalesce(rb, 0) AS bm25_rank,
+         coalesce(rd, 0) AS dense_rank,
+         (num * 1000000000000) // den AS rrf_pico
+  FROM fused
+), top10 AS (
+  SELECT * FROM scored ORDER BY rrf_pico DESC, doc_id LIMIT 10
+)
+SELECT row_number() OVER (ORDER BY rrf_pico DESC, doc_id) AS rank,
+       doc_id, bm25_rank, dense_rank, CAST(rrf_pico AS BIGINT) AS rrf_pico
+FROM top10
+ORDER BY rank
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -6842,6 +7036,7 @@ QUERIES = {
     "q252_jackknife_by_source": q252_jackknife_by_source,
     "q254_burrows_delta": q254_burrows_delta,
     "q256_mmr_selection": q256_mmr_selection,
+    "q257_rrf_hybrid_search": q257_rrf_hybrid_search,
 }
 
 ORACLES = {
@@ -6949,4 +7144,5 @@ ORACLES = {
     "q252_jackknife_by_source": _Q252_SQL,
     "q254_burrows_delta": _Q254_SQL,
     "q256_mmr_selection": _Q256_SQL,
+    "q257_rrf_hybrid_search": _q257_sql(),
 }

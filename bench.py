@@ -269,6 +269,7 @@ HEADLINE = [
     "q254_burrows_delta",
     "q255_robust_means",
     "q256_mmr_selection",
+    "q257_rrf_hybrid_search",
 ]
 
 

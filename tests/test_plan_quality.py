@@ -2821,3 +2821,97 @@ def test_q256_mmr_python_mirror(spark, tmp_path, qs):
     got = [(r.rank, r.vec_id, r.mmr_score) for r in
            qs["q256_mmr_selection"](spark, str(tmp_path)).collect()]
     assert got == expect
+
+
+def test_q257_rrf_python_mirror(spark, tmp_path, qs):
+    """6 docs (each with at most ONE bm25 query term so the per-doc
+    partial sum is a single float term), 4 candidate embeddings; the
+    whole RRF fusion — bm25 ranks, cosine ranks, exact-integer pico
+    scores — is mirrored in Python and must match row-for-row.
+    Docs 5-6 have terms but no embedding (bm25-only rows); vecs 3-4
+    have embeddings but no terms (dense-only rows)."""
+    import math
+
+    from pyspark.sql.types import (ArrayType, FloatType, IntegerType,
+                                   LongType, StructField, StructType)
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    texts = {
+        1: "spark spark spark pad pad",
+        2: "vector pad pad pad",
+        3: "pad pad pad pad pad pad",
+        4: "pad pad",
+        5: "hash hash pad",
+        6: "spark pad pad pad pad pad pad pad",
+    }
+    doc_rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    spark.createDataFrame(doc_rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet"))
+
+    vecs = {
+        0: [1.0, 0.5, 0.0],
+        1: [2.0, 1.0, 0.0],
+        2: [1.0, 1.0, 0.5],
+        3: [0.0, 1.0, 1.0],
+        4: [1.0, 0.4, 0.1],
+    }
+    eschema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+    spark.createDataFrame(
+        [(k, v, 0) for k, v in vecs.items()], eschema
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    # --- Python mirror ---
+    toks = {i: t.split() for i, t in texts.items()}
+    dl = {i: len(w) for i, w in toks.items()}
+    n, avgdl = float(len(dl)), sum(dl.values()) / len(dl)
+    terms = ["spark", "vector", "hash"]
+    tf = {(i, t): toks[i].count(t) for i in toks for t in terms
+          if toks[i].count(t) > 0}
+    df = {t: sum(1 for (i, t2) in tf if t2 == t) for t in terms}
+    bm = {}
+    for (i, t), f in tf.items():
+        idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1)
+        part = idf * (f * 2.2 / (f + 1.2 * (1 - 0.75 + 0.75 * dl[i] / avgdl)))
+        bm[i] = round(bm.get(i, 0.0) + part, 4)
+    bm_order = sorted(bm, key=lambda i: (-bm[i], i))[:20]
+    rb = {i: r for r, i in enumerate(bm_order, 1)}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def cos(a, b):
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    qv = vecs[0]
+    cands = [i for i in sorted(vecs) if i > 0]
+    cs = {i: cos(qv, vecs[i]) for i in cands}
+    de_order = sorted(cands, key=lambda i: (-cs[i], i))[:20]
+    rd = {i: r for r, i in enumerate(de_order, 1)}
+
+    fused = []
+    for i in sorted(set(rb) | set(rd)):
+        if i in rb and i in rd:
+            num, den = 120 + rb[i] + rd[i], (60 + rb[i]) * (60 + rd[i])
+        elif i in rb:
+            num, den = 1, 60 + rb[i]
+        else:
+            num, den = 1, 60 + rd[i]
+        fused.append((i, rb.get(i, 0), rd.get(i, 0),
+                      (num * 10**12) // den))
+    fused.sort(key=lambda r: (-r[3], r[0]))
+    expect = [(k, *row) for k, row in enumerate(fused[:10], 1)]
+
+    got = [(r.rank, r.doc_id, r.bm25_rank, r.dense_rank, r.rrf_pico)
+           for r in qs["q257_rrf_hybrid_search"](spark, str(tmp_path)).collect()]
+    assert got == expect
+    # sanity on the planted design: both-ranker, bm25-only and
+    # dense-only docs are all present in the fused list
+    kinds = {(g[2] > 0, g[3] > 0) for g in got}
+    assert {(True, True), (True, False), (False, True)} <= kinds
