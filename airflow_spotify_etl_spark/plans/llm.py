@@ -6931,6 +6931,133 @@ ORDER BY rank
 """
 
 
+def q258_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 evaluation of the dense cosine retriever (q22's scorer,
+    query set vec_id < 5, corpus = the rest) against label-derived
+    graded relevance: gain 3 for an exact label match, 1 for an
+    adjacent label (|Δ|=1), 0 otherwise — the retrieval-quality metric
+    an embedding-pipeline regression suite tracks per release.
+
+    Exactness: each DCG term gain·1e9/log2(rank+1) is a single
+    deterministic double chain FLOORED to a BIGINT nano-unit before the
+    per-query sum (the q249 quantize-pre-sum idiom), so the cross-row
+    float-sum order can never differ between engines; NDCG is the one
+    final rounded division of two exact BIGINTs.
+
+    Shape at 100 TB: both the retrieved-rank and the ideal-rank windows
+    are rank<=10 filters, which Catalyst runs as map-side
+    WindowGroupLimit; the query set (5 rows + labels) broadcasts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    to_dbl = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        to_dbl("embedding").alias("qv"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5).select(
+        "vec_id", "label", to_dbl("embedding").alias("v")
+    )
+    scored = corpus.join(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        (
+            dot(F.col("qv"), F.col("v"))
+            / (F.sqrt(dot(F.col("qv"), F.col("qv")))
+               * F.sqrt(dot(F.col("v"), F.col("v"))))
+        ).alias("cos"),
+        F.when(F.col("label") == F.col("qlabel"), F.lit(3))
+        .when(F.abs(F.col("label") - F.col("qlabel")) == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("gain"),
+    )
+    term = F.floor(
+        F.col("gain") * F.lit(1000000000.0) / F.log2(F.col("rank") + F.lit(1))
+    ).cast("bigint")
+    ret = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+    dcg = (
+        scored.withColumn("rank", F.row_number().over(ret))
+        .filter(F.col("rank") <= 10)
+        .withColumn("t", term)
+        .groupBy("query_id")
+        .agg(F.sum("t").alias("dcg_nano"))
+    )
+    ideal = W.partitionBy("query_id").orderBy(F.col("gain").desc(), "vec_id")
+    idcg = (
+        scored.withColumn("rank", F.row_number().over(ideal))
+        .filter(F.col("rank") <= 10)
+        .withColumn("t", term)
+        .groupBy("query_id")
+        .agg(F.sum("t").alias("idcg_nano"))
+    )
+    return (
+        dcg.join(idcg, "query_id")
+        .select(
+            "query_id",
+            "dcg_nano",
+            "idcg_nano",
+            F.when(
+                F.col("idcg_nano") > 0,
+                F.round(
+                    F.col("dcg_nano").cast("double") / F.col("idcg_nano"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ndcg_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_Q258_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel,
+         CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= 5
+), scored AS (
+  SELECT query_id, vec_id,
+         list_dot_product(qv, v)
+         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos,
+         CASE WHEN label = qlabel THEN 3
+              WHEN abs(label - qlabel) = 1 THEN 1
+              ELSE 0 END AS gain
+  FROM c CROSS JOIN q
+), ret AS (
+  SELECT query_id, gain,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+), dcg AS (
+  SELECT query_id,
+         CAST(sum(CAST(floor(gain * 1000000000.0 / log2(rank + 1)) AS BIGINT)) AS BIGINT) AS dcg_nano
+  FROM ret WHERE rank <= 10 GROUP BY query_id
+), ideal AS (
+  SELECT query_id, gain,
+         row_number() OVER (PARTITION BY query_id ORDER BY gain DESC, vec_id) AS rank
+  FROM scored
+), idcg AS (
+  SELECT query_id,
+         CAST(sum(CAST(floor(gain * 1000000000.0 / log2(rank + 1)) AS BIGINT)) AS BIGINT) AS idcg_nano
+  FROM ideal WHERE rank <= 10 GROUP BY query_id
+)
+SELECT dcg.query_id, dcg_nano, idcg_nano,
+       CASE WHEN idcg_nano > 0
+            THEN round(CAST(dcg_nano AS DOUBLE) / idcg_nano, 6)
+            ELSE 0.0 END AS ndcg_at_10
+FROM dcg JOIN idcg ON dcg.query_id = idcg.query_id
+ORDER BY dcg.query_id
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -7037,6 +7164,7 @@ QUERIES = {
     "q254_burrows_delta": q254_burrows_delta,
     "q256_mmr_selection": q256_mmr_selection,
     "q257_rrf_hybrid_search": q257_rrf_hybrid_search,
+    "q258_ndcg_eval": q258_ndcg_eval,
 }
 
 ORACLES = {
@@ -7145,4 +7273,5 @@ ORACLES = {
     "q254_burrows_delta": _Q254_SQL,
     "q256_mmr_selection": _Q256_SQL,
     "q257_rrf_hybrid_search": _q257_sql(),
+    "q258_ndcg_eval": _Q258_SQL,
 }

@@ -270,6 +270,7 @@ HEADLINE = [
     "q255_robust_means",
     "q256_mmr_selection",
     "q257_rrf_hybrid_search",
+    "q258_ndcg_eval",
 ]
 
 

@@ -2915,3 +2915,71 @@ def test_q257_rrf_python_mirror(spark, tmp_path, qs):
     # dense-only docs are all present in the fused list
     kinds = {(g[2] > 0, g[3] > 0) for g in got}
     assert {(True, True), (True, False), (False, True)} <= kinds
+
+
+def test_q258_ndcg_python_mirror(spark, tmp_path, qs):
+    """2 queries (labels 10, 20) + 8 corpus vectors with controlled
+    labels; the full NDCG@10 — cosine ranks, graded gains (3 exact /
+    1 adjacent / 0), nano-floored DCG terms, ideal ranking — is
+    mirrored in Python and must match exactly. One query has zero
+    relevant docs and must report ndcg = 0.0 via the IDCG guard."""
+    import math
+
+    from pyspark.sql.types import (ArrayType, FloatType, IntegerType,
+                                   LongType, StructField, StructType)
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 10),
+        (1, [0.0, 1.0, 0.0], 99),   # no corpus label equals or adjoins 99
+        (5, [1.0, 0.1, 0.0], 10),   # exact match, top cosine for q0
+        (6, [1.0, 0.2, 0.0], 11),   # adjacent
+        (7, [0.9, 0.3, 0.1], 50),   # irrelevant
+        (8, [0.0, 0.9, 0.1], 10),   # exact for q0 but ranks 1st for q1
+        (9, [0.5, 0.5, 0.0], 9),    # adjacent to 10
+        (10, [0.2, 0.8, 0.0], 42),
+        (11, [0.1, 0.1, 1.0], 10),
+        (12, [0.3, 0.2, 0.9], 11),
+    ]
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+    spark.createDataFrame(rows, schema).write.parquet(
+        str(tmp_path / "embeddings.parquet"))
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def cos(a, b):
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    qset = {i: (v, l) for i, v, l in rows if i < 5}
+    corpus = [(i, v, l) for i, v, l in rows if i >= 5]
+    expect = []
+    for qid in sorted(qset):
+        qv, ql = qset[qid]
+        gains = {
+            i: (3 if l == ql else (1 if abs(l - ql) == 1 else 0))
+            for i, _, l in corpus
+        }
+        ret = sorted(corpus, key=lambda r: (-cos(qv, r[1]), r[0]))[:10]
+        dcg = sum(
+            int(math.floor(gains[i] * 1e9 / math.log2(r + 1)))
+            for r, (i, _, _) in enumerate(ret, 1)
+        )
+        ideal = sorted(corpus, key=lambda r: (-gains[r[0]], r[0]))[:10]
+        idcg = sum(
+            int(math.floor(gains[i] * 1e9 / math.log2(r + 1)))
+            for r, (i, _, _) in enumerate(ideal, 1)
+        )
+        ndcg = round(dcg / idcg, 6) if idcg > 0 else 0.0
+        expect.append((qid, dcg, idcg, ndcg))
+
+    got = [(r.query_id, r.dcg_nano, r.idcg_nano, r.ndcg_at_10)
+           for r in qs["q258_ndcg_eval"](spark, str(tmp_path)).collect()]
+    assert got == expect
+    assert expect[1][2] == 0 and expect[1][3] == 0.0  # the zero-IDCG guard fired
