@@ -245,3 +245,67 @@ def exact_heavy_hitters(
         .select(colname, "cnt", F.col("_n").alias("n_total"))
         .orderBy(F.col("cnt").desc(), colname)
     )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    colname: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-Min sketch of a key column: ``depth`` independent hash rows
+    of ``width`` counters each; the point estimate for a key is the MIN
+    over rows of its bucket counter (never an underestimate).
+
+    Returns the sketch as a (row, bucket, counter) relation — depth·width
+    cells max, independent of corpus size, additive under union (merge
+    two sketches by summing matching cells), so per-partition /
+    per-micro-batch partials combine map-side exactly like the MG and
+    KMV sketches in this module. Hashing is the engine-portable md5
+    slice (operators/dedup._h32) seeded by the row index, so a DuckDB
+    oracle can recompute the identical sketch (plans/llm.py q259).
+    """
+    from .dedup import _h32
+
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(int(depth))])
+    ).alias("row")
+    keyed = df.select(F.col(colname).cast("string").alias("_k")).select(
+        "_k", rows
+    )
+    bucket = (
+        _h32(F.concat(F.col("row").cast("string"), F.lit(":"), F.col("_k")))
+        % int(width)
+    ).alias("bucket")
+    return (
+        keyed.select("row", bucket)
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("counter"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame, probes: DataFrame, colname: str, width: int = 1024
+) -> DataFrame:
+    """Point-estimate the frequency of each probe key against a
+    count_min_sketch relation: hash the probe per sketch row, join on
+    (row, bucket) — the probe side is tiny and broadcasts — and take
+    the min counter. Output: (key, est)."""
+    from .dedup import _h32
+
+    depth = [r.row for r in sketch.select("row").distinct().collect()]
+    rows = F.explode(F.array(*[F.lit(i) for i in sorted(depth)])).alias("row")
+    hashed = probes.select(F.col(colname).cast("string").alias("_k")).select(
+        "_k", rows
+    )
+    hashed = hashed.withColumn(
+        "bucket",
+        _h32(F.concat(F.col("row").cast("string"), F.lit(":"), F.col("_k")))
+        % int(width),
+    )
+    return (
+        sketch.join(F.broadcast(hashed), ["row", "bucket"])
+        .groupBy("_k")
+        .agg(F.min("counter").alias("est"))
+        .withColumnRenamed("_k", colname)
+    )

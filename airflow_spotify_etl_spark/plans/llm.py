@@ -7058,6 +7058,100 @@ ORDER BY dcg.query_id
 """
 
 
+def q259_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (operators/sketches.count_min_sketch, depth=4,
+    width=1024) over the document token stream, audited against exact
+    counts for 25 probe tokens: the 20 most frequent (count desc, token)
+    and the 5 least frequent (count asc, token). CMS guarantees
+    est >= exact; `overcount` shows the collision inflation the width
+    knob buys down.
+
+    Shape at 100 TB: the sketch is 4·1024 additive cells built by one
+    map-side-combinable groupBy — state independent of corpus size, the
+    same mergeable-partial contract as the KMV/MG/HLL tiers; probes
+    broadcast. Every output column is an exact BIGINT (driver-hash
+    safe), and the md5-slice bucket hash is recomputed identically by
+    the DuckDB oracle."""
+    from ..operators.sketches import count_min_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), "\\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    sketch = count_min_sketch(toks, "tok", depth=4, width=1024)
+
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+    top = exact.orderBy(F.col("exact_cnt").desc(), "tok").limit(20)
+    rare = exact.orderBy(F.col("exact_cnt").asc(), "tok").limit(5)
+    probes = top.unionByName(rare).distinct()
+
+    rows = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("row")
+    hashed = probes.select("tok", "exact_cnt", rows).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("row").cast("string"), F.lit(":"), F.col("tok"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1024,
+    )
+    est = (
+        sketch.join(F.broadcast(hashed), ["row", "bucket"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("counter").alias("cms_est"))
+    )
+    return est.select(
+        "tok",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    ).orderBy(F.col("exact_cnt").desc(), "tok")
+
+
+_Q259_SQL = r"""
+WITH toks AS (
+  SELECT tok FROM (
+    SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), rows_ AS (
+  SELECT unnest([0, 1, 2, 3]) AS row
+), cells AS (
+  SELECT row,
+         ('0x' || substr(md5(CAST(row AS VARCHAR) || ':' || tok), 1, 8))::BIGINT
+           % 1024 AS bucket,
+         CAST(count(*) AS BIGINT) AS counter
+  FROM toks CROSS JOIN rows_
+  GROUP BY 1, 2
+), exact_ AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM toks GROUP BY tok
+), top AS (
+  SELECT * FROM exact_ ORDER BY exact_cnt DESC, tok LIMIT 20
+), rare AS (
+  SELECT * FROM exact_ ORDER BY exact_cnt ASC, tok LIMIT 5
+), probes AS (
+  SELECT DISTINCT * FROM (SELECT * FROM top UNION ALL SELECT * FROM rare)
+), hashed AS (
+  SELECT tok, exact_cnt, row,
+         ('0x' || substr(md5(CAST(row AS VARCHAR) || ':' || tok), 1, 8))::BIGINT
+           % 1024 AS bucket
+  FROM probes CROSS JOIN rows_
+), est AS (
+  SELECT tok, exact_cnt, CAST(min(counter) AS BIGINT) AS cms_est
+  FROM cells JOIN hashed USING (row, bucket)
+  GROUP BY tok, exact_cnt
+)
+SELECT tok, exact_cnt, cms_est,
+       CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+FROM est
+ORDER BY exact_cnt DESC, tok
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -7165,6 +7259,7 @@ QUERIES = {
     "q256_mmr_selection": q256_mmr_selection,
     "q257_rrf_hybrid_search": q257_rrf_hybrid_search,
     "q258_ndcg_eval": q258_ndcg_eval,
+    "q259_count_min_tokens": q259_count_min_tokens,
 }
 
 ORACLES = {
@@ -7274,4 +7369,5 @@ ORACLES = {
     "q256_mmr_selection": _Q256_SQL,
     "q257_rrf_hybrid_search": _q257_sql(),
     "q258_ndcg_eval": _Q258_SQL,
+    "q259_count_min_tokens": _Q259_SQL,
 }

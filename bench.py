@@ -271,6 +271,7 @@ HEADLINE = [
     "q256_mmr_selection",
     "q257_rrf_hybrid_search",
     "q258_ndcg_eval",
+    "q259_count_min_tokens",
 ]
 
 

@@ -2983,3 +2983,54 @@ def test_q258_ndcg_python_mirror(spark, tmp_path, qs):
            for r in qs["q258_ndcg_eval"](spark, str(tmp_path)).collect()]
     assert got == expect
     assert expect[1][2] == 0 and expect[1][3] == 0.0  # the zero-IDCG guard fired
+
+
+def test_q259_count_min_python_mirror(spark, tmp_path, qs):
+    """Small controlled vocabulary; the CMS (depth 4, width 1024,
+    md5-slice hashing) is mirrored in Python with hashlib and must
+    match estimate-for-estimate; CMS >= exact must hold on every row."""
+    import hashlib
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    texts = {
+        1: "alpha alpha alpha beta",
+        2: "beta gamma gamma delta",
+        3: "alpha epsilon zeta eta theta",
+        4: "beta beta alpha",
+    }
+    doc_rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    spark.createDataFrame(doc_rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet"))
+
+    toks = [w for t in texts.values() for w in t.split()]
+    exact = {}
+    for w in toks:
+        exact[w] = exact.get(w, 0) + 1
+
+    def bucket(row, tok):
+        h = hashlib.md5(f"{row}:{tok}".encode()).hexdigest()[:8]
+        return int(h, 16) % 1024
+
+    cells = {}
+    for w in toks:
+        for r in range(4):
+            key = (r, bucket(r, w))
+            cells[key] = cells.get(key, 0) + 1
+
+    top = sorted(exact, key=lambda w: (-exact[w], w))[:20]
+    rare = sorted(exact, key=lambda w: (exact[w], w))[:5]
+    probes = set(top) | set(rare)
+    expect = sorted(
+        (
+            (w, exact[w], min(cells[(r, bucket(r, w))] for r in range(4)))
+            for w in probes
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+    expect = [(w, e, c, c - e) for w, e, c in expect]
+
+    got = [(r.tok, r.exact_cnt, r.cms_est, r.overcount)
+           for r in qs["q259_count_min_tokens"](spark, str(tmp_path)).collect()]
+    assert got == expect
+    assert all(row[3] >= 0 for row in got)  # CMS never underestimates
