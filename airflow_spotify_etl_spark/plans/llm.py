@@ -7152,6 +7152,123 @@ ORDER BY exact_cnt DESC, tok
 """
 
 
+def q260_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the q104 quality-classifier scores
+    against the q58 keep pseudo-labels: the monotone-nondecreasing fit
+    of per-decile keep rates via the exact minimax identity
+    iso_i = max_{j<=i} min_{k>=i} rate(j..k) — what turns raw
+    classifier scores into usable keep-probabilities (the fit q172's
+    reliability diagram motivates).
+
+    Exactness: interval rates are floored to BIGINT nanos via integer
+    division (keep_sum·1e9 div n_sum), so every min/max comparison is
+    over exact integers and the fixed-point resolution IS the operator
+    definition — both engines and the planted Python mirror share it.
+
+    Shape at 100 TB: corpus-size work is the one q172-style grouped
+    pass into <=10 decile bins; the O(B^3) interval/minimax stages run
+    on a 10-row bounded relation (broadcast joins only)."""
+    from ..operators.text import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = hashed_linear_score(docs, n_buckets=4096).select("doc_id", "score")
+    labels = q58_gopher_quality_flags(spark, sf_dir).select("doc_id", "keep")
+    si = F.expr("CAST(round(score * 10000) AS BIGINT)")
+    bins = (
+        scores.join(labels, "doc_id")
+        .select(si.alias("si"), "keep")
+        .select(
+            F.least(F.greatest(F.expr("si div 1000"), F.lit(0)), F.lit(9))
+            .cast("int")
+            .alias("bin"),
+            "keep",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        )
+        .persist()
+    )
+    j = bins.select(F.col("bin").alias("j"))
+    k = bins.select(F.col("bin").alias("k"))
+    m = bins.select(F.col("bin").alias("m"), "n", "n_keep")
+    rates = (
+        j.join(F.broadcast(k), F.col("j") <= F.col("k"))
+        .join(
+            F.broadcast(m),
+            (F.col("m") >= F.col("j")) & (F.col("m") <= F.col("k")),
+        )
+        .groupBy("j", "k")
+        .agg(
+            F.expr("(sum(n_keep) * 1000000000L) div sum(n)").alias("r_nano")
+        )
+    )
+    i = bins.select(F.col("bin").alias("i"))
+    inner = (
+        rates.join(
+            F.broadcast(i),
+            (F.col("k") >= F.col("i")) & (F.col("j") <= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("r_nano").alias("mn"))
+    )
+    iso = inner.groupBy("i").agg(F.max("mn").alias("iso_nano"))
+    return (
+        bins.join(iso, bins.bin == iso.i)
+        .select(
+            "bin",
+            "n",
+            "n_keep",
+            F.round(F.col("n_keep").cast("double") / F.col("n"), 4).alias(
+                "raw_rate"
+            ),
+            "iso_nano",
+            F.round(F.col("iso_nano").cast("double") / 1e9, 4).alias(
+                "iso_rate"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+def _q260_sql() -> str:
+    return f"""
+WITH scores AS (
+  SELECT doc_id, score FROM ({_Q104_SQL}) s
+), labels AS (
+  SELECT doc_id, keep FROM ({_Q58_SQL}) l
+), e AS (
+  SELECT CAST(round(s.score * 10000) AS BIGINT) AS si, l.keep
+  FROM scores s JOIN labels l USING (doc_id)
+), bins AS (
+  SELECT CAST(least(greatest(si // 1000, 0), 9) AS INTEGER) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+  FROM e GROUP BY 1
+), rates AS (
+  SELECT j.bin AS j, k.bin AS k,
+         CAST((sum(m.n_keep) * 1000000000) // sum(m.n) AS BIGINT) AS r_nano
+  FROM bins j
+  JOIN bins k ON j.bin <= k.bin
+  JOIN bins m ON m.bin BETWEEN j.bin AND k.bin
+  GROUP BY 1, 2
+), inner_ AS (
+  SELECT i.bin AS i, r.j, min(r.r_nano) AS mn
+  FROM rates r JOIN bins i ON r.k >= i.bin AND r.j <= i.bin
+  GROUP BY 1, 2
+), iso AS (
+  SELECT i, CAST(max(mn) AS BIGINT) AS iso_nano FROM inner_ GROUP BY i
+)
+SELECT b.bin, b.n, b.n_keep,
+       round(CAST(b.n_keep AS DOUBLE) / b.n, 4) AS raw_rate,
+       iso.iso_nano,
+       round(CAST(iso.iso_nano AS DOUBLE) / 1e9, 4) AS iso_rate
+FROM bins b JOIN iso ON b.bin = iso.i
+ORDER BY b.bin
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -7260,6 +7377,7 @@ QUERIES = {
     "q257_rrf_hybrid_search": q257_rrf_hybrid_search,
     "q258_ndcg_eval": q258_ndcg_eval,
     "q259_count_min_tokens": q259_count_min_tokens,
+    "q260_isotonic_calibration": q260_isotonic_calibration,
 }
 
 ORACLES = {
@@ -7370,4 +7488,5 @@ ORACLES = {
     "q257_rrf_hybrid_search": _q257_sql(),
     "q258_ndcg_eval": _Q258_SQL,
     "q259_count_min_tokens": _Q259_SQL,
+    "q260_isotonic_calibration": _q260_sql(),
 }

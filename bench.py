@@ -272,6 +272,7 @@ HEADLINE = [
     "q257_rrf_hybrid_search",
     "q258_ndcg_eval",
     "q259_count_min_tokens",
+    "q260_isotonic_calibration",
 ]
 
 

@@ -3034,3 +3034,40 @@ def test_q259_count_min_python_mirror(spark, tmp_path, qs):
            for r in qs["q259_count_min_tokens"](spark, str(tmp_path)).collect()]
     assert got == expect
     assert all(row[3] >= 0 for row in got)  # CMS never underestimates
+
+
+def test_q260_pav_identity(spark, qs):
+    """The minimax formulation iso_i = max_{j<=i} min_{k>=i} rate(j..k)
+    must equal the classic sequential pool-adjacent-violators algorithm
+    run on the query's own (bin, n, n_keep) rows: floor is monotone, so
+    flooring interval rates to nanos before the minimax equals flooring
+    the exact PAV block rate. Also asserts monotone nondecreasing."""
+    rows = qs["q260_isotonic_calibration"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) >= 2
+
+    # classic PAV on (n, n_keep) in bin order
+    blocks = [[r.n_keep, r.n] for r in sorted(rows, key=lambda r: r.bin)]
+    i = 0
+    while i < len(blocks) - 1:
+        # compare rationals keep/n by cross-multiplication (exact)
+        if blocks[i][0] * blocks[i + 1][1] > blocks[i + 1][0] * blocks[i][1]:
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    expanded = []
+    bi = iter(sorted(rows, key=lambda r: r.bin))
+    for keep, n in blocks:
+        acc_n = 0
+        while acc_n < n:
+            r = next(bi)
+            acc_n += r.n
+            expanded.append((keep * 10**9) // n)
+        assert acc_n == n  # blocks align on bin boundaries
+
+    got = [r.iso_nano for r in sorted(rows, key=lambda r: r.bin)]
+    assert got == expanded
+    assert all(a <= b for a, b in zip(got, got[1:]))  # monotone fit
