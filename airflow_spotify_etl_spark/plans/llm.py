@@ -7269,6 +7269,67 @@ ORDER BY b.bin
 """
 
 
+def q261_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turing / Good-Turing frequency re-estimation over the token
+    unigram distribution: the frequency-of-frequencies table N_r and
+    the adjusted count r* = (r+1)·N_{r+1}/N_r for the 20 smallest r — the
+    classical smoothing companion to the Kneser-Ney LM (q237/q249) and
+    the Zipf fit (q202); N_1/N is the unseen-mass estimate an OOV-rate
+    monitor tracks.
+
+    Exactness: r* is the exact BIGINT floor((r+1)·N_{r+1}·1e6 / N_r)
+    (integer div both engines); rows where N_{r+1}=0 report 0 via the
+    left join, matching the raw Turing estimate's degeneracy.
+
+    Shape at 100 TB: one corpus groupBy (token counts) then a groupBy
+    on the counts themselves — the freq-of-freqs relation is tiny and
+    heavy-tailed; the r+1 self-join and the 20-smallest-r TakeOrdered run on it, never
+    on the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), "\\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count("*").alias("r"))
+    fof = counts.groupBy("r").agg(F.count("*").alias("n_r"))
+    nxt = fof.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_next"))
+    return (
+        fof.join(nxt, "r", "left")
+        .select(
+            "r",
+            "n_r",
+            F.coalesce("n_next", F.lit(0)).alias("n_next"),
+            F.expr(
+                "((r + 1) * coalesce(n_next, 0L) * 1000000L) div n_r"
+            ).alias("rstar_micro"),
+        )
+        .orderBy("r")
+        .limit(20)
+    )
+
+
+_Q261_SQL = r"""
+WITH toks AS (
+  SELECT tok FROM (
+    SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), counts AS (
+  SELECT tok, count(*) AS r FROM toks GROUP BY tok
+), fof AS (
+  SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM counts GROUP BY r
+), nxt AS (
+  SELECT r - 1 AS r, n_r AS n_next FROM fof
+)
+SELECT fof.r, fof.n_r,
+       CAST(coalesce(nxt.n_next, 0) AS BIGINT) AS n_next,
+       CAST(((fof.r + 1) * coalesce(nxt.n_next, 0) * 1000000) // fof.n_r
+            AS BIGINT) AS rstar_micro
+FROM fof LEFT JOIN nxt ON fof.r = nxt.r
+ORDER BY fof.r
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -7378,6 +7439,7 @@ QUERIES = {
     "q258_ndcg_eval": q258_ndcg_eval,
     "q259_count_min_tokens": q259_count_min_tokens,
     "q260_isotonic_calibration": q260_isotonic_calibration,
+    "q261_good_turing": q261_good_turing,
 }
 
 ORACLES = {
@@ -7489,4 +7551,5 @@ ORACLES = {
     "q258_ndcg_eval": _Q258_SQL,
     "q259_count_min_tokens": _Q259_SQL,
     "q260_isotonic_calibration": _q260_sql(),
+    "q261_good_turing": _Q261_SQL,
 }

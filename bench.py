@@ -273,6 +273,7 @@ HEADLINE = [
     "q258_ndcg_eval",
     "q259_count_min_tokens",
     "q260_isotonic_calibration",
+    "q261_good_turing",
 ]
 
 

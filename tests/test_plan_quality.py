@@ -3071,3 +3071,26 @@ def test_q260_pav_identity(spark, qs):
     got = [r.iso_nano for r in sorted(rows, key=lambda r: r.bin)]
     assert got == expanded
     assert all(a <= b for a, b in zip(got, got[1:]))  # monotone fit
+
+
+def test_q261_good_turing_hand_computed(spark, tmp_path, qs):
+    """Vocabulary engineered so N_1=3, N_2=2, N_3=1, N_5=1: checks the
+    r+1 self-join, the left-join zero for missing N_{r+1}, and the
+    exact micro floor division."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    # counts: a=5, b=3, c=2, d=2, e=1, f=1, g=1
+    text = " ".join(["a"] * 5 + ["b"] * 3 + ["c"] * 2 + ["d"] * 2
+                    + ["e", "f", "g"])
+    rows = [(1, text, "en", "s", len(text))]
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet"))
+
+    got = {r.r: (r.n_r, r.n_next, r.rstar_micro)
+           for r in qs["q261_good_turing"](spark, str(tmp_path)).collect()}
+    assert got == {
+        1: (3, 2, (2 * 2 * 10**6) // 3),   # r*=2*N2/N1
+        2: (2, 1, (3 * 1 * 10**6) // 2),   # r*=3*N3/N2
+        3: (1, 0, 0),                      # N_4 = 0 -> degenerate 0
+        5: (1, 0, 0),                      # N_6 = 0
+    }
