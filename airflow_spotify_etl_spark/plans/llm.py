@@ -7330,6 +7330,92 @@ LIMIT 20
 """
 
 
+def q262_length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing audit for training-batch assembly:
+    each document is assigned to the smallest power-of-two length
+    bucket >= its whitespace token count (64..2048; longer docs land in
+    the 2048 bucket TRUNCATED to the cap) and every bucket reports its
+    padding waste and packing efficiency — the measurement that decides
+    bucket boundaries before a padded-batch training run (the padded
+    counterpart of q48's sequence packing).
+
+    All-integer: tokens_kept = min(len, cap), padded = n_docs·cap,
+    eff_ppm = kept·1e6 div padded — exact BIGINTs end to end.
+
+    Shape at 100 TB: one narrow scan computing the token count per doc
+    (size(split()) — no explode), one groupBy into <=6 buckets."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    lens = docs.select(
+        F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(n).alias("len")
+    )
+    cap = (
+        F.when(F.col("len") <= 64, 64)
+        .when(F.col("len") <= 128, 128)
+        .when(F.col("len") <= 256, 256)
+        .when(F.col("len") <= 512, 512)
+        .when(F.col("len") <= 1024, 1024)
+        .otherwise(2048)
+    )
+    return (
+        lens.select(cap.alias("bucket_cap"), "len")
+        .groupBy("bucket_cap")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("len").alias("token_sum"),
+            F.sum(F.least(F.col("len"), F.col("bucket_cap")).cast("long")).alias(
+                "tokens_kept"
+            ),
+            F.sum(
+                F.greatest(F.col("len") - F.col("bucket_cap"), F.lit(0)).cast(
+                    "long"
+                )
+            ).alias("trunc_loss"),
+        )
+        .select(
+            "bucket_cap",
+            "n_docs",
+            "token_sum",
+            "tokens_kept",
+            "trunc_loss",
+            (F.col("n_docs") * F.col("bucket_cap")).cast("long").alias("padded"),
+            F.expr(
+                "(tokens_kept * 1000000L) div (n_docs * bucket_cap)"
+            ).alias("eff_ppm"),
+        )
+        .orderBy("bucket_cap")
+    )
+
+
+_Q262_SQL = r"""
+WITH lens AS (
+  SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS len
+  FROM documents
+), b AS (
+  SELECT CASE WHEN len <= 64 THEN 64
+              WHEN len <= 128 THEN 128
+              WHEN len <= 256 THEN 256
+              WHEN len <= 512 THEN 512
+              WHEN len <= 1024 THEN 1024
+              ELSE 2048 END AS bucket_cap,
+         len
+  FROM lens
+)
+SELECT bucket_cap,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len) AS BIGINT) AS token_sum,
+       CAST(sum(least(len, bucket_cap)) AS BIGINT) AS tokens_kept,
+       CAST(sum(greatest(len - bucket_cap, 0)) AS BIGINT) AS trunc_loss,
+       CAST(count(*) * bucket_cap AS BIGINT) AS padded,
+       CAST((sum(least(len, bucket_cap)) * 1000000)
+            // (count(*) * bucket_cap) AS BIGINT) AS eff_ppm
+FROM b
+GROUP BY bucket_cap
+ORDER BY bucket_cap
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -7440,6 +7526,7 @@ QUERIES = {
     "q259_count_min_tokens": q259_count_min_tokens,
     "q260_isotonic_calibration": q260_isotonic_calibration,
     "q261_good_turing": q261_good_turing,
+    "q262_length_bucket_padding": q262_length_bucket_padding,
 }
 
 ORACLES = {
@@ -7552,4 +7639,5 @@ ORACLES = {
     "q259_count_min_tokens": _Q259_SQL,
     "q260_isotonic_calibration": _q260_sql(),
     "q261_good_turing": _Q261_SQL,
+    "q262_length_bucket_padding": _Q262_SQL,
 }

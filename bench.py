@@ -274,6 +274,7 @@ HEADLINE = [
     "q259_count_min_tokens",
     "q260_isotonic_calibration",
     "q261_good_turing",
+    "q262_length_bucket_padding",
 ]
 
 

@@ -3094,3 +3094,35 @@ def test_q261_good_turing_hand_computed(spark, tmp_path, qs):
         3: (1, 0, 0),                      # N_4 = 0 -> degenerate 0
         5: (1, 0, 0),                      # N_6 = 0
     }
+
+
+def test_q262_padding_hand_computed(spark, tmp_path, qs):
+    """Lengths 1, 64, 65, 300, 3000 hit the 64/128/512/2048 buckets;
+    the 3000-token doc is truncated (kept 2048, lost 952); the empty
+    doc counts as length 0. All columns hand-verified integers."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    def words(n):
+        return " ".join(["w"] * n)
+
+    rows = [
+        (1, words(1), "en", "s", 1),
+        (2, words(64), "en", "s", 64),
+        (3, words(65), "en", "s", 65),
+        (4, words(300), "en", "s", 300),
+        (5, words(3000), "en", "s", 3000),
+        (6, "", "en", "s", 0),          # empty -> len 0 -> 64 bucket
+        (7, "   ", "en", "s", 3),       # whitespace-only -> len 0
+    ]
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet"))
+
+    got = {r.bucket_cap: (r.n_docs, r.token_sum, r.tokens_kept,
+                          r.trunc_loss, r.padded, r.eff_ppm)
+           for r in qs["q262_length_bucket_padding"](spark, str(tmp_path)).collect()}
+    assert got == {
+        64:   (4, 65, 65, 0, 256, (65 * 10**6) // 256),
+        128:  (1, 65, 65, 0, 128, (65 * 10**6) // 128),
+        512:  (1, 300, 300, 0, 512, (300 * 10**6) // 512),
+        2048: (1, 3000, 2048, 952, 2048, (2048 * 10**6) // 2048),
+    }
