@@ -7416,6 +7416,185 @@ ORDER BY bucket_cap
 """
 
 
+def q263_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding covariance via EXACT
+    INTEGER power iteration — the anisotropy probe an embedding
+    pipeline runs before whitening or dimension pruning: reports the
+    top-8 loading dimensions and the explained-variance share of the
+    first component.
+
+    Distributed work is ONE pass: dims are quantized to BIGINT
+    (round(x·1e4), the q179/q122 idiom) and a double-explode produces
+    the 64+4096 additive cells (n, s_i = Σq_i, P_ij = Σq_i·q_j) with
+    map-side combine — shuffle volume is 4096 cells per partition
+    regardless of corpus size. The 64x64 eigensolve then runs
+    driver-side on the collected BOUNDED sketch (the same bounded-
+    collect contract as the IVF centroids): scaled covariance
+    C2 = sign·(|n·P − s·s|·1e6 div max), 12 power iterations with
+    integer renormalization (sign·(|w|·1e6 div max|w|)), sign fixed by
+    the largest-|loading| dimension, Rayleigh share_ppm =
+    (vᵀC2v·1e6) div (vᵀv·trace). Every step is integer div on
+    NONNEGATIVE operands, so floor == trunc and the DuckDB oracle
+    (identical unrolled CTEs) matches bit for bit. At int64-straining
+    corpus sizes the P sums route through DECIMAL(38,0)/HUGEINT —
+    Spark's sum already widens; only the final cells are collected."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode(
+            F.expr(
+                "transform(embedding,"
+                " x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+            )
+        ).alias("i", "qi"),
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+        ).alias("qarr"),
+    )
+    n = emb.count()
+    s_rows = (
+        dims.groupBy("i").agg(F.sum("qi").alias("s")).collect()
+    )
+    p_rows = (
+        dims.select(
+            "i",
+            F.posexplode(
+                F.expr("transform(qarr, x -> x * qi)")
+            ).alias("j", "pij"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("pij").alias("p"))
+        .collect()
+    )
+    s = {r.i: int(r.s) for r in s_rows}
+    d = len(s)
+    P = {(r.i, r.j): int(r.p) for r in p_rows}
+
+    def sdiv(a: int, scale: int, m: int) -> int:
+        # sign(a) * ((|a| * scale) div m): nonneg div only, floor == trunc
+        return (-((-a * scale) // m)) if a < 0 else ((a * scale) // m)
+
+    C = {
+        (i, j): n * P[(i, j)] - s[i] * s[j]
+        for i in range(d)
+        for j in range(d)
+    }
+    cmax = max(abs(c) for c in C.values())
+    C2 = {ij: sdiv(c, 1000000, cmax) for ij, c in C.items()} if cmax else C
+    v = [1000000] * d
+    for _ in range(12):
+        w = [sum(C2[(i, j)] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w)
+        v = [sdiv(x, 1000000, m) for x in w] if m else w
+    p_idx = max(range(d), key=lambda i: (abs(v[i]), -i))
+    if v[p_idx] < 0:
+        v = [-x for x in v]
+    num = max(
+        sum(C2[(i, j)] * v[i] * v[j] for i in range(d) for j in range(d)), 0
+    )
+    den = sum(x * x for x in v)
+    trace = sum(C2[(i, i)] for i in range(d))
+    share_ppm = (num * 1000000) // (den * trace) if den and trace else 0
+    top = sorted(range(d), key=lambda i: (-abs(v[i]), i))[:8]
+    rows = [
+        (rank, i, v[i], share_ppm) for rank, i in enumerate(top, 1)
+    ]
+    from pyspark.sql.types import (IntegerType, LongType, StructField,
+                                   StructType)
+
+    schema = StructType(
+        [
+            StructField("rank", IntegerType()),
+            StructField("dim", IntegerType()),
+            StructField("loading_micro", LongType()),
+            StructField("share_ppm", LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).orderBy("rank")
+
+
+def _q263_sql() -> str:
+    it = []
+    prev = "v0"
+    for t in range(1, 13):
+        it.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT c2.i, CAST(sum(c2.c * {prev}.v) AS BIGINT) AS w
+  FROM c2 JOIN {prev} ON {prev}.i = c2.j GROUP BY c2.i
+), m{t} AS MATERIALIZED (
+  SELECT max(abs(w)) AS m FROM w{t}
+), v{t} AS MATERIALIZED (
+  SELECT i,
+         CAST(CASE WHEN m = 0 THEN w
+                   WHEN w < 0 THEN -(((-w) * 1000000) // m)
+                   ELSE (w * 1000000) // m END AS BIGINT) AS v
+  FROM w{t}, m{t}
+)"""
+        )
+        prev = f"v{t}"
+    iters = ",\n".join(it)
+    return f"""
+WITH dq AS MATERIALIZED (
+  SELECT vec_id, dim - 1 AS i, q
+  FROM (
+    SELECT vec_id,
+           unnest(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))) AS q,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings
+  )
+), nn AS MATERIALIZED (
+  SELECT count(DISTINCT vec_id) AS n FROM dq
+), s AS MATERIALIZED (
+  SELECT i, CAST(sum(q) AS BIGINT) AS s FROM dq GROUP BY i
+), p AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS p
+  FROM dq a JOIN dq b USING (vec_id) GROUP BY 1, 2
+), c AS MATERIALIZED (
+  SELECT p.i, p.j, nn.n * p.p - sa.s * sb.s AS c
+  FROM p
+  JOIN s sa ON sa.i = p.i
+  JOIN s sb ON sb.i = p.j
+  CROSS JOIN nn
+), cmax AS MATERIALIZED (
+  SELECT max(abs(c)) AS m FROM c
+), c2 AS MATERIALIZED (
+  SELECT i, j,
+         CAST(CASE WHEN m = 0 THEN c
+                   WHEN c < 0 THEN -(((-c) * 1000000) // m)
+                   ELSE (c * 1000000) // m END AS BIGINT) AS c
+  FROM c, cmax
+), v0 AS MATERIALIZED (
+  SELECT i, CAST(1000000 AS BIGINT) AS v FROM s
+),
+{iters},
+sfix AS (
+  SELECT CASE WHEN (SELECT v FROM v12 ORDER BY abs(v) DESC, i LIMIT 1) < 0
+              THEN -1 ELSE 1 END AS sgn
+), vf AS MATERIALIZED (
+  SELECT i, CAST(v * sgn AS BIGINT) AS v FROM v12, sfix
+), ray AS (
+  SELECT greatest(sum(CAST(c2.c AS HUGEINT) * va.v * vb.v), 0) AS num
+  FROM c2 JOIN vf va ON va.i = c2.i JOIN vf vb ON vb.i = c2.j
+), dent AS (
+  SELECT (SELECT CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) FROM vf) AS den,
+         (SELECT CAST(sum(c) AS HUGEINT) FROM c2 WHERE i = j) AS trace
+), share AS (
+  SELECT CAST(CASE WHEN den = 0 OR trace = 0 THEN 0
+                   ELSE (num * 1000000) // (den * trace) END AS BIGINT)
+           AS share_ppm
+  FROM ray, dent
+)
+SELECT CAST(row_number() OVER (ORDER BY abs(v) DESC, i) AS INTEGER) AS rank,
+       CAST(i AS INTEGER) AS dim,
+       v AS loading_micro,
+       share_ppm
+FROM vf, share
+ORDER BY abs(v) DESC, i
+LIMIT 8
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -7527,6 +7706,7 @@ QUERIES = {
     "q260_isotonic_calibration": q260_isotonic_calibration,
     "q261_good_turing": q261_good_turing,
     "q262_length_bucket_padding": q262_length_bucket_padding,
+    "q263_pca_power_iteration": q263_pca_power_iteration,
 }
 
 ORACLES = {
@@ -7640,4 +7820,5 @@ ORACLES = {
     "q260_isotonic_calibration": _q260_sql(),
     "q261_good_turing": _Q261_SQL,
     "q262_length_bucket_padding": _Q262_SQL,
+    "q263_pca_power_iteration": _q263_sql(),
 }

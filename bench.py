@@ -275,6 +275,7 @@ HEADLINE = [
     "q260_isotonic_calibration",
     "q261_good_turing",
     "q262_length_bucket_padding",
+    "q263_pca_power_iteration",
 ]
 
 

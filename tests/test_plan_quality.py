@@ -3126,3 +3126,52 @@ def test_q262_padding_hand_computed(spark, tmp_path, qs):
         512:  (1, 300, 300, 0, 512, (300 * 10**6) // 512),
         2048: (1, 3000, 2048, 952, 2048, (2048 * 10**6) // 2048),
     }
+
+
+def test_q263_pca_vs_numpy(spark, tmp_path, qs):
+    """30 deterministic 6-dim vectors with a dominant direction along
+    (2, 1, 0, 0, 0, 0)-ish; the integer power iteration's top component
+    must align with numpy's exact top eigenvector (|cosine| > 0.999)
+    and the explained share must be within 1% of the exact ratio."""
+    import numpy as np
+    from pyspark.sql.types import (ArrayType, FloatType, IntegerType,
+                                   LongType, StructField, StructType)
+
+    rng = [((i * 37 + 11) % 21 - 10) / 10.0 for i in range(180)]
+    base = np.array([2.0, 1.0, 0.0, 0.0, 0.0, 0.0])
+    vecs = []
+    for r in range(30):
+        t = (r - 15) / 5.0
+        noise = np.array(rng[r * 6:(r + 1) * 6]) * 0.15
+        vecs.append((t * base + noise).astype("float32"))
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)], schema
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    rows = qs["q263_pca_power_iteration"](spark, str(tmp_path)).collect()
+    assert len(rows) == 6  # top-8 capped at d=6
+    assert rows[0].rank == 1
+
+    X = np.array([v.astype("float64") for v in vecs])
+    C = np.cov(X, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(C)
+    top = evecs[:, -1]
+    share_exact = evals[-1] / evals.sum()
+
+    v = np.zeros(6)
+    for r in rows:
+        v[r.dim] = r.loading_micro
+    v = v / np.linalg.norm(v)
+    assert abs(float(np.dot(v, top))) > 0.999
+    assert rows[0].dim == int(np.argmax(np.abs(top)))
+    assert abs(rows[0].share_ppm / 1e6 - share_exact) < 0.01
+    # sign convention: the largest-|loading| dim is positive
+    assert rows[0].loading_micro > 0
+    # share is constant across rows
+    assert len({r.share_ppm for r in rows}) == 1
