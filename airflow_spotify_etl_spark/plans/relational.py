@@ -8970,6 +8970,140 @@ ORDER BY seg
 """
 
 
+def q264_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox disaggregation audit: conversion rate
+    (purchase / (purchase + view)) for cohort A (c_acctbal >= 0) vs
+    cohort B (c_acctbal < 0), pooled AND within every market segment —
+    the aggregation-bias check a dataset curator runs before trusting
+    a pooled A/B comparison. A segment `reverses` when its rate
+    direction contradicts the pooled direction.
+
+    Exactness: directions are sign(a_succ·b_tot − b_succ·a_tot) —
+    cross-multiplied BIGINT comparisons, never float division
+    (the q118/q121 flag discipline); rates surface only as display
+    columns via one rounded division each.
+
+    Shape at 100 TB: one events×customer broadcast-dim join, one
+    grouped pass to (segment, cohort) partials, a pivot of the
+    <=5-row-per-cohort relation, and a 1-row pooled broadcast."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select("user_id", "event_type")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") >= 0, F.lit("A")).otherwise(F.lit("B")).alias(
+            "cohort"
+        ),
+    )
+    base = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment", "cohort")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("succ"),
+            F.count("*").alias("tot"),
+        )
+    )
+    seg = (
+        base.groupBy("c_mktsegment")
+        .pivot("cohort", ["A", "B"])
+        .agg(
+            F.first("succ").alias("succ"),
+            F.first("tot").alias("tot"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.coalesce("A_succ", F.lit(0)).alias("a_succ"),
+            F.coalesce("A_tot", F.lit(0)).alias("a_tot"),
+            F.coalesce("B_succ", F.lit(0)).alias("b_succ"),
+            F.coalesce("B_tot", F.lit(0)).alias("b_tot"),
+        )
+    )
+    sgn = F.signum(
+        (F.col("a_succ") * F.col("b_tot") - F.col("b_succ") * F.col("a_tot"))
+        .cast("double")
+    ).cast("int")
+    pooled = (
+        seg.agg(
+            F.sum("a_succ").alias("pa_succ"),
+            F.sum("a_tot").alias("pa_tot"),
+            F.sum("b_succ").alias("pb_succ"),
+            F.sum("b_tot").alias("pb_tot"),
+        )
+        .select(
+            F.signum(
+                (
+                    F.col("pa_succ") * F.col("pb_tot")
+                    - F.col("pb_succ") * F.col("pa_tot")
+                ).cast("double")
+            )
+            .cast("int")
+            .alias("pooled_dir")
+        )
+    )
+    return (
+        seg.crossJoin(F.broadcast(pooled))
+        .select(
+            "segment",
+            "a_succ",
+            "a_tot",
+            "b_succ",
+            "b_tot",
+            F.when(
+                F.col("a_tot") > 0,
+                F.round(F.col("a_succ").cast("double") / F.col("a_tot"), 4),
+            ).otherwise(F.lit(0.0)).alias("a_rate"),
+            F.when(
+                F.col("b_tot") > 0,
+                F.round(F.col("b_succ").cast("double") / F.col("b_tot"), 4),
+            ).otherwise(F.lit(0.0)).alias("b_rate"),
+            sgn.alias("seg_dir"),
+            "pooled_dir",
+            (sgn * F.col("pooled_dir") < 0).alias("reverses"),
+        )
+        .orderBy("segment")
+    )
+
+
+_Q264_SQL = """
+WITH base AS (
+  SELECT c.c_mktsegment,
+         CASE WHEN c.c_acctbal >= 0 THEN 'A' ELSE 'B' END AS cohort,
+         CAST(sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS succ,
+         CAST(count(*) AS BIGINT) AS tot
+  FROM events e
+  JOIN customer c ON c.c_custkey = e.user_id
+  WHERE e.event_type IN ('purchase', 'view')
+  GROUP BY 1, 2
+), seg AS (
+  SELECT c_mktsegment AS segment,
+         CAST(coalesce(sum(CASE WHEN cohort = 'A' THEN succ END), 0) AS BIGINT) AS a_succ,
+         CAST(coalesce(sum(CASE WHEN cohort = 'A' THEN tot END), 0) AS BIGINT) AS a_tot,
+         CAST(coalesce(sum(CASE WHEN cohort = 'B' THEN succ END), 0) AS BIGINT) AS b_succ,
+         CAST(coalesce(sum(CASE WHEN cohort = 'B' THEN tot END), 0) AS BIGINT) AS b_tot
+  FROM base GROUP BY 1
+), pooled AS (
+  SELECT CAST(sign(sum(a_succ) * sum(b_tot) - sum(b_succ) * sum(a_tot))
+              AS INTEGER) AS pooled_dir
+  FROM seg
+)
+SELECT segment, a_succ, a_tot, b_succ, b_tot,
+       CASE WHEN a_tot > 0
+            THEN round(CAST(a_succ AS DOUBLE) / a_tot, 4) ELSE 0.0 END AS a_rate,
+       CASE WHEN b_tot > 0
+            THEN round(CAST(b_succ AS DOUBLE) / b_tot, 4) ELSE 0.0 END AS b_rate,
+       CAST(sign(a_succ * b_tot - b_succ * a_tot) AS INTEGER) AS seg_dir,
+       pooled_dir,
+       (CAST(sign(a_succ * b_tot - b_succ * a_tot) AS INTEGER) * pooled_dir < 0)
+         AS reverses
+FROM seg CROSS JOIN pooled
+ORDER BY segment
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -9102,6 +9236,7 @@ QUERIES = {
     "q251_poisson_bootstrap_ci": q251_poisson_bootstrap_ci,
     "q253_optimal_segmentation": q253_optimal_segmentation,
     "q255_robust_means": q255_robust_means,
+    "q264_simpson_audit": q264_simpson_audit,
 }
 
 ORACLES = {
@@ -9236,4 +9371,5 @@ ORACLES = {
     "q251_poisson_bootstrap_ci": _Q251_SQL,
     "q253_optimal_segmentation": _Q253_SQL,
     "q255_robust_means": _Q255_SQL,
+    "q264_simpson_audit": _Q264_SQL,
 }

@@ -276,6 +276,7 @@ HEADLINE = [
     "q261_good_turing",
     "q262_length_bucket_padding",
     "q263_pca_power_iteration",
+    "q264_simpson_audit",
 ]
 
 

@@ -3175,3 +3175,52 @@ def test_q263_pca_vs_numpy(spark, tmp_path, qs):
     assert rows[0].loading_micro > 0
     # share is constant across rows
     assert len({r.share_ppm for r in rows}) == 1
+
+
+def test_q264_simpson_classic_reversal(spark, tmp_path, qs):
+    """The textbook Simpson construction: cohort A beats B inside BOTH
+    segments, yet pooled B beats A because A's volume concentrates in
+    the low-rate segment. Both segment rows must flag reverses=True."""
+    import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    # SEG1 (low-rate): A 10/100 succ, B 1/20  -> A .10 > B .05
+    # SEG2 (high-rate): A 19/20 succ, B 90/100 -> A .95 > B .90
+    # pooled: A 29/120 (.24) < B 91/120 (.76) -> reversal in both segs
+    custs = [
+        (1, "a1", 0, 100.0, "SEG1"), (2, "a2", 0, 100.0, "SEG2"),
+        (3, "b1", 0, -50.0, "SEG1"), (4, "b2", 0, -50.0, "SEG2"),
+    ]
+    spark.createDataFrame(custs, SCHEMAS["customer"]).write.parquet(
+        str(tmp_path / "customer.parquet"))
+
+    ts = datetime.datetime(2024, 1, 1)
+    ev, eid = [], 0
+
+    def emit(user, succ, tot):
+        nonlocal eid, ev
+        for k in range(tot):
+            et = "purchase" if k < succ else "view"
+            ev.append((eid, ts, user, et, 1.0, "{}"))
+            eid += 1
+
+    emit(1, 10, 100)   # A in SEG1
+    emit(2, 19, 20)    # A in SEG2
+    emit(3, 1, 20)     # B in SEG1
+    emit(4, 90, 100)   # B in SEG2
+    # noise the join must drop: unknown user + excluded event type
+    ev.append((eid, ts, 99, "purchase", 1.0, "{}"))
+    ev.append((eid + 1, ts, 1, "error", 1.0, "{}"))
+    spark.createDataFrame(ev, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet"))
+
+    got = {r.segment: r for r in
+           qs["q264_simpson_audit"](spark, str(tmp_path)).collect()}
+    s1, s2 = got["SEG1"], got["SEG2"]
+    assert (s1.a_succ, s1.a_tot, s1.b_succ, s1.b_tot) == (10, 100, 1, 20)
+    assert (s2.a_succ, s2.a_tot, s2.b_succ, s2.b_tot) == (19, 20, 90, 100)
+    assert s1.seg_dir == 1 and s2.seg_dir == 1      # A wins in both
+    assert s1.pooled_dir == -1                       # B wins pooled
+    assert s1.reverses and s2.reverses
+    assert (s1.a_rate, s1.b_rate) == (0.1, 0.05)
