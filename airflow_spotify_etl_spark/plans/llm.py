@@ -7595,6 +7595,97 @@ LIMIT 8
 """
 
 
+def q265_calibration_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration scorecard for the q104 quality classifier vs the q58
+    keep pseudo-labels: Expected Calibration Error, Maximum Calibration
+    Error (10 decile bins, the q172 binning) and the Brier score — the
+    three numbers a model-quality dashboard tracks per release, here as
+    one exact row.
+
+    All-integer derivations: per-bin gap |k_b·1e4 − ssum_b| makes
+    ECE = Σgap·1e6 div (N·1e4) and MCE = max_b (gap_b·1e6 div
+    (n_b·1e4)); Brier = Σ(si − y·1e4)²·1e6 div (N·1e8). No float ever
+    sums across rows.
+
+    Shape at 100 TB: one score+label join (both sides hash-partitioned
+    corpus scans) and one grouped pass into <=10 bins; the scorecard
+    reduction is a 10-row aggregate."""
+    from ..operators.text import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = hashed_linear_score(docs, n_buckets=4096).select("doc_id", "score")
+    labels = q58_gopher_quality_flags(spark, sf_dir).select("doc_id", "keep")
+    e = scores.join(labels, "doc_id").select(
+        F.expr("CAST(round(score * 10000) AS BIGINT)").alias("si"),
+        F.col("keep").cast("long").alias("y"),
+    )
+    binned = (
+        e.select(
+            F.least(F.greatest(F.expr("si div 1000"), F.lit(0)), F.lit(9))
+            .cast("int")
+            .alias("bin"),
+            "si",
+            "y",
+            ((F.col("si") - F.col("y") * 10000)
+             * (F.col("si") - F.col("y") * 10000)).alias("sqerr"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("y").alias("k"),
+            F.sum("si").alias("ssum"),
+            F.sum("sqerr").alias("sq"),
+        )
+        .select(
+            "n",
+            "sq",
+            F.abs(F.col("k") * 10000 - F.col("ssum")).alias("gap"),
+            F.expr(
+                "(abs(k * 10000 - ssum) * 1000000L) div (n * 10000L)"
+            ).alias("bin_mce_ppm"),
+        )
+    )
+    return binned.agg(
+        F.sum("n").alias("n_docs"),
+        F.expr(
+            "(sum(gap) * 1000000L) div (sum(n) * 10000L)"
+        ).alias("ece_ppm"),
+        F.max("bin_mce_ppm").alias("mce_ppm"),
+        F.expr(
+            "(sum(sq) * 1000000L) div (sum(n) * 100000000L)"
+        ).alias("brier_ppm"),
+    )
+
+
+def _q265_sql() -> str:
+    return f"""
+WITH scores AS (
+  SELECT doc_id, score FROM ({_Q104_SQL}) s
+), labels AS (
+  SELECT doc_id, keep FROM ({_Q58_SQL}) l
+), e AS (
+  SELECT CAST(round(s.score * 10000) AS BIGINT) AS si,
+         CAST(CASE WHEN l.keep THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM scores s JOIN labels l USING (doc_id)
+), binned AS (
+  SELECT CAST(least(greatest(si // 1000, 0), 9) AS INTEGER) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS k,
+         CAST(sum(si) AS BIGINT) AS ssum,
+         CAST(sum((si - y * 10000) * (si - y * 10000)) AS BIGINT) AS sq
+  FROM e GROUP BY 1
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST((sum(abs(k * 10000 - ssum)) * 1000000)
+            // (sum(n) * 10000) AS BIGINT) AS ece_ppm,
+       CAST(max((abs(k * 10000 - ssum) * 1000000) // (n * 10000))
+            AS BIGINT) AS mce_ppm,
+       CAST((sum(sq) * 1000000) // (sum(n) * 100000000) AS BIGINT)
+         AS brier_ppm
+FROM binned
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -7707,6 +7798,7 @@ QUERIES = {
     "q261_good_turing": q261_good_turing,
     "q262_length_bucket_padding": q262_length_bucket_padding,
     "q263_pca_power_iteration": q263_pca_power_iteration,
+    "q265_calibration_scorecard": q265_calibration_scorecard,
 }
 
 ORACLES = {
@@ -7821,4 +7913,5 @@ ORACLES = {
     "q261_good_turing": _Q261_SQL,
     "q262_length_bucket_padding": _Q262_SQL,
     "q263_pca_power_iteration": _q263_sql(),
+    "q265_calibration_scorecard": _q265_sql(),
 }

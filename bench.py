@@ -277,6 +277,7 @@ HEADLINE = [
     "q262_length_bucket_padding",
     "q263_pca_power_iteration",
     "q264_simpson_audit",
+    "q265_calibration_scorecard",
 ]
 
 

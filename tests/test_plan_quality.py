@@ -3224,3 +3224,44 @@ def test_q264_simpson_classic_reversal(spark, tmp_path, qs):
     assert s1.pooled_dir == -1                       # B wins pooled
     assert s1.reverses and s2.reverses
     assert (s1.a_rate, s1.b_rate) == (0.1, 0.05)
+
+
+def test_q265_scorecard_python_mirror(spark, sf_dir, qs):
+    """Recompute ECE/MCE/Brier in Python from the engine's own raw
+    (si, y) pairs at sf0.001 — independently re-deriving the binned
+    integer reductions — and require exact equality."""
+    import pyspark.sql.functions as F
+    from airflow_spotify_etl_spark.operators.text import hashed_linear_score
+    from airflow_spotify_etl_spark.plans.llm import q58_gopher_quality_flags
+    from airflow_spotify_etl_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = hashed_linear_score(docs, n_buckets=4096).select("doc_id", "score")
+    labels = q58_gopher_quality_flags(spark, sf_dir).select("doc_id", "keep")
+    pairs = [
+        (int(r.si), int(r.y))
+        for r in scores.join(labels, "doc_id")
+        .select(
+            F.expr("CAST(round(score * 10000) AS BIGINT)").alias("si"),
+            F.col("keep").cast("long").alias("y"),
+        )
+        .collect()
+    ]
+    assert pairs
+    bins = {}
+    for si, y in pairs:
+        b = min(max(si // 1000, 0), 9)
+        n, k, ssum, sq = bins.get(b, (0, 0, 0, 0))
+        bins[b] = (n + 1, k + y, ssum + si, sq + (si - y * 10000) ** 2)
+    N = sum(v[0] for v in bins.values())
+    gap_sum = sum(abs(k * 10000 - ssum) for _, k, ssum, _ in bins.values())
+    ece = (gap_sum * 10**6) // (N * 10**4)
+    mce = max(
+        (abs(k * 10000 - ssum) * 10**6) // (n * 10**4)
+        for n, k, ssum, _ in bins.values()
+    )
+    brier = (sum(v[3] for v in bins.values()) * 10**6) // (N * 10**8)
+
+    row = qs["q265_calibration_scorecard"](spark, sf_dir).collect()[0]
+    assert (row.n_docs, row.ece_ppm, row.mce_ppm, row.brier_ppm) == (
+        N, ece, mce, brier)
