@@ -710,3 +710,103 @@ LIMIT 50
 
 QUERIES["q246_frequent_triples"] = q246_frequent_triples
 ORACLES["q246_frequent_triples"] = _Q246_SQL
+
+
+def q266_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: undirected co-occurrence graph over
+    adjacent document tokens (both >= 5 chars, no self-loops; each
+    adjacency contributes an edge in BOTH directions so the damped walk
+    is symmetric), ranked by the same 5-iteration weighted PageRank as
+    q57 (operators/graph.pagerank — dst-partitioned edges, broadcast
+    node-sized ranks, zero mid-loop driver round-trips); top 15.
+
+    Adjacency comes straight off the split array with the guarded
+    sequence (Spark sequence(1,0) is DESCENDING — the q139 lesson), so
+    both engines pair the IDENTICAL raw arrays before the length
+    filter."""
+    from ..operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(lower(text), '\\\\s+')) >= 2 THEN"
+                " transform(sequence(1, size(split(lower(text), '\\\\s+')) - 1),"
+                "  i -> struct(element_at(split(lower(text), '\\\\s+'), i) AS a,"
+                "              element_at(split(lower(text), '\\\\s+'), i + 1) AS b))"
+                " ELSE CAST(array() AS array<struct<a:string,b:string>>) END"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").filter(
+        (F.length("a") >= 5) & (F.length("b") >= 5) & (F.col("a") != F.col("b"))
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    ranked = pagerank(edges, "src", "dst", damping=_DAMPING, iters=_ITERS)
+    return (
+        ranked.select(F.col("node").alias("token"), "rank")
+        .orderBy(F.col("rank").desc(), "token")
+        .limit(15)
+    )
+
+
+def _q266_sql(damping: float = _DAMPING, iters: int = _ITERS) -> str:
+    parts = [
+        r"""
+WITH arrs AS (
+  SELECT string_split_regex(lower(text), '\s+') AS arr FROM documents
+), rawpairs AS (
+  SELECT arr[i] AS a, arr[i + 1] AS b
+  FROM arrs, LATERAL (SELECT unnest(range(1, len(arr))) AS i)
+), pairs AS (
+  SELECT a, b FROM rawpairs
+  WHERE length(a) >= 5 AND length(b) >= 5 AND a <> b
+), dir AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+), e AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM dir GROUP BY src, dst
+), outw AS MATERIALIZED (
+  SELECT src, sum(w) AS out_w FROM e GROUP BY src
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+), nn AS MATERIALIZED (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+), r0 AS MATERIALIZED (
+  SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", d{i} AS MATERIALIZED (
+  SELECT coalesce(sum(rank), 0.0) AS dm
+  FROM r{i} WHERE node NOT IN (SELECT src FROM outw)
+), r{i + 1} AS MATERIALIZED (
+  SELECT nd.node,
+         (1 - {damping}) / (SELECT n FROM nn)
+         + {damping} * (coalesce(inf.s, 0.0)
+                        + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank * e.w / o.out_w) AS s
+    FROM e
+    JOIN r{i} r ON e.src = r.node
+    JOIN outw o ON o.src = e.src
+    GROUP BY e.dst
+  ) inf ON nd.node = inf.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node AS token, round(rank, 6) AS rank FROM r{iters}
+ORDER BY round(rank, 6) DESC, node
+LIMIT 15
+"""
+    )
+    return "".join(parts)
+
+
+QUERIES["q266_textrank_keywords"] = q266_textrank_keywords
+ORACLES["q266_textrank_keywords"] = _q266_sql()

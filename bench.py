@@ -278,6 +278,7 @@ HEADLINE = [
     "q263_pca_power_iteration",
     "q264_simpson_audit",
     "q265_calibration_scorecard",
+    "q266_textrank_keywords",
 ]
 
 

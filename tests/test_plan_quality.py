@@ -3265,3 +3265,54 @@ def test_q265_scorecard_python_mirror(spark, sf_dir, qs):
     row = qs["q265_calibration_scorecard"](spark, sf_dir).collect()[0]
     assert (row.n_docs, row.ece_ppm, row.mce_ppm, row.brier_ppm) == (
         N, ece, mce, brier)
+
+
+def test_q266_textrank_python_mirror(spark, tmp_path, qs):
+    """Tiny engineered corpus; the full TextRank — adjacency pairing,
+    length>=5 filter, bidirectional weighted edges, 5 damped
+    iterations with dangling redistribution — is mirrored in Python
+    floats and must match token-for-token at round-6."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    texts = {
+        1: "alpha1 bravo2 alpha1 bravo2 alpha1",
+        2: "bravo2 charlie3 delta4 charlie3",
+        3: "delta4 echo5 x y z",          # short tokens x,y,z drop out
+        4: "solo5",                        # no pairs
+    }
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet"))
+
+    # mirror: pairs over the raw split arrays
+    import re
+    w = {}
+    for t in texts.values():
+        arr = re.split(r"\s+", t.lower())
+        for i in range(len(arr) - 1):
+            a, b = arr[i], arr[i + 1]
+            if len(a) >= 5 and len(b) >= 5 and a != b:
+                w[(a, b)] = w.get((a, b), 0) + 1
+                w[(b, a)] = w.get((b, a), 0) + 1
+    nodes = sorted({x for e in w for x in e})
+    n = len(nodes)
+    outw = {}
+    for (a, _b), c in w.items():
+        outw[a] = outw.get(a, 0) + c
+    rank = {v: 1.0 / n for v in nodes}
+    d = 0.85
+    for _ in range(5):
+        dang = sum(rank[v] for v in nodes if v not in outw)
+        inf = {v: 0.0 for v in nodes}
+        for (a, b), c in w.items():
+            inf[b] += rank[a] * c / outw[a]
+        rank = {v: (1 - d) / n + d * (inf[v] + dang / n) for v in nodes}
+    expect = sorted(
+        ((t, round(r, 6)) for t, r in rank.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:15]
+
+    got = [(r.token, r.rank) for r in
+           qs["q266_textrank_keywords"](spark, str(tmp_path)).collect()]
+    assert got == expect
+    assert "solo5" not in {t for t, _ in got}  # pairless doc contributes nothing
