@@ -9104,6 +9104,166 @@ ORDER BY segment
 """
 
 
+def q267_chow_break_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break test at the midpoint of the daily
+    event-count series: fit y = a + b·t by OLS on the full series and
+    on each half, F = ((SSE_p − SSE_1 − SSE_2)/k) / ((SSE_1+SSE_2)/
+    (n−2k)), k=2 — the regression-based complement to the rank-based
+    Pettitt (q238) and CUSUM (q190) changepoint detectors.
+
+    Exactness: all regression moments (Σt, Σy, Σt², Σty, Σy²) are
+    exact BIGINTs on the calendar-bounded series; each SSE is the
+    single deterministic double chain (C − A²/B)/n over those integers
+    (every intermediate < 2^53, so the doubles are exact), and F is
+    one more deterministic chain — the q248 discipline.
+
+    Shape at 100 TB: one corpus groupBy to daily counts; everything
+    after runs on the calendar-bounded (≤ a few thousand rows) series,
+    with the midpoint as a 1-row broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("c")
+    )
+    mm = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = mm.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    series = cal.join(daily, "d", "left").select(
+        "d", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w = W.orderBy("d")
+    idx = series.select(
+        F.row_number().over(w).alias("t"), F.col("c").cast("long").alias("y")
+    )
+    nrow = idx.agg((F.max("t").cast("long")).alias("n"))
+    seg = (
+        idx.crossJoin(F.broadcast(nrow))
+        .select(
+            F.when(F.col("t") <= F.expr("n div 2"), F.lit(1))
+            .otherwise(F.lit(2))
+            .alias("seg"),
+            F.col("t").cast("long").alias("t"),
+            "y",
+        )
+        .groupBy("seg")
+        .agg(
+            F.count("*").alias("m"),
+            F.sum("t").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("t * t")).alias("sxx"),
+            F.sum(F.expr("t * y")).alias("sxy"),
+            F.sum(F.expr("y * y")).alias("syy"),
+        )
+        .persist()
+    )
+    sse = (
+        "(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy"
+        " - (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " * (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))"
+        " / CAST(m AS DOUBLE)"
+    )
+    per = seg.select("seg", F.expr(sse).alias("sse"), "m")
+    pooled = (
+        seg.agg(
+            F.sum("m").alias("m"),
+            F.sum("sx").alias("sx"),
+            F.sum("sy").alias("sy"),
+            F.sum("sxx").alias("sxx"),
+            F.sum("sxy").alias("sxy"),
+            F.sum("syy").alias("syy"),
+        )
+        .select(F.expr(sse).alias("sse_p"), F.col("m").alias("n"))
+    )
+    halves = (
+        per.groupBy()
+        .pivot("seg", [1, 2])
+        .agg(F.first("sse"))
+        .select(F.col("1").alias("sse_1"), F.col("2").alias("sse_2"))
+    )
+    return (
+        halves.crossJoin(F.broadcast(pooled))
+        .select(
+            F.col("n"),
+            F.expr("n div 2").alias("break_t"),
+            F.round("sse_p", 4).alias("sse_pooled"),
+            F.round("sse_1", 4).alias("sse_1"),
+            F.round("sse_2", 4).alias("sse_2"),
+            F.round(
+                F.expr(
+                    "CASE WHEN sse_1 + sse_2 > 0 THEN"
+                    " ((sse_p - sse_1 - sse_2) / 2.0e0)"
+                    " / ((sse_1 + sse_2) / CAST(n - 4 AS DOUBLE))"
+                    " ELSE CAST(NULL AS DOUBLE) END"
+                ),
+                4,
+            ).alias("f_stat"),
+        )
+    )
+
+
+_Q267_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS c FROM events GROUP BY 1
+), mm AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM daily
+), cal AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM mm
+), series AS (
+  SELECT cal.d, coalesce(daily.c, 0) AS c
+  FROM cal LEFT JOIN daily ON cal.d = daily.d
+), idx AS (
+  SELECT row_number() OVER (ORDER BY d) AS t, CAST(c AS BIGINT) AS y
+  FROM series
+), nn AS (
+  SELECT CAST(max(t) AS BIGINT) AS n FROM idx
+), seg AS (
+  SELECT CASE WHEN t <= (SELECT n FROM nn) // 2 THEN 1 ELSE 2 END AS seg,
+         CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(t) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(t * t) AS BIGINT) AS sxx,
+         CAST(sum(t * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM idx GROUP BY 1
+), per AS (
+  SELECT seg,
+         (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy
+          - (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          * (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+         / CAST(m AS DOUBLE) AS sse
+  FROM seg
+), pooled AS (
+  SELECT (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy
+          - (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          * (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+         / CAST(m AS DOUBLE) AS sse_p,
+         m AS n
+  FROM (
+    SELECT CAST(sum(m) AS BIGINT) AS m, CAST(sum(sx) AS BIGINT) AS sx,
+           CAST(sum(sy) AS BIGINT) AS sy, CAST(sum(sxx) AS BIGINT) AS sxx,
+           CAST(sum(sxy) AS BIGINT) AS sxy, CAST(sum(syy) AS BIGINT) AS syy
+    FROM seg
+  )
+), halves AS (
+  SELECT max(CASE WHEN seg = 1 THEN sse END) AS sse_1,
+         max(CASE WHEN seg = 2 THEN sse END) AS sse_2
+  FROM per
+)
+SELECT n, n // 2 AS break_t,
+       round(sse_p, 4) AS sse_pooled,
+       round(sse_1, 4) AS sse_1,
+       round(sse_2, 4) AS sse_2,
+       round(CASE WHEN sse_1 + sse_2 > 0 THEN
+               ((sse_p - sse_1 - sse_2) / 2.0e0)
+               / ((sse_1 + sse_2) / CAST(n - 4 AS DOUBLE))
+             ELSE CAST(NULL AS DOUBLE) END, 4) AS f_stat
+FROM halves CROSS JOIN pooled
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -9237,6 +9397,7 @@ QUERIES = {
     "q253_optimal_segmentation": q253_optimal_segmentation,
     "q255_robust_means": q255_robust_means,
     "q264_simpson_audit": q264_simpson_audit,
+    "q267_chow_break_test": q267_chow_break_test,
 }
 
 ORACLES = {
@@ -9372,4 +9533,5 @@ ORACLES = {
     "q253_optimal_segmentation": _Q253_SQL,
     "q255_robust_means": _Q255_SQL,
     "q264_simpson_audit": _Q264_SQL,
+    "q267_chow_break_test": _Q267_SQL,
 }

@@ -279,6 +279,7 @@ HEADLINE = [
     "q264_simpson_audit",
     "q265_calibration_scorecard",
     "q266_textrank_keywords",
+    "q267_chow_break_test",
 ]
 
 

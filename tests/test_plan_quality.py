@@ -3316,3 +3316,44 @@ def test_q266_textrank_python_mirror(spark, tmp_path, qs):
            qs["q266_textrank_keywords"](spark, str(tmp_path)).collect()]
     assert got == expect
     assert "solo5" not in {t for t, _ in got}  # pairless doc contributes nothing
+
+
+def test_q267_chow_vs_numpy(spark, tmp_path, qs):
+    """10 days with a hard level+slope break at the midpoint; the F
+    statistic must match a numpy lstsq reference to 4 decimals and be
+    large; also checks the pooled-SSE decomposition signs."""
+    import datetime
+
+    import numpy as np
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    counts = [10, 13, 14, 17, 18, 118, 115, 114, 111, 110]
+    rows, eid = [], 0
+    for day, c in enumerate(counts):
+        ts = datetime.datetime(2024, 3, 1 + day, 12, 0, 0)
+        for _ in range(c):
+            rows.append((eid, ts, 1, "view", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet"))
+
+    def sse(ts_, ys_):
+        A = np.vstack([np.ones(len(ts_)), ts_]).T
+        coef, res, *_ = np.linalg.lstsq(A, np.array(ys_, dtype=float),
+                                        rcond=None)
+        pred = A @ coef
+        return float(((np.array(ys_, dtype=float) - pred) ** 2).sum())
+
+    t = list(range(1, 11))
+    n, m = 10, 5
+    s_p = sse(t, counts)
+    s_1 = sse(t[:m], counts[:m])
+    s_2 = sse(t[m:], counts[m:])
+    f_ref = ((s_p - s_1 - s_2) / 2.0) / ((s_1 + s_2) / (n - 4))
+
+    r = qs["q267_chow_break_test"](spark, str(tmp_path)).collect()[0]
+    assert (r.n, r.break_t) == (10, 5)
+    assert abs(r.sse_pooled - round(s_p, 4)) < 1e-3
+    assert abs(r.sse_1 - round(s_1, 4)) < 1e-3
+    assert abs(r.sse_2 - round(s_2, 4)) < 1e-3
+    assert abs(r.f_stat - f_ref) < 0.01 and r.f_stat > 100.0
