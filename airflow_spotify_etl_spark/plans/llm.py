@@ -7686,6 +7686,98 @@ FROM binned
 """
 
 
+def q268_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage test for a monotone trend of the q58 keep rate
+    across the 10 ordered q104 score deciles — the inferential
+    complement to the reliability table (q172) and the isotonic fit
+    (q260): does keep-probability actually TREND with the classifier
+    score, or is the calibration table noise?
+
+    With decile weights w_i = i, the statistic uses only exact BIGINT
+    moments (N, K, Σw·n, Σw·k, Σw²·n):
+      z = (Σwk − K·Σwn/N) / sqrt(K(N−K)/(N(N−1)) · (Σw²n − (Σwn)²/N))
+    computed as ONE deterministic double chain over those integers
+    (every intermediate < 2^53) — the q248/q267 discipline.
+
+    Shape at 100 TB: the q104/q58 corpus joins feed one grouped pass
+    into <=10 bins; the test statistic is a 10-row reduction."""
+    from ..operators.text import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = hashed_linear_score(docs, n_buckets=4096).select("doc_id", "score")
+    labels = q58_gopher_quality_flags(spark, sf_dir).select("doc_id", "keep")
+    e = scores.join(labels, "doc_id").select(
+        F.least(
+            F.greatest(F.expr("CAST(round(score * 10000) AS BIGINT) div 1000"),
+                       F.lit(0)),
+            F.lit(9),
+        ).alias("w"),
+        F.col("keep").cast("long").alias("y"),
+    )
+    bins = e.groupBy("w").agg(
+        F.count("*").alias("n"), F.sum("y").alias("k")
+    )
+    mom = bins.agg(
+        F.sum("n").alias("nn"),
+        F.sum("k").alias("kk"),
+        F.sum(F.expr("w * n")).alias("swn"),
+        F.sum(F.expr("w * k")).alias("swk"),
+        F.sum(F.expr("w * w * n")).alias("swwn"),
+    )
+    chain = (
+        "(CAST(swk AS DOUBLE) - CAST(kk AS DOUBLE) * swn / nn)"
+        " / sqrt(CAST(kk AS DOUBLE) * (CAST(nn AS DOUBLE) - kk)"
+        "        / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0e0))"
+        "        * (CAST(swwn AS DOUBLE)"
+        "           - CAST(swn AS DOUBLE) * swn / nn))"
+    )
+    return mom.select(
+        F.col("nn").alias("n_docs"),
+        F.col("kk").alias("n_keep"),
+        "swn",
+        "swk",
+        "swwn",
+        F.round(F.expr(chain), 4).alias("z_trend"),
+        F.round(F.expr(f"({chain}) * ({chain})"), 4).alias("chi2_1df"),
+    )
+
+
+def _q268_sql() -> str:
+    chain = (
+        "(CAST(swk AS DOUBLE) - CAST(kk AS DOUBLE) * swn / nn)"
+        " / sqrt(CAST(kk AS DOUBLE) * (CAST(nn AS DOUBLE) - kk)"
+        "        / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0e0))"
+        "        * (CAST(swwn AS DOUBLE)"
+        "           - CAST(swn AS DOUBLE) * swn / nn))"
+    )
+    return f"""
+WITH scores AS (
+  SELECT doc_id, score FROM ({_Q104_SQL}) s
+), labels AS (
+  SELECT doc_id, keep FROM ({_Q58_SQL}) l
+), e AS (
+  SELECT least(greatest(CAST(round(s.score * 10000) AS BIGINT) // 1000, 0), 9)
+           AS w,
+         CAST(CASE WHEN l.keep THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM scores s JOIN labels l USING (doc_id)
+), bins AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS k
+  FROM e GROUP BY w
+), mom AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(k) AS BIGINT) AS kk,
+         CAST(sum(w * n) AS BIGINT) AS swn,
+         CAST(sum(w * k) AS BIGINT) AS swk,
+         CAST(sum(w * w * n) AS BIGINT) AS swwn
+  FROM bins
+)
+SELECT nn AS n_docs, kk AS n_keep, swn, swk, swwn,
+       round({chain}, 4) AS z_trend,
+       round(({chain}) * ({chain}), 4) AS chi2_1df
+FROM mom
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -7799,6 +7891,7 @@ QUERIES = {
     "q262_length_bucket_padding": q262_length_bucket_padding,
     "q263_pca_power_iteration": q263_pca_power_iteration,
     "q265_calibration_scorecard": q265_calibration_scorecard,
+    "q268_cochran_armitage_trend": q268_cochran_armitage_trend,
 }
 
 ORACLES = {
@@ -7914,4 +8007,5 @@ ORACLES = {
     "q262_length_bucket_padding": _Q262_SQL,
     "q263_pca_power_iteration": _q263_sql(),
     "q265_calibration_scorecard": _q265_sql(),
+    "q268_cochran_armitage_trend": _q268_sql(),
 }

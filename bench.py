@@ -280,6 +280,7 @@ HEADLINE = [
     "q265_calibration_scorecard",
     "q266_textrank_keywords",
     "q267_chow_break_test",
+    "q268_cochran_armitage_trend",
 ]
 
 

@@ -3357,3 +3357,47 @@ def test_q267_chow_vs_numpy(spark, tmp_path, qs):
     assert abs(r.sse_1 - round(s_1, 4)) < 1e-3
     assert abs(r.sse_2 - round(s_2, 4)) < 1e-3
     assert abs(r.f_stat - f_ref) < 0.01 and r.f_stat > 100.0
+
+
+def test_q268_cochran_armitage_mirror(spark, sf_dir, qs):
+    """Recompute the CA trend z from the engine's raw decile table in
+    Python (scipy-textbook formula) and require 4-decimal equality
+    on both z and its chi-square."""
+    import math
+
+    import pyspark.sql.functions as F
+    from airflow_spotify_etl_spark.operators.text import hashed_linear_score
+    from airflow_spotify_etl_spark.plans.llm import q58_gopher_quality_flags
+    from airflow_spotify_etl_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = hashed_linear_score(docs, n_buckets=4096).select("doc_id", "score")
+    labels = q58_gopher_quality_flags(spark, sf_dir).select("doc_id", "keep")
+    pairs = [
+        (int(r.w), int(r.y))
+        for r in scores.join(labels, "doc_id")
+        .select(
+            F.least(
+                F.greatest(
+                    F.expr("CAST(round(score * 10000) AS BIGINT) div 1000"),
+                    F.lit(0),
+                ),
+                F.lit(9),
+            ).alias("w"),
+            F.col("keep").cast("long").alias("y"),
+        )
+        .collect()
+    ]
+    N = len(pairs)
+    K = sum(y for _, y in pairs)
+    swn = sum(w for w, _ in pairs)
+    swk = sum(w for w, y in pairs if y)
+    swwn = sum(w * w for w, _ in pairs)
+    z = (swk - K * swn / N) / math.sqrt(
+        K * (N - K) / (N * (N - 1.0)) * (swwn - swn * swn / N)
+    )
+    row = qs["q268_cochran_armitage_trend"](spark, sf_dir).collect()[0]
+    assert (row.n_docs, row.n_keep, row.swn, row.swk, row.swwn) == (
+        N, K, swn, swk, swwn)
+    assert abs(row.z_trend - round(z, 4)) < 1e-3
+    assert abs(row.chi2_1df - round(z * z, 4)) < 1e-3
