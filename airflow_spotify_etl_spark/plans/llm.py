@@ -7778,6 +7778,158 @@ FROM mom
 """
 
 
+def q269_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect-size suite for the src0-vs-src1 document-length
+    comparison: Cliff's delta (the nonparametric dominance effect the
+    Mann-Whitney test (q187) sizes), Cohen's d and Hedges' g — the
+    practical-significance companions to the suite's p-value tests.
+
+    Exactness: Cliff's concordance counts come from value-multiplicity
+    tables — gt = Σ_v cx(v)·(#y < v) via ONE cumulative window over the
+    bounded value domain (never an n1×n2 pair join); lt is derived as
+    n1·n2 − gt − ties. delta_ppm is sign-split integer division (both
+    engines floor NONNEGATIVE operands only). d and g are single
+    deterministic double chains over exact moments.
+
+    Shape at 100 TB: two pushed source filters, grouped counts over the
+    bounded length domain, one window + one join on that domain."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("source").isin("src0", "src1")).select(
+        "source", F.col("n_chars").cast("long").alias("v")
+    )
+    cx = base.filter(F.col("source") == "src0").groupBy("v").agg(
+        F.count("*").alias("cx")
+    )
+    cy = base.filter(F.col("source") == "src1").groupBy("v").agg(
+        F.count("*").alias("cy")
+    )
+    dom = (
+        cx.select("v")
+        .unionByName(cy.select("v"))
+        .distinct()
+        .join(cx, "v", "left")
+        .join(cy, "v", "left")
+        .select(
+            "v",
+            F.coalesce("cx", F.lit(0)).alias("cx"),
+            F.coalesce("cy", F.lit(0)).alias("cy"),
+        )
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    cum = dom.select(
+        "v",
+        "cx",
+        "cy",
+        F.coalesce(F.sum("cy").over(w), F.lit(0)).alias("y_below"),
+    )
+    conc = cum.agg(
+        F.sum(F.expr("cx * y_below")).alias("gt"),
+        F.sum(F.expr("cx * cy")).alias("ties"),
+    )
+    mom = base.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.expr("v * v")).alias("ss"),
+    )
+    piv = (
+        mom.groupBy()
+        .pivot("source", ["src0", "src1"])
+        .agg(F.first("n").alias("n"), F.first("s").alias("s"),
+             F.first("ss").alias("ss"))
+        .select(
+            F.col("src0_n").alias("n1"), F.col("src0_s").alias("s1"),
+            F.col("src0_ss").alias("ss1"),
+            F.col("src1_n").alias("n2"), F.col("src1_s").alias("s2"),
+            F.col("src1_ss").alias("ss2"),
+        )
+    )
+    d_chain = (
+        "(CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)"
+        " / sqrt(((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)"
+        "         + (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2))"
+        "        / (CAST(n1 AS DOUBLE) + n2 - 2.0e0))"
+    )
+    return (
+        piv.crossJoin(F.broadcast(conc))
+        .select(
+            "n1",
+            "n2",
+            "gt",
+            F.expr("n1 * n2 - gt - ties").alias("lt"),
+            "ties",
+            F.expr(
+                "CASE WHEN gt >= n1 * n2 - gt - ties THEN"
+                " ((gt - (n1 * n2 - gt - ties)) * 1000000L) div (n1 * n2)"
+                " ELSE -((((n1 * n2 - gt - ties) - gt) * 1000000L)"
+                "        div (n1 * n2)) END"
+            ).alias("cliffs_delta_ppm"),
+            F.round(F.expr(d_chain), 4).alias("cohens_d"),
+            F.round(
+                F.expr(
+                    f"({d_chain}) * (1.0e0 - 3.0e0"
+                    " / (4.0e0 * (CAST(n1 AS DOUBLE) + n2) - 9.0e0))"
+                ),
+                4,
+            ).alias("hedges_g"),
+        )
+    )
+
+
+_Q269_SQL = """
+WITH base AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+  WHERE source IN ('src0', 'src1')
+), cx AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS cx FROM base
+  WHERE source = 'src0' GROUP BY v
+), cy AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS cy FROM base
+  WHERE source = 'src1' GROUP BY v
+), dom AS (
+  SELECT d.v, coalesce(cx.cx, 0) AS cx, coalesce(cy.cy, 0) AS cy
+  FROM (SELECT DISTINCT v FROM (SELECT v FROM cx UNION ALL SELECT v FROM cy)) d
+  LEFT JOIN cx ON cx.v = d.v
+  LEFT JOIN cy ON cy.v = d.v
+), cum AS (
+  SELECT v, cx, cy,
+         coalesce(sum(cy) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS y_below
+  FROM dom
+), conc AS (
+  SELECT CAST(sum(cx * y_below) AS BIGINT) AS gt,
+         CAST(sum(cx * cy) AS BIGINT) AS ties
+  FROM cum
+), mom AS (
+  SELECT
+    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN source = 'src0' THEN v ELSE 0 END) AS BIGINT) AS s1,
+    CAST(sum(CASE WHEN source = 'src0' THEN v * v ELSE 0 END) AS BIGINT) AS ss1,
+    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(sum(CASE WHEN source = 'src1' THEN v ELSE 0 END) AS BIGINT) AS s2,
+    CAST(sum(CASE WHEN source = 'src1' THEN v * v ELSE 0 END) AS BIGINT) AS ss2
+  FROM base
+)
+SELECT n1, n2, gt,
+       CAST(n1 * n2 - gt - ties AS BIGINT) AS lt,
+       ties,
+       CAST(CASE WHEN gt >= n1 * n2 - gt - ties THEN
+              ((gt - (n1 * n2 - gt - ties)) * 1000000) // (n1 * n2)
+            ELSE -((((n1 * n2 - gt - ties) - gt) * 1000000) // (n1 * n2))
+            END AS BIGINT) AS cliffs_delta_ppm,
+       round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+             / sqrt(((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                     + (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2))
+                    / (CAST(n1 AS DOUBLE) + n2 - 2.0e0)), 4) AS cohens_d,
+       round(((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+             / sqrt(((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                     + (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2))
+                    / (CAST(n1 AS DOUBLE) + n2 - 2.0e0)))
+             * (1.0e0 - 3.0e0 / (4.0e0 * (CAST(n1 AS DOUBLE) + n2) - 9.0e0)),
+             4) AS hedges_g
+FROM mom CROSS JOIN conc
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -7892,6 +8044,7 @@ QUERIES = {
     "q263_pca_power_iteration": q263_pca_power_iteration,
     "q265_calibration_scorecard": q265_calibration_scorecard,
     "q268_cochran_armitage_trend": q268_cochran_armitage_trend,
+    "q269_effect_sizes": q269_effect_sizes,
 }
 
 ORACLES = {
@@ -8008,4 +8161,5 @@ ORACLES = {
     "q263_pca_power_iteration": _q263_sql(),
     "q265_calibration_scorecard": _q265_sql(),
     "q268_cochran_armitage_trend": _q268_sql(),
+    "q269_effect_sizes": _Q269_SQL,
 }

@@ -281,6 +281,7 @@ HEADLINE = [
     "q266_textrank_keywords",
     "q267_chow_break_test",
     "q268_cochran_armitage_trend",
+    "q269_effect_sizes",
 ]
 
 

