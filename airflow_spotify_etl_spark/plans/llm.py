@@ -7930,6 +7930,191 @@ FROM mom CROSS JOIN conc
 """
 
 
+def q270_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin cluster-validity index over the embedding label
+    clusters — the compactness-vs-separation score that says whether
+    the labels are usable as retrieval shards or ANN training classes
+    (the quantitative companion to q179's centroid-affinity matrix).
+
+    Exact-arithmetic discipline: per label the quantized per-dim sums
+    S (round(x·1e4), the q179 idiom), row count n, and the exact
+    squared-norm total Q = ΣΣq² are BIGINTs; centroids become exact
+    milli-scaled integers cq = sign·(|S|·1000 div n); scatter
+    s = sqrt(Q/n − dot(cq,cq)/1e6) and centroid distance
+    d = sqrt(dot(cq_i−cq_j, cq_i−cq_j))/1e3 are single deterministic
+    double chains over those integers, and every cross-row reduction
+    (max over peers, mean over labels) happens on NANO-FLOORED
+    integers, never on floats.
+
+    Shape at 100 TB: one grouped corpus pass to |labels|·64 cells +
+    |labels| (n, Q) rows; the pair stage is a broadcast self-join of
+    the 10-row centroid relation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qarr = F.expr(
+        "transform(embedding,"
+        " x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+    )
+    per_dim = (
+        emb.select("label", F.posexplode(qarr).alias("dim", "q"))
+        .groupBy("label", "dim")
+        .agg(F.sum("q").alias("s"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("_ds"))
+        .select("label", F.expr("transform(_ds, e -> e.s)").alias("svec"))
+    )
+    nq = emb.select(
+        "label",
+        F.expr(
+            "aggregate(transform(embedding,"
+            " x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+        ).alias("rowq"),
+    ).groupBy("label").agg(
+        F.count("*").alias("n"), F.sum("rowq").alias("qq")
+    )
+    cent = per_dim.join(nq, "label").select(
+        "label",
+        "n",
+        "qq",
+        F.expr(
+            "transform(svec, s -> CASE WHEN s >= 0 THEN (s * 1000) div n"
+            " ELSE -(((-s) * 1000) div n) END)"
+        ).alias("cq"),
+    ).persist()
+    scat = cent.select(
+        "label",
+        "n",
+        "cq",
+        F.expr(
+            "sqrt(CAST(qq AS DOUBLE) / n"
+            " - CAST(aggregate(cq, CAST(0 AS BIGINT),"
+            "        (acc, x) -> acc + x * x) AS DOUBLE) / 1.0e6)"
+        ).alias("s"),
+    )
+    a = scat.select(
+        F.col("label").alias("la"), F.col("cq").alias("ca"), F.col("s").alias("sa")
+    )
+    b = scat.select(
+        F.col("label").alias("lb"), F.col("cq").alias("cb"), F.col("s").alias("sb")
+    )
+    # The d2 = 0 guard matters for PLAN SAFETY, not semantics: Catalyst
+    # inlines this expression into the peer-join predicate, where it runs
+    # on the yet-unfiltered la == lb self-pairs (d2 = 0) inside the BNLJ
+    # bound condition — an unguarded division throws DIVIDE_BY_ZERO under
+    # ANSI even though those rows are later discarded.
+    pairs = (
+        a.join(F.broadcast(b), F.col("la") != F.col("lb"))
+        .select(
+            "la",
+            "lb",
+            F.expr(
+                "aggregate(zip_with(ca, cb, (x, y) -> (x - y) * (x - y)),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("d2"),
+            "sa",
+            "sb",
+        )
+        .select(
+            "la",
+            "lb",
+            F.expr(
+                "CASE WHEN d2 > 0 THEN"
+                " CAST(floor((sa + sb) / (sqrt(CAST(d2 AS DOUBLE)) / 1.0e3)"
+                "      * 1.0e9) AS BIGINT)"
+                " ELSE CAST(NULL AS BIGINT) END"
+            ).alias("ratio_nano"),
+        )
+    )
+    worst = pairs.groupBy("la").agg(F.max("ratio_nano").alias("ratio_nano"))
+    peer = (
+        pairs.join(worst, ["la", "ratio_nano"])
+        .groupBy("la", "ratio_nano")
+        .agg(F.min("lb").alias("peer"))
+    )
+    db = worst.agg(
+        F.expr("sum(ratio_nano) div count(*)").alias("db_nano")
+    )
+    return (
+        scat.join(peer, scat.label == peer.la)
+        .crossJoin(F.broadcast(db))
+        .select(
+            "label",
+            "n",
+            F.round("s", 4).alias("scatter"),
+            "peer",
+            "ratio_nano",
+            "db_nano",
+        )
+        .orderBy("label")
+    )
+
+
+_Q270_SQL = """
+WITH dq AS MATERIALIZED (
+  SELECT label,
+         unnest(list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))) AS q,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+), per AS MATERIALIZED (
+  SELECT label, dim, CAST(sum(q) AS BIGINT) AS s FROM dq GROUP BY 1, 2
+), svecs AS MATERIALIZED (
+  SELECT label, list(s ORDER BY dim) AS svec FROM per GROUP BY label
+), nq AS MATERIALIZED (
+  SELECT label, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rowq) AS BIGINT) AS qq
+  FROM (
+    SELECT label,
+           list_sum(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)
+                     * CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)))
+             AS rowq
+    FROM embeddings
+  ) GROUP BY label
+), cent AS MATERIALIZED (
+  SELECT svecs.label, n, qq,
+         list_transform(svec,
+           s -> CASE WHEN s >= 0 THEN (s * 1000) // n
+                ELSE -(((-s) * 1000) // n) END) AS cq
+  FROM svecs JOIN nq ON nq.label = svecs.label
+), scat AS MATERIALIZED (
+  SELECT label, n, cq,
+         sqrt(CAST(qq AS DOUBLE) / n
+              - CAST(list_sum(list_transform(cq, x -> x * x)) AS DOUBLE)
+                / 1.0e6) AS s
+  FROM cent
+), rawpairs AS MATERIALIZED (
+  SELECT a.label AS la, b.label AS lb, a.s AS sa, b.s AS sb,
+         CAST(list_sum(list_transform(
+              range(1, len(a.cq) + 1),
+              i -> (a.cq[i] - b.cq[i]) * (a.cq[i] - b.cq[i]))) AS BIGINT) AS d2
+  FROM scat a JOIN scat b ON a.label <> b.label
+), pairs AS MATERIALIZED (
+  SELECT la, lb,
+         CASE WHEN d2 > 0 THEN
+           CAST(floor((sa + sb) / (sqrt(CAST(d2 AS DOUBLE)) / 1.0e3)
+                * 1.0e9) AS BIGINT)
+         ELSE CAST(NULL AS BIGINT) END AS ratio_nano
+  FROM rawpairs
+), worst AS MATERIALIZED (
+  SELECT la, CAST(max(ratio_nano) AS BIGINT) AS ratio_nano
+  FROM pairs GROUP BY la
+), peer AS MATERIALIZED (
+  SELECT p.la, p.ratio_nano, min(p.lb) AS peer
+  FROM pairs p JOIN worst w ON w.la = p.la AND w.ratio_nano = p.ratio_nano
+  GROUP BY 1, 2
+), db AS MATERIALIZED (
+  SELECT CAST(sum(ratio_nano) // count(*) AS BIGINT) AS db_nano FROM worst
+)
+SELECT s.label, s.n, round(s.s, 4) AS scatter, peer.peer,
+       peer.ratio_nano, db.db_nano
+FROM scat s
+JOIN peer ON peer.la = s.label
+CROSS JOIN db
+ORDER BY s.label
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -8045,6 +8230,7 @@ QUERIES = {
     "q265_calibration_scorecard": q265_calibration_scorecard,
     "q268_cochran_armitage_trend": q268_cochran_armitage_trend,
     "q269_effect_sizes": q269_effect_sizes,
+    "q270_davies_bouldin": q270_davies_bouldin,
 }
 
 ORACLES = {
@@ -8162,4 +8348,5 @@ ORACLES = {
     "q265_calibration_scorecard": _q265_sql(),
     "q268_cochran_armitage_trend": _q268_sql(),
     "q269_effect_sizes": _Q269_SQL,
+    "q270_davies_bouldin": _Q270_SQL,
 }

@@ -282,6 +282,7 @@ HEADLINE = [
     "q267_chow_break_test",
     "q268_cochran_armitage_trend",
     "q269_effect_sizes",
+    "q270_davies_bouldin",
 ]
 
 

@@ -3445,3 +3445,73 @@ def test_q269_effect_sizes_hand_computed(spark, tmp_path, qs):
     assert r.cliffs_delta_ppm == delta_ppm
     assert abs(r.cohens_d - round(d, 4)) < 1e-6
     assert abs(r.hedges_g - round(g, 4)) < 1e-6
+
+
+def test_q270_davies_bouldin_python_mirror(spark, tmp_path, qs):
+    """3 engineered clusters (tight / tight / spread) in 4 dims; the
+    whole integer pipeline — quantized sums, milli centroids, nano
+    ratios, peer argmax, DB mean — is mirrored in Python and must match
+    exactly; DB index must also be within 2% of the float textbook
+    value."""
+    import math
+
+    from pyspark.sql.types import (ArrayType, FloatType, IntegerType,
+                                   LongType, StructField, StructType)
+
+    clusters = {
+        0: [[0.0, 0.0, 0.0, 0.1], [0.1, 0.0, 0.0, 0.0], [0.0, 0.1, 0.1, 0.0]],
+        1: [[5.0, 5.0, 0.0, 0.0], [5.1, 4.9, 0.0, 0.1], [4.9, 5.1, 0.1, 0.0]],
+        2: [[0.0, 0.0, 8.0, 8.0], [0.5, -0.5, 7.0, 9.0], [-0.5, 0.5, 9.0, 7.0]],
+    }
+    rows, vid = [], 0
+    for lab, vecs in clusters.items():
+        for v in vecs:
+            rows.append((vid, v, lab))
+            vid += 1
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+    spark.createDataFrame(rows, schema).write.parquet(
+        str(tmp_path / "embeddings.parquet"))
+
+    # float32 values here are exact in double, so round() is unambiguous
+    def quant(x):
+        import numpy as np
+        return int(round(float(np.float32(x)) * 10000))
+
+    stats = {}
+    for lab, vecs in clusters.items():
+        n = len(vecs)
+        S = [sum(quant(v[d]) for v in vecs) for d in range(4)]
+        Q = sum(quant(x) ** 2 for v in vecs for x in v)
+        cq = [(s * 1000) // n if s >= 0 else -(((-s) * 1000) // n) for s in S]
+        s_ = math.sqrt(Q / n - sum(c * c for c in cq) / 1e6)
+        stats[lab] = (n, cq, s_)
+    ratios = {}
+    for i in stats:
+        best = None
+        for j in stats:
+            if i == j:
+                continue
+            d2 = sum((a - b) ** 2 for a, b in zip(stats[i][1], stats[j][1]))
+            r = int(math.floor(
+                (stats[i][2] + stats[j][2]) / (math.sqrt(d2) / 1e3) * 1e9))
+            if best is None or r > best[0] or (r == best[0] and j < best[1]):
+                best = (r, j) if best is None or r > best[0] else (
+                    best[0], min(best[1], j))
+        ratios[i] = best
+    db_nano = sum(r for r, _ in ratios.values()) // len(ratios)
+
+    got = {r.label: r for r in
+           qs["q270_davies_bouldin"](spark, str(tmp_path)).collect()}
+    for lab, (n, cq, s_) in stats.items():
+        row = got[lab]
+        assert row.n == n
+        assert row.scatter == round(s_, 4)
+        assert (row.ratio_nano, row.peer) == ratios[lab]
+        assert row.db_nano == db_nano
+    # textbook float DB index within 2%
+    db_float = sum(r for r, _ in ratios.values()) / len(ratios) / 1e9
+    assert abs(got[0].db_nano / 1e9 - db_float) < 0.02 * db_float + 1e-9
