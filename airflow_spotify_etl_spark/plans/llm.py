@@ -8115,6 +8115,155 @@ ORDER BY s.label
 """
 
 
+def q271_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per embedding label — the
+    POINT-level cluster-validity companion to q270's centroid-only
+    Davies-Bouldin: for every vector, a = distance to its own label
+    centroid, b = min distance to any other centroid,
+    s = (b − a)/max(a, b); per-label mean silhouette says which labels
+    are well-separated enough to shard an ANN index on.
+
+    Scale shape: the 10 milli-integer centroids collapse into ONE
+    broadcast row (array of structs), so the per-vector a/b pass is a
+    zero-shuffle projection with nested array folds — no N×L explode,
+    no groupBy(vec_id); the only shuffle is the final per-label mean.
+
+    Exactness: centroid cells and per-pair squared distances are exact
+    BIGINTs; per-row s is one deterministic double chain, floored to
+    micro BIGINTs BEFORE the per-label sum (double floor rounds toward
+    −∞ identically in both engines, so negative s is safe); the mean
+    is one final rounded division."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qarr = (
+        "transform(embedding,"
+        " x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+    )
+    per_dim = (
+        emb.select("label", F.posexplode(F.expr(qarr)).alias("dim", "q"))
+        .groupBy("label", "dim")
+        .agg(F.sum("q").alias("s"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("_ds"))
+        .select("label", F.expr("transform(_ds, e -> e.s)").alias("svec"))
+    )
+    nl = emb.groupBy("label").agg(F.count("*").alias("n"))
+    cent = per_dim.join(nl, "label").select(
+        F.struct(
+            F.col("label").alias("clabel"),
+            F.expr(
+                "transform(svec, s -> CASE WHEN s >= 0 THEN (s * 1000) div n"
+                " ELSE -(((-s) * 1000) div n) END)"
+            ).alias("cq"),
+        ).alias("c")
+    )
+    cents = cent.agg(
+        F.array_sort(F.collect_list("c")).alias("_cents")
+    )
+    d2 = (
+        "aggregate(zip_with(rq, c.cq, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    fold_min = (
+        f"aggregate({{src}}, CAST(NULL AS BIGINT),"
+        f" (acc, c) -> CASE WHEN acc IS NULL OR ({d2}) < acc"
+        f" THEN ({d2}) ELSE acc END)"
+    )
+    rowd = (
+        emb.select(
+            "label",
+            F.expr(f"transform({qarr}, q -> q * 1000)").alias("rq"),
+        )
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "label",
+            F.expr(
+                fold_min.format(
+                    src="filter(_cents, c -> c.clabel = label)"
+                )
+            ).alias("a2"),
+            F.expr(
+                fold_min.format(
+                    src="filter(_cents, c -> c.clabel != label)"
+                )
+            ).alias("b2"),
+        )
+    )
+    s_micro = (
+        "CASE WHEN greatest(a2, b2) > 0 THEN"
+        " CAST(floor((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))"
+        "      / sqrt(CAST(greatest(a2, b2) AS DOUBLE)) * 1.0e6) AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END"
+    )
+    return (
+        rowd.select("label", F.expr(s_micro).alias("sm"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.sum("sm").alias("sm_sum"))
+        .select(
+            "label",
+            "n",
+            "sm_sum",
+            F.round(
+                F.col("sm_sum").cast("double") / F.col("n") / 1e6, 6
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+_Q271_SQL = """
+WITH dq AS MATERIALIZED (
+  SELECT label,
+         unnest(list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))) AS q,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+), per AS MATERIALIZED (
+  SELECT label, dim, CAST(sum(q) AS BIGINT) AS s FROM dq GROUP BY 1, 2
+), svecs AS MATERIALIZED (
+  SELECT label, list(s ORDER BY dim) AS svec FROM per GROUP BY label
+), nl AS MATERIALIZED (
+  SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY label
+), cent AS MATERIALIZED (
+  SELECT svecs.label AS clabel,
+         list_transform(svec,
+           s -> CASE WHEN s >= 0 THEN (s * 1000) // n
+                ELSE -(((-s) * 1000) // n) END) AS cq
+  FROM svecs JOIN nl ON nl.label = svecs.label
+), cents AS MATERIALIZED (
+  SELECT list({'clabel': clabel, 'cq': cq} ORDER BY clabel) AS cs FROM cent
+), rowd AS MATERIALIZED (
+  SELECT label,
+         list_min(list_transform(
+           list_filter(cs, c -> c.clabel = label),
+           c -> list_sum(list_transform(range(1, len(rq) + 1),
+                  i -> (rq[i] - c.cq[i]) * (rq[i] - c.cq[i]))))) AS a2,
+         list_min(list_transform(
+           list_filter(cs, c -> c.clabel <> label),
+           c -> list_sum(list_transform(range(1, len(rq) + 1),
+                  i -> (rq[i] - c.cq[i]) * (rq[i] - c.cq[i]))))) AS b2
+  FROM (
+    SELECT label,
+           list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) * 1000)
+             AS rq
+    FROM embeddings
+  ) CROSS JOIN cents
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN greatest(a2, b2) > 0 THEN
+              CAST(floor((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+                   / sqrt(CAST(greatest(a2, b2) AS DOUBLE)) * 1.0e6) AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS sm_sum,
+       round(CAST(sum(CASE WHEN greatest(a2, b2) > 0 THEN
+              CAST(floor((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+                   / sqrt(CAST(greatest(a2, b2) AS DOUBLE)) * 1.0e6) AS BIGINT)
+            ELSE 0 END) AS DOUBLE) / count(*) / 1e6, 6) AS mean_silhouette
+FROM rowd
+GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -8231,6 +8380,7 @@ QUERIES = {
     "q268_cochran_armitage_trend": q268_cochran_armitage_trend,
     "q269_effect_sizes": q269_effect_sizes,
     "q270_davies_bouldin": q270_davies_bouldin,
+    "q271_silhouette_simplified": q271_silhouette_simplified,
 }
 
 ORACLES = {
@@ -8349,4 +8499,5 @@ ORACLES = {
     "q268_cochran_armitage_trend": _q268_sql(),
     "q269_effect_sizes": _Q269_SQL,
     "q270_davies_bouldin": _Q270_SQL,
+    "q271_silhouette_simplified": _Q271_SQL,
 }

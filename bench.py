@@ -283,6 +283,7 @@ HEADLINE = [
     "q268_cochran_armitage_trend",
     "q269_effect_sizes",
     "q270_davies_bouldin",
+    "q271_silhouette_simplified",
 ]
 
 

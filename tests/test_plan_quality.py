@@ -3515,3 +3515,68 @@ def test_q270_davies_bouldin_python_mirror(spark, tmp_path, qs):
     # textbook float DB index within 2%
     db_float = sum(r for r, _ in ratios.values()) / len(ratios) / 1e9
     assert abs(got[0].db_nano / 1e9 - db_float) < 0.02 * db_float + 1e-9
+
+
+def test_q271_silhouette_python_mirror(spark, tmp_path, qs):
+    """Reuses the q270 engineered clusters; the per-point simplified
+    silhouette (own vs nearest-other centroid, micro-floored pre-sum)
+    is mirrored in Python exactly; tight clusters must score near 1."""
+    import math
+
+    import numpy as np
+    from pyspark.sql.types import (ArrayType, FloatType, IntegerType,
+                                   LongType, StructField, StructType)
+
+    clusters = {
+        0: [[0.0, 0.0, 0.0, 0.1], [0.1, 0.0, 0.0, 0.0], [0.0, 0.1, 0.1, 0.0]],
+        1: [[5.0, 5.0, 0.0, 0.0], [5.1, 4.9, 0.0, 0.1], [4.9, 5.1, 0.1, 0.0]],
+        2: [[0.0, 0.0, 8.0, 8.0], [0.5, -0.5, 7.0, 9.0], [-0.5, 0.5, 9.0, 7.0]],
+    }
+    rows, vid = [], 0
+    for lab, vecs in clusters.items():
+        for v in vecs:
+            rows.append((vid, v, lab))
+            vid += 1
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+    spark.createDataFrame(rows, schema).write.parquet(
+        str(tmp_path / "embeddings.parquet"))
+
+    def quant(x):
+        return int(round(float(np.float32(x)) * 10000))
+
+    cents = {}
+    for lab, vecs in clusters.items():
+        n = len(vecs)
+        S = [sum(quant(v[d]) for v in vecs) for d in range(4)]
+        cents[lab] = [
+            (s * 1000) // n if s >= 0 else -(((-s) * 1000) // n) for s in S
+        ]
+    sums = {lab: [0, 0] for lab in clusters}  # n, sm_sum
+    for lab, vecs in clusters.items():
+        for v in vecs:
+            rq = [quant(x) * 1000 for x in v]
+            d2s = {
+                cl: sum((a - b) ** 2 for a, b in zip(rq, cq))
+                for cl, cq in cents.items()
+            }
+            a2 = d2s[lab]
+            b2 = min(d for cl, d in d2s.items() if cl != lab)
+            m = max(a2, b2)
+            sm = (
+                int(math.floor((math.sqrt(b2) - math.sqrt(a2))
+                               / math.sqrt(m) * 1e6)) if m > 0 else 0
+            )
+            sums[lab][0] += 1
+            sums[lab][1] += sm
+
+    got = {r.label: r for r in
+           qs["q271_silhouette_simplified"](spark, str(tmp_path)).collect()}
+    for lab, (n, sm_sum) in sums.items():
+        r = got[lab]
+        assert (r.n, r.sm_sum) == (n, sm_sum)
+        assert r.mean_silhouette == round(sm_sum / n / 1e6, 6)
+        assert r.mean_silhouette > 0.8  # engineered tight separation
