@@ -8264,6 +8264,88 @@ ORDER BY label
 """
 
 
+def q272_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the q104 quality-classifier score against the
+    q58 keep pseudo-labels via the Mann-Whitney identity
+    AUC = (#(s⁺>s⁻) + #(s⁺=s⁻)/2) / (n⁺·n⁻) — the threshold-free
+    ranking metric that complements the operating-point sweep (q143)
+    and the calibration scorecard (q265).
+
+    Exactness: concordance counts come from the q269 cumulative
+    count-table idiom over the bounded integer score domain (si =
+    round(score·1e4)) — never an n⁺×n⁻ pair join — and
+    auc_ppm = (2·gt + ties)·1e6 div (2·n⁺·n⁻) is pure nonnegative
+    BIGINT arithmetic.
+
+    Shape at 100 TB: the q104/q58 corpus joins, grouped counts over the
+    score domain, one cumulative window + 2-row reduction."""
+    from ..operators.text import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = hashed_linear_score(docs, n_buckets=4096).select("doc_id", "score")
+    labels = q58_gopher_quality_flags(spark, sf_dir).select("doc_id", "keep")
+    e = scores.join(labels, "doc_id").select(
+        F.expr("CAST(round(score * 10000) AS BIGINT)").alias("si"),
+        F.col("keep").cast("long").alias("y"),
+    )
+    dom = e.groupBy("si").agg(
+        F.sum("y").alias("cp"),
+        F.sum(F.expr("1 - y")).alias("cn"),
+    )
+    w = W.orderBy("si").rowsBetween(W.unboundedPreceding, -1)
+    cum = dom.select(
+        "si",
+        "cp",
+        "cn",
+        F.coalesce(F.sum("cn").over(w), F.lit(0)).alias("neg_below"),
+    )
+    agg = cum.agg(
+        F.sum("cp").alias("np"),
+        F.sum("cn").alias("nn"),
+        F.sum(F.expr("cp * neg_below")).alias("gt"),
+        F.sum(F.expr("cp * cn")).alias("ties"),
+    )
+    return agg.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        "gt",
+        "ties",
+        F.expr("((2 * gt + ties) * 1000000L) div (2 * np * nn)").alias(
+            "auc_ppm"
+        ),
+    )
+
+
+def _q272_sql() -> str:
+    return f"""
+WITH scores AS (
+  SELECT doc_id, score FROM ({_Q104_SQL}) s
+), labels AS (
+  SELECT doc_id, keep FROM ({_Q58_SQL}) l
+), e AS (
+  SELECT CAST(round(s.score * 10000) AS BIGINT) AS si,
+         CAST(CASE WHEN l.keep THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM scores s JOIN labels l USING (doc_id)
+), dom AS (
+  SELECT si, CAST(sum(y) AS BIGINT) AS cp,
+         CAST(sum(1 - y) AS BIGINT) AS cn
+  FROM e GROUP BY si
+), cum AS (
+  SELECT si, cp, cn,
+         coalesce(sum(cn) OVER (ORDER BY si
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+  FROM dom
+)
+SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+       CAST(sum(cn) AS BIGINT) AS n_neg,
+       CAST(sum(cp * neg_below) AS BIGINT) AS gt,
+       CAST(sum(cp * cn) AS BIGINT) AS ties,
+       CAST(((2 * sum(cp * neg_below) + sum(cp * cn)) * 1000000)
+            // (2 * sum(cp) * sum(cn)) AS BIGINT) AS auc_ppm
+FROM cum
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -8381,6 +8463,7 @@ QUERIES = {
     "q269_effect_sizes": q269_effect_sizes,
     "q270_davies_bouldin": q270_davies_bouldin,
     "q271_silhouette_simplified": q271_silhouette_simplified,
+    "q272_roc_auc": q272_roc_auc,
 }
 
 ORACLES = {
@@ -8500,4 +8583,5 @@ ORACLES = {
     "q269_effect_sizes": _Q269_SQL,
     "q270_davies_bouldin": _Q270_SQL,
     "q271_silhouette_simplified": _Q271_SQL,
+    "q272_roc_auc": _q272_sql(),
 }

@@ -284,6 +284,7 @@ HEADLINE = [
     "q269_effect_sizes",
     "q270_davies_bouldin",
     "q271_silhouette_simplified",
+    "q272_roc_auc",
 ]
 
 

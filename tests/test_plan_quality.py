@@ -3580,3 +3580,50 @@ def test_q271_silhouette_python_mirror(spark, tmp_path, qs):
         assert (r.n, r.sm_sum) == (n, sm_sum)
         assert r.mean_silhouette == round(sm_sum / n / 1e6, 6)
         assert r.mean_silhouette > 0.8  # engineered tight separation
+
+
+def test_q272_roc_auc_vs_bruteforce(spark, sf_dir, qs):
+    """AUC recomputed two independent ways from the engine's raw
+    (si, y) pairs at sf0.001: brute-force pair counting AND the
+    rank-sum identity; both must agree with the query exactly."""
+    import pyspark.sql.functions as F
+    from airflow_spotify_etl_spark.operators.text import hashed_linear_score
+    from airflow_spotify_etl_spark.plans.llm import q58_gopher_quality_flags
+    from airflow_spotify_etl_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = hashed_linear_score(docs, n_buckets=4096).select("doc_id", "score")
+    labels = q58_gopher_quality_flags(spark, sf_dir).select("doc_id", "keep")
+    pairs = [
+        (int(r.si), int(r.y))
+        for r in scores.join(labels, "doc_id")
+        .select(
+            F.expr("CAST(round(score * 10000) AS BIGINT)").alias("si"),
+            F.col("keep").cast("long").alias("y"),
+        )
+        .collect()
+    ]
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    gt = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    auc_ppm = ((2 * gt + ties) * 10**6) // (2 * len(pos) * len(neg))
+
+    # independent rank-sum identity: U = R_pos - n_pos(n_pos+1)/2
+    ranked = sorted(pairs)
+    # midranks with ties
+    from itertools import groupby
+    r_pos = 0.0
+    idx = 1
+    for _, grp in groupby(ranked, key=lambda t: t[0]):
+        g = list(grp)
+        mid = (idx + idx + len(g) - 1) / 2
+        r_pos += mid * sum(y for _, y in g)
+        idx += len(g)
+    u = r_pos - len(pos) * (len(pos) + 1) / 2
+    assert abs(u - (gt + ties / 2)) < 1e-6
+
+    row = qs["q272_roc_auc"](spark, sf_dir).collect()[0]
+    assert (row.n_pos, row.n_neg, row.gt, row.ties) == (
+        len(pos), len(neg), gt, ties)
+    assert row.auc_ppm == auc_ppm
