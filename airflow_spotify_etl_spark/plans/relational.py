@@ -9264,6 +9264,141 @@ FROM halves CROSS JOIN pooled
 """
 
 
+def q273_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel common odds ratio and chi-square across market
+    segments for the q264 cohort×conversion table — the stratified
+    estimate that answers what q264's Simpson audit raises: once the
+    pooled comparison is confounded by segment, what is the
+    segment-ADJUSTED effect of cohort on conversion?
+
+    Per stratum (a = A-purchase, b = A-view, c = B-purchase,
+    d = B-view, n = a+b+c+d) the Cochran-Mantel-Haenszel ingredients
+    a·d/n, b·c/n, E = (a+b)(a+c)/n and V = (a+b)(c+d)(a+c)(b+d)/
+    (n²(n−1)) are each floored to NANO BIGINTs before summation (the
+    quantize-pre-sum discipline — cross-stratum float sums never
+    happen); OR_ppm is one nonnegative integer division and the
+    chi-square one final double chain over the exact sums.
+
+    Shape at 100 TB: identical to q264 — broadcast dim join, one
+    grouped pass, then a <=5-row stratum reduction."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select("user_id", "event_type")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        "c_mktsegment",
+        (F.col("c_acctbal") >= 0).alias("is_a"),
+    )
+    cells = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(
+                F.when(F.col("is_a") & (F.col("event_type") == "purchase"), 1)
+                .otherwise(0)
+            ).alias("a"),
+            F.sum(
+                F.when(F.col("is_a") & (F.col("event_type") == "view"), 1)
+                .otherwise(0)
+            ).alias("b"),
+            F.sum(
+                F.when(
+                    (~F.col("is_a")) & (F.col("event_type") == "purchase"), 1
+                ).otherwise(0)
+            ).alias("c"),
+            F.sum(
+                F.when((~F.col("is_a")) & (F.col("event_type") == "view"), 1)
+                .otherwise(0)
+            ).alias("d"),
+        )
+        .filter(F.expr("a + b + c + d > 1"))
+        .select(
+            "a",
+            "b",
+            "c",
+            "d",
+            F.expr("a + b + c + d").alias("n"),
+            F.expr("(a * d * 1000000000L) div (a + b + c + d)").alias(
+                "ad_nano"
+            ),
+            F.expr("(b * c * 1000000000L) div (a + b + c + d)").alias(
+                "bc_nano"
+            ),
+            F.expr(
+                "((a + b) * (a + c) * 1000000000L) div (a + b + c + d)"
+            ).alias("e_nano"),
+            # V factored as two milli-floored quotients (m1·m2·1e3 div
+            # (n-1)): the single-expression form multiplies four cell
+            # products by 1e9 before dividing and overflows int64 at
+            # sf0.1 already. The factored fixed-point IS the operator
+            # definition — the oracle and the test mirror it exactly.
+            F.expr(
+                "((((a + b) * (c + d) * 1000L) div (a + b + c + d))"
+                " * (((a + c) * (b + d) * 1000L) div (a + b + c + d))"
+                " * 1000L) div (a + b + c + d - 1)"
+            ).alias("v_nano"),
+        )
+    )
+    agg = cells.agg(
+        F.count("*").alias("n_strata"),
+        F.sum("a").alias("sum_a"),
+        F.sum("ad_nano").alias("sum_ad_nano"),
+        F.sum("bc_nano").alias("sum_bc_nano"),
+        F.sum("e_nano").alias("sum_e_nano"),
+        F.sum("v_nano").alias("sum_v_nano"),
+    )
+    return agg.select(
+        "n_strata",
+        "sum_ad_nano",
+        "sum_bc_nano",
+        F.expr("(sum_ad_nano * 1000000L) div sum_bc_nano").alias("or_ppm"),
+        F.round(
+            F.expr(
+                "pow(CAST(sum_a AS DOUBLE) - CAST(sum_e_nano AS DOUBLE) / 1.0e9, 2)"
+                " / (CAST(sum_v_nano AS DOUBLE) / 1.0e9)"
+            ),
+            4,
+        ).alias("mh_chi2"),
+    )
+
+
+_Q273_SQL = """
+WITH cells AS (
+  SELECT c.c_mktsegment,
+         CAST(sum(CASE WHEN c.c_acctbal >= 0 AND e.event_type = 'purchase'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN c.c_acctbal >= 0 AND e.event_type = 'view'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(sum(CASE WHEN c.c_acctbal < 0 AND e.event_type = 'purchase'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS c_,
+         CAST(sum(CASE WHEN c.c_acctbal < 0 AND e.event_type = 'view'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM events e
+  JOIN customer c ON c.c_custkey = e.user_id
+  WHERE e.event_type IN ('purchase', 'view')
+  GROUP BY 1
+), q AS (
+  SELECT a, b, c_, d, a + b + c_ + d AS n,
+         (a * d * 1000000000) // (a + b + c_ + d) AS ad_nano,
+         (b * c_ * 1000000000) // (a + b + c_ + d) AS bc_nano,
+         ((a + b) * (a + c_) * 1000000000) // (a + b + c_ + d) AS e_nano,
+         ((((a + b) * (c_ + d) * 1000) // (a + b + c_ + d))
+          * (((a + c_) * (b + d) * 1000) // (a + b + c_ + d))
+          * 1000) // (a + b + c_ + d - 1) AS v_nano
+  FROM cells
+  WHERE a + b + c_ + d > 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_strata,
+       CAST(sum(ad_nano) AS BIGINT) AS sum_ad_nano,
+       CAST(sum(bc_nano) AS BIGINT) AS sum_bc_nano,
+       CAST((sum(ad_nano) * 1000000) // sum(bc_nano) AS BIGINT) AS or_ppm,
+       round(pow(CAST(sum(a) AS DOUBLE)
+                 - CAST(sum(e_nano) AS DOUBLE) / 1.0e9, 2)
+             / (CAST(sum(v_nano) AS DOUBLE) / 1.0e9), 4) AS mh_chi2
+FROM q
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -9398,6 +9533,7 @@ QUERIES = {
     "q255_robust_means": q255_robust_means,
     "q264_simpson_audit": q264_simpson_audit,
     "q267_chow_break_test": q267_chow_break_test,
+    "q273_mantel_haenszel": q273_mantel_haenszel,
 }
 
 ORACLES = {
@@ -9534,4 +9670,5 @@ ORACLES = {
     "q255_robust_means": _Q255_SQL,
     "q264_simpson_audit": _Q264_SQL,
     "q267_chow_break_test": _Q267_SQL,
+    "q273_mantel_haenszel": _Q273_SQL,
 }

@@ -285,6 +285,7 @@ HEADLINE = [
     "q270_davies_bouldin",
     "q271_silhouette_simplified",
     "q272_roc_auc",
+    "q273_mantel_haenszel",
 ]
 
 

@@ -3627,3 +3627,54 @@ def test_q272_roc_auc_vs_bruteforce(spark, sf_dir, qs):
     assert (row.n_pos, row.n_neg, row.gt, row.ties) == (
         len(pos), len(neg), gt, ties)
     assert row.auc_ppm == auc_ppm
+
+
+def test_q273_mantel_haenszel_hand_computed(spark, tmp_path, qs):
+    """Two engineered strata with known 2x2 tables; ad/bc/E/V nano
+    ingredients, OR_ppm, and the CMH chi-square are recomputed in
+    Python with the identical factored fixed-point and must match;
+    the MH OR must sit between the two stratum ORs."""
+    import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    # stratum SEG1: a=8 b=2 c=3 d=7 (A converts better, OR=9.33)
+    # stratum SEG2: a=5 b=5 c=2 d=8 (OR=4.0)
+    custs = [
+        (1, "a1", 0, 10.0, "SEG1"), (2, "b1", 0, -10.0, "SEG1"),
+        (3, "a2", 0, 10.0, "SEG2"), (4, "b2", 0, -10.0, "SEG2"),
+    ]
+    spark.createDataFrame(custs, SCHEMAS["customer"]).write.parquet(
+        str(tmp_path / "customer.parquet"))
+    tables = {  # user -> (purchases, views)
+        1: (8, 2), 2: (3, 7), 3: (5, 5), 4: (2, 8),
+    }
+    ts = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u, (p, v) in tables.items():
+        for _ in range(p):
+            rows.append((eid, ts, u, "purchase", 1.0, "{}")); eid += 1
+        for _ in range(v):
+            rows.append((eid, ts, u, "view", 1.0, "{}")); eid += 1
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet"))
+
+    strata = [(8, 2, 3, 7), (5, 5, 2, 8)]
+    sum_a = sum_ad = sum_bc = sum_e = sum_v = 0
+    for a, b, c, d in strata:
+        n = a + b + c + d
+        sum_a += a
+        sum_ad += (a * d * 10**9) // n
+        sum_bc += (b * c * 10**9) // n
+        sum_e += ((a + b) * (a + c) * 10**9) // n
+        m1 = ((a + b) * (c + d) * 1000) // n
+        m2 = ((a + c) * (b + d) * 1000) // n
+        sum_v += (m1 * m2 * 1000) // (n - 1)
+    or_ppm = (sum_ad * 10**6) // sum_bc
+    chi2 = (sum_a - sum_e / 1e9) ** 2 / (sum_v / 1e9)
+
+    r = qs["q273_mantel_haenszel"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_strata, r.sum_ad_nano, r.sum_bc_nano) == (2, sum_ad, sum_bc)
+    assert r.or_ppm == or_ppm
+    assert abs(r.mh_chi2 - round(chi2, 4)) < 1e-3
+    assert 4.0 * 10**6 <= r.or_ppm <= (9.34) * 10**6  # between stratum ORs
