@@ -8346,6 +8346,133 @@ FROM cum
 """
 
 
+def q274_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra test for an ordered trend of document LENGTH
+    across the 10 ordered q104 score deciles — the continuous-outcome
+    sibling of the Cochran-Armitage proportion trend (q268) and the
+    ordered-alternative upgrade of Kruskal-Wallis (q234).
+
+    Exact concordance without any pair join: on the bounded
+    (decile, n_chars) count grid, C = per-group strictly-below
+    cumulative (window over value), T = Σ_{g'<g} C(g', v) (window over
+    group within value), so gt = Σ cnt·T and cross-group ties likewise;
+    jt2 = 2·gt + ties is an exact BIGINT. The z score uses the
+    standard no-ties normal approximation (documented) as one double
+    chain over exact moments.
+
+    Shape at 100 TB: corpus joins to <=10·|value-domain| grid cells;
+    two windows over that bounded grid."""
+    from ..operators.text import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = hashed_linear_score(docs, n_buckets=4096).select("doc_id", "score")
+    e = docs.select("doc_id", F.col("n_chars").cast("long").alias("v")).join(
+        scores, "doc_id"
+    ).select(
+        F.least(
+            F.greatest(F.expr("CAST(round(score * 10000) AS BIGINT) div 1000"),
+                       F.lit(0)),
+            F.lit(9),
+        ).alias("g"),
+        "v",
+    )
+    cnt = e.groupBy("g", "v").agg(F.count("*").alias("c"))
+    grid = (
+        cnt.select("v").distinct()
+        .crossJoin(cnt.select("g").distinct())
+        .join(cnt, ["g", "v"], "left")
+        .select("g", "v", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    wv = W.partitionBy("g").orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    wg = W.partitionBy("v").orderBy("g").rowsBetween(W.unboundedPreceding, -1)
+    pref = grid.select(
+        "g", "v", "c", F.coalesce(F.sum("c").over(wv), F.lit(0)).alias("cb")
+    )
+    both = pref.select(
+        "c",
+        F.coalesce(F.sum("cb").over(wg), F.lit(0)).alias("t_gt"),
+        F.coalesce(F.sum("c").over(wg), F.lit(0)).alias("t_tie"),
+        "g",
+    )
+    conc = both.agg(
+        F.sum(F.expr("c * t_gt")).alias("gt"),
+        F.sum(F.expr("c * t_tie")).alias("ties"),
+    )
+    sizes = e.groupBy("g").agg(F.count("*").alias("n"))
+    mom = sizes.agg(
+        F.sum("n").alias("nn"),
+        F.sum(F.expr("n * n")).alias("sn2"),
+        F.sum(F.expr("n * n * (2 * n + 3)")).alias("sn23"),
+    )
+    return (
+        conc.crossJoin(F.broadcast(mom))
+        .select(
+            "gt",
+            "ties",
+            F.expr("2 * gt + ties").alias("jt2"),
+            "nn",
+            F.round(
+                F.expr(
+                    "((CAST(2 * gt + ties AS DOUBLE) / 2.0e0)"
+                    " - (CAST(nn AS DOUBLE) * nn - sn2) / 4.0e0)"
+                    " / sqrt((CAST(nn AS DOUBLE) * nn * (2.0e0 * nn + 3.0e0)"
+                    "         - CAST(sn23 AS DOUBLE)) / 72.0e0)"
+                ),
+                4,
+            ).alias("z_jt"),
+        )
+    )
+
+
+def _q274_sql() -> str:
+    return f"""
+WITH scores AS (
+  SELECT doc_id, score FROM ({_Q104_SQL}) s
+), e AS (
+  SELECT least(greatest(CAST(round(s.score * 10000) AS BIGINT) // 1000, 0), 9)
+           AS g,
+         CAST(d.n_chars AS BIGINT) AS v
+  FROM documents d JOIN scores s USING (doc_id)
+), cnt AS (
+  SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2
+), grid AS (
+  SELECT gs.g, vs.v, coalesce(cnt.c, 0) AS c
+  FROM (SELECT DISTINCT v FROM cnt) vs
+  CROSS JOIN (SELECT DISTINCT g FROM cnt) gs
+  LEFT JOIN cnt ON cnt.g = gs.g AND cnt.v = vs.v
+), pref AS (
+  SELECT g, v, c,
+         coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM grid
+), both_ AS (
+  SELECT c,
+         coalesce(sum(cb) OVER (PARTITION BY v ORDER BY g
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t_gt,
+         coalesce(sum(c) OVER (PARTITION BY v ORDER BY g
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t_tie
+  FROM pref
+), conc AS (
+  SELECT CAST(sum(c * t_gt) AS BIGINT) AS gt,
+         CAST(sum(c * t_tie) AS BIGINT) AS ties
+  FROM both_
+), mom AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(n * n) AS BIGINT) AS sn2,
+         CAST(sum(n * n * (2 * n + 3)) AS BIGINT) AS sn23
+  FROM (SELECT g, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY g)
+)
+SELECT gt, ties,
+       CAST(2 * gt + ties AS BIGINT) AS jt2,
+       nn,
+       round(((CAST(2 * gt + ties AS DOUBLE) / 2.0e0)
+              - (CAST(nn AS DOUBLE) * nn - sn2) / 4.0e0)
+             / sqrt((CAST(nn AS DOUBLE) * nn * (2.0e0 * nn + 3.0e0)
+                     - CAST(sn23 AS DOUBLE)) / 72.0e0), 4) AS z_jt
+FROM conc CROSS JOIN mom
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -8464,6 +8591,7 @@ QUERIES = {
     "q270_davies_bouldin": q270_davies_bouldin,
     "q271_silhouette_simplified": q271_silhouette_simplified,
     "q272_roc_auc": q272_roc_auc,
+    "q274_jonckheere_terpstra": q274_jonckheere_terpstra,
 }
 
 ORACLES = {
@@ -8584,4 +8712,5 @@ ORACLES = {
     "q270_davies_bouldin": _Q270_SQL,
     "q271_silhouette_simplified": _Q271_SQL,
     "q272_roc_auc": _q272_sql(),
+    "q274_jonckheere_terpstra": _q274_sql(),
 }

@@ -286,6 +286,7 @@ HEADLINE = [
     "q271_silhouette_simplified",
     "q272_roc_auc",
     "q273_mantel_haenszel",
+    "q274_jonckheere_terpstra",
 ]
 
 

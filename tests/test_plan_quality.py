@@ -3678,3 +3678,55 @@ def test_q273_mantel_haenszel_hand_computed(spark, tmp_path, qs):
     assert r.or_ppm == or_ppm
     assert abs(r.mh_chi2 - round(chi2, 4)) < 1e-3
     assert 4.0 * 10**6 <= r.or_ppm <= (9.34) * 10**6  # between stratum ORs
+
+
+def test_q274_jt_vs_bruteforce(spark, sf_dir, qs):
+    """JT recomputed by brute-force pairwise counting over the engine's
+    raw (decile, length) pairs at sf0.001, plus the textbook normal
+    approximation; exact equality on gt/ties/jt2 and 4-dec z."""
+    import math
+
+    import pyspark.sql.functions as F
+    from airflow_spotify_etl_spark.operators.text import hashed_linear_score
+    from airflow_spotify_etl_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = hashed_linear_score(docs, n_buckets=4096).select("doc_id", "score")
+    pairs = [
+        (int(r.g), int(r.v))
+        for r in docs.select("doc_id", F.col("n_chars").alias("v"))
+        .join(scores, "doc_id")
+        .select(
+            F.least(
+                F.greatest(
+                    F.expr("CAST(round(score * 10000) AS BIGINT) div 1000"),
+                    F.lit(0),
+                ),
+                F.lit(9),
+            ).alias("g"),
+            "v",
+        )
+        .collect()
+    ]
+    gt = ties = 0
+    for i in range(len(pairs)):
+        for j in range(len(pairs)):
+            gi, vi = pairs[i]
+            gj, vj = pairs[j]
+            if gi < gj:
+                if vi < vj:
+                    gt += 1
+                elif vi == vj:
+                    ties += 1
+    jt2 = 2 * gt + ties
+    from collections import Counter
+    sizes = Counter(g for g, _ in pairs)
+    N = len(pairs)
+    sn2 = sum(n * n for n in sizes.values())
+    sn23 = sum(n * n * (2 * n + 3) for n in sizes.values())
+    z = ((jt2 / 2.0) - (N * N - sn2) / 4.0) / math.sqrt(
+        (N * N * (2.0 * N + 3.0) - sn23) / 72.0)
+
+    r = qs["q274_jonckheere_terpstra"](spark, sf_dir).collect()[0]
+    assert (r.gt, r.ties, r.jt2, r.nn) == (gt, ties, jt2, N)
+    assert abs(r.z_jt - round(z, 4)) < 1e-3
