@@ -956,3 +956,67 @@ def test_centroid_maintenance_equals_batch_drift(spark, tmp_path):
         for r in read_centroids(spark, store).collect()
     }
     assert again == want
+
+
+def test_cms_monitor_equals_batch_sketch(spark, tmp_path):
+    """Two drains with overlapping keys: merged streaming CMS estimates
+    must equal a single batch sketch over the union (cell merge is
+    exact addition); a batch retry never double-counts; CMS >= exact
+    on every probe."""
+    import datetime as dt
+
+    from airflow_spotify_etl_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_sketch,
+    )
+    from airflow_spotify_etl_spark.streaming.cms_monitor import (
+        _apply_cms_batch,
+        read_cms_estimates,
+        run_cms_monitor,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    keys1 = ["alpha"] * 30 + ["beta"] * 5 + ["gamma"] * 1
+    keys2 = ["alpha"] * 10 + ["beta"] * 15 + ["delta"] * 2
+    rows1 = [(i, base, k) for i, k in enumerate(keys1)]
+    rows2 = [(1000 + i, base, k) for i, k in enumerate(keys2)]
+    schema = "event_id long, ts timestamp, event_type string"
+    src = str(tmp_path / "cms_src")
+    store = str(tmp_path / "cms_store")
+    ckpt = str(tmp_path / "cms_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        run_cms_monitor(spark, stream, store, ckpt)
+
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    probes = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), ("delta",)], "event_type string"
+    )
+    got = {
+        r.event_type: r.est
+        for r in read_cms_estimates(spark, store, probes).collect()
+    }
+    union = spark.createDataFrame(rows1 + rows2, schema)
+    batch_sketch = count_min_sketch(union, "event_type")
+    want = {
+        r.event_type: r.est
+        for r in count_min_estimate(batch_sketch, probes, "event_type").collect()
+    }
+    assert got == want
+    exact = {"alpha": 40, "beta": 20, "gamma": 1, "delta": 2}
+    for k, e in exact.items():
+        assert got[k] >= e  # CMS never underestimates
+
+    # at-least-once retry: re-apply batch 0's content under its id
+    b1 = spark.createDataFrame(rows1, schema)
+    _apply_cms_batch(b1, store, 0, "event_type", 4, 1024)
+    again = {
+        r.event_type: r.est
+        for r in read_cms_estimates(spark, store, probes).collect()
+    }
+    assert again == want
