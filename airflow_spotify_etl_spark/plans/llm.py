@@ -8473,6 +8473,167 @@ FROM conc CROSS JOIN mom
 """
 
 
+def q275_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calinski-Harabasz (variance-ratio) index over the embedding
+    label clusters — completes the cluster-validity trio (q270
+    Davies-Bouldin: centroid-level; q271 silhouette: point-level;
+    this: the ANOVA-style between/within variance ratio
+    CH = (BCSS/(k−1)) / (WCSS/(N−k))).
+
+    Per label, BCSS term = n_l·||cq_l − cq_glob||²/1e6 and WCSS term =
+    Q_l/1 − n_l·||cq_l||²/1e6 are deterministic double chains over
+    exact BIGINTs (quantized sums S, squared-norm totals Q, milli
+    centroids cq — the q270 cells), FLOORED to BIGINT q-units² before
+    the cross-label sums; CH is one final rounded division chain.
+
+    Shape at 100 TB: the same single grouped corpus pass as q270; the
+    ratio runs on the 10-row label relation + one global row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qarr = (
+        "transform(embedding,"
+        " x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+    )
+    per_dim = (
+        emb.select("label", F.posexplode(F.expr(qarr)).alias("dim", "q"))
+        .groupBy("label", "dim")
+        .agg(F.sum("q").alias("s"))
+    )
+    glob_dim = per_dim.groupBy("dim").agg(F.sum("s").alias("gs"))
+    nq = emb.select(
+        "label",
+        F.expr(
+            f"aggregate({qarr}, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+        ).alias("rowq"),
+    ).groupBy("label").agg(F.count("*").alias("n"), F.sum("rowq").alias("qq"))
+    nn = nq.agg(F.sum("n").alias("nt"))
+    lab_vec = (
+        per_dim.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("_ds"))
+        .select("label", F.expr("transform(_ds, e -> e.s)").alias("svec"))
+        .join(nq, "label")
+        .select(
+            "label",
+            "n",
+            "qq",
+            F.expr(
+                "transform(svec, s -> CASE WHEN s >= 0 THEN (s * 1000) div n"
+                " ELSE -(((-s) * 1000) div n) END)"
+            ).alias("cq"),
+        )
+    )
+    glob_vec = (
+        glob_dim.agg(
+            F.array_sort(F.collect_list(F.struct("dim", "gs"))).alias("_ds")
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.expr(
+                "transform(transform(_ds, e -> e.gs),"
+                " s -> CASE WHEN s >= 0 THEN (s * 1000) div nt"
+                " ELSE -(((-s) * 1000) div nt) END)"
+            ).alias("gq"),
+            "nt",
+        )
+    )
+    terms = lab_vec.crossJoin(F.broadcast(glob_vec)).select(
+        "label",
+        "n",
+        F.expr(
+            "CAST(floor(CAST(n AS DOUBLE)"
+            " * CAST(aggregate(zip_with(cq, gq, (x, y) -> (x - y) * (x - y)),"
+            "        CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)"
+            " / 1.0e6) AS BIGINT)"
+        ).alias("bcss_term"),
+        F.expr(
+            "CAST(floor(CAST(qq AS DOUBLE)"
+            " - CAST(n AS DOUBLE)"
+            "   * CAST(aggregate(cq, CAST(0 AS BIGINT),"
+            "          (acc, x) -> acc + x * x) AS DOUBLE) / 1.0e6)"
+            " AS BIGINT)"
+        ).alias("wcss_term"),
+        "nt",
+    )
+    agg = terms.agg(
+        F.count("*").alias("k"),
+        F.first("nt").alias("nt"),
+        F.sum("bcss_term").alias("bcss"),
+        F.sum("wcss_term").alias("wcss"),
+    )
+    return agg.select(
+        "k",
+        F.col("nt").alias("n_vectors"),
+        "bcss",
+        "wcss",
+        F.round(
+            F.expr(
+                "(CAST(bcss AS DOUBLE) / (k - 1))"
+                " / (CAST(wcss AS DOUBLE) / (nt - k))"
+            ),
+            4,
+        ).alias("ch_index"),
+    )
+
+
+_Q275_SQL = """
+WITH dq AS MATERIALIZED (
+  SELECT label,
+         unnest(list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))) AS q,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+), per AS MATERIALIZED (
+  SELECT label, dim, CAST(sum(q) AS BIGINT) AS s FROM dq GROUP BY 1, 2
+), gdim AS MATERIALIZED (
+  SELECT dim, CAST(sum(s) AS BIGINT) AS gs FROM per GROUP BY dim
+), nq AS MATERIALIZED (
+  SELECT label, CAST(count(*) AS BIGINT) AS n, CAST(sum(rowq) AS BIGINT) AS qq
+  FROM (
+    SELECT label,
+           list_sum(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)
+                     * CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)))
+             AS rowq
+    FROM embeddings
+  ) GROUP BY label
+), nn AS MATERIALIZED (
+  SELECT CAST(sum(n) AS BIGINT) AS nt FROM nq
+), lab AS MATERIALIZED (
+  SELECT sv.label, nq.n, nq.qq,
+         list_transform(sv.svec,
+           s -> CASE WHEN s >= 0 THEN (s * 1000) // nq.n
+                ELSE -(((-s) * 1000) // nq.n) END) AS cq
+  FROM (SELECT label, list(s ORDER BY dim) AS svec FROM per GROUP BY label) sv
+  JOIN nq ON nq.label = sv.label
+), gctr AS MATERIALIZED (
+  SELECT list_transform(gv.gvec,
+           s -> CASE WHEN s >= 0 THEN (s * 1000) // nn.nt
+                ELSE -(((-s) * 1000) // nn.nt) END) AS gq,
+         nn.nt
+  FROM (SELECT list(gs ORDER BY dim) AS gvec FROM gdim) gv
+  CROSS JOIN nn
+), terms AS MATERIALIZED (
+  SELECT lab.label, lab.n, gctr.nt,
+         CAST(floor(CAST(lab.n AS DOUBLE)
+           * CAST(list_sum(list_transform(range(1, len(lab.cq) + 1),
+                  i -> (lab.cq[i] - gctr.gq[i]) * (lab.cq[i] - gctr.gq[i])))
+              AS DOUBLE) / 1.0e6) AS BIGINT) AS bcss_term,
+         CAST(floor(CAST(lab.qq AS DOUBLE)
+           - CAST(lab.n AS DOUBLE)
+             * CAST(list_sum(list_transform(lab.cq, x -> x * x)) AS DOUBLE)
+               / 1.0e6) AS BIGINT) AS wcss_term
+  FROM lab CROSS JOIN gctr
+)
+SELECT CAST(count(*) AS BIGINT) AS k,
+       CAST(max(nt) AS BIGINT) AS n_vectors,
+       CAST(sum(bcss_term) AS BIGINT) AS bcss,
+       CAST(sum(wcss_term) AS BIGINT) AS wcss,
+       round((CAST(sum(bcss_term) AS DOUBLE) / (count(*) - 1))
+             / (CAST(sum(wcss_term) AS DOUBLE) / (max(nt) - count(*))), 4)
+         AS ch_index
+FROM terms
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -8592,6 +8753,7 @@ QUERIES = {
     "q271_silhouette_simplified": q271_silhouette_simplified,
     "q272_roc_auc": q272_roc_auc,
     "q274_jonckheere_terpstra": q274_jonckheere_terpstra,
+    "q275_calinski_harabasz": q275_calinski_harabasz,
 }
 
 ORACLES = {
@@ -8713,4 +8875,5 @@ ORACLES = {
     "q271_silhouette_simplified": _Q271_SQL,
     "q272_roc_auc": _q272_sql(),
     "q274_jonckheere_terpstra": _q274_sql(),
+    "q275_calinski_harabasz": _Q275_SQL,
 }

@@ -287,6 +287,7 @@ HEADLINE = [
     "q272_roc_auc",
     "q273_mantel_haenszel",
     "q274_jonckheere_terpstra",
+    "q275_calinski_harabasz",
 ]
 
 

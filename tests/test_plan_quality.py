@@ -3730,3 +3730,53 @@ def test_q274_jt_vs_bruteforce(spark, sf_dir, qs):
     r = qs["q274_jonckheere_terpstra"](spark, sf_dir).collect()[0]
     assert (r.gt, r.ties, r.jt2, r.nn) == (gt, ties, jt2, N)
     assert abs(r.z_jt - round(z, 4)) < 1e-3
+
+
+def test_q275_calinski_vs_sklearn_formula(spark, tmp_path, qs):
+    """q270's engineered clusters: the exact-integer CH must be within
+    0.5% of the float textbook variance-ratio (the fixed-point floors
+    perturb sub-integer), and the well-separated design must score
+    CH >> 10."""
+    import numpy as np
+    from pyspark.sql.types import (ArrayType, FloatType, IntegerType,
+                                   LongType, StructField, StructType)
+
+    clusters = {
+        0: [[0.0, 0.0, 0.0, 0.1], [0.1, 0.0, 0.0, 0.0], [0.0, 0.1, 0.1, 0.0]],
+        1: [[5.0, 5.0, 0.0, 0.0], [5.1, 4.9, 0.0, 0.1], [4.9, 5.1, 0.1, 0.0]],
+        2: [[0.0, 0.0, 8.0, 8.0], [0.5, -0.5, 7.0, 9.0], [-0.5, 0.5, 9.0, 7.0]],
+    }
+    rows, vid = [], 0
+    for lab, vecs in clusters.items():
+        for v in vecs:
+            rows.append((vid, v, lab))
+            vid += 1
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+    spark.createDataFrame(rows, schema).write.parquet(
+        str(tmp_path / "embeddings.parquet"))
+
+    X = np.array([v for vecs in clusters.values() for v in vecs])
+    y = np.array([lab for lab, vecs in clusters.items() for _ in vecs])
+    g = X.mean(axis=0)
+    k, N = 3, len(X)
+    bcss = sum(
+        (y == lab).sum() * float(((X[y == lab].mean(axis=0) - g) ** 2).sum())
+        for lab in clusters
+    )
+    wcss = sum(
+        float(((X[y == lab] - X[y == lab].mean(axis=0)) ** 2).sum())
+        for lab in clusters
+    )
+    ch_ref = (bcss / (k - 1)) / (wcss / (N - k))
+
+    r = qs["q275_calinski_harabasz"](spark, str(tmp_path)).collect()[0]
+    assert (r.k, r.n_vectors) == (3, 9)
+    # engine works in (1e4-quantized)^2 units: rescale to raw units
+    assert abs(r.bcss / 1e8 - bcss) / bcss < 0.005
+    assert abs(r.wcss / 1e8 - wcss) / wcss < 0.005
+    assert abs(r.ch_index - ch_ref) / ch_ref < 0.005
+    assert r.ch_index > 10
