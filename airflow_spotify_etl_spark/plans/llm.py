@@ -8634,6 +8634,93 @@ FROM terms
 """
 
 
+def q276_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (PR-AUC, the step-function AP sklearn reports)
+    of the q104 classifier vs the q58 keep labels — the
+    class-imbalance-robust companion to the ROC-AUC (q272):
+    AP = Σ_v ΔR_v·P_v over distinct score thresholds descending.
+
+    Exactness: on the (si, cp, cn) count table one DESCENDING
+    cumulative window gives tp/fp at every threshold; each term
+    cp·tp/((tp+fp)·P) is floored to a NANO BIGINT before the sum —
+    per-threshold rationals never meet float addition.
+
+    Shape at 100 TB: grouped counts over the bounded score domain, one
+    window, one reduction — the q272 shape."""
+    from ..operators.text import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = hashed_linear_score(docs, n_buckets=4096).select("doc_id", "score")
+    labels = q58_gopher_quality_flags(spark, sf_dir).select("doc_id", "keep")
+    e = scores.join(labels, "doc_id").select(
+        F.expr("CAST(round(score * 10000) AS BIGINT)").alias("si"),
+        F.col("keep").cast("long").alias("y"),
+    )
+    dom = e.groupBy("si").agg(
+        F.sum("y").alias("cp"), F.sum(F.expr("1 - y")).alias("cn")
+    )
+    w = W.orderBy(F.col("si").desc()).rowsBetween(W.unboundedPreceding, 0)
+    cum = dom.select(
+        "cp",
+        F.sum("cp").over(w).alias("tp"),
+        F.sum("cn").over(w).alias("fp"),
+    )
+    tot = dom.agg(F.sum("cp").alias("pt"), F.sum("cn").alias("nt"))
+    terms = cum.crossJoin(F.broadcast(tot)).select(
+        "pt",
+        "nt",
+        F.expr("(cp * tp * 1000000000L) div ((tp + fp) * pt)").alias(
+            "term_nano"
+        ),
+    )
+    return terms.groupBy("pt", "nt").agg(
+        F.sum("term_nano").alias("ap_nano")
+    ).select(
+        F.col("pt").alias("n_pos"),
+        F.col("nt").alias("n_neg"),
+        "ap_nano",
+        F.round(F.col("ap_nano").cast("double") / 1e9, 6).alias(
+            "average_precision"
+        ),
+    )
+
+
+def _q276_sql() -> str:
+    return f"""
+WITH scores AS (
+  SELECT doc_id, score FROM ({_Q104_SQL}) s
+), labels AS (
+  SELECT doc_id, keep FROM ({_Q58_SQL}) l
+), e AS (
+  SELECT CAST(round(s.score * 10000) AS BIGINT) AS si,
+         CAST(CASE WHEN l.keep THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM scores s JOIN labels l USING (doc_id)
+), dom AS (
+  SELECT si, CAST(sum(y) AS BIGINT) AS cp, CAST(sum(1 - y) AS BIGINT) AS cn
+  FROM e GROUP BY si
+), cum AS (
+  SELECT cp,
+         CAST(sum(cp) OVER (ORDER BY si DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS tp,
+         CAST(sum(cn) OVER (ORDER BY si DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS fp
+  FROM dom
+), tot AS (
+  SELECT CAST(sum(cp) AS BIGINT) AS pt, CAST(sum(cn) AS BIGINT) AS nt
+  FROM dom
+)
+SELECT pt AS n_pos, nt AS n_neg,
+       CAST(sum((cp * tp * 1000000000) // ((tp + fp) * pt)) AS BIGINT)
+         AS ap_nano,
+       round(CAST(sum((cp * tp * 1000000000) // ((tp + fp) * pt)) AS DOUBLE)
+             / 1e9, 6) AS average_precision
+FROM cum CROSS JOIN tot
+GROUP BY pt, nt
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -8754,6 +8841,7 @@ QUERIES = {
     "q272_roc_auc": q272_roc_auc,
     "q274_jonckheere_terpstra": q274_jonckheere_terpstra,
     "q275_calinski_harabasz": q275_calinski_harabasz,
+    "q276_average_precision": q276_average_precision,
 }
 
 ORACLES = {
@@ -8876,4 +8964,5 @@ ORACLES = {
     "q272_roc_auc": _q272_sql(),
     "q274_jonckheere_terpstra": _q274_sql(),
     "q275_calinski_harabasz": _Q275_SQL,
+    "q276_average_precision": _q276_sql(),
 }

@@ -288,6 +288,7 @@ HEADLINE = [
     "q273_mantel_haenszel",
     "q274_jonckheere_terpstra",
     "q275_calinski_harabasz",
+    "q276_average_precision",
 ]
 
 

@@ -3780,3 +3780,44 @@ def test_q275_calinski_vs_sklearn_formula(spark, tmp_path, qs):
     assert abs(r.wcss / 1e8 - wcss) / wcss < 0.005
     assert abs(r.ch_index - ch_ref) / ch_ref < 0.005
     assert r.ch_index > 10
+
+
+def test_q276_ap_vs_sklearn_semantics(spark, sf_dir, qs):
+    """AP recomputed in Python from the engine's raw (si, y) pairs
+    using the sklearn step definition (with nano flooring mirrored);
+    exact on ap_nano, and within 2e-6 of the unfloored float AP."""
+    import pyspark.sql.functions as F
+    from airflow_spotify_etl_spark.operators.text import hashed_linear_score
+    from airflow_spotify_etl_spark.plans.llm import q58_gopher_quality_flags
+    from airflow_spotify_etl_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = hashed_linear_score(docs, n_buckets=4096).select("doc_id", "score")
+    labels = q58_gopher_quality_flags(spark, sf_dir).select("doc_id", "keep")
+    pairs = [
+        (int(r.si), int(r.y))
+        for r in scores.join(labels, "doc_id")
+        .select(
+            F.expr("CAST(round(score * 10000) AS BIGINT)").alias("si"),
+            F.col("keep").cast("long").alias("y"),
+        )
+        .collect()
+    ]
+    from collections import defaultdict
+    dom = defaultdict(lambda: [0, 0])
+    for si, y in pairs:
+        dom[si][y] += 1  # [cn, cp] by index y
+    P = sum(v[1] for v in dom.values())
+    tp = fp = 0
+    ap_nano = 0
+    ap_float = 0.0
+    for si in sorted(dom, reverse=True):
+        cn, cp = dom[si]
+        tp += cp
+        fp += cn
+        ap_nano += (cp * tp * 10**9) // ((tp + fp) * P)
+        ap_float += (cp / P) * (tp / (tp + fp))
+
+    row = qs["q276_average_precision"](spark, sf_dir).collect()[0]
+    assert (row.n_pos, row.ap_nano) == (P, ap_nano)
+    assert abs(row.average_precision - ap_float) < 2e-6
