@@ -8721,6 +8721,82 @@ GROUP BY pt, nt
 """
 
 
+def q277_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling weights (α = 0.5, the
+    mT5/XLM-R-style smoothing w_l ∝ p_l^α) over per-language token
+    mass — the mixing-table op that decides how hard low-resource
+    languages get upsampled in a multilingual training run (the
+    α-smoothed upgrade of q85's fixed epoch mixture).
+
+    α is fixed at 0.5 because sqrt is IEEE correctly-rounded in BOTH
+    engines (pow(x, 0.3) is not, and its last-bit drift would break
+    the floor) — sw_nano = floor(sqrt(tokens)·1e9) is deterministic,
+    and every ratio after that is nonnegative BIGINT division
+    (quantize-pre-sum across the <=5 language rows).
+
+    Shape at 100 TB: one narrow size(split) scan, one groupBy into
+    language rows, a 1-row total broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), "\\s+")))
+        .cast("long")
+        .alias("tk"),
+    )
+    per = toks.groupBy("lang").agg(F.sum("tk").alias("tokens")).select(
+        "lang",
+        "tokens",
+        F.expr(
+            "CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1.0e9) AS BIGINT)"
+        ).alias("sw_nano"),
+    )
+    tot = per.agg(
+        F.sum("tokens").alias("total"), F.sum("sw_nano").alias("sw_total")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "tokens",
+            F.expr("(tokens * 1000000L) div total").alias("p_ppm"),
+            F.expr("(sw_nano * 1000000L) div sw_total").alias("w_ppm"),
+            F.expr(
+                "(((sw_nano * 1000000L) div sw_total) * total * 1000L)"
+                " div (1000000L * tokens)"
+            ).alias("boost_milli"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q277_SQL = r"""
+WITH toks AS (
+  SELECT lang,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+           AS tk
+  FROM documents
+), per AS (
+  SELECT lang, CAST(sum(tk) AS BIGINT) AS tokens,
+         CAST(floor(sqrt(CAST(sum(tk) AS DOUBLE)) * 1.0e9) AS BIGINT)
+           AS sw_nano
+  FROM toks GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(tokens) AS BIGINT) AS total,
+         CAST(sum(sw_nano) AS BIGINT) AS sw_total
+  FROM per
+)
+SELECT lang, tokens,
+       CAST((tokens * 1000000) // total AS BIGINT) AS p_ppm,
+       CAST((sw_nano * 1000000) // sw_total AS BIGINT) AS w_ppm,
+       CAST((((sw_nano * 1000000) // sw_total) * total * 1000)
+            // (1000000 * tokens) AS BIGINT) AS boost_milli
+FROM per CROSS JOIN tot
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -8842,6 +8918,7 @@ QUERIES = {
     "q274_jonckheere_terpstra": q274_jonckheere_terpstra,
     "q275_calinski_harabasz": q275_calinski_harabasz,
     "q276_average_precision": q276_average_precision,
+    "q277_temperature_mixing": q277_temperature_mixing,
 }
 
 ORACLES = {
@@ -8965,4 +9042,5 @@ ORACLES = {
     "q274_jonckheere_terpstra": _q274_sql(),
     "q275_calinski_harabasz": _Q275_SQL,
     "q276_average_precision": _q276_sql(),
+    "q277_temperature_mixing": _Q277_SQL,
 }

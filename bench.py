@@ -289,6 +289,7 @@ HEADLINE = [
     "q274_jonckheere_terpstra",
     "q275_calinski_harabasz",
     "q276_average_precision",
+    "q277_temperature_mixing",
 ]
 
 

@@ -3821,3 +3821,42 @@ def test_q276_ap_vs_sklearn_semantics(spark, sf_dir, qs):
     row = qs["q276_average_precision"](spark, sf_dir).collect()[0]
     assert (row.n_pos, row.ap_nano) == (P, ap_nano)
     assert abs(row.average_precision - ap_float) < 2e-6
+
+
+def test_q277_temperature_mixing_hand_computed(spark, tmp_path, qs):
+    """Token masses 10000/100/1: α=0.5 compresses the ratio from 1e4:1
+    to 1e2:1; every column mirrored exactly in Python ints; weights
+    must sum to ~1e6 ppm and the rare language must get boost > 1."""
+    import math
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    masses = {"en": 10000, "de": 100, "zh": 1}
+    rows, did = [], 0
+    for lang, m in masses.items():
+        # split mass across two docs to exercise the groupBy
+        a, b = m // 2, m - m // 2
+        for part in (a, b):
+            if part:
+                rows.append((did, " ".join(["w"] * part), lang, "s", part))
+                did += 1
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet"))
+
+    sw = {l: int(math.floor(math.sqrt(m) * 1e9)) for l, m in masses.items()}
+    total, sw_total = sum(masses.values()), sum(sw.values())
+    expect = {}
+    for l, m in masses.items():
+        w_ppm = (sw[l] * 10**6) // sw_total
+        expect[l] = (
+            m,
+            (m * 10**6) // total,
+            w_ppm,
+            (w_ppm * total * 1000) // (10**6 * m),
+        )
+
+    got = {r.lang: (r.tokens, r.p_ppm, r.w_ppm, r.boost_milli)
+           for r in qs["q277_temperature_mixing"](spark, str(tmp_path)).collect()}
+    assert got == expect
+    assert abs(sum(v[2] for v in got.values()) - 10**6) <= 3  # floors
+    assert got["zh"][3] > 1000 and got["en"][3] < 1000  # up/down-sampling
