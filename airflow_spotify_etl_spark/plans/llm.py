@@ -8797,6 +8797,103 @@ ORDER BY lang
 """
 
 
+def q278_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle (FIM) training-example construction: split
+    every document's token stream at two hash-deterministic cut points
+    and emit the PSM (prefix-suffix-middle) reordering — the code/infill
+    pretraining transform, exactly reproducible because the cuts come
+    from the engine-portable md5 slice (operators/dedup._h32), not an
+    RNG. Docs under 3 tokens pass through unmasked (fim_applied=false).
+
+    Cut rule (identical in both engines and the pytest mirror):
+    c1 = 1 + h(doc:a) % (n−2) prefix tokens, middle length
+    m = 1 + h(doc:b) % (n−1−c1), suffix the non-empty remainder.
+
+    Shape at 100 TB: a pure per-row projection — no shuffle, no joins;
+    the sort is only for the bounded 50-row sample this query returns
+    (the operator itself is the projection)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        "conv(substr(md5(concat(CAST(doc_id AS STRING), ':{salt}')), 1, 8),"
+        " 16, 10)"
+    )
+    out = docs.select(
+        "doc_id",
+        F.expr("split(text, ' ')").alias("arr"),
+    ).select(
+        "doc_id",
+        F.expr("size(arr)").alias("n_tokens"),
+        F.expr(
+            "CASE WHEN size(arr) >= 3 THEN"
+            f" CAST(1 + {h.format(salt='a')} % (size(arr) - 2) AS INT)"
+            " ELSE 0 END"
+        ).alias("c1"),
+        "arr",
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "c1",
+        F.expr(
+            "CASE WHEN n_tokens >= 3 THEN"
+            f" CAST(1 + {h.format(salt='b')} % (n_tokens - 1 - c1) AS INT)"
+            " ELSE 0 END"
+        ).alias("m"),
+        "arr",
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "c1",
+        "m",
+        (F.col("n_tokens") >= 3).alias("fim_applied"),
+        F.expr(
+            "CASE WHEN n_tokens >= 3 THEN"
+            " concat('<PRE> ', array_join(slice(arr, 1, c1), ' '),"
+            "        ' <SUF> ', array_join(slice(arr, c1 + m + 1,"
+            "                              n_tokens - c1 - m), ' '),"
+            "        ' <MID> ', array_join(slice(arr, c1 + 1, m), ' '))"
+            " ELSE array_join(arr, ' ') END"
+        ).alias("fim_text"),
+    )
+    return out.orderBy("doc_id").limit(50)
+
+
+_Q278_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+), c1s AS (
+  SELECT doc_id, arr, CAST(len(arr) AS BIGINT) AS n_tokens,
+         CASE WHEN len(arr) >= 3 THEN
+           CAST(1 + ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':a'),
+                     1, 8))::BIGINT % (len(arr) - 2) AS INTEGER)
+         ELSE 0 END AS c1
+  FROM base
+), cuts AS (
+  SELECT doc_id, arr, n_tokens, c1,
+         CASE WHEN n_tokens >= 3 THEN
+           CAST(1 + ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':b'),
+                     1, 8))::BIGINT % (n_tokens - 1 - c1) AS INTEGER)
+         ELSE 0 END AS m
+  FROM c1s
+)
+SELECT doc_id, n_tokens, c1, m,
+       n_tokens >= 3 AS fim_applied,
+       CASE WHEN n_tokens >= 3 THEN
+         '<PRE> '
+         || array_to_string(list_transform(range(1, c1 + 1),
+                                           i -> arr[i]), ' ')
+         || ' <SUF> '
+         || array_to_string(list_transform(range(c1 + m + 1, n_tokens + 1),
+                                           i -> arr[i]), ' ')
+         || ' <MID> '
+         || array_to_string(list_transform(range(c1 + 1, c1 + m + 1),
+                                           i -> arr[i]), ' ')
+       ELSE array_to_string(arr, ' ') END AS fim_text
+FROM cuts
+ORDER BY doc_id
+LIMIT 50
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -8919,6 +9016,7 @@ QUERIES = {
     "q275_calinski_harabasz": q275_calinski_harabasz,
     "q276_average_precision": q276_average_precision,
     "q277_temperature_mixing": q277_temperature_mixing,
+    "q278_fim_transform": q278_fim_transform,
 }
 
 ORACLES = {
@@ -9043,4 +9141,5 @@ ORACLES = {
     "q275_calinski_harabasz": _Q275_SQL,
     "q276_average_precision": _q276_sql(),
     "q277_temperature_mixing": _Q277_SQL,
+    "q278_fim_transform": _Q278_SQL,
 }

@@ -290,6 +290,7 @@ HEADLINE = [
     "q275_calinski_harabasz",
     "q276_average_precision",
     "q277_temperature_mixing",
+    "q278_fim_transform",
 ]
 
 

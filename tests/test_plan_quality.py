@@ -3860,3 +3860,45 @@ def test_q277_temperature_mixing_hand_computed(spark, tmp_path, qs):
     assert got == expect
     assert abs(sum(v[2] for v in got.values()) - 10**6) <= 3  # floors
     assert got["zh"][3] > 1000 and got["en"][3] < 1000  # up/down-sampling
+
+
+def test_q278_fim_python_mirror(spark, tmp_path, qs):
+    """The PSM reassembly is mirrored in Python with hashlib; the three
+    segments must partition the original tokens (non-empty each), and
+    short docs pass through unmasked."""
+    import hashlib
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    texts = {
+        1: "a b c d e f g h",
+        2: "one two three",
+        3: "just two",        # n=2 -> passthrough
+        4: "solo",            # n=1 -> passthrough
+        5: " ".join(f"t{i}" for i in range(30)),
+    }
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet"))
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    expect = {}
+    for did, t in texts.items():
+        arr = t.split(" ")
+        n = len(arr)
+        if n >= 3:
+            c1 = 1 + h(f"{did}:a") % (n - 2)
+            m = 1 + h(f"{did}:b") % (n - 1 - c1)
+            pre, mid, suf = arr[:c1], arr[c1:c1 + m], arr[c1 + m:]
+            assert pre and mid and suf
+            fim = (f"<PRE> {' '.join(pre)} <SUF> {' '.join(suf)}"
+                   f" <MID> {' '.join(mid)}")
+            expect[did] = (n, c1, m, True, fim)
+        else:
+            expect[did] = (n, 0, 0, False, t)
+
+    got = {r.doc_id: (r.n_tokens, r.c1, r.m, r.fim_applied, r.fim_text)
+           for r in qs["q278_fim_transform"](spark, str(tmp_path)).collect()}
+    assert got == expect
