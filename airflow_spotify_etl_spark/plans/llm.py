@@ -8894,6 +8894,145 @@ LIMIT 50
 """
 
 
+def q279_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption: mask up to 3 hash-deterministic
+    3-token spans per document with <extra_id_K> sentinels and emit the
+    (input, target) pair — the denoising-pretraining transform, exactly
+    reproducible (md5-slice cuts, no RNG) and therefore oracle-checked
+    value-for-value.
+
+    Span rule (identical in both engines and the pytest mirror): 3
+    candidate starts s_k = 1 + h(doc:sk) % (n−2), sorted ascending,
+    greedily accepted when they don't overlap a previously accepted
+    span (s > prev + 2). Docs under 12 tokens pass through
+    (applied=false). Targets append the final <extra_id_N> terminator.
+
+    Shape at 100 TB: a pure per-row projection over array HOFs — zero
+    shuffle; only the bounded 50-row sample here sorts."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        "conv(substr(md5(concat(CAST(doc_id AS STRING), ':s{k}')), 1, 8),"
+        " 16, 10)"
+    )
+    cand = docs.select(
+        "doc_id",
+        F.expr("split(text, ' ')").alias("arr"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "arr",
+        "text",
+        F.expr("size(arr)").alias("n"),
+        F.expr(
+            "CASE WHEN size(arr) >= 12 THEN array_sort(array("
+            + ", ".join(
+                f"CAST(1 + {h.format(k=k)} % (size(arr) - 2) AS INT)"
+                for k in range(3)
+            )
+            + ")) ELSE CAST(array() AS array<int>) END"
+        ).alias("cand"),
+    )
+    acc = cand.select(
+        "doc_id",
+        "arr",
+        "text",
+        "n",
+        F.expr(
+            "CASE WHEN n >= 12 THEN filter(array("
+            " element_at(cand, 1),"
+            " IF(element_at(cand, 2) > element_at(cand, 1) + 2,"
+            "    element_at(cand, 2), NULL),"
+            " IF(element_at(cand, 3) > greatest(element_at(cand, 1),"
+            "      IF(element_at(cand, 2) > element_at(cand, 1) + 2,"
+            "         element_at(cand, 2), element_at(cand, 1))) + 2,"
+            "    element_at(cand, 3), NULL)"
+            "), x -> x IS NOT NULL) ELSE CAST(array() AS array<int>) END"
+        ).alias("spans"),
+    )
+    return (
+        acc.select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            F.expr("size(spans)").alias("n_spans"),
+            (F.col("n") >= 12).alias("applied"),
+            F.expr(
+                "CASE WHEN n >= 12 THEN"
+                " array_join(filter(transform(sequence(1, n), i ->"
+                "  CASE WHEN array_contains(spans, i) THEN"
+                "    concat('<extra_id_',"
+                "           CAST(array_position(spans, i) - 1 AS STRING), '>')"
+                "  WHEN exists(spans, s -> i > s AND i <= s + 2) THEN NULL"
+                "  ELSE element_at(arr, i) END), x -> x IS NOT NULL), ' ')"
+                " ELSE text END"
+            ).alias("input_text"),
+            F.expr(
+                "CASE WHEN n >= 12 THEN"
+                " concat(array_join(transform(sequence(1, size(spans)), k ->"
+                "   concat('<extra_id_', CAST(k - 1 AS STRING), '> ',"
+                "          array_join(slice(arr, element_at(spans, k), 3),"
+                "                     ' '))), ' '),"
+                "  ' <extra_id_', CAST(size(spans) AS STRING), '>')"
+                " ELSE '' END"
+            ).alias("target_text"),
+        )
+        .orderBy("doc_id")
+        .limit(50)
+    )
+
+
+_Q279_SQL = """
+WITH base AS (
+  SELECT doc_id, text, string_split(text, ' ') AS arr,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+), cand AS (
+  SELECT doc_id, text, arr, n,
+         CASE WHEN n >= 12 THEN list_sort([
+           CAST(1 + ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s0'),
+                     1, 8))::BIGINT % (n - 2) AS INTEGER),
+           CAST(1 + ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s1'),
+                     1, 8))::BIGINT % (n - 2) AS INTEGER),
+           CAST(1 + ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s2'),
+                     1, 8))::BIGINT % (n - 2) AS INTEGER)])
+         ELSE CAST([] AS INTEGER[]) END AS cand
+  FROM base
+), acc AS (
+  SELECT doc_id, text, arr, n,
+         CASE WHEN n >= 12 THEN list_filter([
+           cand[1],
+           CASE WHEN cand[2] > cand[1] + 2 THEN cand[2] END,
+           CASE WHEN cand[3] > greatest(cand[1],
+                  CASE WHEN cand[2] > cand[1] + 2 THEN cand[2]
+                       ELSE cand[1] END) + 2
+                THEN cand[3] END
+         ], x -> x IS NOT NULL) ELSE CAST([] AS INTEGER[]) END AS spans
+  FROM cand
+)
+SELECT doc_id, n AS n_tokens,
+       CAST(len(spans) AS BIGINT) AS n_spans,
+       n >= 12 AS applied,
+       CASE WHEN n >= 12 THEN
+         array_to_string(list_filter(list_transform(range(1, n + 1), i ->
+           CASE WHEN list_contains(spans, i) THEN
+             '<extra_id_' || CAST(list_position(spans, i) - 1 AS VARCHAR)
+             || '>'
+           WHEN len(list_filter(spans, s -> i > s AND i <= s + 2)) > 0
+             THEN NULL
+           ELSE arr[i] END), x -> x IS NOT NULL), ' ')
+       ELSE text END AS input_text,
+       CASE WHEN n >= 12 THEN
+         array_to_string(list_transform(range(1, len(spans) + 1), k ->
+           '<extra_id_' || CAST(k - 1 AS VARCHAR) || '> '
+           || array_to_string(list_transform(
+                range(spans[k], spans[k] + 3), i -> arr[i]), ' ')), ' ')
+         || ' <extra_id_' || CAST(len(spans) AS VARCHAR) || '>'
+       ELSE '' END AS target_text
+FROM acc
+ORDER BY doc_id
+LIMIT 50
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -9017,6 +9156,7 @@ QUERIES = {
     "q276_average_precision": q276_average_precision,
     "q277_temperature_mixing": q277_temperature_mixing,
     "q278_fim_transform": q278_fim_transform,
+    "q279_span_corruption": q279_span_corruption,
 }
 
 ORACLES = {
@@ -9142,4 +9282,5 @@ ORACLES = {
     "q276_average_precision": _q276_sql(),
     "q277_temperature_mixing": _Q277_SQL,
     "q278_fim_transform": _Q278_SQL,
+    "q279_span_corruption": _Q279_SQL,
 }

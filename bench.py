@@ -291,6 +291,7 @@ HEADLINE = [
     "q276_average_precision",
     "q277_temperature_mixing",
     "q278_fim_transform",
+    "q279_span_corruption",
 ]
 
 

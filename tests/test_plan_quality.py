@@ -3902,3 +3902,65 @@ def test_q278_fim_python_mirror(spark, tmp_path, qs):
     got = {r.doc_id: (r.n_tokens, r.c1, r.m, r.fim_applied, r.fim_text)
            for r in qs["q278_fim_transform"](spark, str(tmp_path)).collect()}
     assert got == expect
+
+
+def test_q279_span_corruption_python_mirror(spark, tmp_path, qs):
+    """Full Python/hashlib mirror of the greedy span rule and both
+    reassemblies; verifies round-trip (masked tokens + kept tokens =
+    original), sentinel numbering, and the short-doc passthrough."""
+    import hashlib
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    texts = {
+        1: " ".join(f"w{i}" for i in range(20)),
+        2: " ".join(f"x{i}" for i in range(12)),
+        3: "too short for spans",                    # n=4 -> passthrough
+        4: " ".join(f"y{i}" for i in range(40)),
+    }
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet"))
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    expect = {}
+    for did, t in texts.items():
+        arr = t.split(" ")
+        n = len(arr)
+        if n < 12:
+            expect[did] = (n, 0, False, t, "")
+            continue
+        cand = sorted(1 + h(f"{did}:s{k}") % (n - 2) for k in range(3))
+        spans = [cand[0]]
+        if cand[1] > spans[-1] + 2:
+            spans.append(cand[1])
+        if cand[2] > spans[-1] + 2:
+            spans.append(cand[2])
+        inp = []
+        i = 1
+        while i <= n:
+            if i in spans:
+                inp.append(f"<extra_id_{spans.index(i)}>")
+                i += 3
+            else:
+                inp.append(arr[i - 1])
+                i += 1
+        tgt = " ".join(
+            f"<extra_id_{k}> " + " ".join(arr[s - 1:s + 2])
+            for k, s in enumerate(spans)
+        ) + f" <extra_id_{len(spans)}>"
+        expect[did] = (n, len(spans), True, " ".join(inp), tgt)
+
+    got = {r.doc_id: (r.n_tokens, r.n_spans, r.applied, r.input_text,
+                      r.target_text)
+           for r in qs["q279_span_corruption"](spark, str(tmp_path)).collect()}
+    assert got == expect
+    # round-trip: masked + kept tokens reconstruct the original multiset
+    for did, (n, ns, ap, inp, tgt) in got.items():
+        if not ap:
+            continue
+        kept = [w for w in inp.split(" ") if not w.startswith("<extra_id_")]
+        masked = [w for w in tgt.split(" ") if not w.startswith("<extra_id_")]
+        assert sorted(kept + masked) == sorted(texts[did].split(" "))
