@@ -9033,6 +9033,134 @@ LIMIT 50
 """
 
 
+def q280_binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit sign binarization + Hamming search, audited for recall@5
+    against the exact float scan — the 64×-compressed end of the
+    quantization ladder (int8 q112/q113, SQ8, PQ q97): each 64-dim
+    vector packs into TWO 32-bit BIGINT halves (sign bit per dim), a
+    Hamming distance is two xor+bit_count's, and the audit reports
+    per-query overlap with the exact cosine top-5.
+
+    Exactness: the pack is an order-independent sum of bit·2^(32−i)
+    (an aggregate fold would hit ANSI overflow at the top bit, and
+    DuckDB's ^ is POWER — xor() spelled explicitly); Hamming ranks are
+    pure integers, so the whole candidate ordering is float-free.
+
+    Shape at 100 TB: the packed table is 16 bytes/vector; the query
+    side (5 rows) broadcasts; ranks are rank<=5 WindowGroupLimit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def pack(lo: int) -> str:
+        return (
+            "aggregate(transform(sequence(1, 32), i ->"
+            f" IF(element_at(embedding, i + {lo}) >= 0,"
+            f" shiftleft(CAST(1 AS BIGINT), 32 - i), CAST(0 AS BIGINT))),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+
+    packed = emb.select(
+        "vec_id",
+        F.expr(pack(0)).alias("h1"),
+        F.expr(pack(32)).alias("h2"),
+    )
+    qside = packed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("h1").alias("q1"),
+        F.col("h2").alias("q2"),
+    )
+    cside = packed.filter(F.col("vec_id") >= 5)
+    scored = cside.join(F.broadcast(qside)).select(
+        "query_id",
+        "vec_id",
+        F.expr("bit_count(h1 ^ q1) + bit_count(h2 ^ q2)").alias("hamming"),
+    )
+    w = W.partitionBy("query_id").orderBy("hamming", "vec_id")
+    topb = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+    from ..operators.similarity import cosine_topk
+
+    exact = cosine_topk(
+        emb.filter(F.col("vec_id") >= 5),
+        emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
+        k=5,
+    ).select("query_id", "vec_id")
+    hits = topb.join(exact, ["query_id", "vec_id"], "left_semi")
+    return (
+        topb.groupBy("query_id")
+        .agg(F.sum("hamming").alias("sum_hamming"))
+        .join(
+            hits.groupBy("query_id").agg(F.count("*").alias("n_hits")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) * 20).alias("recall_pct"),
+            "sum_hamming",
+        )
+        .orderBy("query_id")
+    )
+
+
+_Q280_SQL = """
+WITH packed AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(range(1, 33), i ->
+           CASE WHEN embedding[i] >= 0 THEN (CAST(1 AS BIGINT) << (32 - i))
+                ELSE 0 END)) AS BIGINT) AS h1,
+         CAST(list_sum(list_transform(range(1, 33), i ->
+           CASE WHEN embedding[i + 32] >= 0
+                THEN (CAST(1 AS BIGINT) << (32 - i)) ELSE 0 END))
+           AS BIGINT) AS h2
+  FROM embeddings
+), qside AS (
+  SELECT vec_id AS query_id, h1 AS q1, h2 AS q2 FROM packed WHERE vec_id < 5
+), scored AS (
+  SELECT query_id, vec_id,
+         bit_count(xor(h1, q1)) + bit_count(xor(h2, q2)) AS hamming
+  FROM packed CROSS JOIN qside
+  WHERE vec_id >= 5
+), topb AS (
+  SELECT query_id, vec_id, hamming FROM (
+    SELECT query_id, vec_id, hamming,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming, vec_id) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+), exact_ AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                              CAST(c.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[]))))
+             DESC, c.vec_id) AS rank
+    FROM embeddings q CROSS JOIN embeddings c
+    WHERE q.vec_id < 5 AND c.vec_id >= 5
+  ) WHERE rank <= 5
+), hits AS (
+  SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM topb t JOIN exact_ e
+    ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+  GROUP BY t.query_id
+)
+SELECT b.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) * 20 AS BIGINT) AS recall_pct,
+       CAST(b.sum_hamming AS BIGINT) AS sum_hamming
+FROM (SELECT query_id, CAST(sum(hamming) AS BIGINT) AS sum_hamming
+      FROM topb GROUP BY query_id) b
+LEFT JOIN hits h ON h.query_id = b.query_id
+ORDER BY b.query_id
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -9157,6 +9285,7 @@ QUERIES = {
     "q277_temperature_mixing": q277_temperature_mixing,
     "q278_fim_transform": q278_fim_transform,
     "q279_span_corruption": q279_span_corruption,
+    "q280_binary_hamming_recall": q280_binary_hamming_recall,
 }
 
 ORACLES = {
@@ -9283,4 +9412,5 @@ ORACLES = {
     "q277_temperature_mixing": _Q277_SQL,
     "q278_fim_transform": _Q278_SQL,
     "q279_span_corruption": _Q279_SQL,
+    "q280_binary_hamming_recall": _Q280_SQL,
 }

@@ -292,6 +292,7 @@ HEADLINE = [
     "q277_temperature_mixing",
     "q278_fim_transform",
     "q279_span_corruption",
+    "q280_binary_hamming_recall",
 ]
 
 

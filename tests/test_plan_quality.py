@@ -3964,3 +3964,54 @@ def test_q279_span_corruption_python_mirror(spark, tmp_path, qs):
         kept = [w for w in inp.split(" ") if not w.startswith("<extra_id_")]
         masked = [w for w in tgt.split(" ") if not w.startswith("<extra_id_")]
         assert sorted(kept + masked) == sorted(texts[did].split(" "))
+
+
+def test_q280_binary_hamming_mirror(spark, tmp_path, qs):
+    """Engineered vectors where sign patterns fully determine the
+    Hamming ranking; packing, distances, and recall mirrored in Python
+    bit-for-bit. Query 0's nearest sign-neighbors are also its exact
+    cosine top matches, so recall must be 100."""
+    from pyspark.sql.types import (ArrayType, FloatType, IntegerType,
+                                   LongType, StructField, StructType)
+
+    def vec(signs, mag=1.0):
+        return [mag * (1.0 if s else -1.0) for s in signs]
+
+    base = [True] * 64
+    flip = lambda k: base[:64 - k] + [False] * k  # noqa: E731
+    rows = [
+        (0, vec(base), 0),          # query
+        (5, vec(flip(1)), 0),       # hamming 1
+        (6, vec(flip(2)), 0),       # hamming 2
+        (7, vec(flip(3)), 0),       # hamming 3
+        (8, vec(flip(10)), 0),      # hamming 10
+        (9, vec(flip(32)), 0),      # hamming 32
+        (10, vec(flip(64)), 0),     # hamming 64 (opposite)
+    ]
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+    spark.createDataFrame(rows, schema).write.parquet(
+        str(tmp_path / "embeddings.parquet"))
+
+    def pack(v):
+        h1 = sum((1 << (32 - i)) for i in range(1, 33) if v[i - 1] >= 0)
+        h2 = sum((1 << (32 - i)) for i in range(1, 33) if v[i + 31] >= 0)
+        return h1, h2
+
+    q = pack(rows[0][1])
+    dists = {}
+    for vid, v, _ in rows[1:]:
+        a, b = pack(v)
+        dists[vid] = bin(a ^ q[0]).count("1") + bin(b ^ q[1]).count("1")
+    top5 = sorted(dists, key=lambda k: (dists[k], k))[:5]
+
+    got = qs["q280_binary_hamming_recall"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.query_id == 0
+    assert r.sum_hamming == sum(dists[v] for v in top5)
+    # sign ordering == cosine ordering for these unit-magnitude vectors
+    assert (r.n_hits, r.recall_pct) == (5, 100)
