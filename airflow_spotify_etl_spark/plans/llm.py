@@ -9161,6 +9161,94 @@ ORDER BY b.query_id
 """
 
 
+def q281_dispersion_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gries' DP (Deviation of Proportions) dispersion for the 20 most
+    frequent tokens: DP = ½·Σ_s |share of the term in source s −
+    source s's share of the corpus| — the corpus-linguistics measure
+    that separates genuinely common vocabulary (DP→0) from terms
+    concentrated in a few sources (DP→1); the single-term complement
+    of the burstiness (q203/q232) and keyness (q212) views.
+
+    Exact arithmetic: the per-source gap |t_ws·M − m_s·T_w| shares the
+    common denominator T_w·M, so DP_ppm = Σgaps·1e6 div (2·T_w·M) is
+    pure BIGINT (gaps ≤ ~2e12 at sf0.1; ·1e6 stays under int64 — at
+    larger corpora the division routes through _floor_scaled_div).
+
+    Shape at 100 TB: one (token, source) grouped pass, a TakeOrdered
+    top-20 probe set that broadcasts, and a 20·|sources| reduction."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), "\\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tws = toks.groupBy("tok", "source").agg(F.count("*").alias("t_ws"))
+    srcm = toks.groupBy("source").agg(F.count("*").alias("m_s"))
+    tot = srcm.agg(F.sum("m_s").alias("mm"))
+    tw = tws.groupBy("tok").agg(F.sum("t_ws").alias("t_w"))
+    top = tw.orderBy(F.col("t_w").desc(), "tok").limit(20)
+    # dense grid: every (top term, source) with zero fill
+    grid = (
+        top.crossJoin(srcm)
+        .join(tws, ["tok", "source"], "left")
+        .select(
+            "tok",
+            "t_w",
+            "m_s",
+            F.coalesce("t_ws", F.lit(0)).alias("t_ws"),
+        )
+    )
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            "t_w",
+            F.abs(
+                F.col("t_ws") * F.col("mm") - F.col("m_s") * F.col("t_w")
+            ).alias("gap"),
+            "mm",
+        )
+        .groupBy("tok", "t_w", "mm")
+        .agg(F.sum("gap").alias("gaps"))
+        .select(
+            "tok",
+            F.col("t_w").alias("term_count"),
+            F.expr("(gaps * 1000000L) div (2 * t_w * mm)").alias("dp_ppm"),
+        )
+        .orderBy(F.col("term_count").desc(), "tok")
+    )
+
+
+_Q281_SQL = r"""
+WITH toks AS (
+  SELECT source, tok FROM (
+    SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), tws AS (
+  SELECT tok, source, CAST(count(*) AS BIGINT) AS t_ws
+  FROM toks GROUP BY 1, 2
+), srcm AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS m_s FROM toks GROUP BY source
+), tot AS (
+  SELECT CAST(sum(m_s) AS BIGINT) AS mm FROM srcm
+), tw AS (
+  SELECT tok, CAST(sum(t_ws) AS BIGINT) AS t_w FROM tws GROUP BY tok
+), top AS (
+  SELECT * FROM tw ORDER BY t_w DESC, tok LIMIT 20
+), grid AS (
+  SELECT top.tok, top.t_w, srcm.source, srcm.m_s,
+         coalesce(tws.t_ws, 0) AS t_ws
+  FROM top CROSS JOIN srcm
+  LEFT JOIN tws ON tws.tok = top.tok AND tws.source = srcm.source
+)
+SELECT tok, t_w AS term_count,
+       CAST((sum(abs(t_ws * mm - m_s * t_w)) * 1000000)
+            // (2 * t_w * mm) AS BIGINT) AS dp_ppm
+FROM grid CROSS JOIN tot
+GROUP BY tok, t_w, mm
+ORDER BY term_count DESC, tok
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -9286,6 +9374,7 @@ QUERIES = {
     "q278_fim_transform": q278_fim_transform,
     "q279_span_corruption": q279_span_corruption,
     "q280_binary_hamming_recall": q280_binary_hamming_recall,
+    "q281_dispersion_dp": q281_dispersion_dp,
 }
 
 ORACLES = {
@@ -9413,4 +9502,5 @@ ORACLES = {
     "q278_fim_transform": _Q278_SQL,
     "q279_span_corruption": _Q279_SQL,
     "q280_binary_hamming_recall": _Q280_SQL,
+    "q281_dispersion_dp": _Q281_SQL,
 }

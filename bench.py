@@ -293,6 +293,7 @@ HEADLINE = [
     "q278_fim_transform",
     "q279_span_corruption",
     "q280_binary_hamming_recall",
+    "q281_dispersion_dp",
 ]
 
 

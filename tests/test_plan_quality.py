@@ -4015,3 +4015,33 @@ def test_q280_binary_hamming_mirror(spark, tmp_path, qs):
     assert r.sum_hamming == sum(dists[v] for v in top5)
     # sign ordering == cosine ordering for these unit-magnitude vectors
     assert (r.n_hits, r.recall_pct) == (5, 100)
+
+
+def test_q281_dispersion_hand_computed(spark, tmp_path, qs):
+    """3 sources with engineered masses: 'even' spread proportionally
+    (DP=0), 'conc' fully concentrated in one source; both values
+    hand-derived via the common-denominator identity."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    # source masses: s1=8, s2=4, s3=4 tokens (total 16)
+    # 'even' appears 4/2/2 (exactly proportional), 'conc' 0/4/0
+    rows = [
+        (1, "even even even even pad pad pad pad", "en", "s1", 0),
+        (2, "even even conc conc", "en", "s2", 0),
+        (3, "even even pad2 pad2", "en", "s3", 0),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet"))
+
+    got = {r.tok: (r.term_count, r.dp_ppm)
+           for r in qs["q281_dispersion_dp"](spark, str(tmp_path)).collect()}
+
+    # 'even': counts 4/2/2 of masses 8/4/4 -> proportional -> DP = 0
+    assert got["even"] == (8, 0)
+    # 'conc': counts 0/2/0, T_w=2, M=16; gaps: |0*16-8*2|=16,
+    # |2*16-4*2|=24, |0*16-4*2|=8 -> sum 48; DP=48/(2*2*16)=0.75
+    assert got["conc"] == (2, 750000)
+    # pads: 'pad' 4/8 in s1 only: gaps |4*16-8*4|=32? no: t_ws=4,M=16,
+    # m_s=8,T_w=4 -> |64-32|=32; s2 |0-16|=16; s3 |0-16|=16; sum 64
+    # DP = 64/(2*4*16) = 0.5
+    assert got["pad"] == (4, 500000)
