@@ -9249,6 +9249,121 @@ ORDER BY term_count DESC, tok
 """
 
 
+def q282_lang_source_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized mutual information between the lang and source
+    metadata columns — the redundancy audit that says whether two
+    sharding/stratification keys carry independent signal (NMI→0) or
+    duplicate each other (NMI→1); the contingency-table sibling of the
+    chi-square (q182) and the entropy views (q198).
+
+    Exactness: each cell term c_ij·ln(N·c_ij/(r_i·c_j)) and each
+    marginal term r·ln(N/r) is ONE deterministic double chain over
+    exact BIGINT counts, floored to nanos BEFORE the cross-cell sums
+    (the q258 discipline); NMI is the final rounded chain
+    MI/sqrt(H_lang·H_source).
+
+    Shape at 100 TB: one grouped corpus pass into <=|langs|·|sources|
+    cells; everything after runs on that bounded grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("c"))
+    rows_ = cells.groupBy("lang").agg(F.sum("c").alias("r"))
+    cols = cells.groupBy("source").agg(F.sum("c").alias("k"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    mi = (
+        cells.join(rows_, "lang")
+        .join(cols, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "CAST(floor(CAST(c AS DOUBLE)"
+                " * ln(CAST(n AS DOUBLE) * c / (CAST(r AS DOUBLE) * k))"
+                " * 1.0e9) AS BIGINT)"
+            ).alias("t")
+        )
+        .agg(F.sum("t").alias("mi_sum_nano"))
+    )
+    hl = (
+        rows_.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "CAST(floor(CAST(r AS DOUBLE)"
+                " * ln(CAST(n AS DOUBLE) / r) * 1.0e9) AS BIGINT)"
+            ).alias("t")
+        )
+        .agg(F.sum("t").alias("hl_sum_nano"))
+    )
+    hs = (
+        cols.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "CAST(floor(CAST(k AS DOUBLE)"
+                " * ln(CAST(n AS DOUBLE) / k) * 1.0e9) AS BIGINT)"
+            ).alias("t")
+        )
+        .agg(F.sum("t").alias("hs_sum_nano"))
+    )
+    return (
+        mi.crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hs))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "mi_sum_nano",
+            "hl_sum_nano",
+            "hs_sum_nano",
+            F.round(
+                F.expr(
+                    "CASE WHEN hl_sum_nano > 0 AND hs_sum_nano > 0 THEN"
+                    " CAST(mi_sum_nano AS DOUBLE)"
+                    " / sqrt(CAST(hl_sum_nano AS DOUBLE)"
+                    "        * CAST(hs_sum_nano AS DOUBLE))"
+                    " ELSE 0.0e0 END"
+                ),
+                6,
+            ).alias("nmi"),
+        )
+    )
+
+
+_Q282_SQL = """
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), rows_ AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY lang
+), cols AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS k FROM cells GROUP BY source
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM cells
+), mi AS (
+  SELECT CAST(sum(CAST(floor(CAST(c AS DOUBLE)
+           * ln(CAST(n AS DOUBLE) * c / (CAST(r AS DOUBLE) * k))
+           * 1.0e9) AS BIGINT)) AS BIGINT) AS mi_sum_nano
+  FROM cells
+  JOIN rows_ USING (lang)
+  JOIN cols USING (source)
+  CROSS JOIN tot
+), hl AS (
+  SELECT CAST(sum(CAST(floor(CAST(r AS DOUBLE)
+           * ln(CAST(n AS DOUBLE) / r) * 1.0e9) AS BIGINT)) AS BIGINT)
+           AS hl_sum_nano
+  FROM rows_ CROSS JOIN tot
+), hs AS (
+  SELECT CAST(sum(CAST(floor(CAST(k AS DOUBLE)
+           * ln(CAST(n AS DOUBLE) / k) * 1.0e9) AS BIGINT)) AS BIGINT)
+           AS hs_sum_nano
+  FROM cols CROSS JOIN tot
+)
+SELECT n, mi_sum_nano, hl_sum_nano, hs_sum_nano,
+       round(CASE WHEN hl_sum_nano > 0 AND hs_sum_nano > 0 THEN
+               CAST(mi_sum_nano AS DOUBLE)
+               / sqrt(CAST(hl_sum_nano AS DOUBLE)
+                      * CAST(hs_sum_nano AS DOUBLE))
+             ELSE 0.0e0 END, 6) AS nmi
+FROM mi CROSS JOIN hl CROSS JOIN hs CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -9375,6 +9490,7 @@ QUERIES = {
     "q279_span_corruption": q279_span_corruption,
     "q280_binary_hamming_recall": q280_binary_hamming_recall,
     "q281_dispersion_dp": q281_dispersion_dp,
+    "q282_lang_source_nmi": q282_lang_source_nmi,
 }
 
 ORACLES = {
@@ -9503,4 +9619,5 @@ ORACLES = {
     "q279_span_corruption": _Q279_SQL,
     "q280_binary_hamming_recall": _Q280_SQL,
     "q281_dispersion_dp": _Q281_SQL,
+    "q282_lang_source_nmi": _Q282_SQL,
 }

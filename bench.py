@@ -294,6 +294,7 @@ HEADLINE = [
     "q279_span_corruption",
     "q280_binary_hamming_recall",
     "q281_dispersion_dp",
+    "q282_lang_source_nmi",
 ]
 
 

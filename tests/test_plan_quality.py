@@ -4045,3 +4045,41 @@ def test_q281_dispersion_hand_computed(spark, tmp_path, qs):
     # m_s=8,T_w=4 -> |64-32|=32; s2 |0-16|=16; s3 |0-16|=16; sum 64
     # DP = 64/(2*4*16) = 0.5
     assert got["pad"] == (4, 500000)
+
+
+def test_q282_nmi_endpoints_and_mirror(spark, tmp_path, qs):
+    """Perfect dependence (each source carries exactly one lang) must
+    give NMI within a nano-floor of 1 when marginals are uniform; the
+    nano sums are also mirrored in Python exactly."""
+    import math
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows = []
+    did = 0
+    # 4 sources, 4 langs, bijective mapping, 5 docs each -> NMI = 1
+    for i, (lang, src) in enumerate(
+        [("en", "sA"), ("de", "sB"), ("fr", "sC"), ("es", "sD")]
+    ):
+        for _ in range(5):
+            rows.append((did, "text", lang, src, 4))
+            did += 1
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet"))
+
+    n = 20
+    cells = {(la, so): 5 for la, so in
+             [("en", "sA"), ("de", "sB"), ("fr", "sC"), ("es", "sD")]}
+    r = {la: 5 for la in ["en", "de", "fr", "es"]}
+    k = {so: 5 for so in ["sA", "sB", "sC", "sD"]}
+    mi = sum(
+        int(math.floor(c * math.log(n * c / (r[la] * k[so])) * 1e9))
+        for (la, so), c in cells.items()
+    )
+    hl = sum(int(math.floor(v * math.log(n / v) * 1e9)) for v in r.values())
+    hs = sum(int(math.floor(v * math.log(n / v) * 1e9)) for v in k.values())
+
+    row = qs["q282_lang_source_nmi"](spark, str(tmp_path)).collect()[0]
+    assert (row.n, row.mi_sum_nano, row.hl_sum_nano, row.hs_sum_nano) == (
+        n, mi, hl, hs)
+    assert abs(row.nmi - 1.0) < 1e-6
