@@ -9399,6 +9399,99 @@ FROM q
 """
 
 
+def q283_deletion_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten deletion manifest: given an opt-out subject
+    list (here the deterministic 1-in-97 md5 sample of customers — in
+    production an uploaded consent table), enumerate every row that
+    must be purged across the star schema — customer rows, their
+    orders, the lineitems of those orders, and their events — as one
+    per-table manifest with row counts and key ranges. The compliance
+    primitive a training-data pipeline runs BEFORE a rebuild so the
+    purge is verifiable (counts + key bounds) rather than fire-and-
+    forget.
+
+    Shape at 100 TB: the subject list is corpus-small and broadcasts
+    into LEFT SEMI joins on every fact table (no fact ever shuffles);
+    the orders→lineitem hop reuses the semi-joined order keys, again
+    broadcast. All outputs are exact integers."""
+    cust = _t(spark, sf_dir, "customer")
+    subjects = cust.filter(
+        F.expr(
+            "conv(substr(md5(CAST(c_custkey AS STRING)), 1, 8), 16, 10)"
+            " % 97 = 0"
+        )
+    ).select("c_custkey").persist()
+    orders = _t(spark, sf_dir, "orders").join(
+        F.broadcast(subjects),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_semi",
+    )
+    okeys = orders.select("o_orderkey").persist()
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(okeys),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
+    ev = _t(spark, sf_dir, "events").join(
+        F.broadcast(subjects),
+        F.col("user_id") == F.col("c_custkey"),
+        "left_semi",
+    )
+
+    def manifest(df, table, key):
+        return df.agg(
+            F.lit(table).alias("table_name"),
+            F.count("*").alias("n_rows"),
+            F.min(key).cast("long").alias("min_key"),
+            F.max(key).cast("long").alias("max_key"),
+        )
+
+    out = (
+        manifest(subjects, "customer", "c_custkey")
+        .unionByName(manifest(orders, "orders", "o_orderkey"))
+        .unionByName(manifest(li, "lineitem", "l_orderkey"))
+        .unionByName(manifest(ev, "events", "event_id"))
+    )
+    return out.orderBy("table_name")
+
+
+_Q283_SQL = """
+WITH subjects AS (
+  SELECT c_custkey FROM customer
+  WHERE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+        % 97 = 0
+), ords AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM subjects)
+), li AS (
+  SELECT l_orderkey FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM ords)
+), ev AS (
+  SELECT event_id FROM events
+  WHERE user_id IN (SELECT c_custkey FROM subjects)
+)
+SELECT * FROM (
+  SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(min(c_custkey) AS BIGINT) AS min_key,
+         CAST(max(c_custkey) AS BIGINT) AS max_key
+  FROM subjects
+  UNION ALL
+  SELECT 'orders', CAST(count(*) AS BIGINT),
+         CAST(min(o_orderkey) AS BIGINT), CAST(max(o_orderkey) AS BIGINT)
+  FROM ords
+  UNION ALL
+  SELECT 'lineitem', CAST(count(*) AS BIGINT),
+         CAST(min(l_orderkey) AS BIGINT), CAST(max(l_orderkey) AS BIGINT)
+  FROM li
+  UNION ALL
+  SELECT 'events', CAST(count(*) AS BIGINT),
+         CAST(min(event_id) AS BIGINT), CAST(max(event_id) AS BIGINT)
+  FROM ev
+)
+ORDER BY table_name
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -9534,6 +9627,7 @@ QUERIES = {
     "q264_simpson_audit": q264_simpson_audit,
     "q267_chow_break_test": q267_chow_break_test,
     "q273_mantel_haenszel": q273_mantel_haenszel,
+    "q283_deletion_manifest": q283_deletion_manifest,
 }
 
 ORACLES = {
@@ -9671,4 +9765,5 @@ ORACLES = {
     "q264_simpson_audit": _Q264_SQL,
     "q267_chow_break_test": _Q267_SQL,
     "q273_mantel_haenszel": _Q273_SQL,
+    "q283_deletion_manifest": _Q283_SQL,
 }

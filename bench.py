@@ -295,6 +295,7 @@ HEADLINE = [
     "q280_binary_hamming_recall",
     "q281_dispersion_dp",
     "q282_lang_source_nmi",
+    "q283_deletion_manifest",
 ]
 
 

@@ -4083,3 +4083,57 @@ def test_q282_nmi_endpoints_and_mirror(spark, tmp_path, qs):
     assert (row.n, row.mi_sum_nano, row.hl_sum_nano, row.hs_sum_nano) == (
         n, mi, hl, hs)
     assert abs(row.nmi - 1.0) < 1e-6
+
+
+def test_q283_deletion_manifest_hand_computed(spark, tmp_path, qs):
+    """Planted star with known subjects (md5 % 97 mirrored in Python):
+    the manifest must count exactly the subject-owned rows across all
+    four tables, including transitively-owned lineitems, and exclude
+    everything else."""
+    import datetime
+    import hashlib
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    def is_subject(ck):
+        return int(hashlib.md5(str(ck).encode()).hexdigest()[:8], 16) % 97 == 0
+
+    custkeys = list(range(1, 300))
+    subjects = [c for c in custkeys if is_subject(c)]
+    assert subjects, "need at least one sampled subject in the fixture"
+    custs = [(c, f"c{c}", 0, 1.0, "SEG") for c in custkeys]
+    spark.createDataFrame(custs, SCHEMAS["customer"]).write.parquet(
+        str(tmp_path / "customer.parquet"))
+
+    # orders: customer c owns orders 10c and 10c+1; lineitems: 2 per order
+    od = datetime.datetime(2024, 1, 1)
+    orders, lineitems = [], []
+    for c in custkeys[:50] + subjects:  # ensure subjects have orders
+        for j in (0, 1):
+            ok = 10 * c + j
+            orders.append((ok, c, "O", 5.0, od, "1-URGENT"))
+            for ln in (1, 2):
+                lineitems.append((ok, 1, 1, ln, 1.0, 1.0, 0.0, 0.0,
+                                  "N", "O", od))
+    spark.createDataFrame(orders, SCHEMAS["orders"]).write.parquet(
+        str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(lineitems, SCHEMAS["lineitem"]).write.parquet(
+        str(tmp_path / "lineitem.parquet"))
+
+    ts = datetime.datetime(2024, 1, 1)
+    events = [(i, ts, custkeys[i % len(custkeys)], "view", 1.0, "{}")
+              for i in range(400)]
+    spark.createDataFrame(events, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet"))
+
+    sub_orders = sorted(
+        ok for ok, c, *_ in orders if c in set(subjects))
+    sub_li = [l for l in lineitems if l[0] in set(sub_orders)]
+    sub_ev = [e for e in events if e[2] in set(subjects)]
+
+    got = {r.table_name: (r.n_rows, r.min_key, r.max_key)
+           for r in qs["q283_deletion_manifest"](spark, str(tmp_path)).collect()}
+    assert got["customer"] == (len(subjects), min(subjects), max(subjects))
+    assert got["orders"] == (len(sub_orders), min(sub_orders), max(sub_orders))
+    assert got["lineitem"][0] == len(sub_li)
+    assert got["events"][0] == len(sub_ev)
