@@ -9364,6 +9364,81 @@ FROM mi CROSS JOIN hl CROSS JOIN hs CROSS JOIN tot
 """
 
 
+def q284_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility / byte-economics per language: whitespace
+    tokens, characters, UTF-8 bytes, and the derived chars-per-token,
+    bytes-per-token and multibyte-byte share — the table that predicts
+    context-window cost per language and motivates the q277
+    temperature weights (languages with high bytes/token burn budget
+    faster).
+
+    All-integer: per-doc counts sum exactly; the ratios are milli/ppm
+    floor divisions of exact BIGINTs.
+
+    Shape at 100 TB: one narrow projection (length/octet_length/
+    size(split) — no token explode), one groupBy into <=5 language
+    rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), "\\s+")))
+        .cast("long")
+        .alias("tk"),
+        F.length("text").cast("long").alias("chars"),
+        F.expr("octet_length(text)").cast("long").alias("bytes"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tk").alias("tokens"),
+            F.sum("chars").alias("chars"),
+            F.sum("bytes").alias("bytes"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "tokens",
+            "chars",
+            "bytes",
+            F.expr("(chars * 1000L) div tokens").alias("chars_per_token_milli"),
+            F.expr("(bytes * 1000L) div tokens").alias("bytes_per_token_milli"),
+            F.expr("((bytes - chars) * 1000000L) div bytes").alias(
+                "multibyte_ppm"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q284_SQL = r"""
+WITH per AS (
+  SELECT lang,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+           AS tk,
+         CAST(length(text) AS BIGINT) AS chars,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS bytes
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tk) AS BIGINT) AS tokens,
+       CAST(sum(chars) AS BIGINT) AS chars,
+       CAST(sum(bytes) AS BIGINT) AS bytes,
+       CAST((sum(chars) * 1000) // sum(tk) AS BIGINT)
+         AS chars_per_token_milli,
+       CAST((sum(bytes) * 1000) // sum(tk) AS BIGINT)
+         AS bytes_per_token_milli,
+       CAST(((sum(bytes) - sum(chars)) * 1000000) // sum(bytes) AS BIGINT)
+         AS multibyte_ppm
+FROM per
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -9491,6 +9566,7 @@ QUERIES = {
     "q280_binary_hamming_recall": q280_binary_hamming_recall,
     "q281_dispersion_dp": q281_dispersion_dp,
     "q282_lang_source_nmi": q282_lang_source_nmi,
+    "q284_tokenizer_fertility": q284_tokenizer_fertility,
 }
 
 ORACLES = {
@@ -9620,4 +9696,5 @@ ORACLES = {
     "q280_binary_hamming_recall": _Q280_SQL,
     "q281_dispersion_dp": _Q281_SQL,
     "q282_lang_source_nmi": _Q282_SQL,
+    "q284_tokenizer_fertility": _Q284_SQL,
 }

@@ -296,6 +296,7 @@ HEADLINE = [
     "q281_dispersion_dp",
     "q282_lang_source_nmi",
     "q283_deletion_manifest",
+    "q284_tokenizer_fertility",
 ]
 
 

@@ -4137,3 +4137,29 @@ def test_q283_deletion_manifest_hand_computed(spark, tmp_path, qs):
     assert got["orders"] == (len(sub_orders), min(sub_orders), max(sub_orders))
     assert got["lineitem"][0] == len(sub_li)
     assert got["events"][0] == len(sub_ev)
+
+
+def test_q284_fertility_hand_computed(spark, tmp_path, qs):
+    """ASCII vs multibyte fixtures: UTF-8 accounting (bytes > chars for
+    non-ASCII), empty-doc token zero, and the milli/ppm floors all
+    hand-verified."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows = [
+        (1, "abc def", "en", "s", 7),       # 2 toks, 7 chars, 7 bytes
+        (2, "", "en", "s", 0),              # 0 toks
+        (3, "héllo wörld", "de", "s", 11),  # 2 toks, 11 chars, 13 bytes
+    ]
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet"))
+
+    got = {r.lang: r for r in
+           qs["q284_tokenizer_fertility"](spark, str(tmp_path)).collect()}
+    en = got["en"]
+    assert (en.n_docs, en.tokens, en.chars, en.bytes) == (2, 2, 7, 7)
+    assert en.chars_per_token_milli == (7 * 1000) // 2
+    assert en.multibyte_ppm == 0
+    de = got["de"]
+    assert (de.n_docs, de.tokens, de.chars, de.bytes) == (1, 2, 11, 13)
+    assert de.bytes_per_token_milli == (13 * 1000) // 2
+    assert de.multibyte_ppm == ((13 - 11) * 10**6) // 13
