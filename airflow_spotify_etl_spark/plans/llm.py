@@ -9439,6 +9439,345 @@ ORDER BY lang
 """
 
 
+def q287_dedup_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift audit of exact dedup: the Jensen-Shannon
+    divergence between the FULL corpus unigram distribution and the
+    distribution over exact-dedup survivors (operators/dedup.exact_dedup
+    keepers) — the check that deduplication cleaned volume without
+    skewing the token mix (the pipeline-effect companion to q137's
+    count-level effectiveness and q211's source-drift dial).
+
+    Same exactness machinery as q211: per-token JS terms are one
+    identical double chain over exact integer counts, quantized to
+    pico-nats pre-sum; tokens absent from the survivor set contribute
+    the closed-form 0.5·ln2·Σp tail computed from INTEGER sums (no
+    full-vocabulary sweep).
+
+    Shape at 100 TB: the dedup keeper set is a hash-grouped min;
+    two token-count passes share the survivor semi-join; the JS join
+    runs on the survivor vocabulary only."""
+    from ..operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = exact_dedup(docs).select(F.col("keeper").alias("doc_id"))
+    toks_all = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "\\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    cg = toks_all.groupBy("tok").agg(F.count("*").alias("cg"))
+    toks_kept = toks_all.join(kept, "doc_id", "left_semi")
+    ck = toks_kept.groupBy("tok").agg(F.count("*").alias("ck"))
+    nt = cg.agg(F.sum("cg").alias("nt"))
+    nk = ck.agg(F.sum("ck").alias("nk"))
+    p = "(CAST(cg AS DOUBLE) / CAST(nt AS DOUBLE))"
+    q = "(CAST(ck AS DOUBLE) / CAST(nk AS DOUBLE))"
+    term = (
+        f"CAST(round((0.5 * {p} * ln(2 * {p} / ({p} + {q}))"
+        f" + 0.5 * {q} * ln(2 * {q} / ({p} + {q}))) * 1e12) AS BIGINT)"
+    )
+    joined = (
+        ck.join(cg, "tok")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nk))
+        .agg(
+            F.count("*").alias("vocab_kept"),
+            F.sum(F.expr(term)).alias("present_pico"),
+            F.sum("cg").alias("gnum"),
+            F.max("nt").alias("nt"),
+            F.max("nk").alias("nk"),
+        )
+    )
+    counts = docs.agg(F.count("*").alias("n_docs")).crossJoin(
+        kept.agg(F.count("*").alias("n_kept"))
+    )
+    tail = (
+        "CAST(round(0.5 * ln(2.0) * CAST(nt - gnum AS DOUBLE)"
+        " / CAST(nt AS DOUBLE) * 1e12) AS BIGINT)"
+    )
+    return joined.crossJoin(F.broadcast(counts)).select(
+        "n_docs",
+        "n_kept",
+        F.col("nt").alias("corpus_tokens"),
+        F.col("nk").alias("kept_tokens"),
+        "vocab_kept",
+        F.expr(f"(present_pico + {tail}) div 1000000").alias("js_micro"),
+    )
+
+
+def _q287_sql() -> str:
+    p = "(CAST(cg AS DOUBLE) / CAST(nt AS DOUBLE))"
+    q = "(CAST(ck AS DOUBLE) / CAST(nk AS DOUBLE))"
+    term = (
+        f"CAST(round((0.5 * {p} * ln(2 * {p} / ({p} + {q}))"
+        f" + 0.5 * {q} * ln(2 * {q} / ({p} + {q}))) * 1e12) AS BIGINT)"
+    )
+    return rf"""
+WITH kept AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), toks_all AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), cg AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cg FROM toks_all GROUP BY tok
+), ck AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS ck
+  FROM toks_all WHERE doc_id IN (SELECT doc_id FROM kept)
+  GROUP BY tok
+), nt AS (
+  SELECT CAST(sum(cg) AS BIGINT) AS nt FROM cg
+), nk AS (
+  SELECT CAST(sum(ck) AS BIGINT) AS nk FROM ck
+), joined AS (
+  SELECT CAST(count(*) AS BIGINT) AS vocab_kept,
+         CAST(sum({term}) AS BIGINT) AS present_pico,
+         CAST(sum(cg) AS BIGINT) AS gnum,
+         CAST(max(nt) AS BIGINT) AS nt,
+         CAST(max(nk) AS BIGINT) AS nk
+  FROM ck JOIN cg USING (tok) CROSS JOIN nt CROSS JOIN nk
+), counts AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+         (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_kept
+)
+SELECT n_docs, n_kept,
+       nt AS corpus_tokens, nk AS kept_tokens, vocab_kept,
+       CAST((present_pico
+             + CAST(round(0.5 * ln(2.0) * CAST(nt - gnum AS DOUBLE)
+                    / CAST(nt AS DOUBLE) * 1e12) AS BIGINT))
+            // 1000000 AS BIGINT) AS js_micro
+FROM joined CROSS JOIN counts
+"""
+
+
+def q288_murphy_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the (binned) Brier score for the q104
+    classifier vs the q58 keep labels: BS = REL − RES + UNC + within-bin
+    variance — reliability says how far bin forecasts sit from bin
+    outcomes, resolution how much the bins separate the base rate,
+    uncertainty the irreducible o̅(1−o̅); the diagnosis layer on top of
+    q265's single Brier number.
+
+    Exactness: per-bin REL/RES terms are single double chains over
+    exact BIGINTs (k, n, ssum), floored to nano BIGINTs pre-sum; the
+    within-bin variance term is derived exactly as the q265 Brier minus
+    the decomposition (identity checked in pytest). All denominators
+    nonnegative.
+
+    Shape at 100 TB: identical to q265 — one grouped pass to <=10 bins,
+    then a bin-relation reduction."""
+    from ..operators.text import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = hashed_linear_score(docs, n_buckets=4096).select("doc_id", "score")
+    labels = q58_gopher_quality_flags(spark, sf_dir).select("doc_id", "keep")
+    e = scores.join(labels, "doc_id").select(
+        F.expr("CAST(round(score * 10000) AS BIGINT)").alias("si"),
+        F.col("keep").cast("long").alias("y"),
+    )
+    bins = (
+        e.select(
+            F.least(F.greatest(F.expr("si div 1000"), F.lit(0)), F.lit(9))
+            .cast("int")
+            .alias("bin"),
+            "si",
+            "y",
+            ((F.col("si") - F.col("y") * 10000)
+             * (F.col("si") - F.col("y") * 10000)).alias("sqerr"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("y").alias("k"),
+            F.sum("si").alias("ssum"),
+            F.sum("sqerr").alias("sq"),
+        )
+        .persist()
+    )
+    tot = bins.agg(
+        F.sum("n").alias("nn"), F.sum("k").alias("kk"), F.sum("sq").alias("sqt")
+    )
+    # f_b = ssum/(n·1e4), o_b = k/n, o̅ = kk/nn — all chains over ints
+    rel_t = (
+        "CAST(floor(CAST(n AS DOUBLE)"
+        " * (CAST(ssum AS DOUBLE) / (n * 10000.0e0) - CAST(k AS DOUBLE) / n)"
+        " * (CAST(ssum AS DOUBLE) / (n * 10000.0e0) - CAST(k AS DOUBLE) / n)"
+        " * 1.0e9) AS BIGINT)"
+    )
+    res_t = (
+        "CAST(floor(CAST(n AS DOUBLE)"
+        " * (CAST(k AS DOUBLE) / n - CAST(kk AS DOUBLE) / nn)"
+        " * (CAST(k AS DOUBLE) / n - CAST(kk AS DOUBLE) / nn)"
+        " * 1.0e9) AS BIGINT)"
+    )
+    per = bins.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.expr(rel_t)).alias("rel_sum_nano"),
+        F.sum(F.expr(res_t)).alias("res_sum_nano"),
+        F.max("nn").alias("nn"),
+        F.max("kk").alias("kk"),
+        F.max("sqt").alias("sqt"),
+    )
+    return per.select(
+        F.col("nn").alias("n_docs"),
+        F.expr("rel_sum_nano div nn").alias("reliability_nano"),
+        F.expr("res_sum_nano div nn").alias("resolution_nano"),
+        F.round(
+            F.expr(
+                "CAST(kk AS DOUBLE) / nn * (1.0e0 - CAST(kk AS DOUBLE) / nn)"
+            ),
+            6,
+        ).alias("uncertainty"),
+        F.expr("(sqt * 1000000L) div (nn * 100000000L)").alias("brier_ppm"),
+    )
+
+
+def _q288_sql() -> str:
+    rel_t = (
+        "CAST(floor(CAST(n AS DOUBLE)"
+        " * (CAST(ssum AS DOUBLE) / (n * 10000.0e0) - CAST(k AS DOUBLE) / n)"
+        " * (CAST(ssum AS DOUBLE) / (n * 10000.0e0) - CAST(k AS DOUBLE) / n)"
+        " * 1.0e9) AS BIGINT)"
+    )
+    res_t = (
+        "CAST(floor(CAST(n AS DOUBLE)"
+        " * (CAST(k AS DOUBLE) / n - CAST(kk AS DOUBLE) / nn)"
+        " * (CAST(k AS DOUBLE) / n - CAST(kk AS DOUBLE) / nn)"
+        " * 1.0e9) AS BIGINT)"
+    )
+    return f"""
+WITH scores AS (
+  SELECT doc_id, score FROM ({_Q104_SQL}) s
+), labels AS (
+  SELECT doc_id, keep FROM ({_Q58_SQL}) l
+), e AS (
+  SELECT CAST(round(s.score * 10000) AS BIGINT) AS si,
+         CAST(CASE WHEN l.keep THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM scores s JOIN labels l USING (doc_id)
+), bins AS (
+  SELECT CAST(least(greatest(si // 1000, 0), 9) AS INTEGER) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS k,
+         CAST(sum(si) AS BIGINT) AS ssum,
+         CAST(sum((si - y * 10000) * (si - y * 10000)) AS BIGINT) AS sq
+  FROM e GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(k) AS BIGINT) AS kk,
+         CAST(sum(sq) AS BIGINT) AS sqt
+  FROM bins
+), per AS (
+  SELECT CAST(sum({rel_t}) AS BIGINT) AS rel_sum_nano,
+         CAST(sum({res_t}) AS BIGINT) AS res_sum_nano,
+         CAST(max(nn) AS BIGINT) AS nn,
+         CAST(max(kk) AS BIGINT) AS kk,
+         CAST(max(sqt) AS BIGINT) AS sqt
+  FROM bins CROSS JOIN tot
+)
+SELECT nn AS n_docs,
+       CAST(rel_sum_nano // nn AS BIGINT) AS reliability_nano,
+       CAST(res_sum_nano // nn AS BIGINT) AS resolution_nano,
+       round(CAST(kk AS DOUBLE) / nn * (1.0e0 - CAST(kk AS DOUBLE) / nn), 6)
+         AS uncertainty,
+       CAST((sqt * 1000000) // (nn * 100000000) AS BIGINT) AS brier_ppm
+FROM per
+"""
+
+
+def q290_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding isotropy monitor: the mean pairwise cosine within each
+    label (and a near-1 value = representation collapse, the
+    Ethayarajh-style anisotropy alarm), computed WITHOUT any pair join
+    via the closed form  mean_{i≠j} u_i·u_j = (‖Σu‖² − Σ‖u‖²)/(n(n−1))
+    over per-row UNIT vectors.
+
+    Exactness: each row normalizes once (a per-row double chain) and is
+    floored to micro-integer units; the per-dim sums, ‖Σu‖², and
+    Σ‖u_q‖² are then exact BIGINTs, so the closed form is one final
+    rounded division — no cross-row float ever sums.
+
+    Shape at 100 TB: one grouped corpus pass into |labels|·64 cells
+    (map-side combined) — the q179/q270 shape; the pair space (n²)
+    never exists."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    unit = emb.select(
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            " / sqrt(aggregate(transform(embedding,"
+            "   v -> CAST(v AS DOUBLE) * v), 0.0e0, (a, v) -> a + v))"
+            " * 1.0e6) AS BIGINT))"
+        ).alias("uq"),
+    )
+    per_dim = (
+        unit.select("label", F.posexplode("uq").alias("dim", "u"))
+        .groupBy("label", "dim")
+        .agg(F.sum("u").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.sum(F.expr("s * s")).alias("sum_sq"),
+        )
+    )
+    norms = unit.select(
+        "label",
+        F.expr(
+            "aggregate(uq, CAST(0 AS BIGINT), (a, x) -> a + x * x)"
+        ).alias("nq"),
+    ).groupBy("label").agg(
+        F.count("*").alias("n"), F.sum("nq").alias("self_sq")
+    )
+    return (
+        per_dim.join(norms, "label")
+        .filter(F.col("n") >= 2)
+        .select(
+            "label",
+            "n",
+            "sum_sq",
+            "self_sq",
+            F.round(
+                F.expr(
+                    "(CAST(sum_sq AS DOUBLE) - self_sq)"
+                    " / (CAST(n AS DOUBLE) * (n - 1)) / 1.0e12"
+                ),
+                6,
+            ).alias("mean_pairwise_cosine"),
+        )
+        .orderBy("label")
+    )
+
+
+_Q290_SQL = """
+WITH unit AS MATERIALIZED (
+  SELECT label,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+           / sqrt(list_sum(list_transform(embedding,
+                 v -> CAST(v AS DOUBLE) * v)))
+           * 1.0e6) AS BIGINT)) AS uq
+  FROM embeddings
+), dq AS MATERIALIZED (
+  SELECT label, unnest(uq) AS u, generate_subscripts(uq, 1) AS dim
+  FROM unit
+), per AS MATERIALIZED (
+  SELECT label, CAST(sum(ss) AS BIGINT) AS sum_sq FROM (
+    SELECT label, dim, CAST(sum(u) AS BIGINT) * CAST(sum(u) AS BIGINT) AS ss
+    FROM dq GROUP BY label, dim
+  ) GROUP BY label
+), norms AS MATERIALIZED (
+  SELECT label, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(nq) AS BIGINT) AS self_sq
+  FROM (
+    SELECT label,
+           list_sum(list_transform(uq, x -> x * x)) AS nq
+    FROM unit
+  ) GROUP BY label
+)
+SELECT per.label, n, sum_sq, self_sq,
+       round((CAST(sum_sq AS DOUBLE) - self_sq)
+             / (CAST(n AS DOUBLE) * (n - 1)) / 1.0e12, 6)
+         AS mean_pairwise_cosine
+FROM per JOIN norms ON norms.label = per.label
+WHERE n >= 2
+ORDER BY per.label
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -9567,6 +9906,9 @@ QUERIES = {
     "q281_dispersion_dp": q281_dispersion_dp,
     "q282_lang_source_nmi": q282_lang_source_nmi,
     "q284_tokenizer_fertility": q284_tokenizer_fertility,
+    "q287_dedup_distribution_shift": q287_dedup_distribution_shift,
+    "q288_murphy_decomposition": q288_murphy_decomposition,
+    "q290_embedding_isotropy": q290_embedding_isotropy,
 }
 
 ORACLES = {
@@ -9697,4 +10039,7 @@ ORACLES = {
     "q281_dispersion_dp": _Q281_SQL,
     "q282_lang_source_nmi": _Q282_SQL,
     "q284_tokenizer_fertility": _Q284_SQL,
+    "q287_dedup_distribution_shift": _q287_sql(),
+    "q288_murphy_decomposition": _q288_sql(),
+    "q290_embedding_isotropy": _Q290_SQL,
 }

@@ -9492,6 +9492,323 @@ ORDER BY table_name
 """
 
 
+def q285_srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch audit for a hash-bucket A/B assignment:
+    users split 50/50 by the engine-portable md5 hash, checked globally
+    AND per market segment with a 1-df chi-square against the expected
+    ratio — the guardrail every experimentation platform runs before
+    trusting a treatment readout (a segment-level SRM reveals a biased
+    assignment or a data loss path even when the global split looks
+    clean).
+
+    Exactness: counts are BIGINTs; each chi-square
+    (a−b)²/(a+b) is ONE deterministic double chain per row.
+
+    Shape at 100 TB: the assignment is a per-row projection on the
+    customer dim; one grouped pass per level; events join the dim by
+    broadcast to audit exposure counts too."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (
+            F.expr(
+                "conv(substr(md5(concat('ab:', CAST(c_custkey AS STRING))),"
+                " 1, 8), 16, 10) % 2"
+            )
+            == 0
+        ).alias("is_a"),
+    )
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    exposed = ev.join(
+        F.broadcast(cust.select(F.col("c_custkey").alias("user_id"), "is_a")),
+        "user_id",
+    )
+    chi = (
+        "round(pow(CAST(a AS DOUBLE) - b, 2)"
+        " / (CAST(a AS DOUBLE) + b), 4)"
+    )
+
+    def level(df, name_col, label):
+        return df.groupBy(name_col).agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("a"),
+            F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("b"),
+        ).select(
+            F.lit(label).alias("level"),
+            F.col(name_col).cast("string").alias("segment"),
+            "a",
+            "b",
+            F.expr(chi).alias("chi2_1df"),
+            F.expr(f"{chi} > 3.8415").alias("srm_flag"),
+        )
+
+    out = (
+        level(cust.withColumn("_all", F.lit("ALL")), "_all", "assignment")
+        .unionByName(level(cust, "c_mktsegment", "assignment_by_segment"))
+        .unionByName(
+            level(exposed.withColumn("_all", F.lit("ALL")), "_all", "exposure")
+        )
+    )
+    return out.orderBy("level", "segment")
+
+
+_Q285_SQL = """
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment,
+         ('0x' || substr(md5('ab:' || CAST(c_custkey AS VARCHAR)), 1, 8))
+           ::BIGINT % 2 = 0 AS is_a
+  FROM customer
+), exposed AS (
+  SELECT e.user_id, c.is_a
+  FROM events e JOIN cust c ON c.c_custkey = e.user_id
+), lv AS (
+  SELECT 'assignment' AS level, 'ALL' AS segment,
+         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS b
+  FROM cust
+  UNION ALL
+  SELECT 'assignment_by_segment', c_mktsegment,
+         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT)
+  FROM cust GROUP BY c_mktsegment
+  UNION ALL
+  SELECT 'exposure', 'ALL',
+         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT)
+  FROM exposed
+)
+SELECT level, segment, a, b,
+       round(pow(CAST(a AS DOUBLE) - b, 2) / (CAST(a AS DOUBLE) + b), 4)
+         AS chi2_1df,
+       round(pow(CAST(a AS DOUBLE) - b, 2) / (CAST(a AS DOUBLE) + b), 4)
+         > 3.8415 AS srm_flag
+FROM lv
+ORDER BY level, segment
+"""
+
+
+def q286_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the per-user event value metric:
+    pre-period spend (first half of the date range, by epoch-micros
+    midpoint — the q30 unix_micros ≡ epoch_us idiom) as the covariate
+    for post-period spend; θ = cov(pre, post)/var(pre) and the achieved
+    variance reduction ρ² — the experimentation-platform primitive that
+    pairs with the q285 SRM guardrail (same assignment hash) to shrink
+    A/B confidence intervals without touching the mean.
+
+    Exactness: per-user pre/post sums are exact BIGINT cents; the six
+    population moments are exact; θ, ρ², and the variances are single
+    deterministic double chains over them (q248 discipline).
+
+    Shape at 100 TB: one grouped pass events→users (conditional sums,
+    map-side combined), one 6-moment reduction."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    mm = ev.agg(
+        F.expr("(min(us) + max(us)) div 2").alias("mid")
+    )
+    per = (
+        ev.crossJoin(F.broadcast(mm))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("mid"), F.col("cents"))
+                  .otherwise(0)).alias("pre"),
+            F.sum(F.when(F.col("us") >= F.col("mid"), F.col("cents"))
+                  .otherwise(0)).alias("post"),
+        )
+    )
+    mom = per.agg(
+        F.count("*").alias("n"),
+        F.sum("pre").alias("sx"),
+        F.sum("post").alias("sy"),
+        F.sum(F.expr("pre * pre")).alias("sxx"),
+        F.sum(F.expr("pre * post")).alias("sxy"),
+        F.sum(F.expr("post * post")).alias("syy"),
+    )
+    cov = "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    varx = "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    vary = "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)"
+    return mom.select(
+        F.col("n").alias("n_users"),
+        F.round(F.expr("CAST(sy AS DOUBLE) / n / 100.0e0"), 4).alias(
+            "mean_post"
+        ),
+        F.round(F.expr(f"{cov} / {varx}"), 6).alias("theta"),
+        F.round(
+            F.expr(f"{cov} * {cov} / ({varx} * {vary})"), 6
+        ).alias("rho_sq"),
+        F.round(
+            F.expr(f"{vary} / (CAST(n AS DOUBLE) * n) / 10000.0e0"), 4
+        ).alias("var_post"),
+        F.round(
+            F.expr(
+                f"{vary} * (1.0e0 - {cov} * {cov} / ({varx} * {vary}))"
+                " / (CAST(n AS DOUBLE) * n) / 10000.0e0"
+            ),
+            4,
+        ).alias("var_adjusted"),
+    )
+
+
+_Q286_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), mm AS (
+  SELECT (min(us) + max(us)) // 2 AS mid FROM ev
+), per AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN us < mid THEN cents ELSE 0 END) AS BIGINT)
+           AS pre,
+         CAST(sum(CASE WHEN us >= mid THEN cents ELSE 0 END) AS BIGINT)
+           AS post
+  FROM ev CROSS JOIN mm
+  GROUP BY user_id
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pre) AS BIGINT) AS sx,
+         CAST(sum(post) AS BIGINT) AS sy,
+         CAST(sum(pre * pre) AS BIGINT) AS sxx,
+         CAST(sum(pre * post) AS BIGINT) AS sxy,
+         CAST(sum(post * post) AS BIGINT) AS syy
+  FROM per
+)
+SELECT n AS n_users,
+       round(CAST(sy AS DOUBLE) / n / 100.0e0, 4) AS mean_post,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+         AS theta,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+         AS rho_sq,
+       round((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * n) / 10000.0e0, 4) AS var_post,
+       round((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+             * (1.0e0
+                - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                     * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))
+             / (CAST(n AS DOUBLE) * n) / 10000.0e0, 4) AS var_adjusted
+FROM mom
+"""
+
+
+def q289_mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oaxaca-style mix-shift decomposition of the period-over-period
+    change in mean event value: for each market segment,
+    Δ contribution = w₂·(m₂ − m₁)  [within-segment rate change]
+                   + m₁·(w₂ − w₁)  [mix/composition change],
+    whose sum across segments IS the global mean delta (exact
+    identity) — the BI answer to "did the metric move because segments
+    changed, or because the mix changed?".
+
+    Exactness: per-(segment, period) sums are exact BIGINT cents; each
+    within/mix term is one double chain over those integers floored to
+    nano-cents pre-sum; the identity is pinned (within floor slack) in
+    pytest.
+
+    Shape at 100 TB: one broadcast dim join, one grouped pass to
+    (segment, period) cells, a <=5-row decomposition."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    mm = ev.agg(F.expr("(min(us) + max(us)) div 2").alias("mid"))
+    cells = (
+        ev.join(F.broadcast(cust), "user_id")
+        .crossJoin(F.broadcast(mm))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("mid"), 1).otherwise(0)).alias(
+                "n1"
+            ),
+            F.sum(F.when(F.col("us") < F.col("mid"), F.col("cents"))
+                  .otherwise(0)).alias("s1"),
+            F.sum(F.when(F.col("us") >= F.col("mid"), 1).otherwise(0)).alias(
+                "n2"
+            ),
+            F.sum(F.when(F.col("us") >= F.col("mid"), F.col("cents"))
+                  .otherwise(0)).alias("s2"),
+        )
+        .persist()
+    )
+    tot = cells.agg(
+        F.sum("n1").alias("t1"), F.sum("n2").alias("t2")
+    )
+    within = (
+        "CAST(floor((CAST(n2 AS DOUBLE) / t2)"
+        " * (CAST(s2 AS DOUBLE) / n2 - CAST(s1 AS DOUBLE) / n1)"
+        " * 1.0e9) AS BIGINT)"
+    )
+    mix = (
+        "CAST(floor((CAST(s1 AS DOUBLE) / n1)"
+        " * (CAST(n2 AS DOUBLE) / t2 - CAST(n1 AS DOUBLE) / t1)"
+        " * 1.0e9) AS BIGINT)"
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "n1",
+            "n2",
+            F.round(F.expr("CAST(s1 AS DOUBLE) / n1 / 100.0e0"), 4).alias(
+                "mean_1"
+            ),
+            F.round(F.expr("CAST(s2 AS DOUBLE) / n2 / 100.0e0"), 4).alias(
+                "mean_2"
+            ),
+            F.expr(within).alias("within_nano"),
+            F.expr(mix).alias("mix_nano"),
+        )
+        .orderBy("segment")
+    )
+
+
+_Q289_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), mm AS (
+  SELECT (min(us) + max(us)) // 2 AS mid FROM ev
+), cells AS (
+  SELECT c.c_mktsegment,
+         CAST(sum(CASE WHEN us < mid THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN us < mid THEN cents ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN us >= mid THEN cents ELSE 0 END) AS BIGINT) AS s2
+  FROM ev
+  JOIN customer c ON c.c_custkey = ev.user_id
+  CROSS JOIN mm
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n1) AS BIGINT) AS t1, CAST(sum(n2) AS BIGINT) AS t2
+  FROM cells
+)
+SELECT c_mktsegment AS segment, n1, n2,
+       round(CAST(s1 AS DOUBLE) / n1 / 100.0e0, 4) AS mean_1,
+       round(CAST(s2 AS DOUBLE) / n2 / 100.0e0, 4) AS mean_2,
+       CAST(floor((CAST(n2 AS DOUBLE) / t2)
+            * (CAST(s2 AS DOUBLE) / n2 - CAST(s1 AS DOUBLE) / n1)
+            * 1.0e9) AS BIGINT) AS within_nano,
+       CAST(floor((CAST(s1 AS DOUBLE) / n1)
+            * (CAST(n2 AS DOUBLE) / t2 - CAST(n1 AS DOUBLE) / t1)
+            * 1.0e9) AS BIGINT) AS mix_nano
+FROM cells CROSS JOIN tot
+WHERE n1 > 0 AND n2 > 0
+ORDER BY segment
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -9628,6 +9945,9 @@ QUERIES = {
     "q267_chow_break_test": q267_chow_break_test,
     "q273_mantel_haenszel": q273_mantel_haenszel,
     "q283_deletion_manifest": q283_deletion_manifest,
+    "q285_srm_audit": q285_srm_audit,
+    "q286_cuped_adjustment": q286_cuped_adjustment,
+    "q289_mix_shift_decomposition": q289_mix_shift_decomposition,
 }
 
 ORACLES = {
@@ -9766,4 +10086,7 @@ ORACLES = {
     "q267_chow_break_test": _Q267_SQL,
     "q273_mantel_haenszel": _Q273_SQL,
     "q283_deletion_manifest": _Q283_SQL,
+    "q285_srm_audit": _Q285_SQL,
+    "q286_cuped_adjustment": _Q286_SQL,
+    "q289_mix_shift_decomposition": _Q289_SQL,
 }

@@ -297,6 +297,12 @@ HEADLINE = [
     "q282_lang_source_nmi",
     "q283_deletion_manifest",
     "q284_tokenizer_fertility",
+    "q285_srm_audit",
+    "q286_cuped_adjustment",
+    "q287_dedup_distribution_shift",
+    "q288_murphy_decomposition",
+    "q289_mix_shift_decomposition",
+    "q290_embedding_isotropy",
 ]
 
 

@@ -4163,3 +4163,281 @@ def test_q284_fertility_hand_computed(spark, tmp_path, qs):
     assert (de.n_docs, de.tokens, de.chars, de.bytes) == (1, 2, 11, 13)
     assert de.bytes_per_token_milli == (13 * 1000) // 2
     assert de.multibyte_ppm == ((13 - 11) * 10**6) // 13
+
+
+def test_q285_srm_hand_computed(spark, tmp_path, qs):
+    """Hash assignment mirrored with hashlib; an engineered exposure
+    imbalance (B-users log 9x the events) must flip the exposure-level
+    SRM flag while the assignment level stays clean."""
+    import datetime
+    import hashlib
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    def is_a(ck):
+        return int(hashlib.md5(f"ab:{ck}".encode()).hexdigest()[:8], 16) % 2 == 0
+
+    custkeys = list(range(1, 201))
+    custs = [(c, f"c{c}", 0, 1.0, "SEG") for c in custkeys]
+    spark.createDataFrame(custs, SCHEMAS["customer"]).write.parquet(
+        str(tmp_path / "customer.parquet"))
+
+    ts = datetime.datetime(2024, 1, 1)
+    events, eid = [], 0
+    for c in custkeys:
+        n = 1 if is_a(c) else 9
+        for _ in range(n):
+            events.append((eid, ts, c, "view", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(events, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet"))
+
+    na = sum(1 for c in custkeys if is_a(c))
+    nb = len(custkeys) - na
+    ea, eb = na * 1, nb * 9
+
+    got = {(r.level, r.segment): r for r in
+           qs["q285_srm_audit"](spark, str(tmp_path)).collect()}
+    ra = got[("assignment", "ALL")]
+    assert (ra.a, ra.b) == (na, nb)
+    assert ra.chi2_1df == round((na - nb) ** 2 / (na + nb), 4)
+    rseg = got[("assignment_by_segment", "SEG")]
+    assert (rseg.a, rseg.b) == (na, nb)
+    re_ = got[("exposure", "ALL")]
+    assert (re_.a, re_.b) == (ea, eb)
+    assert re_.srm_flag and not ra.srm_flag
+
+
+def test_q286_cuped_vs_numpy(spark, tmp_path, qs):
+    """Engineered pre/post correlation: theta and rho^2 must match
+    numpy's cov/var to 6 decimals, and CUPED must cut the variance
+    (var_adjusted < var_post) on the correlated fixture."""
+    import datetime
+
+    import numpy as np
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    base = datetime.datetime(2024, 1, 1)
+    late = datetime.datetime(2024, 1, 11)
+    rows, eid = [], 0
+    pre_vals, post_vals = [], []
+    for u in range(40):
+        pre = 10.0 + (u % 7)          # covariate
+        post = 2.0 * pre + (u % 3)    # correlated outcome
+        pre_vals.append(round(pre * 100))
+        post_vals.append(round(post * 100))
+        rows.append((eid, base, u, "view", pre, "{}")); eid += 1
+        rows.append((eid, late, u, "view", post, "{}")); eid += 1
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet"))
+
+    x = np.array(pre_vals, dtype=float)
+    y = np.array(post_vals, dtype=float)
+    n = len(x)
+    cov = n * (x * y).sum() - x.sum() * y.sum()
+    vx = n * (x * x).sum() - x.sum() ** 2
+    vy = n * (y * y).sum() - y.sum() ** 2
+    theta = cov / vx
+    rho2 = cov * cov / (vx * vy)
+
+    r = qs["q286_cuped_adjustment"](spark, str(tmp_path)).collect()[0]
+    assert r.n_users == n
+    assert abs(r.theta - round(theta, 6)) < 1e-5
+    assert abs(r.rho_sq - round(rho2, 6)) < 1e-5
+    assert r.var_adjusted < r.var_post
+    assert abs(r.mean_post - round(y.sum() / n / 100, 4)) < 1e-6
+
+
+def test_q287_dedup_shift_hand_computed(spark, tmp_path, qs):
+    """Corpus where a boilerplate doc repeats 5x: dedup drops 4 copies,
+    shifting the token mix; JS mirrored in Python with the identical
+    pico-quantized per-token chain + integer absent-mass tail."""
+    import math
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    uniq = ["alpha beta gamma", "delta epsilon", "zeta eta theta iota"]
+    boiler = "spam spam spam spam"
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(uniq)]
+    for k in range(5):
+        rows.append((100 + k, boiler, "en", "s", len(boiler)))
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet"))
+
+    all_toks, kept_toks = [], []
+    texts = {i: t for i, t, *_ in rows}
+    kept_ids = {0, 1, 2, 100}  # min doc_id per distinct text
+    for i, t in texts.items():
+        ws = t.split(" ")
+        all_toks += ws
+        if i in kept_ids:
+            kept_toks += ws
+    from collections import Counter
+    cg, ck = Counter(all_toks), Counter(kept_toks)
+    nt, nk = sum(cg.values()), sum(ck.values())
+    present = 0
+    gnum = 0
+    for tok, k in ck.items():
+        g = cg[tok]
+        gnum += g
+        p, q = g / nt, k / nk
+        present += int(round((0.5 * p * math.log(2 * p / (p + q))
+                              + 0.5 * q * math.log(2 * q / (p + q))) * 1e12))
+    tail = int(round(0.5 * math.log(2.0) * (nt - gnum) / nt * 1e12))
+    js_micro = (present + tail) // 10**6
+
+    r = qs["q287_dedup_distribution_shift"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_docs, r.n_kept) == (8, 4)
+    assert (r.corpus_tokens, r.kept_tokens) == (nt, nk)
+    assert r.vocab_kept == len(ck)
+    assert r.js_micro == js_micro
+    assert r.js_micro > 0  # the 5x boilerplate visibly shifted the mix
+
+
+def test_q288_murphy_identity(spark, sf_dir, qs):
+    """The decomposition must satisfy the Murphy identity within the
+    binning residual: BS = REL − RES + UNC + within-bin variance, where
+    the residual is nonnegative and bounded by the max within-bin score
+    spread; also mirrors REL/RES nano sums in Python exactly."""
+    import math
+
+    import pyspark.sql.functions as F
+    from airflow_spotify_etl_spark.operators.text import hashed_linear_score
+    from airflow_spotify_etl_spark.plans.llm import q58_gopher_quality_flags
+    from airflow_spotify_etl_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = hashed_linear_score(docs, n_buckets=4096).select("doc_id", "score")
+    labels = q58_gopher_quality_flags(spark, sf_dir).select("doc_id", "keep")
+    pairs = [
+        (int(r.si), int(r.y))
+        for r in scores.join(labels, "doc_id")
+        .select(
+            F.expr("CAST(round(score * 10000) AS BIGINT)").alias("si"),
+            F.col("keep").cast("long").alias("y"),
+        )
+        .collect()
+    ]
+    bins = {}
+    for si, y in pairs:
+        b = min(max(si // 1000, 0), 9)
+        n, k, ssum, sq = bins.get(b, (0, 0, 0, 0))
+        bins[b] = (n + 1, k + y, ssum + si, sq + (si - y * 10000) ** 2)
+    N = sum(v[0] for v in bins.values())
+    K = sum(v[1] for v in bins.values())
+    rel = sum(
+        int(math.floor(n * (ssum / (n * 1e4) - k / n) ** 2 * 1e9))
+        for n, k, ssum, _ in bins.values()
+    )
+    res = sum(
+        int(math.floor(n * (k / n - K / N) ** 2 * 1e9))
+        for n, k, ssum, _ in bins.values()
+    )
+
+    r = qs["q288_murphy_decomposition"](spark, sf_dir).collect()[0]
+    assert r.n_docs == N
+    assert r.reliability_nano == rel // N
+    assert r.resolution_nano == res // N
+    assert abs(r.uncertainty - round(K / N * (1 - K / N), 6)) < 1e-9
+    # Murphy identity up to within-bin variance (nonnegative residual)
+    decomp = (r.reliability_nano - r.resolution_nano) / 1e9 + r.uncertainty
+    brier = r.brier_ppm / 1e6
+    residual = brier - decomp
+    assert -2e-6 < residual < 0.02  # within-bin var of a 0.1-wide bin
+
+
+def test_q289_mix_shift_identity(spark, tmp_path, qs):
+    """Two engineered segments: SEG1's rate jumps (within effect),
+    SEG2's share of volume collapses (mix effect); per-term Python
+    mirror must match exactly and the decomposition must sum to the
+    global mean delta within per-segment floor slack."""
+    import datetime
+    import math
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    custs = [(1, "a", 0, 1.0, "SEG1"), (2, "b", 0, 1.0, "SEG2")]
+    spark.createDataFrame(custs, SCHEMAS["customer"]).write.parquet(
+        str(tmp_path / "customer.parquet"))
+    early = datetime.datetime(2024, 1, 1)
+    late = datetime.datetime(2024, 1, 11)
+    rows, eid = [], 0
+    # period 1: SEG1 10 events @ 1.00, SEG2 30 events @ 2.00
+    # period 2: SEG1 20 events @ 3.00, SEG2 5 events @ 2.00
+    for (u, ts, n, v) in [(1, early, 10, 1.0), (2, early, 30, 2.0),
+                          (1, late, 20, 3.0), (2, late, 5, 2.0)]:
+        for _ in range(n):
+            rows.append((eid, ts, u, "view", v, "{}")); eid += 1
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet"))
+
+    cells = {"SEG1": (10, 10 * 100, 20, 20 * 300),
+             "SEG2": (30, 30 * 200, 5, 5 * 200)}
+    t1 = sum(v[0] for v in cells.values())
+    t2 = sum(v[2] for v in cells.values())
+    expect = {}
+    for seg, (n1, s1, n2, s2) in cells.items():
+        within = int(math.floor((n2 / t2) * (s2 / n2 - s1 / n1) * 1e9))
+        mix = int(math.floor((s1 / n1) * (n2 / t2 - n1 / t1) * 1e9))
+        expect[seg] = (n1, n2, round(s1 / n1 / 100, 4),
+                       round(s2 / n2 / 100, 4), within, mix)
+
+    got = {r.segment: (r.n1, r.n2, r.mean_1, r.mean_2,
+                       r.within_nano, r.mix_nano)
+           for r in qs["q289_mix_shift_decomposition"](
+               spark, str(tmp_path)).collect()}
+    assert got == expect
+
+    m1 = sum(v[1] for v in cells.values()) / t1
+    m2 = sum(v[3] for v in cells.values()) / t2
+    delta_nano = (m2 - m1) * 1e9
+    total = sum(w + m for *_, w, m in got.values())
+    assert abs(total - delta_nano) <= 2 * len(cells)  # floor slack per term
+
+
+def test_q290_isotropy_vs_bruteforce(spark, tmp_path, qs):
+    """Brute-force mean pairwise cosine (over the micro-floored unit
+    vectors, exactly as specified) must equal the closed form; a
+    collapsed cluster (all same direction) reads ~1, an orthogonal set
+    reads ~0."""
+    import math
+
+    from pyspark.sql.types import (ArrayType, FloatType, IntegerType,
+                                   LongType, StructField, StructType)
+
+    rows = [
+        # label 0: collapsed — same direction, different magnitudes
+        (0, [1.0, 2.0, 2.0, 0.0], 0),
+        (1, [2.0, 4.0, 4.0, 0.0], 0),
+        (2, [0.5, 1.0, 1.0, 0.0], 0),
+        # label 1: orthogonal basis vectors
+        (3, [1.0, 0.0, 0.0, 0.0], 1),
+        (4, [0.0, 1.0, 0.0, 0.0], 1),
+        (5, [0.0, 0.0, 1.0, 0.0], 1),
+    ]
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+    spark.createDataFrame(rows, schema).write.parquet(
+        str(tmp_path / "embeddings.parquet"))
+
+    def unit_q(v):
+        nrm = math.sqrt(sum(float(x) * float(x) for x in v))
+        return [int(math.floor(float(x) / nrm * 1e6)) for x in v]
+
+    got = {r.label: r for r in
+           qs["q290_embedding_isotropy"](spark, str(tmp_path)).collect()}
+    for lab in (0, 1):
+        uqs = [unit_q(v) for i, v, l in rows if l == lab]
+        n = len(uqs)
+        brute = sum(
+            sum(a * b for a, b in zip(uqs[i], uqs[j]))
+            for i in range(n) for j in range(n) if i != j
+        ) / (n * (n - 1)) / 1e12
+        r = got[lab]
+        assert r.n == n
+        assert abs(r.mean_pairwise_cosine - round(brute, 6)) < 2e-6
+    assert got[0].mean_pairwise_cosine > 0.999
+    assert abs(got[1].mean_pairwise_cosine) < 1e-3
