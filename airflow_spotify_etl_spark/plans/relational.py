@@ -9809,6 +9809,177 @@ ORDER BY segment
 """
 
 
+def q291_wilson_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score intervals for the per-segment conversion rate
+    (purchase / (purchase + view)) — the small-sample-safe interval the
+    naive ±1.96·√(p(1−p)/n) Wald band gets wrong near 0/1, and the
+    reporting layer on top of the q264/q273/q285 conversion family.
+
+    Exactness: (k, n) are exact BIGINTs; the Wilson center and
+    half-width are one deterministic double chain each over those
+    integers with the z=1.96 literal spelled 1.96e0 (a bare decimal
+    literal would be DECIMAL in SQL and change the chain).
+
+    Shape at 100 TB: one broadcast dim join + one grouped pass; the
+    interval math runs on <=5 segment rows."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select("user_id", "event_type")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    base = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("k"),
+            F.count("*").alias("n"),
+        )
+    )
+    z2 = "(1.96e0 * 1.96e0)"
+    center = (
+        f"(CAST(k AS DOUBLE) / n + {z2} / (2.0e0 * n))"
+        f" / (1.0e0 + {z2} / n)"
+    )
+    half = (
+        f"1.96e0 * sqrt((CAST(k AS DOUBLE) / n)"
+        f" * (1.0e0 - CAST(k AS DOUBLE) / n) / n"
+        f" + {z2} / (4.0e0 * CAST(n AS DOUBLE) * n))"
+        f" / (1.0e0 + {z2} / n)"
+    )
+    return base.select(
+        F.col("c_mktsegment").alias("segment"),
+        "k",
+        "n",
+        F.round(F.expr("CAST(k AS DOUBLE) / n"), 4).alias("rate"),
+        F.round(F.expr(f"{center} - {half}"), 4).alias("wilson_lo"),
+        F.round(F.expr(f"{center} + {half}"), 4).alias("wilson_hi"),
+    ).orderBy("segment")
+
+
+def _q291_sql() -> str:
+    z2 = "(1.96e0 * 1.96e0)"
+    center = (
+        f"(CAST(k AS DOUBLE) / n + {z2} / (2.0e0 * n))"
+        f" / (1.0e0 + {z2} / n)"
+    )
+    half = (
+        f"1.96e0 * sqrt((CAST(k AS DOUBLE) / n)"
+        f" * (1.0e0 - CAST(k AS DOUBLE) / n) / n"
+        f" + {z2} / (4.0e0 * CAST(n AS DOUBLE) * n))"
+        f" / (1.0e0 + {z2} / n)"
+    )
+    return f"""
+WITH base AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events e
+  JOIN customer c ON c.c_custkey = e.user_id
+  WHERE e.event_type IN ('purchase', 'view')
+  GROUP BY 1
+)
+SELECT segment, k, n,
+       round(CAST(k AS DOUBLE) / n, 4) AS rate,
+       round({center} - {half}, 4) AS wilson_lo,
+       round({center} + {half}, 4) AS wilson_hi
+FROM base
+ORDER BY segment
+"""
+
+
+def q292_rendezvous_resharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment audit for
+    growing a keyspace from 8 to 10 shards: per customer key the winner
+    is argmax_s h(s, key), so ONLY keys won by the two NEW shards move
+    — the minimal-movement property that makes HRW the right layout for
+    a stored ANN index or a keyed feature store (vs mod-N, which moves
+    ~8/10 of all keys). Reports per-shard load under 10 shards, how
+    many keys arrived by migration, and the global moved share.
+
+    Exactness/portability: the argmax is the max of ten exact BIGINTs
+    h(s,key)·16 + s (md5-slice h < 2^32, s < 16 — a built-in argmax/
+    max_by would tie-break nondeterministically); shard id is that
+    max % 16. Pure projection per key, one grouped pass.
+
+    Shape at 100 TB: zero joins, zero explode — greatest() over ten
+    codegen'd expressions per row, then a 10-row groupBy."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+
+    def score(s: int) -> str:
+        return (
+            "conv(substr(md5(concat('rdv:', CAST("
+            f"{s} AS STRING), ':', CAST(c_custkey AS STRING))), 1, 8),"
+            f" 16, 10) * 16 + {s}"
+        )
+
+    g8 = "greatest(" + ", ".join(score(s) for s in range(8)) + ")"
+    g10 = "greatest(" + ", ".join(score(s) for s in range(10)) + ")"
+    assigned = cust.select(
+        F.expr(f"CAST(({g8}) % 16 AS INT)").alias("shard8"),
+        F.expr(f"CAST(({g10}) % 16 AS INT)").alias("shard10"),
+    ).persist()
+    tot = assigned.agg(
+        F.count("*").alias("n_keys"),
+        F.sum(
+            F.when(F.col("shard8") != F.col("shard10"), 1).otherwise(0)
+        ).alias("moved"),
+    )
+    return (
+        assigned.groupBy("shard10")
+        .agg(
+            F.count("*").alias("n_keys_shard"),
+            F.sum(
+                F.when(F.col("shard8") != F.col("shard10"), 1).otherwise(0)
+            ).alias("n_migrated_in"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("shard10").alias("shard"),
+            "n_keys_shard",
+            "n_migrated_in",
+            "n_keys",
+            F.expr("(moved * 1000000L) div n_keys").alias("moved_ppm"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _q292_sql() -> str:
+    def score(s: int) -> str:
+        return (
+            f"('0x' || substr(md5('rdv:' || CAST({s} AS VARCHAR) || ':'"
+            f" || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT * 16 + {s}"
+        )
+
+    g8 = "greatest(" + ", ".join(score(s) for s in range(8)) + ")"
+    g10 = "greatest(" + ", ".join(score(s) for s in range(10)) + ")"
+    return f"""
+WITH assigned AS (
+  SELECT CAST(({g8}) % 16 AS INTEGER) AS shard8,
+         CAST(({g10}) % 16 AS INTEGER) AS shard10
+  FROM customer
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(CASE WHEN shard8 <> shard10 THEN 1 ELSE 0 END) AS BIGINT)
+           AS moved
+  FROM assigned
+)
+SELECT shard10 AS shard,
+       CAST(count(*) AS BIGINT) AS n_keys_shard,
+       CAST(sum(CASE WHEN shard8 <> shard10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_migrated_in,
+       n_keys,
+       CAST((moved * 1000000) // n_keys AS BIGINT) AS moved_ppm
+FROM assigned CROSS JOIN tot
+GROUP BY shard10, n_keys, moved
+ORDER BY shard
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -9948,6 +10119,8 @@ QUERIES = {
     "q285_srm_audit": q285_srm_audit,
     "q286_cuped_adjustment": q286_cuped_adjustment,
     "q289_mix_shift_decomposition": q289_mix_shift_decomposition,
+    "q291_wilson_intervals": q291_wilson_intervals,
+    "q292_rendezvous_resharding": q292_rendezvous_resharding,
 }
 
 ORACLES = {
@@ -10089,4 +10262,6 @@ ORACLES = {
     "q285_srm_audit": _Q285_SQL,
     "q286_cuped_adjustment": _Q286_SQL,
     "q289_mix_shift_decomposition": _Q289_SQL,
+    "q291_wilson_intervals": _q291_sql(),
+    "q292_rendezvous_resharding": _q292_sql(),
 }

@@ -303,6 +303,8 @@ HEADLINE = [
     "q288_murphy_decomposition",
     "q289_mix_shift_decomposition",
     "q290_embedding_isotropy",
+    "q291_wilson_intervals",
+    "q292_rendezvous_resharding",
 ]
 
 

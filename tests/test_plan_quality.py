@@ -4441,3 +4441,86 @@ def test_q290_isotropy_vs_bruteforce(spark, tmp_path, qs):
         assert abs(r.mean_pairwise_cosine - round(brute, 6)) < 2e-6
     assert got[0].mean_pairwise_cosine > 0.999
     assert abs(got[1].mean_pairwise_cosine) < 1e-3
+
+
+def test_q291_wilson_vs_reference(spark, tmp_path, qs):
+    """Wilson bounds checked against the textbook closed form in Python
+    floats (same chain); interval must bracket the rate, stay inside
+    [0, 1], and be wider for the small-n segment."""
+    import datetime
+    import math
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    custs = [(1, "a", 0, 1.0, "BIG"), (2, "b", 0, 1.0, "SMALL")]
+    spark.createDataFrame(custs, SCHEMAS["customer"]).write.parquet(
+        str(tmp_path / "customer.parquet"))
+    ts = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u, k, n in [(1, 30, 400), (2, 1, 4)]:
+        for i in range(n):
+            et = "purchase" if i < k else "view"
+            rows.append((eid, ts, u, et, 1.0, "{}")); eid += 1
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet"))
+
+    def wilson(k, n):
+        z2 = 1.96 * 1.96
+        c = (k / n + z2 / (2.0 * n)) / (1.0 + z2 / n)
+        h = 1.96 * math.sqrt(
+            (k / n) * (1.0 - k / n) / n + z2 / (4.0 * float(n) * n)
+        ) / (1.0 + z2 / n)
+        return round(c - h, 4), round(c + h, 4)
+
+    got = {r.segment: r for r in
+           qs["q291_wilson_intervals"](spark, str(tmp_path)).collect()}
+    for seg, (k, n) in [("BIG", (30, 400)), ("SMALL", (1, 4))]:
+        lo, hi = wilson(k, n)
+        r = got[seg]
+        assert (r.k, r.n) == (k, n)
+        assert (r.wilson_lo, r.wilson_hi) == (lo, hi)
+        assert 0.0 <= r.wilson_lo <= r.rate <= r.wilson_hi <= 1.0
+    assert (got["SMALL"].wilson_hi - got["SMALL"].wilson_lo) > \
+           (got["BIG"].wilson_hi - got["BIG"].wilson_lo)
+
+
+def test_q292_rendezvous_mirror_and_minimality(spark, tmp_path, qs):
+    """hashlib mirror of the HRW scores; asserts the minimal-movement
+    property (every migrated key lands on a NEW shard 8/9, none
+    reshuffles among 0..7) and the expected ~2/10 movement share."""
+    import hashlib
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    custkeys = list(range(1, 501))
+    custs = [(c, f"c{c}", 0, 1.0, "SEG") for c in custkeys]
+    spark.createDataFrame(custs, SCHEMAS["customer"]).write.parquet(
+        str(tmp_path / "customer.parquet"))
+
+    def h(s, key):
+        d = hashlib.md5(f"rdv:{s}:{key}".encode()).hexdigest()[:8]
+        return int(d, 16) * 16 + s
+
+    loads = {s: [0, 0] for s in range(10)}  # [n_keys, migrated_in]
+    moved = 0
+    for c in custkeys:
+        s8 = max(h(s, c) for s in range(8)) % 16
+        s10 = max(h(s, c) for s in range(10)) % 16
+        loads[s10][0] += 1
+        if s8 != s10:
+            moved += 1
+            loads[s10][1] += 1
+            assert s10 in (8, 9)  # minimal movement: only new shards win
+
+    got = {r.shard: r for r in
+           qs["q292_rendezvous_resharding"](spark, str(tmp_path)).collect()}
+    for s in range(10):
+        if loads[s][0] == 0:
+            assert s not in got
+            continue
+        r = got[s]
+        assert (r.n_keys_shard, r.n_migrated_in) == tuple(loads[s])
+        assert r.n_keys == len(custkeys)
+        assert r.moved_ppm == (moved * 10**6) // len(custkeys)
+    # ~2/10 of keys move (binomial tolerance)
+    assert 0.12 < moved / len(custkeys) < 0.28
