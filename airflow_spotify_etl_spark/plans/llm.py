@@ -9778,6 +9778,121 @@ ORDER BY per.label
 """
 
 
+def q293_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-source quality scores onto the
+    GLOBAL score distribution — the batch-effect correction a curation
+    pipeline applies before mixing scores from heterogeneous scorers:
+    each doc's score becomes the global value at its within-source
+    quantile, g = ceil(r·N_g / N_s), so every source's distribution
+    maps exactly onto the corpus distribution.
+
+    Exactness: scores are the usual 1e4 integers; within-source ranks
+    are deterministic (order by si, doc_id); the global quantile
+    function is the BOUNDED cumulative count table (value domain, not
+    rows) broadcast into a range join — no global row_number over the
+    corpus. All reported means are exact integer sums divided once.
+
+    Shape at 100 TB: one grouped pass for the count table; one window
+    partitioned by source (the op's unit of work); one broadcast range
+    join against the <=|domain|-row quantile table."""
+    from ..operators.text import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = hashed_linear_score(docs, n_buckets=4096).select(
+        "doc_id", F.expr("CAST(round(score * 10000) AS BIGINT)").alias("si")
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    ng = scored.count()
+    dom = scored.groupBy("si").agg(F.count("*").alias("c"))
+    wv = W.orderBy("si").rowsBetween(W.unboundedPreceding, 0)
+    quant = dom.select(
+        "si",
+        (F.sum("c").over(wv) - F.col("c")).alias("lo"),
+        F.sum("c").over(wv).alias("hi"),
+    )
+    ws = W.partitionBy("source").orderBy("si", "doc_id")
+    ranked = scored.withColumn("r", F.row_number().over(ws))
+    ns = scored.groupBy("source").agg(F.count("*").alias("n_s"))
+    g = ranked.join(F.broadcast(ns), "source").select(
+        "source",
+        "si",
+        F.expr(f"((r * CAST({ng} AS BIGINT)) + n_s - 1) div n_s").alias("g"),
+    )
+    quant_g = quant.select(
+        F.col("si").alias("si_g"), "lo", "hi"
+    )
+    mapped = g.join(
+        F.broadcast(quant_g),
+        (F.col("g") > F.col("lo")) & (F.col("g") <= F.col("hi")),
+    ).select("source", F.col("si").alias("si_before"),
+             F.col("si_g").alias("si_after"))
+    return (
+        mapped.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("si_before").alias("sum_before"),
+            F.sum("si_after").alias("sum_after"),
+        )
+        .select(
+            "source",
+            "n",
+            "sum_before",
+            "sum_after",
+            F.round(F.expr("CAST(sum_before AS DOUBLE) / n / 10000.0e0"), 4)
+            .alias("mean_before"),
+            F.round(F.expr("CAST(sum_after AS DOUBLE) / n / 10000.0e0"), 4)
+            .alias("mean_after"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q293_sql() -> str:
+    return f"""
+WITH scored AS (
+  SELECT s.doc_id, CAST(round(s.score * 10000) AS BIGINT) AS si, d.source
+  FROM ({_Q104_SQL}) s JOIN documents d USING (doc_id)
+), ngt AS (
+  SELECT CAST(count(*) AS BIGINT) AS ng FROM scored
+), dom AS (
+  SELECT si, CAST(count(*) AS BIGINT) AS c FROM scored GROUP BY si
+), quant AS (
+  SELECT si,
+         CAST(sum(c) OVER (ORDER BY si
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS BIGINT)
+           AS lo,
+         CAST(sum(c) OVER (ORDER BY si
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS hi
+  FROM dom
+), ns AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM scored GROUP BY source
+), ranked AS (
+  SELECT source, si,
+         row_number() OVER (PARTITION BY source ORDER BY si, doc_id) AS r
+  FROM scored
+), g AS (
+  SELECT ranked.source, ranked.si AS si_before,
+         ((ranked.r * ng) + n_s - 1) // n_s AS g
+  FROM ranked
+  JOIN ns USING (source)
+  CROSS JOIN ngt
+), mapped AS (
+  SELECT g.source, g.si_before, quant.si AS si_after
+  FROM g JOIN quant ON g.g > quant.lo AND g.g <= quant.hi
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(si_before) AS BIGINT) AS sum_before,
+       CAST(sum(si_after) AS BIGINT) AS sum_after,
+       round(CAST(sum(si_before) AS DOUBLE) / count(*) / 10000.0e0, 4)
+         AS mean_before,
+       round(CAST(sum(si_after) AS DOUBLE) / count(*) / 10000.0e0, 4)
+         AS mean_after
+FROM mapped
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -9909,6 +10024,7 @@ QUERIES = {
     "q287_dedup_distribution_shift": q287_dedup_distribution_shift,
     "q288_murphy_decomposition": q288_murphy_decomposition,
     "q290_embedding_isotropy": q290_embedding_isotropy,
+    "q293_quantile_normalization": q293_quantile_normalization,
 }
 
 ORACLES = {
@@ -10042,4 +10158,5 @@ ORACLES = {
     "q287_dedup_distribution_shift": _q287_sql(),
     "q288_murphy_decomposition": _q288_sql(),
     "q290_embedding_isotropy": _Q290_SQL,
+    "q293_quantile_normalization": _q293_sql(),
 }

@@ -305,6 +305,7 @@ HEADLINE = [
     "q290_embedding_isotropy",
     "q291_wilson_intervals",
     "q292_rendezvous_resharding",
+    "q293_quantile_normalization",
 ]
 
 

@@ -4524,3 +4524,52 @@ def test_q292_rendezvous_mirror_and_minimality(spark, tmp_path, qs):
         assert r.moved_ppm == (moved * 10**6) // len(custkeys)
     # ~2/10 of keys move (binomial tolerance)
     assert 0.12 < moved / len(custkeys) < 0.28
+
+
+def test_q293_quantile_norm_properties(spark, sf_dir, qs):
+    """On real sf0.001 data: a full Python mirror of the mapping
+    (within-source ranks -> ceil-quantile -> global order statistic)
+    must match exactly; mapped values are pinned to genuine global
+    order statistics (top rank maps to the global max)."""
+    import pyspark.sql.functions as F
+    from airflow_spotify_etl_spark.operators.text import hashed_linear_score
+    from airflow_spotify_etl_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = [
+        (int(r.doc_id), int(r.si), r.source)
+        for r in hashed_linear_score(docs, n_buckets=4096)
+        .select("doc_id",
+                F.expr("CAST(round(score * 10000) AS BIGINT)").alias("si"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .collect()
+    ]
+    ng = len(rows)
+    glob = sorted(si for _, si, _ in rows)
+    by_src = {}
+    for did, si, src in rows:
+        by_src.setdefault(src, []).append((si, did))
+    expect = {}
+    for src, vals in by_src.items():
+        vals.sort()
+        n_s = len(vals)
+        sb = sum(si for si, _ in vals)
+        sa = 0
+        for r, (si, _) in enumerate(vals, 1):
+            gidx = (r * ng + n_s - 1) // n_s  # ceil
+            sa += glob[gidx - 1]
+        expect[src] = (n_s, sb, sa)
+
+    got = {r.source: (r.n, r.sum_before, r.sum_after)
+           for r in qs["q293_quantile_normalization"](spark, sf_dir).collect()}
+    assert got == expect
+    # mapped values are genuine global order statistics: per-source
+    # means stay inside the global value range, and the top-rank doc of
+    # every source maps to the global maximum (g = ng at r = n_s)
+    for src, (n_s, sb, sa) in expect.items():
+        assert glob[0] <= sa / n_s <= glob[-1]
+    assert all(
+        max(glob[(r * ng + len(v) - 1) // len(v) - 1]
+            for r in [len(v)]) == glob[-1]
+        for v in by_src.values()
+    )
