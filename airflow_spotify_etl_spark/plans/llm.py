@@ -9893,6 +9893,89 @@ ORDER BY source
 """
 
 
+def q294_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation for a stratified sample of the corpus
+    by language: n_h ∝ N_h·S_h (stratum size × token-count standard
+    deviation), compared against proportional allocation for an
+    n=10000 audit sample — the sampling-design planner that decides how
+    q47's stratified sampler should spend its budget when strata have
+    unequal variance.
+
+    Exactness: per-stratum (N, Σx, Σx²) are exact BIGINTs; S_h is one
+    sqrt chain floored to nano; the allocations are pure nonnegative
+    integer divisions over the N_h·S_nano weights.
+
+    Shape at 100 TB: one narrow size(split) scan, one groupBy into
+    <=5 strata, a 1-row weight-total broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), "\\s+")))
+        .cast("long")
+        .alias("tk"),
+    ).groupBy("lang").agg(
+        F.count("*").alias("nh"),
+        F.sum("tk").alias("sx"),
+        F.sum(F.expr("tk * tk")).alias("sxx"),
+    ).select(
+        "lang",
+        "nh",
+        F.expr(
+            "CAST(floor(sqrt((CAST(sxx AS DOUBLE) * nh"
+            " - CAST(sx AS DOUBLE) * sx)"
+            " / (CAST(nh AS DOUBLE) * nh)) * 1.0e9) AS BIGINT)"
+        ).alias("s_nano"),
+    )
+    tot = per.agg(
+        F.sum("nh").alias("nt"),
+        F.sum(F.expr("nh * s_nano")).alias("w_total"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.col("nh").alias("n_docs"),
+            "s_nano",
+            F.expr("(10000 * nh * s_nano) div w_total").alias("neyman_alloc"),
+            F.expr("(10000 * nh) div nt").alias("proportional_alloc"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q294_SQL = r"""
+WITH per AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS nh,
+         CAST(sum(tk) AS BIGINT) AS sx,
+         CAST(sum(tk * tk) AS BIGINT) AS sxx
+  FROM (
+    SELECT lang,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END
+             AS BIGINT) AS tk
+    FROM documents
+  ) GROUP BY lang
+), w AS (
+  SELECT lang, nh,
+         CAST(floor(sqrt((CAST(sxx AS DOUBLE) * nh
+               - CAST(sx AS DOUBLE) * sx)
+               / (CAST(nh AS DOUBLE) * nh)) * 1.0e9) AS BIGINT) AS s_nano
+  FROM per
+), tot AS (
+  SELECT CAST(sum(nh) AS BIGINT) AS nt,
+         CAST(sum(nh * s_nano) AS BIGINT) AS w_total
+  FROM w
+)
+SELECT lang, nh AS n_docs, s_nano,
+       CAST((10000 * nh * s_nano) // w_total AS BIGINT) AS neyman_alloc,
+       CAST((10000 * nh) // nt AS BIGINT) AS proportional_alloc
+FROM w CROSS JOIN tot
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -10025,6 +10108,7 @@ QUERIES = {
     "q288_murphy_decomposition": q288_murphy_decomposition,
     "q290_embedding_isotropy": q290_embedding_isotropy,
     "q293_quantile_normalization": q293_quantile_normalization,
+    "q294_neyman_allocation": q294_neyman_allocation,
 }
 
 ORACLES = {
@@ -10159,4 +10243,5 @@ ORACLES = {
     "q288_murphy_decomposition": _q288_sql(),
     "q290_embedding_isotropy": _Q290_SQL,
     "q293_quantile_normalization": _q293_sql(),
+    "q294_neyman_allocation": _Q294_SQL,
 }

@@ -306,6 +306,7 @@ HEADLINE = [
     "q291_wilson_intervals",
     "q292_rendezvous_resharding",
     "q293_quantile_normalization",
+    "q294_neyman_allocation",
 ]
 
 

@@ -4573,3 +4573,43 @@ def test_q293_quantile_norm_properties(spark, sf_dir, qs):
             for r in [len(v)]) == glob[-1]
         for v in by_src.values()
     )
+
+
+def test_q294_neyman_hand_computed(spark, tmp_path, qs):
+    """Two strata with engineered variances (one constant-length, one
+    high-variance): the constant stratum's S must be 0 so Neyman gives
+    it nothing despite equal size; all integers mirrored exactly."""
+    import math
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    def words(n):
+        return " ".join(["w"] * n)
+
+    rows, did = [], 0
+    for _ in range(10):                      # en: constant length 50
+        rows.append((did, words(50), "en", "s", 50)); did += 1
+    de_lens = [10, 90, 10, 90, 10, 90, 10, 90, 10, 90]
+    for n in de_lens:                        # de: high variance
+        rows.append((did, words(n), "de", "s", n)); did += 1
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet"))
+
+    def stats(lens):
+        nh = len(lens)
+        sx, sxx = sum(lens), sum(x * x for x in lens)
+        s = math.sqrt((sxx * nh - sx * sx) / (nh * nh))
+        return nh, int(math.floor(s * 1e9))
+
+    en = stats([50] * 10)
+    de = stats(de_lens)
+    w_total = en[0] * en[1] + de[0] * de[1]
+    nt = en[0] + de[0]
+
+    got = {r.lang: r for r in
+           qs["q294_neyman_allocation"](spark, str(tmp_path)).collect()}
+    assert (got["en"].n_docs, got["en"].s_nano) == en
+    assert (got["de"].n_docs, got["de"].s_nano) == de
+    assert got["en"].s_nano == 0 and got["en"].neyman_alloc == 0
+    assert got["de"].neyman_alloc == (10000 * de[0] * de[1]) // w_total
+    assert got["en"].proportional_alloc == (10000 * en[0]) // nt == 5000
