@@ -9980,6 +9980,107 @@ ORDER BY shard
 """
 
 
+def q295_aa_test_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/A-test audit of the experimentation stack: 20 independent
+    md5-salted 50/50 user splits, each scored with the Welch z on mean
+    event value — under the null every split compares identical
+    populations, so the |z| > 1.96 flag rate must sit near 5% (a hot
+    spot here means the assignment hash or the variance estimator is
+    broken, the meta-guardrail above q285's SRM and q241's t-test).
+
+    Exactness: per-(salt, arm) moments are exact BIGINT cents via one
+    grouped pass over a 20-salt explode; each z is a single double
+    chain (q241's Welch form without the df, since n is large).
+
+    Shape at 100 TB: the explode multiplies the scan by the salt count
+    but the aggregate combines map-side to 40 cells; everything after
+    is a 40-row reduction."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
+    )
+    salted = ev.select(
+        "user_id",
+        "cents",
+        F.explode(F.array(*[F.lit(k) for k in range(20)])).alias("k"),
+    ).select(
+        "k",
+        "cents",
+        (
+            F.expr(
+                "conv(substr(md5(concat('aa:', CAST(k AS STRING), ':',"
+                " CAST(user_id AS STRING))), 1, 8), 16, 10) % 2"
+            )
+            == 0
+        ).alias("is_a"),
+    )
+    cells = salted.groupBy("k").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("is_a"), F.col("cents")).otherwise(0)).alias("sa"),
+        F.sum(F.when(F.col("is_a"), F.col("cents") * F.col("cents"))
+              .otherwise(0)).alias("ssa"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("nb"),
+        F.sum(F.when(F.col("is_a"), F.lit(0)).otherwise(F.col("cents")))
+        .alias("sb"),
+        F.sum(F.when(F.col("is_a"), F.lit(0))
+              .otherwise(F.col("cents") * F.col("cents"))).alias("ssb"),
+    )
+    z = (
+        "(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)"
+        " / sqrt((CAST(ssa AS DOUBLE) / na"
+        "         - (CAST(sa AS DOUBLE) / na) * (CAST(sa AS DOUBLE) / na))"
+        "        / (na - 1.0e0)"
+        "        + (CAST(ssb AS DOUBLE) / nb"
+        "           - (CAST(sb AS DOUBLE) / nb) * (CAST(sb AS DOUBLE) / nb))"
+        "          / (nb - 1.0e0))"
+    )
+    return cells.select(
+        "k",
+        "na",
+        "nb",
+        F.round(F.expr(z), 4).alias("z_welch"),
+        F.expr(f"abs({z}) > 1.96e0").alias("false_flag"),
+    ).orderBy("k")
+
+
+def _q295_sql() -> str:
+    z = (
+        "(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)"
+        " / sqrt((CAST(ssa AS DOUBLE) / na"
+        "         - (CAST(sa AS DOUBLE) / na) * (CAST(sa AS DOUBLE) / na))"
+        "        / (na - 1.0e0)"
+        "        + (CAST(ssb AS DOUBLE) / nb"
+        "           - (CAST(sb AS DOUBLE) / nb) * (CAST(sb AS DOUBLE) / nb))"
+        "          / (nb - 1.0e0))"
+    )
+    return f"""
+WITH salted AS (
+  SELECT k.k,
+         CAST(round(e.value * 100) AS BIGINT) AS cents,
+         ('0x' || substr(md5('aa:' || CAST(k.k AS VARCHAR) || ':'
+              || CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 AS is_a
+  FROM events e
+  CROSS JOIN (SELECT unnest(range(0, 20)) AS k) k
+), cells AS (
+  SELECT k,
+         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN is_a THEN cents ELSE 0 END) AS BIGINT) AS sa,
+         CAST(sum(CASE WHEN is_a THEN cents * cents ELSE 0 END) AS BIGINT)
+           AS ssa,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE cents END) AS BIGINT) AS sb,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE cents * cents END) AS BIGINT)
+           AS ssb
+  FROM salted
+  GROUP BY k
+)
+SELECT CAST(k AS BIGINT) AS k, na, nb,
+       round({z}, 4) AS z_welch,
+       abs({z}) > 1.96e0 AS false_flag
+FROM cells
+ORDER BY k
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -10121,6 +10222,7 @@ QUERIES = {
     "q289_mix_shift_decomposition": q289_mix_shift_decomposition,
     "q291_wilson_intervals": q291_wilson_intervals,
     "q292_rendezvous_resharding": q292_rendezvous_resharding,
+    "q295_aa_test_audit": q295_aa_test_audit,
 }
 
 ORACLES = {
@@ -10264,4 +10366,5 @@ ORACLES = {
     "q289_mix_shift_decomposition": _Q289_SQL,
     "q291_wilson_intervals": _q291_sql(),
     "q292_rendezvous_resharding": _q292_sql(),
+    "q295_aa_test_audit": _q295_sql(),
 }

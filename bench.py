@@ -307,6 +307,7 @@ HEADLINE = [
     "q292_rendezvous_resharding",
     "q293_quantile_normalization",
     "q294_neyman_allocation",
+    "q295_aa_test_audit",
 ]
 
 

@@ -4613,3 +4613,44 @@ def test_q294_neyman_hand_computed(spark, tmp_path, qs):
     assert got["en"].s_nano == 0 and got["en"].neyman_alloc == 0
     assert got["de"].neyman_alloc == (10000 * de[0] * de[1]) // w_total
     assert got["en"].proportional_alloc == (10000 * en[0]) // nt == 5000
+
+
+def test_q295_aa_audit_python_mirror(spark, tmp_path, qs):
+    """Full hashlib mirror of all 20 salted splits and Welch z's on a
+    100-user fixture (exact equality on every split's z and flag)."""
+    import datetime
+    import hashlib
+    import math
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [(i, ts, i % 100, "view", float(10 + (i * 7) % 50), "{}")
+            for i in range(400)]
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet"))
+
+    def is_a(k, u):
+        return int(hashlib.md5(f"aa:{k}:{u}".encode()).hexdigest()[:8],
+                   16) % 2 == 0
+
+    expect = {}
+    for k in range(20):
+        A, B = [], []
+        for (eid, _, u, _, v, _) in rows:
+            (A if is_a(k, u) else B).append(round(v * 100))
+        na, nb = len(A), len(B)
+        sa, sb = sum(A), sum(B)
+        ssa, ssb = sum(x * x for x in A), sum(x * x for x in B)
+        z = (sa / na - sb / nb) / math.sqrt(
+            (ssa / na - (sa / na) ** 2) / (na - 1.0)
+            + (ssb / nb - (sb / nb) ** 2) / (nb - 1.0))
+        expect[k] = (na, nb, round(z, 4), abs(z) > 1.96)
+
+    got = {r.k: (r.na, r.nb, r.z_welch, r.false_flag)
+           for r in qs["q295_aa_test_audit"](spark, str(tmp_path)).collect()}
+    assert got == expect
+    # the fixture's values are a deterministic function of user id, so
+    # arm means genuinely differ per split — this is a mirror test, not
+    # a null-rate test; just require the audit isn't flagging everything
+    assert sum(1 for *_, f in got.values() if f) < 20
