@@ -10081,6 +10081,80 @@ ORDER BY k
 """
 
 
+def q296_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of market segment against the
+    purchase outcome — the leakage-free categorical feature a
+    train-time pipeline emits (a row never sees its own label:
+    enc_i = (K_s − y_i)/(n_s − 1)). Since y is binary, every segment
+    has exactly TWO encodings; the query emits that closed-form table
+    plus the global prior used for unseen categories.
+
+    Exactness: all-BIGINT — K, n per segment and the ppm encodings are
+    nonnegative integer divisions; n_s >= 2 guarded.
+
+    Shape at 100 TB: the per-row encoded table is a broadcast-dim join
+    of this <=5-row lookup back onto the facts — the expensive part is
+    one grouped pass, which is what this query materializes."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select("user_id", "event_type")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    base = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("k"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    prior = base.agg(
+        F.expr("(sum(k) * 1000000L) div sum(n)").alias("prior_ppm")
+    )
+    return (
+        base.crossJoin(F.broadcast(prior))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "k",
+            "n",
+            F.expr("(k * 1000000L) div (n - 1)").alias("enc_for_y0_ppm"),
+            F.expr("((k - 1) * 1000000L) div (n - 1)").alias(
+                "enc_for_y1_ppm"
+            ),
+            "prior_ppm",
+        )
+        .orderBy("segment")
+    )
+
+
+_Q296_SQL = """
+WITH base AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events e
+  JOIN customer c ON c.c_custkey = e.user_id
+  WHERE e.event_type IN ('purchase', 'view')
+  GROUP BY 1
+  HAVING count(*) >= 2
+), prior AS (
+  SELECT CAST((sum(k) * 1000000) // sum(n) AS BIGINT) AS prior_ppm
+  FROM base
+)
+SELECT segment, k, n,
+       CAST((k * 1000000) // (n - 1) AS BIGINT) AS enc_for_y0_ppm,
+       CAST(((k - 1) * 1000000) // (n - 1) AS BIGINT) AS enc_for_y1_ppm,
+       prior_ppm
+FROM base CROSS JOIN prior
+ORDER BY segment
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -10223,6 +10297,7 @@ QUERIES = {
     "q291_wilson_intervals": q291_wilson_intervals,
     "q292_rendezvous_resharding": q292_rendezvous_resharding,
     "q295_aa_test_audit": q295_aa_test_audit,
+    "q296_loo_target_encoding": q296_loo_target_encoding,
 }
 
 ORACLES = {
@@ -10367,4 +10442,5 @@ ORACLES = {
     "q291_wilson_intervals": _q291_sql(),
     "q292_rendezvous_resharding": _q292_sql(),
     "q295_aa_test_audit": _q295_sql(),
+    "q296_loo_target_encoding": _Q296_SQL,
 }

@@ -308,6 +308,7 @@ HEADLINE = [
     "q293_quantile_normalization",
     "q294_neyman_allocation",
     "q295_aa_test_audit",
+    "q296_loo_target_encoding",
 ]
 
 

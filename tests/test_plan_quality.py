@@ -4654,3 +4654,36 @@ def test_q295_aa_audit_python_mirror(spark, tmp_path, qs):
     # arm means genuinely differ per split — this is a mirror test, not
     # a null-rate test; just require the audit isn't flagging everything
     assert sum(1 for *_, f in got.values() if f) < 20
+
+
+def test_q296_loo_encoding_hand_computed(spark, tmp_path, qs):
+    """Known 2x2 table: the two LOO encodings per segment and the
+    leakage-free property (a purchase row's encoding excludes itself)
+    hand-verified; the singleton segment is dropped by the n>=2 guard."""
+    import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    custs = [(1, "a", 0, 1.0, "S1"), (2, "b", 0, 1.0, "S2"),
+             (3, "c", 0, 1.0, "TINY")]
+    spark.createDataFrame(custs, SCHEMAS["customer"]).write.parquet(
+        str(tmp_path / "customer.parquet"))
+    ts = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u, k, n in [(1, 3, 10), (2, 1, 5)]:
+        for i in range(n):
+            et = "purchase" if i < k else "view"
+            rows.append((eid, ts, u, et, 1.0, "{}")); eid += 1
+    rows.append((eid, ts, 3, "purchase", 1.0, "{}"))  # TINY: n=1 -> dropped
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet"))
+
+    got = {r.segment: r for r in
+           qs["q296_loo_target_encoding"](spark, str(tmp_path)).collect()}
+    assert set(got) == {"S1", "S2"}
+    s1 = got["S1"]
+    assert (s1.k, s1.n) == (3, 10)
+    assert s1.enc_for_y0_ppm == (3 * 10**6) // 9
+    assert s1.enc_for_y1_ppm == (2 * 10**6) // 9   # excludes own label
+    assert s1.enc_for_y1_ppm < s1.enc_for_y0_ppm
+    assert s1.prior_ppm == (4 * 10**6) // 15
