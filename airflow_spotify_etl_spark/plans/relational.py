@@ -10155,6 +10155,111 @@ ORDER BY segment
 """
 
 
+def q297_transition_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-dynamics drift: per-user event-type transition counts
+    in the first vs second half of the date range, tested cell-by-cell
+    with the 2-sample homogeneity chi-square — the DYNAMICS complement
+    to the value-distribution drift dials (PSI q192, Wasserstein q250):
+    marginal rates can be stable while the transition structure moves.
+
+    For each (prev, next) cell with half counts (a, b) and half totals
+    (T1, T2), the chi-square term is (a·T2 − b·T1)²/((a+b)·T1·T2) —
+    computed as one double chain over exact BIGINTs and nano-floored
+    before the cross-cell sum; df = live cells − 1 reported alongside.
+
+    Shape at 100 TB: one lag window per user (the sessionization
+    shuffle), one grouped pass into <=50 cells, a bounded reduction."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("us"),
+    )
+    mm = ev.agg(F.expr("(min(us) + max(us)) div 2").alias("mid"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .crossJoin(F.broadcast(mm))
+        .groupBy("prev", F.col("event_type").alias("nxt"))
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("mid"), 1).otherwise(0)).alias(
+                "a"
+            ),
+            F.sum(F.when(F.col("us") >= F.col("mid"), 1).otherwise(0)).alias(
+                "b"
+            ),
+        )
+    )
+    tot = trans.agg(F.sum("a").alias("t1"), F.sum("b").alias("t2"))
+    term = (
+        "CAST(floor((CAST(a AS DOUBLE) * t2 - CAST(b AS DOUBLE) * t1)"
+        " * (CAST(a AS DOUBLE) * t2 - CAST(b AS DOUBLE) * t1)"
+        " / ((CAST(a AS DOUBLE) + b) * t1 * t2) * 1.0e9) AS BIGINT)"
+    )
+    agg = (
+        trans.crossJoin(F.broadcast(tot))
+        .filter(F.expr("a + b > 0"))
+        .agg(
+            F.count("*").alias("live_cells"),
+            F.sum(F.expr(term)).alias("chi2_sum_nano"),
+            F.max("t1").alias("n_first_half"),
+            F.max("t2").alias("n_second_half"),
+        )
+    )
+    return agg.select(
+        "live_cells",
+        (F.col("live_cells") - 1).alias("df"),
+        "n_first_half",
+        "n_second_half",
+        "chi2_sum_nano",
+        F.round(F.col("chi2_sum_nano").cast("double") / 1e9, 4).alias(
+            "chi2"
+        ),
+    )
+
+
+_Q297_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us FROM events
+), mm AS (
+  SELECT (min(us) + max(us)) // 2 AS mid FROM ev
+), lagged AS (
+  SELECT user_id, event_type AS nxt, us,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM ev
+), trans AS (
+  SELECT prev, nxt,
+         CAST(sum(CASE WHEN us < mid THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM lagged CROSS JOIN mm
+  WHERE prev IS NOT NULL
+  GROUP BY prev, nxt
+), tot AS (
+  SELECT CAST(sum(a) AS BIGINT) AS t1, CAST(sum(b) AS BIGINT) AS t2
+  FROM trans
+)
+SELECT CAST(count(*) AS BIGINT) AS live_cells,
+       CAST(count(*) - 1 AS BIGINT) AS df,
+       CAST(max(t1) AS BIGINT) AS n_first_half,
+       CAST(max(t2) AS BIGINT) AS n_second_half,
+       CAST(sum(CAST(floor(
+           (CAST(a AS DOUBLE) * t2 - CAST(b AS DOUBLE) * t1)
+           * (CAST(a AS DOUBLE) * t2 - CAST(b AS DOUBLE) * t1)
+           / ((CAST(a AS DOUBLE) + b) * t1 * t2) * 1.0e9) AS BIGINT))
+         AS BIGINT) AS chi2_sum_nano,
+       round(CAST(sum(CAST(floor(
+           (CAST(a AS DOUBLE) * t2 - CAST(b AS DOUBLE) * t1)
+           * (CAST(a AS DOUBLE) * t2 - CAST(b AS DOUBLE) * t1)
+           / ((CAST(a AS DOUBLE) + b) * t1 * t2) * 1.0e9) AS BIGINT))
+         AS DOUBLE) / 1e9, 4) AS chi2
+FROM trans CROSS JOIN tot
+WHERE a + b > 0
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -10298,6 +10403,7 @@ QUERIES = {
     "q292_rendezvous_resharding": q292_rendezvous_resharding,
     "q295_aa_test_audit": q295_aa_test_audit,
     "q296_loo_target_encoding": q296_loo_target_encoding,
+    "q297_transition_drift": q297_transition_drift,
 }
 
 ORACLES = {
@@ -10443,4 +10549,5 @@ ORACLES = {
     "q292_rendezvous_resharding": _q292_sql(),
     "q295_aa_test_audit": _q295_sql(),
     "q296_loo_target_encoding": _Q296_SQL,
+    "q297_transition_drift": _Q297_SQL,
 }

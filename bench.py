@@ -309,6 +309,7 @@ HEADLINE = [
     "q294_neyman_allocation",
     "q295_aa_test_audit",
     "q296_loo_target_encoding",
+    "q297_transition_drift",
 ]
 
 

@@ -4687,3 +4687,50 @@ def test_q296_loo_encoding_hand_computed(spark, tmp_path, qs):
     assert s1.enc_for_y1_ppm == (2 * 10**6) // 9   # excludes own label
     assert s1.enc_for_y1_ppm < s1.enc_for_y0_ppm
     assert s1.prior_ppm == (4 * 10**6) // 15
+
+
+def test_q297_transition_drift_hand_computed(spark, tmp_path, qs):
+    """One user whose dynamics flip between halves (A->B chains early,
+    A->A chains late): every 2-sample chi-square cell mirrored in
+    Python exactly; drift must be large."""
+    import datetime
+    import math
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    early = datetime.datetime(2024, 1, 1)
+    late = datetime.datetime(2024, 1, 21)
+    rows, eid = [], 0
+    # first half: A B A B ... (20 events -> 19 transitions alternating)
+    for i in range(20):
+        rows.append((eid, early + datetime.timedelta(minutes=i), 1,
+                     "A" if i % 2 == 0 else "B", 1.0, "{}")); eid += 1
+    # second half: A A A ... (20 events -> all A->A after the B->A seam)
+    for i in range(20):
+        rows.append((eid, late + datetime.timedelta(minutes=i), 1,
+                     "A", 1.0, "{}")); eid += 1
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet"))
+
+    # mirror: transitions with the same midpoint rule
+    evs = sorted(rows, key=lambda r: (r[1], r[0]))
+    us = [int(r[1].timestamp() * 1e6) for r in evs]
+    mid = (min(us) + max(us)) // 2
+    cells = {}
+    for i in range(1, len(evs)):
+        key = (evs[i - 1][3], evs[i][3])
+        half = 0 if int(evs[i][1].timestamp() * 1e6) < mid else 1
+        a, b = cells.get(key, (0, 0))
+        cells[key] = (a + 1, b) if half == 0 else (a, b + 1)
+    t1 = sum(a for a, _ in cells.values())
+    t2 = sum(b for _, b in cells.values())
+    chi_nano = sum(
+        int(math.floor((a * t2 - b * t1) ** 2 / ((a + b) * t1 * t2) * 1e9))
+        for a, b in cells.values()
+    )
+
+    r = qs["q297_transition_drift"](spark, str(tmp_path)).collect()[0]
+    assert (r.live_cells, r.df) == (len(cells), len(cells) - 1)
+    assert (r.n_first_half, r.n_second_half) == (t1, t2)
+    assert r.chi2_sum_nano == chi_nano
+    assert r.chi2 > 20.0  # engineered dynamics flip
