@@ -10260,6 +10260,115 @@ WHERE a + b > 0
 """
 
 
+def q298_weekday_hour_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour 2-D seasonality: the 7×24 activity grid plus the
+    independence chi-square (does hour-of-day shape DEPEND on weekday,
+    or do the two margins factorize?) — the 2-D upgrade of q217's
+    1-D seasonal indices that decides whether a capacity plan needs a
+    full weekly-hourly matrix or two independent profiles.
+
+    Exactness: cell/margin counts are BIGINTs; each chi term
+    (c·N − r·k)²/(r·k·N) is one double chain nano-floored pre-sum.
+    dow/hour come from date_part-compatible extracts (UTC session).
+
+    Output: the top-10 over/under-loaded cells by |deviation| plus the
+    grid-level chi-square repeated — one bounded relation, two grouped
+    passes at corpus scale."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("CAST(dayofweek(ts) AS INT)").alias("dow"),
+        F.expr("CAST(hour(ts) AS INT)").alias("hr"),
+    )
+    cells = ev.groupBy("dow", "hr").agg(F.count("*").alias("c"))
+    rows_ = cells.groupBy("dow").agg(F.sum("c").alias("r"))
+    cols = cells.groupBy("hr").agg(F.sum("c").alias("k"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    term = (
+        "CAST(floor((CAST(c AS DOUBLE) * n - CAST(r AS DOUBLE) * k)"
+        " * (CAST(c AS DOUBLE) * n - CAST(r AS DOUBLE) * k)"
+        " / (CAST(r AS DOUBLE) * k * n) * 1.0e9 / n) AS BIGINT)"
+    )
+    dev = (
+        "(CAST(c AS DOUBLE) * n - CAST(r AS DOUBLE) * k)"
+        " / (CAST(r AS DOUBLE) * k)"
+    )
+    joined = (
+        cells.join(rows_, "dow")
+        .join(cols, "hr")
+        .crossJoin(F.broadcast(tot))
+        .persist()
+    )
+    chi = joined.agg(
+        F.sum(F.expr(term)).alias("chi2_sum_nano"),
+        F.count("*").alias("live_cells"),
+    )
+    return (
+        joined.select(
+            "dow",
+            "hr",
+            "c",
+            F.round(F.expr(dev), 4).alias("load_vs_expected"),
+            F.expr(f"abs({dev})").alias("_a"),
+        )
+        .orderBy(F.col("_a").desc(), "dow", "hr")
+        .limit(10)
+        .crossJoin(F.broadcast(chi))
+        .select(
+            "dow",
+            "hr",
+            "c",
+            "load_vs_expected",
+            "live_cells",
+            F.round(
+                F.col("chi2_sum_nano").cast("double") / 1e9, 4
+            ).alias("chi2"),
+        )
+        .orderBy(F.col("load_vs_expected").desc(), "dow", "hr")
+    )
+
+
+_Q298_SQL = """
+WITH ev AS (
+  SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+         CAST(hour(ts) AS INTEGER) AS hr
+  FROM events
+), cells AS (
+  SELECT dow, hr, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1, 2
+), rows_ AS (
+  SELECT dow, CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY dow
+), cols AS (
+  SELECT hr, CAST(sum(c) AS BIGINT) AS k FROM cells GROUP BY hr
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM cells
+), joined AS (
+  SELECT cells.dow, cells.hr, c, r, k, n
+  FROM cells
+  JOIN rows_ USING (dow)
+  JOIN cols USING (hr)
+  CROSS JOIN tot
+), chi AS (
+  SELECT CAST(sum(CAST(floor(
+           (CAST(c AS DOUBLE) * n - CAST(r AS DOUBLE) * k)
+           * (CAST(c AS DOUBLE) * n - CAST(r AS DOUBLE) * k)
+           / (CAST(r AS DOUBLE) * k * n) * 1.0e9 / n) AS BIGINT)) AS BIGINT)
+           AS chi2_sum_nano,
+         CAST(count(*) AS BIGINT) AS live_cells
+  FROM joined
+), top AS (
+  SELECT dow, hr, c,
+         round((CAST(c AS DOUBLE) * n - CAST(r AS DOUBLE) * k)
+               / (CAST(r AS DOUBLE) * k), 4) AS load_vs_expected
+  FROM joined
+  ORDER BY abs((CAST(c AS DOUBLE) * n - CAST(r AS DOUBLE) * k)
+               / (CAST(r AS DOUBLE) * k)) DESC, dow, hr
+  LIMIT 10
+)
+SELECT dow, hr, c, load_vs_expected, live_cells,
+       round(CAST(chi2_sum_nano AS DOUBLE) / 1e9, 4) AS chi2
+FROM top CROSS JOIN chi
+ORDER BY load_vs_expected DESC, dow, hr
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -10404,6 +10513,7 @@ QUERIES = {
     "q295_aa_test_audit": q295_aa_test_audit,
     "q296_loo_target_encoding": q296_loo_target_encoding,
     "q297_transition_drift": q297_transition_drift,
+    "q298_weekday_hour_seasonality": q298_weekday_hour_seasonality,
 }
 
 ORACLES = {
@@ -10550,4 +10660,5 @@ ORACLES = {
     "q295_aa_test_audit": _q295_sql(),
     "q296_loo_target_encoding": _Q296_SQL,
     "q297_transition_drift": _Q297_SQL,
+    "q298_weekday_hour_seasonality": _Q298_SQL,
 }

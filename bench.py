@@ -310,6 +310,7 @@ HEADLINE = [
     "q295_aa_test_audit",
     "q296_loo_target_encoding",
     "q297_transition_drift",
+    "q298_weekday_hour_seasonality",
 ]
 
 

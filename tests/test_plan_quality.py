@@ -4734,3 +4734,62 @@ def test_q297_transition_drift_hand_computed(spark, tmp_path, qs):
     assert (r.n_first_half, r.n_second_half) == (t1, t2)
     assert r.chi2_sum_nano == chi_nano
     assert r.chi2 > 20.0  # engineered dynamics flip
+
+
+def test_q298_seasonality_hand_computed(spark, tmp_path, qs):
+    """Engineered grid: Monday 9am hot-spot over a uniform background;
+    chi terms and deviations mirrored in Python; the hot cell must top
+    the ranking with a large positive deviation."""
+    import datetime
+    import math
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows, eid = [], 0
+    # uniform background: 2 events for each of Mon..Thu x hours 9..12
+    base = datetime.datetime(2024, 1, 1)  # a Monday
+    for d in range(4):
+        for h in (9, 10, 11, 12):
+            for _ in range(2):
+                rows.append((eid, base + datetime.timedelta(days=d, hours=h),
+                             1, "view", 1.0, "{}")); eid += 1
+    # hot spot: 20 extra events Monday 9am
+    for _ in range(20):
+        rows.append((eid, base + datetime.timedelta(hours=9), 1, "view",
+                     1.0, "{}")); eid += 1
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet"))
+
+    # derive the grid exactly as the engines see the written parquet
+    # (createDataFrame -> session-UTC shifts naive datetimes, so a naive
+    # ts.hour mirror would be off by the local offset)
+    import duckdb
+    cells = {
+        (int(d) + 1, int(h)): int(c)
+        for d, h, c in duckdb.sql(
+            f"SELECT dayofweek(ts), hour(ts), count(*) FROM "
+            f"'{tmp_path}/events.parquet/*.parquet' GROUP BY 1, 2"
+        ).fetchall()
+    }
+    r = {}
+    k = {}
+    for (d, h), c in cells.items():
+        r[d] = r.get(d, 0) + c
+        k[h] = k.get(h, 0) + c
+    n = sum(cells.values())
+    chi_nano = sum(
+        int(math.floor((c * n - r[d] * k[h]) ** 2
+                       / (r[d] * k[h] * n) * 1e9 / n))
+        for (d, h), c in cells.items()
+    )
+    devs = {key: (c * n - r[key[0]] * k[key[1]]) / (r[key[0]] * k[key[1]])
+            for key, c in cells.items()}
+    hot = max(devs, key=lambda key: (abs(devs[key]), -key[0], -key[1]))
+
+    got = qs["q298_weekday_hour_seasonality"](spark, str(tmp_path)).collect()
+    assert len(got) == 10
+    top = max(got, key=lambda row: row.load_vs_expected)
+    assert (top.dow, top.hr) == hot  # the engineered hot spot
+    assert top.load_vs_expected == round(devs[hot], 4)
+    assert all(row.chi2 == round(chi_nano / 1e9, 4) for row in got)
+    assert got[0].live_cells == len(cells)
