@@ -6241,7 +6241,11 @@ def q249_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     path needed; PPL = exp(−avg lnP) runs once per source row. Scale
     shape: one keyed join of the (source, bigram) count table against
     the LM table; both are post-aggregation; truncating avg division
-    is toward-zero in both engines (negative sums)."""
+    is toward-zero in both engines (negative sums). Magnitude audit:
+    |lnp_nano| ≤ ~3e10, so Σ mult·lnp_nano wraps BIGINT at ~3e8
+    bigrams per source — it accumulates in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) and is emitted as a STRING on both sides
+    (q78/q233 rule); avg_lnp_nano (≤ 3e10) stays BIGINT-safe."""
     docs = load_table(spark, sf_dir, "documents")
     lm = _kn_bigram_lm(docs).select(
         "prev_tok", "next_tok",
@@ -6282,10 +6286,12 @@ def q249_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per = occ.join(lm, ["prev_tok", "next_tok"]).groupBy("source").agg(
         F.sum("mult").alias("n_bigrams"),
-        F.sum(F.expr("mult * lnp_nano")).alias("sum_lnp_nano"),
+        F.sum(F.expr("CAST(mult AS DECIMAL(38,0)) * lnp_nano"))
+        .alias("sum_lnp_nano"),
     )
     return per.select(
-        "source", "n_bigrams", "sum_lnp_nano",
+        "source", "n_bigrams",
+        F.expr("CAST(sum_lnp_nano AS STRING)").alias("sum_lnp_nano"),
         F.expr("sum_lnp_nano div n_bigrams").alias("avg_lnp_nano"),
         F.expr(
             "round(exp(-cast(sum_lnp_nano div n_bigrams as double)"
@@ -6325,11 +6331,12 @@ WITH toks AS (
   FROM bg GROUP BY source, prev_tok, next_tok
 ), per AS (
   SELECT source, CAST(sum(mult) AS BIGINT) AS n_bigrams,
-         CAST(sum(mult * lnp_nano) AS BIGINT) AS sum_lnp_nano
+         CAST(sum(CAST(mult AS HUGEINT) * lnp_nano) AS HUGEINT)
+           AS sum_lnp_nano
   FROM occ JOIN lm USING (prev_tok, next_tok)
   GROUP BY source
 )
-SELECT source, n_bigrams, sum_lnp_nano,
+SELECT source, n_bigrams, CAST(sum_lnp_nano AS VARCHAR) AS sum_lnp_nano,
        CAST(sum_lnp_nano // n_bigrams AS BIGINT) AS avg_lnp_nano,
        round(exp(-CAST(CAST(sum_lnp_nano // n_bigrams AS BIGINT)
              AS DOUBLE) / 1e9), 4) AS perplexity
@@ -7698,6 +7705,8 @@ def q268_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
       z = (Σwk − K·Σwn/N) / sqrt(K(N−K)/(N(N−1)) · (Σw²n − (Σwn)²/N))
     computed as ONE deterministic double chain over those integers
     (every intermediate < 2^53) — the q248/q267 discipline.
+    Magnitude audit: w ≤ 9 is domain-bounded, so Σw²·n ≤ 81·N stays
+    BIGINT-safe to N ~ 1e17 docs — no DECIMAL widening needed.
 
     Shape at 100 TB: the q104/q58 corpus joins feed one grouped pass
     into <=10 bins; the test statistic is a 10-row reduction."""
@@ -7790,6 +7799,12 @@ def q269_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1·n2 − gt − ties. delta_ppm is sign-split integer division (both
     engines floor NONNEGATIVE operands only). d and g are single
     deterministic double chains over exact moments.
+    Magnitude audit: gt/lt/ties are PAIR counts (~n1·n2 ≈ N²/4) that
+    wrap BIGINT at N ≈ 4.3e9 docs, and Σv² (v = n_chars ~1e5) wraps
+    at ~1e9 docs — all four accumulate in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB), and the pair counts are emitted as STRINGS on
+    both sides (int64-overflowing values must never ride a pandas
+    fetch — the q78/q233 rule).
 
     Shape at 100 TB: two pushed source filters, grouped counts over the
     bounded length domain, one window + one join on that domain."""
@@ -7823,13 +7838,13 @@ def q269_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("cy").over(w), F.lit(0)).alias("y_below"),
     )
     conc = cum.agg(
-        F.sum(F.expr("cx * y_below")).alias("gt"),
-        F.sum(F.expr("cx * cy")).alias("ties"),
+        F.sum(F.expr("CAST(cx AS DECIMAL(38,0)) * y_below")).alias("gt"),
+        F.sum(F.expr("CAST(cx AS DECIMAL(38,0)) * cy")).alias("ties"),
     )
     mom = base.groupBy("source").agg(
         F.count("*").alias("n"),
         F.sum("v").alias("s"),
-        F.sum(F.expr("v * v")).alias("ss"),
+        F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * v")).alias("ss"),
     )
     piv = (
         mom.groupBy()
@@ -7854,14 +7869,18 @@ def q269_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n1",
             "n2",
-            "gt",
-            F.expr("n1 * n2 - gt - ties").alias("lt"),
-            "ties",
+            F.expr("CAST(gt AS STRING)").alias("gt"),
             F.expr(
-                "CASE WHEN gt >= n1 * n2 - gt - ties THEN"
-                " ((gt - (n1 * n2 - gt - ties)) * 1000000L) div (n1 * n2)"
-                " ELSE -((((n1 * n2 - gt - ties) - gt) * 1000000L)"
-                "        div (n1 * n2)) END"
+                "CAST(CAST(n1 AS DECIMAL(38,0)) * n2 - gt - ties AS STRING)"
+            ).alias("lt"),
+            F.expr("CAST(ties AS STRING)").alias("ties"),
+            F.expr(
+                "CASE WHEN gt >= CAST(n1 AS DECIMAL(38,0)) * n2 - gt - ties"
+                " THEN ((gt - (CAST(n1 AS DECIMAL(38,0)) * n2 - gt - ties))"
+                "       * 1000000) div (CAST(n1 AS DECIMAL(38,0)) * n2)"
+                " ELSE -((((CAST(n1 AS DECIMAL(38,0)) * n2 - gt - ties) - gt)"
+                "         * 1000000) div (CAST(n1 AS DECIMAL(38,0)) * n2))"
+                " END"
             ).alias("cliffs_delta_ppm"),
             F.round(F.expr(d_chain), 4).alias("cohens_d"),
             F.round(
@@ -7896,25 +7915,30 @@ WITH base AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS y_below
   FROM dom
 ), conc AS (
-  SELECT CAST(sum(cx * y_below) AS BIGINT) AS gt,
-         CAST(sum(cx * cy) AS BIGINT) AS ties
+  SELECT CAST(sum(CAST(cx AS HUGEINT) * y_below) AS HUGEINT) AS gt,
+         CAST(sum(CAST(cx AS HUGEINT) * cy) AS HUGEINT) AS ties
   FROM cum
 ), mom AS (
   SELECT
     CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
     CAST(sum(CASE WHEN source = 'src0' THEN v ELSE 0 END) AS BIGINT) AS s1,
-    CAST(sum(CASE WHEN source = 'src0' THEN v * v ELSE 0 END) AS BIGINT) AS ss1,
+    CAST(sum(CASE WHEN source = 'src0' THEN CAST(v AS HUGEINT) * v
+                  ELSE 0 END) AS HUGEINT) AS ss1,
     CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
     CAST(sum(CASE WHEN source = 'src1' THEN v ELSE 0 END) AS BIGINT) AS s2,
-    CAST(sum(CASE WHEN source = 'src1' THEN v * v ELSE 0 END) AS BIGINT) AS ss2
+    CAST(sum(CASE WHEN source = 'src1' THEN CAST(v AS HUGEINT) * v
+                  ELSE 0 END) AS HUGEINT) AS ss2
   FROM base
 )
-SELECT n1, n2, gt,
-       CAST(n1 * n2 - gt - ties AS BIGINT) AS lt,
-       ties,
-       CAST(CASE WHEN gt >= n1 * n2 - gt - ties THEN
-              ((gt - (n1 * n2 - gt - ties)) * 1000000) // (n1 * n2)
-            ELSE -((((n1 * n2 - gt - ties) - gt) * 1000000) // (n1 * n2))
+SELECT n1, n2,
+       CAST(gt AS VARCHAR) AS gt,
+       CAST(CAST(n1 AS HUGEINT) * n2 - gt - ties AS VARCHAR) AS lt,
+       CAST(ties AS VARCHAR) AS ties,
+       CAST(CASE WHEN gt >= CAST(n1 AS HUGEINT) * n2 - gt - ties THEN
+              ((gt - (CAST(n1 AS HUGEINT) * n2 - gt - ties)) * 1000000)
+                // (CAST(n1 AS HUGEINT) * n2)
+            ELSE -((((CAST(n1 AS HUGEINT) * n2 - gt - ties) - gt) * 1000000)
+                   // (CAST(n1 AS HUGEINT) * n2))
             END AS BIGINT) AS cliffs_delta_ppm,
        round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
              / sqrt(((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
@@ -8275,7 +8299,11 @@ def q272_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-table idiom over the bounded integer score domain (si =
     round(score·1e4)) — never an n⁺×n⁻ pair join — and
     auc_ppm = (2·gt + ties)·1e6 div (2·n⁺·n⁻) is pure nonnegative
-    BIGINT arithmetic.
+    integer arithmetic. Magnitude audit: gt/ties are PAIR counts
+    (~n⁺·n⁻ ≈ N²/4, BIGINT-wrapping at N ≈ 4.3e9 docs) — they
+    accumulate in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) and are
+    emitted as STRINGS on both sides (q78/q233 rule); the ppm ratio
+    is div'd in the wide type (quotient ≤ 1e6, BIGINT-safe).
 
     Shape at 100 TB: the q104/q58 corpus joins, grouped counts over the
     score domain, one cumulative window + 2-row reduction."""
@@ -8302,17 +8330,18 @@ def q272_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = cum.agg(
         F.sum("cp").alias("np"),
         F.sum("cn").alias("nn"),
-        F.sum(F.expr("cp * neg_below")).alias("gt"),
-        F.sum(F.expr("cp * cn")).alias("ties"),
+        F.sum(F.expr("CAST(cp AS DECIMAL(38,0)) * neg_below")).alias("gt"),
+        F.sum(F.expr("CAST(cp AS DECIMAL(38,0)) * cn")).alias("ties"),
     )
     return agg.select(
         F.col("np").alias("n_pos"),
         F.col("nn").alias("n_neg"),
-        "gt",
-        "ties",
-        F.expr("((2 * gt + ties) * 1000000L) div (2 * np * nn)").alias(
-            "auc_ppm"
-        ),
+        F.expr("CAST(gt AS STRING)").alias("gt"),
+        F.expr("CAST(ties AS STRING)").alias("ties"),
+        F.expr(
+            "((2 * gt + ties) * 1000000)"
+            " div (2 * CAST(np AS DECIMAL(38,0)) * nn)"
+        ).alias("auc_ppm"),
     )
 
 
@@ -8338,10 +8367,13 @@ WITH scores AS (
 )
 SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
        CAST(sum(cn) AS BIGINT) AS n_neg,
-       CAST(sum(cp * neg_below) AS BIGINT) AS gt,
-       CAST(sum(cp * cn) AS BIGINT) AS ties,
-       CAST(((2 * sum(cp * neg_below) + sum(cp * cn)) * 1000000)
-            // (2 * sum(cp) * sum(cn)) AS BIGINT) AS auc_ppm
+       CAST(CAST(sum(CAST(cp AS HUGEINT) * neg_below) AS HUGEINT)
+            AS VARCHAR) AS gt,
+       CAST(CAST(sum(CAST(cp AS HUGEINT) * cn) AS HUGEINT)
+            AS VARCHAR) AS ties,
+       CAST(((2 * CAST(sum(CAST(cp AS HUGEINT) * neg_below) AS HUGEINT)
+              + sum(CAST(cp AS HUGEINT) * cn)) * 1000000)
+            // (2 * CAST(sum(cp) AS HUGEINT) * sum(cn)) AS BIGINT) AS auc_ppm
 FROM cum
 """
 
@@ -8356,9 +8388,13 @@ def q274_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
     (decile, n_chars) count grid, C = per-group strictly-below
     cumulative (window over value), T = Σ_{g'<g} C(g', v) (window over
     group within value), so gt = Σ cnt·T and cross-group ties likewise;
-    jt2 = 2·gt + ties is an exact BIGINT. The z score uses the
-    standard no-ties normal approximation (documented) as one double
-    chain over exact moments.
+    jt2 = 2·gt + ties is exact. The z score uses the standard no-ties
+    normal approximation (documented) as one double chain over exact
+    moments. Magnitude audit: gt/ties/jt2 are PAIR counts (~N²) and
+    sn23 ~ Σn³ — both wrap BIGINT at N ≈ 4.3e9 / 2e6·10 groups, so
+    they accumulate in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) with
+    row-level products widened before multiplying, and the pair
+    counts are emitted as STRINGS on both sides (q78/q233 rule).
 
     Shape at 100 TB: corpus joins to <=10·|value-domain| grid cells;
     two windows over that bounded grid."""
@@ -8395,21 +8431,22 @@ def q274_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g",
     )
     conc = both.agg(
-        F.sum(F.expr("c * t_gt")).alias("gt"),
-        F.sum(F.expr("c * t_tie")).alias("ties"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * t_gt")).alias("gt"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * t_tie")).alias("ties"),
     )
     sizes = e.groupBy("g").agg(F.count("*").alias("n"))
     mom = sizes.agg(
         F.sum("n").alias("nn"),
-        F.sum(F.expr("n * n")).alias("sn2"),
-        F.sum(F.expr("n * n * (2 * n + 3)")).alias("sn23"),
+        F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * n")).alias("sn2"),
+        F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * n * (2 * n + 3)"))
+        .alias("sn23"),
     )
     return (
         conc.crossJoin(F.broadcast(mom))
         .select(
-            "gt",
-            "ties",
-            F.expr("2 * gt + ties").alias("jt2"),
+            F.expr("CAST(gt AS STRING)").alias("gt"),
+            F.expr("CAST(ties AS STRING)").alias("ties"),
+            F.expr("CAST(2 * gt + ties AS STRING)").alias("jt2"),
             "nn",
             F.round(
                 F.expr(
@@ -8453,17 +8490,18 @@ WITH scores AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t_tie
   FROM pref
 ), conc AS (
-  SELECT CAST(sum(c * t_gt) AS BIGINT) AS gt,
-         CAST(sum(c * t_tie) AS BIGINT) AS ties
+  SELECT CAST(sum(CAST(c AS HUGEINT) * t_gt) AS HUGEINT) AS gt,
+         CAST(sum(CAST(c AS HUGEINT) * t_tie) AS HUGEINT) AS ties
   FROM both_
 ), mom AS (
   SELECT CAST(sum(n) AS BIGINT) AS nn,
-         CAST(sum(n * n) AS BIGINT) AS sn2,
-         CAST(sum(n * n * (2 * n + 3)) AS BIGINT) AS sn23
+         CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sn2,
+         CAST(sum(CAST(n AS HUGEINT) * n * (2 * n + 3)) AS HUGEINT) AS sn23
   FROM (SELECT g, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY g)
 )
-SELECT gt, ties,
-       CAST(2 * gt + ties AS BIGINT) AS jt2,
+SELECT CAST(gt AS VARCHAR) AS gt,
+       CAST(ties AS VARCHAR) AS ties,
+       CAST(2 * gt + ties AS VARCHAR) AS jt2,
        nn,
        round(((CAST(2 * gt + ties AS DOUBLE) / 2.0e0)
               - (CAST(nn AS DOUBLE) * nn - sn2) / 4.0e0)
@@ -8644,6 +8682,11 @@ def q276_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative window gives tp/fp at every threshold; each term
     cp·tp/((tp+fp)·P) is floored to a NANO BIGINT before the sum —
     per-threshold rationals never meet float addition.
+    Magnitude audit: the term's numerator cp·tp·1e9 (~N²·1e9) and
+    denominator (tp+fp)·pt (~N²) wrap BIGINT at N ≈ 3e6 docs, so the
+    division runs in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) —
+    the floored quotient (≤1e9) and ap_nano (≤ #thresholds·1e9)
+    stay BIGINT-safe.
 
     Shape at 100 TB: grouped counts over the bounded score domain, one
     window, one reduction — the q272 shape."""
@@ -8669,9 +8712,10 @@ def q276_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = cum.crossJoin(F.broadcast(tot)).select(
         "pt",
         "nt",
-        F.expr("(cp * tp * 1000000000L) div ((tp + fp) * pt)").alias(
-            "term_nano"
-        ),
+        F.expr(
+            "(CAST(cp AS DECIMAL(38,0)) * tp * 1000000000)"
+            " div ((CAST(tp AS DECIMAL(38,0)) + fp) * pt)"
+        ).alias("term_nano"),
     )
     return terms.groupBy("pt", "nt").agg(
         F.sum("term_nano").alias("ap_nano")
@@ -8712,9 +8756,11 @@ WITH scores AS (
   FROM dom
 )
 SELECT pt AS n_pos, nt AS n_neg,
-       CAST(sum((cp * tp * 1000000000) // ((tp + fp) * pt)) AS BIGINT)
+       CAST(sum((CAST(cp AS HUGEINT) * tp * 1000000000)
+                // ((CAST(tp AS HUGEINT) + fp) * pt)) AS BIGINT)
          AS ap_nano,
-       round(CAST(sum((cp * tp * 1000000000) // ((tp + fp) * pt)) AS DOUBLE)
+       round(CAST(CAST(sum((CAST(cp AS HUGEINT) * tp * 1000000000)
+                   // ((CAST(tp AS HUGEINT) + fp) * pt)) AS BIGINT) AS DOUBLE)
              / 1e9, 6) AS average_precision
 FROM cum CROSS JOIN tot
 GROUP BY pt, nt
@@ -9171,8 +9217,11 @@ def q281_dispersion_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact arithmetic: the per-source gap |t_ws·M − m_s·T_w| shares the
     common denominator T_w·M, so DP_ppm = Σgaps·1e6 div (2·T_w·M) is
-    pure BIGINT (gaps ≤ ~2e12 at sf0.1; ·1e6 stays under int64 — at
-    larger corpora the division routes through _floor_scaled_div).
+    pure integer arithmetic. Magnitude audit: with M corpus tokens the
+    row-level product t_ws·M ~ M² wraps BIGINT at M ≈ 3e9 tokens, so
+    every product and the gap sum run in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) — good to M ~ 1e16; the dp_ppm quotient (≤1e6)
+    narrows back to BIGINT safely.
 
     Shape at 100 TB: one (token, source) grouped pass, a TakeOrdered
     top-20 probe set that broadcasts, and a 20·|sources| reduction."""
@@ -9201,8 +9250,9 @@ def q281_dispersion_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "tok",
             "t_w",
-            F.abs(
-                F.col("t_ws") * F.col("mm") - F.col("m_s") * F.col("t_w")
+            F.expr(
+                "abs(CAST(t_ws AS DECIMAL(38,0)) * mm"
+                " - CAST(m_s AS DECIMAL(38,0)) * t_w)"
             ).alias("gap"),
             "mm",
         )
@@ -9211,7 +9261,9 @@ def q281_dispersion_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "tok",
             F.col("t_w").alias("term_count"),
-            F.expr("(gaps * 1000000L) div (2 * t_w * mm)").alias("dp_ppm"),
+            F.expr(
+                "(gaps * 1000000) div (2 * CAST(t_w AS DECIMAL(38,0)) * mm)"
+            ).alias("dp_ppm"),
         )
         .orderBy(F.col("term_count").desc(), "tok")
     )
@@ -9241,8 +9293,9 @@ WITH toks AS (
   LEFT JOIN tws ON tws.tok = top.tok AND tws.source = srcm.source
 )
 SELECT tok, t_w AS term_count,
-       CAST((sum(abs(t_ws * mm - m_s * t_w)) * 1000000)
-            // (2 * t_w * mm) AS BIGINT) AS dp_ppm
+       CAST((sum(abs(CAST(t_ws AS HUGEINT) * mm
+                     - CAST(m_s AS HUGEINT) * t_w)) * 1000000)
+            // (2 * CAST(t_w AS HUGEINT) * mm) AS BIGINT) AS dp_ppm
 FROM grid CROSS JOIN tot
 GROUP BY tok, t_w, mm
 ORDER BY term_count DESC, tok
@@ -9901,9 +9954,13 @@ def q294_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     q47's stratified sampler should spend its budget when strata have
     unequal variance.
 
-    Exactness: per-stratum (N, Σx, Σx²) are exact BIGINTs; S_h is one
+    Exactness: per-stratum (N, Σx, Σx²) are exact integers; S_h is one
     sqrt chain floored to nano; the allocations are pure nonnegative
-    integer divisions over the N_h·S_nano weights.
+    integer divisions over the N_h·S_nano weights. Magnitude audit:
+    tk² ~ 1e10 wraps a BIGINT Σx² at ~1e9 docs, and N_h·S_nano ~
+    1e10·1e13 wraps row-level — Σx², the weight products, and their
+    total run in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB); the
+    allocation quotients (≤1e4) narrow back to BIGINT safely.
 
     Shape at 100 TB: one narrow size(split) scan, one groupBy into
     <=5 strata, a 1-row weight-total broadcast."""
@@ -9917,7 +9974,7 @@ def q294_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("lang").agg(
         F.count("*").alias("nh"),
         F.sum("tk").alias("sx"),
-        F.sum(F.expr("tk * tk")).alias("sxx"),
+        F.sum(F.expr("CAST(tk AS DECIMAL(38,0)) * tk")).alias("sxx"),
     ).select(
         "lang",
         "nh",
@@ -9929,7 +9986,7 @@ def q294_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = per.agg(
         F.sum("nh").alias("nt"),
-        F.sum(F.expr("nh * s_nano")).alias("w_total"),
+        F.sum(F.expr("CAST(nh AS DECIMAL(38,0)) * s_nano")).alias("w_total"),
     )
     return (
         per.crossJoin(F.broadcast(tot))
@@ -9937,7 +9994,9 @@ def q294_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             F.col("nh").alias("n_docs"),
             "s_nano",
-            F.expr("(10000 * nh * s_nano) div w_total").alias("neyman_alloc"),
+            F.expr(
+                "(10000 * CAST(nh AS DECIMAL(38,0)) * s_nano) div w_total"
+            ).alias("neyman_alloc"),
             F.expr("(10000 * nh) div nt").alias("proportional_alloc"),
         )
         .orderBy("lang")
@@ -9949,7 +10008,7 @@ WITH per AS (
   SELECT lang,
          CAST(count(*) AS BIGINT) AS nh,
          CAST(sum(tk) AS BIGINT) AS sx,
-         CAST(sum(tk * tk) AS BIGINT) AS sxx
+         CAST(sum(CAST(tk AS HUGEINT) * tk) AS HUGEINT) AS sxx
   FROM (
     SELECT lang,
            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -9965,11 +10024,12 @@ WITH per AS (
   FROM per
 ), tot AS (
   SELECT CAST(sum(nh) AS BIGINT) AS nt,
-         CAST(sum(nh * s_nano) AS BIGINT) AS w_total
+         CAST(sum(CAST(nh AS HUGEINT) * s_nano) AS HUGEINT) AS w_total
   FROM w
 )
 SELECT lang, nh AS n_docs, s_nano,
-       CAST((10000 * nh * s_nano) // w_total AS BIGINT) AS neyman_alloc,
+       CAST((10000 * CAST(nh AS HUGEINT) * s_nano) // w_total AS BIGINT)
+         AS neyman_alloc,
        CAST((10000 * nh) // nt AS BIGINT) AS proportional_alloc
 FROM w CROSS JOIN tot
 ORDER BY lang

@@ -8171,7 +8171,12 @@ def q247_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums (the q222 discipline — no cross-row float accumulation
     anywhere). H ≈ 0.5 for an uncorrelated series, > 0.5 for
     persistent. Scale shape: everything runs on the |days|-bounded
-    zero-filled calendar table; blocks are keyed windows."""
+    zero-filled calendar table; blocks are keyed windows.
+    Magnitude audit: blocks are m ≤ 32 days of daily counts (~2.7e7
+    at 1e11 rows), so m·ΣX² ≤ 32²·7e14 ~ 7e17 and the 4-point OLS
+    moments (x = log₂m ≤ 5) are tiny — all BIGINT-safe with ≥10×
+    margin at 1e11 rows; wraps only past ~1e12 rows, where the
+    q233-style DECIMAL swap applies."""
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.count("*").alias("c")
@@ -9112,10 +9117,16 @@ def q267_chow_break_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pettitt (q238) and CUSUM (q190) changepoint detectors.
 
     Exactness: all regression moments (Σt, Σy, Σt², Σty, Σy²) are
-    exact BIGINTs on the calendar-bounded series; each SSE is the
+    exact integers on the calendar-bounded series; each SSE is the
     single deterministic double chain (C − A²/B)/n over those integers
-    (every intermediate < 2^53, so the doubles are exact), and F is
-    one more deterministic chain — the q248 discipline.
+    and F is one more deterministic chain — the q248 discipline.
+    Magnitude audit: t is calendar-bounded (≤ ~1e4 days) so Σt² ≤ 1e12
+    and Σty ≤ ~1e15 stay BIGINT-safe, but y (daily count) scales with
+    the corpus — at 1e11 rows / 3650 days, y ≈ 2.7e7 and Σy² ≈ 2.7e18
+    sits only 3.4× under int64 — so Σy² accumulates in DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB). Its CAST→DOUBLE is exact below 2^53
+    (all driver scales); past that the ≤2^-52 seam is invisible at
+    round(·, 4).
 
     Shape at 100 TB: one corpus groupBy to daily counts; everything
     after runs on the calendar-bounded (≤ a few thousand rows) series,
@@ -9152,7 +9163,7 @@ def q267_chow_break_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("y").alias("sy"),
             F.sum(F.expr("t * t")).alias("sxx"),
             F.sum(F.expr("t * y")).alias("sxy"),
-            F.sum(F.expr("y * y")).alias("syy"),
+            F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
         )
         .persist()
     )
@@ -9224,7 +9235,7 @@ WITH daily AS (
          CAST(sum(y) AS BIGINT) AS sy,
          CAST(sum(t * t) AS BIGINT) AS sxx,
          CAST(sum(t * y) AS BIGINT) AS sxy,
-         CAST(sum(y * y) AS BIGINT) AS syy
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
   FROM idx GROUP BY 1
 ), per AS (
   SELECT seg,
@@ -9244,7 +9255,7 @@ WITH daily AS (
   FROM (
     SELECT CAST(sum(m) AS BIGINT) AS m, CAST(sum(sx) AS BIGINT) AS sx,
            CAST(sum(sy) AS BIGINT) AS sy, CAST(sum(sxx) AS BIGINT) AS sxx,
-           CAST(sum(sxy) AS BIGINT) AS sxy, CAST(sum(syy) AS BIGINT) AS syy
+           CAST(sum(sxy) AS BIGINT) AS sxy, CAST(sum(syy) AS HUGEINT) AS syy
     FROM seg
   )
 ), halves AS (
@@ -9598,6 +9609,12 @@ def q286_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: per-user pre/post sums are exact BIGINT cents; the six
     population moments are exact; θ, ρ², and the variances are single
     deterministic double chains over them (q248 discipline).
+    Magnitude audit: per-user cents ~1e7 ⇒ pre² ~1e14, so the BIGINT
+    Σpre² would wrap at ~1e5 heavy users × 1e9 rows — the second-moment
+    sums (sxx/sxy/syy) accumulate in DECIMAL(38,0) (Spark) / HUGEINT
+    (DuckDB) with the row-level product widened BEFORE multiplying;
+    sx/sy stay BIGINT (safe to ~1e12 users). CAST→DOUBLE is exact
+    below 2^53 (all driver scales).
 
     Shape at 100 TB: one grouped pass events→users (conditional sums,
     map-side combined), one 6-moment reduction."""
@@ -9623,9 +9640,9 @@ def q286_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("pre").alias("sx"),
         F.sum("post").alias("sy"),
-        F.sum(F.expr("pre * pre")).alias("sxx"),
-        F.sum(F.expr("pre * post")).alias("sxy"),
-        F.sum(F.expr("post * post")).alias("syy"),
+        F.sum(F.expr("CAST(pre AS DECIMAL(38,0)) * pre")).alias("sxx"),
+        F.sum(F.expr("CAST(pre AS DECIMAL(38,0)) * post")).alias("sxy"),
+        F.sum(F.expr("CAST(post AS DECIMAL(38,0)) * post")).alias("syy"),
     )
     cov = "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
     varx = "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
@@ -9671,9 +9688,9 @@ WITH ev AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
          CAST(sum(pre) AS BIGINT) AS sx,
          CAST(sum(post) AS BIGINT) AS sy,
-         CAST(sum(pre * pre) AS BIGINT) AS sxx,
-         CAST(sum(pre * post) AS BIGINT) AS sxy,
-         CAST(sum(post * post) AS BIGINT) AS syy
+         CAST(sum(CAST(pre AS HUGEINT) * pre) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(pre AS HUGEINT) * post) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(post AS HUGEINT) * post) AS HUGEINT) AS syy
   FROM per
 )
 SELECT n AS n_users,
@@ -9988,9 +10005,15 @@ def q295_aa_test_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     spot here means the assignment hash or the variance estimator is
     broken, the meta-guardrail above q285's SRM and q241's t-test).
 
-    Exactness: per-(salt, arm) moments are exact BIGINT cents via one
-    grouped pass over a 20-salt explode; each z is a single double
-    chain (q241's Welch form without the df, since n is large).
+    Exactness: per-(salt, arm) moments are exact via one grouped pass
+    over a 20-salt explode; each z is a single double chain (q241's
+    Welch form without the df, since n is large). Magnitude audit:
+    cents ~ 1e4 so cents^2 ~ 1e8 — a BIGINT sum of squares wraps at
+    ~1e11 rows, so ssa/ssb accumulate in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB), good to ~1e30 rows; sa/sb are plain BIGINT
+    (safe to ~1e14 rows at 1e4 cents/row). The CAST(ss AS DOUBLE) in
+    the z chain is exact below 2^53 (all driver scales); past that
+    the <=2^-52 relative conversion seam is invisible at round(z,4).
 
     Shape at 100 TB: the explode multiplies the scan by the salt count
     but the aggregate combines map-side to 40 cells; everything after
@@ -10016,13 +10039,15 @@ def q295_aa_test_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = salted.groupBy("k").agg(
         F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("na"),
         F.sum(F.when(F.col("is_a"), F.col("cents")).otherwise(0)).alias("sa"),
-        F.sum(F.when(F.col("is_a"), F.col("cents") * F.col("cents"))
-              .otherwise(0)).alias("ssa"),
+        F.sum(F.when(F.col("is_a"),
+                     F.expr("CAST(cents AS DECIMAL(38,0)) * cents"))
+              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("ssa"),
         F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("nb"),
         F.sum(F.when(F.col("is_a"), F.lit(0)).otherwise(F.col("cents")))
         .alias("sb"),
-        F.sum(F.when(F.col("is_a"), F.lit(0))
-              .otherwise(F.col("cents") * F.col("cents"))).alias("ssb"),
+        F.sum(F.when(F.col("is_a"), F.lit(0).cast("decimal(38,0)"))
+              .otherwise(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")))
+        .alias("ssb"),
     )
     z = (
         "(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)"
@@ -10064,11 +10089,12 @@ WITH salted AS (
   SELECT k,
          CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
          CAST(sum(CASE WHEN is_a THEN cents ELSE 0 END) AS BIGINT) AS sa,
-         CAST(sum(CASE WHEN is_a THEN cents * cents ELSE 0 END) AS BIGINT)
-           AS ssa,
+         CAST(sum(CASE WHEN is_a THEN CAST(cents AS HUGEINT) * cents
+                       ELSE 0 END) AS HUGEINT) AS ssa,
          CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
          CAST(sum(CASE WHEN is_a THEN 0 ELSE cents END) AS BIGINT) AS sb,
-         CAST(sum(CASE WHEN is_a THEN 0 ELSE cents * cents END) AS BIGINT)
+         CAST(sum(CASE WHEN is_a THEN 0
+                       ELSE CAST(cents AS HUGEINT) * cents END) AS HUGEINT)
            AS ssb
   FROM salted
   GROUP BY k
