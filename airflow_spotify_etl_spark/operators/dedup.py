@@ -1350,13 +1350,19 @@ def bloom_novelty_filter(
     arr = [0] * (m_bits >> 6)
     for r in words:
         arr[r.word] = r.bits
-    bf = F.lit(arr)
 
     def might_contain_all():
+        # Reference the filter through ONE bound column (`_bf`) instead
+        # of inlining the m_bits/64-long array literal once per hash:
+        # j copies of a 1024-element literal quadruple the analyzed-plan
+        # size and cost ~0.3 s of per-invocation planning overhead at
+        # j=4 (measured round 6); the bound column keeps one copy.
         conds = []
         for i in range(j_hashes):
             p = pos(i)
-            word = F.element_at(bf, F.shiftright(p, 6).cast("int") + F.lit(1))
+            word = F.element_at(
+                F.col("_bf"), F.shiftright(p, 6).cast("int") + F.lit(1)
+            )
             conds.append(word.bitwiseAND(bit_of(p)) != 0)
         out = conds[0]
         for c in conds[1:]:
@@ -1367,8 +1373,10 @@ def bloom_novelty_filter(
     # would drop — losing the row. NULL equals nothing in the exact
     # anti-join's semantics, so it is NOVEL by definition: coalesce the
     # probe to false and let it take the join-free branch.
-    probe = delta.withColumn(
-        "_mc", F.coalesce(might_contain_all(), F.lit(False))
+    probe = (
+        delta.withColumn("_bf", F.lit(arr))
+        .withColumn("_mc", F.coalesce(might_contain_all(), F.lit(False)))
+        .drop("_bf")
     )
     definitely_new = probe.filter(~F.col("_mc")).drop("_mc")
     candidates = probe.filter(F.col("_mc")).drop("_mc")
