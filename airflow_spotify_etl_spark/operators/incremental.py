@@ -57,12 +57,39 @@ def cdc_apply(
     rows pass through. Deleting a key the state never had is a no-op,
     as a CDC consumer requires for at-least-once replays.
 
+    Contract enforcement: ``op_col`` must be one of I/U/D. Anything
+    else — including NULL — fails the job via ``raise_error`` instead
+    of silently deleting: a malformed row would still remove its base
+    row through the key anti-join while ``op != 'D'`` evaluates NULL
+    and drops it from the upserts, vanishing the key. The check runs
+    inside the collapse projection (distributed, no extra pass).
+
+    Determinism: ties on ``order_col`` within a key are broken by
+    tombstone-priority ('D' outranks 'I'/'U' at the same version — the
+    safe direction for replayed feeds) and finally by a full-row
+    xxhash64, so the surviving row never depends on partitioning.
+
     Scale shape: one |cdc|-keyed window for the collapse, one anti join
     of base against the (broadcastable) CDC key set, one union — the
     base streams through exactly once; cost scales with the batch, not
     the table. On partitioned storage this pairs with dynamic partition
     overwrite exactly like merge_upsert."""
-    w = W.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    checked_op = F.when(
+        F.col(op_col).isin("I", "U", "D"), F.col(op_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"cdc_apply: {op_col} must be one of I/U/D, got "),
+                F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
+            )
+        )
+    )
+    cdc = cdc.withColumn(op_col, checked_op)
+    w = W.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(),
+        F.when(F.col(op_col) == "D", F.lit(1)).otherwise(F.lit(0)).desc(),
+        F.xxhash64(*[F.col(c) for c in cdc.columns]).desc(),
+    )
     latest = (
         cdc.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -46,12 +46,27 @@ def _anchor_medians() -> dict[str, float]:
 HEADLINE = [
     "q01_pricing_summary",
     "q02_top_revenue_orders",
+    "q03_segment_order_value",
     "q04_region_nation_revenue",
+    "q05_global_stats",
+    "q06_grouped_stats",
+    "q07_daily_activity",
     "q08_top_users_per_type",
+    "q09_recency_rank",
+    "q10_purchases_without_errors",
+    "q11_user_cohorts",
+    "q12_quality_report",
     "q13_flatten_defaults",
+    "q14_duration_format",
+    "q15_rollup_counts",
+    "q16_shipdate_range_join",
     "q17_last_click_before_purchase",
+    "q18_text_stats",
+    "q19_token_counts",
+    "q20_lang_profile",
     "q21_exact_dedup",
     "q22_cosine_topk",
+    "q23_fingerprint",
     "q24_ngram_jaccard_pairs",
     "q25_minhash_lsh_pairs",
     "q26_simhash_pairs",
@@ -60,7 +75,19 @@ HEADLINE = [
     "q29_lang_id",
     "q30_sessionization",
     "q31_hourly_windows",
+    "q32_dedup_latest_per_user",
     "q33_flatten_track_payload",
+    "q34_media_meta",
+    "q35_frame_sample",
+    "q36_media_features",
+    "q37_window_suite",
+    "q38_pivot_daily",
+    "q39_above_type_average",
+    "q40_big_customers",
+    "q41_value_percentiles",
+    "q42_dedup_clusters",
+    "q43_vocabulary",
+    "q44_cube_counts",
     "q45_repetition_metrics",
     "q46_token_entropy",
     "q47_stratified_sample",
@@ -72,6 +99,7 @@ HEADLINE = [
     "q53_chunk_dedup",
     "q54_top_bigrams",
     "q55_semantic_dedup",
+    "q56_ivf_search_seeded",
     "q57_item_pagerank",
     "q58_gopher_quality_flags",
     "q59_cooccurrence_pmi",
@@ -92,6 +120,9 @@ HEADLINE = [
     "q74_sql_forecast_revenue",
     "q75_grouping_sets",
     "q76_windowed_distinct_count",
+    "q77_dedup_clusters_pointer",
+    "q78_trend_fit_grouped",
+    "q79_rag_chunks",
     "q80_scd2_incremental",
     "q81_minhash_delta",
     "q82_snapshot_diff",

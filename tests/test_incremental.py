@@ -412,3 +412,41 @@ def test_cdc_apply_tombstones_and_latest_wins(spark):
         for r in cdc_apply(base, cdc, keys=["k"], order_col="ord").collect()
     }
     assert out == {2: ("b3", 22), 3: ("c", 30), 4: ("d", 40)}
+
+
+def test_cdc_apply_rejects_malformed_op(spark):
+    """A NULL or out-of-contract op must FAIL the job, not silently
+    delete: before the round-6 guard, a malformed row still removed its
+    base row via the key anti-join while op != 'D' evaluated NULL and
+    dropped it from the upserts — the key vanished (ADVICE r5)."""
+    import pytest
+
+    from airflow_spotify_etl_spark.operators.incremental import cdc_apply
+
+    base = spark.createDataFrame([(1, "a", 10)], "k long, v string, p long")
+    for bad_op in [None, "X"]:
+        cdc = spark.createDataFrame(
+            [(1, "a2", 11, 5, bad_op)],
+            "k long, v string, p long, ord long, op string",
+        )
+        with pytest.raises(Exception, match="cdc_apply: op must be one of"):
+            cdc_apply(base, cdc, keys=["k"], order_col="ord").collect()
+
+
+def test_cdc_apply_order_ties_are_deterministic(spark):
+    """Equal order_col within a key: the tombstone outranks the update
+    (safe for replayed feeds) regardless of input row order."""
+    from airflow_spotify_etl_spark.operators.incremental import cdc_apply
+
+    base = spark.createDataFrame([(9, "z", 0)], "k long, v string, p long")
+    rows = [(1, "new", 1, 5, "U"), (1, "gone", 2, 5, "D")]
+    for perm in (rows, rows[::-1]):
+        cdc = spark.createDataFrame(
+            perm, "k long, v string, p long, ord long, op string"
+        )
+        out = {
+            r.k: r.v
+            for r in cdc_apply(base, cdc, keys=["k"], order_col="ord")
+            .collect()
+        }
+        assert out == {9: "z"}, perm  # key 1 deleted both ways
