@@ -51,6 +51,7 @@ __all__ = [
     "simhash_pairs",
     "connected_components",
     "bloom_novelty_filter",
+    "containment_pairs",
 ]
 
 # Modulus for the universal-hash family: smallest prime > 2^32. With

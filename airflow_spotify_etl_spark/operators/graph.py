@@ -38,6 +38,12 @@ __all__ = [
     "personalized_pagerank",
     "adamic_adar_pairs",
     "triangle_count",
+    "association_rules",
+    "kcore_peel",
+    "copurchase_edges",
+    "label_propagation_trajectory",
+    "item_cosine_recommendations",
+    "frequent_triples",
 ]
 
 
@@ -168,13 +174,13 @@ def pagerank(
         .agg(F.sum("w").alias("w"))
         .repartition("dst" if broadcast_ranks else "src")
     )
-    e = e.persist()
+    e = e.localCheckpoint(eager=False)
     outw = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     if n == 0:
@@ -388,7 +394,7 @@ def personalized_pagerank(
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
         .repartition("dst")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     outw = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     nodes = (
@@ -408,7 +414,7 @@ def personalized_pagerank(
             .otherwise(F.lit(0.0))
             .alias("p"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     ranks = nodes.join(outw, nodes.node == outw.src, "left").select(
         "node", "p", F.col("p").alias("rank"), "out_w"

@@ -257,11 +257,15 @@ def count_min_sketch(
     of ``width`` counters each; the point estimate for a key is the MIN
     over rows of its bucket counter (never an underestimate).
 
-    Returns the sketch as a (row, bucket, counter) relation — depth·width
-    cells max, independent of corpus size, additive under union (merge
-    two sketches by summing matching cells), so per-partition /
-    per-micro-batch partials combine map-side exactly like the MG and
-    KMV sketches in this module. Hashing is the engine-portable md5
+    Returns the sketch as a (row, bucket, counter, width) relation —
+    depth·width cells max, independent of corpus size, additive under
+    union (merge two sketches by summing matching (row, bucket, width)
+    cells), so per-partition / per-micro-batch partials combine
+    map-side exactly like the MG and KMV sketches in this module. The
+    ``width`` literal column makes the sketch self-describing: the
+    estimate path reads the hashing config from the relation and a
+    merge of incompatible sketches becomes detectable instead of
+    silently wrong (ADVICE r5). Hashing is the engine-portable md5
     slice (operators/dedup._h32) seeded by the row index, so a DuckDB
     oracle can recompute the identical sketch (plans/llm.py q259).
     """
@@ -281,20 +285,55 @@ def count_min_sketch(
         keyed.select("row", bucket)
         .groupBy("row", "bucket")
         .agg(F.count("*").alias("counter"))
+        .withColumn("width", F.lit(int(width)))
     )
 
 
 def count_min_estimate(
-    sketch: DataFrame, probes: DataFrame, colname: str, width: int = 1024
+    sketch: DataFrame,
+    probes: DataFrame,
+    colname: str,
+    width: int | None = None,
 ) -> DataFrame:
     """Point-estimate the frequency of each probe key against a
     count_min_sketch relation: hash the probe per sketch row, join on
     (row, bucket) — the probe side is tiny and broadcasts — and take
-    the min counter. Output: (key, est)."""
+    the min counter. Output: (key, est).
+
+    The hashing config comes from the sketch itself: its ``width``
+    column (and the distinct ``row`` values for depth) are read via one
+    bounded collect (≤ depth rows — the IVF-centroid bounded-collect
+    contract). Passing ``width`` explicitly asserts it against the
+    stored value — a mismatch raises instead of silently producing
+    wrong estimates (ADVICE r5). Width-less legacy sketch relations
+    require an explicit ``width``."""
     from .dedup import _h32
 
-    depth = [r.row for r in sketch.select("row").distinct().collect()]
-    rows = F.explode(F.array(*[F.lit(i) for i in sorted(depth)])).alias("row")
+    if "width" in sketch.columns:
+        meta = sketch.select("row", "width").distinct().collect()
+        widths = {r.width for r in meta}
+        if len(widths) != 1:
+            raise ValueError(
+                f"count_min_estimate: sketch mixes widths {sorted(widths)} — "
+                "incompatible sketches were merged"
+            )
+        stored = widths.pop()
+        if width is not None and int(width) != stored:
+            raise ValueError(
+                f"count_min_estimate: width={width} does not match the "
+                f"sketch's stored width {stored}"
+            )
+        width = stored
+        depth = sorted({r.row for r in meta})
+    else:
+        if width is None:
+            raise ValueError(
+                "count_min_estimate: sketch has no width column; pass width="
+            )
+        depth = sorted(
+            r.row for r in sketch.select("row").distinct().collect()
+        )
+    rows = F.explode(F.array(*[F.lit(i) for i in depth])).alias("row")
     hashed = probes.select(F.col(colname).cast("string").alias("_k")).select(
         "_k", rows
     )

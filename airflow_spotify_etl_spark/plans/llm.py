@@ -6620,7 +6620,7 @@ def q256_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.sqrt(dot(F.col("qv"), F.col("qv")))
            * F.sqrt(dot(F.col("v"), F.col("v")))),
     ).select("vec_id", "label", "v", "rel")
-    top = rel.orderBy(F.desc("rel"), "vec_id").limit(20).persist()
+    top = rel.orderBy(F.desc("rel"), "vec_id").limit(20).localCheckpoint(eager=False)
     a = top.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
     b = top.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
     sims = (
@@ -6631,7 +6631,7 @@ def q256_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (F.sqrt(dot(F.col("va"), F.col("va")))
                 * F.sqrt(dot(F.col("vb"), F.col("vb"))))).alias("sim"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     pick = (
         top.orderBy(F.desc("rel"), "vec_id").limit(1)
@@ -7195,7 +7195,7 @@ def q260_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.sum(F.col("keep").cast("long")).alias("n_keep"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     j = bins.select(F.col("bin").alias("j"))
     k = bins.select(F.col("bin").alias("k"))
@@ -8004,7 +8004,7 @@ def q270_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(svec, s -> CASE WHEN s >= 0 THEN (s * 1000) div n"
             " ELSE -(((-s) * 1000) div n) END)"
         ).alias("cq"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     scat = cent.select(
         "label",
         "n",
@@ -9644,7 +9644,7 @@ def q288_murphy_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("si").alias("ssum"),
             F.sum("sqerr").alias("sq"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     tot = bins.agg(
         F.sum("n").alias("nn"), F.sum("k").alias("kk"), F.sum("sq").alias("sqt")

@@ -8737,7 +8737,7 @@ def q253_optimal_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + " as decimal(38,0))"
         ).alias("sse_micro"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     cost1 = sse.where(F.col("i") == 1).select(
         F.col("j").alias("t"), F.col("sse_micro").alias("c1")
     )
@@ -9165,7 +9165,7 @@ def q267_chow_break_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("t * y")).alias("sxy"),
             F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     sse = (
         "(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy"
@@ -9431,13 +9431,13 @@ def q283_deletion_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv(substr(md5(CAST(c_custkey AS STRING)), 1, 8), 16, 10)"
             " % 97 = 0"
         )
-    ).select("c_custkey").persist()
+    ).select("c_custkey").localCheckpoint(eager=False)
     orders = _t(spark, sf_dir, "orders").join(
         F.broadcast(subjects),
         F.col("o_custkey") == F.col("c_custkey"),
         "left_semi",
     )
-    okeys = orders.select("o_orderkey").persist()
+    okeys = orders.select("o_orderkey").localCheckpoint(eager=False)
     li = _t(spark, sf_dir, "lineitem").join(
         F.broadcast(okeys),
         F.col("l_orderkey") == F.col("o_orderkey"),
@@ -9755,7 +9755,7 @@ def q289_mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("us") >= F.col("mid"), F.col("cents"))
                   .otherwise(0)).alias("s2"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     tot = cells.agg(
         F.sum("n1").alias("t1"), F.sum("n2").alias("t2")
@@ -9938,7 +9938,7 @@ def q292_rendezvous_resharding(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = cust.select(
         F.expr(f"CAST(({g8}) % 16 AS INT)").alias("shard8"),
         F.expr(f"CAST(({g10}) % 16 AS INT)").alias("shard10"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     tot = assigned.agg(
         F.count("*").alias("n_keys"),
         F.sum(
@@ -10321,7 +10321,7 @@ def q298_weekday_hour_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame
         cells.join(rows_, "dow")
         .join(cols, "hr")
         .crossJoin(F.broadcast(tot))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     chi = joined.agg(
         F.sum(F.expr(term)).alias("chi2_sum_nano"),

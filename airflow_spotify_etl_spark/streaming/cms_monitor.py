@@ -82,7 +82,10 @@ def read_cms_estimates(
     from ..operators.sketches import count_min_estimate
 
     partials = spark.read.parquet(store_path)
-    merged = partials.groupBy("row", "bucket").agg(
+    # width rides the group keys so merging partials from incompatible
+    # sketch configs surfaces as mixed widths in count_min_estimate
+    # instead of silently summing unrelated buckets.
+    merged = partials.groupBy("row", "bucket", "width").agg(
         F.sum("counter").alias("counter")
     )
     return count_min_estimate(merged, probes, key_col, width=width)

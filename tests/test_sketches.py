@@ -195,3 +195,30 @@ def test_q139_bigrams_survive_degenerate_texts(spark, tmp_path):
     out = q139_exact_heavy_bigrams(spark, str(tmp_path)).collect()
     # 3 bigram occurrences total, all "two words": 3*1000 > 3 → heavy.
     assert [(r.bigram, r.cnt, r.n_total) for r in out] == [("two words", 3, 3)]
+
+
+def test_count_min_sketch_is_self_describing(spark):
+    """The sketch relation carries its width; the estimate path reads
+    depth/width from it, and an explicit mismatching width raises
+    instead of silently mis-hashing (ADVICE r5)."""
+    import pytest
+
+    from airflow_spotify_etl_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_sketch,
+    )
+
+    df = spark.createDataFrame([("a",)] * 5 + [("b",)] * 2, "k string")
+    sk = count_min_sketch(df, "k", depth=2, width=64)
+    assert "width" in sk.columns
+    probes = spark.createDataFrame([("a",), ("b",)], "k string")
+    est = {r.k: r.est for r in count_min_estimate(sk, probes, "k").collect()}
+    assert est["a"] >= 5 and est["b"] >= 2  # CMS never underestimates
+    # explicit matching width is accepted; a mismatch raises
+    count_min_estimate(sk, probes, "k", width=64).collect()
+    with pytest.raises(ValueError, match="does not match"):
+        count_min_estimate(sk, probes, "k", width=128)
+    # merging sketches of different widths is detected
+    sk2 = count_min_sketch(df, "k", depth=2, width=128)
+    with pytest.raises(ValueError, match="mixes widths"):
+        count_min_estimate(sk.unionByName(sk2), probes, "k")

@@ -33,9 +33,13 @@ def audit(name: str, df) -> str:
     # AdaptiveSparkPlan (isFinalPlan=false) even after running — only the
     # TOP-LEVEL plan's finality proves AQE's runtime choices are shown.
     top = next(
-        (ln for ln in plan.splitlines() if "AdaptiveSparkPlan" in ln), ""
+        (ln for ln in plan.splitlines() if "AdaptiveSparkPlan" in ln), None
     )
-    assert "isFinalPlan=false" not in top
+    # A missing AdaptiveSparkPlan line must FAIL, not vacuously pass: it
+    # means AQE was disabled or the plan shape changed, and the audit
+    # would otherwise silently describe a pre-AQE plan (ADVICE r5).
+    assert top is not None, f"{name}: no AdaptiveSparkPlan in executed plan"
+    assert "isFinalPlan=true" in top, f"{name}: top plan not final: {top}"
     # AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan" section;
     # audit only what actually ran.
     plan = plan.split("== Initial Plan ==")[0]
