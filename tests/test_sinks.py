@@ -254,3 +254,63 @@ def test_compact_swap_recovers_from_crash_between_renames(spark, tmp_path):
     assert n == 100
     assert spark.read.parquet(path).count() == 100
     assert not Path(path + "._compact_bak").exists()
+
+
+def _find_sqlite_jdbc_jar():
+    """Locate a sqlite-jdbc jar if this environment carries one. The
+    build container bundles only Derby (pyspark's jars dir) and forbids
+    network installs, so the real-SQLite e2e (reference parity with
+    spotify_etl2.py:220's to_sql on SQLite) self-activates in richer
+    environments and documents the gap here otherwise. The writer under
+    test is dialect-agnostic (same SQL surface for Derby and SQLite;
+    the 'no such table' first-run fragment is covered above)."""
+    import glob
+    import os
+
+    import pyspark
+
+    candidates = []
+    for root in (
+        os.path.join(os.path.dirname(pyspark.__file__), "jars"),
+        os.path.expanduser("~/.ivy2/jars"),
+        "/usr/share/java",
+        "/opt/jars",
+    ):
+        candidates += glob.glob(os.path.join(root, "*sqlite-jdbc*.jar"))
+    return candidates[0] if candidates else None
+
+
+@pytest.mark.skipif(
+    _find_sqlite_jdbc_jar() is None,
+    reason="no sqlite-jdbc jar in this container and installs are "
+    "forbidden; Derby covers the JDBC path (dialect-agnostic writer)",
+)
+def test_append_jdbc_idempotent_sqlite_end_to_end(tmp_path):
+    """Identical contract to the Derby e2e, against a real SQLite file —
+    the exact storage the reference's to_sql uses."""
+    from pyspark.sql import SparkSession
+
+    jar = _find_sqlite_jdbc_jar()
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName("sqlite-e2e")
+        .config("spark.jars", jar)
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+    )
+    try:
+        url = f"jdbc:sqlite:{tmp_path}/sink.db"
+        df = _tracks(spark, [1, 2, 3])
+        kw = dict(key="track_id", properties={"driver": "org.sqlite.JDBC"})
+        assert append_jdbc(df, url, "plays", **kw) == 3
+        assert append_jdbc(df, url, "plays", **kw) == 0
+        assert append_jdbc(_tracks(spark, [3, 4]), url, "plays", **kw) == 1
+        import sqlite3
+
+        with sqlite3.connect(f"{tmp_path}/sink.db") as con:
+            got = con.execute(
+                "SELECT count(*), count(DISTINCT track_id) FROM plays"
+            ).fetchone()
+        assert got == (4, 4)
+    finally:
+        spark.stop()
