@@ -174,13 +174,13 @@ def pagerank(
         .agg(F.sum("w").alias("w"))
         .repartition("dst" if broadcast_ranks else "src")
     )
-    e = e.localCheckpoint(eager=False)
+    e = e.persist()
     outw = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .persist()
     )
     n = nodes.count()
     if n == 0:
@@ -394,7 +394,7 @@ def personalized_pagerank(
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
         .repartition("dst")
-        .localCheckpoint(eager=False)
+        .persist()
     )
     outw = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     nodes = (
@@ -414,7 +414,7 @@ def personalized_pagerank(
             .otherwise(F.lit(0.0))
             .alias("p"),
         )
-        .localCheckpoint(eager=False)
+        .persist()
     )
     ranks = nodes.join(outw, nodes.node == outw.src, "left").select(
         "node", "p", F.col("p").alias("rank"), "out_w"
