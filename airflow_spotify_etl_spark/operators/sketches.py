@@ -34,6 +34,10 @@ __all__ = [
     "frequent_values",
     "kmv_group_sketch",
     "kmv_pair_overlap",
+    "count_min_sketch",
+    "count_min_estimate",
+    "hll_registers",
+    "hll_estimate",
 ]
 
 
@@ -347,4 +351,77 @@ def count_min_estimate(
         .groupBy("_k")
         .agg(F.min("counter").alias("est"))
         .withColumnRenamed("_k", colname)
+    )
+
+
+def hll_registers(
+    df: DataFrame, colname: str, key_cols: list[str] | None = None
+) -> DataFrame:
+    """HyperLogLog register partials (b=8, 256 registers) of a key
+    column, optionally grouped by ``key_cols``: the 32-bit md5 slice
+    (the engine-portable _h32 idiom, so a DuckDB oracle can replay the
+    exact registers — plans/llm.py q302) splits into the top-8-bit
+    register index j and a 24-bit remainder w; rho = 24 − floor(log2 w)
+    (w=0 → 25). Returns (key…, j, m) with m = max rho — the sketch
+    STATE, mergeable by register-wise MAX (associative, commutative,
+    IDEMPOTENT — an at-least-once replay of the same rows cannot move
+    any register), so per-partition / per-micro-batch partials combine
+    map-side and the streaming store (streaming/hll_monitor.py) merges
+    partials exactly.
+
+    Scale shape: state is ≤ |keys|·256 cells regardless of corpus
+    size; the groupBy combines map-side."""
+    keys = list(key_cols or [])
+    h = F.expr(f"conv(substr(md5(CAST({colname} AS STRING)), 1, 8), 16, 10)").cast(
+        "long"
+    )
+    hashed = df.select(
+        *keys,
+        F.shiftright(h, 24).alias("j"),
+        F.expr(
+            f"CASE WHEN conv(substr(md5(CAST({colname} AS STRING)), 1, 8),"
+            " 16, 10) % 16777216 = 0 THEN 25L"
+            " ELSE 24L - CAST(floor(log2(CAST("
+            f"conv(substr(md5(CAST({colname} AS STRING)), 1, 8), 16, 10)"
+            " % 16777216 AS DOUBLE))) AS BIGINT) END"
+        ).alias("rho"),
+    )
+    return hashed.groupBy(*keys, "j").agg(F.max("rho").alias("m"))
+
+
+def hll_estimate(
+    regs: DataFrame, key_cols: list[str] | None = None
+) -> DataFrame:
+    """Cardinality estimate from an hll_registers relation: the
+    register sum rides the EXACT BIGINT S = Σ 2^(25−M_j) with empty
+    registers contributing 2^25 (no float accumulation across
+    registers — the q302 discipline); the raw α·m²·2^25/S estimate and
+    the standard small-range linear-counting branch m·ln(m/V) are one
+    deterministic double chain. Output: (key…, reg_sum_s, v_zero,
+    hll_estimate)."""
+    keys = list(key_cols or [])
+    state = regs.groupBy(*keys).agg(
+        F.sum(F.expr("shiftleft(1L, CAST(25 - m AS INT))")).alias("s_live"),
+        F.count("*").alias("n_live"),
+    ).select(
+        *keys,
+        (
+            F.col("s_live") + (F.lit(256) - F.col("n_live")) * F.lit(1 << 25)
+        ).alias("reg_sum_s"),
+        (F.lit(256) - F.col("n_live")).alias("v_zero"),
+    )
+    raw = (
+        "(0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0))"
+        " * 65536.0e0 * 33554432.0e0 / CAST(reg_sum_s AS DOUBLE)"
+    )
+    est = (
+        f"CASE WHEN ({raw}) <= 640.0e0 AND v_zero > 0"
+        " THEN 256.0e0 * ln(256.0e0 / CAST(v_zero AS DOUBLE))"
+        f" ELSE ({raw}) END"
+    )
+    return state.select(
+        *keys,
+        "reg_sum_s",
+        "v_zero",
+        F.round(F.expr(est), 2).alias("hll_estimate"),
     )

@@ -6620,7 +6620,7 @@ def q256_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.sqrt(dot(F.col("qv"), F.col("qv")))
            * F.sqrt(dot(F.col("v"), F.col("v")))),
     ).select("vec_id", "label", "v", "rel")
-    top = rel.orderBy(F.desc("rel"), "vec_id").limit(20).localCheckpoint(eager=False)
+    top = rel.orderBy(F.desc("rel"), "vec_id").limit(20).localCheckpoint(eager=True)
     a = top.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
     b = top.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
     sims = (
@@ -6631,7 +6631,7 @@ def q256_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (F.sqrt(dot(F.col("va"), F.col("va")))
                 * F.sqrt(dot(F.col("vb"), F.col("vb"))))).alias("sim"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     pick = (
         top.orderBy(F.desc("rel"), "vec_id").limit(1)
@@ -7195,7 +7195,7 @@ def q260_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.sum(F.col("keep").cast("long")).alias("n_keep"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     j = bins.select(F.col("bin").alias("j"))
     k = bins.select(F.col("bin").alias("k"))
@@ -8004,7 +8004,7 @@ def q270_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(svec, s -> CASE WHEN s >= 0 THEN (s * 1000) div n"
             " ELSE -(((-s) * 1000) div n) END)"
         ).alias("cq"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     scat = cent.select(
         "label",
         "n",
@@ -9644,7 +9644,7 @@ def q288_murphy_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("si").alias("ssum"),
             F.sum("sqerr").alias("sq"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     tot = bins.agg(
         F.sum("n").alias("nn"), F.sum("k").alias("kk"), F.sum("sq").alias("sqt")
@@ -10036,6 +10036,395 @@ ORDER BY lang
 """
 
 
+def q302_hyperloglog_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimate per source, audited against
+    the exact distinct — the classic cardinality sketch alongside KMV
+    (q106): 256 registers (b=8) whose per-source state is a 256-cell
+    max-aggregate, additive under merge (register-wise max), so
+    per-partition partials combine map-side and a streaming ingest can
+    maintain it exactly like the CMS store.
+
+    Engine-portable construction: the 32-bit md5 slice (the _h32
+    idiom) splits into the top-8-bit register index and a 24-bit
+    remainder w; rho = 24 − floor(log2(w)) (w=0 → 25) is exact because
+    log2 is correctly rounded in BOTH engines on exact integers. The
+    register sum Σ2^(−M_j) is computed as the EXACT BIGINT
+    S = Σ 2^(25−M_j) (≤ 256·2^25 ≈ 8.6e9 — no float accumulation
+    across registers); the raw estimate α·m²·2^25/S and the
+    small-range linear-counting branch m·ln(m/V) (taken when the raw
+    estimate ≤ 2.5m and zero registers exist — documented standard
+    HLL) are single deterministic double chains over S and the exact
+    zero-register count V.
+
+    Magnitude audit: register state is 256 cells/source regardless of
+    corpus size; S ≤ 2^33. Nothing scales with rows.
+
+    Shape at 100 TB: one token explode → (source, register) max
+    combine (map-side, ≤ |sources|·256 cells); the exact-distinct
+    audit column is itself one distinct aggregate (the expensive
+    truth the sketch replaces — kept here because the query IS the
+    accuracy audit)."""
+    from ..operators.sketches import hll_estimate, hll_registers
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), "\\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    regs = hll_registers(toks, "tok", key_cols=["source"])
+    state = hll_estimate(regs, key_cols=["source"])
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("tok").alias("n_exact")
+    )
+    return (
+        state.join(exact, "source")
+        .select(
+            "source",
+            "n_exact",
+            "reg_sum_s",
+            "v_zero",
+            "hll_estimate",
+            F.expr(
+                "CAST(floor(abs(hll_estimate - CAST(n_exact AS DOUBLE))"
+                " * 1e6 / CAST(n_exact AS DOUBLE)) AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q302_SQL = r"""
+WITH toks AS (
+  SELECT source, tok FROM (
+    SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), hashed AS (
+  SELECT source,
+         h % 16777216 AS w,
+         h // 16777216 AS j
+  FROM (
+    SELECT source,
+           ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+    FROM toks
+  )
+), rho AS (
+  SELECT source, j,
+         CASE WHEN w = 0 THEN 25
+              ELSE 24 - CAST(floor(log2(CAST(w AS DOUBLE))) AS BIGINT)
+         END AS rho
+  FROM hashed
+), regs AS (
+  SELECT source, j, max(rho) AS m FROM rho GROUP BY source, j
+), state AS (
+  SELECT source,
+         CAST(sum(CAST(1 AS BIGINT) << CAST(25 - m AS INT)) AS BIGINT)
+           + (256 - count(*)) * 33554432 AS s,
+         256 - count(*) AS v_zero
+  FROM regs GROUP BY source
+), exact AS (
+  SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact
+  FROM toks GROUP BY source
+)
+SELECT state.source,
+       exact.n_exact,
+       CAST(state.s AS BIGINT) AS reg_sum_s,
+       CAST(state.v_zero AS BIGINT) AS v_zero,
+       round(CASE WHEN ((0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0))
+                  * 65536.0e0 * 33554432.0e0 / CAST(s AS DOUBLE)) <= 640.0e0
+                  AND v_zero > 0
+             THEN 256.0e0 * ln(256.0e0 / CAST(v_zero AS DOUBLE))
+             ELSE ((0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0))
+                   * 65536.0e0 * 33554432.0e0 / CAST(s AS DOUBLE)) END, 2)
+         AS hll_estimate,
+       CAST(floor(abs(round(CASE
+                  WHEN ((0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0))
+                  * 65536.0e0 * 33554432.0e0 / CAST(s AS DOUBLE)) <= 640.0e0
+                  AND v_zero > 0
+             THEN 256.0e0 * ln(256.0e0 / CAST(v_zero AS DOUBLE))
+             ELSE ((0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0))
+                   * 65536.0e0 * 33554432.0e0 / CAST(s AS DOUBLE)) END, 2)
+             - CAST(n_exact AS DOUBLE)) * 1e6 / CAST(n_exact AS DOUBLE))
+         AS BIGINT) AS err_ppm
+FROM state JOIN exact USING (source)
+ORDER BY source
+"""
+
+
+def q303_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (RBO, p=0.9, depth 20) between the src0 and
+    src1 top-token rankings — the top-weighted list-similarity measure
+    serving stacks use to compare rankers (Webber et al., TOIS'10),
+    complementing RRF fusion (q257) and NDCG (q258): RRF merges
+    rankings, RBO says how far apart two rankings ARE.
+
+    Join-free overlap curve: a token in both top-20s enters the
+    overlap at every depth d ≥ max(rank_a, rank_b), so the full curve
+    X_d comes from ONE cumulative count over m = max(ra, rb) on the
+    ≤20-row matched relation. Each RBO term (X_d/d)·(1−p)/p·p^d is
+    floored to a NANO BIGINT before summation (p^d via
+    exp(d·ln(0.9)) — ln/exp are the accepted correctly-rounded seams,
+    and both engines evaluate the IDENTICAL chain), so the cross-depth
+    sum is an exact integer — the quantize-pre-sum discipline.
+
+    Shape at 100 TB: two corpus token counts → two TakeOrdered top-20
+    probes; everything after runs on ≤20-row relations."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.col("source").isin("src0", "src1")).select(
+        "source", F.explode(F.split(F.lower("text"), "\\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    cnt = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+
+    def top20(src):
+        w = W.orderBy(F.col("c").desc(), "tok")
+        return (
+            cnt.filter(F.col("source") == src)
+            .select("tok", "c")
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= 20)
+        )
+
+    a = top20("src0").select("tok", F.col("r").alias("ra"))
+    b = top20("src1").select("tok", F.col("r").alias("rb"))
+    both = a.join(b, "tok").select(
+        F.greatest("ra", "rb").alias("m")
+    )
+    depths = spark.range(1, 21).select(F.col("id").alias("d"))
+    xd = depths.join(
+        both, F.col("m") <= F.col("d"), "left"
+    ).groupBy("d").agg(
+        F.sum(F.when(F.col("m").isNotNull(), 1).otherwise(0)).alias("x")
+    )
+    term = (
+        "CAST(floor(CAST(x AS DOUBLE) / CAST(d AS DOUBLE)"
+        " * (0.1e0 / 0.9e0) * exp(CAST(d AS DOUBLE) * ln(0.9e0))"
+        " * 1e9) AS BIGINT)"
+    )
+    agg = xd.select(
+        "d", "x", F.expr(term).alias("term_nano")
+    ).agg(
+        F.max(F.when(F.col("d") == 20, F.col("x"))).alias("overlap_at_20"),
+        F.sum("term_nano").alias("rbo_nano"),
+    )
+    return agg.select(
+        "overlap_at_20",
+        "rbo_nano",
+        F.round(F.col("rbo_nano").cast("double") / 1e9, 6).alias("rbo_min"),
+    )
+
+
+_Q303_SQL = r"""
+WITH toks AS (
+  SELECT source, tok FROM (
+    SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents WHERE source IN ('src0', 'src1')
+  ) WHERE tok <> ''
+), cnt AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, tok
+), a AS (
+  SELECT tok, r AS ra FROM (
+    SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS r
+    FROM cnt WHERE source = 'src0'
+  ) WHERE r <= 20
+), b AS (
+  SELECT tok, r AS rb FROM (
+    SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS r
+    FROM cnt WHERE source = 'src1'
+  ) WHERE r <= 20
+), both_ AS (
+  SELECT greatest(ra, rb) AS m FROM a JOIN b USING (tok)
+), depths AS (
+  SELECT unnest(range(1, 21)) AS d
+), xd AS (
+  SELECT d, CAST(count(m) AS BIGINT) AS x
+  FROM depths LEFT JOIN both_ ON m <= d
+  GROUP BY d
+), terms AS (
+  SELECT d, x,
+         CAST(floor(CAST(x AS DOUBLE) / CAST(d AS DOUBLE)
+              * (0.1e0 / 0.9e0) * exp(CAST(d AS DOUBLE) * ln(0.9e0))
+              * 1e9) AS BIGINT) AS term_nano
+  FROM xd
+)
+SELECT CAST(max(CASE WHEN d = 20 THEN x END) AS BIGINT) AS overlap_at_20,
+       CAST(sum(term_nano) AS BIGINT) AS rbo_nano,
+       round(CAST(sum(term_nano) AS DOUBLE) / 1e9, 6) AS rbo_min
+FROM terms
+"""
+
+
+def q305_chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 species-richness estimate of the UNSEEN vocabulary per
+    source: V̂ = V + n₁(n₁−1)/(2(n₂+1)) from the singleton/doubleton
+    counts of the token frequency spectrum — the "how much vocabulary
+    would more crawling surface" planner that pairs with the observed
+    vocab-growth curve (q157) and the HLL estimate of what IS there
+    (q302).
+
+    Exactness: the frequency spectrum is a grouped count of grouped
+    counts — all BIGINTs; the bias-corrected Chao1 term is ONE integer
+    division floored to milli units (n₁(n₁−1)·1000 div (2(n₂+1)) —
+    nonnegative, both engines floor identically), so the estimate is
+    exact integer milli-vocab. Coverage (Good's C = 1 − n₁/N) is ppm
+    by the same route.
+
+    Magnitude audit: n₁ ≤ V ≤ N tokens; n₁²·1000 wraps BIGINT at
+    n₁ ≈ 3e6 — the product runs in DECIMAL(38,0)/HUGEINT (good to
+    1e16 singletons).
+
+    Shape at 100 TB: token explode → (source, tok) counts (map-side
+    combined) → per-source spectrum rollup; output is |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), "\\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    spec = tf.groupBy("source").agg(
+        F.count("*").alias("v_obs"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("n2"),
+    )
+    return spec.select(
+        "source",
+        "n_tokens",
+        "v_obs",
+        "n1",
+        "n2",
+        F.expr(
+            "v_obs * 1000 + (CAST(n1 AS DECIMAL(38,0)) * (n1 - 1) * 1000)"
+            " div (2 * (n2 + 1))"
+        ).alias("chao1_milli"),
+        F.expr(
+            "1000000 - (n1 * 1000000) div n_tokens"
+        ).alias("coverage_ppm"),
+    ).orderBy("source")
+
+
+_Q305_SQL = r"""
+WITH toks AS (
+  SELECT source, tok FROM (
+    SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), tf AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, tok
+), spec AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS v_obs,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM tf GROUP BY source
+)
+SELECT source, n_tokens, v_obs, n1, n2,
+       CAST(v_obs * 1000 + (CAST(n1 AS HUGEINT) * (n1 - 1) * 1000)
+            // (2 * (n2 + 1)) AS BIGINT) AS chao1_milli,
+       CAST(1000000 - (n1 * 1000000) // n_tokens AS BIGINT) AS coverage_ppm
+FROM spec
+ORDER BY source
+"""
+
+
+def q308_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa agreement between the two keep/drop labelers the
+    suite already runs — the q58 Gopher rule flags and the q104
+    hashed-linear classifier at its si ≥ 5000 operating point — the
+    chance-corrected agreement score an annotation pipeline reports
+    before trusting either labeler as ground truth (the inter-rater
+    companion to the threshold sweep q143 and the ROC view q272).
+
+    Exact rational arithmetic: from the 2×2 agreement table,
+    kappa = (n·(n₁₁+n₀₀) − (a₁b₁+a₀b₀)) / (n² − (a₁b₁+a₀b₀)) —
+    numerator and denominator are exact integers (no pₒ/pₑ floats),
+    emitted as a sign-split ppm division.
+
+    Magnitude audit: a₁b₁ ~ N² wraps BIGINT at N ≈ 3e9 docs — the
+    cross products and n² run in DECIMAL(38,0)/HUGEINT.
+
+    Shape at 100 TB: the q104/q58 corpus joins feed ONE grouped pass
+    to 4 cells; everything after is a 1-row reduction."""
+    from ..operators.text import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = hashed_linear_score(docs, n_buckets=4096).select(
+        "doc_id", F.expr("CAST(round(score * 10000) AS BIGINT)").alias("si")
+    )
+    labels = q58_gopher_quality_flags(spark, sf_dir).select("doc_id", "keep")
+    e = scores.join(labels, "doc_id").select(
+        (F.col("si") >= 5000).cast("long").alias("a"),
+        F.col("keep").cast("long").alias("b"),
+    )
+    cells = e.agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("a * b")).alias("n11"),
+        F.sum(F.expr("a * (1 - b)")).alias("n10"),
+        F.sum(F.expr("(1 - a) * b")).alias("n01"),
+        F.sum(F.expr("(1 - a) * (1 - b)")).alias("n00"),
+    )
+    num = (
+        "(CAST(n AS DECIMAL(38,0)) * (n11 + n00)"
+        " - ((n11 + n10) * CAST(n11 + n01 AS DECIMAL(38,0))"
+        "    + (n01 + n00) * CAST(n10 + n00 AS DECIMAL(38,0))))"
+    )
+    den = (
+        "(CAST(n AS DECIMAL(38,0)) * n"
+        " - ((n11 + n10) * CAST(n11 + n01 AS DECIMAL(38,0))"
+        "    + (n01 + n00) * CAST(n10 + n00 AS DECIMAL(38,0))))"
+    )
+    return cells.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr(
+            f"CASE WHEN {num} >= 0 THEN ({num} * 1000000) div {den}"
+            f" ELSE -((-({num}) * 1000000) div {den}) END"
+        ).alias("kappa_ppm"),
+        F.expr("((n11 + n00) * 1000000) div n").alias("po_ppm"),
+    )
+
+
+def _q308_sql() -> str:
+    num = (
+        "(CAST(n AS HUGEINT) * (n11 + n00)"
+        " - ((n11 + n10) * CAST(n11 + n01 AS HUGEINT)"
+        "    + (n01 + n00) * CAST(n10 + n00 AS HUGEINT)))"
+    )
+    den = (
+        "(CAST(n AS HUGEINT) * n"
+        " - ((n11 + n10) * CAST(n11 + n01 AS HUGEINT)"
+        "    + (n01 + n00) * CAST(n10 + n00 AS HUGEINT)))"
+    )
+    return f"""
+WITH scores AS (
+  SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS si
+  FROM ({_Q104_SQL}) s
+), labels AS (
+  SELECT doc_id, keep FROM ({_Q58_SQL}) l
+), e AS (
+  SELECT CAST(CASE WHEN s.si >= 5000 THEN 1 ELSE 0 END AS BIGINT) AS a,
+         CAST(CASE WHEN l.keep THEN 1 ELSE 0 END AS BIGINT) AS b
+  FROM scores s JOIN labels l USING (doc_id)
+), cells AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a * b) AS BIGINT) AS n11,
+         CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+         CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM e
+)
+SELECT n, n11, n10, n01, n00,
+       CAST(CASE WHEN {num} >= 0 THEN ({num} * 1000000) // {den}
+            ELSE -((-({num}) * 1000000) // {den}) END AS BIGINT)
+         AS kappa_ppm,
+       CAST(((n11 + n00) * 1000000) // n AS BIGINT) AS po_ppm
+FROM cells
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -10169,6 +10558,10 @@ QUERIES = {
     "q290_embedding_isotropy": q290_embedding_isotropy,
     "q293_quantile_normalization": q293_quantile_normalization,
     "q294_neyman_allocation": q294_neyman_allocation,
+    "q302_hyperloglog_vocab": q302_hyperloglog_vocab,
+    "q303_rank_biased_overlap": q303_rank_biased_overlap,
+    "q305_chao1_vocab_richness": q305_chao1_vocab_richness,
+    "q308_cohens_kappa": q308_cohens_kappa,
 }
 
 ORACLES = {
@@ -10304,4 +10697,8 @@ ORACLES = {
     "q290_embedding_isotropy": _Q290_SQL,
     "q293_quantile_normalization": _q293_sql(),
     "q294_neyman_allocation": _Q294_SQL,
+    "q302_hyperloglog_vocab": _Q302_SQL,
+    "q303_rank_biased_overlap": _Q303_SQL,
+    "q305_chao1_vocab_richness": _Q305_SQL,
+    "q308_cohens_kappa": _q308_sql(),
 }

@@ -8737,7 +8737,7 @@ def q253_optimal_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + " as decimal(38,0))"
         ).alias("sse_micro"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     cost1 = sse.where(F.col("i") == 1).select(
         F.col("j").alias("t"), F.col("sse_micro").alias("c1")
     )
@@ -9165,7 +9165,7 @@ def q267_chow_break_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("t * y")).alias("sxy"),
             F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     sse = (
         "(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy"
@@ -9431,13 +9431,13 @@ def q283_deletion_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv(substr(md5(CAST(c_custkey AS STRING)), 1, 8), 16, 10)"
             " % 97 = 0"
         )
-    ).select("c_custkey").localCheckpoint(eager=False)
+    ).select("c_custkey").localCheckpoint(eager=True)
     orders = _t(spark, sf_dir, "orders").join(
         F.broadcast(subjects),
         F.col("o_custkey") == F.col("c_custkey"),
         "left_semi",
     )
-    okeys = orders.select("o_orderkey").localCheckpoint(eager=False)
+    okeys = orders.select("o_orderkey").localCheckpoint(eager=True)
     li = _t(spark, sf_dir, "lineitem").join(
         F.broadcast(okeys),
         F.col("l_orderkey") == F.col("o_orderkey"),
@@ -9755,7 +9755,7 @@ def q289_mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("us") >= F.col("mid"), F.col("cents"))
                   .otherwise(0)).alias("s2"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     tot = cells.agg(
         F.sum("n1").alias("t1"), F.sum("n2").alias("t2")
@@ -9938,7 +9938,7 @@ def q292_rendezvous_resharding(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = cust.select(
         F.expr(f"CAST(({g8}) % 16 AS INT)").alias("shard8"),
         F.expr(f"CAST(({g10}) % 16 AS INT)").alias("shard10"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     tot = assigned.agg(
         F.count("*").alias("n_keys"),
         F.sum(
@@ -10321,7 +10321,7 @@ def q298_weekday_hour_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame
         cells.join(rows_, "dow")
         .join(cols, "hr")
         .crossJoin(F.broadcast(tot))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     chi = joined.agg(
         F.sum(F.expr(term)).alias("chi2_sum_nano"),
@@ -10392,6 +10392,776 @@ SELECT dow, hr, c, load_vs_expected, live_cells,
        round(CAST(chi2_sum_nano AS DOUBLE) / 1e9, 4) AS chi2
 FROM top CROSS JOIN chi
 ORDER BY load_vs_expected DESC, dow, hr
+"""
+
+
+def q299_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between daily event volume and
+    daily active users — the pair-count completion of the concordance
+    suite (Cliff's delta q269, ROC-AUC q272, Jonckheere q274): does
+    MORE traffic come from MORE users, or from the same users firing
+    harder? tau-b corrects both tie margins, which matters on count
+    data where whole stretches of days share a volume.
+
+    Exact concordance without any day-pair join: on the dense
+    (x, y) count grid a suffix-in-y window within each x column gives
+    s1 = #{y' > y | x}, then a suffix-in-x window within each y column
+    gives G(x,y) = #{x' > x, y' > y}; the discordant side runs the
+    mirrored prefix. C = Σ c·G and D = Σ c·L are exact integers, tie
+    terms come from the two marginals, and
+    tau_b = (C − D)/√((N₀−Tx)(N₀−Ty)) is one deterministic double
+    chain over those integers.
+
+    Magnitude audit: everything is CALENDAR-bounded — n days ⇒
+    N₀ = n(n−1)/2 ≈ 6.7e6 at a 10-year corpus, the dense grid is at
+    most n² ≈ 1.3e7 cells, and every count < 2^53 — BIGINT-safe with
+    ~1e5× margin at any corpus size (day count, not row count, is the
+    driver).
+
+    Shape at 100 TB: ONE grouped corpus pass to the day relation;
+    every window and join after runs on the bounded day/grid
+    cardinality."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("x"),
+        F.countDistinct("user_id").alias("y"),
+    )
+    cnt = daily.groupBy("x", "y").agg(F.count("*").alias("c"))
+    grid = (
+        cnt.select("x").distinct()
+        .crossJoin(cnt.select("y").distinct())
+        .join(cnt, ["x", "y"], "left")
+        .select("x", "y", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w_above_y = (
+        W.partitionBy("x").orderBy("y").rowsBetween(1, W.unboundedFollowing)
+    )
+    w_below_y = (
+        W.partitionBy("x").orderBy("y").rowsBetween(W.unboundedPreceding, -1)
+    )
+    s = grid.select(
+        "x",
+        "y",
+        "c",
+        F.coalesce(F.sum("c").over(w_above_y), F.lit(0)).alias("s_up"),
+        F.coalesce(F.sum("c").over(w_below_y), F.lit(0)).alias("s_dn"),
+    )
+    w_above_x = (
+        W.partitionBy("y").orderBy("x").rowsBetween(1, W.unboundedFollowing)
+    )
+    gl = s.select(
+        "c",
+        F.coalesce(F.sum("s_up").over(w_above_x), F.lit(0)).alias("g"),
+        F.coalesce(F.sum("s_dn").over(w_above_x), F.lit(0)).alias("l"),
+    )
+    conc = gl.agg(
+        F.sum(F.expr("c * g")).alias("cc"),
+        F.sum(F.expr("c * l")).alias("dd"),
+    )
+    mx = daily.groupBy("x").agg(F.count("*").alias("n")).agg(
+        F.sum("n").alias("n_days"),
+        F.sum(F.expr("n * (n - 1)")).alias("tx2"),
+    )
+    my = daily.groupBy("y").agg(F.count("*").alias("n")).agg(
+        F.sum(F.expr("n * (n - 1)")).alias("ty2"),
+    )
+    tau = (
+        "CAST(cc - dd AS DOUBLE)"
+        " / sqrt((CAST(n_days AS DOUBLE) * (n_days - 1) / 2.0e0"
+        "         - CAST(tx2 AS DOUBLE) / 2.0e0)"
+        "        * (CAST(n_days AS DOUBLE) * (n_days - 1) / 2.0e0"
+        "           - CAST(ty2 AS DOUBLE) / 2.0e0))"
+    )
+    return (
+        conc.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(my))
+        .select(
+            "n_days",
+            F.col("cc").alias("concordant"),
+            F.col("dd").alias("discordant"),
+            F.expr("tx2 div 2").alias("ties_x"),
+            F.expr("ty2 div 2").alias("ties_y"),
+            F.round(F.expr(tau), 6).alias("tau_b"),
+        )
+    )
+
+
+_Q299_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS x,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), cnt AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM daily GROUP BY 1, 2
+), grid AS (
+  SELECT xs.x, ys.y, coalesce(cnt.c, 0) AS c
+  FROM (SELECT DISTINCT x FROM cnt) xs
+  CROSS JOIN (SELECT DISTINCT y FROM cnt) ys
+  LEFT JOIN cnt ON cnt.x = xs.x AND cnt.y = ys.y
+), s AS (
+  SELECT x, y, c,
+         coalesce(sum(c) OVER (PARTITION BY x ORDER BY y
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS s_up,
+         coalesce(sum(c) OVER (PARTITION BY x ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_dn
+  FROM grid
+), gl AS (
+  SELECT c,
+         coalesce(sum(s_up) OVER (PARTITION BY y ORDER BY x
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS g,
+         coalesce(sum(s_dn) OVER (PARTITION BY y ORDER BY x
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS l
+  FROM s
+), conc AS (
+  SELECT CAST(sum(c * g) AS BIGINT) AS cc,
+         CAST(sum(c * l) AS BIGINT) AS dd
+  FROM gl
+), mx AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_days,
+         CAST(sum(n * (n - 1)) AS BIGINT) AS tx2
+  FROM (SELECT x, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY x)
+), my AS (
+  SELECT CAST(sum(n * (n - 1)) AS BIGINT) AS ty2
+  FROM (SELECT y, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY y)
+)
+SELECT n_days,
+       cc AS concordant,
+       dd AS discordant,
+       CAST(tx2 // 2 AS BIGINT) AS ties_x,
+       CAST(ty2 // 2 AS BIGINT) AS ties_y,
+       round(CAST(cc - dd AS DOUBLE)
+             / sqrt((CAST(n_days AS DOUBLE) * (n_days - 1) / 2.0e0
+                     - CAST(tx2 AS DOUBLE) / 2.0e0)
+                    * (CAST(n_days AS DOUBLE) * (n_days - 1) / 2.0e0
+                       - CAST(ty2 AS DOUBLE) / 2.0e0)), 6) AS tau_b
+FROM conc CROSS JOIN mx CROSS JOIN my
+"""
+
+
+def q300_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the daily event-count series: the
+    median over all C(n,2) pairwise slopes (y_j−y_i)/(t_j−t_i) — the
+    breakdown-resistant complement to the OLS fits (q78/q267): a
+    handful of outage days or traffic spikes move OLS but not the
+    pairwise-slope median.
+
+    Exactness: each slope is sign-split-floored to an exact nano
+    BIGINT ((|dy|·1e9) div dt, negated for dy<0 — both engines floor
+    NONNEGATIVE operands only, sidestepping the trunc-vs-floor
+    divergence on negatives), and the median is picked from the
+    slope-value COUNT TABLE by cumulative range (lower median at
+    k = (P+1) div 2) — no global row_number over the pair stream.
+
+    Magnitude audit: calendar-bounded — P = C(n,2) ≈ 6.7e6 pairs at
+    10 years; |dy|·1e9 ≤ ~2.7e16 at 1e11 rows/3650 days. All BIGINT-
+    safe by ≥100×; day count, not corpus rows, drives every relation.
+
+    Shape at 100 TB: one grouped corpus pass to the zero-filled
+    calendar series (q267's spine); the pair expansion is a self-join
+    of that n-row relation (bounded n² stream), then count-table
+    windows on the slope domain."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("c")
+    )
+    mm = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = mm.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    series = cal.join(daily, "d", "left").select(
+        F.expr("datediff(d, date'1970-01-01')").alias("t"),
+        F.coalesce("c", F.lit(0)).cast("long").alias("y"),
+    )
+    a = series.select(F.col("t").alias("t1"), F.col("y").alias("y1"))
+    b = series.select(F.col("t").alias("t2"), F.col("y").alias("y2"))
+    slopes = (
+        a.join(b, F.col("t2") > F.col("t1"))
+        .select(
+            F.expr(
+                "CASE WHEN y2 >= y1 THEN"
+                " ((y2 - y1) * 1000000000L) div (t2 - t1)"
+                " ELSE -(((y1 - y2) * 1000000000L) div (t2 - t1)) END"
+            ).alias("s")
+        )
+        .groupBy("s")
+        .agg(F.count("*").alias("c"))
+    )
+    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, 0)
+    cum = slopes.select(
+        "s",
+        (F.sum("c").over(w) - F.col("c")).alias("lo"),
+        F.sum("c").over(w).alias("hi"),
+    )
+    tot = slopes.agg(F.sum("c").alias("p"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("lo") < F.expr("(p + 1) div 2"))
+            & (F.expr("(p + 1) div 2") <= F.col("hi"))
+        )
+        .select(
+            F.col("p").alias("n_pairs"),
+            F.col("s").alias("median_slope_nano"),
+        )
+    )
+    n = series.agg(F.count("*").alias("n_days"))
+    return med.crossJoin(F.broadcast(n)).select(
+        "n_days",
+        "n_pairs",
+        "median_slope_nano",
+        F.round(F.col("median_slope_nano").cast("double") / 1e9, 4).alias(
+            "slope_per_day"
+        ),
+    )
+
+
+_Q300_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS c FROM events GROUP BY 1
+), mm AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM daily
+), cal AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM mm
+), series AS (
+  SELECT CAST(cal.d - DATE '1970-01-01' AS BIGINT) AS t,
+         CAST(coalesce(daily.c, 0) AS BIGINT) AS y
+  FROM cal LEFT JOIN daily ON cal.d = daily.d
+), slopes AS (
+  SELECT CASE WHEN b.y >= a.y THEN
+           ((b.y - a.y) * 1000000000) // (b.t - a.t)
+         ELSE -(((a.y - b.y) * 1000000000) // (b.t - a.t)) END AS s,
+         CAST(count(*) AS BIGINT) AS c
+  FROM series a JOIN series b ON b.t > a.t
+  GROUP BY 1
+), cum AS (
+  SELECT s, c,
+         CAST(sum(c) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS BIGINT)
+           AS lo,
+         CAST(sum(c) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS hi
+  FROM slopes
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS p FROM slopes
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days FROM series
+)
+SELECT n_days,
+       p AS n_pairs,
+       CAST(s AS BIGINT) AS median_slope_nano,
+       round(CAST(s AS DOUBLE) / 1e9, 4) AS slope_per_day
+FROM cum CROSS JOIN tot CROSS JOIN n
+WHERE lo < (p + 1) // 2 AND (p + 1) // 2 <= hi
+"""
+
+
+def q301_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on the daily event-count
+    series: S = #(later day higher) − #(later day lower) over all
+    C(n,2) time-ordered pairs, with the tie-corrected variance and the
+    continuity-corrected z — the NONPARAMETRIC significance companion
+    to the Theil-Sen slope (q300): q300 says how steep, this says
+    whether the monotone trend is real.
+
+    Exact concordance without a pair join: time indices are unique, so
+    S = C − D from the q299 dense-grid dominance counts on (t, y) —
+    suffix-in-y within each t column, then suffix-in-t within each y
+    column. Var(S)·18 = n(n−1)(2n+5) − Σ t_k(t_k−1)(2t_k+5) over
+    value-tie groups stays an exact BIGINT; z is one double chain with
+    the ±1 continuity correction sign-split on the exact S.
+
+    Magnitude audit: calendar-bounded — S ≤ C(n,2) ≈ 6.7e6 and
+    var18 ≤ ~2n³ ≈ 1e11 at 10 years; BIGINT-safe by ~1e7×.
+
+    Shape at 100 TB: one grouped corpus pass to the zero-filled
+    calendar; two windows over the ≤n² dense grid."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("c")
+    )
+    mm = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = mm.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    series = cal.join(daily, "d", "left").select(
+        F.expr("datediff(d, date'1970-01-01')").alias("t"),
+        F.coalesce("c", F.lit(0)).cast("long").alias("y"),
+    )
+    cnt = series.groupBy("t", "y").agg(F.count("*").alias("c"))
+    grid = (
+        cnt.select("t").distinct()
+        .crossJoin(cnt.select("y").distinct())
+        .join(cnt, ["t", "y"], "left")
+        .select("t", "y", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w_up = W.partitionBy("t").orderBy("y").rowsBetween(1, W.unboundedFollowing)
+    w_dn = (
+        W.partitionBy("t").orderBy("y").rowsBetween(W.unboundedPreceding, -1)
+    )
+    s1 = grid.select(
+        "t",
+        "y",
+        "c",
+        F.coalesce(F.sum("c").over(w_up), F.lit(0)).alias("s_up"),
+        F.coalesce(F.sum("c").over(w_dn), F.lit(0)).alias("s_dn"),
+    )
+    w_t = W.partitionBy("y").orderBy("t").rowsBetween(1, W.unboundedFollowing)
+    gl = s1.select(
+        "c",
+        F.coalesce(F.sum("s_up").over(w_t), F.lit(0)).alias("g"),
+        F.coalesce(F.sum("s_dn").over(w_t), F.lit(0)).alias("l"),
+    )
+    conc = gl.agg(
+        F.sum(F.expr("c * g")).alias("cc"),
+        F.sum(F.expr("c * l")).alias("dd"),
+    )
+    mom = series.groupBy("y").agg(F.count("*").alias("n")).agg(
+        F.sum("n").alias("nd"),
+        F.sum(F.expr("n * (n - 1) * (2 * n + 5)")).alias("tsum"),
+    )
+    z = (
+        "CASE WHEN cc > dd THEN (CAST(cc - dd AS DOUBLE) - 1.0e0)"
+        " / sqrt((CAST(nd AS DOUBLE) * (nd - 1) * (2.0e0 * nd + 5.0e0)"
+        "         - CAST(tsum AS DOUBLE)) / 18.0e0)"
+        " WHEN cc < dd THEN (CAST(cc - dd AS DOUBLE) + 1.0e0)"
+        " / sqrt((CAST(nd AS DOUBLE) * (nd - 1) * (2.0e0 * nd + 5.0e0)"
+        "         - CAST(tsum AS DOUBLE)) / 18.0e0)"
+        " ELSE 0.0e0 END"
+    )
+    return conc.crossJoin(F.broadcast(mom)).select(
+        F.col("nd").alias("n_days"),
+        F.expr("cc - dd").alias("s_stat"),
+        F.expr(
+            "nd * (nd - 1) * (2 * nd + 5) - tsum"
+        ).alias("var18"),
+        F.round(F.expr(z), 4).alias("z_mk"),
+        F.expr(
+            f"CASE WHEN ({z}) > 1.96e0 THEN 'increasing'"
+            f" WHEN ({z}) < -1.96e0 THEN 'decreasing'"
+            " ELSE 'no trend' END"
+        ).alias("trend"),
+    )
+
+
+_Q301_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS c FROM events GROUP BY 1
+), mm AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM daily
+), cal AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM mm
+), series AS (
+  SELECT CAST(cal.d - DATE '1970-01-01' AS BIGINT) AS t,
+         CAST(coalesce(daily.c, 0) AS BIGINT) AS y
+  FROM cal LEFT JOIN daily ON cal.d = daily.d
+), cnt AS (
+  SELECT t, y, CAST(count(*) AS BIGINT) AS c FROM series GROUP BY 1, 2
+), grid AS (
+  SELECT ts_.t, ys.y, coalesce(cnt.c, 0) AS c
+  FROM (SELECT DISTINCT t FROM cnt) ts_
+  CROSS JOIN (SELECT DISTINCT y FROM cnt) ys
+  LEFT JOIN cnt ON cnt.t = ts_.t AND cnt.y = ys.y
+), s1 AS (
+  SELECT t, y, c,
+         coalesce(sum(c) OVER (PARTITION BY t ORDER BY y
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS s_up,
+         coalesce(sum(c) OVER (PARTITION BY t ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_dn
+  FROM grid
+), gl AS (
+  SELECT c,
+         coalesce(sum(s_up) OVER (PARTITION BY y ORDER BY t
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS g,
+         coalesce(sum(s_dn) OVER (PARTITION BY y ORDER BY t
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS l
+  FROM s1
+), conc AS (
+  SELECT CAST(sum(c * g) AS BIGINT) AS cc,
+         CAST(sum(c * l) AS BIGINT) AS dd
+  FROM gl
+), mom AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nd,
+         CAST(sum(n * (n - 1) * (2 * n + 5)) AS BIGINT) AS tsum
+  FROM (SELECT y, CAST(count(*) AS BIGINT) AS n FROM series GROUP BY y)
+)
+SELECT nd AS n_days,
+       CAST(cc - dd AS BIGINT) AS s_stat,
+       CAST(nd * (nd - 1) * (2 * nd + 5) - tsum AS BIGINT) AS var18,
+       round(CASE WHEN cc > dd THEN (CAST(cc - dd AS DOUBLE) - 1.0e0)
+               / sqrt((CAST(nd AS DOUBLE) * (nd - 1) * (2.0e0 * nd + 5.0e0)
+                       - CAST(tsum AS DOUBLE)) / 18.0e0)
+             WHEN cc < dd THEN (CAST(cc - dd AS DOUBLE) + 1.0e0)
+               / sqrt((CAST(nd AS DOUBLE) * (nd - 1) * (2.0e0 * nd + 5.0e0)
+                       - CAST(tsum AS DOUBLE)) / 18.0e0)
+             ELSE 0.0e0 END, 4) AS z_mk,
+       CASE WHEN (CASE WHEN cc > dd THEN (CAST(cc - dd AS DOUBLE) - 1.0e0)
+               / sqrt((CAST(nd AS DOUBLE) * (nd - 1) * (2.0e0 * nd + 5.0e0)
+                       - CAST(tsum AS DOUBLE)) / 18.0e0)
+             WHEN cc < dd THEN (CAST(cc - dd AS DOUBLE) + 1.0e0)
+               / sqrt((CAST(nd AS DOUBLE) * (nd - 1) * (2.0e0 * nd + 5.0e0)
+                       - CAST(tsum AS DOUBLE)) / 18.0e0)
+             ELSE 0.0e0 END) > 1.96e0 THEN 'increasing'
+            WHEN (CASE WHEN cc > dd THEN (CAST(cc - dd AS DOUBLE) - 1.0e0)
+               / sqrt((CAST(nd AS DOUBLE) * (nd - 1) * (2.0e0 * nd + 5.0e0)
+                       - CAST(tsum AS DOUBLE)) / 18.0e0)
+             WHEN cc < dd THEN (CAST(cc - dd AS DOUBLE) + 1.0e0)
+               / sqrt((CAST(nd AS DOUBLE) * (nd - 1) * (2.0e0 * nd + 5.0e0)
+                       - CAST(tsum AS DOUBLE)) / 18.0e0)
+             ELSE 0.0e0 END) < -1.96e0 THEN 'decreasing'
+            ELSE 'no trend' END AS trend
+FROM conc CROSS JOIN mom
+"""
+
+
+def q304_bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over the q295 A/A-test family:
+    the 20 salted-split Welch z-scores become conservative
+    Hoeffding-bound p-values p = min(1, 2·exp(−z²/2)), ranked
+    ascending, and BH at q=0.05 marks p_(k) ≤ q·k/m — the
+    multiple-testing guardrail the experimentation tier needs once it
+    runs whole FAMILIES of tests (q295 audits the per-test rate; this
+    audits the family-wise procedure. Under the null, rejections
+    should be rare).
+
+    Exactness: each z is the q295 exact-moment double chain; the
+    bound p is one exp chain (exp is a correctly-rounded seam, both
+    engines evaluate the identical expression) floored to p_nano
+    BEFORE any comparison; rank ties break on the salt id; and the BH
+    comparison p_nano·m ≤ 5e7·k·(1e9/1e9) runs as EXACT integer
+    cross-multiplication (q·1e9 = 5e7·... with m=20:
+    p_nano·20 ≤ 1_000_000_000·k·0.05·20/20 → p_nano·20 ≤ 5e7·20·k/m
+    = 5e7·k), never float division. The rejection set is all ranks ≤
+    max passing k (the BH step-up), via one window max.
+
+    Shape at 100 TB: the q295 shape — one 20-salt exploded grouped
+    pass to 40 cells; everything after is a 20-row relation."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
+    )
+    salted = ev.select(
+        "user_id",
+        "cents",
+        F.explode(F.array(*[F.lit(k) for k in range(20)])).alias("k"),
+    ).select(
+        "k",
+        "cents",
+        (
+            F.expr(
+                "conv(substr(md5(concat('aa:', CAST(k AS STRING), ':',"
+                " CAST(user_id AS STRING))), 1, 8), 16, 10) % 2"
+            )
+            == 0
+        ).alias("is_a"),
+    )
+    cells = salted.groupBy("k").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("is_a"), F.col("cents")).otherwise(0)).alias("sa"),
+        F.sum(F.when(F.col("is_a"),
+                     F.expr("CAST(cents AS DECIMAL(38,0)) * cents"))
+              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("ssa"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("nb"),
+        F.sum(F.when(F.col("is_a"), F.lit(0)).otherwise(F.col("cents")))
+        .alias("sb"),
+        F.sum(F.when(F.col("is_a"), F.lit(0).cast("decimal(38,0)"))
+              .otherwise(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")))
+        .alias("ssb"),
+    )
+    z = (
+        "(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)"
+        " / sqrt((CAST(ssa AS DOUBLE) / na"
+        "         - (CAST(sa AS DOUBLE) / na) * (CAST(sa AS DOUBLE) / na))"
+        "        / (na - 1.0e0)"
+        "        + (CAST(ssb AS DOUBLE) / nb"
+        "           - (CAST(sb AS DOUBLE) / nb) * (CAST(sb AS DOUBLE) / nb))"
+        "          / (nb - 1.0e0))"
+    )
+    # Degenerate splits (singleton arm, or BOTH arms zero-variance —
+    # decided by EXACT integer moment identities, never by comparing a
+    # float to 0) have no defined z: p = 1, never rejected. The guard
+    # keeps the ANSI divide-by-zero out of the CASE's taken branch.
+    degenerate = (
+        "(na <= 1 OR nb <= 1 OR"
+        " (ssa * na = CAST(sa AS DECIMAL(38,0)) * sa"
+        "  AND ssb * nb = CAST(sb AS DECIMAL(38,0)) * sb))"
+    )
+    p_nano = (
+        f"CASE WHEN {degenerate} THEN 1000000000L"
+        f" ELSE CAST(floor(least(2.0e0 * exp(-(({z}) * ({z})) / 2.0e0),"
+        " 1.0e0) * 1e9) AS BIGINT) END"
+    )
+    scored = cells.select("k", F.expr(p_nano).alias("p_nano"))
+    w = W.orderBy("p_nano", "k")
+    ranked = scored.select(
+        "k", "p_nano", F.row_number().over(w).alias("rank")
+    ).withColumn(
+        "bh_pass", F.expr("p_nano * 20 <= 50000000 * rank")
+    )
+    wmax = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return ranked.select(
+        "k",
+        "p_nano",
+        "rank",
+        "bh_pass",
+        (
+            F.col("rank")
+            <= F.coalesce(
+                F.max(F.when(F.col("bh_pass"), F.col("rank"))).over(wmax),
+                F.lit(0),
+            )
+        ).alias("rejected"),
+    ).orderBy("rank")
+
+
+def _q304_sql() -> str:
+    z = (
+        "(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)"
+        " / sqrt((CAST(ssa AS DOUBLE) / na"
+        "         - (CAST(sa AS DOUBLE) / na) * (CAST(sa AS DOUBLE) / na))"
+        "        / (na - 1.0e0)"
+        "        + (CAST(ssb AS DOUBLE) / nb"
+        "           - (CAST(sb AS DOUBLE) / nb) * (CAST(sb AS DOUBLE) / nb))"
+        "          / (nb - 1.0e0))"
+    )
+    return f"""
+WITH salted AS (
+  SELECT k.k,
+         CAST(round(e.value * 100) AS BIGINT) AS cents,
+         ('0x' || substr(md5('aa:' || CAST(k.k AS VARCHAR) || ':'
+              || CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 AS is_a
+  FROM events e
+  CROSS JOIN (SELECT unnest(range(0, 20)) AS k) k
+), cells AS (
+  SELECT k,
+         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN is_a THEN cents ELSE 0 END) AS BIGINT) AS sa,
+         CAST(sum(CASE WHEN is_a THEN CAST(cents AS HUGEINT) * cents
+                       ELSE 0 END) AS HUGEINT) AS ssa,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE cents END) AS BIGINT) AS sb,
+         CAST(sum(CASE WHEN is_a THEN 0
+                       ELSE CAST(cents AS HUGEINT) * cents END) AS HUGEINT)
+           AS ssb
+  FROM salted
+  GROUP BY k
+), scored AS (
+  SELECT CAST(k AS BIGINT) AS k,
+         CASE WHEN na <= 1 OR nb <= 1 OR
+                   (ssa * na = CAST(sa AS HUGEINT) * sa
+                    AND ssb * nb = CAST(sb AS HUGEINT) * sb)
+              THEN 1000000000
+              ELSE CAST(floor(least(2.0e0 * exp(-(({z}) * ({z})) / 2.0e0),
+                   1.0e0) * 1e9) AS BIGINT) END AS p_nano
+  FROM cells
+), ranked AS (
+  SELECT k, p_nano,
+         CAST(row_number() OVER (ORDER BY p_nano, k) AS BIGINT) AS rank,
+         p_nano * 20 <= 50000000 * row_number() OVER (ORDER BY p_nano, k)
+           AS bh_pass
+  FROM scored
+)
+SELECT k, p_nano, rank, bh_pass,
+       rank <= coalesce(max(CASE WHEN bh_pass THEN rank END) OVER (), 0)
+         AS rejected
+FROM ranked
+ORDER BY rank
+"""
+
+
+def q306_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient and mean absolute difference of per-user spend
+    — the concentration audit that says whether corpus value (or, run
+    on token counts, training data) is spread across users or piled on
+    a head; the inequality-curve companion to the skew report (q114)
+    and RFM segments (q180).
+
+    Exact pair-free arithmetic: on the spend value-count table,
+    Σᵢⱼ|xᵢ−xⱼ| = 2·Σ_v c_v·(v·N₍₎ − S₍₎) with N₍₎/S₍₎ the
+    below-v cumulative count/sum — two windows over the bounded
+    distinct-value domain (cents-quantized), never a user-pair join.
+    Gini = T/(2n·Σx) and MD = T/(n(n−1)) are nonnegative integer
+    divisions to ppm/milli.
+
+    Magnitude audit: T ~ N²·x̄ wraps BIGINT at ~3e5 users — every
+    product and T run in DECIMAL(38,0)/HUGEINT (T·1e6 ≤ ~1e35 at 1e11
+    users stays inside DECIMAL(38)); Σx is emitted as a STRING
+    (q78/q233 rule). The cumulative S₍₎ also rides the wide type.
+
+    Shape at 100 TB: one grouped corpus pass events→users, one
+    grouped pass users→value counts, two windows on that bounded
+    domain, a 1-row reduction."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
+    )
+    per = ev.groupBy("user_id").agg(F.sum("cents").alias("x"))
+    vc = per.groupBy("x").agg(F.count("*").alias("c"))
+    w = W.orderBy("x").rowsBetween(W.unboundedPreceding, -1)
+    cum = vc.select(
+        "x",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("nb"),
+        F.coalesce(
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * c")).over(w),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("sb"),
+    )
+    mom = cum.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * c")).alias("sx"),
+        F.sum(
+            F.expr(
+                "2 * CAST(c AS DECIMAL(38,0))"
+                " * (CAST(x AS DECIMAL(38,0)) * nb - sb)"
+            )
+        ).alias("t"),
+    )
+    return mom.select(
+        F.col("n").alias("n_users"),
+        F.expr("CAST(sx AS STRING)").alias("total_cents"),
+        F.expr(
+            "(t * 1000000) div (2 * CAST(n AS DECIMAL(38,0)) * sx)"
+        ).alias("gini_ppm"),
+        F.expr(
+            "(t * 1000) div (CAST(n AS DECIMAL(38,0)) * (n - 1))"
+        ).alias("mad_cents_milli"),
+        F.round(
+            F.expr(
+                "CAST((t * 1000000) div (2 * CAST(n AS DECIMAL(38,0)) * sx)"
+                " AS DOUBLE) / 1e6"
+            ),
+            4,
+        ).alias("gini"),
+    )
+
+
+_Q306_SQL = """
+WITH per AS (
+  SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM events GROUP BY user_id
+), vc AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS c FROM per GROUP BY x
+), cum AS (
+  SELECT x, c,
+         coalesce(sum(c) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb,
+         coalesce(sum(CAST(x AS HUGEINT) * c) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             CAST(0 AS HUGEINT)) AS sb
+  FROM vc
+), mom AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS HUGEINT) * c) AS HUGEINT) AS sx,
+         CAST(sum(2 * CAST(c AS HUGEINT)
+                  * (CAST(x AS HUGEINT) * nb - sb)) AS HUGEINT) AS t
+  FROM cum
+)
+SELECT n AS n_users,
+       CAST(sx AS VARCHAR) AS total_cents,
+       CAST((t * 1000000) // (2 * CAST(n AS HUGEINT) * sx) AS BIGINT)
+         AS gini_ppm,
+       CAST((t * 1000) // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT)
+         AS mad_cents_milli,
+       round(CAST(CAST((t * 1000000) // (2 * CAST(n AS HUGEINT) * sx)
+             AS BIGINT) AS DOUBLE) / 1e6, 4) AS gini
+FROM mom
+"""
+
+
+def q307_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (tie-corrected, via midranks) between
+    daily event volume and daily active users — the rank-space
+    counterpart of Kendall tau-b (q299): Pearson over midranks, which
+    the count tables give EXACTLY without any global sort of the raw
+    series.
+
+    Exactness: the DOUBLED midrank 2·R(v) = 2·N₍below v₎ + c_v + 1 is
+    an exact BIGINT off each marginal's cumulative window (doubling
+    clears the half-integer; the constant scale cancels in the
+    correlation); the five moments over (r2x, r2y) are exact; rho is
+    one deterministic double chain.
+
+    Magnitude audit: calendar-bounded — r2 ≤ 2n and Σr2² ≤ 4n³ ≈
+    2e11 at 10 years; BIGINT-safe by ~4e7×.
+
+    Shape at 100 TB: one grouped corpus pass to the day relation, two
+    value-domain windows, two broadcast rank joins on the bounded day
+    relation, a 1-row reduction."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("x"),
+        F.countDistinct("user_id").alias("y"),
+    )
+
+    def ranks(col):
+        vc = daily.groupBy(col).agg(F.count("*").alias("c"))
+        w = W.orderBy(col).rowsBetween(W.unboundedPreceding, -1)
+        return vc.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + 1
+            ).alias(f"r2{col}"),
+        )
+
+    joined = daily.join(F.broadcast(ranks("x")), "x").join(
+        F.broadcast(ranks("y")), "y"
+    )
+    mom = joined.agg(
+        F.count("*").alias("n"),
+        F.sum("r2x").alias("sx"),
+        F.sum("r2y").alias("sy"),
+        F.sum(F.expr("r2x * r2x")).alias("sxx"),
+        F.sum(F.expr("r2y * r2y")).alias("syy"),
+        F.sum(F.expr("r2x * r2y")).alias("sxy"),
+    )
+    rho = (
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+        "        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"
+    )
+    return mom.select(
+        F.col("n").alias("n_days"),
+        "sxy",
+        F.round(F.expr(rho), 6).alias("spearman_rho"),
+    )
+
+
+_Q307_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS x,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), rx AS (
+  SELECT x, 2 * coalesce(sum(c) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c + 1 AS r2x
+  FROM (SELECT x, CAST(count(*) AS BIGINT) AS c FROM daily GROUP BY x)
+), ry AS (
+  SELECT y, 2 * coalesce(sum(c) OVER (ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c + 1 AS r2y
+  FROM (SELECT y, CAST(count(*) AS BIGINT) AS c FROM daily GROUP BY y)
+), joined AS (
+  SELECT r2x, r2y FROM daily JOIN rx USING (x) JOIN ry USING (y)
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(r2x) AS BIGINT) AS sx,
+         CAST(sum(r2y) AS BIGINT) AS sy,
+         CAST(sum(r2x * r2x) AS BIGINT) AS sxx,
+         CAST(sum(r2y * r2y) AS BIGINT) AS syy,
+         CAST(sum(r2x * r2y) AS BIGINT) AS sxy
+  FROM joined
+)
+SELECT n AS n_days, sxy,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS spearman_rho
+FROM mom
 """
 
 
@@ -10540,6 +11310,12 @@ QUERIES = {
     "q296_loo_target_encoding": q296_loo_target_encoding,
     "q297_transition_drift": q297_transition_drift,
     "q298_weekday_hour_seasonality": q298_weekday_hour_seasonality,
+    "q299_kendall_tau": q299_kendall_tau,
+    "q300_theil_sen": q300_theil_sen,
+    "q301_mann_kendall": q301_mann_kendall,
+    "q304_bh_fdr_control": q304_bh_fdr_control,
+    "q306_gini_concentration": q306_gini_concentration,
+    "q307_spearman_rho": q307_spearman_rho,
 }
 
 ORACLES = {
@@ -10687,4 +11463,10 @@ ORACLES = {
     "q296_loo_target_encoding": _Q296_SQL,
     "q297_transition_drift": _Q297_SQL,
     "q298_weekday_hour_seasonality": _Q298_SQL,
+    "q299_kendall_tau": _Q299_SQL,
+    "q300_theil_sen": _Q300_SQL,
+    "q301_mann_kendall": _Q301_SQL,
+    "q304_bh_fdr_control": _q304_sql(),
+    "q306_gini_concentration": _Q306_SQL,
+    "q307_spearman_rho": _Q307_SQL,
 }

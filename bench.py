@@ -342,6 +342,16 @@ HEADLINE = [
     "q296_loo_target_encoding",
     "q297_transition_drift",
     "q298_weekday_hour_seasonality",
+    "q299_kendall_tau",
+    "q300_theil_sen",
+    "q301_mann_kendall",
+    "q302_hyperloglog_vocab",
+    "q303_rank_biased_overlap",
+    "q304_bh_fdr_control",
+    "q305_chao1_vocab_richness",
+    "q306_gini_concentration",
+    "q307_spearman_rho",
+    "q308_cohens_kappa",
 ]
 
 

@@ -1020,3 +1020,75 @@ def test_cms_monitor_equals_batch_sketch(spark, tmp_path):
         for r in read_cms_estimates(spark, store, probes).collect()
     }
     assert again == want
+
+
+def test_hll_monitor_equals_batch_sketch(spark, tmp_path):
+    """Two drains with overlapping users: merged streaming HLL registers
+    must equal one batch sketch over the union (max-merge is exact and
+    idempotent), and a replayed batch cannot move any register."""
+    import datetime as dt
+
+    from airflow_spotify_etl_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from airflow_spotify_etl_spark.streaming.hll_monitor import (
+        _apply_hll_batch,
+        read_hll_estimates,
+        run_hll_monitor,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows1 = [(i, base, "alpha", i % 40) for i in range(60)] + [
+        (100 + i, base, "beta", i) for i in range(10)
+    ]
+    rows2 = [(200 + i, base, "alpha", 30 + i) for i in range(30)] + [
+        (300 + i, base, "beta", 5 + i) for i in range(10)
+    ]
+    schema = "event_id long, ts timestamp, event_type string, user_id long"
+    src = str(tmp_path / "hll_src")
+    store = str(tmp_path / "hll_store")
+    ckpt = str(tmp_path / "hll_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        run_hll_monitor(spark, stream, store, ckpt)
+
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+
+    got = {
+        r.event_type: (r.reg_sum_s, r.v_zero, r.hll_estimate)
+        for r in read_hll_estimates(spark, store).collect()
+    }
+    union = spark.createDataFrame(rows1 + rows2, schema)
+    want = {
+        r.event_type: (r.reg_sum_s, r.v_zero, r.hll_estimate)
+        for r in hll_estimate(
+            hll_registers(union, "user_id", key_cols=["event_type"]),
+            key_cols=["event_type"],
+        ).collect()
+    }
+    assert got == want  # register-exact, not just approximately equal
+    # alpha saw users 0..59 (60 distinct), beta 0..14 (15): small-range
+    # linear counting keeps low-cardinality estimates tight
+    assert abs(got["alpha"][2] - 60) / 60 < 0.25
+    assert abs(got["beta"][2] - 15) / 15 < 0.25
+
+    # at-least-once retry: re-apply batch 0's rows under a NEW batch id;
+    # max-merge is idempotent so no register (hence no estimate) moves
+    _apply_hll_batch(
+        spark.createDataFrame(rows1, schema), store, 99, "event_type",
+        "user_id",
+    )
+    again = {
+        r.event_type: (r.reg_sum_s, r.v_zero, r.hll_estimate)
+        for r in read_hll_estimates(spark, store).collect()
+    }
+    assert again == got

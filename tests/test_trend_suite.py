@@ -1,0 +1,222 @@
+"""Planted-fixture tests for the round-6 trend/rank suite
+(q299 Kendall tau-b, q300 Theil-Sen, q301 Mann-Kendall,
+q302 HyperLogLog, q303 RBO, q304 BH-FDR).
+
+Fixtures use noon timestamps so session-timezone shifts can never move
+an event across a date boundary (the q298 lesson).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from datetime import datetime
+
+import pytest
+
+import __spark_entry__ as entry
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entry.queries()
+
+
+def _write_events(spark, tmp_path, day_user_counts):
+    """day_user_counts: list of (day_offset, [user ids, one per event])."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows = []
+    eid = 0
+    for off, users in day_user_counts:
+        for u in users:
+            rows.append(
+                (eid, datetime(2024, 3, 1 + off, 12, 0, 0), u, "t", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+
+
+def test_q299_kendall_tau_hand_value(spark, tmp_path, qs):
+    # daily (events, users): (2,1), (4,2), (4,1), (6,3)
+    # C=4, D=0, Tx=1, Ty=1, N0=6 → tau_b = 4/sqrt(5·5) = 0.8
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (0, [1, 1]),
+            (1, [1, 1, 2, 2]),
+            (2, [1, 1, 1, 1]),
+            (3, [1, 1, 2, 2, 3, 3]),
+        ],
+    )
+    r = qs["q299_kendall_tau"](spark, str(tmp_path)).collect()[0]
+    assert r.n_days == 4
+    assert (r.concordant, r.discordant) == (4, 0)
+    assert (r.ties_x, r.ties_y) == (1, 1)
+    assert r.tau_b == 0.8
+
+
+def test_q300_theil_sen_exact_linear(spark, tmp_path, qs):
+    # y = 10 + 2t on 5 consecutive days → every pairwise slope is 2
+    _write_events(
+        spark,
+        tmp_path,
+        [(t, list(range(10 + 2 * t))) for t in range(5)],
+    )
+    r = qs["q300_theil_sen"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_days, r.n_pairs) == (5, 10)
+    assert r.median_slope_nano == 2_000_000_000
+    assert r.slope_per_day == 2.0
+
+
+def test_q301_mann_kendall_increasing(spark, tmp_path, qs):
+    # strictly increasing 5-day series: S = 10, var18 = 5·4·15 = 300,
+    # z = 9/sqrt(300/18) = 2.2045 > 1.96 → 'increasing'
+    _write_events(
+        spark,
+        tmp_path,
+        [(t, list(range(10 + 2 * t))) for t in range(5)],
+    )
+    r = qs["q301_mann_kendall"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_days, r.s_stat, r.var18) == (5, 10, 300)
+    assert r.trend == "increasing" and r.z_mk == pytest.approx(2.2045, 1e-3)
+
+
+def _write_docs(spark, tmp_path, rows):
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+
+def test_q302_hll_matches_hashlib_mirror(spark, tmp_path, qs):
+    toks = [f"tok{i}" for i in range(500)]
+    text = " ".join(toks)
+    _write_docs(spark, tmp_path, [(1, text, "en", "srcA", len(text))])
+    r = qs["q302_hyperloglog_vocab"](spark, str(tmp_path)).collect()[0]
+    # python mirror of the register construction
+    regs: dict[int, int] = {}
+    for t in set(toks):
+        h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        j, w = h >> 24, h & 0xFFFFFF
+        rho = 25 if w == 0 else 24 - int(math.floor(math.log2(w)))
+        regs[j] = max(regs.get(j, 0), rho)
+    s = sum(1 << (25 - m) for m in regs.values()) + (256 - len(regs)) * (
+        1 << 25
+    )
+    assert r.n_exact == 500
+    assert r.reg_sum_s == s
+    assert r.v_zero == 256 - len(regs)
+    # a 256-register HLL is ~6.5% accurate; 40% is a generous sanity bound
+    assert abs(r.hll_estimate - 500) / 500 < 0.4
+
+
+def test_q303_rbo_identical_rankings(spark, tmp_path, qs):
+    # identical token distributions in both sources → X_d = d and
+    # RBO_min = 1 − p^20 (minus nano-floor dust)
+    words = " ".join(f"w{i:02d} " * (40 - i) for i in range(30))
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, words, "en", "src0", len(words)),
+            (2, words, "en", "src1", len(words)),
+        ],
+    )
+    r = qs["q303_rank_biased_overlap"](spark, str(tmp_path)).collect()[0]
+    assert r.overlap_at_20 == 20
+    expected = 1 - 0.9**20
+    assert abs(r.rbo_min - expected) < 1e-6
+
+
+def test_q304_bh_mechanics_and_step_up(spark, tmp_path, qs):
+    _write_events(
+        spark,
+        tmp_path,
+        [(t, [u for u in range(20) for _ in range(1 + (u + t) % 3)])
+         for t in range(3)],
+    )
+    rows = qs["q304_bh_fdr_control"](spark, str(tmp_path)).collect()
+    assert len(rows) == 20
+    assert sorted(r.rank for r in rows) == list(range(1, 21))
+    # p_nano ordered with rank, within [0, 1e9]
+    by_rank = sorted(rows, key=lambda r: r.rank)
+    ps = [r.p_nano for r in by_rank]
+    assert ps == sorted(ps) and 0 <= ps[0] and ps[-1] <= 10**9
+    # step-up: rejected == (rank <= max passing rank)
+    passing = [r.rank for r in rows if r.bh_pass]
+    kmax = max(passing) if passing else 0
+    for r in rows:
+        assert r.rejected == (r.rank <= kmax)
+
+
+def test_q305_chao1_hand_spectrum(spark, tmp_path, qs):
+    # spectrum: 3 singletons, 2 doubletons, 1 tripleton →
+    # V=6, N=3+4+3=10, chao1 = 6 + 3·2/(2·3) = 7.0, coverage = 1-3/10
+    text = "s1 s2 s3 d1 d1 d2 d2 t1 t1 t1"
+    _write_docs(spark, tmp_path, [(1, text, "en", "srcA", len(text))])
+    r = qs["q305_chao1_vocab_richness"](spark, str(tmp_path)).collect()[0]
+    assert (r.v_obs, r.n_tokens, r.n1, r.n2) == (6, 10, 3, 2)
+    assert r.chao1_milli == 7000
+    assert r.coverage_ppm == 700000
+
+
+def test_q306_gini_hand_values(spark, tmp_path, qs):
+    # user spends (cents): 100, 100, 200, 400 → T = ΣΣ|xi-xj| =
+    # 2·(|100-100|+|100-200|·2+|100-400|·2+|200-400|) = 2·(0+200+600+200)
+    # = 2000; gini = 2000/(2·4·800) = 0.3125; MD = 2000/12 = 166.667
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows = [
+        (0, datetime(2024, 3, 1, 12), 1, "t", 1.00, "{}"),
+        (1, datetime(2024, 3, 1, 12), 2, "t", 1.00, "{}"),
+        (2, datetime(2024, 3, 1, 12), 3, "t", 2.00, "{}"),
+        (3, datetime(2024, 3, 1, 12), 4, "t", 4.00, "{}"),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = qs["q306_gini_concentration"](spark, str(tmp_path)).collect()[0]
+    assert r.n_users == 4
+    assert r.total_cents == "800"
+    assert r.gini_ppm == 312500
+    assert r.mad_cents_milli == 166666  # floor(2000·1000/12)
+    assert r.gini == 0.3125
+
+
+def test_q307_spearman_hand_value(spark, tmp_path, qs):
+    # same fixture as q299: doubled midranks x→(2,5,5,8), y→(3,6,3,8)
+    # rho = (4·115 − 20·20)/sqrt((4·118−400)²) = 60/72 = 0.833333
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (0, [1, 1]),
+            (1, [1, 1, 2, 2]),
+            (2, [1, 1, 1, 1]),
+            (3, [1, 1, 2, 2, 3, 3]),
+        ],
+    )
+    r = qs["q307_spearman_rho"](spark, str(tmp_path)).collect()[0]
+    assert r.n_days == 4
+    assert r.sxy == 115
+    assert r.spearman_rho == 0.833333
+
+
+def test_q308_kappa_mechanics(spark, tmp_path, qs):
+    texts = [
+        (i, f"doc {i} " + "filler words here " * (3 + i % 5), "en",
+         f"src{i % 2}", 60)
+        for i in range(30)
+    ]
+    _write_docs(spark, tmp_path, texts)
+    r = qs["q308_cohens_kappa"](spark, str(tmp_path)).collect()[0]
+    assert r.n == r.n11 + r.n10 + r.n01 + r.n00 == 30
+    assert -1_000_000 <= r.kappa_ppm <= 1_000_000
+    assert r.po_ppm == ((r.n11 + r.n00) * 1_000_000) // 30
