@@ -10425,6 +10425,420 @@ FROM cells
 """
 
 
+def q309_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov two-sample test on document length (src0 vs
+    src1) — the distribution-level drift test completing the pairwise
+    suite: Mann-Whitney (q187) ranks locations, Cliff's delta (q269)
+    sizes dominance, KS detects ANY CDF difference (shape, spread,
+    tails).
+
+    Exactness: on the merged length count table, the statistic's
+    numerator D_num = max_v |F₁(v)·n₁n₂ − F₂(v)·n₁n₂| =
+    max |cum₁·n₂ − cum₂·n₁| is an exact integer off two cumulative
+    windows (no float CDFs); D_ppm divides in the wide type and the
+    asymptotic λ = D·√(n₁n₂/(n₁+n₂)) is one double chain.
+
+    Magnitude audit: cum·n products ~ N² wrap BIGINT at N ≈ 3e9 docs —
+    they run in DECIMAL(38,0)/HUGEINT and D_num is emitted as a STRING
+    (q78/q233 rule).
+
+    Shape at 100 TB: two pushed source filters → grouped counts over
+    the bounded length domain, two windows there, a 1-row max."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("source").isin("src0", "src1")).select(
+        "source", F.col("n_chars").cast("long").alias("v")
+    )
+    c1 = base.filter(F.col("source") == "src0").groupBy("v").agg(
+        F.count("*").alias("c1")
+    )
+    c2 = base.filter(F.col("source") == "src1").groupBy("v").agg(
+        F.count("*").alias("c2")
+    )
+    dom = (
+        c1.select("v")
+        .unionByName(c2.select("v"))
+        .distinct()
+        .join(c1, "v", "left")
+        .join(c2, "v", "left")
+        .select(
+            "v",
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            F.coalesce("c2", F.lit(0)).alias("c2"),
+        )
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = dom.select(
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+    )
+    tot = base.groupBy().pivot("source", ["src0", "src1"]).count().select(
+        F.col("src0").alias("n1"), F.col("src1").alias("n2")
+    )
+    dmax = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.expr(
+                "abs(CAST(f1 AS DECIMAL(38,0)) * n2"
+                " - CAST(f2 AS DECIMAL(38,0)) * n1)"
+            )
+        ).alias("d_num"),
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+    )
+    lam = (
+        "(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2))"
+        " * sqrt(CAST(n1 AS DOUBLE) * n2 / (CAST(n1 AS DOUBLE) + n2))"
+    )
+    return dmax.select(
+        "n1",
+        "n2",
+        F.expr("CAST(d_num AS STRING)").alias("d_num"),
+        F.expr(
+            "CAST((d_num * 1000000) div (CAST(n1 AS DECIMAL(38,0)) * n2)"
+            " AS BIGINT)"
+        ).alias("d_ppm"),
+        F.round(F.expr(lam), 4).alias("ks_lambda"),
+    )
+
+
+_Q309_SQL = """
+WITH base AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+  WHERE source IN ('src0', 'src1')
+), c1 AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS c1 FROM base
+  WHERE source = 'src0' GROUP BY v
+), c2 AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS c2 FROM base
+  WHERE source = 'src1' GROUP BY v
+), dom AS (
+  SELECT d.v, coalesce(c1.c1, 0) AS c1, coalesce(c2.c2, 0) AS c2
+  FROM (SELECT DISTINCT v FROM (SELECT v FROM c1 UNION ALL SELECT v FROM c2)) d
+  LEFT JOIN c1 ON c1.v = d.v
+  LEFT JOIN c2 ON c2.v = d.v
+), cum AS (
+  SELECT sum(c1) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+         sum(c2) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+  FROM dom
+), tot AS (
+  SELECT CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n1,
+         CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n2
+  FROM base
+), dmax AS (
+  SELECT CAST(max(abs(CAST(f1 AS HUGEINT) * n2
+                      - CAST(f2 AS HUGEINT) * n1)) AS HUGEINT) AS d_num,
+         CAST(max(n1) AS BIGINT) AS n1,
+         CAST(max(n2) AS BIGINT) AS n2
+  FROM cum CROSS JOIN tot
+)
+SELECT n1, n2,
+       CAST(d_num AS VARCHAR) AS d_num,
+       CAST((d_num * 1000000) // (CAST(n1 AS HUGEINT) * n2) AS BIGINT)
+         AS d_ppm,
+       round((CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2))
+             * sqrt(CAST(n1 AS DOUBLE) * n2 / (CAST(n1 AS DOUBLE) + n2)), 4)
+         AS ks_lambda
+FROM dmax
+"""
+
+
+def q310_lexical_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-concentration suite per source off ONE token frequency
+    spectrum: Yule's K (the length-invariant repeated-vocabulary
+    characteristic), Simpson's repeat-probability D, the hapax share
+    of the vocabulary, and the type-token ratio — the classic
+    stylometric quartet that pairs with Chao1 (q305, what's missing)
+    and the entropy views (q198, how it's spread).
+
+    Exactness: all four are integer rationals off (V, N, n₁, Σc²):
+    K_milli = 10⁴·10³·(Σc² − N) div N², Simpson_ppm =
+    Σc(c−1)·10⁶ div N(N−1), hapax/TTR in ppm — nonnegative floors,
+    identical in both engines.
+
+    Magnitude audit: Σc² ≤ N² wraps BIGINT at N ≈ 3e9 tokens — the
+    squared-count sum and every N² product run in DECIMAL(38,0)/
+    HUGEINT; Σc² is emitted as a STRING (q78/q233 rule).
+
+    Shape at 100 TB: token explode → (source, tok) counts (map-side
+    combined) → one spectrum rollup per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), "\\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    spec = tf.groupBy("source").agg(
+        F.count("*").alias("v_obs"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("s2"),
+    )
+    return spec.select(
+        "source",
+        "n_tokens",
+        "v_obs",
+        "n1",
+        F.expr("CAST(s2 AS STRING)").alias("sum_c2"),
+        F.expr(
+            "((s2 - n_tokens) * 10000000)"
+            " div (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens)"
+        ).alias("yule_k_milli"),
+        F.expr(
+            "((s2 - n_tokens) * 1000000)"
+            " div (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1))"
+        ).alias("simpson_ppm"),
+        F.expr("(n1 * 1000000) div v_obs").alias("hapax_ppm"),
+        F.expr("(v_obs * 1000000) div n_tokens").alias("ttr_ppm"),
+    ).orderBy("source")
+
+
+_Q310_SQL = r"""
+WITH toks AS (
+  SELECT source, tok FROM (
+    SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), tf AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, tok
+), spec AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS v_obs,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+  FROM tf GROUP BY source
+)
+SELECT source, n_tokens, v_obs, n1,
+       CAST(s2 AS VARCHAR) AS sum_c2,
+       CAST(((s2 - n_tokens) * 10000000)
+            // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
+         AS yule_k_milli,
+       CAST(((s2 - n_tokens) * 1000000)
+            // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) AS BIGINT)
+         AS simpson_ppm,
+       CAST((n1 * 1000000) // v_obs AS BIGINT) AS hapax_ppm,
+       CAST((v_obs * 1000000) // n_tokens AS BIGINT) AS ttr_ppm
+FROM spec
+ORDER BY source
+"""
+
+
+def q312_categorical_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V and Pearson's contingency coefficient for the
+    lang × source table — the EFFECT-SIZE companions to the q182-style
+    chi-square and the q282 NMI: the test says whether association
+    exists, these say how strong it is on a 0..1 scale comparable
+    across table shapes.
+
+    Exactness: the q182 milli-unit idiom in the WIDE type — per cell
+    d = o·N − r·c and term_milli = d² div M ·1000 + (d² mod M)·1000
+    div M with M = N·r·c, all DECIMAL(38,0)/HUGEINT, so the cross-cell
+    sum is exact; V = √(χ²/(N·min(r−1,c−1))) and C = √(χ²/(χ²+N)) are
+    single double chains over the exact milli sum.
+
+    Magnitude audit: d² ≤ N⁴ fits DECIMAL(38,0) to N ≈ 1.8e9 docs —
+    an order past any current fixture; beyond that the documented
+    big-N path splits d² through _floor_scaled_div limbs (the q233
+    machinery). Zero cells of the FULL grid contribute r·c/N like
+    q182.
+
+    Shape at 100 TB: one grouped corpus pass to ≤ |langs|·|sources|
+    cells; margins and the statistic are grid-sized reductions."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rows_m = cells.groupBy("lang").agg(F.sum("o").alias("r"))
+    cols_m = cells.groupBy("source").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    grid = rows_m.crossJoin(cols_m)
+    j = (
+        grid.join(cells, ["lang", "source"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    term = F.expr(
+        "(CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)"
+        " * (CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)"
+        " div (CAST(n AS DECIMAL(38,0)) * r * c) * 1000"
+        " + ((CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)"
+        "    * (CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)"
+        "    % (CAST(n AS DECIMAL(38,0)) * r * c)) * 1000"
+        "   div (CAST(n AS DECIMAL(38,0)) * r * c)"
+    )
+    agg = j.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("lang").alias("nr"),
+        F.countDistinct("source").alias("nc"),
+        F.sum(term).alias("chi2_milli"),
+    )
+    return agg.select(
+        "n",
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
+        "chi2_milli",
+        F.round(
+            F.expr(
+                "sqrt(CAST(chi2_milli AS DOUBLE) / 1000.0e0"
+                " / (CAST(n AS DOUBLE)"
+                "    * least(CAST(nr - 1 AS DOUBLE), CAST(nc - 1 AS DOUBLE))))"
+            ),
+            6,
+        ).alias("cramers_v"),
+        F.round(
+            F.expr(
+                "sqrt((CAST(chi2_milli AS DOUBLE) / 1000.0e0)"
+                " / (CAST(chi2_milli AS DOUBLE) / 1000.0e0"
+                "    + CAST(n AS DOUBLE)))"
+            ),
+            6,
+        ).alias("contingency_c"),
+    )
+
+
+_Q312_SQL = """
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source
+), rows_m AS (
+  SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY lang
+), cols_m AS (
+  SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY source
+), tot AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n FROM cells
+), grid AS (
+  SELECT rows_m.lang, cols_m.source, rows_m.r, cols_m.c,
+         coalesce(cells.o, 0) AS o
+  FROM rows_m CROSS JOIN cols_m
+  LEFT JOIN cells ON cells.lang = rows_m.lang
+                 AND cells.source = cols_m.source
+), agg AS (
+  SELECT max(n) AS n,
+         CAST(count(DISTINCT lang) AS BIGINT) AS nr,
+         CAST(count(DISTINCT source) AS BIGINT) AS nc,
+         CAST(sum(
+           (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+           * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+           // (CAST(n AS HUGEINT) * r * c) * 1000
+           + ((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+              * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+              % (CAST(n AS HUGEINT) * r * c)) * 1000
+             // (CAST(n AS HUGEINT) * r * c)
+         ) AS BIGINT) AS chi2_milli
+  FROM grid CROSS JOIN tot
+)
+SELECT n,
+       CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+       chi2_milli,
+       round(sqrt(CAST(chi2_milli AS DOUBLE) / 1000.0e0
+             / (CAST(n AS DOUBLE)
+                * least(CAST(nr - 1 AS DOUBLE), CAST(nc - 1 AS DOUBLE)))), 6)
+         AS cramers_v,
+       round(sqrt((CAST(chi2_milli AS DOUBLE) / 1000.0e0)
+             / (CAST(chi2_milli AS DOUBLE) / 1000.0e0
+                + CAST(n AS DOUBLE))), 6) AS contingency_c
+FROM agg
+"""
+
+
+def q313_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (log-likelihood-ratio) of lang × source independence —
+    the information-theoretic twin of the Pearson chi-square (q312
+    uses the same table): G = 2·Σ o·ln(o·N/(r·c)), which is also
+    exactly 2N·I(lang; source) in nats, tying the test statistic to
+    the q282 mutual information.
+
+    Exactness: each cell term o·(ln o + ln N − ln r − ln c) is ONE
+    deterministic double chain with every CAST→DOUBLE operand a plain
+    count < 2^53 (the log of the ratio is split into single-count
+    logs precisely so no N²-scale product ever meets a double — the
+    q78 lesson; ln is a correctly-rounded seam in both engines),
+    floored to MICRO units BEFORE the cross-cell sum — the
+    quantize-pre-sum discipline; zero cells contribute 0 by the
+    x·ln x → 0 limit, taken explicitly.
+
+    Magnitude audit: counts stay < 2^53 to N ≈ 9e15 docs; G_micro
+    ≤ 2N·ln(min(r,c))·1e6 ~ 1e18 at 1e11 docs sits inside BIGINT.
+
+    Shape at 100 TB: identical to q312 — one grouped pass to ≤100
+    cells, margins, a grid-sized reduction."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rows_m = cells.groupBy("lang").agg(F.sum("o").alias("r"))
+    cols_m = cells.groupBy("source").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    j = (
+        rows_m.crossJoin(cols_m)
+        .join(cells, ["lang", "source"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    term = (
+        "CASE WHEN o = 0 THEN 0L ELSE"
+        " CAST(floor(CAST(o AS DOUBLE)"
+        "  * (ln(CAST(o AS DOUBLE)) + ln(CAST(n AS DOUBLE))"
+        "     - ln(CAST(r AS DOUBLE)) - ln(CAST(c AS DOUBLE)))"
+        "  * 1e6) AS BIGINT) END"
+    )
+    agg = j.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("lang").alias("nr"),
+        F.countDistinct("source").alias("nc"),
+        F.sum(F.expr(term)).alias("half_g_micro"),
+    )
+    return agg.select(
+        "n",
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
+        (2 * F.col("half_g_micro")).alias("g_micro"),
+        F.round(
+            F.expr("CAST(2 * half_g_micro AS DOUBLE) / 1e6"), 3
+        ).alias("g_stat"),
+        F.round(
+            F.expr(
+                "CAST(half_g_micro AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)"
+            ),
+            6,
+        ).alias("mutual_info_nats"),
+    )
+
+
+_Q313_SQL = """
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source
+), rows_m AS (
+  SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY lang
+), cols_m AS (
+  SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY source
+), tot AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n FROM cells
+), grid AS (
+  SELECT rows_m.lang, cols_m.source, rows_m.r, cols_m.c,
+         coalesce(cells.o, 0) AS o
+  FROM rows_m CROSS JOIN cols_m
+  LEFT JOIN cells ON cells.lang = rows_m.lang
+                 AND cells.source = cols_m.source
+), agg AS (
+  SELECT max(n) AS n,
+         CAST(count(DISTINCT lang) AS BIGINT) AS nr,
+         CAST(count(DISTINCT source) AS BIGINT) AS nc,
+         CAST(sum(CASE WHEN o = 0 THEN 0 ELSE
+           CAST(floor(CAST(o AS DOUBLE)
+             * (ln(CAST(o AS DOUBLE)) + ln(CAST(n AS DOUBLE))
+                - ln(CAST(r AS DOUBLE)) - ln(CAST(c AS DOUBLE)))
+             * 1e6) AS BIGINT) END) AS BIGINT) AS half_g_micro
+  FROM grid CROSS JOIN tot
+)
+SELECT n,
+       CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+       CAST(2 * half_g_micro AS BIGINT) AS g_micro,
+       round(CAST(2 * half_g_micro AS DOUBLE) / 1e6, 3) AS g_stat,
+       round(CAST(half_g_micro AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 6)
+         AS mutual_info_nats
+FROM agg
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -10562,6 +10976,10 @@ QUERIES = {
     "q303_rank_biased_overlap": q303_rank_biased_overlap,
     "q305_chao1_vocab_richness": q305_chao1_vocab_richness,
     "q308_cohens_kappa": q308_cohens_kappa,
+    "q309_ks_two_sample": q309_ks_two_sample,
+    "q310_lexical_concentration": q310_lexical_concentration,
+    "q312_categorical_effect_size": q312_categorical_effect_size,
+    "q313_g_test": q313_g_test,
 }
 
 ORACLES = {
@@ -10701,4 +11119,8 @@ ORACLES = {
     "q303_rank_biased_overlap": _Q303_SQL,
     "q305_chao1_vocab_richness": _Q305_SQL,
     "q308_cohens_kappa": _q308_sql(),
+    "q309_ks_two_sample": _Q309_SQL,
+    "q310_lexical_concentration": _Q310_SQL,
+    "q312_categorical_effect_size": _Q312_SQL,
+    "q313_g_test": _Q313_SQL,
 }

@@ -11165,6 +11165,132 @@ FROM mom
 """
 
 
+def q311_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed and 5%-winsorized means of event value — the
+    outlier-robust location estimates that complement the MAD outlier
+    gate (q162) and the raw percentile view (q41): trimming DROPS the
+    tails, winsorizing CLIPS them to the cut values, and the gap
+    between the three means is itself a tail-heaviness diagnostic.
+
+    Exact order statistics without a global sort: on the cents
+    value-count table with cumulative bounds (lo, hi], the in-trim
+    mass of a value is max(0, min(hi, n−k) − max(lo, k)) — pure
+    integer window arithmetic; the cut values v₍k+1₎ and v₍n−k₎ are
+    range-selected (lo < r ≤ hi) like the q300 median. Both means are
+    exact milli-cent integers ((S·1000) div count) with the dollar
+    doubles derived from them.
+
+    Magnitude audit: S ≤ N·cents ~ 1e15 at 1e11 events — the value
+    products ride DECIMAL(38,0)/HUGEINT anyway (habit over audit).
+
+    Shape at 100 TB: one grouped corpus pass to the value-count
+    table, two windows on that bounded domain, a 1-row reduction."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v")
+    )
+    vc = ev.groupBy("v").agg(F.count("*").alias("c"))
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = vc.select(
+        "v",
+        "c",
+        (F.sum("c").over(w) - F.col("c")).alias("lo"),
+        F.sum("c").over(w).alias("hi"),
+    )
+    tot = vc.agg(F.sum("c").alias("n")).select(
+        "n", F.expr("n div 20").alias("k")
+    )
+    joined = cum.crossJoin(F.broadcast(tot))
+    agg = joined.agg(
+        F.first("n").alias("n"),
+        F.first("k").alias("k"),
+        F.sum(
+            F.expr(
+                "CAST(v AS DECIMAL(38,0))"
+                " * greatest(least(hi, n - k) - greatest(lo, k), 0)"
+            )
+        ).alias("s_trim"),
+        F.max(
+            F.when(
+                (F.col("lo") < F.col("k") + 1)
+                & (F.col("k") + 1 <= F.col("hi")),
+                F.col("v"),
+            )
+        ).alias("v_lo"),
+        F.max(
+            F.when(
+                (F.col("lo") < F.expr("n - k"))
+                & (F.expr("n - k") <= F.col("hi")),
+                F.col("v"),
+            )
+        ).alias("v_hi"),
+        F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * c")).alias("s_all"),
+    )
+    return agg.select(
+        "n",
+        "k",
+        "v_lo",
+        "v_hi",
+        F.expr("CAST((s_all * 1000) div n AS BIGINT)").alias(
+            "mean_milli_cents"
+        ),
+        F.expr(
+            "CAST((s_trim * 1000) div (n - 2 * k) AS BIGINT)"
+        ).alias("trimmed_milli_cents"),
+        F.expr(
+            "CAST(((s_trim + CAST(k AS DECIMAL(38,0)) * v_lo"
+            " + CAST(k AS DECIMAL(38,0)) * v_hi) * 1000) div n AS BIGINT)"
+        ).alias("winsorized_milli_cents"),
+        F.round(
+            F.expr(
+                "CAST(CAST((s_trim * 1000) div (n - 2 * k) AS BIGINT)"
+                " AS DOUBLE) / 1e5"
+            ),
+            4,
+        ).alias("trimmed_mean"),
+    )
+
+
+_Q311_SQL = """
+WITH ev AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+), vc AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY v
+), cum AS (
+  SELECT v, c,
+         CAST(sum(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS BIGINT)
+           AS lo,
+         CAST(sum(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS hi
+  FROM vc
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c) // 20 AS BIGINT) AS k
+  FROM vc
+), agg AS (
+  SELECT max(n) AS n, max(k) AS k,
+         CAST(sum(CAST(v AS HUGEINT)
+              * greatest(least(hi, n - k) - greatest(lo, k), 0)) AS HUGEINT)
+           AS s_trim,
+         max(CASE WHEN lo < k + 1 AND k + 1 <= hi THEN v END) AS v_lo,
+         max(CASE WHEN lo < n - k AND n - k <= hi THEN v END) AS v_hi,
+         CAST(sum(CAST(v AS HUGEINT) * c) AS HUGEINT) AS s_all
+  FROM cum CROSS JOIN tot
+)
+SELECT n, k, v_lo, v_hi,
+       CAST((s_all * 1000) // n AS BIGINT) AS mean_milli_cents,
+       CAST((s_trim * 1000) // (n - 2 * k) AS BIGINT)
+         AS trimmed_milli_cents,
+       CAST(((s_trim + CAST(k AS HUGEINT) * v_lo
+              + CAST(k AS HUGEINT) * v_hi) * 1000) // n AS BIGINT)
+         AS winsorized_milli_cents,
+       round(CAST(CAST((s_trim * 1000) // (n - 2 * k) AS BIGINT)
+             AS DOUBLE) / 1e5, 4) AS trimmed_mean
+FROM agg
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -11316,6 +11442,7 @@ QUERIES = {
     "q304_bh_fdr_control": q304_bh_fdr_control,
     "q306_gini_concentration": q306_gini_concentration,
     "q307_spearman_rho": q307_spearman_rho,
+    "q311_robust_means": q311_robust_means,
 }
 
 ORACLES = {
@@ -11469,4 +11596,5 @@ ORACLES = {
     "q304_bh_fdr_control": _q304_sql(),
     "q306_gini_concentration": _Q306_SQL,
     "q307_spearman_rho": _Q307_SQL,
+    "q311_robust_means": _Q311_SQL,
 }

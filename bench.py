@@ -352,6 +352,11 @@ HEADLINE = [
     "q306_gini_concentration",
     "q307_spearman_rho",
     "q308_cohens_kappa",
+    "q309_ks_two_sample",
+    "q310_lexical_concentration",
+    "q311_robust_means",
+    "q312_categorical_effect_size",
+    "q313_g_test",
 ]
 
 

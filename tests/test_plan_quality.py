@@ -2605,7 +2605,9 @@ def test_q249_kn_perplexity_hand_computed(spark, tmp_path, qs):
     lnp_ac = round((math.log(8) - math.log(24)) * 1e9)
     total = 2 * lnp_ab + lnp_ac
     assert (r.source, r.n_bigrams) == ("s", 3)
-    assert r.sum_lnp_nano == total
+    # sum_lnp_nano rides DECIMAL(38,0)/HUGEINT and is emitted as a
+    # STRING (round-6 overflow sweep)
+    assert r.sum_lnp_nano == str(total)
     avg = int(total / 3) if total >= 0 else -((-total) // 3)
     # Spark div / DuckDB // truncate toward zero on negatives
     assert r.avg_lnp_nano == avg
@@ -3441,7 +3443,11 @@ def test_q269_effect_sizes_hand_computed(spark, tmp_path, qs):
     g = d * (1 - 3 / (4 * (n1 + n2) - 9))
 
     r = qs["q269_effect_sizes"](spark, str(tmp_path)).collect()[0]
-    assert (r.n1, r.n2, r.gt, r.lt, r.ties) == (n1, n2, gt, lt, ties)
+    # gt/lt/ties are pair counts: DECIMAL-widened and STRING-emitted
+    # (round-6 overflow sweep)
+    assert (r.n1, r.n2, r.gt, r.lt, r.ties) == (
+        n1, n2, str(gt), str(lt), str(ties)
+    )
     assert r.cliffs_delta_ppm == delta_ppm
     assert abs(r.cohens_d - round(d, 4)) < 1e-6
     assert abs(r.hedges_g - round(g, 4)) < 1e-6
@@ -3624,8 +3630,10 @@ def test_q272_roc_auc_vs_bruteforce(spark, sf_dir, qs):
     assert abs(u - (gt + ties / 2)) < 1e-6
 
     row = qs["q272_roc_auc"](spark, sf_dir).collect()[0]
+    # gt/ties are pair counts: DECIMAL-widened and STRING-emitted
+    # (round-6 overflow sweep)
     assert (row.n_pos, row.n_neg, row.gt, row.ties) == (
-        len(pos), len(neg), gt, ties)
+        len(pos), len(neg), str(gt), str(ties))
     assert row.auc_ppm == auc_ppm
 
 
@@ -3728,7 +3736,9 @@ def test_q274_jt_vs_bruteforce(spark, sf_dir, qs):
         (N * N * (2.0 * N + 3.0) - sn23) / 72.0)
 
     r = qs["q274_jonckheere_terpstra"](spark, sf_dir).collect()[0]
-    assert (r.gt, r.ties, r.jt2, r.nn) == (gt, ties, jt2, N)
+    # gt/ties/jt2 are pair counts: DECIMAL-widened and STRING-emitted
+    # (round-6 overflow sweep)
+    assert (r.gt, r.ties, r.jt2, r.nn) == (str(gt), str(ties), str(jt2), N)
     assert abs(r.z_jt - round(z, 4)) < 1e-3
 
 

@@ -220,3 +220,92 @@ def test_q308_kappa_mechanics(spark, tmp_path, qs):
     assert r.n == r.n11 + r.n10 + r.n01 + r.n00 == 30
     assert -1_000_000 <= r.kappa_ppm <= 1_000_000
     assert r.po_ppm == ((r.n11 + r.n00) * 1_000_000) // 30
+
+
+def test_q309_ks_known_shift(spark, tmp_path, qs):
+    # src0 lengths {10,20}, src1 {10,30}: D peaks at v=20 with
+    # |2·2 − 1·2| = 2 → D = 0.5 → 500000 ppm
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "a", "en", "src0", 10),
+            (2, "b", "en", "src0", 20),
+            (3, "c", "en", "src1", 10),
+            (4, "d", "en", "src1", 30),
+        ],
+    )
+    r = qs["q309_ks_two_sample"](spark, str(tmp_path)).collect()[0]
+    assert (r.n1, r.n2, r.d_num, r.d_ppm) == (2, 2, "2", 500000)
+
+
+def test_q310_hand_spectrum(spark, tmp_path, qs):
+    # "a a b": V=2, N=3, n1=1, Σc²=5 → K = (5−3)·1e7//9 = 2222222,
+    # Simpson = 2e6//6 = 333333, hapax = 1e6//2, TTR = 2e6//3
+    _write_docs(spark, tmp_path, [(1, "a a b", "en", "srcA", 5)])
+    r = qs["q310_lexical_concentration"](spark, str(tmp_path)).collect()[0]
+    assert (r.v_obs, r.n_tokens, r.n1, r.sum_c2) == (2, 3, 1, "5")
+    assert r.yule_k_milli == 2222222
+    assert r.simpson_ppm == 333333
+    assert (r.hapax_ppm, r.ttr_ppm) == (500000, 666666)
+
+
+def test_q311_trim_and_winsorize_hand(spark, tmp_path, qs):
+    # cents 1..19 plus 1000: k=1, trim drops {1, 1000}, winsorize
+    # clips them to the rank-2/rank-19 values (2 and 19)
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    cents = list(range(1, 20)) + [1000]
+    rows = [
+        (i, datetime(2024, 3, 1, 12), i, "t", c / 100.0, "{}")
+        for i, c in enumerate(cents)
+    ]
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = qs["q311_robust_means"](spark, str(tmp_path)).collect()[0]
+    assert (r.n, r.k, r.v_lo, r.v_hi) == (20, 1, 2, 19)
+    assert r.mean_milli_cents == 59500
+    assert r.trimmed_milli_cents == 10500
+    assert r.winsorized_milli_cents == 10500
+    assert r.trimmed_mean == 0.105
+
+
+def test_q312_cramers_v_extremes(spark, tmp_path, qs):
+    # perfect dependence (diagonal 2x2) → V = 1
+    dep = [
+        (1, "a", "en", "src0", 1), (2, "b", "en", "src0", 1),
+        (3, "c", "fr", "src1", 1), (4, "d", "fr", "src1", 1),
+    ]
+    _write_docs(spark, tmp_path, dep)
+    r = qs["q312_categorical_effect_size"](spark, str(tmp_path)).collect()[0]
+    assert (r.n, r.dof) == (4, 1)
+    assert r.chi2_milli == 4000  # chi2 = n for a perfect 2x2
+    assert r.cramers_v == 1.0 and r.contingency_c < 1.0
+
+
+def test_q312_independence_is_zero(spark, tmp_path, qs):
+    ind = [
+        (1, "a", "en", "src0", 1), (2, "b", "en", "src1", 1),
+        (3, "c", "fr", "src0", 1), (4, "d", "fr", "src1", 1),
+    ]
+    _write_docs(spark, tmp_path, ind)
+    r = qs["q312_categorical_effect_size"](spark, str(tmp_path)).collect()[0]
+    assert r.chi2_milli == 0 and r.cramers_v == 0.0
+
+
+def test_q313_g_test_extremes(spark, tmp_path, qs):
+    # perfect 2x2 dependence: G = 2·Σ o·ln(o·n/(r·c)) = 2·4·ln2 ≈ 5.545
+    dep = [
+        (1, "a", "en", "src0", 1), (2, "b", "en", "src0", 1),
+        (3, "c", "fr", "src1", 1), (4, "d", "fr", "src1", 1),
+    ]
+    _write_docs(spark, tmp_path, dep)
+    r = qs["q313_g_test"](spark, str(tmp_path)).collect()[0]
+    import math
+
+    assert r.dof == 1
+    assert abs(r.g_stat - 8 * math.log(2)) < 1e-3
+    assert abs(r.mutual_info_nats - math.log(2)) < 1e-5
