@@ -10839,6 +10839,107 @@ FROM agg
 """
 
 
+def q314_mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: search on the FIRST 32 of 64
+    embedding dims and report per-query recall@5 against the exact
+    full-dim scan — the measurement that decides whether a 2×-cheaper
+    truncated index (the MRL serving pattern) is safe, exactly as
+    q113 audits the int8 tier and q280 the 1-bit tier. Per-query rows,
+    not a global average that can hide one bad query.
+
+    Float parity: both tiers run the shared q22 cosine machinery —
+    explicit left-to-right fold dot products over identically sliced
+    arrays, one deterministic division per pair — so Spark and the
+    DuckDB oracle order candidates identically (vec_id breaks exact
+    ties).
+
+    Shape at 100 TB: two broadcast-query scans of the corpus (the
+    truncated one reading half the vector bytes — the point of MRL);
+    TakeOrdered top-5 per query; the overlap join is 25 rows."""
+    from ..operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    trunc = lambda df: df.withColumn(
+        "embedding", F.slice("embedding", 1, 32)
+    )
+    top_t = cosine_topk(trunc(corpus), trunc(queries), k=5).select(
+        "query_id", "vec_id"
+    )
+    exact = cosine_topk(corpus, queries, k=5).select("query_id", "vec_id")
+    hits = top_t.join(exact, ["query_id", "vec_id"], "left_semi")
+    return (
+        top_t.groupBy("query_id")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("_ids"))
+        .join(
+            hits.groupBy("query_id").agg(F.count("*").alias("n_overlap")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.array_join(
+                F.transform("_ids", lambda x: x.cast("string")), ","
+            ).alias("trunc32_top5"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap_at_5"),
+            (F.coalesce("n_overlap", F.lit(0)) * 20).alias("recall_pct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_Q314_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= 5
+), st AS (
+  SELECT query_id, vec_id,
+         list_dot_product(qv[1:32], v[1:32]) /
+           (sqrt(list_dot_product(qv[1:32], qv[1:32]))
+            * sqrt(list_dot_product(v[1:32], v[1:32]))) AS cos
+  FROM c CROSS JOIN q
+), topt AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, vec_id) AS rank
+    FROM st
+  ) WHERE rank <= 5
+), se AS (
+  SELECT query_id, vec_id,
+         list_dot_product(qv, v) /
+           (sqrt(list_dot_product(qv, qv))
+            * sqrt(list_dot_product(v, v))) AS cos
+  FROM c CROSS JOIN q
+), tope AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, vec_id) AS rank
+    FROM se
+  ) WHERE rank <= 5
+), hits AS (
+  SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM topt t JOIN tope e USING (query_id, vec_id)
+  GROUP BY t.query_id
+)
+SELECT t.query_id,
+       list_aggregate(list_sort(list(t.vec_id)), 'string_agg', ',')
+         AS trunc32_top5,
+       CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap_at_5,
+       CAST(coalesce(h.n_overlap, 0) * 20 AS BIGINT) AS recall_pct
+FROM topt t LEFT JOIN hits h ON h.query_id = t.query_id
+GROUP BY t.query_id, h.n_overlap
+ORDER BY t.query_id
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -10980,6 +11081,7 @@ QUERIES = {
     "q310_lexical_concentration": q310_lexical_concentration,
     "q312_categorical_effect_size": q312_categorical_effect_size,
     "q313_g_test": q313_g_test,
+    "q314_mrl_truncation_recall": q314_mrl_truncation_recall,
 }
 
 ORACLES = {
@@ -11123,4 +11225,5 @@ ORACLES = {
     "q310_lexical_concentration": _Q310_SQL,
     "q312_categorical_effect_size": _Q312_SQL,
     "q313_g_test": _Q313_SQL,
+    "q314_mrl_truncation_recall": _Q314_SQL,
 }

@@ -357,6 +357,7 @@ HEADLINE = [
     "q311_robust_means",
     "q312_categorical_effect_size",
     "q313_g_test",
+    "q314_mrl_truncation_recall",
 ]
 
 

@@ -309,3 +309,30 @@ def test_q313_g_test_extremes(spark, tmp_path, qs):
     assert r.dof == 1
     assert abs(r.g_stat - 8 * math.log(2)) < 1e-3
     assert abs(r.mutual_info_nats - math.log(2)) < 1e-5
+
+
+def test_q314_truncation_changes_ranking(spark, tmp_path, qs):
+    """One engineered decoy whose first 32 dims mimic the query but
+    whose tail is huge orthogonal noise: the truncated tier ranks it
+    first while the full scan ranks it last → recall@5 = 80%."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    def vec(head, tail):
+        return [float(x) for x in (head + tail)]
+
+    e1_head = [1.0] + [0.0] * 31
+    rows = [(0, vec(e1_head, [0.0] * 32), 0)]  # the query (vec_id < 5)
+    # five honest neighbors: aligned with the query in head AND tail
+    for i in range(5):
+        rows.append((5 + i, vec([1.0, 0.01 * i] + [0.0] * 30,
+                                [0.0] * 32), 0))
+    # the decoy: identical head, massive orthogonal tail
+    rows.append((20, vec(e1_head, [50.0] * 32), 0))
+    spark.createDataFrame(rows, SCHEMAS["embeddings"]).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = {r.query_id: r for r in
+           qs["q314_mrl_truncation_recall"](spark, str(tmp_path)).collect()}
+    r = out[0]
+    assert "20" in r.trunc32_top5.split(",")  # decoy wins the truncated tier
+    assert r.n_overlap_at_5 == 4 and r.recall_pct == 80
