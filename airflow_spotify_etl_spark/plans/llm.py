@@ -10940,6 +10940,151 @@ ORDER BY t.query_id
 """
 
 
+def q315_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the embedding space: the k-occurrence
+    distribution N_5(x) (how often each vector appears in OTHER
+    vectors' cosine top-5) and its skewness — high-dimensional spaces
+    grow 'hub' vectors that pollute every ANN result list, and this
+    skew is the standard early-warning metric (Radovanović et al.,
+    JMLR'10) a retrieval stack checks before trusting its index tiers
+    (q27/q97/q113/q280/q314).
+
+    Exactness: the top-5 graph uses the shared q22 left-to-right-fold
+    cosine machinery (deterministic ordering, vec_id tiebreak);
+    in-degrees are exact integers, the three skewness moments are
+    exact BIGINTs, and g₁ = (n·Σd³ − 3·Σd·Σd² + 2·(Σd)³/n)/… is
+    computed as one deterministic double chain over them.
+
+    Shape note: the audit scores all pairs (the exact baseline tier —
+    same contract as q22/q28); at 100 TB the N_k graph comes from the
+    IVF-pruned tier instead, and the in-degree/skewness stages below
+    are unchanged — they are degree-domain-bounded.
+
+    Output: one row — n vectors, max/mean in-degree, the count of
+    'hubs' (N_5 ≥ 2·k), and the k-occurrence skewness."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select("vec_id", F.expr(
+        "transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"))
+    b = a.select(F.col("vec_id").alias("nbr_id"), F.col("v").alias("w"))
+    dot = F.expr(
+        "aggregate(zip_with(v, w, (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+        " (acc, x) -> acc + x)"
+    )
+    norm = lambda c: F.sqrt(
+        F.expr(
+            f"aggregate(transform({c}, x -> x * x), CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x)"
+        )
+    )
+    scored = (
+        a.join(b, F.col("vec_id") != F.col("nbr_id"))
+        .select(
+            "vec_id",
+            "nbr_id",
+            (dot / (norm("v") * norm("w"))).alias("cos"),
+        )
+    )
+    w5 = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), "nbr_id")
+    top5 = scored.withColumn("r", F.row_number().over(w5)).filter(
+        F.col("r") <= 5
+    )
+    deg = (
+        a.select(F.col("vec_id").alias("nbr_id"))
+        .join(top5.groupBy("nbr_id").agg(F.count("*").alias("d")),
+              "nbr_id", "left")
+        .select(F.coalesce("d", F.lit(0)).alias("d"))
+    )
+    mom = deg.agg(
+        F.count("*").alias("n"),
+        F.sum("d").alias("s1"),
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d")).alias("s2"),
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d * d")).alias("s3"),
+        F.max("d").alias("max_deg"),
+        F.sum(F.when(F.col("d") >= 10, 1).otherwise(0)).alias("n_hubs"),
+    )
+    skew = (
+        "(CAST(n AS DOUBLE) * sqrt(CAST(n AS DOUBLE))"
+        " * (CAST(s3 AS DOUBLE) - 3.0e0 * CAST(s1 AS DOUBLE) * s2"
+        "    / CAST(n AS DOUBLE)"
+        "    + 2.0e0 * CAST(s1 AS DOUBLE) * s1 * s1"
+        "      / (CAST(n AS DOUBLE) * n)))"
+        " / ((CAST(n AS DOUBLE) - 1.0e0)"
+        "    * sqrt(CAST(n AS DOUBLE) - 1.0e0)"
+        "    * pow_safe)"
+    )
+    return mom.select(
+        "n",
+        "max_deg",
+        "n_hubs",
+        F.round(F.expr("CAST(s1 AS DOUBLE) / n"), 4).alias("mean_deg"),
+        F.round(
+            F.expr(
+                "CASE WHEN CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1"
+                " / CAST(n AS DOUBLE) > 0 THEN "
+                + skew.replace(
+                    "pow_safe",
+                    "((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1"
+                    " / CAST(n AS DOUBLE))"
+                    " * sqrt(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1"
+                    "        / CAST(n AS DOUBLE)))",
+                )
+                + " ELSE CAST(NULL AS DOUBLE) END"
+            ),
+            4,
+        ).alias("k_occurrence_skewness"),
+    )
+
+
+_Q315_SQL = """
+WITH a AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), scored AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM a JOIN a b ON a.vec_id <> b.vec_id
+), top5 AS (
+  SELECT nbr_id FROM (
+    SELECT vec_id, nbr_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, nbr_id) AS r
+    FROM scored
+  ) WHERE r <= 5
+), deg AS (
+  SELECT coalesce(d.d, 0) AS d
+  FROM a LEFT JOIN (
+    SELECT nbr_id, CAST(count(*) AS BIGINT) AS d FROM top5 GROUP BY nbr_id
+  ) d ON d.nbr_id = a.vec_id
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(d) AS BIGINT) AS s1,
+         CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS s2,
+         CAST(sum(CAST(d AS HUGEINT) * d * d) AS HUGEINT) AS s3,
+         CAST(max(d) AS BIGINT) AS max_deg,
+         CAST(sum(CASE WHEN d >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_hubs
+  FROM deg
+)
+SELECT n, max_deg, n_hubs,
+       round(CAST(s1 AS DOUBLE) / n, 4) AS mean_deg,
+       round(CASE WHEN CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1
+                       / CAST(n AS DOUBLE) > 0 THEN
+         (CAST(n AS DOUBLE) * sqrt(CAST(n AS DOUBLE))
+          * (CAST(s3 AS DOUBLE) - 3.0e0 * CAST(s1 AS DOUBLE) * s2
+             / CAST(n AS DOUBLE)
+             + 2.0e0 * CAST(s1 AS DOUBLE) * s1 * s1
+               / (CAST(n AS DOUBLE) * n)))
+         / ((CAST(n AS DOUBLE) - 1.0e0)
+            * sqrt(CAST(n AS DOUBLE) - 1.0e0)
+            * ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1
+                / CAST(n AS DOUBLE))
+               * sqrt(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1
+                      / CAST(n AS DOUBLE))))
+       ELSE CAST(NULL AS DOUBLE) END, 4) AS k_occurrence_skewness
+FROM mom
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -11082,6 +11227,7 @@ QUERIES = {
     "q312_categorical_effect_size": q312_categorical_effect_size,
     "q313_g_test": q313_g_test,
     "q314_mrl_truncation_recall": q314_mrl_truncation_recall,
+    "q315_hubness_audit": q315_hubness_audit,
 }
 
 ORACLES = {
@@ -11226,4 +11372,5 @@ ORACLES = {
     "q312_categorical_effect_size": _Q312_SQL,
     "q313_g_test": _Q313_SQL,
     "q314_mrl_truncation_recall": _Q314_SQL,
+    "q315_hubness_audit": _Q315_SQL,
 }

@@ -11291,6 +11291,103 @@ FROM agg
 """
 
 
+def q316_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest on the daily event-count
+    series: ŷ_t = y_{t−7} scored by MAE and by MASE (MAE over the
+    naive-1 MAE — Hyndman's scale-free forecast error), the evaluation
+    primitive that says whether q74's forecast beats the
+    weekly-seasonal baseline at all.
+
+    Exactness: both MAE numerators are exact BIGINT sums of |y_t −
+    y_{t−lag}| off two lag self-joins of the zero-filled calendar
+    (q267's spine), scored over the SAME day window (both lags
+    present), so the denominators cancel and
+    MASE_ppm = Σ|e₇|·1e6 div Σ|e₁| is one nonnegative integer
+    division — never a float ratio of floats.
+
+    Magnitude audit: Σ|e| ≤ n·max-daily ~ 3650·2.7e7 ≈ 1e11 at 1e11
+    rows — BIGINT-safe by 1e7; the cross-multiplied MASE numerator
+    rides DECIMAL(38,0)/HUGEINT out of habit.
+
+    Shape at 100 TB: one grouped corpus pass to the calendar series;
+    the lag joins are day-keyed self-joins of that bounded relation."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("c")
+    )
+    mm = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = mm.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    series = cal.join(daily, "d", "left").select(
+        F.expr("datediff(d, date'1970-01-01')").alias("t"),
+        F.coalesce("c", F.lit(0)).cast("long").alias("y"),
+    )
+    cur = series.select(F.col("t"), F.col("y"))
+    lag = lambda k: series.select(
+        (F.col("t") + k).alias("t"), F.col("y").alias(f"y{k}")
+    )
+    j = cur.join(lag(7), "t").join(lag(1), "t")
+    agg = j.agg(
+        F.count("*").alias("n_scored"),
+        F.sum(F.expr("abs(y - y7)")).alias("sae7"),
+        F.sum(F.expr("abs(y - y1)")).alias("sae1"),
+    )
+    n_tot = series.agg(F.count("*").alias("n_days"))
+    return (
+        agg.crossJoin(F.broadcast(n_tot))
+        .select(
+            "n_days",
+            "n_scored",
+            "sae7",
+            "sae1",
+            F.round(
+                F.expr("CAST(sae7 AS DOUBLE) / n_scored"), 4
+            ).alias("mae_seasonal"),
+            F.expr(
+                "CASE WHEN sae1 > 0 THEN"
+                " CAST((CAST(sae7 AS DECIMAL(38,0)) * 1000000)"
+                "      div CAST(sae1 AS DECIMAL(38,0)) AS BIGINT)"
+                " END"
+            ).alias("mase_ppm"),
+        )
+    )
+
+
+_Q316_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS c FROM events GROUP BY 1
+), mm AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM daily
+), cal AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM mm
+), series AS (
+  SELECT CAST(cal.d - DATE '1970-01-01' AS BIGINT) AS t,
+         CAST(coalesce(daily.c, 0) AS BIGINT) AS y
+  FROM cal LEFT JOIN daily ON cal.d = daily.d
+), j AS (
+  SELECT cur.t, cur.y, l7.y AS y7, l1.y AS y1
+  FROM series cur
+  JOIN (SELECT t + 7 AS t, y FROM series) l7 ON l7.t = cur.t
+  JOIN (SELECT t + 1 AS t, y FROM series) l1 ON l1.t = cur.t
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_scored,
+         CAST(sum(abs(y - y7)) AS BIGINT) AS sae7,
+         CAST(sum(abs(y - y1)) AS BIGINT) AS sae1
+  FROM j
+), n_tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days FROM series
+)
+SELECT n_days, n_scored, sae7, sae1,
+       round(CAST(sae7 AS DOUBLE) / n_scored, 4) AS mae_seasonal,
+       CASE WHEN sae1 > 0 THEN
+         CAST((CAST(sae7 AS HUGEINT) * 1000000)
+              // CAST(sae1 AS HUGEINT) AS BIGINT)
+       END AS mase_ppm
+FROM agg CROSS JOIN n_tot
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -11443,6 +11540,7 @@ QUERIES = {
     "q306_gini_concentration": q306_gini_concentration,
     "q307_spearman_rho": q307_spearman_rho,
     "q311_robust_means": q311_robust_means,
+    "q316_seasonal_backtest": q316_seasonal_backtest,
 }
 
 ORACLES = {
@@ -11597,4 +11695,5 @@ ORACLES = {
     "q306_gini_concentration": _Q306_SQL,
     "q307_spearman_rho": _Q307_SQL,
     "q311_robust_means": _Q311_SQL,
+    "q316_seasonal_backtest": _Q316_SQL,
 }

@@ -358,6 +358,8 @@ HEADLINE = [
     "q312_categorical_effect_size",
     "q313_g_test",
     "q314_mrl_truncation_recall",
+    "q315_hubness_audit",
+    "q316_seasonal_backtest",
 ]
 
 

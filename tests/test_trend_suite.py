@@ -336,3 +336,47 @@ def test_q314_truncation_changes_ranking(spark, tmp_path, qs):
     r = out[0]
     assert "20" in r.trunc32_top5.split(",")  # decoy wins the truncated tier
     assert r.n_overlap_at_5 == 4 and r.recall_pct == 80
+
+
+def test_q315_hubness_planted_hub(spark, tmp_path, qs):
+    """One central vector every other vector points at: its in-degree
+    is n−1 while the periphery's stays small — max_deg pins the hub."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    import math
+
+    rows = [(0, [1.0] + [0.0] * 63, 0)]  # the hub
+    # periphery: hub direction plus small unique orthogonal components
+    for i in range(1, 12):
+        v = [1.0] + [0.0] * 63
+        v[i] = 0.4
+        rows.append((i, [float(x) for x in v], 0))
+    spark.createDataFrame(rows, SCHEMAS["embeddings"]).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    r = qs["q315_hubness_audit"](spark, str(tmp_path)).collect()[0]
+    assert r.n == 12
+    assert r.max_deg == 11  # every periphery vector's top-5 has the hub
+    # the engineered hub must be flagged; the near-tied periphery may
+    # add more (id tiebreaks concentrate in-links on low ids)
+    assert r.n_hubs >= 1
+    # mean degree is exactly k (every vector emits 5 edges)
+    assert r.mean_deg == 5.0
+
+
+def test_q316_mase_hand_series(spark, tmp_path, qs):
+    """14 days alternating weekday pattern then a repeat: the seasonal
+    lag-7 forecast is PERFECT (sae7=0) while naive-1 errs every day."""
+    week = [10, 20, 10, 20, 10, 20, 10]
+    _write_events(
+        spark,
+        tmp_path,
+        [(t, list(range(c))) for t, c in enumerate(week + week)],
+    )
+    r = qs["q316_seasonal_backtest"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_days, r.n_scored) == (14, 7)
+    assert r.sae7 == 0 and r.mae_seasonal == 0.0
+    # scored days 7..13: the first (10 after 10) has e1=0, the other
+    # six alternate by 10 → Σ|e1| = 60
+    assert r.sae1 == 60
+    assert r.mase_ppm == 0
