@@ -10955,14 +10955,21 @@ def q315_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact BIGINTs, and g₁ = (n·Σd³ − 3·Σd·Σd² + 2·(Σd)³/n)/… is
     computed as one deterministic double chain over them.
 
-    Shape note: the audit scores all pairs (the exact baseline tier —
-    same contract as q22/q28); at 100 TB the N_k graph comes from the
-    IVF-pruned tier instead, and the in-degree/skewness stages below
-    are unchanged — they are degree-domain-bounded.
+    Shape note: hubness is a STATISTICAL property of the space, so the
+    audit runs on a deterministic md5 sample (vec_id hash % 8 == 0 —
+    both engines draw the identical subset) and scores all pairs
+    WITHIN the sample — the pair stream is sample²-bounded no matter
+    the corpus size; at 100 TB the same degree/skewness stages run
+    off the IVF-pruned graph instead, unchanged.
 
-    Output: one row — n vectors, max/mean in-degree, the count of
-    'hubs' (N_5 ≥ 2·k), and the k-occurrence skewness."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    Output: one row — n sampled vectors, max/mean in-degree, the
+    count of 'hubs' (N_5 ≥ 2·k), and the k-occurrence skewness."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.expr(
+            "conv(substr(md5(concat('hub:', CAST(vec_id AS STRING))),"
+            " 1, 8), 16, 10) % 8 = 0"
+        )
+    )
     a = emb.select("vec_id", F.expr(
         "transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"))
     b = a.select(F.col("vec_id").alias("nbr_id"), F.col("v").alias("w"))
@@ -11038,6 +11045,8 @@ def q315_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q315_SQL = """
 WITH a AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE ('0x' || substr(md5('hub:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+        % 8 = 0
 ), scored AS (
   SELECT a.vec_id, b.vec_id AS nbr_id,
          list_dot_product(a.v, b.v)

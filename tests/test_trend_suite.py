@@ -340,17 +340,19 @@ def test_q314_truncation_changes_ranking(spark, tmp_path, qs):
 
 def test_q315_hubness_planted_hub(spark, tmp_path, qs):
     """One central vector every other vector points at: its in-degree
-    is n−1 while the periphery's stays small — max_deg pins the hub."""
+    is n−1 while the periphery's stays small — max_deg pins the hub.
+    All planted vec_ids are chosen to SURVIVE the query's md5 %8
+    sampling filter (hashlib-verified: 1,5,6,8,21,26,30,33,39,59,61,
+    77)."""
     from airflow_spotify_etl_spark.sources.files import SCHEMAS
 
-    import math
-
-    rows = [(0, [1.0] + [0.0] * 63, 0)]  # the hub
+    ids = [1, 5, 6, 8, 21, 26, 30, 33, 39, 59, 61, 77]
+    rows = [(ids[0], [1.0] + [0.0] * 63, 0)]  # the hub
     # periphery: hub direction plus small unique orthogonal components
-    for i in range(1, 12):
+    for j, vid in enumerate(ids[1:], start=1):
         v = [1.0] + [0.0] * 63
-        v[i] = 0.4
-        rows.append((i, [float(x) for x in v], 0))
+        v[j] = 0.4
+        rows.append((vid, [float(x) for x in v], 0))
     spark.createDataFrame(rows, SCHEMAS["embeddings"]).write.parquet(
         str(tmp_path / "embeddings.parquet")
     )
