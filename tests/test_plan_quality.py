@@ -4803,3 +4803,21 @@ def test_q298_seasonality_hand_computed(spark, tmp_path, qs):
     assert top.load_vs_expected == round(devs[hot], 4)
     assert all(row.chi2 == round(chi_nano / 1e9, 4) for row in got)
     assert got[0].live_cells == len(cells)
+
+
+def test_q315_hubness_sample_is_fixed_k_bounded(spark, sf_dir, qs):
+    """The hubness audit must draw a FIXED-SIZE sample before its cosine
+    self-join — a fixed-fraction draw grows the pair stream quadratically
+    with the corpus (round-6 verdict's one scale defect). The fixed-k
+    draw plans as TakeOrderedAndProject(limit=256), so the self-joined
+    relation is ≤ k² pairs no matter the corpus size, and the reported n
+    is exactly min(k, corpus)."""
+    df = qs["q315_hubness_audit"](spark, sf_dir)
+    plan = _final_plan(df)
+    assert "TakeOrderedAndProject" in plan, "sample draw is not a top-k"
+    assert "limit=256" in plan, "sample is not k-bounded at k=256"
+    row = df.collect()[0]
+    from airflow_spotify_etl_spark.sources.files import load_table
+
+    corpus = load_table(spark, sf_dir, "embeddings").count()
+    assert row.n == min(256, corpus)
