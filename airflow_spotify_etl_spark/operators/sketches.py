@@ -316,6 +316,11 @@ def count_min_estimate(
     if "width" in sketch.columns:
         meta = sketch.select("row", "width").distinct().collect()
         widths = {r.width for r in meta}
+        if not widths:
+            raise ValueError(
+                "count_min_estimate: sketch is empty (no counter rows) — "
+                "build it with count_min_sketch() over a non-empty input"
+            )
         if len(widths) != 1:
             raise ValueError(
                 f"count_min_estimate: sketch mixes widths {sorted(widths)} — "
@@ -337,6 +342,11 @@ def count_min_estimate(
         depth = sorted(
             r.row for r in sketch.select("row").distinct().collect()
         )
+        if not depth:
+            raise ValueError(
+                "count_min_estimate: sketch is empty (no counter rows) — "
+                "build it with count_min_sketch() over a non-empty input"
+            )
     rows = F.explode(F.array(*[F.lit(i) for i in depth])).alias("row")
     hashed = probes.select(F.col(colname).cast("string").alias("_k")).select(
         "_k", rows
@@ -370,8 +380,16 @@ def hll_registers(
     partials exactly.
 
     Scale shape: state is ≤ |keys|·256 cells regardless of corpus
-    size; the groupBy combines map-side."""
+    size; the groupBy combines map-side.
+
+    NULL semantics: NULL is not a value — rows whose sketched column
+    is NULL are dropped BEFORE hashing (md5(NULL) would otherwise
+    yield a j=NULL register whose rho is NULL, which hll_estimate's
+    count(*) counts as a live register while its shiftleft
+    contribution is NULL, silently skewing reg_sum_s). This matches
+    exact count(DISTINCT col), which also ignores NULLs."""
     keys = list(key_cols or [])
+    df = df.filter(F.col(colname).isNotNull())
     h = F.expr(f"conv(substr(md5(CAST({colname} AS STRING)), 1, 8), 16, 10)").cast(
         "long"
     )

@@ -17,6 +17,22 @@ Scale notes:
   corpus: no shuffle of the big side; per-partition top-k then a tiny final
   merge (row_number over ≤ k·n_queries rows). The LSH/IVF scale path is in
   operators/similarity.py.
+
+Pinning convention — persist() vs localCheckpoint(eager=True) (ADVICE r6):
+``localCheckpoint`` TRUNCATES lineage, so a lost executor/block fails the
+job instead of recomputing, and ``eager=True`` materializes even if the
+result is never consumed. The swap is therefore gated on ALL of: (1) the
+pinned relation is a SMALL, bounded intermediate (post-dedup pair lists,
+top-k slices, 1-row scalars — never a corpus-sized relation); (2) it is
+fanned into 2+ downstream branches within a SINGLE plan invocation (the
+re-materialization cost per invocation is paid once and saves >= 2 upstream
+replays); and (3) it is NOT a multi-round iterative core — those REUSE one
+cache entry across invocations via persist() (CacheManager keys on the
+logical plan), and swapping them to localCheckpoint regressed
+pagerank-family queries 2x before being reverted (BASELINE.md round-6
+note, q266/q57/q151). Every localCheckpoint site in this file and
+relational.py meets (1)-(3); iterative cores (graph.py rounds, PCA power
+iteration) use persist().
 """
 
 from __future__ import annotations
@@ -10338,7 +10354,11 @@ def q308_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact rational arithmetic: from the 2×2 agreement table,
     kappa = (n·(n₁₁+n₀₀) − (a₁b₁+a₀b₀)) / (n² − (a₁b₁+a₀b₀)) —
     numerator and denominator are exact integers (no pₒ/pₑ floats),
-    emitted as a sign-split ppm division.
+    emitted as a sign-split ppm division. Degenerate guard (ADVICE
+    r6): when BOTH labelers are constant, pₑ = 1 and the denominator
+    is exactly 0 — kappa is undefined and kappa_ppm is an EXPLICIT
+    NULL (guarded on the exact integer denominator, the q304 idiom),
+    never an incidental divide-by-zero.
 
     Magnitude audit: a₁b₁ ~ N² wraps BIGINT at N ≈ 3e9 docs — the
     cross products and n² run in DECIMAL(38,0)/HUGEINT.
@@ -10380,7 +10400,8 @@ def q308_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n01",
         "n00",
         F.expr(
-            f"CASE WHEN {num} >= 0 THEN ({num} * 1000000) div {den}"
+            f"CASE WHEN {den} = 0 THEN CAST(NULL AS BIGINT)"
+            f" WHEN {num} >= 0 THEN ({num} * 1000000) div {den}"
             f" ELSE -((-({num}) * 1000000) div {den}) END"
         ).alias("kappa_ppm"),
         F.expr("((n11 + n00) * 1000000) div n").alias("po_ppm"),
@@ -10417,7 +10438,8 @@ WITH scores AS (
   FROM e
 )
 SELECT n, n11, n10, n01, n00,
-       CAST(CASE WHEN {num} >= 0 THEN ({num} * 1000000) // {den}
+       CAST(CASE WHEN {den} = 0 THEN NULL
+            WHEN {num} >= 0 THEN ({num} * 1000000) // {den}
             ELSE -((-({num}) * 1000000) // {den}) END AS BIGINT)
          AS kappa_ppm,
        CAST(((n11 + n00) * 1000000) // n AS BIGINT) AS po_ppm

@@ -22,6 +22,10 @@ Scale notes (100 TB design):
   bit-stable across engines and runs — see `_dec`. round() on a double is
   the one non-portable op (Spark rounds the shortest decimal repr, DuckDB
   the binary value); it appears only where inputs are exact decimals.
+- persist() vs localCheckpoint(eager=True): see the pinning convention in
+  plans/llm.py's module docstring (ADVICE r6) — localCheckpoint only on
+  small bounded intermediates fanned into 2+ branches of ONE invocation;
+  persist() for multi-round iterative cores (the q266 pagerank revert).
 """
 
 from __future__ import annotations

@@ -222,3 +222,53 @@ def test_count_min_sketch_is_self_describing(spark):
     sk2 = count_min_sketch(df, "k", depth=2, width=128)
     with pytest.raises(ValueError, match="mixes widths"):
         count_min_estimate(sk.unionByName(sk2), probes, "k")
+
+
+def test_count_min_estimate_empty_sketch_raises_clearly(spark):
+    """An EMPTY sketch must raise 'sketch is empty', not the misleading
+    'mixes widths []' (ADVICE r6): len(widths)==0 previously fell into
+    the !=1 mixed-width branch. Both the self-describing and the
+    legacy width-less path are covered."""
+    import pytest
+
+    from airflow_spotify_etl_spark.operators.sketches import count_min_estimate
+
+    probes = spark.createDataFrame([("a",)], "k string")
+    empty = spark.createDataFrame(
+        [], "row INT, bucket BIGINT, counter BIGINT, width INT"
+    )
+    with pytest.raises(ValueError, match="sketch is empty"):
+        count_min_estimate(empty, probes, "k")
+    legacy_empty = empty.drop("width")
+    with pytest.raises(ValueError, match="sketch is empty"):
+        count_min_estimate(legacy_empty, probes, "k", width=64)
+
+
+def test_hll_registers_ignore_nulls(spark):
+    """NULL is not a value (ADVICE r6): md5(NULL) would yield a j=NULL
+    register row whose NULL rho skews hll_estimate's live-register
+    count while contributing nothing to the register sum. The sketch
+    of a column WITH nulls must equal the sketch of the same column
+    with nulls dropped — matching count(DISTINCT col) semantics."""
+    from airflow_spotify_etl_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    vals = [(f"u{i}",) for i in range(200)]
+    clean = spark.createDataFrame(vals, "user_id string")
+    dirty = clean.unionByName(
+        spark.createDataFrame([(None,)] * 50, "user_id string")
+    )
+    regs_clean = sorted(
+        (r.j, r.m) for r in hll_registers(clean, "user_id").collect()
+    )
+    regs_dirty = sorted(
+        (r.j, r.m) for r in hll_registers(dirty, "user_id").collect()
+    )
+    assert regs_dirty == regs_clean
+    assert all(j is not None and m is not None for j, m in regs_dirty)
+    est_c = hll_estimate(hll_registers(clean, "user_id")).collect()[0]
+    est_d = hll_estimate(hll_registers(dirty, "user_id")).collect()[0]
+    assert est_c.reg_sum_s == est_d.reg_sum_s
+    assert est_c.hll_estimate == est_d.hll_estimate

@@ -382,3 +382,24 @@ def test_q316_mase_hand_series(spark, tmp_path, qs):
     # six alternate by 10 → Σ|e1| = 60
     assert r.sae1 == 60
     assert r.mase_ppm == 0
+
+
+def test_q308_kappa_degenerate_constant_labelers_is_null(spark, tmp_path, qs):
+    """When BOTH labelers are constant, pe = 1 and the exact-integer
+    denominator n^2 - (a1b1 + a0b0) is 0: kappa is undefined and
+    kappa_ppm must be an EXPLICIT NULL (ADVICE r6 — the q304-style
+    guard), never a divide-by-zero error. Identical short texts make
+    both labelers REJECT every doc (si('lorem')=439 < 5000; gopher
+    drops 1-word docs), concentrating the table in n00."""
+    _write_docs(
+        spark,
+        tmp_path,
+        [(i, "lorem", "en", "src0", 1) for i in range(6)],
+    )
+    r = qs["q308_cohens_kappa"](spark, str(tmp_path)).collect()[0]
+    assert r.n == 6
+    # one constant cell per labeler: the table is concentrated in a
+    # single row AND a single column
+    assert {r.n11, r.n10, r.n01, r.n00} <= {0, 6}
+    assert r.kappa_ppm is None
+    assert r.po_ppm == 1_000_000
