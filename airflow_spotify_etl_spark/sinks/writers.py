@@ -16,6 +16,12 @@
 - ``append_jdbc``     — K2 RDBMS parity: the reference's ``to_sql(...
   SQLite...)`` (spotify_etl2.py:220) as ``df.write.jdbc(mode="append")``
   with the same anti-join idempotency guard reading the remote keys back.
+- ``append_sqlite``   — K2 EXACT-storage parity: the reference's sink is a
+  SQLite FILE, an inherently single-writer driver-side store no matter the
+  engine. This sink lands a SMALL summary relation (the reference writes
+  ≤50 rows) into a real ``.db`` via stdlib ``sqlite3`` with the same
+  idempotent-by-key contract, hard-capped so it can never silently
+  collect a corpus; ``append_jdbc`` remains the distributed-scale path.
 - ``console_display`` — K3: formatted console output behind a flag
   (new.py:143-175, flag :224).
 - ``summary_record``  — K4: the XCom summary dict (spotify_etl.py:275-281)
@@ -35,6 +41,7 @@ __all__ = [
     "write_csv",
     "append_table",
     "append_jdbc",
+    "append_sqlite",
     "overwrite_partitions",
     "compact_table",
     "console_display",
@@ -248,6 +255,106 @@ def append_jdbc(
     if n:
         fresh.write.jdbc(url, table, mode="append", properties=props)
     return n
+
+
+def append_sqlite(
+    new: DataFrame,
+    db_path: str,
+    table: str,
+    key: str,
+    max_rows: int = 10_000,
+) -> int:
+    """K2 exact-storage parity — the reference's
+    ``df.to_sql(table, sqlite3.connect(db), if_exists="append")``
+    (spotify_etl2.py:218-220) lands its FINAL summary relation (≤50 rows)
+    in a SQLite file. A SQLite file is a single-writer, driver-local store
+    no matter what engine produced the rows, so this sink collects the
+    (already small) relation to the driver and inserts via stdlib
+    ``sqlite3`` — no JDBC jar dependency — made idempotent by skipping
+    keys already present (the reference double-inserts on re-run).
+    Returns rows actually inserted.
+
+    Scale guardrail: ``max_rows`` is a HARD cap — a relation that exceeds
+    it raises instead of silently collecting a corpus through the driver.
+    Big relations belong in ``append_jdbc`` (a real RDBMS endpoint) or
+    ``append_table`` (distributed parquet); this sink exists for the
+    reference's actual K2 use: a bounded end-of-pipeline summary.
+
+    Column types map through Arrow → sqlite3 adapters: ints/floats/str
+    natively; other types land as their str() form (the reference's
+    to_sql does the same through pandas object columns)."""
+    import sqlite3
+
+    pdf = new.limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        raise ValueError(
+            f"append_sqlite: relation exceeds max_rows={max_rows} — this "
+            "driver-side sink is for bounded summaries; use append_jdbc "
+            "or append_table for large relations"
+        )
+    if key not in pdf.columns:
+        raise ValueError(f"append_sqlite: key column {key!r} not in relation")
+    cols = list(pdf.columns)
+    qtable = '"' + table.replace('"', '""') + '"'
+    qcols = ", ".join('"' + c.replace('"', '""') + '"' for c in cols)
+
+    def _cell(v):
+        if v is None:
+            return None
+        # pandas NaN/NaT → NULL, numpy scalars → python natives
+        try:
+            import pandas as pd
+
+            if pd.isna(v):
+                return None
+        except (TypeError, ValueError):
+            pass
+        if hasattr(v, "item"):
+            return v.item()
+        if isinstance(v, (int, float, str, bytes)):
+            return v
+        return str(v)
+
+    rows = [tuple(_cell(v) for v in rec) for rec in pdf.itertuples(index=False)]
+    with sqlite3.connect(db_path) as con:
+        exists = con.execute(
+            "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?",
+            (table,),
+        ).fetchone()
+        if not exists:
+            # Affinity from the first batch's python types; TEXT otherwise.
+            def _aff(c):
+                s = pdf[c].dropna()
+                v = _cell(s.iloc[0]) if len(s) else ""
+                if isinstance(v, bool):
+                    return "INTEGER"
+                if isinstance(v, int):
+                    return "INTEGER"
+                if isinstance(v, float):
+                    return "REAL"
+                if isinstance(v, bytes):
+                    return "BLOB"
+                return "TEXT"
+
+            ddl = ", ".join(
+                '"' + c.replace('"', '""') + '" ' + _aff(c) for c in cols
+            )
+            con.execute(f"CREATE TABLE {qtable} ({ddl})")
+            present: set = set()
+        else:
+            qkey = '"' + key.replace('"', '""') + '"'
+            present = {
+                r[0] for r in con.execute(f"SELECT {qkey} FROM {qtable}")
+            }
+        ki = cols.index(key)
+        fresh = [r for r in rows if r[ki] not in present]
+        if fresh:
+            ph = ", ".join("?" for _ in cols)
+            con.executemany(
+                f"INSERT INTO {qtable} ({qcols}) VALUES ({ph})", fresh
+            )
+        con.commit()
+    return len(fresh)
 
 
 def console_display(df: DataFrame, n: int = 20, enabled: bool = True) -> None:

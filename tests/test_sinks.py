@@ -314,3 +314,69 @@ def test_append_jdbc_idempotent_sqlite_end_to_end(tmp_path):
         assert got == (4, 4)
     finally:
         spark.stop()
+
+
+def test_append_sqlite_idempotent_real_file_end_to_end(spark, tmp_path):
+    """The reference's ACTUAL K2 storage (spotify_etl2.py:218-220 —
+    to_sql into a sqlite3 file) executed for real, no jar needed: the
+    driver-side bounded-summary sink writes a genuine .db, idempotent
+    by key across re-runs and incremental batches, verified by reading
+    the file back with stdlib sqlite3."""
+    import sqlite3
+
+    from airflow_spotify_etl_spark.sinks.writers import append_sqlite
+
+    db = str(tmp_path / "sink.db")
+    df = _tracks(spark, [1, 2, 3])
+    assert append_sqlite(df, db, "plays", key="track_id") == 3
+    # Re-run of the same batch: the reference double-inserts here; we don't.
+    assert append_sqlite(df, db, "plays", key="track_id") == 0
+    # Incremental batch with one overlap.
+    assert append_sqlite(_tracks(spark, [3, 4]), db, "plays", key="track_id") == 1
+    with sqlite3.connect(db) as con:
+        n, nd = con.execute(
+            "SELECT count(*), count(DISTINCT track_id) FROM plays"
+        ).fetchone()
+        names = dict(
+            con.execute("SELECT track_id, name FROM plays").fetchall()
+        )
+        types = {
+            r[1]: r[2]
+            for r in con.execute("PRAGMA table_info(plays)").fetchall()
+        }
+    assert (n, nd) == (4, 4)
+    assert names == {1: "track-1", 2: "track-2", 3: "track-3", 4: "track-4"}
+    assert types == {"track_id": "INTEGER", "name": "TEXT"}
+
+
+def test_append_sqlite_caps_driver_collect(spark, tmp_path):
+    """The sink must refuse a relation bigger than max_rows instead of
+    silently collecting it through the driver — big relations belong in
+    append_jdbc/append_table."""
+    import pytest as _pytest
+
+    from airflow_spotify_etl_spark.sinks.writers import append_sqlite
+
+    big = _tracks(spark, range(50))
+    with _pytest.raises(ValueError, match="exceeds max_rows"):
+        append_sqlite(big, str(tmp_path / "x.db"), "plays",
+                      key="track_id", max_rows=10)
+
+
+def test_append_sqlite_null_and_float_cells(spark, tmp_path):
+    """NULLs land as SQL NULL (not the string 'None'/'nan') and floats
+    keep REAL affinity — the cell-adapter path the reference's pandas
+    to_sql provides implicitly."""
+    import sqlite3
+
+    from airflow_spotify_etl_spark.sinks.writers import append_sqlite
+
+    df = spark.createDataFrame(
+        [(1, None, 0.5), (2, "b", None)],
+        "k long, s string, x double",
+    )
+    db = str(tmp_path / "n.db")
+    assert append_sqlite(df, db, "t", key="k") == 2
+    with sqlite3.connect(db) as con:
+        got = sorted(con.execute("SELECT k, s, x FROM t").fetchall())
+    assert got == [(1, None, 0.5), (2, "b", None)]
