@@ -8061,6 +8061,36 @@ ORDER BY i
 """
 
 
+def _calendar_series(ev: DataFrame) -> DataFrame:
+    """Zero-filled daily event-count series (t = epoch days, y = count)
+    over the min..max calendar — the q267 spine, shared by every
+    trend/backtest query that pairs or lags the daily series (q243,
+    q300, q301, q316). PINNED per the llm.py convention: ``daily`` is
+    day-bounded and referenced by both the min/max scan and the spine
+    join (the pin makes the corpus pass run ONCE — unpinned, each
+    downstream branch replayed the full events scan), and the returned
+    series is multi-referenced by every caller (pair sides / dense
+    grid / lag joins), so it is pinned too (a sub-second job on a
+    calendar-bounded relation)."""
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    mm = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = mm.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    return (
+        cal.join(daily, "d", "left")
+        .select(
+            F.expr("datediff(d, date'1970-01-01')").alias("t"),
+            F.coalesce("c", F.lit(0)).cast("long").alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def q243_mann_kendall_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall trend test + Theil-Sen robust slope on the daily
     event-count series — the nonparametric alternative to q78's
@@ -8075,19 +8105,9 @@ def q243_mann_kendall_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded slope table (documented choice: no averaging of middle
     pairs, so the result is an actual observed quantized slope)."""
     ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
-        F.count("*").alias("c")
-    )
-    mm = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
-    cal = mm.select(
-        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
-    )
-    series = cal.join(daily, "d", "left").select(
-        F.expr("datediff(d, date'1970-01-01')").alias("t"),
-        F.coalesce("c", F.lit(0)).alias("c"),
-    )
-    a = series.select(F.col("t").alias("ta"), F.col("c").alias("ca"))
-    b = series.select(F.col("t").alias("tb"), F.col("c").alias("cb"))
+    series = _calendar_series(ev)
+    a = series.select(F.col("t").alias("ta"), F.col("y").alias("ca"))
+    b = series.select(F.col("t").alias("tb"), F.col("y").alias("cb"))
     pairs = a.join(b, F.col("tb") > F.col("ta")).select(
         F.signum(F.col("cb") - F.col("ca")).cast("long").alias("sgn"),
         F.expr(
@@ -10566,17 +10586,7 @@ def q300_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     of that n-row relation (bounded n² stream), then count-table
     windows on the slope domain."""
     ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
-        F.count("*").alias("c")
-    )
-    mm = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
-    cal = mm.select(
-        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
-    )
-    series = cal.join(daily, "d", "left").select(
-        F.expr("datediff(d, date'1970-01-01')").alias("t"),
-        F.coalesce("c", F.lit(0)).cast("long").alias("y"),
-    )
+    series = _calendar_series(ev)
     a = series.select(F.col("t").alias("t1"), F.col("y").alias("y1"))
     b = series.select(F.col("t").alias("t2"), F.col("y").alias("y2"))
     slopes = (
@@ -10682,17 +10692,7 @@ def q301_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB: one grouped corpus pass to the zero-filled
     calendar; two windows over the ≤n² dense grid."""
     ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
-        F.count("*").alias("c")
-    )
-    mm = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
-    cal = mm.select(
-        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
-    )
-    series = cal.join(daily, "d", "left").select(
-        F.expr("datediff(d, date'1970-01-01')").alias("t"),
-        F.coalesce("c", F.lit(0)).cast("long").alias("y"),
-    )
+    series = _calendar_series(ev)
     cnt = series.groupBy("t", "y").agg(F.count("*").alias("c"))
     grid = (
         cnt.select("t").distinct()
@@ -11093,9 +11093,16 @@ def q307_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-domain windows, two broadcast rank joins on the bounded day
     relation, a 1-row reduction."""
     ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
-        F.count("*").alias("x"),
-        F.countDistinct("user_id").alias("y"),
+    # day-bounded and fanned into 3 branches (the join + both rank
+    # derivations) — pin it so the corpus pass runs ONCE (the llm.py
+    # pinning convention; unpinned, each ranks() replayed the scan).
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.count("*").alias("x"),
+            F.countDistinct("user_id").alias("y"),
+        )
+        .localCheckpoint(eager=True)
     )
 
     def ranks(col):
@@ -11316,17 +11323,7 @@ def q316_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB: one grouped corpus pass to the calendar series;
     the lag joins are day-keyed self-joins of that bounded relation."""
     ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
-        F.count("*").alias("c")
-    )
-    mm = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
-    cal = mm.select(
-        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
-    )
-    series = cal.join(daily, "d", "left").select(
-        F.expr("datediff(d, date'1970-01-01')").alias("t"),
-        F.coalesce("c", F.lit(0)).cast("long").alias("y"),
-    )
+    series = _calendar_series(ev)
     cur = series.select(F.col("t"), F.col("y"))
     lag = lambda k: series.select(
         (F.col("t") + k).alias("t"), F.col("y").alias(f"y{k}")
