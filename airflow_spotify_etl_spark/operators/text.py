@@ -219,57 +219,78 @@ def repetition_metrics(
     these to drop template/spam pages before LLM training): type-token
     ratio, most-frequent-token fraction, most-frequent-bigram fraction.
 
-    Shape at 100 TB: one narrow token explode + two grouped aggregates per
-    granularity, both keyed on doc_id (map-side partials collapse in-doc
-    duplicates before the exchange); the bigram stream reuses the
-    shuffle-free sequence-explode idiom (operators/dedup.shingle). Docs
-    with no tokens survive with n_tokens=0 and null ratios."""
-    toks = word_tokens(df, text_col, id_col)
-    t = (
-        toks.groupBy("doc_id", "gram")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_tokens"),
-            F.count("*").alias("n_distinct"),
-            F.max("c").alias("top_cnt"),
+    Shape at 100 TB: these are PER-DOCUMENT statistics, so the whole
+    operator is ONE narrow projection — zero shuffles, zero joins, fully
+    whole-stage-codegen (r7 redesign; the previous explode→groupBy→join
+    form shuffled the token stream twice and re-scanned the corpus three
+    times for row-local math). The top-frequency counts come from the
+    max run length of the SORTED token/bigram array, computed with a
+    higher-order aggregate over a (prev, run, best) struct — all
+    JVM-side array expressions, no Python. Docs with no tokens survive
+    with n_tokens=0 and null ratios; single-token docs have no bigrams
+    → null top_bigram_frac (unchanged semantics, value-identical to the
+    grouped form and the DuckDB oracle)."""
+
+    def _max_run(arr):
+        # max run length of a sorted array: fold (prev, run, best)
+        return F.aggregate(
+            F.array_sort(arr),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(acc.prev.isNotNull() & (x == acc.prev), acc.run + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    acc.best,
+                    F.when(acc.prev.isNotNull() & (x == acc.prev), acc.run + 1)
+                    .otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc.best,
         )
-    )
+
     words = F.filter(
         F.split(F.lower(F.col(text_col)), "\\s+"), lambda x: x != F.lit("")
     )
-    base = df.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
     n_idx = F.size("_w") - 1
     idx = F.when(n_idx >= 1, F.sequence(F.lit(1), n_idx)).otherwise(
         F.array().cast("array<int>")
     )
-    bi = (
-        base.select("doc_id", "_w", F.explode(idx).alias("_i"))
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ", F.element_at("_w", F.col("_i")), F.element_at("_w", F.col("_i") + 1)
-            ).alias("bigram"),
-        )
-        .groupBy("doc_id", "bigram")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bi_cnt"))
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at("_w", i), F.element_at("_w", i + F.lit(1))
+        ),
     )
     return (
-        df.select(F.col(id_col).alias("doc_id"))
-        .join(t, "doc_id", "left")
-        .join(bi, "doc_id", "left")
+        df.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
         .select(
             "doc_id",
-            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-            F.round(F.col("n_distinct") / F.col("n_tokens"), 4).alias(
-                "type_token_ratio"
-            ),
-            F.round(F.col("top_cnt") / F.col("n_tokens"), 4).alias("top_token_frac"),
-            F.round(F.col("top_bi_cnt") / F.col("n_bigrams"), 4).alias(
-                "top_bigram_frac"
-            ),
+            F.size("_w").alias("n_tokens"),
+            F.size(F.array_distinct("_w")).alias("n_distinct"),
+            _max_run(F.col("_w")).alias("top_cnt"),
+            bigrams.alias("_b"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("n_distinct") / F.col("n_tokens"), 4),
+            ).alias("type_token_ratio"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("top_cnt") / F.col("n_tokens"), 4),
+            ).alias("top_token_frac"),
+            F.when(
+                F.size("_b") > 0,
+                F.round(_max_run(F.col("_b")) / F.size("_b"), 4),
+            ).alias("top_bigram_frac"),
         )
     )
 
