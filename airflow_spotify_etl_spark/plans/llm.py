@@ -11112,6 +11112,61 @@ FROM mom
 """
 
 
+def q317_ann_tier_scoreboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget recall@5 scoreboard across the quantization/
+    truncation ladder — ONE row per ANN tier (int8/SQ8 q113, IVF
+    nprobe-4/16 q146, 1-bit Hamming q280, MRL-32 truncation q314), so
+    tier drift is a single driver-visible relation instead of four
+    per-query audits a human has to eyeball (round-6 verdict task 7).
+    Each arm composes the EXISTING audited tier query unchanged and
+    reduces it to (tier, n_queries, hits_at_5, recall_ppm); recall_ppm
+    is the exact integer (hits·10⁶) div (5·n_queries) — no float
+    division, so the row is hash-stable.
+
+    Shape at 100 TB: each arm is its own already-audited bounded plan
+    (broadcast query sides, WindowGroupLimit top-5); the scoreboard
+    adds four 1-row aggregates and a 4-row union."""
+
+    def arm(df: DataFrame, tier: str, hits_col: str) -> DataFrame:
+        return df.agg(
+            F.lit(tier).alias("tier"),
+            F.count("*").alias("n_queries"),
+            F.sum(hits_col).cast("long").alias("hits_at_5"),
+            F.expr(
+                f"(CAST(sum({hits_col}) AS BIGINT) * 1000000)"
+                " div (5 * count(*))"
+            ).alias("recall_ppm"),
+        ).select("tier", "n_queries", "hits_at_5", "recall_ppm")
+
+    sq8 = arm(q113_sq8_search_recall(spark, sf_dir), "int8_sq8", "n_overlap_at_5")
+    ivf = arm(q146_ivf_recall_audit(spark, sf_dir), "ivf_nprobe4", "n_overlap_at_5")
+    ham = arm(q280_binary_hamming_recall(spark, sf_dir), "hamming_1bit", "n_hits")
+    mrl = arm(q314_mrl_truncation_recall(spark, sf_dir), "mrl_trunc32", "n_overlap_at_5")
+    return sq8.unionByName(ivf).unionByName(ham).unionByName(mrl).orderBy("tier")
+
+
+def _q317_sql() -> str:
+    def arm(sql: str, tier: str, hits_col: str) -> str:
+        return f"""
+SELECT '{tier}' AS tier,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum({hits_col}) AS BIGINT) AS hits_at_5,
+       CAST((CAST(sum({hits_col}) AS BIGINT) * 1000000)
+            // (5 * count(*)) AS BIGINT) AS recall_ppm
+FROM ({sql}) {tier}_arm"""
+
+    return (
+        arm(_Q113_SQL, "int8_sq8", "n_overlap_at_5")
+        + "\nUNION ALL\n"
+        + arm(_q146_sql(), "ivf_nprobe4", "n_overlap_at_5")
+        + "\nUNION ALL\n"
+        + arm(_Q280_SQL, "hamming_1bit", "n_hits")
+        + "\nUNION ALL\n"
+        + arm(_Q314_SQL, "mrl_trunc32", "n_overlap_at_5")
+        + "\nORDER BY tier"
+    )
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -11255,6 +11310,7 @@ QUERIES = {
     "q313_g_test": q313_g_test,
     "q314_mrl_truncation_recall": q314_mrl_truncation_recall,
     "q315_hubness_audit": q315_hubness_audit,
+    "q317_ann_tier_scoreboard": q317_ann_tier_scoreboard,
 }
 
 ORACLES = {
@@ -11400,4 +11456,5 @@ ORACLES = {
     "q313_g_test": _Q313_SQL,
     "q314_mrl_truncation_recall": _Q314_SQL,
     "q315_hubness_audit": _Q315_SQL,
+    "q317_ann_tier_scoreboard": _q317_sql(),
 }

@@ -360,6 +360,7 @@ HEADLINE = [
     "q314_mrl_truncation_recall",
     "q315_hubness_audit",
     "q316_seasonal_backtest",
+    "q317_ann_tier_scoreboard",
 ]
 
 

@@ -4821,3 +4821,15 @@ def test_q315_hubness_sample_is_fixed_k_bounded(spark, sf_dir, qs):
 
     corpus = load_table(spark, sf_dir, "embeddings").count()
     assert row.n == min(256, corpus)
+
+
+def test_q317_scoreboard_bounds_and_tiers(spark, sf_dir, qs):
+    """One row per ANN tier, hits bounded by the 5-per-query budget,
+    recall_ppm the exact integer (hits*1e6) div (5*n_queries)."""
+    rows = qs["q317_ann_tier_scoreboard"](spark, sf_dir).collect()
+    assert [r.tier for r in rows] == [
+        "hamming_1bit", "int8_sq8", "ivf_nprobe4", "mrl_trunc32",
+    ]
+    for r in rows:
+        assert 0 <= r.hits_at_5 <= 5 * r.n_queries
+        assert r.recall_ppm == (r.hits_at_5 * 1_000_000) // (5 * r.n_queries)
