@@ -11167,6 +11167,220 @@ FROM ({sql}) {tier}_arm"""
     )
 
 
+def q318_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 as a function of nprobe (1, 2, 4, 8, 16) for the
+    hash-seeded IVF tier — the probe-budget curve an ANN operator
+    publishes so capacity planning can pick the cheapest nprobe that
+    clears the recall SLO (extends the single-point audits q146/q317
+    to the whole sweep).
+
+    ONE shared scoring pass, not five searches: the corpus is scored
+    probe-all once (every query × every cell), reduced to the per-
+    (query, cell) top-5 (≤ nq·nlist·5 rows — row_number windows), and
+    every sweep point is then a filter cell_rank ≤ nprobe + top-5 over
+    that bounded relation; ground truth (probe-all = brute force) falls
+    out of the same relation. recall_ppm is the exact integer
+    (hits·10⁶) div (5·n_queries).
+
+    Shape at 100 TB: the one probe-all scoring pass dominates and is
+    shared across all five sweep points (a naive sweep re-scans the
+    corpus per nprobe); everything after runs on nq·nlist·5 rows.
+    Engine-portable ordering: the identical left-to-right double dot
+    chains as q22/q56, vec_id/cell tiebreaks everywhere."""
+    from ..operators.similarity import (
+        _as_double,
+        _assign_cells,
+        _dot,
+        _norm,
+        _unit_mat,
+        hash_seed_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cents = hash_seed_centroids(corpus, nlist=16)
+    assigned = _assign_cells(corpus, cents, "embedding", "vec_id").select(
+        "vec_id",
+        "cell",
+        _as_double("embedding").alias("_vd"),
+    ).withColumn("_vn", _norm(F.col("_vd")))
+
+    # every cell ranked per query: sim DESC, cell DESC (the ivf_search
+    # reverse(array_sort) tiebreak), rank = position in the sorted array
+    qscored = F.transform(
+        _unit_mat(cents),
+        lambda cv, i: F.struct(
+            _dot(F.col("_qv"), cv).alias("sim"), i.alias("cell")
+        ),
+    )
+    ranked = F.transform(
+        F.reverse(F.array_sort(qscored)),
+        lambda s, i: F.struct(
+            s["cell"].alias("cell"), (i + 1).alias("cell_rank")
+        ),
+    )
+    qcells = (
+        queries.select("query_id", _as_double("embedding").alias("_qv"))
+        .withColumn("_qn", _norm(F.col("_qv")))
+        .withColumn("_rc", F.explode(ranked))
+        .select(
+            "query_id", "_qv", "_qn",
+            F.col("_rc.cell").alias("cell"),
+            F.col("_rc.cell_rank").alias("cell_rank"),
+        )
+    )
+    scored = assigned.join(F.broadcast(qcells), "cell").select(
+        "query_id",
+        "cell_rank",
+        "vec_id",
+        (_dot(F.col("_qv"), F.col("_vd")) / (F.col("_qn") * F.col("_vn"))).alias(
+            "cos"
+        ),
+    )
+    wc = W.partitionBy("query_id", "cell_rank").orderBy(
+        F.col("cos").desc(), "vec_id"
+    )
+    cell_top = (
+        scored.withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") <= 5)
+        .select("query_id", "cell_rank", "vec_id", "cos")
+        .localCheckpoint(eager=True)  # ≤ nq·nlist·5 rows, fanned into
+        # the brute branch and all five sweep points (pinning convention)
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+    brute = (
+        cell_top.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= 5)
+        .select("query_id", F.col("vec_id").alias("bvec"))
+    )
+    sweep = cell_top.crossJoin(
+        F.broadcast(
+            spark.createDataFrame([(1,), (2,), (4,), (8,), (16,)], "nprobe int")
+        )
+    ).filter(F.col("cell_rank") <= F.col("nprobe"))
+    wn = W.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cos").desc(), "vec_id"
+    )
+    topk = (
+        sweep.withColumn("_r", F.row_number().over(wn))
+        .filter(F.col("_r") <= 5)
+        .select("nprobe", "query_id", "vec_id")
+    )
+    hits = topk.join(
+        brute,
+        (topk.query_id == brute.query_id) & (topk.vec_id == brute.bvec),
+        "left_semi",
+    )
+    nq = queries.agg(F.count("*").alias("n_queries"))
+    return (
+        hits.groupBy("nprobe")
+        .agg(F.count("*").alias("hits_at_5"))
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "nprobe",
+            "n_queries",
+            "hits_at_5",
+            F.expr("(hits_at_5 * 1000000) div (5 * n_queries)").alias(
+                "recall_ppm"
+            ),
+        )
+        .orderBy("nprobe")
+    )
+
+
+_Q318_SQL = """
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= 5
+), seeds AS (
+  SELECT row_number() OVER (
+           ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                    vec_id
+         ) - 1 AS cell,
+         v AS cv
+  FROM c
+  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT, vec_id
+  LIMIT 16
+), cents AS (
+  SELECT cell,
+         list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS u
+  FROM seeds
+), assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT c.vec_id, c.v, cents.cell,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY list_dot_product(c.v, cents.u) DESC, cents.cell ASC
+           ) AS rn
+    FROM c CROSS JOIN cents
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), qcells AS (
+  SELECT q.query_id, q.qv, cents.cell,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_dot_product(q.qv, cents.u) DESC, cents.cell DESC
+         ) AS cell_rank
+  FROM q CROSS JOIN cents
+), scored AS (
+  SELECT p.query_id, p.cell_rank, a.vec_id,
+         list_dot_product(p.qv, a.v) /
+           (sqrt(list_dot_product(p.qv, p.qv))
+            * sqrt(list_dot_product(a.v, a.v))) AS cos
+  FROM qcells p JOIN assigned a USING (cell)
+), cell_top AS (
+  SELECT query_id, cell_rank, vec_id, cos FROM (
+    SELECT query_id, cell_rank, vec_id, cos,
+           row_number() OVER (
+             PARTITION BY query_id, cell_rank
+             ORDER BY cos DESC, vec_id
+           ) AS rn
+    FROM scored
+  ) WHERE rn <= 5
+), brute AS (
+  SELECT query_id, vec_id AS bvec FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, vec_id
+           ) AS r
+    FROM cell_top
+  ) WHERE r <= 5
+), topk AS (
+  SELECT nprobe, query_id, vec_id FROM (
+    SELECT np.nprobe, t.query_id, t.vec_id,
+           row_number() OVER (
+             PARTITION BY np.nprobe, t.query_id
+             ORDER BY t.cos DESC, t.vec_id
+           ) AS r
+    FROM cell_top t
+    CROSS JOIN (VALUES (1), (2), (4), (8), (16)) np(nprobe)
+    WHERE t.cell_rank <= np.nprobe
+  ) WHERE r <= 5
+), hits AS (
+  SELECT k.nprobe, count(*) AS hits_at_5
+  FROM topk k
+  WHERE EXISTS (
+    SELECT 1 FROM brute b
+    WHERE b.query_id = k.query_id AND b.bvec = k.vec_id
+  )
+  GROUP BY k.nprobe
+), nq AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_queries FROM q
+)
+SELECT CAST(h.nprobe AS INT) AS nprobe, nq.n_queries,
+       CAST(h.hits_at_5 AS BIGINT) AS hits_at_5,
+       CAST((h.hits_at_5 * 1000000) // (5 * nq.n_queries) AS BIGINT)
+         AS recall_ppm
+FROM hits h CROSS JOIN nq
+ORDER BY nprobe
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -11311,6 +11525,7 @@ QUERIES = {
     "q314_mrl_truncation_recall": q314_mrl_truncation_recall,
     "q315_hubness_audit": q315_hubness_audit,
     "q317_ann_tier_scoreboard": q317_ann_tier_scoreboard,
+    "q318_ivf_nprobe_sweep": q318_ivf_nprobe_sweep,
 }
 
 ORACLES = {
@@ -11457,4 +11672,5 @@ ORACLES = {
     "q314_mrl_truncation_recall": _Q314_SQL,
     "q315_hubness_audit": _Q315_SQL,
     "q317_ann_tier_scoreboard": _q317_sql(),
+    "q318_ivf_nprobe_sweep": _Q318_SQL,
 }

@@ -361,6 +361,7 @@ HEADLINE = [
     "q315_hubness_audit",
     "q316_seasonal_backtest",
     "q317_ann_tier_scoreboard",
+    "q318_ivf_nprobe_sweep",
 ]
 
 

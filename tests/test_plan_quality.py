@@ -4833,3 +4833,16 @@ def test_q317_scoreboard_bounds_and_tiers(spark, sf_dir, qs):
     for r in rows:
         assert 0 <= r.hits_at_5 <= 5 * r.n_queries
         assert r.recall_ppm == (r.hits_at_5 * 1_000_000) // (5 * r.n_queries)
+
+
+def test_q318_sweep_monotone_and_exact_at_probe_all(spark, sf_dir, qs):
+    """Recall@5 must be non-decreasing in nprobe, and the probe-all
+    point (nprobe = nlist = 16) IS brute force — recall exactly 1e6 ppm
+    (both top-5s come from the same shared scored relation)."""
+    rows = qs["q318_ivf_nprobe_sweep"](spark, sf_dir).collect()
+    assert [r.nprobe for r in rows] == [1, 2, 4, 8, 16]
+    recalls = [r.recall_ppm for r in rows]
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1_000_000
+    for r in rows:
+        assert r.recall_ppm == (r.hits_at_5 * 1_000_000) // (5 * r.n_queries)
