@@ -11381,6 +11381,96 @@ ORDER BY nprobe
 """
 
 
+def q319_source_tvd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT total variation distance between every source pair's
+    doc-length distributions — the drift metric that bounds how much
+    ANY event's probability can differ between two sources, completing
+    the divergence suite (JS q211, PSI q192, Wasserstein q250, KS
+    q309) with the only member that is exact in pure integers:
+    TVD = ½·Σ_v |p₁(v) − p₂(v)|.
+
+    Inner-join-plus-totals algebra (no full-outer join, no dense value
+    grid): with counts c₁,c₂ and totals N₁,N₂,
+    Σ_v |c₁N₂ − c₂N₁| = 2·N₁N₂ + Σ_{v∈common}(|c₁N₂−c₂N₁| − c₁N₂ − c₂N₁)
+    because one-sided values contribute their full cN mass — so ONE
+    inner join on the value domain suffices and tvd_ppm =
+    (num·10⁶) div (2·N₁N₂) is exact end to end.
+
+    Magnitude audit: c·N ~ N² wraps BIGINT at N ≈ 3e9 docs — the cross
+    products accumulate in DECIMAL(38,0)/HUGEINT (the q233 rule).
+
+    Shape at 100 TB: one grouped corpus pass to the (source, length)
+    count table (|sources|·|lengths| rows, corpus-independent); the
+    pair join runs entirely on that bounded relation. Emits pairs with
+    ≥1 common length (a fully disjoint pair — TVD exactly 1 — has no
+    join row; n_common_lengths makes the support explicit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy(
+        F.col("source"), F.length("text").alias("v")
+    ).agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    a = cnt.join(tot, "source").select(
+        F.col("source").alias("src_a"), "v",
+        F.col("c").alias("ca"), F.col("n").alias("na"),
+    )
+    b = cnt.join(tot, "source").select(
+        F.col("source").alias("src_b"), "v",
+        F.col("c").alias("cb"), F.col("n").alias("nb"),
+    )
+    common = (
+        a.join(b, "v")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.sum(
+                F.expr(
+                    "abs(CAST(ca AS DECIMAL(38,0)) * nb"
+                    "    - CAST(cb AS DECIMAL(38,0)) * na)"
+                    " - CAST(ca AS DECIMAL(38,0)) * nb"
+                    " - CAST(cb AS DECIMAL(38,0)) * na"
+                )
+            ).alias("adj"),
+            F.count("*").alias("n_common_lengths"),
+        )
+    )
+    return common.select(
+        "src_a", "src_b", "n_a", "n_b", "n_common_lengths",
+        F.expr(
+            "CAST((2 * CAST(n_a AS DECIMAL(38,0)) * n_b + adj) * 1000000"
+            " div (2 * CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+        ).alias("tvd_ppm"),
+    ).orderBy("src_a", "src_b")
+
+
+_Q319_SQL = """
+WITH cnt AS (
+  SELECT source, length(text) AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY source
+), sides AS (
+  SELECT cnt.source, cnt.v, cnt.c, tot.n
+  FROM cnt JOIN tot USING (source)
+), common AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         max(a.n) AS n_a, max(b.n) AS n_b,
+         sum(abs(CAST(a.c AS HUGEINT) * b.n - CAST(b.c AS HUGEINT) * a.n)
+             - CAST(a.c AS HUGEINT) * b.n
+             - CAST(b.c AS HUGEINT) * a.n) AS adj,
+         CAST(count(*) AS BIGINT) AS n_common_lengths
+  FROM sides a JOIN sides b ON a.v = b.v AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_a, n_b, n_common_lengths,
+       CAST((2 * CAST(n_a AS HUGEINT) * n_b + adj) * 1000000
+            // (2 * CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS tvd_ppm
+FROM common
+ORDER BY src_a, src_b
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -11526,6 +11616,7 @@ QUERIES = {
     "q315_hubness_audit": q315_hubness_audit,
     "q317_ann_tier_scoreboard": q317_ann_tier_scoreboard,
     "q318_ivf_nprobe_sweep": q318_ivf_nprobe_sweep,
+    "q319_source_tvd_matrix": q319_source_tvd_matrix,
 }
 
 ORACLES = {
@@ -11673,4 +11764,5 @@ ORACLES = {
     "q315_hubness_audit": _Q315_SQL,
     "q317_ann_tier_scoreboard": _q317_sql(),
     "q318_ivf_nprobe_sweep": _Q318_SQL,
+    "q319_source_tvd_matrix": _Q319_SQL,
 }

@@ -362,6 +362,7 @@ HEADLINE = [
     "q316_seasonal_backtest",
     "q317_ann_tier_scoreboard",
     "q318_ivf_nprobe_sweep",
+    "q319_source_tvd_matrix",
 ]
 
 

@@ -403,3 +403,28 @@ def test_q308_kappa_degenerate_constant_labelers_is_null(spark, tmp_path, qs):
     assert {r.n11, r.n10, r.n01, r.n00} <= {0, 6}
     assert r.kappa_ppm is None
     assert r.po_ppm == 1_000_000
+
+
+def test_q319_tvd_hand_value(spark, tmp_path, qs):
+    """Planted two-source fixture with hand-computed TVD: src A lengths
+    {5:2, 7:2}, src B {5:1, 9:3} -> sum|p1-p2| = .25+.5+.75 = 1.5,
+    TVD = 0.75 = 750000 ppm — exercising the inner-join-plus-totals
+    identity (value 7 exists only in A, 9 only in B, 5 in both)."""
+    docs = [
+        (1, "abcde", "en", "srcA", 5),
+        (2, "fghij", "en", "srcA", 5),
+        (3, "abcdefg", "en", "srcA", 7),
+        (4, "hijklmn", "en", "srcA", 7),
+        (5, "klmno", "en", "srcB", 5),
+        (6, "abcdefghi", "en", "srcB", 9),
+        (7, "bcdefghij", "en", "srcB", 9),
+        (8, "cdefghijk", "en", "srcB", 9),
+    ]
+    _write_docs(spark, tmp_path, docs)
+    rows = qs["q319_source_tvd_matrix"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.src_a, r.src_b, r.n_a, r.n_b, r.n_common_lengths) == (
+        "srcA", "srcB", 4, 4, 1,
+    )
+    assert r.tvd_ppm == 750_000
