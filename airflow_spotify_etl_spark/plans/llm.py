@@ -11471,6 +11471,159 @@ ORDER BY src_a, src_b
 """
 
 
+def q320_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED false-positive rate of the q96 Bloom filter against
+    exact ground truth — the audit that turns the filter's theoretical
+    FPR into a monitored number (the sketch-audit pattern of q302/q106
+    applied to the novelty gate): build the same m=2¹⁶, j=4 salted
+    md5-slice filter over the even-doc corpus, probe it with the odd
+    docs, and score every probe against the exact hash anti-join.
+
+    All-integer output: delta size, bloom positives, true duplicates,
+    false positives, set-bit occupancy, and fpr_ppm = (fp·10⁶) div
+    (truly-novel count) — no float in any value. The filter's
+    no-false-negative invariant is asserted structurally: a true dup
+    that bloom calls absent would make n_missed > 0 (pytest pins 0).
+
+    Shape at 100 TB: the filter build is the q96 shape (bit_or partials
+    bounded at m/64 longs per map task); the audit probes by JOINING
+    delta positions to the broadcast bloom-sized word table — per-doc
+    j rows, map-side — and the truth join touches only content hashes."""
+    from ..operators.dedup import _h32
+
+    m_bits, j_hashes = 1 << 16, 4
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    ch = F.md5(F.col("text"))
+
+    def pos(i: int):
+        return F.pmod(
+            _h32(F.concat(F.lit(f"bloom{i}:"), ch)), F.lit(m_bits)
+        )
+
+    def wb(p):
+        # 32-bit words (word = p>>5, bit = 1 << p%32): the max shift is
+        # 31, so the bit mask never reaches a BIGINT sign bit — DuckDB
+        # raises on 1::BIGINT << 63, Spark wraps silently; 32-bit words
+        # keep the replay portable with identical semantics.
+        return F.struct(
+            F.shiftright(p, 5).cast("int").alias("word"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"),
+                F.pmod(p, F.lit(32)).cast("int"),
+            ).alias("bit"),
+        )
+
+    words = (
+        corpus.select(
+            F.explode(F.array(*[wb(pos(i)) for i in range(j_hashes)])).alias("p")
+        )
+        .select(F.col("p.word").alias("word"), F.col("p.bit").alias("bit"))
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    probes = delta.select(
+        "doc_id",
+        ch.alias("_ch"),
+        F.explode(F.array(*[wb(pos(i)) for i in range(j_hashes)])).alias("p"),
+    ).select("doc_id", "_ch", F.col("p.word").alias("word"), F.col("p.bit").alias("bit"))
+    checked = (
+        probes.join(F.broadcast(words), "word", "left")
+        .groupBy("doc_id", "_ch")
+        .agg(
+            F.min(
+                (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bit")) != 0)
+                .cast("int")
+            ).alias("positive")
+        )
+    )
+    corpus_hashes = corpus.select(ch.alias("_ch")).distinct()
+    scored = checked.join(
+        corpus_hashes.withColumn("_dup", F.lit(1)), "_ch", "left"
+    ).select(
+        "positive", F.coalesce("_dup", F.lit(0)).alias("dup")
+    )
+    occupancy = words.agg(
+        F.sum(F.bit_count("bits")).alias("bits_set")
+    )
+    return (
+        scored.agg(
+            F.count("*").alias("n_delta"),
+            F.sum("positive").alias("n_bloom_positive"),
+            F.sum("dup").alias("n_true_dup"),
+            F.sum(F.expr("positive * (1 - dup)")).alias("n_false_positive"),
+            F.sum(F.expr("(1 - positive) * dup")).alias("n_missed"),
+        )
+        .crossJoin(F.broadcast(occupancy))
+        .select(
+            "n_delta",
+            "n_bloom_positive",
+            "n_true_dup",
+            "n_false_positive",
+            "n_missed",
+            "bits_set",
+            F.expr(f"(bits_set * 1000000) div {m_bits}").alias("occupancy_ppm"),
+            F.expr(
+                "CASE WHEN n_delta - n_true_dup > 0 THEN"
+                " (n_false_positive * 1000000) div (n_delta - n_true_dup)"
+                " ELSE CAST(NULL AS BIGINT) END"
+            ).alias("fpr_ppm"),
+        )
+    )
+
+
+_Q320_SQL = """
+WITH corpus AS (
+  SELECT md5(text) AS ch FROM documents WHERE doc_id % 2 = 0
+), delta AS (
+  SELECT doc_id, md5(text) AS ch FROM documents WHERE doc_id % 2 = 1
+), cpos AS (
+  SELECT ('0x' || substr(md5('bloom' || i || ':' || ch), 1, 8))::BIGINT
+           % 65536 AS p
+  FROM corpus CROSS JOIN (VALUES (0), (1), (2), (3)) h(i)
+), words AS (
+  SELECT CAST(p // 32 AS INT) AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+  FROM cpos GROUP BY 1
+), dpos AS (
+  SELECT doc_id, ch,
+         ('0x' || substr(md5('bloom' || i || ':' || ch), 1, 8))::BIGINT
+           % 65536 AS p
+  FROM delta CROSS JOIN (VALUES (0), (1), (2), (3)) h(i)
+), checked AS (
+  SELECT d.doc_id, d.ch,
+         min(CASE WHEN coalesce(w.bits, 0)
+                       & (CAST(1 AS BIGINT) << CAST(d.p % 32 AS INT)) <> 0
+             THEN 1 ELSE 0 END) AS positive
+  FROM dpos d
+  LEFT JOIN words w ON w.word = CAST(d.p // 32 AS INT)
+  GROUP BY 1, 2
+), scored AS (
+  SELECT c.positive,
+         CASE WHEN EXISTS (SELECT 1 FROM corpus k WHERE k.ch = c.ch)
+              THEN 1 ELSE 0 END AS dup
+  FROM checked c
+), occ AS (
+  SELECT CAST(sum(bit_count(bits)) AS BIGINT) AS bits_set FROM words
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_delta,
+         CAST(sum(positive) AS BIGINT) AS n_bloom_positive,
+         CAST(sum(dup) AS BIGINT) AS n_true_dup,
+         CAST(sum(positive * (1 - dup)) AS BIGINT) AS n_false_positive,
+         CAST(sum((1 - positive) * dup) AS BIGINT) AS n_missed
+  FROM scored
+)
+SELECT n_delta, n_bloom_positive, n_true_dup, n_false_positive, n_missed,
+       occ.bits_set,
+       CAST((occ.bits_set * 1000000) // 65536 AS BIGINT) AS occupancy_ppm,
+       CAST(CASE WHEN n_delta - n_true_dup > 0 THEN
+              (n_false_positive * 1000000) // (n_delta - n_true_dup)
+            ELSE NULL END AS BIGINT) AS fpr_ppm
+FROM agg CROSS JOIN occ
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -11617,6 +11770,7 @@ QUERIES = {
     "q317_ann_tier_scoreboard": q317_ann_tier_scoreboard,
     "q318_ivf_nprobe_sweep": q318_ivf_nprobe_sweep,
     "q319_source_tvd_matrix": q319_source_tvd_matrix,
+    "q320_bloom_fpr_audit": q320_bloom_fpr_audit,
 }
 
 ORACLES = {
@@ -11765,4 +11919,5 @@ ORACLES = {
     "q317_ann_tier_scoreboard": _q317_sql(),
     "q318_ivf_nprobe_sweep": _Q318_SQL,
     "q319_source_tvd_matrix": _Q319_SQL,
+    "q320_bloom_fpr_audit": _Q320_SQL,
 }

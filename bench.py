@@ -363,6 +363,7 @@ HEADLINE = [
     "q317_ann_tier_scoreboard",
     "q318_ivf_nprobe_sweep",
     "q319_source_tvd_matrix",
+    "q320_bloom_fpr_audit",
 ]
 
 

@@ -4846,3 +4846,34 @@ def test_q318_sweep_monotone_and_exact_at_probe_all(spark, sf_dir, qs):
     assert recalls[-1] == 1_000_000
     for r in rows:
         assert r.recall_ppm == (r.hits_at_5 * 1_000_000) // (5 * r.n_queries)
+
+
+def test_q320_bloom_fpr_planted_occupancy(spark, tmp_path, qs):
+    """High-occupancy planted corpus (20k distinct docs -> ~70% bits
+    set at m=2^16, expected FPR ~ 0.7^4 ~ 25%) so the audit actually
+    OBSERVES false positives; planted exact duplicates pin the truth
+    join, and the Bloom no-false-negative invariant must hold exactly
+    (n_missed = 0)."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows = []
+    # 20k corpus docs (even ids), distinct texts
+    for i in range(20000):
+        rows.append((2 * i, f"corpus text {i}", "en", "srcA", 10))
+    # 2000 novel delta docs (odd ids) + 50 exact duplicates of corpus
+    for i in range(2000):
+        rows.append((2 * i + 1, f"novel text {i}", "en", "srcA", 10))
+    for i in range(50):
+        rows.append((40001 + 2 * i, f"corpus text {i}", "en", "srcA", 10))
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    r = qs["q320_bloom_fpr_audit"](spark, str(tmp_path)).collect()[0]
+    assert r.n_delta == 2050
+    assert r.n_true_dup == 50
+    assert r.n_missed == 0, "Bloom filter produced a false negative"
+    assert r.n_false_positive > 100  # ~25% of 2000 expected
+    assert r.n_bloom_positive == r.n_true_dup + r.n_false_positive
+    assert r.fpr_ppm == (r.n_false_positive * 1_000_000) // 2000
+    assert r.occupancy_ppm == (r.bits_set * 1_000_000) // 65536
+    assert 500_000 < r.occupancy_ppm < 900_000
