@@ -7513,6 +7513,114 @@ FROM fm
 """
 
 
+_LOGRANK_CORE = """
+WITH ev AS (
+  SELECT user_id, event_type, {day_expr} AS day FROM events
+),
+mx AS (SELECT max(day) AS dmax FROM ev),
+firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'click' THEN day END) AS c0
+  FROM ev GROUP BY user_id
+),
+conv AS (
+  SELECT e.user_id, min(day) AS p0
+  FROM ev e JOIN firsts f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase' AND e.day >= f.c0
+  GROUP BY e.user_id
+),
+subjects AS (
+  SELECT f.user_id, CAST(f.user_id % 2 AS BIGINT) AS g,
+         CASE WHEN p0 IS NOT NULL THEN p0 - c0 ELSE dmax - c0 END AS dur,
+         CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM firsts f LEFT JOIN conv ON f.user_id = conv.user_id
+  CROSS JOIN mx
+  WHERE c0 IS NOT NULL
+),
+tbl AS (
+  SELECT dur,
+         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS at1,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS at2,
+         CAST(sum(CASE WHEN g = 0 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+         CAST(sum(CASE WHEN g = 1 THEN ev ELSE 0 END) AS BIGINT) AS d2
+  FROM subjects GROUP BY dur
+),
+risk AS (
+  SELECT dur, d1, d2,
+         sum(at1) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING) AS n1,
+         sum(at2) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING) AS n2
+  FROM tbl
+),
+terms AS (
+  SELECT d1, d2, n1, n2, n1 + n2 AS n, d1 + d2 AS d,
+         (CAST(d1 + d2 AS {wide}) * n1 * 1000000000) {idiv} (n1 + n2)
+           AS e1_nano,
+         CASE WHEN n1 + n2 > 1 THEN
+           (CAST(d1 + d2 AS {wide}) * n1 * n2
+              * (n1 + n2 - (d1 + d2)) * 1000000000)
+             {idiv} (CAST(n1 + n2 AS {wide}) * (n1 + n2) * (n1 + n2 - 1))
+         ELSE 0 END AS v_nano
+  FROM risk WHERE d1 + d2 > 0
+)
+SELECT CAST(max(n1k.v) AS BIGINT) AS n1_subjects,
+       CAST(max(n2k.v) AS BIGINT) AS n2_subjects,
+       CAST(sum(d1) AS BIGINT) AS o1,
+       CAST(sum(d2) AS BIGINT) AS o2,
+       CAST(sum(e1_nano) AS BIGINT) AS e1_nano,
+       CAST(sum(v_nano) AS BIGINT) AS v_nano,
+       round((CAST(CAST(sum(d1) AS BIGINT) AS DOUBLE) * 1e9
+              - CAST(CAST(sum(e1_nano) AS BIGINT) AS DOUBLE))
+             / (sqrt(CAST(CAST(sum(v_nano) AS BIGINT) AS DOUBLE))
+                * sqrt(1e9)), 4) AS logrank_z
+FROM terms
+CROSS JOIN (SELECT count(*) AS v FROM subjects WHERE g = 0) n1k
+CROSS JOIN (SELECT count(*) AS v FROM subjects WHERE g = 1) n2k
+"""
+
+
+def q321_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test comparing the days-to-first-purchase
+    survival curves of two deterministic user cohorts (user_id parity)
+    — the hypothesis test the Kaplan-Meier (q222) / Nelson-Aalen
+    (q235) estimators feed: does cohort membership change conversion
+    timing, with right censoring handled correctly (a naive converted-%
+    comparison is biased by censored users)?
+
+    Exactness: O₁, O₂ are exact integer event sums; each event time's
+    hypergeometric mean d·n₁/n and variance d·n₁n₂(n−d)/(n²(n−1)) are
+    NANO-FLOORED integer divisions BEFORE summing (the q222 pre-sum
+    quantization idiom), so e1_nano/v_nano are exact order-independent
+    BIGINTs; z = (O₁−E₁)/√V is one final double chain through the
+    sqrt seam (v_nano < 2^53 up to ~9e6 events — int64→double is
+    correctly rounded in both engines, unlike HUGEINT, the q78 rule).
+
+    Magnitude audit: the variance numerator d·n₁·n₂·(n−d)·10⁹ ~ N⁴·10⁹
+    wraps BIGINT at N ≈ 200 subjects — it runs in DECIMAL(38,0)/
+    HUGEINT (wrap at N ≈ 80k… no: 38 digits hold N⁴·10⁹ to N ≈ 3e7;
+    beyond that, pre-divide n² first).
+
+    Shape at 100 TB: one grouped corpus pass per event class to the
+    |distinct durations|-bounded risk table (the q222 shape); the
+    test statistic is a 1-row reduction of that bounded relation."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        _LOGRANK_CORE.format(
+            day_expr="unix_micros(ts) div 86400000000",
+            wide="DECIMAL(38,0)",
+            idiv="div",
+        )
+    )
+
+
+_Q321_SQL = _LOGRANK_CORE.format(
+    day_expr="epoch_us(ts) // 86400000000",
+    wide="HUGEINT",
+    idiv="//",
+)
+
+
 def q235_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nelson-Aalen cumulative hazard H(t) = Σ_{t_i≤t} d_i/n_i for
     days-to-first-purchase, with the Poisson variance estimate
@@ -11542,6 +11650,7 @@ QUERIES = {
     "q307_spearman_rho": q307_spearman_rho,
     "q311_robust_means": q311_robust_means,
     "q316_seasonal_backtest": q316_seasonal_backtest,
+    "q321_logrank_test": q321_logrank_test,
 }
 
 ORACLES = {
@@ -11697,4 +11806,5 @@ ORACLES = {
     "q307_spearman_rho": _Q307_SQL,
     "q311_robust_means": _Q311_SQL,
     "q316_seasonal_backtest": _Q316_SQL,
+    "q321_logrank_test": _Q321_SQL,
 }

@@ -364,6 +364,7 @@ HEADLINE = [
     "q318_ivf_nprobe_sweep",
     "q319_source_tvd_matrix",
     "q320_bloom_fpr_audit",
+    "q321_logrank_test",
 ]
 
 

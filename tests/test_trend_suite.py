@@ -428,3 +428,30 @@ def test_q319_tvd_hand_value(spark, tmp_path, qs):
         "srcA", "srcB", 4, 4, 1,
     )
     assert r.tvd_ppm == 750_000
+
+
+def test_q321_logrank_hand_value(spark, tmp_path, qs):
+    """4 subjects, hand-computed log-rank: g0 = {dur 1 event, dur 4
+    censored}, g1 = {dur 2 event, dur 4 event}. Terms: t=1 e1=.5
+    v=.25; t=2 e1=1/3 v=2/9; t=4 e1=.5 v=.25 -> O1=1,
+    E1_nano=1333333333, V_nano=722222222,
+    z = -.333.../sqrt(.72222...) = -0.3922."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows = [
+        (1, datetime(2024, 3, 1, 12), 0, "click", 1.0, "{}"),
+        (2, datetime(2024, 3, 2, 12), 0, "purchase", 1.0, "{}"),
+        (3, datetime(2024, 3, 1, 12), 1, "click", 1.0, "{}"),
+        (4, datetime(2024, 3, 3, 12), 1, "purchase", 1.0, "{}"),
+        (5, datetime(2024, 3, 1, 12), 2, "click", 1.0, "{}"),
+        (6, datetime(2024, 3, 1, 12), 3, "click", 1.0, "{}"),
+        (7, datetime(2024, 3, 5, 12), 3, "purchase", 1.0, "{}"),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = qs["q321_logrank_test"](spark, str(tmp_path)).collect()[0]
+    assert (r.n1_subjects, r.n2_subjects, r.o1, r.o2) == (2, 2, 1, 2)
+    assert r.e1_nano == 1_333_333_333
+    assert r.v_nano == 722_222_222
+    assert r.logrank_z == -0.3922
