@@ -7621,6 +7621,134 @@ _Q321_SQL = _LOGRANK_CORE.format(
 )
 
 
+def q322_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test (tie-corrected, via midranks) for whether event
+    types have systematically different daily volumes — the
+    repeated-measures companion of Kruskal-Wallis (q234): each day is
+    a BLOCK, event types are ranked WITHIN the day, so day-level
+    traffic swings (which inflate a pooled-rank test) cancel by
+    construction.
+
+    Exact integer arithmetic end-to-end with DOUBLED midranks
+    (2r = 2·below + ties + 1, the q307 idiom, per block): with
+    S2_j = Σ_days 2r_dj, the tie-corrected statistic
+    Q = (k−1)·Σ_j(R_j − n(k+1)/2)² / (Σr² − nk(k+1)²/4) becomes
+    Q = (k−1)·A / B with A = Σ_j (S2_j − n(k+1))² and
+    B = Σ_cells (2r)² − n·k·(k+1)², both exact BIGINTs (the 4s
+    cancel); q_milli = ((k−1)·A·1000) div B, NULL when B = 0 (all
+    blocks fully tied — Q undefined, the q308 guard discipline).
+    Missing (day, type) cells are zero-filled on the dense
+    days×types grid, so blocks are complete by construction.
+
+    Shape at 100 TB: one grouped corpus pass to the (day, type) count
+    table; the dense grid, per-block rank windows, and the 1-row
+    reduction all run on calendar·|types|-bounded relations."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        "event_type",
+    ).agg(F.count("*").alias("c"))
+    days = cells.select("day").distinct()
+    types = cells.select("event_type").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(cells, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    vc = grid.groupBy("day", "c").agg(F.count("*").alias("t"))
+    w = W.partitionBy("day").orderBy("c").rowsBetween(W.unboundedPreceding, -1)
+    r2 = vc.select(
+        "day",
+        "c",
+        (2 * F.coalesce(F.sum("t").over(w), F.lit(0)) + F.col("t") + 1).alias(
+            "r2"
+        ),
+    )
+    ranked = grid.join(r2, ["day", "c"]).select("day", "event_type", "r2")
+    nk = ranked.agg(
+        F.countDistinct("day").alias("n"),
+        F.countDistinct("event_type").alias("k"),
+        F.sum(F.expr("CAST(r2 AS DECIMAL(38,0)) * r2")).alias("ssq"),
+    )
+    s2 = ranked.groupBy("event_type").agg(F.sum("r2").alias("s2"))
+    a = (
+        s2.crossJoin(F.broadcast(nk))
+        .select(
+            F.expr(
+                "CAST(s2 - n * (k + 1) AS DECIMAL(38,0))"
+                " * (s2 - n * (k + 1))"
+            ).alias("dev2"),
+        )
+        .agg(F.sum("dev2").alias("a_stat"))
+    )
+    return (
+        a.crossJoin(F.broadcast(nk))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("k").alias("k_types"),
+            F.expr("CAST(a_stat AS DECIMAL(38,0))").cast("long").alias("a_stat"),
+            F.expr(
+                "CAST(ssq - CAST(n AS DECIMAL(38,0)) * k * (k + 1) * (k + 1)"
+                " AS DECIMAL(38,0))"
+            ).cast("long").alias("b_stat"),
+            F.expr(
+                "CASE WHEN ssq - CAST(n AS DECIMAL(38,0)) * k * (k+1) * (k+1)"
+                " = 0 THEN CAST(NULL AS BIGINT)"
+                " ELSE CAST(((k - 1) * CAST(a_stat AS DECIMAL(38,0)) * 1000)"
+                " div (ssq - CAST(n AS DECIMAL(38,0)) * k * (k+1) * (k+1))"
+                " AS BIGINT) END"
+            ).alias("q_milli"),
+        )
+    )
+
+
+_Q322_SQL = """
+WITH cells AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), days AS (SELECT DISTINCT day FROM cells),
+types AS (SELECT DISTINCT event_type FROM cells),
+grid AS (
+  SELECT d.day, t.event_type, coalesce(c.c, 0) AS c
+  FROM days d CROSS JOIN types t
+  LEFT JOIN cells c ON c.day = d.day AND c.event_type = t.event_type
+), vc AS (
+  SELECT day, c, CAST(count(*) AS BIGINT) AS t FROM grid GROUP BY 1, 2
+), r2t AS (
+  SELECT day, c,
+         2 * coalesce(sum(t) OVER (PARTITION BY day ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + t + 1 AS r2
+  FROM vc
+), ranked AS (
+  SELECT g.day, g.event_type, r.r2
+  FROM grid g JOIN r2t r ON r.day = g.day AND r.c = g.c
+), nk AS (
+  SELECT CAST(count(DISTINCT day) AS BIGINT) AS n,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS k,
+         CAST(sum(CAST(r2 AS HUGEINT) * r2) AS HUGEINT) AS ssq
+  FROM ranked
+), s2 AS (
+  SELECT event_type, CAST(sum(r2) AS BIGINT) AS s2 FROM ranked GROUP BY 1
+), a AS (
+  SELECT CAST(sum(CAST(s2.s2 - nk.n * (nk.k + 1) AS HUGEINT)
+               * (s2.s2 - nk.n * (nk.k + 1))) AS HUGEINT) AS a_stat
+  FROM s2 CROSS JOIN nk
+)
+SELECT nk.n AS n_days, nk.k AS k_types,
+       CAST(a.a_stat AS BIGINT) AS a_stat,
+       CAST(nk.ssq - CAST(nk.n AS HUGEINT) * nk.k * (nk.k + 1) * (nk.k + 1)
+            AS BIGINT) AS b_stat,
+       CAST(CASE WHEN nk.ssq - CAST(nk.n AS HUGEINT) * nk.k * (nk.k + 1)
+                      * (nk.k + 1) = 0 THEN NULL
+            ELSE ((nk.k - 1) * CAST(a.a_stat AS HUGEINT) * 1000)
+                 // (nk.ssq - CAST(nk.n AS HUGEINT) * nk.k * (nk.k + 1)
+                     * (nk.k + 1)) END AS BIGINT) AS q_milli
+FROM a CROSS JOIN nk
+"""
+
+
 def q235_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nelson-Aalen cumulative hazard H(t) = Σ_{t_i≤t} d_i/n_i for
     days-to-first-purchase, with the Poisson variance estimate
@@ -11651,6 +11779,7 @@ QUERIES = {
     "q311_robust_means": q311_robust_means,
     "q316_seasonal_backtest": q316_seasonal_backtest,
     "q321_logrank_test": q321_logrank_test,
+    "q322_friedman_test": q322_friedman_test,
 }
 
 ORACLES = {
@@ -11807,4 +11936,5 @@ ORACLES = {
     "q311_robust_means": _Q311_SQL,
     "q316_seasonal_backtest": _Q316_SQL,
     "q321_logrank_test": _Q321_SQL,
+    "q322_friedman_test": _Q322_SQL,
 }

@@ -365,6 +365,7 @@ HEADLINE = [
     "q319_source_tvd_matrix",
     "q320_bloom_fpr_audit",
     "q321_logrank_test",
+    "q322_friedman_test",
 ]
 
 

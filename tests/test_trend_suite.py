@@ -455,3 +455,34 @@ def test_q321_logrank_hand_value(spark, tmp_path, qs):
     assert r.e1_nano == 1_333_333_333
     assert r.v_nano == 722_222_222
     assert r.logrank_z == -0.3922
+
+
+def test_q322_friedman_hand_value(spark, tmp_path, qs):
+    """3 blocks x 3 treatments, no ties. Ranks per day: (1,2,3),
+    (2,1,3), (1,2,3) -> R = (4,5,9); classic Q = 12/(nk(k+1))*SumR^2
+    - 3n(k+1) = 122/3 - 36 = 4.6667. Doubled-rank identity: A = 56,
+    B = 24, Q = 2*56/24 -> q_milli = 4666."""
+    from datetime import datetime, timedelta
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    counts = {
+        0: {"A": 1, "B": 2, "C": 3},
+        1: {"A": 5, "B": 4, "C": 6},
+        2: {"A": 2, "B": 3, "C": 9},
+    }
+    rows, eid = [], 0
+    for d, per in counts.items():
+        for typ, c in per.items():
+            for _ in range(c):
+                eid += 1
+                rows.append(
+                    (eid, datetime(2024, 3, 1, 12) + timedelta(days=d),
+                     eid, typ, 1.0, "{}")
+                )
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = qs["q322_friedman_test"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_days, r.k_types, r.a_stat, r.b_stat) == (3, 3, 56, 24)
+    assert r.q_milli == 4666
