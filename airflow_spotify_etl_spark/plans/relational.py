@@ -7749,6 +7749,115 @@ FROM a CROSS JOIN nk
 """
 
 
+_DW_CORE = """
+, tmin AS (SELECT min(t) AS t0 FROM {src})
+, s AS (
+  SELECT CAST({src}.t - tmin.t0 AS BIGINT) AS tp, CAST(y AS BIGINT) AS y
+  FROM {src} CROSS JOIN tmin
+)
+, mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(tp) AS BIGINT) AS st,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CAST(tp AS {wide}) * tp) AS {wide}) AS stt,
+         CAST(sum(CAST(tp AS {wide}) * y) AS {wide}) AS sty
+  FROM s
+)
+, coef AS (
+  SELECT n, st, sy,
+         CASE WHEN CAST(n AS {wide}) * sty - CAST(st AS {wide}) * sy >= 0
+         THEN (CAST(n AS {wide}) * sty - CAST(st AS {wide}) * sy)
+              * 1000000000
+              {idiv} (CAST(n AS {wide}) * stt - CAST(st AS {wide}) * st)
+         ELSE -((CAST(st AS {wide}) * sy - CAST(n AS {wide}) * sty)
+                * 1000000000
+                {idiv} (CAST(n AS {wide}) * stt - CAST(st AS {wide}) * st))
+         END AS b_nano
+  FROM mom
+)
+, bn AS (
+  SELECT n, st, sy, CAST(b_nano AS BIGINT) AS b_nano,
+         CAST(CASE WHEN CAST(sy AS {wide}) * 1000000000
+                        - CAST(b_nano AS {wide}) * st >= 0
+              THEN (CAST(sy AS {wide}) * 1000000000
+                    - CAST(b_nano AS {wide}) * st) {idiv} n
+              ELSE -((CAST(b_nano AS {wide}) * st
+                      - CAST(sy AS {wide}) * 1000000000) {idiv} n)
+              END AS BIGINT) AS a_nano
+  FROM coef
+)
+, resid AS (
+  SELECT s.tp,
+         CAST(s.y * 1000000000 - bn.a_nano
+              - CAST(bn.b_nano AS {wide}) * s.tp AS BIGINT) AS e
+  FROM s CROSS JOIN bn
+)
+, lagged AS (
+  SELECT e, lag(e) OVER (ORDER BY tp) AS ep FROM resid
+)
+, sums AS (
+  SELECT CAST(sum(CAST(e AS {wide}) * e) AS {wide}) AS se2,
+         CAST(sum(CASE WHEN ep IS NULL THEN 0
+                  ELSE CAST(e - ep AS {wide}) * (e - ep) END) AS {wide}) AS sd2
+  FROM lagged
+)
+SELECT bn.n AS n_days, bn.b_nano AS slope_nano,
+       CAST(sums.se2 AS {str}) AS sum_e2_nano2,
+       CAST(sums.sd2 AS {str}) AS sum_d2_nano2,
+       CAST(CASE WHEN sums.se2 = 0 THEN NULL
+            ELSE (sums.sd2 * 1000) {idiv} sums.se2 END AS BIGINT) AS dw_milli
+FROM sums CROSS JOIN bn
+"""
+
+
+def q323_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic for lag-1 autocorrelation of the OLS
+    residuals of the daily event-count trend — the regression-
+    diagnostic companion of the raw-series autocorrelation (q188) and
+    the OLS fits (q78/q267): DW ≈ 2(1−ρ₁) of the RESIDUALS, the
+    standard check that a linear trend left serially-correlated
+    structure behind (DW→0 positive, →4 negative autocorrelation).
+
+    Exactness: the OLS slope/intercept are NANO-FLOORED integers off
+    exact moment sums (b_nano = (nSty−StSy)·10⁹ div (nStt−St²), the
+    q300 quantize-before-use discipline), so every residual
+    e = y·10⁹ − a_nano − b_nano·t' is an exact BIGINT and both DW sums
+    are exact DECIMAL(38,0)/HUGEINT — emitted as STRINGS (Σe² ~
+    n·(y·10⁹)² exceeds int64, the q78 rule); dw_milli is one integer
+    division with a perfect-fit (Σe²=0) NULL guard.
+
+    Magnitude audit: e ~ y·10⁹ ≤ ~1e16 at 1e11 rows/3650 days (BIGINT
+    ✓); Σe² ≤ n·e² ~ 4e35 < 10³⁸ (✓ at any calendar length).
+
+    Shape at 100 TB: one grouped corpus pass to the pinned calendar
+    series (_calendar_series); moments, residuals, the lag window and
+    the 1-row reduction all run on the day-bounded relation."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    series = _calendar_series(_t(spark, sf_dir, "events"))
+    series.createOrReplaceTempView("q323_series")
+    core = _DW_CORE.format(src="q323_series", wide="DECIMAL(38,0)", idiv="div", str="STRING")
+    return spark.sql("WITH " + core.lstrip().lstrip(",").lstrip())
+
+
+_Q323_SQL = (
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS c FROM events GROUP BY 1
+), mm AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM daily
+), cal AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM mm
+), series AS (
+  SELECT CAST(cal.d - DATE '1970-01-01' AS BIGINT) AS t,
+         CAST(coalesce(daily.c, 0) AS BIGINT) AS y
+  FROM cal LEFT JOIN daily ON cal.d = daily.d
+)"""
+    + _DW_CORE.format(src="series", wide="HUGEINT", idiv="//", str="VARCHAR")
+)
+
+
 def q235_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nelson-Aalen cumulative hazard H(t) = Σ_{t_i≤t} d_i/n_i for
     days-to-first-purchase, with the Poisson variance estimate
@@ -11780,6 +11889,7 @@ QUERIES = {
     "q316_seasonal_backtest": q316_seasonal_backtest,
     "q321_logrank_test": q321_logrank_test,
     "q322_friedman_test": q322_friedman_test,
+    "q323_durbin_watson": q323_durbin_watson,
 }
 
 ORACLES = {
@@ -11937,4 +12047,5 @@ ORACLES = {
     "q316_seasonal_backtest": _Q316_SQL,
     "q321_logrank_test": _Q321_SQL,
     "q322_friedman_test": _Q322_SQL,
+    "q323_durbin_watson": _Q323_SQL,
 }

@@ -366,6 +366,7 @@ HEADLINE = [
     "q320_bloom_fpr_audit",
     "q321_logrank_test",
     "q322_friedman_test",
+    "q323_durbin_watson",
 ]
 
 

@@ -486,3 +486,54 @@ def test_q322_friedman_hand_value(spark, tmp_path, qs):
     r = qs["q322_friedman_test"](spark, str(tmp_path)).collect()[0]
     assert (r.n_days, r.k_types, r.a_stat, r.b_stat) == (3, 3, 56, 24)
     assert r.q_milli == 4666
+
+
+def test_q323_durbin_watson_hand_value(spark, tmp_path, qs):
+    """Daily counts (1,3,2,4): OLS b = 0.8, a = 1.3; residuals
+    (-.3,.9,-.9,.3) -> DW = 6.12/1.8 = 3.4 exactly (alternating
+    residuals -> strong negative autocorrelation). All intermediate
+    integers divide exactly, so no floor slack anywhere."""
+    from datetime import datetime, timedelta
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows, eid = [], 0
+    for d, c in enumerate([1, 3, 2, 4]):
+        for _ in range(c):
+            eid += 1
+            rows.append(
+                (eid, datetime(2024, 3, 1, 12) + timedelta(days=d),
+                 eid, "click", 1.0, "{}")
+            )
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = qs["q323_durbin_watson"](spark, str(tmp_path)).collect()[0]
+    assert r.n_days == 4
+    assert r.slope_nano == 800_000_000
+    assert r.sum_e2_nano2 == "1800000000000000000"
+    assert r.sum_d2_nano2 == "6120000000000000000"
+    assert r.dw_milli == 3400
+
+
+def test_q323_durbin_watson_perfect_fit_is_null(spark, tmp_path, qs):
+    """A perfectly linear series has zero residuals -> DW undefined ->
+    explicit NULL (the q308 degenerate-guard discipline)."""
+    from datetime import datetime, timedelta
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows, eid = [], 0
+    for d, c in enumerate([1, 2, 3, 4]):
+        for _ in range(c):
+            eid += 1
+            rows.append(
+                (eid, datetime(2024, 3, 1, 12) + timedelta(days=d),
+                 eid, "click", 1.0, "{}")
+            )
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = qs["q323_durbin_watson"](spark, str(tmp_path)).collect()[0]
+    assert r.sum_e2_nano2 == "0"
+    assert r.dw_milli is None
