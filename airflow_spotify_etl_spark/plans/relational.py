@@ -7858,6 +7858,96 @@ WITH daily AS (
 )
 
 
+_PH_CORE = """
+, o AS (
+  SELECT t, y, row_number() OVER (ORDER BY t) AS i FROM {src}
+)
+, cum AS (
+  SELECT i, t, y,
+         sum(CAST(y AS {wide})) OVER (ORDER BY i
+             ROWS UNBOUNDED PRECEDING) AS s
+  FROM o
+)
+, terms AS (
+  SELECT i, t,
+         CAST(y AS {wide}) * 1000000000
+           - (CAST(s AS {wide}) * 1000000000) {idiv} i AS term
+  FROM cum
+)
+, m AS (
+  SELECT i, t,
+         sum(term) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS mt
+  FROM terms
+)
+, ph AS (
+  SELECT i, t, mt,
+         mt - min(mt) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS ph_t
+  FROM m
+)
+, peak AS (
+  SELECT t AS peak_day_t, ph_t AS ph_max FROM (
+    SELECT t, ph_t,
+           row_number() OVER (ORDER BY ph_t DESC, i ASC) AS rn
+    FROM ph
+  ) WHERE rn = 1
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM o) AS n_days,
+       CAST(peak.peak_day_t AS BIGINT) AS peak_day_t,
+       CAST(peak.ph_max AS {str}) AS ph_max_nano
+FROM peak
+"""
+
+
+def q324_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley change detection on the daily event-count series —
+    the sequential mean-shift monitor completing the changepoint suite
+    (CUSUM q190 targets a KNOWN reference mean, Pettitt q238 is a
+    retrospective rank test; Page-Hinkley tracks deviation from the
+    RUNNING mean, the form an online ingest monitor actually runs):
+    m_t = Σ_{i≤t}(x_i − x̄_i), PH_t = m_t − min_{s≤t} m_s, alarm when
+    the peak exceeds a threshold. Reports the peak PH and its day.
+
+    Exactness: each running mean x̄_i is NANO-FLOORED off the exact
+    cumulative sum ((S_i·10⁹) div i — all operands nonnegative, no
+    trunc/floor divergence), so every term, the cumulative m_t, the
+    prefix min, and the peak are exact integers; the argmax tiebreak
+    is earliest day.
+
+    Magnitude audit: a term ~ x·10⁹ ≤ 2.7e22 at 1e11 rows/3650 days —
+    terms and both cumulatives run in DECIMAL(38,0)/HUGEINT and
+    ph_max ships as a STRING (q78 rule).
+
+    Shape at 100 TB: one grouped corpus pass to the pinned calendar
+    spine; all windows are unkeyed but run POST-aggregation on the
+    day-bounded relation (the q215/q219 argument)."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    series = _calendar_series(_t(spark, sf_dir, "events"))
+    series.createOrReplaceTempView("q324_series")
+    core = _PH_CORE.format(
+        src="q324_series", wide="DECIMAL(38,0)", idiv="div", str="STRING"
+    )
+    return spark.sql("WITH " + core.lstrip().lstrip(",").lstrip())
+
+
+_Q324_SQL = (
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS c FROM events GROUP BY 1
+), mm AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM daily
+), cal AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM mm
+), series AS (
+  SELECT CAST(cal.d - DATE '1970-01-01' AS BIGINT) AS t,
+         CAST(coalesce(daily.c, 0) AS BIGINT) AS y
+  FROM cal LEFT JOIN daily ON cal.d = daily.d
+)"""
+    + _PH_CORE.format(src="series", wide="HUGEINT", idiv="//", str="VARCHAR")
+)
+
+
 def q235_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nelson-Aalen cumulative hazard H(t) = Σ_{t_i≤t} d_i/n_i for
     days-to-first-purchase, with the Poisson variance estimate
@@ -11890,6 +11980,7 @@ QUERIES = {
     "q321_logrank_test": q321_logrank_test,
     "q322_friedman_test": q322_friedman_test,
     "q323_durbin_watson": q323_durbin_watson,
+    "q324_page_hinkley": q324_page_hinkley,
 }
 
 ORACLES = {
@@ -12048,4 +12139,5 @@ ORACLES = {
     "q321_logrank_test": _Q321_SQL,
     "q322_friedman_test": _Q322_SQL,
     "q323_durbin_watson": _Q323_SQL,
+    "q324_page_hinkley": _Q324_SQL,
 }

@@ -367,6 +367,7 @@ HEADLINE = [
     "q321_logrank_test",
     "q322_friedman_test",
     "q323_durbin_watson",
+    "q324_page_hinkley",
 ]
 
 

@@ -537,3 +537,27 @@ def test_q323_durbin_watson_perfect_fit_is_null(spark, tmp_path, qs):
     r = qs["q323_durbin_watson"](spark, str(tmp_path)).collect()[0]
     assert r.sum_e2_nano2 == "0"
     assert r.dw_milli is None
+
+
+def test_q324_page_hinkley_hand_value(spark, tmp_path, qs):
+    """Counts (10,10,10,40): running means 10,10,10,17.5 -> terms
+    0,0,0,22.5e9 -> PH peaks at 22500000000 nano on the spike day."""
+    from datetime import date, datetime, timedelta
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows, eid = [], 0
+    for d, c in enumerate([10, 10, 10, 40]):
+        for _ in range(c):
+            eid += 1
+            rows.append(
+                (eid, datetime(2024, 3, 1, 12) + timedelta(days=d),
+                 eid, "click", 1.0, "{}")
+            )
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = qs["q324_page_hinkley"](spark, str(tmp_path)).collect()[0]
+    assert r.n_days == 4
+    assert r.peak_day_t == (date(2024, 3, 4) - date(1970, 1, 1)).days
+    assert r.ph_max_nano == "22500000000"
