@@ -7948,6 +7948,117 @@ WITH daily AS (
 )
 
 
+def q325_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew audit for the lineitem ⋈ orders fact-fact join — the
+    operational question AQE's skew-join handling answers at runtime,
+    surfaced as a queryable relation so capacity planning can see it
+    BEFORE the join runs: per-key mass distribution (max, exact p99,
+    top-key share) and the worst-partition share under hash
+    partitioning into 32 buckets (modeled with the engine-portable
+    md5-slice hash so the DuckDB oracle replays the same assignment —
+    a model of hash partitioning, not Spark's murmur3, but the same
+    balls-in-bins statistics).
+
+    Exactness: every output is an exact integer off the key-mass count
+    table — p99 is a true order statistic (cumulative count table, the
+    q41 idiom: smallest mass with cum ≥ ceil(0.99·n_keys), integer
+    ceiling via (99·n+99) div 100... exactly (99·n_keys + 99) div 100
+    ≡ ceil when n not divisible); shares are ppm integer divisions.
+
+    Shape at 100 TB: ONE grouped pass over the fact table to the
+    key-mass relation (map-side combine collapses in-key rows); the
+    mass count table, partition rollup, and 1-row reduction are all
+    bounded by |distinct masses| and 32."""
+    li = _t(spark, sf_dir, "lineitem")
+    km = li.groupBy("l_orderkey").agg(F.count("*").alias("m"))
+    mc = km.groupBy("m").agg(F.count("*").alias("keys"))
+    w = W.orderBy("m").rowsBetween(W.unboundedPreceding, 0)
+    cum = mc.select(
+        "m", "keys", F.sum("keys").over(w).alias("cum")
+    )
+    tot = mc.agg(
+        F.sum("keys").alias("n_keys"),
+        F.sum(F.expr("m * keys")).alias("n_rows"),
+        F.max("m").alias("max_key_rows"),
+    )
+    p99 = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") >= F.expr("(99 * n_keys + 99) div 100"))
+        .agg(F.min("m").alias("p99_key_rows"))
+    )
+    parts = (
+        km.groupBy(
+            F.expr(
+                "pmod(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 8),"
+                " 16, 10), 32)"
+            ).alias("p")
+        )
+        .agg(F.sum("m").alias("pm"))
+        .agg(
+            F.max("pm").alias("max_part_rows"),
+            F.count("*").alias("n_parts_hit"),
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(p99))
+        .crossJoin(F.broadcast(parts))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_key_rows",
+            "p99_key_rows",
+            F.expr("(max_key_rows * 1000000) div n_rows").alias("top_key_ppm"),
+            "max_part_rows",
+            "n_parts_hit",
+            F.expr("(max_part_rows * 1000000) div n_rows").alias(
+                "max_part_ppm"
+            ),
+            F.expr("(max_part_rows * 32 * 1000) div n_rows").alias(
+                "skew_ratio_milli"
+            ),
+        )
+    )
+
+
+_Q325_SQL = """
+WITH km AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS m
+  FROM lineitem GROUP BY 1
+), mc AS (
+  SELECT m, CAST(count(*) AS BIGINT) AS keys FROM km GROUP BY m
+), cum AS (
+  SELECT m, keys,
+         sum(keys) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS cum
+  FROM mc
+), tot AS (
+  SELECT CAST(sum(keys) AS BIGINT) AS n_keys,
+         CAST(sum(m * keys) AS BIGINT) AS n_rows,
+         CAST(max(m) AS BIGINT) AS max_key_rows
+  FROM mc
+), p99 AS (
+  SELECT CAST(min(m) AS BIGINT) AS p99_key_rows
+  FROM cum CROSS JOIN tot
+  WHERE cum >= (99 * n_keys + 99) // 100
+), parts AS (
+  SELECT CAST(max(pm) AS BIGINT) AS max_part_rows,
+         CAST(count(*) AS BIGINT) AS n_parts_hit
+  FROM (
+    SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT
+             % 32 AS p,
+           CAST(sum(m) AS BIGINT) AS pm
+    FROM km GROUP BY 1
+  )
+)
+SELECT n_keys, n_rows, max_key_rows, p99_key_rows,
+       CAST((max_key_rows * 1000000) // n_rows AS BIGINT) AS top_key_ppm,
+       max_part_rows, n_parts_hit,
+       CAST((max_part_rows * 1000000) // n_rows AS BIGINT) AS max_part_ppm,
+       CAST((max_part_rows * 32 * 1000) // n_rows AS BIGINT)
+         AS skew_ratio_milli
+FROM tot CROSS JOIN p99 CROSS JOIN parts
+"""
+
+
 def q235_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nelson-Aalen cumulative hazard H(t) = Σ_{t_i≤t} d_i/n_i for
     days-to-first-purchase, with the Poisson variance estimate
@@ -11981,6 +12092,7 @@ QUERIES = {
     "q322_friedman_test": q322_friedman_test,
     "q323_durbin_watson": q323_durbin_watson,
     "q324_page_hinkley": q324_page_hinkley,
+    "q325_join_skew_audit": q325_join_skew_audit,
 }
 
 ORACLES = {
@@ -12140,4 +12252,5 @@ ORACLES = {
     "q322_friedman_test": _Q322_SQL,
     "q323_durbin_watson": _Q323_SQL,
     "q324_page_hinkley": _Q324_SQL,
+    "q325_join_skew_audit": _Q325_SQL,
 }

@@ -368,6 +368,7 @@ HEADLINE = [
     "q322_friedman_test",
     "q323_durbin_watson",
     "q324_page_hinkley",
+    "q325_join_skew_audit",
 ]
 
 

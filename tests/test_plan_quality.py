@@ -4877,3 +4877,30 @@ def test_q320_bloom_fpr_planted_occupancy(spark, tmp_path, qs):
     assert r.fpr_ppm == (r.n_false_positive * 1_000_000) // 2000
     assert r.occupancy_ppm == (r.bits_set * 1_000_000) // 65536
     assert 500_000 < r.occupancy_ppm < 900_000
+
+
+def test_q325_skew_audit_planted_hot_key(spark, tmp_path, qs):
+    """One hot key (100 rows) among 10 singletons: max=100, p99 lands
+    on the hot key (ceil(.99*11)=11 -> cum reaches 11 only at m=100),
+    top-key share 909090 ppm, and the hot key's partition must carry
+    >= 100 rows -> skew ratio >= 29x the mean."""
+    import datetime as _dt
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    def li(ok, ln):
+        return (ok, 1, 1, ln, 1.0, 10.0, 0.0, 0.0, "N", "O",
+                _dt.datetime(2024, 3, 1, 12))
+
+    rows = [li(999, i + 1) for i in range(100)]
+    rows += [li(k, 1) for k in range(10)]
+    spark.createDataFrame(rows, SCHEMAS["lineitem"]).write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    r = qs["q325_join_skew_audit"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_keys, r.n_rows, r.max_key_rows, r.p99_key_rows) == (
+        11, 110, 100, 100,
+    )
+    assert r.top_key_ppm == (100 * 1_000_000) // 110
+    assert r.max_part_rows >= 100
+    assert r.skew_ratio_milli >= 29_000
