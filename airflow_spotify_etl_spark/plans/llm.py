@@ -11624,6 +11624,136 @@ FROM agg CROSS JOIN occ
 """
 
 
+def q326_vocab_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-occurrence coverage of a top-K vocabulary for K in (10,
+    100, 1000, 65536) — the tokenizer-budget planning curve (how big
+    must the vocab be to cover X% of the stream?), completing the
+    fixed-vocab coverage check (q206) and the fertility economics
+    (q284) with the whole budget sweep.
+
+    Count-table-of-counts idiom (the q41/q311 order-statistic
+    discipline — NO global sort/window over the vocabulary, which at
+    100 TB is ~10⁸ tokens): for each K the top-K token set is a COUNT
+    THRESHOLD c* on the (count, n_tokens) spectrum plus a tie slice —
+    covered = Σ_{c>c*} c·n_c + (K − n_above)·c*, all exact BIGINTs off
+    the |distinct counts|-bounded spectrum; coverage_ppm is an exact
+    integer division.
+
+    Shape at 100 TB: one token-count pass (map-side combine), one
+    spectrum rollup (|distinct counts| rows — thousands, not 10⁸),
+    windows and the 4-point sweep on that bounded relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(F.split(F.lower("text"), "\\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    spec = cnt.groupBy("c").agg(F.count("*").alias("nc"))
+    w = W.orderBy(F.col("c").desc()).rowsBetween(W.unboundedPreceding, -1)
+    cum = spec.select(
+        "c",
+        "nc",
+        F.coalesce(F.sum("nc").over(w), F.lit(0)).alias("keys_above"),
+        F.coalesce(
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * nc")).over(w),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("tokens_above"),
+    )
+    tot = spec.agg(
+        F.sum("nc").alias("v_total"),
+        F.expr("CAST(sum(CAST(c AS DECIMAL(38,0)) * nc) AS DECIMAL(38,0))")
+        .alias("n_total"),
+    )
+    ks = spark.createDataFrame(
+        [(10,), (100,), (1000,), (65536,)], "k int"
+    )
+    # per K: the threshold row is the spectrum value whose cumulative
+    # key count first reaches K (keys_above < K ≤ keys_above + nc)
+    hit = (
+        cum.crossJoin(F.broadcast(ks))
+        .filter(
+            (F.col("keys_above") < F.col("k"))
+            & (F.col("k") <= F.col("keys_above") + F.col("nc"))
+        )
+        .select(
+            "k",
+            (
+                F.col("tokens_above")
+                + (F.col("k") - F.col("keys_above"))
+                * F.expr("CAST(c AS DECIMAL(38,0))")
+            ).alias("covered"),
+        )
+    )
+    # K beyond the whole vocabulary covers everything
+    full = (
+        ks.crossJoin(F.broadcast(tot))
+        .filter(F.col("k") > F.col("v_total"))
+        .select("k", F.col("n_total").alias("covered"))
+    )
+    return (
+        hit.unionByName(full)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            F.expr("CAST(least(CAST(k AS BIGINT), v_total) AS BIGINT)").alias(
+                "vocab_used"
+            ),
+            F.col("covered").cast("long").alias("covered_tokens"),
+            F.col("n_total").cast("long").alias("n_tokens"),
+            F.expr("CAST((covered * 1000000) div n_total AS BIGINT)").alias(
+                "coverage_ppm"
+            ),
+        )
+        .orderBy("k")
+    )
+
+
+_Q326_SQL = """
+WITH cnt AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> '' GROUP BY tok
+), spec AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS nc FROM cnt GROUP BY c
+), cum AS (
+  SELECT c, nc,
+         coalesce(sum(nc) OVER (ORDER BY c DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS keys_above,
+         coalesce(sum(CAST(c AS HUGEINT) * nc) OVER (ORDER BY c DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             CAST(0 AS HUGEINT)) AS tokens_above
+  FROM spec
+), tot AS (
+  SELECT CAST(sum(nc) AS BIGINT) AS v_total,
+         CAST(sum(CAST(c AS HUGEINT) * nc) AS HUGEINT) AS n_total
+  FROM spec
+), ks AS (
+  SELECT CAST(k AS INT) AS k FROM (VALUES (10), (100), (1000), (65536)) v(k)
+), hit AS (
+  SELECT ks.k,
+         cum.tokens_above + (ks.k - cum.keys_above) * CAST(cum.c AS HUGEINT)
+           AS covered
+  FROM cum CROSS JOIN ks
+  WHERE cum.keys_above < ks.k AND ks.k <= cum.keys_above + cum.nc
+), funion AS (
+  SELECT k, covered FROM hit
+  UNION ALL
+  SELECT ks.k, tot.n_total AS covered
+  FROM ks CROSS JOIN tot WHERE ks.k > tot.v_total
+)
+SELECT f.k,
+       CAST(least(CAST(f.k AS BIGINT), tot.v_total) AS BIGINT) AS vocab_used,
+       CAST(f.covered AS BIGINT) AS covered_tokens,
+       CAST(tot.n_total AS BIGINT) AS n_tokens,
+       CAST((f.covered * 1000000) // tot.n_total AS BIGINT) AS coverage_ppm
+FROM funion f CROSS JOIN tot
+ORDER BY f.k
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -11771,6 +11901,7 @@ QUERIES = {
     "q318_ivf_nprobe_sweep": q318_ivf_nprobe_sweep,
     "q319_source_tvd_matrix": q319_source_tvd_matrix,
     "q320_bloom_fpr_audit": q320_bloom_fpr_audit,
+    "q326_vocab_budget_curve": q326_vocab_budget_curve,
 }
 
 ORACLES = {
@@ -11920,4 +12051,5 @@ ORACLES = {
     "q318_ivf_nprobe_sweep": _Q318_SQL,
     "q319_source_tvd_matrix": _Q319_SQL,
     "q320_bloom_fpr_audit": _Q320_SQL,
+    "q326_vocab_budget_curve": _Q326_SQL,
 }

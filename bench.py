@@ -369,6 +369,7 @@ HEADLINE = [
     "q323_durbin_watson",
     "q324_page_hinkley",
     "q325_join_skew_audit",
+    "q326_vocab_budget_curve",
 ]
 
 

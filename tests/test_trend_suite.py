@@ -561,3 +561,26 @@ def test_q324_page_hinkley_hand_value(spark, tmp_path, qs):
     assert r.n_days == 4
     assert r.peak_day_t == (date(2024, 3, 4) - date(1970, 1, 1)).days
     assert r.ph_max_nano == "22500000000"
+
+
+def test_q326_vocab_curve_tie_slice_hand_value(spark, tmp_path, qs):
+    """Spectrum 4x(c=4), 8x(c=2), 3x(c=1): V=15, N=35. K=10 lands
+    mid-tie in the c=2 band -> covered = 16 + (10-4)*2 = 28 ->
+    800000 ppm; K >= V covers everything."""
+    toks = []
+    for i in range(4):
+        toks += [f"hi{i}"] * 4
+    for i in range(8):
+        toks += [f"mid{i}"] * 2
+    for i in range(3):
+        toks += [f"lo{i}"]
+    _write_docs(spark, tmp_path, [(1, " ".join(toks), "en", "srcA", 5)])
+    rows = {r.k: r for r in qs["q326_vocab_budget_curve"](
+        spark, str(tmp_path)).collect()}
+    assert rows[10].covered_tokens == 28
+    assert rows[10].coverage_ppm == 800_000
+    assert rows[10].vocab_used == 10
+    for k in (100, 1000, 65536):
+        assert rows[k].vocab_used == 15
+        assert rows[k].covered_tokens == 35
+        assert rows[k].coverage_ppm == 1_000_000
