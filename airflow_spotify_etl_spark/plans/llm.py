@@ -11754,6 +11754,111 @@ ORDER BY f.k
 """
 
 
+def q327_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace quantization distortion (SSE/MSE) of the q97 PQ
+    tier — the compression-quality audit that pairs with the recall
+    audits (q317/q318 measure retrieval loss; this measures GEOMETRY
+    loss, the number a codebook-size decision is actually made on):
+    for each of the 4 subspaces, the squared reconstruction error
+    ‖v_j − codeword(code_j)‖² summed over the corpus.
+
+    Float parity: each row×subspace SED is ONE deterministic chain
+    (per-element exact double differences → the shared left-to-right
+    dot fold, the q22/q97 seam) NANO-FLOORED per row BEFORE the
+    cross-row sum (q122 rule: cross-row float sums are
+    order-dependent; quantize first). sse_nano accumulates in
+    DECIMAL(38,0)/HUGEINT and ships as a STRING (q78 rule); mse_nano
+    is an exact integer division.
+
+    Shape at 100 TB: encode is the q97 narrow projection (zero joins,
+    zero shuffle — codebooks are driver literals); the audit adds one
+    4-row grouped aggregate with map-side combine."""
+    from ..operators.similarity import _as_double, _dot, pq_codebooks, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    books = pq_codebooks(corpus, n_sub=4, n_codes=16)
+    d = len(books[0][0])
+    enc = pq_encode(corpus, books).withColumn("_vd", _as_double("embedding"))
+    # all 4 subspace errors in ONE projection (a per-j union would
+    # re-run the encode scan 4x), exploded to (j, sed_nano) rows
+    cells = []
+    for j, book in enumerate(books):
+        sub = F.slice("_vd", j * d + 1, d)
+        cw = F.element_at(F.lit(book), F.col(f"code_{j}") + 1)
+        diff = F.zip_with(sub, cw, lambda x, y: x - y)
+        cells.append(
+            F.struct(
+                F.lit(j).alias("j"),
+                F.floor(_dot(diff, diff) * F.lit(1e9))
+                .cast("long")
+                .alias("sed_nano"),
+            )
+        )
+    per = enc.select(F.explode(F.array(*cells)).alias("s")).select(
+        F.col("s.j").alias("j"), F.col("s.sed_nano").alias("sed_nano")
+    )
+    return (
+        per.groupBy("j")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.expr("CAST(sed_nano AS DECIMAL(38,0))")).alias("_sse"),
+        )
+        .select(
+            "j",
+            "n_vecs",
+            F.expr("CAST(_sse AS STRING)").alias("sse_nano"),
+            F.expr("CAST(_sse div n_vecs AS BIGINT)").alias("mse_nano"),
+        )
+        .orderBy("j")
+    )
+
+
+_Q327_SQL = """
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= 5
+), seeds AS (
+  SELECT row_number() OVER (
+           ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                    vec_id
+         ) - 1 AS code,
+         v AS cv
+  FROM c
+  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT, vec_id
+  LIMIT 16
+), books AS (
+  SELECT s.code, t.j, list_slice(s.cv, t.j*16 + 1, t.j*16 + 16) AS cw
+  FROM seeds s CROSS JOIN range(4) t(j)
+), enc AS (
+  SELECT vec_id, j, code, sub FROM (
+    SELECT c.vec_id, b.j, b.code,
+           list_slice(c.v, b.j*16 + 1, b.j*16 + 16) AS sub,
+           row_number() OVER (
+             PARTITION BY c.vec_id, b.j
+             ORDER BY list_dot_product(list_slice(c.v, b.j*16 + 1, b.j*16 + 16), b.cw)
+                      - 0.5 * list_dot_product(b.cw, b.cw) DESC,
+                      b.code ASC
+           ) AS rn
+    FROM c CROSS JOIN books b
+  ) WHERE rn = 1
+), sed AS (
+  SELECT e.j,
+         CAST(floor(list_dot_product(
+           list_transform(range(1, 17), i -> e.sub[i] - b.cw[i]),
+           list_transform(range(1, 17), i -> e.sub[i] - b.cw[i])
+         ) * 1e9) AS BIGINT) AS sed_nano
+  FROM enc e JOIN books b ON b.j = e.j AND b.code = e.code
+)
+SELECT j, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CAST(sed_nano AS HUGEINT)) AS VARCHAR) AS sse_nano,
+       CAST(sum(CAST(sed_nano AS HUGEINT)) // count(*) AS BIGINT) AS mse_nano
+FROM sed
+GROUP BY j
+ORDER BY j
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -11902,6 +12007,7 @@ QUERIES = {
     "q319_source_tvd_matrix": q319_source_tvd_matrix,
     "q320_bloom_fpr_audit": q320_bloom_fpr_audit,
     "q326_vocab_budget_curve": q326_vocab_budget_curve,
+    "q327_pq_distortion": q327_pq_distortion,
 }
 
 ORACLES = {
@@ -12052,4 +12158,5 @@ ORACLES = {
     "q319_source_tvd_matrix": _Q319_SQL,
     "q320_bloom_fpr_audit": _Q320_SQL,
     "q326_vocab_budget_curve": _Q326_SQL,
+    "q327_pq_distortion": _Q327_SQL,
 }

@@ -370,6 +370,7 @@ HEADLINE = [
     "q324_page_hinkley",
     "q325_join_skew_audit",
     "q326_vocab_budget_curve",
+    "q327_pq_distortion",
 ]
 
 

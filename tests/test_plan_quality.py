@@ -4904,3 +4904,28 @@ def test_q325_skew_audit_planted_hot_key(spark, tmp_path, qs):
     assert r.top_key_ppm == (100 * 1_000_000) // 110
     assert r.max_part_rows >= 100
     assert r.skew_ratio_milli >= 29_000
+
+
+def test_q327_codebook_members_have_zero_distortion(spark, tmp_path, qs):
+    """If every corpus vector IS one of the 16 hash-seeded codebook
+    vectors (16 corpus rows -> the hash-seeded draw IS the corpus),
+    each row's own slices are codewords, the argmin picks them
+    (distance 0 beats everything), and per-subspace SSE must be
+    exactly 0."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = [rng.randn(64).astype("float32").tolist() for _ in range(16)]
+    rows = [(5 + i, base[i], 0) for i in range(16)]
+    spark.createDataFrame(rows, SCHEMAS["embeddings"]).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = {r.j: r for r in qs["q327_pq_distortion"](
+        spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    for j, r in out.items():
+        assert r.n_vecs == 16
+        assert r.sse_nano == "0"
+        assert r.mse_nano == 0
