@@ -37,6 +37,7 @@ __all__ = [
     "snapshot_diff",
     "gap_fill_hourly",
     "stats_drift",
+    "tvd_matrix",
 ]
 
 
@@ -457,3 +458,62 @@ def stats_drift(
         null_drift.alias("null_drift"),
         distinct_drift.alias("distinct_drift"),
     )
+
+
+def tvd_matrix(
+    counts: DataFrame,
+    group_col: str = "source",
+    value_col: str = "v",
+    count_col: str = "c",
+) -> DataFrame:
+    """EXACT pairwise total variation distance between the value
+    distributions of every group in a (group, value, count) relation —
+    the shared core behind the batch drift matrix (plans/llm.py q319)
+    and the streaming histogram monitor (streaming/drift_monitor.py).
+
+    Inner-join-plus-totals identity (no full-outer join, no dense value
+    grid): Σ_v |c₁N₂ − c₂N₁| = 2·N₁N₂ + Σ_{v∈common}(|c₁N₂−c₂N₁| −
+    c₁N₂ − c₂N₁), because one-sided values contribute their full c·N
+    mass. tvd_ppm = (num·10⁶) div (2·N₁N₂) is exact end to end; the
+    cross products accumulate in DECIMAL(38,0) (c·N ~ N² wraps BIGINT
+    at N ≈ 3e9). Emits pairs sharing ≥1 value (a fully disjoint pair —
+    TVD exactly 1 — has no join row; n_common_values keeps the support
+    explicit).
+
+    Scale shape: runs entirely on the count relation (|groups|·|values|
+    rows, corpus-independent)."""
+    g, v, c = group_col, value_col, count_col
+    tot = counts.groupBy(g).agg(F.sum(c).alias("n"))
+    a = counts.join(tot, g).select(
+        F.col(g).alias("grp_a"), F.col(v).alias("_v"),
+        F.col(c).alias("ca"), F.col("n").alias("na"),
+    )
+    b = counts.join(tot, g).select(
+        F.col(g).alias("grp_b"), F.col(v).alias("_v"),
+        F.col(c).alias("cb"), F.col("n").alias("nb"),
+    )
+    common = (
+        a.join(b, "_v")
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.sum(
+                F.expr(
+                    "abs(CAST(ca AS DECIMAL(38,0)) * nb"
+                    "    - CAST(cb AS DECIMAL(38,0)) * na)"
+                    " - CAST(ca AS DECIMAL(38,0)) * nb"
+                    " - CAST(cb AS DECIMAL(38,0)) * na"
+                )
+            ).alias("adj"),
+            F.count("*").alias("n_common_values"),
+        )
+    )
+    return common.select(
+        "grp_a", "grp_b", "n_a", "n_b", "n_common_values",
+        F.expr(
+            "CAST((2 * CAST(n_a AS DECIMAL(38,0)) * n_b + adj) * 1000000"
+            " div (2 * CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+        ).alias("tvd_ppm"),
+    ).orderBy("grp_a", "grp_b")

@@ -11404,44 +11404,20 @@ def q319_source_tvd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair join runs entirely on that bounded relation. Emits pairs with
     ≥1 common length (a fully disjoint pair — TVD exactly 1 — has no
     join row; n_common_lengths makes the support explicit)."""
+    from ..operators.incremental import tvd_matrix
+
     docs = load_table(spark, sf_dir, "documents")
     cnt = docs.groupBy(
         F.col("source"), F.length("text").alias("v")
     ).agg(F.count("*").alias("c"))
-    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
-    a = cnt.join(tot, "source").select(
-        F.col("source").alias("src_a"), "v",
-        F.col("c").alias("ca"), F.col("n").alias("na"),
+    return tvd_matrix(cnt).select(
+        F.col("grp_a").alias("src_a"),
+        F.col("grp_b").alias("src_b"),
+        "n_a",
+        "n_b",
+        F.col("n_common_values").alias("n_common_lengths"),
+        "tvd_ppm",
     )
-    b = cnt.join(tot, "source").select(
-        F.col("source").alias("src_b"), "v",
-        F.col("c").alias("cb"), F.col("n").alias("nb"),
-    )
-    common = (
-        a.join(b, "v")
-        .filter(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(
-            F.max("na").alias("n_a"),
-            F.max("nb").alias("n_b"),
-            F.sum(
-                F.expr(
-                    "abs(CAST(ca AS DECIMAL(38,0)) * nb"
-                    "    - CAST(cb AS DECIMAL(38,0)) * na)"
-                    " - CAST(ca AS DECIMAL(38,0)) * nb"
-                    " - CAST(cb AS DECIMAL(38,0)) * na"
-                )
-            ).alias("adj"),
-            F.count("*").alias("n_common_lengths"),
-        )
-    )
-    return common.select(
-        "src_a", "src_b", "n_a", "n_b", "n_common_lengths",
-        F.expr(
-            "CAST((2 * CAST(n_a AS DECIMAL(38,0)) * n_b + adj) * 1000000"
-            " div (2 * CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
-        ).alias("tvd_ppm"),
-    ).orderBy("src_a", "src_b")
 
 
 _Q319_SQL = """

@@ -1092,3 +1092,68 @@ def test_hll_monitor_equals_batch_sketch(spark, tmp_path):
         for r in read_hll_estimates(spark, store).collect()
     }
     assert again == got
+
+
+def test_drift_monitor_equals_batch_tvd(spark, tmp_path):
+    """Two drains with overlapping sources: the merged streaming
+    histogram's TVD matrix must equal the batch tvd_matrix over the
+    union of every drained row (histogram merge is exact cell
+    addition), and a foreachBatch RETRY (same batch id re-applied)
+    must not move any cell."""
+    from airflow_spotify_etl_spark.operators.incremental import tvd_matrix
+    from airflow_spotify_etl_spark.streaming.drift_monitor import (
+        _apply_histogram_batch,
+        read_tvd_matrix,
+        run_histogram_monitor,
+    )
+
+    schema = "doc_id long, text string, source string"
+    rows1 = [(i, "x" * (5 + i % 3), "srcA") for i in range(30)] + [
+        (100 + i, "y" * (6 + i % 4), "srcB") for i in range(20)
+    ]
+    rows2 = [(200 + i, "z" * (5 + i % 5), "srcA") for i in range(15)] + [
+        (300 + i, "w" * 7, "srcC") for i in range(10)
+    ]
+    src = str(tmp_path / "drift_src")
+    store = str(tmp_path / "drift_store")
+    ckpt = str(tmp_path / "drift_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        run_histogram_monitor(spark, stream, store, ckpt)
+
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+
+    got = {
+        (r.grp_a, r.grp_b): (r.n_a, r.n_b, r.n_common_values, r.tvd_ppm)
+        for r in read_tvd_matrix(spark, store).collect()
+    }
+    union = spark.createDataFrame(rows1 + rows2, schema)
+    cnt = union.groupBy(
+        F.col("source").alias("grp"), F.expr("length(text)").alias("v")
+    ).agg(F.count("*").alias("c"))
+    want = {
+        (r.grp_a, r.grp_b): (r.n_a, r.n_b, r.n_common_values, r.tvd_ppm)
+        for r in tvd_matrix(cnt, group_col="grp").collect()
+    }
+    assert got == want
+    assert ("srcA", "srcB") in got and ("srcA", "srcC") in got
+
+    # retry discipline: re-writing an existing batch id overwrites its
+    # own partition with identical cells -- the matrix cannot move
+    _apply_histogram_batch(
+        spark.createDataFrame(rows1, schema), store, 0, "source",
+        "length(text)",
+    )
+    again = {
+        (r.grp_a, r.grp_b): (r.n_a, r.n_b, r.n_common_values, r.tvd_ppm)
+        for r in read_tvd_matrix(spark, store).collect()
+    }
+    assert again == got
