@@ -11835,6 +11835,151 @@ ORDER BY j
 """
 
 
+def q328_minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator accuracy audit — the sketch-audit pattern
+    (q259 CMS, q302 HLL, q320 Bloom) applied to the q25 dedup tier:
+    over every LSH candidate pair, compare the SIGNATURE-estimated
+    Jaccard (matching slots / k) against the exact shingle Jaccard the
+    verify stage computes anyway, and report the error distribution
+    plus the threshold confusion (would a signature-only decision at
+    0.5 disagree with exact verification?). This is the measurement
+    that justifies — or vetoes — skipping the exact-verify join at
+    100 TB.
+
+    Exactness: every number is integer — per pair, the error
+    |m·U − I·k| ·10⁶ div (k·U) is an exact cross-multiplied rational
+    floor (est − true = (mU − Ik)/(kU)), and the 0.5-threshold calls
+    are the cross-multiplied compares 2m ≥ k and 2I ≥ U (never float
+    division, the q118 rule).
+
+    Shape at 100 TB: the candidate relation and signatures are the
+    audited q25 shapes (capped band buckets, one exchange); the audit
+    adds two doc-keyed signature joins on the candidate-bounded
+    relation and a 1-row reduction."""
+    from ..operators.dedup import minhash_lsh_pairs, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.0).select(
+        "doc_a", "doc_b", "inter", "na", "nb"
+    )
+    sig = minhash_signatures(docs)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sa"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sb"))
+    scored = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "inter",
+            "na",
+            "nb",
+            F.size(
+                F.filter(
+                    F.zip_with("_sa", "_sb", lambda x, y: x == y),
+                    lambda b: b,
+                )
+            ).cast("long").alias("m"),
+            (F.col("na") + F.col("nb") - F.col("inter")).alias("u"),
+        )
+        .select(
+            "m",
+            "inter",
+            "u",
+            F.expr(
+                "(abs(m * u - inter * 64) * 1000000) div (64 * u)"
+            ).alias("err_ppm"),
+            (F.lit(2) * F.col("m") >= F.lit(64)).cast("long").alias("est_pos"),
+            (F.lit(2) * F.col("inter") >= F.col("u")).cast("long").alias(
+                "true_pos"
+            ),
+        )
+    )
+    return scored.agg(
+        F.count("*").alias("n_pairs"),
+        F.expr("sum(err_ppm) div count(*)").alias("mean_err_ppm"),
+        F.max("err_ppm").alias("max_err_ppm"),
+        F.sum("est_pos").alias("n_est_pos"),
+        F.sum("true_pos").alias("n_true_pos"),
+        F.sum(F.expr("est_pos * (1 - true_pos)")).alias("n_false_pos"),
+        F.sum(F.expr("(1 - est_pos) * true_pos")).alias("n_false_neg"),
+    )
+
+
+def _q328_sql() -> str:
+    from ..operators.dedup import _MERSENNE, _hash_params
+
+    params = ",\n    ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_hash_params(64))
+    )
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh_raw AS (
+  SELECT doc_id, unnest(list_distinct(
+           [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+         )) AS shingle
+  FROM w
+), hs AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh_raw
+), params(i, a, b) AS (VALUES
+    {params}
+), sig AS (
+  SELECT doc_id, p.i, min((p.a * h + p.b) % {_MERSENNE}) AS s
+  FROM hs CROSS JOIN params p GROUP BY doc_id, p.i
+), banded AS (
+  SELECT doc_id, i // 4 AS band, string_agg(s::VARCHAR, ',' ORDER BY i) AS bh
+  FROM sig GROUP BY doc_id, i // 4
+), ok AS (
+  SELECT band, bh FROM banded GROUP BY band, bh
+  HAVING count(*) BETWEEN 2 AND 1000
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN ok ON ok.band = a.band AND ok.bh = a.bh
+  JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), sh AS (
+  SELECT doc_id, shingle FROM sh_raw
+  WHERE shingle NOT IN (
+    SELECT shingle FROM sh_raw GROUP BY shingle HAVING count(*) > 1000
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM sh_raw GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+), matches AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS BIGINT) AS m
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+  GROUP BY 1, 2
+), scored AS (
+  SELECT mt.m, i.inter,
+         sa.n_shingles + sb.n_shingles - i.inter AS u
+  FROM inter i
+  JOIN matches mt ON mt.doc_a = i.doc_a AND mt.doc_b = i.doc_b
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+), errs AS (
+  SELECT m, inter, u,
+         (abs(m * u - inter * 64) * 1000000) // (64 * u) AS err_ppm,
+         CASE WHEN 2 * m >= 64 THEN 1 ELSE 0 END AS est_pos,
+         CASE WHEN 2 * inter >= u THEN 1 ELSE 0 END AS true_pos
+  FROM scored
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(err_ppm) // count(*) AS BIGINT) AS mean_err_ppm,
+       CAST(max(err_ppm) AS BIGINT) AS max_err_ppm,
+       CAST(sum(est_pos) AS BIGINT) AS n_est_pos,
+       CAST(sum(true_pos) AS BIGINT) AS n_true_pos,
+       CAST(sum(est_pos * (1 - true_pos)) AS BIGINT) AS n_false_pos,
+       CAST(sum((1 - est_pos) * true_pos) AS BIGINT) AS n_false_neg
+FROM errs
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -11984,6 +12129,7 @@ QUERIES = {
     "q320_bloom_fpr_audit": q320_bloom_fpr_audit,
     "q326_vocab_budget_curve": q326_vocab_budget_curve,
     "q327_pq_distortion": q327_pq_distortion,
+    "q328_minhash_accuracy_audit": q328_minhash_accuracy_audit,
 }
 
 ORACLES = {
@@ -12135,4 +12281,5 @@ ORACLES = {
     "q320_bloom_fpr_audit": _Q320_SQL,
     "q326_vocab_budget_curve": _Q326_SQL,
     "q327_pq_distortion": _Q327_SQL,
+    "q328_minhash_accuracy_audit": _q328_sql(),
 }

@@ -371,6 +371,7 @@ HEADLINE = [
     "q325_join_skew_audit",
     "q326_vocab_budget_curve",
     "q327_pq_distortion",
+    "q328_minhash_accuracy_audit",
 ]
 
 

@@ -4929,3 +4929,24 @@ def test_q327_codebook_members_have_zero_distortion(spark, tmp_path, qs):
         assert r.n_vecs == 16
         assert r.sse_nano == "0"
         assert r.mse_nano == 0
+
+
+def test_q328_identical_docs_have_zero_signature_error(spark, tmp_path, qs):
+    """Two identical docs: every MinHash slot matches (m = 64), exact
+    Jaccard is 1, the estimator error is exactly 0, and both threshold
+    calls agree positive. A lone unrelated doc must not join any
+    candidate pair."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    text = " ".join(f"tok{i}" for i in range(40))
+    other = " ".join(f"zzz{i}" for i in range(40))
+    docs = [
+        (1, text, "en", "srcA", 40),
+        (2, text, "en", "srcA", 40),
+        (3, other, "en", "srcB", 40),
+    ]
+    spark.createDataFrame(docs, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    r = qs["q328_minhash_accuracy_audit"](spark, str(tmp_path)).collect()[0]
+    assert tuple(r) == (1, 0, 0, 1, 1, 0, 0)
