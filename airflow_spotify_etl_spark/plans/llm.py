@@ -11980,6 +11980,75 @@ FROM errs
 """
 
 
+def q329_source_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-source doc-length percentiles (p25/p50/p90/p99) — the
+    datasheet companion (q119 records volumes and language mix; this
+    records the length SHAPE per source, the first thing a context-
+    window/packing decision reads). True order statistics: the p-th
+    lower percentile is the smallest length whose cumulative count
+    reaches ceil(p·n/100) — never an interpolated approximation.
+
+    Shape at 100 TB: the grouped-count-table idiom (q41/q311) — one
+    corpus pass to the (source, length) count table, per-source
+    cumulative windows on that bounded relation (|sources|·|lengths|
+    rows, corpus-independent), each percentile one conditional min.
+    No per-group sort of raw rows anywhere; ceil via the exact
+    (p·n + 99) div 100 integer identity."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy(
+        "source", F.length("text").alias("v")
+    ).agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n_docs"))
+    w = W.partitionBy("source").orderBy("v").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = cnt.select("source", "v", F.sum("c").over(w).alias("cum")).join(
+        tot, "source"
+    )
+
+    def pct(p: int):
+        return F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"({p} * n_docs + 99) div 100"),
+                F.col("v"),
+            )
+        ).alias(f"p{p}")
+
+    return (
+        cum.groupBy("source")
+        .agg(F.max("n_docs").alias("n_docs"), pct(25), pct(50), pct(90), pct(99))
+        .orderBy("source")
+    )
+
+
+_Q329_SQL = """
+WITH cnt AS (
+  SELECT source, length(text) AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_docs FROM cnt GROUP BY source
+), cum AS (
+  SELECT cnt.source, cnt.v,
+         sum(cnt.c) OVER (PARTITION BY cnt.source ORDER BY cnt.v
+             ROWS UNBOUNDED PRECEDING) AS cum,
+         tot.n_docs
+  FROM cnt JOIN tot USING (source)
+)
+SELECT source, CAST(max(n_docs) AS BIGINT) AS n_docs,
+       CAST(min(CASE WHEN cum >= (25 * n_docs + 99) // 100 THEN v END)
+            AS BIGINT) AS p25,
+       CAST(min(CASE WHEN cum >= (50 * n_docs + 99) // 100 THEN v END)
+            AS BIGINT) AS p50,
+       CAST(min(CASE WHEN cum >= (90 * n_docs + 99) // 100 THEN v END)
+            AS BIGINT) AS p90,
+       CAST(min(CASE WHEN cum >= (99 * n_docs + 99) // 100 THEN v END)
+            AS BIGINT) AS p99
+FROM cum
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -12130,6 +12199,7 @@ QUERIES = {
     "q326_vocab_budget_curve": q326_vocab_budget_curve,
     "q327_pq_distortion": q327_pq_distortion,
     "q328_minhash_accuracy_audit": q328_minhash_accuracy_audit,
+    "q329_source_length_percentiles": q329_source_length_percentiles,
 }
 
 ORACLES = {
@@ -12282,4 +12352,5 @@ ORACLES = {
     "q326_vocab_budget_curve": _Q326_SQL,
     "q327_pq_distortion": _Q327_SQL,
     "q328_minhash_accuracy_audit": _q328_sql(),
+    "q329_source_length_percentiles": _Q329_SQL,
 }

@@ -372,6 +372,7 @@ HEADLINE = [
     "q326_vocab_budget_curve",
     "q327_pq_distortion",
     "q328_minhash_accuracy_audit",
+    "q329_source_length_percentiles",
 ]
 
 

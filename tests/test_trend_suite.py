@@ -584,3 +584,23 @@ def test_q326_vocab_curve_tie_slice_hand_value(spark, tmp_path, qs):
         assert rows[k].vocab_used == 15
         assert rows[k].covered_tokens == 35
         assert rows[k].coverage_ppm == 1_000_000
+
+
+def test_q329_percentiles_hand_values(spark, tmp_path, qs):
+    """srcA lengths 1..10 (one each): lower percentiles are exact order
+    statistics -- p25 = ceil(2.5) = 3rd value = 3, p50 = 5, p90 = 9,
+    p99 = ceil(9.9) = 10th = 10. srcB constant length -> all
+    percentiles equal."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    docs = [(i, "x" * i, "en", "srcA", i) for i in range(1, 11)]
+    docs += [(100 + i, "y" * 7, "en", "srcB", 7) for i in range(5)]
+    spark.createDataFrame(docs, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {r.source: r for r in qs["q329_source_length_percentiles"](
+        spark, str(tmp_path)).collect()}
+    a = rows["srcA"]
+    assert (a.n_docs, a.p25, a.p50, a.p90, a.p99) == (10, 3, 5, 9, 10)
+    b = rows["srcB"]
+    assert (b.n_docs, b.p25, b.p50, b.p90, b.p99) == (5, 7, 7, 7, 7)
