@@ -12049,6 +12049,83 @@ ORDER BY source
 """
 
 
+def q330_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-occupancy balance audit — the ANN-serving counterpart
+    of the join-skew audit (q325): per-cell row counts for the q56
+    hash-seeded 16-cell index, the imbalance factor (max cell over
+    mean), and the share of the corpus in the largest cell. A skewed
+    cell is a skewed probe: nprobe budgeting (q318) assumes cells are
+    comparable, and this is the number that says whether they are.
+
+    Exactness: all integers off one assignment pass — imbalance_milli
+    = (max·nlist·1000) div n, top shares in ppm; the empty-cell count
+    comes from the nlist constant minus cells hit (cells with zero
+    rows never appear in the grouped relation).
+
+    Shape at 100 TB: _assign_cells is a narrow argmax projection (zero
+    joins/shuffle); the audit adds one 16-row grouped aggregate with
+    map-side combine and a 1-row reduction."""
+    from ..operators.similarity import _assign_cells, hash_seed_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cents = hash_seed_centroids(corpus, nlist=16)
+    cells = (
+        _assign_cells(corpus, cents, "embedding", "vec_id")
+        .groupBy("cell")
+        .agg(F.count("*").alias("m"))
+    )
+    return cells.agg(
+        F.sum("m").alias("n_vecs"),
+        F.count("*").alias("n_cells_hit"),
+        (F.lit(16) - F.count("*")).alias("n_cells_empty"),
+        F.max("m").alias("max_cell_rows"),
+        F.min("m").alias("min_cell_rows"),
+        F.expr("(max(m) * 16 * 1000) div sum(m)").alias("imbalance_milli"),
+        F.expr("(max(m) * 1000000) div sum(m)").alias("top_cell_ppm"),
+    )
+
+
+_Q330_SQL = """
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= 5
+), seeds AS (
+  SELECT row_number() OVER (
+           ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                    vec_id
+         ) - 1 AS cell,
+         v AS cv
+  FROM c
+  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT, vec_id
+  LIMIT 16
+), cents AS (
+  SELECT cell,
+         list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS u
+  FROM seeds
+), assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT c.vec_id, cents.cell,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY list_dot_product(c.v, cents.u) DESC, cents.cell ASC
+           ) AS rn
+    FROM c CROSS JOIN cents
+  ) WHERE rn = 1
+), cells AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS m FROM assigned GROUP BY cell
+)
+SELECT CAST(sum(m) AS BIGINT) AS n_vecs,
+       CAST(count(*) AS BIGINT) AS n_cells_hit,
+       CAST(16 - count(*) AS BIGINT) AS n_cells_empty,
+       CAST(max(m) AS BIGINT) AS max_cell_rows,
+       CAST(min(m) AS BIGINT) AS min_cell_rows,
+       CAST((max(m) * 16 * 1000) // sum(m) AS BIGINT) AS imbalance_milli,
+       CAST((max(m) * 1000000) // sum(m) AS BIGINT) AS top_cell_ppm
+FROM cells
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -12200,6 +12277,7 @@ QUERIES = {
     "q327_pq_distortion": q327_pq_distortion,
     "q328_minhash_accuracy_audit": q328_minhash_accuracy_audit,
     "q329_source_length_percentiles": q329_source_length_percentiles,
+    "q330_ivf_cell_balance": q330_ivf_cell_balance,
 }
 
 ORACLES = {
@@ -12353,4 +12431,5 @@ ORACLES = {
     "q327_pq_distortion": _Q327_SQL,
     "q328_minhash_accuracy_audit": _q328_sql(),
     "q329_source_length_percentiles": _Q329_SQL,
+    "q330_ivf_cell_balance": _Q330_SQL,
 }

@@ -373,6 +373,7 @@ HEADLINE = [
     "q327_pq_distortion",
     "q328_minhash_accuracy_audit",
     "q329_source_length_percentiles",
+    "q330_ivf_cell_balance",
 ]
 
 

@@ -4950,3 +4950,14 @@ def test_q328_identical_docs_have_zero_signature_error(spark, tmp_path, qs):
     )
     r = qs["q328_minhash_accuracy_audit"](spark, str(tmp_path)).collect()[0]
     assert tuple(r) == (1, 0, 0, 1, 1, 0, 0)
+
+
+def test_q330_cell_balance_internal_consistency(spark, sf_dir, qs):
+    """Cell masses must tile the corpus: hit + empty = 16 cells,
+    imbalance = max*16*1000 div n, and max bounds min."""
+    r = qs["q330_ivf_cell_balance"](spark, sf_dir).collect()[0]
+    assert r.n_cells_hit + r.n_cells_empty == 16
+    assert 1 <= r.min_cell_rows <= r.max_cell_rows <= r.n_vecs
+    assert r.imbalance_milli == (r.max_cell_rows * 16 * 1000) // r.n_vecs
+    assert r.top_cell_ppm == (r.max_cell_rows * 1_000_000) // r.n_vecs
+    assert r.imbalance_milli >= 1000  # max >= mean always
