@@ -12126,6 +12126,146 @@ FROM cells
 """
 
 
+def q331_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law exponent fit V = K·N^β over the global 4-prefix
+    vocabulary-growth curve (q157's nested hash prefixes, unkeyed) —
+    the scaling-law number itself: β ≈ 0.5 is healthy natural text,
+    β → 0 means the tail is template/duplicate mass, and the fit is
+    what extrapolates tokenizer-vocabulary needs to the full corpus
+    (the q326 budget curve's forward projection).
+
+    Exactness: the four (N_p, V_p) points are exact integers; each log
+    is the correctly-rounded ln (the only accepted float seam class)
+    NANO-FLOORED per point BEFORE any cross-point sum, so the OLS
+    moments are exact integers and beta_micro =
+    ((nΣxy − ΣxΣy)·10⁶) div (nΣxx − (Σx)²) is a sign-split exact
+    division (DECIMAL/HUGEINT — Σxy ~ (25e9)² · 4).
+
+    Shape at 100 TB: the q157 shape — one word-stream shuffle into the
+    (word, first-bucket) aggregate, everything after bounded by 4."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(
+        "conv(substr(md5(cast(doc_id AS string)), 1, 8), 16, 10)"
+    ).cast("long")
+    base = docs.select(
+        (h % 4).alias("bucket"),
+        F.filter(
+            F.split(F.lower("text"), "\\s+"), lambda x: x != F.lit("")
+        ).alias("_w"),
+    )
+    toks = (
+        base.groupBy("bucket")
+        .agg(F.sum(F.size("_w")).alias("t"))
+        .select(F.explode(F.sequence(F.col("bucket") + 1, F.lit(4))).alias("p"), "t")
+        .groupBy("p")
+        .agg(F.sum("t").alias("n_tokens"))
+    )
+    vocab = (
+        base.select("bucket", F.explode("_w").alias("word"))
+        .groupBy("word")
+        .agg(F.min("bucket").alias("b0"))
+        .select(F.explode(F.sequence(F.col("b0") + 1, F.lit(4))).alias("p"))
+        .groupBy("p")
+        .agg(F.count("*").alias("vocab"))
+    )
+    pts = (
+        toks.join(vocab, "p")
+        .filter((F.col("n_tokens") > 0) & (F.col("vocab") > 0))
+        .select(
+            F.expr("CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1e9) AS BIGINT)")
+            .alias("x"),
+            F.expr("CAST(floor(ln(CAST(vocab AS DOUBLE)) * 1e9) AS BIGINT)")
+            .alias("y"),
+            "n_tokens",
+            "vocab",
+            "p",
+        )
+    )
+    mom = pts.agg(
+        F.count("*").alias("n_points"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.max(F.when(F.col("p") == 4, F.col("n_tokens"))).alias("n_tokens_full"),
+        F.max(F.when(F.col("p") == 4, F.col("vocab"))).alias("vocab_full"),
+    )
+    num = (
+        "(CAST(n_points AS DECIMAL(38,0)) * sxy"
+        " - CAST(sx AS DECIMAL(38,0)) * sy)"
+    )
+    den = (
+        "(CAST(n_points AS DECIMAL(38,0)) * sxx"
+        " - CAST(sx AS DECIMAL(38,0)) * sx)"
+    )
+    return mom.select(
+        "n_points",
+        "n_tokens_full",
+        "vocab_full",
+        F.expr(
+            f"CASE WHEN {den} = 0 THEN CAST(NULL AS BIGINT)"
+            f" WHEN {num} >= 0 THEN CAST(({num} * 1000000) div {den} AS BIGINT)"
+            f" ELSE CAST(-((-({num}) * 1000000) div {den}) AS BIGINT) END"
+        ).alias("beta_micro"),
+    )
+
+
+_Q331_SQL = """
+WITH base AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4
+           AS bucket,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+           AS w
+  FROM documents
+), toks AS (
+  SELECT p, CAST(sum(t) AS BIGINT) AS n_tokens FROM (
+    SELECT unnest(range(bucket + 1, 5)) AS p, t FROM (
+      SELECT bucket, CAST(sum(len(w)) AS BIGINT) AS t FROM base GROUP BY bucket
+    )
+  ) GROUP BY p
+), vocab AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS vocab FROM (
+    SELECT unnest(range(b0 + 1, 5)) AS p FROM (
+      SELECT word, min(bucket) AS b0 FROM (
+        SELECT bucket, unnest(w) AS word FROM base
+      ) GROUP BY word
+    )
+  ) GROUP BY p
+), pts AS (
+  SELECT CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1e9) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(vocab AS DOUBLE)) * 1e9) AS BIGINT) AS y,
+         n_tokens, vocab, p
+  FROM toks JOIN vocab USING (p)
+  WHERE n_tokens > 0 AND vocab > 0
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_points,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(max(CASE WHEN p = 4 THEN n_tokens END) AS BIGINT)
+           AS n_tokens_full,
+         CAST(max(CASE WHEN p = 4 THEN vocab END) AS BIGINT) AS vocab_full
+  FROM pts
+)
+SELECT n_points, n_tokens_full, vocab_full,
+       CAST(CASE WHEN CAST(n_points AS HUGEINT) * sxx
+                      - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+            WHEN CAST(n_points AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                 >= 0 THEN
+              ((CAST(n_points AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+               * 1000000)
+              // (CAST(n_points AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+            ELSE
+              -(((CAST(sx AS HUGEINT) * sy - CAST(n_points AS HUGEINT) * sxy)
+                 * 1000000)
+                // (CAST(n_points AS HUGEINT) * sxx
+                    - CAST(sx AS HUGEINT) * sx))
+            END AS BIGINT) AS beta_micro
+FROM mom
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -12278,6 +12418,7 @@ QUERIES = {
     "q328_minhash_accuracy_audit": q328_minhash_accuracy_audit,
     "q329_source_length_percentiles": q329_source_length_percentiles,
     "q330_ivf_cell_balance": q330_ivf_cell_balance,
+    "q331_heaps_law_fit": q331_heaps_law_fit,
 }
 
 ORACLES = {
@@ -12432,4 +12573,5 @@ ORACLES = {
     "q328_minhash_accuracy_audit": _q328_sql(),
     "q329_source_length_percentiles": _Q329_SQL,
     "q330_ivf_cell_balance": _Q330_SQL,
+    "q331_heaps_law_fit": _Q331_SQL,
 }

@@ -374,6 +374,7 @@ HEADLINE = [
     "q328_minhash_accuracy_audit",
     "q329_source_length_percentiles",
     "q330_ivf_cell_balance",
+    "q331_heaps_law_fit",
 ]
 
 

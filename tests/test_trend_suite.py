@@ -604,3 +604,26 @@ def test_q329_percentiles_hand_values(spark, tmp_path, qs):
     assert (a.n_docs, a.p25, a.p50, a.p90, a.p99) == (10, 3, 5, 9, 10)
     b = rows["srcB"]
     assert (b.n_docs, b.p25, b.p50, b.p90, b.p99) == (5, 7, 7, 7, 7)
+
+
+def test_q331_heaps_beta_exactly_one_for_all_unique_words(spark, tmp_path, qs):
+    """If every token in the corpus is unique, V(N) = N exactly, so
+    every quantized log point has x = y and the integer OLS slope is
+    EXACTLY 1.0 (num = den) -> beta_micro = 1_000_000."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    uid = 0
+    docs = []
+    for d in range(12):
+        words = []
+        for _ in range(10 + d):
+            words.append(f"u{uid}")
+            uid += 1
+        docs.append((d, " ".join(words), "en", "srcA", 10))
+    spark.createDataFrame(docs, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    r = qs["q331_heaps_law_fit"](spark, str(tmp_path)).collect()[0]
+    assert r.n_points >= 2
+    assert r.vocab_full == r.n_tokens_full == uid
+    assert r.beta_micro == 1_000_000
