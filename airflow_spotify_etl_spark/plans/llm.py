@@ -12266,6 +12266,141 @@ FROM mom
 """
 
 
+def q332_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test — do the sources share a common median doc
+    length? The coarsest, most robust k-sample location test,
+    completing the suite (Kruskal-Wallis q234 uses full ranks,
+    Friedman q322 blocks by day; Mood reduces each doc to one bit:
+    above the POOLED median or not, then a 2×k chi-square).
+
+    Exactness: the pooled lower median is a true order statistic off
+    the length count table (q300 idiom: smallest v with cum ≥
+    (N+1) div 2); the 2×k chi-square uses the q182 exact-integer
+    cell terms — d = o·N − r·c, term_milli = (d² div M)·1000 +
+    (d² mod M)·1000 div M with M = N·r·c — so the statistic is an
+    exact BIGINT milli sum (floor understates by < 1 milli/cell, a
+    DEFINED statistic). d² runs in DECIMAL(38,0)/HUGEINT (operand
+    cast before multiply, the q233 rule).
+
+    Shape at 100 TB: one grouped corpus pass to the (source, length)
+    count table; the median, the 2×k table (2·|sources| cells) and
+    the reduction all run on corpus-independent relations."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy(
+        "source", F.length("text").alias("v")
+    ).agg(F.count("*").alias("c"))
+    vc = cnt.groupBy("v").agg(F.sum("c").alias("cv"))
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = vc.select("v", F.sum("cv").over(w).alias("cum"))
+    tot = vc.agg(F.sum("cv").alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .agg(F.min("v").alias("m_star"))
+    )
+    cells = (
+        cnt.crossJoin(F.broadcast(med))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("v") > F.col("m_star"), F.col("c")).otherwise(0))
+            .alias("above"),
+            F.sum(F.when(F.col("v") <= F.col("m_star"), F.col("c")).otherwise(0))
+            .alias("below"),
+        )
+        .select(
+            "source",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(1).alias("is_above"), F.col("above").alias("o")),
+                    F.struct(F.lit(0).alias("is_above"), F.col("below").alias("o")),
+                )
+            ).alias("s"),
+        )
+        .select("source", F.col("s.is_above").alias("is_above"), F.col("s.o").alias("o"))
+    )
+    rows_m = cells.groupBy("source").agg(F.sum("o").alias("r"))
+    cols_m = cells.groupBy("is_above").agg(F.sum("o").alias("cc"))
+    terms = (
+        cells.join(rows_m, "source")
+        .join(F.broadcast(cols_m), "is_above")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * cc"
+            ).alias("d"),
+            F.expr("CAST(n AS DECIMAL(38,0)) * r * cc").alias("m"),
+        )
+        .filter(F.col("m") > 0)
+        .select(
+            F.expr(
+                "CAST((d * d) div m AS BIGINT) * 1000"
+                " + CAST(((d * d) % m) * 1000 div m AS BIGINT)"
+            ).alias("term_milli")
+        )
+    )
+    stat = terms.agg(F.sum("term_milli").alias("chi2_milli"), F.count("*").alias("nc"))
+    return (
+        stat.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").alias("n_docs"),
+            F.col("m_star").alias("median_len"),
+            (F.col("nc") / 2).cast("long").alias("n_sources"),
+            (F.col("nc") / 2 - 1).cast("long").alias("df"),
+            "chi2_milli",
+        )
+    )
+
+
+_Q332_SQL = """
+WITH cnt AS (
+  SELECT source, length(text) AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), vc AS (
+  SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM cnt GROUP BY v
+), cum AS (
+  SELECT v, sum(cv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM vc
+), tot AS (SELECT CAST(sum(cv) AS BIGINT) AS n FROM vc),
+med AS (
+  SELECT CAST(min(v) AS BIGINT) AS m_star
+  FROM cum CROSS JOIN tot WHERE cum >= (n + 1) // 2
+), cells AS (
+  SELECT source, is_above,
+         CAST(CASE WHEN is_above = 1 THEN above ELSE below END AS BIGINT) AS o
+  FROM (
+    SELECT cnt.source,
+           sum(CASE WHEN cnt.v > med.m_star THEN cnt.c ELSE 0 END) AS above,
+           sum(CASE WHEN cnt.v <= med.m_star THEN cnt.c ELSE 0 END) AS below
+    FROM cnt CROSS JOIN med GROUP BY 1
+  ) CROSS JOIN (VALUES (1), (0)) f(is_above)
+), rows_m AS (
+  SELECT source, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY source
+), cols_m AS (
+  SELECT is_above, CAST(sum(o) AS BIGINT) AS cc FROM cells GROUP BY is_above
+), terms AS (
+  SELECT CAST((d * d) // m AS BIGINT) * 1000
+           + CAST(((d * d) % m) * 1000 // m AS BIGINT) AS term_milli
+  FROM (
+    SELECT CAST(cl.o AS HUGEINT) * tot.n - CAST(rm.r AS HUGEINT) * cm.cc AS d,
+           CAST(tot.n AS HUGEINT) * rm.r * cm.cc AS m
+    FROM cells cl
+    JOIN rows_m rm USING (source)
+    JOIN cols_m cm USING (is_above)
+    CROSS JOIN tot
+  ) WHERE m > 0
+), stat AS (
+  SELECT CAST(sum(term_milli) AS BIGINT) AS chi2_milli,
+         CAST(count(*) AS BIGINT) AS nc
+  FROM terms
+)
+SELECT tot.n AS n_docs, med.m_star AS median_len,
+       CAST(stat.nc / 2 AS BIGINT) AS n_sources,
+       CAST(stat.nc / 2 - 1 AS BIGINT) AS df,
+       stat.chi2_milli
+FROM stat CROSS JOIN med CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -12419,6 +12554,7 @@ QUERIES = {
     "q329_source_length_percentiles": q329_source_length_percentiles,
     "q330_ivf_cell_balance": q330_ivf_cell_balance,
     "q331_heaps_law_fit": q331_heaps_law_fit,
+    "q332_mood_median_test": q332_mood_median_test,
 }
 
 ORACLES = {
@@ -12574,4 +12710,5 @@ ORACLES = {
     "q329_source_length_percentiles": _Q329_SQL,
     "q330_ivf_cell_balance": _Q330_SQL,
     "q331_heaps_law_fit": _Q331_SQL,
+    "q332_mood_median_test": _Q332_SQL,
 }

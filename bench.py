@@ -375,6 +375,7 @@ HEADLINE = [
     "q329_source_length_percentiles",
     "q330_ivf_cell_balance",
     "q331_heaps_law_fit",
+    "q332_mood_median_test",
 ]
 
 

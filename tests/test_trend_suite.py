@@ -627,3 +627,19 @@ def test_q331_heaps_beta_exactly_one_for_all_unique_words(spark, tmp_path, qs):
     assert r.n_points >= 2
     assert r.vocab_full == r.n_tokens_full == uid
     assert r.beta_micro == 1_000_000
+
+
+def test_q332_mood_hand_value(spark, tmp_path, qs):
+    """srcA lengths {1,2,3}, srcB {4,5,6}: pooled lower median 3,
+    perfect separation -> chi2 = N = 6.000 exactly (each of the four
+    cells contributes 81/54 = 1.5)."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    docs = [(i, "x" * i, "en", "srcA", i) for i in (1, 2, 3)]
+    docs += [(10 + i, "y" * i, "en", "srcB", i) for i in (4, 5, 6)]
+    spark.createDataFrame(docs, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    r = qs["q332_mood_median_test"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_docs, r.median_len, r.n_sources, r.df) == (6, 3, 2, 1)
+    assert r.chi2_milli == 6000
