@@ -8607,17 +8607,18 @@ ORDER BY i
 """
 
 
-def _calendar_series(ev: DataFrame) -> DataFrame:
+def _calendar_series(ev: DataFrame, pin_series: bool = True) -> DataFrame:
     """Zero-filled daily event-count series (t = epoch days, y = count)
     over the min..max calendar — the q267 spine, shared by every
     trend/backtest query that pairs or lags the daily series (q243,
-    q300, q301, q316). PINNED per the llm.py convention: ``daily`` is
-    day-bounded and referenced by both the min/max scan and the spine
-    join (the pin makes the corpus pass run ONCE — unpinned, each
-    downstream branch replayed the full events scan), and the returned
-    series is multi-referenced by every caller (pair sides / dense
-    grid / lag joins), so it is pinned too (a sub-second job on a
-    calendar-bounded relation)."""
+    q300, q301, q316, q323, q324). PINNED per the llm.py convention:
+    ``daily`` is day-bounded and referenced by both the min/max scan
+    and the spine join (the pin makes the corpus pass run ONCE —
+    unpinned, each downstream branch replayed the full events scan).
+    The returned series is pinned only when the CALLER fans it into
+    2+ branches (``pin_series`` — the convention's fan-out criterion;
+    q301 references it once, and the unconditional pin cost it +0.26 s
+    of eager-materialization overhead in the r7 closing bench)."""
     daily = (
         ev.groupBy(F.to_date("ts").alias("d"))
         .agg(F.count("*").alias("c"))
@@ -8627,14 +8628,11 @@ def _calendar_series(ev: DataFrame) -> DataFrame:
     cal = mm.select(
         F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
     )
-    return (
-        cal.join(daily, "d", "left")
-        .select(
-            F.expr("datediff(d, date'1970-01-01')").alias("t"),
-            F.coalesce("c", F.lit(0)).cast("long").alias("y"),
-        )
-        .localCheckpoint(eager=True)
+    series = cal.join(daily, "d", "left").select(
+        F.expr("datediff(d, date'1970-01-01')").alias("t"),
+        F.coalesce("c", F.lit(0)).cast("long").alias("y"),
     )
+    return series.localCheckpoint(eager=True) if pin_series else series
 
 
 def q243_mann_kendall_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11238,7 +11236,7 @@ def q301_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB: one grouped corpus pass to the zero-filled
     calendar; two windows over the ≤n² dense grid."""
     ev = _t(spark, sf_dir, "events")
-    series = _calendar_series(ev)
+    series = _calendar_series(ev, pin_series=False)
     cnt = series.groupBy("t", "y").agg(F.count("*").alias("c"))
     grid = (
         cnt.select("t").distinct()
