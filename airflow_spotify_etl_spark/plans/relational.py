@@ -8059,6 +8059,133 @@ FROM tot CROSS JOIN p99 CROSS JOIN parts
 """
 
 
+def q333_ab_duration_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test duration planner — the question every experiment
+    review starts with, answered from the event stream itself: at the
+    observed per-user conversion rate and daily traffic, how many
+    users per arm (and how many days) does a two-sided α=0.05 / 80%-
+    power test need to detect a +10% relative lift in the high-value
+    (value > 200) purchase rate? Completes the
+    experimentation suite (SRM q285, CUPED q286, A/A q295, Wilson
+    q291, Neyman q294) with the PRE-experiment number.
+
+    Determinism: the inputs (converters, users, days) are exact
+    integers; p is ppm-quantized by exact integer division BEFORE the
+    one double chain (normal-approximation n/arm with z=1.959964 +
+    0.841621 literal constants — identical expression text in both
+    engines, the accepted float-seam form), and the outputs are
+    ceil()'d back to integers.
+
+    Shape at 100 TB: one grouped pass to per-user flags (map-side
+    combine on user_id), one 1-row reduction; the planner arithmetic
+    is driver-free scalar algebra."""
+    ev = _t(spark, sf_dir, "events")
+    # qualifying conversion = a HIGH-VALUE purchase (value > 200) — the
+    # plain any-purchase rate saturates at 1.0 on this schema, where a
+    # planner is undefined (p2 = 1.1·p > 1)
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase") & (F.col("value") > 200)
+            ).cast("long")
+        ).alias("conv")
+    )
+    days = ev.agg(
+        (
+            F.expr("max(unix_micros(ts) div 86400000000)")
+            - F.expr("min(unix_micros(ts) div 86400000000)")
+            + 1
+        ).alias("n_days")
+    )
+    base = per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum("conv").alias("n_converters"),
+    )
+    chain = (
+        "CAST(round("
+        "  (((1.959964e0 + 0.841621e0) * (1.959964e0 + 0.841621e0))"
+        "   * (p1 * (1.0e0 - p1) + p2 * (1.0e0 - p2)))"
+        "  / ((p2 - p1) * (p2 - p1))"
+        "  + 0.5e0) AS BIGINT)"
+    )
+    return (
+        base.crossJoin(F.broadcast(days))
+        .select(
+            "n_users",
+            "n_converters",
+            "n_days",
+            F.expr("(n_converters * 1000000) div n_users").alias("p_ppm"),
+            F.expr("n_users div n_days").alias("daily_users"),
+        )
+        .select(
+            "n_users",
+            "n_converters",
+            "n_days",
+            "p_ppm",
+            "daily_users",
+            F.expr(
+                chain.replace("p1", "(CAST(p_ppm AS DOUBLE) / 1e6)")
+                .replace("p2", "(CAST(p_ppm AS DOUBLE) / 1e6 * 1.1e0)")
+            ).alias("n_per_arm"),
+        )
+        .select(
+            "n_users",
+            "n_converters",
+            "n_days",
+            "p_ppm",
+            "daily_users",
+            "n_per_arm",
+            F.expr(
+                "CASE WHEN daily_users > 0 THEN"
+                " (2 * n_per_arm + daily_users - 1) div daily_users"
+                " ELSE CAST(NULL AS BIGINT) END"
+            ).alias("days_needed"),
+        )
+    )
+
+
+_Q333_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value > 200
+             THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), days AS (
+  SELECT max(epoch_us(ts) // 86400000000)
+         - min(epoch_us(ts) // 86400000000) + 1 AS n_days
+  FROM events
+), base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(conv) AS BIGINT) AS n_converters
+  FROM per_user
+), scalars AS (
+  SELECT n_users, n_converters, CAST(n_days AS BIGINT) AS n_days,
+         CAST((n_converters * 1000000) // n_users AS BIGINT) AS p_ppm,
+         CAST(n_users // n_days AS BIGINT) AS daily_users
+  FROM base CROSS JOIN days
+), planned AS (
+  SELECT *,
+         CAST(round(
+           (((1.959964e0 + 0.841621e0) * (1.959964e0 + 0.841621e0))
+            * ((CAST(p_ppm AS DOUBLE) / 1e6)
+                 * (1.0e0 - CAST(p_ppm AS DOUBLE) / 1e6)
+               + (CAST(p_ppm AS DOUBLE) / 1e6 * 1.1e0)
+                 * (1.0e0 - CAST(p_ppm AS DOUBLE) / 1e6 * 1.1e0)))
+           / ((CAST(p_ppm AS DOUBLE) / 1e6 * 1.1e0
+               - CAST(p_ppm AS DOUBLE) / 1e6)
+              * (CAST(p_ppm AS DOUBLE) / 1e6 * 1.1e0
+                 - CAST(p_ppm AS DOUBLE) / 1e6))
+           + 0.5e0) AS BIGINT) AS n_per_arm
+  FROM scalars
+)
+SELECT n_users, n_converters, n_days, p_ppm, daily_users, n_per_arm,
+       CAST(CASE WHEN daily_users > 0 THEN
+              (2 * n_per_arm + daily_users - 1) // daily_users
+            ELSE NULL END AS BIGINT) AS days_needed
+FROM planned
+"""
+
+
 def q235_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nelson-Aalen cumulative hazard H(t) = Σ_{t_i≤t} d_i/n_i for
     days-to-first-purchase, with the Poisson variance estimate
@@ -12091,6 +12218,7 @@ QUERIES = {
     "q323_durbin_watson": q323_durbin_watson,
     "q324_page_hinkley": q324_page_hinkley,
     "q325_join_skew_audit": q325_join_skew_audit,
+    "q333_ab_duration_planner": q333_ab_duration_planner,
 }
 
 ORACLES = {
@@ -12251,4 +12379,5 @@ ORACLES = {
     "q323_durbin_watson": _Q323_SQL,
     "q324_page_hinkley": _Q324_SQL,
     "q325_join_skew_audit": _Q325_SQL,
+    "q333_ab_duration_planner": _Q333_SQL,
 }

@@ -376,6 +376,7 @@ HEADLINE = [
     "q330_ivf_cell_balance",
     "q331_heaps_law_fit",
     "q332_mood_median_test",
+    "q333_ab_duration_planner",
 ]
 
 

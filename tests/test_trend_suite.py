@@ -643,3 +643,37 @@ def test_q332_mood_hand_value(spark, tmp_path, qs):
     r = qs["q332_mood_median_test"](spark, str(tmp_path)).collect()[0]
     assert (r.n_docs, r.median_len, r.n_sources, r.df) == (6, 3, 2, 1)
     assert r.chi2_milli == 6000
+
+
+def test_q333_planner_hand_value(spark, tmp_path, qs):
+    """100 users over 10 days, 25 high-value converters: p = .25,
+    p2 = .275; the planner must equal the identical python double
+    chain, and days = ceil(2n / daily_users)."""
+    from datetime import datetime, timedelta
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows, eid = [], 0
+    for u in range(100):
+        eid += 1
+        val = 300.0 if u < 25 else 50.0
+        rows.append(
+            (eid, datetime(2024, 3, 1, 12) + timedelta(days=u % 10),
+             u, "purchase", val, "{}")
+        )
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = qs["q333_ab_duration_planner"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_users, r.n_converters, r.n_days, r.p_ppm, r.daily_users) == (
+        100, 25, 10, 250_000, 10,
+    )
+    p1 = 250_000 / 1e6
+    p2 = 250_000 / 1e6 * 1.1
+    z = 1.959964 + 0.841621
+    want = int(round(
+        (z * z) * (p1 * (1.0 - p1) + p2 * (1.0 - p2)) / ((p2 - p1) * (p2 - p1))
+        + 0.5
+    ))
+    assert r.n_per_arm == want
+    assert r.days_needed == (2 * want + 9) // 10
