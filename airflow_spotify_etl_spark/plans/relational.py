@@ -8186,6 +8186,74 @@ FROM planned
 """
 
 
+def q334_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU stickiness at the observation horizon — the product
+    engagement ratios (how much of the monthly audience shows up daily
+    /weekly) that sit beside retention cohorts (q62) and concurrency
+    (q210/q231): DAU = distinct users on the LAST day, WAU over its
+    trailing 7 days, MAU over its trailing 30, stickiness =
+    DAU·10⁶ div MAU and WAU·10⁶ div MAU.
+
+    Exactness: day boundaries via integer microseconds (unix_micros
+    div 86400000000 ≡ epoch_us // — the q30 idiom); the three distinct
+    counts are exact; ratios are exact ppm integer divisions
+    (DAU ⊆ WAU ⊆ MAU by construction, pytest-pinned).
+
+    Shape at 100 TB: ONE grouped pass to (user, day ∈ last-30) — the
+    pushed day filter prunes the scan — then three conditional
+    distinct counts over that bounded relation (≤ 30 rows/user)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    mx = ev.agg(F.max(day).alias("d_last"))
+    ud = (
+        ev.select(day.alias("d"), "user_id")
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("d") > F.col("d_last") - 30)
+        .select("user_id", "d", "d_last")
+        .distinct()
+    )
+    return ud.agg(
+        F.max("d_last").alias("last_day_t"),
+        F.countDistinct(
+            F.when(F.col("d") == F.col("d_last"), F.col("user_id"))
+        ).alias("dau"),
+        F.countDistinct(
+            F.when(F.col("d") > F.col("d_last") - 7, F.col("user_id"))
+        ).alias("wau"),
+        F.countDistinct("user_id").alias("mau"),
+    ).select(
+        "last_day_t",
+        "dau",
+        "wau",
+        "mau",
+        F.expr("(dau * 1000000) div mau").alias("dau_mau_ppm"),
+        F.expr("(wau * 1000000) div mau").alias("wau_mau_ppm"),
+    )
+
+
+_Q334_SQL = """
+WITH mx AS (
+  SELECT max(epoch_us(ts) // 86400000000) AS d_last FROM events
+), ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d, mx.d_last
+  FROM events CROSS JOIN mx
+  WHERE epoch_us(ts) // 86400000000 > mx.d_last - 30
+)
+SELECT CAST(max(d_last) AS BIGINT) AS last_day_t,
+       CAST(count(DISTINCT CASE WHEN d = d_last THEN user_id END) AS BIGINT)
+         AS dau,
+       CAST(count(DISTINCT CASE WHEN d > d_last - 7 THEN user_id END)
+            AS BIGINT) AS wau,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS mau,
+       CAST((count(DISTINCT CASE WHEN d = d_last THEN user_id END) * 1000000)
+            // count(DISTINCT user_id) AS BIGINT) AS dau_mau_ppm,
+       CAST((count(DISTINCT CASE WHEN d > d_last - 7 THEN user_id END)
+             * 1000000)
+            // count(DISTINCT user_id) AS BIGINT) AS wau_mau_ppm
+FROM ud
+"""
+
+
 def q235_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nelson-Aalen cumulative hazard H(t) = Σ_{t_i≤t} d_i/n_i for
     days-to-first-purchase, with the Poisson variance estimate
@@ -12219,6 +12287,7 @@ QUERIES = {
     "q324_page_hinkley": q324_page_hinkley,
     "q325_join_skew_audit": q325_join_skew_audit,
     "q333_ab_duration_planner": q333_ab_duration_planner,
+    "q334_dau_mau_stickiness": q334_dau_mau_stickiness,
 }
 
 ORACLES = {
@@ -12380,4 +12449,5 @@ ORACLES = {
     "q324_page_hinkley": _Q324_SQL,
     "q325_join_skew_audit": _Q325_SQL,
     "q333_ab_duration_planner": _Q333_SQL,
+    "q334_dau_mau_stickiness": _Q334_SQL,
 }

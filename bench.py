@@ -377,6 +377,7 @@ HEADLINE = [
     "q331_heaps_law_fit",
     "q332_mood_median_test",
     "q333_ab_duration_planner",
+    "q334_dau_mau_stickiness",
 ]
 
 

@@ -677,3 +677,28 @@ def test_q333_planner_hand_value(spark, tmp_path, qs):
     ))
     assert r.n_per_arm == want
     assert r.days_needed == (2 * want + 9) // 10
+
+
+def test_q334_stickiness_hand_value(spark, tmp_path, qs):
+    """Planted windows: u0 active on the last day (DAU), u1 three days
+    back (WAU only), u2 twenty days back (MAU only), u3 forty days
+    back (outside). DAU=1, WAU=2, MAU=3; nesting DAU<=WAU<=MAU."""
+    from datetime import datetime, timedelta
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    last = datetime(2024, 3, 31, 12)
+    rows = [
+        (1, last, 0, "click", 1.0, "{}"),
+        (2, last - timedelta(days=3), 1, "click", 1.0, "{}"),
+        (3, last - timedelta(days=20), 2, "click", 1.0, "{}"),
+        (4, last - timedelta(days=40), 3, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = qs["q334_dau_mau_stickiness"](spark, str(tmp_path)).collect()[0]
+    assert (r.dau, r.wau, r.mau) == (1, 2, 3)
+    assert r.dau <= r.wau <= r.mau
+    assert r.dau_mau_ppm == 333_333
+    assert r.wau_mau_ppm == 666_666
