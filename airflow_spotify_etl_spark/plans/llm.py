@@ -12401,6 +12401,79 @@ FROM stat CROSS JOIN med CROSS JOIN tot
 """
 
 
+def q335_token_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-token RANK MOVERS between the two deterministic corpus
+    halves (doc_id parity) — the leaderboard-drift view that
+    complements magnitude drift (TVD q319, JS q211, keyness q212):
+    which tokens ENTERED, EXITED, or moved inside the top-20, in rank
+    units an operator reads at a glance (RBO q303 summarizes the same
+    comparison to one number; this shows the movers).
+
+    Exactness: per-half ranks are row_number over (count DESC, token)
+    — fully deterministic ties; the full-outer join of the two 20-row
+    lists yields ≤ 40 rows with exact integer ranks and deltas (NULL
+    delta = entered/exited, the explicit sentinel).
+
+    Shape at 100 TB: two map-side-combined token counts (one scan —
+    the half key rides the same pass), each reduced by
+    TakeOrdered-style limit(20) BEFORE any window; the join and
+    ordering run on ≤ 40 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            (F.col("doc_id") % 2).alias("half"),
+            F.explode(F.split(F.lower("text"), "\\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("half", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+
+    def top(half: int, rname: str):
+        w = W.orderBy(F.col("c").desc(), "tok")
+        return (
+            cnt.filter(F.col("half") == half)
+            .orderBy(F.col("c").desc(), "tok")
+            .limit(20)
+            .withColumn(rname, F.row_number().over(w))
+            .select("tok", rname)
+        )
+
+    a = top(0, "rank_a")
+    b = top(1, "rank_b")
+    return (
+        a.join(b, "tok", "full_outer")
+        .select(
+            "tok",
+            "rank_a",
+            "rank_b",
+            (F.col("rank_a") - F.col("rank_b")).alias("rank_delta"),
+        )
+        .orderBy("tok")
+    )
+
+
+_Q335_SQL = """
+WITH cnt AS (
+  SELECT half, tok, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT doc_id % 2 AS half,
+           unnest(string_split_regex(lower(text), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> '' GROUP BY 1, 2
+), a AS (
+  SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok) AS INT) AS rank_a
+  FROM cnt WHERE half = 0 ORDER BY c DESC, tok LIMIT 20
+), b AS (
+  SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok) AS INT) AS rank_b
+  FROM cnt WHERE half = 1 ORDER BY c DESC, tok LIMIT 20
+)
+SELECT coalesce(a.tok, b.tok) AS tok, a.rank_a, b.rank_b,
+       CAST(a.rank_a - b.rank_b AS INT) AS rank_delta
+FROM a FULL OUTER JOIN b ON a.tok = b.tok
+ORDER BY tok
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -12555,6 +12628,7 @@ QUERIES = {
     "q330_ivf_cell_balance": q330_ivf_cell_balance,
     "q331_heaps_law_fit": q331_heaps_law_fit,
     "q332_mood_median_test": q332_mood_median_test,
+    "q335_token_rank_movers": q335_token_rank_movers,
 }
 
 ORACLES = {
@@ -12711,4 +12785,5 @@ ORACLES = {
     "q330_ivf_cell_balance": _Q330_SQL,
     "q331_heaps_law_fit": _Q331_SQL,
     "q332_mood_median_test": _Q332_SQL,
+    "q335_token_rank_movers": _Q335_SQL,
 }

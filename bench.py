@@ -378,6 +378,7 @@ HEADLINE = [
     "q332_mood_median_test",
     "q333_ab_duration_planner",
     "q334_dau_mau_stickiness",
+    "q335_token_rank_movers",
 ]
 
 

@@ -702,3 +702,27 @@ def test_q334_stickiness_hand_value(spark, tmp_path, qs):
     assert r.dau <= r.wau <= r.mau
     assert r.dau_mau_ppm == 333_333
     assert r.wau_mau_ppm == 666_666
+
+
+def test_q335_rank_movers_hand_value(spark, tmp_path, qs):
+    """Half 0 (even ids): 'alpha' x3, 'beta' x2, 'gamma' x1. Half 1
+    (odd): 'beta' x3, 'alpha' x1, 'delta' x1. alpha 1->2 (+... delta
+    -1), beta 2->1 (+1), gamma enters only A (NULL delta), delta only
+    B (NULL delta)."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    docs = [
+        (0, "alpha alpha alpha beta beta gamma", "en", "srcA", 6),
+        (1, "beta beta beta alpha delta", "en", "srcA", 5),
+    ]
+    spark.createDataFrame(docs, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {r.tok: (r.rank_a, r.rank_b, r.rank_delta) for r in
+           qs["q335_token_rank_movers"](spark, str(tmp_path)).collect()}
+    assert got == {
+        "alpha": (1, 2, -1),
+        "beta": (2, 1, 1),
+        "gamma": (3, None, None),
+        "delta": (None, 3, None),
+    }
