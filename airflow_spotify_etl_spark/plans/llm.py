@@ -12474,6 +12474,237 @@ ORDER BY tok
 """
 
 
+def q336_ann_cost_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF COST-RECALL frontier: q318 gives recall@5 per probe
+    budget; this adds what each budget PAYS — candidates scored per
+    query (the sum of probed-cell sizes, the actual per-query work at
+    serving time) — and the efficiency ratio hits per kilo-candidate.
+    Together they are the capacity-planning curve: pick the leftmost
+    nprobe on the frontier that clears the recall SLO.
+
+    Exactness: candidate counts are exact integers (cell sizes joined
+    to each query's ranked probe list and summed over cell_rank ≤
+    nprobe); hits reuse the q318 shared-scoring construction; the
+    ratios are exact integer divisions (avg candidates/query in
+    milli, hits per 1e6 candidates).
+
+    Shape at 100 TB: cell sizes are a 16-row aggregate off the
+    zero-shuffle assignment; the probe lists are nq·nlist rows; the
+    one corpus-sized pass is the shared probe-all scoring (q318),
+    amortized over every sweep point."""
+    from ..operators.similarity import (
+        _as_double,
+        _assign_cells,
+        _dot,
+        _norm,
+        _unit_mat,
+        hash_seed_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cents = hash_seed_centroids(corpus, nlist=16)
+    assigned = _assign_cells(corpus, cents, "embedding", "vec_id").select(
+        "vec_id", "cell", _as_double("embedding").alias("_vd")
+    ).withColumn("_vn", _norm(F.col("_vd")))
+    sizes = assigned.groupBy("cell").agg(F.count("*").alias("cell_m"))
+
+    qscored = F.transform(
+        _unit_mat(cents),
+        lambda cv, i: F.struct(
+            _dot(F.col("_qv"), cv).alias("sim"), i.alias("cell")
+        ),
+    )
+    ranked = F.transform(
+        F.reverse(F.array_sort(qscored)),
+        lambda s, i: F.struct(
+            s["cell"].alias("cell"), (i + 1).alias("cell_rank")
+        ),
+    )
+    qcells = (
+        queries.select("query_id", _as_double("embedding").alias("_qv"))
+        .withColumn("_qn", _norm(F.col("_qv")))
+        .withColumn("_rc", F.explode(ranked))
+        .select(
+            "query_id", "_qv", "_qn",
+            F.col("_rc.cell").alias("cell"),
+            F.col("_rc.cell_rank").alias("cell_rank"),
+        )
+    )
+    nprobes = F.broadcast(
+        spark.createDataFrame([(1,), (2,), (4,), (8,), (16,)], "nprobe int")
+    )
+    # exact work: candidates scored per (nprobe, query) = Σ probed cell sizes
+    work = (
+        qcells.select("query_id", "cell", "cell_rank")
+        .join(F.broadcast(sizes), "cell", "left")
+        .crossJoin(nprobes)
+        .filter(F.col("cell_rank") <= F.col("nprobe"))
+        .groupBy("nprobe")
+        .agg(F.sum(F.coalesce("cell_m", F.lit(0))).alias("candidates"))
+    )
+    # recall machinery shared with q318
+    scored = assigned.join(F.broadcast(qcells), "cell").select(
+        "query_id", "cell_rank", "vec_id",
+        (_dot(F.col("_qv"), F.col("_vd")) / (F.col("_qn") * F.col("_vn"))).alias("cos"),
+    )
+    wc = W.partitionBy("query_id", "cell_rank").orderBy(F.col("cos").desc(), "vec_id")
+    cell_top = (
+        scored.withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") <= 5)
+        .select("query_id", "cell_rank", "vec_id", "cos")
+        .localCheckpoint(eager=True)
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+    brute = (
+        cell_top.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= 5)
+        .select("query_id", F.col("vec_id").alias("bvec"))
+    )
+    sweep = cell_top.crossJoin(nprobes).filter(
+        F.col("cell_rank") <= F.col("nprobe")
+    )
+    wn = W.partitionBy("nprobe", "query_id").orderBy(F.col("cos").desc(), "vec_id")
+    topk = (
+        sweep.withColumn("_r", F.row_number().over(wn))
+        .filter(F.col("_r") <= 5)
+        .select("nprobe", "query_id", "vec_id")
+    )
+    hits = topk.join(
+        brute,
+        (topk.query_id == brute.query_id) & (topk.vec_id == brute.bvec),
+        "left_semi",
+    ).groupBy("nprobe").agg(F.count("*").alias("hits_at_5"))
+    nq = queries.agg(F.count("*").alias("n_queries"))
+    return (
+        work.join(hits, "nprobe")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "nprobe",
+            "n_queries",
+            "candidates",
+            "hits_at_5",
+            F.expr("(candidates * 1000) div n_queries").alias(
+                "candidates_per_query_milli"
+            ),
+            F.expr("(hits_at_5 * 1000000) div (5 * n_queries)").alias(
+                "recall_ppm"
+            ),
+            F.expr(
+                "CASE WHEN candidates > 0 THEN"
+                " (hits_at_5 * 1000000) div candidates"
+                " ELSE CAST(NULL AS BIGINT) END"
+            ).alias("hits_per_mega_candidate"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+_Q336_SQL = """
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= 5
+), seeds AS (
+  SELECT row_number() OVER (
+           ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                    vec_id
+         ) - 1 AS cell,
+         v AS cv
+  FROM c
+  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT, vec_id
+  LIMIT 16
+), cents AS (
+  SELECT cell,
+         list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS u
+  FROM seeds
+), assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT c.vec_id, c.v, cents.cell,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY list_dot_product(c.v, cents.u) DESC, cents.cell ASC
+           ) AS rn
+    FROM c CROSS JOIN cents
+  ) WHERE rn = 1
+), sizes AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS cell_m FROM assigned GROUP BY cell
+), q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), qcells AS (
+  SELECT q.query_id, q.qv, cents.cell,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_dot_product(q.qv, cents.u) DESC, cents.cell DESC
+         ) AS cell_rank
+  FROM q CROSS JOIN cents
+), np AS (SELECT CAST(nprobe AS INT) AS nprobe
+          FROM (VALUES (1), (2), (4), (8), (16)) v(nprobe)),
+work AS (
+  SELECT np.nprobe, CAST(sum(coalesce(s.cell_m, 0)) AS BIGINT) AS candidates
+  FROM qcells p
+  LEFT JOIN sizes s ON s.cell = p.cell
+  CROSS JOIN np
+  WHERE p.cell_rank <= np.nprobe
+  GROUP BY np.nprobe
+), scored AS (
+  SELECT p.query_id, p.cell_rank, a.vec_id,
+         list_dot_product(p.qv, a.v) /
+           (sqrt(list_dot_product(p.qv, p.qv))
+            * sqrt(list_dot_product(a.v, a.v))) AS cos
+  FROM qcells p JOIN assigned a USING (cell)
+), cell_top AS (
+  SELECT query_id, cell_rank, vec_id, cos FROM (
+    SELECT query_id, cell_rank, vec_id, cos,
+           row_number() OVER (
+             PARTITION BY query_id, cell_rank
+             ORDER BY cos DESC, vec_id
+           ) AS rn
+    FROM scored
+  ) WHERE rn <= 5
+), brute AS (
+  SELECT query_id, vec_id AS bvec FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, vec_id
+           ) AS r
+    FROM cell_top
+  ) WHERE r <= 5
+), topk AS (
+  SELECT nprobe, query_id, vec_id FROM (
+    SELECT np.nprobe, t.query_id, t.vec_id,
+           row_number() OVER (
+             PARTITION BY np.nprobe, t.query_id
+             ORDER BY t.cos DESC, t.vec_id
+           ) AS r
+    FROM cell_top t CROSS JOIN np
+    WHERE t.cell_rank <= np.nprobe
+  ) WHERE r <= 5
+), hits AS (
+  SELECT k.nprobe, CAST(count(*) AS BIGINT) AS hits_at_5
+  FROM topk k
+  WHERE EXISTS (
+    SELECT 1 FROM brute b
+    WHERE b.query_id = k.query_id AND b.bvec = k.vec_id
+  )
+  GROUP BY k.nprobe
+), nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM q)
+SELECT w.nprobe, nq.n_queries, w.candidates, h.hits_at_5,
+       CAST((w.candidates * 1000) // nq.n_queries AS BIGINT)
+         AS candidates_per_query_milli,
+       CAST((h.hits_at_5 * 1000000) // (5 * nq.n_queries) AS BIGINT)
+         AS recall_ppm,
+       CAST(CASE WHEN w.candidates > 0 THEN
+              (h.hits_at_5 * 1000000) // w.candidates
+            ELSE NULL END AS BIGINT) AS hits_per_mega_candidate
+FROM work w JOIN hits h USING (nprobe) CROSS JOIN nq
+ORDER BY w.nprobe
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -12629,6 +12860,7 @@ QUERIES = {
     "q331_heaps_law_fit": q331_heaps_law_fit,
     "q332_mood_median_test": q332_mood_median_test,
     "q335_token_rank_movers": q335_token_rank_movers,
+    "q336_ann_cost_frontier": q336_ann_cost_frontier,
 }
 
 ORACLES = {
@@ -12786,4 +13018,5 @@ ORACLES = {
     "q331_heaps_law_fit": _Q331_SQL,
     "q332_mood_median_test": _Q332_SQL,
     "q335_token_rank_movers": _Q335_SQL,
+    "q336_ann_cost_frontier": _Q336_SQL,
 }

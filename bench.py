@@ -379,6 +379,7 @@ HEADLINE = [
     "q333_ab_duration_planner",
     "q334_dau_mau_stickiness",
     "q335_token_rank_movers",
+    "q336_ann_cost_frontier",
 ]
 
 

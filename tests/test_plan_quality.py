@@ -4961,3 +4961,24 @@ def test_q330_cell_balance_internal_consistency(spark, sf_dir, qs):
     assert r.imbalance_milli == (r.max_cell_rows * 16 * 1000) // r.n_vecs
     assert r.top_cell_ppm == (r.max_cell_rows * 1_000_000) // r.n_vecs
     assert r.imbalance_milli >= 1000  # max >= mean always
+
+
+def test_q336_frontier_consistency_with_q318(spark, sf_dir, qs):
+    """The cost frontier must agree with the recall sweep point-for-
+    point (shared construction), candidates must be monotone in
+    nprobe, and probe-all work must equal n_queries x corpus size."""
+    from airflow_spotify_etl_spark.sources.files import load_table
+
+    frontier = {r.nprobe: r for r in qs["q336_ann_cost_frontier"](
+        spark, sf_dir).collect()}
+    sweep = {r.nprobe: r for r in qs["q318_ivf_nprobe_sweep"](
+        spark, sf_dir).collect()}
+    assert set(frontier) == set(sweep) == {1, 2, 4, 8, 16}
+    for np_ in frontier:
+        assert frontier[np_].recall_ppm == sweep[np_].recall_ppm
+        assert frontier[np_].hits_at_5 == sweep[np_].hits_at_5
+    cands = [frontier[n].candidates for n in (1, 2, 4, 8, 16)]
+    assert cands == sorted(cands)
+    corpus_n = load_table(spark, sf_dir, "embeddings").filter(
+        "vec_id >= 5").count()
+    assert frontier[16].candidates == frontier[16].n_queries * corpus_n
