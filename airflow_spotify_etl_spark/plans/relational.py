@@ -8254,6 +8254,129 @@ FROM ud
 """
 
 
+def q337_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-spend Lorenz curve in deciles — the concentration curve
+    BEHIND the Gini scalars (q189/q306): per spend-decile of customers
+    (ascending), how many customers, how much revenue, and the
+    cumulative revenue share — 'the top 10% of customers drive X% of
+    revenue', exactly.
+
+    Exact tie-splitting without a global row sort: on the spend-cents
+    COUNT TABLE with cumulative rank intervals (lo, hi], decile d owns
+    ranks ((d−1)·N div 10, d·N div 10]; a tied value-group straddling
+    a boundary contributes overlap = max(0, min(hi, b_d) −
+    max(lo, b_{d−1})) customers — every tied customer carries the SAME
+    spend, so decile revenue = Σ overlap·v is exact. Shares are ppm
+    integer divisions; spend sums accumulate in DECIMAL(38,0)/HUGEINT
+    and the per-decile cents ship as BIGINT (≤ total revenue cents,
+    int64-safe to ~9e16 cents).
+
+    Shape at 100 TB: one grouped pass to per-customer spend (map-side
+    combine on o_custkey), one rollup to the |distinct spend values|
+    count table; the decile spine (10 rows) broadcasts and all windows
+    run on the bounded count table."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+            "cents"
+        )
+    )
+    vc = cust.groupBy("cents").agg(F.count("*").alias("c"))
+    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+    cum = vc.select(
+        "cents",
+        "c",
+        (F.sum("c").over(w) - F.col("c")).alias("lo"),
+        F.sum("c").over(w).alias("hi"),
+    )
+    tot = vc.agg(
+        F.sum("c").alias("n_cust"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * c")).alias("total"),
+    )
+    deciles = F.broadcast(
+        spark.createDataFrame([(d,) for d in range(1, 11)], "decile int")
+    )
+    cells = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(deciles)
+        .select(
+            "decile",
+            "cents",
+            F.expr(
+                "greatest(CAST(0 AS BIGINT),"
+                " least(hi, (decile * n_cust) div 10)"
+                " - greatest(lo, ((decile - 1) * n_cust) div 10))"
+            ).alias("k"),
+        )
+        .filter(F.col("k") > 0)
+        .groupBy("decile")
+        .agg(
+            F.sum("k").alias("n_customers"),
+            F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * k")).alias("spend"),
+        )
+    )
+    wd = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            F.col("spend").cast("long").alias("spend_cents"),
+            F.expr("CAST((spend * 1000000) div total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.expr(
+                "CAST((sum(spend) OVER (ORDER BY decile"
+                " ROWS UNBOUNDED PRECEDING) * 1000000) div total AS BIGINT)"
+            ).alias("cum_share_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+_Q337_SQL = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+), vc AS (
+  SELECT cents, CAST(count(*) AS BIGINT) AS c FROM cust GROUP BY cents
+), cum AS (
+  SELECT cents, c,
+         sum(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) - c AS lo,
+         sum(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS hi
+  FROM vc
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_cust,
+         CAST(sum(CAST(cents AS HUGEINT) * c) AS HUGEINT) AS total
+  FROM vc
+), cells AS (
+  SELECT d.decile,
+         CAST(sum(k) AS BIGINT) AS n_customers,
+         CAST(sum(CAST(cents AS HUGEINT) * k) AS HUGEINT) AS spend
+  FROM (
+    SELECT dd.decile, cum.cents,
+           greatest(CAST(0 AS BIGINT),
+             least(cum.hi, (dd.decile * tot.n_cust) // 10)
+             - greatest(cum.lo, ((dd.decile - 1) * tot.n_cust) // 10)) AS k
+    FROM cum CROSS JOIN tot
+    CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10)) dd(decile)
+  ) d
+  WHERE d.k > 0
+  GROUP BY d.decile
+)
+SELECT CAST(cells.decile AS INT) AS decile, cells.n_customers,
+       CAST(cells.spend AS BIGINT) AS spend_cents,
+       CAST((cells.spend * 1000000) // tot.total AS BIGINT) AS share_ppm,
+       CAST((sum(cells.spend) OVER (ORDER BY cells.decile
+             ROWS UNBOUNDED PRECEDING) * 1000000) // tot.total AS BIGINT)
+         AS cum_share_ppm
+FROM cells CROSS JOIN tot
+ORDER BY decile
+"""
+
+
 def q235_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nelson-Aalen cumulative hazard H(t) = Σ_{t_i≤t} d_i/n_i for
     days-to-first-purchase, with the Poisson variance estimate
@@ -12288,6 +12411,7 @@ QUERIES = {
     "q325_join_skew_audit": q325_join_skew_audit,
     "q333_ab_duration_planner": q333_ab_duration_planner,
     "q334_dau_mau_stickiness": q334_dau_mau_stickiness,
+    "q337_lorenz_curve": q337_lorenz_curve,
 }
 
 ORACLES = {
@@ -12450,4 +12574,5 @@ ORACLES = {
     "q325_join_skew_audit": _Q325_SQL,
     "q333_ab_duration_planner": _Q333_SQL,
     "q334_dau_mau_stickiness": _Q334_SQL,
+    "q337_lorenz_curve": _Q337_SQL,
 }

@@ -380,6 +380,7 @@ HEADLINE = [
     "q334_dau_mau_stickiness",
     "q335_token_rank_movers",
     "q336_ann_cost_frontier",
+    "q337_lorenz_curve",
 ]
 
 

@@ -726,3 +726,57 @@ def test_q335_rank_movers_hand_value(spark, tmp_path, qs):
         "gamma": (3, None, None),
         "delta": (None, 3, None),
     }
+
+
+def test_q337_lorenz_hand_values(spark, tmp_path, qs):
+    """10 customers spending 1..10 (one order each): each decile owns
+    exactly one customer and cum share after decile d is
+    d(d+1)/2 / 55 in ppm (floor)."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows = [
+        (i, i, "O", float(i), datetime(2024, 3, 1, 12), "1-URGENT")
+        for i in range(1, 11)
+    ]
+    spark.createDataFrame(rows, SCHEMAS["orders"]).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    got = {r.decile: r for r in qs["q337_lorenz_curve"](
+        spark, str(tmp_path)).collect()}
+    assert len(got) == 10
+    for d in range(1, 11):
+        assert got[d].n_customers == 1
+        assert got[d].spend_cents == d * 100
+        assert got[d].share_ppm == (d * 100 * 1_000_000) // 5500
+        assert got[d].cum_share_ppm == (
+            (d * (d + 1) // 2) * 100 * 1_000_000
+        ) // 5500
+    assert got[10].cum_share_ppm == 1_000_000
+
+
+def test_q337_lorenz_tie_split(spark, tmp_path, qs):
+    """25 customers ALL spending the same amount: the single tied
+    value-group must be split exactly across deciles (floor rank
+    boundaries: deciles own 2 or 3 customers each, summing to 25) and
+    every decile's share equals its customer share."""
+    from datetime import datetime
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows = [
+        (i, i, "O", 7.0, datetime(2024, 3, 1, 12), "1-URGENT")
+        for i in range(25)
+    ]
+    spark.createDataFrame(rows, SCHEMAS["orders"]).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    got = {r.decile: r for r in qs["q337_lorenz_curve"](
+        spark, str(tmp_path)).collect()}
+    sizes = [got[d].n_customers for d in range(1, 11)]
+    assert sum(sizes) == 25 and set(sizes) <= {2, 3}
+    for d in range(1, 11):
+        assert got[d].spend_cents == got[d].n_customers * 700
+        assert got[d].share_ppm == (got[d].spend_cents * 1_000_000) // (25 * 700)
+    assert got[10].cum_share_ppm == 1_000_000
