@@ -12705,6 +12705,133 @@ ORDER BY w.nprobe
 """
 
 
+def q338_kmv_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV estimator accuracy audit — the last member of the
+    sketch-audit family (CMS q259, HLL q302, Bloom q320, MinHash
+    q328): per language pair, the EXACT vocabulary Jaccard (distinct-
+    token inner join + inclusion-exclusion union) beside q106's
+    KMV-estimated Jaccard, with the error in ppm. The measurement
+    that justifies replacing the exact pairwise vocab join with the
+    sub-linear sketch at scale.
+
+    Exactness: everything integer — exact_j_ppm = inter·10⁶ div union,
+    est_j_ppm = n_both·10⁶ div k_used (the estimate is itself an exact
+    rational of the deterministic md5 sketch), err_ppm their absolute
+    difference.
+
+    Shape at 100 TB: exact side is one distinct (lang, token) pass +
+    a token-keyed pair join on the vocabulary relation (bounded by
+    vocab, not corpus); sketch side is the audited q106 bottom-256
+    shape."""
+    from ..operators.sketches import kmv_group_sketch, kmv_pair_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "\\s+"), lambda x: x != F.lit("")
+            )
+        ).alias("tok"),
+    )
+    vocab = toks.distinct()
+    sizes = vocab.groupBy("lang").agg(F.count("*").alias("v"))
+    a = vocab.select(F.col("lang").alias("g1"), "tok")
+    b = vocab.select(F.col("lang").alias("g2"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("g1") < F.col("g2"))
+        .groupBy("g1", "g2")
+        .agg(F.count("*").alias("inter"))
+    )
+    exact = (
+        inter.join(sizes.withColumnRenamed("lang", "g1").withColumnRenamed("v", "v1"), "g1")
+        .join(sizes.withColumnRenamed("lang", "g2").withColumnRenamed("v", "v2"), "g2")
+        .select(
+            "g1", "g2", "inter",
+            (F.col("v1") + F.col("v2") - F.col("inter")).alias("uni"),
+        )
+    )
+    mins = kmv_group_sketch(toks, "lang", "tok", k=256)
+    est = kmv_pair_overlap(mins, "lang", k=256).select(
+        "g1", "g2", "k_used", "n_both"
+    )
+    return (
+        exact.join(est, ["g1", "g2"])
+        .select(
+            "g1",
+            "g2",
+            "inter",
+            F.col("uni").alias("union_exact"),
+            F.expr("(inter * 1000000) div uni").alias("exact_j_ppm"),
+            F.expr("(n_both * 1000000) div k_used").alias("est_j_ppm"),
+            F.expr(
+                "abs((inter * 1000000) div uni"
+                " - (n_both * 1000000) div k_used)"
+            ).alias("err_ppm"),
+        )
+        .orderBy("g1", "g2")
+    )
+
+
+_Q338_SQL = r"""
+WITH toks AS (
+  SELECT lang, tok FROM (
+    SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), vocab AS (
+  SELECT DISTINCT lang, tok FROM toks
+), sizes AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS v FROM vocab GROUP BY lang
+), inter AS (
+  SELECT a.lang AS g1, b.lang AS g2, CAST(count(*) AS BIGINT) AS inter
+  FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.lang < b.lang
+  GROUP BY 1, 2
+), exact AS (
+  SELECT i.g1, i.g2, i.inter, s1.v + s2.v - i.inter AS uni
+  FROM inter i
+  JOIN sizes s1 ON s1.lang = i.g1
+  JOIN sizes s2 ON s2.lang = i.g2
+), hashed AS (
+  SELECT DISTINCT lang, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+  FROM toks
+), mins AS (
+  SELECT lang, h FROM (
+    SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= 256
+), pairs AS (
+  SELECT a.lang AS g1, b.lang AS g2
+  FROM (SELECT DISTINCT lang FROM mins) a
+  JOIN (SELECT DISTINCT lang FROM mins) b ON a.lang < b.lang
+), per_hash AS (
+  SELECT p.g1, p.g2, m.h,
+         max(CASE WHEN m.lang = p.g1 THEN 1 ELSE 0 END) AS in1,
+         max(CASE WHEN m.lang = p.g2 THEN 1 ELSE 0 END) AS in2
+  FROM pairs p JOIN mins m ON m.lang IN (p.g1, p.g2)
+  GROUP BY p.g1, p.g2, m.h
+), cut AS (
+  SELECT * FROM (
+    SELECT g1, g2, h, in1, in2,
+           row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS rn
+    FROM per_hash
+  ) WHERE rn <= 256
+), est AS (
+  SELECT g1, g2, CAST(count(*) AS BIGINT) AS k_used,
+         CAST(sum(in1 * in2) AS BIGINT) AS n_both
+  FROM cut GROUP BY g1, g2
+)
+SELECT e.g1, e.g2, x.inter, x.uni AS union_exact,
+       CAST((x.inter * 1000000) // x.uni AS BIGINT) AS exact_j_ppm,
+       CAST((e.n_both * 1000000) // e.k_used AS BIGINT) AS est_j_ppm,
+       CAST(abs((x.inter * 1000000) // x.uni
+                - (e.n_both * 1000000) // e.k_used) AS BIGINT) AS err_ppm
+FROM exact x JOIN est e ON e.g1 = x.g1 AND e.g2 = x.g2
+ORDER BY e.g1, e.g2
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -12861,6 +12988,7 @@ QUERIES = {
     "q332_mood_median_test": q332_mood_median_test,
     "q335_token_rank_movers": q335_token_rank_movers,
     "q336_ann_cost_frontier": q336_ann_cost_frontier,
+    "q338_kmv_accuracy_audit": q338_kmv_accuracy_audit,
 }
 
 ORACLES = {
@@ -13019,4 +13147,5 @@ ORACLES = {
     "q332_mood_median_test": _Q332_SQL,
     "q335_token_rank_movers": _Q335_SQL,
     "q336_ann_cost_frontier": _Q336_SQL,
+    "q338_kmv_accuracy_audit": _Q338_SQL,
 }

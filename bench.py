@@ -381,6 +381,7 @@ HEADLINE = [
     "q335_token_rank_movers",
     "q336_ann_cost_frontier",
     "q337_lorenz_curve",
+    "q338_kmv_accuracy_audit",
 ]
 
 

@@ -4982,3 +4982,35 @@ def test_q336_frontier_consistency_with_q318(spark, sf_dir, qs):
     corpus_n = load_table(spark, sf_dir, "embeddings").filter(
         "vec_id >= 5").count()
     assert frontier[16].candidates == frontier[16].n_queries * corpus_n
+
+
+def test_q338_kmv_audit_planted_overlap(spark, tmp_path, qs):
+    """Two languages, 400 distinct tokens each, 200 shared (so the
+    union of 600 EXCEEDS the k=256 sketch and the estimator actually
+    estimates): exact J = 200/600 = 333333 ppm; KMV at k=256 has
+    std ~ J(1-J)/sqrt(k) — assert the audit's error stays inside a
+    generous 5-sigma band AND that err_ppm is exactly
+    |exact - est|. Identical-vocab pairs must read err 0."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    shared = [f"s{i}" for i in range(200)]
+    a_only = [f"a{i}" for i in range(200)]
+    b_only = [f"b{i}" for i in range(200)]
+    docs = [
+        (1, " ".join(shared + a_only), "la", "srcA", 400),
+        (2, " ".join(shared + b_only), "lb", "srcA", 400),
+        (3, " ".join(shared + a_only), "lc", "srcA", 400),  # lc == la vocab
+    ]
+    spark.createDataFrame(docs, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {(r.g1, r.g2): r for r in qs["q338_kmv_accuracy_audit"](
+        spark, str(tmp_path)).collect()}
+    ab = got[("la", "lb")]
+    assert (ab.inter, ab.union_exact, ab.exact_j_ppm) == (200, 600, 333333)
+    assert ab.err_ppm == abs(ab.exact_j_ppm - ab.est_j_ppm)
+    assert ab.err_ppm < 160_000  # ~5 sigma at k=256
+    ac = got[("la", "lc")]
+    assert (ac.exact_j_ppm, ac.est_j_ppm, ac.err_ppm) == (
+        1_000_000, 1_000_000, 0,
+    )
