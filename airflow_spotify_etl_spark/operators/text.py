@@ -254,8 +254,15 @@ def repetition_metrics(
             lambda acc: acc.best,
         )
 
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), "\\s+"), lambda x: x != F.lit("")
+    # coalesce: NULL text must yield n_tokens=0 (the pre-r7
+    # explode+left-join path coalesced missing docs to 0; size(NULL)
+    # would propagate NULL, or -1 under legacy sizeOfNull).
+    words = F.coalesce(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "\\s+"),
+            lambda x: x != F.lit(""),
+        ),
+        F.array().cast("array<string>"),
     )
     n_idx = F.size("_w") - 1
     idx = F.when(n_idx >= 1, F.sequence(F.lit(1), n_idx)).otherwise(

@@ -7568,10 +7568,11 @@ SELECT CAST(max(n1k.v) AS BIGINT) AS n1_subjects,
        CAST(sum(d2) AS BIGINT) AS o2,
        CAST(sum(e1_nano) AS BIGINT) AS e1_nano,
        CAST(sum(v_nano) AS BIGINT) AS v_nano,
+       CASE WHEN CAST(sum(v_nano) AS BIGINT) = 0 THEN NULL ELSE
        round((CAST(CAST(sum(d1) AS BIGINT) AS DOUBLE) * 1e9
               - CAST(CAST(sum(e1_nano) AS BIGINT) AS DOUBLE))
              / (sqrt(CAST(CAST(sum(v_nano) AS BIGINT) AS DOUBLE))
-                * sqrt(1e9)), 4) AS logrank_z
+                * sqrt(1e9)), 4) END AS logrank_z
 FROM terms
 CROSS JOIN (SELECT count(*) AS v FROM subjects WHERE g = 0) n1k
 CROSS JOIN (SELECT count(*) AS v FROM subjects WHERE g = 1) n2k
@@ -8124,8 +8125,12 @@ def q333_ab_duration_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_ppm",
             "daily_users",
             F.expr(
-                chain.replace("p1", "(CAST(p_ppm AS DOUBLE) / 1e6)")
+                # p_ppm = 0 makes (p2-p1)^2 = 0 -> NaN whose BIGINT cast
+                # diverges between engines; degenerate -> NULL (q308 idiom)
+                "CASE WHEN p_ppm = 0 THEN CAST(NULL AS BIGINT) ELSE "
+                + chain.replace("p1", "(CAST(p_ppm AS DOUBLE) / 1e6)")
                 .replace("p2", "(CAST(p_ppm AS DOUBLE) / 1e6 * 1.1e0)")
+                + " END"
             ).alias("n_per_arm"),
         )
         .select(
@@ -8165,6 +8170,7 @@ WITH per_user AS (
   FROM base CROSS JOIN days
 ), planned AS (
   SELECT *,
+         CASE WHEN p_ppm = 0 THEN NULL ELSE
          CAST(round(
            (((1.959964e0 + 0.841621e0) * (1.959964e0 + 0.841621e0))
             * ((CAST(p_ppm AS DOUBLE) / 1e6)
@@ -8175,7 +8181,7 @@ WITH per_user AS (
                - CAST(p_ppm AS DOUBLE) / 1e6)
               * (CAST(p_ppm AS DOUBLE) / 1e6 * 1.1e0
                  - CAST(p_ppm AS DOUBLE) / 1e6))
-           + 0.5e0) AS BIGINT) AS n_per_arm
+           + 0.5e0) AS BIGINT) END AS n_per_arm
   FROM scalars
 )
 SELECT n_users, n_converters, n_days, p_ppm, daily_users, n_per_arm,

@@ -316,7 +316,12 @@ def append_sqlite(
         return str(v)
 
     rows = [tuple(_cell(v) for v in rec) for rec in pdf.itertuples(index=False)]
-    with sqlite3.connect(db_path) as con:
+    # contextlib.closing: sqlite3's own context manager only commits or
+    # rolls back on exit — it never closes the handle, which leaks an open
+    # fd on the .db per call.
+    import contextlib
+
+    with contextlib.closing(sqlite3.connect(db_path)) as con:
         exists = con.execute(
             "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?",
             (table,),
