@@ -423,6 +423,24 @@ def main() -> None:
     # Regression gate vs the standing BASELINE.md anchors (sf0.1 only —
     # anchors were recorded at that scale).
     anchors = _anchor_medians() if abs(sf - 0.1) < 1e-9 else {}
+    # Frozen first-ever anchors (BASELINE_FROZEN.json sidecar): a second,
+    # never-re-anchored ratio that makes cumulative drift since each
+    # query's first anchor visible even when the standing anchor is
+    # legitimately re-derived (methodology fixes, redesigns).
+    frozen: dict[str, float] = {}
+    if anchors:
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BASELINE_FROZEN.json",
+                )
+            ) as f:
+                frozen = {
+                    q: rec["sec"] for q, rec in json.load(f)["queries"].items()
+                }
+        except (OSError, KeyError, ValueError):
+            frozen = {}
     regressions = [
         name
         for name, sec in timings.items()
@@ -442,6 +460,19 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    frozen_ratios = {
+        n: round(timings[n] / frozen[n], 3) for n in timings if n in frozen
+    }
+    if frozen_ratios:
+        worst = sorted(frozen_ratios.items(), key=lambda kv: -kv[1])[:5]
+        med = statistics.median(frozen_ratios.values())
+        print(
+            f"# frozen-anchor drift: median {med:.2f}x of "
+            f"{len(frozen_ratios)}; worst "
+            + ", ".join(f"{n}={r:.2f}x" for n, r in worst),
+            file=sys.stderr,
+        )
+
     total = round(sum(timings.values()), 3)
     full = {
         "metric": "headline_queries_total_sec",
@@ -451,6 +482,7 @@ def main() -> None:
         "sf": sf,
         "runs": n_runs,
         "stat": "median",
+        "frozen_ratios": frozen_ratios,
     }
     # Full per-query JSON goes to a FILE (and to stdout first, for anyone
     # reading the whole stream). The LAST stdout line is a compact summary
@@ -481,6 +513,11 @@ def main() -> None:
                 "n_queries": len(timings),
                 "queries_shown": "8 slowest",
                 "regressions_vs_anchor": len(regressions),
+                "frozen_drift_median": (
+                    round(statistics.median(frozen_ratios.values()), 2)
+                    if frozen_ratios
+                    else None
+                ),
                 "queries_file": "BENCH_FULL.json",
             },
             separators=(",", ":"),
