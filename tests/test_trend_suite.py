@@ -457,6 +457,50 @@ def test_q321_logrank_hand_value(spark, tmp_path, qs):
     assert r.logrank_z == -0.3922
 
 
+def test_q321_logrank_zero_variance_is_null(spark, tmp_path, qs):
+    """Degenerate guard (r8): when every event time has exactly one
+    subject at risk, each hypergeometric variance term is 0 (the
+    n1+n2>1 guard) so sum(v_nano)=0 — z must be NULL, not NaN/Inf.
+    Fixture: g0 subject clicks day 0, purchases day 5 (dur 5, event);
+    g1 subject clicks day 3, never purchases (censored at dur 2) —
+    the only event time (t=5) has risk set {g0} alone."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows = [
+        (1, datetime(2024, 3, 1, 12), 0, "click", 1.0, "{}"),
+        (2, datetime(2024, 3, 6, 12), 0, "purchase", 1.0, "{}"),
+        (3, datetime(2024, 3, 4, 12), 1, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = qs["q321_logrank_test"](spark, str(tmp_path)).collect()[0]
+    assert (r.o1, r.o2, r.v_nano) == (1, 0, 0)
+    assert r.logrank_z is None
+
+
+def test_q333_planner_zero_converters_is_null(spark, tmp_path, qs):
+    """Degenerate guard (r8): zero high-value converters -> p_ppm = 0
+    -> the (p2-p1)^2 denominator is 0; n_per_arm and days_needed must
+    be NULL, not an engine-divergent NaN cast."""
+    from datetime import datetime, timedelta
+
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+    rows = [
+        (u + 1, datetime(2024, 3, 1, 12) + timedelta(days=u % 10),
+         u, "purchase", 50.0, "{}")
+        for u in range(100)
+    ]
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = qs["q333_ab_duration_planner"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_users, r.n_converters, r.p_ppm) == (100, 0, 0)
+    assert r.n_per_arm is None
+    assert r.days_needed is None
+
+
 def test_q322_friedman_hand_value(spark, tmp_path, qs):
     """3 blocks x 3 treatments, no ties. Ranks per day: (1,2,3),
     (2,1,3), (1,2,3) -> R = (4,5,9); classic Q = 12/(nk(k+1))*SumR^2
