@@ -1157,3 +1157,131 @@ def test_drift_monitor_equals_batch_tvd(spark, tmp_path):
         for r in read_tvd_matrix(spark, store).collect()
     }
     assert again == got
+
+
+def test_composed_monitor_fleet_over_shared_stream(spark, tmp_path):
+    """Composed multi-store deployment (round-7 verdict task 6): ONE
+    shared event stream drained into THREE monitor stores — drift
+    histogram (TVD), CMS heavy-hitters, HLL distinct-users — across two
+    drains with a foreachBatch RETRY in between. Each store's reader
+    must equal its one-shot batch twin over the union of every drained
+    row: the drift matrix equals the shared q319 tvd_matrix operator,
+    CMS equals one sketch built over the union, HLL likewise. The solo
+    two-drain twins are covered per-monitor; this is the composed
+    drain the realistic deployment runs."""
+    from airflow_spotify_etl_spark.operators.incremental import tvd_matrix
+    from airflow_spotify_etl_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_sketch,
+        hll_estimate,
+        hll_registers,
+    )
+    from airflow_spotify_etl_spark.streaming.cms_monitor import (
+        _apply_cms_batch,
+        read_cms_estimates,
+        run_cms_monitor,
+    )
+    from airflow_spotify_etl_spark.streaming.drift_monitor import (
+        _apply_histogram_batch,
+        read_tvd_matrix,
+        run_histogram_monitor,
+    )
+    from airflow_spotify_etl_spark.streaming.hll_monitor import (
+        _apply_hll_batch,
+        read_hll_estimates,
+        run_hll_monitor,
+    )
+
+    schema = SCHEMA
+    rows1 = _rows(*[(i, i % 7, i % 5, ["view", "click"][i % 2], float(i % 4))
+                    for i in range(40)])
+    rows2 = _rows(*[(100 + i, i % 7, 10 + i % 6,
+                     ["click", "purchase"][i % 2], float(i % 3))
+                    for i in range(30)])
+    src = str(tmp_path / "src")
+    stores = {k: str(tmp_path / f"store_{k}") for k in ("drift", "cms", "hll")}
+    ckpts = {k: str(tmp_path / f"ckpt_{k}") for k in ("drift", "cms", "hll")}
+
+    def drain_all():
+        # one shared source; each monitor drains it availableNow with its
+        # own offsets — the composed fleet a production pipeline runs
+        def stream():
+            return spark.readStream.schema(schema).parquet(src)
+
+        run_histogram_monitor(
+            spark, stream(), stores["drift"], ckpts["drift"],
+            group_col="event_type", value_expr="CAST(value AS BIGINT)",
+        )
+        run_cms_monitor(spark, stream(), stores["cms"], ckpts["cms"],
+                        key_col="event_type")
+        run_hll_monitor(spark, stream(), stores["hll"], ckpts["hll"],
+                        key_col="event_type", value_col="user_id")
+
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain_all()
+
+    # RETRY in between: re-apply batch 0 to every store — identical
+    # partial overwritten in place, nothing may double-count
+    b0 = spark.createDataFrame(rows1, schema)
+    _apply_histogram_batch(b0, stores["drift"], 0, "event_type",
+                           "CAST(value AS BIGINT)")
+    _apply_cms_batch(b0, stores["cms"], 0, "event_type", 4, 1024)
+    _apply_hll_batch(b0, stores["hll"], 0, "event_type", "user_id")
+
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain_all()
+
+    union = spark.createDataFrame(rows1 + rows2, schema)
+
+    # drift store == batch q319 operator over the union
+    got_tvd = {
+        (r.grp_a, r.grp_b): (r.n_a, r.n_b, r.n_common_values, r.tvd_ppm)
+        for r in read_tvd_matrix(spark, stores["drift"]).collect()
+    }
+    cnt = union.groupBy(
+        F.col("event_type").alias("grp"),
+        F.expr("CAST(value AS BIGINT)").alias("v"),
+    ).agg(F.count("*").alias("c"))
+    want_tvd = {
+        (r.grp_a, r.grp_b): (r.n_a, r.n_b, r.n_common_values, r.tvd_ppm)
+        for r in tvd_matrix(cnt, group_col="grp").collect()
+    }
+    assert got_tvd == want_tvd
+    assert ("click", "view") in got_tvd or ("view", "click") in got_tvd
+
+    # cms store == one sketch over the union
+    probes = union.select("event_type").distinct()
+    got_cms = {
+        r.event_type: r.est
+        for r in read_cms_estimates(spark, stores["cms"], probes).collect()
+    }
+    want_cms = {
+        r.event_type: r.est
+        for r in count_min_estimate(
+            count_min_sketch(union, "event_type"), probes, "event_type"
+        ).collect()
+    }
+    assert got_cms == want_cms
+    exact = {r.event_type: r.c for r in
+             union.groupBy("event_type").agg(F.count("*").alias("c")).collect()}
+    for k, est in got_cms.items():
+        assert est >= exact[k]  # CMS never underestimates
+
+    # hll store == one sketch over the union
+    got_hll = {
+        r.event_type: r.hll_estimate
+        for r in read_hll_estimates(spark, stores["hll"]).collect()
+    }
+    want_hll = {
+        r.event_type: r.hll_estimate
+        for r in hll_estimate(
+            hll_registers(union, "user_id", key_cols=["event_type"]),
+            key_cols=["event_type"],
+        ).collect()
+    }
+    assert got_hll == want_hll
+    assert set(got_hll) == {"view", "click", "purchase"}
