@@ -12918,6 +12918,89 @@ FROM ({sql}) arm_{tier}"""
         + "\nORDER BY tier"
     )
 
+def q340_hellinger_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-support pairwise Hellinger distance between every source
+    pair's doc-length distributions — the bounded, metric (triangle-
+    inequality) member of the divergence suite (TVD q319, JS q211, PSI
+    q192, Wasserstein q250, KS q309): H² = 1 − BC with the Bhattacharyya
+    coefficient BC = Σ_v √(p₁(v)·p₂(v)).
+
+    Only COMMON values contribute to BC (√(p·0) = 0), so the same
+    inner-join-on-the-value-domain shape as q319 suffices — no full
+    outer join, no dense grid. Per-common-value terms are ONE identical
+    float chain over exact integer counts — √((c₁/N₁)·(c₂/N₂)) — rounded
+    to pico BEFORE the cross-value sum (the q211 quantize-pre-sum rule),
+    so bc_pico is an exact order-independent BIGINT; hellinger_micro =
+    round(√(max(0, 1 − bc_pico/10¹²))·10⁶) is one final sqrt seam over
+    that exact integer (the greatest() guards pico round-up past 1).
+
+    Shape at 100 TB: one grouped corpus pass to the (source, length)
+    count table (corpus-independent size); the pair join runs on that
+    bounded relation only."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy(
+        F.col("source"), F.length("text").alias("v")
+    ).agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    a = cnt.join(tot, "source").select(
+        F.col("source").alias("src_a"), F.col("v").alias("_v"),
+        F.col("c").alias("ca"), F.col("n").alias("na"),
+    )
+    b = cnt.join(tot, "source").select(
+        F.col("source").alias("src_b"), F.col("v").alias("_v"),
+        F.col("c").alias("cb"), F.col("n").alias("nb"),
+    )
+    term = (
+        "CAST(round(sqrt((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))"
+        " * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))) * 1e12) AS BIGINT)"
+    )
+    common = (
+        a.join(b, "_v")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.count("*").alias("n_common_lengths"),
+            F.sum(F.expr(term)).alias("bc_pico"),
+        )
+    )
+    return common.select(
+        "src_a", "src_b", "n_a", "n_b", "n_common_lengths", "bc_pico",
+        F.expr(
+            "CAST(round(sqrt(greatest(0.0e0,"
+            " 1.0e0 - CAST(bc_pico AS DOUBLE) / 1e12)) * 1e6) AS BIGINT)"
+        ).alias("hellinger_micro"),
+    ).orderBy("src_a", "src_b")
+
+
+_Q340_SQL = """
+WITH cnt AS (
+  SELECT source, length(text) AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY source
+), sides AS (
+  SELECT cnt.source, cnt.v, cnt.c, tot.n
+  FROM cnt JOIN tot USING (source)
+), common AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         max(a.n) AS n_a, max(b.n) AS n_b,
+         CAST(count(*) AS BIGINT) AS n_common_lengths,
+         CAST(sum(CAST(round(sqrt((CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE))
+              * (CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE))) * 1e12)
+              AS BIGINT)) AS BIGINT) AS bc_pico
+  FROM sides a JOIN sides b ON a.v = b.v AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_a, n_b, n_common_lengths, bc_pico,
+       CAST(round(sqrt(greatest(0.0e0,
+            1.0e0 - CAST(bc_pico AS DOUBLE) / 1e12)) * 1e6) AS BIGINT)
+         AS hellinger_micro
+FROM common
+ORDER BY src_a, src_b
+"""
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -13076,6 +13159,7 @@ QUERIES = {
     "q336_ann_cost_frontier": q336_ann_cost_frontier,
     "q338_kmv_accuracy_audit": q338_kmv_accuracy_audit,
     "q339_dedup_tier_scoreboard": q339_dedup_tier_scoreboard,
+    "q340_hellinger_matrix": q340_hellinger_matrix,
 }
 
 ORACLES = {
@@ -13236,4 +13320,5 @@ ORACLES = {
     "q336_ann_cost_frontier": _Q336_SQL,
     "q338_kmv_accuracy_audit": _Q338_SQL,
     "q339_dedup_tier_scoreboard": _q339_sql(),
+    "q340_hellinger_matrix": _Q340_SQL,
 }

@@ -12257,6 +12257,652 @@ FROM agg CROSS JOIN n_tot
 """
 
 
+_DUNN_CORE = """
+WITH base AS (
+  SELECT event_type AS g, CAST(round(value * 1000, 0) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+), cnt AS (
+  SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY g, v
+), u AS (
+  SELECT g, c,
+         CAST(sum(c) OVER (PARTITION BY v) AS BIGINT) AS cv,
+         CAST(coalesce(sum(c) OVER (ORDER BY v
+              RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cumx
+  FROM cnt
+), s AS (
+  SELECT g, CAST(sum(c) AS BIGINT) AS n,
+         sum(CAST(c AS {wide}) * (2 * cumx + cv + 1)) AS r2
+  FROM u GROUP BY g
+), ties AS (
+  SELECT sum(CAST(cv AS {wide}) * cv * cv - cv) AS tt
+  FROM (SELECT CAST(sum(c) AS BIGINT) AS cv FROM cnt GROUP BY v) tv
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn FROM s
+), pairs AS (
+  SELECT a.g AS g_a, b.g AS g_b, a.n AS n_a, b.n AS n_b,
+         CAST(a.r2 * b.n - b.r2 * a.n AS BIGINT) AS a_num,
+         CAST(CAST(nn AS {wide}) * (nn + 1) * (nn - 1) - tt AS BIGINT) AS vn,
+         nn
+  FROM s a JOIN s b ON a.g < b.g
+  CROSS JOIN tot CROSS JOIN ties
+)
+SELECT g_a, g_b, n_a, n_b,
+       CASE WHEN vn <= 0 THEN NULL ELSE
+         round((CAST(a_num AS DOUBLE)
+                / (2.0e0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+               / sqrt(CAST(vn AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)
+                      / (12.0e0 * CAST(nn - 1 AS DOUBLE)
+                         * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 4)
+       END AS dunn_z
+FROM pairs
+ORDER BY g_a, g_b
+"""
+
+
+def q341_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc test: tie-corrected pairwise mean-rank z-scores
+    between every event-type pair — the follow-up the Kruskal-Wallis
+    omnibus (q234) requires before naming WHICH groups differ, on the
+    exact same doubled-rank count-table grid (ranks never touch raw
+    rows; 2R_g stays integral under ties).
+
+    Exactness: the mean-rank difference is the exact integer cross-
+    multiply a_num = r2_a·n_b − r2_b·n_a over 2n_a·n_b; the tie-
+    corrected variance scale vn = N(N+1)(N−1) − ΣT is an exact wide
+    integer; z is ONE double chain over BIGINT-cast scalars (int64 →
+    double is correctly rounded in both engines — the q321 rule), with
+    the all-tied degenerate (vn = 0) yielding NULL. Magnitude: a_num ~
+    N²·n_g wraps the BIGINT cast at N ≈ 2e6 events — beyond that the
+    cast fails loud under ANSI rather than wrapping.
+
+    Shape at 100 TB: one grouped corpus pass to the (type, value-ms)
+    count table; both windows and the k²-row pair join run on that
+    bounded relation (k = |event types|)."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_DUNN_CORE.format(wide="DECIMAL(38,0)"))
+
+
+_Q341_SQL = _DUNN_CORE.format(wide="HUGEINT")
+
+def _q342_core(wide: str, idiv: str, str_t: str) -> str:
+    D = 1_000_000_000
+
+    def fsd(x: str, n: str, m: int) -> str:
+        # floor(x*m/n) via base-1e9 two-limb long division — exact and
+        # BIGINT-quotient-safe in BOTH engines (the _floor_scaled_div
+        # identity, rendered per-engine through {idiv}).
+        qhi = f"CAST((({x}) {idiv} {D}) {idiv} ({n}) AS {wide})"
+        inner = (
+            f"((CAST((({x}) {idiv} {D}) % ({n}) AS {wide}) * {D}"
+            f" + ({x}) % {D}) {idiv} ({n}))"
+        )
+        q = f"({qhi} * {D} + {inner})"
+        r = f"(({x}) - {q} * ({n}))"
+        return f"({q} * {m} + ({r}) * {m} {idiv} ({n}))"
+
+    a6 = fsd("s * s", "n", 1_000_000)
+    b6 = fsd("stot * stot", "n", 1_000_000)
+    w6 = fsd("ssb_d * (n - k)", "ssw_d * (k - 1)", 1_000_000)
+    return f"""
+WITH base AS (
+  SELECT event_type AS g, CAST(round(value * 1000, 0) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+), cnt AS (
+  SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY g, v
+), cum AS (
+  SELECT g, v, c,
+         CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cm
+  FROM cnt
+), gn AS (
+  SELECT g, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY g
+), med AS (
+  SELECT cum.g,
+         min(CASE WHEN cm >= (n + 1) {idiv} 2 THEN v END)
+         + min(CASE WHEN cm >= (n + 2) {idiv} 2 THEN v END) AS m2
+  FROM cum JOIN gn ON cum.g = gn.g
+  GROUP BY cum.g
+), dev AS (
+  SELECT cnt.g, abs(2 * v - m2) AS d, c
+  FROM cnt JOIN med ON cnt.g = med.g
+), g2 AS (
+  SELECT g, CAST(sum(c) AS BIGINT) AS n,
+         sum(CAST(c AS {wide}) * d) AS s,
+         sum(CAST(c AS {wide}) * (CAST(d AS {wide}) * d)) AS ss
+  FROM g2src GROUP BY g
+), ag AS (
+  SELECT n, s, ss, {a6} AS a FROM g2
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(s) AS {wide}) AS stot,
+         CAST(sum(a) AS {wide}) AS a,
+         CAST(sum(ss) AS {wide}) * 1000000 AS ss6
+  FROM ag
+), fin AS (
+  SELECT k, n,
+         greatest(a - {b6}, CAST(0 AS {wide})) AS ssb_d,
+         ss6 - a AS ssw_d
+  FROM tot
+), fm AS (
+  SELECT k, n, ssb_d, ssw_d,
+         CASE WHEN k > 1 AND ssw_d > 0 THEN CAST(least({w6},
+              CAST(1000000000000000 AS {wide})) AS BIGINT) END AS w_micro
+  FROM fin
+)
+SELECT k, n,
+       CAST(ssb_d AS {str_t}) AS ssb_s,
+       CAST(ssw_d AS {str_t}) AS ssw_s,
+       w_micro,
+       round(CAST(w_micro AS DOUBLE) / 1e6, 4) AS w_stat
+FROM fm
+""".replace("FROM g2src", "FROM dev")
+
+
+def q342_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test of variance
+    homogeneity of event `value` across event types — the
+    heteroscedasticity check that decides whether the pooled-variance
+    ANOVA (q233) or Welch (q241) is the right mean test, completing
+    the location/scale test family (Mood q332 tests scale by ranks;
+    this is the moment version, robust via the MEDIAN center).
+
+    Exactness: values quantize to ms; each group's DOUBLED median m2
+    (sum of the two middle order statistics) comes off the (g, v)
+    count table by inclusive-cum position — integral under ties and
+    even n — so deviations d = |2v − m2| are exact integers; the
+    one-way ANOVA on d then reuses the q233 discipline verbatim
+    (DECIMAL/HUGEINT power sums, two-limb floor-scaled divisions, SSB/
+    SSW emitted as strings, W capped at 1e9 and NULL on degenerate
+    k<2 / zero-SSW inputs). DECIMAL(38) ceiling ≈ 10¹² events.
+
+    Shape at 100 TB: one grouped corpus pass to the (type, value-ms)
+    count table; the per-group cum window, median join, and the k-row
+    ANOVA all run on that bounded relation."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_q342_core("DECIMAL(38,0)", "div", "STRING"))
+
+
+_Q342_SQL = _q342_core("HUGEINT", "//", "VARCHAR")
+
+_CVM_CORE = """
+WITH base AS (
+  SELECT source, length(text) AS v FROM documents
+  WHERE source IN ('src0', 'src1')
+), cnt AS (
+  SELECT v,
+         CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c1,
+         CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c2
+  FROM base GROUP BY v
+), cum AS (
+  SELECT v, c1, c2,
+         CAST(sum(c1) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS a,
+         CAST(sum(c2) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS b
+  FROM cnt
+), nm AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n, CAST(sum(c2) AS BIGINT) AS m,
+         CAST(count(*) AS BIGINT) AS n_values
+  FROM cnt
+), agg AS (
+  SELECT max(n) AS n, max(m) AS m, max(n_values) AS n_values,
+         sum(CAST(c1 + c2 AS {wide})
+             * ((CAST(a AS {wide}) * m - CAST(b AS {wide}) * n)
+                * (CAST(a AS {wide}) * m - CAST(b AS {wide}) * n)))
+           AS snum
+  FROM cum CROSS JOIN nm
+)
+SELECT 'src0' AS src_a, 'src1' AS src_b, n AS n_a, m AS n_b, n_values,
+       CAST(CASE WHEN n > 0 AND m > 0 THEN
+            snum * 1000000 {idiv}
+            (CAST(n + m AS {wide}) * (n + m) * n * m)
+       END AS BIGINT) AS t_micro,
+       round(CAST(CAST(CASE WHEN n > 0 AND m > 0 THEN
+            snum * 1000000 {idiv}
+            (CAST(n + m AS {wide}) * (n + m) * n * m)
+       END AS BIGINT) AS DOUBLE) / 1e6, 4) AS t_stat
+FROM agg
+"""
+
+
+def q343_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises statistic between the src0 and src1
+    doc-length distributions — the integrated-squared-ECDF-gap member
+    of the two-sample family (KS q309 takes the max gap; CvM weighs the
+    WHOLE curve, so a distribution that differs broadly but never
+    sharply still registers).
+
+    Exactness: T = Σ_v (c₁+c₂)·(A_v·m − B_v·n)² / (N²·n·m) over the
+    pooled distinct values with INCLUSIVE cumulative counts A, B —
+    every term is an exact wide integer (the ECDF gaps cross-multiplied
+    to a common denominator), so t_micro is one exact floor division;
+    no float anywhere before the final display scaling. Magnitude:
+    the summand ~ (n·m)²·c wraps DECIMAL(38) around n ≈ 10⁷ docs per
+    source — beyond that pre-reduce the count table (the q319 note).
+
+    Shape at 100 TB: one grouped corpus pass to the pooled value count
+    table (no join at all — both sources land in one relation with
+    conditional counts); the window and the 1-row reduction run on
+    that bounded relation."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(_CVM_CORE.format(wide="DECIMAL(38,0)", idiv="div"))
+
+
+_Q343_SQL = _CVM_CORE.format(wide="HUGEINT", idiv="//")
+
+
+_LB_CORE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY CAST(ts AS DATE)
+), mm AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM daily
+), cal AS (
+  {cal_expr}
+), series AS (
+  SELECT cal.d, coalesce(daily.c, 0) AS c
+  FROM cal LEFT JOIN daily ON cal.d = daily.d
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sc
+  FROM series
+), dd AS (
+  SELECT d, CAST(n AS BIGINT) * c - sc AS dv
+  FROM series CROSS JOIN tot
+), den AS (
+  SELECT sum(CAST(dv AS {wide}) * dv) AS den FROM dd
+), lags AS (
+  {lags_expr}
+), nums AS (
+  SELECT CAST(lags.k AS INTEGER) AS k,
+         sum(CAST(a.dv AS {wide}) * b.dv) AS num,
+         CAST(count(*) AS BIGINT) AS n_terms
+  FROM lags
+  JOIN dd a ON true
+  JOIN dd b ON b.d = {date_sub}
+  GROUP BY lags.k
+), rk AS (
+  SELECT k, n_terms,
+         CASE WHEN den = 0 THEN NULL ELSE
+           CAST(CASE WHEN num >= 0
+                THEN (num * 1000000000) {idiv} den
+                ELSE -((-num * 1000000000) {idiv} den)
+           END AS BIGINT)
+         END AS r_nano
+  FROM nums CROSS JOIN den
+), terms AS (
+  SELECT k, n_terms, r_nano,
+         (CAST(r_nano AS {wide}) * r_nano)
+           {idiv} ((SELECT max(n) FROM tot) - k) AS t_p
+  FROM rk
+)
+SELECT max(t2.n) AS n_days,
+       CAST(max(den.den) AS {str_t}) AS den_s,
+       CAST(CASE WHEN max(den.den) = 0 THEN NULL ELSE
+            (CAST(max(t2.n) AS {wide}) * (max(t2.n) + 2) * sum(t_p))
+              {idiv} 1000000000000000
+       END AS BIGINT) AS lb_milli
+FROM terms CROSS JOIN tot t2 CROSS JOIN den
+"""
+
+
+def _lb_render(engine: str) -> str:
+    if engine == "spark":
+        return _LB_CORE.format(
+            wide="DECIMAL(38,0)", idiv="div", str_t="STRING",
+            cal_expr=(
+                "SELECT explode(sequence(lo, hi, interval 1 day)) AS d"
+                " FROM mm"
+            ),
+            lags_expr=(
+                "SELECT explode(sequence(1, 7)) AS k"
+            ),
+            date_sub="date_add(a.d, -CAST(lags.k AS INT))",
+        )
+    return _LB_CORE.format(
+        wide="HUGEINT", idiv="//", str_t="VARCHAR",
+        cal_expr=(
+            "SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))"
+            " AS DATE) AS d FROM mm"
+        ),
+        lags_expr="SELECT unnest(range(1, 8)) AS k",
+        date_sub="a.d - CAST(lags.k AS INTEGER)",
+    )
+
+
+def q344_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau statistic over lags 1..7 of the daily
+    event-count series — the single-number whiteness test that
+    aggregates the q188 per-lag autocorrelations (a seasonal or
+    autocorrelated series fails it even when no single lag dominates).
+
+    Exactness: the series is calendar-zero-filled (the q188 rule);
+    deviations enter as the exact integers d_t = n·x_t − Σx (n times
+    the centered value), so every lag's numerator Σ d_t·d_{t+k} and
+    the shared denominator Σ d_t² are exact wide-integer sums;
+    r_k is nano-floored with a SIGN-SPLIT division (Spark div
+    truncates toward zero, DuckDB // floors — the r6 rule 25), each
+    r²/(n−k) term floors exactly, and lb_milli = n(n+2)·Σterms div
+    10¹⁵ is all-integer end to end — no float seam at all. The
+    denominator is emitted as a string (exceeds int64 on long
+    series). Constant series (den = 0) → NULL.
+
+    Shape at 100 TB: the corpus collapses to ≤|days| rows in the
+    first exchange; the 7 lag joins and the 1-row reduction run on
+    the tiny daily relation."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_lb_render("spark"))
+
+
+_Q344_SQL = _lb_render("duckdb")
+
+def _q345_core(wide: str, idiv: str, cal_expr: str, date_sub: str) -> str:
+    D = 1_000_000_000
+
+    def fsd(x: str, n: str, m: int) -> str:
+        qhi = f"CAST((({x}) {idiv} {D}) {idiv} ({n}) AS {wide})"
+        inner = (
+            f"((CAST((({x}) {idiv} {D}) % ({n}) AS {wide}) * {D}"
+            f" + ({x}) % {D}) {idiv} ({n}))"
+        )
+        q = f"({qhi} * {D} + {inner})"
+        r = f"(({x}) - {q} * ({n}))"
+        return f"({q} * {m} + ({r}) * {m} {idiv} ({n}))"
+
+    phi1 = fsd(
+        f"abs(CAST(r1n AS {wide})) * ({D} - r2n)",
+        f"CAST({D} - r1n AS {wide}) * ({D} + r1n)",
+        1_000_000,
+    )
+    phi2 = fsd(
+        f"abs(CAST(r2n AS {wide}) * {D} - CAST(r1n AS {wide}) * r1n)",
+        f"CAST({D} - r1n AS {wide}) * ({D} + r1n)",
+        1_000_000,
+    )
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY CAST(ts AS DATE)
+), mm AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM daily
+), cal AS (
+  {cal_expr}
+), series AS (
+  SELECT cal.d, coalesce(daily.c, 0) AS c
+  FROM cal LEFT JOIN daily ON cal.d = daily.d
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sc
+  FROM series
+), dd AS (
+  SELECT d, CAST(n AS BIGINT) * c - sc AS dv
+  FROM series CROSS JOIN tot
+), den AS (
+  SELECT sum(CAST(dv AS {wide}) * dv) AS den FROM dd
+), nums AS (
+  SELECT
+    (SELECT sum(CAST(a.dv AS {wide}) * b.dv)
+     FROM dd a JOIN dd b ON b.d = {date_sub.format(k=1)}) AS num1,
+    (SELECT sum(CAST(a.dv AS {wide}) * b.dv)
+     FROM dd a JOIN dd b ON b.d = {date_sub.format(k=2)}) AS num2
+), rk AS (
+  SELECT
+    CASE WHEN den = 0 THEN NULL ELSE
+      CAST(CASE WHEN num1 >= 0 THEN (num1 * {D}) {idiv} den
+           ELSE -((-num1 * {D}) {idiv} den) END AS BIGINT)
+    END AS r1n,
+    CASE WHEN den = 0 THEN NULL ELSE
+      CAST(CASE WHEN num2 >= 0 THEN (num2 * {D}) {idiv} den
+           ELSE -((-num2 * {D}) {idiv} den) END AS BIGINT)
+    END AS r2n
+  FROM nums CROSS JOIN den
+)
+SELECT (SELECT max(n) FROM tot) AS n_days, r1n AS r1_nano, r2n AS r2_nano,
+       CASE WHEN r1n IS NULL OR abs(r1n) >= {D} THEN NULL ELSE
+         CAST(CASE WHEN r1n >= 0 THEN {phi1} ELSE -{phi1} END AS BIGINT)
+       END AS phi1_micro,
+       CASE WHEN r1n IS NULL OR abs(r1n) >= {D} THEN NULL ELSE
+         CAST(CASE WHEN CAST(r2n AS {wide}) * {D}
+                        - CAST(r1n AS {wide}) * r1n >= 0
+              THEN {phi2} ELSE -{phi2} END AS BIGINT)
+       END AS phi2_micro
+FROM rk
+"""
+
+
+def q345_yule_walker_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule-Walker AR(2) fit of the daily event-count series — the
+    autoregressive coefficients (φ₁, φ₂) behind the q188 ACF and the
+    q74 forecast: φ₁ = r₁(1−r₂)/(1−r₁²), φ₂ = (r₂−r₁²)/(1−r₁²) from
+    the biased lag-1/lag-2 autocorrelations.
+
+    Exactness: the series is calendar-zero-filled; deviations enter
+    as exact integers d_t = n·x_t − Σx, so num₁, num₂ and the shared
+    denominator are exact wide-integer sums; r₁, r₂ are nano-floored
+    with sign-split divisions, and the φ's are computed FROM THE
+    QUANTIZED r's in exact integer arithmetic (two-limb floor-scaled
+    divisions with 1−r₁² factored as (10⁹−r₁)(10⁹+r₁)) — fully
+    integer end to end, no float seam. |r₁| = 1 (degenerate
+    perfectly-correlated series) → NULL φ's.
+
+    Shape at 100 TB: the corpus collapses to ≤|days| rows in the
+    first exchange; everything else runs on the tiny daily relation."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_q345_core(
+        "DECIMAL(38,0)", "div",
+        "SELECT explode(sequence(lo, hi, interval 1 day)) AS d FROM mm",
+        "date_add(a.d, -{k})",
+    ))
+
+
+_Q345_SQL = _q345_core(
+    "HUGEINT", "//",
+    "SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)"
+    " AS d FROM mm",
+    "a.d - {k}",
+)
+
+def _q346_core(wide: str, idiv: str, ntok: str, ndis: str) -> str:
+    D = 1_000_000_000
+
+    def fsd(x: str, n: str, m: int) -> str:
+        qhi = f"CAST((({x}) {idiv} {D}) {idiv} ({n}) AS {wide})"
+        inner = (
+            f"((CAST((({x}) {idiv} {D}) % ({n}) AS {wide}) * {D}"
+            f" + ({x}) % {D}) {idiv} ({n}))"
+        )
+        q = f"({qhi} * {D} + {inner})"
+        r = f"(({x}) - {q} * ({n}))"
+        return f"({q} * {m} + ({r}) * {m} {idiv} ({n}))"
+
+    kap = fsd(
+        f"abs(3 * CAST(n_docs AS {wide}) * (ss - 3 * n_docs)"
+        f" - 2 * (CAST(c0 AS {wide}) * c0 + CAST(c1 AS {wide}) * c1"
+        f"        + CAST(c2 AS {wide}) * c2))",
+        f"(18 * CAST(n_docs AS {wide}) * n_docs"
+        f" - 2 * (CAST(c0 AS {wide}) * c0 + CAST(c1 AS {wide}) * c1"
+        f"        + CAST(c2 AS {wide}) * c2))",
+        1_000_000,
+    )
+    sgn = (
+        f"(3 * CAST(n_docs AS {wide}) * (ss - 3 * n_docs)"
+        f" - 2 * (CAST(c0 AS {wide}) * c0 + CAST(c1 AS {wide}) * c1"
+        f"        + CAST(c2 AS {wide}) * c2))"
+    )
+    den0 = (
+        f"(18 * CAST(n_docs AS {wide}) * n_docs"
+        f" - 2 * (CAST(c0 AS {wide}) * c0 + CAST(c1 AS {wide}) * c1"
+        f"        + CAST(c2 AS {wide}) * c2))"
+    )
+    return f"""
+WITH rated AS (
+  SELECT doc_id,
+         CASE WHEN n_chars < 200 THEN 0
+              WHEN n_chars < 400 THEN 1 ELSE 2 END AS cat_a,
+         CASE WHEN {ntok} < 40 THEN 0
+              WHEN {ntok} < 80 THEN 1 ELSE 2 END AS cat_b,
+         CASE WHEN {ndis} < 30 THEN 0
+              WHEN {ndis} < 60 THEN 1 ELSE 2 END AS cat_c
+  FROM documents
+), cells AS (
+  SELECT doc_id,
+         CAST((CASE WHEN cat_a = 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN cat_b = 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN cat_c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST((CASE WHEN cat_a = 1 THEN 1 ELSE 0 END)
+            + (CASE WHEN cat_b = 1 THEN 1 ELSE 0 END)
+            + (CASE WHEN cat_c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST((CASE WHEN cat_a = 2 THEN 1 ELSE 0 END)
+            + (CASE WHEN cat_b = 2 THEN 1 ELSE 0 END)
+            + (CASE WHEN cat_c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM rated
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n0 * n0 + n1 * n1 + n2 * n2) AS BIGINT) AS ss,
+         CAST(sum(n0) AS BIGINT) AS c0,
+         CAST(sum(n1) AS BIGINT) AS c1,
+         CAST(sum(n2) AS BIGINT) AS c2
+  FROM cells
+)
+SELECT n_docs, ss, c0, c1, c2,
+       CASE WHEN {den0} = 0 THEN NULL ELSE
+         CAST(CASE WHEN {sgn} >= 0 THEN {kap} ELSE -{kap} END AS BIGINT)
+       END AS kappa_micro
+FROM agg
+"""
+
+
+def q346_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa across THREE deterministic quality raters — the
+    multi-rater chance-corrected agreement that generalizes the 2-rater
+    Cohen's kappa pair (q185/q308): each document is independently
+    bucketed into {short, medium, long} by three different signals
+    (raw n_chars, token count, distinct-token count), and kappa
+    measures their agreement beyond chance — the standard audit before
+    trusting ensemble quality labels.
+
+    Exactness: per-doc category counts n_ij are 0..3 integers; SS =
+    ΣΣn_ij² and the category margins C_j are exact sums, and
+    kappa = (P̄−P̄ₑ)/(1−P̄ₑ) clears denominators exactly to
+    κ·10⁶ = floor((3N(SS−3N) − 2ΣC²)·10⁶ / (18N² − 2ΣC²)) via the
+    two-limb floor-scaled division with a SIGN SPLIT (kappa can be
+    negative) — fully integer, no float seam. Unanimous single-
+    category degenerate (P̄ₑ = 1 → denominator 0) → NULL.
+
+    Shape at 100 TB: one narrow corpus pass computing three per-row
+    integers, then a single 1-row reduction — zero joins, zero
+    windows, whole-stage-codegen throughout."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["documents"])
+    tok = "size(filter(split(lower(text), '\\\\s+'), x -> x <> ''))"
+    dis = ("size(array_distinct(filter(split(lower(text), '\\\\s+'),"
+           " x -> x <> '')))")
+    return spark.sql(_q346_core("DECIMAL(38,0)", "div", tok, dis))
+
+
+_Q346_SQL = _q346_core(
+    "HUGEINT", "//",
+    "len(list_filter(string_split_regex(lower(text), '\\s+'),"
+    " x -> x <> ''))",
+    "len(list_distinct(list_filter(string_split_regex(lower(text),"
+    " '\\s+'), x -> x <> '')))",
+)
+
+_PAGE_CORE = """
+WITH cells AS (
+  SELECT {day_expr} AS day, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), days AS (
+  SELECT DISTINCT day FROM cells
+), types AS (
+  SELECT DISTINCT event_type FROM cells
+), typ AS (
+  SELECT event_type,
+         CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS j
+  FROM types
+), grid AS (
+  SELECT d.day, t.event_type, coalesce(c.c, 0) AS c
+  FROM days d CROSS JOIN types t
+  LEFT JOIN cells c ON c.day = d.day AND c.event_type = t.event_type
+), vc AS (
+  SELECT day, c, CAST(count(*) AS BIGINT) AS t FROM grid GROUP BY day, c
+), r2 AS (
+  SELECT day, c,
+         2 * coalesce(sum(t) OVER (PARTITION BY day ORDER BY c
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + t + 1 AS r2
+  FROM vc
+), ranked AS (
+  SELECT g.day, g.event_type, r2.r2
+  FROM grid g JOIN r2 ON r2.day = g.day AND r2.c = g.c
+), s2 AS (
+  SELECT event_type, CAST(sum(r2) AS BIGINT) AS s2
+  FROM ranked GROUP BY event_type
+), nk AS (
+  SELECT CAST(count(DISTINCT day) AS BIGINT) AS n,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS k
+  FROM grid
+), l AS (
+  SELECT CAST(sum(j * s2) AS BIGINT) AS l2
+  FROM s2 JOIN typ ON s2.event_type = typ.event_type
+)
+SELECT n AS n_days, k AS k_types, l2,
+       (n * k * (k + 1) * (k + 1)) {idiv} 2 AS e2,
+       CASE WHEN k < 2 OR n < 1 THEN NULL ELSE
+         round(CAST(l2 - (n * k * (k + 1) * (k + 1)) {idiv} 2 AS DOUBLE)
+               / sqrt(CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                      * CAST(k AS DOUBLE) * CAST(k + 1 AS DOUBLE)
+                      * CAST(k * k - 1 AS DOUBLE) / 36.0e0), 4)
+       END AS page_z
+FROM l CROSS JOIN nk
+"""
+
+
+def q347_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L trend test over day-blocked event-type ranks — the
+    ORDERED alternative to the Friedman omnibus (q322), sibling of
+    Jonckheere-Terpstra (q274, which orders groups in a pooled
+    design): is there a monotone volume trend across the hypothesized
+    (alphabetical, declared a priori) event-type ordering, judged
+    against within-day ranks so day-level traffic swings cancel?
+
+    Exactness: the same dense zero-filled grid and DOUBLED midranks
+    as q322, so L2 = Σ_j j·2R_j is an exact BIGINT and the null mean
+    E[L2] = n·k(k+1)²/2 is exactly integral (k(k+1) is even); z is
+    ONE double chain over those exact integers with the classical
+    no-ties variance n·k²(k+1)(k²−1)/36 (the tie-corrected omnibus
+    lives in q322; Page's z is conventionally reported uncorrected).
+    k<2 degenerates to NULL.
+
+    Shape at 100 TB: one grouped corpus pass to the (day, type) count
+    table; grid, rank windows, and the 1-row reduction run on
+    calendar·|types|-bounded relations."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_PAGE_CORE.format(
+        day_expr="unix_micros(ts) div 86400000000", idiv="div"
+    ))
+
+
+_Q347_SQL = _PAGE_CORE.format(day_expr="epoch_us(ts) // 86400000000",
+                              idiv="//")
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -12417,6 +13063,13 @@ QUERIES = {
     "q325_join_skew_audit": q325_join_skew_audit,
     "q333_ab_duration_planner": q333_ab_duration_planner,
     "q334_dau_mau_stickiness": q334_dau_mau_stickiness,
+    "q341_dunn_posthoc": q341_dunn_posthoc,
+    "q342_brown_forsythe": q342_brown_forsythe,
+    "q343_cramer_von_mises": q343_cramer_von_mises,
+    "q344_ljung_box": q344_ljung_box,
+    "q345_yule_walker_ar2": q345_yule_walker_ar2,
+    "q346_fleiss_kappa": q346_fleiss_kappa,
+    "q347_page_trend_test": q347_page_trend_test,
     "q337_lorenz_curve": q337_lorenz_curve,
 }
 
@@ -12580,5 +13233,12 @@ ORACLES = {
     "q325_join_skew_audit": _Q325_SQL,
     "q333_ab_duration_planner": _Q333_SQL,
     "q334_dau_mau_stickiness": _Q334_SQL,
+    "q341_dunn_posthoc": _Q341_SQL,
+    "q342_brown_forsythe": _Q342_SQL,
+    "q343_cramer_von_mises": _Q343_SQL,
+    "q344_ljung_box": _Q344_SQL,
+    "q345_yule_walker_ar2": _Q345_SQL,
+    "q346_fleiss_kappa": _Q346_SQL,
+    "q347_page_trend_test": _Q347_SQL,
     "q337_lorenz_curve": _Q337_SQL,
 }

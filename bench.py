@@ -383,6 +383,14 @@ HEADLINE = [
     "q337_lorenz_curve",
     "q338_kmv_accuracy_audit",
     "q339_dedup_tier_scoreboard",
+    "q340_hellinger_matrix",
+    "q341_dunn_posthoc",
+    "q342_brown_forsythe",
+    "q343_cramer_von_mises",
+    "q344_ljung_box",
+    "q345_yule_walker_ar2",
+    "q346_fleiss_kappa",
+    "q347_page_trend_test",
 ]
 
 
