@@ -13001,6 +13001,79 @@ FROM common
 ORDER BY src_a, src_b
 """
 
+def q348_drift_tier_scoreboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-divergence scoreboard — ONE row per drift metric in the
+    divergence suite (TVD q319, Hellinger q340, JS q211, PSI q192,
+    KS q309, Wasserstein q250, Cramér-von Mises q343), each arm
+    composing the EXISTING audited plan unchanged and reducing it to
+    (metric, n_rows, max_stat_micro): the q317/q339 scoreboard
+    treatment applied to the drift family, so distribution drift
+    across seven lenses is one driver-visible relation instead of
+    seven audits to eyeball. max_stat_micro is each metric's own
+    micro-scaled statistic (ppm for the ppm metrics) — the DRIFT
+    dial, not a cross-metric comparison.
+
+    Shape at 100 TB: every arm is its own already-audited count-table-
+    bounded plan; the scoreboard adds seven 1-row aggregates and a
+    7-row union."""
+    from .relational import q250_wasserstein_drift, q343_cramer_von_mises
+
+    def arm(df: DataFrame, metric: str, stat: str) -> DataFrame:
+        return df.agg(
+            F.lit(metric).alias("metric"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.expr(stat).cast("long").alias("max_stat_micro"),
+        ).select("metric", "n_rows", "max_stat_micro")
+
+    arms = [
+        arm(q319_source_tvd_matrix(spark, sf_dir), "1_tvd_pairs",
+            "max(tvd_ppm)"),
+        arm(q340_hellinger_matrix(spark, sf_dir), "2_hellinger_pairs",
+            "max(hellinger_micro)"),
+        arm(q211_js_source_drift(spark, sf_dir), "3_js_vs_corpus",
+            "max(js_micro)"),
+        arm(q192_psi_drift(spark, sf_dir), "4_psi_vs_corpus",
+            "max(psi_micro)"),
+        arm(q309_ks_two_sample(spark, sf_dir), "5_ks_two_sample",
+            "max(d_ppm)"),
+        arm(q250_wasserstein_drift(spark, sf_dir), "6_wasserstein",
+            "max(w1_norm_micro)"),
+        arm(q343_cramer_von_mises(spark, sf_dir), "7_cvm_two_sample",
+            "max(t_micro)"),
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("metric")
+
+
+def _q348_sql() -> str:
+    from .relational import _Q250_SQL, _Q343_SQL
+
+    def arm(sql: str, metric: str, stat: str) -> str:
+        return f"""
+SELECT '{metric}' AS metric,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST({stat} AS BIGINT) AS max_stat_micro
+FROM ({sql}) arm_{metric}"""
+
+    return (
+        arm(_Q319_SQL, "1_tvd_pairs", "max(tvd_ppm)")
+        + "\nUNION ALL\n"
+        + arm(_Q340_SQL, "2_hellinger_pairs", "max(hellinger_micro)")
+        + "\nUNION ALL\n"
+        + arm(_Q211_SQL, "3_js_vs_corpus", "max(js_micro)")
+        + "\nUNION ALL\n"
+        + arm(_Q192_SQL, "4_psi_vs_corpus", "max(psi_micro)")
+        + "\nUNION ALL\n"
+        + arm(_Q309_SQL, "5_ks_two_sample", "max(d_ppm)")
+        + "\nUNION ALL\n"
+        + arm(_Q250_SQL, "6_wasserstein", "max(w1_norm_micro)")
+        + "\nUNION ALL\n"
+        + arm(_Q343_SQL, "7_cvm_two_sample", "max(t_micro)")
+        + "\nORDER BY metric"
+    )
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -13160,6 +13233,7 @@ QUERIES = {
     "q338_kmv_accuracy_audit": q338_kmv_accuracy_audit,
     "q339_dedup_tier_scoreboard": q339_dedup_tier_scoreboard,
     "q340_hellinger_matrix": q340_hellinger_matrix,
+    "q348_drift_tier_scoreboard": q348_drift_tier_scoreboard,
 }
 
 ORACLES = {
@@ -13321,4 +13395,5 @@ ORACLES = {
     "q338_kmv_accuracy_audit": _Q338_SQL,
     "q339_dedup_tier_scoreboard": _q339_sql(),
     "q340_hellinger_matrix": _Q340_SQL,
+    "q348_drift_tier_scoreboard": _q348_sql(),
 }

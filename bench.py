@@ -391,6 +391,7 @@ HEADLINE = [
     "q345_yule_walker_ar2",
     "q346_fleiss_kappa",
     "q347_page_trend_test",
+    "q348_drift_tier_scoreboard",
 ]
 
 

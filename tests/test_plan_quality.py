@@ -4858,6 +4858,26 @@ def test_q339_dedup_scoreboard_tiers_and_invariants(spark, sf_dir, qs):
     assert by["7_minhash_audit"].n_dup_hits <= by["4_minhash_lsh"].n_rows
 
 
+def test_q348_drift_scoreboard_tiers_and_bounds(spark, sf_dir, qs):
+    """One row per drift metric in suite order; every arm saw data
+    (n_rows > 0); the mathematically bounded metrics respect their
+    bounds (TVD/Hellinger/KS <= 1e6 micro, JS <= ln2 * 1e6); all
+    stats non-negative."""
+    rows = qs["q348_drift_tier_scoreboard"](spark, sf_dir).collect()
+    assert [r.metric for r in rows] == [
+        "1_tvd_pairs", "2_hellinger_pairs", "3_js_vs_corpus",
+        "4_psi_vs_corpus", "5_ks_two_sample", "6_wasserstein",
+        "7_cvm_two_sample",
+    ]
+    by = {r.metric: r for r in rows}
+    for r in rows:
+        assert r.n_rows > 0
+        assert r.max_stat_micro >= 0
+    for m in ("1_tvd_pairs", "2_hellinger_pairs", "5_ks_two_sample"):
+        assert by[m].max_stat_micro <= 1_000_000
+    assert by["3_js_vs_corpus"].max_stat_micro <= 693_148
+
+
 def test_q318_sweep_monotone_and_exact_at_probe_all(spark, sf_dir, qs):
     """Recall@5 must be non-decreasing in nprobe, and the probe-all
     point (nprobe = nlist = 16) IS brute force — recall exactly 1e6 ppm
