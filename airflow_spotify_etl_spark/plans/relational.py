@@ -12903,6 +12903,85 @@ def q347_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q347_SQL = _PAGE_CORE.format(day_expr="epoch_us(ts) // 86400000000",
                               idiv="//")
 
+_COCHRANQ_CORE = """
+WITH ev AS (
+  SELECT user_id, event_type, {day_expr} AS day FROM events
+), mx AS (
+  SELECT max(day) AS dmax FROM ev
+), pur AS (
+  SELECT DISTINCT user_id, day
+  FROM ev CROSS JOIN mx
+  WHERE day > dmax - 7 AND event_type = 'purchase'
+), ru AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS r FROM pur GROUP BY user_id
+), cj AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS c FROM pur GROUP BY day
+), days AS (
+  SELECT {days_gen} AS day FROM mx
+), cjz AS (
+  SELECT days.day, coalesce(cj.c, 0) AS c
+  FROM days LEFT JOIN cj ON days.day = cj.day
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS k_days
+  FROM cjz
+), agg AS (
+  SELECT sum((7 * CAST(c AS {wide}) - t) * (7 * CAST(c AS {wide}) - t))
+           AS dev2
+  FROM cjz CROSS JOIN tot
+), rr AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+         coalesce(sum(CAST(r AS {wide}) * r), CAST(0 AS {wide})) AS r2
+  FROM ru
+)
+SELECT k_days, n_blocks, t, CAST(r2 AS BIGINT) AS sum_r2,
+       CASE WHEN 7 * CAST(t AS {wide}) - r2 = 0 THEN NULL ELSE
+         CAST((6 * dev2 * 1000)
+              {idiv} (7 * (7 * CAST(t AS {wide}) - r2)) AS BIGINT)
+       END AS q_milli
+FROM tot CROSS JOIN agg CROSS JOIN rr
+"""
+
+
+def q349_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test over the last 7 observed days: does the DAILY
+    PROPENSITY TO PURCHASE differ across days, judged on the binary
+    per-(user, day) purchased/not matrix — the binary-outcome member
+    of the blocked-design family (Friedman q322 ranks counts, Page
+    q347 orders them; Cochran's Q is Friedman specialized to 0/1 and
+    McNemar's (q204) k-treatment generalization).
+
+    Exactness: FULLY integer — with day totals C_j (users purchasing
+    on day j), T = ΣC_j, and per-user totals R_u,
+    Q = (k−1)·Σ_j(k·C_j − T)² / (k·(k·T − ΣR_u²)) clears every
+    denominator exactly (k = 7); q_milli is one floor division, NULL
+    when every purchasing user purchased on all 7 days (denominator
+    0). All-zero blocks drop out of Q algebraically, so no dense
+    user×day grid is materialized — the engine touches purchase pairs
+    only. The 7-day spine is zero-filled (a no-purchase day is a real
+    C_j = 0 column, not a dropped treatment).
+
+    Shape at 100 TB: one pushed-window corpus pass to distinct
+    (user, day) purchase pairs, two bounded groupings (≤|users| and
+    exactly 7 rows), then 1-row arithmetic."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_COCHRANQ_CORE.format(
+        day_expr="unix_micros(ts) div 86400000000",
+        days_gen="explode(sequence(dmax - 6, dmax))",
+        wide="DECIMAL(38,0)",
+        idiv="div",
+    ))
+
+
+_Q349_SQL = _COCHRANQ_CORE.format(
+    day_expr="epoch_us(ts) // 86400000000",
+    days_gen="unnest(range(dmax - 6, dmax + 1))",
+    wide="HUGEINT",
+    idiv="//",
+)
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -13070,6 +13149,7 @@ QUERIES = {
     "q345_yule_walker_ar2": q345_yule_walker_ar2,
     "q346_fleiss_kappa": q346_fleiss_kappa,
     "q347_page_trend_test": q347_page_trend_test,
+    "q349_cochran_q": q349_cochran_q,
     "q337_lorenz_curve": q337_lorenz_curve,
 }
 
@@ -13240,5 +13320,6 @@ ORACLES = {
     "q345_yule_walker_ar2": _Q345_SQL,
     "q346_fleiss_kappa": _Q346_SQL,
     "q347_page_trend_test": _Q347_SQL,
+    "q349_cochran_q": _Q349_SQL,
     "q337_lorenz_curve": _Q337_SQL,
 }

@@ -392,6 +392,7 @@ HEADLINE = [
     "q346_fleiss_kappa",
     "q347_page_trend_test",
     "q348_drift_tier_scoreboard",
+    "q349_cochran_q",
 ]
 
 

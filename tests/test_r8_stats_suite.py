@@ -265,3 +265,34 @@ def test_q347_page_perfect_trend_hand_value(spark, tmp_path, qs):
     r = qs["q347_page_trend_test"](spark, str(tmp_path)).collect()[0]
     assert (r.n_days, r.k_types, r.l2, r.e2) == (3, 3, 84, 72)
     assert r.page_z == 2.4495
+
+
+def test_q349_cochran_q_hand_value(spark, tmp_path, qs):
+    """3 users in the last-7-day window: u1 purchases on days
+    {d-6, d-5}, u2 on {d-6}, u3 on {d}. C = (2,1,0,0,0,0,1), T = 4,
+    sum R^2 = 6; Q = (k-1)*Sum(kC-T)^2 / (k(kT-SumR^2))
+    = 6*182/(7*22) = 7.0909 -> q_milli 7090 (floored)."""
+    d0 = datetime(2024, 3, 10, 12)
+    rows = [
+        (1, d0 - timedelta(days=6), 1, "purchase", 10.0, "{}"),
+        (2, d0 - timedelta(days=5), 1, "purchase", 10.0, "{}"),
+        (3, d0 - timedelta(days=6), 2, "purchase", 10.0, "{}"),
+        (4, d0, 3, "purchase", 10.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q349_cochran_q"](spark, str(tmp_path)).collect()[0]
+    assert (r.k_days, r.n_blocks, r.t, r.sum_r2) == (7, 3, 4, 6)
+    assert r.q_milli == 7090
+
+
+def test_q349_degenerate_all_days_is_null(spark, tmp_path, qs):
+    """One user purchasing on ALL 7 window days: kT = sum R^2 = 49 ->
+    denominator 0 -> Q undefined -> NULL."""
+    d0 = datetime(2024, 3, 10, 12)
+    rows = [
+        (i + 1, d0 - timedelta(days=i), 1, "purchase", 10.0, "{}")
+        for i in range(7)
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q349_cochran_q"](spark, str(tmp_path)).collect()[0]
+    assert r.q_milli is None
