@@ -13074,6 +13074,71 @@ FROM ({sql}) arm_{metric}"""
         + "\nORDER BY metric"
     )
 
+def q350_sketch_audit_scoreboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-estimator health scoreboard — ONE row per probabilistic
+    data structure the engine serves (CMS q259, HLL q302, Bloom q320,
+    MinHash q328, KMV q338), each arm composing the EXISTING audited
+    accuracy query unchanged and reducing it to
+    (sketch, n_rows, worst_err_ppm): the fourth member of the
+    scoreboard family (ANN q317, dedup q339, drift q348), so sketch
+    drift is one driver-visible relation. worst_err_ppm is each
+    audit's own worst observed relative error (CMS overcount/exact,
+    HLL |est−exact|/exact, Bloom FPR, MinHash signature-vs-exact
+    Jaccard gap, KMV estimated-vs-exact Jaccard gap) — all exact
+    integer ppm columns straight from the audited plans.
+
+    Shape at 100 TB: every arm is its own audited bounded plan; the
+    scoreboard adds five 1-row aggregates and a 5-row union."""
+
+    def arm(df: DataFrame, sketch: str, err: str) -> DataFrame:
+        return df.agg(
+            F.lit(sketch).alias("sketch"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.expr(err).cast("long").alias("worst_err_ppm"),
+        ).select("sketch", "n_rows", "worst_err_ppm")
+
+    arms = [
+        arm(q259_count_min_tokens(spark, sf_dir), "1_cms_topk",
+            "max(CASE WHEN exact_cnt > 0"
+            " THEN (overcount * 1000000) div exact_cnt END)"),
+        arm(q302_hyperloglog_vocab(spark, sf_dir), "2_hll_vocab",
+            "max(err_ppm)"),
+        arm(q320_bloom_fpr_audit(spark, sf_dir), "3_bloom_novelty",
+            "max(fpr_ppm)"),
+        arm(q328_minhash_accuracy_audit(spark, sf_dir), "4_minhash_jaccard",
+            "max(max_err_ppm)"),
+        arm(q338_kmv_accuracy_audit(spark, sf_dir), "5_kmv_jaccard",
+            "max(err_ppm)"),
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("sketch")
+
+
+def _q350_sql() -> str:
+    def arm(sql: str, sketch: str, err: str) -> str:
+        return f"""
+SELECT '{sketch}' AS sketch,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST({err} AS BIGINT) AS worst_err_ppm
+FROM ({sql}) arm_{sketch}"""
+
+    return (
+        arm(_Q259_SQL, "1_cms_topk",
+            "max(CASE WHEN exact_cnt > 0"
+            " THEN (overcount * 1000000) // exact_cnt END)")
+        + "\nUNION ALL\n"
+        + arm(_Q302_SQL, "2_hll_vocab", "max(err_ppm)")
+        + "\nUNION ALL\n"
+        + arm(_Q320_SQL, "3_bloom_novelty", "max(fpr_ppm)")
+        + "\nUNION ALL\n"
+        + arm(_q328_sql(), "4_minhash_jaccard", "max(max_err_ppm)")
+        + "\nUNION ALL\n"
+        + arm(_Q338_SQL, "5_kmv_jaccard", "max(err_ppm)")
+        + "\nORDER BY sketch"
+    )
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -13234,6 +13299,7 @@ QUERIES = {
     "q339_dedup_tier_scoreboard": q339_dedup_tier_scoreboard,
     "q340_hellinger_matrix": q340_hellinger_matrix,
     "q348_drift_tier_scoreboard": q348_drift_tier_scoreboard,
+    "q350_sketch_audit_scoreboard": q350_sketch_audit_scoreboard,
 }
 
 ORACLES = {
@@ -13396,4 +13462,5 @@ ORACLES = {
     "q339_dedup_tier_scoreboard": _q339_sql(),
     "q340_hellinger_matrix": _Q340_SQL,
     "q348_drift_tier_scoreboard": _q348_sql(),
+    "q350_sketch_audit_scoreboard": _q350_sql(),
 }

@@ -393,6 +393,7 @@ HEADLINE = [
     "q347_page_trend_test",
     "q348_drift_tier_scoreboard",
     "q349_cochran_q",
+    "q350_sketch_audit_scoreboard",
 ]
 
 

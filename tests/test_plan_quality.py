@@ -4878,6 +4878,25 @@ def test_q348_drift_scoreboard_tiers_and_bounds(spark, sf_dir, qs):
     assert by["3_js_vs_corpus"].max_stat_micro <= 693_148
 
 
+def test_q350_sketch_scoreboard_tiers_and_bounds(spark, sf_dir, qs):
+    """One row per sketch in family order; every arm saw data; the
+    rate-style errors (Bloom FPR) are <= 1e6; everything
+    non-negative."""
+    rows = qs["q350_sketch_audit_scoreboard"](spark, sf_dir).collect()
+    assert [r.sketch for r in rows] == [
+        "1_cms_topk", "2_hll_vocab", "3_bloom_novelty",
+        "4_minhash_jaccard", "5_kmv_jaccard",
+    ]
+    for r in rows:
+        assert r.n_rows > 0
+        assert r.worst_err_ppm is None or r.worst_err_ppm >= 0
+    by = {r.sketch: r for r in rows}
+    assert by["3_bloom_novelty"].worst_err_ppm <= 1_000_000
+    # MinHash/KMV estimate Jaccard in [0,1] -> gap <= 1e6
+    assert by["4_minhash_jaccard"].worst_err_ppm <= 1_000_000
+    assert by["5_kmv_jaccard"].worst_err_ppm <= 1_000_000
+
+
 def test_q318_sweep_monotone_and_exact_at_probe_all(spark, sf_dir, qs):
     """Recall@5 must be non-decreasing in nprobe, and the probe-all
     point (nprobe = nlist = 16) IS brute force — recall exactly 1e6 ppm
