@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` /
 ``oracle_sql()`` expose every implemented operator from SURVEY.md §2 plus the
 north-star LLM-pipeline operators — every registered query carries an
-ANSI-SQL DuckDB oracle (350/350; trained IVF is made exactly checkable by its
+ANSI-SQL DuckDB oracle (354/354; trained IVF is made exactly checkable by its
 probe-all configuration, see plans/llm.py q27).
 """
 

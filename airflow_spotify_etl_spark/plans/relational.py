@@ -12982,6 +12982,323 @@ _Q349_SQL = _COCHRANQ_CORE.format(
 )
 
 
+def _q351_core(wide: str, idiv: str, str_t: str) -> str:
+    D = 1_000_000_000
+
+    def fsd(x: str, n: str, m: int) -> str:
+        qhi = f"CAST((({x}) {idiv} {D}) {idiv} ({n}) AS {wide})"
+        inner = (
+            f"((CAST((({x}) {idiv} {D}) % ({n}) AS {wide}) * {D}"
+            f" + ({x}) % {D}) {idiv} ({n}))"
+        )
+        q = f"({qhi} * {D} + {inner})"
+        r = f"(({x}) - {q} * ({n}))"
+        return f"({q} * {m} + ({r}) * {m} {idiv} ({n}))"
+
+    gam = fsd("abs(cc - dd)", "cc + dd", 1_000_000)
+    som = fsd("abs(cc - dd)", "cc + dd + ty", 1_000_000)
+    return f"""
+WITH base AS (
+  SELECT {{hour_expr}} AS x,
+         CAST(round(value * 1000, 0) AS BIGINT) {idiv} 100000 AS y
+  FROM events WHERE value IS NOT NULL
+), cnt AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY x, y
+), grid AS (
+  SELECT xs.x, ys.y, coalesce(cnt.c, 0) AS c
+  FROM (SELECT DISTINCT x FROM cnt) xs
+  CROSS JOIN (SELECT DISTINCT y FROM cnt) ys
+  LEFT JOIN cnt ON cnt.x = xs.x AND cnt.y = ys.y
+), colsum AS (
+  SELECT x, CAST(sum(c) AS BIGINT) AS nx FROM grid GROUP BY x
+), pref AS (
+  SELECT g.x, g.y, g.c,
+         CAST(coalesce(sum(g.c) OVER (PARTITION BY g.x ORDER BY g.y
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cb_lt,
+         cs.nx
+  FROM grid g JOIN colsum cs ON g.x = cs.x
+), lt AS (
+  SELECT x, y, c,
+         CAST(coalesce(sum(cb_lt) OVER (PARTITION BY y ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_lt_lt,
+         CAST(coalesce(sum(nx - cb_lt - c) OVER (PARTITION BY y ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_lt_gt,
+         CAST(coalesce(sum(c) OVER (PARTITION BY y ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_lt_eq
+  FROM pref
+), agg AS (
+  SELECT sum(CAST(c AS {wide}) * n_lt_lt) AS cc,
+         sum(CAST(c AS {wide}) * n_lt_gt) AS dd,
+         sum(CAST(c AS {wide}) * n_lt_eq) AS ty
+  FROM lt
+)
+SELECT CAST(cc AS {str_t}) AS concordant,
+       CAST(dd AS {str_t}) AS discordant,
+       CAST(ty AS {str_t}) AS tied_y_only,
+       CASE WHEN cc + dd = 0 THEN NULL ELSE
+         CAST(CASE WHEN cc >= dd THEN {gam} ELSE -{gam} END AS BIGINT)
+       END AS gamma_micro,
+       CASE WHEN cc + dd + ty = 0 THEN NULL ELSE
+         CAST(CASE WHEN cc >= dd THEN {som} ELSE -{som} END AS BIGINT)
+       END AS somers_dyx_micro
+FROM agg
+"""
+
+
+def q351_ordinal_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal gamma and Somers' d_yx between HOUR OF DAY
+    (ordered 0-23) and the event-value bucket — the ordinal-ordinal
+    association pair that completes the association family (NMI q282
+    is nominal, Spearman/Kendall q307/q299 are continuous-rank,
+    Cramér's V q312 is nominal-effect-size): does spend level rise
+    with the hour, counting concordant vs discordant pairs?
+
+    Exact concordance without any pair join (the q274 2-D prefix-grid
+    idiom on the dense (hour, bucket) count grid): C, D, and
+    tied-on-bucket-only counts come from three windows over the
+    bounded grid; gamma = (C−D)/(C+D) and d_yx = (C−D)/(C+D+T_Y)
+    clear denominators exactly via sign-split two-limb floor-scaled
+    divisions. Pair counts (~N²) accumulate in DECIMAL(38,0)/HUGEINT
+    and are emitted as STRINGS (the q233 rule). All-tied degenerates
+    → NULL.
+
+    Shape at 100 TB: one grouped corpus pass to the ≤24·|buckets|
+    grid; every window and the 1-row reduction run on that bounded
+    relation."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        _q351_core("DECIMAL(38,0)", "div", "STRING").format(
+            hour_expr="CAST((unix_micros(ts) div 3600000000) % 24 AS BIGINT)"
+        )
+    )
+
+
+_Q351_SQL = _q351_core("HUGEINT", "//", "VARCHAR").format(
+    hour_expr="CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT)"
+)
+
+def _q352_core(wide: str, idiv: str) -> str:
+    D = 1_000_000_000
+
+    def fsd(x: str, n: str, m: int) -> str:
+        qhi = f"CAST((({x}) {idiv} {D}) {idiv} ({n}) AS {wide})"
+        inner = (
+            f"((CAST((({x}) {idiv} {D}) % ({n}) AS {wide}) * {D}"
+            f" + ({x}) % {D}) {idiv} ({n}))"
+        )
+        q = f"({qhi} * {D} + {inner})"
+        r = f"(({x}) - {q} * ({n}))"
+        return f"({q} * {m} + ({r}) * {m} {idiv} ({n}))"
+
+    w6 = fsd("a_stat", "CAST(n AS {w}) * b_stat".replace("{w}", wide),
+             1_000_000)
+    return f"""
+WITH cells AS (
+  SELECT {{day_expr}} AS day, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), days AS (SELECT DISTINCT day FROM cells),
+types AS (SELECT DISTINCT event_type FROM cells),
+grid AS (
+  SELECT d.day, t.event_type, coalesce(c.c, 0) AS c
+  FROM days d CROSS JOIN types t
+  LEFT JOIN cells c ON c.day = d.day AND c.event_type = t.event_type
+), vc AS (
+  SELECT day, c, CAST(count(*) AS BIGINT) AS t FROM grid GROUP BY day, c
+), r2 AS (
+  SELECT day, c,
+         2 * coalesce(sum(t) OVER (PARTITION BY day ORDER BY c
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + t + 1 AS r2
+  FROM vc
+), ranked AS (
+  SELECT g.day, g.event_type, r2.r2
+  FROM grid g JOIN r2 ON r2.day = g.day AND r2.c = g.c
+), nk AS (
+  SELECT CAST(count(DISTINCT day) AS BIGINT) AS n,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS k,
+         sum(CAST(r2 AS {wide}) * r2) AS ssq
+  FROM ranked
+), s2 AS (
+  SELECT event_type, CAST(sum(r2) AS BIGINT) AS s2
+  FROM ranked GROUP BY event_type
+), ab AS (
+  SELECT max(n) AS n, max(k) AS k,
+         sum(CAST(s2 - n * (k + 1) AS {wide}) * (s2 - n * (k + 1)))
+           AS a_stat,
+         max(ssq - CAST(n AS {wide}) * k * (k + 1) * (k + 1)) AS b_stat
+  FROM s2 CROSS JOIN nk
+)
+SELECT n AS n_days, k AS k_types,
+       CASE WHEN b_stat = 0 THEN NULL ELSE
+         CAST({w6} AS BIGINT)
+       END AS w_micro
+FROM ab
+"""
+
+
+def q352_kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance W across day-blocked
+    event-type ranks — how strongly the days AGREE on the ranking of
+    event types (W = 1 perfect concordance, 0 none), the effect-size
+    companion of the Friedman test (q322: tie-corrected
+    W = Q/(n(k−1)) = A/(n·B) on the identical doubled-rank grid).
+
+    Exactness: A = Σ_j(S2_j − n(k+1))² and B = Σ(2r)² − nk(k+1)² are
+    the exact integers q322 derives (the 4s cancel in the doubled-rank
+    identity), so w_micro = floor(A·10⁶/(n·B)) is one exact two-limb
+    floor-scaled division, NULL when B = 0 (all blocks fully tied).
+    W ∈ [0, 1] by construction — a pytest bound.
+
+    Shape at 100 TB: the q322 shape — one grouped corpus pass to the
+    (day, type) count table; windows and the reduction run on
+    calendar·|types|-bounded relations."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_q352_core("DECIMAL(38,0)", "div").format(
+        day_expr="unix_micros(ts) div 86400000000"
+    ))
+
+
+_Q352_SQL = _q352_core("HUGEINT", "//").format(
+    day_expr="epoch_us(ts) // 86400000000"
+)
+
+
+_TURNING_CORE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY CAST(ts AS DATE)
+), mm AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+cal AS ({cal_expr}),
+series AS (
+  SELECT cal.d, coalesce(daily.c, 0) AS c
+  FROM cal LEFT JOIN daily ON cal.d = daily.d
+), tri AS (
+  SELECT a.c AS x0, b.c AS x1, cc.c AS x2
+  FROM series a
+  JOIN series b ON b.d = {next1}
+  JOIN series cc ON cc.d = {next2}
+), agg AS (
+  SELECT CAST(sum(CASE WHEN (x1 > x0 AND x1 > x2)
+                         OR (x1 < x0 AND x1 < x2)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS t,
+         CAST(count(*) + 2 AS BIGINT) AS n
+  FROM tri
+)
+SELECT n AS n_days, t AS n_turning_points,
+       CASE WHEN n < 3 OR 16 * n - 29 <= 0 THEN NULL ELSE
+         round((CAST(3 * t - 2 * (n - 2) AS DOUBLE) / 3.0e0)
+               / sqrt(CAST(16 * n - 29 AS DOUBLE) / 90.0e0), 4)
+       END AS z_turning
+FROM agg
+"""
+
+
+def q353_turning_point_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-point randomness test of the daily event-count series —
+    the classic IID probe (too FEW strict local extrema means trend or
+    positive autocorrelation, too MANY means negative/oscillation),
+    complementing the runs test (q205) and Ljung-Box (q344).
+
+    Exactness: T counts STRICT interior extrema (ties are not turning
+    points — documented choice) — an exact integer off the
+    calendar-zero-filled series; z = (T − 2(n−2)/3)/√((16n−29)/90) is
+    one double chain over exact integers with the 1/3 kept exact as
+    (3T − 2(n−2))/3. n < 3 → NULL.
+
+    Shape at 100 TB: the corpus collapses to ≤|days| rows in the first
+    exchange; the triple join runs on the tiny daily relation."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_TURNING_CORE.format(
+        cal_expr="SELECT explode(sequence(lo, hi, interval 1 day)) AS d"
+                 " FROM mm",
+        next1="date_add(a.d, 1)",
+        next2="date_add(a.d, 2)",
+    ))
+
+
+_Q353_SQL = _TURNING_CORE.format(
+    cal_expr="SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))"
+             " AS DATE) AS d FROM mm",
+    next1="a.d + 1",
+    next2="a.d + 2",
+)
+
+
+_COXSTUART_CORE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY CAST(ts AS DATE)
+), mm AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+cal AS ({cal_expr}),
+series AS (
+  SELECT cal.d, coalesce(daily.c, 0) AS c,
+         CAST(row_number() OVER (ORDER BY cal.d) AS BIGINT) AS i
+  FROM cal LEFT JOIN daily ON cal.d = daily.d
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM series
+), pairs AS (
+  SELECT a.c AS x0, b.c AS x1
+  FROM series a
+  JOIN nn ON true
+  JOIN series b ON b.i = a.i + (n {idiv} 2)
+  WHERE a.i <= n {idiv} 2 AND (n % 2 = 0 OR a.i <= n {idiv} 2)
+    AND b.i <= n
+), agg AS (
+  SELECT CAST(sum(CASE WHEN x1 > x0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS s_plus,
+         CAST(sum(CASE WHEN x1 <> x0 THEN 1 ELSE 0 END) AS BIGINT) AS m
+  FROM pairs
+)
+SELECT (SELECT max(n) FROM nn) AS n_days, s_plus, m,
+       CASE WHEN m = 0 THEN NULL ELSE
+         round(CAST(2 * s_plus - m AS DOUBLE)
+               / sqrt(CAST(m AS DOUBLE)), 4)
+       END AS z_trend
+FROM agg
+"""
+
+
+def q354_cox_stuart_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox-Stuart sign test for a monotone trend in the daily
+    event-count series — the distribution-free trend check that
+    complements Mann-Kendall (q301) and the turning-point test
+    (q353): pair day i with day i + n/2 and count sign changes.
+
+    Exactness: S⁺ (later-half wins) and m (non-tied pairs) are exact
+    integers off the calendar-zero-filled series; z = (2S⁺ − m)/√m is
+    one double chain (the exact binomial two-sided normal
+    approximation, continuity uncorrected — documented). All-tied
+    (m = 0) → NULL. Odd n drops the middle element, the classical
+    treatment (pairing i → i + n div 2 for i ≤ n div 2).
+
+    Shape at 100 TB: corpus collapses to ≤|days| rows; one self-join
+    on the tiny daily relation."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_COXSTUART_CORE.format(
+        cal_expr="SELECT explode(sequence(lo, hi, interval 1 day)) AS d"
+                 " FROM mm",
+        idiv="div",
+    ))
+
+
+_Q354_SQL = _COXSTUART_CORE.format(
+    cal_expr="SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))"
+             " AS DATE) AS d FROM mm",
+    idiv="//",
+)
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -13150,6 +13467,10 @@ QUERIES = {
     "q346_fleiss_kappa": q346_fleiss_kappa,
     "q347_page_trend_test": q347_page_trend_test,
     "q349_cochran_q": q349_cochran_q,
+    "q351_ordinal_association": q351_ordinal_association,
+    "q352_kendalls_w": q352_kendalls_w,
+    "q353_turning_point_test": q353_turning_point_test,
+    "q354_cox_stuart_trend": q354_cox_stuart_trend,
     "q337_lorenz_curve": q337_lorenz_curve,
 }
 
@@ -13321,5 +13642,9 @@ ORACLES = {
     "q346_fleiss_kappa": _Q346_SQL,
     "q347_page_trend_test": _Q347_SQL,
     "q349_cochran_q": _Q349_SQL,
+    "q351_ordinal_association": _Q351_SQL,
+    "q352_kendalls_w": _Q352_SQL,
+    "q353_turning_point_test": _Q353_SQL,
+    "q354_cox_stuart_trend": _Q354_SQL,
     "q337_lorenz_curve": _Q337_SQL,
 }

@@ -394,6 +394,10 @@ HEADLINE = [
     "q348_drift_tier_scoreboard",
     "q349_cochran_q",
     "q350_sketch_audit_scoreboard",
+    "q351_ordinal_association",
+    "q352_kendalls_w",
+    "q353_turning_point_test",
+    "q354_cox_stuart_trend",
 ]
 
 

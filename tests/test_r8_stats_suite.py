@@ -296,3 +296,106 @@ def test_q349_degenerate_all_days_is_null(spark, tmp_path, qs):
     _write_events(spark, tmp_path, rows)
     r = qs["q349_cochran_q"](spark, str(tmp_path)).collect()[0]
     assert r.q_milli is None
+
+
+def test_q351_ordinal_association_hand_value(spark, tmp_path, qs):
+    """2x2 grid: (h0,b0)x2, (h0,b1)x1, (h1,b0)x1, (h1,b1)x2 ->
+    C = 2*2 = 4, D = 1*1 = 1, T_Y = 4; gamma = 3/5 = 0.6, Somers'
+    d_yx = 3/9 = 0.333333."""
+    b0, b1 = 0.05, 100.0  # value-ms buckets 0 and 1
+    rows = [
+        (1, datetime(2024, 3, 1, 0), 1, "click", b0, "{}"),
+        (2, datetime(2024, 3, 1, 0), 2, "click", b0, "{}"),
+        (3, datetime(2024, 3, 1, 0), 3, "click", b1, "{}"),
+        (4, datetime(2024, 3, 1, 1), 4, "click", b0, "{}"),
+        (5, datetime(2024, 3, 1, 1), 5, "click", b1, "{}"),
+        (6, datetime(2024, 3, 1, 1), 6, "click", b1, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q351_ordinal_association"](spark, str(tmp_path)).collect()[0]
+    assert (r.concordant, r.discordant, r.tied_y_only) == ("4", "1", "4")
+    assert r.gamma_micro == 600_000
+    assert r.somers_dyx_micro == 333_333
+
+
+def test_q352_kendalls_w_perfect_concordance(spark, tmp_path, qs):
+    """The q347 perfect-trend fixture (3 days, identical type ranking
+    each day): A = 72, B = 24, W = A/(nB) = 1.0 exactly."""
+    rows, eid = [], 0
+    for day in range(3):
+        for t, c in (("ta", 1), ("tb", 2), ("tc", 3)):
+            for j in range(c):
+                eid += 1
+                rows.append(
+                    (eid, datetime(2024, 3, 1, 8)
+                     + timedelta(days=day, minutes=j),
+                     eid, t, 1.0, "{}")
+                )
+    _write_events(spark, tmp_path, rows)
+    r = qs["q352_kendalls_w"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_days, r.k_types) == (3, 3)
+    assert r.w_micro == 1_000_000
+
+
+def test_q352_all_tied_is_null(spark, tmp_path, qs):
+    """Equal counts for every type on every day -> every block fully
+    tied -> B = 0 -> W NULL."""
+    rows, eid = [], 0
+    for day in range(2):
+        for t in ("ta", "tb"):
+            eid += 1
+            rows.append(
+                (eid, datetime(2024, 3, 1, 8) + timedelta(days=day),
+                 eid, t, 1.0, "{}")
+            )
+    _write_events(spark, tmp_path, rows)
+    r = qs["q352_kendalls_w"](spark, str(tmp_path)).collect()[0]
+    assert r.w_micro is None
+
+
+def test_q353_turning_points_hand_value(spark, tmp_path, qs):
+    """Series {2,4,2,4}: both interior points are strict extrema ->
+    T = 2, n = 4; z = (2/3)/sqrt(35/90) = 1.069."""
+    rows, eid = [], 0
+    for day, c in enumerate([2, 4, 2, 4]):
+        for j in range(c):
+            eid += 1
+            rows.append(
+                (eid, datetime(2024, 3, 1, 8) + timedelta(days=day,
+                                                          minutes=j),
+                 eid, "click", 1.0, "{}")
+            )
+    _write_events(spark, tmp_path, rows)
+    r = qs["q353_turning_point_test"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_days, r.n_turning_points) == (4, 2)
+    assert r.z_turning == 1.069
+
+
+def test_q354_cox_stuart_hand_value(spark, tmp_path, qs):
+    """Strictly rising series {1,2,3,4}: pairs (1,3),(2,4) both up ->
+    S+ = 2, m = 2, z = (4-2)/sqrt(2) = 1.4142."""
+    rows, eid = [], 0
+    for day, c in enumerate([1, 2, 3, 4]):
+        for j in range(c):
+            eid += 1
+            rows.append(
+                (eid, datetime(2024, 3, 1, 8) + timedelta(days=day,
+                                                          minutes=j),
+                 eid, "click", 1.0, "{}")
+            )
+    _write_events(spark, tmp_path, rows)
+    r = qs["q354_cox_stuart_trend"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_days, r.s_plus, r.m) == (4, 2, 2)
+    assert r.z_trend == 1.4142
+
+
+def test_q354_constant_series_is_null(spark, tmp_path, qs):
+    """Constant series: every pair tied -> m = 0 -> z NULL."""
+    rows = [
+        (i + 1, datetime(2024, 3, 1, 8) + timedelta(days=i), i,
+         "click", 1.0, "{}")
+        for i in range(4)
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q354_cox_stuart_trend"](spark, str(tmp_path)).collect()[0]
+    assert r.z_trend is None
