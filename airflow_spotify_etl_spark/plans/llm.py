@@ -13139,6 +13139,122 @@ FROM ({sql}) arm_{sketch}"""
         + "\nORDER BY sketch"
     )
 
+def q355_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 1-NN label agreement over the embedding space —
+    the standard label-noise / cluster-coherence audit a training-data
+    pipeline runs before trusting its labels (the 1-NN error bounds the
+    Bayes error, Cover & Hart 1967; disagreement flags mislabeled or
+    boundary examples): for each probe vector find its cosine nearest
+    neighbour among the OTHER probes and check whether the labels
+    match, reported per label so one incoherent class is visible
+    instead of averaged away.
+
+    Exactness: the cosine chain is the shared q22/q315 left-to-right
+    fold (identical double ordering in both engines); the 1-NN pick is
+    row_number over (cos DESC, nbr_id) — fully deterministic; counts
+    are exact integers and agree_ppm is the exact integer
+    (n_agree·10⁶) div n_probes, so every column is hash-stable.
+
+    Shape note: label coherence is a STATISTICAL property of the
+    space, so the audit runs on the fixed-k=256 deterministic md5 draw
+    (exact_k_sample idiom, oracle-paired via q94; same TakeOrdered
+    per-partition-heap plan as q315) — the self-join is k²-bounded
+    (≤ 65 536 scored pairs) NO MATTER the corpus size; at 100 TB the
+    same agreement stages run unchanged off the IVF-pruned kNN graph
+    (q27/q56) instead of the brute pair set."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn(
+            "_h",
+            F.expr(
+                "CAST(conv(substr(md5(concat('knn:',"
+                " CAST(vec_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            ),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(256)
+    )
+    a = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    b = a.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("label").alias("nbr_label"),
+        F.col("v").alias("w"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(v, w, (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+        " (acc, x) -> acc + x)"
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.expr(
+            f"aggregate(transform({c}, x -> x * x), CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x)"
+        )
+    )
+    scored = a.join(b, F.col("vec_id") != F.col("nbr_id")).select(
+        "vec_id",
+        "label",
+        "nbr_id",
+        "nbr_label",
+        (dot / (norm("v") * norm("w"))).alias("cos"),
+    )
+    w1 = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), "nbr_id")
+    nn = scored.withColumn("r", F.row_number().over(w1)).filter(
+        F.col("r") == 1
+    )
+    return (
+        nn.groupBy("label")
+        .agg(
+            F.count("*").alias("n_probes"),
+            F.sum(
+                F.when(F.col("label") == F.col("nbr_label"), 1).otherwise(0)
+            ).cast("long").alias("n_agree"),
+        )
+        .select(
+            "label",
+            "n_probes",
+            "n_agree",
+            F.expr("(n_agree * 1000000) div n_probes").alias("agree_ppm"),
+        )
+        .orderBy("label")
+    )
+
+
+_Q355_SQL = """
+WITH a AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  ORDER BY ('0x' || substr(md5('knn:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+           vec_id
+  LIMIT 256
+), scored AS (
+  SELECT a.vec_id, a.label, b.vec_id AS nbr_id, b.label AS nbr_label,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM a JOIN a b ON a.vec_id <> b.vec_id
+), nn AS (
+  SELECT label, nbr_label FROM (
+    SELECT label, nbr_label,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, nbr_id) AS r
+    FROM scored
+  ) WHERE r = 1
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(CASE WHEN label = nbr_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree,
+       CAST((sum(CASE WHEN label = nbr_label THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS agree_ppm
+FROM nn
+GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -13300,6 +13416,7 @@ QUERIES = {
     "q340_hellinger_matrix": q340_hellinger_matrix,
     "q348_drift_tier_scoreboard": q348_drift_tier_scoreboard,
     "q350_sketch_audit_scoreboard": q350_sketch_audit_scoreboard,
+    "q355_knn_label_agreement": q355_knn_label_agreement,
 }
 
 ORACLES = {
@@ -13463,4 +13580,5 @@ ORACLES = {
     "q340_hellinger_matrix": _Q340_SQL,
     "q348_drift_tier_scoreboard": _q348_sql(),
     "q350_sketch_audit_scoreboard": _q350_sql(),
+    "q355_knn_label_agreement": _Q355_SQL,
 }

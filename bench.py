@@ -398,6 +398,7 @@ HEADLINE = [
     "q352_kendalls_w",
     "q353_turning_point_test",
     "q354_cox_stuart_trend",
+    "q355_knn_label_agreement",
 ]
 
 

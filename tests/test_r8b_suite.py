@@ -1,0 +1,65 @@
+"""Hand-computed worked-example pins for the round-8 batch-B queries
+(q355+). The DuckDB oracle replays the same formula as the Spark plan,
+so these planted closed-form fixtures are the only INDEPENDENT check
+available in this container (scipy/sklearn absent, installs forbidden)
+— every value below is derived by hand in the docstring."""
+
+from __future__ import annotations
+
+import pytest
+
+from airflow_spotify_etl_spark.plans import all_queries
+from airflow_spotify_etl_spark.sources.files import SCHEMAS
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return all_queries()
+
+
+def _write_embeddings(spark, tmp_path, rows):
+    spark.createDataFrame(rows, SCHEMAS["embeddings"]).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+
+def _write_orders(spark, tmp_path, rows):
+    spark.createDataFrame(rows, SCHEMAS["orders"]).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+
+
+def test_q355_two_clusters_and_a_poisoned_label(spark, tmp_path, qs):
+    """Two orthogonal clusters on the axes (cosine 1.0 within, 0.0
+    across) plus one mislabeled vector v5=[3,0] carrying label 7:
+    v1's NN candidates at cos 1.0 are {v2, v5} -> nbr_id ASC picks v2
+    (label 0, agree); v2's NN is v1 (agree); v3/v4 pair up (agree);
+    v5's NN at cos 1.0 is v1 (label 0 != 7, disagree). Expected:
+    label 0 -> 2/2 agree (ppm 1,000,000), label 1 -> 2/2,
+    label 7 -> 0/1 (ppm 0)."""
+    _write_embeddings(spark, tmp_path, [
+        (1, [1.0, 0.0], 0),
+        (2, [2.0, 0.0], 0),
+        (3, [0.0, 1.0], 1),
+        (4, [0.0, 2.0], 1),
+        (5, [3.0, 0.0], 7),
+    ])
+    rows = qs["q355_knn_label_agreement"](spark, str(tmp_path)).collect()
+    got = {r.label: (r.n_probes, r.n_agree, r.agree_ppm) for r in rows}
+    assert got == {
+        0: (2, 2, 1_000_000),
+        1: (2, 2, 1_000_000),
+        7: (1, 0, 0),
+    }
