@@ -13255,6 +13255,118 @@ ORDER BY label
 """
 
 
+def q356_distinct_n_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1 / distinct-2 lexical diversity per source (Li et al.
+    2016's distinct-n, the standard repetitiveness gate a corpus or a
+    generation run publishes): unique-unigram and unique-bigram counts
+    over their token totals. Complements the WITHIN-document
+    repetition audit (q45) and the windowed MATTR (q240) with the
+    corpus-level ratio — a source can look clean per doc and still be
+    one template stamped a million times, which only this cross-doc
+    distinct ratio catches.
+
+    Exactness: tokenization is the shared q338 discipline
+    (lower → split \\s+ → drop empties); bigrams are the q139 guarded
+    in-doc adjacency (no cross-doc phantom bigrams; <2-word docs emit
+    none). All four counts are exact BIGINTs and each ratio is the
+    exact integer (distinct·10⁶) div total, so every column is
+    hash-stable. Sources with zero bigrams report NULL distinct2_ppm.
+
+    Shape at 100 TB: two explode passes (unigram, bigram) each
+    followed by a partial-aggregating distinct on (source, gram) —
+    hash-only shuffles bounded by the vocabulary / bigram-vocabulary
+    per source, never a pair join; the final join of the two per-
+    source rollups is broadcast (|sources| rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.filter(
+            F.split(F.lower("text"), "\\s+"), lambda x: x != F.lit("")
+        ).alias("w"),
+    )
+    uni = (
+        words.select("source", F.explode("w").alias("g"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_unigrams"),
+            F.countDistinct("g").alias("n_distinct1"),
+        )
+    )
+    bi = (
+        words.select(
+            "source",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(w) >= 2 THEN"
+                    " transform(sequence(1, size(w) - 1),"
+                    " i -> concat(element_at(w, i), ' ',"
+                    " element_at(w, i + 1)))"
+                    " ELSE CAST(array() AS array<string>) END"
+                )
+            ).alias("g"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.countDistinct("g").alias("n_distinct2"),
+        )
+    )
+    return (
+        uni.join(bi, "source", "left")
+        .select(
+            "source",
+            "n_unigrams",
+            "n_distinct1",
+            F.expr("(n_distinct1 * 1000000) div n_unigrams").alias(
+                "distinct1_ppm"
+            ),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_distinct2", F.lit(0)).alias("n_distinct2"),
+            F.expr(
+                "CASE WHEN coalesce(n_bigrams, 0) > 0 THEN"
+                " (n_distinct2 * 1000000) div n_bigrams END"
+            ).alias("distinct2_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q356_SQL = r"""
+WITH w AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+           AS w
+  FROM documents
+), uni AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_unigrams,
+         CAST(count(DISTINCT g) AS BIGINT) AS n_distinct1
+  FROM (SELECT source, unnest(w) AS g FROM w)
+  GROUP BY source
+), bi AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(count(DISTINCT g) AS BIGINT) AS n_distinct2
+  FROM (
+    SELECT source,
+           unnest([w[i] || ' ' || w[i + 1] for i in range(1, len(w))]) AS g
+    FROM w
+  )
+  GROUP BY source
+)
+SELECT uni.source, n_unigrams, n_distinct1,
+       CAST((n_distinct1 * 1000000) // n_unigrams AS BIGINT)
+         AS distinct1_ppm,
+       coalesce(n_bigrams, 0) AS n_bigrams,
+       coalesce(n_distinct2, 0) AS n_distinct2,
+       CASE WHEN coalesce(n_bigrams, 0) > 0
+            THEN CAST((n_distinct2 * 1000000) // n_bigrams AS BIGINT) END
+         AS distinct2_ppm
+FROM uni LEFT JOIN bi ON bi.source = uni.source
+ORDER BY uni.source
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -13417,6 +13529,7 @@ QUERIES = {
     "q348_drift_tier_scoreboard": q348_drift_tier_scoreboard,
     "q350_sketch_audit_scoreboard": q350_sketch_audit_scoreboard,
     "q355_knn_label_agreement": q355_knn_label_agreement,
+    "q356_distinct_n_diversity": q356_distinct_n_diversity,
 }
 
 ORACLES = {
@@ -13581,4 +13694,5 @@ ORACLES = {
     "q348_drift_tier_scoreboard": _q348_sql(),
     "q350_sketch_audit_scoreboard": _q350_sql(),
     "q355_knn_label_agreement": _Q355_SQL,
+    "q356_distinct_n_diversity": _Q356_SQL,
 }

@@ -399,6 +399,7 @@ HEADLINE = [
     "q353_turning_point_test",
     "q354_cox_stuart_trend",
     "q355_knn_label_agreement",
+    "q356_distinct_n_diversity",
 ]
 
 

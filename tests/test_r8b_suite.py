@@ -63,3 +63,26 @@ def test_q355_two_clusters_and_a_poisoned_label(spark, tmp_path, qs):
         1: (2, 2, 1_000_000),
         7: (1, 0, 0),
     }
+
+
+def test_q356_distinct_n_hand_values(spark, tmp_path, qs):
+    """srcA doc 'a b a': 3 unigrams / 2 distinct -> 666666 ppm;
+    bigrams {'a b','b a'} -> 2/2 -> 1,000,000. srcB doc 'x x x x':
+    4/1 -> 250000; bigrams 3 x 'x x' -> 3/1 -> 333333. srcC one-word
+    doc: 1/1 unigrams -> 1,000,000; zero bigrams -> NULL ppm."""
+    _write_docs(spark, tmp_path, [
+        (1, "a b a", "en", "srcA", 5),
+        (2, "x x x x", "en", "srcB", 7),
+        (3, "solo", "en", "srcC", 4),
+    ])
+    rows = qs["q356_distinct_n_diversity"](spark, str(tmp_path)).collect()
+    got = {
+        r.source: (r.n_unigrams, r.n_distinct1, r.distinct1_ppm,
+                   r.n_bigrams, r.n_distinct2, r.distinct2_ppm)
+        for r in rows
+    }
+    assert got == {
+        "srcA": (3, 2, 666_666, 2, 2, 1_000_000),
+        "srcB": (4, 1, 250_000, 3, 1, 333_333),
+        "srcC": (1, 1, 1_000_000, 0, 0, None),
+    }
