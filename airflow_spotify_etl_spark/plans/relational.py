@@ -13299,6 +13299,111 @@ _Q354_SQL = _COXSTUART_CORE.format(
     idiv="//",
 )
 
+def q357_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value screening of order value
+    against urgency (the credit-scoring feature-screening standard,
+    Siddiqi 2006): orders bucket into fixed 50k price bins, the
+    'bad' class is the urgent priorities ('1-URGENT', '2-HIGH'), and
+    each bin reports WoE = ln((good_i/G)/(bad_i/B)) plus its IV
+    contribution (good_i/G − bad_i/B)·WoE — the table a feature store
+    publishes to rank predictors before model training.
+
+    Exactness: bins and class counts are exact BIGINTs; WoE/IV are one
+    double chain each over those integers, quantized to micro via the
+    q340 round(x·10⁶) seam. Bins missing a class entirely get NULL
+    WoE/IV (ln undefined — the classical treatment is explicit, not a
+    smoothing constant, so the gap is visible); iv_total_micro sums
+    the QUANTIZED micro terms (integer addition — order-independent
+    across engines, unlike a float window sum), NULL terms as 0.
+
+    Shape at 100 TB: one map-side-combined groupBy on the fixed-width
+    bin key (≤ ~dozens of bins), a broadcast 1-row totals join, and a
+    window over the bounded bin relation."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = (
+        orders.select(
+            F.expr(
+                "CAST(floor(o_totalprice / 50000.0e0) AS BIGINT)"
+            ).alias("price_bin"),
+            F.expr(
+                "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+                " THEN 1 ELSE 0 END"
+            ).alias("is_bad"),
+        )
+        .groupBy("price_bin")
+        .agg(
+            F.sum(F.expr("1 - is_bad")).cast("long").alias("n_good"),
+            F.sum("is_bad").cast("long").alias("n_bad"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_good").cast("long").alias("g_tot"),
+        F.sum("n_bad").cast("long").alias("b_tot"),
+    )
+    woe = (
+        "ln((CAST(n_good AS DOUBLE) * b_tot)"
+        " / (CAST(n_bad AS DOUBLE) * g_tot))"
+    )
+    ivt = (
+        "(CAST(n_good AS DOUBLE) / g_tot"
+        " - CAST(n_bad AS DOUBLE) / b_tot) * " + woe
+    )
+    gated = per.crossJoin(F.broadcast(tot)).select(
+        "price_bin",
+        "n_good",
+        "n_bad",
+        F.expr(
+            "CASE WHEN n_good > 0 AND n_bad > 0 THEN"
+            f" CAST(round({woe} * 1e6) AS BIGINT) END"
+        ).alias("woe_micro"),
+        F.expr(
+            "CASE WHEN n_good > 0 AND n_bad > 0 THEN"
+            f" CAST(round({ivt} * 1e6) AS BIGINT) END"
+        ).alias("iv_micro"),
+    )
+    return gated.select(
+        "*",
+        F.sum(F.coalesce("iv_micro", F.lit(0)))
+        .over(W.partitionBy())
+        .alias("iv_total_micro"),
+    ).orderBy("price_bin")
+
+
+_Q357_SQL = """
+WITH per AS (
+  SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS price_bin,
+         CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n_good,
+         CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+  FROM orders
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_good) AS BIGINT) AS g_tot,
+         CAST(sum(n_bad) AS BIGINT) AS b_tot
+  FROM per
+), gated AS (
+  SELECT price_bin, n_good, n_bad,
+         CASE WHEN n_good > 0 AND n_bad > 0 THEN
+           CAST(round(ln((CAST(n_good AS DOUBLE) * b_tot)
+                         / (CAST(n_bad AS DOUBLE) * g_tot)) * 1e6)
+                AS BIGINT) END AS woe_micro,
+         CASE WHEN n_good > 0 AND n_bad > 0 THEN
+           CAST(round((CAST(n_good AS DOUBLE) / g_tot
+                       - CAST(n_bad AS DOUBLE) / b_tot)
+                      * ln((CAST(n_good AS DOUBLE) * b_tot)
+                           / (CAST(n_bad AS DOUBLE) * g_tot)) * 1e6)
+                AS BIGINT) END AS iv_micro
+  FROM per CROSS JOIN tot
+)
+SELECT price_bin, n_good, n_bad, woe_micro, iv_micro,
+       CAST(sum(coalesce(iv_micro, 0)) OVER () AS BIGINT)
+         AS iv_total_micro
+FROM gated
+ORDER BY price_bin
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -13471,6 +13576,7 @@ QUERIES = {
     "q352_kendalls_w": q352_kendalls_w,
     "q353_turning_point_test": q353_turning_point_test,
     "q354_cox_stuart_trend": q354_cox_stuart_trend,
+    "q357_woe_iv": q357_woe_iv,
     "q337_lorenz_curve": q337_lorenz_curve,
 }
 
@@ -13646,5 +13752,6 @@ ORACLES = {
     "q352_kendalls_w": _Q352_SQL,
     "q353_turning_point_test": _Q353_SQL,
     "q354_cox_stuart_trend": _Q354_SQL,
+    "q357_woe_iv": _Q357_SQL,
     "q337_lorenz_curve": _Q337_SQL,
 }

@@ -400,6 +400,7 @@ HEADLINE = [
     "q354_cox_stuart_trend",
     "q355_knn_label_agreement",
     "q356_distinct_n_diversity",
+    "q357_woe_iv",
 ]
 
 

@@ -86,3 +86,52 @@ def test_q356_distinct_n_hand_values(spark, tmp_path, qs):
         "srcB": (4, 1, 250_000, 3, 1, 333_333),
         "srcC": (1, 1, 1_000_000, 0, 0, None),
     }
+
+
+def _order(okey, price, priority):
+    from datetime import datetime
+
+    return (okey, 1, "O", price, datetime(2024, 3, 1), priority)
+
+
+def test_q357_woe_iv_hand_values(spark, tmp_path, qs):
+    """bin0 (<50k): 3 good, 1 bad; bin1: 1 good, 1 bad. G=4, B=2.
+    WoE0 = ln((3/4)/(1/2)) = ln(1.5) = 0.405465 -> 405465;
+    IV0 = (0.75-0.5)*ln(1.5) = 0.101366 -> 101366.
+    WoE1 = ln((1/4)/(1/2)) = ln(0.5) -> -693147;
+    IV1 = (0.25-0.5)*ln(0.5) = 0.173287 -> 173287.
+    IV total = 274653 on every row."""
+    _write_orders(spark, tmp_path, [
+        _order(1, 10_000.0, "3-MEDIUM"),
+        _order(2, 20_000.0, "4-NOT SPECIFIED"),
+        _order(3, 30_000.0, "5-LOW"),
+        _order(4, 40_000.0, "1-URGENT"),
+        _order(5, 60_000.0, "3-MEDIUM"),
+        _order(6, 70_000.0, "2-HIGH"),
+    ])
+    rows = qs["q357_woe_iv"](spark, str(tmp_path)).collect()
+    got = {r.price_bin: (r.n_good, r.n_bad, r.woe_micro, r.iv_micro,
+                         r.iv_total_micro) for r in rows}
+    assert got == {
+        0: (3, 1, 405_465, 101_366, 274_653),
+        1: (1, 1, -693_147, 173_287, 274_653),
+    }
+
+
+def test_q357_one_class_bin_is_null(spark, tmp_path, qs):
+    """bin0 all-good (1/0) -> NULL WoE/IV; bin1 (1 good, 1 bad) with
+    G=2, B=1: WoE1 = ln((1/2)/(1/1)) = ln(0.5) -> -693147,
+    IV1 = (0.5-1.0)*ln(0.5) = 0.346574 -> 346574 = IV total (NULL
+    terms count as 0)."""
+    _write_orders(spark, tmp_path, [
+        _order(1, 10_000.0, "5-LOW"),
+        _order(2, 60_000.0, "3-MEDIUM"),
+        _order(3, 70_000.0, "1-URGENT"),
+    ])
+    rows = qs["q357_woe_iv"](spark, str(tmp_path)).collect()
+    got = {r.price_bin: (r.n_good, r.n_bad, r.woe_micro, r.iv_micro,
+                         r.iv_total_micro) for r in rows}
+    assert got == {
+        0: (1, 0, None, None, 346_574),
+        1: (1, 1, -693_147, 346_574, 346_574),
+    }
