@@ -13404,6 +13404,123 @@ ORDER BY price_bin
 """
 
 
+def q358_delta_method_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for the per-event value ratio,
+    clustered by user (the standard ratio-metric machinery of online
+    experimentation — Deng et al. 2017/2018: R = ΣX_u/ΣY_u over user
+    totals, Var(R) ≈ n/(n−1)·Σ(x_u − R·y_u)²/(ΣY)² — because events of
+    one user are correlated, the naive per-event variance is wrong and
+    the user-clustered linearization is the fix).
+
+    Exactness: values quantize to milli BIGINTs BEFORE any sum
+    (quantize-pre-sum), so every moment (Σx, Σxy, Σx², Σy², per-user
+    totals) is an exact integer in DECIMAL(38,0)/HUGEINT; R, SE and
+    the 1.96σ bounds are one double chain over those integers,
+    micro-quantized via the q340 round(x·10⁶) seam. Float cancellation
+    in the residual quadratic is clamped at 0. Single-user types
+    (n < 2) report NULL SE/CI.
+
+    Shape at 100 TB: two map-side-combined hash aggregations
+    ((event_type, user) totals → event_type moments) — the canonical
+    scalable shape; no window, no join."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = (
+        events.select(
+            "event_type",
+            "user_id",
+            F.expr("CAST(round(value * 1000) AS BIGINT)").alias("v_milli"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum("v_milli").alias("x_m"),
+            F.count("*").alias("y"),
+        )
+    )
+    mom = per_user.groupBy("event_type").agg(
+        F.count("*").alias("n_users"),
+        F.sum("y").cast("long").alias("n_events"),
+        F.sum("x_m").cast("long").alias("sum_value_milli"),
+        F.sum(F.expr("CAST(x_m AS DECIMAL(38,0)) * x_m")).alias("sxx"),
+        F.sum(F.expr("CAST(x_m AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+    )
+    r_m = "(CAST(sum_value_milli AS DOUBLE) / n_events)"
+    s_quad = (
+        f"greatest(0.0e0, CAST(sxx AS DOUBLE) - 2.0e0 * {r_m} *"
+        f" CAST(sxy AS DOUBLE) + {r_m} * {r_m} * CAST(syy AS DOUBLE))"
+    )
+    se_v = (
+        f"sqrt((CAST(n_users AS DOUBLE) / (n_users - 1)) * {s_quad})"
+        " / (1000.0e0 * n_events)"
+    )
+    return mom.select(
+        "event_type",
+        "n_users",
+        "n_events",
+        "sum_value_milli",
+        F.expr(
+            f"CAST(round({r_m} * 1000) AS BIGINT)"
+        ).alias("r_micro"),
+        F.expr(
+            "CASE WHEN n_users >= 2 THEN"
+            f" CAST(round({se_v} * 1e6) AS BIGINT) END"
+        ).alias("se_micro"),
+        F.expr(
+            "CASE WHEN n_users >= 2 THEN"
+            f" CAST(round(({r_m} / 1000.0e0 - 1.96e0 * {se_v}) * 1e6)"
+            " AS BIGINT) END"
+        ).alias("ci_lo_micro"),
+        F.expr(
+            "CASE WHEN n_users >= 2 THEN"
+            f" CAST(round(({r_m} / 1000.0e0 + 1.96e0 * {se_v}) * 1e6)"
+            " AS BIGINT) END"
+        ).alias("ci_hi_micro"),
+    ).orderBy("event_type")
+
+
+def _q358_sql() -> str:
+    r_m = "(CAST(sum_value_milli AS DOUBLE) / n_events)"
+    s_quad = (
+        f"greatest(0.0, CAST(sxx AS DOUBLE) - 2.0 * {r_m} *"
+        f" CAST(sxy AS DOUBLE) + {r_m} * {r_m} * CAST(syy AS DOUBLE))"
+    )
+    se_v = (
+        f"sqrt((CAST(n_users AS DOUBLE) / (n_users - 1)) * {s_quad})"
+        " / (1000.0 * n_events)"
+    )
+    return f"""
+WITH per_user AS (
+  SELECT event_type, user_id,
+         CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS x_m,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events
+  GROUP BY event_type, user_id
+), mom AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(y) AS BIGINT) AS n_events,
+         CAST(sum(x_m) AS BIGINT) AS sum_value_milli,
+         CAST(sum(CAST(x_m AS HUGEINT) * x_m) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(x_m AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM per_user
+  GROUP BY event_type
+)
+SELECT event_type, n_users, n_events, sum_value_milli,
+       CAST(round({r_m} * 1000) AS BIGINT) AS r_micro,
+       CASE WHEN n_users >= 2 THEN
+         CAST(round({se_v} * 1e6) AS BIGINT) END AS se_micro,
+       CASE WHEN n_users >= 2 THEN
+         CAST(round(({r_m} / 1000.0 - 1.96 * {se_v}) * 1e6) AS BIGINT)
+       END AS ci_lo_micro,
+       CASE WHEN n_users >= 2 THEN
+         CAST(round(({r_m} / 1000.0 + 1.96 * {se_v}) * 1e6) AS BIGINT)
+       END AS ci_hi_micro
+FROM mom
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -13577,6 +13694,7 @@ QUERIES = {
     "q353_turning_point_test": q353_turning_point_test,
     "q354_cox_stuart_trend": q354_cox_stuart_trend,
     "q357_woe_iv": q357_woe_iv,
+    "q358_delta_method_ratio_ci": q358_delta_method_ratio_ci,
     "q337_lorenz_curve": q337_lorenz_curve,
 }
 
@@ -13753,5 +13871,6 @@ ORACLES = {
     "q353_turning_point_test": _Q353_SQL,
     "q354_cox_stuart_trend": _Q354_SQL,
     "q357_woe_iv": _Q357_SQL,
+    "q358_delta_method_ratio_ci": _q358_sql(),
     "q337_lorenz_curve": _Q337_SQL,
 }

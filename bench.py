@@ -401,6 +401,7 @@ HEADLINE = [
     "q355_knn_label_agreement",
     "q356_distinct_n_diversity",
     "q357_woe_iv",
+    "q358_delta_method_ratio_ci",
 ]
 
 

@@ -135,3 +135,39 @@ def test_q357_one_class_bin_is_null(spark, tmp_path, qs):
         0: (1, 0, None, None, 346_574),
         1: (1, 1, -693_147, 346_574, 346_574),
     }
+
+
+def test_q358_delta_method_hand_values(spark, tmp_path, qs):
+    """Two users on 'click': u1 values {1.0, 2.0} (x=3.0, y=2),
+    u2 {3.0} (x=3.0, y=1). R = 6/3 = 2.0 -> r_micro 2,000,000.
+    Residuals x - R*y: u1 -1.0, u2 +1.0 -> quad sum 2.0;
+    Var = (2/1)*2/9 = 4/9, SE = 2/3 -> 666,667 micro.
+    CI = 2 +/- 1.96*(2/3) = [0.693333, 3.306667]."""
+    from datetime import datetime
+
+    t = datetime(2024, 3, 1, 12)
+    _write_events(spark, tmp_path, [
+        (1, t, 1, "click", 1.0, "{}"),
+        (2, t, 1, "click", 2.0, "{}"),
+        (3, t, 2, "click", 3.0, "{}"),
+    ])
+    r = qs["q358_delta_method_ratio_ci"](spark, str(tmp_path)).collect()[0]
+    assert (r.event_type, r.n_users, r.n_events, r.sum_value_milli) == (
+        "click", 2, 3, 6000)
+    assert (r.r_micro, r.se_micro) == (2_000_000, 666_667)
+    assert (r.ci_lo_micro, r.ci_hi_micro) == (693_333, 3_306_667)
+
+
+def test_q358_single_user_is_null(spark, tmp_path, qs):
+    """One user -> n-1 = 0 -> SE/CI undefined -> NULL (point estimate
+    still reported)."""
+    from datetime import datetime
+
+    t = datetime(2024, 3, 1, 12)
+    _write_events(spark, tmp_path, [
+        (1, t, 1, "click", 5.0, "{}"),
+        (2, t, 1, "click", 7.0, "{}"),
+    ])
+    r = qs["q358_delta_method_ratio_ci"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_users, r.r_micro) == (1, 6_000_000)
+    assert (r.se_micro, r.ci_lo_micro, r.ci_hi_micro) == (None, None, None)
