@@ -34,6 +34,7 @@ __all__ = [
     "epoch_shuffle",
     "range_boundaries",
     "curriculum_order",
+    "compaction_plan",
 ]
 
 
@@ -448,4 +449,53 @@ def curriculum_order(
             "batch_id", F.floor(F.col("global_pos") / int(batch_size))
         )
         .select(id_col, "tier", "shuffle_key", "global_pos", "batch_id")
+    )
+
+
+def compaction_plan(
+    df: DataFrame, ts_col: str = "ts", target_rows: int = 1000
+) -> DataFrame:
+    """Small-files compaction planner: assign consecutive DAILY
+    micro-batches to compaction groups by fixed-quota cumulative
+    splitting — group_id = floor(exclusive_prefix_rows / target_rows)
+    — the deterministic, order-stable assignment a maintenance job
+    uses to rewrite a drip-fed table into ~target-sized files
+    (the OPTIMIZE/compact primitive of lakehouse table formats).
+
+    Quota splitting (vs greedy first-fit) is deliberately chosen: it
+    is a pure function of the prefix sums, so two engines (and two
+    reruns over the same snapshot) produce the identical plan with no
+    sequential scan. A group that receives one day larger than the
+    budget is flagged ``oversized`` rather than split — day
+    boundaries are the atomic unit (a compactor never splits an input
+    partition mid-day).
+
+    Shape at 100 TB: the corpus collapses to the daily relation in
+    one map-side-combined aggregation; the prefix-sum window runs on
+    that bounded (≤ |days|) relation only.
+    """
+    from pyspark.sql import Window as W
+
+    daily = (
+        df.select(F.to_date(ts_col).alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, -1)
+    assigned = daily.withColumn(
+        "group_id",
+        F.floor(
+            F.coalesce(F.sum("n").over(w), F.lit(0)) / int(target_rows)
+        ).cast("long"),
+    )
+    return (
+        assigned.groupBy("group_id")
+        .agg(
+            F.min("d").alias("d_from"),
+            F.max("d").alias("d_to"),
+            F.count("*").alias("n_days"),
+            F.sum("n").cast("long").alias("n_rows"),
+        )
+        .withColumn("oversized", F.col("n_rows") > int(target_rows))
+        .orderBy("group_id")
     )

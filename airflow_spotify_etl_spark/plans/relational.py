@@ -13521,6 +13521,52 @@ ORDER BY event_type
 """
 
 
+def q359_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction plan for the drip-fed events table
+    (operators/layout.compaction_plan): consecutive daily micro-
+    batches grouped by fixed-quota cumulative splitting into
+    ~1000-row rewrite groups, each group reporting its day range, row
+    count, and an ``oversized`` flag when a single day overflows the
+    budget — the maintenance relation a lakehouse OPTIMIZE job
+    executes, made driver-visible. Quota splitting is a pure function
+    of the daily prefix sums, so the plan is deterministic across
+    engines and reruns (no greedy sequential scan).
+
+    Exactness: all integers; dates exact; the flag an integer
+    comparison.
+
+    Shape at 100 TB: one map-side-combined daily rollup; the prefix
+    window runs on the bounded ≤|days| relation."""
+    from ..operators.layout import compaction_plan
+
+    events = load_table(spark, sf_dir, "events")
+    return compaction_plan(events, ts_col="ts", target_rows=1000)
+
+
+_Q359_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+  FROM events
+  GROUP BY 1
+), assigned AS (
+  SELECT d, n,
+         CAST(floor(coalesce(sum(n) OVER (ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) / 1000.0) AS BIGINT) AS group_id
+  FROM daily
+)
+SELECT group_id,
+       min(d) AS d_from,
+       max(d) AS d_to,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(sum(n) AS BIGINT) > 1000 AS oversized
+FROM assigned
+GROUP BY group_id
+ORDER BY group_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -13695,6 +13741,7 @@ QUERIES = {
     "q354_cox_stuart_trend": q354_cox_stuart_trend,
     "q357_woe_iv": q357_woe_iv,
     "q358_delta_method_ratio_ci": q358_delta_method_ratio_ci,
+    "q359_compaction_plan": q359_compaction_plan,
     "q337_lorenz_curve": q337_lorenz_curve,
 }
 
@@ -13872,5 +13919,6 @@ ORACLES = {
     "q354_cox_stuart_trend": _Q354_SQL,
     "q357_woe_iv": _Q357_SQL,
     "q358_delta_method_ratio_ci": _q358_sql(),
+    "q359_compaction_plan": _Q359_SQL,
     "q337_lorenz_curve": _Q337_SQL,
 }

@@ -402,6 +402,7 @@ HEADLINE = [
     "q356_distinct_n_diversity",
     "q357_woe_iv",
     "q358_delta_method_ratio_ci",
+    "q359_compaction_plan",
 ]
 
 

@@ -171,3 +171,26 @@ def test_q358_single_user_is_null(spark, tmp_path, qs):
     r = qs["q358_delta_method_ratio_ci"](spark, str(tmp_path)).collect()[0]
     assert (r.n_users, r.r_micro) == (1, 6_000_000)
     assert (r.se_micro, r.ci_lo_micro, r.ci_hi_micro) == (None, None, None)
+
+
+def test_q359_compaction_plan_hand_groups(spark, tmp_path, qs):
+    """Daily counts d1=600, d2=500, d3=300, d4=700 with target 1000:
+    exclusive prefixes 0/600/1100/1400 -> groups 0,0,1,1.
+    g0 = {d1,d2} 1100 rows (oversized), g1 = {d3,d4} 1000 rows
+    (not oversized — the flag is strict >)."""
+    from datetime import datetime, timedelta
+
+    rows, eid = [], 0
+    for day, cnt in enumerate([600, 500, 300, 700]):
+        for _ in range(cnt):
+            eid += 1
+            rows.append((eid, datetime(2024, 3, 1, 8)
+                         + timedelta(days=day), eid % 7, "view", 1.0, "{}"))
+    _write_events(spark, tmp_path, rows)
+    out = qs["q359_compaction_plan"](spark, str(tmp_path)).collect()
+    got = [(r.group_id, str(r.d_from), str(r.d_to), r.n_days, r.n_rows,
+            r.oversized) for r in out]
+    assert got == [
+        (0, "2024-03-01", "2024-03-02", 2, 1100, True),
+        (1, "2024-03-03", "2024-03-04", 2, 1000, False),
+    ]
