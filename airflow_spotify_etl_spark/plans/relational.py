@@ -13567,6 +13567,167 @@ ORDER BY group_id
 """
 
 
+def q360_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA over event values by
+    type — the variance-robust companion to the classical F (q233)
+    and the mean-variant of Brown-Forsythe (q342): unequal group
+    variances break the pooled-SSW F, and Welch's F* with its
+    Satterthwaite df2 is the standard fix (Welch 1951).
+
+    Exactness: per-group moments (n, Σx, Σx²) are exact integers off
+    milli-quantized values; each group's weight w = n/s², weighted
+    mean terms w·x̄, w·x̄², and Λ-term (1−w/W)²/(n−1) are
+    deterministic doubles OVER those exact integers, then quantized
+    (micro for the w-family into DECIMAL(38,0), femto for Λ into
+    BIGINT) BEFORE the cross-group sum — so every sum is integer and
+    engine-order-independent (a raw float sum over groups would be
+    summation-order-sensitive). F* and df2 are one final double
+    chain, micro-quantized. Groups below 2 events or with zero
+    variance are excluded (classical treatment); fewer than 2
+    qualifying groups → NULL statistics, k_groups still reported.
+
+    Shape at 100 TB: one map-side-combined groupBy collapses the
+    corpus to ≤|event_types| rows; the totals join is a broadcast
+    1-row crossJoin; everything after is arithmetic on that bounded
+    relation."""
+    events = load_table(spark, sf_dir, "events")
+    g = (
+        events.select(
+            "event_type",
+            F.expr("CAST(round(value * 1000) AS BIGINT)").alias("v_m"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v_m").cast("long").alias("s"),
+            F.sum(F.expr("CAST(v_m AS DECIMAL(38,0)) * v_m")).alias("ss"),
+        )
+        .filter(
+            "n >= 2 AND CAST(n AS DECIMAL(38,0)) * ss"
+            " > CAST(s AS DECIMAL(38,0)) * s"
+        )
+    )
+    # value-unit doubles from exact integer moments (milli -> value)
+    mean_v = "(CAST(s AS DOUBLE) / n / 1000.0e0)"
+    var_v = (
+        "((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
+        " / (n - 1) / 1.0e6)"
+    )
+    w_v = f"(CAST(n AS DOUBLE) / {var_v})"
+    per = g.select(
+        "n",
+        F.expr(
+            f"CAST(round({w_v} * 1e6) AS DECIMAL(38,0))"
+        ).alias("w_u"),
+        F.expr(
+            f"CAST(round({w_v} * {mean_v} * 1e6) AS DECIMAL(38,0))"
+        ).alias("wm_u"),
+        F.expr(
+            f"CAST(round({w_v} * {mean_v} * {mean_v} * 1e6)"
+            " AS DECIMAL(38,0))"
+        ).alias("wm2_u"),
+    )
+    tot = per.agg(
+        F.count("*").alias("k"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("w_u").alias("w_tot"),
+        F.sum("wm_u").alias("b_tot"),
+        F.sum("wm2_u").alias("a_tot"),
+    )
+    lam = per.crossJoin(F.broadcast(tot.select("w_tot"))).agg(
+        F.sum(
+            F.expr(
+                "CAST(round(pow(1.0e0 - CAST(w_u AS DOUBLE) / w_tot, 2)"
+                " / (n - 1) * 1e15) AS BIGINT)"
+            )
+        ).alias("lam_f")
+    )
+    num = (
+        "((CAST(a_tot AS DOUBLE)"
+        " - CAST(b_tot AS DOUBLE) * b_tot / w_tot)"
+        " / 1e6 / (k - 1))"
+    )
+    den = (
+        "(1.0e0 + (2.0e0 * (k - 2) / (CAST(k AS DOUBLE) * k - 1))"
+        " * (CAST(lam_f AS DOUBLE) / 1e15))"
+    )
+    return tot.crossJoin(F.broadcast(lam)).select(
+        F.col("k").alias("k_groups"),
+        "n_total",
+        (F.col("k") - 1).cast("long").alias("df1"),
+        F.expr(
+            "CASE WHEN k >= 2 THEN"
+            f" CAST(round({num} / {den} * 1e6) AS BIGINT) END"
+        ).alias("f_welch_micro"),
+        F.expr(
+            "CASE WHEN k >= 2 THEN"
+            " CAST(round((CAST(k AS DOUBLE) * k - 1)"
+            " / (3.0e0 * CAST(lam_f AS DOUBLE) / 1e15) * 1e6)"
+            " AS BIGINT) END"
+        ).alias("df2_micro"),
+    )
+
+
+def _q360_sql() -> str:
+    mean_v = "(CAST(s AS DOUBLE) / n / 1000.0)"
+    var_v = (
+        "((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
+        " / (n - 1) / 1.0e6)"
+    )
+    w_v = f"(CAST(n AS DOUBLE) / {var_v})"
+    num = (
+        "((CAST(a_tot AS DOUBLE)"
+        " - CAST(b_tot AS DOUBLE) * b_tot / w_tot)"
+        " / 1e6 / (k - 1))"
+    )
+    den = (
+        "(1.0 + (2.0 * (k - 2) / (CAST(k AS DOUBLE) * k - 1))"
+        " * (CAST(lam_f AS DOUBLE) / 1e15))"
+    )
+    return f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(CAST(round(value * 1000) AS BIGINT) AS HUGEINT)
+                  * CAST(round(value * 1000) AS BIGINT)) AS HUGEINT) AS ss
+  FROM events
+  GROUP BY event_type
+), q AS (
+  SELECT * FROM g
+  WHERE n >= 2 AND CAST(n AS HUGEINT) * ss > CAST(s AS HUGEINT) * s
+), per AS (
+  SELECT n,
+         CAST(round({w_v} * 1e6) AS HUGEINT) AS w_u,
+         CAST(round({w_v} * {mean_v} * 1e6) AS HUGEINT) AS wm_u,
+         CAST(round({w_v} * {mean_v} * {mean_v} * 1e6) AS HUGEINT) AS wm2_u
+  FROM q
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS n_total,
+         CAST(sum(w_u) AS HUGEINT) AS w_tot,
+         CAST(sum(wm_u) AS HUGEINT) AS b_tot,
+         CAST(sum(wm2_u) AS HUGEINT) AS a_tot
+  FROM per
+), lam AS (
+  SELECT CAST(sum(CAST(round(pow(1.0 - CAST(w_u AS DOUBLE)
+                                 / (SELECT w_tot FROM tot), 2)
+                             / (n - 1) * 1e15) AS BIGINT)) AS BIGINT)
+           AS lam_f
+  FROM per
+)
+SELECT k AS k_groups, n_total,
+       CAST(k - 1 AS BIGINT) AS df1,
+       CASE WHEN k >= 2 THEN
+         CAST(round({num} / {den} * 1e6) AS BIGINT) END AS f_welch_micro,
+       CASE WHEN k >= 2 THEN
+         CAST(round((CAST(k AS DOUBLE) * k - 1)
+                    / (3.0 * CAST(lam_f AS DOUBLE) / 1e15) * 1e6)
+              AS BIGINT) END AS df2_micro
+FROM tot CROSS JOIN lam
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -13742,6 +13903,7 @@ QUERIES = {
     "q357_woe_iv": q357_woe_iv,
     "q358_delta_method_ratio_ci": q358_delta_method_ratio_ci,
     "q359_compaction_plan": q359_compaction_plan,
+    "q360_welch_anova": q360_welch_anova,
     "q337_lorenz_curve": q337_lorenz_curve,
 }
 
@@ -13920,5 +14082,6 @@ ORACLES = {
     "q357_woe_iv": _Q357_SQL,
     "q358_delta_method_ratio_ci": _q358_sql(),
     "q359_compaction_plan": _Q359_SQL,
+    "q360_welch_anova": _q360_sql(),
     "q337_lorenz_curve": _Q337_SQL,
 }

@@ -403,6 +403,7 @@ HEADLINE = [
     "q357_woe_iv",
     "q358_delta_method_ratio_ci",
     "q359_compaction_plan",
+    "q360_welch_anova",
 ]
 
 

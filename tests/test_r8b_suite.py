@@ -194,3 +194,42 @@ def test_q359_compaction_plan_hand_groups(spark, tmp_path, qs):
         (0, "2024-03-01", "2024-03-02", 2, 1100, True),
         (1, "2024-03-03", "2024-03-04", 2, 1000, False),
     ]
+
+
+def test_q360_welch_anova_hand_values(spark, tmp_path, qs):
+    """Type a: {1,2,3} (mean 2, var 1, w=3); type b: {2,4,6,8}
+    (mean 5, var 20/3, w=0.6). W=3.6, weighted mean 2.5;
+    numerator = 3*0.25 + 0.6*6.25 = 4.5; k=2 -> denominator 1 ->
+    F* = 4.5 -> 4,500,000. Satterthwaite df2 = 1/Lambda with
+    Lambda = (1/6)^2/2 + (5/6)^2/3 = 0.2453703... ->
+    df2 = 4.075472 -> 4,075,472 micro (equals the Welch t^2 df
+    for the same two samples)."""
+    from datetime import datetime
+
+    t = datetime(2024, 3, 1, 12)
+    rows = [(i + 1, t, i + 1, "a", float(v), "{}")
+            for i, v in enumerate([1, 2, 3])]
+    rows += [(i + 10, t, i + 10, "b", float(v), "{}")
+             for i, v in enumerate([2, 4, 6, 8])]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q360_welch_anova"](spark, str(tmp_path)).collect()[0]
+    assert (r.k_groups, r.n_total, r.df1) == (2, 7, 1)
+    assert r.f_welch_micro == 4_500_000
+    assert r.df2_micro == 4_075_472
+
+
+def test_q360_excludes_degenerate_groups(spark, tmp_path, qs):
+    """Zero-variance type b ({5,5,5}) and singleton type c are
+    excluded; only type a qualifies -> k=1 -> NULL F*/df2 with the
+    group census still reported."""
+    from datetime import datetime
+
+    t = datetime(2024, 3, 1, 12)
+    rows = [(i + 1, t, i + 1, "a", float(v), "{}")
+            for i, v in enumerate([1, 2, 3])]
+    rows += [(i + 10, t, i + 10, "b", 5.0, "{}") for i in range(3)]
+    rows += [(20, t, 20, "c", 9.0, "{}")]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q360_welch_anova"](spark, str(tmp_path)).collect()[0]
+    assert (r.k_groups, r.n_total, r.df1) == (1, 3, 0)
+    assert (r.f_welch_micro, r.df2_micro) == (None, None)
