@@ -13728,6 +13728,174 @@ FROM tot CROSS JOIN lam
 """
 
 
+def q361_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley scale test per source (tie-aware): do English
+    and non-English doc lengths differ in DISPERSION around a common
+    median? The rank-based companion to the location tests
+    (Mann-Whitney q187, Mood's median q332): AB scores
+    a(r) = min(r, N+1−r) peak at the middle, so a LOW sample-1 score
+    sum means sample 1 concentrates in the tails (larger spread).
+
+    Exactness: the count-table discipline of q186/q187 — ranks never
+    touch raw rows; each distinct length's rank span [lo, hi] gets its
+    score-span sum S via the closed two-triangle formula (exact
+    integers, DECIMAL-cast products), and the tie-averaged per-group
+    terms c1·S/cnt and S²/cnt (the only rationals) are quantized to
+    micro BEFORE the per-source sum — integer addition, engine-order-
+    independent. The tie-corrected normal approximation
+    z = (T1 − n1·ā)/√(n1·n2·(N·Σa² − (Σa)²)/(N²(N−1))) is one final
+    double chain. One-sided sources or zero score variance → NULL z.
+
+    Shape at 100 TB: one (source, length) count-table collapse, two
+    windows over the bounded distinct-length relation, a ≤|sources|
+    rollup. No raw-row sort, no join."""
+    docs = _t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            "source",
+            F.col("n_chars").alias("nc"),
+            (F.col("lang") == "en").cast("long").alias("e"),
+        )
+        .groupBy("source", "nc")
+        .agg(
+            F.sum("e").alias("c1"),
+            F.sum(1 - F.col("e")).alias("c2"),
+        )
+        .withColumn("cnt", F.col("c1") + F.col("c2"))
+    )
+    w_excl = W.partitionBy("source").orderBy("nc").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    w_all = W.partitionBy("source")
+    spans = cnt.select(
+        "source", "c1", "c2", "cnt",
+        (F.coalesce(F.sum("cnt").over(w_excl), F.lit(0)) + 1).alias("lo"),
+        F.sum("cnt").over(w_all).alias("n_tot"),
+    ).withColumn("hi", F.col("lo") + F.col("cnt") - 1)
+    # score-span sum S = sum_{r=lo}^{hi} min(r, N+1-r): ascending
+    # triangle up to m = (N+1) div 2, descending after — two exact
+    # consecutive-integer sums (products DECIMAL-cast: ranks reach N).
+    s_expr = (
+        "CAST("
+        " CASE WHEN lo <= least(hi, (n_tot + 1) div 2) THEN"
+        "  (CAST(least(hi, (n_tot + 1) div 2) AS DECIMAL(38,0))"
+        "   * (least(hi, (n_tot + 1) div 2) + 1)"
+        "   - CAST(lo AS DECIMAL(38,0)) * (lo - 1)) div 2 ELSE 0 END"
+        " + CASE WHEN greatest(lo, (n_tot + 1) div 2 + 1) <= hi THEN"
+        "  (CAST(n_tot + 1 - greatest(lo, (n_tot + 1) div 2 + 1)"
+        "        AS DECIMAL(38,0))"
+        "   * (n_tot + 2 - greatest(lo, (n_tot + 1) div 2 + 1))"
+        "   - CAST(n_tot - hi AS DECIMAL(38,0)) * (n_tot + 1 - hi))"
+        "  div 2 ELSE 0 END"
+        " AS DECIMAL(38,0))"
+    )
+    terms = spans.withColumn("s_sum", F.expr(s_expr)).select(
+        "source", "c1", "c2", "cnt", "n_tot",
+        "s_sum",
+        F.expr(
+            "CAST(round(CAST(c1 AS DOUBLE) * s_sum / cnt * 1e6)"
+            " AS BIGINT)"
+        ).alias("t1_u"),
+        F.expr(
+            "CAST(round(CAST(s_sum AS DOUBLE) * s_sum / cnt * 1e6)"
+            " AS BIGINT)"
+        ).alias("sa2_u"),
+    )
+    agg = terms.groupBy("source").agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.max("n_tot").cast("long").alias("n"),
+        F.sum("t1_u").cast("long").alias("t1_micro"),
+        F.sum("s_sum").alias("sa"),
+        F.sum("sa2_u").cast("long").alias("sa2_micro"),
+    )
+    varr = (
+        "(CAST(n1 AS DOUBLE) * n2"
+        " * (CAST(n AS DOUBLE) * (CAST(sa2_micro AS DOUBLE) / 1e6)"
+        "    - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * n * (n - 1)))"
+    )
+    z = (
+        "((CAST(t1_micro AS DOUBLE) / 1e6"
+        f" - CAST(n1 AS DOUBLE) * CAST(sa AS DOUBLE) / n) / sqrt({varr}))"
+    )
+    return agg.select(
+        "source", "n1", "n2", "t1_micro",
+        F.expr(
+            "CASE WHEN n1 > 0 AND n2 > 0 AND n >= 2"
+            f" AND {varr} > 0 THEN"
+            f" CAST(round({z} * 1e6) AS BIGINT) END"
+        ).alias("z_micro"),
+    ).orderBy("source")
+
+
+def _q361_sql() -> str:
+    s_expr = (
+        "CAST("
+        " CASE WHEN lo <= least(hi, (n_tot + 1) // 2) THEN"
+        "  (CAST(least(hi, (n_tot + 1) // 2) AS HUGEINT)"
+        "   * (least(hi, (n_tot + 1) // 2) + 1)"
+        "   - CAST(lo AS HUGEINT) * (lo - 1)) // 2 ELSE 0 END"
+        " + CASE WHEN greatest(lo, (n_tot + 1) // 2 + 1) <= hi THEN"
+        "  (CAST(n_tot + 1 - greatest(lo, (n_tot + 1) // 2 + 1)"
+        "        AS HUGEINT)"
+        "   * (n_tot + 2 - greatest(lo, (n_tot + 1) // 2 + 1))"
+        "   - CAST(n_tot - hi AS HUGEINT) * (n_tot + 1 - hi))"
+        "  // 2 ELSE 0 END"
+        " AS HUGEINT)"
+    )
+    varr = (
+        "(CAST(n1 AS DOUBLE) * n2"
+        " * (CAST(n AS DOUBLE) * (CAST(sa2_micro AS DOUBLE) / 1e6)"
+        "    - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * n * (n - 1)))"
+    )
+    z = (
+        "((CAST(t1_micro AS DOUBLE) / 1e6"
+        f" - CAST(n1 AS DOUBLE) * CAST(sa AS DOUBLE) / n) / sqrt({varr}))"
+    )
+    return f"""
+WITH cnt AS (
+  SELECT source, n_chars AS nc,
+         CAST(sum(CAST(lang = 'en' AS BIGINT)) AS BIGINT) AS c1,
+         CAST(sum(1 - CAST(lang = 'en' AS BIGINT)) AS BIGINT) AS c2
+  FROM documents
+  GROUP BY source, n_chars
+), spans AS (
+  SELECT source, c1, c2, c1 + c2 AS cnt,
+         coalesce(sum(c1 + c2) OVER (PARTITION BY source ORDER BY nc
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) + 1 AS lo,
+         sum(c1 + c2) OVER (PARTITION BY source) AS n_tot
+  FROM cnt
+), terms AS (
+  SELECT source, c1, c2, cnt, n_tot, s_sum,
+         CAST(round(CAST(c1 AS DOUBLE) * s_sum / cnt * 1e6) AS BIGINT)
+           AS t1_u,
+         CAST(round(CAST(s_sum AS DOUBLE) * s_sum / cnt * 1e6) AS BIGINT)
+           AS sa2_u
+  FROM (
+    SELECT *, lo + cnt - 1 AS hi FROM spans
+  ) sp, LATERAL (SELECT {s_expr} AS s_sum) sc
+), agg AS (
+  SELECT source,
+         CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(sum(c2) AS BIGINT) AS n2,
+         CAST(max(n_tot) AS BIGINT) AS n,
+         CAST(sum(t1_u) AS BIGINT) AS t1_micro,
+         CAST(sum(s_sum) AS HUGEINT) AS sa,
+         CAST(sum(sa2_u) AS BIGINT) AS sa2_micro
+  FROM terms
+  GROUP BY source
+)
+SELECT source, n1, n2, t1_micro,
+       CASE WHEN n1 > 0 AND n2 > 0 AND n >= 2 AND {varr} > 0 THEN
+         CAST(round({z} * 1e6) AS BIGINT) END AS z_micro
+FROM agg
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -13904,6 +14072,7 @@ QUERIES = {
     "q358_delta_method_ratio_ci": q358_delta_method_ratio_ci,
     "q359_compaction_plan": q359_compaction_plan,
     "q360_welch_anova": q360_welch_anova,
+    "q361_ansari_bradley": q361_ansari_bradley,
     "q337_lorenz_curve": q337_lorenz_curve,
 }
 
@@ -14083,5 +14252,6 @@ ORACLES = {
     "q358_delta_method_ratio_ci": _q358_sql(),
     "q359_compaction_plan": _Q359_SQL,
     "q360_welch_anova": _q360_sql(),
+    "q361_ansari_bradley": _q361_sql(),
     "q337_lorenz_curve": _Q337_SQL,
 }

@@ -404,6 +404,7 @@ HEADLINE = [
     "q358_delta_method_ratio_ci",
     "q359_compaction_plan",
     "q360_welch_anova",
+    "q361_ansari_bradley",
 ]
 
 

@@ -233,3 +233,51 @@ def test_q360_excludes_degenerate_groups(spark, tmp_path, qs):
     r = qs["q360_welch_anova"](spark, str(tmp_path)).collect()[0]
     assert (r.k_groups, r.n_total, r.df1) == (1, 3, 0)
     assert (r.f_welch_micro, r.df2_micro) == (None, None)
+
+
+def test_q361_ansari_bradley_hand_value(spark, tmp_path, qs):
+    """en lengths {1,4} (tails), non-en {2,3} (middle), N=4: AB
+    scores 1,2,2,1 -> T1 = 1+1 = 2; abar = 6/4, E[T1] = 3;
+    Var = 4*(4*10-36)/(16*3) = 1/3; z = -1/sqrt(1/3) = -1.7320508
+    -> -1,732,051 micro (negative = sample 1 in the tails = larger
+    dispersion)."""
+    _write_docs(spark, tmp_path, [
+        (1, "t", "en", "s", 1),
+        (2, "t", "en", "s", 4),
+        (3, "t", "de", "s", 2),
+        (4, "t", "de", "s", 3),
+    ])
+    r = qs["q361_ansari_bradley"](spark, str(tmp_path)).collect()[0]
+    assert (r.source, r.n1, r.n2, r.t1_micro) == ("s", 2, 2, 2_000_000)
+    assert r.z_micro == -1_732_051
+
+
+def test_q361_tie_averaged_scores(spark, tmp_path, qs):
+    """en {1,2}, non-en {2,2}: the length-2 tie spans ranks 2-4 with
+    scores {2,2,1} -> averaged 5/3 each. T1 = 1 + 5/3 = 2.666667;
+    sum a = 6, sum a^2 = 1 + 3*(5/3)^2 = 28/3; Var = 1/9 ->
+    z = (-1/3)/(1/3) = -1 exactly in the reals. Under the micro
+    quantization both inputs truncate a hair (t1 2.666667 > 8/3,
+    sa2 9.333333 < 28/3), leaving z*1e6 at -999999.49... -> the
+    deterministic quantized pin is -999,999 (one micro inside the
+    exact value; both engines replay the identical chain)."""
+    _write_docs(spark, tmp_path, [
+        (1, "t", "en", "s", 1),
+        (2, "t", "en", "s", 2),
+        (3, "t", "de", "s", 2),
+        (4, "t", "de", "s", 2),
+    ])
+    r = qs["q361_ansari_bradley"](spark, str(tmp_path)).collect()[0]
+    assert (r.n1, r.n2, r.t1_micro) == (2, 2, 2_666_667)
+    assert r.z_micro == -999_999
+
+
+def test_q361_one_sided_source_is_null(spark, tmp_path, qs):
+    """A source with only English docs has no comparison sample ->
+    NULL z (census still reported)."""
+    _write_docs(spark, tmp_path, [
+        (1, "t", "en", "s", 3),
+        (2, "t", "en", "s", 9),
+    ])
+    r = qs["q361_ansari_bradley"](spark, str(tmp_path)).collect()[0]
+    assert (r.n1, r.n2, r.z_micro) == (2, 0, None)
