@@ -13896,6 +13896,118 @@ ORDER BY source
 """
 
 
+def q362_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay planner: the out-of-orderness profile of the
+    events stream — for every event, its lateness versus the maximum
+    event time among STRICTLY EARLIER arrivals (arrival order =
+    event_id), bucketed into the delay tiers a streaming job chooses
+    its ``withWatermark`` bound from (ST3/ST4's 'how late is late
+    data actually' question answered from the batch archive).
+
+    Exactness: timestamps to epoch micros (exact BIGINTs); lateness
+    is an integer subtraction; tiers are integer comparisons;
+    share_ppm the exact integer (n·10⁶) div total.
+
+    Shape at 100 TB: the naive form is one GLOBAL ordered running-max
+    window (single-partition scale killer). Here it is the q214/q224
+    two-phase prefix machinery applied to prefix-MAX: arrivals bucket
+    into a FIXED ≤1025-cell event_id grid (width = max_id div 1024
+    + 1, a broadcast 1-row derivation — the cell count stays bounded
+    at ANY corpus size, unlike a fixed-width bucketing whose cell
+    relation grows with n), per-bucket maxima map-side combine, the
+    bounded bucket relation is prefix-maxed, and the broadcast bucket
+    prefix combines with a bucket-partitioned within-bucket window —
+    arrival order is preserved end to end, no global sort ever
+    touches raw rows."""
+    events = load_table(spark, sf_dir, "events")
+    raw = events.select(
+        "event_id", F.expr("unix_micros(ts)").alias("t_us")
+    )
+    width = raw.agg(
+        F.expr(
+            "CAST(max(event_id) div 1024 + 1 AS BIGINT)"
+        ).alias("w")
+    )
+    base = raw.crossJoin(F.broadcast(width)).select(
+        "event_id",
+        "t_us",
+        F.expr("CAST(event_id div w AS BIGINT)").alias("b"),
+    )
+    bmax = base.groupBy("b").agg(F.max("t_us").alias("bm"))
+    w_excl = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    bpre = bmax.select("b", F.max("bm").over(w_excl).alias("bpre"))
+    w_in = W.partitionBy("b").orderBy("event_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    late = (
+        base.join(F.broadcast(bpre), "b")
+        .withColumn("in_max", F.max("t_us").over(w_in))
+        .select(
+            F.expr(
+                "CASE WHEN greatest(coalesce(in_max, -9223372036854775808),"
+                " coalesce(bpre, -9223372036854775808))"
+                " = -9223372036854775808 THEN 0"
+                " ELSE greatest(0, greatest(coalesce(in_max,"
+                " -9223372036854775808), coalesce(bpre,"
+                " -9223372036854775808)) - t_us) END"
+            ).alias("late_us")
+        )
+    )
+    tier = (
+        "CASE WHEN late_us = 0 THEN '0_on_time'"
+        " WHEN late_us < 1000000 THEN '1_under_1s'"
+        " WHEN late_us < 60000000 THEN '2_under_1m'"
+        " WHEN late_us < 3600000000 THEN '3_under_1h'"
+        " ELSE '4_1h_plus' END"
+    )
+    return (
+        late.select(F.expr(tier).alias("lateness_tier"))
+        .groupBy("lateness_tier")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "lateness_tier",
+            "n_events",
+            F.expr(
+                "(n_events * 1000000)"
+                " div (sum(n_events) OVER ())"
+            ).alias("share_ppm"),
+        )
+        .orderBy("lateness_tier")
+    )
+
+
+_Q362_SQL = """
+WITH base AS (
+  SELECT event_id, epoch_us(ts) AS t_us
+  FROM events
+), late AS (
+  SELECT CASE WHEN prev_max IS NULL THEN 0
+              ELSE greatest(0, prev_max - t_us) END AS late_us
+  FROM (
+    SELECT t_us,
+           max(t_us) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_max
+    FROM base
+  )
+), tiers AS (
+  SELECT CASE WHEN late_us = 0 THEN '0_on_time'
+              WHEN late_us < 1000000 THEN '1_under_1s'
+              WHEN late_us < 60000000 THEN '2_under_1m'
+              WHEN late_us < 3600000000 THEN '3_under_1h'
+              ELSE '4_1h_plus' END AS lateness_tier
+  FROM late
+)
+SELECT lateness_tier,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST((count(*) * 1000000) // (sum(count(*)) OVER ()) AS BIGINT)
+         AS share_ppm
+FROM tiers
+GROUP BY lateness_tier
+ORDER BY lateness_tier
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -14073,6 +14185,7 @@ QUERIES = {
     "q359_compaction_plan": q359_compaction_plan,
     "q360_welch_anova": q360_welch_anova,
     "q361_ansari_bradley": q361_ansari_bradley,
+    "q362_watermark_lateness_audit": q362_watermark_lateness_audit,
     "q337_lorenz_curve": q337_lorenz_curve,
 }
 
@@ -14253,5 +14366,6 @@ ORACLES = {
     "q359_compaction_plan": _Q359_SQL,
     "q360_welch_anova": _q360_sql(),
     "q361_ansari_bradley": _q361_sql(),
+    "q362_watermark_lateness_audit": _Q362_SQL,
     "q337_lorenz_curve": _Q337_SQL,
 }

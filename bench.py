@@ -405,6 +405,7 @@ HEADLINE = [
     "q359_compaction_plan",
     "q360_welch_anova",
     "q361_ansari_bradley",
+    "q362_watermark_lateness_audit",
 ]
 
 

@@ -281,3 +281,32 @@ def test_q361_one_sided_source_is_null(spark, tmp_path, qs):
     ])
     r = qs["q361_ansari_bradley"](spark, str(tmp_path)).collect()[0]
     assert (r.n1, r.n2, r.z_micro) == (2, 0, None)
+
+
+def test_q362_lateness_tiers_hand_values(spark, tmp_path, qs):
+    """Arrival order e1..e6 with event times 10:00:00, 09:59:59.5,
+    10:00:30, 09:59:45, 09:00:00, 09:59:00: lateness vs the running
+    max of earlier arrivals is 0 / 0.5s / 0 / 45s / 3630s / 90s ->
+    tiers on_time x2, under_1s, under_1m, under_1h, 1h_plus; shares
+    333333 and 166666 ppm (floor division)."""
+    from datetime import datetime
+
+    d = datetime
+    rows = [
+        (1, d(2024, 3, 1, 10, 0, 0), 1, "view", 1.0, "{}"),
+        (2, d(2024, 3, 1, 9, 59, 59, 500000), 2, "view", 1.0, "{}"),
+        (3, d(2024, 3, 1, 10, 0, 30), 3, "view", 1.0, "{}"),
+        (4, d(2024, 3, 1, 9, 59, 45), 4, "view", 1.0, "{}"),
+        (5, d(2024, 3, 1, 9, 0, 0), 5, "view", 1.0, "{}"),
+        (6, d(2024, 3, 1, 9, 59, 0), 6, "view", 1.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = qs["q362_watermark_lateness_audit"](spark, str(tmp_path)).collect()
+    got = {r.lateness_tier: (r.n_events, r.share_ppm) for r in out}
+    assert got == {
+        "0_on_time": (2, 333_333),
+        "1_under_1s": (1, 166_666),
+        "2_under_1m": (1, 166_666),
+        "3_under_1h": (1, 166_666),
+        "4_1h_plus": (1, 166_666),
+    }
