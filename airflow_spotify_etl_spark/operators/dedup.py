@@ -757,6 +757,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_bucket: int | None = 1000,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
 
@@ -769,8 +770,11 @@ def ngram_jaccard_pairs(
     aggregate could derail (the join-back-sizes variant OOMed the driver
     at a 50k-doc stress when AQE broadcast the pair table). The hot-bucket
     cap bounds every collected array; singleton buckets exit before
-    expansion — they cannot produce a pair."""
-    sh = _sized_shingles(df, text_col, id_col, n, max_bucket)
+    expansion — they cannot produce a pair. ``sh`` lets a composite
+    audit (q149) pass ONE cached _sized_shingles relation instead of
+    rebuilding it per tier."""
+    if sh is None:
+        sh = _sized_shingles(df, text_col, id_col, n, max_bucket)
     buckets = (
         sh.filter(F.col("_bucket_n") >= 2)
         .groupBy("shingle")
@@ -1019,6 +1023,7 @@ def minhash_lsh_pairs(
     verify: bool = True,
     max_bucket: int | None = 1000,
     max_band_bucket: int | None = 1000,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band the signature (bands × k/bands), meet
     candidates in band buckets, then verify candidates with exact Jaccard.
@@ -1038,6 +1043,22 @@ def minhash_lsh_pairs(
     bounded by the cap."""
     r = k // bands
     sig = minhash_signatures(df, text_col, id_col, k, n)
+    candidates = _band_candidates(sig, bands, r, max_band_bucket)
+    if not verify:
+        return candidates
+    return _jaccard_verify(
+        df, candidates, text_col, id_col, n, max_bucket, threshold, sh=sh
+    )
+
+
+def _band_candidates(
+    sig: DataFrame, bands: int, r: int, max_band_bucket: int | None
+) -> DataFrame:
+    """Band a (doc_id, sig) signature relation and expand band buckets
+    into candidate pairs — the join-free capped expansion documented in
+    ``minhash_lsh_pairs``, factored out so sweep queries (q170) can
+    band ONE cached signature pass several ways instead of recomputing
+    the k minhashes per arm."""
     band_arr = F.array(
         *[
             F.xxhash64(F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)]))
@@ -1054,15 +1075,12 @@ def minhash_lsh_pairs(
         .groupBy("band", "bh")
         .agg(F.collect_list("doc_id").alias("ids"))
     )
-    candidates = (
+    return (
         buckets.select(F.explode("ids").alias("doc_a"), "ids")
         .select("doc_a", F.explode("ids").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
-    if not verify:
-        return candidates
-    return _jaccard_verify(df, candidates, text_col, id_col, n, max_bucket, threshold)
 
 
 def _jaccard_verify(
@@ -1073,6 +1091,7 @@ def _jaccard_verify(
     n: int,
     max_bucket: int | None,
     threshold: float,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification over CANDIDATE pairs only — the entire
     point of LSH. Route each candidate pair through doc_a's shingles, then
@@ -1083,9 +1102,10 @@ def _jaccard_verify(
     misbroadcast; singleton shingles can't intersect two docs and are
     pruned from the routing. Shared by the full self-pairs path and the
     delta-vs-corpus path (identical arithmetic → identical oracle)."""
-    sh = _sized_shingles(df, text_col, id_col, n, max_bucket).filter(
-        F.col("_bucket_n") >= 2
-    )
+    if sh is None:
+        sh = _sized_shingles(df, text_col, id_col, n, max_bucket).filter(
+            F.col("_bucket_n") >= 2
+        )
     sh_a = sh.select(
         F.col("doc_id").alias("doc_a"), "shingle", F.col("n_shingles").alias("na")
     )
