@@ -4227,21 +4227,32 @@ def q149_signature_tier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
     one table says which approximate tier you can trust at this
     threshold (LSH recalls everything; SimHash's coarser 64-bit
     signature trades recall for cost — the number makes the trade
-    visible). All three pipelines replay in the composed oracle."""
+    visible). All three pipelines replay in the composed oracle.
+
+    Cost note (r8): the exact tier and the LSH verify share ONE
+    cached _sized_shingles pass (the dominant token-explode cost)
+    via the operators' ``sh`` seam — byte-identical results, one
+    corpus shingle pass instead of two."""
     from ..operators.dedup import (
+        _sized_shingles,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
         simhash_pairs,
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    sh = _sized_shingles(docs, "text", "doc_id", 3, 1000).localCheckpoint(
+        eager=True
+    )
     exact = (
-        ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000)
+        ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000, sh=sh)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
     lsh = (
-        minhash_lsh_pairs(docs, threshold=0.5)
+        minhash_lsh_pairs(
+            docs, threshold=0.5, sh=sh.filter(F.col("_bucket_n") >= 2)
+        )
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
@@ -4763,8 +4774,21 @@ def q170_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     spending the candidate budget. Signatures and caps are shared with
     q25 (one builder on both engines, so the sweep can never drift from
     the production tier). Exact integer counts; one rounded division
-    per arm."""
-    from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    per arm.
+
+    Cost note (r8): the 64 minhashes and the sized verify shingles are
+    each computed ONCE and localCheckpointed, then the three arms band
+    the cached signature relation three ways (_band_candidates) and
+    verify against the cached shingles — a per-arm rebuild would rerun
+    the dominant signature pass 3× for byte-identical results (the
+    oracle replays the per-arm derivation and matches either way)."""
+    from ..operators.dedup import (
+        _band_candidates,
+        _jaccard_verify,
+        _sized_shingles,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     exact = (
@@ -4773,10 +4797,27 @@ def q170_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     ne = exact.agg(F.count("*").alias("n_exact"))
+    sig = minhash_signatures(docs, "text", "doc_id", 64, 3).localCheckpoint(
+        eager=True
+    )
+    sh = (
+        _sized_shingles(docs, "text", "doc_id", 3, 1000)
+        .filter(F.col("_bucket_n") >= 2)
+        .localCheckpoint(eager=True)
+    )
     arms = []
     for bands in (8, 16, 32):
         lsh = (
-            minhash_lsh_pairs(docs, bands=bands, threshold=0.5)
+            _jaccard_verify(
+                docs,
+                _band_candidates(sig, bands, 64 // bands, 1000),
+                "text",
+                "doc_id",
+                3,
+                1000,
+                0.5,
+                sh=sh,
+            )
             .select("doc_a", "doc_b")
             .localCheckpoint(eager=True)
         )
@@ -13367,6 +13408,214 @@ ORDER BY uni.source
 """
 
 
+def q363_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / cumulative-gains table: does event VALUE rank
+    purchases to the top? The campaign-targeting standard that
+    complements the threshold-free AUC (q272) and the operating-point
+    sweep (q143): population deciles by score (value DESC), each
+    reporting its positive rate, lift over the base rate, and the
+    cumulative share of all positives captured — the 'read the top-k
+    deciles' planning relation.
+
+    Exactness: everything integer — values quantize to milli; the
+    EXACT global rank uses the q214/q224 two-phase idiom (exclusive
+    cumulative count over the bounded distinct-score relation + a
+    score-partitioned row_number on event_id for the deterministic
+    tie order), decile = ((rank−1)·10) div N, and every ratio is a
+    cleared-denominator DECIMAL div. Zero positives → NULL lift/gain.
+
+    Shape at 100 TB: one (score) count-table collapse, one window over
+    the bounded distinct-score relation, one score-partitioned
+    within-group window, a broadcast 1-row totals join, a 10-row
+    rollup. No global sort ever touches raw rows (the oracle runs the
+    naive ORDER BY rank — same result)."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id",
+        F.expr("CAST(round(value * 1000) AS BIGINT)").alias("si"),
+        F.expr(
+            "CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("y"),
+    )
+    cnt = e.groupBy("si").agg(F.count("*").alias("c"))
+    w_above = W.orderBy(F.col("si").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    cum = cnt.select(
+        "si", F.coalesce(F.sum("c").over(w_above), F.lit(0)).alias("above")
+    )
+    tot = e.agg(
+        F.count("*").alias("n_tot"),
+        F.sum("y").cast("long").alias("pos_tot"),
+    )
+    w_in = W.partitionBy("si").orderBy("event_id")
+    ranked = (
+        e.join(cum, "si")
+        .withColumn("r", F.col("above") + F.row_number().over(w_in))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("((r - 1) * 10) div n_tot").alias("decile"),
+            "y",
+            "n_tot",
+            "pos_tot",
+        )
+    )
+    per = ranked.groupBy("decile", "n_tot", "pos_tot").agg(
+        F.count("*").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    w_cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        per.withColumn("cum_pos", F.sum("n_pos").over(w_cum))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            F.expr("(n_pos * 1000000) div n").alias("pos_rate_ppm"),
+            F.expr(
+                "CASE WHEN pos_tot > 0 THEN"
+                " CAST((CAST(n_pos AS DECIMAL(38,0)) * n_tot * 1000000)"
+                " div (CAST(n AS DECIMAL(38,0)) * pos_tot) AS BIGINT) END"
+            ).alias("lift_ppm"),
+            F.expr(
+                "CASE WHEN pos_tot > 0 THEN"
+                " (cum_pos * 1000000) div pos_tot END"
+            ).alias("cum_gain_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+_Q363_SQL = """
+WITH e AS (
+  SELECT event_id,
+         CAST(round(value * 1000) AS BIGINT) AS si,
+         CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+              AS BIGINT) AS y
+  FROM events
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_tot,
+         CAST(sum(y) AS BIGINT) AS pos_tot
+  FROM e
+), ranked AS (
+  SELECT ((row_number() OVER (ORDER BY si DESC, event_id) - 1) * 10)
+           // n_tot AS decile,
+         y, n_tot, pos_tot
+  FROM e CROSS JOIN tot
+), per AS (
+  SELECT decile, n_tot, pos_tot,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos
+  FROM ranked
+  GROUP BY decile, n_tot, pos_tot
+)
+SELECT decile, n, n_pos,
+       CAST((n_pos * 1000000) // n AS BIGINT) AS pos_rate_ppm,
+       CASE WHEN pos_tot > 0 THEN
+         CAST((CAST(n_pos AS HUGEINT) * n_tot * 1000000)
+              // (CAST(n AS HUGEINT) * pos_tot) AS BIGINT) END AS lift_ppm,
+       CASE WHEN pos_tot > 0 THEN
+         CAST((sum(n_pos) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               * 1000000) // pos_tot AS BIGINT) END AS cum_gain_ppm
+FROM per
+ORDER BY decile
+"""
+
+
+def q364_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the privacy
+    gate k-anonymity (q123) misses: an equivalence class can be large
+    yet reveal its members' SENSITIVE attribute when every row shares
+    one value (the homogeneity attack). Quasi-identifiers are
+    (lang, source); the sensitive attribute is the 100-char length
+    bucket; each class reports its size, distinct-l, and entropy
+    l-diversity (entropy of the sensitive distribution, the stricter
+    criterion), flagged below l = 3.
+
+    Exactness: counts exact; the entropy is a per-sensitive-value
+    double term −(c/n)·ln(c/n) over exact integers, quantized to nano
+    BEFORE the per-class sum (integer addition — order-independent,
+    the q360 discipline); entropy_l_milli = round(exp(H)·1000) makes
+    the entropy-l comparable to the distinct-l on one scale.
+
+    Shape at 100 TB: two map-side-combined grouped counts on bounded
+    composite keys; the flagged classes a human reviews are bounded by
+    the QI space, not the data."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.select(
+            "lang",
+            "source",
+            (F.floor(F.col("n_chars") / 100) * 100).alias("sens"),
+        )
+        .groupBy("lang", "source", "sens")
+        .agg(F.count("*").alias("c"))
+    )
+    w_cls = W.partitionBy("lang", "source")
+    per = cells.withColumn("n", F.sum("c").over(w_cls)).select(
+        "lang",
+        "source",
+        "c",
+        "n",
+        F.expr(
+            "CAST(round(-(CAST(c AS DOUBLE) / n)"
+            " * ln(CAST(c AS DOUBLE) / n) * 1e9) AS BIGINT)"
+        ).alias("h_nano"),
+    )
+    cls = per.groupBy("lang", "source").agg(
+        F.max("n").cast("long").alias("class_size"),
+        F.count("*").alias("l_distinct"),
+        F.sum("h_nano").cast("long").alias("h_nano"),
+    )
+    return cls.select(
+        "lang",
+        "source",
+        "class_size",
+        "l_distinct",
+        F.expr(
+            "CAST(round(exp(CAST(h_nano AS DOUBLE) / 1e9) * 1000)"
+            " AS BIGINT)"
+        ).alias("entropy_l_milli"),
+        (F.col("l_distinct") < 3).alias("below_l3"),
+    ).orderBy("lang", "source")
+
+
+_Q364_SQL = """
+WITH cells AS (
+  SELECT lang, source,
+         CAST(floor(n_chars / 100) * 100 AS BIGINT) AS sens,
+         CAST(count(*) AS BIGINT) AS c
+  FROM documents
+  GROUP BY lang, source, 3
+), per AS (
+  SELECT lang, source, c,
+         sum(c) OVER (PARTITION BY lang, source) AS n
+  FROM cells
+), terms AS (
+  SELECT lang, source, c, n,
+         CAST(round(-(CAST(c AS DOUBLE) / n)
+                    * ln(CAST(c AS DOUBLE) / n) * 1e9) AS BIGINT)
+           AS h_nano
+  FROM per
+), cls AS (
+  SELECT lang, source,
+         CAST(max(n) AS BIGINT) AS class_size,
+         CAST(count(*) AS BIGINT) AS l_distinct,
+         CAST(sum(h_nano) AS BIGINT) AS h_nano
+  FROM terms
+  GROUP BY lang, source
+)
+SELECT lang, source, class_size, l_distinct,
+       CAST(round(exp(CAST(h_nano AS DOUBLE) / 1e9) * 1000) AS BIGINT)
+         AS entropy_l_milli,
+       l_distinct < 3 AS below_l3
+FROM cls
+ORDER BY lang, source
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -13530,6 +13779,8 @@ QUERIES = {
     "q350_sketch_audit_scoreboard": q350_sketch_audit_scoreboard,
     "q355_knn_label_agreement": q355_knn_label_agreement,
     "q356_distinct_n_diversity": q356_distinct_n_diversity,
+    "q363_lift_gains": q363_lift_gains,
+    "q364_l_diversity": q364_l_diversity,
 }
 
 ORACLES = {
@@ -13695,4 +13946,6 @@ ORACLES = {
     "q350_sketch_audit_scoreboard": _q350_sql(),
     "q355_knn_label_agreement": _Q355_SQL,
     "q356_distinct_n_diversity": _Q356_SQL,
+    "q363_lift_gains": _Q363_SQL,
+    "q364_l_diversity": _Q364_SQL,
 }

@@ -406,6 +406,8 @@ HEADLINE = [
     "q360_welch_anova",
     "q361_ansari_bradley",
     "q362_watermark_lateness_audit",
+    "q363_lift_gains",
+    "q364_l_diversity",
 ]
 
 

@@ -310,3 +310,78 @@ def test_q362_lateness_tiers_hand_values(spark, tmp_path, qs):
         "3_under_1h": (1, 166_666),
         "4_1h_plus": (1, 166_666),
     }
+
+
+def test_q363_lift_gains_hand_values(spark, tmp_path, qs):
+    """10 events valued 10..1 (rank = 11-value), purchases at values
+    10, 9, 8 and 2 (ranks 1, 2, 3, 9 -> deciles 0, 1, 2, 8). Base
+    rate 4/10: hit deciles (n=1, n_pos=1) lift = 10/4 = 2,500,000
+    ppm; cumulative gains climb 250k/500k/750k then hold and reach
+    1,000,000 at decile 8."""
+    from datetime import datetime
+
+    t = datetime(2024, 3, 1, 12)
+    rows = [
+        (i + 1, t, i + 1,
+         "purchase" if v in (10, 9, 8, 2) else "view", float(v), "{}")
+        for i, v in enumerate([10, 9, 8, 7, 6, 5, 4, 3, 2, 1])
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = qs["q363_lift_gains"](spark, str(tmp_path)).collect()
+    got = {r.decile: (r.n, r.n_pos, r.pos_rate_ppm, r.lift_ppm,
+                      r.cum_gain_ppm) for r in out}
+    assert got[0] == (1, 1, 1_000_000, 2_500_000, 250_000)
+    assert got[1] == (1, 1, 1_000_000, 2_500_000, 500_000)
+    assert got[2] == (1, 1, 1_000_000, 2_500_000, 750_000)
+    assert got[3] == (1, 0, 0, 0, 750_000)
+    assert got[8] == (1, 1, 1_000_000, 2_500_000, 1_000_000)
+    assert got[9] == (1, 0, 0, 0, 1_000_000)
+
+
+def test_q363_ties_break_by_event_id(spark, tmp_path, qs):
+    """Two equal-value events split across the decile boundary by
+    event_id order: 4 events, values {5,5,1,1}, purchase on event 2
+    (the SECOND value-5 arrival). Ranks by (value DESC, event_id):
+    e1=1, e2=2 -> deciles ((r-1)*10) div 4: e1 d0, e2 d2 -> the
+    purchase lands in decile 2 deterministically."""
+    from datetime import datetime
+
+    t = datetime(2024, 3, 1, 12)
+    rows = [
+        (1, t, 1, "view", 5.0, "{}"),
+        (2, t, 2, "purchase", 5.0, "{}"),
+        (3, t, 3, "view", 1.0, "{}"),
+        (4, t, 4, "view", 1.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = qs["q363_lift_gains"](spark, str(tmp_path)).collect()
+    got = {r.decile: (r.n, r.n_pos) for r in out}
+    assert got == {0: (1, 0), 2: (1, 1), 5: (1, 0), 7: (1, 0)}
+
+
+def test_q364_l_diversity_hand_values(spark, tmp_path, qs):
+    """(en, srcA): 4 docs in 4 distinct length buckets -> l=4,
+    H=ln4, entropy-l = exp(H) = 4.000; (en, srcB): 3 docs in ONE
+    bucket (homogeneity attack) -> l=1, entropy-l = 1.000, flagged;
+    (de, srcA): 2 docs in 2 buckets -> l=2, entropy-l = 2.000,
+    flagged (below l=3)."""
+    _write_docs(spark, tmp_path, [
+        (1, "t", "en", "srcA", 50),
+        (2, "t", "en", "srcA", 150),
+        (3, "t", "en", "srcA", 250),
+        (4, "t", "en", "srcA", 350),
+        (5, "t", "en", "srcB", 10),
+        (6, "t", "en", "srcB", 20),
+        (7, "t", "en", "srcB", 30),
+        (8, "t", "de", "srcA", 50),
+        (9, "t", "de", "srcA", 150),
+    ])
+    out = qs["q364_l_diversity"](spark, str(tmp_path)).collect()
+    got = {(r.lang, r.source): (r.class_size, r.l_distinct,
+                                r.entropy_l_milli, r.below_l3)
+           for r in out}
+    assert got == {
+        ("en", "srcA"): (4, 4, 4000, False),
+        ("en", "srcB"): (3, 1, 1000, True),
+        ("de", "srcA"): (2, 2, 2000, True),
+    }
