@@ -13616,6 +13616,107 @@ ORDER BY lang, source
 """
 
 
+def q365_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    third privacy gate after k-anonymity (q123) and l-diversity
+    (q364): a class can be large AND diverse yet still leak when its
+    sensitive distribution DIFFERS from the table's (skewness attack);
+    t-closeness bounds the total-variation distance between each
+    class's sensitive distribution and the global one. QI = (lang,
+    source); sensitive = the 100-char length bucket; flagged above
+    t = 0.2.
+
+    Exactness: FULLY integer — TVD = ½Σ_v|c_v/n − C_v/N| clears
+    denominators to Σ_v|c_v·N − C_v·n| (exact DECIMAL), and the
+    absent-bucket tail Σ_{v∉class}C_v·n folds in algebraically as
+    n·N − Σ_{v∈class}C_v·n (no dense class×bucket grid is ever
+    built); t_ppm = (sum·10⁶) div (2·n·N).
+
+    Shape at 100 TB: one (class, bucket) count pass, a broadcast join
+    against the bounded global bucket relation, one class rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.select(
+            "lang",
+            "source",
+            (F.floor(F.col("n_chars") / 100) * 100).alias("sens"),
+        )
+        .groupBy("lang", "source", "sens")
+        .agg(F.count("*").alias("c"))
+    )
+    glob = cells.groupBy("sens").agg(F.sum("c").cast("long").alias("cg"))
+    tot = glob.agg(F.sum("cg").cast("long").alias("n_tot"))
+    w_cls = W.partitionBy("lang", "source")
+    per = (
+        cells.join(F.broadcast(glob), "sens")
+        .withColumn("n", F.sum("c").over(w_cls))
+        .crossJoin(F.broadcast(tot))
+    )
+    cls = per.groupBy("lang", "source").agg(
+        F.max("n").cast("long").alias("class_size"),
+        F.max("n_tot").cast("long").alias("n_tot"),
+        F.sum(
+            F.expr(
+                "abs(CAST(c AS DECIMAL(38,0)) * n_tot"
+                " - CAST(cg AS DECIMAL(38,0)) * n)"
+                " - CAST(cg AS DECIMAL(38,0)) * n"
+            )
+        ).alias("present_sum"),
+    )
+    return cls.select(
+        "lang",
+        "source",
+        "class_size",
+        F.expr(
+            "CAST(((CAST(class_size AS DECIMAL(38,0)) * n_tot"
+            " + present_sum) * 1000000)"
+            " div (2 * CAST(class_size AS DECIMAL(38,0)) * n_tot)"
+            " AS BIGINT)"
+        ).alias("t_ppm"),
+    ).withColumn("above_t_02", F.col("t_ppm") > 200000).orderBy(
+        "lang", "source"
+    )
+
+
+_Q365_SQL = """
+WITH cells AS (
+  SELECT lang, source,
+         CAST(floor(n_chars / 100) * 100 AS BIGINT) AS sens,
+         CAST(count(*) AS BIGINT) AS c
+  FROM documents
+  GROUP BY lang, source, 3
+), gdist AS (
+  SELECT sens, CAST(sum(c) AS BIGINT) AS cg FROM cells GROUP BY sens
+), tot AS (
+  SELECT CAST(sum(cg) AS BIGINT) AS n_tot FROM gdist
+), per AS (
+  SELECT cells.lang, cells.source, cells.c, gdist.cg, tot.n_tot,
+         sum(cells.c) OVER (PARTITION BY cells.lang, cells.source) AS n
+  FROM cells JOIN gdist USING (sens) CROSS JOIN tot
+), cls AS (
+  SELECT lang, source,
+         CAST(max(n) AS BIGINT) AS class_size,
+         CAST(max(n_tot) AS BIGINT) AS n_tot,
+         CAST(sum(abs(CAST(c AS HUGEINT) * n_tot
+                      - CAST(cg AS HUGEINT) * n)
+                  - CAST(cg AS HUGEINT) * n) AS HUGEINT) AS present_sum
+  FROM per
+  GROUP BY lang, source
+)
+SELECT lang, source, class_size,
+       CAST(((CAST(class_size AS HUGEINT) * n_tot + present_sum)
+             * 1000000)
+            // (2 * CAST(class_size AS HUGEINT) * n_tot) AS BIGINT)
+         AS t_ppm,
+       CAST(((CAST(class_size AS HUGEINT) * n_tot + present_sum)
+             * 1000000)
+            // (2 * CAST(class_size AS HUGEINT) * n_tot) AS BIGINT)
+         > 200000 AS above_t_02
+FROM cls
+ORDER BY lang, source
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -13781,6 +13882,7 @@ QUERIES = {
     "q356_distinct_n_diversity": q356_distinct_n_diversity,
     "q363_lift_gains": q363_lift_gains,
     "q364_l_diversity": q364_l_diversity,
+    "q365_t_closeness": q365_t_closeness,
 }
 
 ORACLES = {
@@ -13948,4 +14050,5 @@ ORACLES = {
     "q356_distinct_n_diversity": _Q356_SQL,
     "q363_lift_gains": _Q363_SQL,
     "q364_l_diversity": _Q364_SQL,
+    "q365_t_closeness": _Q365_SQL,
 }

@@ -408,6 +408,7 @@ HEADLINE = [
     "q362_watermark_lateness_audit",
     "q363_lift_gains",
     "q364_l_diversity",
+    "q365_t_closeness",
 ]
 
 

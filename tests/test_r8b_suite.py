@@ -385,3 +385,37 @@ def test_q364_l_diversity_hand_values(spark, tmp_path, qs):
         ("en", "srcB"): (3, 1, 1000, True),
         ("de", "srcA"): (2, 2, 2000, True),
     }
+
+
+def test_q365_t_closeness_hand_values(spark, tmp_path, qs):
+    """Global buckets A(0-99) x3, B(100-199) x1 over two classes:
+    srcX = {A, B} -> TVD = (|1/2-3/4| + |1/2-1/4|)/2 = 1/4 ->
+    250000 ppm; srcY = {A, A} (skewed to A, bucket B absent) ->
+    TVD = (|1-3/4| + |0-1/4|)/2 = 1/4 -> 250000 ppm, exercising the
+    algebraic absent-bucket tail. Both exceed t = 0.2 -> flagged."""
+    _write_docs(spark, tmp_path, [
+        (1, "t", "en", "srcX", 50),
+        (2, "t", "en", "srcX", 150),
+        (3, "t", "en", "srcY", 60),
+        (4, "t", "en", "srcY", 70),
+    ])
+    out = qs["q365_t_closeness"](spark, str(tmp_path)).collect()
+    got = {(r.lang, r.source): (r.class_size, r.t_ppm, r.above_t_02)
+           for r in out}
+    assert got == {
+        ("en", "srcX"): (2, 250_000, True),
+        ("en", "srcY"): (2, 250_000, True),
+    }
+
+
+def test_q365_identical_distribution_is_zero(spark, tmp_path, qs):
+    """A class whose sensitive distribution equals the global one has
+    t = 0 (no skewness leak)."""
+    _write_docs(spark, tmp_path, [
+        (1, "t", "en", "srcX", 50),
+        (2, "t", "en", "srcX", 150),
+        (3, "t", "en", "srcY", 60),
+        (4, "t", "en", "srcY", 160),
+    ])
+    out = qs["q365_t_closeness"](spark, str(tmp_path)).collect()
+    assert all(r.t_ppm == 0 and not r.above_t_02 for r in out)
