@@ -14008,6 +14008,122 @@ ORDER BY lateness_tier
 """
 
 
+def q366_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily user growth accounting — the product-analytics ledger
+    that decomposes every day's active count into NEW (first-ever
+    day), RETAINED (also active yesterday) and RESURRECTED (returning
+    after a gap), with CHURNED (active yesterday, silent today)
+    attributed to the day the user went silent — the decomposition
+    behind 'active(d) − active(d−1) = new + resurrected − churned'
+    that q62's cohort grid and q334's stickiness ratio don't give.
+    Right-censored: nobody churns past the last observed day.
+
+    Exactness: all integers off the distinct (user, day) relation;
+    classification is lag/lead day arithmetic; the churn side is
+    attributed to day+1 and outer-merged with the activity side so a
+    fully-silent day still carries its churn row.
+
+    Shape at 100 TB: one distinct on (user, day) (hash shuffle keyed
+    by user count), two user-partitioned windows, two ≤|days| rollups
+    and a calendar-bounded outer merge. No raw-row global sort."""
+    events = load_table(spark, sf_dir, "events")
+    ud = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w_u = W.partitionBy("user_id").orderBy("day")
+    flags = ud.select(
+        "user_id",
+        "day",
+        F.lag("day").over(w_u).alias("prev_day"),
+        F.lead("day").over(w_u).alias("next_day"),
+        F.min("day").over(
+            W.partitionBy("user_id")
+        ).alias("first_day"),
+    )
+    acts = flags.groupBy("day").agg(
+        F.count("*").alias("n_active"),
+        F.sum(
+            F.expr("CASE WHEN day = first_day THEN 1 ELSE 0 END")
+        ).cast("long").alias("n_new"),
+        F.sum(
+            F.expr(
+                "CASE WHEN prev_day = day - INTERVAL 1 DAY"
+                " THEN 1 ELSE 0 END"
+            )
+        ).cast("long").alias("n_retained"),
+        F.sum(
+            F.expr(
+                "CASE WHEN day > first_day AND (prev_day IS NULL"
+                " OR prev_day < day - INTERVAL 1 DAY)"
+                " THEN 1 ELSE 0 END"
+            )
+        ).cast("long").alias("n_resurrected"),
+    )
+    last = ud.agg(F.max("day").alias("max_day"))
+    churn = (
+        flags.crossJoin(F.broadcast(last))
+        .filter(
+            "(next_day IS NULL OR next_day > day + INTERVAL 1 DAY)"
+            " AND day < max_day"
+        )
+        .select(F.expr("day + INTERVAL 1 DAY").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n_churned"))
+    )
+    return (
+        acts.join(churn, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_active", F.lit(0)).alias("n_active"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0)).alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+        )
+        .orderBy("day")
+    )
+
+
+_Q366_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), flags AS (
+  SELECT user_id, day,
+         lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+         lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day,
+         min(day) OVER (PARTITION BY user_id) AS first_day
+  FROM ud
+), acts AS (
+  SELECT day,
+         CAST(count(*) AS BIGINT) AS n_active,
+         CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_new,
+         CAST(sum(CASE WHEN prev_day = day - INTERVAL 1 DAY
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+         CAST(sum(CASE WHEN day > first_day AND (prev_day IS NULL
+                        OR prev_day < day - INTERVAL 1 DAY)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+  FROM flags
+  GROUP BY day
+), churn AS (
+  SELECT CAST(day + INTERVAL 1 DAY AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_churned
+  FROM flags CROSS JOIN (SELECT max(day) AS max_day FROM ud) m
+  WHERE (next_day IS NULL OR next_day > day + INTERVAL 1 DAY)
+    AND day < max_day
+  GROUP BY 1
+)
+SELECT coalesce(acts.day, churn.day) AS day,
+       coalesce(n_active, 0) AS n_active,
+       coalesce(n_new, 0) AS n_new,
+       coalesce(n_retained, 0) AS n_retained,
+       coalesce(n_resurrected, 0) AS n_resurrected,
+       coalesce(n_churned, 0) AS n_churned
+FROM acts FULL OUTER JOIN churn ON churn.day = acts.day
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -14186,6 +14302,7 @@ QUERIES = {
     "q360_welch_anova": q360_welch_anova,
     "q361_ansari_bradley": q361_ansari_bradley,
     "q362_watermark_lateness_audit": q362_watermark_lateness_audit,
+    "q366_growth_accounting": q366_growth_accounting,
     "q337_lorenz_curve": q337_lorenz_curve,
 }
 
@@ -14367,5 +14484,6 @@ ORACLES = {
     "q360_welch_anova": _q360_sql(),
     "q361_ansari_bradley": _q361_sql(),
     "q362_watermark_lateness_audit": _Q362_SQL,
+    "q366_growth_accounting": _Q366_SQL,
     "q337_lorenz_curve": _Q337_SQL,
 }

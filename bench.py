@@ -409,6 +409,7 @@ HEADLINE = [
     "q363_lift_gains",
     "q364_l_diversity",
     "q365_t_closeness",
+    "q366_growth_accounting",
 ]
 
 

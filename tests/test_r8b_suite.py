@@ -419,3 +419,34 @@ def test_q365_identical_distribution_is_zero(spark, tmp_path, qs):
     ])
     out = qs["q365_t_closeness"](spark, str(tmp_path)).collect()
     assert all(r.t_ppm == 0 and not r.above_t_02 for r in out)
+
+
+def test_q366_growth_accounting_hand_ledger(spark, tmp_path, qs):
+    """u1 active d1,d2,d4 (retained d2, resurrected d4); u2 d1 only
+    (churns d2); u3 d2,d3 (new d2, retained d3, churns d4). Ledger:
+    d1 (2 active, 2 new), d2 (2 active, 1 new, 1 retained, 1 churn),
+    d3 (1 active, 1 retained, 1 churn: u1), d4 (1 active,
+    1 resurrected, 1 churn: u3). u1's d4 activity is right-censored
+    (max day) — no churn past the data end. Every day satisfies
+    active = new + retained + resurrected."""
+    from datetime import datetime
+
+    def ev(eid, day, uid):
+        return (eid, datetime(2024, 3, day, 12), uid, "view", 1.0, "{}")
+
+    _write_events(spark, tmp_path, [
+        ev(1, 1, 1), ev(2, 2, 1), ev(3, 4, 1),
+        ev(4, 1, 2),
+        ev(5, 2, 3), ev(6, 3, 3),
+    ])
+    out = qs["q366_growth_accounting"](spark, str(tmp_path)).collect()
+    got = {str(r.day): (r.n_active, r.n_new, r.n_retained,
+                        r.n_resurrected, r.n_churned) for r in out}
+    assert got == {
+        "2024-03-01": (2, 2, 0, 0, 0),
+        "2024-03-02": (2, 1, 1, 0, 1),
+        "2024-03-03": (1, 0, 1, 0, 1),
+        "2024-03-04": (1, 0, 0, 1, 1),
+    }
+    for n_active, n_new, n_ret, n_res, _ in got.values():
+        assert n_active == n_new + n_ret + n_res
