@@ -28,6 +28,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 __all__ = [
+    "lateness_tier_counts",
     "rollup_snapshot",
     "merge_rollup",
     "merge_upsert",
@@ -517,3 +518,70 @@ def tvd_matrix(
             " div (2 * CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
         ).alias("tvd_ppm"),
     ).orderBy("grp_a", "grp_b")
+
+
+_LONG_MIN = -9223372036854775808
+
+
+def lateness_tier_counts(
+    df: DataFrame, prev_max_us: int | None = None
+) -> DataFrame:
+    """Out-of-orderness tier counts for an arrival-ordered event
+    relation — the shared core of the batch watermark-delay planner
+    (plans/relational.q362) and the streaming lateness monitor
+    (streaming/lateness_monitor.py): each event's lateness is the gap
+    to the maximum event time among STRICTLY EARLIER arrivals
+    (arrival order = event_id, seeded with ``prev_max_us`` — the max
+    event time of every earlier micro-batch — so cross-batch lateness
+    composes exactly).
+
+    Scale shape (the q214/q224 two-phase idiom on prefix-MAX): a
+    FIXED ≤1025-cell event_id grid (width = max_id div 1024 + 1 from
+    a broadcast 1-row agg), per-cell maxima map-side combine, a
+    prefix-max over the bounded cell relation, and a cell-partitioned
+    within-cell window — no global sort touches raw rows. Returns
+    (lateness_tier, n_events); all integers.
+    """
+    from pyspark.sql import Window as W
+
+    raw = df.select("event_id", F.expr("unix_micros(ts)").alias("t_us"))
+    width = raw.agg(
+        F.expr("CAST(max(event_id) div 1024 + 1 AS BIGINT)").alias("w")
+    )
+    base = raw.crossJoin(F.broadcast(width)).select(
+        "event_id",
+        "t_us",
+        F.expr("CAST(event_id div w AS BIGINT)").alias("b"),
+    )
+    bmax = base.groupBy("b").agg(F.max("t_us").alias("bm"))
+    w_excl = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    bpre = bmax.select("b", F.max("bm").over(w_excl).alias("bpre"))
+    w_in = W.partitionBy("b").orderBy("event_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    seed = _LONG_MIN if prev_max_us is None else int(prev_max_us)
+    late = (
+        base.join(F.broadcast(bpre), "b")
+        .withColumn("in_max", F.max("t_us").over(w_in))
+        .select(
+            F.expr(
+                f"CASE WHEN greatest(coalesce(in_max, {_LONG_MIN}),"
+                f" coalesce(bpre, {_LONG_MIN}), {seed}) = {_LONG_MIN}"
+                " THEN 0"
+                f" ELSE greatest(0, greatest(coalesce(in_max, {_LONG_MIN}),"
+                f" coalesce(bpre, {_LONG_MIN}), {seed}) - t_us) END"
+            ).alias("late_us")
+        )
+    )
+    tier = (
+        "CASE WHEN late_us = 0 THEN '0_on_time'"
+        " WHEN late_us < 1000000 THEN '1_under_1s'"
+        " WHEN late_us < 60000000 THEN '2_under_1m'"
+        " WHEN late_us < 3600000000 THEN '3_under_1h'"
+        " ELSE '4_1h_plus' END"
+    )
+    return (
+        late.select(F.expr(tier).alias("lateness_tier"))
+        .groupBy("lateness_tier")
+        .agg(F.count("*").alias("n_events"))
+    )

@@ -13919,51 +13919,11 @@ def q362_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     prefix combines with a bucket-partitioned within-bucket window —
     arrival order is preserved end to end, no global sort ever
     touches raw rows."""
+    from ..operators.incremental import lateness_tier_counts
+
     events = load_table(spark, sf_dir, "events")
-    raw = events.select(
-        "event_id", F.expr("unix_micros(ts)").alias("t_us")
-    )
-    width = raw.agg(
-        F.expr(
-            "CAST(max(event_id) div 1024 + 1 AS BIGINT)"
-        ).alias("w")
-    )
-    base = raw.crossJoin(F.broadcast(width)).select(
-        "event_id",
-        "t_us",
-        F.expr("CAST(event_id div w AS BIGINT)").alias("b"),
-    )
-    bmax = base.groupBy("b").agg(F.max("t_us").alias("bm"))
-    w_excl = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
-    bpre = bmax.select("b", F.max("bm").over(w_excl).alias("bpre"))
-    w_in = W.partitionBy("b").orderBy("event_id").rowsBetween(
-        W.unboundedPreceding, -1
-    )
-    late = (
-        base.join(F.broadcast(bpre), "b")
-        .withColumn("in_max", F.max("t_us").over(w_in))
-        .select(
-            F.expr(
-                "CASE WHEN greatest(coalesce(in_max, -9223372036854775808),"
-                " coalesce(bpre, -9223372036854775808))"
-                " = -9223372036854775808 THEN 0"
-                " ELSE greatest(0, greatest(coalesce(in_max,"
-                " -9223372036854775808), coalesce(bpre,"
-                " -9223372036854775808)) - t_us) END"
-            ).alias("late_us")
-        )
-    )
-    tier = (
-        "CASE WHEN late_us = 0 THEN '0_on_time'"
-        " WHEN late_us < 1000000 THEN '1_under_1s'"
-        " WHEN late_us < 60000000 THEN '2_under_1m'"
-        " WHEN late_us < 3600000000 THEN '3_under_1h'"
-        " ELSE '4_1h_plus' END"
-    )
     return (
-        late.select(F.expr(tier).alias("lateness_tier"))
-        .groupBy("lateness_tier")
-        .agg(F.count("*").alias("n_events"))
+        lateness_tier_counts(events)
         .select(
             "lateness_tier",
             "n_events",

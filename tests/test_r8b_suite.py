@@ -450,3 +450,76 @@ def test_q366_growth_accounting_hand_ledger(spark, tmp_path, qs):
     }
     for n_active, n_new, n_ret, n_res, _ in got.values():
         assert n_active == n_new + n_ret + n_res
+
+
+def test_lateness_monitor_equals_batch_q362(spark, tmp_path, qs):
+    """Streaming twin of q362: the q362 hand fixture split into two
+    arrival-ordered micro-batches (e1-e3, then e4-e6). The merged
+    streaming profile must equal the batch q362 relation over the
+    union (cross-batch lateness seeds from the earlier batch's max
+    event time), and a foreachBatch RETRY of batch 0 must not move
+    any row."""
+    from airflow_spotify_etl_spark.sources.files import SCHEMAS
+    from airflow_spotify_etl_spark.streaming.lateness_monitor import (
+        _apply_lateness_batch,
+        read_lateness_profile,
+        run_lateness_monitor,
+    )
+    from datetime import datetime
+
+    d = datetime
+    rows1 = [
+        (1, d(2024, 3, 1, 10, 0, 0), 1, "view", 1.0, "{}"),
+        (2, d(2024, 3, 1, 9, 59, 59, 500000), 2, "view", 1.0, "{}"),
+        (3, d(2024, 3, 1, 10, 0, 30), 3, "view", 1.0, "{}"),
+    ]
+    rows2 = [
+        (4, d(2024, 3, 1, 9, 59, 45), 4, "view", 1.0, "{}"),
+        (5, d(2024, 3, 1, 9, 0, 0), 5, "view", 1.0, "{}"),
+        (6, d(2024, 3, 1, 9, 59, 0), 6, "view", 1.0, "{}"),
+    ]
+    src = str(tmp_path / "late_src")
+    store = str(tmp_path / "late_store")
+    ckpt = str(tmp_path / "late_ckpt")
+    schema = SCHEMAS["events"]
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        run_lateness_monitor(spark, stream, store, ckpt)
+
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+
+    got = {
+        r.lateness_tier: (r.n_events, r.share_ppm)
+        for r in read_lateness_profile(spark, store).collect()
+    }
+    batch_dir = tmp_path / "late_batch"
+    spark.createDataFrame(rows1 + rows2, schema).write.parquet(
+        str(batch_dir / "events.parquet")
+    )
+    want = {
+        r.lateness_tier: (r.n_events, r.share_ppm)
+        for r in qs["q362_watermark_lateness_audit"](
+            spark, str(batch_dir)
+        ).collect()
+    }
+    assert got == want
+    assert got["0_on_time"] == (2, 333_333)
+
+    # retry discipline: re-applying batch 0 reuses only priors with
+    # batch < 0 (none) and overwrites its own partition -> no movement
+    _apply_lateness_batch(
+        spark, spark.createDataFrame(rows1, schema), store, 0
+    )
+    again = {
+        r.lateness_tier: (r.n_events, r.share_ppm)
+        for r in read_lateness_profile(spark, store).collect()
+    }
+    assert again == got
