@@ -13717,6 +13717,105 @@ ORDER BY lang, source
 """
 
 
+def q367_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the corpus's TRUE distinct-
+    text population from two overlapping source 'captures' — the
+    ecology estimator (Chapman 1951) a crawl operator uses to answer
+    'how much of the deduplicated universe have we actually collected'
+    from two independent feeds, complementing the frequency-based
+    richness estimators (Chao1 q305, Good-Turing q261) with the
+    two-sample incidence view.
+
+    Captures are the two lexicographically-first sources' distinct
+    md5(text) sets: n̂ = floor((n1+1)(n2+1)/(m+1)) − 1 (the
+    bias-corrected Chapman form, exact integer floor), reported beside
+    the OBSERVED union distinct count and coverage_ppm =
+    observed·10⁶ div n̂.
+
+    Shape at 100 TB: one distinct on (source, md5) (hash-only), a
+    2-row broadcast of the chosen sources, one md5-keyed overlap join
+    bounded by the smaller capture, three 1-row aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    sm = docs.select("source", F.md5("text").alias("h")).distinct()
+    pick = (
+        sm.select("source").distinct().orderBy("source").limit(2)
+        .withColumn("rank", F.lit(1))
+    )
+    two = [r.source for r in pick.collect()]
+    if len(two) < 2:
+        return spark.createDataFrame(
+            [],
+            "source_a string, source_b string, n1 long, n2 long,"
+            " m_overlap long, n_hat_chapman long, n_union_observed long,"
+            " coverage_ppm long",
+        )
+    a, b = two[0], two[1]
+    sa = sm.filter(F.col("source") == a).select("h")
+    sb = sm.filter(F.col("source") == b).select("h")
+    n1 = sa.agg(F.count("*").alias("n1"))
+    n2 = sb.agg(F.count("*").alias("n2"))
+    m = sa.join(sb, "h").agg(F.count("*").alias("m_overlap"))
+    u = sa.unionByName(sb).distinct().agg(
+        F.count("*").alias("n_union_observed")
+    )
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(u))
+        .select(
+            F.lit(a).alias("source_a"),
+            F.lit(b).alias("source_b"),
+            "n1",
+            "n2",
+            "m_overlap",
+            F.expr(
+                "CAST((n1 + 1) AS DECIMAL(38,0)) * (n2 + 1)"
+                " div (m_overlap + 1) - 1"
+            ).cast("long").alias("n_hat_chapman"),
+            "n_union_observed",
+            F.expr(
+                "(n_union_observed * 1000000)"
+                " div (CAST((n1 + 1) AS DECIMAL(38,0)) * (n2 + 1)"
+                " div (m_overlap + 1) - 1)"
+            ).cast("long").alias("coverage_ppm"),
+        )
+    )
+
+
+_Q367_SQL = """
+WITH sm AS (
+  SELECT DISTINCT source, md5(text) AS h FROM documents
+), pick AS (
+  SELECT source FROM (SELECT DISTINCT source FROM sm)
+  ORDER BY source LIMIT 2
+), ab AS (
+  SELECT min(source) AS sa, max(source) AS sb FROM pick
+), n1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n1
+  FROM sm, ab WHERE sm.source = ab.sa
+), n2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n2
+  FROM sm, ab WHERE sm.source = ab.sb
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m_overlap
+  FROM (SELECT h FROM sm, ab WHERE sm.source = ab.sa) x
+  JOIN (SELECT h FROM sm, ab WHERE sm.source = ab.sb) y USING (h)
+), u AS (
+  SELECT CAST(count(DISTINCT h) AS BIGINT) AS n_union_observed
+  FROM sm, ab WHERE sm.source IN (ab.sa, ab.sb)
+)
+SELECT ab.sa AS source_a, ab.sb AS source_b, n1, n2, m_overlap,
+       CAST(CAST((n1 + 1) AS HUGEINT) * (n2 + 1) // (m_overlap + 1) - 1
+            AS BIGINT) AS n_hat_chapman,
+       n_union_observed,
+       CAST((n_union_observed * 1000000)
+            // (CAST((n1 + 1) AS HUGEINT) * (n2 + 1) // (m_overlap + 1)
+                - 1) AS BIGINT) AS coverage_ppm
+FROM ab, n1, n2, m, u
+WHERE (SELECT count(*) FROM pick) = 2
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -13883,6 +13982,7 @@ QUERIES = {
     "q363_lift_gains": q363_lift_gains,
     "q364_l_diversity": q364_l_diversity,
     "q365_t_closeness": q365_t_closeness,
+    "q367_capture_recapture": q367_capture_recapture,
 }
 
 ORACLES = {
@@ -14051,4 +14151,5 @@ ORACLES = {
     "q363_lift_gains": _Q363_SQL,
     "q364_l_diversity": _Q364_SQL,
     "q365_t_closeness": _Q365_SQL,
+    "q367_capture_recapture": _Q367_SQL,
 }

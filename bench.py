@@ -410,6 +410,7 @@ HEADLINE = [
     "q364_l_diversity",
     "q365_t_closeness",
     "q366_growth_accounting",
+    "q367_capture_recapture",
 ]
 
 

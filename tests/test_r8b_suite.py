@@ -523,3 +523,24 @@ def test_lateness_monitor_equals_batch_q362(spark, tmp_path, qs):
         for r in read_lateness_profile(spark, store).collect()
     }
     assert again == got
+
+
+def test_q367_chapman_recovers_exact_population(spark, tmp_path, qs):
+    """srcA texts {t1,t2,t3}, srcB {t2,t3,t4,t5}: n1=3, n2=4, m=2 ->
+    Chapman floor(4*5/3) - 1 = 5 = the TRUE distinct population (the
+    estimator is exactly unbiased here); coverage = 5/5 = 1,000,000
+    ppm and the observed union equals the estimate."""
+    _write_docs(spark, tmp_path, [
+        (1, "t1", "en", "srcA", 2),
+        (2, "t2", "en", "srcA", 2),
+        (3, "t3", "en", "srcA", 2),
+        (4, "t2", "en", "srcB", 2),
+        (5, "t3", "en", "srcB", 2),
+        (6, "t4", "en", "srcB", 2),
+        (7, "t5", "en", "srcB", 2),
+    ])
+    r = qs["q367_capture_recapture"](spark, str(tmp_path)).collect()[0]
+    assert (r.source_a, r.source_b) == ("srcA", "srcB")
+    assert (r.n1, r.n2, r.m_overlap) == (3, 4, 2)
+    assert (r.n_hat_chapman, r.n_union_observed, r.coverage_ppm) == (
+        5, 5, 1_000_000)
