@@ -51,6 +51,22 @@ def test_repetition_metrics_closed_form(spark):
     assert got[3].n_tokens == 1 and got[3].top_bigram_frac is None
 
 
+def test_repetition_metrics_null_text_counts_zero_tokens(spark):
+    """NULL text must yield n_tokens=0 (the pre-r7 explode+left-join
+    semantics; the r7 ADVICE low flagged that size(split(NULL)) would
+    otherwise propagate NULL) — the doc row must survive with zeroed
+    counts, not vanish or go NULL."""
+    from airflow_spotify_etl_spark.operators.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "x y")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    assert got[1].n_tokens == 0
+    assert got[1].top_bigram_frac is None
+    assert got[2].n_tokens == 2
+
+
 def test_token_entropy_closed_form(spark):
     import math
 
