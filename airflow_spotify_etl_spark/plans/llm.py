@@ -13816,6 +13816,122 @@ WHERE (SELECT count(*) FROM pick) = 2
 """
 
 
+def q368_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-set SEMANTIC decontamination — the embedding-space
+    complement of the lexical n-gram scans (q50/q84/q148): paraphrased
+    benchmark leakage carries no shared 4-grams, so the release gate
+    also flags corpus vectors whose cosine to ANY eval probe clears
+    the threshold. Eval probes are the fixed vec_id < 32 slice (the
+    q317/q318 held-out idiom); corpus is everything else; threshold
+    0.45 (the q28 operating point for this embedding space).
+
+    Output: one row per probe — how many corpus vectors it
+    contaminates (n_flagged), its strongest match and cosine — plus
+    the DISTINCT corpus removal count over all probes riding on every
+    row (n_corpus_contaminated: the number the release actually
+    deletes; a vector counts once however many probes it hits).
+
+    Exactness: the shared q22 left-to-right cosine fold, round-4
+    cosine, exact integer counts, (cos DESC, vec_id) top pick.
+
+    Shape at 100 TB: the 32-probe side broadcasts; the corpus side is
+    ONE linear scan scored against all probes (no self-join, no
+    shuffle on the corpus); the rollups are probe-bounded. The scale
+    path swaps the scan for the stored IVF index (q27/q56) probes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("q"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 32).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(q, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+        " (acc, x) -> acc + x)"
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.expr(
+            f"aggregate(transform({c}, x -> x * x), CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x)"
+        )
+    )
+    hits = (
+        corpus.crossJoin(F.broadcast(probes))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(dot / (norm("q") * norm("v")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.45)
+    )
+    w1 = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+    per = (
+        hits.withColumn("r", F.row_number().over(w1))
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_flagged"),
+            F.max(F.when(F.col("r") == 1, F.col("vec_id"))).alias(
+                "top_match_id"
+            ),
+            F.max(F.when(F.col("r") == 1, F.col("cos"))).alias("top_cos"),
+        )
+    )
+    removal = hits.select("vec_id").distinct().agg(
+        F.count("*").alias("n_corpus_contaminated")
+    )
+    return (
+        per.crossJoin(F.broadcast(removal))
+        .select(
+            "query_id",
+            "n_flagged",
+            "top_match_id",
+            "top_cos",
+            "n_corpus_contaminated",
+        )
+        .orderBy("query_id")
+    )
+
+
+_Q368_SQL = """
+WITH probes AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q
+  FROM embeddings WHERE vec_id < 32
+), corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= 32
+), hits AS (
+  SELECT query_id, vec_id,
+         round(list_dot_product(q, v)
+               / (sqrt(list_dot_product(q, q))
+                  * sqrt(list_dot_product(v, v))), 4) AS cos
+  FROM corpus CROSS JOIN probes
+  WHERE round(list_dot_product(q, v)
+              / (sqrt(list_dot_product(q, q))
+                 * sqrt(list_dot_product(v, v))), 4) >= 0.45
+), per AS (
+  SELECT query_id,
+         CAST(count(*) AS BIGINT) AS n_flagged,
+         CAST(max(CASE WHEN r = 1 THEN vec_id END) AS BIGINT)
+           AS top_match_id,
+         max(CASE WHEN r = 1 THEN cos END) AS top_cos
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, vec_id) AS r
+    FROM hits
+  )
+  GROUP BY query_id
+), removal AS (
+  SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_corpus_contaminated
+  FROM hits
+)
+SELECT query_id, n_flagged, top_match_id, top_cos, n_corpus_contaminated
+FROM per CROSS JOIN removal
+ORDER BY query_id
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -13983,6 +14099,7 @@ QUERIES = {
     "q364_l_diversity": q364_l_diversity,
     "q365_t_closeness": q365_t_closeness,
     "q367_capture_recapture": q367_capture_recapture,
+    "q368_semantic_decontamination": q368_semantic_decontamination,
 }
 
 ORACLES = {
@@ -14152,4 +14269,5 @@ ORACLES = {
     "q364_l_diversity": _Q364_SQL,
     "q365_t_closeness": _Q365_SQL,
     "q367_capture_recapture": _Q367_SQL,
+    "q368_semantic_decontamination": _Q368_SQL,
 }

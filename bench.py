@@ -411,6 +411,7 @@ HEADLINE = [
     "q365_t_closeness",
     "q366_growth_accounting",
     "q367_capture_recapture",
+    "q368_semantic_decontamination",
 ]
 
 

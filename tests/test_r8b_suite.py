@@ -544,3 +544,25 @@ def test_q367_chapman_recovers_exact_population(spark, tmp_path, qs):
     assert (r.n1, r.n2, r.m_overlap) == (3, 4, 2)
     assert (r.n_hat_chapman, r.n_union_observed, r.coverage_ppm) == (
         5, 5, 1_000_000)
+
+
+def test_q368_semantic_decontamination_hand_values(spark, tmp_path, qs):
+    """Probes 0=[1,0], 1=[0,1]; corpus 40=[2,0] (cos 1.0 / 0.0),
+    41=[1,1] (cos 0.7071 to both), 42=[0,-3] (cos 0.0 / -1.0). At
+    threshold 0.45: probe 0 flags {40, 41} (top = 40 at 1.0),
+    probe 1 flags {41} (top = 41 at 0.7071); the distinct corpus
+    removal is 2 (41 counts once despite hitting both probes)."""
+    _write_embeddings(spark, tmp_path, [
+        (0, [1.0, 0.0], 0),
+        (1, [0.0, 1.0], 1),
+        (40, [2.0, 0.0], 0),
+        (41, [1.0, 1.0], 0),
+        (42, [0.0, -3.0], 0),
+    ])
+    out = qs["q368_semantic_decontamination"](spark, str(tmp_path)).collect()
+    got = {r.query_id: (r.n_flagged, r.top_match_id, r.top_cos,
+                        r.n_corpus_contaminated) for r in out}
+    assert got == {
+        0: (2, 40, 1.0, 2),
+        1: (1, 41, 0.7071, 2),
+    }
