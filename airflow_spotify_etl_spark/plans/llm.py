@@ -13932,6 +13932,187 @@ ORDER BY query_id
 """
 
 
+def q369_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong confidence interval for the ROC-AUC of the q363
+    targeting score (event value → purchase): the standard
+    nonparametric AUC variance (DeLong, DeLong & Clarke-Pearson 1988)
+    via the placement-value decomposition — S10 over positives' V10,
+    S01 over negatives' V01, SE = √(S10/n⁺ + S01/n⁻) — giving the CI
+    that q272's point AUC (and this table's own auc_ppm) lacks.
+
+    Exactness: the q272 count-table discipline — placement values
+    come from cumulative positive/negative counts over the bounded
+    distinct-score relation (never an n⁺×n⁻ pair join); auc_ppm is the
+    exact integer (2·gt + ties)·10⁶ div (2·n⁺·n⁻); the only rationals
+    (per-score-group squared deviations) quantize to pico BEFORE the
+    sum (the q360 order-independence discipline); SE and the 1.96σ
+    bounds (unclamped, documented) are one final double chain.
+    Single-class data or n⁺ < 2 / n⁻ < 2 → NULL SE/CI.
+
+    Shape at 100 TB: one (score) count-table collapse, two exclusive
+    windows on the bounded score domain, a broadcast 1-row totals
+    join, a 1-row reduction."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        F.expr("CAST(round(value * 1000) AS BIGINT)").alias("si"),
+        F.expr(
+            "CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("y"),
+    )
+    dom = e.groupBy("si").agg(
+        F.sum("y").alias("cp"),
+        F.sum(1 - F.col("y")).alias("cn"),
+    )
+    w_b = W.orderBy("si").rowsBetween(W.unboundedPreceding, -1)
+    cum = dom.select(
+        "si", "cp", "cn",
+        F.coalesce(F.sum("cn").over(w_b), F.lit(0)).alias("nb"),
+        F.coalesce(F.sum("cp").over(w_b), F.lit(0)).alias("pb"),
+    )
+    tot = dom.agg(
+        F.sum("cp").cast("long").alias("np"),
+        F.sum("cn").cast("long").alias("nn"),
+        F.sum(F.expr("CAST(cp AS DECIMAL(38,0)) * cn")).alias("ties"),
+    )
+    gt = cum.agg(
+        F.sum(F.expr("CAST(cp AS DECIMAL(38,0)) * nb")).alias("gt")
+    )
+    # nullif denominators: Spark's subexpression elimination hoists
+    # shared divisions OUT of CASE guards, so an ANSI divide-by-zero
+    # fires on single-class data even inside a gated branch — NULL
+    # propagation is the safe idiom (the gates then never see it).
+    auc = (
+        "((2.0e0 * CAST(gt AS DOUBLE) + CAST(ties AS DOUBLE))"
+        " / nullif(2.0e0 * CAST(np AS DOUBLE) * nn, 0.0e0))"
+    )
+    v = (
+        "((CAST(nb AS DOUBLE) + CAST(cn AS DOUBLE) / 2)"
+        " / nullif(CAST(nn AS DOUBLE), 0.0e0))"
+    )
+    wexpr = (
+        "((CAST(np AS DOUBLE) - pb - cp + CAST(cp AS DOUBLE) / 2)"
+        " / nullif(CAST(np AS DOUBLE), 0.0e0))"
+    )
+    terms = cum.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(gt))
+    quad = terms.agg(
+        F.sum(
+            F.expr(
+                f"CAST(round(cp * ({v} - {auc}) * ({v} - {auc}) * 1e12)"
+                " AS DECIMAL(38,0))"
+            )
+        ).alias("s10_pico"),
+        F.sum(
+            F.expr(
+                f"CAST(round(cn * ({wexpr} - {auc}) * ({wexpr} - {auc})"
+                " * 1e12) AS DECIMAL(38,0))"
+            )
+        ).alias("s01_pico"),
+    )
+    se = (
+        "sqrt(CAST(s10_pico AS DOUBLE) / 1e12"
+        " / nullif(CAST(np - 1 AS DOUBLE), 0.0e0) / np"
+        " + CAST(s01_pico AS DOUBLE) / 1e12"
+        " / nullif(CAST(nn - 1 AS DOUBLE), 0.0e0) / nn)"
+    )
+    return (
+        tot.crossJoin(F.broadcast(gt))
+        .crossJoin(F.broadcast(quad))
+        .select(
+            F.col("np").alias("n_pos"),
+            F.col("nn").alias("n_neg"),
+            F.expr(
+                "CASE WHEN np > 0 AND nn > 0 THEN"
+                " CAST((2 * gt + ties) * 1000000"
+                " div (2 * CAST(np AS DECIMAL(38,0)) * nn) AS BIGINT) END"
+            ).alias("auc_ppm"),
+            F.expr(
+                "CASE WHEN np >= 2 AND nn >= 2 THEN"
+                f" CAST(round({se} * 1e6) AS BIGINT) END"
+            ).alias("se_micro"),
+            F.expr(
+                "CASE WHEN np >= 2 AND nn >= 2 THEN"
+                f" CAST(round(({auc} - 1.96e0 * {se}) * 1e6) AS BIGINT)"
+                " END"
+            ).alias("ci_lo_micro"),
+            F.expr(
+                "CASE WHEN np >= 2 AND nn >= 2 THEN"
+                f" CAST(round(({auc} + 1.96e0 * {se}) * 1e6) AS BIGINT)"
+                " END"
+            ).alias("ci_hi_micro"),
+        )
+    )
+
+
+def _q369_sql() -> str:
+    auc = (
+        "((2.0 * CAST(gt AS DOUBLE) + CAST(ties AS DOUBLE))"
+        " / nullif(2.0 * CAST(np AS DOUBLE) * nn, 0.0))"
+    )
+    v = (
+        "((CAST(nb AS DOUBLE) + CAST(cn AS DOUBLE) / 2)"
+        " / nullif(CAST(nn AS DOUBLE), 0.0))"
+    )
+    wexpr = (
+        "((CAST(np AS DOUBLE) - pb - cp + CAST(cp AS DOUBLE) / 2)"
+        " / nullif(CAST(np AS DOUBLE), 0.0))"
+    )
+    se = (
+        "sqrt(CAST(s10_pico AS DOUBLE) / 1e12"
+        " / nullif(CAST(np - 1 AS DOUBLE), 0.0) / np"
+        " + CAST(s01_pico AS DOUBLE) / 1e12"
+        " / nullif(CAST(nn - 1 AS DOUBLE), 0.0) / nn)"
+    )
+    return f"""
+WITH e AS (
+  SELECT CAST(round(value * 1000) AS BIGINT) AS si,
+         CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+              AS BIGINT) AS y
+  FROM events
+), dom AS (
+  SELECT si, CAST(sum(y) AS BIGINT) AS cp,
+         CAST(sum(1 - y) AS BIGINT) AS cn
+  FROM e GROUP BY si
+), cum AS (
+  SELECT si, cp, cn,
+         coalesce(sum(cn) OVER (ORDER BY si
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb,
+         coalesce(sum(cp) OVER (ORDER BY si
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb
+  FROM dom
+), tot AS (
+  SELECT CAST(sum(cp) AS BIGINT) AS np,
+         CAST(sum(cn) AS BIGINT) AS nn,
+         CAST(sum(CAST(cp AS HUGEINT) * cn) AS HUGEINT) AS ties
+  FROM dom
+), gtx AS (
+  SELECT CAST(sum(CAST(cp AS HUGEINT) * nb) AS HUGEINT) AS gt FROM cum
+), quad AS (
+  SELECT CAST(sum(CASE WHEN np >= 2 AND nn >= 2 THEN
+                    CAST(round(cp * ({v} - {auc}) * ({v} - {auc}) * 1e12)
+                         AS HUGEINT) ELSE 0 END) AS HUGEINT) AS s10_pico,
+         CAST(sum(CASE WHEN np >= 2 AND nn >= 2 THEN
+                    CAST(round(cn * ({wexpr} - {auc}) * ({wexpr} - {auc})
+                               * 1e12) AS HUGEINT) ELSE 0 END) AS HUGEINT)
+           AS s01_pico
+  FROM cum CROSS JOIN tot CROSS JOIN gtx
+)
+SELECT np AS n_pos, nn AS n_neg,
+       CASE WHEN np > 0 AND nn > 0 THEN
+         CAST((2 * gt + ties) * 1000000
+              // (2 * CAST(np AS HUGEINT) * nn) AS BIGINT) END AS auc_ppm,
+       CASE WHEN np >= 2 AND nn >= 2 THEN
+         CAST(round({se} * 1e6) AS BIGINT) END AS se_micro,
+       CASE WHEN np >= 2 AND nn >= 2 THEN
+         CAST(round(({auc} - 1.96 * {se}) * 1e6) AS BIGINT) END
+         AS ci_lo_micro,
+       CASE WHEN np >= 2 AND nn >= 2 THEN
+         CAST(round(({auc} + 1.96 * {se}) * 1e6) AS BIGINT) END
+         AS ci_hi_micro
+FROM tot CROSS JOIN gtx CROSS JOIN quad
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -14100,6 +14281,7 @@ QUERIES = {
     "q365_t_closeness": q365_t_closeness,
     "q367_capture_recapture": q367_capture_recapture,
     "q368_semantic_decontamination": q368_semantic_decontamination,
+    "q369_auc_delong": q369_auc_delong,
 }
 
 ORACLES = {
@@ -14270,4 +14452,5 @@ ORACLES = {
     "q365_t_closeness": _Q365_SQL,
     "q367_capture_recapture": _Q367_SQL,
     "q368_semantic_decontamination": _Q368_SQL,
+    "q369_auc_delong": _q369_sql(),
 }

@@ -412,6 +412,7 @@ HEADLINE = [
     "q366_growth_accounting",
     "q367_capture_recapture",
     "q368_semantic_decontamination",
+    "q369_auc_delong",
 ]
 
 

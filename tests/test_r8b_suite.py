@@ -566,3 +566,41 @@ def test_q368_semantic_decontamination_hand_values(spark, tmp_path, qs):
         0: (2, 40, 1.0, 2),
         1: (1, 41, 0.7071, 2),
     }
+
+
+def test_q369_delong_hand_values(spark, tmp_path, qs):
+    """Positives (purchase) scored {2, 4}, negatives (view) {1, 3}:
+    3 of 4 pairs concordant -> AUC = 0.75 (750,000 ppm). Placement
+    values V10 = {1/2, 1}, V01 = {1, 1/2}; S10 = S01 = 0.125;
+    SE = sqrt(0.125/2 + 0.125/2) = 0.353553 -> 353,553 micro;
+    CI = 0.75 +/- 1.96*SE = [0.057035, 1.442965] (unclamped by
+    design)."""
+    from datetime import datetime
+
+    t = datetime(2024, 3, 1, 12)
+    _write_events(spark, tmp_path, [
+        (1, t, 1, "purchase", 2.0, "{}"),
+        (2, t, 2, "purchase", 4.0, "{}"),
+        (3, t, 3, "view", 1.0, "{}"),
+        (4, t, 4, "view", 3.0, "{}"),
+    ])
+    r = qs["q369_auc_delong"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_pos, r.n_neg, r.auc_ppm) == (2, 2, 750_000)
+    assert r.se_micro == 353_553
+    assert (r.ci_lo_micro, r.ci_hi_micro) == (57_035, 1_442_965)
+
+
+def test_q369_single_class_is_null(spark, tmp_path, qs):
+    """No negatives -> AUC undefined -> every statistic NULL (the
+    census still reports)."""
+    from datetime import datetime
+
+    t = datetime(2024, 3, 1, 12)
+    _write_events(spark, tmp_path, [
+        (1, t, 1, "purchase", 2.0, "{}"),
+        (2, t, 2, "purchase", 4.0, "{}"),
+    ])
+    r = qs["q369_auc_delong"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_pos, r.n_neg) == (2, 0)
+    assert (r.auc_ppm, r.se_micro, r.ci_lo_micro, r.ci_hi_micro) == (
+        None, None, None, None)
