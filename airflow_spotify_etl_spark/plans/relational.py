@@ -14084,6 +14084,91 @@ ORDER BY 1
 """
 
 
+def q370_shuffle_mixing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-mixing audit of the q116 training-epoch order: how often
+    do ADJACENT positions in the shuffled read order carry the same
+    source? Poorly mixed epochs feed the trainer long same-source runs
+    (the gradient-correlation failure a corpus shuffle exists to
+    prevent); under a uniform random permutation the expected count of
+    same-source adjacencies is exactly E[m] = Σ_s n_s(n_s−1)/N, so
+    mixing_ratio_ppm = m·N·10⁶ div Σ_s n_s(n_s−1) reads 1,000,000 for
+    perfect mixing, above it for clumping.
+
+    Exactness: positions come from the audited epoch_shuffle two-phase
+    exact rank (oracle: the naive global row_number); the adjacency
+    relation is a JOIN on consecutive integers (global_pos = pos+1) —
+    no window over raw rows; all outputs are exact integers and
+    cleared-denominator divs. Single-doc sources contribute 0 to the
+    denominator; a denominator of 0 (all sources singleton) → NULL
+    ratio.
+
+    Shape at 100 TB: epoch_shuffle's one data exchange, a doc_id-keyed
+    source attach, one hash join on the consecutive-position key, two
+    1-row aggregates."""
+    from ..operators.layout import epoch_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    pos = epoch_shuffle(
+        docs, id_col="doc_id", seed="epoch0", batch_size=64
+    ).select("doc_id", "global_pos").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    nxt = pos.select(
+        (F.col("global_pos") - 1).alias("global_pos"),
+        F.col("source").alias("next_source"),
+    )
+    adj = pos.join(nxt, "global_pos").agg(
+        F.count("*").alias("n_adjacent_pairs"),
+        F.sum(
+            F.expr("CASE WHEN source = next_source THEN 1 ELSE 0 END")
+        ).cast("long").alias("n_same_source"),
+    )
+    per = docs.groupBy("source").agg(F.count("*").alias("n"))
+    tot = per.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * (n - 1)")).alias("pairs2"),
+    )
+    return adj.crossJoin(F.broadcast(tot)).select(
+        "n_rows",
+        "n_adjacent_pairs",
+        "n_same_source",
+        F.expr("CAST(pairs2 * 1000000 div n_rows AS BIGINT)").alias(
+            "expected_same_micro"
+        ),
+        F.expr(
+            "CASE WHEN pairs2 > 0 THEN"
+            " CAST(CAST(n_same_source AS DECIMAL(38,0)) * n_rows"
+            " * 1000000 div pairs2 AS BIGINT) END"
+        ).alias("mixing_ratio_ppm"),
+    )
+
+
+_Q370_SQL = """
+WITH pos AS (
+  SELECT source,
+         row_number() OVER (
+           ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) - 1 AS global_pos
+  FROM documents
+), adj AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_adjacent_pairs,
+         CAST(sum(CASE WHEN a.source = b.source THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_same_source
+  FROM pos a JOIN pos b ON b.global_pos = a.global_pos + 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(n AS HUGEINT) * (n - 1)) AS HUGEINT) AS pairs2
+  FROM (SELECT source, count(*) AS n FROM documents GROUP BY source)
+)
+SELECT n_rows, n_adjacent_pairs, n_same_source,
+       CAST(pairs2 * 1000000 // n_rows AS BIGINT) AS expected_same_micro,
+       CASE WHEN pairs2 > 0 THEN
+         CAST(CAST(n_same_source AS HUGEINT) * n_rows * 1000000 // pairs2
+              AS BIGINT) END AS mixing_ratio_ppm
+FROM adj CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -14263,6 +14348,7 @@ QUERIES = {
     "q361_ansari_bradley": q361_ansari_bradley,
     "q362_watermark_lateness_audit": q362_watermark_lateness_audit,
     "q366_growth_accounting": q366_growth_accounting,
+    "q370_shuffle_mixing_audit": q370_shuffle_mixing_audit,
     "q337_lorenz_curve": q337_lorenz_curve,
 }
 
@@ -14445,5 +14531,6 @@ ORACLES = {
     "q361_ansari_bradley": _q361_sql(),
     "q362_watermark_lateness_audit": _Q362_SQL,
     "q366_growth_accounting": _Q366_SQL,
+    "q370_shuffle_mixing_audit": _Q370_SQL,
     "q337_lorenz_curve": _Q337_SQL,
 }

@@ -413,6 +413,7 @@ HEADLINE = [
     "q367_capture_recapture",
     "q368_semantic_decontamination",
     "q369_auc_delong",
+    "q370_shuffle_mixing_audit",
 ]
 
 

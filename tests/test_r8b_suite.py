@@ -604,3 +604,41 @@ def test_q369_single_class_is_null(spark, tmp_path, qs):
     assert (r.n_pos, r.n_neg) == (2, 0)
     assert (r.auc_ppm, r.se_micro, r.ci_lo_micro, r.ci_hi_micro) == (
         None, None, None, None)
+
+
+def test_q370_mixing_audit_matches_md5_order(spark, tmp_path, qs):
+    """Sources A = {1, 2}, B = {3, 4}: the expected same-source
+    adjacency count under a uniform permutation is
+    sum n(n-1)/N = 4/4 = 1 -> expected_same_micro 1,000,000. The
+    OBSERVED count is derived independently here by replaying the
+    md5('epoch0:'||id) read order with hashlib and counting adjacent
+    same-source pairs — a second implementation of the definition,
+    not a copy of the plan."""
+    import hashlib
+
+    srcs = {1: "A", 2: "A", 3: "B", 4: "B"}
+    order = sorted(srcs, key=lambda i: hashlib.md5(
+        f"epoch0:{i}".encode()).hexdigest())
+    m = sum(
+        1 for a, b in zip(order, order[1:]) if srcs[a] == srcs[b]
+    )
+    _write_docs(spark, tmp_path, [
+        (i, "t", "en", f"src{srcs[i]}", 2) for i in srcs
+    ])
+    r = qs["q370_shuffle_mixing_audit"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_rows, r.n_adjacent_pairs) == (4, 3)
+    assert r.expected_same_micro == 1_000_000
+    assert r.n_same_source == m
+    assert r.mixing_ratio_ppm == (m * 4 * 1_000_000) // 4
+
+
+def test_q370_all_singleton_sources_is_null(spark, tmp_path, qs):
+    """Every source a singleton -> the uniform expectation's
+    denominator is 0 -> ratio NULL (expectation 0, counts still
+    reported)."""
+    _write_docs(spark, tmp_path, [
+        (i, "t", "en", f"src{i}", 2) for i in range(1, 4)
+    ])
+    r = qs["q370_shuffle_mixing_audit"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_rows, r.n_adjacent_pairs, r.n_same_source) == (3, 2, 0)
+    assert (r.expected_same_micro, r.mixing_ratio_ppm) == (0, None)
