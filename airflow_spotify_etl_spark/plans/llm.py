@@ -14113,6 +14113,145 @@ FROM tot CROSS JOIN gtx CROSS JOIN quad
 """
 
 
+def q371_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling test on document length (src0 vs
+    src1), tie-adjusted (the k=2 case of Scholz & Stephens 1987's
+    A²ₐₖₙ with midrank B_j/M_ij) — completes the EDF-distance family:
+    KS (q309) weights the largest CDF gap, Cramér-von Mises (q343)
+    integrates it uniformly, Anderson-Darling up-weights the TAILS
+    (1/(H(1−H))), the region where corpus drift usually starts.
+
+    Exactness: everything derives from the pooled length count table —
+    B_j = cumᵢ − l_j/2 and M_ij are exact half-integers over exact
+    counts; each group's NORMALIZED contribution
+    (N−1)/N²·Σᵢ l_j(N·M_ij − nᵢ·B_j)²/(nᵢ·D_j), D_j = B_j(N−B_j) −
+    N·l_j/4, is one deterministic double over those integers,
+    quantized to pico BEFORE the sum (the q360 order-independence
+    discipline). Groups with D_j ≤ 0 (possible only in degenerate
+    pooled distributions) are excluded and counted; no valid group or
+    an empty side → NULL statistic. Under H₀, E[A²] = k−1 = 1.
+
+    Shape at 100 TB: two pushed source filters → grouped counts over
+    the bounded length domain, two cumulative windows there, a 1-row
+    reduction. Never a raw-row sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.filter(F.col("source").isin("src0", "src1"))
+        .select(
+            F.col("n_chars").alias("v"),
+            F.expr(
+                "CAST(CASE WHEN source = 'src0' THEN 1 ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("is1"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("is1").alias("f1"),
+            F.sum(1 - F.col("is1")).alias("f2"),
+        )
+        .withColumn("l", F.col("f1") + F.col("f2"))
+    )
+    w_c = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = cnt.select(
+        "v", "f1", "f2", "l",
+        F.sum("l").over(w_c).alias("cl"),
+        F.sum("f1").over(w_c).alias("c1"),
+        F.sum("f2").over(w_c).alias("c2"),
+    )
+    tot = cnt.agg(
+        F.sum("f1").cast("long").alias("n1"),
+        F.sum("f2").cast("long").alias("n2"),
+        F.sum("l").cast("long").alias("nn"),
+    )
+    b = "(CAST(cl AS DOUBLE) - CAST(l AS DOUBLE) / 2)"
+    m1 = "(CAST(c1 AS DOUBLE) - CAST(f1 AS DOUBLE) / 2)"
+    m2 = "(CAST(c2 AS DOUBLE) - CAST(f2 AS DOUBLE) / 2)"
+    d = f"({b} * (nn - {b}) - CAST(nn AS DOUBLE) * l / 4)"
+    term = (
+        f"((CAST(nn AS DOUBLE) - 1) / (CAST(nn AS DOUBLE) * nn)"
+        f" * l * (pow(nn * {m1} - n1 * {b}, 2) / nullif(CAST(n1 AS"
+        f" DOUBLE), 0.0e0) + pow(nn * {m2} - n2 * {b}, 2)"
+        f" / nullif(CAST(n2 AS DOUBLE), 0.0e0)) / nullif({d}, 0.0e0))"
+    )
+    terms = cum.crossJoin(F.broadcast(tot))
+    agg = terms.agg(
+        F.sum(
+            F.expr(
+                f"CASE WHEN {d} > 0 THEN"
+                f" CAST(round({term} * 1e12) AS DECIMAL(38,0))"
+                " ELSE CAST(0 AS DECIMAL(38,0)) END"
+            )
+        ).alias("a2_pico"),
+        F.sum(F.expr(f"CASE WHEN {d} > 0 THEN 1 ELSE 0 END")).cast(
+            "long"
+        ).alias("n_values_used"),
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "n_values_used",
+        F.expr(
+            "CASE WHEN n1 > 0 AND n2 > 0 AND n_values_used > 0 THEN"
+            " CAST(round(CAST(a2_pico AS DOUBLE) / 1e6) AS BIGINT) END"
+        ).alias("a2_micro"),
+    )
+
+
+def _q371_sql() -> str:
+    b = "(CAST(cl AS DOUBLE) - CAST(l AS DOUBLE) / 2)"
+    m1 = "(CAST(c1 AS DOUBLE) - CAST(f1 AS DOUBLE) / 2)"
+    m2 = "(CAST(c2 AS DOUBLE) - CAST(f2 AS DOUBLE) / 2)"
+    d = f"({b} * (nn - {b}) - CAST(nn AS DOUBLE) * l / 4)"
+    term = (
+        f"((CAST(nn AS DOUBLE) - 1) / (CAST(nn AS DOUBLE) * nn)"
+        f" * l * (pow(nn * {m1} - n1 * {b}, 2) / nullif(CAST(n1 AS"
+        f" DOUBLE), 0.0) + pow(nn * {m2} - n2 * {b}, 2)"
+        f" / nullif(CAST(n2 AS DOUBLE), 0.0)) / nullif({d}, 0.0))"
+    )
+    return f"""
+WITH cnt AS (
+  SELECT n_chars AS v,
+         CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+              AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+              AS BIGINT) AS f2
+  FROM documents
+  WHERE source IN ('src0', 'src1')
+  GROUP BY n_chars
+), cum AS (
+  SELECT v, f1, f2, f1 + f2 AS l,
+         sum(f1 + f2) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl,
+         sum(f1) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+         sum(f2) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+  FROM cnt
+), tot AS (
+  SELECT CAST(sum(f1) AS BIGINT) AS n1,
+         CAST(sum(f2) AS BIGINT) AS n2,
+         CAST(sum(f1 + f2) AS BIGINT) AS nn
+  FROM cnt
+), agg AS (
+  SELECT CAST(sum(CASE WHEN {d} > 0 THEN
+                    CAST(round({term} * 1e12) AS HUGEINT)
+                  ELSE 0 END) AS HUGEINT) AS a2_pico,
+         CAST(sum(CASE WHEN {d} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_values_used,
+         CAST(max(n1) AS BIGINT) AS n1,
+         CAST(max(n2) AS BIGINT) AS n2
+  FROM cum CROSS JOIN tot
+)
+SELECT n1, n2, n_values_used,
+       CASE WHEN n1 > 0 AND n2 > 0 AND n_values_used > 0 THEN
+         CAST(round(CAST(a2_pico AS DOUBLE) / 1e6) AS BIGINT) END
+         AS a2_micro
+FROM agg
+"""
+
+
 QUERIES = {
     "q18_text_stats": q18_text_stats,
     "q19_token_counts": q19_token_counts,
@@ -14282,6 +14421,7 @@ QUERIES = {
     "q367_capture_recapture": q367_capture_recapture,
     "q368_semantic_decontamination": q368_semantic_decontamination,
     "q369_auc_delong": q369_auc_delong,
+    "q371_anderson_darling": q371_anderson_darling,
 }
 
 ORACLES = {
@@ -14453,4 +14593,5 @@ ORACLES = {
     "q367_capture_recapture": _Q367_SQL,
     "q368_semantic_decontamination": _Q368_SQL,
     "q369_auc_delong": _q369_sql(),
+    "q371_anderson_darling": _q371_sql(),
 }

@@ -414,6 +414,7 @@ HEADLINE = [
     "q368_semantic_decontamination",
     "q369_auc_delong",
     "q370_shuffle_mixing_audit",
+    "q371_anderson_darling",
 ]
 
 

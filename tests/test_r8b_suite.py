@@ -642,3 +642,49 @@ def test_q370_all_singleton_sources_is_null(spark, tmp_path, qs):
     r = qs["q370_shuffle_mixing_audit"](spark, str(tmp_path)).collect()[0]
     assert (r.n_rows, r.n_adjacent_pairs, r.n_same_source) == (3, 2, 0)
     assert (r.expected_same_micro, r.mixing_ratio_ppm) == (0, None)
+
+
+def test_q371_anderson_darling_no_ties_hand_value(spark, tmp_path, qs):
+    """src0 lengths {1,3}, src1 {2,4} (perfect interleave, no ties):
+    per pooled value the midrank terms give contributions
+    3/16 * {4/3, 4/11, 4/11, 4/3} = {0.25, 0.0681818, ...} summing to
+    A2 = 7/11 = 0.6363636 -> 636,364 micro (derived by hand from
+    Scholz-Stephens A2akN with B = {0.5,1.5,2.5,3.5})."""
+    _write_docs(spark, tmp_path, [
+        (1, "t", "en", "src0", 1),
+        (2, "t", "en", "src0", 3),
+        (3, "t", "en", "src1", 2),
+        (4, "t", "en", "src1", 4),
+    ])
+    r = qs["q371_anderson_darling"](spark, str(tmp_path)).collect()[0]
+    assert (r.n1, r.n2, r.n_values_used) == (2, 2, 4)
+    assert r.a2_micro == 636_364
+
+
+def test_q371_tie_midranks_hand_value(spark, tmp_path, qs):
+    """With ties — src0 {1,1}, src1 {1,2}: pooled groups l = {3,1},
+    midranks B = {1.5, 3.5}, M1 = {1, 2}, M2 = {0.5, 1.5}, both
+    D = 0.75; contributions 3/16 * {4, 4/3} = {0.75, 0.25} ->
+    A2 = 1.0 exactly (the H0 expectation) -> 1,000,000 micro."""
+    _write_docs(spark, tmp_path, [
+        (1, "t", "en", "src0", 1),
+        (2, "t", "en", "src0", 1),
+        (3, "t", "en", "src1", 1),
+        (4, "t", "en", "src1", 2),
+    ])
+    r = qs["q371_anderson_darling"](spark, str(tmp_path)).collect()[0]
+    assert (r.n1, r.n2, r.n_values_used) == (2, 2, 2)
+    assert r.a2_micro == 1_000_000
+
+
+def test_q371_degenerate_single_value_is_null(spark, tmp_path, qs):
+    """Every doc the same length -> the only pooled group has
+    D = B(N-B) - N*l/4 = 0 -> no usable group -> NULL statistic."""
+    _write_docs(spark, tmp_path, [
+        (1, "t", "en", "src0", 5),
+        (2, "t", "en", "src0", 5),
+        (3, "t", "en", "src1", 5),
+    ])
+    r = qs["q371_anderson_darling"](spark, str(tmp_path)).collect()[0]
+    assert (r.n1, r.n2, r.n_values_used) == (2, 1, 0)
+    assert r.a2_micro is None
