@@ -536,8 +536,9 @@ def lateness_tier_counts(
     composes exactly).
 
     Scale shape (the q214/q224 two-phase idiom on prefix-MAX): a
-    FIXED ≤1025-cell event_id grid (width = max_id div 1024 + 1 from
-    a broadcast 1-row agg), per-cell maxima map-side combine, a
+    FIXED ≤1025-cell event_id grid (width = (max_id − min_id) div
+    1024 + 1, ids min-rebased, from a broadcast 1-row agg — robust to
+    offset id spaces), per-cell maxima map-side combine, a
     prefix-max over the bounded cell relation, and a cell-partitioned
     within-cell window — no global sort touches raw rows. Returns
     (lateness_tier, n_events); all integers.
@@ -545,13 +546,24 @@ def lateness_tier_counts(
     from pyspark.sql import Window as W
 
     raw = df.select("event_id", F.expr("unix_micros(ts)").alias("t_us"))
+    # Width derives from the id RANGE (max - min), and bucketing is on
+    # the min-rebased id: with an offset id space (e.g. every later
+    # micro-batch of the streaming monitor, whose ids start near the
+    # running max) a max-based width would dump nearly all rows into
+    # the top cells and degenerate the within-cell window toward the
+    # single-partition sort this two-phase plan exists to avoid. The
+    # rebased bucket id stays monotone in event_id, so the prefix-max
+    # composition is unchanged.
     width = raw.agg(
-        F.expr("CAST(max(event_id) div 1024 + 1 AS BIGINT)").alias("w")
+        F.expr(
+            "CAST((max(event_id) - min(event_id)) div 1024 + 1 AS BIGINT)"
+        ).alias("w"),
+        F.expr("CAST(min(event_id) AS BIGINT)").alias("mn"),
     )
     base = raw.crossJoin(F.broadcast(width)).select(
         "event_id",
         "t_us",
-        F.expr("CAST(event_id div w AS BIGINT)").alias("b"),
+        F.expr("CAST((event_id - mn) div w AS BIGINT)").alias("b"),
     )
     bmax = base.groupBy("b").agg(F.max("t_us").alias("bm"))
     w_excl = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)

@@ -465,10 +465,13 @@ def compaction_plan(
     Quota splitting (vs greedy first-fit) is deliberately chosen: it
     is a pure function of the prefix sums, so two engines (and two
     reruns over the same snapshot) produce the identical plan with no
-    sequential scan. A group that receives one day larger than the
-    budget is flagged ``oversized`` rather than split — day
-    boundaries are the atomic unit (a compactor never splits an input
-    partition mid-day).
+    sequential scan. ``oversized`` flags any group whose TOTAL row
+    count exceeds the budget — which happens when a single day larger
+    than the budget lands in it, and also when several sub-budget
+    days quota-split into the same group — rather than splitting it:
+    day boundaries are the atomic unit (a compactor never splits an
+    input partition mid-day), so an over-budget group is surfaced for
+    the operator instead of silently split.
 
     Shape at 100 TB: the corpus collapses to the daily relation in
     one map-side-combined aggregation; the prefix-sum window runs on

@@ -13737,10 +13737,7 @@ def q367_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the smaller capture, three 1-row aggregates."""
     docs = load_table(spark, sf_dir, "documents")
     sm = docs.select("source", F.md5("text").alias("h")).distinct()
-    pick = (
-        sm.select("source").distinct().orderBy("source").limit(2)
-        .withColumn("rank", F.lit(1))
-    )
+    pick = sm.select("source").distinct().orderBy("source").limit(2)
     two = [r.source for r in pick.collect()]
     if len(two) < 2:
         return spark.createDataFrame(

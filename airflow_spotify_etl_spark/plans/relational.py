@@ -13526,8 +13526,10 @@ def q359_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/layout.compaction_plan): consecutive daily micro-
     batches grouped by fixed-quota cumulative splitting into
     ~1000-row rewrite groups, each group reporting its day range, row
-    count, and an ``oversized`` flag when a single day overflows the
-    budget — the maintenance relation a lakehouse OPTIMIZE job
+    count, and an ``oversized`` flag when the group's TOTAL exceeds
+    the budget (a single over-budget day, or several sub-budget days
+    quota-split into one group) — the maintenance relation a
+    lakehouse OPTIMIZE job
     executes, made driver-visible. Quota splitting is a pure function
     of the daily prefix sums, so the plan is deterministic across
     engines and reruns (no greedy sequential scan).
@@ -13742,7 +13744,10 @@ def q361_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers, DECIMAL-cast products), and the tie-averaged per-group
     terms c1·S/cnt and S²/cnt (the only rationals) are quantized to
     micro BEFORE the per-source sum — integer addition, engine-order-
-    independent. The tie-corrected normal approximation
+    independent, accumulated in DECIMAL(38,0)/HUGEINT (S ~ N·cnt, so
+    S²/cnt·10⁶ is quadratic-to-cubic in corpus size and would wrap
+    64 bits around 10⁵–10⁶ tied docs; BIGINT only on final output).
+    The tie-corrected normal approximation
     z = (T1 − n1·ā)/√(n1·n2·(N·Σa² − (Σa)²)/(N²(N−1))) is one final
     double chain. One-sided sources or zero score variance → NULL z.
 
@@ -13789,25 +13794,30 @@ def q361_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  div 2 ELSE 0 END"
         " AS DECIMAL(38,0))"
     )
+    # The quantized micro terms accumulate in DECIMAL(38,0) (like
+    # `sa` already does), not BIGINT: S grows like N·cnt, so
+    # S²/cnt·1e6 is quadratic-to-cubic in corpus size and would wrap
+    # 64 bits around N~10⁵–10⁶ tied docs. BIGINT conversion happens
+    # only on the final output column.
     terms = spans.withColumn("s_sum", F.expr(s_expr)).select(
         "source", "c1", "c2", "cnt", "n_tot",
         "s_sum",
         F.expr(
             "CAST(round(CAST(c1 AS DOUBLE) * s_sum / cnt * 1e6)"
-            " AS BIGINT)"
+            " AS DECIMAL(38,0))"
         ).alias("t1_u"),
         F.expr(
             "CAST(round(CAST(s_sum AS DOUBLE) * s_sum / cnt * 1e6)"
-            " AS BIGINT)"
+            " AS DECIMAL(38,0))"
         ).alias("sa2_u"),
     )
     agg = terms.groupBy("source").agg(
         F.sum("c1").cast("long").alias("n1"),
         F.sum("c2").cast("long").alias("n2"),
         F.max("n_tot").cast("long").alias("n"),
-        F.sum("t1_u").cast("long").alias("t1_micro"),
+        F.sum("t1_u").alias("t1_micro"),
         F.sum("s_sum").alias("sa"),
-        F.sum("sa2_u").cast("long").alias("sa2_micro"),
+        F.sum("sa2_u").alias("sa2_micro"),
     )
     varr = (
         "(CAST(n1 AS DOUBLE) * n2"
@@ -13820,7 +13830,8 @@ def q361_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" - CAST(n1 AS DOUBLE) * CAST(sa AS DOUBLE) / n) / sqrt({varr}))"
     )
     return agg.select(
-        "source", "n1", "n2", "t1_micro",
+        "source", "n1", "n2",
+        F.expr("CAST(t1_micro AS BIGINT)").alias("t1_micro"),
         F.expr(
             "CASE WHEN n1 > 0 AND n2 > 0 AND n >= 2"
             f" AND {varr} > 0 THEN"
@@ -13870,9 +13881,9 @@ WITH cnt AS (
   FROM cnt
 ), terms AS (
   SELECT source, c1, c2, cnt, n_tot, s_sum,
-         CAST(round(CAST(c1 AS DOUBLE) * s_sum / cnt * 1e6) AS BIGINT)
+         CAST(round(CAST(c1 AS DOUBLE) * s_sum / cnt * 1e6) AS HUGEINT)
            AS t1_u,
-         CAST(round(CAST(s_sum AS DOUBLE) * s_sum / cnt * 1e6) AS BIGINT)
+         CAST(round(CAST(s_sum AS DOUBLE) * s_sum / cnt * 1e6) AS HUGEINT)
            AS sa2_u
   FROM (
     SELECT *, lo + cnt - 1 AS hi FROM spans
@@ -13882,13 +13893,13 @@ WITH cnt AS (
          CAST(sum(c1) AS BIGINT) AS n1,
          CAST(sum(c2) AS BIGINT) AS n2,
          CAST(max(n_tot) AS BIGINT) AS n,
-         CAST(sum(t1_u) AS BIGINT) AS t1_micro,
+         CAST(sum(t1_u) AS HUGEINT) AS t1_micro,
          CAST(sum(s_sum) AS HUGEINT) AS sa,
-         CAST(sum(sa2_u) AS BIGINT) AS sa2_micro
+         CAST(sum(sa2_u) AS HUGEINT) AS sa2_micro
   FROM terms
   GROUP BY source
 )
-SELECT source, n1, n2, t1_micro,
+SELECT source, n1, n2, CAST(t1_micro AS BIGINT) AS t1_micro,
        CASE WHEN n1 > 0 AND n2 > 0 AND n >= 2 AND {varr} > 0 THEN
          CAST(round({z} * 1e6) AS BIGINT) END AS z_micro
 FROM agg

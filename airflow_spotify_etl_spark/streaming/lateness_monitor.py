@@ -54,8 +54,16 @@ def _apply_lateness_batch(
     bmax = bdf.agg(
         F.expr("max(unix_micros(ts))").alias("m")
     ).collect()[0].m
+    # A non-empty batch whose ts values are all NULL has no batch max:
+    # store a NULL batch_max_us (prior-max readers already skip NULLs)
+    # rather than raising inside foreachBatch and failing the stream.
+    bmax_col = (
+        F.lit(None).cast("long")
+        if bmax is None
+        else F.lit(int(bmax)).cast("long")
+    )
     tiers = lateness_tier_counts(bdf, prev_max_us=prev).withColumn(
-        "batch_max_us", F.lit(int(bmax)).cast("long")
+        "batch_max_us", bmax_col
     )
     tiers.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
 
