@@ -425,7 +425,11 @@ def contrastive_negatives(
     idx = epoch_shuffle(df, id_col=id_col, seed=seed + ":idx").select(
         F.col(id_col), F.col("global_pos").alias("pos")
     )
-    n_rel = idx.agg(F.count("*").alias("n_total"))
+    # N comes from the INPUT, not from idx: epoch_shuffle is
+    # row-preserving, so the counts are identical, but counting idx
+    # would drag a third full rank-pipeline computation (window +
+    # broadcast-offsets join) into the plan just to produce one scalar.
+    n_rel = df.agg(F.count("*").alias("n_total"))
     cand = (
         idx.crossJoin(F.broadcast(n_rel))
         .filter(F.col("n_total") >= 2)
