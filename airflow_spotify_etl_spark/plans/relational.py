@@ -10889,6 +10889,81 @@ ORDER BY shard
 """
 
 
+def _aa_salted_cells(ev: DataFrame) -> DataFrame:
+    """Shared q295/q304 salted-cells subplan: per-(salt, arm) exact
+    moments for 20 independent md5-salted 50/50 user splits.
+
+    Hash shape (round-9 optimization): ONE md5 digest per event row
+    (``md5('aa:' || user_id)``) instead of one md5 per (row, salt) —
+    salt k's arm assignment is the PARITY OF HEX DIGIT k+1 of that
+    single digest. md5 output bits are independent, so the 20 splits
+    remain independent 50/50 user splits, and both engines replay the
+    identical digit-parity expression. This removes 19 of every 20
+    md5-over-concat evaluations — the dominant cost of the old plan
+    (the 20-salt explode and the map-side combine to 40 cells are
+    unchanged, still one shuffle-free grouped pass)."""
+    salted = (
+        ev.select(
+            "cents",
+            F.expr("md5(concat('aa:', CAST(user_id AS STRING)))").alias(
+                "dg"
+            ),
+        )
+        .select(
+            "cents",
+            "dg",
+            F.explode(F.array(*[F.lit(k) for k in range(20)])).alias("k"),
+        )
+        .select(
+            "k",
+            "cents",
+            (
+                F.expr("conv(substring(dg, k + 1, 1), 16, 10) % 2") == 0
+            ).alias("is_a"),
+        )
+    )
+    return salted.groupBy("k").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("is_a"), F.col("cents")).otherwise(0)).alias("sa"),
+        F.sum(F.when(F.col("is_a"),
+                     F.expr("CAST(cents AS DECIMAL(38,0)) * cents"))
+              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("ssa"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("nb"),
+        F.sum(F.when(F.col("is_a"), F.lit(0)).otherwise(F.col("cents")))
+        .alias("sb"),
+        F.sum(F.when(F.col("is_a"), F.lit(0).cast("decimal(38,0)"))
+              .otherwise(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")))
+        .alias("ssb"),
+    )
+
+
+_AA_SALTED_CELLS_SQL = """
+WITH base AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         md5('aa:' || CAST(user_id AS VARCHAR)) AS dg
+  FROM events
+), salted AS (
+  SELECT k.k, b.cents,
+         ('0x' || substr(b.dg, k.k + 1, 1))::BIGINT % 2 = 0 AS is_a
+  FROM base b
+  CROSS JOIN (SELECT unnest(range(0, 20)) AS k) k
+), cells AS (
+  SELECT k,
+         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN is_a THEN cents ELSE 0 END) AS BIGINT) AS sa,
+         CAST(sum(CASE WHEN is_a THEN CAST(cents AS HUGEINT) * cents
+                       ELSE 0 END) AS HUGEINT) AS ssa,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE cents END) AS BIGINT) AS sb,
+         CAST(sum(CASE WHEN is_a THEN 0
+                       ELSE CAST(cents AS HUGEINT) * cents END) AS HUGEINT)
+           AS ssb
+  FROM salted
+  GROUP BY k
+)
+"""
+
+
 def q295_aa_test_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/A-test audit of the experimentation stack: 20 independent
     md5-salted 50/50 user splits, each scored with the Welch z on mean
@@ -10898,8 +10973,10 @@ def q295_aa_test_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     broken, the meta-guardrail above q285's SRM and q241's t-test).
 
     Exactness: per-(salt, arm) moments are exact via one grouped pass
-    over a 20-salt explode; each z is a single double chain (q241's
-    Welch form without the df, since n is large). Magnitude audit:
+    over a 20-salt explode of ONE md5 digest per row (salt k = parity
+    of hex digit k+1 — see ``_aa_salted_cells``); each z is a single
+    double chain (q241's Welch form without the df, since n is
+    large). Magnitude audit:
     cents ~ 1e4 so cents^2 ~ 1e8 — a BIGINT sum of squares wraps at
     ~1e11 rows, so ssa/ssb accumulate in DECIMAL(38,0) (Spark) /
     HUGEINT (DuckDB), good to ~1e30 rows; sa/sb are plain BIGINT
@@ -10913,34 +10990,7 @@ def q295_aa_test_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
     )
-    salted = ev.select(
-        "user_id",
-        "cents",
-        F.explode(F.array(*[F.lit(k) for k in range(20)])).alias("k"),
-    ).select(
-        "k",
-        "cents",
-        (
-            F.expr(
-                "conv(substr(md5(concat('aa:', CAST(k AS STRING), ':',"
-                " CAST(user_id AS STRING))), 1, 8), 16, 10) % 2"
-            )
-            == 0
-        ).alias("is_a"),
-    )
-    cells = salted.groupBy("k").agg(
-        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("na"),
-        F.sum(F.when(F.col("is_a"), F.col("cents")).otherwise(0)).alias("sa"),
-        F.sum(F.when(F.col("is_a"),
-                     F.expr("CAST(cents AS DECIMAL(38,0)) * cents"))
-              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("ssa"),
-        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("nb"),
-        F.sum(F.when(F.col("is_a"), F.lit(0)).otherwise(F.col("cents")))
-        .alias("sb"),
-        F.sum(F.when(F.col("is_a"), F.lit(0).cast("decimal(38,0)"))
-              .otherwise(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")))
-        .alias("ssb"),
-    )
+    cells = _aa_salted_cells(ev)
     z = (
         "(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)"
         " / sqrt((CAST(ssa AS DOUBLE) / na"
@@ -10970,27 +11020,7 @@ def _q295_sql() -> str:
         "          / (nb - 1.0e0))"
     )
     return f"""
-WITH salted AS (
-  SELECT k.k,
-         CAST(round(e.value * 100) AS BIGINT) AS cents,
-         ('0x' || substr(md5('aa:' || CAST(k.k AS VARCHAR) || ':'
-              || CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 AS is_a
-  FROM events e
-  CROSS JOIN (SELECT unnest(range(0, 20)) AS k) k
-), cells AS (
-  SELECT k,
-         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
-         CAST(sum(CASE WHEN is_a THEN cents ELSE 0 END) AS BIGINT) AS sa,
-         CAST(sum(CASE WHEN is_a THEN CAST(cents AS HUGEINT) * cents
-                       ELSE 0 END) AS HUGEINT) AS ssa,
-         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
-         CAST(sum(CASE WHEN is_a THEN 0 ELSE cents END) AS BIGINT) AS sb,
-         CAST(sum(CASE WHEN is_a THEN 0
-                       ELSE CAST(cents AS HUGEINT) * cents END) AS HUGEINT)
-           AS ssb
-  FROM salted
-  GROUP BY k
-)
+{_AA_SALTED_CELLS_SQL}
 SELECT CAST(k AS BIGINT) AS k, na, nb,
        round({z}, 4) AS z_welch,
        abs({z}) > 1.96e0 AS false_flag
@@ -11707,39 +11737,13 @@ def q304_bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     = 5e7·k), never float division. The rejection set is all ranks ≤
     max passing k (the BH step-up), via one window max.
 
-    Shape at 100 TB: the q295 shape — one 20-salt exploded grouped
-    pass to 40 cells; everything after is a 20-row relation."""
+    Shape at 100 TB: the q295 shape (``_aa_salted_cells``: one md5
+    digest per row, 20-salt exploded grouped pass to 40 cells);
+    everything after is a 20-row relation."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
     )
-    salted = ev.select(
-        "user_id",
-        "cents",
-        F.explode(F.array(*[F.lit(k) for k in range(20)])).alias("k"),
-    ).select(
-        "k",
-        "cents",
-        (
-            F.expr(
-                "conv(substr(md5(concat('aa:', CAST(k AS STRING), ':',"
-                " CAST(user_id AS STRING))), 1, 8), 16, 10) % 2"
-            )
-            == 0
-        ).alias("is_a"),
-    )
-    cells = salted.groupBy("k").agg(
-        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("na"),
-        F.sum(F.when(F.col("is_a"), F.col("cents")).otherwise(0)).alias("sa"),
-        F.sum(F.when(F.col("is_a"),
-                     F.expr("CAST(cents AS DECIMAL(38,0)) * cents"))
-              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("ssa"),
-        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("nb"),
-        F.sum(F.when(F.col("is_a"), F.lit(0)).otherwise(F.col("cents")))
-        .alias("sb"),
-        F.sum(F.when(F.col("is_a"), F.lit(0).cast("decimal(38,0)"))
-              .otherwise(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")))
-        .alias("ssb"),
-    )
+    cells = _aa_salted_cells(ev)
     z = (
         "(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)"
         " / sqrt((CAST(ssa AS DOUBLE) / na"
@@ -11797,27 +11801,7 @@ def _q304_sql() -> str:
         "          / (nb - 1.0e0))"
     )
     return f"""
-WITH salted AS (
-  SELECT k.k,
-         CAST(round(e.value * 100) AS BIGINT) AS cents,
-         ('0x' || substr(md5('aa:' || CAST(k.k AS VARCHAR) || ':'
-              || CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 AS is_a
-  FROM events e
-  CROSS JOIN (SELECT unnest(range(0, 20)) AS k) k
-), cells AS (
-  SELECT k,
-         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
-         CAST(sum(CASE WHEN is_a THEN cents ELSE 0 END) AS BIGINT) AS sa,
-         CAST(sum(CASE WHEN is_a THEN CAST(cents AS HUGEINT) * cents
-                       ELSE 0 END) AS HUGEINT) AS ssa,
-         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
-         CAST(sum(CASE WHEN is_a THEN 0 ELSE cents END) AS BIGINT) AS sb,
-         CAST(sum(CASE WHEN is_a THEN 0
-                       ELSE CAST(cents AS HUGEINT) * cents END) AS HUGEINT)
-           AS ssb
-  FROM salted
-  GROUP BY k
-), scored AS (
+{_AA_SALTED_CELLS_SQL.rstrip()}, scored AS (
   SELECT CAST(k AS BIGINT) AS k,
          CASE WHEN na <= 1 OR nb <= 1 OR
                    (ssa * na = CAST(sa AS HUGEINT) * sa

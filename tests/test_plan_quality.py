@@ -4641,7 +4641,9 @@ def test_q295_aa_audit_python_mirror(spark, tmp_path, qs):
         str(tmp_path / "events.parquet"))
 
     def is_a(k, u):
-        return int(hashlib.md5(f"aa:{k}:{u}".encode()).hexdigest()[:8],
+        # round-9 scheme: ONE digest per user, salt k = parity of hex
+        # digit k (0-based) of md5('aa:' || user_id)
+        return int(hashlib.md5(f"aa:{u}".encode()).hexdigest()[k],
                    16) % 2 == 0
 
     expect = {}
