@@ -18,8 +18,18 @@ linear, ~1.05 is n log n at a decade, >=1.3 means a superlinear term is
 real at this decade and needs a diagnosis.
 
 Incremental: appends one JSON line per query to OUT_JSON + '.partial' as
-it goes (a killed run keeps its finished rows), then writes the final
-combined OUT_JSON.
+it goes (a killed run keeps its finished rows), then MERGES into any
+existing OUT_JSON (per-query rows stamped with the measurement label/date
+so one file carries the whole scaling table across rounds) and removes
+the .partial on success.
+
+Coverage gate (the round-8 verdict's top-20 rule):
+
+    python tools/bench_scale.py --check [BENCH_FULL.json] [BENCH_SF1.json]
+
+lists any query in the top-20 cost ranks of the full bench that has no
+sf1 scaling point, and exits 1 if one exists — run it after adding an
+expensive query to know it needs an sf1 measurement at introduction.
 """
 
 from __future__ import annotations
@@ -61,7 +71,35 @@ DEFAULT_QUERIES = [
 ]
 
 
+def check_coverage(full_path: str, sf1_path: str, top_n: int = 20) -> int:
+    """Exit 1 listing top-``top_n`` most expensive BENCH_FULL queries
+    that have no sf1 scaling point in ``sf1_path``."""
+    with open(full_path) as f:
+        full = json.load(f)["queries"]
+    try:
+        with open(sf1_path) as f:
+            covered = set(json.load(f)["queries"])
+    except OSError:
+        covered = set()
+    top = sorted(full, key=full.get, reverse=True)[:top_n]
+    missing = [n for n in top if n not in covered]
+    for n in missing:
+        print(f"MISSING sf1 point: {n} ({full[n]} s in {full_path})")
+    print(
+        f"top-{top_n} coverage: {top_n - len(missing)}/{top_n}"
+        f" ({len(covered)} sf1 points total)"
+    )
+    return 1 if missing else 0
+
+
 def main() -> int:
+    if sys.argv[1:2] == ["--check"]:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        full = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+            repo, "BENCH_FULL.json")
+        sf1 = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
+            repo, "BENCH_SF1.json")
+        return check_coverage(full, sf1)
     small, big, out = sys.argv[1], sys.argv[2], sys.argv[3]
     names = sys.argv[4:] or DEFAULT_QUERIES
     runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
@@ -107,6 +145,7 @@ def main() -> int:
             "t_big": t_big,
             "ratio": ratio,
             "exponent": exponent,
+            "measured": time.strftime("%Y-%m-%d"),
         }
         line = json.dumps({"query": name, **results[name]})
         print(f"# {line}", file=sys.stderr, flush=True)
@@ -128,9 +167,25 @@ def main() -> int:
         ),
         "queries": results,
     }
+    # Merge into an existing OUT_JSON (newly measured rows win) so one
+    # file carries the whole scaling table across rounds.
+    try:
+        with open(out) as f:
+            prior = json.load(f)
+        prior_queries = prior.get("queries", {})
+        prior_queries.update(results)
+        prior.update({k: v for k, v in payload.items() if k != "queries"})
+        prior["queries"] = prior_queries
+        payload = prior
+    except OSError:
+        pass
     with open(out, "w") as f:
         json.dump(payload, f, indent=1)
         f.write("\n")
+    try:
+        os.remove(partial)
+    except OSError:
+        pass
     print(json.dumps({"metric": "scale_exponent_median",
                       "value": round(statistics.median(
                           r["exponent"] for r in results.values()), 3),
