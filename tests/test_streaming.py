@@ -1160,16 +1160,22 @@ def test_drift_monitor_equals_batch_tvd(spark, tmp_path):
 
 
 def test_composed_monitor_fleet_over_shared_stream(spark, tmp_path):
-    """Composed multi-store deployment (round-7 verdict task 6): ONE
-    shared event stream drained into THREE monitor stores — drift
-    histogram (TVD), CMS heavy-hitters, HLL distinct-users — across two
-    drains with a foreachBatch RETRY in between. Each store's reader
-    must equal its one-shot batch twin over the union of every drained
-    row: the drift matrix equals the shared q319 tvd_matrix operator,
-    CMS equals one sketch built over the union, HLL likewise. The solo
-    two-drain twins are covered per-monitor; this is the composed
-    drain the realistic deployment runs."""
-    from airflow_spotify_etl_spark.operators.incremental import tvd_matrix
+    """Composed multi-store deployment (round-7 verdict task 6, round-9
+    task 8): ONE shared event stream drained into FOUR monitor stores —
+    drift histogram (TVD), CMS heavy-hitters, HLL distinct-users, and
+    the lateness profile — across two drains with a foreachBatch RETRY
+    in between. Each store's reader must equal its one-shot batch twin
+    over the union of every drained row: the drift matrix equals the
+    shared q319 tvd_matrix operator, CMS equals one sketch built over
+    the union, HLL likewise, and the merged lateness profile equals the
+    batch q362 relation (cross-batch lateness seeds from the earlier
+    drain's max event time). The solo two-drain twins are covered
+    per-monitor; this is the composed drain the realistic deployment
+    runs."""
+    from airflow_spotify_etl_spark.operators.incremental import (
+        lateness_tier_counts,
+        tvd_matrix,
+    )
     from airflow_spotify_etl_spark.operators.sketches import (
         count_min_estimate,
         count_min_sketch,
@@ -1191,6 +1197,11 @@ def test_composed_monitor_fleet_over_shared_stream(spark, tmp_path):
         read_hll_estimates,
         run_hll_monitor,
     )
+    from airflow_spotify_etl_spark.streaming.lateness_monitor import (
+        _apply_lateness_batch,
+        read_lateness_profile,
+        run_lateness_monitor,
+    )
 
     schema = SCHEMA
     rows1 = _rows(*[(i, i % 7, i % 5, ["view", "click"][i % 2], float(i % 4))
@@ -1199,8 +1210,9 @@ def test_composed_monitor_fleet_over_shared_stream(spark, tmp_path):
                      ["click", "purchase"][i % 2], float(i % 3))
                     for i in range(30)])
     src = str(tmp_path / "src")
-    stores = {k: str(tmp_path / f"store_{k}") for k in ("drift", "cms", "hll")}
-    ckpts = {k: str(tmp_path / f"ckpt_{k}") for k in ("drift", "cms", "hll")}
+    kinds = ("drift", "cms", "hll", "late")
+    stores = {k: str(tmp_path / f"store_{k}") for k in kinds}
+    ckpts = {k: str(tmp_path / f"ckpt_{k}") for k in kinds}
 
     def drain_all():
         # one shared source; each monitor drains it availableNow with its
@@ -1216,6 +1228,8 @@ def test_composed_monitor_fleet_over_shared_stream(spark, tmp_path):
                         key_col="event_type")
         run_hll_monitor(spark, stream(), stores["hll"], ckpts["hll"],
                         key_col="event_type", value_col="user_id")
+        run_lateness_monitor(spark, stream(), stores["late"],
+                             ckpts["late"])
 
     spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
         "append"
@@ -1229,6 +1243,7 @@ def test_composed_monitor_fleet_over_shared_stream(spark, tmp_path):
                            "CAST(value AS BIGINT)")
     _apply_cms_batch(b0, stores["cms"], 0, "event_type", 4, 1024)
     _apply_hll_batch(b0, stores["hll"], 0, "event_type", "user_id")
+    _apply_lateness_batch(spark, b0, stores["late"], 0)
 
     spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
         "append"
@@ -1285,3 +1300,24 @@ def test_composed_monitor_fleet_over_shared_stream(spark, tmp_path):
     }
     assert got_hll == want_hll
     assert set(got_hll) == {"view", "click", "purchase"}
+
+    # lateness store == batch q362 relation over the union (arrival
+    # order = event_id spans the two drains; cross-batch lateness
+    # seeded from drain 1's max event time inside the monitor)
+    got_late = {
+        r.lateness_tier: (r.n_events, r.share_ppm)
+        for r in read_lateness_profile(spark, stores["late"]).collect()
+    }
+    tiers = lateness_tier_counts(union)
+    want_late = {
+        r.lateness_tier: (r.n_events, r.share_ppm)
+        for r in tiers.select(
+            "lateness_tier",
+            "n_events",
+            F.expr(
+                "(n_events * 1000000) div (sum(n_events) OVER ())"
+            ).alias("share_ppm"),
+        ).collect()
+    }
+    assert got_late == want_late
+    assert sum(n for n, _ in got_late.values()) == len(rows1) + len(rows2)
