@@ -6,7 +6,7 @@ right so each stage prunes the candidate space for the next:
 1. ``exact_dedup``        — md5-groupBy; uniform hash key, skew-free shuffle.
 2. ``ngram_jaccard_pairs``— EXACT word-n-gram Jaccard via a shingle
    self-join. Quadratic only within shingle buckets; correct but the most
-   expensive tier (oracle-checkable — plans/llm.py q24).
+   expensive tier (oracle-checkable — plans/llm/dedup.py q24).
 3. ``minhash_lsh_pairs``  — MinHash signatures + LSH banding: candidate
    pairs meet in band buckets (equi-join), then exact-Jaccard verification
    of candidates only. THE scale path: shuffle volume is O(docs × bands),
@@ -66,7 +66,7 @@ def _h32(col):
     over crc32/xxhash64 because BOTH engines compute it identically
     (Spark: conv(substr(md5,1,8),16,10); DuckDB: ('0x'||substr(md5,1,8))
     ::BIGINT), which is what lets the ENTIRE MinHash-LSH pipeline be
-    value-checked by the DuckDB oracle (plans/llm.py q25) instead of
+    value-checked by the DuckDB oracle (plans/llm/dedup.py q25) instead of
     rows-only. md5 costs ~2x crc32 per call — noise next to the 64-way
     min-aggregate it feeds."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
@@ -732,7 +732,7 @@ def _sized_shingles(
       singleton prune downstream (< 2 docs can't form a pair).
     - ``n_shingles`` (per doc, counted BEFORE the cap): the cap bounds
       candidate generation; Jaccard denominators stay the doc's true
-      distinct-shingle count. The oracle mirrors this (plans/llm.py).
+      distinct-shingle count. The oracle mirrors this (plans/llm/dedup.py).
     """
     sh = (
         shingle(df, text_col, id_col, n, distinct=False)
@@ -1199,7 +1199,7 @@ def simhash_signatures(
     and 9-16) instead of one xxhash64: the same engine-portability argument
     as _h32 — DuckDB can recompute both halves but not Spark's seeded
     xxhash64 — which is what upgrades q26 from rows-only to value-checked
-    (plans/llm.py _q26_sql). Kept as two 32-bit columns (never assembled
+    (plans/llm/dedup.py _q26_sql). Kept as two 32-bit columns (never assembled
     into one 64-bit value): bit j < 32 reads the low slice, j >= 32 the
     high one, so no sign-bit/overflow semantics differ between engines."""
     tokens = df.select(
@@ -1324,7 +1324,7 @@ def bloom_novelty_filter(
 
     Correctness is bloom-INDEPENDENT: false positives are caught by the
     exact join, so the output equals a plain anti-join bit-for-bit — which
-    is exactly what lets a fixed SQL oracle (plans/llm.py q96) check the
+    is exactly what lets a fixed SQL oracle (plans/llm/dedup.py q96) check the
     whole operator."""
     if m_bits < 64 or m_bits % 64:
         raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")

@@ -371,7 +371,7 @@ def stats_drift(
     ``|nulls_new·n_old − nulls_old·n_new|·100 > null_delta_pct·n_old·n_new``
     and ``distinct_new·bound < distinct_old`` (or symmetric) — so no
     float division decides a flag and the whole report replays exactly
-    in the SQL oracle (plans/relational.py q121). The reported ratio
+    in the SQL oracle (plans/relational/layout_ops.py q121). The reported ratio
     columns are single divisions of those exact integers, rounded.
 
     Scale shape: ONE aggregate pass per side (all columns' counts in a
@@ -469,7 +469,7 @@ def tvd_matrix(
 ) -> DataFrame:
     """EXACT pairwise total variation distance between the value
     distributions of every group in a (group, value, count) relation —
-    the shared core behind the batch drift matrix (plans/llm.py q319)
+    the shared core behind the batch drift matrix (plans/llm/evalstats.py q319)
     and the streaming histogram monitor (streaming/drift_monitor.py).
 
     Inner-join-plus-totals identity (no full-outer join, no dense value

@@ -19,7 +19,7 @@ into the next one (begin_pad marks how far in they start) — the standard
 greedy-contiguous scheme; drop-or-split policy is the consumer's choice.
 
 All hashing uses the engine-portable md5 slice (operators/dedup._h32), so
-the whole plan is value-checked by the DuckDB oracle (plans/llm.py q48).
+the whole plan is value-checked by the DuckDB oracle (plans/llm/sampling.py q48).
 """
 
 from __future__ import annotations

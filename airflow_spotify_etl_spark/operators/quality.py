@@ -183,7 +183,7 @@ def rate_anomalies(
     where fewer lags exist) and the flag is the cross-multiplied
     integer comparison ``cnt * den > factor * num`` — no float division
     decides anything, so the decision replays bit-for-bit in the SQL
-    oracle (plans/relational.py q118). One aggregate exchange; all
+    oracle (plans/relational/layout_ops.py q118). One aggregate exchange; all
     ``n_lags`` lag() calls share ONE window pass."""
     hourly = df.groupBy(
         type_col, F.date_trunc("hour", ts_col).alias("hour_ts")

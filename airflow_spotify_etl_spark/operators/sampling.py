@@ -13,7 +13,7 @@ cluster layouts; hashing the row key instead gives:
   (train/heldout splits that provably never overlap at the same salt).
 
 The hash is the engine-portable md5 slice (operators/dedup._h32), so the
-sampling decision is value-checkable by the DuckDB oracle (plans/llm.py
+sampling decision is value-checkable by the DuckDB oracle (plans/llm/sampling.py
 q47) — same argument as the MinHash family.
 """
 
@@ -289,7 +289,7 @@ def weighted_exact_k_sample(
 
     Determinized like every sampler here: u = (h32(salt‖id) + 1) / 2^32 —
     content-addressed, reproducible on any cluster, and replayable by the
-    DuckDB oracle (plans/llm.py q99). Rows with weight ≤ 0 or NULL never
+    DuckDB oracle (plans/llm/misc.py q99). Rows with weight ≤ 0 or NULL never
     compete. ORDER BY key LIMIT k plans as TakeOrderedAndProject
     (per-partition heaps, no global sort, no exchange — the q94 shape),
     so the 100 TB weighted draw is one narrow pass. pow() is IEEE-double
@@ -333,7 +333,7 @@ def dsir_log_weights(
     broadcast back into the raw token stream for a per-doc sum. Bucketing
     is the engine-portable md5 slice mod n_buckets, fully
     whole-stage-codegen, so the model fit AND the scoring pass are both
-    value-checkable by the DuckDB oracle (plans/llm.py q102). No Python
+    value-checkable by the DuckDB oracle (plans/llm/sampling.py q102). No Python
     seam: the original uses numpy feature vectors per doc; the hashed
     model makes it three grouped aggregates.
 

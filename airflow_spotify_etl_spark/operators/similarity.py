@@ -331,7 +331,7 @@ def hash_seed_centroids(
     reproducible in DuckDB (('0x'||substr(md5(id),1,8))::BIGINT), which is
     what lets the ENTIRE IVF search machinery (assignment argmax, probe
     selection, in-cell scoring, top-k) be value-checked by a SQL oracle
-    (plans/llm.py q56). One bounded TakeOrderedAndProject job."""
+    (plans/llm/ann.py q56). One bounded TakeOrderedAndProject job."""
     h = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
     ).cast("long")
@@ -564,7 +564,7 @@ def diversity_cap(
     key is as balanced as the clustering (a pathological all-one-cell
     corpus degrades to a single-reducer sort of ids+floats, not of
     vectors). Under hash-seeded centroids (hash_seed_centroids) the whole
-    pipeline is SQL-replayable — oracle-checked in plans/llm.py q95."""
+    pipeline is SQL-replayable — oracle-checked in plans/llm/sampling.py q95."""
     sims = F.transform(_unit_mat(centroids), lambda cv: _dot(F.col("_vd"), cv))
     scored = (
         corpus.withColumn("_vd", _as_double(vec_col))
@@ -599,7 +599,7 @@ def pq_codebooks(
     ``n_codes`` codewords are the slices of the SAME hash-seeded sample
     hash_seed_centroids draws (Lloyd-free, engine-portable) — so the whole
     PQ pipeline (seeding, encoding argmin, ADC scoring, top-k) is
-    replayable by a SQL oracle (plans/llm.py q97), the q56 argument
+    replayable by a SQL oracle (plans/llm/ann.py q97), the q56 argument
     applied to compression. Returns books[j][c] = codeword vector."""
     seeds = hash_seed_centroids(corpus, nlist=n_codes, vec_col=vec_col, id_col=id_col)
     dim = len(seeds[0][1])
@@ -733,7 +733,7 @@ def ivf_pq_topk(
     int codes, not raw vectors). Both stages are the audited narrow
     projections (`_assign_cells`, `pq_encode`); the probe set broadcasts;
     per-query top-k prunes map-side. Under hash-seeded centroids and
-    codebooks the ENTIRE composition replays in SQL (plans/llm.py q100).
+    codebooks the ENTIRE composition replays in SQL (plans/llm/ann.py q100).
 
     ``index_impl='pandas'`` builds the index via the bit-identical BLAS
     twin (`ivf_pq_index_pandas`, ~2× warm at sf0.1) — the CLUSTER path

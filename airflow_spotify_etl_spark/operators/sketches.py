@@ -86,7 +86,7 @@ def kmv_group_sketch(
 
     The hash is the engine-portable md5 slice (operators/dedup._h32), so
     every estimate downstream is a DETERMINISTIC function of the input —
-    replayable by the DuckDB oracle (plans/llm.py q106) even though it is
+    replayable by the DuckDB oracle (plans/llm/dedup.py q106) even though it is
     an approximation of the exact answer: the oracle checks the sketch
     arithmetic; a separate pytest checks its accuracy against truth.
 
@@ -271,7 +271,7 @@ def count_min_sketch(
     merge of incompatible sketches becomes detectable instead of
     silently wrong (ADVICE r5). Hashing is the engine-portable md5
     slice (operators/dedup._h32) seeded by the row index, so a DuckDB
-    oracle can recompute the identical sketch (plans/llm.py q259).
+    oracle can recompute the identical sketch (plans/llm/text.py q259).
     """
     from .dedup import _h32
 
@@ -370,7 +370,7 @@ def hll_registers(
     """HyperLogLog register partials (b=8, 256 registers) of a key
     column, optionally grouped by ``key_cols``: the 32-bit md5 slice
     (the engine-portable _h32 idiom, so a DuckDB oracle can replay the
-    exact registers — plans/llm.py q302) splits into the top-8-bit
+    exact registers — plans/llm/text.py q302) splits into the top-8-bit
     register index j and a 24-bit remainder w; rho = 24 − floor(log2 w)
     (w=0 → 25). Returns (key…, j, m) with m = max rho — the sketch
     STATE, mergeable by register-wise MAX (associative, commutative,

@@ -3,7 +3,7 @@ token counting, fingerprinting).
 
 The SQL-portable metrics (length/word/punct/stopword ratios, whitespace +
 regex tokenization, canonical-text fingerprints) are oracle-checked in
-plans/llm.py q18/q19/q23. This module holds the operators whose internals
+plans/llm/text.py q18/q19/q23. This module holds the operators whose internals
 aren't expressible as one SQL query:
 
 - ``fit_lang_profiles`` / ``predict_lang`` — multinomial naive-Bayes
@@ -56,7 +56,7 @@ def normalize_text(col):
     patterns use only literal character classes (no \\s, \\b, or
     lookaround), the subset on which Java regex (Spark) and RE2 (DuckDB)
     agree byte-for-byte, so md5(normalize_text(...)) is an
-    oracle-checkable canonical fingerprint (plans/llm.py q93)."""
+    oracle-checkable canonical fingerprint (plans/llm/dedup.py q93)."""
     c = F.regexp_replace(F.lower(col), "[^a-z0-9 ]", " ")
     return F.trim(F.regexp_replace(c, " +", " "))
 
@@ -347,7 +347,7 @@ def hashed_linear_score(
     The weight table is derived per bucket from the engine-portable md5
     slice — ``w(b) = h32(salt‖b)/2³¹ − 1 ∈ [−1, 1)`` — standing in for
     trained parameters. That choice is what makes the whole inference pass
-    value-checkable by the DuckDB oracle (plans/llm.py q104): a real model
+    value-checkable by the DuckDB oracle (plans/llm/text.py q104): a real model
     would load the SAME shape from a weights table and broadcast it; here
     the "lookup" folds into the projection, so scoring is a pure narrow
     codegen pass (split → hash → arithmetic) with the per-doc mean as the

@@ -2,7 +2,7 @@
 a micro-batched stream, maintaining a batch-partitioned content-hash
 store.
 
-The batch twin is oracle-checked (plans/llm.py q96: bloom-gated exact
+The batch twin is oracle-checked (plans/llm/dedup.py q96: bloom-gated exact
 novelty ≡ plain anti-join); this module runs that operator per
 micro-batch the way a 100 TB ingest actually does:
 
