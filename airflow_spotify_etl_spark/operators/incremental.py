@@ -28,6 +28,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 __all__ = [
+    "lateness_us",
     "lateness_tier_counts",
     "rollup_snapshot",
     "merge_rollup",
@@ -523,12 +524,13 @@ def tvd_matrix(
 _LONG_MIN = -9223372036854775808
 
 
-def lateness_tier_counts(
+def lateness_us(
     df: DataFrame, prev_max_us: int | None = None
 ) -> DataFrame:
-    """Out-of-orderness tier counts for an arrival-ordered event
+    """Per-event lateness in micros for an arrival-ordered event
     relation — the shared core of the batch watermark-delay planner
-    (plans/relational.q362) and the streaming lateness monitor
+    (plans/relational.q362), the delay-cost curve (q378), and the
+    streaming lateness monitor
     (streaming/lateness_monitor.py): each event's lateness is the gap
     to the maximum event time among STRICTLY EARLIER arrivals
     (arrival order = event_id, seeded with ``prev_max_us`` — the max
@@ -540,8 +542,8 @@ def lateness_tier_counts(
     1024 + 1, ids min-rebased, from a broadcast 1-row agg — robust to
     offset id spaces), per-cell maxima map-side combine, a
     prefix-max over the bounded cell relation, and a cell-partitioned
-    within-cell window — no global sort touches raw rows. Returns
-    (lateness_tier, n_events); all integers.
+    within-cell window — no global sort touches raw rows. Returns a
+    one-column (late_us) relation; all integers.
     """
     from pyspark.sql import Window as W
 
@@ -585,6 +587,15 @@ def lateness_tier_counts(
             ).alias("late_us")
         )
     )
+    return late
+
+
+def lateness_tier_counts(
+    df: DataFrame, prev_max_us: int | None = None
+) -> DataFrame:
+    """Out-of-orderness tier counts over ``lateness_us`` — the q362 /
+    streaming-monitor aggregation. Returns (lateness_tier, n_events);
+    all integers."""
     tier = (
         "CASE WHEN late_us = 0 THEN '0_on_time'"
         " WHEN late_us < 1000000 THEN '1_under_1s'"
@@ -593,7 +604,8 @@ def lateness_tier_counts(
         " ELSE '4_1h_plus' END"
     )
     return (
-        late.select(F.expr(tier).alias("lateness_tier"))
+        lateness_us(df, prev_max_us=prev_max_us)
+        .select(F.expr(tier).alias("lateness_tier"))
         .groupBy("lateness_tier")
         .agg(F.count("*").alias("n_events"))
     )

@@ -3799,3 +3799,101 @@ SELECT n1, n2, n_values_used,
          AS a2_micro
 FROM agg
 """
+
+
+def q373_dp_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy release planner for the daily spend-sum
+    statistic: per day, the L1 sensitivity of the release (the MAX
+    single-user contribution — what one user's presence can move the
+    sum by), the p99 user contribution (the clipping bound a
+    contribution-capped release would use), and the sensitivity share
+    — completing the privacy suite's anonymity trio (q123 k-anonymity,
+    q364 l-diversity, q365 t-closeness) with the NOISE-calibration
+    side: Laplace scale is Δ/ε, and Δ here IS max_user_cents (the
+    noise itself is random and not a deterministic query; its
+    calibration inputs are).
+
+    Exactness: all integers — per-(day, user) contributions are exact
+    cent sums of |value| (absolute: L1 sensitivity of a sum release),
+    the p99 pick is the row at rank ceil(0.99·n_users) in exact
+    (contrib, user_id) order (integer ceil; tie-broken on user_id —
+    engine-identical selection), and share_ppm is an integer division
+    guarded on total > 0.
+
+    Shape at 100 TB: one map-side-combined (day, user) collapse, one
+    per-day aggregate plus a day-partitioned rank window over the
+    per-day user relation, a ≤|days| result. No raw-row sort, no
+    corpus join."""
+    events = load_table(spark, sf_dir, "events")
+    uc = (
+        events.select(
+            F.to_date("ts").alias("d"),
+            "user_id",
+            F.expr("abs(CAST(round(value * 100) AS BIGINT))").alias("ac"),
+        )
+        .groupBy("d", "user_id")
+        .agg(F.sum("ac").cast("long").alias("contrib"))
+    )
+    w = W.partitionBy("d").orderBy("contrib", "user_id")
+    per_day = uc.select(
+        "d",
+        "contrib",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(W.partitionBy("d")).alias("nu"),
+    )
+    p99 = per_day.filter(
+        F.expr("rk = (99 * nu + 99) div 100")
+    ).select("d", F.col("contrib").alias("p99_user_cents"))
+    stats = uc.groupBy("d").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("contrib").cast("long").alias("total_cents"),
+        F.max("contrib").cast("long").alias("max_user_cents"),
+    )
+    return (
+        stats.join(p99, "d")
+        .select(
+            "d",
+            "n_users",
+            "total_cents",
+            "max_user_cents",
+            "p99_user_cents",
+            F.expr(
+                "CASE WHEN total_cents > 0 THEN"
+                " (max_user_cents * 1000000) div total_cents END"
+            ).alias("sensitivity_share_ppm"),
+        )
+        .orderBy("d")
+    )
+
+
+_Q373_SQL = """
+WITH uc AS (
+  SELECT CAST(ts AS DATE) AS d, user_id,
+         CAST(sum(abs(CAST(round(value * 100) AS BIGINT))) AS BIGINT)
+           AS contrib
+  FROM events
+  GROUP BY 1, 2
+), per_day AS (
+  SELECT d, contrib,
+         row_number() OVER (PARTITION BY d ORDER BY contrib, user_id)
+           AS rk,
+         count(*) OVER (PARTITION BY d) AS nu
+  FROM uc
+), p99 AS (
+  SELECT d, contrib AS p99_user_cents
+  FROM per_day WHERE rk = (99 * nu + 99) // 100
+), stats AS (
+  SELECT d,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(contrib) AS BIGINT) AS total_cents,
+         CAST(max(contrib) AS BIGINT) AS max_user_cents
+  FROM uc GROUP BY 1
+)
+SELECT s.d, s.n_users, s.total_cents, s.max_user_cents,
+       p.p99_user_cents,
+       CASE WHEN s.total_cents > 0 THEN
+         (s.max_user_cents * 1000000) // s.total_cents END
+         AS sensitivity_share_ppm
+FROM stats s JOIN p99 p ON p.d = s.d
+ORDER BY s.d
+"""

@@ -880,3 +880,167 @@ SELECT pt AS n_pos, nt AS n_neg,
 FROM cum CROSS JOIN tot
 GROUP BY pt, nt
 """
+
+
+def q377_retrieval_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-vs-dense retrieval agreement audit: overlap@k, Jaccard,
+    and the Spearman-footrule rank displacement between the BM25
+    keyword top-20 (q51's scorer) and the dense cosine top-20 (q22's
+    scorer, query vec_id 0 ↔ doc_id identity, the q257 convention) at
+    k ∈ {5, 10, 20} — the trust metric for the q257 RRF fusion: RRF
+    silently papers over arm DISAGREEMENT, and this measures it (low
+    overlap at small k = the arms retrieve different worlds and fusion
+    weights deserve a look).
+
+    Exactness: all integers — ranks are exact, overlap/Jaccard are
+    counts (jaccard_ppm = n·10⁶ div (2k − n)), and the footrule is
+    Σ|rb − rd| over the overlap set. No float enters the result.
+
+    Shape at 100 TB: both arms end in bounded top-20 relations (BM25
+    filters to query-term tokens before its aggregate; the dense arm
+    broadcasts the 1-row query); the agreement explode and aggregate
+    run on the ≤40-row joined relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    bm_rank = _bm25_top20(docs).withColumn(
+        "rb",
+        F.row_number().over(W.orderBy(F.col("bm25").desc(), "doc_id")),
+    ).select("doc_id", "rb")
+
+    to_dbl = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+
+    def dot(a, b_):
+        return F.aggregate(
+            F.zip_with(a, b_, lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        to_dbl("embedding").alias("qv")
+    )
+    de_rank = (
+        emb.filter(F.col("vec_id") > 0)
+        .select("vec_id", to_dbl("embedding").alias("v"))
+        .crossJoin(F.broadcast(qv))
+        .withColumn(
+            "cos",
+            dot(F.col("qv"), F.col("v"))
+            / (F.sqrt(dot(F.col("qv"), F.col("qv")))
+               * F.sqrt(dot(F.col("v"), F.col("v")))),
+        )
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(20)
+        .withColumn(
+            "rd",
+            F.row_number().over(W.orderBy(F.col("cos").desc(), "vec_id")),
+        )
+        .select(F.col("vec_id").alias("doc_id"), "rd")
+    )
+    joined = bm_rank.join(de_rank, "doc_id", "full_outer")
+    return (
+        joined.select(
+            "rb",
+            "rd",
+            F.explode(F.array(F.lit(5), F.lit(10), F.lit(20))).alias("k"),
+        )
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("rb") <= F.col("k"))
+                    & (F.col("rd") <= F.col("k")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_overlap"),
+            F.sum(
+                F.when(
+                    (F.col("rb") <= F.col("k"))
+                    & (F.col("rd") <= F.col("k")),
+                    F.abs(F.col("rb") - F.col("rd")),
+                ).otherwise(0)
+            ).cast("long").alias("footrule"),
+        )
+        .select(
+            "k",
+            "n_overlap",
+            F.expr(
+                "(n_overlap * 1000000) div (2 * k - n_overlap)"
+            ).alias("jaccard_ppm"),
+            "footrule",
+        )
+        .orderBy("k")
+    )
+
+
+def _q377_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN ({terms}) GROUP BY 1, 2
+), dfreq AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), bm_top AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+           * (tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+         ), 4) AS bm25
+  FROM tf
+  JOIN dfreq USING (tok)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+  ORDER BY bm25 DESC, tf.doc_id
+  LIMIT 20
+), bm_rank AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rb
+  FROM bm_top
+), q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), dense_top AS (
+  SELECT vec_id,
+         list_dot_product(qv, v)
+         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+  FROM (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id > 0
+  ) CROSS JOIN q
+  ORDER BY cos DESC, vec_id
+  LIMIT 20
+), de_rank AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY cos DESC, vec_id) AS rd
+  FROM dense_top
+), joined AS (
+  SELECT doc_id, rb, rd
+  FROM bm_rank FULL OUTER JOIN de_rank USING (doc_id)
+), agg AS (
+  SELECT k.k,
+         CAST(sum(CASE WHEN j.rb <= k.k AND j.rd <= k.k THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_overlap,
+         CAST(sum(CASE WHEN j.rb <= k.k AND j.rd <= k.k
+                       THEN abs(j.rb - j.rd) ELSE 0 END) AS BIGINT)
+           AS footrule
+  FROM joined j
+  CROSS JOIN (SELECT unnest([5, 10, 20]) AS k) k
+  GROUP BY k.k
+)
+SELECT CAST(k AS BIGINT) AS k, n_overlap,
+       (n_overlap * 1000000) // (2 * k - n_overlap) AS jaccard_ppm,
+       footrule
+FROM agg
+ORDER BY k
+"""

@@ -1436,3 +1436,82 @@ SELECT n_rows, n_adjacent_pairs, n_same_source,
               AS BIGINT) END AS mixing_ratio_ppm
 FROM adj CROSS JOIN tot
 """
+
+
+def q378_watermark_cost_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay COST curve: for each candidate
+    ``withWatermark`` bound (0s, 1s, 10s, 1m, 10m, 1h), the number and
+    ppm share of events that would arrive TOO LATE and be dropped —
+    the decision table on top of q362's tier profile (q362 describes
+    how late data is; this prices each candidate bound so an operator
+    picks the knee of the curve: a bigger delay drops less but holds
+    proportionally more state and delays results by the bound).
+
+    Exactness: per-event lateness is the exact integer micro gap from
+    the shared ``operators/incremental.lateness_us`` core (the q362
+    two-phase prefix-MAX — no global sort touches raw rows); each
+    candidate's drop count is an integer conditional sum over ONE
+    shared lateness pass (the 6 candidates explode AFTER the per-event
+    lateness is computed, so the prefix machinery runs once);
+    drop_ppm is integer division.
+
+    Shape at 100 TB: the q362 shape plus a 6-way explode feeding one
+    map-side-combined aggregate to 6 rows."""
+    from ...operators.incremental import lateness_us
+
+    events = load_table(spark, sf_dir, "events")
+    delays = [0, 1000000, 10000000, 60000000, 600000000, 3600000000]
+    late = lateness_us(events)
+    return (
+        late.select(
+            "late_us",
+            F.explode(
+                F.array(*[F.lit(d).cast("long") for d in delays])
+            ).alias("delay_us"),
+        )
+        .groupBy("delay_us")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(
+                F.when(F.col("late_us") > F.col("delay_us"), 1).otherwise(0)
+            ).cast("long").alias("n_dropped"),
+        )
+        .select(
+            "delay_us",
+            "n_events",
+            "n_dropped",
+            F.expr("(n_dropped * 1000000) div n_events").alias("drop_ppm"),
+        )
+        .orderBy("delay_us")
+    )
+
+
+_Q378_SQL = """
+WITH base AS (
+  SELECT event_id, epoch_us(ts) AS t_us
+  FROM events
+), late AS (
+  SELECT CASE WHEN prev_max IS NULL THEN 0
+              ELSE greatest(0, prev_max - t_us) END AS late_us
+  FROM (
+    SELECT t_us,
+           max(t_us) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_max
+    FROM base
+  )
+), curve AS (
+  SELECT d.delay_us,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN late_us > d.delay_us THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dropped
+  FROM late
+  CROSS JOIN (SELECT unnest([0, 1000000, 10000000, 60000000,
+                             600000000, 3600000000]) AS delay_us) d
+  GROUP BY d.delay_us
+)
+SELECT CAST(delay_us AS BIGINT) AS delay_us, n_events, n_dropped,
+       (n_dropped * 1000000) // n_events AS drop_ppm
+FROM curve
+ORDER BY delay_us
+"""

@@ -2636,3 +2636,260 @@ SELECT source, n1, n2, CAST(t1_micro AS BIGINT) AS t1_micro,
 FROM agg
 ORDER BY source
 """
+
+
+def q372_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test of variance homogeneity over event values by
+    type — the PARAMETRIC counterpart of Brown-Forsythe (q342) and the
+    precondition check for the pooled-variance classical ANOVA
+    (q233): T = [(N−k)·ln(s_p²) − Σ(n_i−1)·ln(s_i²)] / C with
+    C = 1 + (Σ 1/(n_i−1) − 1/(N−k)) / (3(k−1)), chi-square(k−1)
+    under normality (Bartlett 1937). q342 answers "are spreads equal,
+    robustly"; this answers the textbook form the ANOVA assumptions
+    cite.
+
+    Exactness: per-group moments (n, Σx, Σx²) are exact integers off
+    milli-quantized values; each group's double terms —
+    (n_i−1)·ln(s_i²) (micro → DECIMAL(38,0): the term grows like
+    n·ln, wrapping BIGINT near 1e12 rows), (n_i−1)·s_i² (micro →
+    DECIMAL(38,0)), and 1/(n_i−1) (femto BIGINT, the q360 Λ rule) —
+    are quantized BEFORE the cross-group sum, so every sum is integer
+    and engine-order-independent. T and C are one final double chain,
+    micro-quantized. Groups below 2 events or with exactly zero
+    variance (integer identity n·Σx² = (Σx)²) are excluded; fewer
+    than 2 qualifying groups → NULL statistics, counts still
+    reported. ln is the same correctly-rounded-seam argument as q304's
+    exp, hidden under micro quantization away from boundaries.
+
+    Shape at 100 TB: one map-side-combined groupBy collapses the
+    corpus to ≤|event_types| rows; everything after is a ≤k-row
+    reduction. No raw-row sort, no join."""
+    events = load_table(spark, sf_dir, "events")
+    g = (
+        events.select(
+            "event_type",
+            F.expr("CAST(round(value * 1000) AS BIGINT)").alias("v_m"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v_m").cast("long").alias("s"),
+            F.sum(F.expr("CAST(v_m AS DECIMAL(38,0)) * v_m")).alias("ss"),
+        )
+    )
+    ok = (
+        "(n >= 2 AND CAST(n AS DECIMAL(38,0)) * ss"
+        " > CAST(s AS DECIMAL(38,0)) * s)"
+    )
+    var_v = (
+        "((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
+        " / (n - 1) / 1.0e6)"
+    )
+    per = g.select(
+        F.expr(f"CASE WHEN {ok} THEN 1 ELSE 0 END").alias("used"),
+        "n",
+        F.expr(
+            f"CASE WHEN {ok} THEN"
+            f" CAST(round((n - 1) * ln({var_v}) * 1e6) AS DECIMAL(38,0))"
+            " ELSE CAST(0 AS DECIMAL(38,0)) END"
+        ).alias("lnterm_u"),
+        F.expr(
+            f"CASE WHEN {ok} THEN"
+            f" CAST(round((n - 1) * {var_v} * 1e6) AS DECIMAL(38,0))"
+            " ELSE CAST(0 AS DECIMAL(38,0)) END"
+        ).alias("ssw_u"),
+        F.expr(
+            f"CASE WHEN {ok} THEN"
+            " CAST(round(1e15 / (n - 1)) AS BIGINT) ELSE 0L END"
+        ).alias("inv_f"),
+    )
+    agg = per.agg(
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum("used").cast("long").alias("k_used"),
+        F.sum(F.expr("CASE WHEN used = 1 THEN n ELSE 0 END"))
+        .cast("long").alias("n_used"),
+        F.sum("lnterm_u").alias("ln_sum_u"),
+        F.sum("ssw_u").alias("ssw_sum_u"),
+        F.sum("inv_f").cast("long").alias("inv_sum_f"),
+    )
+    sp2 = "(CAST(ssw_sum_u AS DOUBLE) / 1e6 / (n_used - k_used))"
+    num = (
+        f"((n_used - k_used) * ln({sp2})"
+        " - CAST(ln_sum_u AS DOUBLE) / 1e6)"
+    )
+    cc = (
+        "(1.0e0 + (CAST(inv_sum_f AS DOUBLE) / 1e15"
+        " - 1.0e0 / (n_used - k_used)) / (3.0e0 * (k_used - 1)))"
+    )
+    return agg.select(
+        "k_groups",
+        "k_used",
+        "n_used",
+        F.expr(
+            f"CASE WHEN k_used >= 2 AND {sp2} > 0 THEN"
+            f" CAST(round({num} / {cc} * 1e6) AS BIGINT) END"
+        ).alias("bartlett_t_micro"),
+        F.expr(
+            f"CASE WHEN k_used >= 2 AND {sp2} > 0 THEN"
+            f" CAST(round({cc} * 1e6) AS BIGINT) END"
+        ).alias("c_micro"),
+    )
+
+
+def _q372_sql() -> str:
+    ok = (
+        "(n >= 2 AND CAST(n AS HUGEINT) * ss"
+        " > CAST(s AS HUGEINT) * s)"
+    )
+    var_v = (
+        "((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
+        " / (n - 1) / 1.0e6)"
+    )
+    sp2 = "(CAST(ssw_sum_u AS DOUBLE) / 1e6 / (n_used - k_used))"
+    num = (
+        f"((n_used - k_used) * ln({sp2})"
+        " - CAST(ln_sum_u AS DOUBLE) / 1e6)"
+    )
+    cc = (
+        "(1.0e0 + (CAST(inv_sum_f AS DOUBLE) / 1e15"
+        " - 1.0e0 / (n_used - k_used)) / (3.0e0 * (k_used - 1)))"
+    )
+    return f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(CAST(round(value * 1000) AS BIGINT) AS HUGEINT)
+                  * CAST(round(value * 1000) AS BIGINT)) AS HUGEINT) AS ss
+  FROM events
+  GROUP BY event_type
+), per AS (
+  SELECT CASE WHEN {ok} THEN 1 ELSE 0 END AS used,
+         n,
+         CASE WHEN {ok} THEN
+           CAST(round((n - 1) * ln({var_v}) * 1e6) AS HUGEINT)
+         ELSE CAST(0 AS HUGEINT) END AS lnterm_u,
+         CASE WHEN {ok} THEN
+           CAST(round((n - 1) * {var_v} * 1e6) AS HUGEINT)
+         ELSE CAST(0 AS HUGEINT) END AS ssw_u,
+         CASE WHEN {ok} THEN CAST(round(1e15 / (n - 1)) AS BIGINT)
+         ELSE 0 END AS inv_f
+  FROM g
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_groups,
+         CAST(sum(used) AS BIGINT) AS k_used,
+         CAST(sum(CASE WHEN used = 1 THEN n ELSE 0 END) AS BIGINT)
+           AS n_used,
+         CAST(sum(lnterm_u) AS HUGEINT) AS ln_sum_u,
+         CAST(sum(ssw_u) AS HUGEINT) AS ssw_sum_u,
+         CAST(sum(inv_f) AS BIGINT) AS inv_sum_f
+  FROM per
+)
+SELECT k_groups, k_used, n_used,
+       CASE WHEN k_used >= 2 AND {sp2} > 0 THEN
+         CAST(round({num} / {cc} * 1e6) AS BIGINT) END
+         AS bartlett_t_micro,
+       CASE WHEN k_used >= 2 AND {sp2} > 0 THEN
+         CAST(round({cc} * 1e6) AS BIGINT) END AS c_micro
+FROM agg
+"""
+
+
+def q376_holm_stepdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm step-down multiple-testing control over the q295 A/A family
+    — the UNIFORMLY-more-powerful-than-Bonferroni FWER procedure beside
+    the FDR step-up (q304): p_(i) is tested against α/(m−i+1) and
+    rejection stops at the FIRST failure (step-DOWN), vs BH's walk up
+    from the largest passing rank. Running both on the same family is
+    the textbook comparison of the two error-rate philosophies (FWER
+    vs FDR) — under the A/A null both should reject nothing.
+
+    Exactness: p values are q304's Hoeffding-bound p_nano integers off
+    the shared ``_aa_salted_cells`` exact moments; the Holm comparison
+    p_nano·(m−i+1) ≤ 5·10⁷ runs as exact integer cross-multiplication
+    (α=0.05, m=20); the stop-at-first-failure is a prefix-MIN window
+    over the 20-row ranked relation. No float enters any comparison.
+
+    Shape at 100 TB: the q295 shape (one md5 digest per row, 20-salt
+    exploded grouped pass to 40 cells); everything after is a 20-row
+    relation."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
+    )
+    cells = _aa_salted_cells(ev)
+    z = (
+        "(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)"
+        " / sqrt((CAST(ssa AS DOUBLE) / na"
+        "         - (CAST(sa AS DOUBLE) / na) * (CAST(sa AS DOUBLE) / na))"
+        "        / (na - 1.0e0)"
+        "        + (CAST(ssb AS DOUBLE) / nb"
+        "           - (CAST(sb AS DOUBLE) / nb) * (CAST(sb AS DOUBLE) / nb))"
+        "          / (nb - 1.0e0))"
+    )
+    degenerate = (
+        "(na <= 1 OR nb <= 1 OR"
+        " (ssa * na = CAST(sa AS DECIMAL(38,0)) * sa"
+        "  AND ssb * nb = CAST(sb AS DECIMAL(38,0)) * sb))"
+    )
+    p_nano = (
+        f"CASE WHEN {degenerate} THEN 1000000000L"
+        f" ELSE CAST(floor(least(2.0e0 * exp(-(({z}) * ({z})) / 2.0e0),"
+        " 1.0e0) * 1e9) AS BIGINT) END"
+    )
+    scored = cells.select("k", F.expr(p_nano).alias("p_nano"))
+    w = W.orderBy("p_nano", "k")
+    ranked = scored.select(
+        "k", "p_nano", F.row_number().over(w).alias("rank")
+    ).withColumn(
+        "holm_pass",
+        F.expr("p_nano * (20 - rank + 1) <= 50000000"),
+    )
+    wpre = W.orderBy("rank").rowsBetween(W.unboundedPreceding, 0)
+    return ranked.select(
+        "k",
+        "p_nano",
+        "rank",
+        "holm_pass",
+        (
+            F.min(F.when(F.col("holm_pass"), 1).otherwise(0)).over(wpre)
+            == 1
+        ).alias("rejected"),
+    ).orderBy("rank")
+
+
+def _q376_sql() -> str:
+    z = (
+        "(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)"
+        " / sqrt((CAST(ssa AS DOUBLE) / na"
+        "         - (CAST(sa AS DOUBLE) / na) * (CAST(sa AS DOUBLE) / na))"
+        "        / (na - 1.0e0)"
+        "        + (CAST(ssb AS DOUBLE) / nb"
+        "           - (CAST(sb AS DOUBLE) / nb) * (CAST(sb AS DOUBLE) / nb))"
+        "          / (nb - 1.0e0))"
+    )
+    return f"""
+{_AA_SALTED_CELLS_SQL.rstrip()}, scored AS (
+  SELECT CAST(k AS BIGINT) AS k,
+         CASE WHEN na <= 1 OR nb <= 1 OR
+                   (ssa * na = CAST(sa AS HUGEINT) * sa
+                    AND ssb * nb = CAST(sb AS HUGEINT) * sb)
+              THEN 1000000000
+              ELSE CAST(floor(least(2.0e0 * exp(-(({z}) * ({z})) / 2.0e0),
+                   1.0e0) * 1e9) AS BIGINT) END AS p_nano
+  FROM cells
+), ranked AS (
+  SELECT k, p_nano,
+         CAST(row_number() OVER (ORDER BY p_nano, k) AS BIGINT) AS rank
+  FROM scored
+), flagged AS (
+  SELECT k, p_nano, rank,
+         p_nano * (20 - rank + 1) <= 50000000 AS holm_pass
+  FROM ranked
+)
+SELECT k, p_nano, rank, holm_pass,
+       min(CASE WHEN holm_pass THEN 1 ELSE 0 END) OVER (
+         ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) = 1 AS rejected
+FROM flagged
+ORDER BY rank
+"""

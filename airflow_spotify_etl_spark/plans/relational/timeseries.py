@@ -3160,3 +3160,231 @@ _Q354_SQL = _COXSTUART_CORE.format(
              " AS DATE) AS d FROM mm",
     idiv="//",
 )
+
+
+def q374_kuiper_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kuiper's V test of weekday uniformity per event type — the
+    CIRCULAR counterpart of the KS uniformity family (q186/q309):
+    V = D⁺ + D⁻ is invariant to where the week 'starts', so a
+    mid-week activity bump scores identically whether the CDF is
+    anchored on Sunday or Wednesday — exactly the property a
+    day-of-week seasonality audit needs (KS itself is anchor-
+    dependent; q298 profiles the same cells descriptively).
+
+    Exactness: ZERO doubles anywhere. Weekday = epoch-day mod 7 (an
+    engine-neutral integer; dayofweek() conventions differ between
+    engines). On the 7-cell-per-type grid (missing weekdays
+    materialized as zero via an explode of the bounded type relation),
+    D⁺ and D⁻ are exact-integer numerators over the common
+    denominator 7n: D⁺·7n = max_i(7·cum_i − i·n) and
+    D⁻·7n = max_i(i·n − 7·cum_{i−1}), and
+    v_ppm = ((D⁺+D⁻ numerators)·10⁶) div (7n) is one integer
+    division. Engine-identical by construction.
+
+    Shape at 100 TB: one map-side-combined (type, weekday) count
+    collapse (≤ 7·|types| cells), the grid explode on the ≤|types|
+    aggregate, windows partitioned per type over 7 rows, a ≤|types|
+    rollup. No raw-row sort, no corpus join."""
+    events = load_table(spark, sf_dir, "events")
+    cnt = (
+        events.select(
+            "event_type",
+            F.expr(
+                "pmod(datediff(to_date(ts), DATE '1970-01-01'), 7)"
+            ).alias("wd"),
+        )
+        .groupBy("event_type", "wd")
+        .agg(F.count("*").alias("c"))
+    )
+    grid = (
+        cnt.groupBy("event_type")
+        .agg(F.sum("c").cast("long").alias("n"))
+        .select(
+            "event_type",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("wd"),
+        )
+        .join(cnt, ["event_type", "wd"], "left")
+        .select(
+            "event_type",
+            "n",
+            "wd",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("wd").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    steps = grid.select(
+        "event_type",
+        "n",
+        (F.col("wd") + 1).alias("i"),
+        F.sum("c").over(w).alias("cum"),
+    ).select(
+        "event_type",
+        "n",
+        (F.lit(7) * F.col("cum") - F.col("i") * F.col("n")).alias("dp"),
+        (
+            F.col("i") * F.col("n")
+            - F.lit(7)
+            * F.lag("cum", 1, 0).over(
+                W.partitionBy("event_type").orderBy("i")
+            )
+        ).alias("dm"),
+    )
+    return (
+        steps.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.max("dp").alias("dpn"),
+            F.max("dm").alias("dmn"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.expr(
+                "CAST(((dpn + dmn) * 1000000) div (7 * n_events)"
+                " AS BIGINT)"
+            ).alias("v_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q374_SQL = """
+WITH cnt AS (
+  SELECT event_type,
+         CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS BIGINT) AS wd,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events
+  GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+), grid AS (
+  SELECT t.event_type, t.n, g.wd, coalesce(c.c, 0) AS c
+  FROM tot t
+  CROSS JOIN (SELECT unnest(range(0, 7)) AS wd) g
+  LEFT JOIN cnt c ON c.event_type = t.event_type AND c.wd = g.wd
+), steps AS (
+  SELECT event_type, n, wd + 1 AS i,
+         sum(c) OVER (PARTITION BY event_type ORDER BY wd
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM grid
+), nums AS (
+  SELECT event_type, n,
+         7 * cum - i * n AS dp,
+         i * n - 7 * coalesce(lag(cum) OVER (
+           PARTITION BY event_type ORDER BY i), 0) AS dm
+  FROM steps
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_events,
+       CAST(((max(dp) + max(dm)) * 1000000) // (7 * max(n)) AS BIGINT)
+         AS v_ppm
+FROM nums
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q375_grubbs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' max-outlier statistic on the daily event-count series —
+    G = max|c_d − c̄|/s, the single-most-discordant-day screen that
+    complements the sequential changepoint detectors (CUSUM q190,
+    Pettitt q238, Page-Hinkley q324): those find level SHIFTS, Grubbs
+    flags one anomalous day against an otherwise stable series (the
+    batch twin of the rate-anomaly monitor q118's z-threshold, scored
+    on the corpus archive with the day identified).
+
+    Exactness: daily counts are exact integers; the argmax day is
+    chosen by the EXACT integer key |c·n − S| (equivalent to
+    |c − mean| without any division), ties broken on the earlier day
+    — engine-identical selection. G is one final double chain over
+    the exact moments (n, S, SS), micro-quantized. Fewer than 3 days
+    or exactly zero variance (integer identity n·SS = S²) → NULL
+    statistic and NULL day, n_days still reported.
+
+    Shape at 100 TB: the corpus collapses to the ≤|days| daily
+    relation in one map-side-combined aggregation; the single
+    unpartitioned window runs on that bounded aggregate output (the
+    house two-phase rule; the registry-wide window gate proves it)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(F.to_date("ts").alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("ss"),
+    )
+    ranked = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "dev_num",
+            F.expr("abs(CAST(c AS DECIMAL(38,0)) * n"
+                   " - CAST(s AS DECIMAL(38,0)))"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.orderBy(F.col("dev_num").desc(), F.col("d").asc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    gexpr = (
+        "(CAST(dev_num AS DOUBLE) / n"
+        " / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
+        "        / (n - 1)))"
+    )
+    ok = (
+        "(n >= 3 AND CAST(n AS DECIMAL(38,0)) * ss"
+        " > CAST(s AS DECIMAL(38,0)) * s)"
+    )
+    return ranked.select(
+        F.col("n").alias("n_days"),
+        F.expr(f"CASE WHEN {ok} THEN d END").alias("outlier_day"),
+        F.expr(f"CASE WHEN {ok} THEN CAST(c AS BIGINT) END").alias(
+            "outlier_count"
+        ),
+        F.expr(
+            f"CASE WHEN {ok} THEN"
+            f" CAST(round({gexpr} * 1e6) AS BIGINT) END"
+        ).alias("g_micro"),
+    )
+
+
+_Q375_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ss
+  FROM daily
+), ranked AS (
+  SELECT d, c, n, s, ss,
+         abs(CAST(c AS HUGEINT) * n - CAST(s AS HUGEINT)) AS dev_num,
+         row_number() OVER (
+           ORDER BY abs(CAST(c AS HUGEINT) * n - CAST(s AS HUGEINT)) DESC,
+                    d ASC) AS rn
+  FROM daily CROSS JOIN tot
+)
+SELECT n AS n_days,
+       CASE WHEN n >= 3 AND CAST(n AS HUGEINT) * ss
+                 > CAST(s AS HUGEINT) * s THEN d END AS outlier_day,
+       CASE WHEN n >= 3 AND CAST(n AS HUGEINT) * ss
+                 > CAST(s AS HUGEINT) * s THEN CAST(c AS BIGINT) END
+         AS outlier_count,
+       CASE WHEN n >= 3 AND CAST(n AS HUGEINT) * ss
+                 > CAST(s AS HUGEINT) * s THEN
+         CAST(round(CAST(dev_num AS DOUBLE) / n
+              / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                     / (n - 1)) * 1e6) AS BIGINT) END AS g_micro
+FROM ranked
+WHERE rn = 1
+"""

@@ -415,6 +415,13 @@ HEADLINE = [
     "q369_auc_delong",
     "q370_shuffle_mixing_audit",
     "q371_anderson_darling",
+    "q372_bartlett_test",
+    "q373_dp_sensitivity",
+    "q374_kuiper_weekday",
+    "q375_grubbs_daily",
+    "q376_holm_stepdown",
+    "q377_retrieval_agreement",
+    "q378_watermark_cost_curve",
 ]
 
 
