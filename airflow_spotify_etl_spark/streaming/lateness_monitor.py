@@ -25,7 +25,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
-__all__ = ["run_lateness_monitor", "read_lateness_profile"]
+__all__ = [
+    "run_lateness_monitor",
+    "read_lateness_profile",
+    "run_delay_curve_monitor",
+    "read_delay_curve",
+]
 
 
 def _prior_max_us(
@@ -107,4 +112,92 @@ def read_lateness_profile(spark: SparkSession, store_path: str) -> DataFrame:
             ).alias("share_ppm"),
         )
         .orderBy("lateness_tier")
+    )
+
+
+_DELAYS_US = [0, 1000000, 10000000, 60000000, 600000000, 3600000000]
+
+
+def _apply_delay_curve_batch(
+    spark: SparkSession, bdf: DataFrame, store_path: str, batch_id: int
+) -> None:
+    if bdf.isEmpty():
+        return
+    from ..operators.incremental import lateness_us
+
+    prev = _prior_max_us(spark, store_path, batch_id)
+    bmax = bdf.agg(
+        F.expr("max(unix_micros(ts))").alias("m")
+    ).collect()[0].m
+    bmax_col = (
+        F.lit(None).cast("long")
+        if bmax is None
+        else F.lit(int(bmax)).cast("long")
+    )
+    late = lateness_us(bdf, prev_max_us=prev)
+    curve = (
+        late.select(
+            "late_us",
+            F.explode(
+                F.array(*[F.lit(d).cast("long") for d in _DELAYS_US])
+            ).alias("delay_us"),
+        )
+        .groupBy("delay_us")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(
+                F.when(F.col("late_us") > F.col("delay_us"), 1).otherwise(0)
+            ).cast("long").alias("n_dropped"),
+        )
+        .withColumn("batch_max_us", bmax_col)
+    )
+    curve.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+
+
+def run_delay_curve_monitor(
+    spark: SparkSession,
+    stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+) -> None:
+    """Streaming twin of the q378 watermark-delay COST curve: drain
+    ``stream`` (availableNow), accumulating per-batch per-candidate
+    drop-count partials (6 bounded rows per batch — counts are
+    additive across batches because each batch's lateness seeds from
+    the prior batches' max event time, exactly like the tier
+    monitor). A foreachBatch RETRY recomputes from the same priors and
+    overwrites its own partition with identical rows."""
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        _apply_delay_curve_batch(spark, bdf, store_path, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_delay_curve(spark: SparkSession, store_path: str) -> DataFrame:
+    """Merge the stored partials into the stream-wide delay-cost curve
+    — identical to the batch q378 relation over the union of every
+    drained row (drop counts are additive; drop_ppm recomputes on the
+    merged totals)."""
+    partials = spark.read.parquet(store_path)
+    return (
+        partials.groupBy("delay_us")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("n_dropped").cast("long").alias("n_dropped"),
+        )
+        .select(
+            "delay_us",
+            "n_events",
+            "n_dropped",
+            F.expr("(n_dropped * 1000000) div n_events").alias("drop_ppm"),
+        )
+        .orderBy("delay_us")
     )

@@ -282,3 +282,64 @@ def test_q378_watermark_curve_hand_values(spark, tmp_path, qs):
                  600000000: 1, 3600000000: 1}
     assert got == {d: (6, n, n * 1000000 // 6)
                    for d, n in exp_drops.items()}
+
+
+def test_delay_curve_monitor_equals_batch_q378(spark, tmp_path, qs):
+    """Streaming twin of q378: the q378 hand fixture split into two
+    arrival-ordered micro-batches (e1-e3, then e4-e6) with a
+    foreachBatch RETRY of batch 0 in between drains. The merged
+    delay-cost curve must equal the batch q378 relation over the
+    union (cross-batch lateness seeds from the earlier batch's max
+    event time), and the retry must not double-count."""
+    from airflow_spotify_etl_spark.streaming.lateness_monitor import (
+        _apply_delay_curve_batch,
+        read_delay_curve,
+        run_delay_curve_monitor,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+    def at(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    rows1 = [
+        _ev(1, 1, 1.0, ts=at(0)),
+        _ev(2, 2, 1.0, ts=at(100)),
+        _ev(3, 3, 1.0, ts=at(99.5)),
+    ]
+    rows2 = [
+        _ev(4, 4, 1.0, ts=at(95)),
+        _ev(5, 5, 1.0, ts=at(70)),
+        _ev(6, 6, 1.0, ts=at(100 - 7200)),
+    ]
+    src = str(tmp_path / "curve_src")
+    store = str(tmp_path / "curve_store")
+    ckpt = str(tmp_path / "curve_ckpt")
+    schema = SCHEMAS["events"]
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        run_delay_curve_monitor(spark, stream, store, ckpt)
+
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    # RETRY: re-apply batch 0 — identical partial overwritten in place
+    _apply_delay_curve_batch(
+        spark, spark.createDataFrame(rows1, schema), store, 0
+    )
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+
+    got = {r.delay_us: (r.n_events, r.n_dropped, r.drop_ppm)
+           for r in read_delay_curve(spark, store).collect()}
+    # batch twin over the union written as one events table
+    _write_events(spark, tmp_path, rows1 + rows2)
+    want = {r.delay_us: (r.n_events, r.n_dropped, r.drop_ppm)
+            for r in qs["q378_watermark_cost_curve"](
+                spark, str(tmp_path)).collect()}
+    assert got == want
+    assert got[0] == (6, 4, 4 * 1000000 // 6)
