@@ -2879,3 +2879,88 @@ SELECT query_id, n_flagged, top_match_id, top_cos, n_corpus_contaminated
 FROM per CROSS JOIN removal
 ORDER BY query_id
 """
+
+
+def q381_contamination_ngram_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Contamination-depth profile: the q50 benchmark-decontamination
+    screen swept across n-gram lengths n ∈ {2, 4, 6, 8} — per n, the
+    count and ppm rate of corpus docs sharing ≥1 word n-gram with the
+    eval set (doc_id < 5, the q50 convention). The length sweep is how
+    a decontamination threshold is actually CHOSEN (GPT-3 appendix C
+    picks 8-13-grams; PaLM 8): short grams flag everything, long grams
+    flag nothing, and the knee of this curve is the defensible n. q50
+    reports the per-doc hits at one n; this reports the curve.
+
+    Exactness: all integers — per-arm contaminated-doc counts and one
+    shared corpus count, rate_ppm = hits·10⁶ div corpus.
+
+    Shape at 100 TB: four arms of the audited q50 shape (eval shingles
+    distinct'd and BROADCAST into the shuffle-free corpus shingle
+    stream, one per-doc aggregate each) plus 1-row reductions — the
+    scoreboard sum-of-parts pattern (q339/q350)."""
+    from ...operators.dedup import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") < 5)
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    n_corpus = corpus.agg(
+        F.count("*").cast("long").alias("n_corpus_docs")
+    )
+    arms = []
+    for n in (2, 4, 6, 8):
+        hits = ngram_contamination(corpus, eval_docs, n=n).agg(
+            F.count("*").cast("long").alias("n_contaminated")
+        )
+        arms.append(
+            hits.crossJoin(F.broadcast(n_corpus)).select(
+                F.lit(n).cast("long").alias("n"),
+                "n_corpus_docs",
+                "n_contaminated",
+                F.expr(
+                    "(n_contaminated * 1000000) div n_corpus_docs"
+                ).alias("rate_ppm"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("n")
+
+
+def _q381_sql() -> str:
+    arms = []
+    for n in (2, 4, 6, 8):
+        arms.append(f"""
+  SELECT {n} AS n,
+         (SELECT CAST(count(*) AS BIGINT) FROM documents
+          WHERE doc_id >= 5) AS n_corpus_docs,
+         CAST(count(DISTINCT s.doc_id) AS BIGINT) AS n_contaminated
+  FROM (
+    SELECT doc_id, unnest(list_distinct(
+             [array_to_string(w[i:i+{n - 1}], ' ')
+              for i in range(1, len(w) - {n - 2})]
+           )) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  ) s
+  JOIN (
+    SELECT DISTINCT shingle FROM (
+      SELECT doc_id, unnest(list_distinct(
+               [array_to_string(w[i:i+{n - 1}], ' ')
+                for i in range(1, len(w) - {n - 2})]
+             )) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ) WHERE doc_id < 5
+  ) needles USING (shingle)
+  WHERE s.doc_id >= 5""")
+    union = "\n  UNION ALL\n".join(arms)
+    return f"""
+WITH arms AS (
+{union}
+)
+SELECT n, n_corpus_docs, n_contaminated,
+       (n_contaminated * 1000000) // n_corpus_docs AS rate_ppm
+FROM arms
+ORDER BY n
+"""

@@ -1194,3 +1194,118 @@ SELECT n1, n2,
          AS ks_lambda
 FROM dmax
 """
+
+
+def q384_token_water_filling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation across sources: given a
+    global budget B = half the corpus's total tokens, give every
+    source min(its tokens, λ) where the common level λ is the
+    largest integer with Σ min(tokens, λ) ≤ B — the max-min-fair
+    corpus mix a multi-source training run uses when one source
+    dwarfs the rest (per-source quotas q71 cap COUNTS at a fixed k;
+    the q85 epoch mixture applies GIVEN weights; this DERIVES the
+    fair allocation from the budget).
+
+    Exactness: FULLY integer. Sources sort ascending by exact
+    (whitespace-token count, source); with prefix sums P_i and
+    remaining counts, rank j is 'fully fitting' iff
+    P_j + t_j·(n−j) ≤ B (everyone later could also take t_j); λ =
+    (B − P_j*) div (n − j*) for the LARGEST fitting j* (0 if none),
+    so Σ allocated ≤ B with the div remainder reported as leftover.
+    B ≥ total tokens degenerates to every source uncapped.
+
+    Shape at 100 TB: one corpus token-count collapse to ≤|sources|
+    rows; every window runs on that bounded relation; the budget is
+    a broadcast 1-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = (
+        docs.select(
+            "source",
+            F.expr(
+                r"size(filter(split(text, '\\s+'), x -> x != ''))"
+            ).alias("toks"),
+        )
+        .groupBy("source")
+        .agg(F.sum("toks").cast("long").alias("t"))
+    )
+    tot = src.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("total_tokens"),
+        F.expr("CAST(sum(t) div 2 AS BIGINT)").alias("b"),
+    )
+    ranked = src.crossJoin(F.broadcast(tot)).select(
+        "source", "t", "n", "total_tokens", "b",
+        F.row_number().over(W.orderBy("t", "source")).alias("rk"),
+    )
+    w_cum = W.orderBy("t", "source").rowsBetween(W.unboundedPreceding, 0)
+    pre = ranked.withColumn("p", F.sum("t").over(w_cum)).withColumn(
+        "fits", F.expr("p + t * (n - rk) <= b")
+    )
+    jstar = pre.agg(
+        F.max(F.when(F.col("fits"), F.col("rk")).otherwise(0))
+        .cast("long").alias("js"),
+        F.max(F.when(F.col("fits"), F.col("p")).otherwise(0))
+        .cast("long").alias("pjs"),
+    )
+    lam = jstar.crossJoin(
+        F.broadcast(tot.select("n", "b"))
+    ).select(
+        "js",
+        F.expr(
+            "CASE WHEN js >= n THEN NULL"
+            " ELSE (b - pjs) div (n - js) END"
+        ).alias("lam"),
+    )
+    return (
+        pre.crossJoin(F.broadcast(lam))
+        .select(
+            "source",
+            F.col("t").alias("n_tokens"),
+            F.expr(
+                "CASE WHEN lam IS NULL OR t <= lam THEN t ELSE lam END"
+            ).cast("long").alias("allocated"),
+            F.expr("lam IS NOT NULL AND t > lam").alias("capped"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q384_SQL = r"""
+WITH src AS (
+  SELECT source,
+         CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS t
+  FROM documents
+  GROUP BY source
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(t) AS BIGINT) AS total_tokens,
+         CAST(sum(t) // 2 AS BIGINT) AS b
+  FROM src
+), ranked AS (
+  SELECT source, t, n, b,
+         row_number() OVER (ORDER BY t, source) AS rk,
+         sum(t) OVER (ORDER BY t, source
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS p
+  FROM src CROSS JOIN tot
+), pre AS (
+  SELECT *, p + t * (n - rk) <= b AS fits FROM ranked
+), jstar AS (
+  SELECT CAST(max(CASE WHEN fits THEN rk ELSE 0 END) AS BIGINT) AS js,
+         CAST(max(CASE WHEN fits THEN p ELSE 0 END) AS BIGINT) AS pjs
+  FROM pre
+), lam AS (
+  SELECT js,
+         CASE WHEN js >= (SELECT n FROM tot) THEN NULL
+              ELSE ((SELECT b FROM tot) - pjs)
+                   // ((SELECT n FROM tot) - js) END AS lam
+  FROM jstar
+)
+SELECT source, t AS n_tokens,
+       CAST(CASE WHEN lam IS NULL OR t <= lam THEN t ELSE lam END
+            AS BIGINT) AS allocated,
+       lam IS NOT NULL AND t > lam AS capped
+FROM pre CROSS JOIN lam
+ORDER BY source
+"""

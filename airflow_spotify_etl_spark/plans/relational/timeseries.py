@@ -3388,3 +3388,404 @@ SELECT n AS n_days,
 FROM ranked
 WHERE rn = 1
 """
+
+
+def q379_pot_gpd_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold GPD fit on daily revenue — the
+    EXCEEDANCE-side extreme-value model beside the block-maxima Gumbel
+    (q248): threshold u = the p90 daily total (exact order statistic),
+    exceedances y = v − u for v > u, and the method-of-moments GPD
+    shape/scale ξ̂ = ½(1 − m²/s²), σ̂ = ½m(m²/s² + 1) (Hosking &
+    Wallis 1987) — the capacity-planning tail model ("how bad is a
+    bad day beyond the p90") that a return-level table extrapolates
+    from.
+
+    Exactness: daily totals are exact cent BIGINTs; u is the row at
+    rank ceil(0.9·n) in exact (value, day) order — engine-identical
+    selection; exceedance moments (n_e, Σy, Σy²) are exact integers
+    (Σy² in DECIMAL(38,0)); ξ̂/σ̂ are one final double chain,
+    micro-quantized. Fewer than 3 exceedances or zero exceedance
+    variance (integer identity) → NULL estimates, counts still
+    reported.
+
+    Shape at 100 TB: one map-side-combined daily collapse; the order
+    statistic and moments run on the bounded ≤|days| relation (the
+    single unpartitioned window ranks an aggregate output — window
+    gate proved)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            F.to_date("ts").alias("d"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").cast("long").alias("v"))
+    )
+    n_rel = daily.agg(F.count("*").cast("long").alias("n"))
+    u_rel = (
+        daily.crossJoin(F.broadcast(n_rel))
+        .withColumn(
+            "rk", F.row_number().over(W.orderBy("v", "d"))
+        )
+        .filter(F.expr("rk = CAST((9 * n + 9) div 10 AS INT)"))
+        .select(F.col("v").alias("u"), "n")
+    )
+    exc = (
+        daily.crossJoin(F.broadcast(u_rel))
+        .filter(F.col("v") > F.col("u"))
+        .select("u", "n", (F.col("v") - F.col("u")).alias("y"))
+    )
+    agg = exc.groupBy("u", "n").agg(
+        F.count("*").cast("long").alias("ne"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+    )
+    m = "(CAST(sy AS DOUBLE) / ne)"
+    s2 = "((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / ne) / (ne - 1))"
+    ratio = f"({m} * {m} / {s2})"
+    ok = (
+        "(ne >= 3 AND CAST(ne AS DECIMAL(38,0)) * syy"
+        " > CAST(sy AS DECIMAL(38,0)) * sy)"
+    )
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.col("u").alias("u_cents"),
+        F.col("ne").alias("n_exceed"),
+        F.expr(
+            f"CASE WHEN {ok} THEN"
+            f" CAST(round(0.5e0 * (1.0e0 - {ratio}) * 1e6) AS BIGINT) END"
+        ).alias("xi_micro"),
+        F.expr(
+            f"CASE WHEN {ok} THEN"
+            f" CAST(round(0.5e0 * {m} * ({ratio} + 1.0e0) * 1e6)"
+            " AS BIGINT) END"
+        ).alias("sigma_cents_micro"),
+    )
+
+
+_Q379_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1
+), nrel AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM daily
+), u_rel AS (
+  SELECT v AS u, n FROM (
+    SELECT v, n, row_number() OVER (ORDER BY v, d) AS rk
+    FROM daily CROSS JOIN nrel
+  ) WHERE rk = (9 * n + 9) // 10
+), exc AS (
+  SELECT u, n, v - u AS y
+  FROM daily CROSS JOIN u_rel
+  WHERE v > u
+), agg AS (
+  SELECT u, n,
+         CAST(count(*) AS BIGINT) AS ne,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM exc GROUP BY u, n
+)
+SELECT n AS n_days, u AS u_cents, ne AS n_exceed,
+       CASE WHEN ne >= 3 AND CAST(ne AS HUGEINT) * syy
+                 > CAST(sy AS HUGEINT) * sy THEN
+         CAST(round(0.5e0 * (1.0e0
+           - (CAST(sy AS DOUBLE) / ne) * (CAST(sy AS DOUBLE) / ne)
+             / ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / ne)
+                / (ne - 1))) * 1e6) AS BIGINT) END AS xi_micro,
+       CASE WHEN ne >= 3 AND CAST(ne AS HUGEINT) * syy
+                 > CAST(sy AS HUGEINT) * sy THEN
+         CAST(round(0.5e0 * (CAST(sy AS DOUBLE) / ne)
+           * ((CAST(sy AS DOUBLE) / ne) * (CAST(sy AS DOUBLE) / ne)
+              / ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / ne)
+                 / (ne - 1)) + 1.0e0) * 1e6) AS BIGINT) END
+         AS sigma_cents_micro
+FROM agg
+"""
+
+
+def q380_record_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-record test on the daily event-count series: the
+    observed count of strict prefix-maximum days R against its
+    exchangeability expectation H_n = Σ1/k and variance
+    Σ(1/k − 1/k²) (classical record statistics; Foster & Stuart) —
+    a distribution-free growth detector beside the rank trend tests
+    (Mann-Kendall q301, Cox-Stuart q354): under a stationary
+    exchangeable series records arrive at harmonic rate, and a
+    growing series sets records far faster.
+
+    Exactness: daily counts and the record indicator are exact
+    integers (strict > over the exact prefix max; ties never count,
+    the conservative direction); each harmonic/variance term is
+    quantized to femto BIGINT BEFORE the sum, so the cross-day sums
+    are integer and order-independent. z is one final double chain,
+    micro-quantized; below 2 days or zero variance → NULL z.
+
+    Shape at 100 TB: one daily collapse; the prefix-max and rank
+    windows run on the bounded ≤|days| aggregate output."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(F.to_date("ts").alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w_prev = W.orderBy("d").rowsBetween(W.unboundedPreceding, -1)
+    w_rank = W.orderBy("d")
+    terms = daily.select(
+        "d",
+        "c",
+        F.max("c").over(w_prev).alias("pm"),
+        F.row_number().over(w_rank).alias("k"),
+    ).select(
+        F.expr(
+            "CASE WHEN pm IS NULL OR c > pm THEN 1 ELSE 0 END"
+        ).alias("rec"),
+        F.expr("CAST(round(1e15 / k) AS BIGINT)").alias("h_f"),
+        F.expr(
+            "CAST(round(1e15 / k) AS BIGINT)"
+            " - CAST(round(1e15 / (CAST(k AS DOUBLE) * k)) AS BIGINT)"
+        ).alias("v_f"),
+    )
+    agg = terms.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("rec").cast("long").alias("n_records"),
+        F.sum("h_f").cast("long").alias("h_sum_f"),
+        F.sum("v_f").cast("long").alias("v_sum_f"),
+    )
+    z = (
+        "((CAST(n_records AS DOUBLE) - CAST(h_sum_f AS DOUBLE) / 1e15)"
+        " / sqrt(CAST(v_sum_f AS DOUBLE) / 1e15))"
+    )
+    return agg.select(
+        "n_days",
+        "n_records",
+        F.expr(
+            "CAST(round(CAST(h_sum_f AS DOUBLE) / 1e15 * 1e6) AS BIGINT)"
+        ).alias("expected_micro"),
+        F.expr(
+            f"CASE WHEN n_days >= 2 AND v_sum_f > 0 THEN"
+            f" CAST(round({z} * 1e6) AS BIGINT) END"
+        ).alias("z_micro"),
+    )
+
+
+_Q380_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), terms AS (
+  SELECT CASE WHEN pm IS NULL OR c > pm THEN 1 ELSE 0 END AS rec,
+         CAST(round(1e15 / k) AS BIGINT) AS h_f,
+         CAST(round(1e15 / k) AS BIGINT)
+           - CAST(round(1e15 / (CAST(k AS DOUBLE) * k)) AS BIGINT) AS v_f
+  FROM (
+    SELECT c,
+           max(c) OVER (ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS pm,
+           row_number() OVER (ORDER BY d) AS k
+    FROM daily
+  )
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(rec) AS BIGINT) AS n_records,
+         CAST(sum(h_f) AS BIGINT) AS h_sum_f,
+         CAST(sum(v_f) AS BIGINT) AS v_sum_f
+  FROM terms
+)
+SELECT n_days, n_records,
+       CAST(round(CAST(h_sum_f AS DOUBLE) / 1e15 * 1e6) AS BIGINT)
+         AS expected_micro,
+       CASE WHEN n_days >= 2 AND v_sum_f > 0 THEN
+         CAST(round((CAST(n_records AS DOUBLE)
+                     - CAST(h_sum_f AS DOUBLE) / 1e15)
+                    / sqrt(CAST(v_sum_f AS DOUBLE) / 1e15) * 1e6)
+              AS BIGINT) END AS z_micro
+FROM agg
+"""
+
+
+def q382_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the per-user spend tail index — the
+    order-statistics member of the extreme-value family (block maxima
+    → Gumbel q248, exceedances → GPD q379, tail slope → this):
+    ξ̂ = (1/k)·Σᵢ≤k ln(x₍ᵢ₎/x₍k+1₎) over the k = 100 largest
+    positive user totals — the "how heavy is the whale tail" number
+    that decides whether mean-based capacity planning is even valid
+    (ξ ≥ 1 ⇒ infinite mean tail).
+
+    Exactness: user totals are exact cent BIGINTs; the top-(k+1) draw
+    is a TakeOrdered on exact (total DESC, user_id) — engine-identical
+    at ties, and tied boundary values leave ξ̂ unchanged (equal ln
+    contributions); each ln ratio is quantized to micro BIGINT BEFORE
+    the k-row sum. k adapts to small corpora as
+    min(100, n_pos − 1); below 2 positive users the estimator has no
+    reference order statistic and the relation is empty.
+
+    Shape at 100 TB: one map-side-combined user collapse, one bounded
+    TakeOrdered(101), arithmetic on the ≤101-row relation."""
+    events = load_table(spark, sf_dir, "events")
+    k = 100
+    users = (
+        events.select(
+            "user_id",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("cents").cast("long").alias("x"))
+        .filter(F.col("x") > 0)
+    )
+    n_rel = users.agg(F.count("*").cast("long").alias("n_pos"))
+    top = users.orderBy(F.col("x").desc(), "user_id").limit(k + 1)
+    ranked = top.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.col("x").desc(), "user_id"))
+    ).crossJoin(F.broadcast(n_rel))
+    xk1 = ranked.filter(
+        F.expr(f"rk = least({k + 1}, n_pos)")
+    ).select(F.col("x").alias("xk1"))
+    lnterms = (
+        ranked.filter(F.expr(f"rk <= least({k}, n_pos - 1)"))
+        .crossJoin(F.broadcast(xk1))
+        .select(
+            F.expr(
+                "CAST(round(ln(CAST(x AS DOUBLE) / xk1) * 1e6) AS BIGINT)"
+            ).alias("ln_u"),
+            "xk1",
+            "n_pos",
+        )
+    )
+    return (
+        lnterms.groupBy("n_pos", "xk1")
+        .agg(
+            F.count("*").cast("long").alias("k_used"),
+            F.sum("ln_u").cast("long").alias("ln_sum_u"),
+        )
+        .select(
+            "n_pos",
+            F.col("k_used").alias("k"),
+            F.col("xk1").alias("x_kplus1_cents"),
+            F.expr(
+                "CAST(round(CAST(ln_sum_u AS DOUBLE) / 1e6 / k_used * 1e6)"
+                " AS BIGINT)"
+            ).alias("hill_xi_micro"),
+        )
+    )
+
+
+_Q382_SQL = """
+WITH users AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events
+  GROUP BY user_id
+  HAVING sum(CAST(round(value * 100) AS BIGINT)) > 0
+), nrel AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pos FROM users
+), ranked AS (
+  SELECT x, rk, n_pos FROM (
+    SELECT x, row_number() OVER (ORDER BY x DESC, user_id) AS rk
+    FROM users
+    ORDER BY x DESC, user_id
+    LIMIT 101
+  ) CROSS JOIN nrel
+), xk1 AS (
+  SELECT x AS xk1 FROM ranked WHERE rk = least(101, n_pos)
+), agg AS (
+  SELECT n_pos, xk1,
+         CAST(count(*) AS BIGINT) AS k_used,
+         CAST(sum(CAST(round(ln(CAST(x AS DOUBLE) / xk1) * 1e6)
+                       AS BIGINT)) AS BIGINT) AS ln_sum_u
+  FROM ranked CROSS JOIN xk1
+  WHERE rk <= least(100, n_pos - 1)
+  GROUP BY n_pos, xk1
+)
+SELECT n_pos, k_used AS k, xk1 AS x_kplus1_cents,
+       CAST(round(CAST(ln_sum_u AS DOUBLE) / 1e6 / k_used * 1e6)
+            AS BIGINT) AS hill_xi_micro
+FROM agg
+"""
+
+
+def q383_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected shortfall (CVaR) of daily revenue at the 90% level —
+    the TAIL MEAN companion of the order-statistic threshold (q379
+    models the exceedance SHAPE; this reports the single
+    capacity/risk number "how big is an average top-decile day"):
+    the top n − ceil(0.9·n) days by exact (value, day) rank, their
+    mean, and their share of total revenue.
+
+    Exactness: FULLY integer — the tail is rank-selected (not
+    value-thresholded, so ties never change the tail size), the mean
+    is an exact integer milli division (Σv·1000 div n_tail) and the
+    share an integer ppm. Below 1 tail row (n < 2... ceil makes
+    n_tail ≥ 1 for n ≥ 10; n_tail = 0 only when ceil(0.9n) = n) →
+    empty-tail guard reports NULLs with counts.
+
+    Shape at 100 TB: one daily collapse; one rank window over the
+    bounded ≤|days| aggregate; a 1-row reduction."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            F.to_date("ts").alias("d"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").cast("long").alias("v"))
+    )
+    n_rel = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("tot"),
+    )
+    ranked = daily.crossJoin(F.broadcast(n_rel)).withColumn(
+        "rk", F.row_number().over(W.orderBy(F.col("v").desc(), "d"))
+    )
+    agg = (
+        ranked.filter(F.expr("rk <= n - (9 * n + 9) div 10"))
+        .groupBy("n", "tot")
+        .agg(
+            F.count("*").cast("long").alias("n_tail"),
+            F.sum("v").cast("long").alias("tail_sum"),
+        )
+    )
+    return n_rel.join(
+        agg.select("n", "n_tail", "tail_sum"), "n", "left"
+    ).select(
+        F.col("n").alias("n_days"),
+        F.coalesce("n_tail", F.lit(0)).cast("long").alias("n_tail"),
+        F.expr(
+            "CASE WHEN n_tail > 0 THEN (tail_sum * 1000) div n_tail END"
+        ).alias("es_cents_milli"),
+        F.expr(
+            "CASE WHEN n_tail > 0 AND tot > 0 THEN"
+            " (tail_sum * 1000000) div tot END"
+        ).alias("tail_share_ppm"),
+    )
+
+
+_Q383_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1
+), nrel AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS tot
+  FROM daily
+), ranked AS (
+  SELECT v, n, tot, row_number() OVER (ORDER BY v DESC, d) AS rk
+  FROM daily CROSS JOIN nrel
+), agg AS (
+  SELECT n,
+         CAST(count(*) AS BIGINT) AS n_tail,
+         CAST(sum(v) AS BIGINT) AS tail_sum
+  FROM ranked
+  WHERE rk <= n - (9 * n + 9) // 10
+  GROUP BY n
+)
+SELECT nrel.n AS n_days,
+       coalesce(agg.n_tail, 0) AS n_tail,
+       CASE WHEN agg.n_tail > 0 THEN (agg.tail_sum * 1000) // agg.n_tail
+       END AS es_cents_milli,
+       CASE WHEN agg.n_tail > 0 AND nrel.tot > 0 THEN
+         (agg.tail_sum * 1000000) // nrel.tot END AS tail_share_ppm
+FROM nrel LEFT JOIN agg ON agg.n = nrel.n
+"""

@@ -422,6 +422,12 @@ HEADLINE = [
     "q376_holm_stepdown",
     "q377_retrieval_agreement",
     "q378_watermark_cost_curve",
+    "q379_pot_gpd_fit",
+    "q380_record_rate_test",
+    "q381_contamination_ngram_sweep",
+    "q382_hill_tail_index",
+    "q383_expected_shortfall",
+    "q384_token_water_filling",
 ]
 
 

@@ -343,3 +343,178 @@ def test_delay_curve_monitor_equals_batch_q378(spark, tmp_path, qs):
                 spark, str(tmp_path)).collect()}
     assert got == want
     assert got[0] == (6, 4, 4 * 1000000 // 6)
+
+
+def test_q379_gpd_hand_value(spark, tmp_path, qs):
+    """30 days, one event per day with value k -> daily totals 100k
+    cents. u = rank ceil(0.9*30)=27 -> 2700; exceedances {100,200,300}:
+    m=200, s2=(140000-120000)/2=10000, m2/s2=4 ->
+    xi = 0.5*(1-4) = -1.5, sigma = 0.5*200*5 = 500 cents."""
+    rows = [_ev(k, k, float(k),
+                ts=datetime.datetime(2024, 3, 1, 10, 0, 0)
+                + datetime.timedelta(days=k))
+            for k in range(1, 31)]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q379_pot_gpd_fit"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_days, r.u_cents, r.n_exceed) == (30, 2700, 3)
+    assert r.xi_micro == -1500000
+    assert r.sigma_cents_micro == 500000000
+
+
+def test_q379_degenerate_equal_exceedances(spark, tmp_path, qs):
+    """Exceedances all equal -> zero variance -> NULL estimates."""
+    vals = [1.0] * 27 + [9.0, 9.0, 9.0]
+    rows = [_ev(k, k, v,
+                ts=datetime.datetime(2024, 3, 1, 10, 0, 0)
+                + datetime.timedelta(days=k))
+            for k, v in enumerate(vals, start=1)]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q379_pot_gpd_fit"](spark, str(tmp_path)).collect()[0]
+    assert r.n_exceed == 3
+    assert r.xi_micro is None and r.sigma_cents_micro is None
+
+
+def test_q380_record_hand_values(spark, tmp_path, qs):
+    """Strictly increasing daily counts [1,2,3,4] -> R=4;
+    H_4 = 25/12 -> expected_micro 2083333; z replayed from the same
+    femto-quantized sums."""
+    rows = []
+    eid = 0
+    for day, cnt in [(1, 1), (2, 2), (3, 3), (4, 4)]:
+        for _ in range(cnt):
+            rows.append(_ev(eid, eid, 1.0,
+                            ts=datetime.datetime(2024, 3, day, 10, 0, 0)))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    r = qs["q380_record_rate_test"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_days, r.n_records) == (4, 4)
+    h_sum = sum(round(1e15 / k) for k in range(1, 5))
+    v_sum = sum(round(1e15 / k) - round(1e15 / (float(k) * k))
+                for k in range(1, 5))
+    assert r.expected_micro == round(h_sum / 1e15 * 1e6) == 2083333
+    z = (4 - h_sum / 1e15) / math.sqrt(v_sum / 1e15)
+    assert r.z_micro == round(z * 1e6)
+
+
+def test_q380_constant_two_days(spark, tmp_path, qs):
+    """[5,5]: only day 1 is a (first) record -> R=1, H=1.5, V=0.25,
+    z = (1-1.5)/0.5 = -1."""
+    rows = []
+    eid = 0
+    for day in (1, 2):
+        for _ in range(5):
+            rows.append(_ev(eid, eid, 1.0,
+                            ts=datetime.datetime(2024, 3, day, 10, 0, 0)))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    r = qs["q380_record_rate_test"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_days, r.n_records) == (2, 1)
+    assert r.z_micro == -1000000
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+
+def test_q381_sweep_hand_values(spark, tmp_path, qs):
+    """Eval doc 1 = 'a b c d e f g h'. Corpus: doc 10 identical (flags
+    at every n), doc 11 shares only the 2-gram 'a b', doc 12 shares
+    nothing -> contaminated 2/1/1/1 of 3 at n=2/4/6/8."""
+    docs = [
+        (1, "a b c d e f g h", "en", "s", 15),
+        (2, "e1 e2 e3 e4 e5 e6 e7 e8", "en", "s", 23),
+        (10, "a b c d e f g h", "en", "s", 15),
+        (11, "x y a b q r s t", "en", "s", 15),
+        (12, "m n o p q2 r2 s2 t2", "en", "s", 19),
+    ]
+    _write_docs(spark, tmp_path, docs)
+    got = {r.n: (r.n_corpus_docs, r.n_contaminated, r.rate_ppm)
+           for r in qs["q381_contamination_ngram_sweep"](
+               spark, str(tmp_path)).collect()}
+    assert got == {2: (3, 2, 666666), 4: (3, 1, 333333),
+                   6: (3, 1, 333333), 8: (3, 1, 333333)}
+
+
+def test_q382_hill_hand_value(spark, tmp_path, qs):
+    """5 positive users with totals [1600, 800, 400, 200, 100] cents:
+    k = min(100, 4) = 4, x_(k+1) = 100,
+    xi = mean(ln16, ln8, ln4, ln2) replayed from micro-quantized
+    terms. A user with negative total is excluded."""
+    rows = [
+        _ev(1, 1, 16.0), _ev(2, 2, 8.0), _ev(3, 3, 4.0),
+        _ev(4, 4, 2.0), _ev(5, 5, 1.0), _ev(6, 6, -3.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q382_hill_tail_index"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_pos, r.k, r.x_kplus1_cents) == (5, 4, 100)
+    ln_sum = sum(round(math.log(x / 100) * 1e6)
+                 for x in (1600, 800, 400, 200))
+    assert r.hill_xi_micro == round(ln_sum / 1e6 / 4 * 1e6)
+
+
+def test_q382_single_positive_user_empty(spark, tmp_path, qs):
+    _write_events(spark, tmp_path, [_ev(1, 1, 5.0), _ev(2, 2, -1.0)])
+    assert qs["q382_hill_tail_index"](spark, str(tmp_path)).count() == 0
+
+
+def test_q383_expected_shortfall_hand_value(spark, tmp_path, qs):
+    """30 days with totals 100k cents (k=1..30): tail size
+    30 - ceil(27) = 3 -> top days {3000,2900,2800}, ES = 8700*1000/3
+    = 2900000 milli, share = 8700e6 div 46500 = 187096 ppm."""
+    rows = [_ev(k, k, float(k),
+                ts=datetime.datetime(2024, 3, 1, 10, 0, 0)
+                + datetime.timedelta(days=k))
+            for k in range(1, 31)]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q383_expected_shortfall"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_days, r.n_tail) == (30, 3)
+    assert r.es_cents_milli == 2900000
+    assert r.tail_share_ppm == 187096
+
+
+def test_q383_empty_tail(spark, tmp_path, qs):
+    """5 days: ceil(0.9*5) = 5 -> zero tail rows -> NULLs."""
+    rows = [_ev(k, k, float(k),
+                ts=datetime.datetime(2024, 3, 1, 10, 0, 0)
+                + datetime.timedelta(days=k))
+            for k in range(1, 6)]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q383_expected_shortfall"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_days, r.n_tail) == (5, 0)
+    assert r.es_cents_milli is None and r.tail_share_ppm is None
+
+
+def test_q384_water_filling_hand_values(spark, tmp_path, qs):
+    """Sources A=10, B=30, C=60 tokens; budget = 50. Ascending fits:
+    A fully (10 + 10*2 = 30 <= 50); B fails (40 + 30 = 70) ->
+    lambda = (50-10) div 2 = 20 -> A=10 uncapped, B=C=20 capped,
+    total = 50 = budget exactly."""
+    def words(prefix, n):
+        return " ".join(f"{prefix}{i}" for i in range(n))
+
+    docs = [
+        (1, words("a", 10), "en", "A", 10),
+        (2, words("b", 30), "en", "B", 30),
+        (3, words("c", 25), "en", "C", 25),
+        (4, words("d", 35), "en", "C", 35),
+    ]
+    _write_docs(spark, tmp_path, docs)
+    got = {r.source: (r.n_tokens, r.allocated, r.capped)
+           for r in qs["q384_token_water_filling"](
+               spark, str(tmp_path)).collect()}
+    assert got == {"A": (10, 10, False), "B": (30, 20, True),
+                   "C": (60, 20, True)}
+    assert sum(a for _, a, _ in got.values()) == 50
+
+
+def test_q384_all_empty_texts(spark, tmp_path, qs):
+    """Zero-token corpus: budget 0, everything fits at level 0 ->
+    allocated 0, nothing capped."""
+    docs = [(1, "", "en", "A", 0), (2, "", "en", "B", 0)]
+    _write_docs(spark, tmp_path, docs)
+    got = {r.source: (r.n_tokens, r.allocated, r.capped)
+           for r in qs["q384_token_water_filling"](
+               spark, str(tmp_path)).collect()}
+    assert got == {"A": (0, 0, False), "B": (0, 0, False)}

@@ -1161,17 +1161,18 @@ def test_drift_monitor_equals_batch_tvd(spark, tmp_path):
 
 def test_composed_monitor_fleet_over_shared_stream(spark, tmp_path):
     """Composed multi-store deployment (round-7 verdict task 6, round-9
-    task 8): ONE shared event stream drained into FOUR monitor stores —
-    drift histogram (TVD), CMS heavy-hitters, HLL distinct-users, and
-    the lateness profile — across two drains with a foreachBatch RETRY
-    in between. Each store's reader must equal its one-shot batch twin
-    over the union of every drained row: the drift matrix equals the
-    shared q319 tvd_matrix operator, CMS equals one sketch built over
-    the union, HLL likewise, and the merged lateness profile equals the
-    batch q362 relation (cross-batch lateness seeds from the earlier
-    drain's max event time). The solo two-drain twins are covered
-    per-monitor; this is the composed drain the realistic deployment
-    runs."""
+    task 8): ONE shared event stream drained into FIVE monitor stores —
+    drift histogram (TVD), CMS heavy-hitters, HLL distinct-users, the
+    lateness profile, and the watermark delay-cost curve — across two
+    drains with a foreachBatch RETRY in between. Each store's reader
+    must equal its one-shot batch twin over the union of every drained
+    row: the drift matrix equals the shared q319 tvd_matrix operator,
+    CMS equals one sketch built over the union, HLL likewise, the
+    merged lateness profile equals the batch q362 relation, and the
+    merged delay curve equals the batch q378 relation (cross-batch
+    lateness seeds from the earlier drain's max event time). The solo
+    two-drain twins are covered per-monitor; this is the composed
+    drain the realistic deployment runs."""
     from airflow_spotify_etl_spark.operators.incremental import (
         lateness_tier_counts,
         tvd_matrix,
@@ -1198,8 +1199,11 @@ def test_composed_monitor_fleet_over_shared_stream(spark, tmp_path):
         run_hll_monitor,
     )
     from airflow_spotify_etl_spark.streaming.lateness_monitor import (
+        _apply_delay_curve_batch,
         _apply_lateness_batch,
+        read_delay_curve,
         read_lateness_profile,
+        run_delay_curve_monitor,
         run_lateness_monitor,
     )
 
@@ -1210,7 +1214,7 @@ def test_composed_monitor_fleet_over_shared_stream(spark, tmp_path):
                      ["click", "purchase"][i % 2], float(i % 3))
                     for i in range(30)])
     src = str(tmp_path / "src")
-    kinds = ("drift", "cms", "hll", "late")
+    kinds = ("drift", "cms", "hll", "late", "curve")
     stores = {k: str(tmp_path / f"store_{k}") for k in kinds}
     ckpts = {k: str(tmp_path / f"ckpt_{k}") for k in kinds}
 
@@ -1230,6 +1234,8 @@ def test_composed_monitor_fleet_over_shared_stream(spark, tmp_path):
                         key_col="event_type", value_col="user_id")
         run_lateness_monitor(spark, stream(), stores["late"],
                              ckpts["late"])
+        run_delay_curve_monitor(spark, stream(), stores["curve"],
+                                ckpts["curve"])
 
     spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
         "append"
@@ -1244,6 +1250,7 @@ def test_composed_monitor_fleet_over_shared_stream(spark, tmp_path):
     _apply_cms_batch(b0, stores["cms"], 0, "event_type", 4, 1024)
     _apply_hll_batch(b0, stores["hll"], 0, "event_type", "user_id")
     _apply_lateness_batch(spark, b0, stores["late"], 0)
+    _apply_delay_curve_batch(spark, b0, stores["curve"], 0)
 
     spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
         "append"
@@ -1321,3 +1328,36 @@ def test_composed_monitor_fleet_over_shared_stream(spark, tmp_path):
     }
     assert got_late == want_late
     assert sum(n for n, _ in got_late.values()) == len(rows1) + len(rows2)
+
+    # delay-curve store == batch q378 curve over the union (same
+    # shared lateness core, additive per-candidate drop partials)
+    from airflow_spotify_etl_spark.operators.incremental import lateness_us
+    from pyspark.sql import functions as _F
+
+    got_curve = {
+        r.delay_us: (r.n_events, r.n_dropped)
+        for r in read_delay_curve(spark, stores["curve"]).collect()
+    }
+    late_union = lateness_us(union)
+    want_curve = {
+        r.delay_us: (r.n_events, r.n_dropped)
+        for r in late_union.select(
+            "late_us",
+            _F.explode(
+                _F.array(*[_F.lit(d).cast("long") for d in
+                           (0, 1000000, 10000000, 60000000,
+                            600000000, 3600000000)])
+            ).alias("delay_us"),
+        )
+        .groupBy("delay_us")
+        .agg(
+            _F.count("*").cast("long").alias("n_events"),
+            _F.sum(
+                _F.when(_F.col("late_us") > _F.col("delay_us"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_dropped"),
+        )
+        .collect()
+    }
+    assert got_curve == want_curve
+    assert got_curve[0][0] == len(rows1) + len(rows2)
