@@ -1309,3 +1309,84 @@ SELECT source, t AS n_tokens,
 FROM pre CROSS JOIN lam
 ORDER BY source
 """
+
+
+def q387_largest_remainder_apportionment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed sample
+    budget across sources: exactly N = 1000 sample slots split
+    proportionally to source document counts — floor shares first,
+    then the R leftover slots go to the largest fractional remainders
+    (ties on remainder break to the lexicographically-first source).
+    This is the EXACT-total counterpart of rate-based stratified
+    sampling (q47 keeps ~rate·n per stratum, q384 levels a token
+    budget): when the downstream contract is "exactly N rows, source
+    mix as close to proportional as arithmetic allows", Hamilton is
+    the standard answer (and Σ allocated = N by construction — no
+    rounding drift).
+
+    Exactness: FULLY integer. Quota numerators q_s = n_s·N; floor
+    share = q_s div T; remainder = q_s mod T (the cleared-denominator
+    fractional part); R = N − Σ floors; the top-R remainder ranks
+    (rank by (remainder DESC, source), exact ordering) get +1. No
+    float anywhere.
+
+    Shape at 100 TB: the corpus collapses to ≤|sources| counts; all
+    windows run on that bounded relation with a broadcast 1-row
+    total."""
+    n_slots = 1000
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    tot = src.agg(F.sum("n_docs").cast("long").alias("t"))
+    based = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "t",
+        F.expr(f"(n_docs * {n_slots}) div t").alias("fl"),
+        F.expr(f"(n_docs * {n_slots}) % t").alias("rem"),
+    )
+    r_rel = based.agg(
+        (F.lit(n_slots) - F.sum("fl")).cast("long").alias("r")
+    )
+    ranked = based.crossJoin(F.broadcast(r_rel)).withColumn(
+        "rk",
+        F.row_number().over(W.orderBy(F.col("rem").desc(), "source")),
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        (
+            F.col("fl") + F.when(F.col("rk") <= F.col("r"), 1).otherwise(0)
+        ).cast("long").alias("allocated"),
+        (F.col("rk") <= F.col("r")).alias("got_remainder_slot"),
+    ).orderBy("source")
+
+
+_Q387_SQL = """
+WITH src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM src
+), based AS (
+  SELECT source, n_docs, t,
+         (n_docs * 1000) // t AS fl,
+         (n_docs * 1000) % t AS rem
+  FROM src CROSS JOIN tot
+), rrel AS (
+  SELECT CAST(1000 - sum(fl) AS BIGINT) AS r FROM based
+), ranked AS (
+  SELECT b.*, r.r,
+         row_number() OVER (ORDER BY b.rem DESC, b.source) AS rk
+  FROM based b CROSS JOIN rrel r
+)
+SELECT source, n_docs,
+       CAST(fl + CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT)
+         AS allocated,
+       rk <= r AS got_remainder_slot
+FROM ranked
+ORDER BY source
+"""

@@ -2893,3 +2893,115 @@ SELECT k, p_nano, rank, holm_pass,
 FROM flagged
 ORDER BY rank
 """
+
+
+def q385_benjamini_yekutieli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Yekutieli FDR control over the q295 A/A family —
+    completing the multiple-testing triptych (BH step-up q304 assumes
+    PRDS; Holm step-down q376 controls FWER; BY is the FDR step-up
+    valid under ARBITRARY dependence, paying the harmonic penalty
+    c(m) = Σᵢ≤m 1/i ≈ 3.598 at m = 20). Running all three on one
+    family is the textbook dependence-assumption comparison; under
+    the A/A null all should reject nothing.
+
+    Exactness: p values are q304's Hoeffding-bound p_nano integers
+    off the shared ``_aa_salted_cells`` moments; c(m) enters as the
+    femto-quantized harmonic sum H_f = Σ round(10¹⁵/i) (a
+    deterministic integer both engines replay), making the BY
+    comparison p_nano·m·H_f ≤ α_nano·k·10¹⁵ exact integer
+    cross-multiplication (no float ever compared); the step-up is the
+    q304 max-passing-rank window.
+
+    Shape at 100 TB: the q295 shape — one md5-digest-per-row 20-salt
+    exploded grouped pass to 40 cells; everything after is a 20-row
+    relation."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
+    )
+    cells = _aa_salted_cells(ev)
+    z = (
+        "(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)"
+        " / sqrt((CAST(ssa AS DOUBLE) / na"
+        "         - (CAST(sa AS DOUBLE) / na) * (CAST(sa AS DOUBLE) / na))"
+        "        / (na - 1.0e0)"
+        "        + (CAST(ssb AS DOUBLE) / nb"
+        "           - (CAST(sb AS DOUBLE) / nb) * (CAST(sb AS DOUBLE) / nb))"
+        "          / (nb - 1.0e0))"
+    )
+    degenerate = (
+        "(na <= 1 OR nb <= 1 OR"
+        " (ssa * na = CAST(sa AS DECIMAL(38,0)) * sa"
+        "  AND ssb * nb = CAST(sb AS DECIMAL(38,0)) * sb))"
+    )
+    p_nano = (
+        f"CASE WHEN {degenerate} THEN 1000000000L"
+        f" ELSE CAST(floor(least(2.0e0 * exp(-(({z}) * ({z})) / 2.0e0),"
+        " 1.0e0) * 1e9) AS BIGINT) END"
+    )
+    h_f = sum(round(1e15 / i) for i in range(1, 21))
+    scored = cells.select("k", F.expr(p_nano).alias("p_nano"))
+    w = W.orderBy("p_nano", "k")
+    ranked = scored.select(
+        "k", "p_nano", F.row_number().over(w).alias("rank")
+    ).withColumn(
+        "by_pass",
+        F.expr(
+            "CAST(p_nano AS DECIMAL(38,0)) * 20 * "
+            f"{h_f} <= CAST(50000000 AS DECIMAL(38,0)) * rank"
+            " * 1000000000000000"
+        ),
+    )
+    wmax = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return ranked.select(
+        "k",
+        "p_nano",
+        "rank",
+        "by_pass",
+        (
+            F.col("rank")
+            <= F.coalesce(
+                F.max(F.when(F.col("by_pass"), F.col("rank"))).over(wmax),
+                F.lit(0),
+            )
+        ).alias("rejected"),
+    ).orderBy("rank")
+
+
+def _q385_sql() -> str:
+    z = (
+        "(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)"
+        " / sqrt((CAST(ssa AS DOUBLE) / na"
+        "         - (CAST(sa AS DOUBLE) / na) * (CAST(sa AS DOUBLE) / na))"
+        "        / (na - 1.0e0)"
+        "        + (CAST(ssb AS DOUBLE) / nb"
+        "           - (CAST(sb AS DOUBLE) / nb) * (CAST(sb AS DOUBLE) / nb))"
+        "          / (nb - 1.0e0))"
+    )
+    h_f = sum(round(1e15 / i) for i in range(1, 21))
+    return f"""
+{_AA_SALTED_CELLS_SQL.rstrip()}, scored AS (
+  SELECT CAST(k AS BIGINT) AS k,
+         CASE WHEN na <= 1 OR nb <= 1 OR
+                   (ssa * na = CAST(sa AS HUGEINT) * sa
+                    AND ssb * nb = CAST(sb AS HUGEINT) * sb)
+              THEN 1000000000
+              ELSE CAST(floor(least(2.0e0 * exp(-(({z}) * ({z})) / 2.0e0),
+                   1.0e0) * 1e9) AS BIGINT) END AS p_nano
+  FROM cells
+), ranked AS (
+  SELECT k, p_nano,
+         CAST(row_number() OVER (ORDER BY p_nano, k) AS BIGINT) AS rank
+  FROM scored
+), flagged AS (
+  SELECT k, p_nano, rank,
+         CAST(p_nano AS HUGEINT) * 20 * {h_f}
+           <= CAST(50000000 AS HUGEINT) * rank * 1000000000000000
+           AS by_pass
+  FROM ranked
+)
+SELECT k, p_nano, rank, by_pass,
+       rank <= coalesce(max(CASE WHEN by_pass THEN rank END) OVER (), 0)
+         AS rejected
+FROM flagged
+ORDER BY rank
+"""

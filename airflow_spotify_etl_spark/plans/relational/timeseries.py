@@ -3789,3 +3789,92 @@ SELECT nrel.n AS n_days,
          (agg.tail_sum * 1000000) // nrel.tot END AS tail_share_ppm
 FROM nrel LEFT JOIN agg ON agg.n = nrel.n
 """
+
+
+def q386_variogram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical variogram of the daily event-count series at lags
+    h ∈ {1, 2, 4, 8} days: γ(h) = ½·mean((c_{t+h} − c_t)²) over
+    calendar-aligned day pairs — the INCREMENT-based dependence
+    profile beside the correlation-based ACF (q188): the variogram is
+    defined under trends and level shifts where the stationary ACF is
+    not (intrinsic vs second-order stationarity), so a growing series
+    still yields an interpretable scale-vs-lag curve (flat ⇒ white
+    noise, rising ⇒ persistent structure).
+
+    Exactness: all increments are exact integer differences of daily
+    counts over EXACT calendar alignment (d+h join; missing days
+    simply form no pair, the standard irregular-series treatment);
+    squared increments accumulate in DECIMAL(38,0); the reported
+    γ(h) is an exact integer milli division (Σδ²·1000 div (2·n_h)).
+    Lags with no pairs report NULL.
+
+    Shape at 100 TB: one daily collapse; per-lag self-joins on the
+    bounded ≤|days| relation keyed on the exact date (broadcast-
+    sized); a 4-row result."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(F.to_date("ts").alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    lagged = daily.select(
+        "d",
+        "c",
+        F.explode(
+            F.array(*[F.lit(h) for h in (1, 2, 4, 8)])
+        ).alias("h"),
+    ).withColumn("d2", F.expr("date_add(d, h)"))
+    pairs = lagged.alias("a").join(
+        daily.alias("b"), F.col("a.d2") == F.col("b.d")
+    ).select(
+        F.col("a.h").alias("h"),
+        (F.col("b.c") - F.col("a.c")).alias("delta"),
+    )
+    agg = pairs.groupBy("h").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.expr("CAST(delta AS DECIMAL(38,0)) * delta")).alias("ss"),
+    )
+    grid = daily.agg(F.count("*").alias("_n")).select(
+        F.explode(F.array(*[F.lit(h) for h in (1, 2, 4, 8)])).alias("h")
+    )
+    return (
+        grid.join(agg, "h", "left")
+        .select(
+            F.col("h").cast("long").alias("lag_days"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.expr(
+                "CASE WHEN n_pairs > 0 THEN"
+                " CAST((ss * 1000) div (2 * n_pairs) AS BIGINT) END"
+            ).alias("gamma_milli"),
+        )
+        .orderBy("lag_days")
+    )
+
+
+_Q386_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), lagged AS (
+  SELECT d, c, h.h, d + CAST(h.h AS INTEGER) AS d2
+  FROM daily
+  CROSS JOIN (SELECT unnest([1, 2, 4, 8]) AS h) h
+), pairs AS (
+  SELECT l.h, b.c - l.c AS delta
+  FROM lagged l JOIN daily b ON b.d = l.d2
+), agg AS (
+  SELECT h,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CAST(delta AS HUGEINT) * delta) AS HUGEINT) AS ss
+  FROM pairs GROUP BY h
+), grid AS (
+  SELECT unnest([1, 2, 4, 8]) AS h
+)
+SELECT CAST(g.h AS BIGINT) AS lag_days,
+       coalesce(a.n_pairs, 0) AS n_pairs,
+       CASE WHEN a.n_pairs > 0 THEN
+         CAST((a.ss * 1000) // (2 * a.n_pairs) AS BIGINT) END
+         AS gamma_milli
+FROM grid g LEFT JOIN agg a ON a.h = g.h
+ORDER BY lag_days
+"""

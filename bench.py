@@ -428,6 +428,9 @@ HEADLINE = [
     "q382_hill_tail_index",
     "q383_expected_shortfall",
     "q384_token_water_filling",
+    "q385_benjamini_yekutieli",
+    "q386_variogram_profile",
+    "q387_largest_remainder_apportionment",
 ]
 
 

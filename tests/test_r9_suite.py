@@ -518,3 +518,69 @@ def test_q384_all_empty_texts(spark, tmp_path, qs):
            for r in qs["q384_token_water_filling"](
                spark, str(tmp_path)).collect()}
     assert got == {"A": (0, 0, False), "B": (0, 0, False)}
+
+
+def test_q385_by_mechanics_and_family_ordering(spark, tmp_path, qs):
+    """BY mechanics on the shared A/A family: the pass rule replays
+    the exact integer harmonic comparison, rejections are the step-up
+    max-passing-rank set, and the dependence-robust BY never rejects
+    more than plain BH on the same family."""
+    rows = [_ev(e, u, float(1 + (u * 7 + e) % 5))
+            for e, u in ((i, i % 20) for i in range(120))]
+    _write_events(spark, tmp_path, rows)
+    rows_by = qs["q385_benjamini_yekutieli"](spark, str(tmp_path)).collect()
+    assert len(rows_by) == 20
+    h_f = sum(round(1e15 / i) for i in range(1, 21))
+    by_rank = sorted(rows_by, key=lambda r: r.rank)
+    for r in by_rank:
+        assert r.by_pass == (
+            r.p_nano * 20 * h_f <= 50_000_000 * r.rank * 10**15
+        )
+    passing = [r.rank for r in rows_by if r.by_pass]
+    kmax = max(passing) if passing else 0
+    for r in rows_by:
+        assert r.rejected == (r.rank <= kmax)
+    n_by = sum(r.rejected for r in rows_by)
+    n_bh = sum(r.rejected
+               for r in qs["q304_bh_fdr_control"](spark, str(tmp_path))
+               .collect())
+    assert n_by <= n_bh
+
+
+def test_q386_variogram_hand_values(spark, tmp_path, qs):
+    """Daily counts [1,3,6,10,15] on days 1-5: lag-1 diffs {2,3,4,5}
+    -> gamma = 54000 div 8 = 6750 milli; lag-2 {5,7,9} -> 155000 div 6
+    = 25833; lag-4 {14} -> 98000; lag-8 no pairs -> NULL."""
+    rows = []
+    eid = 0
+    for day, cnt in [(1, 1), (2, 3), (3, 6), (4, 10), (5, 15)]:
+        for _ in range(cnt):
+            rows.append(_ev(eid, eid, 1.0,
+                            ts=datetime.datetime(2024, 3, day, 10, 0, 0)))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = {r.lag_days: (r.n_pairs, r.gamma_milli)
+           for r in qs["q386_variogram_profile"](
+               spark, str(tmp_path)).collect()}
+    assert got == {1: (4, 6750), 2: (3, 25833), 4: (1, 98000),
+                   8: (0, None)}
+
+
+def test_q387_hamilton_hand_values(spark, tmp_path, qs):
+    """Sources A=3, B=3, C=1 docs, N=1000 slots: quotas 3000/7 and
+    1000/7 -> floors 428/428/142 (sum 998, R=2); remainders 4/4/6 ->
+    C then A (tie A<B) get the 2 leftover slots -> 429/428/143,
+    total exactly 1000."""
+    docs = [
+        (1, "x", "en", "A", 1), (2, "x", "en", "A", 1),
+        (3, "x", "en", "A", 1), (4, "x", "en", "B", 1),
+        (5, "x", "en", "B", 1), (6, "x", "en", "B", 1),
+        (7, "x", "en", "C", 1),
+    ]
+    _write_docs(spark, tmp_path, docs)
+    got = {r.source: (r.n_docs, r.allocated, r.got_remainder_slot)
+           for r in qs["q387_largest_remainder_apportionment"](
+               spark, str(tmp_path)).collect()}
+    assert got == {"A": (3, 429, True), "B": (3, 428, False),
+                   "C": (1, 143, True)}
+    assert sum(a for _, a, _ in got.values()) == 1000
