@@ -247,27 +247,35 @@ def adamic_adar_pairs(
     evidence and drop out (ln(1) = 0 would divide by zero; deg ≥ 2 by
     construction of the pair expansion).
 
-    Scale shape: pair generation explodes each user's item basket into
-    C(n, 2) pairs — quadratic per user, so ``max_basket`` caps it (drop
-    power-users' baskets above the cap, the q24/q59 bucket discipline:
-    a user who bought everything tells you nothing about pairwise
-    affinity). The expansion is join-free (collect_set + nested explode);
-    the score is ONE grouped sum over (i, j) with map-side combine;
-    output is top-k bounded."""
+    Scale shape: pair generation is quadratic per user, so ``max_basket``
+    caps it BEFORE expansion (degree filter d ∈ [2, max_basket] — drop
+    power-users, the q24/q59 bucket discipline: a user who bought
+    everything tells you nothing about pairwise affinity). The expansion
+    itself is a self-equi-join of the capped (u, i) relation on u with
+    i_a < i_b — whole-stage codegen end to end, and both join inputs hash
+    to the SAME u partitioning the degree aggregate already produced, so
+    the exchanges are reused (r10 redesign: the previous collect_set +
+    nested-transform explode avoided the u-shuffle but built every pair
+    through INTERPRETED higher-order functions — measured 11.1 s vs
+    3.8 s for this form at sf0.1, byte-identical output; the shuffles it
+    saved are over the slim distinct (u, i) relation, ~2% of the pair
+    volume that dominates either plan). The score is ONE grouped sum over
+    (i, j) with map-side combine; output is top-k bounded."""
     inter = interactions.select(
         F.col(user_col).alias("u"), F.col(item_col).alias("i")
     ).distinct()
-    baskets = inter.groupBy("u").agg(
-        F.array_sort(F.collect_set("i")).alias("items")
+    degw = (
+        inter.groupBy("u")
+        .agg(F.count("*").alias("d"))
+        .filter((F.col("d") >= 2) & (F.col("d") <= int(max_basket)))
+        .select("u", (F.lit(1.0) / F.log(F.col("d").cast("double"))).alias("w"))
     )
-    capped = baskets.filter(
-        (F.size("items") >= 2) & (F.size("items") <= int(max_basket))
-    )
-    w = F.lit(1.0) / F.log(F.size("items").cast("double"))
-    pairs = (
-        capped.select(w.alias("w"), F.explode(_pair_expr("items")).alias("p"))
-        .select("w", F.col("p.a").alias("item_a"), F.col("p.b").alias("item_b"))
-    )
+    a = inter.join(degw, "u").select("u", F.col("i").alias("item_a"), "w")
+    b = inter.select(F.col("u").alias("ub"), F.col("i").alias("item_b"))
+    pairs = a.join(
+        b,
+        (F.col("u") == F.col("ub")) & (F.col("item_a") < F.col("item_b")),
+    ).select("item_a", "item_b", "w")
     return (
         pairs.groupBy("item_a", "item_b")
         .agg(

@@ -544,10 +544,22 @@ def lateness_us(
     prefix-max over the bounded cell relation, and a cell-partitioned
     within-cell window — no global sort touches raw rows. Returns a
     one-column (late_us) relation; all integers.
+
+    NULL event times: rows with ``ts IS NULL`` are EXCLUDED from the
+    lateness pass (r9 advice). A NULL event time carries no lateness
+    semantics — before this filter such rows silently landed in the
+    '0_on_time' tier (greatest() skips NULLs in both Spark and DuckDB)
+    and could never be dropped at any candidate watermark, skewing the
+    q362/q378 decision tables. They never influenced the running max
+    either way (max() skips NULLs), so on NULL-free data the output is
+    byte-identical; callers that need the NULL-ts population should
+    count it separately before calling (``df.filter("ts IS NULL")``).
     """
     from pyspark.sql import Window as W
 
-    raw = df.select("event_id", F.expr("unix_micros(ts)").alias("t_us"))
+    raw = df.filter(F.col("ts").isNotNull()).select(
+        "event_id", F.expr("unix_micros(ts)").alias("t_us")
+    )
     # Width derives from the id RANGE (max - min), and bucketing is on
     # the min-rebased id: with an offset id space (e.g. every later
     # micro-batch of the streaming monitor, whose ids start near the

@@ -410,10 +410,15 @@ def q112_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence (array columns stringify differently across engines — the
     digest certifies every code byte-exactly), and the reconstruction
     error stats a pipeline gates on before switching its scoring tier to
-    the 4×-smaller table."""
+    the 4×-smaller table.
+
+    Presentation sort below the quantization projection (r10, same
+    reasoning as q45): range-exchange sampling runs its child twice, so
+    sorting the raw embeddings first runs the quantize+digest pass once
+    (0.77 s -> 0.56 s at sf0.1), byte-identical output."""
     from ...operators.similarity import quantize_int8
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id")
     q = quantize_int8(emb)
     return q.select(
         "vec_id",
@@ -421,7 +426,7 @@ def q112_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join("qvec", ",")).alias("codes_md5"),
         "max_abs_err",
         "cos_recon",
-    ).orderBy("vec_id")
+    )
 
 
 _Q112_SQL = """

@@ -222,11 +222,22 @@ LIMIT 200
 def q45_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters (corpus quality): type-token ratio,
     top-token and top-bigram fractions per doc — the signals that drop
-    templated/spam mass before LLM training."""
+    templated/spam mass before LLM training.
+
+    The presentation sort sits BELOW the heavy per-doc projection (r10):
+    a global orderBy directly above an expensive non-reduced projection
+    executes that projection TWICE — range-exchange sampling runs the
+    child once to pick bounds, the shuffle runs it again — which doubled
+    this query's cost (measured 2.8 s -> 1.29 s at sf0.1). Sorting the
+    slim (doc_id, text) input instead samples only the scan; the
+    order-preserving projection then runs once and the output rows are
+    byte-identical, order included. At 100 TB the sort is presentation
+    only (the correctness hash is order-insensitive) and would be
+    dropped outright."""
     from ...operators.text import repetition_metrics
 
     docs = load_table(spark, sf_dir, "documents")
-    return repetition_metrics(docs).orderBy("doc_id")
+    return repetition_metrics(docs.orderBy("doc_id"))
 
 
 _Q45_SQL = r"""
@@ -347,10 +358,16 @@ def q52_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     salad corpus carries no real PII, so the query SEEDS a deterministic
     email/phone/IP triple per doc (built from doc_id, identically in the
     oracle) — the value check then genuinely exercises the regex engines:
-    any Java-vs-RE2 semantic drift in the patterns breaks the hash."""
+    any Java-vs-RE2 semantic drift in the patterns breaks the hash.
+
+    Presentation sort below the regex projection (r10, same reasoning
+    as q45): range-exchange sampling executes its child twice, and the
+    three-regex redaction pass is the expensive part — sorting the slim
+    input first halves the cost (1.65 s -> 0.86 s at sf0.1) with
+    byte-identical output."""
     from ...operators.text import redact_pii
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id")
     s = lambda c: c.cast("string")  # noqa: E731
     seeded = docs.select(
         "doc_id",
@@ -368,7 +385,7 @@ def q52_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             s(F.col("doc_id") % 100 + 1),
         ).alias("text"),
     )
-    return redact_pii(seeded).orderBy("doc_id")
+    return redact_pii(seeded)
 
 
 def _q52_sql() -> str:

@@ -405,8 +405,13 @@ def q13_flatten_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     `.get(k, default)` on every field, spotify_etl.py:241-250) + JSON field
     extraction from a raw payload column, date slice (P5:
     `played_at[:10]`, spotify_etl2.py:170) and epoch-ms (P6,
-    spotify_etl2.py:102-104). All built-in Catalyst expressions — no UDFs."""
-    ev = _t(spark, sf_dir, "events")
+    spotify_etl2.py:102-104). All built-in Catalyst expressions — no UDFs.
+
+    Presentation sort below the projection (r10, same reasoning as
+    q45): range-exchange sampling runs its child twice, so sorting the
+    raw events first and projecting after runs the JSON extraction once
+    (0.98 s -> 0.59 s at sf0.1), byte-identical output."""
+    ev = _t(spark, sf_dir, "events").orderBy("event_id")
     return ev.select(
         "event_id",
         F.coalesce("event_type", F.lit("Unknown")).alias("event_type_filled"),
@@ -416,7 +421,7 @@ def q13_flatten_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.col("ts").cast("string"), 1, 10).alias("event_date_str"),
         F.unix_millis("ts").alias("ts_ms"),
         F.coalesce("value", F.lit(0.0)).alias("value_filled"),
-    ).orderBy("event_id")
+    )
 
 
 _Q13_SQL = """

@@ -1291,7 +1291,9 @@ def q362_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Exactness: timestamps to epoch micros (exact BIGINTs); lateness
     is an integer subtraction; tiers are integer comparisons;
-    share_ppm the exact integer (n·10⁶) div total.
+    share_ppm the exact integer (n·10⁶) div total. Rows with NULL ts
+    are excluded from the profile (see lateness_us — they carry no
+    lateness semantics and previously read as on-time).
 
     Shape at 100 TB: the naive form is one GLOBAL ordered running-max
     window (single-partition scale killer). Here it is the q214/q224
@@ -1325,6 +1327,7 @@ _Q362_SQL = """
 WITH base AS (
   SELECT event_id, epoch_us(ts) AS t_us
   FROM events
+  WHERE ts IS NOT NULL
 ), late AS (
   SELECT CASE WHEN prev_max IS NULL THEN 0
               ELSE greatest(0, prev_max - t_us) END AS late_us
@@ -1449,7 +1452,8 @@ def q378_watermark_cost_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: per-event lateness is the exact integer micro gap from
     the shared ``operators/incremental.lateness_us`` core (the q362
-    two-phase prefix-MAX — no global sort touches raw rows); each
+    two-phase prefix-MAX — no global sort touches raw rows; NULL-ts
+    rows excluded, see lateness_us); each
     candidate's drop count is an integer conditional sum over ONE
     shared lateness pass (the 6 candidates explode AFTER the per-event
     lateness is computed, so the prefix machinery runs once);
@@ -1490,6 +1494,7 @@ _Q378_SQL = """
 WITH base AS (
   SELECT event_id, epoch_us(ts) AS t_us
   FROM events
+  WHERE ts IS NOT NULL
 ), late AS (
   SELECT CASE WHEN prev_max IS NULL THEN 0
               ELSE greatest(0, prev_max - t_us) END AS late_us

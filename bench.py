@@ -453,6 +453,21 @@ def main() -> None:
     qs[HEADLINE[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+    # Empty-plan floor (r9 verdict task 6): a trivial 1-row local query
+    # timed with the same noop-write + median protocol. This measures the
+    # fixed per-query session cost (job scheduling, noop commit, Py4J
+    # round-trips) that every sub-second reading carries, so drift in
+    # small ratios can be read as (t - floor)/(anchor - floor) instead of
+    # argued about. Reported as "floor_sec" beside the headline.
+    floor_samples = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        spark.range(1).write.format("noop").mode("overwrite").save()
+        floor_samples.append(time.perf_counter() - t0)
+    floor_sec = round(statistics.median(floor_samples), 3)
+    print(f"# empty-plan floor: {floor_sec:.3f}s", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
@@ -531,6 +546,7 @@ def main() -> None:
         "sf": sf,
         "runs": n_runs,
         "stat": "median",
+        "floor_sec": floor_sec,
         "frozen_ratios": frozen_ratios,
     }
     # Full per-query JSON goes to a FILE (and to stdout first, for anyone
@@ -567,6 +583,7 @@ def main() -> None:
                     if frozen_ratios
                     else None
                 ),
+                "floor_sec": floor_sec,
                 "queries_file": "BENCH_FULL.json",
             },
             separators=(",", ":"),

@@ -17,6 +17,20 @@ A deliberately-unbounded fixture proves the gate actually fails.
 Queries on the explicit allowlist below carry a justification for why a
 non-barrier path is still bounded (these are re-audited cases, not
 exemptions of convenience).
+
+KNOWN LIMITATION (r9 advice): treating every ``Aggregate`` as a barrier
+is sound only when the grouping keys have bounded cardinality (salt
+grids, day/date buckets, literal explodes — the only patterns this repo
+uses under unpartitioned windows, re-audited in PLANS.md). An aggregate
+grouped by a HIGH-CARDINALITY key (e.g. user_id) is NOT bounded, and an
+unpartitioned window over such an aggregate would pass this gate
+undetected. The gate is therefore a one-way check: a failure is always
+real, but a pass certifies boundedness only in combination with the
+manual PLANS.md audit of what each barrier aggregate groups by. Anyone
+adding an unpartitioned window over an aggregate must confirm the
+grouping keys are bounded-by-construction and note it in PLANS.md; if
+they are not provably bounded, partition the window or route the query
+through ``_ALLOWLIST`` with a justification.
 """
 
 from __future__ import annotations

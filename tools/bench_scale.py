@@ -21,7 +21,10 @@ Incremental: appends one JSON line per query to OUT_JSON + '.partial' as
 it goes (a killed run keeps its finished rows), then MERGES into any
 existing OUT_JSON (per-query rows stamped with the measurement label/date
 so one file carries the whole scaling table across rounds) and removes
-the .partial on success.
+the .partial on success. NOTE: after a merge, the TOP-LEVEL fields
+(small_dir/big_dir/runs/stat) describe only the MOST RECENT run; the
+authoritative provenance of each row is its own per-query "measured"
+stamp, which survives merges (r9 advice, bench_scale.py row).
 
 Coverage gate (the round-8 verdict's top-20 rule):
 
@@ -74,12 +77,20 @@ DEFAULT_QUERIES = [
 def check_coverage(full_path: str, sf1_path: str, top_n: int = 20) -> int:
     """Exit 1 listing top-``top_n`` most expensive BENCH_FULL queries
     that have no sf1 scaling point in ``sf1_path``."""
-    with open(full_path) as f:
-        full = json.load(f)["queries"]
+    try:
+        with open(full_path) as f:
+            full = json.load(f)["queries"]
+    except (OSError, KeyError, ValueError) as e:
+        print(
+            f"cannot read full-bench timings from {full_path}: {e}\n"
+            "run `python bench.py` first (it writes BENCH_FULL.json), or "
+            "pass the path explicitly: bench_scale.py --check FULL SF1"
+        )
+        return 1
     try:
         with open(sf1_path) as f:
             covered = set(json.load(f)["queries"])
-    except OSError:
+    except (OSError, KeyError, ValueError):
         covered = set()
     top = sorted(full, key=full.get, reverse=True)[:top_n]
     missing = [n for n in top if n not in covered]

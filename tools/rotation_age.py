@@ -59,8 +59,18 @@ def compute_ages() -> dict[str, int]:
         seg = rot.split(f"| r{rnd} |")
         if len(seg) > 1:
             mark(re.findall(r"q\d+_\w+", seg[1].split("\n")[0]), rnd)
-    # r8 new-at-introduction block (q339-q371, verified at introduction)
-    mark([n for n in full if n[1:4].isdigit() and 339 <= int(n[1:4])], 8)
+    # r8 new-at-introduction block: EXACTLY q339-q371 were introduced (and
+    # strict-selfchecked) in round 8. Bounded on both ends and regex-parsed
+    # so later rounds' additions (q372+, and any future 4-digit numbers)
+    # don't inherit an r8 stamp here — their rounds' CORRECTNESS/ROTATION
+    # files are the source of truth (r9 advice, tools/rotation_age.py row).
+    def _qnum(name: str) -> int:
+        m = re.match(r"q(\d+)_", name)
+        return int(m.group(1)) if m else -1
+
+    mark([n for n in full if 339 <= _qnum(n) <= 371], 8)
+    # r9 new-at-introduction block, same rule.
+    mark([n for n in full if 372 <= _qnum(n) <= 387], 9)
     for rnd, names in JUDGE_RERUNS.items():
         mark(names, rnd)
     return {n: last.get(n, 0) for n in full}
