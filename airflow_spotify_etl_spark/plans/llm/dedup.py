@@ -2964,3 +2964,160 @@ SELECT n, n_corpus_docs, n_contaminated,
 FROM arms
 ORDER BY n
 """
+
+
+def q396_minhash_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature-SIZE sweep — the capacity-planning knob the
+    q328 accuracy audit holds fixed: for k ∈ {8, 16, 32, 64} hash
+    slots, re-score every audited LSH candidate pair with only the
+    FIRST k signature slots (a k-prefix of a MinHash signature is
+    itself a valid k-hash MinHash — the slots are independent
+    permutations) and report the error-vs-exact-Jaccard distribution
+    and the 0.5-threshold confusion per k. This prices the
+    4×-smaller-signature tier the same way q381 priced shingle length
+    and q318 priced nprobe: the operator reads one table and picks
+    the knee.
+
+    Exactness: the q328 integer regime per (pair, k) — error is the
+    exact cross-multiplied floor (|m·U − I·k|·10⁶) div (k·U) and the
+    threshold calls are 2m ≥ k / 2I ≥ U integer compares (never float
+    division). Slot order is the shared `_hash_params` order in both
+    engines (Spark array index j ↔ oracle param i = j−1), so "first
+    k" means the same k permutations.
+
+    Shape at 100 TB: the audited q25/q328 shapes (capped band
+    buckets); the sweep adds a 4-way explode of the candidate-bounded
+    scored relation into a ≤4-row aggregate — the signatures are
+    computed ONCE and sliced, never re-hashed per k."""
+    from ...operators.dedup import minhash_lsh_pairs, minhash_signatures
+
+    ks = [8, 16, 32, 64]
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.0).select(
+        "doc_a", "doc_b", "inter", "na", "nb"
+    )
+    sig = minhash_signatures(docs)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sa"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sb"))
+    eq = "zip_with(_sa, _sb, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END)"
+    km = ", ".join(
+        f"named_struct('k', {k}L, 'm',"
+        f" aggregate(slice(_eq, 1, {k}), 0L, (acc, x) -> acc + x))"
+        for k in ks
+    )
+    scored = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "inter",
+            (F.col("na") + F.col("nb") - F.col("inter")).alias("u"),
+            F.expr(eq).alias("_eq"),
+        )
+        .select("inter", "u", F.explode(F.expr(f"array({km})")).alias("km"))
+        .select(
+            F.col("km.k").alias("k"),
+            F.col("km.m").alias("m"),
+            "inter",
+            "u",
+        )
+        .select(
+            "k",
+            F.expr(
+                "(abs(m * u - inter * k) * 1000000) div (k * u)"
+            ).alias("err_ppm"),
+            F.expr("CAST(2 * m >= k AS BIGINT)").alias("est_pos"),
+            F.expr("CAST(2 * inter >= u AS BIGINT)").alias("true_pos"),
+        )
+    )
+    return (
+        scored.groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr("sum(err_ppm) div count(*)").alias("mean_err_ppm"),
+            F.max("err_ppm").alias("max_err_ppm"),
+            F.sum(F.expr("est_pos * (1 - true_pos)"))
+            .cast("long").alias("n_false_pos"),
+            F.sum(F.expr("(1 - est_pos) * true_pos"))
+            .cast("long").alias("n_false_neg"),
+        )
+        .orderBy("k")
+    )
+
+
+def _q396_sql() -> str:
+    from ...operators.dedup import _MERSENNE, _hash_params
+
+    params = ",\n    ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_hash_params(64))
+    )
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh_raw AS (
+  SELECT doc_id, unnest(list_distinct(
+           [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+         )) AS shingle
+  FROM w
+), hs AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh_raw
+), params(i, a, b) AS (VALUES
+    {params}
+), sig AS (
+  SELECT doc_id, p.i, min((p.a * h + p.b) % {_MERSENNE}) AS s
+  FROM hs CROSS JOIN params p GROUP BY doc_id, p.i
+), banded AS (
+  SELECT doc_id, i // 4 AS band, string_agg(s::VARCHAR, ',' ORDER BY i) AS bh
+  FROM sig GROUP BY doc_id, i // 4
+), ok AS (
+  SELECT band, bh FROM banded GROUP BY band, bh
+  HAVING count(*) BETWEEN 2 AND 1000
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN ok ON ok.band = a.band AND ok.bh = a.bh
+  JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), sh AS (
+  SELECT doc_id, shingle FROM sh_raw
+  WHERE shingle NOT IN (
+    SELECT shingle FROM sh_raw GROUP BY shingle HAVING count(*) > 1000
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM sh_raw GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+), matches AS (
+  SELECT c.doc_a, c.doc_b, kk.k,
+         CAST(sum(CASE WHEN sa.s = sb.s AND sa.i < kk.k
+                       THEN 1 ELSE 0 END) AS BIGINT) AS m
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+  CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS k) kk
+  GROUP BY 1, 2, 3
+), errs AS (
+  SELECT mt.k, mt.m, i.inter,
+         sa.n_shingles + sb.n_shingles - i.inter AS u
+  FROM inter i
+  JOIN matches mt ON mt.doc_a = i.doc_a AND mt.doc_b = i.doc_b
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+), terms AS (
+  SELECT k,
+         (abs(m * u - inter * k) * 1000000) // (k * u) AS err_ppm,
+         CASE WHEN 2 * m >= k THEN 1 ELSE 0 END AS est_pos,
+         CASE WHEN 2 * inter >= u THEN 1 ELSE 0 END AS true_pos
+  FROM errs
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(err_ppm) // count(*) AS BIGINT) AS mean_err_ppm,
+       CAST(max(err_ppm) AS BIGINT) AS max_err_ppm,
+       CAST(sum(est_pos * (1 - true_pos)) AS BIGINT) AS n_false_pos,
+       CAST(sum((1 - est_pos) * true_pos) AS BIGINT) AS n_false_neg
+FROM terms
+GROUP BY k
+ORDER BY k
+"""

@@ -2986,3 +2986,88 @@ SELECT uni.source, n_unigrams, n_distinct1,
 FROM uni LEFT JOIN bi ON bi.source = uni.source
 ORDER BY uni.source
 """
+
+
+def q397_context_overflow_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window overflow decision table: for each candidate
+    sequence length L ∈ {64, 128, 256, 512, 1024} whitespace tokens,
+    the number and ppm share of docs that overflow L and the token
+    mass lost to truncation (Σ max(0, tokens − L)) with its ppm share
+    of the corpus — the table an operator reads to pick the training
+    context length, exactly as q378 prices watermark delays and q326
+    prices vocabulary sizes. Packing efficiency (q48/q262) assumes a
+    length was CHOSEN; this is the chooser.
+
+    Exactness: per-doc token counts are exact integers (the q19
+    whitespace tokenizer: split on \\s+, empties dropped); every curve
+    cell is an integer conditional sum over ONE shared count
+    projection (the 5 candidates explode AFTER the per-doc count);
+    ppm shares are exact integer (x·10⁶) div total.
+
+    Shape at 100 TB: one narrow token-count projection (no explode of
+    tokens — only size()), a 5-way candidate explode, and a map-side
+    combined ≤5-row aggregate. No shuffle of raw text."""
+    docs = load_table(spark, sf_dir, "documents")
+    lengths = [64, 128, 256, 512, 1024]
+    toks = docs.select(
+        F.size(
+            F.filter(
+                F.split(F.col("text"), "\\s+"), lambda x: x != F.lit("")
+            )
+        ).cast("long").alias("tok")
+    )
+    curve = (
+        toks.select(
+            "tok",
+            F.explode(
+                F.array(*[F.lit(v).cast("long") for v in lengths])
+            ).alias("max_len"),
+        )
+        .groupBy("max_len")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.expr("CASE WHEN tok > max_len THEN 1 ELSE 0 END"))
+            .cast("long").alias("n_over"),
+            F.sum("tok").cast("long").alias("tokens_total"),
+            F.sum(F.expr("greatest(tok - max_len, 0L)"))
+            .cast("long").alias("tokens_lost"),
+        )
+    )
+    return curve.select(
+        "max_len",
+        "n_docs",
+        "n_over",
+        F.expr("(n_over * 1000000) div n_docs").alias("docs_over_ppm"),
+        "tokens_lost",
+        F.expr(
+            "CASE WHEN tokens_total > 0 THEN"
+            " (tokens_lost * 1000000) div tokens_total ELSE 0 END"
+        ).alias("tokens_lost_ppm"),
+    ).orderBy("max_len")
+
+
+_Q397_SQL = r"""
+WITH toks AS (
+  SELECT CAST(len(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS BIGINT) AS tok
+  FROM documents
+), curve AS (
+  SELECT l.max_len,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN tok > l.max_len THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_over,
+         CAST(sum(tok) AS BIGINT) AS tokens_total,
+         CAST(sum(greatest(tok - l.max_len, 0)) AS BIGINT) AS tokens_lost
+  FROM toks
+  CROSS JOIN (SELECT unnest([64, 128, 256, 512, 1024]) AS max_len) l
+  GROUP BY 1
+)
+SELECT CAST(max_len AS BIGINT) AS max_len, n_docs, n_over,
+       (n_over * 1000000) // n_docs AS docs_over_ppm,
+       tokens_lost,
+       CASE WHEN tokens_total > 0 THEN
+         (tokens_lost * 1000000) // tokens_total ELSE 0 END
+         AS tokens_lost_ppm
+FROM curve
+ORDER BY max_len
+"""

@@ -3005,3 +3005,538 @@ SELECT k, p_nano, rank, by_pass,
 FROM flagged
 ORDER BY rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 10 — q388-q392: moment/normality, paired-rank, symmetry, reliability
+
+
+_JB_MU = "(CAST(s1 AS DOUBLE) / n)"
+_JB_M2 = f"(CAST(s2 AS DOUBLE) / n - {_JB_MU} * {_JB_MU})"
+_JB_M3 = (
+    f"(CAST(s3 AS DOUBLE) / n - 3.0e0 * {_JB_MU} * (CAST(s2 AS DOUBLE) / n)"
+    f" + 2.0e0 * {_JB_MU} * {_JB_MU} * {_JB_MU})"
+)
+_JB_M4 = (
+    f"(CAST(s4 AS DOUBLE) / n - 4.0e0 * {_JB_MU} * (CAST(s3 AS DOUBLE) / n)"
+    f" + 6.0e0 * {_JB_MU} * {_JB_MU} * (CAST(s2 AS DOUBLE) / n)"
+    f" - 3.0e0 * {_JB_MU} * {_JB_MU} * {_JB_MU} * {_JB_MU})"
+)
+_JB_S = f"({_JB_M3} / pow({_JB_M2}, 1.5e0))"
+_JB_K = f"({_JB_M4} / ({_JB_M2} * {_JB_M2}) - 3.0e0)"
+_JB_T = f"(n / 6.0e0 * ({_JB_S} * {_JB_S} + {_JB_K} * {_JB_K} / 4.0e0))"
+_JB_OK = f"(n >= 2 AND {_JB_M2} > 0)"
+
+
+def q388_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test over event values — the MOMENT-based
+    omnibus beside the EDF-based Anderson-Darling (q371): skewness S =
+    m₃/m₂^1.5, excess kurtosis K = m₄/m₂² − 3, JB = n/6·(S² + K²/4),
+    chi-square(2) under normality (Jarque & Bera 1980). q371 answers
+    "does the empirical CDF track a normal"; this answers "are the
+    third and fourth moments normal-shaped" — the pair is the standard
+    normality cross-check before parametric tests (q233/q241/q372).
+
+    Exactness: raw power sums off milli-quantized values — s1, s2 as
+    exact DECIMAL(38,0)/HUGEINT; v³ stays inside BIGINT per row for
+    |v_m| ≤ 2.09e6 (values ≤ ~2000, the fixture range documented at
+    introduction); v⁴ is computed as DECIMAL(38,0)·BIGINT so no per-row
+    overflow. Central moments and the JB chain are ONE identical double
+    expression in both engines (shared format strings), micro-quantized.
+    n < 2 or zero variance → NULL statistics.
+
+    Shape at 100 TB: one map-side-combined 1-row aggregate over the
+    value column — no shuffle of raw rows beyond the partial-agg
+    exchange, no window, no join."""
+    events = load_table(spark, sf_dir, "events")
+    agg = events.select(
+        F.expr("CAST(round(value * 1000) AS BIGINT)").alias("v"),
+    ).select(
+        "v",
+        F.expr("v * v").alias("v2"),
+        F.expr("v * v * v").alias("v3"),
+        F.expr("CAST(v AS DECIMAL(38,0)) * v * v * v").alias("v4"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("v2").cast("decimal(38,0)")).alias("s2"),
+        F.sum(F.col("v3").cast("decimal(38,0)")).alias("s3"),
+        F.sum("v4").alias("s4"),
+    )
+    return agg.select(
+        "n",
+        F.expr(
+            f"CASE WHEN {_JB_OK} THEN"
+            f" CAST(round({_JB_S} * 1e6) AS BIGINT) END"
+        ).alias("skew_micro"),
+        F.expr(
+            f"CASE WHEN {_JB_OK} THEN"
+            f" CAST(round({_JB_K} * 1e6) AS BIGINT) END"
+        ).alias("exkurt_micro"),
+        F.expr(
+            f"CASE WHEN {_JB_OK} THEN"
+            f" CAST(round({_JB_T} * 1e6) AS BIGINT) END"
+        ).alias("jb_micro"),
+    )
+
+
+def _q388_sql() -> str:
+    return f"""
+WITH v AS (
+  SELECT CAST(round(value * 1000) AS BIGINT) AS v FROM events
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS s1,
+         CAST(sum(CAST(v * v AS HUGEINT)) AS HUGEINT) AS s2,
+         CAST(sum(CAST(v * v * v AS HUGEINT)) AS HUGEINT) AS s3,
+         CAST(sum(CAST(v * v AS HUGEINT) * (v * v)) AS HUGEINT) AS s4
+  FROM v
+)
+SELECT n,
+       CASE WHEN {_JB_OK} THEN
+         CAST(round({_JB_S} * 1e6) AS BIGINT) END AS skew_micro,
+       CASE WHEN {_JB_OK} THEN
+         CAST(round({_JB_K} * 1e6) AS BIGINT) END AS exkurt_micro,
+       CASE WHEN {_JB_OK} THEN
+         CAST(round({_JB_T} * 1e6) AS BIGINT) END AS jb_micro
+FROM agg
+"""
+
+
+def q389_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test, paired by DAY: morning total value
+    (hour < 12) vs evening total (hour ≥ 12) per calendar day — the
+    PAIRED counterpart of Mann-Whitney (q187; unpaired) that the
+    registry lacked: did the within-day value distribution shift
+    between halves of the day, discounting day-scale magnitude?
+
+    Mechanics (Wilcoxon 1945, normal approximation with tie
+    correction, no continuity correction — documented): d_t = morning
+    − evening per day (exact milli integers), zero diffs dropped,
+    |d| ranked ascending with AVERAGE ranks; W⁺ = Σ ranks of positive
+    d. To stay integer, doubled ranks are used: for each distinct |d|
+    group (t ties, cum_less smaller rows), every member's doubled
+    average rank is 2·cum_less + t + 1, so W2 = 2·W⁺ =
+    Σ_groups p_v·(2·cum_less + t + 1) with p_v the positive-diff
+    count — all exact integers. z = (W⁺ − n(n+1)/4)/√V with
+    V = [2n(n+1)(2n+1) − Σ(t³−t)]/48 = M/48. Substituting W⁺ = W2/2:
+    z = [(W2 − n(n+1)/2)/2]·√48/√M = (W2 − n(n+1)/2)·√12/√M — the
+    closed form used identically in both engines and micro-quantized;
+    the full derivation is re-done by hand in the
+    tests/test_r10_suite.py pin.
+
+    Exactness: diffs, doubled ranks, W2, M are exact integers; the
+    z chain is one shared double expression micro-quantized. n = 0 →
+    NULL z; M = 0 guarded.
+
+    Shape at 100 TB: one map-side day/half aggregate collapses the
+    corpus to ≤366 rows; every window below sits on that bounded
+    relation (date-grouped aggregate barrier, window-gate compliant)."""
+    events = load_table(spark, sf_dir, "events")
+    day = (
+        events.select(
+            F.expr("CAST(ts AS DATE)").alias("d"),
+            F.expr("CAST(hour(ts) < 12 AS INT)").alias("am"),
+            F.expr("CAST(round(value * 1000) AS BIGINT)").alias("v"),
+        )
+        .groupBy("d")
+        .agg(
+            F.sum(F.expr("CASE WHEN am = 1 THEN v ELSE 0 END"))
+            .cast("long").alias("morning"),
+            F.sum(F.expr("CASE WHEN am = 0 THEN v ELSE 0 END"))
+            .cast("long").alias("evening"),
+        )
+        .select(F.expr("morning - evening").alias("diff"))
+        .filter("diff <> 0")
+    )
+    grp = day.groupBy(F.expr("abs(diff)").alias("absd")).agg(
+        F.count("*").cast("long").alias("t"),
+        F.sum(F.expr("CASE WHEN diff > 0 THEN 1 ELSE 0 END"))
+        .cast("long").alias("p"),
+    )
+    wnd = W.orderBy("absd").rowsBetween(W.unboundedPreceding, -1)
+    ranked = grp.select(
+        "t",
+        "p",
+        F.coalesce(F.sum("t").over(wnd), F.lit(0)).alias("cum_less"),
+    )
+    agg = ranked.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.expr("p * (2 * cum_less + t + 1)")).cast("long").alias("w2"),
+        F.sum(F.expr("t * t * t - t")).cast("long").alias("ties"),
+    )
+    m = "(2 * n * (n + 1) * (2 * n + 1) - ties)"
+    z = (
+        f"((CAST(w2 AS DOUBLE) - CAST(n AS DOUBLE) * (n + 1) / 2)"
+        f" * sqrt(12.0e0) / sqrt(CAST({m} AS DOUBLE)))"
+    )
+    return agg.select(
+        F.coalesce("n", F.lit(0)).alias("n_days"),
+        "w2",
+        F.expr(
+            f"CASE WHEN n >= 1 AND {m} > 0 THEN"
+            f" CAST(round({z} * 1e6) AS BIGINT) END"
+        ).alias("z_micro"),
+    )
+
+
+def _q389_sql() -> str:
+    m = "(2 * n * (n + 1) * (2 * n + 1) - ties)"
+    z = (
+        f"((CAST(w2 AS DOUBLE) - CAST(n AS DOUBLE) * (n + 1) / 2)"
+        f" * sqrt(12.0e0) / sqrt(CAST({m} AS DOUBLE)))"
+    )
+    return f"""
+WITH day AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CASE WHEN hour(ts) < 12
+                       THEN CAST(round(value * 1000) AS BIGINT)
+                       ELSE 0 END) AS BIGINT)
+         - CAST(sum(CASE WHEN hour(ts) >= 12
+                         THEN CAST(round(value * 1000) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS diff
+  FROM events GROUP BY 1
+), nz AS (
+  SELECT diff FROM day WHERE diff <> 0
+), grp AS (
+  SELECT abs(diff) AS absd,
+         CAST(count(*) AS BIGINT) AS t,
+         CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p
+  FROM nz GROUP BY 1
+), ranked AS (
+  SELECT t, p,
+         coalesce(sum(t) OVER (ORDER BY absd
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cum_less
+  FROM grp
+), agg AS (
+  SELECT CAST(sum(t) AS BIGINT) AS n,
+         CAST(sum(p * (2 * cum_less + t + 1)) AS BIGINT) AS w2,
+         CAST(sum(t * t * t - t) AS BIGINT) AS ties
+  FROM ranked
+)
+SELECT coalesce(n, 0) AS n_days, w2,
+       CASE WHEN n >= 1 AND {m} > 0 THEN
+         CAST(round({z} * 1e6) AS BIGINT) END AS z_micro
+FROM agg
+"""
+
+
+def q390_bowker_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowker symmetry test over the event-type TRANSITION matrix —
+    the k×k generalization of McNemar (q204): with n_ij the count of
+    user-consecutive transitions i→j (i ≠ j), B = Σ_{i<j, n_ij+n_ji>0}
+    (n_ij − n_ji)²/(n_ij + n_ji), chi-square(#cells) under the null
+    that the transition matrix is symmetric (Bowker 1948). q297
+    measures whether transitions DRIFT over time; this asks whether
+    flows are DIRECTIONAL at all (view→purchase ≠ purchase→view).
+
+    Exactness: transition counts are exact integers off the per-user
+    lag; each cell's term is the exact cross-multiplied floor
+    ((n_ij − n_ji)²·10⁶) div (n_ij + n_ji) (q118 rule — never float
+    division), and B_micro is their integer sum. Cells with both
+    directions zero contribute neither to B nor to df.
+
+    Shape at 100 TB: the lag window is partitioned by user (no global
+    sort); transitions collapse map-side to ≤|types|² cells; the
+    symmetric fold groups those ≤k² rows by (least, greatest)."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select(
+            "user_id", "ts", "event_id",
+            F.col("event_type").alias("to_t"),
+        )
+        .withColumn("from_t", F.lag("to_t").over(w))
+        .filter("from_t IS NOT NULL AND from_t <> to_t")
+    )
+    cells = trans.groupBy("from_t", "to_t").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    sym = cells.groupBy(
+        F.least("from_t", "to_t").alias("lo"),
+        F.greatest("from_t", "to_t").alias("hi"),
+    ).agg(
+        F.sum(F.expr("CASE WHEN from_t < to_t THEN c ELSE 0 END"))
+        .cast("long").alias("n_fwd"),
+        F.sum(F.expr("CASE WHEN from_t > to_t THEN c ELSE 0 END"))
+        .cast("long").alias("n_rev"),
+    )
+    return sym.agg(
+        F.sum(F.expr("n_fwd + n_rev")).cast("long").alias("n_transitions"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum(
+            F.expr(
+                "((n_fwd - n_rev) * (n_fwd - n_rev) * 1000000)"
+                " div (n_fwd + n_rev)"
+            )
+        ).cast("long").alias("bowker_b_micro"),
+    )
+
+
+_Q390_SQL = """
+WITH trans AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_t,
+         event_type AS to_t
+  FROM events
+), cells AS (
+  SELECT from_t, to_t, CAST(count(*) AS BIGINT) AS c
+  FROM trans WHERE from_t IS NOT NULL AND from_t <> to_t
+  GROUP BY 1, 2
+), sym AS (
+  SELECT least(from_t, to_t) AS lo, greatest(from_t, to_t) AS hi,
+         CAST(sum(CASE WHEN from_t < to_t THEN c ELSE 0 END) AS BIGINT)
+           AS n_fwd,
+         CAST(sum(CASE WHEN from_t > to_t THEN c ELSE 0 END) AS BIGINT)
+           AS n_rev
+  FROM cells GROUP BY 1, 2
+)
+SELECT CAST(sum(n_fwd + n_rev) AS BIGINT) AS n_transitions,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(((n_fwd - n_rev) * (n_fwd - n_rev) * 1000000)
+                // (n_fwd + n_rev)) AS BIGINT) AS bowker_b_micro
+FROM sym
+"""
+
+
+def q391_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over the user × event-type value matrix —
+    internal-consistency reliability (Cronbach 1951): items = event
+    types, subjects = users, score x_ui = user u's total value on type
+    i (users without type-i events score 0 — absence IS the
+    observation). alpha = k/(k−1)·(1 − Σᵢ var_i / var_total), where
+    var_total is the variance of user TOTAL scores. The agreement
+    family (Cohen q185/q308, Fleiss q346, Kendall's W q352) measures
+    rater consistency on shared subjects; alpha measures whether the
+    k item scores hang together as one scale.
+
+    Exactness: per-(user, item) totals are exact milli integers; item
+    sums/sum-of-squares and user-total sums/sum-of-squares are exact
+    DECIMAL(38,0)/HUGEINT; each item's (N−1)-scaled variance is
+    micro-quantized BEFORE the cross-item sum (≤k terms, the q372
+    rule); alpha is one shared double chain, micro-quantized.
+    Implicit zeros enter through N = all users, not just type-i users.
+    k < 2 or zero total variance → NULL alpha.
+
+    Shape at 100 TB: one (user, type) aggregate (map-side combine),
+    then a ≤k-row item reduction and a user-keyed total reduction —
+    no window, no join against raw rows."""
+    events = load_table(spark, sf_dir, "events")
+    ut = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("item"),
+            F.expr("CAST(round(value * 1000) AS BIGINT)").alias("v"),
+        )
+        .groupBy("user_id", "item")
+        .agg(F.sum("v").cast("long").alias("x"))
+    )
+    n_users = ut.select(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    # item variance numerator, (N-1)-scaled: ss_i - s_i^2/N, with the
+    # (N - cnt_i) implicit zero scores contributing 0 to both sums.
+    items = (
+        ut.groupBy("item")
+        .agg(
+            F.sum("x").cast("long").alias("s_i"),
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("ss_i"),
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            F.expr(
+                "CAST(round((CAST(ss_i AS DOUBLE)"
+                " - CAST(s_i AS DOUBLE) * s_i / n_users) * 1e6)"
+                " AS DECIMAL(38,0))"
+            ).alias("vnum_u")
+        )
+        .agg(
+            F.count("*").cast("long").alias("k_items"),
+            F.sum("vnum_u").alias("item_var_sum_u"),
+        )
+    )
+    totals = (
+        ut.groupBy("user_id")
+        .agg(F.sum("x").cast("long").alias("t"))
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("t").cast("long").alias("st"),
+            F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * t")).alias("sst"),
+        )
+    )
+    both = items.crossJoin(F.broadcast(totals))
+    tot_var = (
+        "(CAST(sst AS DOUBLE) - CAST(st AS DOUBLE) * st / n_users)"
+    )
+    alpha = (
+        "(CAST(k_items AS DOUBLE) / (k_items - 1)"
+        f" * (1.0e0 - CAST(item_var_sum_u AS DOUBLE) / 1e6 / {tot_var}))"
+    )
+    return both.select(
+        "k_items",
+        "n_users",
+        F.expr(
+            f"CASE WHEN k_items >= 2 AND {tot_var} > 0 THEN"
+            f" CAST(round({alpha} * 1e6) AS BIGINT) END"
+        ).alias("alpha_micro"),
+    )
+
+
+def _q391_sql() -> str:
+    tot_var = (
+        "(CAST(sst AS DOUBLE) - CAST(st AS DOUBLE) * st / n_users)"
+    )
+    alpha = (
+        "(CAST(k_items AS DOUBLE) / (k_items - 1)"
+        f" * (1.0e0 - CAST(item_var_sum_u AS DOUBLE) / 1e6 / {tot_var}))"
+    )
+    return f"""
+WITH ut AS (
+  SELECT user_id, event_type AS item,
+         CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), nu AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ut
+), items AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_items,
+         CAST(sum(vnum_u) AS HUGEINT) AS item_var_sum_u
+  FROM (
+    SELECT CAST(round((CAST(ss_i AS DOUBLE)
+             - CAST(s_i AS DOUBLE) * s_i / nu.n_users) * 1e6) AS HUGEINT)
+           AS vnum_u
+    FROM (
+      SELECT item, CAST(sum(x) AS BIGINT) AS s_i,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ss_i
+      FROM ut GROUP BY item
+    ) CROSS JOIN nu
+  )
+), totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(t) AS BIGINT) AS st,
+         CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS sst
+  FROM (SELECT user_id, CAST(sum(x) AS BIGINT) AS t FROM ut GROUP BY 1)
+)
+SELECT k_items, n_users,
+       CASE WHEN k_items >= 2 AND {tot_var} > 0 THEN
+         CAST(round({alpha} * 1e6) AS BIGINT) END AS alpha_micro
+FROM items CROSS JOIN totals
+"""
+
+
+def q392_icc_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way intraclass correlation ICC(1) with users as groups and
+    their event values as repeated measurements — "how much of value
+    variance is BETWEEN users?" (Shrout & Fleiss 1979 case 1, unequal
+    group sizes via k₀ = (N − Σn_u²/N)/(a−1)): MSB = SSB/(a−1),
+    MSW = SSW/(N−a), ICC = (MSB − MSW)/(MSB + (k₀−1)·MSW). The ANOVA
+    machinery (q233) reports whether segment means differ; ICC turns
+    the same decomposition into the variance-share effect size the
+    reliability literature uses.
+
+    Exactness: per-user moments (n_u, s_u, ss_u) are exact integers
+    off milli values; each user's s_u²/n_u is micro-quantized BEFORE
+    the cross-user sum (the quantize-pre-sum rule — both engines round
+    the same per-user double), making SSW/SSB integer arithmetic on
+    DECIMAL(38,0)/HUGEINT; the final ICC chain is one shared double
+    expression micro-quantized. a < 2 or N ≤ a → NULL.
+
+    Shape at 100 TB: one user-keyed aggregate (map-side combine) then
+    a 1-row reduction — no window, no join."""
+    events = load_table(spark, sf_dir, "events")
+    per = (
+        events.select(
+            "user_id",
+            F.expr("CAST(round(value * 1000) AS BIGINT)").alias("v"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_u"),
+            F.sum("v").cast("long").alias("s_u"),
+            F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * v")).alias("ss_u"),
+        )
+        .select(
+            "n_u",
+            "ss_u",
+            F.expr(
+                "CAST(round(CAST(s_u AS DOUBLE) * s_u / n_u * 1e6)"
+                " AS DECIMAL(38,0))"
+            ).alias("r_u"),
+            F.col("s_u"),
+        )
+    )
+    agg = per.agg(
+        F.count("*").cast("long").alias("a_groups"),
+        F.sum("n_u").cast("long").alias("n_total"),
+        F.sum("s_u").cast("long").alias("s_all"),
+        F.sum("ss_u").alias("ss_all"),
+        F.sum("r_u").alias("r_sum_u"),
+        F.sum(F.expr("CAST(n_u AS DECIMAL(38,0)) * n_u")).alias("nn_sum"),
+    )
+    ssw = "(CAST(ss_all AS DOUBLE) - CAST(r_sum_u AS DOUBLE) / 1e6)"
+    ssb = (
+        "(CAST(r_sum_u AS DOUBLE) / 1e6"
+        " - CAST(s_all AS DOUBLE) * s_all / n_total)"
+    )
+    msb = f"({ssb} / (a_groups - 1))"
+    msw = f"({ssw} / (n_total - a_groups))"
+    k0 = (
+        "((CAST(n_total AS DOUBLE)"
+        " - CAST(nn_sum AS DOUBLE) / n_total) / (a_groups - 1))"
+    )
+    icc = f"(({msb} - {msw}) / ({msb} + ({k0} - 1.0e0) * {msw}))"
+    ok = f"(a_groups >= 2 AND n_total > a_groups AND {ssw} > 0)"
+    return agg.select(
+        "a_groups",
+        "n_total",
+        F.expr(
+            f"CASE WHEN {ok} THEN CAST(round({k0} * 1e6) AS BIGINT) END"
+        ).alias("k0_micro"),
+        F.expr(
+            f"CASE WHEN {ok} THEN CAST(round({icc} * 1e6) AS BIGINT) END"
+        ).alias("icc_micro"),
+    )
+
+
+def _q392_sql() -> str:
+    ssw = "(CAST(ss_all AS DOUBLE) - CAST(r_sum_u AS DOUBLE) / 1e6)"
+    ssb = (
+        "(CAST(r_sum_u AS DOUBLE) / 1e6"
+        " - CAST(s_all AS DOUBLE) * s_all / n_total)"
+    )
+    msb = f"({ssb} / (a_groups - 1))"
+    msw = f"({ssw} / (n_total - a_groups))"
+    k0 = (
+        "((CAST(n_total AS DOUBLE)"
+        " - CAST(nn_sum AS DOUBLE) / n_total) / (a_groups - 1))"
+    )
+    icc = f"(({msb} - {msw}) / ({msb} + ({k0} - 1.0e0) * {msw}))"
+    ok = f"(a_groups >= 2 AND n_total > a_groups AND {ssw} > 0)"
+    return f"""
+WITH per AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_u,
+         CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS s_u,
+         CAST(sum(CAST(CAST(round(value * 1000) AS BIGINT) AS HUGEINT)
+                  * CAST(round(value * 1000) AS BIGINT)) AS HUGEINT) AS ss_u
+  FROM events GROUP BY user_id
+), q AS (
+  SELECT n_u, ss_u, s_u,
+         CAST(round(CAST(s_u AS DOUBLE) * s_u / n_u * 1e6) AS HUGEINT) AS r_u
+  FROM per
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS a_groups,
+         CAST(sum(n_u) AS BIGINT) AS n_total,
+         CAST(sum(s_u) AS BIGINT) AS s_all,
+         CAST(sum(ss_u) AS HUGEINT) AS ss_all,
+         CAST(sum(r_u) AS HUGEINT) AS r_sum_u,
+         CAST(sum(CAST(n_u AS HUGEINT) * n_u) AS HUGEINT) AS nn_sum
+  FROM q
+)
+SELECT a_groups, n_total,
+       CASE WHEN {ok} THEN CAST(round({k0} * 1e6) AS BIGINT) END
+         AS k0_micro,
+       CASE WHEN {ok} THEN CAST(round({icc} * 1e6) AS BIGINT) END
+         AS icc_micro
+FROM agg
+"""

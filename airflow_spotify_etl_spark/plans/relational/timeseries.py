@@ -3878,3 +3878,311 @@ SELECT CAST(g.h AS BIGINT) AS lag_days,
 FROM grid g LEFT JOIN agg a ON a.h = g.h
 ORDER BY lag_days
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 10 — q393-q395: stationarity, conditional heteroscedasticity,
+# robust paired shift
+
+
+def q393_kpss_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity statistic over the daily mean-value
+    series — the null-reversed complement of the registry's trend
+    tests (Mann-Kendall q301 tests FOR trend; KPSS tests AGAINST
+    stationarity, Kwiatkowski-Phillips-Schmidt-Shin 1992): with
+    e_t = y_t − ȳ and partial sums S_t, η = n⁻² Σ S_t² / σ̂²,
+    σ̂² = n⁻¹ Σ e_t² (lag-0 long-run variance — the iid short-run
+    form, documented; a Bartlett-kernel bandwidth would enter only
+    the denominator).
+
+    Exactness: daily means are milli-quantized integers m_t (rounded
+    from exact per-day integer sums — both engines round the same
+    double); demeaning is done n-SCALED to stay integer:
+    E_t = n·m_t − Σm, S_t = running Σ E. The statistic collapses to
+    the exact integer ratio η = Σ S_t² / (n · Σ E_t²) (the n-scalings
+    cancel: S_t(e) = S_t(E)/n, σ̂² = ΣE²/n³), micro-quantized in one
+    shared double division. Σ E_t² = 0 (constant series) → NULL.
+
+    Shape at 100 TB: one map-side daily aggregate collapses the corpus
+    to ≤366 rows; the running sum is a window over that bounded
+    date-grouped relation; two broadcast 1-row scalars."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            F.expr("CAST(ts AS DATE)").alias("d"),
+            F.expr("CAST(round(value * 1000) AS BIGINT)").alias("v"),
+        )
+        .groupBy("d")
+        .agg(
+            F.expr(
+                "CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT)"
+            ).alias("m")
+        )
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("m").cast("long").alias("sm"),
+    )
+    e = daily.crossJoin(F.broadcast(tot)).select(
+        "d", "n", F.expr("n * m - sm").alias("ee")
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    s = e.select("n", "ee", F.sum("ee").over(w).alias("st"))
+    agg = s.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.sum(F.expr("CAST(ee AS DECIMAL(38,0)) * ee")).alias("den0"),
+        F.sum(F.expr("CAST(st AS DECIMAL(38,0)) * st")).alias("num"),
+    )
+    return agg.select(
+        "n_days",
+        F.expr(
+            "CASE WHEN den0 > 0 THEN"
+            " CAST(round(CAST(num AS DOUBLE)"
+            " / (CAST(n_days AS DOUBLE) * CAST(den0 AS DOUBLE)) * 1e6)"
+            " AS BIGINT) END"
+        ).alias("kpss_micro"),
+    )
+
+
+_Q393_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(round(CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS DOUBLE)
+                    / count(*)) AS BIGINT) AS m
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(m) AS BIGINT) AS sm
+  FROM daily
+), e AS (
+  SELECT d, n, n * m - sm AS ee FROM daily CROSS JOIN tot
+), s AS (
+  SELECT n, ee,
+         sum(ee) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS st
+  FROM e
+), agg AS (
+  SELECT CAST(max(n) AS BIGINT) AS n_days,
+         CAST(sum(CAST(ee AS HUGEINT) * ee) AS HUGEINT) AS den0,
+         CAST(sum(CAST(st AS HUGEINT) * st) AS HUGEINT) AS num
+  FROM s
+)
+SELECT n_days,
+       CASE WHEN den0 > 0 THEN
+         CAST(round(CAST(num AS DOUBLE)
+              / (CAST(n_days AS DOUBLE) * CAST(den0 AS DOUBLE)) * 1e6)
+              AS BIGINT) END AS kpss_micro
+FROM agg
+"""
+
+
+_ARCH_R2 = (
+    "(pow(CAST(n1 AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2.0e0)"
+    " / ((CAST(n1 AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(n1 AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"
+)
+_ARCH_OK = (
+    "(n1 >= 2 AND CAST(n1 AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " > CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    " AND CAST(n1 AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " > CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+)
+
+
+def q394_arch_lm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle's ARCH(1) LM test over the daily mean-value series — does
+    today's squared deviation predict tomorrow's (volatility
+    clustering)? Ljung-Box (q344) autocorrelates the LEVELS; this
+    autocorrelates the SQUARES: regress e²_t on e²_{t−1}, LM =
+    (n−1)·R², chi-square(1) under homoscedasticity (Engle 1982).
+
+    Exactness: e_t is the n-scaled integer demeaned series of q393
+    (E_t = n·m_t − Σm off rounded daily mean milli integers);
+    u_t = E_t² is exact BIGINT; the lag pairing is a window over the
+    bounded daily relation; all five regression moments are exact
+    DECIMAL(38,0)/HUGEINT sums. R² is scale-invariant, so regressing
+    the n²-scaled u keeps R² exactly the textbook value; the R²/LM
+    chain is one shared double expression, micro-quantized.
+    Degenerate variance (constant u) → NULL.
+
+    Shape at 100 TB: the q393 shape — daily map-side collapse, lag +
+    running windows on ≤366 rows, 1-row reduction."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            F.expr("CAST(ts AS DATE)").alias("d"),
+            F.expr("CAST(round(value * 1000) AS BIGINT)").alias("v"),
+        )
+        .groupBy("d")
+        .agg(
+            F.expr(
+                "CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT)"
+            ).alias("m")
+        )
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("m").cast("long").alias("sm"),
+    )
+    u = daily.crossJoin(F.broadcast(tot)).select(
+        "d", "n", F.expr("(n * m - sm) * (n * m - sm)").alias("u")
+    )
+    w = W.orderBy("d")
+    pair = u.select(
+        "n", F.col("u").alias("y"), F.lag("u").over(w).alias("x")
+    ).filter("x IS NOT NULL")
+    agg = pair.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.count("*").cast("long").alias("n1"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+    )
+    return agg.select(
+        "n_days",
+        "n1",
+        F.expr(
+            f"CASE WHEN {_ARCH_OK} THEN"
+            f" CAST(round({_ARCH_R2} * 1e6) AS BIGINT) END"
+        ).alias("r2_micro"),
+        F.expr(
+            f"CASE WHEN {_ARCH_OK} THEN"
+            f" CAST(round(n1 * {_ARCH_R2} * 1e6) AS BIGINT) END"
+        ).alias("arch_lm_micro"),
+    )
+
+
+def _q394_sql() -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(round(CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS DOUBLE)
+                    / count(*)) AS BIGINT) AS m
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(m) AS BIGINT) AS sm
+  FROM daily
+), u AS (
+  SELECT d, n, (n * m - sm) * (n * m - sm) AS u
+  FROM daily CROSS JOIN tot
+), pair AS (
+  SELECT n, u AS y, lag(u) OVER (ORDER BY d) AS x FROM u
+), agg AS (
+  SELECT CAST(max(n) AS BIGINT) AS n_days,
+         CAST(count(*) AS BIGINT) AS n1,
+         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM pair WHERE x IS NOT NULL
+)
+SELECT n_days, n1,
+       CASE WHEN {_ARCH_OK} THEN
+         CAST(round({_ARCH_R2} * 1e6) AS BIGINT) END AS r2_micro,
+       CASE WHEN {_ARCH_OK} THEN
+         CAST(round(n1 * {_ARCH_R2} * 1e6) AS BIGINT) END AS arch_lm_micro
+FROM agg
+"""
+
+
+def q395_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann estimator of the weekday-vs-weekend shift in
+    daily mean value: the MEDIAN of all pairwise differences
+    (weekday mean − weekend mean) — the robust location-shift
+    ESTIMATE that accompanies rank TESTS (Mann-Whitney q187 answers
+    "is there a shift?"; HL answers "how big?", Hodges & Lehmann
+    1963). Reported doubled (hl_shift_x2_milli) so the even-count
+    midpoint average stays an exact integer.
+
+    Exactness: daily means are milli integers (rounded from exact
+    integer day sums, both engines rounding the same double); the
+    pairwise differences are exact integers; the median is picked by
+    row_number over the value-sorted bounded pair relation — integer
+    end to end, no float. Weekend = Sunday/Saturday (Spark
+    dayofweek ∈ {1,7} ≡ DuckDB dayofweek ∈ {0,6} — the q298 parity
+    mapping). Either side empty → NULL estimate, counts reported.
+
+    Shape at 100 TB: two ≤366-row daily aggregates cross-joined to a
+    ≤(262·104)-row bounded pair relation — all windows sit above
+    date-grouped aggregate barriers."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            F.expr("CAST(ts AS DATE)").alias("d"),
+            F.expr("CAST(round(value * 1000) AS BIGINT)").alias("v"),
+        )
+        .groupBy("d")
+        .agg(
+            F.expr(
+                "CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT)"
+            ).alias("m")
+        )
+        .select("d", "m", F.expr("dayofweek(d) IN (1, 7)").alias("we"))
+    )
+    wd = daily.filter(~F.col("we")).select(F.col("m").alias("x"))
+    wk = daily.filter(F.col("we")).select(F.col("m").alias("y"))
+    pairs = wd.crossJoin(wk).select(F.expr("x - y").alias("diff"))
+    cnt = pairs.agg(F.count("*").cast("long").alias("c"))
+    w = W.orderBy("diff")
+    ranked = pairs.select(
+        "diff", F.row_number().over(w).alias("r")
+    ).crossJoin(F.broadcast(cnt))
+    mid = ranked.filter(
+        "r = (c + 1) div 2 OR r = (c + 2) div 2"
+    ).agg(
+        F.expr(
+            "CAST(round(avg(diff) * 2) AS BIGINT)"
+        ).alias("hl2")
+    )
+    counts = daily.agg(
+        F.sum(F.expr("CASE WHEN we THEN 0 ELSE 1 END"))
+        .cast("long").alias("n_weekday_days"),
+        F.sum(F.expr("CASE WHEN we THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_weekend_days"),
+    )
+    return counts.crossJoin(F.broadcast(cnt)).crossJoin(
+        F.broadcast(mid)
+    ).select(
+        "n_weekday_days",
+        "n_weekend_days",
+        F.col("c").alias("n_pairs"),
+        F.expr("CASE WHEN c > 0 THEN hl2 END").alias("hl_shift_x2_milli"),
+    )
+
+
+_Q395_SQL = """
+WITH daily AS (
+  SELECT d, m, dayofweek(d) IN (0, 6) AS we FROM (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(round(CAST(sum(CAST(round(value * 1000) AS BIGINT))
+                           AS DOUBLE) / count(*)) AS BIGINT) AS m
+    FROM events GROUP BY 1
+  )
+), pairs AS (
+  SELECT x.m - y.m AS diff
+  FROM (SELECT m FROM daily WHERE NOT we) x
+  CROSS JOIN (SELECT m FROM daily WHERE we) y
+), cnt AS (
+  SELECT CAST(count(*) AS BIGINT) AS c FROM pairs
+), ranked AS (
+  SELECT diff, row_number() OVER (ORDER BY diff) AS r FROM pairs
+), mid AS (
+  SELECT CAST(round(avg(diff) * 2) AS BIGINT) AS hl2
+  FROM ranked CROSS JOIN cnt
+  WHERE r = (c + 1) // 2 OR r = (c + 2) // 2
+), counts AS (
+  SELECT CAST(sum(CASE WHEN we THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_weekday_days,
+         CAST(sum(CASE WHEN we THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_weekend_days
+  FROM daily
+)
+SELECT n_weekday_days, n_weekend_days, c AS n_pairs,
+       CASE WHEN c > 0 THEN hl2 END AS hl_shift_x2_milli
+FROM counts CROSS JOIN cnt CROSS JOIN mid
+"""

@@ -82,3 +82,279 @@ def test_q378_null_ts_rows_excluded(spark, tmp_path, qs):
         600_000_000: (6, 1, 166_666),
         3_600_000_000: (6, 1, 166_666),
     }
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+
+_TS = datetime.datetime(2024, 3, 4, 12, 0, 0)  # Monday
+
+
+def _ev(eid, user, value, ts=_TS, etype="view"):
+    return (eid, ts, user, etype, float(value), "{}")
+
+
+def test_q388_jarque_bera_hand_value(spark, tmp_path, qs):
+    """Values 1..5 (milli 1000..5000): mean 3000; central moments
+    m2 = (4+1+0+1+4)e6/5 = 2e6, m3 = 0 (symmetric), m4 =
+    (16+1+0+1+16)e12/5 = 6.8e12. S = 0; K = 6.8/4 - 3 = -1.3;
+    JB = 5/6 * (0 + 1.69/4) = 0.3520833... -> jb_micro 352083."""
+    _write_events(spark, tmp_path, [_ev(i, i, v) for i, v in
+                                    enumerate([1, 2, 3, 4, 5])])
+    r = qs["q388_jarque_bera"](spark, str(tmp_path)).collect()[0]
+    assert (r.n, r.skew_micro, r.exkurt_micro) == (5, 0, -1_300_000)
+    assert r.jb_micro == 352_083
+
+
+def test_q388_degenerate_zero_variance(spark, tmp_path, qs):
+    """Two equal values: m2 = 0 -> all statistics NULL, n reported."""
+    _write_events(spark, tmp_path, [_ev(1, 1, 2.0), _ev(2, 2, 2.0)])
+    r = qs["q388_jarque_bera"](spark, str(tmp_path)).collect()[0]
+    assert (r.n, r.skew_micro, r.exkurt_micro, r.jb_micro) == (
+        2, None, None, None)
+
+
+def test_q389_signed_rank_hand_value(spark, tmp_path, qs):
+    """Five days, morning (09:00) vs evening (15:00) totals:
+    (5,2) (1,4) (6,2) (2,2) (3,1) -> diffs +3000, -3000, +4000,
+    0 (dropped), +2000. |d| groups ascending: 2000 (t=1, p=1,
+    cum_less=0), 3000 (t=2, p=1, cum=1), 4000 (t=1, p=1, cum=3).
+    W2 = 1*(0+1+1) + 1*(2+2+1) + 1*(6+1+1) = 15 (W+ = 7.5 — checks:
+    average ranks 1, 2.5, 2.5, 4; positives 1+2.5+4 = 7.5).
+    T = 6, M = 2*4*5*9 - 6 = 354;
+    z = (15 - 10)*sqrt(12)/sqrt(354) = 0.9205746...."""
+    import math
+
+    d = datetime.datetime
+    rows, eid = [], 0
+    for day, (am, pm) in enumerate(
+        [(5, 2), (1, 4), (6, 2), (2, 2), (3, 1)], start=1
+    ):
+        eid += 1
+        rows.append(_ev(eid, eid, am, ts=d(2024, 3, day, 9, 0, 0)))
+        eid += 1
+        rows.append(_ev(eid, eid, pm, ts=d(2024, 3, day, 15, 0, 0)))
+    _write_events(spark, tmp_path, rows)
+    r = qs["q389_wilcoxon_signed_rank"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_days, r.w2) == (4, 15)
+    assert r.z_micro == round(5 * math.sqrt(12) / math.sqrt(354) * 1e6)
+
+
+def test_q389_all_zero_diffs(spark, tmp_path, qs):
+    """Every day balanced -> zero qualifying days, NULL z."""
+    d = datetime.datetime
+    rows = [
+        _ev(1, 1, 2, ts=d(2024, 3, 1, 9, 0)),
+        _ev(2, 2, 2, ts=d(2024, 3, 1, 15, 0)),
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q389_wilcoxon_signed_rank"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_days, r.z_micro) == (0, None)
+
+
+def test_q390_bowker_hand_value(spark, tmp_path, qs):
+    """User 1 type path a,b,a,b -> transitions a>b x2, b>a x1; user 2
+    path a,a,c -> a>a dropped, a>c x1. Cells: (a,b) fwd 2 rev 1 ->
+    term (2-1)^2*1e6 // 3 = 333333; (a,c) fwd 1 rev 0 -> 1000000.
+    B_micro = 1333333, cells 2, transitions 4."""
+    d = datetime.datetime
+    rows = []
+    for i, t in enumerate(["a", "b", "a", "b"]):
+        rows.append((i + 1, d(2024, 3, 1, 8 + i), 1, t, 1.0, "{}"))
+    for i, t in enumerate(["a", "a", "c"]):
+        rows.append((10 + i, d(2024, 3, 1, 8 + i), 2, t, 1.0, "{}"))
+    _write_events(spark, tmp_path, rows)
+    r = qs["q390_bowker_symmetry"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_transitions, r.n_cells, r.bowker_b_micro) == (
+        4, 2, 1_333_333)
+
+
+def test_q391_cronbach_hand_value(spark, tmp_path, qs):
+    """Items a/b, users 1/2: x = {u1: a=1000, b=2000; u2: a=4000,
+    b=0 implicit}. N=2. Item a: ss - s^2/N = 1.7e7 - 2.5e7/2 =
+    4.5e6; item b (u2's zero enters via N): 4e6 - 4e6/2 = 2e6;
+    sum(var numerators) = 6.5e6. Totals 3000/4000: sst - st^2/N =
+    2.5e7 - 4.9e7/2 = 5e5. alpha = 2*(1 - 6.5e6/5e5) = -24 (negative
+    alpha is legal: items anticorrelate) -> -24000000."""
+    rows = [
+        _ev(1, 1, 1.0, etype="a"),
+        _ev(2, 1, 2.0, etype="b"),
+        _ev(3, 2, 4.0, etype="a"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q391_cronbach_alpha"](spark, str(tmp_path)).collect()[0]
+    assert (r.k_items, r.n_users, r.alpha_micro) == (2, 2, -24_000_000)
+
+
+def test_q391_zero_total_variance(spark, tmp_path, qs):
+    """Both users total 3000 -> var_total = 0 -> NULL alpha."""
+    rows = [
+        _ev(1, 1, 1.0, etype="a"),
+        _ev(2, 1, 2.0, etype="b"),
+        _ev(3, 2, 3.0, etype="a"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q391_cronbach_alpha"](spark, str(tmp_path)).collect()[0]
+    assert (r.k_items, r.n_users, r.alpha_micro) == (2, 2, None)
+
+
+def test_q392_icc_hand_value(spark, tmp_path, qs):
+    """u1 = [1,2,3] (n=3, s=6000, ss=1.4e7, s^2/n = 1.2e7); u2 = [5]
+    (n=1, s=5000, ss=2.5e7, s^2/n = 2.5e7). a=2, N=4, SSW = 3.9e7 -
+    3.7e7 = 2e6, SSB = 3.7e7 - 1.21e8/4 = 6.75e6; MSB = 6.75e6,
+    MSW = 1e6; k0 = (4 - 10/4)/1 = 1.5; ICC = 5.75/7.25 =
+    0.79310344... -> 793103."""
+    rows = [_ev(1, 1, 1.0), _ev(2, 1, 2.0), _ev(3, 1, 3.0),
+            _ev(4, 2, 5.0)]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q392_icc_reliability"](spark, str(tmp_path)).collect()[0]
+    assert (r.a_groups, r.n_total, r.k0_micro) == (2, 4, 1_500_000)
+    assert r.icc_micro == 793_103
+
+
+def test_q392_degenerate_single_group(spark, tmp_path, qs):
+    """One user -> a < 2 -> NULLs."""
+    rows = [_ev(1, 1, 1.0), _ev(2, 1, 2.0)]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q392_icc_reliability"](spark, str(tmp_path)).collect()[0]
+    assert (r.a_groups, r.n_total, r.k0_micro, r.icc_micro) == (
+        1, 2, None, None)
+
+
+def test_q393_kpss_hand_value(spark, tmp_path, qs):
+    """Daily means 1000, 2000, 2000, 1000 (one event per day):
+    n=4, S=6000, E = 4m - 6000 = [-2000, 2000, 2000, -2000],
+    running sums [-2000, 0, 2000, 0]. num = 8e6, den0 = 1.6e7,
+    kpss = 8e6/(4*1.6e7) = 0.125 -> 125000."""
+    d = datetime.datetime
+    rows = [_ev(i + 1, i, v, ts=d(2024, 3, i + 1, 10, 0))
+            for i, v in enumerate([1.0, 2.0, 2.0, 1.0])]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q393_kpss_level"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_days, r.kpss_micro) == (4, 125_000)
+
+
+def test_q393_constant_series_null(spark, tmp_path, qs):
+    """Constant daily means -> E = 0 everywhere -> NULL statistic."""
+    d = datetime.datetime
+    rows = [_ev(i + 1, i, 2.0, ts=d(2024, 3, i + 1, 10, 0))
+            for i in range(3)]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q393_kpss_level"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_days, r.kpss_micro) == (3, None)
+
+
+def test_q394_arch_lm_hand_value(spark, tmp_path, qs):
+    """Daily means alternate 1000/3000 over 5 days: E = 5m - 9000 =
+    [-4000, 6000, -4000, 6000, -4000]; u = E^2 alternates 16e6/36e6.
+    The 4 lag pairs alternate (16,36)/(36,16) exactly, so the
+    regression of u_t on u_{t-1} is a perfect (negative) line:
+    R^2 = 1 -> r2_micro 1000000, LM = 4*1 -> 4000000."""
+    d = datetime.datetime
+    rows = [_ev(i + 1, i, v, ts=d(2024, 3, i + 1, 10, 0))
+            for i, v in enumerate([1.0, 3.0, 1.0, 3.0, 1.0])]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q394_arch_lm_test"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_days, r.n1, r.r2_micro, r.arch_lm_micro) == (
+        5, 4, 1_000_000, 4_000_000)
+
+
+def test_q394_constant_null(spark, tmp_path, qs):
+    """Constant daily means -> u constant 0 -> zero variance -> NULL."""
+    d = datetime.datetime
+    rows = [_ev(i + 1, i, 2.0, ts=d(2024, 3, i + 1, 10, 0))
+            for i in range(4)]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q394_arch_lm_test"](spark, str(tmp_path)).collect()[0]
+    assert (r.n1, r.r2_micro, r.arch_lm_micro) == (3, None, None)
+
+
+def test_q395_hodges_lehmann_hand_value(spark, tmp_path, qs):
+    """Weekdays Mon 4 Mar (5.0), Tue 5 Mar (1.0), Wed 6 Mar (3.0);
+    weekend Sat 9 Mar (2.0), Sun 10 Mar (3.0). Pairwise diffs
+    (weekday - weekend): 3000, 2000, -1000, -2000, 1000, 0 ->
+    sorted [-2000, -1000, 0, 1000, 2000, 3000], c=6, middles r=3,4 =
+    0 and 1000 -> doubled median 1000."""
+    d = datetime.datetime
+    rows = [
+        _ev(1, 1, 5.0, ts=d(2024, 3, 4, 10, 0)),
+        _ev(2, 2, 1.0, ts=d(2024, 3, 5, 10, 0)),
+        _ev(3, 3, 3.0, ts=d(2024, 3, 6, 10, 0)),
+        _ev(4, 4, 2.0, ts=d(2024, 3, 9, 10, 0)),
+        _ev(5, 5, 3.0, ts=d(2024, 3, 10, 10, 0)),
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q395_hodges_lehmann_shift"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_weekday_days, r.n_weekend_days, r.n_pairs) == (3, 2, 6)
+    assert r.hl_shift_x2_milli == 1000
+
+
+def test_q395_no_weekend_null(spark, tmp_path, qs):
+    """Only weekday days -> zero pairs -> NULL estimate."""
+    d = datetime.datetime
+    rows = [_ev(1, 1, 5.0, ts=d(2024, 3, 4, 10, 0))]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q395_hodges_lehmann_shift"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_weekday_days, r.n_weekend_days, r.n_pairs,
+            r.hl_shift_x2_milli) == (1, 0, 0, None)
+
+
+def test_q396_identical_docs_zero_error(spark, tmp_path, qs):
+    """Two IDENTICAL docs (and one unrelated): every signature slot
+    matches, exact Jaccard = 1, so the only candidate pair reads
+    err_ppm 0 / est_pos = true_pos at EVERY k — the sweep must report
+    4 rows (k = 8, 16, 32, 64), each n_pairs=1, mean=max=0, fp=fn=0."""
+    same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, same, "en", "s", len(same)),
+        (2, same, "en", "s", len(same)),
+        (3, "one two three four five six seven eight nine ten", "en",
+         "s", 10),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    out = qs["q396_minhash_k_sweep"](spark, str(tmp_path)).collect()
+    assert [r.k for r in out] == [8, 16, 32, 64]
+    for r in out:
+        assert (r.n_pairs, r.mean_err_ppm, r.max_err_ppm,
+                r.n_false_pos, r.n_false_neg) == (1, 0, 0, 0, 0)
+
+
+def test_q396_k64_row_equals_q328(spark, qs):
+    """Cross-query consistency: the k=64 sweep row must reproduce the
+    q328 audit exactly (same pairs, same full signature) on real
+    sf0.001 data — the sweep generalizes the audit, it must not
+    drift from it."""
+    sf = "/root/testdata/sf0.001"
+    sweep = {r.k: r for r in qs["q396_minhash_k_sweep"](spark, sf).collect()}
+    audit = qs["q328_minhash_accuracy_audit"](spark, sf).collect()[0]
+    r64 = sweep[64]
+    assert r64.n_pairs == audit.n_pairs
+    assert r64.mean_err_ppm == audit.mean_err_ppm
+    assert r64.max_err_ppm == audit.max_err_ppm
+    assert r64.n_false_pos == audit.n_false_pos
+    assert r64.n_false_neg == audit.n_false_neg
+
+
+def test_q397_overflow_hand_value(spark, tmp_path, qs):
+    """Docs of 3, 5 and 100 whitespace tokens; corpus 108 tokens.
+    L=64: one doc over (333333 ppm of 3), 36 tokens lost =
+    36e6 // 108 = 333333 ppm. L >= 128: nothing over."""
+    rows = [
+        (1, "a b c", "en", "s", 5),
+        (2, "a b c d e", "en", "s", 9),
+        (3, " ".join(["w"] * 100), "en", "s", 199),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    out = {r.max_len: r for r in
+           qs["q397_context_overflow_curve"](spark, str(tmp_path)).collect()}
+    assert sorted(out) == [64, 128, 256, 512, 1024]
+    r = out[64]
+    assert (r.n_docs, r.n_over, r.docs_over_ppm, r.tokens_lost,
+            r.tokens_lost_ppm) == (3, 1, 333_333, 36, 333_333)
+    for length in (128, 256, 512, 1024):
+        r = out[length]
+        assert (r.n_over, r.docs_over_ppm, r.tokens_lost,
+                r.tokens_lost_ppm) == (0, 0, 0, 0)
