@@ -431,6 +431,16 @@ HEADLINE = [
     "q385_benjamini_yekutieli",
     "q386_variogram_profile",
     "q387_largest_remainder_apportionment",
+    "q388_jarque_bera",
+    "q389_wilcoxon_signed_rank",
+    "q390_bowker_symmetry",
+    "q391_cronbach_alpha",
+    "q392_icc_reliability",
+    "q393_kpss_level",
+    "q394_arch_lm_test",
+    "q395_hodges_lehmann_shift",
+    "q396_minhash_k_sweep",
+    "q397_context_overflow_curve",
 ]
 
 
