@@ -1161,9 +1161,10 @@ def test_drift_monitor_equals_batch_tvd(spark, tmp_path):
 
 def test_composed_monitor_fleet_over_shared_stream(spark, tmp_path):
     """Composed multi-store deployment (round-7 verdict task 6, round-9
-    task 8): ONE shared event stream drained into FIVE monitor stores —
-    drift histogram (TVD), CMS heavy-hitters, HLL distinct-users, the
-    lateness profile, and the watermark delay-cost curve — across two
+    task 8, round-10 task: sixth store): ONE shared event stream drained
+    into SIX monitor stores — drift histogram (TVD), CMS heavy-hitters,
+    HLL distinct-users, the lateness profile, the watermark delay-cost
+    curve, and the hourly RATE monitor — across two
     drains with a foreachBatch RETRY in between. Each store's reader
     must equal its one-shot batch twin over the union of every drained
     row: the drift matrix equals the shared q319 tvd_matrix operator,
@@ -1206,6 +1207,11 @@ def test_composed_monitor_fleet_over_shared_stream(spark, tmp_path):
         run_delay_curve_monitor,
         run_lateness_monitor,
     )
+    from airflow_spotify_etl_spark.streaming.rate_monitor import (
+        _apply_rate_batch,
+        read_rate_flags,
+        run_rate_monitor,
+    )
 
     schema = SCHEMA
     rows1 = _rows(*[(i, i % 7, i % 5, ["view", "click"][i % 2], float(i % 4))
@@ -1214,7 +1220,7 @@ def test_composed_monitor_fleet_over_shared_stream(spark, tmp_path):
                      ["click", "purchase"][i % 2], float(i % 3))
                     for i in range(30)])
     src = str(tmp_path / "src")
-    kinds = ("drift", "cms", "hll", "late", "curve")
+    kinds = ("drift", "cms", "hll", "late", "curve", "rate")
     stores = {k: str(tmp_path / f"store_{k}") for k in kinds}
     ckpts = {k: str(tmp_path / f"ckpt_{k}") for k in kinds}
 
@@ -1236,6 +1242,7 @@ def test_composed_monitor_fleet_over_shared_stream(spark, tmp_path):
                              ckpts["late"])
         run_delay_curve_monitor(spark, stream(), stores["curve"],
                                 ckpts["curve"])
+        run_rate_monitor(spark, stream(), stores["rate"], ckpts["rate"])
 
     spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
         "append"
@@ -1251,6 +1258,7 @@ def test_composed_monitor_fleet_over_shared_stream(spark, tmp_path):
     _apply_hll_batch(b0, stores["hll"], 0, "event_type", "user_id")
     _apply_lateness_batch(spark, b0, stores["late"], 0)
     _apply_delay_curve_batch(spark, b0, stores["curve"], 0)
+    _apply_rate_batch(b0, stores["rate"], 0, "ts", "event_type")
 
     spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
         "append"
@@ -1361,3 +1369,18 @@ def test_composed_monitor_fleet_over_shared_stream(spark, tmp_path):
     }
     assert got_curve == want_curve
     assert got_curve[0][0] == len(rows1) + len(rows2)
+
+    # rate store == batch q118 flags over the union (partial hourly
+    # counts merge by exact addition; the flag core is shared code)
+    from airflow_spotify_etl_spark.operators.quality import rate_anomalies
+
+    got_rate = {
+        (r.event_type, r.hour_ts): (r.cnt, r.is_anomaly)
+        for r in read_rate_flags(spark, stores["rate"]).collect()
+    }
+    want_rate = {
+        (r.event_type, r.hour_ts): (r.cnt, r.is_anomaly)
+        for r in rate_anomalies(union, factor=3, n_lags=8).collect()
+    }
+    assert got_rate == want_rate
+    assert sum(c for c, _ in got_rate.values()) == len(rows1) + len(rows2)
