@@ -3121,3 +3121,90 @@ FROM terms
 GROUP BY k
 ORDER BY k
 """
+
+
+def q400_dup_rate_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-rate profile by document LENGTH bucket: are exact
+    duplicates concentrated in short (boilerplate, templates) or long
+    documents? Per power-of-two char-length bucket: doc count, docs
+    whose md5(text) occurs ≥ 2 times in the WHOLE corpus (global dup
+    status, bucketed locally), dup ppm, and n_droppable — the docs a
+    keep-first dedup would drop (each dup group's size minus its
+    keeper; identical text has identical length, so a group never
+    spans buckets). The stratified view that
+    tells a corpus owner WHERE q21's volume reduction comes from —
+    q287 answers what dedup does to the token MIX, this answers which
+    length strata it drains.
+
+    Exactness: everything is an integer count off the q21 md5 key;
+    buckets are fixed powers of two off length(text) (deterministic,
+    no global order statistics — the q41 discipline: quantile buckets
+    would need a corpus sort); ppm is the exact integer (x·10⁶) div n.
+
+    Shape at 100 TB: one md5-groupBy (skew-free uniform key) joined
+    back doc-side on the hash, then a map-side ≤~16-row bucket
+    aggregate. No sort, no window."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("text_hash"),
+        F.length("text").alias("len")
+    )
+    copies = docs.groupBy("text_hash").agg(
+        F.count("*").cast("long").alias("n_copies")
+    )
+    bucketed = docs.join(copies, "text_hash").select(
+        F.expr(
+            "CAST(least(greatest(ceil(log2(greatest(len, 1))), 0), 15)"
+            " AS BIGINT)"
+        ).alias("len_bucket_log2"),
+        "text_hash",
+        "n_copies",
+    )
+    return (
+        bucketed.groupBy("len_bucket_log2")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.expr("CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END"))
+            .cast("long").alias("n_dup_docs"),
+            F.countDistinct(
+                F.expr("CASE WHEN n_copies >= 2 THEN text_hash END")
+            ).cast("long").alias("n_dup_groups"),
+        )
+        .select(
+            "len_bucket_log2",
+            "n_docs",
+            "n_dup_docs",
+            F.expr("(n_dup_docs * 1000000) div n_docs").alias("dup_ppm"),
+            F.expr("n_dup_docs - n_dup_groups").alias("n_droppable"),
+        )
+        .orderBy("len_bucket_log2")
+    )
+
+
+_Q400_SQL = """
+WITH docs AS (
+  SELECT doc_id, md5(text) AS text_hash,
+         CAST(length(text) AS BIGINT) AS len
+  FROM documents
+), copies AS (
+  SELECT text_hash, CAST(count(*) AS BIGINT) AS n_copies
+  FROM docs GROUP BY 1
+), bucketed AS (
+  SELECT CAST(least(greatest(ceil(log2(greatest(len, 1))), 0), 15)
+              AS BIGINT) AS len_bucket_log2,
+         text_hash,
+         n_copies
+  FROM docs JOIN copies USING (text_hash)
+)
+SELECT len_bucket_log2,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       (CAST(sum(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        * 1000000) // CAST(count(*) AS BIGINT) AS dup_ppm,
+       CAST(sum(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         - CAST(count(DISTINCT CASE WHEN n_copies >= 2
+                      THEN text_hash END) AS BIGINT) AS n_droppable
+FROM bucketed
+GROUP BY 1
+ORDER BY 1
+"""

@@ -3540,3 +3540,172 @@ SELECT a_groups, n_total,
          AS icc_micro
 FROM agg
 """
+
+
+def q401_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade test over the day × event-type value matrix — the
+    range-WEIGHTED repeated-measures rank test beside Friedman (q322):
+    blocks = days, treatments = event types, y_ij = type j's total
+    value on day i (missing cells read 0 through the explicit
+    day × type grid — absence of a type on a day IS the observation).
+    Blocks with a larger within-day range carry more weight
+    (Quade 1979): S_ij = Q_i·(r_ij − (k+1)/2) with r_ij the within-
+    block average ranks and Q_i the average rank of block ranges;
+    F = (b−1)·B/(A−B), A = ΣS², B = ΣS_j²/b, F(k−1, (b−1)(k−1)).
+
+    Exactness: FULLY integer — doubled average ranks (the q389
+    2·cum_less + t + 1 device) for both the within-block ranks and
+    the block-range ranks make 4·S_ij = q2_i·(r2_ij − (k+1)) an exact
+    integer, and the scale factors cancel in F:
+    F = (b−1)·ΣS4_j² / (b·ΣS4² − ΣS4_j²) — one integer ratio,
+    micro-quantized. A = B (all discrimination between-treatment) or
+    degenerate b, k < 2 → NULL.
+
+    Shape at 100 TB: one (day, type) aggregate collapses the corpus;
+    the grid, both rank passes, and the reduction run on calendar- and
+    type-bounded relations (≤366·k rows)."""
+    events = load_table(spark, sf_dir, "events")
+    cell = (
+        events.select(
+            F.expr("CAST(ts AS DATE)").alias("d"),
+            F.col("event_type").alias("t"),
+            F.expr("CAST(round(value * 1000) AS BIGINT)").alias("v"),
+        )
+        .groupBy("d", "t")
+        .agg(F.sum("v").cast("long").alias("y"))
+    )
+    days = cell.select("d").distinct()
+    types = cell.select("t").distinct()
+    grid = days.crossJoin(types).join(cell, ["d", "t"], "left").select(
+        "d", "t", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+    # within-block doubled average ranks: r2 = 2*cum_less + t + 1
+    vg = grid.groupBy("d", "y").agg(F.count("*").cast("long").alias("tt"))
+    wv = W.partitionBy("d").orderBy("y").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    r2 = vg.select(
+        "d", "y", "tt",
+        (2 * F.coalesce(F.sum("tt").over(wv), F.lit(0)) + F.col("tt") + 1)
+        .alias("r2"),
+    )
+    ranked = grid.join(r2, ["d", "y"]).select("d", "t", "r2")
+    # block-range doubled average ranks q2 over the ≤366-day relation
+    rng = grid.groupBy("d").agg(
+        (F.max("y") - F.min("y")).cast("long").alias("rg")
+    )
+    rg_g = rng.groupBy("rg").agg(F.count("*").cast("long").alias("tt"))
+    wr = W.orderBy("rg").rowsBetween(W.unboundedPreceding, -1)
+    q2 = rg_g.select(
+        "rg",
+        (2 * F.coalesce(F.sum("tt").over(wr), F.lit(0)) + F.col("tt") + 1)
+        .alias("q2"),
+    )
+    blocks = rng.join(q2, "rg").select("d", "q2")
+    k1 = types.agg(F.count("*").cast("long").alias("k")).select(
+        "k", (F.col("k") + 1).alias("kp1")
+    )
+    s4 = (
+        ranked.join(blocks, "d")
+        .crossJoin(F.broadcast(k1))
+        .select("d", "t", "k", F.expr("q2 * (r2 - kp1)").alias("s4"))
+    )
+    per_t = s4.groupBy("t").agg(
+        F.max("k").alias("k"),
+        F.sum("s4").cast("long").alias("s4j"),
+        F.sum(F.expr("CAST(s4 AS DECIMAL(38,0)) * s4")).alias("ss4"),
+    )
+    agg = per_t.agg(
+        F.max("k").cast("long").alias("k_types"),
+        F.sum(F.expr("CAST(s4j AS DECIMAL(38,0)) * s4j")).alias("bsum"),
+        F.sum("ss4").alias("asum"),
+    ).crossJoin(
+        F.broadcast(days.agg(F.count("*").cast("long").alias("b_days")))
+    )
+    f = (
+        "(CAST((b_days - 1) AS DOUBLE) * CAST(bsum AS DOUBLE)"
+        " / (CAST(b_days AS DOUBLE) * CAST(asum AS DOUBLE)"
+        " - CAST(bsum AS DOUBLE)))"
+    )
+    ok = (
+        "(b_days >= 2 AND k_types >= 2"
+        " AND CAST(b_days AS DOUBLE) * CAST(asum AS DOUBLE)"
+        " > CAST(bsum AS DOUBLE))"
+    )
+    return agg.select(
+        "b_days",
+        "k_types",
+        F.expr(
+            f"CASE WHEN {ok} THEN CAST(round({f} * 1e6) AS BIGINT) END"
+        ).alias("quade_f_micro"),
+    )
+
+
+def _q401_sql() -> str:
+    f = (
+        "(CAST((b_days - 1) AS DOUBLE) * CAST(bsum AS DOUBLE)"
+        " / (CAST(b_days AS DOUBLE) * CAST(asum AS DOUBLE)"
+        " - CAST(bsum AS DOUBLE)))"
+    )
+    ok = (
+        "(b_days >= 2 AND k_types >= 2"
+        " AND CAST(b_days AS DOUBLE) * CAST(asum AS DOUBLE)"
+        " > CAST(bsum AS DOUBLE))"
+    )
+    return f"""
+WITH cell AS (
+  SELECT CAST(ts AS DATE) AS d, event_type AS t,
+         CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT dd.d, tt.t, coalesce(c.y, 0) AS y
+  FROM (SELECT DISTINCT d FROM cell) dd
+  CROSS JOIN (SELECT DISTINCT t FROM cell) tt
+  LEFT JOIN cell c ON c.d = dd.d AND c.t = tt.t
+), vg AS (
+  SELECT d, y, CAST(count(*) AS BIGINT) AS tt FROM grid GROUP BY 1, 2
+), r2 AS (
+  SELECT d, y,
+         2 * coalesce(sum(tt) OVER (PARTITION BY d ORDER BY y
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) + tt + 1 AS r2
+  FROM vg
+), ranked AS (
+  SELECT g.d, g.t, r2.r2 FROM grid g JOIN r2 ON r2.d = g.d AND r2.y = g.y
+), rng AS (
+  SELECT d, CAST(max(y) - min(y) AS BIGINT) AS rg FROM grid GROUP BY d
+), rg_g AS (
+  SELECT rg, CAST(count(*) AS BIGINT) AS tt FROM rng GROUP BY rg
+), q2 AS (
+  SELECT rg,
+         2 * coalesce(sum(tt) OVER (ORDER BY rg
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) + tt + 1 AS q2
+  FROM rg_g
+), blocks AS (
+  SELECT rng.d, q2.q2 FROM rng JOIN q2 USING (rg)
+), k1 AS (
+  SELECT CAST(count(DISTINCT t) AS BIGINT) AS k,
+         CAST(count(DISTINCT t) + 1 AS BIGINT) AS kp1
+  FROM cell
+), s4 AS (
+  SELECT r.t, k1.k, blocks.q2 * (r.r2 - k1.kp1) AS s4
+  FROM ranked r JOIN blocks ON blocks.d = r.d CROSS JOIN k1
+), per_t AS (
+  SELECT t, CAST(max(k) AS BIGINT) AS k,
+         CAST(sum(s4) AS BIGINT) AS s4j,
+         CAST(sum(CAST(s4 AS HUGEINT) * s4) AS HUGEINT) AS ss4
+  FROM s4 GROUP BY t
+), agg AS (
+  SELECT CAST(max(k) AS BIGINT) AS k_types,
+         CAST(sum(CAST(s4j AS HUGEINT) * s4j) AS HUGEINT) AS bsum,
+         CAST(sum(ss4) AS HUGEINT) AS asum
+  FROM per_t
+), bd AS (
+  SELECT CAST(count(DISTINCT d) AS BIGINT) AS b_days FROM cell
+)
+SELECT b_days, k_types,
+       CASE WHEN {ok} THEN CAST(round({f} * 1e6) AS BIGINT) END
+         AS quade_f_micro
+FROM agg CROSS JOIN bd
+"""

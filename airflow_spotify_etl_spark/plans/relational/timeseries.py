@@ -4186,3 +4186,351 @@ SELECT n_weekday_days, n_weekend_days, c AS n_pairs,
        CASE WHEN c > 0 THEN hl2 END AS hl_shift_x2_milli
 FROM counts CROSS JOIN cnt CROSS JOIN mid
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 10, batch 2 — q398/q399/q402: Granger, seasonal MK, Siegel
+
+
+_GR_CYY = "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / m)"
+_GR_CAA = "(CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / m)"
+_GR_CBB = "(CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / m)"
+_GR_CYA = "(CAST(sya AS DOUBLE) - CAST(sy AS DOUBLE) * sa / m)"
+_GR_CYB = "(CAST(syb AS DOUBLE) - CAST(sy AS DOUBLE) * sb / m)"
+_GR_CAB = "(CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * sb / m)"
+_GR_DET = f"({_GR_CAA} * {_GR_CBB} - {_GR_CAB} * {_GR_CAB})"
+_GR_RSSR = f"({_GR_CYY} - {_GR_CYA} * {_GR_CYA} / {_GR_CAA})"
+_GR_RSSU = (
+    f"({_GR_CYY} - ({_GR_CBB} * {_GR_CYA} * {_GR_CYA}"
+    f" - 2.0e0 * {_GR_CAB} * {_GR_CYA} * {_GR_CYB}"
+    f" + {_GR_CAA} * {_GR_CYB} * {_GR_CYB}) / {_GR_DET})"
+)
+_GR_F = f"(({_GR_RSSR} - {_GR_RSSU}) * (m - 3) / {_GR_RSSU})"
+_GR_OK = (
+    f"(m >= 4 AND {_GR_CAA} > 0 AND {_GR_DET} > 0 AND {_GR_RSSU} > 0)"
+)
+
+
+def q398_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger causality: does yesterday's event COUNT improve
+    today's mean-VALUE forecast beyond yesterday's value alone? The
+    nested-OLS F test (Granger 1969): restricted y_t ~ y_{t−1},
+    unrestricted y_t ~ y_{t−1} + x_{t−1},
+    F = (RSS_r − RSS_u)·(m−3)/RSS_u, F(1, m−3) under no-causality.
+    q215 measures lead-lag CORRELATION; this is the incremental-
+    predictability test built on it, completing the AR toolkit
+    (Yule-Walker q345, Durbin-Watson q323).
+
+    Exactness: y = rounded daily mean milli (exact integer inputs,
+    both engines round the same double), x = exact daily counts; all
+    nine regression moments are exact DECIMAL(38,0)/HUGEINT sums over
+    the ≤366-row lag-paired relation; the centered-moment / RSS / F
+    chain is ONE shared double expression, micro-quantized. Degenerate
+    (m < 4, constant regressors, collinear det ≤ 0, perfect fit
+    RSS_u ≤ 0) → NULL F.
+
+    Shape at 100 TB: one map-side daily aggregate to ≤366 rows; lag
+    window and 1-row moment reduction on that bounded relation."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            F.expr("CAST(ts AS DATE)").alias("d"),
+            F.expr("CAST(round(value * 1000) AS BIGINT)").alias("v"),
+        )
+        .groupBy("d")
+        .agg(
+            F.expr(
+                "CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT)"
+            ).alias("y"),
+            F.count("*").cast("long").alias("x"),
+        )
+    )
+    w = W.orderBy("d")
+    pair = daily.select(
+        F.col("y"),
+        F.lag("y").over(w).alias("a"),
+        F.lag("x").over(w).alias("b"),
+    ).filter("a IS NOT NULL")
+    agg = pair.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("a").cast("decimal(38,0)")).alias("sa"),
+        F.sum(F.col("b").cast("decimal(38,0)")).alias("sb"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+        F.sum(F.expr("CAST(a AS DECIMAL(38,0)) * a")).alias("saa"),
+        F.sum(F.expr("CAST(b AS DECIMAL(38,0)) * b")).alias("sbb"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * a")).alias("sya"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * b")).alias("syb"),
+        F.sum(F.expr("CAST(a AS DECIMAL(38,0)) * b")).alias("sab"),
+    )
+    return agg.select(
+        F.col("m").alias("n_pairs"),
+        F.expr(
+            f"CASE WHEN {_GR_OK} THEN"
+            f" CAST(round({_GR_RSSU} / {_GR_RSSR} * 1e6) AS BIGINT) END"
+        ).alias("rss_ratio_micro"),
+        F.expr(
+            f"CASE WHEN {_GR_OK} THEN"
+            f" CAST(round({_GR_F} * 1e6) AS BIGINT) END"
+        ).alias("granger_f_micro"),
+    )
+
+
+def _q398_sql() -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(round(CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS DOUBLE)
+                    / count(*)) AS BIGINT) AS y,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), pair AS (
+  SELECT y, lag(y) OVER (ORDER BY d) AS a, lag(x) OVER (ORDER BY d) AS b
+  FROM daily
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(a AS HUGEINT)) AS HUGEINT) AS sa,
+         CAST(sum(CAST(b AS HUGEINT)) AS HUGEINT) AS sb,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         CAST(sum(CAST(a AS HUGEINT) * a) AS HUGEINT) AS saa,
+         CAST(sum(CAST(b AS HUGEINT) * b) AS HUGEINT) AS sbb,
+         CAST(sum(CAST(y AS HUGEINT) * a) AS HUGEINT) AS sya,
+         CAST(sum(CAST(y AS HUGEINT) * b) AS HUGEINT) AS syb,
+         CAST(sum(CAST(a AS HUGEINT) * b) AS HUGEINT) AS sab
+  FROM pair WHERE a IS NOT NULL
+)
+SELECT m AS n_pairs,
+       CASE WHEN {_GR_OK} THEN
+         CAST(round({_GR_RSSU} / {_GR_RSSR} * 1e6) AS BIGINT) END
+         AS rss_ratio_micro,
+       CASE WHEN {_GR_OK} THEN
+         CAST(round({_GR_F} * 1e6) AS BIGINT) END AS granger_f_micro
+FROM agg
+"""
+
+
+def q399_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test (Hirsch & Slack 1984): the q301
+    MK statistic computed WITHIN each weekday stratum and summed —
+    trend detection that a weekly cycle cannot fool (plain MK q301
+    reads a strong weekday pattern as noise or worse, false trend).
+    S = Σ_g S_g with S_g = Σ_{i<j} sign(y_j − y_i) over stratum g's
+    day-ordered daily means; Var = Σ_g [n_g(n_g−1)(2n_g+5) −
+    Σ_t t(t−1)(2t+5)]/18; z = (S − sign(S))/√Var (continuity
+    correction, the q301 convention).
+
+    Exactness: daily means are rounded milli integers; each S_g is an
+    exact integer pair sum over a ≤53-row stratum (the within-weekday
+    self-join is (366/7)²-bounded per stratum); tie terms are exact
+    integers off value-grouped counts; z is one shared double chain,
+    micro-quantized. Var = 0 → NULL z.
+
+    Shape at 100 TB: daily collapse to ≤366 rows, then per-stratum
+    self-joins on the weekday key — every relation bounded by the
+    calendar, map-side combine everywhere."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            F.expr("CAST(ts AS DATE)").alias("d"),
+            F.expr("CAST(round(value * 1000) AS BIGINT)").alias("v"),
+        )
+        .groupBy("d")
+        .agg(
+            F.expr(
+                "CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT)"
+            ).alias("m")
+        )
+        .select("d", "m", F.expr("dayofweek(d)").alias("g"))
+    )
+    a = daily.select("g", F.col("d").alias("di"), F.col("m").alias("mi"))
+    b = daily.select(
+        F.col("g").alias("g2"), F.col("d").alias("dj"), F.col("m").alias("mj")
+    )
+    s = (
+        a.join(b, (F.col("g") == F.col("g2")) & (F.col("di") < F.col("dj")))
+        .agg(
+            F.sum(F.expr("CAST(sign(mj - mi) AS BIGINT)"))
+            .cast("long").alias("s")
+        )
+    )
+    per_g = daily.groupBy("g").agg(F.count("*").cast("long").alias("ng"))
+    ties = (
+        daily.groupBy("g", "m")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy("g")
+        .agg(
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)"))
+            .cast("long").alias("tt")
+        )
+    )
+    var = (
+        per_g.join(ties, "g")
+        .agg(
+            F.sum(F.expr("ng * (ng - 1) * (2 * ng + 5) - tt"))
+            .cast("long").alias("var18"),
+            F.count("*").cast("long").alias("n_strata"),
+        )
+    )
+    both = s.crossJoin(F.broadcast(var))
+    z = (
+        "((CAST(s AS DOUBLE) - CAST(sign(s) AS DOUBLE))"
+        " / sqrt(CAST(var18 AS DOUBLE) / 18.0e0))"
+    )
+    return both.select(
+        F.coalesce("s", F.lit(0)).alias("s_total"),
+        "n_strata",
+        F.expr(
+            f"CASE WHEN var18 > 0 THEN"
+            f" CAST(round({z} * 1e6) AS BIGINT) END"
+        ).alias("z_micro"),
+    )
+
+
+def _q399_sql() -> str:
+    z = (
+        "((CAST(s AS DOUBLE) - CAST(sign(s) AS DOUBLE))"
+        " / sqrt(CAST(var18 AS DOUBLE) / 18.0e0))"
+    )
+    return f"""
+WITH daily AS (
+  SELECT d, m, dayofweek(d) + 1 AS g FROM (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(round(CAST(sum(CAST(round(value * 1000) AS BIGINT))
+                           AS DOUBLE) / count(*)) AS BIGINT) AS m
+    FROM events GROUP BY 1
+  )
+), s AS (
+  SELECT CAST(sum(CAST(sign(b.m - a.m) AS BIGINT)) AS BIGINT) AS s
+  FROM daily a JOIN daily b ON a.g = b.g AND a.d < b.d
+), per_g AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS ng FROM daily GROUP BY g
+), ties AS (
+  SELECT g, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+  FROM (SELECT g, m, CAST(count(*) AS BIGINT) AS t
+        FROM daily GROUP BY g, m)
+  GROUP BY g
+), var AS (
+  SELECT CAST(sum(ng * (ng - 1) * (2 * ng + 5) - tt) AS BIGINT) AS var18,
+         CAST(count(*) AS BIGINT) AS n_strata
+  FROM per_g JOIN ties USING (g)
+)
+SELECT coalesce(s, 0) AS s_total, n_strata,
+       CASE WHEN var18 > 0 THEN
+         CAST(round({z} * 1e6) AS BIGINT) END AS z_micro
+FROM s CROSS JOIN var
+"""
+
+
+def q402_siegel_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Siegel repeated-median slope of the daily mean-value series —
+    the 50%-breakdown robust trend estimate beside Theil-Sen's 29%
+    (q300; Siegel 1982): for each day i take the MEDIAN over j ≠ i of
+    the pairwise slope (m_j − m_i)/(d_j − d_i), then the median of
+    those per-day medians. A majority of corrupted days still cannot
+    move it.
+
+    Exactness: daily means are exact milli integers and day gaps
+    exact integer day counts, so every pairwise slope is the same
+    rational in both engines; medians are selected by row_number with
+    a FULL deterministic tiebreak (slope value, then partner day), so
+    both engines pick the identical element; the midpoint average of
+    an even count is the only arithmetic, and the final estimate is
+    micro-quantized once. Fewer than 2 days → NULL.
+
+    Shape at 100 TB: the pair relation is calendar-bounded (≤366²
+    rows) off one map-side daily collapse; the per-day median window
+    partitions by day i (bounded partitions), the final median by
+    row_number over ≤366 rows."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            F.expr("CAST(ts AS DATE)").alias("d"),
+            F.expr("CAST(round(value * 1000) AS BIGINT)").alias("v"),
+        )
+        .groupBy("d")
+        .agg(
+            F.expr(
+                "CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT)"
+            ).alias("m")
+        )
+    )
+    a = daily.select(F.col("d").alias("di"), F.col("m").alias("mi"))
+    b = daily.select(F.col("d").alias("dj"), F.col("m").alias("mj"))
+    slopes = a.join(b, F.col("di") != F.col("dj")).select(
+        "di",
+        "dj",
+        F.expr(
+            "CAST(mj - mi AS DOUBLE) / CAST(datediff(dj, di) AS DOUBLE)"
+        ).alias("slope"),
+    )
+    wi = W.partitionBy("di").orderBy("slope", "dj")
+    cnt_i = W.partitionBy("di")
+    per_i = (
+        slopes.select(
+            "di",
+            "slope",
+            F.row_number().over(wi).alias("r"),
+            F.count("*").over(cnt_i).alias("c"),
+        )
+        .filter("r = (c + 1) div 2 OR r = (c + 2) div 2")
+        .groupBy("di")
+        .agg(F.avg("slope").alias("med_i"))
+    )
+    wf = W.orderBy("med_i", "di")
+    cnt_f = daily.agg(F.count("*").cast("long").alias("n_days"))
+    final = (
+        per_i.select(
+            "med_i",
+            F.row_number().over(wf).alias("r"),
+        )
+        .crossJoin(F.broadcast(cnt_f))
+        .filter("r = (n_days + 1) div 2 OR r = (n_days + 2) div 2")
+        .agg(
+            F.expr(
+                "CAST(round(avg(med_i) * 1e6) AS BIGINT)"
+            ).alias("slope_micro_per_day")
+        )
+    )
+    return cnt_f.crossJoin(F.broadcast(final)).select(
+        "n_days",
+        F.expr(
+            "CASE WHEN n_days >= 2 THEN slope_micro_per_day END"
+        ).alias("slope_micro_per_day"),
+    )
+
+
+_Q402_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(round(CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS DOUBLE)
+                    / count(*)) AS BIGINT) AS m
+  FROM events GROUP BY 1
+), slopes AS (
+  SELECT a.d AS di, b.d AS dj,
+         CAST(b.m - a.m AS DOUBLE) / CAST(datediff('day', a.d, b.d) AS DOUBLE)
+           AS slope
+  FROM daily a JOIN daily b ON a.d <> b.d
+), per_i AS (
+  SELECT di, avg(slope) AS med_i FROM (
+    SELECT di, slope,
+           row_number() OVER (PARTITION BY di ORDER BY slope, dj) AS r,
+           count(*) OVER (PARTITION BY di) AS c
+    FROM slopes
+  ) WHERE r = (c + 1) // 2 OR r = (c + 2) // 2
+  GROUP BY di
+), cnt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily
+), final AS (
+  SELECT CAST(round(avg(med_i) * 1e6) AS BIGINT) AS slope_micro_per_day
+  FROM (
+    SELECT med_i, row_number() OVER (ORDER BY med_i, di) AS r
+    FROM per_i
+  ) CROSS JOIN cnt
+  WHERE r = (n_days + 1) // 2 OR r = (n_days + 2) // 2
+)
+SELECT n_days,
+       CASE WHEN n_days >= 2 THEN slope_micro_per_day END
+         AS slope_micro_per_day
+FROM cnt CROSS JOIN final
+"""

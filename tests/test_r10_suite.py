@@ -358,3 +358,147 @@ def test_q397_overflow_hand_value(spark, tmp_path, qs):
         r = out[length]
         assert (r.n_over, r.docs_over_ppm, r.tokens_lost,
                 r.tokens_lost_ppm) == (0, 0, 0, 0)
+
+
+def test_q398_granger_hand_value(spark, tmp_path, qs):
+    """Daily (mean-milli y, count x): (1000,1), (2000,2), (1000,3),
+    (3000,1), (1000,2) -> 4 lag pairs (y, a=y-1, b=x-1) = (2000,1000,1),
+    (1000,2000,2), (3000,1000,3), (1000,3000,1). Centered moments:
+    Cyy=Caa=2.75e6, Cbb=2.75, Cya=-2.25e6, Cyb=1750, Cab=-1250, det=6e6.
+    RSS_r = 10e6/11, RSS_u = 2e6/3 -> F = (8/33)/(2/3) = 4/11 =
+    0.363636 -> 363636; RSS ratio = 11/15 -> 733333."""
+    d = datetime.datetime
+    rows, eid = [], 0
+    specs = [(1, [1.0]), (2, [2.0, 2.0]), (3, [1.0, 1.0, 1.0]),
+             (4, [3.0]), (5, [1.0, 1.0])]
+    for day, vals in specs:
+        for v in vals:
+            eid += 1
+            rows.append(_ev(eid, eid, v, ts=d(2024, 3, day, 10, 0)))
+    _write_events(spark, tmp_path, rows)
+    r = qs["q398_granger_lag1"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_pairs, r.rss_ratio_micro, r.granger_f_micro) == (
+        4, 733_333, 363_636)
+
+
+def test_q398_degenerate_constant(spark, tmp_path, qs):
+    """Constant y and x -> zero centered variance -> NULL F."""
+    d = datetime.datetime
+    rows = [_ev(i + 1, i, 2.0, ts=d(2024, 3, i + 1, 10, 0))
+            for i in range(5)]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q398_granger_lag1"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_pairs, r.granger_f_micro) == (4, None)
+
+
+def test_q399_seasonal_mk_hand_value(spark, tmp_path, qs):
+    """Mondays 4/11/18 Mar at 1000/3000/5000 (S_Mon = 3 rising pairs,
+    var 3*2*11 = 66), Tuesdays 5/12 Mar both 2000 (S_Tue = 0; the tie
+    term 2*1*9 cancels the 2*1*9 variance -> 0). S = 3, Var = 66/18;
+    z = (3-1)/sqrt(66/18)."""
+    import math
+
+    d = datetime.datetime
+    rows = [
+        _ev(1, 1, 1.0, ts=d(2024, 3, 4, 10, 0)),
+        _ev(2, 2, 3.0, ts=d(2024, 3, 11, 10, 0)),
+        _ev(3, 3, 5.0, ts=d(2024, 3, 18, 10, 0)),
+        _ev(4, 4, 2.0, ts=d(2024, 3, 5, 10, 0)),
+        _ev(5, 5, 2.0, ts=d(2024, 3, 12, 10, 0)),
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q399_seasonal_mann_kendall"](spark, str(tmp_path)).collect()[0]
+    assert (r.s_total, r.n_strata) == (3, 2)
+    assert r.z_micro == round(2 / math.sqrt(66 / 18) * 1e6)
+
+
+def test_q399_no_pairs_null(spark, tmp_path, qs):
+    """One day per weekday stratum -> no within-stratum pairs,
+    variance 0 -> NULL z."""
+    d = datetime.datetime
+    rows = [_ev(i + 1, i, float(i + 1), ts=d(2024, 3, 4 + i, 10, 0))
+            for i in range(3)]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q399_seasonal_mann_kendall"](spark, str(tmp_path)).collect()[0]
+    assert (r.s_total, r.z_micro) == (0, None)
+
+
+def test_q400_dup_rate_hand_value(spark, tmp_path, qs):
+    """Docs: two copies of an 11-char text (bucket ceil(log2 11) = 4),
+    one 3-char unique (bucket 2), one 100-char unique (bucket 7).
+    Bucket 4: 2 docs, both dup, ppm 1e6, droppable = 2 - 1 group = 1;
+    buckets 2 and 7: clean."""
+    rows = [
+        (1, "hello world", "en", "s", 11),
+        (2, "hello world", "en", "s", 11),
+        (3, "xyz", "en", "s", 3),
+        (4, "a" * 100, "en", "s", 100),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    out = {r.len_bucket_log2: r for r in
+           qs["q400_dup_rate_by_length"](spark, str(tmp_path)).collect()}
+    assert sorted(out) == [2, 4, 7]
+    r = out[4]
+    assert (r.n_docs, r.n_dup_docs, r.dup_ppm, r.n_droppable) == (
+        2, 2, 1_000_000, 1)
+    for b in (2, 7):
+        r = out[b]
+        assert (r.n_docs, r.n_dup_docs, r.dup_ppm, r.n_droppable) == (
+            1, 0, 0, 0)
+
+
+def test_q401_quade_hand_value(spark, tmp_path, qs):
+    """Two days, three types. Day 1: a=1, b=2, c=3 (ranks 1/2/3, range
+    2000); day 2: a=5, b=5, c=1 (ranks 2.5/2.5/1 -> r2 5/5/2, range
+    4000). Block weights q2 = 2/4. S4 = q2*(r2-4): day1 -4/0/4, day2
+    4/4/-8. S4_j = 0/4/-4 -> B-sum 32; A-sum 128.
+    F = (b-1)*32/(b*128 - 32) = 32/224 = 1/7 -> 142857."""
+    d = datetime.datetime
+    rows = [
+        _ev(1, 1, 1.0, ts=d(2024, 3, 1, 9, 0), etype="a"),
+        _ev(2, 2, 2.0, ts=d(2024, 3, 1, 10, 0), etype="b"),
+        _ev(3, 3, 3.0, ts=d(2024, 3, 1, 11, 0), etype="c"),
+        _ev(4, 4, 5.0, ts=d(2024, 3, 2, 9, 0), etype="a"),
+        _ev(5, 5, 5.0, ts=d(2024, 3, 2, 10, 0), etype="b"),
+        _ev(6, 6, 1.0, ts=d(2024, 3, 2, 11, 0), etype="c"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q401_quade_test"](spark, str(tmp_path)).collect()[0]
+    assert (r.b_days, r.k_types) == (2, 3)
+    assert r.quade_f_micro == 142_857
+
+
+def test_q401_degenerate_identical_blocks(spark, tmp_path, qs):
+    """Every block ranks the types identically and ranges tie -> all
+    the discrimination is between treatments: b*A = ... A = B exactly
+    -> NULL F (division by zero guarded)."""
+    d = datetime.datetime
+    rows = []
+    for day in (1, 2):
+        rows.append(_ev(day * 10 + 1, 1, 1.0,
+                        ts=d(2024, 3, day, 9, 0), etype="a"))
+        rows.append(_ev(day * 10 + 2, 2, 2.0,
+                        ts=d(2024, 3, day, 10, 0), etype="b"))
+    _write_events(spark, tmp_path, rows)
+    r = qs["q401_quade_test"](spark, str(tmp_path)).collect()[0]
+    assert (r.b_days, r.k_types, r.quade_f_micro) == (2, 2, None)
+
+
+def test_q402_siegel_hand_value(spark, tmp_path, qs):
+    """Daily means 1000/3000/2000 on days 1/2/3. Per-day slope
+    medians: d1 pairs {2000, 500} -> 1250; d2 {2000, -1000} -> 500;
+    d3 {500, -1000} -> -250. Median of {-250, 500, 1250} = 500
+    milli/day -> 500e6 micro."""
+    d = datetime.datetime
+    rows = [_ev(i + 1, i, v, ts=d(2024, 3, i + 1, 10, 0))
+            for i, v in enumerate([1.0, 3.0, 2.0])]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q402_siegel_slopes"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_days, r.slope_micro_per_day) == (3, 500_000_000)
+
+
+def test_q402_single_day_null(spark, tmp_path, qs):
+    d = datetime.datetime
+    _write_events(spark, tmp_path, [_ev(1, 1, 1.0, ts=d(2024, 3, 1))])
+    r = qs["q402_siegel_slopes"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_days, r.slope_micro_per_day) == (1, None)
