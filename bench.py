@@ -441,6 +441,11 @@ HEADLINE = [
     "q395_hodges_lehmann_shift",
     "q396_minhash_k_sweep",
     "q397_context_overflow_curve",
+    "q398_granger_lag1",
+    "q399_seasonal_mann_kendall",
+    "q400_dup_rate_by_length",
+    "q401_quade_test",
+    "q402_siegel_slopes",
 ]
 
 
