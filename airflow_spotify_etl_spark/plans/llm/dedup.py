@@ -2330,14 +2330,22 @@ def q328_minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB: the candidate relation and signatures are the
     audited q25 shapes (capped band buckets, one exchange); the audit
     adds two doc-keyed signature joins on the candidate-bounded
-    relation and a 1-row reduction."""
-    from ...operators.dedup import minhash_lsh_pairs, minhash_signatures
+    relation and a 1-row reduction. The signature relation is
+    localCheckpointed (r10, the q170 discipline) because it feeds the
+    banding AND both audit joins — without it the dominant 64-minhash
+    pass ran three times for byte-identical results."""
+    from ...operators.dedup import (
+        _band_candidates,
+        _jaccard_verify,
+        minhash_signatures,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, threshold=0.0).select(
-        "doc_a", "doc_b", "inter", "na", "nb"
-    )
-    sig = minhash_signatures(docs)
+    sig = minhash_signatures(docs).localCheckpoint(eager=True)
+    pairs = _jaccard_verify(
+        docs, _band_candidates(sig, 16, 4, 1000), "text", "doc_id",
+        3, 1000, 0.0,
+    ).select("doc_a", "doc_b", "inter", "na", "nb")
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sa"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sb"))
     scored = (
@@ -2988,15 +2996,24 @@ def q396_minhash_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB: the audited q25/q328 shapes (capped band
     buckets); the sweep adds a 4-way explode of the candidate-bounded
     scored relation into a ≤4-row aggregate — the signatures are
-    computed ONCE and sliced, never re-hashed per k."""
-    from ...operators.dedup import minhash_lsh_pairs, minhash_signatures
+    computed ONCE (localCheckpointed, the q170 discipline: the same
+    relation feeds banding AND both audit joins; without the
+    checkpoint Spark re-ran the dominant 64-minhash pass three times,
+    measured 4.37 -> 3.21 s warm / 21 -> 3.7 s cold at sf0.1, r10)
+    and sliced per k, never re-hashed."""
+    from ...operators.dedup import (
+        _band_candidates,
+        _jaccard_verify,
+        minhash_signatures,
+    )
 
     ks = [8, 16, 32, 64]
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, threshold=0.0).select(
-        "doc_a", "doc_b", "inter", "na", "nb"
-    )
-    sig = minhash_signatures(docs)
+    sig = minhash_signatures(docs).localCheckpoint(eager=True)
+    pairs = _jaccard_verify(
+        docs, _band_candidates(sig, 16, 4, 1000), "text", "doc_id",
+        3, 1000, 0.0,
+    ).select("doc_a", "doc_b", "inter", "na", "nb")
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sa"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sb"))
     eq = "zip_with(_sa, _sb, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END)"
