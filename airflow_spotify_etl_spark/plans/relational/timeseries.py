@@ -4534,3 +4534,259 @@ SELECT n_days,
          AS slope_micro_per_day
 FROM cnt CROSS JOIN final
 """
+
+
+_BP_R2 = (
+    "(pow(CAST(n AS DOUBLE) * CAST(sut AS DOUBLE)"
+    " - CAST(su AS DOUBLE) * CAST(st AS DOUBLE), 2.0e0)"
+    " / ((CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)"
+    " - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)"
+    " - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))))"
+)
+_BP_OK = (
+    "(n >= 3 AND CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)"
+    " > CAST(su AS DOUBLE) * CAST(su AS DOUBLE)"
+    " AND CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)"
+    " > CAST(st AS DOUBLE) * CAST(st AS DOUBLE))"
+)
+
+
+def q403_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan heteroscedasticity test of the daily trend fit —
+    does residual VARIANCE grow with time? The regression-diagnostics
+    member beside the residual-AUTOCORRELATION tests (Durbin-Watson
+    q323 on levels, ARCH-LM q394 on lagged squares): fit the OLS line
+    of daily mean value on the day index, regress the SQUARED
+    residuals back on the index, LM = n·R², chi-square(1) under
+    homoscedasticity (Breusch & Pagan 1979, Koenker studentized form).
+
+    Exactness: daily means are rounded milli integers; the trend fit
+    (a, b) is one shared double chain off exact integer (t, y)
+    moments; each day's squared residual u_t = (y_t − a − b·t)² is
+    the SAME double in both engines and is micro-quantized BEFORE the
+    cross-day sums (the quantize-pre-sum rule — double sums are
+    order-dependent, integer sums are not), so the second regression's
+    moments are exact integers; R²/LM is one final shared double
+    chain, micro-quantized. Degenerate variances → NULL.
+
+    Shape at 100 TB: one map-side daily collapse to ≤366 rows; the
+    day index is a window over that bounded relation; two 1-row
+    reductions with a broadcast (a, b) scalar attach."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            F.expr("CAST(ts AS DATE)").alias("d"),
+            F.expr("CAST(round(value * 1000) AS BIGINT)").alias("v"),
+        )
+        .groupBy("d")
+        .agg(
+            F.expr(
+                "CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT)"
+            ).alias("y")
+        )
+    )
+    w = W.orderBy("d")
+    ty = daily.select("y", F.row_number().over(w).cast("long").alias("t"))
+    fit = ty.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st0"),
+        F.sum("y").cast("long").alias("sy0"),
+        F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * t")).alias("stt0"),
+        F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * y")).alias("sty0"),
+    )
+    b = (
+        "((CAST(n AS DOUBLE) * CAST(sty0 AS DOUBLE)"
+        " - CAST(st0 AS DOUBLE) * CAST(sy0 AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(stt0 AS DOUBLE)"
+        " - CAST(st0 AS DOUBLE) * CAST(st0 AS DOUBLE)))"
+    )
+    a = (
+        f"((CAST(sy0 AS DOUBLE) - {b} * CAST(st0 AS DOUBLE))"
+        " / CAST(n AS DOUBLE))"
+    )
+    u = (
+        f"CAST(round(pow(CAST(y AS DOUBLE) - {a} - {b}"
+        " * CAST(t AS DOUBLE), 2.0e0) * 1e6) AS DECIMAL(38,0))"
+    )
+    resid = ty.crossJoin(F.broadcast(fit)).select(
+        "t",
+        F.expr(
+            "CASE WHEN n >= 2 AND CAST(n AS DOUBLE) * CAST(stt0 AS DOUBLE)"
+            " > CAST(st0 AS DOUBLE) * CAST(st0 AS DOUBLE)"
+            f" THEN {u} ELSE CAST(0 AS DECIMAL(38,0)) END"
+        ).alias("u"),
+    )
+    agg = resid.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("t").cast("decimal(38,0)")).alias("st"),
+        F.sum("u").alias("su"),
+        F.sum(F.expr("u * t")).alias("sut"),
+        F.sum(F.expr("u * u")).alias("suu"),
+        F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * t")).alias("stt"),
+    )
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.expr(
+            f"CASE WHEN {_BP_OK} THEN"
+            f" CAST(round({_BP_R2} * 1e6) AS BIGINT) END"
+        ).alias("r2_micro"),
+        F.expr(
+            f"CASE WHEN {_BP_OK} THEN"
+            f" CAST(round(n * {_BP_R2} * 1e6) AS BIGINT) END"
+        ).alias("bp_lm_micro"),
+    )
+
+
+def _q403_sql() -> str:
+    b = (
+        "((CAST(n AS DOUBLE) * CAST(sty0 AS DOUBLE)"
+        " - CAST(st0 AS DOUBLE) * CAST(sy0 AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(stt0 AS DOUBLE)"
+        " - CAST(st0 AS DOUBLE) * CAST(st0 AS DOUBLE)))"
+    )
+    a = (
+        f"((CAST(sy0 AS DOUBLE) - {b} * CAST(st0 AS DOUBLE))"
+        " / CAST(n AS DOUBLE))"
+    )
+    u = (
+        f"CAST(round(pow(CAST(y AS DOUBLE) - {a} - {b}"
+        " * CAST(t AS DOUBLE), 2.0e0) * 1e6) AS HUGEINT)"
+    )
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(round(CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS DOUBLE)
+                    / count(*)) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), ty AS (
+  SELECT y, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t FROM daily
+), fit AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(t) AS BIGINT) AS st0,
+         CAST(sum(y) AS BIGINT) AS sy0,
+         CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt0,
+         CAST(sum(CAST(t AS HUGEINT) * y) AS HUGEINT) AS sty0
+  FROM ty
+), resid AS (
+  SELECT t,
+         CASE WHEN n >= 2 AND CAST(n AS DOUBLE) * CAST(stt0 AS DOUBLE)
+                   > CAST(st0 AS DOUBLE) * CAST(st0 AS DOUBLE)
+              THEN {u} ELSE CAST(0 AS HUGEINT) END AS u
+  FROM ty CROSS JOIN fit
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(t AS HUGEINT)) AS HUGEINT) AS st,
+         CAST(sum(u) AS HUGEINT) AS su,
+         CAST(sum(u * t) AS HUGEINT) AS sut,
+         CAST(sum(u * u) AS HUGEINT) AS suu,
+         CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt
+  FROM resid
+)
+SELECT n AS n_days,
+       CASE WHEN {_BP_OK} THEN
+         CAST(round({_BP_R2} * 1e6) AS BIGINT) END AS r2_micro,
+       CASE WHEN {_BP_OK} THEN
+         CAST(round(n * {_BP_R2} * 1e6) AS BIGINT) END AS bp_lm_micro
+FROM agg
+"""
+
+
+def q404_pacf_lag2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily mean series at lags 1 and
+    2 via Durbin-Levinson — the model-ORDER picker that completes the
+    AR toolkit: ACF (q188) says how correlated lags are, Yule-Walker
+    (q345) fits a chosen AR(2), PACF says WHICH order to choose
+    (φ11 = r₁, φ22 = (r₂ − r₁²)/(1 − r₁²); an AR(1) process has
+    φ22 ≈ 0).
+
+    Exactness: the q393 n-scaled integer demeaning (E_t = n·m_t − Σm,
+    exact off rounded daily mean milli integers); lag products and the
+    lag-0 sum are exact DECIMAL/HUGEINT integers (r_k = Σ E_t·E_{t+k}
+    / Σ E_t², the standard biased estimator — n-scalings cancel); the
+    φ chain is one shared double expression, micro-quantized.
+    Zero variance or |r₁| = 1 → NULL.
+
+    Shape at 100 TB: the q393 daily-collapse shape — lag windows and
+    a 1-row reduction on ≤366 rows."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            F.expr("CAST(ts AS DATE)").alias("d"),
+            F.expr("CAST(round(value * 1000) AS BIGINT)").alias("v"),
+        )
+        .groupBy("d")
+        .agg(
+            F.expr(
+                "CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT)"
+            ).alias("m")
+        )
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("m").cast("long").alias("sm"),
+    )
+    w = W.orderBy("d")
+    e = daily.crossJoin(F.broadcast(tot)).select(
+        "d", "n", F.expr("n * m - sm").alias("e")
+    ).select(
+        "n", "e",
+        F.lag("e", 1).over(w).alias("e1"),
+        F.lag("e", 2).over(w).alias("e2"),
+    )
+    agg = e.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.sum(F.expr("CAST(e AS DECIMAL(38,0)) * e")).alias("c0"),
+        F.sum(F.expr("CAST(e AS DECIMAL(38,0)) * e1")).alias("c1"),
+        F.sum(F.expr("CAST(e AS DECIMAL(38,0)) * e2")).alias("c2"),
+    )
+    r1 = "(CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE))"
+    r2 = "(CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE))"
+    p22 = f"(({r2} - {r1} * {r1}) / (1.0e0 - {r1} * {r1}))"
+    ok = f"(c0 > 0 AND n_days >= 3 AND abs({r1}) < 1.0e0)"
+    return agg.select(
+        "n_days",
+        F.expr(
+            f"CASE WHEN {ok} THEN"
+            f" CAST(round({r1} * 1e6) AS BIGINT) END"
+        ).alias("pacf1_micro"),
+        F.expr(
+            f"CASE WHEN {ok} THEN"
+            f" CAST(round({p22} * 1e6) AS BIGINT) END"
+        ).alias("pacf2_micro"),
+    )
+
+
+def _q404_sql() -> str:
+    r1 = "(CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE))"
+    r2 = "(CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE))"
+    p22 = f"(({r2} - {r1} * {r1}) / (1.0e0 - {r1} * {r1}))"
+    ok = f"(c0 > 0 AND n_days >= 3 AND abs({r1}) < 1.0e0)"
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(round(CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS DOUBLE)
+                    / count(*)) AS BIGINT) AS m
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(m) AS BIGINT) AS sm
+  FROM daily
+), e AS (
+  SELECT n, ee,
+         lag(ee, 1) OVER (ORDER BY d) AS e1,
+         lag(ee, 2) OVER (ORDER BY d) AS e2
+  FROM (SELECT d, n, n * m - sm AS ee FROM daily CROSS JOIN tot)
+), agg AS (
+  SELECT CAST(max(n) AS BIGINT) AS n_days,
+         CAST(sum(CAST(ee AS HUGEINT) * ee) AS HUGEINT) AS c0,
+         CAST(sum(CAST(ee AS HUGEINT) * e1) AS HUGEINT) AS c1,
+         CAST(sum(CAST(ee AS HUGEINT) * e2) AS HUGEINT) AS c2
+  FROM e
+)
+SELECT n_days,
+       CASE WHEN {ok} THEN
+         CAST(round({r1} * 1e6) AS BIGINT) END AS pacf1_micro,
+       CASE WHEN {ok} THEN
+         CAST(round({p22} * 1e6) AS BIGINT) END AS pacf2_micro
+FROM agg
+"""

@@ -446,6 +446,8 @@ HEADLINE = [
     "q400_dup_rate_by_length",
     "q401_quade_test",
     "q402_siegel_slopes",
+    "q403_breusch_pagan",
+    "q404_pacf_lag2",
 ]
 
 

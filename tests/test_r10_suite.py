@@ -502,3 +502,61 @@ def test_q402_single_day_null(spark, tmp_path, qs):
     _write_events(spark, tmp_path, [_ev(1, 1, 1.0, ts=d(2024, 3, 1))])
     r = qs["q402_siegel_slopes"](spark, str(tmp_path)).collect()[0]
     assert (r.n_days, r.slope_micro_per_day) == (1, None)
+
+
+def test_q403_breusch_pagan_hand_value(spark, tmp_path, qs):
+    """Daily means 1000/1000/1000/5000 on t=1..4. OLS by hand:
+    b = (4*26000 - 10*8000)/(4*30 - 100) = 1200, a = -1000; fitted
+    200/1400/2600/3800 -> residuals 800/-400/-1600/1200 (sum 0 and
+    orthogonal to t, OLS checks). u = e^2 micro-quantized exactly;
+    the expected R2/LM are recomputed below from those four
+    hand-derived residuals only."""
+    d = datetime.datetime
+    rows = [_ev(i + 1, i, v, ts=d(2024, 3, i + 1, 10, 0))
+            for i, v in enumerate([1.0, 1.0, 1.0, 5.0])]
+    _write_events(spark, tmp_path, rows)
+    e = [800, -400, -1600, 1200]
+    u = [x * x * 10**6 for x in e]
+    t = [1, 2, 3, 4]
+    n, su, st = 4, sum(u), sum(t)
+    sut = sum(a * b for a, b in zip(u, t))
+    suu = sum(a * a for a in u)
+    stt = sum(a * a for a in t)
+    r2 = (n * sut - su * st) ** 2 / ((n * suu - su * su) * (n * stt - st * st))
+    r = qs["q403_breusch_pagan"](spark, str(tmp_path)).collect()[0]
+    assert r.n_days == 4
+    assert r.r2_micro == round(r2 * 1e6)
+    assert r.bp_lm_micro == round(4 * r2 * 1e6)
+
+
+def test_q403_perfect_line_null(spark, tmp_path, qs):
+    """Perfectly linear daily means -> all residuals 0 -> u has zero
+    variance -> NULL statistics."""
+    d = datetime.datetime
+    rows = [_ev(i + 1, i, float(i + 1), ts=d(2024, 3, i + 1, 10, 0))
+            for i in range(4)]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q403_breusch_pagan"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_days, r.r2_micro, r.bp_lm_micro) == (4, None, None)
+
+
+def test_q404_pacf_hand_value(spark, tmp_path, qs):
+    """Daily means 1000/2000/1000/2000: E = 4m - 6000 = [-2000, 2000,
+    -2000, 2000]; c0 = 1.6e7, c1 = -1.2e7, c2 = 8e6 -> r1 = -0.75,
+    r2 = 0.5; phi22 = (0.5 - 0.5625)/(1 - 0.5625) = -1/7."""
+    d = datetime.datetime
+    rows = [_ev(i + 1, i, v, ts=d(2024, 3, i + 1, 10, 0))
+            for i, v in enumerate([1.0, 2.0, 1.0, 2.0])]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q404_pacf_lag2"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_days, r.pacf1_micro) == (4, -750_000)
+    assert r.pacf2_micro == round(-1 / 7 * 1e6)
+
+
+def test_q404_constant_null(spark, tmp_path, qs):
+    d = datetime.datetime
+    rows = [_ev(i + 1, i, 2.0, ts=d(2024, 3, i + 1, 10, 0))
+            for i in range(4)]
+    _write_events(spark, tmp_path, rows)
+    r = qs["q404_pacf_lag2"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_days, r.pacf1_micro, r.pacf2_micro) == (4, None, None)
