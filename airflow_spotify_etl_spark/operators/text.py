@@ -229,7 +229,14 @@ def repetition_metrics(
     JVM-side array expressions, no Python. Docs with no tokens survive
     with n_tokens=0 and null ratios; single-token docs have no bigrams
     → null top_bigram_frac (unchanged semantics, value-identical to the
-    grouped form and the DuckDB oracle)."""
+    grouped form and the DuckDB oracle).
+
+    ORDER-PRESERVATION DEPENDENCY: callers (q45) sort the slim input
+    BELOW this projection and rely on the projection staying narrow
+    (no shuffle/join/agg between rows) so the output keeps the input
+    order. If a future change adds a wide step here, the presentation
+    order breaks silently — tests/test_order_preservation.py gates
+    this."""
 
     def _max_run(arr):
         # max run length of a sorted array: fold (prev, run, best)

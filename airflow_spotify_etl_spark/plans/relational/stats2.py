@@ -3038,10 +3038,11 @@ def q388_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     normality cross-check before parametric tests (q233/q241/q372).
 
     Exactness: raw power sums off milli-quantized values — s1, s2 as
-    exact DECIMAL(38,0)/HUGEINT; v³ stays inside BIGINT per row for
-    |v_m| ≤ 2.09e6 (values ≤ ~2000, the fixture range documented at
-    introduction); v⁴ is computed as DECIMAL(38,0)·BIGINT so no per-row
-    overflow. Central moments and the JB chain are ONE identical double
+    exact DECIMAL(38,0)/HUGEINT; v³ and v⁴ are both computed with a
+    DECIMAL(38,0)/HUGEINT leading factor (CAST(v) · v · v), so no
+    per-row BIGINT overflow cliff exists — beyond the fixture range
+    (values ≤ ~2000) both engines keep exact wide-integer arithmetic
+    instead of Spark silently wrapping while DuckDB raises. Central moments and the JB chain are ONE identical double
     expression in both engines (shared format strings), micro-quantized.
     n < 2 or zero variance → NULL statistics.
 
@@ -3054,7 +3055,7 @@ def q388_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "v",
         F.expr("v * v").alias("v2"),
-        F.expr("v * v * v").alias("v3"),
+        F.expr("CAST(v AS DECIMAL(38,0)) * v * v").alias("v3"),
         F.expr("CAST(v AS DECIMAL(38,0)) * v * v * v").alias("v4"),
     ).agg(
         F.count("*").cast("long").alias("n"),
@@ -3088,7 +3089,7 @@ WITH v AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
          CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS s1,
          CAST(sum(CAST(v * v AS HUGEINT)) AS HUGEINT) AS s2,
-         CAST(sum(CAST(v * v * v AS HUGEINT)) AS HUGEINT) AS s3,
+         CAST(sum(CAST(v AS HUGEINT) * v * v) AS HUGEINT) AS s3,
          CAST(sum(CAST(v * v AS HUGEINT) * (v * v)) AS HUGEINT) AS s4
   FROM v
 )

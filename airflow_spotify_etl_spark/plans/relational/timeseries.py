@@ -4564,8 +4564,11 @@ def q403_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: daily means are rounded milli integers; the trend fit
     (a, b) is one shared double chain off exact integer (t, y)
     moments; each day's squared residual u_t = (y_t − a − b·t)² is
-    the SAME double in both engines and is micro-quantized BEFORE the
-    cross-day sums (the quantize-pre-sum rule — double sums are
+    the SAME double in both engines and is milli-quantized BEFORE the
+    cross-day sums (milli, not micro: u·u sums must keep overflow
+    headroom inside DECIMAL(38,0) / DuckDB HUGEINT at the documented
+    residual bound, and R² is invariant to the uniform u scaling;
+    the quantize-pre-sum rule — double sums are
     order-dependent, integer sums are not), so the second regression's
     moments are exact integers; R²/LM is one final shared double
     chain, micro-quantized. Degenerate variances → NULL.
@@ -4607,7 +4610,7 @@ def q403_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = (
         f"CAST(round(pow(CAST(y AS DOUBLE) - {a} - {b}"
-        " * CAST(t AS DOUBLE), 2.0e0) * 1e6) AS DECIMAL(38,0))"
+        " * CAST(t AS DOUBLE), 2.0e0) * 1e3) AS DECIMAL(38,0))"
     )
     resid = ty.crossJoin(F.broadcast(fit)).select(
         "t",
@@ -4651,7 +4654,7 @@ def _q403_sql() -> str:
     )
     u = (
         f"CAST(round(pow(CAST(y AS DOUBLE) - {a} - {b}"
-        " * CAST(t AS DOUBLE), 2.0e0) * 1e6) AS HUGEINT)"
+        " * CAST(t AS DOUBLE), 2.0e0) * 1e3) AS HUGEINT)"
     )
     return f"""
 WITH daily AS (

@@ -1,8 +1,12 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line:
-  {"metric": "...", "value": <total_sec>, "unit": "sec",
+  {"run_id": "...", "metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {"q01_...": sec, ...}, "sf": 0.1, "runs": 3, "stat": "median"}
+
+Every stdout JSON line (the full per-query line and the compact summary)
+and BENCH_FULL.json carry the SAME "run_id"; a captured tail whose two
+lines disagree on run_id mixes runs and must not be compared line-to-line.
 
 Each query is fully MATERIALIZED via a noop-format write: every projection
 expression, sort, and window actually executes (a count() action would let
@@ -461,6 +465,13 @@ def main() -> None:
     from airflow_spotify_etl_spark.plans import all_queries
     from airflow_spotify_etl_spark.session import get_spark
 
+    # Unique run id stamped on EVERY stdout JSON line and on
+    # BENCH_FULL.json (r10 verdict: a capture that tails a multi-run
+    # session can pair the full per-query line of one run with the
+    # summary line of another; the shared run_id makes any such mix
+    # detectable and the artifact self-describing).
+    run_id = f"{int(time.time())}-{os.getpid()}"
+
     spark = get_spark("bench")
     qs = all_queries()
 
@@ -556,6 +567,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     full = {
+        "run_id": run_id,
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
@@ -585,6 +597,7 @@ def main() -> None:
     print(
         json.dumps(
             {
+                "run_id": run_id,
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",

@@ -508,7 +508,7 @@ def test_q403_breusch_pagan_hand_value(spark, tmp_path, qs):
     """Daily means 1000/1000/1000/5000 on t=1..4. OLS by hand:
     b = (4*26000 - 10*8000)/(4*30 - 100) = 1200, a = -1000; fitted
     200/1400/2600/3800 -> residuals 800/-400/-1600/1200 (sum 0 and
-    orthogonal to t, OLS checks). u = e^2 micro-quantized exactly;
+    orthogonal to t, OLS checks). u = e^2 milli-quantized exactly;
     the expected R2/LM are recomputed below from those four
     hand-derived residuals only."""
     d = datetime.datetime
@@ -516,7 +516,7 @@ def test_q403_breusch_pagan_hand_value(spark, tmp_path, qs):
             for i, v in enumerate([1.0, 1.0, 1.0, 5.0])]
     _write_events(spark, tmp_path, rows)
     e = [800, -400, -1600, 1200]
-    u = [x * x * 10**6 for x in e]
+    u = [x * x * 10**3 for x in e]
     t = [1, 2, 3, 4]
     n, su, st = 4, sum(u), sum(t)
     sut = sum(a * b for a, b in zip(u, t))
