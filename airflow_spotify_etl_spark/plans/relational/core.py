@@ -2114,3 +2114,100 @@ WHERE p_size <= 10 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
 ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, p_type, min_price
 LIMIT 100
 """
+
+
+def q405_variant_nested_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured processing (Spark 4 `parse_json`): build a
+    nested JSON payload per event (object + array + string fields, keyed
+    off the real ``props.$.k``), deterministically TRUNCATE every 97th
+    payload to exercise malformed-input tolerance, then parse ONCE with
+    ``try_parse_json`` into a VariantType column and take THREE typed
+    extractions (``$.a.b`` bigint, ``$.c[1]`` array index, ``$.d``
+    string) with ``try_variant_get``. This is the plan shape q73 points
+    at for repeated multi-path access: one parse into Variant's binary
+    encoding, N typed reads — vs N full string re-parses with
+    get_json_object. At 100 TB the parse is a narrow codegen projection
+    and Variant is the shredding-friendly storage form. Parity trap
+    (measured): Spark's try_parse_json TOLERATES trailing garbage
+    ('{..}x' parses) while DuckDB json_valid rejects it — so the
+    corruption here is truncation, which both engines agree is invalid.
+    Reference: spotify_etl.py's raw Spotify API JSON handling is this
+    operation's 1-level special case."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.coalesce(F.get_json_object("props", "$.k").cast("long"), F.lit(0))
+    nested = F.concat(
+        F.lit('{"a":{"b":'), k.cast("string"),
+        F.lit('},"c":['), (k * 2).cast("string"), F.lit(","),
+        (k + 1).cast("string"),
+        F.lit('],"d":"'), F.col("event_type"), F.lit('"}'),
+    )
+    payloads = (
+        ev.select("event_id", "event_type", nested.alias("nested"))
+        .select(
+            "event_type",
+            F.when(
+                F.col("event_id") % 97 == 0,
+                F.expr("substring(nested, 1, length(nested) - 4)"),
+            ).otherwise(F.col("nested")).alias("p"),
+        )
+    )
+    ext = payloads.select(
+        "event_type", F.try_parse_json("p").alias("v")
+    ).select(
+        "event_type",
+        F.col("v").isNull().alias("failed"),
+        F.try_variant_get("v", "$.a.b", "bigint").alias("ab"),
+        F.try_variant_get("v", "$.c[1]", "bigint").alias("c1"),
+        F.try_variant_get("v", "$.d", "string").alias("d"),
+    )
+    return (
+        ext.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("failed").cast("long")).alias("n_failed"),
+            F.coalesce(F.sum("ab"), F.lit(0)).alias("sum_ab"),
+            F.coalesce(F.sum("c1"), F.lit(0)).alias("sum_c1"),
+            F.coalesce(
+                F.sum((F.col("d") == F.col("event_type")).cast("long")),
+                F.lit(0),
+            ).alias("n_d_match"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q405_SQL = """
+WITH base AS (
+  SELECT event_id, event_type,
+         '{"a":{"b":' || CAST(k AS VARCHAR) || '},"c":['
+           || CAST(k * 2 AS VARCHAR) || ',' || CAST(k + 1 AS VARCHAR)
+           || '],"d":"' || event_type || '"}' AS nested
+  FROM (
+    SELECT event_id, event_type,
+           coalesce(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k
+    FROM events
+  )
+), payloads AS (
+  SELECT event_type,
+         CASE WHEN event_id % 97 = 0
+              THEN substring(nested, 1, length(nested) - 4)
+              ELSE nested END AS p
+  FROM base
+), ext AS (
+  SELECT event_type,
+         NOT json_valid(p) AS failed,
+         CASE WHEN json_valid(p) THEN CAST(json_extract(p, '$.a.b') AS BIGINT) END AS ab,
+         CASE WHEN json_valid(p) THEN CAST(json_extract(p, '$.c[1]') AS BIGINT) END AS c1,
+         CASE WHEN json_valid(p) THEN json_extract_string(p, '$.d') END AS d
+  FROM payloads
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN failed THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+       CAST(coalesce(sum(ab), 0) AS BIGINT) AS sum_ab,
+       CAST(coalesce(sum(c1), 0) AS BIGINT) AS sum_c1,
+       CAST(coalesce(sum(CASE WHEN d = event_type THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_d_match
+FROM ext
+GROUP BY event_type
+ORDER BY event_type
+"""

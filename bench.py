@@ -452,6 +452,7 @@ HEADLINE = [
     "q402_siegel_slopes",
     "q403_breusch_pagan",
     "q404_pacf_lag2",
+    "q405_variant_nested_extract",
 ]
 
 

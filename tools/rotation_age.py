@@ -73,6 +73,8 @@ def compute_ages() -> dict[str, int]:
     mark([n for n in full if 372 <= _qnum(n) <= 387], 9)
     # r10 new-at-introduction block, same rule.
     mark([n for n in full if 388 <= _qnum(n) <= 404], 10)
+    # r11 new-at-introduction block, same rule.
+    mark([n for n in full if _qnum(n) == 405], 11)
     for rnd, names in JUDGE_RERUNS.items():
         mark(names, rnd)
     return {n: last.get(n, 0) for n in full}
