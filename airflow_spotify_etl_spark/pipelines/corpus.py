@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import connected_components, exact_dedup, minhash_lsh_pairs
 from ..operators.text import fit_lang_profiles, predict_lang
-from ..sinks.writers import summary_record
+from ..sinks.writers import summary_record, summary_record_observed
 
 __all__ = ["quality_filter", "run_corpus_pipeline"]
 
@@ -188,19 +188,28 @@ def run_corpus_pipeline(
     # 7. fingerprint + partitioned write (by predicted language).
     canon = F.lower(F.regexp_replace(F.col("text"), "\\s+", " "))
     final = final.withColumn("fingerprint", F.md5(canon))
-    final.write.mode("overwrite").partitionBy("pred_lang").parquet(out_path)
 
-    # Explicit schema on the read-back: a gate combination that empties
-    # the corpus writes zero part files, and schema INFERENCE on an empty
-    # directory throws — the summary of an empty corpus should be zeros,
-    # not a crash (the quietest-day rule, tests/test_empty_inputs.py).
-    out = spark.read.schema(final.schema).parquet(out_path)
-    stats = summary_record(
-        out,
-        n_docs=F.count("*"),
-        n_langs=F.countDistinct("pred_lang"),
-        total_chars=F.sum(F.length("text")),
+    # Summary stats ride the WRITE as observed metrics (zero extra pass):
+    # the old read-back re-scanned the full text column just to count
+    # chars — at 100 TB that second read costs as much as the write.
+    # The coalesced sum keeps the empty-corpus summary at literal zeros
+    # (the quietest-day rule, tests/test_empty_inputs.py). Exact-distinct
+    # metrics can't be observed (Spark INVALID_OBSERVED_METRICS), but
+    # n_langs is over the PARTITION column, so its read-back scans only
+    # directory metadata, not data pages; the explicit schema keeps an
+    # all-gates-empty corpus (zero part files) from crashing inference.
+    _, stats = summary_record_observed(
+        final,
+        lambda obs_df: obs_df.write.mode("overwrite")
+        .partitionBy("pred_lang")
+        .parquet(out_path),
+        n_docs=F.count(F.lit(1)),
+        total_chars=F.coalesce(F.sum(F.length("text")), F.lit(0)),
     )
+    out = spark.read.schema(final.schema).parquet(out_path)
+    stats["n_langs"] = summary_record(
+        out.select("pred_lang"), n_langs=F.countDistinct("pred_lang")
+    )["n_langs"]
     return {
         "docs_in": n_in,
         "docs_after_exact_dedup": n_exact,

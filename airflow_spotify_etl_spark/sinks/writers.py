@@ -26,6 +26,11 @@
   (new.py:143-175, flag :224).
 - ``summary_record``  — K4: the XCom summary dict (spotify_etl.py:275-281)
   as a collect of one multi-aggregate row.
+- ``summary_record_observed`` — K4 zero-extra-pass form: the summary
+  aggregates ride the write itself as observed metrics (Observation /
+  CollectMetrics) instead of re-scanning afterwards; exact-distinct
+  stats are the documented exception (Spark forbids DISTINCT in
+  observed metrics) and stay on a pruned second pass.
 """
 
 from __future__ import annotations
@@ -47,6 +52,7 @@ __all__ = [
     "console_display",
     "display_tracks",
     "summary_record",
+    "summary_record_observed",
 ]
 
 
@@ -405,3 +411,36 @@ def summary_record(df: DataFrame, **aggs: F.Column) -> dict:
     stat-at-a-time passes (spotify_etl2.py:271-278) with a single scan."""
     row = df.agg(*[c.alias(name) for name, c in aggs.items()]).collect()[0]
     return row.asDict()
+
+
+def summary_record_observed(df: DataFrame, run_action, **aggs: F.Column):
+    """ZERO-extra-pass variant of ``summary_record`` (K4): attach the
+    summary aggregates to the plan as an ``Observation`` so Spark
+    collects them as a SIDE EFFECT of the same action that materializes
+    ``df`` (``run_action``, typically a write), instead of re-scanning
+    the input afterwards. At 100 TB this removes a full second read
+    from every "write + QC metrics" sink — the write pass was touching
+    every row anyway.
+
+    Returns ``(run_action_result, metrics_dict)``. ``run_action`` must
+    trigger exactly one full-consumption action on the DataFrame it is
+    given (a parquet/CSV write qualifies; a ``limit`` or partial scan
+    does not — unconsumed partitions would leave the metrics short).
+
+    Limitation (enforced by Spark's analyzer, INVALID_OBSERVED_METRICS):
+    observed metrics cannot contain DISTINCT aggregates — CollectMetrics
+    merges per-partition partials, and exact distinct needs a shuffle.
+    Keep exact-distinct stats on a separate column-pruned pass (or, for
+    a partition column, a metadata-only read-back as pipelines/corpus.py
+    does); everything else (count/sum/avg/min/max and expressions over
+    them, e.g. coalesced sums for the empty-input case) observes fine.
+
+    Reference parity note: spotify_etl2.py:271-278 computes its summary
+    stats in separate full passes after writing; ``summary_record``
+    fuses them into one pass, and this fuses that pass into the write."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(name) for name, c in aggs.items()])
+    result = run_action(observed)
+    return result, obs.get

@@ -5,6 +5,7 @@ bounded key read-back, and the reference-parity console display."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from airflow_spotify_etl_spark.sinks.writers import (
     _jdbc_key_scan,
@@ -384,3 +385,67 @@ def test_append_sqlite_null_and_float_cells(spark, tmp_path):
     with sqlite3.connect(db) as con:
         got = sorted(con.execute("SELECT k, s, x FROM t").fetchall())
     assert got == [(1, None, 0.5), (2, "b", None)]
+
+
+def test_summary_record_observed_matches_two_pass(spark, tmp_path):
+    """K4 single-pass variant: the observed metrics collected as a side
+    effect of the write must equal summary_record's second-scan values,
+    and the write must land the same rows."""
+    from airflow_spotify_etl_spark.sinks.writers import (
+        summary_record,
+        summary_record_observed,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("grp"),
+        (F.col("id") * 2.5).alias("v"),
+    )
+    out = str(tmp_path / "observed")
+    _, got = summary_record_observed(
+        df,
+        lambda d: d.write.mode("overwrite").parquet(out),
+        n=F.count(F.lit(1)),
+        total=F.sum("v"),
+        mn=F.min("id"),
+        mx=F.max("id"),
+    )
+    want = summary_record(
+        df, n=F.count(F.lit(1)), total=F.sum("v"), mn=F.min("id"), mx=F.max("id")
+    )
+    assert got == want == {"n": 100, "total": 12375.0, "mn": 0, "mx": 99}
+    assert spark.read.parquet(out).count() == 100
+
+
+def test_summary_record_observed_empty_input_zeros(spark, tmp_path):
+    """Quietest-day rule: an empty write still yields metrics, and a
+    coalesced sum pins them to literal zeros (a bare sum would be NULL)."""
+    from airflow_spotify_etl_spark.sinks.writers import summary_record_observed
+
+    df = spark.range(10).filter("id < 0")
+    out = str(tmp_path / "observed_empty")
+    _, got = summary_record_observed(
+        df,
+        lambda d: d.write.mode("overwrite").parquet(out),
+        n=F.count(F.lit(1)),
+        total=F.coalesce(F.sum("id"), F.lit(0)),
+    )
+    assert got == {"n": 0, "total": 0}
+
+
+def test_summary_record_observed_rejects_distinct(spark, tmp_path):
+    """The documented limitation: Spark's CollectMetrics forbids DISTINCT
+    aggregates (INVALID_OBSERVED_METRICS) — the analyzer must raise, not
+    silently approximate. Exact distincts stay on a separate pruned pass
+    (pipelines/corpus.py keeps n_langs on a partition-column read-back)."""
+    from pyspark.errors import AnalysisException
+
+    from airflow_spotify_etl_spark.sinks.writers import summary_record_observed
+
+    df = spark.range(10)
+    with pytest.raises(AnalysisException):
+        summary_record_observed(
+            df,
+            lambda d: d.write.mode("overwrite").parquet(str(tmp_path / "x")),
+            uniq=F.countDistinct("id"),
+        )
