@@ -95,4 +95,8 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    try:
+        raise SystemExit(main())
+    except BrokenPipeError:
+        # stdout piped into head/less that closed early — not an error
+        raise SystemExit(0)
