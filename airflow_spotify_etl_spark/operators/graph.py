@@ -553,17 +553,30 @@ def label_propagation_trajectory(
     plain LP exists for bounded-round parity with an unrolled SQL
     twin, same trade as kcore_peel.)
 
-    Scale shape per round: two edge-keyed label joins + one
-    vertex-keyed min — all keyed shuffles; localCheckpoint truncates
-    lineage so the plan is constant in rounds. The edge list itself is
-    checkpointed ONCE up front: each round references it twice, so an
-    unmaterialized (possibly expensive) edge derivation would
-    re-execute 2x per round."""
+    Scale shape per round (r11 rewrite, guide §2.4 "remove shuffles
+    outright"): ONE edge-keyed label join + one vertex-keyed min. The
+    undirected edge list is materialized as its DIRECTED double
+    (src, dst) ∪ (dst, src), hash-partitioned by ``dst`` ONCE and
+    localCheckpointed — ``Dataset.localCheckpoint`` preserves the
+    physical partitioning, so the per-round join re-shuffles only the
+    node-sized label relation, never the edge list (before the rewrite
+    each round shuffled the edges TWICE — by ``a`` and by ``b`` — for
+    a byte-identical neighbor multiset: (a,lbl(b)) ∪ (b,lbl(a)) is
+    exactly the dst-join over the directed double). The up-front
+    checkpoint of the raw edges also keeps an expensive edge
+    derivation from executing twice inside the directed union."""
     edges = edges.select("a", "b").localCheckpoint(eager=True)
     verts = (
         edges.select(F.col("a").alias("v"))
         .unionAll(edges.select(F.col("b").alias("v")))
         .distinct()
+    )
+    p = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    directed = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .repartition(p, "dst")
+        .localCheckpoint(eager=True)
     )
     labels = verts.select("v", F.col("v").alias("lbl")).localCheckpoint(
         eager=True
@@ -579,22 +592,9 @@ def label_propagation_trajectory(
 
     out = _summary(labels, 0)
     for r in range(1, int(rounds) + 1):
-        nbr = (
-            edges.join(
-                labels.withColumnRenamed("v", "b").withColumnRenamed(
-                    "lbl", "nl"
-                ),
-                "b",
-            ).select(F.col("a").alias("v"), F.col("nl").alias("lbl"))
-            .unionAll(
-                edges.join(
-                    labels.withColumnRenamed("v", "a").withColumnRenamed(
-                        "lbl", "nl"
-                    ),
-                    "a",
-                ).select(F.col("b").alias("v"), F.col("nl").alias("lbl"))
-            )
-        )
+        nbr = directed.join(
+            labels.withColumnRenamed("v", "dst"), "dst"
+        ).select(F.col("src").alias("v"), "lbl")
         labels = (
             labels.unionAll(nbr)
             .groupBy("v")

@@ -215,21 +215,25 @@ def exact_heavy_hitters(
     colname = col
 
     def mg(batches):
+        # Vectorized batched Misra-Gries (r11, guide §4.2: hand whole
+        # batches to pandas instead of looping rows in Python): merge each
+        # batch's EXACT value_counts into the running summary, then apply
+        # the mergeable-summaries truncation (Agarwal et al. 2012) —
+        # subtract the (m+1)-th largest counter from every entry and drop
+        # the non-positive. Each truncation charges its decrement d to
+        # > m surviving-or-dropped counters, so the per-item undercount
+        # stays ≤ n/(m+1) < n/m and the MG guarantee (any item with count
+        # > n/m keeps a positive counter) is intact. The candidate SET may
+        # differ from the row-at-a-time form, but the exact recount below
+        # makes the query result provably identical — the
+        # partition-invariance pytest asserts exactly that.
         counters: dict = {}
         for pdf in batches:
-            for v in pdf[colname]:
-                if v is None:
-                    continue
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < int(m):
-                    counters[v] = 1
-                else:
-                    dead = [k for k in counters if counters[k] == 1]
-                    for k in counters:
-                        counters[k] -= 1
-                    for k in dead:
-                        del counters[k]
+            for v, c in pdf[colname].value_counts(dropna=True).items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > int(m):
+                d = sorted(counters.values(), reverse=True)[int(m)]
+                counters = {k: c - d for k, c in counters.items() if c > d}
         yield pd.DataFrame({colname: list(counters.keys())})
 
     field = df.schema[colname]

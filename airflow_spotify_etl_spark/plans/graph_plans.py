@@ -27,7 +27,7 @@ def q57_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     by dst once, node-sized rank relation broadcast per iteration)."""
     from ..operators.graph import pagerank
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", parallelize=True)
     item = F.get_json_object("props", "$.k").cast("bigint")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     edges = (
@@ -103,7 +103,7 @@ def q151_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     relationally derived, so SQL replays it)."""
     from ..operators.graph import personalized_pagerank
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", parallelize=True)
     item = F.get_json_object("props", "$.k").cast("bigint")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     edges = (
@@ -192,7 +192,7 @@ def q111_copurchase_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup."""
     from ..operators.graph import adamic_adar_pairs
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = load_table(spark, sf_dir, "lineitem", parallelize=True).select("l_orderkey", "l_partkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     inter = li.join(
         orders, li.l_orderkey == orders.o_orderkey
@@ -338,7 +338,7 @@ def q169_sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFra
     broadcast loops) is the engine's unbounded-depth path."""
     from ..sources.files import register_views
 
-    register_views(spark, sf_dir, ["events"])
+    register_views(spark, sf_dir, ["events"], parallelize=True)
     return spark.sql(
         _Q169_BODY.format(
             item_expr="CAST(get_json_object(props, '$.k') AS BIGINT)"
@@ -364,7 +364,7 @@ def q191_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical integer quotients."""
     from ..operators.graph import association_rules
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = load_table(spark, sf_dir, "lineitem", parallelize=True).select("l_orderkey", "l_partkey")
     return association_rules(
         li, "l_orderkey", "l_partkey",
         max_basket=100, min_pair_count=3, top_k=50,
@@ -420,7 +420,7 @@ def q239_item_cosine_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     both-direction union, and the identical window."""
     from ..operators.graph import item_cosine_recommendations
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = load_table(spark, sf_dir, "lineitem", parallelize=True).select("l_orderkey", "l_partkey")
     return item_cosine_recommendations(
         li, "l_orderkey", "l_partkey",
         max_basket=100, min_pair_count=3, per_item=3,
@@ -673,7 +673,7 @@ def q246_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join the distributed plan exists to avoid."""
     from ..operators.graph import frequent_triples
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = load_table(spark, sf_dir, "lineitem", parallelize=True).select("l_orderkey", "l_partkey")
     return frequent_triples(
         li, "l_orderkey", "l_partkey",
         max_basket=30, min_support=2, top_k=50,
@@ -726,14 +726,19 @@ def q266_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter."""
     from ..operators.graph import pagerank
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    # split(lower(text)) HOISTED out of the transform lambda (r11, guide
+    # §1.2 per-task work): the interpreted HOF re-evaluated it per lambda
+    # call — O(words²) re-splitting per doc for byte-identical pairs.
     pairs = docs.select(
+        F.expr("split(lower(text), '\\\\s+')").alias("w")
+    ).select(
         F.explode(
             F.expr(
-                "CASE WHEN size(split(lower(text), '\\\\s+')) >= 2 THEN"
-                " transform(sequence(1, size(split(lower(text), '\\\\s+')) - 1),"
-                "  i -> struct(element_at(split(lower(text), '\\\\s+'), i) AS a,"
-                "              element_at(split(lower(text), '\\\\s+'), i + 1) AS b))"
+                "CASE WHEN size(w) >= 2 THEN"
+                " transform(sequence(1, size(w) - 1),"
+                "  i -> struct(element_at(w, i) AS a,"
+                "              element_at(w, i + 1) AS b))"
                 " ELSE CAST(array() AS array<struct<a:string,b:string>>) END"
             )
         ).alias("p")

@@ -99,7 +99,7 @@ def q27_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall-tested for trained centroids in tests/test_similarity.py."""
     from ...operators.similarity import ivf_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -150,7 +150,7 @@ def q56_ivf_search_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection, probes broadcast, one top-k window."""
     from ...operators.similarity import hash_seed_centroids, ivf_search
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -232,7 +232,7 @@ def q97_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-to-right summation chain on both sides for float parity."""
     from ...operators.similarity import pq_adc_topk, pq_codebooks
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -312,7 +312,7 @@ def q100_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_codebooks,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -610,7 +610,7 @@ def q115_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     over those integers on both engines."""
     from ...operators.dedup import sparse_cosine_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return sparse_cosine_pairs(
         docs, n=3, min_df=2, max_df=1000, threshold=0.3
     ).orderBy("doc_a", "doc_b")
@@ -716,7 +716,7 @@ def q146_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness row."""
     from ...operators.similarity import cosine_topk, hash_seed_centroids, ivf_search
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1083,7 +1083,7 @@ def q290_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB: one grouped corpus pass into |labels|·64 cells
     (map-side combined) — the q179/q270 shape; the pair space (n²)
     never exists."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     unit = emb.select(
         "label",
         F.expr(
@@ -1297,7 +1297,7 @@ def q315_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row — n sampled vectors, max/mean in-degree, the
     count of 'hubs' (N_5 ≥ 2·k), and the k-occurrence skewness."""
     emb = (
-        load_table(spark, sf_dir, "embeddings")
+        load_table(spark, sf_dir, "embeddings", parallelize=True)
         .withColumn(
             "_h",
             F.expr(
@@ -1517,7 +1517,7 @@ def q318_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_seed_centroids,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1723,7 +1723,7 @@ def q327_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-row grouped aggregate with map-side combine."""
     from ...operators.similarity import _as_double, _dot, pq_codebooks, pq_encode
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     corpus = emb.filter(F.col("vec_id") >= 5)
     books = pq_codebooks(corpus, n_sub=4, n_codes=16)
     d = len(books[0][0])
@@ -1911,7 +1911,7 @@ def q336_ann_cost_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_seed_centroids,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

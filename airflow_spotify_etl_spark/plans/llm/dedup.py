@@ -71,7 +71,7 @@ def q24_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket at 100 TB); the oracle applies the identical cap."""
     from ...operators.dedup import ngram_jaccard_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000).orderBy(
         "doc_a", "doc_b"
     )
@@ -122,7 +122,7 @@ def q25_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_dedup.py."""
     from ...operators.dedup import minhash_lsh_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return minhash_lsh_pairs(docs, threshold=0.5).orderBy("doc_a", "doc_b")
 
 
@@ -136,7 +136,7 @@ def q81_minhash_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     would."""
     from ...operators.dedup import minhash_lsh_pairs_delta
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     corpus = docs.filter(F.col("doc_id") < 400)
     delta = docs.filter(F.col("doc_id") >= 400)
     return minhash_lsh_pairs_delta(corpus, delta, threshold=0.5).orderBy(
@@ -230,7 +230,7 @@ def q26_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     values."""
     from ...operators.dedup import simhash_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return simhash_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
 
 
@@ -292,7 +292,7 @@ def q28_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     already hash-matches against Spark's array fold."""
     from ...operators.similarity import cosine_pairs_lsh
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     # The synthetic corpus's max off-diagonal cosine is ~0.51; threshold 0.45
     # exercises the candidate+verify path on real pairs.
     return cosine_pairs_lsh(emb, threshold=0.45).orderBy("vec_a", "vec_b")
@@ -314,7 +314,7 @@ def q42_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive closure over the identical edge list."""
     from ...operators.dedup import connected_components, ngram_jaccard_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000)
     comp = connected_components(pairs)
     return (
@@ -382,7 +382,7 @@ def q77_dedup_clusters_pointer(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact component labels."""
     from ...operators.dedup import connected_components, ngram_jaccard_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000)
     comp = connected_components(pairs, method="pointer")
     return (
@@ -487,7 +487,7 @@ def q55_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ...operators.dedup import connected_components
     from ...operators.similarity import cosine_pairs_lsh
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     pairs = cosine_pairs_lsh(emb, threshold=0.45)
     comp = connected_components(pairs, a_col="vec_a", b_col="vec_b")
     return (
@@ -534,7 +534,7 @@ def q90_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the established engine-portable float discipline."""
     from ...operators.dedup import ngram_jaccard_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000)
     src = docs.select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa"))
@@ -607,8 +607,8 @@ def q92_ensemble_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ...operators.dedup import ngram_jaccard_pairs
     from ...operators.similarity import cosine_pairs_lsh
 
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     lex = ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000).select(
         "doc_a", "doc_b", "jaccard"
     )
@@ -722,7 +722,7 @@ def q96_bloom_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     would."""
     from ...operators.dedup import bloom_novelty_filter
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     corpus = docs.filter(F.col("doc_id") < 400)
     delta = docs.filter(F.col("doc_id") >= 400)
     return (
@@ -815,7 +815,7 @@ def q105_winnowed_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive into the counts."""
     from ...operators.dedup import winnowed_dup_profile
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return winnowed_dup_profile(docs, window_words=8, winnow_k=4).orderBy("doc_id")
 
 
@@ -943,7 +943,7 @@ def q108_quality_aware_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ...operators.dedup import connected_components, ngram_jaccard_pairs
     from ...operators.text import hashed_linear_score
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000)
     comp = connected_components(pairs)
     scores = hashed_linear_score(docs, n_buckets=4096).select("doc_id", "score")
@@ -1006,7 +1006,7 @@ def q109_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered text rebuild; a green hash certifies the rebuilt STRINGS."""
     from ...operators.dedup import span_excise
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return span_excise(docs, window_words=8).orderBy("doc_id")
 
 
@@ -1067,7 +1067,7 @@ def q130_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracles composed). Exact integer counts; two rounded divisions."""
     from ...operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     # Each tier's pair relation feeds TWO audit branches (its own count
     # and the intersection); localCheckpoint materializes the narrow
     # (doc_a, doc_b) relations once instead of re-running the dedup
@@ -1220,7 +1220,7 @@ def q141_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     throughout."""
     from ...operators.dedup import connected_components, ngram_jaccard_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000)
     comp = connected_components(pairs)
     sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
@@ -1283,7 +1283,7 @@ def q147_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     All integers; ratios are single rounded divisions."""
     from ...operators.dedup import connected_components, ngram_jaccard_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     gate = q58_gopher_quality_flags(spark, sf_dir).select("doc_id", "keep")
     g = docs.join(gate, "doc_id").filter(F.col("keep"))
     w = W.partitionBy(F.md5("text")).orderBy("doc_id")
@@ -1444,7 +1444,7 @@ def q149_signature_tier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
         simhash_pairs,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     sh = _sized_shingles(docs, "text", "doc_id", 3, 1000).localCheckpoint(
         eager=True
     )
@@ -1580,7 +1580,7 @@ def q158_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     |gram|-sized source-count relation (a boilerplate hot gram joins its
     ONE count row). Output is |sources| rows; the share is the single
     rounded division of exact integers."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     words = F.filter(
         F.split(F.lower("text"), "\\s+"), lambda x: x != F.lit("")
     )
@@ -1678,7 +1678,7 @@ def q170_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     exact = (
         ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000)
         .select("doc_a", "doc_b")
@@ -1789,7 +1789,7 @@ def q183_source_copy_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus cost is the one dedup tier already paid for."""
     from ...operators.dedup import connected_components, ngram_jaccard_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000)
     src = docs.select("doc_id", "source")
     sp = (
@@ -1860,7 +1860,7 @@ def q207_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline with the same two inequalities."""
     from ...operators.dedup import containment_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return containment_pairs(
         docs, containment_pct=90, max_bucket=1000
     ).orderBy("doc_a", "doc_b")
@@ -1912,7 +1912,7 @@ def q213_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     |la-lb| <= 5 runs before the O(len^2) levenshtein call. The
     DISTINCT collapses the two-bucket overlap. Both engines compute
     the same DP distance, so parity is exact integers throughout."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     norm = docs.select(
         "doc_id",
         F.substring(
@@ -2340,7 +2340,7 @@ def q328_minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     sig = minhash_signatures(docs).localCheckpoint(eager=True)
     pairs = _jaccard_verify(
         docs, _band_candidates(sig, 16, 4, 1000), "text", "doc_id",
@@ -2483,7 +2483,7 @@ def q338_kmv_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape."""
     from ...operators.sketches import kmv_group_sketch, kmv_pair_overlap
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     toks = docs.select(
         "lang",
         F.explode(
@@ -2795,7 +2795,7 @@ def q368_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     ONE linear scan scored against all probes (no self-join, no
     shuffle on the corpus); the rollups are probe-bounded. The scale
     path swaps the scan for the stored IVF index (q27/q56) probes."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     probes = emb.filter(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("query_id"),
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("q"),
@@ -2910,7 +2910,7 @@ def q381_contamination_ngram_sweep(
     scoreboard sum-of-parts pattern (q339/q350)."""
     from ...operators.dedup import ngram_contamination
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     eval_docs = docs.filter(F.col("doc_id") < 5)
     corpus = docs.filter(F.col("doc_id") >= 5)
     n_corpus = corpus.agg(
@@ -3008,7 +3008,7 @@ def q396_minhash_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ks = [8, 16, 32, 64]
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     sig = minhash_signatures(docs).localCheckpoint(eager=True)
     pairs = _jaccard_verify(
         docs, _band_candidates(sig, 16, 4, 1000), "text", "doc_id",

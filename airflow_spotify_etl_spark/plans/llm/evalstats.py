@@ -84,7 +84,7 @@ def q143_classifier_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFra
     threshold — the table you pick the knee from."""
     from ...operators.text import hashed_linear_score
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     scores = hashed_linear_score(docs, n_buckets=4096).select(
         "doc_id", "score"
     )
@@ -736,7 +736,7 @@ def q263_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (identical unrolled CTEs) matches bit for bit. At int64-straining
     corpus sizes the P sums route through DECIMAL(38,0)/HUGEINT —
     Spark's sum already widens; only the final cells are collected."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     dims = emb.select(
         F.posexplode(
             F.expr(
@@ -2209,7 +2209,7 @@ def q293_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     join against the <=|domain|-row quantile table."""
     from ...operators.text import hashed_linear_score
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     scored = hashed_linear_score(docs, n_buckets=4096).select(
         "doc_id", F.expr("CAST(round(score * 10000) AS BIGINT)").alias("si")
     ).join(docs.select("doc_id", "source"), "doc_id")

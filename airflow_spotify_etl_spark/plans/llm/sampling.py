@@ -202,7 +202,7 @@ def q84_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ...operators.dedup import connected_components, ngram_jaccard_pairs
     from ...operators.splits import domain_split, split_leakage_audit
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000)
     comp = connected_components(pairs)
     assign = domain_split(docs, val_pct=30).select("doc_id", "split")
@@ -414,7 +414,7 @@ def q102_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND the scoring pass, not just row counts."""
     from ...operators.sampling import dsir_log_weights
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return dsir_log_weights(docs, docs.filter(F.col("lang") == "en"))
 
 

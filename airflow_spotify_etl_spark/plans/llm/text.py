@@ -125,7 +125,7 @@ def q29_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     Accuracy-vs-labels asserted in tests/test_text.py."""
     from ...operators.text import fit_lang_profiles, predict_lang
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     profiles = fit_lang_profiles(docs)
     out = predict_lang(docs, profiles)
     return out.select(
@@ -869,17 +869,21 @@ def q139_exact_heavy_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer, which is the whole claim."""
     from ...operators.sketches import exact_heavy_hitters
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     # Guarded sequence: sequence(1, 0) in Spark is the DESCENDING [1, 0],
     # not empty, so a 1-word text would index element_at(w, 0) and throw —
     # emit an explicitly empty array for texts with < 2 words instead.
-    bigrams = docs.select(
+    # split(text) is HOISTED into its own projection (r11, guide §1.2
+    # per-task work): inlined it sat inside the transform lambda, where
+    # codegen re-evaluates it per lambda call — O(words²) re-splitting
+    # per document for byte-identical bigrams.
+    bigrams = docs.select(F.split("text", " ").alias("w")).select(
         F.explode(
             F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 2 THEN"
-                " transform(sequence(1, size(split(text, ' ')) - 1),"
-                " i -> concat_ws(' ', element_at(split(text, ' '), i),"
-                " element_at(split(text, ' '), i + 1)))"
+                "CASE WHEN size(w) >= 2 THEN"
+                " transform(sequence(1, size(w) - 1),"
+                " i -> concat_ws(' ', element_at(w, i),"
+                " element_at(w, i + 1)))"
                 " ELSE CAST(array() AS array<string>) END"
             )
         ).alias("bigram")
@@ -913,7 +917,7 @@ def q142_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational model in the engine against labels it trained beside."""
     from ...operators.text import fit_lang_profiles, predict_lang
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     profiles = fit_lang_profiles(docs)
     preds = predict_lang(docs, profiles).select("doc_id", "pred_lang")
     j = preds.join(
@@ -1866,7 +1870,7 @@ def q259_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle."""
     from ...operators.sketches import count_min_sketch
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     toks = docs.select(
         F.explode(F.split(F.lower("text"), "\\s+")).alias("tok")
     ).filter(F.col("tok") != "")

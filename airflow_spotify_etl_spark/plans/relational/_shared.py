@@ -12,8 +12,10 @@ from ...operators.quality import quality_report
 from ...sources.files import load_table
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
+) -> DataFrame:
+    return load_table(spark, sf_dir, name, parallelize=parallelize)
 
 
 def _dec(col: str, scale: str = "decimal(18,2)"):

@@ -2133,7 +2133,7 @@ def q405_variant_nested_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     corruption here is truncation, which both engines agree is invalid.
     Reference: spotify_etl.py's raw Spotify API JSON handling is this
     operation's 1-level special case."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", parallelize=True)
     k = F.coalesce(F.get_json_object("props", "$.k").cast("long"), F.lit(0))
     nested = F.concat(
         F.lit('{"a":{"b":'), k.cast("string"),

@@ -171,7 +171,7 @@ def q91_temporal_dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension row matches per fact."""
     from ...operators.incremental import scd2_runs
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", parallelize=True)
     runs = scd2_runs(ev)
     w2 = W.partitionBy("user_id").orderBy("run_id")
     dim = runs.withColumn("vt", F.lead("vf").over(w2)).select(
@@ -620,7 +620,7 @@ def q129_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checkable."""
     from ...operators.layout import range_boundaries
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", parallelize=True)
     return range_boundaries(li, "l_extendedprice", n_buckets=8).orderBy(
         "bucket"
     )

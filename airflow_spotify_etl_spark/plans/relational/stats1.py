@@ -403,7 +403,7 @@ def q166_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row-per-group total, and the all-integer cut ``2·cumw ≥ W``
     (quantities are integral — no float compares anywhere; the output
     price is exact cents divided once, rounded)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", parallelize=True)
     base = li.select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("pc"),
@@ -746,7 +746,7 @@ def q186_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the q68 equi-width grid first. n₁·n₂ outgrows BIGINT near 3·10⁹
     rows/side — the DECIMAL cast up front is that ceiling. A year with
     either side empty yields NULL distance, not a crash."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", parallelize=True)
     base = li.select(
         F.year("l_shipdate").alias("ship_year"),
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("pc"),
@@ -2567,7 +2567,7 @@ def q251_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. Scale shape: the 50× expansion collapses immediately via
     map-side combine into 50 groups — one pass, no row ever carries
     more than (b, w, cents)."""
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders", parallelize=True)
     base = orders.select(
         F.col("o_orderkey").alias("okey"),
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),

@@ -106,7 +106,7 @@ def q255_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics (smallest v with cum ≥ rank — min-filtered aggregates,
     no percentile approximation anywhere). All quotients are
     truncating ·10⁴-cent integers. Degenerate n − 2k ≤ 0 → NULL."""
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders", parallelize=True)
     cust = _t(spark, sf_dir, "customer")
     base = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
         F.col("c_mktsegment").alias("seg"),
@@ -887,7 +887,7 @@ def q295_aa_test_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB: the explode multiplies the scan by the salt count
     but the aggregate combines map-side to 40 cells; everything after
     is a 40-row reduction."""
-    ev = _t(spark, sf_dir, "events").select(
+    ev = _t(spark, sf_dir, "events", parallelize=True).select(
         "user_id", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
     )
     cells = _aa_salted_cells(ev)
@@ -1170,7 +1170,7 @@ def q304_bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB: the q295 shape (``_aa_salted_cells``: one md5
     digest per row, 20-salt exploded grouped pass to 40 cells);
     everything after is a 20-row relation."""
-    ev = _t(spark, sf_dir, "events").select(
+    ev = _t(spark, sf_dir, "events", parallelize=True).select(
         "user_id", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
     )
     cells = _aa_salted_cells(ev)
@@ -2813,7 +2813,7 @@ def q376_holm_stepdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB: the q295 shape (one md5 digest per row, 20-salt
     exploded grouped pass to 40 cells); everything after is a 20-row
     relation."""
-    ev = _t(spark, sf_dir, "events").select(
+    ev = _t(spark, sf_dir, "events", parallelize=True).select(
         "user_id", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
     )
     cells = _aa_salted_cells(ev)
@@ -2915,7 +2915,7 @@ def q385_benjamini_yekutieli(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB: the q295 shape — one md5-digest-per-row 20-salt
     exploded grouped pass to 40 cells; everything after is a 20-row
     relation."""
-    ev = _t(spark, sf_dir, "events").select(
+    ev = _t(spark, sf_dir, "events", parallelize=True).select(
         "user_id", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
     )
     cells = _aa_salted_cells(ev)

@@ -891,7 +891,7 @@ def q218_kcore_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same peel UNROLLED as 8 materialized CTE rounds."""
     from ...operators.graph import copurchase_edges, kcore_peel
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", parallelize=True)
     return kcore_peel(copurchase_edges(li, max_basket=100), k=110, rounds=8)
 
 
@@ -1300,7 +1300,7 @@ def q225_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ...operators.graph import copurchase_edges
     from ...sources.files import register_views
 
-    register_views(spark, sf_dir, ["lineitem"])
+    register_views(spark, sf_dir, ["lineitem"], parallelize=True)
     e = copurchase_edges(spark.table("lineitem"), max_basket=100)
     deg = (
         e.select(F.col("a").alias("v"))
@@ -1483,7 +1483,7 @@ def q230_percolation_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ...operators.graph import copurchase_edges, label_propagation_trajectory
     from ...sources.files import register_views
 
-    register_views(spark, sf_dir, ["lineitem"])
+    register_views(spark, sf_dir, ["lineitem"], parallelize=True)
     e = copurchase_edges(spark.table("lineitem"), max_basket=100)
     deg = (
         e.select(F.col("a").alias("v"))

@@ -14,6 +14,8 @@ files so each task reads ~128 MB regardless of total table size.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -133,6 +135,92 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+# parquet footer facts per file path: (num_row_groups, num_rows).
+# load_table is called thousands of times per bench run; one driver-side
+# footer read per path amortizes to nothing.
+_FOOTER_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _footer_facts(path: str) -> tuple[int, int] | None:
+    """(num_row_groups, num_rows) from the local parquet footer, or None
+    when the footer isn't locally readable (directory tables, remote
+    stores — exactly the cases where the scan already splits fine)."""
+    if path not in _FOOTER_CACHE:
+        try:
+            import pyarrow.parquet as pq
+
+            meta = pq.ParquetFile(path).metadata
+            _FOOTER_CACHE[path] = (meta.num_row_groups, meta.num_rows)
+        except Exception:
+            _FOOTER_CACHE[path] = (-1, -1)
+    rg, rows = _FOOTER_CACHE[path]
+    return None if rg < 0 else (rg, rows)
+
+
+# High-cardinality key per table for the opt-in scan fan-out: hash
+# repartitioning on a (near-)unique key spreads evenly across any width
+# (guide §2.5) and — unlike round-robin — needs no
+# sortBeforeRepartition pass, which for a single-task scan would sort
+# the whole table inside that one task before anything fans out.
+_FANOUT_KEYS: dict[str, str] = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def _maybe_parallelize(
+    spark: SparkSession, df: DataFrame, path: str, name: str
+) -> DataFrame:
+    """Restore scan-stage parallelism for unsplittable small inputs —
+    OPT-IN per query (``load_table(..., parallelize=True)``).
+
+    A parquet file is splittable only at row-group boundaries; the bench
+    fixtures are ONE row group each, so every scan — and everything
+    Catalyst collapses into the scan stage: projections, expression
+    ladders (md5 draws, n-gram explodes, array transforms) and partial
+    aggregates — runs as a SINGLE task no matter how many cores the
+    session has (optimization guide §2.5 "input skew: one huge
+    unsplittable file… repartition immediately after the read").
+
+    Hash-repartition on the table's unique key to the session's core
+    count right after the read fixes that for queries whose scan stage
+    does heavy per-row compute. It is OPT-IN because the exchange has a
+    measured ~0.25 s fixed cost per query at bench scale (extra stage +
+    AQE barrier) plus the table's shuffle bytes — a pure tax for the
+    ~300 registry queries whose scan work is a cheap partial aggregate
+    (solo-idle A/B: q05_global_stats 0.40→0.93 s under a blanket
+    version; q251_poisson_bootstrap_ci 7.7→2.1 s with it where it
+    belongs). Scale-adaptive, not a local[32] constant: the trigger is
+    the measured footer fact ``row_groups < cores`` — a production
+    table (many files/row groups, or a directory where the footer probe
+    returns None) never triggers — and the width follows
+    ``sparkContext.defaultParallelism`` so the driver's lower-core bench
+    runs fan out to matching widths. Tables below 4 rows/core (tiny
+    dims) are left alone. Results are partition-independent by
+    construction (every query is DuckDB-oracle-paired, hash-checked
+    order-insensitively) and re-verified by the strict selfcheck.
+    Kill-switch: SPARK_GRAFT_SCAN_PARALLELIZE=0.
+    """
+    if os.environ.get("SPARK_GRAFT_SCAN_PARALLELIZE", "1") == "0":
+        return df
+    facts = _footer_facts(path)
+    if facts is None:
+        return df
+    row_groups, rows = facts
+    cores = spark.sparkContext.defaultParallelism
+    if row_groups >= cores or rows < 4 * cores:
+        return df
+    return df.repartition(cores, F.col(_FANOUT_KEYS[name]))
+
+
 def _events_ts_unit(path: str) -> str:
     """Sniff the physical time unit of events.ts from the parquet footer.
 
@@ -149,8 +237,15 @@ def _events_ts_unit(path: str) -> str:
         return "us"
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one star-schema table with its explicit schema."""
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
+) -> DataFrame:
+    """Scan one star-schema table with its explicit schema.
+
+    ``parallelize=True`` opts the scan into the single-row-group fan-out
+    (see _maybe_parallelize) — use it in queries whose scan stage does
+    heavy per-row compute (hash ladders, n-gram explodes, vector folds),
+    not for cheap aggregate scans."""
     path = f"{sf_dir}/{name}.parquet"
     if name == "events" and _events_ts_unit(path) == "ns":
         # nanos → microsecond timestamp (`div` floors, matching DuckDB's
@@ -162,17 +257,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             ]
         )
         df = spark.read.schema(ns_schema).parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.schema(SCHEMAS[name]).parquet(path)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _maybe_parallelize(spark, df, path, name) if parallelize else df
+    df = spark.read.schema(SCHEMAS[name]).parquet(path)
+    return _maybe_parallelize(spark, df, path, name) if parallelize else df
 
 
-def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
-    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    names: list[str] | None = None,
+    parallelize: bool | set[str] = False,
+) -> dict[str, DataFrame]:
+    par = parallelize if isinstance(parallelize, set) else (
+        set(names or TABLES) if parallelize else set()
+    )
+    return {
+        n: load_table(spark, sf_dir, n, parallelize=n in par)
+        for n in (names or TABLES)
+    }
 
 
-def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+def register_views(
+    spark: SparkSession,
+    sf_dir: str,
+    names: list[str] | None = None,
+    parallelize: bool | set[str] = False,
+) -> None:
     """Register each table as a temp view so plans can mix SQL + DataFrame."""
-    for name, df in load_tables(spark, sf_dir, names).items():
+    for name, df in load_tables(spark, sf_dir, names, parallelize).items():
         df.createOrReplaceTempView(name)
 
 

@@ -28,6 +28,17 @@ def _final_plan(df) -> str:
     return plan.split("== Initial Plan ==")[0]
 
 
+@pytest.fixture(autouse=True)
+def _pure_scale_shape(monkeypatch):
+    """These gates assert the 100 TB plan shape. The r11 scan-parallelize
+    rescue (sources/files._maybe_parallelize) deliberately adds a
+    round-robin exchange after single-row-group FIXTURE scans — a local
+    bench repair that is a no-op on real (splittable) tables, so it must
+    not blur what these gates certify. Its own behavior is gated in
+    tests/test_scan_parallelize.py."""
+    monkeypatch.setenv("SPARK_GRAFT_SCAN_PARALLELIZE", "0")
+
+
 @pytest.fixture(scope="module")
 def qs():
     return all_queries()

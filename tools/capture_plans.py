@@ -1,0 +1,50 @@
+"""Capture .explain('formatted') output for named queries into plans/r11/.
+
+Usage:
+    python tools/capture_plans.py before q339_dedup_tier_scoreboard q230_...
+    python tools/capture_plans.py after  q339_dedup_tier_scoreboard
+
+Writes plans/r11/<query>_<tag>.txt.  Plan capture is driver-only (no job
+runs), so it is safe to run while other work occupies the executors.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    tag = sys.argv[1]
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from airflow_spotify_etl_spark.plans import all_queries
+    from airflow_spotify_etl_spark.session import get_spark
+
+    spark = get_spark("capture_plans")
+    qs = all_queries()
+    outdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        "r11",
+    )
+    os.makedirs(outdir, exist_ok=True)
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        path = os.path.join(outdir, f"{name}_{tag}.txt")
+        with open(path, "w") as f:
+            f.write(f"# {name} — explain('formatted') @ {sf_dir} [{tag}]\n")
+            f.write(buf.getvalue())
+        print(f"wrote {path} ({len(buf.getvalue())} bytes)")
+
+
+if __name__ == "__main__":
+    main()
