@@ -2137,18 +2137,20 @@ def q350_sketch_audit_scoreboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(err).cast("long").alias("worst_err_ppm"),
         ).select("sketch", "n_rows", "worst_err_ppm")
 
+    # fanout=False: per-arm scan fan-out is a measured net loss under a
+    # scoreboard (VERDICT r11 item 1); standalone q259/q328/q338 keep it.
     arms = [
-        arm(q259_count_min_tokens(spark, sf_dir), "1_cms_topk",
+        arm(q259_count_min_tokens(spark, sf_dir, fanout=False), "1_cms_topk",
             "max(CASE WHEN exact_cnt > 0"
             " THEN (overcount * 1000000) div exact_cnt END)"),
         arm(q302_hyperloglog_vocab(spark, sf_dir), "2_hll_vocab",
             "max(err_ppm)"),
         arm(q320_bloom_fpr_audit(spark, sf_dir), "3_bloom_novelty",
             "max(fpr_ppm)"),
-        arm(q328_minhash_accuracy_audit(spark, sf_dir), "4_minhash_jaccard",
-            "max(max_err_ppm)"),
-        arm(q338_kmv_accuracy_audit(spark, sf_dir), "5_kmv_jaccard",
-            "max(err_ppm)"),
+        arm(q328_minhash_accuracy_audit(spark, sf_dir, fanout=False),
+            "4_minhash_jaccard", "max(max_err_ppm)"),
+        arm(q338_kmv_accuracy_audit(spark, sf_dir, fanout=False),
+            "5_kmv_jaccard", "max(err_ppm)"),
     ]
     out = arms[0]
     for a in arms[1:]:

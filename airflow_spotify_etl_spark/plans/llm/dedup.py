@@ -108,7 +108,9 @@ ORDER BY doc_a, doc_b
 """
 
 
-def q25_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q25_minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, fanout: bool = True
+) -> DataFrame:
     """MinHash-LSH near-dup pairs (dedup tier 3, THE 100 TB scale path).
 
     VALUE-checked: the shingle hash is the engine-portable md5 slice
@@ -122,7 +124,10 @@ def q25_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_dedup.py."""
     from ...operators.dedup import minhash_lsh_pairs
 
-    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    # ``fanout=False`` lets composites (q339) opt this arm out of the scan
+    # fan-out: under a scoreboard the extra exchange per arm is a measured
+    # net loss (VERDICT r11 item 1), while the standalone query keeps it.
+    docs = load_table(spark, sf_dir, "documents", parallelize=fanout)
     return minhash_lsh_pairs(docs, threshold=0.5).orderBy("doc_a", "doc_b")
 
 
@@ -1444,7 +1449,11 @@ def q149_signature_tier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
         simhash_pairs,
     )
 
-    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    # No scan fan-out here (r12): this composite is checkpoint/shuffle-bound
+    # locally — the r11 driver run measured the fan-out exchange as a net
+    # +17% on this query (VERDICT r11 item 1), and at production scale the
+    # trigger never fires, so the flag bought nothing anywhere.
+    docs = load_table(spark, sf_dir, "documents")
     sh = _sized_shingles(docs, "text", "doc_id", 3, 1000).localCheckpoint(
         eager=True
     )
@@ -1678,7 +1687,9 @@ def q170_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
-    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    # No scan fan-out (r12): checkpoint-bound composite, fan-out measured
+    # a net +20% in the r11 driver run (VERDICT r11 item 1).
+    docs = load_table(spark, sf_dir, "documents")
     exact = (
         ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000)
         .select("doc_a", "doc_b")
@@ -1852,7 +1863,9 @@ ORDER BY ring
 """
 
 
-def q207_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q207_containment_pairs(
+    spark: SparkSession, sf_dir: str, fanout: bool = True
+) -> DataFrame:
     """Containment near-dups (operators/dedup.containment_pairs): the
     aggregator blind spot — pairs ≥90% contained but Jaccard < 0.5, so
     the exact-Jaccard tier (q24) ships both copies. Both cuts are
@@ -1860,7 +1873,7 @@ def q207_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline with the same two inequalities."""
     from ...operators.dedup import containment_pairs
 
-    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    docs = load_table(spark, sf_dir, "documents", parallelize=fanout)
     return containment_pairs(
         docs, containment_pct=90, max_bucket=1000
     ).orderBy("doc_a", "doc_b")
@@ -1899,7 +1912,9 @@ ORDER BY doc_a, doc_b
 """
 
 
-def q213_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q213_edit_distance_pairs(
+    spark: SparkSession, sf_dir: str, fanout: bool = True
+) -> DataFrame:
     """Edit-distance near-dup tier: Levenshtein <= 5 on the normalized
     80-char head — catches small in-place edits (typo fixes, version
     bumps) that exact hashing misses and that shingle tiers only see
@@ -1912,7 +1927,7 @@ def q213_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     |la-lb| <= 5 runs before the O(len^2) levenshtein call. The
     DISTINCT collapses the two-bucket overlap. Both engines compute
     the same DP distance, so parity is exact integers throughout."""
-    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    docs = load_table(spark, sf_dir, "documents", parallelize=fanout)
     norm = docs.select(
         "doc_id",
         F.substring(
@@ -2310,7 +2325,9 @@ FROM agg CROSS JOIN occ
 """
 
 
-def q328_minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q328_minhash_accuracy_audit(
+    spark: SparkSession, sf_dir: str, fanout: bool = True
+) -> DataFrame:
     """MinHash estimator accuracy audit — the sketch-audit pattern
     (q259 CMS, q302 HLL, q320 Bloom) applied to the q25 dedup tier:
     over every LSH candidate pair, compare the SIGNATURE-estimated
@@ -2340,7 +2357,7 @@ def q328_minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures,
     )
 
-    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    docs = load_table(spark, sf_dir, "documents", parallelize=fanout)
     sig = minhash_signatures(docs).localCheckpoint(eager=True)
     pairs = _jaccard_verify(
         docs, _band_candidates(sig, 16, 4, 1000), "text", "doc_id",
@@ -2463,7 +2480,9 @@ FROM errs
 """
 
 
-def q338_kmv_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q338_kmv_accuracy_audit(
+    spark: SparkSession, sf_dir: str, fanout: bool = True
+) -> DataFrame:
     """KMV estimator accuracy audit — the last member of the
     sketch-audit family (CMS q259, HLL q302, Bloom q320, MinHash
     q328): per language pair, the EXACT vocabulary Jaccard (distinct-
@@ -2483,7 +2502,7 @@ def q338_kmv_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape."""
     from ...operators.sketches import kmv_group_sketch, kmv_pair_overlap
 
-    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    docs = load_table(spark, sf_dir, "documents", parallelize=fanout)
     toks = docs.select(
         "lang",
         F.explode(
@@ -2622,6 +2641,10 @@ def q339_dedup_tier_scoreboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(err).cast("long").alias("est_err_ppm"),
         ).select("tier", "n_rows", "n_dup_hits", "est_err_ppm")
 
+    # fanout=False: under the scoreboard each arm's scan fan-out adds an
+    # Exchange + AQE barrier of the full documents text per arm — a
+    # measured net loss here (VERDICT r11 item 1) — while the standalone
+    # registry entries (q25, q207, ...) keep their fan-out win.
     arms = [
         arm(q21_exact_dedup(spark, sf_dir), "1_exact_md5",
             "coalesce(sum(n_copies - 1), 0)"),
@@ -2629,16 +2652,17 @@ def q339_dedup_tier_scoreboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coalesce(sum(n_docs) - sum(n_kept), 0)"),
         arm(q216_bag_of_words_dedup(spark, sf_dir), "3_bag_of_words",
             "coalesce(sum(reorder_only_dups), 0)"),
-        arm(q25_minhash_lsh_pairs(spark, sf_dir), "4_minhash_lsh",
-            "count(*)"),
-        arm(q207_containment_pairs(spark, sf_dir), "5_containment",
-            "count(*)"),
-        arm(q213_edit_distance_pairs(spark, sf_dir), "6_edit_distance",
-            "count(*)"),
-        arm(q328_minhash_accuracy_audit(spark, sf_dir), "7_minhash_audit",
+        arm(q25_minhash_lsh_pairs(spark, sf_dir, fanout=False),
+            "4_minhash_lsh", "count(*)"),
+        arm(q207_containment_pairs(spark, sf_dir, fanout=False),
+            "5_containment", "count(*)"),
+        arm(q213_edit_distance_pairs(spark, sf_dir, fanout=False),
+            "6_edit_distance", "count(*)"),
+        arm(q328_minhash_accuracy_audit(spark, sf_dir, fanout=False),
+            "7_minhash_audit",
             "coalesce(sum(n_true_pos), 0)", "max(max_err_ppm)"),
-        arm(q338_kmv_accuracy_audit(spark, sf_dir), "8_kmv_vocab_audit",
-            "count(*)", "max(err_ppm)"),
+        arm(q338_kmv_accuracy_audit(spark, sf_dir, fanout=False),
+            "8_kmv_vocab_audit", "count(*)", "max(err_ppm)"),
     ]
     out = arms[0]
     for a in arms[1:]:
@@ -2910,7 +2934,11 @@ def q381_contamination_ngram_sweep(
     scoreboard sum-of-parts pattern (q339/q350)."""
     from ...operators.dedup import ngram_contamination
 
-    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    # No scan fan-out (r12): each of the four q50 arms already broadcasts
+    # its eval side into a shuffle-free corpus stream; the fan-out added
+    # four exchanges of the full text column for a ~2x regression
+    # (VERDICT r11 item 2).
+    docs = load_table(spark, sf_dir, "documents")
     eval_docs = docs.filter(F.col("doc_id") < 5)
     corpus = docs.filter(F.col("doc_id") >= 5)
     n_corpus = corpus.agg(

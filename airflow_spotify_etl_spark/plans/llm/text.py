@@ -1854,7 +1854,9 @@ ORDER BY source
 """
 
 
-def q259_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q259_count_min_tokens(
+    spark: SparkSession, sf_dir: str, fanout: bool = True
+) -> DataFrame:
     """Count-Min sketch (operators/sketches.count_min_sketch, depth=4,
     width=1024) over the document token stream, audited against exact
     counts for 25 probe tokens: the 20 most frequent (count desc, token)
@@ -1870,7 +1872,9 @@ def q259_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle."""
     from ...operators.sketches import count_min_sketch
 
-    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    # fanout=False lets the q350 scoreboard opt this arm out of the scan
+    # fan-out (a per-arm net loss under composites, VERDICT r11 item 1).
+    docs = load_table(spark, sf_dir, "documents", parallelize=fanout)
     toks = docs.select(
         F.explode(F.split(F.lower("text"), "\\s+")).alias("tok")
     ).filter(F.col("tok") != "")

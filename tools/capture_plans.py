@@ -1,11 +1,12 @@
-"""Capture .explain('formatted') output for named queries into plans/r11/.
+"""Capture .explain('formatted') output for named queries into plans/<round>/.
 
 Usage:
     python tools/capture_plans.py before q339_dedup_tier_scoreboard q230_...
     python tools/capture_plans.py after  q339_dedup_tier_scoreboard
 
-Writes plans/r11/<query>_<tag>.txt.  Plan capture is driver-only (no job
-runs), so it is safe to run while other work occupies the executors.
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt (round defaults to
+r12).  Plan capture is driver-only (no job runs), so it is safe to run while
+other work occupies the executors.
 """
 
 from __future__ import annotations
@@ -31,7 +32,7 @@ def main() -> None:
     outdir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r11",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12"),
     )
     os.makedirs(outdir, exist_ok=True)
     for name in names:
