@@ -13,6 +13,30 @@ from ...sources.files import load_table
 _STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
 
 
+def _build_concurrently(builders):
+    """Construct DataFrames in parallel driver threads (optimization guide
+    §2.6 "overlap independent jobs").
+
+    Each builder is a zero-arg callable that typically ends in an eager
+    ``localCheckpoint`` — the point of threading: the independent
+    checkpoint JOBS overlap on the executors instead of running
+    back-to-back, so a composite whose arms each materialize an
+    intermediate pays max(arm) instead of sum(arm) in wall-clock.
+    ``inheritable_thread_target`` keeps each spawned job attached to the
+    caller's thread-local job group/description. Results return in builder
+    order, so the returned DataFrames — and every downstream plan and
+    result — are identical to sequential construction."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    if len(builders) <= 1:
+        return [b() for b in builders]
+    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+        futures = [pool.submit(inheritable_thread_target(b)) for b in builders]
+        return [f.result() for f in futures]
+
+
 def _lsh_pair_ctes() -> str:
     """CTE chain computing cosine_pairs_lsh(threshold=0.45)'s verified
     pairs, ending in a ``pairs(vec_a, vec_b, cosine_sim)`` CTE — shared by

@@ -2139,18 +2139,25 @@ def q350_sketch_audit_scoreboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # fanout=False: per-arm scan fan-out is a measured net loss under a
     # scoreboard (VERDICT r11 item 1); standalone q259/q328/q338 keep it.
+    # Threaded arm construction (guide §2.6) overlaps the eager checkpoint
+    # jobs inside q320/q328/q338; same DataFrames in the same union order.
+    from ._shared import _build_concurrently
+
+    built = _build_concurrently([
+        lambda: q259_count_min_tokens(spark, sf_dir, fanout=False),
+        lambda: q302_hyperloglog_vocab(spark, sf_dir),
+        lambda: q320_bloom_fpr_audit(spark, sf_dir),
+        lambda: q328_minhash_accuracy_audit(spark, sf_dir, fanout=False),
+        lambda: q338_kmv_accuracy_audit(spark, sf_dir, fanout=False),
+    ])
     arms = [
-        arm(q259_count_min_tokens(spark, sf_dir, fanout=False), "1_cms_topk",
+        arm(built[0], "1_cms_topk",
             "max(CASE WHEN exact_cnt > 0"
             " THEN (overcount * 1000000) div exact_cnt END)"),
-        arm(q302_hyperloglog_vocab(spark, sf_dir), "2_hll_vocab",
-            "max(err_ppm)"),
-        arm(q320_bloom_fpr_audit(spark, sf_dir), "3_bloom_novelty",
-            "max(fpr_ppm)"),
-        arm(q328_minhash_accuracy_audit(spark, sf_dir, fanout=False),
-            "4_minhash_jaccard", "max(max_err_ppm)"),
-        arm(q338_kmv_accuracy_audit(spark, sf_dir, fanout=False),
-            "5_kmv_jaccard", "max(err_ppm)"),
+        arm(built[1], "2_hll_vocab", "max(err_ppm)"),
+        arm(built[2], "3_bloom_novelty", "max(fpr_ppm)"),
+        arm(built[3], "4_minhash_jaccard", "max(max_err_ppm)"),
+        arm(built[4], "5_kmv_jaccard", "max(err_ppm)"),
     ]
     out = arms[0]
     for a in arms[1:]:

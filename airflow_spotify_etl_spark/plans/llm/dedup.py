@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from ...sources.files import load_table
 from ._shared import (
+    _build_concurrently,
     _lsh_pair_ctes,
 )
 from .text import (
@@ -1457,23 +1458,29 @@ def q149_signature_tier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
     sh = _sized_shingles(docs, "text", "doc_id", 3, 1000).localCheckpoint(
         eager=True
     )
-    exact = (
-        ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000, sh=sh)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
-    lsh = (
-        minhash_lsh_pairs(
-            docs, threshold=0.5, sh=sh.filter(F.col("_bucket_n") >= 2)
-        )
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
-    sim = (
-        simhash_pairs(docs)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    # The three tier materializations are independent given ``sh`` —
+    # overlap their checkpoint jobs in driver threads (guide §2.6) so the
+    # composite pays max(tier) instead of sum(tier) wall-clock. Same
+    # DataFrames, same plans, same results as sequential construction.
+    exact, lsh, sim = _build_concurrently([
+        lambda: (
+            ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000, sh=sh)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        ),
+        lambda: (
+            minhash_lsh_pairs(
+                docs, threshold=0.5, sh=sh.filter(F.col("_bucket_n") >= 2)
+            )
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        ),
+        lambda: (
+            simhash_pairs(docs)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        ),
+    ])
 
     def n(df, name):
         return df.agg(F.count("*").alias(name))
@@ -1690,23 +1697,24 @@ def q170_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No scan fan-out (r12): checkpoint-bound composite, fan-out measured
     # a net +20% in the r11 driver run (VERDICT r11 item 1).
     docs = load_table(spark, sf_dir, "documents")
-    exact = (
-        ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
-    ne = exact.agg(F.count("*").alias("n_exact"))
-    sig = minhash_signatures(docs, "text", "doc_id", 64, 3).localCheckpoint(
-        eager=True
-    )
-    sh = (
-        _sized_shingles(docs, "text", "doc_id", 3, 1000)
-        .filter(F.col("_bucket_n") >= 2)
-        .localCheckpoint(eager=True)
-    )
-    arms = []
-    for bands in (8, 16, 32):
-        lsh = (
+    # ONE shingle pass for the whole query (r12): the exact tier used to
+    # rebuild _sized_shingles internally while the verify relation built
+    # the identical relation beside it — checkpoint the unfiltered
+    # relation once, feed the exact tier via the ``sh`` seam (the q149
+    # discipline) and derive the verify side as a filter of it. The two
+    # up-front materializations (shingles, signatures) are independent, as
+    # are the exact tier and the three band arms afterwards — overlap each
+    # phase's checkpoint jobs in driver threads (guide §2.6).
+    shu, sig = _build_concurrently([
+        lambda: _sized_shingles(docs, "text", "doc_id", 3, 1000)
+        .localCheckpoint(eager=True),
+        lambda: minhash_signatures(docs, "text", "doc_id", 64, 3)
+        .localCheckpoint(eager=True),
+    ])
+    sh = shu.filter(F.col("_bucket_n") >= 2)
+
+    def _arm_lsh(bands: int):
+        return (
             _jaccard_verify(
                 docs,
                 _band_candidates(sig, bands, 64 // bands, 1000),
@@ -1720,6 +1728,20 @@ def q170_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b")
             .localCheckpoint(eager=True)
         )
+
+    exact, lsh8, lsh16, lsh32 = _build_concurrently([
+        lambda: (
+            ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000, sh=shu)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        ),
+        lambda: _arm_lsh(8),
+        lambda: _arm_lsh(16),
+        lambda: _arm_lsh(32),
+    ])
+    ne = exact.agg(F.count("*").alias("n_exact"))
+    arms = []
+    for bands, lsh in ((8, lsh8), (16, lsh16), (32, lsh32)):
         arms.append(
             lsh.agg(F.count("*").alias("n_pairs"))
             .crossJoin(
@@ -2645,24 +2667,34 @@ def q339_dedup_tier_scoreboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exchange + AQE barrier of the full documents text per arm — a
     # measured net loss here (VERDICT r11 item 1) — while the standalone
     # registry entries (q25, q207, ...) keep their fan-out win.
+    # Arm construction is threaded (guide §2.6) so the eager checkpoint
+    # jobs inside q328/q338 overlap instead of running back-to-back; the
+    # lazy arms cost nothing at construction either way. Same DataFrames
+    # in the same union order, so results are unchanged.
+    from ._shared import _build_concurrently
+
+    tiers = _build_concurrently([
+        lambda: q21_exact_dedup(spark, sf_dir),
+        lambda: q93_canonical_dedup(spark, sf_dir),
+        lambda: q216_bag_of_words_dedup(spark, sf_dir),
+        lambda: q25_minhash_lsh_pairs(spark, sf_dir, fanout=False),
+        lambda: q207_containment_pairs(spark, sf_dir, fanout=False),
+        lambda: q213_edit_distance_pairs(spark, sf_dir, fanout=False),
+        lambda: q328_minhash_accuracy_audit(spark, sf_dir, fanout=False),
+        lambda: q338_kmv_accuracy_audit(spark, sf_dir, fanout=False),
+    ])
     arms = [
-        arm(q21_exact_dedup(spark, sf_dir), "1_exact_md5",
-            "coalesce(sum(n_copies - 1), 0)"),
-        arm(q93_canonical_dedup(spark, sf_dir), "2_canonical",
+        arm(tiers[0], "1_exact_md5", "coalesce(sum(n_copies - 1), 0)"),
+        arm(tiers[1], "2_canonical",
             "coalesce(sum(n_docs) - sum(n_kept), 0)"),
-        arm(q216_bag_of_words_dedup(spark, sf_dir), "3_bag_of_words",
+        arm(tiers[2], "3_bag_of_words",
             "coalesce(sum(reorder_only_dups), 0)"),
-        arm(q25_minhash_lsh_pairs(spark, sf_dir, fanout=False),
-            "4_minhash_lsh", "count(*)"),
-        arm(q207_containment_pairs(spark, sf_dir, fanout=False),
-            "5_containment", "count(*)"),
-        arm(q213_edit_distance_pairs(spark, sf_dir, fanout=False),
-            "6_edit_distance", "count(*)"),
-        arm(q328_minhash_accuracy_audit(spark, sf_dir, fanout=False),
-            "7_minhash_audit",
+        arm(tiers[3], "4_minhash_lsh", "count(*)"),
+        arm(tiers[4], "5_containment", "count(*)"),
+        arm(tiers[5], "6_edit_distance", "count(*)"),
+        arm(tiers[6], "7_minhash_audit",
             "coalesce(sum(n_true_pos), 0)", "max(max_err_ppm)"),
-        arm(q338_kmv_accuracy_audit(spark, sf_dir, fanout=False),
-            "8_kmv_vocab_audit", "count(*)", "max(err_ppm)"),
+        arm(tiers[7], "8_kmv_vocab_audit", "count(*)", "max(err_ppm)"),
     ]
     out = arms[0]
     for a in arms[1:]:
