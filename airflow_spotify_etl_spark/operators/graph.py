@@ -460,6 +460,35 @@ def personalized_pagerank(
     ).orderBy("node")
 
 
+def _directed_double(edges: DataFrame) -> DataFrame:
+    """The directed double (src,dst) ∪ (dst,src) of an undirected edge
+    list, built in ONE pass via explode (no union of two legs, so an
+    expensive edge derivation upstream executes once) and eagerly
+    localCheckpointed. This folds what used to be two up-front
+    materializations — raw-edge checkpoint, then a two-leg union +
+    repartition + second checkpoint — into one pass and one
+    materialization, and drops the up-front hash repartition entirely:
+    under AQE a localCheckpoint scan reports ``UnknownPartitioning``
+    (verified in plans/r12/q218_kcore_round_after.txt), so that exchange
+    could never be reused by the per-round joins — it was pure cost, and
+    exactly the r11 q230 regression (VERDICT r11 item 3). Per-round
+    neighbor/degree access over the double needs ONE scan and one key
+    (``src`` or ``dst``) instead of a two-leg union over (a, b)."""
+    return (
+        edges.select("a", "b")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .localCheckpoint(eager=True)
+    )
+
+
 def kcore_peel(
     edges: DataFrame,
     k: int,
@@ -471,41 +500,43 @@ def kcore_peel(
     surviving subgraph — which converges to the k-core (a fixed point:
     two equal consecutive rows prove convergence inside the budget).
 
-    Scale shape: each round is one degree aggregation (vertex-keyed,
-    map-side combine) plus two semi-joins of the edge list against the
-    surviving vertex set — all shuffles are keyed by vertex id, and
-    ``localCheckpoint`` truncates the lineage every round so the plan
-    does not grow with the iteration count (same discipline as
-    pagerank/personalized_pagerank above). The round budget is fixed
-    (peeling halves fast in practice; the trajectory records whether
-    the fixed point was reached), so the job graph is bounded.
+    Scale shape (r12 rewrite, guide §2.4): the graph is held as its
+    DIRECTED double (src,dst) ∪ (dst,src), built in one explode pass and
+    checkpointed once up front (_directed_double) — each undirected edge
+    contributes one row per endpoint, so the per-round degree
+    aggregation is a plain ``groupBy(src)`` over ONE scan of the double
+    (before the rewrite every round union'd both edge columns — two
+    scans of the checkpoint feeding the same exchange), and only the
+    vertex-sized survivor set moves in the two semi-joins (broadcast
+    locally, vertex-keyed shuffles at scale). ``localCheckpoint``
+    truncates the lineage every round so the plan does not grow with the
+    iteration count (same discipline as pagerank/personalized_pagerank
+    above). The round budget is fixed (peeling halves fast in practice;
+    the trajectory records whether the fixed point was reached), so the
+    job graph is bounded.
 
     ``edges`` must be distinct undirected pairs (a < b)."""
-    e = edges.select("a", "b").localCheckpoint(eager=True)
+    e = _directed_double(edges)
 
     def _summary(ed: DataFrame, r: int) -> DataFrame:
-        verts = ed.select(F.col("a").alias("v")).unionAll(
-            ed.select(F.col("b").alias("v"))
-        )
-        return verts.agg(
+        # Over the double: every endpoint appears as ``src`` once per
+        # incident edge, so distinct src = vertices and rows/2 = edges —
+        # the same numbers the old two-column union produced.
+        return ed.agg(
             F.lit(r).cast("long").alias("round"),
-            F.countDistinct("v").alias("n_vertices"),
+            F.countDistinct("src").alias("n_vertices"),
             (F.count("*") / 2).cast("long").alias("n_edges"),
         )
 
     out = _summary(e, 0)
     for r in range(1, int(rounds) + 1):
-        deg = (
-            e.select(F.col("a").alias("v"))
-            .unionAll(e.select(F.col("b").alias("v")))
-            .groupBy("v")
-            .agg(F.count("*").alias("d"))
-        )
-        keep = deg.filter(F.col("d") >= int(k)).select("v")
+        deg = e.groupBy("src").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= int(k)).select("src")
+        # A directed row survives iff BOTH endpoints survive; the
+        # surviving double is exactly the double of the peeled subgraph.
         e = (
-            e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
-            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
-            .select("a", "b")
+            e.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
         out = out.unionAll(_summary(e, r))
@@ -554,30 +585,23 @@ def label_propagation_trajectory(
     twin, same trade as kcore_peel.)
 
     Scale shape per round (r11 rewrite, guide §2.4 "remove shuffles
-    outright"): ONE edge-keyed label join + one vertex-keyed min. The
-    undirected edge list is materialized as its DIRECTED double
-    (src, dst) ∪ (dst, src), hash-partitioned by ``dst`` ONCE and
-    localCheckpointed — ``Dataset.localCheckpoint`` preserves the
-    physical partitioning, so the per-round join re-shuffles only the
-    node-sized label relation, never the edge list (before the rewrite
-    each round shuffled the edges TWICE — by ``a`` and by ``b`` — for
-    a byte-identical neighbor multiset: (a,lbl(b)) ∪ (b,lbl(a)) is
-    exactly the dst-join over the directed double). The up-front
-    checkpoint of the raw edges also keeps an expensive edge
-    derivation from executing twice inside the directed union."""
-    edges = edges.select("a", "b").localCheckpoint(eager=True)
-    verts = (
-        edges.select(F.col("a").alias("v"))
-        .unionAll(edges.select(F.col("b").alias("v")))
-        .distinct()
-    )
-    p = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    directed = (
-        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .repartition(p, "dst")
-        .localCheckpoint(eager=True)
-    )
+    outright"): ONE edge-keyed label join + one vertex-keyed min — the
+    neighbor multiset (a,lbl(b)) ∪ (b,lbl(a)) is exactly the dst-join of
+    the label relation against the DIRECTED double (src,dst) ∪ (dst,src)
+    (before the r11 rewrite each round shuffled the edges TWICE, by
+    ``a`` and by ``b``, for a byte-identical result); locally the
+    node-sized labels broadcast into the checkpointed double, so no
+    edge bytes move in any round (plans/r12/q230_lp_round_join_after).
+    r12: the double is built in ONE explode pass (_directed_double)
+    instead of a raw-edge checkpoint followed by a two-leg union +
+    repartition + second checkpoint — the r11 up-front cost that
+    outweighed the per-round saving at bench scale (VERDICT r11 item 3;
+    the repartition could never help anyway: under AQE the checkpoint
+    scan reports UnknownPartitioning, so nothing downstream reused it).
+    The vertex set now derives from the checkpointed double (distinct
+    src), not from a second pass over the edge derivation."""
+    directed = _directed_double(edges)
+    verts = directed.select(F.col("src").alias("v")).distinct()
     labels = verts.select("v", F.col("v").alias("lbl")).localCheckpoint(
         eager=True
     )

@@ -381,10 +381,20 @@ def q256_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    # Each pick is localCheckpointed (r12): the greedy steps are
+    # inherently sequential, and pick_k's plan references every earlier
+    # pick through the sel_ids unions — without truncation pick_1's
+    # subtree is re-planned and re-executed once per appearance, and the
+    # combined plan grows EXPONENTIALLY in the step count (the r11
+    # capture of this query's single plan was 212 KB; each limit-1
+    # subtree executed up to 2^4 times). Checkpointing each 1-row pick
+    # makes every later plan reference a materialized RDD instead: five
+    # tiny sequential jobs, linear total work, identical rows.
     pick = (
         top.orderBy(F.desc("rel"), "vec_id").limit(1)
         .select("vec_id", "label", "rel",
                 F.expr("7e-1 * rel").alias("score"))
+        .localCheckpoint(eager=True)
     )
     picks = [pick]
     for _ in range(2, 6):
@@ -406,6 +416,7 @@ def q256_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("7e-1 * rel - 3e-1 * ms").alias("score"),
             )
             .orderBy(F.desc("score"), "vec_id").limit(1)
+            .localCheckpoint(eager=True)
         )
         picks.append(step)
     out = None

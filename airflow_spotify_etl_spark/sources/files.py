@@ -135,25 +135,33 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
-# parquet footer facts per file path: (num_row_groups, num_rows).
+# parquet footer facts keyed on (path, mtime_ns, size): (row_groups, rows).
 # load_table is called thousands of times per bench run; one driver-side
-# footer read per path amortizes to nothing.
-_FOOTER_CACHE: dict[str, tuple[int, int]] = {}
+# footer read per file VERSION amortizes to nothing, and keying on the
+# stat identity means a regenerated fixture (different row-group count)
+# or a transient read failure never serves stale fan-out decisions in a
+# long-lived session (ADVICE r11).
+_FOOTER_CACHE: dict[tuple[str, int, int], tuple[int, int]] = {}
 
 
 def _footer_facts(path: str) -> tuple[int, int] | None:
     """(num_row_groups, num_rows) from the local parquet footer, or None
     when the footer isn't locally readable (directory tables, remote
     stores — exactly the cases where the scan already splits fine)."""
-    if path not in _FOOTER_CACHE:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    key = (path, st.st_mtime_ns, st.st_size)
+    if key not in _FOOTER_CACHE:
         try:
             import pyarrow.parquet as pq
 
             meta = pq.ParquetFile(path).metadata
-            _FOOTER_CACHE[path] = (meta.num_row_groups, meta.num_rows)
+            _FOOTER_CACHE[key] = (meta.num_row_groups, meta.num_rows)
         except Exception:
-            _FOOTER_CACHE[path] = (-1, -1)
-    rg, rows = _FOOTER_CACHE[path]
+            _FOOTER_CACHE[key] = (-1, -1)
+    rg, rows = _FOOTER_CACHE[key]
     return None if rg < 0 else (rg, rows)
 
 

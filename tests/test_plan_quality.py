@@ -32,7 +32,7 @@ def _final_plan(df) -> str:
 def _pure_scale_shape(monkeypatch):
     """These gates assert the 100 TB plan shape. The r11 scan-parallelize
     rescue (sources/files._maybe_parallelize) deliberately adds a
-    round-robin exchange after single-row-group FIXTURE scans — a local
+    hash exchange on the table key after single-row-group FIXTURE scans — a local
     bench repair that is a no-op on real (splittable) tables, so it must
     not blur what these gates certify. Its own behavior is gated in
     tests/test_scan_parallelize.py."""

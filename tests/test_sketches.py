@@ -58,8 +58,9 @@ def test_frequent_values_never_miss_above_support(spark, sf_dir):
 def test_profile_is_single_pass(spark, sf_dir, monkeypatch):
     """N columns × M sketches must stay ONE aggregate over ONE scan.
     (Scale-shape gate: the r11 scan-parallelize fixture rescue is
-    switched off — it adds a round-robin exchange on fixture scans that
-    is a no-op on real splittable tables; see tests/test_scan_parallelize.py.)"""
+    switched off — it adds a hash exchange on the table key after
+    fixture scans that is a no-op on real splittable tables; see
+    tests/test_scan_parallelize.py.)"""
     monkeypatch.setenv("SPARK_GRAFT_SCAN_PARALLELIZE", "0")
     ev = load_table(spark, sf_dir, "events")
     df = approx_profile(ev, ["user_id", "value"])
@@ -291,16 +292,21 @@ def test_exact_heavy_hitters_multibatch_truncation(spark):
     )
 
     # 2000 rows: 'hot' = 250 (12.5% > 1/m with m=10), 'edge' = 210
-    # (barely above 10%), 1540 near-unique fillers interleaved so every
+    # (genuinely borderline-ABOVE n/m = 200: i%10==5 emits 200, i%171==3
+    # adds 10 more), ~1540 near-unique fillers interleaved so every
     # 100-row batch holds a few hot/edge rows plus ~95 new uniques —
-    # each batch overflows m and triggers the truncation.
+    # each batch overflows m and triggers the truncation (ADVICE r11:
+    # the old guard left 'edge' at exactly n/m, excluded from `want`,
+    # so only 'hot' ever tested survival).
     rows = []
     u = 0
+    n_edge = 0
     for i in range(2000):
         if i % 8 == 0 and i // 8 < 250:
             rows.append(("hot",))
-        elif i % 10 == 5 and i // 10 < 2100:
+        elif i % 10 == 5 or (i % 171 == 3 and n_edge < 210):
             rows.append(("edge",))
+            n_edge += 1
         else:
             rows.append((f"u{u}",))
             u += 1
@@ -311,6 +317,7 @@ def test_exact_heavy_hitters_multibatch_truncation(spark):
     exact = Counter(r[0] for r in rows)
     want = {(k, c) for k, c in exact.items() if c * 10 > n}
     assert ("hot", 250) in want  # sanity: the scenario is as designed
+    assert ("edge", 210) in want  # borderline-above hitter IS asserted
 
     old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
