@@ -1071,23 +1071,38 @@ def q130_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round; registering it as a query puts the number in the
     official correctness record with a full SQL replay (both tiers'
     oracles composed). Exact integer counts; two rounded divisions."""
-    from ...operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from ...operators.dedup import (
+        _sized_shingles,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
 
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     # Each tier's pair relation feeds TWO audit branches (its own count
     # and the intersection); localCheckpoint materializes the narrow
     # (doc_a, doc_b) relations once instead of re-running the dedup
     # pipelines per branch — pair counts are corpus-bounded and tiny.
-    exact = (
-        ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+    # r12: ONE shingle pass feeds both tiers via the ``sh`` seam (the
+    # q149 discipline — each tier used to rebuild the identical
+    # _sized_shingles relation), and the two independent tier
+    # checkpoints overlap in driver threads (guide §2.6).
+    sh = _sized_shingles(docs, "text", "doc_id", 3, 1000).localCheckpoint(
+        eager=True
     )
-    lsh = (
-        minhash_lsh_pairs(docs, threshold=0.5)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    exact, lsh = _build_concurrently([
+        lambda: (
+            ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=1000, sh=sh)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        ),
+        lambda: (
+            minhash_lsh_pairs(
+                docs, threshold=0.5, sh=sh.filter(F.col("_bucket_n") >= 2)
+            )
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        ),
+    ])
     # Three 1-row aggregates composed with scalar crossJoins — the
     # audit itself is one tiny plan.
     out = (
