@@ -460,20 +460,40 @@ def personalized_pagerank(
     ).orderBy("node")
 
 
-def _directed_double(edges: DataFrame) -> DataFrame:
+def _shuffle_partitions(df: DataFrame) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, falling back to
+    ``defaultParallelism`` on runtimes where the conf is a non-integer
+    string (e.g. ``'auto'`` under some AQE platforms) — ADVICE r11."""
+    sess = df.sparkSession
+    try:
+        return int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return sess.sparkContext.defaultParallelism
+
+
+def _directed_double(edges: DataFrame, part_key: str) -> DataFrame:
     """The directed double (src,dst) ∪ (dst,src) of an undirected edge
     list, built in ONE pass via explode (no union of two legs, so an
-    expensive edge derivation upstream executes once) and eagerly
-    localCheckpointed. This folds what used to be two up-front
-    materializations — raw-edge checkpoint, then a two-leg union +
-    repartition + second checkpoint — into one pass and one
-    materialization, and drops the up-front hash repartition entirely:
+    expensive edge derivation upstream executes once), hash-repartitioned
+    on ``part_key`` and eagerly localCheckpointed. This folds what used to
+    be TWO up-front materializations — raw-edge checkpoint, then a
+    two-leg union + repartition + second checkpoint (the r11 shape whose
+    extra pass was the q230 regression, VERDICT r11 item 3) — into one
+    pass and one materialization.
+
+    The repartition is kept, but for a different reason than r11 claimed:
     under AQE a localCheckpoint scan reports ``UnknownPartitioning``
-    (verified in plans/r12/q218_kcore_round_after.txt), so that exchange
-    could never be reused by the per-round joins — it was pure cost, and
-    exactly the r11 q230 regression (VERDICT r11 item 3). Per-round
-    neighbor/degree access over the double needs ONE scan and one key
-    (``src`` or ``dst``) instead of a two-leg union over (a, b)."""
+    (plans/r12/q218_kcore_round_after.txt), so the per-round joins can
+    never REUSE the partitioning — its real value is execution WIDTH.
+    Without it, AQE coalesces the (small-at-bench-scale) edge derivation
+    to one or two post-shuffle partitions, the checkpointed double
+    inherits them, and every one of the 6–8 per-round jobs runs 1–2
+    tasks wide on a 32-core session (measured: q230 12.2 → 16.0 s when
+    the repartition was dropped; restored, the single-pass build keeps
+    the r12 win). At production scale the input is already wide and the
+    repartition is one edge-sized exchange folded into the one-time
+    materialization, amortized over every round."""
+    p = _shuffle_partitions(edges)
     return (
         edges.select("a", "b")
         .select(
@@ -485,6 +505,7 @@ def _directed_double(edges: DataFrame) -> DataFrame:
             ).alias("e")
         )
         .select("e.src", "e.dst")
+        .repartition(p, part_key)
         .localCheckpoint(eager=True)
     )
 
@@ -516,7 +537,7 @@ def kcore_peel(
     job graph is bounded.
 
     ``edges`` must be distinct undirected pairs (a < b)."""
-    e = _directed_double(edges)
+    e = _directed_double(edges, "src")
 
     def _summary(ed: DataFrame, r: int) -> DataFrame:
         # Over the double: every endpoint appears as ``src`` once per
@@ -594,13 +615,14 @@ def label_propagation_trajectory(
     edge bytes move in any round (plans/r12/q230_lp_round_join_after).
     r12: the double is built in ONE explode pass (_directed_double)
     instead of a raw-edge checkpoint followed by a two-leg union +
-    repartition + second checkpoint — the r11 up-front cost that
-    outweighed the per-round saving at bench scale (VERDICT r11 item 3;
-    the repartition could never help anyway: under AQE the checkpoint
-    scan reports UnknownPartitioning, so nothing downstream reused it).
-    The vertex set now derives from the checkpointed double (distinct
-    src), not from a second pass over the edge derivation."""
-    directed = _directed_double(edges)
+    repartition + second checkpoint — the r11 extra materialization that
+    outweighed the per-round saving at bench scale (VERDICT r11 item 3).
+    The repartition survives inside _directed_double for execution width
+    (see its docstring — dropping it let AQE coalesce the double to 1–2
+    partitions and every round ran effectively single-task). The vertex
+    set now derives from the checkpointed double (distinct src), not
+    from a second pass over the edge derivation."""
+    directed = _directed_double(edges, "dst")
     verts = directed.select(F.col("src").alias("v")).distinct()
     labels = verts.select("v", F.col("v").alias("lbl")).localCheckpoint(
         eager=True
