@@ -555,10 +555,15 @@ def kcore_peel(
         keep = deg.filter(F.col("d") >= int(k)).select("src")
         # A directed row survives iff BOTH endpoints survive; the
         # surviving double is exactly the double of the peeled subgraph.
+        # eager=False (r12): the plan lineage is truncated immediately but
+        # materialization is deferred, so the fixed-budget peel needs NO
+        # mid-loop driver action — all rounds pipeline inside the final
+        # job (the pagerank discipline; the trajectory has no mid-loop
+        # convergence test to sync on).
         e = (
             e.join(keep, "src", "left_semi")
             .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         out = out.unionAll(_summary(e, r))
     return out.orderBy("round")
@@ -625,7 +630,7 @@ def label_propagation_trajectory(
     directed = _directed_double(edges, "dst")
     verts = directed.select(F.col("src").alias("v")).distinct()
     labels = verts.select("v", F.col("v").alias("lbl")).localCheckpoint(
-        eager=True
+        eager=False
     )
 
     def _summary(lb: DataFrame, r: int) -> DataFrame:
@@ -641,11 +646,14 @@ def label_propagation_trajectory(
         nbr = directed.join(
             labels.withColumnRenamed("v", "dst"), "dst"
         ).select(F.col("src").alias("v"), "lbl")
+        # eager=False (r12): lineage truncation without a per-round driver
+        # action — the whole fixed-budget propagation pipelines inside the
+        # final job (the pagerank discipline).
         labels = (
             labels.unionAll(nbr)
             .groupBy("v")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         out = out.unionAll(_summary(labels, r))
     return out.orderBy("round")
