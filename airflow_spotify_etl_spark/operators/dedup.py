@@ -912,12 +912,22 @@ def connected_components(
     label-of-label both stay in-component), so correctness is unchanged;
     each round costs one extra self-join on the label table, keyed by the
     same component id the next round shuffles on anyway."""
-    edges = pairs.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    # Directed double in ONE explode pass (r12, the operators/graph
+    # _directed_double discipline): the two-leg union re-derived the
+    # expensive pair subtree once per leg inside this eager checkpoint
+    # (ReusedExchange shares the exchange, not the post-exchange work).
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a_col).alias("src"), F.col(b_col).alias("dst")),
+                    F.struct(F.col(b_col).alias("src"), F.col(a_col).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .localCheckpoint(eager=True)
     )
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
