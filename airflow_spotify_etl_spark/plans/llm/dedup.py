@@ -1999,11 +1999,17 @@ def q213_edit_distance_pairs(
         )
         .distinct()
     )
+    # Bounded levenshtein (r12): the 3-arg threshold form runs a banded
+    # DP that exits early once the distance provably exceeds 5 (returning
+    # -1), instead of filling the full |ha|x|hb| matrix for every
+    # candidate pair only to discard most of them. For kept pairs (-1
+    # excluded) it returns the exact distance, so the output is
+    # byte-identical to the unbounded form + filter.
     return (
         pairs.withColumn(
-            "lev", F.levenshtein("ha", "hb").cast("bigint")
+            "lev", F.levenshtein("ha", "hb", 5).cast("bigint")
         )
-        .filter(F.col("lev") <= 5)
+        .filter((F.col("lev") >= 0) & (F.col("lev") <= 5))
         .select("doc_a", "doc_b", "len_a", "len_b", "lev")
         .orderBy("doc_a", "doc_b")
     )
