@@ -149,7 +149,11 @@ def fuzzy_self_join(
             (F.col("_blk") == F.col("_blk_r"))
             & (F.col("name_a") < F.col("name_b")),
         )
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("dist") <= max_dist)
+        # Bounded form (r12): banded DP, early exit above max_dist
+        # (returns -1, excluded below); kept rows carry the identical
+        # exact distance, so results are byte-equal to the unbounded
+        # call + filter.
+        .withColumn("dist", F.levenshtein("name_a", "name_b", int(max_dist)))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select("name_a", "name_b", "dist")
     )
